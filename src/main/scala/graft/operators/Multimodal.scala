@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: opaque payload bytes + typed metadata. */
+case class MmAsset(doc_id: Long, mime: String, payload: Array[Byte],
+    width: Int, height: Int, duration_ms: Long)
+
+/** Extracted features for one asset. */
+case class MmFeatures(doc_id: Long, mime: String, n_bytes: Long,
+    features: Array[Float])
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * as opaque `binary` columns with typed metadata, processed partition-wise.
+  *
+  * The actual media decode is STUBBED (this environment ships no image/audio
+  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
+  * payload bytes. Everything around it — the schema, the typed Dataset
+  * boundary, the per-partition batch shape, the partitioning strategy — is
+  * the real production plumbing a codec would drop into.
+  *
+  * SCALE: payloads stay opaque bytes end-to-end (never exploded into rows),
+  * decode runs `mapPartitions` so a codec can amortize per-batch init
+  * (model load, GPU context) across a partition, and assets are
+  * repartitioned by doc_id so downstream joins against text/embedding
+  * tables co-locate without a second shuffle.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a media decoder. A real implementation
+    * would decode `payload` (PNG/WAV/MP4) and emit model features; this one
+    * hashes bytes into a fixed-width vector so tests can assert exact
+    * values. Swap point is this single function. */
+  object FakeDecoder {
+    val Dim = 8
+    def decode(a: MmAsset): MmFeatures = {
+      val feats = Array.tabulate(Dim) { i =>
+        var h = 1125899906842597L + i * 2654435761L
+        var j = 0
+        while (j < a.payload.length) { h = 31 * h + a.payload(j); j += 1 }
+        ((h % 1000L).toFloat) / 1000.0f
+      }
+      MmFeatures(a.doc_id, a.mime, a.payload.length.toLong, feats)
+    }
+  }
+
+  /** Wrap the documents table as fake multimodal assets: payload = UTF-8
+    * bytes of the text, metadata derived deterministically from doc_id. */
+  def assets(spark: SparkSession, docs: DataFrame): Dataset[MmAsset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 64).cast("int").as("width"),
+      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      (col("doc_id") * 33 % 90000).as("duration_ms"))
+      .as[MmAsset]
+  }
+
+  /** Partition-wise feature extraction through the (stubbed) decoder.
+    * `mapPartitions` is deliberate: a real codec initializes once per
+    * partition, then streams the batch. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[MmAsset],
+      partitions: Int = 0): Dataset[MmFeatures] = {
+    import spark.implicits._
+    val parted = if (partitions > 0) assets.repartition(partitions, col("doc_id")) else assets
+    parted.mapPartitions { it =>
+      // real impl: val codec = HeavyCodec.init() — once per partition
+      it.map(FakeDecoder.decode)
+    }
+  }
+}

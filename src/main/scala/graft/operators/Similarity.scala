@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * SCALE design:
+  *  - cosine/dot are pure fold expressions (functions.aggregate over
+  *    zip_with) — codegen'd, no UDF, no shuffle.
+  *  - bruteForceTopK broadcasts the QUERY vector(s) and streams the corpus
+  *    once; global top-k is TakeOrderedAndProject (never a full sort). The
+  *    right baseline, linear in corpus size.
+  *  - lshTopK is the sublinear path: sign-random-projection (SRP) bucket
+  *    keys from deterministic hash-derived hyperplanes; candidates share a
+  *    bucket in at least one of `tables` hash tables, then exact cosine
+  *    re-ranks. Probe cost O(candidates), not O(corpus).
+  */
+object Similarity {
+
+  /** Element fold: sum(a[i]*b[i]) as double; arrays must be equal length. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of one query vector (given as its id in the
+    * corpus). Returns (vec_id, cos) ordered by similarity. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("qv"))
+    emb.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): a zero-mean value derived from a 64-bit avalanche hash. Defined
+    * as a column expression so plan + codegen stay pure. */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table * 131 + plane), dim), lit(2001L)) - 1000L).cast("double")
+
+  /** SRP bucket key for one table: `planes` sign bits packed into a long. */
+  private def srpKey(vec: Column, table: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(zip_with(vec.cast("array<double>"),
+        sequence(lit(0), size(vec) - 1).cast("array<double>"),
+        (x, i) => x * planeComponent(table, p, i.cast("long"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: candidates collide with the query in >=1 of `tables` SRP
+    * tables, then exact cosine re-ranks and keeps k. Recall grows with
+    * `tables`, probe cost shrinks with `planes`. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int,
+      tables: Int = 12, planes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = (0 until tables).map { t =>
+      emb.select(col(idCol), col(vecCol), lit(t).as("tbl"),
+        srpKey(col(vecCol), t, planes).as("bkey"))
+    }.reduce(_ union _)
+    val qKeys = broadcast(keyed.where(col(idCol) === queryId)
+      .select(col("tbl").as("q_tbl"), col("bkey").as("q_bkey"),
+        col(vecCol).cast("array<double>").as("qv")))
+    val cand = keyed.where(col(idCol) =!= queryId)
+      .join(qKeys, col("tbl") === col("q_tbl") && col("bkey") === col("q_bkey"))
+      .select(col(idCol), col(vecCol), col("qv"))
+      .dropDuplicates(idCol)
+    cand.select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= threshold — exact, for modest corpora or
+    * post-LSH candidate sets. At raw-corpus scale use lsh bucketing first
+    * (same shape as Dedup.minHashLshPairs). */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

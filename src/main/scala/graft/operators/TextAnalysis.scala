@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure Catalyst column
+  * expressions — per-row, shuffle-free, whole-stage-codegen'd — so they
+  * stream over 100 TB of documents at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split to match the corpus convention;
+    * `tokensRegex` below is the robust variant. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token count: word pieces, digit runs, single
+    * punctuation — the usual pre-tokenizer shape. */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Language-marker profiles. Deliberately tiny + auditable: counts of
+    * high-frequency function words per language. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit): _*))).cast("long")
+
+  /** n-gram-heuristic language ID: argmax of profile hits, first-listed
+    * profile wins ties, "und" (unknown) when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = Profiles.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, Profiles.head._2).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: length sweet spot, low punctuation,
+    * natural stopword density — the usual pretraining heuristics. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 10.0, lit(1.0))
+    (lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2)
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Stable across engines (md5 is md5), so it doubles as the
+    * exact-dedup key for near-identical-after-normalization docs. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Tables.t
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators as registered queries over the
+  * documents/embeddings tables: dedup (exact / shingle-Jaccard / MinHash-LSH
+  * / SimHash), similarity search (brute + LSH), text analysis (lang-id,
+  * quality, tokens, fingerprint), and multimodal metadata plumbing.
+  *
+  * Hash-function-dependent sketches (MinHash/SimHash/SRP) have no DuckDB
+  * oracle — their verification lives in PipelineOpsSpec (planted-duplicate
+  * recall + consistency against the exact variants); the driver records a
+  * rows-only check for them.
+  */
+object PipelineQueries {
+
+  private val EnList = TextAnalysis.Profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+  private val shingleSql =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+      |       FROM ws WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+      |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: canonical-keeper per distinct text.
+    Q("q20_dedup_exact",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+      bench = true),
+
+    // ---- normalization fingerprint (md5 — engine-portable).
+    Q("q21_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact 3-gram-shingle Jaccard near-dup pairs.
+    Q("q22_dedup_shingle",
+      (s, d) => Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(shingleSql),
+      bench = true),
+
+    // ---- MinHash-LSH near-dups (scale path; xxhash-dependent -> no oracle).
+    Q("q23_dedup_minhash",
+      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), 0.5)
+        .orderBy("id_a", "id_b"),
+      None,
+      bench = true),
+
+    // ---- SimHash signatures + hamming<=3 pairs (xxhash -> no oracle).
+    Q("q24_dedup_simhash",
+      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- brute-force cosine top-k for a corpus query vector.
+    Q("q25_sim_topk",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), 0L, 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ---- SRP-LSH bucketed ANN (deterministic but hash-derived planes).
+    Q("q26_sim_topk_lsh",
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 0L, 10),
+      None),
+
+    // ---- embedding near-dup pairs (exact; empty on this corpus by design).
+    Q("q27_emb_neardup",
+      (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- language ID via stopword profiles.
+    Q("q28_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS s_es,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr
+             |  FROM documents)
+             |SELECT doc_id, CASE
+             |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |  ELSE 'fr' END AS pred_lang
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: token counts, punct/stopword ratios, composite.
+    Q("q29_quality",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextAnalysis.tokenCountRegex(col("text")).cast("long").as("n_tokens_re"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
+              |  round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio,
+              |  round(CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+              |  round(least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
+              |      + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
+              |      + least((CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2, 6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus term frequency (explode + count).
+    Q("q30_term_freq",
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")),
+      Some("""SELECT term, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |GROUP BY term ORDER BY n DESC, term""".stripMargin)),
+
+    // ---- multimodal metadata plumbing (payload bytes + typed metadata;
+    // see graft.operators.Multimodal for the decode-stub pipeline).
+    Q("q31_mm_meta",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("payload_bytes"),
+          when(col("doc_id") % 3 === 0, "image/png")
+            .when(col("doc_id") % 3 === 1, "audio/wav")
+            .otherwise("video/mp4").as("mime"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |       ELSE 'video/mp4' END AS mime
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

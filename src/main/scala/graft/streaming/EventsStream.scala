@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+case class SessionUpdate(user_id: Long, n_events: Long, started_ms: Long,
+    last_ms: Long, closed: Boolean)
+
+private case class SessionState(nEvents: Long, startedMs: Long, lastMs: Long)
+
+/** Structured Streaming tier (SURVEY §2.11 — extension beyond the batch-only
+  * reference): event-time windowed aggregation with watermarks, plus a
+  * custom-state sessionizer via mapGroupsWithState (the stateful analog of
+  * the batch q18_sessionize windows).
+  *
+  * SCALE: state is keyed by user_id (hash-partitioned across executors),
+  * watermark bounds state size, `Trigger.AvailableNow` turns the same code
+  * into an incremental batch job over a landing directory.
+  */
+object EventsStream {
+
+  /** File-source stream over parquet events. ts lands as TIMESTAMP(NANOS) →
+    * read as long under nanosAsLong, converted to a proper timestamp (µs)
+    * for event-time semantics. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window counts with a 1-hour watermark. */
+  def windowedCounts(events: DataFrame, window_ : String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("v"))
+
+  /** Custom-state sessionization: 30-min inactivity gap closes a session.
+    * Emits one update per user per trigger. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L))
+          var closed = false
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.startedMs < 0) st = SessionState(1L, t, t)
+            else if (t - st.lastMs > gapMs) { closed = true; st = SessionState(1L, t, t) }
+            else st = st.copy(nEvents = st.nEvents + 1, lastMs = t)
+          }
+          state.update(st)
+          SessionUpdate(user, st.nEvents, st.startedMs, st.lastMs, closed)
+      }
+  }
+
+  /** Run a stream to completion against static input via the memory sink;
+    * returns the collected result table (local smoke/test harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+/** Verification for the sketch/stream/multimodal operators that have no
+  * DuckDB oracle: consistency against exact variants, planted-duplicate
+  * recall, and deterministic stubs. */
+class PipelineOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf001/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet").cache()
+
+  test("minhash LSH finds a high-recall subset of exact shingle-Jaccard pairs") {
+    val exact = Dedup.shingleJaccardPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minHashLshPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "LSH pairs must be exact-verified")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(approx.size >= (exact.size * 0.8).toInt, s"recall ${approx.size}/${exact.size}")
+  }
+
+  test("planted near-dups: identical texts get identical minhash/simhash") {
+    val twin = docs.limit(5).select(col("doc_id") + 100000, col("text"))
+      .toDF("doc_id", "text")
+    val both = docs.limit(5).select("doc_id", "text").union(twin)
+    val pairs = Dedup.minHashLshPairs(both, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 5 && pairs.forall(_._3 == 1.0))
+    val sh = Dedup.simHashPairs(both, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(sh))
+  }
+
+  test("simhash hamming bound holds on reported pairs") {
+    val pairs = Dedup.simHashPairs(docs, 3).collect()
+    assert(pairs.forall(_.getLong(2) <= 3))
+  }
+
+  test("LSH ANN recall vs brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.lshTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.intersect(brute).size >= 5, s"ANN recall too low: ${ann.intersect(brute).size}/10")
+  }
+
+  test("cosine is 1.0 for identical vectors, symmetric bound") {
+    val self = emb.limit(3)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("language id is deterministic and covers the profile languages") {
+    val preds = docs.select(TextAnalysis.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds.keySet.subsetOf(Set("en", "de", "es", "fr", "und")))
+    assert(preds.values.sum == docs.count())
+  }
+
+  test("multimodal: stubbed decode is deterministic, partition-independent") {
+    val assets = Multimodal.assets(spark, docs.limit(50))
+    val f1 = Multimodal.extractFeatures(spark, assets, partitions = 1)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val f8 = Multimodal.extractFeatures(spark, assets, partitions = 8)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(f1 == f8)
+    assert(f1.values.forall(_.length == Multimodal.FakeDecoder.Dim))
+    val bytes = Multimodal.extractFeatures(spark, assets)
+      .select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    val expected = docs.limit(50)
+      .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(bytes == expected)
+  }
+
+  test("streaming: windowed counts with watermark match the batch aggregation") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.windowedCounts(stream, "1 hour"), "win_counts",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.queries.Tables.events(spark, sf0001)
+      .groupBy(expr("ts div 3600000000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append mode with watermark emits only closed windows; every emitted
+    // window must match its batch twin, and most windows must have closed
+    val gotMap = got.select((unix_timestamp(col("ws")) / 3600).cast("long").as("h"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchMap = batch.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotMap.nonEmpty)
+    gotMap.foreach { case (k, n) => assert(batchMap(k) == n, s"window $k") }
+  }
+
+  test("streaming: mapGroupsWithState sessionizer emits per-user state") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val sess = EventsStream.runToMemory(spark,
+      EventsStream.sessionize(spark, stream).toDF(), "sessions",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val rows = sess.collect()
+    assert(rows.nonEmpty)
+    val n = graft.queries.Tables.events(spark, sf0001)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(sess.select("user_id").distinct().count() == n)
+  }
+}
