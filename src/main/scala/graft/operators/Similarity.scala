@@ -62,10 +62,9 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryId: Long, k: Int,
       tables: Int = 12, planes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = (0 until tables).map { t =>
-      emb.select(col(idCol), col(vecCol), lit(t).as("tbl"),
-        srpKey(col(vecCol), t, planes).as("bkey"))
-    }.reduce(_ union _)
+    val keyArr = array((0 until tables).map(t => srpKey(col(vecCol), t, planes)): _*)
+    val keyed = emb.select(col(idCol), col(vecCol), posexplode(keyArr))
+      .toDF(idCol, vecCol, "tbl", "bkey")
     val qKeys = broadcast(keyed.where(col(idCol) === queryId)
       .select(col("tbl").as("q_tbl"), col("bkey").as("q_bkey"),
         col(vecCol).cast("array<double>").as("qv")))
