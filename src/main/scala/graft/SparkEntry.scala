@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Queries live in graft.queries.* modules; this object aggregates them. */
 object SparkEntry {
 
-  private def modules: Seq[Q] = Relational.all ++ PipelineQueries.all ++ CpcInline.all
+  private def modules: Seq[Q] =
+    Relational.all ++ PipelineQueries.all ++ CpcInline.all ++ Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 6-table star join with broadcast dims (q05). */

@@ -1,0 +1,109 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd vector kernels.
+  *
+  * The declarative alternative — `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * — is a higher-order function, which Catalyst interprets per element
+  * (lambda closure, boxed accumulator). These expressions generate a tight
+  * primitive double loop instead, keeping similarity scans inside
+  * whole-stage codegen. Semantics (including summation ORDER — sequential
+  * over indices — and divide-by-zero → NaN/Inf) exactly match the HOF fold,
+  * so results are bit-identical and the DuckDB oracle is unaffected.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  // inputs are cast to array<double> by the VectorFunctions wrappers
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+/** sum(a[i] * b[i]) over min(len) elements. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — one pass, codegen'd. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers + SQL registration. */
+object VectorFunctions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def vec_dot(a: Column, b: Column): Column =
+    c(DotProduct(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    c(CosineSimilarity(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+
+  /** Expose as SQL functions (`SELECT cosine_sim(a, b)`). SQL literals may
+    * arrive as decimal/float arrays, so children are cast explicitly (the
+    * implicit-cast route needs ExpectsInputTypes, whose AbstractDataType is
+    * private[sql]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def d(x: Expression): Expression = Cast(x, ArrayType(DoubleType))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", xs => DotProduct(d(xs(0)), d(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", xs => CosineSimilarity(d(xs(0)), d(xs(1))), "scala_udf")
+  }
+}

@@ -18,14 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element fold: sum(a[i]*b[i]) as double; arrays must be equal length. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd kernels (graft.expressions.VectorExpressions); the HOF folds
+    * below are the declarative spec they're verified against. */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorFunctions.vec_dot(a, b)
+
+  def cosine(a: Column, b: Column): Column = graft.expressions.VectorFunctions.cosine_sim(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Interpreted higher-order-function fold — same summation order as the
+    * codegen kernel; kept for bit-exact cross-checking in specs. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Exact top-k neighbors of one query vector (given as its id in the
     * corpus). Returns (vec_id, cos) ordered by similarity. */

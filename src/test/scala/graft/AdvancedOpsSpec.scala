@@ -1,0 +1,67 @@
+package graft
+
+import graft.expressions.VectorFunctions
+import graft.operators.{AsofJoin, Hierarchy, Similarity}
+import org.apache.spark.sql.functions._
+
+class AdvancedOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("codegen vector kernels are bit-identical to the HOF folds") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(200)
+    val pairs = emb.as("a").crossJoin(emb.as("b")).limit(2000)
+      .select(
+        VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("cg"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"),
+        VectorFunctions.vec_dot(col("a.embedding"), col("b.embedding")).as("dg"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("dh"))
+    val bad = pairs.where(col("cg") =!= col("hof") || col("dg") =!= col("dh")).count()
+    assert(bad == 0)
+  }
+
+  test("vector expressions registered as SQL functions") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT round(cosine_sim(array(1.0,2.0,3.0), array(1.0,2.0,3.0)), 9) c, " +
+        "vec_dot(array(1.0,2.0), array(3.0,4.0)) d").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  }
+
+  test("asof backward: hand-built case incl. no-match, exact-ts, latest-wins") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 3L, "r@3"), (2L, 9L, "r@9"))
+      .toDF("k", "ts", "tag")
+    val got = AsofJoin.backward(left, right, Seq("k"), "ts", Seq("tag"))
+      .select("name", "tag").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("p1") == "r@10") // inclusive match at equal ts
+    assert(got("p2") == "r@15") // latest at-or-before wins
+    assert(got("p3") == null) // right@9 is after left@5 -> no match
+  }
+
+  test("ancestors: full transitive closure with depths") {
+    val edges = Seq(("c", "b"), ("b", "a"), ("d", "c")).toDF("symbol", "parent_symbol")
+    val got = Hierarchy.ancestors(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("c", "b", 1L), ("b", "a", 1L), ("d", "c", 1L),
+      ("c", "a", 2L), ("d", "b", 2L), ("d", "a", 3L)))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("cosine plan stays in whole-stage codegen (no interpreted HOF)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.select(VectorFunctions.cosine_sim(col("embedding"), col("embedding")).as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in plan strings
+    assert(plan.contains("*(1)"), plan)
+  }
+}
