@@ -65,6 +65,13 @@ object CpcPipeline {
         .parquet(s"$outDir/cpc_schema_$version.parquet")
       if (csvToo) stamped.write.mode("overwrite").option("header", true)
         .csv(s"$outDir/cpc_schema_$version.csv")
+      // scale path: one partitioned snapshot table instead of per-version
+      // files — monthly runs add a partition, never rewrite history, and
+      // readers get partition pruning on cpc_schema_date
+      stamped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cpc_schema_date")
+        .parquet(s"$outDir/cpc_schema_snapshots")
     }
     titles.unpersist()
     rep

@@ -66,6 +66,13 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drop events with a duplicate (user_id, props)
+    * within the watermark horizon — the streaming twin of batch
+    * Dedup.exactGroups, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "props")
+
   /** Run a stream to completion against static input via the memory sink;
     * returns the collected result table (local smoke/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -96,6 +96,26 @@ class PipelineOpsSpec extends GraftSpec {
     gotMap.foreach { case (k, n) => assert(batchMap(k) == n, s"window $k") }
   }
 
+  test("streaming: dedup within watermark drops exact duplicates") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val out = EventsStream.runToMemory(spark,
+      EventsStream.dedupWithinWatermark(stream), "dedup_stream")
+    val n = out.count()
+    val distinctPairs = graft.queries.Tables.events(spark, sf0001)
+      .select("user_id", "props").distinct().count()
+    assert(n == distinctPairs)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    val skewed = spark.range(0, 20000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
+    val dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+    val plain = skewed.join(dim, "k").agg(sum("v"), sum("w")).collect()(0)
+    val salted = graft.operators.SkewUtils.saltedJoin(skewed, dim, "k", 8)
+      .agg(sum("v"), sum("w")).collect()(0)
+    assert(plain == salted)
+  }
+
   test("streaming: mapGroupsWithState sessionizer emits per-user state") {
     val stream = EventsStream.readEvents(spark, sf0001)
     val sess = EventsStream.runToMemory(spark,
