@@ -94,7 +94,7 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     inter.where(j >= threshold)
-      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
@@ -131,7 +131,7 @@ object Dedup {
       .join(sets.as("sa"), col("id_a") === col("sa.did"))
       .join(sets.as("sb"), col("id_b") === col("sb.did"))
       .where(j >= threshold)
-      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: bit b of the signature

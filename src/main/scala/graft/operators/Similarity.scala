@@ -43,7 +43,7 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("qv"))
     emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .select(col(idCol), (round((cosine(col(vecCol), col("qv"))) * 1000000.0) / 1000000.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -80,7 +80,7 @@ object Similarity {
       .join(qKeys, col("tbl") === col("q_tbl") && col("bkey") === col("q_bkey"))
       .select(col(idCol), col(vecCol), col("qv"))
       .dropDuplicates(idCol)
-    cand.select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+    cand.select(col(idCol), (round((cosine(col(vecCol), col("qv"))) * 1000000.0) / 1000000.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -93,7 +93,7 @@ object Similarity {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), (round((cosine(col("va"), col("vb"))) * 1000000.0) / 1000000.0).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -46,12 +46,12 @@ object Advanced {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+          (round((expr("percentile(l_quantity, 0.5)")) * 10000.0) / 10000.0).as("median_qty"),
+          (round((expr("percentile(l_extendedprice, 0.9)")) * 10000.0) / 10000.0).as("p90_price"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |  (round((quantile_cont(l_quantity, 0.5)) * 10000.0) / 10000.0) AS median_qty,
+             |  (round((quantile_cont(l_extendedprice, 0.9)) * 10000.0) / 10000.0) AS p90_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- approximate distinct (HLL++). Sketch estimates are
@@ -64,6 +64,79 @@ object Advanced {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
         .orderBy("l_returnflag"),
       None),
+
+    // ---- range (interval) join: facts against inline date ranges. Spark
+    // plans dim-range joins as broadcast nested loop — right-sized when the
+    // range table is a true dimension.
+    Q("q34_range_join",
+      (s, d) => {
+        import s.implicits._
+        val eras = Seq(
+          ("era1", "1995-01-01", "1997-01-01"),
+          ("era2", "1997-01-01", "1999-01-01"),
+          ("era3", "1999-01-01", "2002-01-01")).toDF("era", "lo", "hi")
+          .select(col("era"), col("lo").cast("timestamp"), col("hi").cast("timestamp"))
+        t(s, d, "orders").join(broadcast(eras),
+            col("o_orderdate") >= col("lo") && col("o_orderdate") < col("hi"))
+          .groupBy("era")
+          .agg(count(lit(1)).as("n"), (round((sum("o_totalprice")) * 100.0) / 100.0).as("total"))
+          .orderBy("era")
+      },
+      Some("""WITH eras(era, lo, hi) AS (VALUES
+             |  ('era1', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
+             |  ('era2', TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01'),
+             |  ('era3', TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01'))
+             |SELECT era, count(*) AS n, (round((sum(o_totalprice)) * 100.0) / 100.0) AS total
+             |FROM orders JOIN eras ON o_orderdate >= lo AND o_orderdate < hi
+             |GROUP BY era ORDER BY era""".stripMargin)),
+
+    // ---- pivot (wide conditional aggregation).
+    Q("q35_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'view') AS view,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'error') AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- correlated-aggregate semantics: orders above their customer's
+    // average, decorrelated as an aggregate join.
+    Q("q37_above_avg",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgs = o.groupBy("o_custkey").agg(avg("o_totalprice").as("cavg"))
+        o.join(avgs, "o_custkey")
+          .where(col("o_totalprice") > col("cavg") * 1.5)
+          // cust_avg itself is NOT output: averages of money values land on
+          // exact .xxxx5 round-ties where engines' ulp-different sums round
+          // apart (observed at sf0.01)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (round((col("o_totalprice")) * 100.0) / 100.0).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH avgs AS (SELECT o_custkey, avg(o_totalprice) AS cavg
+             |              FROM orders GROUP BY o_custkey)
+             |SELECT o_orderkey, orders.o_custkey, (round((o_totalprice) * 100.0) / 100.0) AS price
+             |FROM orders JOIN avgs ON orders.o_custkey = avgs.o_custkey
+             |WHERE o_totalprice > cavg * 1.5 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- ordered string aggregation.
+    Q("q38_string_agg",
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+             |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // ---- recursive hierarchy closure: iterative self-join vs DuckDB
     // WITH RECURSIVE over the same inline edges.

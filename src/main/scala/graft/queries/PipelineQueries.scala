@@ -27,7 +27,7 @@ object PipelineQueries {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT ia AS id_a, ib AS id_b,
-      |  round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+      |  (round((i::DOUBLE / (ca.n + cb.n - i)) * 1000000.0) / 1000000.0) AS jaccard
       |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
       |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
@@ -77,7 +77,7 @@ object PipelineQueries {
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), 0L, 10),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-             |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+             |SELECT vec_id, (round((list_cosine_similarity(v, qv)) * 1000000.0) / 1000000.0) AS cos
              |FROM e, q WHERE vec_id <> 0
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
       bench = true),
@@ -93,9 +93,9 @@ object PipelineQueries {
         .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |  (round((list_cosine_similarity(a.v, b.v)) * 1000000.0) / 1000000.0) AS cos
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+             |WHERE (round((list_cosine_similarity(a.v, b.v)) * 1000000.0) / 1000000.0) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- language ID via stopword profiles.
@@ -123,20 +123,20 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
           TextAnalysis.tokenCountRegex(col("text")).cast("long").as("n_tokens_re"),
-          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+          (round((TextAnalysis.punctRatio(col("text"))) * 1000000.0) / 1000000.0).as("punct_ratio"),
+          (round((TextAnalysis.stopwordRatio(col("text"))) * 1000000.0) / 1000000.0).as("stop_ratio"),
+          (round((TextAnalysis.qualityScore(col("text"))) * 1000000.0) / 1000000.0).as("quality"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
-              |  round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio,
-              |  round(CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
-              |        / len(string_split(text, ' ')), 6) AS stop_ratio,
-              |  round(least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
+              |  (round((length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 1000000.0) / 1000000.0) AS punct_ratio,
+              |  (round((CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |        / len(string_split(text, ' '))) * 1000000.0) / 1000000.0) AS stop_ratio,
+              |  (round((least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
               |      + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
               |      + least((CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
-              |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2, 6) AS quality
+              |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2) * 1000000.0) / 1000000.0) AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- corpus term frequency (explode + count).

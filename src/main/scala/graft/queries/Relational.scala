@@ -29,19 +29,19 @@ object Relational {
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(revenue), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          (round((sum("l_quantity")) * 100.0) / 100.0).as("sum_qty"),
+          (round((sum("l_extendedprice")) * 100.0) / 100.0).as("sum_base_price"),
+          (round((sum(revenue)) * 100.0) / 100.0).as("sum_disc_price"),
+          (round((avg("l_quantity")) * 10000.0) / 10000.0).as("avg_qty"),
+          (round((avg("l_discount")) * 10000.0) / 10000.0).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_discount), 4) AS avg_disc,
+             |  (round((sum(l_quantity)) * 100.0) / 100.0) AS sum_qty,
+             |  (round((sum(l_extendedprice)) * 100.0) / 100.0) AS sum_base_price,
+             |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS sum_disc_price,
+             |  (round((avg(l_quantity)) * 10000.0) / 10000.0) AS avg_qty,
+             |  (round((avg(l_discount)) * 10000.0) / 10000.0) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus
@@ -56,10 +56,10 @@ object Relational {
           col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
           col("l_discount") >= 0.08)
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), round(revenue, 2).as("rev"))
+          col("l_quantity"), (round((revenue) * 100.0) / 100.0).as("rev"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
-             |  round(l_extendedprice * (1.0 - l_discount), 2) AS rev
+             |  (round((l_extendedprice * (1.0 - l_discount)) * 100.0) / 100.0) AS rev
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-02-01' AND l_discount >= 0.08
@@ -78,14 +78,14 @@ object Relational {
         o.join(c, col("o_custkey") === col("c_custkey"))
           .join(l, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(round(sum(revenue), 2).as("revenue"))
+          .agg((round((sum(revenue)) * 100.0) / 100.0).as("revenue"))
           .select(col("o_orderkey"), col("revenue"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue,
              |  strftime(o_orderdate, '%Y-%m-%d') AS odate
              |FROM customer
              |JOIN orders ON o_custkey = c_custkey
@@ -128,10 +128,10 @@ object Relational {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(round(sum(revenue), 2).as("revenue"))
+          .agg((round((sum(revenue)) * 100.0) / 100.0).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      Some("""SELECT n_name, (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN supplier ON l_suppkey = s_suppkey
@@ -165,11 +165,11 @@ object Relational {
         t(s, d, "orders").join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
           .select(coalesce(col("c_mktsegment"), lit("NONE")).as("seg"), col("o_totalprice"))
           .groupBy("seg")
-          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .agg(count(lit(1)).as("n"), (round((sum("o_totalprice")) * 100.0) / 100.0).as("total"))
           .orderBy("seg")
       },
       Some("""SELECT coalesce(c_mktsegment, 'NONE') AS seg, count(*) AS n,
-             |  round(sum(o_totalprice), 2) AS total
+             |  (round((sum(o_totalprice)) * 100.0) / 100.0) AS total
              |FROM orders LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
              |                       WHERE c_acctbal > 5000) c
              |  ON o_custkey = c_custkey
@@ -194,10 +194,10 @@ object Relational {
     // ---- q09: global top-N (TakeOrderedAndProject — never a full sort).
     Q("q09_topn",
       (s, d) => t(s, d, "orders")
-        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .select(col("o_orderkey"), (round((col("o_totalprice")) * 100.0) / 100.0).as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10),
-      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+      Some("""SELECT o_orderkey, (round((o_totalprice) * 100.0) / 100.0) AS price FROM orders
              |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin)),
 
     // ---- q10: set operations (INTERSECT / EXCEPT distinct semantics).
@@ -228,13 +228,13 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
-          round(sum(when(col("o_orderpriority").startsWith("1"), col("o_totalprice"))
-            .otherwise(0.0)), 2).as("urgent_total"))
+          (round((sum(when(col("o_orderpriority").startsWith("1"), col("o_totalprice"))
+            .otherwise(0.0))) * 100.0) / 100.0).as("urgent_total"))
         .orderBy("y"),
       Some("""SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
              |  count(*) AS n,
              |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-             |  round(sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total
+             |  (round((sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0.0 END)) * 100.0) / 100.0) AS urgent_total
              |FROM orders GROUP BY y ORDER BY y""".stripMargin)),
 
     // ---- q12: scalar string/regex battery (SURVEY §2.9 at scale).
@@ -262,11 +262,11 @@ object Relational {
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          round(avg(get_json_object(col("props"), "$.k").cast("double")), 4).as("avg_k"),
+          (round((avg(get_json_object(col("props"), "$.k").cast("double"))) * 10000.0) / 10000.0).as("avg_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
-             |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+             |  (round((avg(CAST(json_extract_string(props, '$.k') AS DOUBLE))) * 10000.0) / 10000.0) AS avg_k,
              |  count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -276,10 +276,10 @@ object Relational {
       // ts is long nanos (Tables.events) -> exact integer bucket math
       (s, d) => Tables.events(s, d)
         .groupBy((expr(s"ts div ${3600L * Tables.NanosPerSecond}") * 3600).as("bucket"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .agg(count(lit(1)).as("n"), (round((sum("value")) * 100.0) / 100.0).as("v"))
         .orderBy("bucket"),
       Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
-             |  count(*) AS n, round(sum(value), 2) AS v
+             |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS v
              |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
       bench = true),
 
@@ -305,13 +305,13 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "orders").where(col("o_custkey") % 10 === 0)
           .select(col("o_custkey"), col("o_orderkey"),
-            round(sum(col("o_totalprice")).over(w), 2).as("running"))
+            (round((sum(col("o_totalprice")).over(w)) * 100.0) / 100.0).as("running"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  (round((sum(o_totalprice) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0) AS running
              |FROM orders WHERE o_custkey % 10 = 0
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
@@ -320,7 +320,7 @@ object Relational {
     Q("q17_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+        .agg((round((sum("l_quantity")) * 100.0) / 100.0).as("qty"), count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -328,7 +328,7 @@ object Relational {
         .orderBy("rf", "ls"),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
              |  coalesce(l_linestatus, 'ALL') AS ls,
-             |  round(sum(l_quantity), 2) AS qty, count(*) AS n
+             |  (round((sum(l_quantity)) * 100.0) / 100.0) AS qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
