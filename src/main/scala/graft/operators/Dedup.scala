@@ -86,7 +86,11 @@ object Dedup {
     * and the pair aggregation. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: smaller shuffle/build
+    // rows and long-vs-long key compares (collision odds at 1e6 distinct
+    // shingles ~1e-7, and the DuckDB oracle would surface one)
     val sh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("did"), col("nsh"), xxhash64(col("sh")).as("sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
       .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"),
