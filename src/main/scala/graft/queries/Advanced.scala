@@ -138,6 +138,53 @@ object Advanced {
              |FROM nation JOIN supplier ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // ---- full ranking-window battery: rank / dense_rank / ntile / lag /
+    // lead over one partitioned frame.
+    Q("q44_window_ranks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").where(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+            lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(rank() OVER w AS INT) AS rnk,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  lag(o_orderkey, 1) OVER w AS prev_ok,
+             |  lead(o_orderkey, 1) OVER w AS next_ok
+             |FROM orders WHERE o_custkey < 50
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- null semantics: null group keys, count(col) vs count(*), nullif.
+    Q("q45_null_semantics",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("bucket", when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")) // else NULL
+        o.groupBy(col("bucket")) // null forms its own group in both engines
+          .agg(count(lit(1)).as("n_rows"), count(col("bucket")).as("n_nonnull"),
+            count(nullif(col("o_orderstatus"), lit("O"))).as("n_not_open"))
+          .select(coalesce(col("bucket"), lit("(none)")).as("bucket"),
+            col("n_rows"), col("n_nonnull"), col("n_not_open"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT coalesce(bucket, '(none)') AS bucket, count(*) AS n_rows,
+             |  count(bucket) AS n_nonnull,
+             |  count(nullif(o_orderstatus, 'O')) AS n_not_open
+             |FROM (SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+             |                  WHEN o_totalprice > 100000 THEN 'mid' END AS bucket,
+             |             o_orderstatus
+             |      FROM orders)
+             |GROUP BY bucket ORDER BY coalesce(bucket, '(none)')""".stripMargin)),
+
     // ---- recursive hierarchy closure: iterative self-join vs DuckDB
     // WITH RECURSIVE over the same inline edges.
     Q("q43_cpc_ancestors",

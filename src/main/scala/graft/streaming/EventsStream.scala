@@ -66,6 +66,20 @@ object EventsStream {
       }
   }
 
+  /** Incremental title-list ingestion — the Spark-idiomatic form of the
+    * reference's timer-triggered re-run (SURVEY §2.11, etl_function.py):
+    * a file-source stream over a landing directory of title-list text files,
+    * parsed with the SAME CpcTitleParser columns, appended to a parquet
+    * table. Run with Trigger.AvailableNow for a scheduled batch that only
+    * processes files landed since the last checkpoint. */
+  def incrementalTitles(spark: SparkSession, landingDir: String): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(landingDir)
+      .withColumnRenamed("value", "line")
+    graft.operators.CpcTitleParser.parseLines(lines)
+  }
+
   /** Streaming exact dedup: drop events with a duplicate (user_id, props)
     * within the watermark horizon — the streaming twin of batch
     * Dedup.exactGroups, state bounded by the watermark. */

@@ -116,6 +116,18 @@ class PipelineOpsSpec extends GraftSpec {
     assert(plain == salted)
   }
 
+  test("streaming: incremental title ingestion over a landing dir (AvailableNow shape)") {
+    val landing = java.nio.file.Files.createTempDirectory("cpc-landing")
+    java.nio.file.Files.writeString(landing.resolve("batch1.txt"),
+      "A01B1/00 0 Hand tools\nA01B1/02 1 Spades; Shovels; Hoes\n\nInvalid Line")
+    java.nio.file.Files.writeString(landing.resolve("batch2.txt"),
+      "Y02E REDUCTION OF GREENHOUSE GAS EMISSIONS")
+    val out = EventsStream.runToMemory(spark,
+      EventsStream.incrementalTitles(spark, landing.toString), "inc_titles")
+    val syms = out.select("symbol").collect().map(_.getString(0)).sorted
+    assert(syms.toSeq == Seq("A01B1/00", "A01B1/02", "Y02E"))
+  }
+
   test("streaming: mapGroupsWithState sessionizer emits per-user state") {
     val stream = EventsStream.readEvents(spark, sf0001)
     val sess = EventsStream.runToMemory(spark,
