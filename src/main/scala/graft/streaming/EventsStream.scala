@@ -87,6 +87,22 @@ object EventsStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "props")
 
+  /** Stream-stream interval join: purchases enriched with the clicks of the
+    * same user in the preceding hour. Both sides watermarked so join state
+    * is bounded; the time-bound predicate makes the state store evictable. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("cid"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("cts") <= col("pts") && col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("pid"), col("cid"), col("pts"), col("cts"))
+  }
+
   /** Run a stream to completion against static input via the memory sink;
     * returns the collected result table (local smoke/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
