@@ -22,10 +22,14 @@ object Advanced {
         val ev = Tables.events(s, d)
         val p = ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("pid"), col("ts"))
+        // rts drives the join; cts is a payload copy (the operator's output
+        // excludes the right key/ts columns themselves)
         val c = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id").as("cid"),
-            col("ts").as("cts"))
-        AsofJoin.backward(p, c, Seq("user_id"), "ts", Seq("cid", "cts"))
+          .select(col("user_id").as("cu"), col("event_id").as("cid"),
+            col("ts").as("cts"), col("ts").as("rts"))
+        // native custom physical operator (graft.plans.AsOfJoinExec);
+        // AdvancedOpsSpec proves it equal to the composed union+window form
+        graft.plans.NativeAsOf.backward(p, c, "user_id", "cu", "ts", "rts")
           // µs, not ns: DuckDB coerces TIMESTAMP_NS to µs on read, so the
           // oracle can only see microsecond precision
           .select(col("user_id"), col("pid"), col("cid"),

@@ -39,6 +39,27 @@ class AdvancedOpsSpec extends GraftSpec {
     assert(got("p3") == null) // right@9 is after left@5 -> no match
   }
 
+  test("native as-of join exec matches the composed union+window form") {
+    val ev = graft.queries.Tables.events(spark, sf001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val native = graft.plans.NativeAsOf.backward(p, c, "user_id", "cu", "ts", "cts")
+      .select(col("pid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val c2 = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    val composed = graft.operators.AsofJoin.backward(p, c2, Seq("user_id"), "ts", Seq("cid"))
+      .select(col("pid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.size == composed.size && native == composed)
+    // physical plan is the custom exec, not a window
+    val plan = graft.plans.NativeAsOf.backward(p, c, "user_id", "cu", "ts", "cts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // exec nodes print without the Exec suffix
+  }
+
   test("ancestors: full transitive closure with depths") {
     val edges = Seq(("c", "b"), ("b", "a"), ("d", "c")).toDF("symbol", "parent_symbol")
     val got = Hierarchy.ancestors(edges).collect()

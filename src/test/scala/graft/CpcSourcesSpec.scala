@@ -90,6 +90,43 @@ class CpcSourcesSpec extends GraftSpec {
       "Symbol not found in schema hierarchy"))
   }
 
+  test("acquisition error paths: empty page raises, fetch failure -> available=false") {
+    val raw = Files.createTempDirectory("cpc-raw-err")
+    val emptyAcq = new Acquisition(new LocalFixtureFetcher("<html><body>no links</body></html>",
+      Map.empty), rawDir = raw)
+    intercept[RuntimeException](emptyAcq.availableVersions)
+    assert(!emptyAcq.checkFileAvailability()) // error propagated as false (downloader.py:169-176)
+    val throwingAcq = new Acquisition(new graft.sources.PageFetcher {
+      override def fetchPage(url: String) = throw new RuntimeException("boom")
+      override def fetchFile(url: String, dest: java.nio.file.Path) = ()
+    }, rawDir = raw)
+    assert(!throwingAcq.checkFileAvailability())
+  }
+
+  test("property: parse(format(symbol, level, title)) round-trips") {
+    import org.scalacheck.Gen
+    import graft.operators.CpcTitleParser
+    import spark.implicits._
+    val gen = for {
+      sec <- Gen.oneOf("ABCDEFGHY".toSeq)
+      cls <- Gen.choose(0, 99).map(n => f"$n%02d")
+      sub <- Gen.oneOf("B", "K", "L")
+      grp <- Gen.choose(1, 99)
+      lvl <- Gen.option(Gen.choose(0, 15))
+      title <- Gen.nonEmptyListOf(Gen.oneOf("Hand", "tools;", "(lawn)", "Spades")).map(_.mkString(" "))
+    } yield (s"$sec$cls$sub$grp/00", lvl, title)
+    val cases = Gen.listOfN(50, gen).sample.get.distinctBy(_._1)
+    val lines = cases.map { case (sym, lvl, t) =>
+      lvl.fold(s"$sym $t")(l => s"$sym $l $t")
+    }
+    val parsed = CpcTitleParser.parseLines(lines.toDF("line"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1).toInt)), r.getString(2))).toMap
+    cases.foreach { case (sym, lvl, t) =>
+      assert(parsed(sym) == ((lvl, t)), s"case $sym")
+    }
+  }
+
   test("acquisition: version resolution + force download from fixture page") {
     val html =
       """<html><body>
