@@ -189,6 +189,40 @@ object Advanced {
              |      FROM orders)
              |GROUP BY bucket ORDER BY coalesce(bucket, '(none)')""".stripMargin)),
 
+    // ---- array-function battery over the embedding column.
+    Q("q46_array_funcs",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            (round((element_at(v, 1)) * 1000000.0) / 1000000.0).as("first_el"),
+            (round((aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x)) * 1000000.0) / 1000000.0).as("head_sum"),
+            (round((array_max(v)) * 1000000.0) / 1000000.0).as("vmax"),
+            (round((array_min(v)) * 1000000.0) / 1000000.0).as("vmin"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS dim,
+             |  (round((embedding[1]::DOUBLE) * 1000000.0) / 1000000.0) AS first_el,
+             |  (round((list_sum((embedding::DOUBLE[])[1:8])) * 1000000.0) / 1000000.0) AS head_sum,
+             |  (round((list_max(embedding::DOUBLE[])) * 1000000.0) / 1000000.0) AS vmax,
+             |  (round((list_min(embedding::DOUBLE[])) * 1000000.0) / 1000000.0) AS vmin
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- CUBE grouping sets (all four combinations).
+    Q("q48_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
     // ---- recursive hierarchy closure: iterative self-join vs DuckDB
     // WITH RECURSIVE over the same inline edges.
     Q("q43_cpc_ancestors",
