@@ -139,6 +139,19 @@ object PipelineQueries {
               |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2) * 1000000.0) / 1000000.0) AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- rolling-hash fingerprint through the codegen'd RollingHash
+    // expression; DuckDB recomputes the identical fold over codepoints.
+    Q("q47_rolling_hash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.expressions.RollingHash.rolling_hash(col("text")).as("rh"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    [unicode(x)::BIGINT for x in string_split(text, '')]),
+             |    (a, b) -> (a * 31 + b) % 1000000007) AS rh
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus term frequency (explode + count).
     Q("q30_term_freq",
       (s, d) => t(s, d, "documents")
