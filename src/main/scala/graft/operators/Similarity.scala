@@ -85,6 +85,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: a coarse k-means quantizer assigns every
+    * vector to its nearest centroid; a query probes only the `nprobe`
+    * closest cells, then exact cosine re-ranks. Deterministic: centroids
+    * seed from the first k vectors by id, refined with a few Lloyd
+    * iterations (per-iteration cost = one broadcast-join assignment + one
+    * groupBy average; centroids themselves are k×dim doubles — driver-sized
+    * by construction, not a data collect). */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+
+    def assignTo(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = broadcast(centroids.toDF("cell", "cv"))
+      val sim = graft.expressions.VectorFunctions.cosine_sim(col("v"), col("cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+        .orderBy(col("sim").desc, col("cell"))
+      vecs.crossJoin(cdf)
+        .select(col(idCol), col("v"), col("cell"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .drop("rn", "sim")
+    }
+
+    var centroids = vecs.orderBy(idCol).limit(nCells)
+      .select(col("v")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    (0 until lloydIters).foreach { _ =>
+      val means = assignTo(centroids)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), col("ms.m").as("cv"))
+        .as[(Int, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+
+    val assigned = assignTo(centroids)
+    val qv = vecs.where(col(idCol) === queryId).select(col("v")).as[Seq[Double]].head()
+    val probeCells = centroids
+      .map { case (i, cv) =>
+        val dot = cv.zip(qv).map { case (a, b) => a * b }.sum
+        val n = math.sqrt(cv.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+        (i, if (n == 0) 0.0 else dot / n)
+      }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSet
+    val qdf = broadcast(Seq(Tuple1(qv)).toDF("qv"))
+    assigned.where(col("cell").isin(probeCells.toSeq: _*) && col(idCol) =!= queryId)
+      .crossJoin(qdf)
+      .select(col(idCol), (round((cosine(col("v"), col("qv"))) * 1000000.0) / 1000000.0).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine >= threshold — exact, for modest corpora or
     * post-LSH candidate sets. At raw-corpus scale use lsh bucketing first
     * (same shape as Dedup.minHashLshPairs). */

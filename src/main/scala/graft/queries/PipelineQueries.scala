@@ -87,6 +87,12 @@ object PipelineQueries {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 0L, 10),
       None),
 
+    // ---- IVF ANN (coarse k-means quantizer + nprobe; deterministic seed,
+    // float-boundary cell assignment -> rows-only check).
+    Q("q49_sim_topk_ivf",
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10),
+      None),
+
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",
       (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)

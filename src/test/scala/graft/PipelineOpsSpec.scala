@@ -48,6 +48,15 @@ class PipelineOpsSpec extends GraftSpec {
     assert(ann.intersect(brute).size >= 5, s"ANN recall too low: ${ann.intersect(brute).size}/10")
   }
 
+  test("IVF ANN: probed cells recover most of the brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nCells = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert(ivf.intersect(brute).size >= 5, s"IVF recall ${ivf.intersect(brute).size}/10")
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric bound") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
