@@ -223,6 +223,55 @@ object Advanced {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ---- aggregate + HAVING (post-aggregation filter).
+    Q("q50_having",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg((round((sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) * 100.0) / 100.0).as("revenue"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 550)
+        .orderBy("s_name"),
+      Some("""SELECT s_name,
+             |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name HAVING count(*) > 550 ORDER BY s_name""".stripMargin)),
+
+    // ---- date/time function battery over order dates.
+    Q("q51_date_funcs",
+      (s, d) => t(s, d, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+             |  CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+             |  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+             |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- the canonical window() tumbling aggregation (15-min, epoch-aligned).
+    Q("q52_window_fn",
+      (s, d) => Tables.events(s, d)
+        .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("n"))
+        .orderBy("wstart", "event_type"),
+      Some("""SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS wstart,
+             |  event_type, count(*) AS n
+             |FROM events GROUP BY wstart, event_type
+             |ORDER BY wstart, event_type""".stripMargin)),
+
     // ---- recursive hierarchy closure: iterative self-join vs DuckDB
     // WITH RECURSIVE over the same inline edges.
     Q("q43_cpc_ancestors",
