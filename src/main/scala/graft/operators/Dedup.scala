@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -11,15 +12,26 @@ import org.apache.spark.sql.functions._
   *  - exact: one hash-partitioned groupBy on the text (or fingerprint) key —
   *    the canonical map-side-combinable shuffle; at 100 TB group on
   *    md5(text) (16 bytes) rather than the text itself to shrink shuffle IO.
-  *  - shingleJaccardPairs: inverted-index join on shared shingles. Exact but
-  *    quadratic in the worst case — use it on candidate sets, not the raw
-  *    corpus.
-  *  - minHashLshPairs: the scale path. Per-doc signature (k minhashes) via
-  *    one groupBy; candidates only where a band collides (banded LSH), then
-  *    exact-Jaccard verification on the candidates. Shuffles are
+  *  - shingleJaccardPairs: EXACT near-dup via prefix filtering (Bayardo et
+  *    al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+  *    PPJoin): candidates only need to share a shingle in the
+  *    rarest-first prefix of each doc's shingle list, which excludes hot
+  *    stop-phrase shingles from the self-join almost everywhere — the
+  *    inverted-index join stays linear-ish instead of df² on hot keys.
+  *    Verification then recomputes exact Jaccard from the FULL sets, so
+  *    results are identical to the naive all-shared-shingles join.
+  *  - minHashLshPairs: the sketch scale path. Per-doc signature (k
+  *    minhashes) via one groupBy; candidates only where a band collides
+  *    (banded LSH), then exact-Jaccard verification on the candidates via a
+  *    shuffle join on doc id (never a corpus-wide broadcast). Shuffles are
   *    O(docs·bands), never O(docs²).
   *  - simHash: 64-bit signature per doc; near-dups = hamming ≤ r, candidates
-  *    via 4-block pigeonhole join, verified with xor+bit_count.
+  *    via block-combination keys (Manku et al., WWW'07 §3): split the
+  *    signature into `nBlocks` blocks and key each doc by every
+  *    (nBlocks - maxDist)-subset of blocks — hd ≤ maxDist forces at least
+  *    one subset with zero flipped bits, and each key carries ~32+ bits of
+  *    signature, so buckets stay fine-grained at billions of docs (the old
+  *    4×16-bit pigeonhole capped at 65k buckets/block).
   */
 object Dedup {
 
@@ -80,25 +92,58 @@ object Dedup {
       .toDF("did", "nsh", "sh")
   }
 
-  /** Exact shingle-Jaccard near-dup pairs at/above `threshold`.
-    * Inverted-index self-join on shingle, count shared, then
-    * |A∩B| / (|A|+|B|-|A∩B|). Exactly two shuffles: the shingle-key join
-    * and the pair aggregation. */
-  def shingleJaccardPairs(docs: DataFrame, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+  /** Exact Jaccard over FULL shingle sets for candidate (id_a, id_b) pairs:
+    * shuffle join on doc id — candidate and set sides are both id-keyed, so
+    * this is two hash joins, never a corpus-wide broadcast. Shared by the
+    * prefix-filtered exact path and the MinHash verification. */
+  private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val j = size(array_intersect(col("sa.set"), col("sb.set"))).cast("double") /
+      size(array_union(col("sa.set"), col("sb.set")))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.did"))
+      .join(sets.as("sb"), col("id_b") === col("sb.did"))
+      .where(j >= threshold)
+      .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
+  }
+
+  /** Rarest-first prefix of each doc's shingles: rank shingles within a doc
+    * by ascending corpus document-frequency (ties by hash) and keep the
+    * first `nsh - ceil(t*nsh) + 1`. Guarantee (prefix filtering): J(A,B) >= t
+    * implies |A∩B| >= ceil(t*|A|) (since |A∪B| >= |A|), so the globally
+    * smallest common shingle sits within the first |A|-ceil(t*|A|)+1 of A —
+    * and likewise for B. Candidates therefore need only join on PREFIX
+    * shingles; completeness is proven in DedupPrefixSpec. */
+  private[graft] def prefixShingles(docs: DataFrame, threshold: Double,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string: smaller shuffle/build
     // rows and long-vs-long key compares (collision odds at 1e6 distinct
     // shingles ~1e-7, and the DuckDB oracle would surface one)
     val sh = explodedShingles(docs, idCol, textCol, n)
       .select(col("did"), col("nsh"), xxhash64(col("sh")).as("sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("did").orderBy(col("df"), col("sh"))
+    sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select("did", "sh")
+  }
+
+  /** Exact shingle-Jaccard near-dup pairs at/above `threshold`.
+    * Prefix-filtered inverted-index join for candidates (hot stop-phrase
+    * shingles rank last by document frequency → excluded from prefixes →
+    * no df² blowup on ubiquitous n-grams), then exact-Jaccard verification
+    * from the full sets. Identical output to the naive all-shared-shingles
+    * join; linear shuffles only (df groupBy, per-doc rank, prefix join,
+    * id-keyed verify). */
+  def shingleJaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val prefix = prefixShingles(docs, threshold, idCol, textCol, n)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter.where(j >= threshold)
-      .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .distinct()
+    verifyExactJaccard(cand, shingleSets(docs, idCol, textCol, n), threshold)
   }
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
@@ -124,18 +169,13 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))
       .select(col("x.did").as("id_a"), col("y.did").as("id_b")).distinct()
-    // exact verification against per-doc shingle sets. Sets are doc-bounded
-    // (one array row per doc) — broadcast them so candidate verification
-    // never shuffles; at corpus sizes past broadcast limits, swap to a
-    // shuffle join on id (cands are already distinct + key-partitioned).
-    val sets = broadcast(shingleSets(docs, idCol, textCol, n))
-    val j = size(array_intersect(col("sa.set"), col("sb.set"))).cast("double") /
-      size(array_union(col("sa.set"), col("sb.set")))
-    cand
-      .join(sets.as("sa"), col("id_a") === col("sa.did"))
-      .join(sets.as("sb"), col("id_b") === col("sb.did"))
-      .where(j >= threshold)
-      .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
+    // exact verification against per-doc shingle sets via a shuffle join on
+    // id: candidates are already distinct + id-keyed, and the set side is
+    // one row per doc — both sides hash-partition on the join key. (A
+    // corpus-wide broadcast of the sets would OOM the executors at real
+    // corpus sizes; Catalyst may still pick a broadcast on its own when the
+    // candidate side is provably tiny.)
+    verifyExactJaccard(cand, shingleSets(docs, idCol, textCol, n), threshold)
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: bit b of the signature
@@ -155,22 +195,37 @@ object Dedup {
     agg.select(col("did").as("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist (< 16):
-    * 4-block pigeonhole candidates (hd<=15 forces >=1 identical 16-bit
-    * block), verified via bit_count(xor). */
+  /** SimHash near-dup pairs with hamming distance <= maxDist: Manku-style
+    * block-combination candidates. The 64-bit signature splits into
+    * `nBlocks` blocks; each doc is keyed by every (nBlocks - maxDist)-subset
+    * of block values. If hd(x, y) <= maxDist, the flipped bits touch at most
+    * maxDist blocks, so some subset of nBlocks - maxDist blocks is
+    * bit-identical between x and y → they share that subset's key.
+    * Each key hashes (nBlocks - maxDist) * (64/nBlocks) signature bits —
+    * e.g. the default (nBlocks=6, maxDist=3) keys on ~32 bits, vs the 16-bit
+    * blocks of a plain pigeonhole — so bucket population stays bounded at
+    * billions of docs. Candidates are exact-verified via bit_count(xor). */
   def simHashPairs(docs: DataFrame, maxDist: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxDist < 16, "4-block pigeonhole requires maxDist < 16")
+      idCol: String = "doc_id", textCol: String = "text",
+      nBlocks: Int = 6): DataFrame = {
+    val keep = nBlocks - maxDist
+    require(maxDist >= 0 && keep >= 1 && nBlocks <= 64,
+      s"need 1 <= nBlocks - maxDist; got nBlocks=$nBlocks maxDist=$maxDist")
     val sig = simHash(docs, idCol, textCol)
-    val blockArr = array((0 until 4).map { blk =>
-      shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)
+    // block b = bits [b*64/nBlocks, (b+1)*64/nBlocks)
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+    def block(b: Int): Column = {
+      val lo = bounds(b); val w = bounds(b + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1L)
+    }
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    val keyArr = array(combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci) +: combo.map(block)): _*)
     }: _*)
-    val blocks = sig.select(col("doc_id"), col("simhash"), posexplode(blockArr))
-      .toDF("doc_id", "simhash", "blk", "bkey")
+    val keyed = sig.select(col("doc_id"), col("simhash"), explode(keyArr).as("bkey"))
     val hd = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-    blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .where(hd <= maxDist)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         hd.cast("long").as("hamming"))

@@ -99,27 +99,36 @@ object Similarity {
     import spark.implicits._
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
 
+    // Nearest-centroid assignment is per-row: embed the k×dim centroids as
+    // array literals in ONE projection (array of sims → argmax via
+    // array_position(array_max)). Zero shuffle, stays in whole-stage
+    // codegen — vs the old crossJoin(k) + row_number window, which shuffled
+    // k× the corpus per Lloyd iteration. Ties pick the smallest cell
+    // (array_position returns the first occurrence), matching the old
+    // (sim desc, cell asc) ordering.
     def assignTo(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-      val cdf = broadcast(centroids.toDF("cell", "cv"))
-      val sim = graft.expressions.VectorFunctions.cosine_sim(col("v"), col("cv"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-        .orderBy(col("sim").desc, col("cell"))
-      vecs.crossJoin(cdf)
-        .select(col(idCol), col("v"), col("cell"), sim.as("sim"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .drop("rn", "sim")
+      val simArr = array(centroids.sortBy(_._1).map { case (_, cv) =>
+        graft.expressions.VectorFunctions.cosine_sim(col("v"), array(cv.map(lit): _*))
+      }: _*)
+      vecs.withColumn("cell",
+        (array_position(simArr, array_max(simArr)) - 1).cast("int"))
     }
 
     var centroids = vecs.orderBy(idCol).limit(nCells)
       .select(col("v")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
     (0 until lloydIters).foreach { _ =>
+      // per-cell elementwise mean as `dim` avg columns: one map-side-
+      // combinable shuffle of nCells×dim partial sums (no posexplode —
+      // exploding n×dim rows through a two-level groupBy shuffled the
+      // whole corpus ×dim per iteration)
+      val avgCols = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i"))
       val means = assignTo(centroids)
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cell"), col("ms.m").as("cv"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .groupBy("cell").agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)))
+        .toMap
       centroids = centroids.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
 
@@ -140,10 +149,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** All pairs with cosine >= threshold — exact, for modest corpora or
-    * post-LSH candidate sets. At raw-corpus scale use lsh bucketing first
-    * (same shape as Dedup.minHashLshPairs). */
+  /** Embedding near-dup pairs with cosine >= threshold — SRP-bucketed
+    * candidates + exact cosine verification. Candidate pairs must collide
+    * in >= 1 of `tables` SRP hash tables (equi-join on (table, bucket) —
+    * never an all-pairs product), then are verified with the exact codegen'd
+    * cosine via id-keyed shuffle joins back to the vectors. At threshold
+    * 0.8 (angle <= 37°) a plane agrees w.p. ~0.8, so 16 tables × 4 planes
+    * catch a qualifying pair w.p. 1-(1-0.8^4)^16 ≈ 0.9997; recall vs the
+    * exact form is spec-checked on planted duplicates (PipelineOpsSpec). */
   def nearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planes: Int = 4): DataFrame = {
+    val keyArr = array((0 until tables).map(t => srpKey(col(vecCol), t, planes)): _*)
+    val keyed = emb.select(col(idCol).as("did"), posexplode(keyArr))
+      .toDF("did", "tbl", "bkey")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.did") < col("y.did"))
+      .select(col("x.did").as("id_a"), col("y.did").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("did"), col(vecCol).as("v"))
+    cand
+      .join(vecs.as("va"), col("id_a") === col("va.did"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.did"))
+      .select(col("id_a"), col("id_b"),
+        (round((cosine(col("va.v"), col("vb.v"))) * 1000000.0) / 1000000.0).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** All-pairs exact form of [[nearDupPairs]] — O(n²), kept ONLY as the
+    * spec reference for recall checks on small planted corpora. Never
+    * register this against a raw corpus: the id_a < id_b join is a
+    * cartesian product. */
+  private[graft] def nearDupPairsExact(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
