@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Relational.all ++ PipelineQueries.all ++ CpcInline.all ++ Advanced.all
+    Relational.all ++ PipelineQueries.all ++ CpcInline.all ++ Advanced.all ++ SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 6-table star join with broadcast dims (q05). */

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private val EnList = TextAnalysis.Profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+
+  /** Deterministic planted SimHash corpus (see q53): word-disjoint base
+    * docs, exact twins for 0-3, one-word-perturbed twins for 4-7. */
+  private[graft] def plantedSimhashDocs(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    def words(i: Int) = (0 until 150).map(j => s"w${i}_$j")
+    val base = (0 until 12).map(i => (i.toLong, words(i).mkString(" ")))
+    val exact = (0 until 4).map(i => (i + 100L, words(i).mkString(" ")))
+    val near = (4 until 8).map { i =>
+      (i + 100L, words(i).updated(0, s"x${i}_alt").mkString(" "))
+    }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
   private val shingleSql =
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -59,18 +72,42 @@ object PipelineQueries {
       Some(shingleSql),
       bench = true),
 
-    // ---- MinHash-LSH near-dups (scale path; xxhash-dependent -> no oracle).
+    // ---- MinHash-LSH near-dups (scale path). Candidate generation is
+    // xxhash-dependent, but every candidate is exact-Jaccard-verified, so
+    // the output is a subset of the exact shingle pairs — and on this corpus
+    // LSH recall is total (spec-checked), so the exact-pairs SQL is a full
+    // hash-match oracle: any missed pair or hash drift fails the compare.
     Q("q23_dedup_minhash",
       (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), 0.5)
         .orderBy("id_a", "id_b"),
-      None,
+      Some(shingleSql),
       bench = true),
 
-    // ---- SimHash signatures + hamming<=3 pairs (xxhash -> no oracle).
+    // ---- SimHash signatures + hamming<=3 pairs on the real corpus
+    // (xxhash-dependent hamming values -> rows-only; the oracle-checked
+    // SimHash entry is q53 on the planted corpus below).
     Q("q24_dedup_simhash",
       (s, d) => Dedup.simHashPairs(t(s, d, "documents"), 3)
         .orderBy("id_a", "id_b"),
       None),
+
+    // ---- SimHash on a planted corpus with a-priori expected pairs:
+    // 12 word-disjoint 150-word docs; ids 0-3 get exact twins (+100,
+    // hamming 0 BY CONSTRUCTION — identical text ⇒ identical signature),
+    // ids 4-7 get one-word-perturbed twins (+100, near-dup ⇒ hamming ≤ 3;
+    // measured 0/1/2/1 under Spark's fixed xxhash64 seed), ids 8-11 have
+    // no twin and all cross-doc pairs are word-disjoint (hamming ≫ 10).
+    // The oracle checks the PAIRS FOUND — completeness (all 8 planted
+    // twins) and precision (nothing else) — not hash internals.
+    Q("q53_simhash_planted",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simHashPairs(plantedSimhashDocs(s), 3).orderBy("id_a", "id_b")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (0::BIGINT, 100::BIGINT, 0::BIGINT), (1, 101, 0), (2, 102, 0),
+             |  (3, 103, 0), (4, 104, 0), (5, 105, 1), (6, 106, 2), (7, 107, 1))
+             |AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- brute-force cosine top-k for a corpus query vector.
     Q("q25_sim_topk",
@@ -82,16 +119,30 @@ object PipelineQueries {
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
       bench = true),
 
-    // ---- SRP-LSH bucketed ANN (deterministic but hash-derived planes).
+    // ---- SRP-LSH bucketed ANN. Candidates are hash-bucketed but re-ranked
+    // by EXACT cosine, so with recall-sufficient table count (24 tables ×
+    // 3 planes — spec-checked total recall on this corpus) the output
+    // equals brute force and the exact top-k SQL is a full oracle.
     Q("q26_sim_topk_lsh",
-      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 0L, 10),
-      None),
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), 0L, 10,
+        tables = 24, planes = 3),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, (round((list_cosine_similarity(v, qv)) * 1000000.0) / 1000000.0) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // ---- IVF ANN (coarse k-means quantizer + nprobe; deterministic seed,
-    // float-boundary cell assignment -> rows-only check).
+    // ---- IVF ANN (coarse k-means quantizer + nprobe). Probed cells are
+    // re-ranked by exact cosine; nProbe=6 of 16 cells recovers the full
+    // top-10 on this corpus (spec-checked), so brute-force SQL is a full
+    // oracle here too.
     Q("q49_sim_topk_ivf",
-      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10),
-      None),
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), 0L, 10, nProbe = 6),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, (round((list_cosine_similarity(v, qv)) * 1000000.0) / 1000000.0) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",

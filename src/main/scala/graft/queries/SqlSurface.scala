@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.operators.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL entry path: queries that run as SQL TEXT through `spark.sql`, over
+  * views created with SQL DDL, exercising the engine the way a SQL user
+  * hits it — parser → analyzer (temp-view catalog lookups) → the injected
+  * native functions (cosine_sim; see GraftExtensions for the session-build
+  * route and VectorFunctions.register for the runtime route used here,
+  * since the driver owns the session).
+  *
+  * Plus the typed-Aggregator surface (TopK) registered as an oracle-checked
+  * query.
+  */
+object SqlSurface {
+
+  /** SQL-DDL view over a parquet table (`CREATE OR REPLACE TEMP VIEW …
+    * AS SELECT * FROM parquet.`…``) — the path a SQL-only user takes.
+    * Filter/column pushdown still reaches the scan: a temp view is just a
+    * named logical plan, so Catalyst sees straight through it. */
+  private def viewsFor(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach { n =>
+      val p = s"${d.stripSuffix("/")}/$n.parquet"
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS SELECT * FROM parquet.`$p`")
+    }
+
+  private def sqlQ(s: SparkSession, d: String, tables: Seq[String], text: String): DataFrame = {
+    graft.expressions.VectorFunctions.register(s)
+    viewsFor(s, d, tables: _*)
+    s.sql(text)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- multi-join aggregation as pure SQL text over DDL-created views.
+    Q("q54_sql_revenue",
+      (s, d) => sqlQ(s, d, Seq("customer", "orders", "lineitem", "nation"),
+        """SELECT n.n_name AS nation,
+          |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+          |  CAST(count(*) AS BIGINT) AS n_items
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name
+          |ORDER BY nation""".stripMargin),
+      Some("""SELECT n.n_name AS nation,
+             |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name
+             |ORDER BY nation""".stripMargin),
+      bench = true),
+
+    // ---- the injected native cosine_sim expression, called FROM SQL:
+    // end-to-end proof the codegen'd kernel is a first-class SQL function.
+    Q("q55_sql_cosine",
+      (s, d) => sqlQ(s, d, Seq("embeddings"),
+        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          |SELECT e.vec_id,
+          |  round(cosine_sim(e.embedding, q.qv) * 1000000.0) / 1000000.0 AS cos
+          |FROM embeddings e CROSS JOIN q
+          |WHERE e.vec_id <> 0
+          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, (round((list_cosine_similarity(v, qv)) * 1000000.0) / 1000000.0) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- SQL-text window function (running revenue per customer).
+    Q("q56_sql_window",
+      (s, d) => sqlQ(s, d, Seq("orders"),
+        """SELECT o_custkey, o_orderkey,
+          |  round(sum(o_totalprice) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running
+          |FROM orders
+          |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running
+             |FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- typed per-group TopK Aggregator (custom UDAF surface): top-3
+    // customers per nation by account balance. Bounded k-entry buffers with
+    // partial aggregation — only k rows per group leave each map task.
+    Q("q57_topk_group",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "customer")
+          .select(col("c_nationkey").cast("int"), col("c_acctbal").cast("double"),
+            col("c_custkey").cast("long"))
+          .as[(Int, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues { case (_, bal, key) => (bal, key) }
+          .agg(TopK.topKByScore(3).toColumn)
+          .flatMap { case (nation, ids) =>
+            ids.zipWithIndex.map { case (id, r) => (nation, r + 1L, id) }
+          }
+          .toDF("nationkey", "rk", "custkey")
+          .orderBy("nationkey", "rk")
+      },
+      Some("""SELECT CAST(c_nationkey AS INT) AS nationkey, CAST(rk AS BIGINT) AS rk,
+             |  CAST(c_custkey AS BIGINT) AS custkey
+             |FROM (SELECT c_nationkey, c_custkey, row_number() OVER (
+             |        PARTITION BY c_nationkey
+             |        ORDER BY c_acctbal DESC, c_custkey) AS rk
+             |      FROM customer)
+             |WHERE rk <= 3
+             |ORDER BY nationkey, rk""".stripMargin)))
+}
