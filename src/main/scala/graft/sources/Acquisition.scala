@@ -93,3 +93,49 @@ class LocalFixtureFetcher(pageHtml: String, files: Map[String, Path]) extends Pa
     files.get(name).foreach(src => Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING))
   }
 }
+
+/** Production fetcher over `java.net.http.HttpClient`: the reference streams
+  * downloads in 8 KiB chunks to disk (downloader.py:150-167); here the
+  * response body is exposed as an InputStream and streamed straight to a
+  * temp file, then atomically moved into place — a partial download can
+  * never be mistaken for a landed file by the skip-if-exists guard.
+  * Integration-tested against an in-process localhost server
+  * (HttpFetcherSpec); never dials out during CI. */
+class HttpPageFetcher(
+    connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(20),
+    requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(10)) extends PageFetcher {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(connectTimeout)
+    .build()
+
+  private def request(url: String): HttpRequest =
+    HttpRequest.newBuilder(URI.create(url)).timeout(requestTimeout).GET().build()
+
+  private def ensure2xx(url: String, status: Int): Unit =
+    if (status < 200 || status >= 300)
+      throw new RuntimeException(s"GET $url failed: HTTP $status")
+
+  override def fetchPage(url: String): String = {
+    val resp = client.send(request(url), HttpResponse.BodyHandlers.ofString())
+    ensure2xx(url, resp.statusCode())
+    resp.body()
+  }
+
+  override def fetchFile(url: String, dest: Path): Unit = {
+    val resp = client.send(request(url), HttpResponse.BodyHandlers.ofInputStream())
+    ensure2xx(url, resp.statusCode())
+    val tmp = Files.createTempFile(
+      Option(dest.getParent).getOrElse(Paths.get(".")), s".${dest.getFileName}.", ".part")
+    try {
+      val in = resp.body()
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      try Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING) }
+    } finally Files.deleteIfExists(tmp)
+  }
+}
