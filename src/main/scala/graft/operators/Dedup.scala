@@ -40,7 +40,7 @@ object Dedup {
     *
     * NOTE: higher-order functions (transform/aggregate) are interpreted, not
     * codegen'd — this Column form is the declarative spec, but the hot paths
-    * below use [[shingleSets]]' typed flatMap, which benched ~10x faster on
+    * below use [[shingleSeq]]'s typed flatMap, which benched ~10x faster on
     * the same corpus. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(text, " ")
@@ -66,16 +66,6 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
-  /** Per-doc distinct shingle sets — one narrow pass, no shuffle. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, shingleSeq(text, n)) }
-      .toDF("did", "set")
-  }
-
   /** (did, set-size, one shingle per row) — the inverted-index input. The
     * set size rides along so Jaccard needs NO extra join after the pair
     * aggregation (an earlier version re-joined per-doc counts onto the
@@ -92,10 +82,20 @@ object Dedup {
       .toDF("did", "nsh", "sh")
   }
 
-  /** Exact Jaccard over FULL shingle sets for candidate (id_a, id_b) pairs:
-    * shuffle join on doc id — candidate and set sides are both id-keyed, so
-    * this is two hash joins, never a corpus-wide broadcast. Shared by the
-    * prefix-filtered exact path and the MinHash verification. */
+  /** Per-doc sets of 64-bit-hashed shingles, one narrow agg. Verification
+    * intersects these long arrays instead of raw strings — far cheaper
+    * equality/hashing per element; the hash is injective in practice
+    * (collision odds within one pair's ~100-element union ≈ 1e-15). */
+  private def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    explodedShingles(docs, idCol, textCol, n)
+      .select(col("did"), xxhash64(col("sh")).as("sh"))
+      .groupBy("did").agg(collect_list(col("sh")).as("set"))
+
+  /** Exact Jaccard over FULL hashed shingle sets for candidate
+    * (id_a, id_b) pairs: shuffle join on doc id — candidate and set sides
+    * are both id-keyed, so this is two hash joins, never a corpus-wide
+    * broadcast. Shared by the prefix-filtered exact path and the MinHash
+    * verification. */
   private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val j = size(array_intersect(col("sa.set"), col("sb.set"))).cast("double") /
@@ -107,13 +107,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
   }
 
-  /** Rarest-first prefix of each doc's shingles: rank shingles within a doc
-    * by ascending corpus document-frequency (ties by hash) and keep the
-    * first `nsh - ceil(t*nsh) + 1`. Guarantee (prefix filtering): J(A,B) >= t
-    * implies |A∩B| >= ceil(t*|A|) (since |A∪B| >= |A|), so the globally
-    * smallest common shingle sits within the first |A|-ceil(t*|A|)+1 of A —
-    * and likewise for B. Candidates therefore need only join on PREFIX
-    * shingles; completeness is proven in DedupPrefixSpec. */
+  /** Rarest-first ranking of each doc's shingles: rank within a doc by
+    * ascending corpus document-frequency (ties by hash); keep the prefix
+    * rank <= nsh - ceil(t*nsh) + 1. Guarantee (prefix filtering, Bayardo et
+    * al.): J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (since |A∪B| >= |A|),
+    * so the globally smallest common shingle sits within the first
+    * |A|-ceil(t*|A|)+1 of A — and likewise for B. Returns
+    * (did, nsh, sh, rk) so the join can also apply PPJoin length and
+    * positional filters. */
   private[graft] def prefixShingles(docs: DataFrame, threshold: Double,
       idCol: String, textCol: String, n: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string: smaller shuffle/build
@@ -126,24 +127,37 @@ object Dedup {
     sh.join(dfreq, "sh")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select("did", "sh")
+      .select("did", "nsh", "sh", "rk")
   }
 
   /** Exact shingle-Jaccard near-dup pairs at/above `threshold`.
-    * Prefix-filtered inverted-index join for candidates (hot stop-phrase
-    * shingles rank last by document frequency → excluded from prefixes →
-    * no df² blowup on ubiquitous n-grams), then exact-Jaccard verification
-    * from the full sets. Identical output to the naive all-shared-shingles
-    * join; linear shuffles only (df groupBy, per-doc rank, prefix join,
-    * id-keyed verify). */
+    * PPJoin-shaped (Xiao et al., WWW'08):
+    *  1. candidates join only on rarest-first PREFIX shingles — hot
+    *     stop-phrase shingles rank last by document frequency, so they are
+    *     excluded from prefixes and can never drive a df² blowup;
+    *  2. length filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    *  3. positional filter: a shared shingle at ranks (i, j) bounds the
+    *     overlap by min(i-1, j-1) + 1 + min(|A|-i, |B|-j), which must reach
+    *     ceil(t/(1+t) * (|A|+|B|)) — prunes most spurious candidates before
+    *     the expensive distinct+verify;
+    *  4. exact-Jaccard verification from the full hashed sets.
+    * Identical output to the naive all-shared-shingles join (proven in
+    * ScaleSafetySpec); linear shuffles only. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
     val prefix = prefixShingles(docs, threshold, idCol, textCol, n)
+    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.nsh") + col("b.nsh")))
+    val overlapBound = least(col("a.rk"), col("b.rk")) - 1 +
+      least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")) + 1
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
+        col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
+          col("b.nsh") >= lit(threshold) * col("a.nsh") &&
+          col("a.nsh") >= lit(threshold) * col("b.nsh") &&
+          overlapBound >= minOverlap)
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .distinct()
-    verifyExactJaccard(cand, shingleSets(docs, idCol, textCol, n), threshold)
+    verifyExactJaccard(cand, hashedShingleSets(docs, idCol, textCol, n), threshold)
   }
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
@@ -175,7 +189,7 @@ object Dedup {
     // corpus-wide broadcast of the sets would OOM the executors at real
     // corpus sizes; Catalyst may still pick a broadcast on its own when the
     // candidate side is provably tiny.)
-    verifyExactJaccard(cand, shingleSets(docs, idCol, textCol, n), threshold)
+    verifyExactJaccard(cand, hashedShingleSets(docs, idCol, textCol, n), threshold)
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: bit b of the signature
