@@ -54,8 +54,12 @@ object Similarity {
   private def planeComponent(table: Int, plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(table * 131 + plane), dim), lit(2001L)) - 1000L).cast("double")
 
-  /** SRP bucket key for one table: `planes` sign bits packed into a long. */
-  private def srpKey(vec: Column, table: Int, planes: Int): Column =
+  /** SRP bucket key for one table, as interpreted higher-order-function
+    * folds: `planes` sign bits packed into a long. This is the declarative
+    * SPEC of the bucketing — the hot paths use the codegen'd
+    * [[graft.expressions.SrpBucketKeys]], proven bit-identical in
+    * ScaleSafetySpec. */
+  private[graft] def srpKeyHof(vec: Column, table: Int, planes: Int): Column =
     (0 until planes).map { p =>
       val proj = aggregate(zip_with(vec.cast("array<double>"),
         sequence(lit(0), size(vec) - 1).cast("array<double>"),
@@ -64,13 +68,17 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** All `tables` SRP bucket keys in one codegen'd pass (array<long>). */
+  private def srpKeys(vec: Column, tables: Int, planes: Int): Column =
+    graft.expressions.SrpBucketKeys.srp_bucket_keys(vec, tables, planes)
+
   /** Bucketed ANN: candidates collide with the query in >=1 of `tables` SRP
     * tables, then exact cosine re-ranks and keeps k. Recall grows with
     * `tables`, probe cost shrinks with `planes`. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int,
       tables: Int = 12, planes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyArr = array((0 until tables).map(t => srpKey(col(vecCol), t, planes)): _*)
+    val keyArr = srpKeys(col(vecCol), tables, planes)
     val keyed = emb.select(col(idCol), col(vecCol), posexplode(keyArr))
       .toDF(idCol, vecCol, "tbl", "bkey")
     val qKeys = broadcast(keyed.where(col(idCol) === queryId)
@@ -160,7 +168,7 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       tables: Int = 16, planes: Int = 4): DataFrame = {
-    val keyArr = array((0 until tables).map(t => srpKey(col(vecCol), t, planes)): _*)
+    val keyArr = srpKeys(col(vecCol), tables, planes)
     val keyed = emb.select(col(idCol).as("did"), posexplode(keyArr))
       .toDF("did", "tbl", "bkey")
     val cand = keyed.as("x").join(keyed.as("y"),

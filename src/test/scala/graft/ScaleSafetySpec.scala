@@ -95,6 +95,17 @@ class ScaleSafetySpec extends GraftSpec {
     assert(ivf.size == 10 && ivf.intersect(brute).size >= 5)
   }
 
+  test("native SrpBucketKeys is bit-identical to the HOF fold") {
+    import graft.expressions.SrpBucketKeys.srp_bucket_keys
+    val tables = 6; val planes = 4
+    val hof = array((0 until tables).map(t =>
+      graft.operators.Similarity.srpKeyHof(col("embedding"), t, planes)): _*)
+    val diff = emb.select(
+        srp_bucket_keys(col("embedding"), tables, planes).as("native"), hof.as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("simhash block-combination candidates: bound holds, twins found, no dup rows") {
     val twins = docs.limit(8).select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val both = docs.select("doc_id", "text").union(twins)
