@@ -80,6 +80,46 @@ object EventsStream {
     graft.operators.CpcTitleParser.parseLines(lines)
   }
 
+  /** Streaming CPC delta pipeline — the streaming twin of CpcPipeline.run
+    * (all-or-nothing gate, main.py:89-121, applied PER DELTA): incremental
+    * title ingestion over a landing dir; each micro-batch is validated
+    * against the dimension tables inside foreachBatch; a clean batch
+    * appends to the partitioned snapshot table, a dirty batch lands in a
+    * quarantine table with its warnings instead — history is never
+    * corrupted, and the checkpoint guarantees each landed file is
+    * validated exactly once. Run with Trigger.AvailableNow as the
+    * scheduled monthly job.
+    *
+    * SCALE: dims are validated per-batch via the same broadcast-join
+    * validator as batch; state is only the file-source checkpoint. */
+  def incrementalValidatedPublish(spark: SparkSession, landingDir: String,
+      symbolList: DataFrame, validity: DataFrame, edges: DataFrame,
+      outDir: String, version: String, checkpointDir: String): Unit = {
+    import graft.operators.{CpcPipeline, CpcValidator}
+    val q = incrementalTitles(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val validated = CpcValidator.validate(batch.toDF(), symbolList, validity, edges)
+            .cache()
+          val rep = CpcPipeline.report(validated)
+          if (rep.invalid == 0)
+            batch.withColumn("cpc_schema_date", lit(version))
+              .write.mode("append").partitionBy("cpc_schema_date")
+              .parquet(s"$outDir/cpc_schema_snapshots")
+          else
+            validated.where(CpcValidator.invalidCond)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$outDir/quarantine")
+          validated.unpersist()
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup: drop events with a duplicate (user_id, props)
     * within the watermark horizon — the streaming twin of batch
     * Dedup.exactGroups, state bounded by the watermark. */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.CpcDimSources
+import graft.streaming.EventsStream
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming CPC delta pipeline: per-batch gate + quarantine + exactly-once
+  * over the file-source checkpoint. */
+class StreamingCpcSpec extends GraftSpec {
+
+  test("incremental validated publish: clean delta appends, dirty delta quarantines") {
+    val fixtures = CpcFixtures.dataDir()
+    val v = CpcFixtures.Version
+    val symbolList = CpcDimSources.symbolList(spark, fixtures.resolve(s"CPCSymbolList$v.zip").toString)
+    val validity = CpcDimSources.validityFile(spark, fixtures.resolve(s"CPCValidityFile$v.zip").toString)
+    val edges = CpcDimSources.schemeEdges(spark, fixtures.resolve(s"CPCSchemeXML$v.zip").toString)
+    val landing = Files.createTempDirectory("cpc-stream-landing")
+    val out = Files.createTempDirectory("cpc-stream-out").toString
+    val ckpt = Files.createTempDirectory("cpc-stream-ckpt").toString
+
+    def publish(): Unit = EventsStream.incrementalValidatedPublish(
+      spark, landing.toString, symbolList, validity, edges, out, v, ckpt)
+
+    // delta 1: clean titles -> published
+    Files.writeString(landing.resolve("delta1.txt"),
+      "A01B1/00 0 Hand tools\nA01B1/02 1 Spades; Shovels; Hoes")
+    publish()
+    val snap1 = spark.read.parquet(s"$out/cpc_schema_snapshots")
+    assert(snap1.count() == 2)
+    // partition values are type-inferred on read (202505 -> int)
+    assert(snap1.select("cpc_schema_date").distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq(v))
+
+    // delta 2: dirty titles -> quarantined, snapshot unchanged
+    Files.writeString(landing.resolve("delta2.txt"),
+      "Z99 BOGUS SECTION\nA01B1/00 0 Hand tools")
+    publish()
+    assert(spark.read.parquet(s"$out/cpc_schema_snapshots").count() == 2)
+    val quarantine = spark.read.parquet(s"$out/quarantine")
+    assert(quarantine.where(col("symbol") === "Z99").count() == 1)
+    assert(quarantine.select(explode(col("validation_warnings"))).count() > 0)
+
+    // re-run with no new files: checkpoint keeps both deltas exactly-once
+    publish()
+    assert(spark.read.parquet(s"$out/cpc_schema_snapshots").count() == 2)
+    assert(spark.read.parquet(s"$out/quarantine").count() == quarantine.count())
+
+    // delta 3: clean again -> appends alongside history
+    Files.writeString(landing.resolve("delta3.txt"),
+      "Y02E REDUCTION OF GREENHOUSE GAS EMISSIONS")
+    publish()
+    val snap3 = spark.read.parquet(s"$out/cpc_schema_snapshots")
+    assert(snap3.count() == 3)
+    assert(snap3.where(col("symbol") === "Y02E").count() == 1)
+  }
+}
