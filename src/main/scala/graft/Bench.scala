@@ -16,6 +16,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // the 13-query suite generates >100 whole-stage-codegen classes; the
+      // default 100-entry codegen cache evicts a query's classes before its
+      // measured run, charging janino recompiles (~1.5 s on the largest
+      // plan) to engine time. Static conf — must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

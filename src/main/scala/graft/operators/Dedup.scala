@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -39,9 +38,9 @@ object Dedup {
     * fewer than n tokens (never a descending `sequence`).
     *
     * NOTE: higher-order functions (transform/aggregate) are interpreted, not
-    * codegen'd — this Column form is the declarative spec, but the hot paths
-    * below use [[shingleSeq]]'s typed flatMap, which benched ~10x faster on
-    * the same corpus. */
+    * codegen'd — this Column form is the declarative spec; the hot paths
+    * below run [[graft.expressions.ShingleHashes]], a codegen'd expression
+    * with identical shingle semantics that emits 64-bit hashes directly. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(text, " ")
     val idx = sequence(lit(1), size(ws) - (n - 1)) // 1-based start positions
@@ -53,7 +52,7 @@ object Dedup {
   /** JVM-native shingle generation (identical semantics to [[shingles]]:
     * space-split, n-gram join with single spaces, order-preserving
     * distinct). */
-  private def shingleSeq(text: String, n: Int): IndexedSeq[String] = {
+  private[graft] def shingleSeq(text: String, n: Int): IndexedSeq[String] = {
     val ws = text.split(" ", -1)
     if (ws.length < n) IndexedSeq.empty
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
@@ -66,30 +65,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
-  /** (did, set-size, one shingle per row) — the inverted-index input. The
-    * set size rides along so Jaccard needs NO extra join after the pair
-    * aggregation (an earlier version re-joined per-doc counts onto the
-    * millions-of-candidate-pairs intermediate — 10x slower). */
-  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sh = shingleSeq(text, n)
-        sh.iterator.map(s => (id, sh.length, s))
-      }
-      .toDF("did", "nsh", "sh")
-  }
+  /** (did, set-size, one 64-bit-hashed shingle per row) — the
+    * inverted-index input. Shingle generation + hashing run inside the
+    * codegen'd [[graft.expressions.ShingleHashes]] expression (no typed
+    * flatMap, no Deserialize/Serialize break, shingle strings never leave
+    * the scan stage — only 8-byte hashes do). The set size rides along so
+    * Jaccard needs NO extra join after the pair aggregation (an earlier
+    * version re-joined per-doc counts onto the millions-of-candidate-pairs
+    * intermediate — 10x slower). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).cast("long").as("did"),
+        graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("shs"))
+      .select(col("did"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
 
   /** Per-doc sets of 64-bit-hashed shingles, one narrow agg. Verification
     * intersects these long arrays instead of raw strings — far cheaper
     * equality/hashing per element; the hash is injective in practice
     * (collision odds within one pair's ~100-element union ≈ 1e-15). */
   private def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    explodedShingles(docs, idCol, textCol, n)
-      .select(col("did"), xxhash64(col("sh")).as("sh"))
-      .groupBy("did").agg(collect_list(col("sh")).as("set"))
+    docs.select(col(idCol).cast("long").as("did"),
+      graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("set"))
 
   /** Exact Jaccard over FULL hashed shingle sets for candidate
     * (id_a, id_b) pairs: shuffle join on doc id — candidate and set sides
@@ -114,19 +109,29 @@ object Dedup {
     * so the globally smallest common shingle sits within the first
     * |A|-ceil(t*|A|)+1 of A — and likewise for B. Returns
     * (did, nsh, sh, rk) so the join can also apply PPJoin length and
-    * positional filters. */
+    * positional filters.
+    *
+    * Shape notes for scale: ranking happens with `sort_array` inside a
+    * per-doc aggregation — each doc's list is sorted independently (no
+    * Window, whose full partition-sort over the exploded corpus was the
+    * most expensive stage of the previous form). Shingles with df == 1
+    * are dropped AFTER rank assignment: they occupy prefix slots (so
+    * ranks stay correct) but appear in exactly one document, so they can
+    * never produce a self-join collision — on a mostly-unique corpus this
+    * shrinks the join input by an order of magnitude. */
   private[graft] def prefixShingles(docs: DataFrame, threshold: Double,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: smaller shuffle/build
-    // rows and long-vs-long key compares (collision odds at 1e6 distinct
-    // shingles ~1e-7, and the DuckDB oracle would surface one)
     val sh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("did"), col("nsh"), xxhash64(col("sh")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("did").orderBy(col("df"), col("sh"))
+    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
     sh.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .groupBy("did", "nsh")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("lst"))
+      .select(col("did"), col("nsh"),
+        posexplode(slice(col("lst"), lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("did"), col("nsh"), col("col.sh").as("sh"),
+        (col("pos") + 1).as("rk"), col("col.df").as("df"))
+      .where(col("df") >= 2)
       .select("did", "nsh", "sh", "rk")
   }
 

@@ -18,6 +18,17 @@ object PipelineQueries {
 
   private val EnList = TextAnalysis.Profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
+  /** Total (id_a, id_b) presentation order for near-dup PAIR results.
+    * `repartition(1) + sortWithinPartitions` instead of `orderBy`: a range
+    * exchange samples partition boundaries by RE-EXECUTING the plan below
+    * it, and for these queries "below" is the expensive verification tail
+    * while the pair list itself is tiny. One output partition is the right
+    * scale for a result that is orders of magnitude smaller than its
+    * input (and the round-robin repartition keeps the verification stage
+    * itself fully parallel). */
+  private def sortedPairs(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(1).sortWithinPartitions("id_a", "id_b")
+
   /** Deterministic planted SimHash corpus (see q53): word-disjoint base
     * docs, exact twins for 0-3, one-word-perturbed twins for 4-7. */
   private[graft] def plantedSimhashDocs(s: org.apache.spark.sql.SparkSession) = {
@@ -67,8 +78,7 @@ object PipelineQueries {
 
     // ---- exact 3-gram-shingle Jaccard near-dup pairs.
     Q("q22_dedup_shingle",
-      (s, d) => Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.5)
-        .orderBy("id_a", "id_b"),
+      (s, d) => sortedPairs(Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.5)),
       Some(shingleSql),
       bench = true),
 
@@ -78,8 +88,7 @@ object PipelineQueries {
     // LSH recall is total (spec-checked), so the exact-pairs SQL is a full
     // hash-match oracle: any missed pair or hash drift fails the compare.
     Q("q23_dedup_minhash",
-      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), 0.5)
-        .orderBy("id_a", "id_b"),
+      (s, d) => sortedPairs(Dedup.minHashLshPairs(t(s, d, "documents"), 0.5)),
       Some(shingleSql),
       bench = true),
 
@@ -87,8 +96,7 @@ object PipelineQueries {
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
     // SimHash entry is q53 on the planted corpus below).
     Q("q24_dedup_simhash",
-      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), 3)
-        .orderBy("id_a", "id_b"),
+      (s, d) => sortedPairs(Dedup.simHashPairs(t(s, d, "documents"), 3)),
       None),
 
     // ---- SimHash on a planted corpus with a-priori expected pairs:
@@ -102,7 +110,7 @@ object PipelineQueries {
     Q("q53_simhash_planted",
       (s, d) => {
         import s.implicits._
-        Dedup.simHashPairs(plantedSimhashDocs(s), 3).orderBy("id_a", "id_b")
+        sortedPairs(Dedup.simHashPairs(plantedSimhashDocs(s), 3))
       },
       Some("""SELECT * FROM (VALUES
              |  (0::BIGINT, 100::BIGINT, 0::BIGINT), (1, 101, 0), (2, 102, 0),
@@ -146,8 +154,7 @@ object PipelineQueries {
 
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",
-      (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)
-        .orderBy("id_a", "id_b"),
+      (s, d) => sortedPairs(Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  (round((list_cosine_similarity(a.v, b.v)) * 1000000.0) / 1000000.0) AS cos

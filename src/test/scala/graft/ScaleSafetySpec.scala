@@ -29,6 +29,30 @@ class ScaleSafetySpec extends GraftSpec {
     } yield (ia, ib, math.round(j * 1e6) / 1e6)).toSet
   }
 
+  test("ShingleHashes expression == xxhash64 over the string shingle spec") {
+    val texts = docs.select("text").as[String].take(50) ++
+      Seq("", "a", "a b", "a b c", "a  b c d", " x y z ", "a b c a b c")
+    for (t <- texts) {
+      val want = Dedup.shingleSeq(t, 3)
+        .map(g => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g),
+          org.apache.spark.sql.types.StringType, 42L))
+      val got = graft.expressions.ShingleHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+        .toLongArray().toSeq
+      assert(got == want, s"mismatch for text '$t'")
+    }
+    // and the Column route agrees with the SQL xxhash64 of the string form
+    val viaCols = docs.limit(20).select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExpr = docs.limit(20).select(col("doc_id"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"), 3)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpr == viaCols)
+  }
+
   test("prefix-filtered shingle pairs == brute force on the real corpus") {
     val got = Dedup.shingleJaccardPairs(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
