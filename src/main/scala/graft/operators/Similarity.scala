@@ -126,6 +126,11 @@ object Similarity {
       .select(col("v")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    // empty corpus (or zero-dim vectors): no cells to probe — return an
+    // empty frame with the (idCol, cos) result schema rather than letting
+    // the Lloyd step call avgCols.head on an empty column list
+    if (dim == 0)
+      return vecs.select(col(idCol), lit(0.0).as("cos")).where(lit(false))
     (0 until lloydIters).foreach { _ =>
       // per-cell elementwise mean as `dim` avg columns: one map-side-
       // combinable shuffle of nCells×dim partial sums (no posexplode —

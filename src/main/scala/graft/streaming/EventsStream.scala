@@ -84,11 +84,18 @@ object EventsStream {
     * (all-or-nothing gate, main.py:89-121, applied PER DELTA): incremental
     * title ingestion over a landing dir; each micro-batch is validated
     * against the dimension tables inside foreachBatch; a clean batch
-    * appends to the partitioned snapshot table, a dirty batch lands in a
-    * quarantine table with its warnings instead — history is never
-    * corrupted, and the checkpoint guarantees each landed file is
-    * validated exactly once. Run with Trigger.AvailableNow as the
-    * scheduled monthly job.
+    * publishes to the partitioned snapshot table, a dirty batch lands —
+    * IN FULL (valid and invalid rows, with warnings and batch_id) — in a
+    * quarantine table, so history is never corrupted and a rejected delta
+    * can be repaired and replayed from quarantine without re-landing the
+    * source file. Run with Trigger.AvailableNow as the scheduled monthly
+    * job.
+    *
+    * Delivery: foreachBatch is at-least-once (a crash between the sink
+    * write and the checkpoint commit replays the batch), so both sinks
+    * write a batch_id-derived partition with DYNAMIC partition overwrite —
+    * a replayed batch rewrites its own partition instead of appending
+    * duplicates, making the pipeline idempotent (effectively-once).
     *
     * SCALE: dims are validated per-batch via the same broadcast-join
     * validator as batch; state is only the file-source checkpoint. */
@@ -105,12 +112,17 @@ object EventsStream {
           val rep = CpcPipeline.report(validated)
           if (rep.invalid == 0)
             batch.withColumn("cpc_schema_date", lit(version))
-              .write.mode("append").partitionBy("cpc_schema_date")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cpc_schema_date", "batch_id")
               .parquet(s"$outDir/cpc_schema_snapshots")
           else
-            validated.where(CpcValidator.invalidCond)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(s"$outDir/quarantine")
+            validated.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$outDir/quarantine")
           validated.unpersist()
           ()
         }

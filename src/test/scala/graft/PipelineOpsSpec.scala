@@ -57,6 +57,13 @@ class PipelineOpsSpec extends GraftSpec {
     assert(ivf.intersect(brute).size >= 5, s"IVF recall ${ivf.intersect(brute).size}/10")
   }
 
+  test("IVF ANN: empty corpus returns an empty result, not an exception") {
+    val empty = emb.where(lit(false))
+    val res = Similarity.ivfTopK(empty, 0L, 10)
+    assert(res.columns.toSeq == Seq("vec_id", "cos"))
+    assert(res.count() == 0)
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric bound") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))

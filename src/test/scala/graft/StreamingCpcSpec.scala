@@ -5,8 +5,9 @@ import graft.streaming.EventsStream
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
-/** Streaming CPC delta pipeline: per-batch gate + quarantine + exactly-once
-  * over the file-source checkpoint. */
+/** Streaming CPC delta pipeline: per-batch gate + full-batch quarantine +
+  * idempotent (batch_id dynamic-overwrite) sinks over the file-source
+  * checkpoint. */
 class StreamingCpcSpec extends GraftSpec {
 
   test("incremental validated publish: clean delta appends, dirty delta quarantines") {
@@ -32,14 +33,19 @@ class StreamingCpcSpec extends GraftSpec {
     assert(snap1.select("cpc_schema_date").distinct().collect()
       .map(_.get(0).toString).toSeq == Seq(v))
 
-    // delta 2: dirty titles -> quarantined, snapshot unchanged
+    // delta 2: dirty titles -> the WHOLE batch is quarantined (valid rows
+    // included, with their warnings and batch_id), snapshot unchanged — a
+    // rejected delta stays repairable/replayable from quarantine alone
     Files.writeString(landing.resolve("delta2.txt"),
       "Z99 BOGUS SECTION\nA01B1/00 0 Hand tools")
     publish()
     assert(spark.read.parquet(s"$out/cpc_schema_snapshots").count() == 2)
     val quarantine = spark.read.parquet(s"$out/quarantine")
+    assert(quarantine.count() == 2)
     assert(quarantine.where(col("symbol") === "Z99").count() == 1)
+    assert(quarantine.where(col("symbol") === "A01B1/00").count() == 1)
     assert(quarantine.select(explode(col("validation_warnings"))).count() > 0)
+    assert(quarantine.select("batch_id").distinct().count() == 1)
 
     // re-run with no new files: checkpoint keeps both deltas exactly-once
     publish()
