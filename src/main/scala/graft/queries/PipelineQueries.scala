@@ -226,6 +226,39 @@ object PipelineQueries {
              |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
              |GROUP BY term ORDER BY n DESC, term""".stripMargin)),
 
+    // ---- end-to-end corpus preparation (annotate -> gate -> dedup) as ONE
+    // operator: the composition a training-data-prep run actually executes.
+    // Oracle composes the already-proven q28 (langid) / q29 (quality) / q21
+    // (fingerprint) SQL with arg_min keeper semantics.
+    Q("q58_corpus_prep",
+      (s, d) => graft.operators.CorpusPrep.prepare(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id, text,
+              |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+              |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+              |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS s_es,
+              |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr
+              |  FROM documents),
+              |ann AS (SELECT doc_id,
+              |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+              |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+              |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+              |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+              |       ELSE 'fr' END AS lang,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |  (round((least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
+              |      + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
+              |      + least((CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2) * 1000000.0) / 1000000.0) AS quality,
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              |  FROM sc)
+              |SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+              |  arg_min(n_tokens, doc_id) AS n_tokens, arg_min(quality, doc_id) AS quality,
+              |  CAST(count(*) AS BIGINT) AS n_copies
+              |FROM ann WHERE lang = 'en' AND quality >= 0.3
+              |GROUP BY fp ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- multimodal metadata plumbing (payload bytes + typed metadata;
     // see graft.operators.Multimodal for the decode-stub pipeline).
     Q("q31_mm_meta",
