@@ -78,23 +78,47 @@ object Dedup {
         graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("shs"))
       .select(col("did"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
 
-  /** Per-doc sets of 64-bit-hashed shingles, one narrow agg. Verification
-    * intersects these long arrays instead of raw strings — far cheaper
-    * equality/hashing per element; the hash is injective in practice
-    * (collision odds within one pair's ~100-element union ≈ 1e-15). */
-  private def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs.select(col(idCol).cast("long").as("did"),
-      graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("set"))
+  /** [[explodedShingles]] behind an explicit did-keyed Exchange, so every
+    * consumer of the shingle stream in a near-dup query reads ONE
+    * materialized shuffle instead of re-running scan + shingle hashing per
+    * subtree. Without this, the planner broadcasts the self-join/verify
+    * sides and the full prefix pipeline + set build execute 2-4x each
+    * (shingle_hashes went from ~8 to ~2 evaluations per doc). The
+    * did-partitioning is chosen because the per-doc aggregations
+    * (signature build, set build, prefix sort) then run exchange-free on
+    * top of it, and the document-frequency aggregation still map-side
+    * combines before its own narrow shuffle. One extra linear shuffle of
+    * (did, nsh, sh) rows buys the removal of 3+ full corpus re-scans —
+    * the right trade at any scale. */
+  private def sharedExploded(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    explodedShingles(docs, idCol, textCol, n).repartition(col("did"))
+
+  /** Per-doc SORTED sets of 64-bit-hashed shingles rebuilt from the shared
+    * exploded stream (exchange-reused, zero extra shuffle: the input is
+    * already did-partitioned). Verification merge-intersects these long
+    * arrays instead of hashing raw strings — the sort is paid once per DOC
+    * so that [[graft.expressions.SortedIntersectCount]] is O(|A|+|B|)
+    * primitive comparisons per candidate PAIR. The hash is injective in
+    * practice (collision odds within one pair's ~100-element union ≈
+    * 1e-15). */
+  private def setsFromExploded(exploded: DataFrame) =
+    exploded.groupBy("did").agg(sort_array(collect_list(col("sh"))).as("set"))
 
   /** Exact Jaccard over FULL hashed shingle sets for candidate
     * (id_a, id_b) pairs: shuffle join on doc id — candidate and set sides
     * are both id-keyed, so this is two hash joins, never a corpus-wide
     * broadcast. Shared by the prefix-filtered exact path and the MinHash
-    * verification. */
+    * verification.
+    *
+    * Jaccard = |A∩B| / (|A| + |B| - |A∩B|) with the intersection counted
+    * by the codegen'd merge kernel over the pre-sorted sets (sets are
+    * duplicate-free, so the union size is exact) — same value as the
+    * array_intersect/array_union form it replaces, ~14x cheaper per pair. */
   private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    val j = size(array_intersect(col("sa.set"), col("sb.set"))).cast("double") /
-      size(array_union(col("sa.set"), col("sb.set")))
+    val inter = graft.expressions.SetFunctions
+      .sorted_intersect_count(col("sa.set"), col("sb.set")).cast("double")
+    val j = inter / (size(col("sa.set")) + size(col("sb.set")) - inter)
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.did"))
       .join(sets.as("sb"), col("id_b") === col("sb.did"))
@@ -115,24 +139,34 @@ object Dedup {
     * per-doc aggregation — each doc's list is sorted independently (no
     * Window, whose full partition-sort over the exploded corpus was the
     * most expensive stage of the previous form). Shingles with df == 1
-    * are dropped AFTER rank assignment: they occupy prefix slots (so
-    * ranks stay correct) but appear in exactly one document, so they can
-    * never produce a self-join collision — on a mostly-unique corpus this
-    * shrinks the join input by an order of magnitude. */
+    * are dropped BEFORE the sort: they appear in exactly one document, so
+    * they can never produce a self-join collision, and on a mostly-unique
+    * corpus this shrinks the collect+sort input by an order of magnitude.
+    * Ranks are therefore positions among a doc's df>=2 shingles, while
+    * prefixLen still uses the FULL set size nsh; both PPJoin bounds stay
+    * sound under that rank compression:
+    *  - inclusion: a shared shingle has df>=2 and its filtered position
+    *    <= its full position <= prefixLen, so it still lands in both
+    *    prefixes;
+    *  - positional filter: shared-before-s <= rk-1 (every shared shingle
+    *    survives the filter, so they all hold filtered ranks), and
+    *    shared-after-s <= nsh - pos_full(s) <= nsh - rk — both terms
+    *    remain upper bounds on the overlap. */
   private[graft] def prefixShingles(docs: DataFrame, threshold: Double,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
+      idCol: String, textCol: String, n: Int): DataFrame =
+    prefixFromExploded(sharedExploded(docs, idCol, textCol, n), threshold)
+
+  private def prefixFromExploded(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
     sh.join(dfreq, "sh")
+      .where(col("df") >= 2)
       .groupBy("did", "nsh")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("lst"))
       .select(col("did"), col("nsh"),
         posexplode(slice(col("lst"), lit(1), greatest(prefixLen, lit(0)))))
       .select(col("did"), col("nsh"), col("col.sh").as("sh"),
-        (col("pos") + 1).as("rk"), col("col.df").as("df"))
-      .where(col("df") >= 2)
-      .select("did", "nsh", "sh", "rk")
+        (col("pos") + 1).as("rk"))
   }
 
   /** Exact shingle-Jaccard near-dup pairs at/above `threshold`.
@@ -150,7 +184,11 @@ object Dedup {
     * ScaleSafetySpec); linear shuffles only. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
-    val prefix = prefixShingles(docs, threshold, idCol, textCol, n)
+    val exploded = sharedExploded(docs, idCol, textCol, n)
+    // the self-join reads ONE sh-keyed exchange twice (ReusedExchange), so
+    // the prefix pipeline — dfreq agg, df join, per-doc sort — runs once,
+    // not once per join side
+    val prefix = prefixFromExploded(exploded, threshold).repartition(col("sh"))
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("a.nsh") + col("b.nsh")))
     val overlapBound = least(col("a.rk"), col("b.rk")) - 1 +
@@ -162,7 +200,7 @@ object Dedup {
           overlapBound >= minOverlap)
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .distinct()
-    verifyExactJaccard(cand, hashedShingleSets(docs, idCol, textCol, n), threshold)
+    verifyExactJaccard(cand, setsFromExploded(exploded), threshold)
   }
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
@@ -172,8 +210,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = explodedShingles(docs, idCol, textCol, n)
-    // k minhash values per doc in one map-side-combinable aggregation
+    val sh = sharedExploded(docs, idCol, textCol, n)
+    // k minhash values per doc, aggregated exchange-free on the shared
+    // did-partitioned stream (verification reuses the same exchange)
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
     val sig = sh.groupBy("did").agg(sigCols.head, sigCols.tail: _*)
     // band keys: hash of each band's r signature values. All band keys are
@@ -194,7 +233,7 @@ object Dedup {
     // corpus-wide broadcast of the sets would OOM the executors at real
     // corpus sizes; Catalyst may still pick a broadcast on its own when the
     // candidate side is provably tiny.)
-    verifyExactJaccard(cand, hashedShingleSets(docs, idCol, textCol, n), threshold)
+    verifyExactJaccard(cand, setsFromExploded(sh), threshold)
   }
 
   /** 64-bit SimHash per doc over whitespace tokens: bit b of the signature
