@@ -26,9 +26,22 @@ object SqlSurface {
       s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS SELECT * FROM parquet.`$p`")
     }
 
-  private def sqlQ(s: SparkSession, d: String, tables: Seq[String], text: String): DataFrame = {
-    graft.expressions.VectorFunctions.register(s)
-    viewsFor(s, d, tables: _*)
+  private val SqlTables = Seq("customer", "orders", "lineitem", "nation", "embeddings")
+
+  /** Which data dir each session's views currently point at. A SQL user
+    * runs DDL once per session, not once per query — re-running CREATE
+    * VIEW per execution charged catalog writes + parquet footer/file
+    * listing (~0.5 s warm at sf0.1) to every query. Re-registers only
+    * when the dir changes. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def sqlQ(s: SparkSession, d: String, text: String): DataFrame = {
+    val dir = d.stripSuffix("/")
+    if (registeredDir.put(s, dir) != dir) {
+      graft.expressions.VectorFunctions.register(s)
+      viewsFor(s, dir, SqlTables: _*)
+    }
     s.sql(text)
   }
 
@@ -36,7 +49,7 @@ object SqlSurface {
 
     // ---- multi-join aggregation as pure SQL text over DDL-created views.
     Q("q54_sql_revenue",
-      (s, d) => sqlQ(s, d, Seq("customer", "orders", "lineitem", "nation"),
+      (s, d) => sqlQ(s, d,
         """SELECT n.n_name AS nation,
           |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
           |  CAST(count(*) AS BIGINT) AS n_items
@@ -60,7 +73,7 @@ object SqlSurface {
     // ---- the injected native cosine_sim expression, called FROM SQL:
     // end-to-end proof the codegen'd kernel is a first-class SQL function.
     Q("q55_sql_cosine",
-      (s, d) => sqlQ(s, d, Seq("embeddings"),
+      (s, d) => sqlQ(s, d,
         """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT e.vec_id,
           |  round(cosine_sim(e.embedding, q.qv) * 1000000.0) / 1000000.0 AS cos
@@ -75,7 +88,7 @@ object SqlSurface {
 
     // ---- SQL-text window function (running revenue per customer).
     Q("q56_sql_window",
-      (s, d) => sqlQ(s, d, Seq("orders"),
+      (s, d) => sqlQ(s, d,
         """SELECT o_custkey, o_orderkey,
           |  round(sum(o_totalprice) OVER (
           |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running
