@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence assembly + benchmark-hygiene operators for LLM training-data
+  * pipelines: packing documents into fixed token-budget training
+  * sequences, overlapping context-window chunking, and n-gram
+  * decontamination against an evaluation set.
+  */
+object TrainingPrep {
+
+  /** Sequence packing: lay documents end-to-end into a token stream cut
+    * every `budgetTokens`, reporting each doc's (sequence, offset) start
+    * position. Packing is per-SHARD (shard = doc_id mod `shards`), each
+    * shard's stream ordered by doc_id.
+    *
+    * SCALE: a single corpus-wide running sum would be a one-partition
+    * window sort — the textbook anti-scale shape. Real pipelines pack per
+    * output shard, which is what this does: `shards` independent windows,
+    * each hash-partition-sized, embarrassingly parallel; raise `shards`
+    * with the cluster. One exchange on shard, nothing else. */
+  def pack(docs: DataFrame, budgetTokens: Int, shards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / lit(budgetTokens)).as("pack_seq"),
+        (col("start_tok") % budgetTokens).as("bin_offset"))
+  }
+
+  /** Overlapping context-window chunking: one output row per (doc, start)
+    * with `chunkSize` whitespace tokens beginning every `stride` tokens
+    * (the tail chunk may be shorter). Pure per-row generate — shuffle-free,
+    * scan-speed, stays in whole-stage codegen. */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as("start"))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
+
+  /** Benchmark decontamination: ids of corpus documents sharing at least
+    * one word n-gram shingle with any document of an evaluation/benchmark
+    * set — those documents leak test data into training and must be
+    * dropped.
+    *
+    * SCALE: benchmark sets are tiny next to a training corpus, so the
+    * benchmark's distinct hashed shingles are BROADCAST and the corpus
+    * side is a map-side semi-join probe at scan speed — no corpus
+    * shuffle at all. Shingles are compared as 64-bit hashes (injective in
+    * practice, same argument as [[Dedup]]). */
+  def contaminatedIds(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def hashes(df: DataFrame) = df.select(col(idCol).cast("long").as("did"),
+      explode(graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n)).as("sh"))
+    val benchShingles = broadcast(hashes(benchmark).select("sh").distinct())
+    hashes(docs).join(benchShingles, Seq("sh"), "left_semi")
+      .select(col("did").as(idCol)).distinct()
+  }
+}

@@ -259,6 +259,52 @@ object PipelineQueries {
               |GROUP BY fp ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // ---- sequence packing: documents laid end-to-end into per-shard token
+    // streams cut every 256 tokens (see TrainingPrep.pack for the
+    // per-shard-window scale argument).
+    Q("q59_seq_pack",
+      (s, d) => graft.operators.TrainingPrep.pack(t(s, d, "documents"), 256)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT *, CAST(sum(n_tokens) OVER (
+             |        PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
+             |      FROM tok)
+             |SELECT doc_id, shard, n_tokens,
+             |  CAST(floor(start_tok::DOUBLE / 256) AS BIGINT) AS pack_seq,
+             |  start_tok % 256 AS bin_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- overlapping context-window chunking (32-token chunks every 24 —
+    // ~3 overlapping chunks per avg-54-token doc, with shorter tails).
+    Q("q60_chunking",
+      (s, d) => graft.operators.TrainingPrep.chunk(t(s, d, "documents"), 32, 24)
+        .orderBy("doc_id", "start"),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM ws)
+             |SELECT doc_id, CAST(start AS BIGINT) AS start,
+             |  array_to_string(w[start + 1 : start + 32], ' ') AS chunk
+             |FROM st ORDER BY doc_id, start""".stripMargin)),
+
+    // ---- benchmark decontamination: corpus docs sharing a 3-gram shingle
+    // with the (deterministic) benchmark subset doc_id % 97 == 0.
+    Q("q61_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TrainingPrep.contaminatedIds(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+             |SELECT DISTINCT doc_id FROM sh
+             |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal metadata plumbing (payload bytes + typed metadata;
     // see graft.operators.Multimodal for the decode-stub pipeline).
     Q("q31_mm_meta",
