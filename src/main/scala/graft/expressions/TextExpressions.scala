@@ -113,3 +113,93 @@ object ShingleHashes {
   def shingle_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c.cast("string")), n))
 }
+
+/** All per-document text statistics in ONE codegen'd pass over the string:
+  * `[n_tokens, hits_en, hits_de, hits_es, hits_fr, n_punct, n_chars]`.
+  *
+  * The declarative forms these replace — `size(split(text, " "))` per
+  * metric plus a `filter(tokens, _.isin(words))` higher-order function per
+  * language profile — re-split the text ~8x per row and run the HOF
+  * lambdas interpreted (boxed closures per element), which made the
+  * annotate stage of corpus prep the most expensive scan in the bench.
+  * Semantics are bit-identical to those forms (see TextStats.compute), so
+  * the derived langId / ratios / quality score keep their DuckDB oracles:
+  *  - n_tokens = number of single-space-split segments (empty segments
+  *    count, matching split(text, " ", -1));
+  *  - hits_XX  = count of tokens string-equal to a profile word;
+  *  - n_punct  = codepoints outside [A-Za-z0-9 ] (the regexp_replace
+  *    length the punct ratio used);
+  *  - n_chars  = codepoint count (= Spark length()).
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextStats.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextStats {
+  /** Mirrors graft.operators.TextAnalysis.Profiles — the langId order. */
+  private val Words: Array[Array[String]] = Array(
+    Array("the", "a", "of", "and", "to", "is"),
+    Array("der", "die", "das", "und", "ist"),
+    Array("el", "los", "las", "y", "es"),
+    Array("le", "la", "les", "et", "est"))
+
+  private def matchSeg(s: String, a: Int, b: Int, hits: Array[Long]): Unit = {
+    val n = b - a
+    var p = 0
+    while (p < Words.length) {
+      val ws = Words(p)
+      var w = 0
+      while (w < ws.length) {
+        val word = ws(w)
+        if (word.length == n && s.regionMatches(a, word, 0, n)) hits(p) += 1
+        w += 1
+      }
+      p += 1
+    }
+  }
+
+  /** Called from generated code. One scan: UTF-16 iteration with surrogate
+    * pairs counted as one codepoint (astral codepoints are never in
+    * [A-Za-z0-9 ], so they count as punct). */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val hits = new Array[Long](Words.length)
+    var nTokens = 1L; var punct = 0L; var chars = 0L
+    var segStart = 0; var i = 0
+    val len = s.length
+    while (i < len) {
+      val ch = s.charAt(i)
+      if (ch == ' ') {
+        matchSeg(s, segStart, i, hits)
+        nTokens += 1
+        segStart = i + 1
+        chars += 1
+        i += 1
+      } else if (Character.isHighSurrogate(ch) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        chars += 1; punct += 1; i += 2
+      } else {
+        chars += 1
+        if (!((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+            (ch >= '0' && ch <= '9'))) punct += 1
+        i += 1
+      }
+    }
+    matchSeg(s, segStart, len, hits)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(nTokens, hits(0), hits(1), hits(2), hits(3), punct, chars))
+  }
+
+  def text_stats(c: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(c.cast("string"))))
+}

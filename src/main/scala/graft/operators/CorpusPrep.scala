@@ -32,7 +32,7 @@ object CorpusPrep {
     val annotated = docs.select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       (round(TextAnalysis.qualityScore(col("text")) * 1000000.0) / 1000000.0)
         .as("quality"),
       TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -27,13 +27,29 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
+  /** One-pass codegen'd stats vector — every metric below derives from it,
+    * and identical instances within a projection are subexpression-
+    * eliminated, so annotating a document costs ONE scan of the string
+    * (the HOF-filter/regexp forms it replaced re-split the text ~8x per
+    * row, interpreted). Layout: [n_tokens, hits per profile..., n_punct,
+    * n_chars] (graft.expressions.TextStats). */
+  private def stats(text: Column): Column = graft.expressions.TextStats.text_stats(text)
+
+  /** size(tokens(text)) as a long, off the one-pass kernel. */
+  def tokenCount(text: Column): Column = element_at(stats(text), 1)
+
+  /** Count of tokens string-equal to one of `words` — generic HOF form for
+    * ad-hoc word lists; the fixed-profile counts come from [[stats]]. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(words.map(lit): _*))).cast("long")
 
   /** n-gram-heuristic language ID: argmax of profile hits, first-listed
     * profile wins ties, "und" (unknown) when nothing matches. */
   def langId(text: Column): Column = {
-    val scores = Profiles.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val st = stats(text)
+    val scores = Profiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(st, i + 2)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val cases = scores.foldLeft(when(best === 0, lit("und"))) {
       case (acc, (lang, s)) => acc.when(s === best, lit(lang))
@@ -41,17 +57,17 @@ object TextAnalysis {
     cases.otherwise(lit("und"))
   }
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Ratio of non-alphanumeric, non-space codepoints. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+    element_at(stats(text), 6).cast("double") / element_at(stats(text), 7)
 
   def stopwordRatio(text: Column): Column =
-    stopwordHits(text, Profiles.head._2).cast("double") / size(tokens(text))
+    element_at(stats(text), 2).cast("double") / element_at(stats(text), 1)
 
   /** Composite quality score in [0,1]: length sweet spot, low punctuation,
     * natural stopword density — the usual pretraining heuristics. */
   def qualityScore(text: Column): Column = {
-    val nTok = size(tokens(text)).cast("double")
+    val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
     val stopScore = least(stopwordRatio(text) * 10.0, lit(1.0))

@@ -185,7 +185,7 @@ object PipelineQueries {
     Q("q29_quality",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.tokenCountRegex(col("text")).cast("long").as("n_tokens_re"),
           (round((TextAnalysis.punctRatio(col("text"))) * 1000000.0) / 1000000.0).as("punct_ratio"),
           (round((TextAnalysis.stopwordRatio(col("text"))) * 1000000.0) / 1000000.0).as("stop_ratio"),
