@@ -236,18 +236,22 @@ object Dedup {
     verifyExactJaccard(cand, setsFromExploded(sh), threshold)
   }
 
-  /** 64-bit SimHash per doc over whitespace tokens: bit b of the signature
-    * is 1 iff the sum of ±1 votes (from bit b of each token's xxhash64) is
-    * positive. */
-  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** SimHash per doc over whitespace tokens: bit b of the signature is 1
+    * iff the sum of ±1 votes (from bit b of each token's hash) is
+    * positive. The token hash defaults to xxhash64 (the production path);
+    * passing an engine-portable hash (e.g. a truncated md5, q62) with its
+    * bit width makes the whole signature — and therefore the hamming
+    * pairs — reproducible by the DuckDB oracle. */
+  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val tok = docs.select(col(idCol).as("did"),
       explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("w")))
+    val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy("did").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until bits).map { b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
     agg.select(col("did").as("doc_id"), sig.as("simhash"))
@@ -265,13 +269,14 @@ object Dedup {
     * billions of docs. Candidates are exact-verified via bit_count(xor). */
   def simHashPairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      nBlocks: Int = 6): DataFrame = {
+      nBlocks: Int = 6,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val keep = nBlocks - maxDist
-    require(maxDist >= 0 && keep >= 1 && nBlocks <= 64,
+    require(maxDist >= 0 && keep >= 1 && nBlocks <= bits,
       s"need 1 <= nBlocks - maxDist; got nBlocks=$nBlocks maxDist=$maxDist")
-    val sig = simHash(docs, idCol, textCol)
-    // block b = bits [b*64/nBlocks, (b+1)*64/nBlocks)
-    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+    val sig = simHash(docs, idCol, textCol, tokenHash, bits)
+    // block b = bits [b*bits/nBlocks, (b+1)*bits/nBlocks)
+    val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
     def block(b: Int): Column = {
       val lo = bounds(b); val w = bounds(b + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1L)

@@ -41,6 +41,26 @@ object PipelineQueries {
     }
     (base ++ exact ++ near).toDF("doc_id", "text")
   }
+  /** DuckDB replica of the md5-token-hash SimHash pipeline (q62): 60-bit
+    * token hashes (first 15 hex chars of md5, identical in both engines),
+    * per-bit ±1 votes, signature assembly, and the O(n²)-at-oracle-scale
+    * hamming self-join the block-combination candidates must equal. */
+  private val simhashMd5Sql = {
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val sig = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS sig FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val shingleSql =
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -116,6 +136,17 @@ object PipelineQueries {
              |  (0::BIGINT, 100::BIGINT, 0::BIGINT), (1, 101, 0), (2, 102, 0),
              |  (3, 103, 0), (4, 104, 0), (5, 105, 1), (6, 106, 2), (7, 107, 1))
              |AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash with an engine-portable token hash (60-bit truncated
+    // md5): votes, signature bits, block-combination candidates, and
+    // hamming verify are all reproduced by the DuckDB oracle — the
+    // oracle-checked SimHash on the REAL corpus (q24 keeps the xxhash64
+    // production path; its hash internals are what make it rows-only).
+    Q("q62_simhash_md5",
+      (s, d) => sortedPairs(Dedup.simHashPairs(t(s, d, "documents"), 3,
+        tokenHash = w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
+        bits = 60)),
+      Some(simhashMd5Sql)),
 
     // ---- brute-force cosine top-k for a corpus query vector.
     Q("q25_sim_topk",
