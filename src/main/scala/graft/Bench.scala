@@ -37,10 +37,16 @@ object Bench {
     // we measure warm engine throughput, not JVM cold start
     names.foreach(run)
 
+    // min of 2 measured runs per query: scheduler/GC jitter at local[32]
+    // is ±0.3 s on sub-second queries, which round-over-round comparisons
+    // would otherwise read as real regressions
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      run(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

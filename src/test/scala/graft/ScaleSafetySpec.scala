@@ -88,6 +88,55 @@ class ScaleSafetySpec extends GraftSpec {
     }
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted random sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+      graft.expressions.SetFunctions.sorted_intersect_count(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("w"))
+    assert(got.where(col("m") =!= col("w")).count() == 0)
+    // empty-side edges
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    assert(e.select(graft.expressions.SetFunctions.sorted_intersect_count(col("a"), col("b")))
+      .as[Int].collect().toSeq == Seq(0, 0, 0))
+  }
+
+  test("TextStats kernel == declarative split/HOF/regex forms") {
+    import graft.operators.TextAnalysis
+    val texts = docs.select("text").as[String].take(100) ++ Seq(
+      "", " ", "  ", "the the the", "der und ist", "el y es", "le et est",
+      "a,b.c!", "naïve café — ünïcode ¡text! 你好", "the  a   of", "x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "text")
+    val st = graft.expressions.TextStats.text_stats(col("text"))
+    val declaredHits = TextAnalysis.Profiles.zipWithIndex.map { case ((_, ws), k) =>
+      (size(filter(split(col("text"), " "), w => w.isin(ws.map(lit): _*))).cast("long")
+        === element_at(st, k + 2)).as(s"h$k")
+    }
+    val checks = df.select(
+      (size(split(col("text"), " ")).cast("long") === element_at(st, 1)).as("tok") +:
+      (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long")
+        === element_at(st, 6)).as("punct") +:
+      (length(col("text")).cast("long") === element_at(st, 7)).as("chars") +:
+      declaredHits: _*)
+    checks.columns.foreach { c =>
+      assert(checks.where(not(col(c))).count() == 0, s"mismatch in $c")
+    }
+  }
+
+  test("decontamination plan: broadcast semi-join, corpus side unshuffled") {
+    val plan = graft.operators.TrainingPrep.contaminatedIds(
+      docs.where(col("doc_id") % 97 =!= 0), docs.where(col("doc_id") % 97 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(500))
+    assert(plan.contains("BroadcastExchange"), plan.take(500))
+  }
+
   test("SRP near-dup pairs == exact all-pairs on a planted-dup corpus") {
     // twins of the first 20 vectors (cos == 1.0) on top of the real corpus
     val twins = emb.limit(20).select((col("vec_id") + 100000).as("vec_id"),
