@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, RollingHash, ShingleHashes, SortedIntersectCount, TextStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions at session build time:
@@ -31,5 +31,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (xs: Seq[Expression]) => CosineSimilarity(d(xs(0)), d(xs(1)))))
+    // text kernels — SQL: rolling_hash(text), shingle_hashes(text, n),
+    // text_stats(text), sorted_intersect_count(a, b)
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (xs: Seq[Expression]) => RollingHash(Cast(xs(0), StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (xs: Seq[Expression]) => ShingleHashes(Cast(xs(0), StringType),
+        xs(1).asInstanceOf[Literal].value.toString.toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (xs: Seq[Expression]) => TextStats(Cast(xs(0), StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (xs: Seq[Expression]) => SortedIntersectCount(xs(0), xs(1))))
   }
 }

@@ -17,6 +17,15 @@ object ExtensionsDrive {
         |       vec_dot(array(1.0,2.0), array(3.0,4.0)) AS dp""".stripMargin).collect()(0)
     println(s"== extensions drive: cosine=${r.getDouble(0)} dot=${r.getDouble(1)}")
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+    val t = spark.sql(
+      """SELECT rolling_hash('ab') AS rh,
+        |       size(shingle_hashes('a b c d', 3)) AS ns,
+        |       text_stats('the cat')[0] AS ntok, text_stats('the cat')[1] AS en,
+        |       sorted_intersect_count(array(1L, 5L, 9L), array(5L, 9L, 11L)) AS ic
+        |""".stripMargin).collect()(0)
+    println(s"== text kernels via SQL: $t")
+    assert(t.getLong(0) == ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
+    assert(t.getInt(1) == 2 && t.getLong(2) == 2 && t.getLong(3) == 1 && t.getInt(4) == 2)
     println("== extensions drive: OK")
     spark.stop()
   }
