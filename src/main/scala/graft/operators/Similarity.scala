@@ -190,6 +190,22 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max(|v_i|)/127,
+    * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] (zero vectors quantize to
+    * zeros). 4x smaller embedding storage/shuffle for ANN at corpus scale;
+    * reconstruction error per component is bounded by scale/2
+    * (spec-checked). Every step is deterministic IEEE double arithmetic,
+    * so the DuckDB oracle reproduces the exact codes. */
+  def quantizeInt8(emb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sc = array_max(transform(v, x => abs(x))) / lit(127.0)
+    emb.select(col(idCol),
+      when(sc === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / sc + 0.5))).as("q"),
+      (round(sc * 1000000000.0) / 1000000000.0).as("qscale"))
+  }
+
   /** All-pairs exact form of [[nearDupPairs]] — O(n²), kept ONLY as the
     * spec reference for recall checks on small planted corpora. Never
     * register this against a raw corpus: the id_a < id_b join is a

@@ -183,6 +183,20 @@ object PipelineQueries {
              |FROM e, q WHERE vec_id <> 0
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- symmetric int8 embedding quantization (4x storage/shuffle
+    // compression for ANN at scale); codes are deterministic IEEE double
+    // arithmetic, reproduced exactly by the oracle.
+    Q("q63_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e)
+             |SELECT vec_id,
+             |  CASE WHEN scale = 0 THEN [0::BIGINT for x in v]
+             |       ELSE [CAST(floor(x / scale + 0.5) AS BIGINT) for x in v] END AS q,
+             |  round(scale * 1000000000.0) / 1000000000.0 AS qscale
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",
       (s, d) => sortedPairs(Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)),

@@ -64,6 +64,23 @@ class PipelineOpsSpec extends GraftSpec {
     assert(res.count() == 0)
   }
 
+  test("int8 quantization: codes in [-127,127], max code saturates, error <= scale/2") {
+    val rows = Similarity.quantizeInt8(emb).join(emb, "vec_id")
+      .select(col("vec_id"), col("q"), col("qscale"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Long], Double, Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, q, sc, v) =>
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (sc > 0) {
+        assert(q.map(math.abs).max == 127)
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x - qi * sc) <= sc / 2 + 1e-9)
+        }
+      }
+    }
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric bound") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
