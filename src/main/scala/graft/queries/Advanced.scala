@@ -69,6 +69,38 @@ object Advanced {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- KMV distinct-count sketch (typed Aggregator, bounded k-long
+    // buffer, partial-agg mergeable). Unlike HLL, the k smallest distinct
+    // 60-bit md5 hashes are a pure function of the input set — merge-order
+    // and engine independent — so the DuckDB oracle reproduces the exact
+    // estimate (graft.operators.Sketches).
+    Q("q64_kmv_distinct",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.operators.Sketches.kmvDistinct(64).toColumn)
+          .toDF("l_returnflag", "est")
+          .select(col("l_returnflag"),
+            (round(col("est") * 1000000.0) / 1000000.0).as("kmv_parts"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+             |  CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM lineitem),
+             |s AS (SELECT l_returnflag, count(*) AS n, list_sort(list(h)) AS hs
+             |      FROM h GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  round((CASE WHEN n < 64 THEN n::DOUBLE
+             |         ELSE 63.0 * 1152921504606846976.0 / hs[64] END) * 1000000.0) / 1000000.0
+             |    AS kmv_parts
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
     // ---- range (interval) join: facts against inline date ranges. Spark
     // plans dim-range joins as broadcast nested loop — right-sized when the
     // range table is a true dimension.

@@ -27,6 +27,25 @@ class AdvancedOpsSpec extends GraftSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
   }
 
+  test("KMV sketch: estimate within 35% of exact, partition-independent") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(graft.operators.Sketches.kmvDistinct(64).toColumn)
+      .collect().toMap
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("h").as("n"))
+      .as[(String, Long)].collect().toMap
+    val e1 = est(li)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(e1(k) - n) <= 0.35 * n, s"$k: ${e1(k)} vs $n")
+    }
+    // determinism under re-partitioning (merge order must not matter)
+    assert(est(li.repartition(17)) == e1)
+  }
+
   test("asof backward: hand-built case incl. no-match, exact-ts, latest-wins") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "ts", "name")
