@@ -206,6 +206,34 @@ object Similarity {
       (round(sc * 1000000000.0) / 1000000000.0).as("qscale"))
   }
 
+  /** Two-stage ANN over int8-quantized codes: stage 1 scores the corpus
+    * with the CHEAP reconstruction dot product
+    * (qscale_a·qscale_b·dot(codes_a, codes_b) ≈ dot(a, b) — int8 codes are
+    * 4x smaller to scan/shuffle and the dot runs on the codegen'd kernel),
+    * keeps the top `rerank`; stage 2 re-ranks those exactly on the full
+    * vectors and returns k. The quantized estimate ranks by DOT while the
+    * final metric is cosine, so `rerank` must absorb norm variation —
+    * recall vs brute force is spec-checked (PipelineOpsSpec). */
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = quantizeInt8(emb, idCol, vecCol)
+    val qc = broadcast(codes.where(col(idCol) === queryId)
+      .select(col("q").as("qq"), col("qscale").as("qqs")))
+    val cand = codes.where(col(idCol) =!= queryId)
+      .crossJoin(qc)
+      .select(col(idCol),
+        (col("qscale") * col("qqs") * dot(col("q"), col("qq"))).as("est"))
+      .orderBy(col("est").desc, col(idCol))
+      .limit(rerank)
+    val qv = broadcast(emb.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("qv")))
+    cand.join(emb.select(col(idCol), col(vecCol)), idCol)
+      .crossJoin(qv)
+      .select(col(idCol), (round((cosine(col(vecCol), col("qv"))) * 1000000.0) / 1000000.0).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact form of [[nearDupPairs]] — O(n²), kept ONLY as the
     * spec reference for recall checks on small planted corpora. Never
     * register this against a raw corpus: the id_a < id_b join is a

@@ -197,6 +197,18 @@ object PipelineQueries {
              |  round(scale * 1000000000.0) / 1000000000.0 AS qscale
              |FROM s ORDER BY vec_id""".stripMargin)),
 
+    // ---- two-stage ANN over the int8 codes (cheap quantized-dot scan ->
+    // exact re-rank). Re-rank depth 50 recovers the exact top-10 on this
+    // corpus (spec-checked), so brute-force SQL is a full oracle — same
+    // convention as q26/q49.
+    Q("q65_sim_topk_int8",
+      (s, d) => Similarity.int8TopK(t(s, d, "embeddings"), 0L, 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+             |SELECT vec_id, (round((list_cosine_similarity(v, qv)) * 1000000.0) / 1000000.0) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",
       (s, d) => sortedPairs(Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)),

@@ -81,6 +81,14 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("int8 two-stage ANN recovers the brute-force top-k") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaInt8 = Similarity.int8TopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaInt8 == exact)
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric bound") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
