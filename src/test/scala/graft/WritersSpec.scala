@@ -37,6 +37,48 @@ class WritersSpec extends GraftSpec {
     assert(fromJson.collect().map(_.toSeq).toSet == want)
   }
 
+  test("keyed upsert rewrites only touched partitions, last-writer-wins") {
+    val out = Files.createTempDirectory("writers3").toString + "/t"
+    val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 20))
+      .toDF("k", "v", "p")
+    TableWriters.parquetPartitioned(base, out, Seq("p"))
+    def filesIn(p: Int) = new java.io.File(s"$out/p=$p").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before20 = filesIn(20)
+    // update key 1 (existing), insert key 9 — both in partition 10 only
+    val updates = Seq((1L, "A2", 10), (9L, "z", 10)).toDF("k", "v", "p")
+    TableWriters.upsertParquet(spark, out, updates, Seq("k"), Seq("p"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5)
+    assert(back.where(col("k") === 1).select("v").as[String].head() == "A2")
+    assert(back.where(col("k") === 9).count() == 1)
+    assert(back.where(col("p") === 20).count() == 2)
+    // untouched partition's files were not rewritten
+    assert(filesIn(20) == before20)
+  }
+
+  test("compaction shrinks file count, preserves content and partitioning") {
+    val out = Files.createTempDirectory("writers4").toString + "/t"
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("y", year(col("o_orderdate")))
+    // simulate many small incremental appends
+    (1 to 5).foreach { _ =>
+      orders.repartition(8).write.mode("append").partitionBy("y").parquet(out)
+    }
+    def nFiles = new java.io.File(out).listFiles().filter(_.getName.startsWith("y="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    val wantCnt = spark.read.parquet(out).count()
+    val wantSum = spark.read.parquet(out).agg(sum("o_orderkey")).as[Long].head()
+    TableWriters.compactParquet(spark, out, Seq("y"))
+    assert(nFiles < before, s"$nFiles vs $before")
+    assert(spark.read.parquet(out).count() == wantCnt)
+    assert(spark.read.parquet(out).agg(sum("o_orderkey")).as[Long].head() == wantSum)
+    val scan = spark.read.parquet(out).where(col("y") === 1997)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("typed top-k aggregator matches the window-function answer") {
     val ev = graft.queries.Tables.events(spark, sf0001)
     val byAgg = ev.select(col("user_id"), col("value"), col("event_id"))
