@@ -132,6 +132,34 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Streaming keyed upsert publish (CDC shape): each micro-batch of
+    * parsed titles MERGEs into a CURRENT-STATE table keyed by symbol and
+    * partitioned by section — later deltas overwrite a symbol's row
+    * instead of appending history. Idempotent by construction (re-merging
+    * a replayed batch reproduces the same table, no batch_id bookkeeping
+    * needed), and the upsert rewrites only the sections the delta
+    * touches (TableWriters.upsertParquet). */
+  def incrementalUpsertTitles(spark: SparkSession, landingDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val target = s"$outDir/titles_current"
+    val q = incrementalTitles(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch.withColumn("section", substring(col("symbol"), 1, 1))
+          if (new java.io.File(target).exists())
+            graft.sources.TableWriters.upsertParquet(spark, target, delta,
+              Seq("symbol"), Seq("section"))
+          else
+            graft.sources.TableWriters.parquetPartitioned(delta, target, Seq("section"))
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup: drop events with a duplicate (user_id, props)
     * within the watermark horizon — the streaming twin of batch
     * Dedup.exactGroups, state bounded by the watermark. */
