@@ -360,7 +360,8 @@ object PipelineQueries {
              |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
              |SELECT DISTINCT doc_id FROM sh
              |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- multimodal metadata plumbing (payload bytes + typed metadata;
     // see graft.operators.Multimodal for the decode-stub pipeline).
