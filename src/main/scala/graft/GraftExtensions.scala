@@ -40,8 +40,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (xs: Seq[Expression]) => ShingleHashes(Cast(xs(0), StringType),
-        xs(1).asInstanceOf[Literal].value.toString.toInt)))
+      (xs: Seq[Expression]) => {
+        // n must be a compile-time constant; accept any foldable integral
+        // expression (at resolution time `1+2` is still Add, not Literal)
+        val n = xs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_hashes(text, n): n must be an integer constant, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingle_hashes(text, n): n must be a constant")
+        }
+        ShingleHashes(Cast(xs(0), StringType), n)
+      }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),

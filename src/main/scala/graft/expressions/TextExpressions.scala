@@ -146,12 +146,18 @@ case class TextStats(child: Expression) extends UnaryExpression {
 }
 
 object TextStats {
-  /** Mirrors graft.operators.TextAnalysis.Profiles — the langId order. */
-  private val Words: Array[Array[String]] = Array(
-    Array("the", "a", "of", "and", "to", "is"),
-    Array("der", "die", "das", "und", "ist"),
-    Array("el", "los", "las", "y", "es"),
-    Array("le", "la", "les", "et", "est"))
+  /** THE language-marker profiles — single source of truth; the stats
+    * array layout ([n_tokens, one hit count per profile in this order,
+    * n_punct, n_chars]) and TextAnalysis.langId's indexing both derive
+    * from it. Deliberately tiny + auditable: counts of high-frequency
+    * function words per language. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private val Words: Array[Array[String]] = Profiles.map(_._2.toArray).toArray
 
   private def matchSeg(s: String, a: Int, b: Int, hits: Array[Long]): Unit = {
     val n = b - a
@@ -197,7 +203,7 @@ object TextStats {
     }
     matchSeg(s, segStart, len, hits)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array(nTokens, hits(0), hits(1), hits(2), hits(3), punct, chars))
+      (nTokens +: hits.toSeq :+ punct :+ chars).toArray)
   }
 
   def text_stats(c: Column): Column =

@@ -28,7 +28,19 @@ object Sketches {
     new Aggregator[Long, Seq[Long], Double] {
       private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
       override def zero: Seq[Long] = Seq.empty
-      override def reduce(buf: Seq[Long], h: Long): Seq[Long] = trim(buf :+ h)
+      // buffer invariant: sorted ascending, distinct, size <= k. The
+      // overwhelmingly common case (full buffer, h above the k-th
+      // minimum) is a single comparison — no sort, no allocation; an
+      // accepted hash pays one O(k) insert copy.
+      override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+        if (buf.size == k && h >= buf.last) buf
+        else {
+          val i = buf.indexWhere(_ >= h)
+          if (i == -1) buf :+ h // buf.size < k here
+          else if (buf(i) == h) buf
+          else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
+        }
+      }
       override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
       override def finish(buf: Seq[Long]): Double =
         if (buf.size < k) buf.size.toDouble

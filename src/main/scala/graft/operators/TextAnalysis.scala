@@ -19,13 +19,9 @@ object TextAnalysis {
   def tokenCountRegex(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Language-marker profiles. Deliberately tiny + auditable: counts of
-    * high-frequency function words per language. */
-  val Profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "los", "las", "y", "es"),
-    "fr" -> Seq("le", "la", "les", "et", "est"))
+  /** Language-marker profiles — aliased from the kernel so the stats
+    * array layout and this module's indexing can never drift apart. */
+  val Profiles: Seq[(String, Seq[String])] = graft.expressions.TextStats.Profiles
 
   /** One-pass codegen'd stats vector — every metric below derives from it,
     * and identical instances within a projection are subexpression-

@@ -38,9 +38,15 @@ object SqlSurface {
 
   private def sqlQ(s: SparkSession, d: String, text: String): DataFrame = {
     val dir = d.stripSuffix("/")
-    if (registeredDir.put(s, dir) != dir) {
-      graft.expressions.VectorFunctions.register(s)
-      viewsFor(s, dir, SqlTables: _*)
+    // record the dir only AFTER registration succeeds (a failed or
+    // mid-flight registration must be retried, not skipped); synchronized
+    // so two threads sharing the session can't observe half-created views
+    registeredDir.synchronized {
+      if (registeredDir.get(s) != dir) {
+        graft.expressions.VectorFunctions.register(s)
+        viewsFor(s, dir, SqlTables: _*)
+        registeredDir.put(s, dir)
+      }
     }
     s.sql(text)
   }

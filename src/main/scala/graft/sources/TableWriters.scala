@@ -33,19 +33,29 @@ object TableWriters {
     * the reference's last-writer-wins merge semantics (validator.py:96-98)
     * promoted to a table primitive.
     *
-    * SCALE: only partitions PRESENT IN THE UPDATES are read, merged and
-    * rewritten (broadcast semi-join on the partition values + dynamic
-    * partition overwrite) — cost is proportional to the touched
-    * partitions, never the table. The merged set is staged with
-    * localCheckpoint before the write because a parquet path cannot be
-    * lazily read and overwritten in one plan; a transactional table
-    * format would swap manifests instead, same write set. */
+    * CONTRACT: a key's partition values must be STABLE (partition columns
+    * a function of the key). Only partitions present in the updates are
+    * read and rewritten, so an update that moves a key to a different
+    * partition would leave the old row in the untouched partition — the
+    * same caveat every partition-pruned MERGE has. Updates should be
+    * key-unique; duplicate update keys pick a deterministic winner
+    * (lexicographically smallest row), so replays converge.
+    *
+    * SCALE: cost is proportional to the TOUCHED partitions, never the
+    * table (broadcast semi-join on the partition values + dynamic
+    * partition overwrite). The merged set is staged with localCheckpoint
+    * because a parquet path cannot be lazily read and overwritten in one
+    * plan; the write itself is not transactional — on a mid-write
+    * failure, re-running the same upsert converges (merge is idempotent),
+    * where a transactional table format would swap manifests instead. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
     val target = spark.read.parquet(path)
     val touched = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touched), partitionCols, "left_semi")
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__is_update").desc)
+    val dataCols = target.columns.toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__is_update").desc, struct(dataCols.map(col): _*).asc)
     val merged = updates.withColumn("__is_update", lit(1))
       .unionByName(affected.withColumn("__is_update", lit(0)))
       .withColumn("__rn", row_number().over(w))
@@ -57,13 +67,19 @@ object TableWriters {
   /** Small-file compaction for a partitioned parquet table — the
     * operational tail of incremental/streaming appends (every micro-batch
     * lands >=1 file per partition; scans degrade with file count).
-    * Rewrites each partition's data into ~`maxRecordsPerFile`-row files:
-    * one shuffle on the partition columns, dynamic overwrite, content
-    * unchanged (spec-verified). Run it per recent partition from a
-    * scheduled job at scale. */
+    * Rewrites each selected partition's data into ~`maxRecordsPerFile`-row
+    * files: one shuffle on the partition columns, dynamic overwrite,
+    * content unchanged (spec-verified).
+    *
+    * SCALE: pass `partitionPredicate` (a predicate on the partition
+    * columns — e.g. `col("date") >= last_week`) from the scheduled job so
+    * only recently-appended partitions are read (partition-pruned scan)
+    * and rewritten; omitting it compacts the whole table. */
   def compactParquet(spark: SparkSession, path: String,
-      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit = {
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
+      partitionPredicate: Option[org.apache.spark.sql.Column] = None): Unit = {
     val staged = spark.read.parquet(path)
+      .where(partitionPredicate.getOrElse(lit(true)))
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint()
     staged.write.mode(SaveMode.Overwrite)

@@ -96,6 +96,11 @@ object EventsStream {
     * write a batch_id-derived partition with DYNAMIC partition overwrite —
     * a replayed batch rewrites its own partition instead of appending
     * duplicates, making the pipeline idempotent (effectively-once).
+    * The checkpoint OWNS the output dir (standard Structured Streaming
+    * contract): batch ids are only meaningful relative to their
+    * checkpoint, so resetting the checkpoint against an existing outDir —
+    * or pointing two pipelines at one outDir — would overwrite prior
+    * batch_id partitions; use a fresh outDir with a fresh checkpoint.
     *
     * SCALE: dims are validated per-batch via the same broadcast-join
     * validator as batch; state is only the file-source checkpoint. */
@@ -147,7 +152,12 @@ object EventsStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val delta = batch.withColumn("section", substring(col("symbol"), 1, 1))
-          if (new java.io.File(target).exists())
+          // existence via the Hadoop FS API — java.io.File is always false
+          // on hdfs://...-style paths, which would silently route every
+          // batch to the initial-write branch and clobber prior sections
+          val p = new org.apache.hadoop.fs.Path(target)
+          val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          if (exists)
             graft.sources.TableWriters.upsertParquet(spark, target, delta,
               Seq("symbol"), Seq("section"))
           else

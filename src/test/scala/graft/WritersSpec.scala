@@ -55,6 +55,16 @@ class WritersSpec extends GraftSpec {
     assert(back.where(col("p") === 20).count() == 2)
     // untouched partition's files were not rewritten
     assert(filesIn(20) == before20)
+
+    // duplicate keys within one update batch: deterministic winner
+    // (lexicographically smallest row), stable across replays
+    val dup = Seq((2L, "B9", 10), (2L, "B1", 10)).toDF("k", "v", "p")
+    TableWriters.upsertParquet(spark, out, dup, Seq("k"), Seq("p"))
+    val v1 = spark.read.parquet(out).where(col("k") === 2).select("v").as[String].head()
+    TableWriters.upsertParquet(spark, out, dup, Seq("k"), Seq("p"))
+    val v2 = spark.read.parquet(out).where(col("k") === 2).select("v").as[String].head()
+    assert(v1 == "B1" && v2 == "B1")
+    assert(spark.read.parquet(out).where(col("k") === 2).count() == 1)
   }
 
   test("compaction shrinks file count, preserves content and partitioning") {
@@ -77,6 +87,21 @@ class WritersSpec extends GraftSpec {
     val scan = spark.read.parquet(out).where(col("y") === 1997)
       .queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
+
+    // predicate-scoped compaction: untouched partitions keep their files
+    (1 to 3).foreach { _ =>
+      orders.where(col("y") === 1996).repartition(6)
+        .write.mode("append").partitionBy("y").parquet(out)
+    }
+    def filesIn(y: Int) = new java.io.File(s"$out/y=$y").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val f1997 = filesIn(1997)
+    val n1996 = filesIn(1996).size
+    TableWriters.compactParquet(spark, out, Seq("y"),
+      partitionPredicate = Some(col("y") === 1996))
+    assert(filesIn(1996).size < n1996)
+    assert(filesIn(1997) == f1997)
+    assert(spark.read.parquet(out).count() == wantCnt + 3 * orders.where(col("y") === 1996).count())
   }
 
   test("typed top-k aggregator matches the window-function answer") {
