@@ -363,6 +363,44 @@ object PipelineQueries {
              |ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // ---- deterministic (reproducible) sampling: the training-pipeline
+    // answer to rand()-based TABLESAMPLE — membership is a pure function
+    // of the key via the engine-portable 60-bit md5 hash, so the sample
+    // is stable across engines, runs and cluster layouts, and different
+    // `salt` strings give independent samples. 10% sample of documents.
+    Q("q66_sample_hash",
+      (s, d) => t(s, d, "documents")
+        .where(pmod(conv(substring(md5(concat(lit("s1:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long"), lit(100L)) < 10)
+        .select(col("doc_id"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- full outer join (the one join type not otherwise registered):
+    // customers and their order counts, keeping customerless orders AND
+    // orderless customers visible.
+    Q("q67_full_outer",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        val o = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_name"), lit("<none>")).as("name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             |  coalesce(c_name, '<none>') AS name,
+             |  coalesce(n_orders, 0) AS n_orders
+             |FROM (SELECT c_custkey, c_name FROM customer) c
+             |FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+             |                 FROM orders GROUP BY o_custkey) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // ---- multimodal metadata plumbing (payload bytes + typed metadata;
     // see graft.operators.Multimodal for the decode-stub pipeline).
     Q("q31_mm_meta",
