@@ -73,4 +73,31 @@ object Multimodal {
       it.map(FakeDecoder.decode)
     }
   }
+
+  /** Aspect-preserving resize PLAN for image assets: the target geometry
+    * (scale factor, output dims) is computed as deterministic column
+    * arithmetic — per-row, shuffle-free, oracle-checkable — and the pixel
+    * transform itself is the stub seam (payload passes through; a real
+    * impl maps it through the codec with the computed dims). Never
+    * upscales; dims floor to >= 1. */
+  def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {
+    val f = least(lit(1.0), lit(maxSide.toDouble) / greatest(col("width"), col("height")))
+    assets.where(col("mime") === "image/png")
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L), floor(col("width") * f)).as("out_w"),
+        greatest(lit(1L), floor(col("height") * f)).as("out_h"),
+        col("payload")) // stub: a codec would re-encode to (out_w, out_h)
+  }
+
+  /** Frame-sampling PLAN for video assets: one row per sampled frame every
+    * `everyMs` milliseconds of the clip (frame 0 always included, bounds
+    * inclusive). Pure generate — the row explosion, timestamps and frame
+    * indices are real Spark plumbing; grabbing the frame bytes at ts_ms is
+    * the codec stub seam. */
+  def frameSamplePlan(assets: DataFrame, everyMs: Int): DataFrame =
+    assets.where(col("mime") === "video/mp4")
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs.toLong))).as("ts_ms"))
+      .select(col("doc_id"), (col("ts_ms") / everyMs).cast("long").as("frame_idx"),
+        col("ts_ms"))
 }

@@ -401,6 +401,37 @@ object PipelineQueries {
              |  ON c_custkey = o_custkey
              |ORDER BY custkey""".stripMargin)),
 
+    // ---- multimodal resize plan: aspect-preserving target geometry for
+    // image assets as deterministic column arithmetic (the pixel transform
+    // is the codec stub seam — see Multimodal.resizePlan).
+    Q("q68_mm_resize",
+      (s, d) => graft.operators.Multimodal
+        .resizePlan(graft.operators.Multimodal.assets(s, t(s, d, "documents")).toDF(), 256)
+        .select("doc_id", "width", "height", "out_w", "out_h")
+        .orderBy("doc_id"),
+      Some("""WITH a AS (SELECT doc_id,
+             |  CAST(doc_id % 640 + 64 AS INT) AS width,
+             |  CAST(doc_id % 480 + 48 AS INT) AS height
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |f AS (SELECT *, least(1.0, 256.0 / greatest(width, height)) AS sf FROM a)
+             |SELECT doc_id, width, height,
+             |  greatest(1, CAST(floor(width * sf) AS BIGINT)) AS out_w,
+             |  greatest(1, CAST(floor(height * sf) AS BIGINT)) AS out_h
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal frame sampling: one row per sampled frame per video
+    // asset (explode over computed timestamps — the real row-explosion
+    // plumbing; frame decode is the stub seam).
+    Q("q69_mm_frames",
+      (s, d) => graft.operators.Multimodal
+        .frameSamplePlan(graft.operators.Multimodal.assets(s, t(s, d, "documents")).toDF(), 1000)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH v AS (SELECT doc_id, doc_id * 33 % 90000 AS duration_ms
+             |          FROM documents WHERE doc_id % 3 = 2)
+             |SELECT doc_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, ts_ms
+             |FROM (SELECT doc_id, unnest(range(0, duration_ms + 1, 1000)) AS ts_ms FROM v)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- multimodal metadata plumbing (payload bytes + typed metadata;
     // see graft.operators.Multimodal for the decode-stub pipeline).
     Q("q31_mm_meta",
