@@ -176,6 +176,32 @@ object Advanced {
 
     // ---- full ranking-window battery: rank / dense_rank / ntile / lag /
     // lead over one partitioned frame.
+    // ---- RANGE-frame window (value-based frame, distinct from the ROWS
+    // frames of q16/q52): trailing-7-day average order value per customer.
+    // The frame key is epoch DAYS (integer) so the range arithmetic is
+    // identical in both engines.
+    Q("q70_window_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+          .rangeBetween(-6, Window.currentRow)
+        t(s, d, "orders").where(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
+            col("o_totalprice"))
+          .withColumn("avg7d", round(avg(col("o_totalprice")).over(w), 4))
+          .select("o_custkey", "o_orderkey", "d", "avg7d")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+             |  round(avg(o_totalprice) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7d
+             |FROM orders WHERE o_custkey < 100
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("q44_window_ranks",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
