@@ -257,6 +257,44 @@ object Dedup {
     agg.select(col("did").as("doc_id"), sig.as("simhash"))
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list: connected components
+    * via iterative min-label propagation — every document in a component
+    * gets the component's smallest doc id as `cluster`, which doubles as
+    * the canonical keeper. Completes the dedup flow (pairs alone don't
+    * say which rows to drop when A~B~C chain).
+    *
+    * SCALE: each round is one hash join (labels ⋈ edges) + one
+    * map-side-combinable min aggregation; rounds needed = graph diameter
+    * (near-dup components are tiny cliques/chains, so a handful). The
+    * driver loop only reads a per-round convergence COUNT; labels are
+    * localCheckpoint'd per round so lineage doesn't deepen. This is the
+    * join-based connected-components shape (cf. large-star/small-star,
+    * Kiveris et al.) specialized to min-label propagation. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // undirected edge list + the nodes themselves
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // candidate label for v = min over neighbors u of label(u)
+      val viaNeighbors = edges.join(labels, edges("u") === labels("id"))
+        .groupBy(col("v").as("id2")).agg(min(col("cluster")).as("nl"))
+      val next = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist: Manku-style
     * block-combination candidates. The 64-bit signature splits into
     * `nBlocks` blocks; each doc is keyed by every (nBlocks - maxDist)-subset

@@ -112,6 +112,33 @@ object PipelineQueries {
       Some(shingleSql),
       bench = true),
 
+    // ---- duplicate clusters: connected components over the exact
+    // shingle-Jaccard pairs (min-label = canonical keeper per component).
+    // Oracle recomputes the same edges in SQL and closes them with a
+    // recursive CTE.
+    Q("q71_dup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+        Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.5))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ia, ib
+             |          FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |          UNION SELECT ib, ia FROM pairs),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+             |SELECT src AS doc_id, min(dst) AS cluster
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // ---- SimHash signatures + hamming<=3 pairs on the real corpus
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
     // SimHash entry is q53 on the planted corpus below).

@@ -137,6 +137,17 @@ class ScaleSafetySpec extends GraftSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(500))
   }
 
+  test("duplicate clusters: chains collapse transitively to the min label") {
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ // 10-node chain => 9 rounds of hops
+      Seq((100L, 101L), (200L, 201L), (201L, 202L))).toDF("id_a", "id_b")
+    val cc = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(i => assert(cc(i) == 1L, s"node $i"))
+    Seq(100L, 101L).foreach(i => assert(cc(i) == 100L))
+    Seq(200L, 201L, 202L).foreach(i => assert(cc(i) == 200L))
+    assert(cc.size == 15)
+  }
+
   test("SRP near-dup pairs == exact all-pairs on a planted-dup corpus") {
     // twins of the first 20 vectors (cos == 1.0) on top of the real corpus
     val twins = emb.limit(20).select((col("vec_id") + 100000).as("vec_id"),
