@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance primitives: mergeable aggregate states and
+  * snapshot diffing — the operators that keep 100 TB derived tables fresh
+  * by touching only deltas.
+  */
+object Incremental {
+
+  /** Mergeable per-key aggregate STATE (count + per-column sums) — the
+    * partial-aggregation algebra Spark uses inside a shuffle, promoted to
+    * a table primitive: state(base ∪ delta) == merge(state(base),
+    * state(delta)), so a monthly delta updates a corpus-wide aggregate
+    * with one delta-sized job instead of a full recompute. Derived
+    * metrics (avg = sum/count) come from [[finish]], never stored. */
+  def aggState(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two states with identical schemas (n + sum_* columns). */
+  def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = a.columns.filterNot(keys.contains).toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head)).as(sums.head),
+        sums.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Final metrics off a state: per-column sum and mean. */
+  def finish(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = state.columns.filter(_.startsWith("sum_")).toSeq
+    state.select((keys.map(col) :+ col("n")) ++
+      sums.flatMap(c => Seq(col(c), (col(c) / col("n")).as(c.replaceFirst("^sum_", "avg_")))): _*)
+  }
+
+  /** Snapshot diff (CDC): classify every key of two table versions as
+    * insert / delete / update, dropping unchanged rows. Comparison is
+    * null-safe over all shared non-key columns.
+    *
+    * SCALE: one full-outer hash join on the key — both sides shuffle
+    * once; at real scale run it per partition (date) like the upsert.
+    * Emits the NEW row's values (null for deletes). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = oldDf.columns.filterNot(keys.contains)
+      .intersect(newDf.columns.filterNot(keys.contains)).toSeq
+    val o = oldDf.select((keys ++ valueCols).map(col): _*).as("o")
+    val n = newDf.select((keys ++ valueCols).map(col): _*).as("n")
+    val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val same = valueCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    val oldKey = col(s"o.${keys.head}"); val newKey = col(s"n.${keys.head}")
+    o.join(n, keyCond, "full_outer")
+      .withColumn("change",
+        when(oldKey.isNull, "insert")
+          .when(newKey.isNull, "delete")
+          .when(!same, "update"))
+      .where(col("change").isNotNull)
+      .select(keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+        Seq(col("change")) ++ valueCols.map(c => col(s"n.$c").as(c)): _*)
+  }
+}

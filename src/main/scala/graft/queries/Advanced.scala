@@ -176,6 +176,69 @@ object Advanced {
 
     // ---- full ranking-window battery: rank / dense_rank / ntile / lag /
     // lead over one partitioned frame.
+    // ---- incremental aggregate maintenance: per-customer order stats
+    // maintained as mergeable states — merge(state(hist), state(delta))
+    // must equal the full recompute the oracle runs. Money sums run in
+    // DECIMAL so summation is exact and ASSOCIATIVE (double partial sums
+    // differ from the full recompute in the last ulp, which flips
+    // round() at .xx5 boundaries); converted to double only for output.
+    Q("q72_incr_agg",
+      (s, d) => {
+        import graft.operators.Incremental
+        val orders = t(s, d, "orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        val hist = orders.where(col("o_orderkey") % 10 =!= 0)
+        val delta = orders.where(col("o_orderkey") % 10 === 0)
+        val merged = Incremental.mergeStates(
+          Incremental.aggState(hist, Seq("o_custkey"), Seq("o_totalprice")),
+          Incremental.aggState(delta, Seq("o_custkey"), Seq("o_totalprice")),
+          Seq("o_custkey"))
+        // output only the EXACT state columns (count + decimal sum as
+        // 2dp double); averages are derivable and their .xxx5 half-point
+        // rounding differs between engines
+        Incremental.finish(merged, Seq("o_custkey"))
+          .select(col("o_custkey"), col("n"),
+            round(col("sum_o_totalprice").cast("double"), 2).as("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- snapshot diff (CDC): classify keys across two deterministic
+    // versions of the customer table as insert / delete / update.
+    Q("q73_snapshot_diff",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val old = c.where(col("c_custkey") % 7 =!= 0)
+        val neu = c.where(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 5 === 0, round(col("c_acctbal") + 10.0, 2))
+              .otherwise(col("c_acctbal")))
+        graft.operators.Incremental.snapshotDiff(old, neu, Seq("c_custkey"))
+          .select(col("c_custkey"), col("change"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |o AS (SELECT * FROM c WHERE c_custkey % 7 <> 0),
+             |n AS (SELECT c_custkey, c_name,
+             |        CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 10.0, 2)
+             |             ELSE c_acctbal END AS c_acctbal
+             |      FROM c WHERE c_custkey % 11 <> 0)
+             |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |       WHEN n.c_custkey IS NULL THEN 'delete'
+             |       WHEN o.c_name IS DISTINCT FROM n.c_name
+             |         OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update' END AS change,
+             |  n.c_acctbal
+             |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+             |WHERE (CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |       WHEN n.c_custkey IS NULL THEN 'delete'
+             |       WHEN o.c_name IS DISTINCT FROM n.c_name
+             |         OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update' END) IS NOT NULL
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- RANGE-frame window (value-based frame, distinct from the ROWS
     // frames of q16/q52): trailing-7-day average order value per customer.
     // The frame key is epoch DAYS (integer) so the range arithmetic is
