@@ -361,5 +361,30 @@ object Relational {
              |  FROM g)
              |SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
              |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- native session_window API (vs q18's hand-built gap windows):
+    // gap-merged sessions per user. session_window merges STRICTLY-inside
+    // gaps (next.ts < end), so the oracle starts a new session at gap >=
+    // 30 min — comparisons run at the µs precision the timestamp cast
+    // keeps.
+    Q("q75_session_window",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        ev.groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n").cast("long").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR (epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000)
+             |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

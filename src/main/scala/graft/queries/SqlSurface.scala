@@ -106,6 +106,28 @@ object SqlSurface {
              |FROM orders
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ---- explicit GROUPING SETS + grouping() markers (distinct from the
+    // rollup/cube family of q17/q48); grouped columns coalesced in the
+    // output so null-ordering defaults can't differ between engines.
+    Q("q74_grouping_sets",
+      (s, d) => sqlQ(s, d,
+        """SELECT coalesce(o_orderpriority, '<all>') AS pri,
+          |  coalesce(o_orderstatus, '<all>') AS st,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY g_pri, g_st, pri, st""".stripMargin),
+      Some("""SELECT coalesce(o_orderpriority, '<all>') AS pri,
+             |  coalesce(o_orderstatus, '<all>') AS st,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g_pri, g_st, pri, st""".stripMargin)),
+
     // ---- typed per-group TopK Aggregator (custom UDAF surface): top-3
     // customers per nation by account balance. Bounded k-entry buffers with
     // partial aggregation — only k rows per group leave each map task.
