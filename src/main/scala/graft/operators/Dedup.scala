@@ -292,6 +292,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    // partial labels are silently WRONG — fail loudly if a component's
+    // diameter exceeded the round budget rather than return them
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds; " +
+        "raise maxRounds (rounds needed = largest component diameter)")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

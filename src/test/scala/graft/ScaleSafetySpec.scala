@@ -146,6 +146,10 @@ class ScaleSafetySpec extends GraftSpec {
     Seq(100L, 101L).foreach(i => assert(cc(i) == 100L))
     Seq(200L, 201L, 202L).foreach(i => assert(cc(i) == 200L))
     assert(cc.size == 15)
+    // insufficient round budget must fail loudly, never return partial labels
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxRounds = 2).collect()
+    }
   }
 
   test("SRP near-dup pairs == exact all-pairs on a planted-dup corpus") {
