@@ -209,3 +209,17 @@ object TextStats {
   def text_stats(c: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(c.cast("string"))))
 }
+
+/** Engine-portable hash idioms shared by the oracle-checked sketches. */
+object PortableHash {
+  import org.apache.spark.sql.functions.{conv, md5, substring}
+
+  /** 60-bit hash: first 15 hex chars of md5, parsed as an integer —
+    * bit-identical in Spark (`conv(substring(md5(x), 1, 15), 16, 10)`)
+    * and DuckDB (`CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). The
+    * single definition behind q62 (SimHash), q64 (KMV) and q66
+    * (deterministic sampling) — one place to keep in sync with the
+    * oracle SQL pattern. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+}

@@ -280,7 +280,10 @@ object Dedup {
       .localCheckpoint()
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    // <= so the budget counts PROPAGATION rounds: converging on a
+    // diameter-d component takes d label-changing rounds plus one
+    // no-change round to detect the fixpoint
+    while (!converged && round <= maxRounds) {
       // candidate label for v = min over neighbors u of label(u)
       val viaNeighbors = edges.join(labels, edges("u") === labels("id"))
         .groupBy(col("v").as("id2")).agg(min(col("cluster")).as("nl"))
@@ -295,8 +298,8 @@ object Dedup {
     // partial labels are silently WRONG — fail loudly if a component's
     // diameter exceeded the round budget rather than return them
     if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxRounds rounds; " +
-        "raise maxRounds (rounds needed = largest component diameter)")
+      s"connected components did not converge within $maxRounds propagation " +
+        "rounds; raise maxRounds (rounds needed = largest component diameter)")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

@@ -16,7 +16,10 @@ object Incremental {
     * with one delta-sized job instead of a full recompute. Derived
     * metrics (avg = sum/count) come from [[finish]], never stored. */
   def aggState(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n") +: sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    // per-column non-null counts ride along so finish() can derive true
+    // SQL-AVG semantics (sum / count of NON-NULL values, not row count)
+    val aggs = count(lit(1)).as("n") +:
+      sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c")))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -28,11 +31,15 @@ object Incremental {
         sums.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
-  /** Final metrics off a state: per-column sum and mean. */
+  /** Final metrics off a state: per-column sum and mean (mean = sum over
+    * the column's NON-NULL count, matching SQL AVG). */
   def finish(state: DataFrame, keys: Seq[String]): DataFrame = {
     val sums = state.columns.filter(_.startsWith("sum_")).toSeq
     state.select((keys.map(col) :+ col("n")) ++
-      sums.flatMap(c => Seq(col(c), (col(c) / col("n")).as(c.replaceFirst("^sum_", "avg_")))): _*)
+      sums.flatMap { c =>
+        val base = c.stripPrefix("sum_")
+        Seq(col(c), (col(c) / col(s"cnt_$base")).as(s"avg_$base"))
+      }: _*)
   }
 
   /** Snapshot diff (CDC): classify every key of two table versions as
@@ -48,7 +55,10 @@ object Incremental {
     val o = oldDf.select((keys ++ valueCols).map(col): _*).as("o")
     val n = newDf.select((keys ++ valueCols).map(col): _*).as("n")
     val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
-    val same = valueCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    // key-only tables have no value columns: rows are never "updated",
+    // but insert/delete classification still applies
+    val same = valueCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val oldKey = col(s"o.${keys.head}"); val newKey = col(s"n.${keys.head}")
     o.join(n, keyCond, "full_outer")
       .withColumn("change",

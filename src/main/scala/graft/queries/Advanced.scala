@@ -79,8 +79,7 @@ object Advanced {
         import s.implicits._
         t(s, d, "lineitem")
           .select(col("l_returnflag"),
-            conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-              .cast("long").as("h"))
+            graft.expressions.PortableHash.md5Hash60(col("l_partkey")).as("h"))
           .as[(String, Long)]
           .groupByKey(_._1)
           .mapValues(_._2)
@@ -174,8 +173,6 @@ object Advanced {
              |FROM nation JOIN supplier ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
-    // ---- full ranking-window battery: rank / dense_rank / ntile / lag /
-    // lead over one partitioned frame.
     // ---- incremental aggregate maintenance: per-customer order stats
     // maintained as mergeable states — merge(state(hist), state(delta))
     // must equal the full recompute the oracle runs. Money sums run in
@@ -194,10 +191,10 @@ object Advanced {
           Incremental.aggState(delta, Seq("o_custkey"), Seq("o_totalprice")),
           Seq("o_custkey"))
         // output only the EXACT state columns (count + decimal sum as
-        // 2dp double); averages are derivable and their .xxx5 half-point
-        // rounding differs between engines
-        Incremental.finish(merged, Seq("o_custkey"))
-          .select(col("o_custkey"), col("n"),
+        // 2dp double); averages are derivable (Incremental.finish — its
+        // algebra is spec-checked) and their .xxx5 half-point rounding
+        // differs between engines
+        merged.select(col("o_custkey"), col("n"),
             round(col("sum_o_totalprice").cast("double"), 2).as("total"))
           .orderBy("o_custkey")
       },
@@ -265,6 +262,8 @@ object Advanced {
              |FROM orders WHERE o_custkey < 100
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ---- full ranking-window battery: rank / dense_rank / ntile / lag /
+    // lead over one partitioned frame.
     Q("q44_window_ranks",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

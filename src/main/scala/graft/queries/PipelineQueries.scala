@@ -171,7 +171,7 @@ object PipelineQueries {
     // production path; its hash internals are what make it rows-only).
     Q("q62_simhash_md5",
       (s, d) => sortedPairs(Dedup.simHashPairs(t(s, d, "documents"), 3,
-        tokenHash = w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
+        tokenHash = graft.expressions.PortableHash.md5Hash60,
         bits = 60)),
       Some(simhashMd5Sql)),
 
@@ -397,8 +397,8 @@ object PipelineQueries {
     // `salt` strings give independent samples. 10% sample of documents.
     Q("q66_sample_hash",
       (s, d) => t(s, d, "documents")
-        .where(pmod(conv(substring(md5(concat(lit("s1:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long"), lit(100L)) < 10)
+        .where(pmod(graft.expressions.PortableHash.md5Hash60(
+          concat(lit("s1:"), col("doc_id"))), lit(100L)) < 10)
         .select(col("doc_id"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id FROM documents

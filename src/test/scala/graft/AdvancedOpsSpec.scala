@@ -30,8 +30,7 @@ class AdvancedOpsSpec extends GraftSpec {
   test("KMV sketch: estimate within 35% of exact, partition-independent") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_returnflag"),
-        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.expressions.PortableHash.md5Hash60(col("l_partkey")).as("h"))
     def est(df: org.apache.spark.sql.DataFrame) = df
       .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
       .agg(graft.operators.Sketches.kmvDistinct(64).toColumn)
@@ -44,6 +43,27 @@ class AdvancedOpsSpec extends GraftSpec {
     }
     // determinism under re-partitioning (merge order must not matter)
     assert(est(li.repartition(17)) == e1)
+  }
+
+  test("incremental agg algebra: merge == recompute, AVG over non-null counts") {
+    import graft.operators.Incremental
+    val rows = Seq((1, Some(10.0)), (1, None), (1, Some(20.0)),
+      (2, None), (2, None), (3, Some(5.0))).toDF("k", "x")
+    val full = Incremental.finish(
+      Incremental.aggState(rows, Seq("k"), Seq("x")), Seq("k"))
+    val split = Incremental.finish(
+      Incremental.mergeStates(
+        Incremental.aggState(rows.where(col("x").isNotNull), Seq("k"), Seq("x")),
+        Incremental.aggState(rows.where(col("x").isNull), Seq("k"), Seq("x")),
+        Seq("k")), Seq("k"))
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "n", "sum_x", "avg_x").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.get(2), r.get(3))).toMap
+    assert(m(full) == m(split))
+    // avg divides by the NON-NULL count (SQL AVG), not the row count
+    val sql = rows.groupBy("k").agg(avg("x").as("a")).collect()
+      .map(r => r.getInt(0) -> r.get(1)).toMap
+    m(full).foreach { case (k, (_, _, a)) => assert(a == sql(k), s"key $k") }
   }
 
   test("asof backward: hand-built case incl. no-match, exact-ts, latest-wins") {

@@ -37,6 +37,8 @@ object PipelineScaleBench {
     // throughput rather than JVM cold start
     CorpusPrep.prepare(base).count()
     TrainingPrep.pack(base, 256).count()
+    TrainingPrep.contaminatedIds(base.limit(500),
+      base.where(col("doc_id") % 97 === 0)).count()
 
     // corpus prep
     val basePrep = time("sf0.1 corpus prep")(CorpusPrep.prepare(base).count())

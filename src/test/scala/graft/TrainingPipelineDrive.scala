@@ -54,7 +54,7 @@ object TrainingPipelineDrive {
     val n4 = packed.count()
     assert(n4 == n3, "packing is 1:1 per doc")
     val shardSeqs = packed.groupBy("shard")
-      .agg(max("pack_seq").as("seqs"), sum("n_tokens").as("toks"))
+      .agg(countDistinct("pack_seq").as("seqs"), sum("n_tokens").as("toks"))
       .orderBy("shard").collect()
     shardSeqs.foreach(r => println(
       s"==   shard ${r.get(0)}: ${r.get(1)} sequences, ${r.get(2)} tokens"))
