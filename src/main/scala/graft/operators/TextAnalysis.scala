@@ -75,4 +75,16 @@ object TextAnalysis {
     * exact-dedup key for near-identical-after-normalization docs. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Training-corpus text normalization: lowercase, mask URLs and email
+    * addresses (crawl-scale PII/noise hygiene), collapse whitespace.
+    * Pure regexp columns — per-row, shuffle-free, scan-speed; patterns
+    * kept to constructs with identical Java-regex/RE2 semantics so the
+    * DuckDB oracle reproduces the exact strings. */
+  def normalizeText(text: Column): Column = {
+    val lowered = lower(text)
+    val urls = regexp_replace(lowered, "https?://\\S+", "<url>")
+    val emails = regexp_replace(urls, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+    trim(regexp_replace(emails, "\\s+", " "))
+  }
 }

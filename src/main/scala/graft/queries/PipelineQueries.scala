@@ -300,6 +300,21 @@ object PipelineQueries {
              |    (a, b) -> (a * 31 + b) % 1000000007) AS rh
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus text normalization: lowercase + URL/email masking +
+    // whitespace collapse (crawl hygiene before tokenization).
+    Q("q76_text_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(lower(text), 'https?://\S+', '<url>', 'g'),
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+             |    '\s+', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus term frequency (explode + count).
     Q("q30_term_freq",
       (s, d) => t(s, d, "documents")
