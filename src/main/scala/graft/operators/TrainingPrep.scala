@@ -44,6 +44,31 @@ object TrainingPrep {
       .select(col(idCol), col("start").cast("long").as("start"),
         array_join(slice(col("w"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
 
+  /** Boilerplate segment removal (CCNet/RefinedWeb-style line dedup,
+    * adapted to unpunctuated corpora): split each document into
+    * non-overlapping `segTokens`-token segments, drop segments whose
+    * normalization fingerprint appears in more than `maxDocs` distinct
+    * documents (headers, footers, injected templates), and rebuild the
+    * document from the surviving segments in order. Documents whose
+    * segments are ALL boilerplate disappear.
+    *
+    * SCALE: segment explode is a per-row generate; the document-frequency
+    * aggregation and the fingerprint join shuffle only 16-byte md5 keys;
+    * rebuild is one per-doc sort of surviving segments. */
+  def removeBoilerplate(docs: DataFrame, segTokens: Int, maxDocs: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = chunk(docs, segTokens, segTokens, idCol, textCol)
+      .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
+    val dfreq = segs.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+    segs.join(dfreq, "fp")
+      .where(col("seg_df") <= maxDocs)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("start"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination: ids of corpus documents sharing at least
     * one word n-gram shingle with any document of an evaluation/benchmark
     * set — those documents leak test data into training and must be

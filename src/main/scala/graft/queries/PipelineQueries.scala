@@ -315,6 +315,24 @@ object PipelineQueries {
              |    '\s+', ' ', 'g')) AS norm_text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- boilerplate segment removal: drop 8-token segments shared by
+    // >2 documents (template/header hygiene), rebuild surviving text.
+    Q("q77_boilerplate",
+      (s, d) => graft.operators.TrainingPrep
+        .removeBoilerplate(t(s, d, "documents"), 8, 2)
+        .orderBy("doc_id"),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS start FROM ws),
+             |seg AS (SELECT doc_id, start,
+             |         array_to_string(w[start + 1 : start + 8], ' ') AS chunk FROM st),
+             |fp AS (SELECT *, md5(lower(trim(regexp_replace(chunk, '\s+', ' ', 'g')))) AS f
+             |       FROM seg),
+             |dfq AS (SELECT f, count(DISTINCT doc_id) AS seg_df FROM fp GROUP BY f)
+             |SELECT doc_id,
+             |  array_to_string(list(chunk ORDER BY start), ' ') AS clean_text
+             |FROM fp JOIN dfq USING (f) WHERE seg_df <= 2
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus term frequency (explode + count).
     Q("q30_term_freq",
       (s, d) => t(s, d, "documents")
