@@ -89,6 +89,23 @@ class PipelineOpsSpec extends GraftSpec {
     assert(viaInt8 == exact)
   }
 
+  test("chunking edges: stride beyond length, single-token and empty docs") {
+    import graft.operators.TrainingPrep
+    val df = Seq((1L, "a"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = TrainingPrep.chunk(df, 2, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0L, "a"), (2L, 0L, "a b"), (3L, 0L, "")))
+  }
+
+  test("boilerplate removal: hot segments dropped, all-boilerplate docs vanish") {
+    import graft.operators.TrainingPrep
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "u v x y"))
+      .toDF("doc_id", "text")
+    val got = TrainingPrep.removeBoilerplate(df, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(4L -> "u v")) // "x y" appears in 4 docs > maxDocs=2
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric bound") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
