@@ -37,11 +37,11 @@ object Bench {
     // we measure warm engine throughput, not JVM cold start
     names.foreach(run)
 
-    // min of 2 measured runs per query: scheduler/GC jitter at local[32]
-    // is ±0.3 s on sub-second queries, which round-over-round comparisons
-    // would otherwise read as real regressions
+    // min of 3 measured runs per query: scheduler/GC jitter at local[32]
+    // is ±0.3 s (±25% on the heavier queries), which round-over-round
+    // comparisons would otherwise read as real regressions
     val results = names.map { name =>
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run(name)
         (System.nanoTime() - t0) / 1e9
