@@ -78,13 +78,16 @@ object TextAnalysis {
 
   /** Training-corpus text normalization: lowercase, mask URLs and email
     * addresses (crawl-scale PII/noise hygiene), collapse whitespace.
-    * Pure regexp columns — per-row, shuffle-free, scan-speed; patterns
-    * kept to constructs with identical Java-regex/RE2 semantics so the
-    * DuckDB oracle reproduces the exact strings. */
+    * Pure regexp columns — per-row, shuffle-free, scan-speed. Whitespace
+    * is the EXPLICIT class [ \t\n\r\f] rather than \s: Java's \s includes
+    * vertical tab (\x0B) while RE2's does not, so the shorthand would
+    * silently diverge from the DuckDB oracle on \x0B-bearing documents —
+    * the explicit class is identical by construction in both engines. */
   def normalizeText(text: Column): Column = {
+    val ws = "[ \\t\\n\\r\\f]"
     val lowered = lower(text)
-    val urls = regexp_replace(lowered, "https?://\\S+", "<url>")
+    val urls = regexp_replace(lowered, s"https?://[^ \\t\\n\\r\\f]+", "<url>")
     val emails = regexp_replace(urls, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
-    trim(regexp_replace(emails, "\\s+", " "))
+    trim(regexp_replace(emails, s"$ws+", " "))
   }
 }

@@ -53,16 +53,20 @@ object TrainingPrep {
     * segments are ALL boilerplate disappear.
     *
     * SCALE: segment explode is a per-row generate; the document-frequency
-    * aggregation and the fingerprint join shuffle only 16-byte md5 keys;
-    * rebuild is one per-doc sort of surviving segments. */
+    * aggregation shuffles only (md5 key, partial count) rows; the gate is
+    * a broadcast LEFT ANTI join against the HOT fingerprints (segments in
+    * more than maxDocs docs — a tiny set by definition of boilerplate),
+    * so the corpus side never exchanges on the fingerprint. The one
+    * corpus-sized shuffle left is the per-doc rebuild — which is the
+    * output itself. */
   def removeBoilerplate(docs: DataFrame, segTokens: Int, maxDocs: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val segs = chunk(docs, segTokens, segTokens, idCol, textCol)
       .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
-    val dfreq = segs.groupBy("fp")
+    val hot = segs.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("seg_df"))
-    segs.join(dfreq, "fp")
-      .where(col("seg_df") <= maxDocs)
+      .where(col("seg_df") > maxDocs)
+    segs.join(broadcast(hot), Seq("fp"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("start"), col("chunk")))),

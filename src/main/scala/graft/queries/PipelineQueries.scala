@@ -310,9 +310,9 @@ object PipelineQueries {
       Some("""SELECT doc_id,
              |  trim(regexp_replace(
              |    regexp_replace(
-             |      regexp_replace(lower(text), 'https?://\S+', '<url>', 'g'),
+             |      regexp_replace(lower(text), 'https?://[^ \t\n\r\f]+', '<url>', 'g'),
              |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
-             |    '\s+', ' ', 'g')) AS norm_text
+             |    '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- boilerplate segment removal: drop 8-token segments shared by
