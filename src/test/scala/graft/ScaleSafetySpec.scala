@@ -137,6 +137,13 @@ class ScaleSafetySpec extends GraftSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(500))
   }
 
+  test("boilerplate plan: hot-set broadcast anti-join, no fp exchange of segments") {
+    val plan = graft.operators.TrainingPrep.removeBoilerplate(docs, 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(500))
+    assert(plan.contains("BroadcastExchange"), plan.take(500))
+  }
+
   test("duplicate clusters: chains collapse transitively to the min label") {
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ // 10-node chain => 9 rounds of hops
       Seq((100L, 101L), (200L, 201L), (201L, 202L))).toDF("id_a", "id_b")
