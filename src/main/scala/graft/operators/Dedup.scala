@@ -205,14 +205,27 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
     * (k = b*r); candidate pairs collide on at least one band, then are
-    * verified with exact Jaccard over their shingle sets. */
+    * verified with exact Jaccard over their shingle sets.
+    *
+    * Unlike [[shingleJaccardPairs]], MinHash does NOT route through the
+    * did-keyed [[sharedExploded]] exchange by default: the signature
+    * aggregation's min() partial-aggregates BEFORE its shuffle (one
+    * k-column row per doc per map partition), so forcing it onto a
+    * repartition of raw (did, nsh, sh) rows replaces a compressed
+    * exchange with a full-stream one — measured +59% on the whole query
+    * at sf0.1 when round 3 shared the exchange for q22's benefit
+    * (BENCH_r02 0.73 s → BENCH_r03 1.17 s). The set-build side instead
+    * pays a second pass of the codegen'd shingle kernel over the scan,
+    * which is cheaper than writing + re-reading the materialized
+    * full-stream exchange. `shareShingleExchange = true` restores the
+    * shared-exchange shape for callers that co-run the prefix path. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      shareShingleExchange: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = sharedExploded(docs, idCol, textCol, n)
-    // k minhash values per doc, aggregated exchange-free on the shared
-    // did-partitioned stream (verification reuses the same exchange)
+    val sh = if (shareShingleExchange) sharedExploded(docs, idCol, textCol, n)
+             else explodedShingles(docs, idCol, textCol, n)
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
     val sig = sh.groupBy("did").agg(sigCols.head, sigCols.tail: _*)
     // band keys: hash of each band's r signature values. All band keys are

@@ -72,9 +72,13 @@ object TextAnalysis {
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text. Stable across engines (md5 is md5), so it doubles as the
-    * exact-dedup key for near-identical-after-normalization docs. */
+    * exact-dedup key for near-identical-after-normalization docs.
+    * Whitespace is the EXPLICIT class [ \t\n\r\f] for the same reason as
+    * [[normalizeText]]: Java's \s includes vertical tab (\x0B) while
+    * RE2's (DuckDB's) does not, so the shorthand would silently produce
+    * different fingerprints for \x0B-bearing documents across engines. */
   def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+    md5(lower(trim(regexp_replace(text, "[ \\t\\n\\r\\f]+", " "))))
 
   /** Training-corpus text normalization: lowercase, mask URLs and email
     * addresses (crawl-scale PII/noise hygiene), collapse whitespace.

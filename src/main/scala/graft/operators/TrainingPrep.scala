@@ -54,19 +54,31 @@ object TrainingPrep {
     *
     * SCALE: segment explode is a per-row generate; the document-frequency
     * aggregation shuffles only (md5 key, partial count) rows; the gate is
-    * a broadcast LEFT ANTI join against the HOT fingerprints (segments in
-    * more than maxDocs docs — a tiny set by definition of boilerplate),
-    * so the corpus side never exchanges on the fingerprint. The one
+    * a LEFT ANTI join against the HOT fingerprints (segments in more than
+    * `maxDocs` distinct docs). The hot set is NOT broadcast by default:
+    * its true bound is distinct-segments/(maxDocs+1), and a template-heavy
+    * crawl with a small `maxDocs` can push that to hundreds of millions of
+    * fingerprints — an unconditional broadcast hint would bypass the
+    * planner's size checks and OOM the driver. The default shuffle
+    * anti-join costs one extra linear exchange on `fp` (the corpus side
+    * already shuffles for the per-doc rebuild), and AQE still converts it
+    * to a broadcast at runtime whenever the built hot set measures small —
+    * "broadcast when small, shuffle otherwise" without trusting an
+    * a-priori claim. `broadcastHotSet = true` is the explicit opt-in for
+    * callers that KNOW their df cutoff keeps the set driver-sized. The one
     * corpus-sized shuffle left is the per-doc rebuild — which is the
     * output itself. */
   def removeBoilerplate(docs: DataFrame, segTokens: Int, maxDocs: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastHotSet: Boolean = false): DataFrame = {
     val segs = chunk(docs, segTokens, segTokens, idCol, textCol)
       .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
     val hot = segs.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("seg_df"))
       .where(col("seg_df") > maxDocs)
-    segs.join(broadcast(hot), Seq("fp"), "left_anti")
+    val gated = segs.join(if (broadcastHotSet) broadcast(hot) else hot,
+      Seq("fp"), "left_anti")
+    gated
       .groupBy(idCol)
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("start"), col("chunk")))),

@@ -93,7 +93,7 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |  md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- exact 3-gram-shingle Jaccard near-dup pairs.
@@ -212,15 +212,21 @@ object PipelineQueries {
 
     // ---- symmetric int8 embedding quantization (4x storage/shuffle
     // compression for ANN at scale); codes are deterministic IEEE double
-    // arithmetic, reproduced exactly by the oracle.
+    // arithmetic, reproduced exactly by the oracle. The registered form
+    // joins the code array into a CSV string (`q_codes`) because the
+    // driver's pandas comparator cannot sort raw array columns — the array
+    // API (`quantizeInt8`) stays the internal form q65 consumes.
     Q("q63_quantize_int8",
       (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))
+        .select(col("vec_id"),
+          concat_ws(",", col("q").cast("array<string>")).as("q_codes"),
+          col("qscale"))
         .orderBy("vec_id"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e)
              |SELECT vec_id,
-             |  CASE WHEN scale = 0 THEN [0::BIGINT for x in v]
-             |       ELSE [CAST(floor(x / scale + 0.5) AS BIGINT) for x in v] END AS q,
+             |  CASE WHEN scale = 0 THEN array_to_string([0::BIGINT for x in v], ',')
+             |       ELSE array_to_string([CAST(floor(x / scale + 0.5) AS BIGINT) for x in v], ',') END AS q_codes,
              |  round(scale * 1000000000.0) / 1000000000.0 AS qscale
              |FROM s ORDER BY vec_id""".stripMargin)),
 
@@ -325,7 +331,7 @@ object PipelineQueries {
              |st AS (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS start FROM ws),
              |seg AS (SELECT doc_id, start,
              |         array_to_string(w[start + 1 : start + 8], ' ') AS chunk FROM st),
-             |fp AS (SELECT *, md5(lower(trim(regexp_replace(chunk, '\s+', ' ', 'g')))) AS f
+             |fp AS (SELECT *, md5(lower(trim(regexp_replace(chunk, '[ \t\n\r\f]+', ' ', 'g')))) AS f
              |       FROM seg),
              |dfq AS (SELECT f, count(DISTINCT doc_id) AS seg_df FROM fp GROUP BY f)
              |SELECT doc_id,
@@ -367,7 +373,7 @@ object PipelineQueries {
               |      + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
               |      + least((CAST(len(list_filter(string_split(text,' '), x -> x IN ($EnList))) AS BIGINT)::DOUBLE
               |               / len(string_split(text,' '))) * 10.0, 1.0) * 0.2) * 1000000.0) / 1000000.0) AS quality,
-              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              |  md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS fp
               |  FROM sc)
               |SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
               |  arg_min(n_tokens, doc_id) AS n_tokens, arg_min(quality, doc_id) AS quality,

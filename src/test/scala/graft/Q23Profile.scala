@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+
+/** q23 regression profiler: times MinHash-LSH with and without the shared
+  * did-keyed shingle exchange under the bench session config.
+  * `sbt "Test/runMain graft.Q23Profile"`. */
+object Q23Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(1).sortWithinPartitions("id_a", "id_b")
+    def time(label: String)(f: => Unit): Double = {
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"== $label: $t%.3f s"); t
+    }
+
+    def direct = sorted(Dedup.minHashLshPairs(docs, 0.5))
+    def shared = sorted(Dedup.minHashLshPairs(docs, 0.5, shareShingleExchange = true))
+
+    // warmup both
+    noop(direct); noop(shared)
+    time("q23 direct (no shared exchange)")(noop(direct))
+    time("q23 shared exchange (r3 shape)")(noop(shared))
+    // results must be identical
+    val a = direct.collect().toSeq
+    val b = shared.collect().toSeq
+    println(s"== results equal: ${a == b} (${a.size} pairs)")
+    spark.stop()
+  }
+}

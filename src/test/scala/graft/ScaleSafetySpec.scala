@@ -137,11 +137,25 @@ class ScaleSafetySpec extends GraftSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(500))
   }
 
-  test("boilerplate plan: hot-set broadcast anti-join, no fp exchange of segments") {
-    val plan = graft.operators.TrainingPrep.removeBoilerplate(docs, 8, 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), plan.take(500))
-    assert(plan.contains("BroadcastExchange"), plan.take(500))
+  test("boilerplate gate: anti-join both ways, broadcast only on explicit opt-in") {
+    import graft.operators.TrainingPrep
+    // default: no forced broadcast — the hot set's size is unbounded by
+    // construction (distinct-segments / (maxDocs+1)), so the plan must not
+    // carry a broadcast HINT; AQE may still pick one at runtime if the
+    // built set measures small, which is the shape we want
+    val dflt = TrainingPrep.removeBoilerplate(docs, 8, 2)
+    val dfltPlan = dflt.queryExecution.executedPlan.toString
+    assert(dfltPlan.contains("LeftAnti"), dfltPlan.take(500))
+    assert(!dflt.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "default gate must not force a broadcast of the hot set")
+    // opt-in: explicit broadcast for callers that KNOW the cutoff bounds it
+    val bc = TrainingPrep.removeBoilerplate(docs, 8, 2, broadcastHotSet = true)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("LeftAnti"), bcPlan.take(500))
+    assert(bcPlan.contains("BroadcastExchange"), bcPlan.take(500))
+    // identical results either way
+    assert(dflt.orderBy("doc_id").collect().toSeq ==
+      bc.orderBy("doc_id").collect().toSeq)
   }
 
   test("duplicate clusters: chains collapse transitively to the min label") {
