@@ -19,12 +19,19 @@ object TrainingPrep {
     * SCALE: a single corpus-wide running sum would be a one-partition
     * window sort — the textbook anti-scale shape. Real pipelines pack per
     * output shard, which is what this does: `shards` independent windows,
-    * each hash-partition-sized, embarrassingly parallel; raise `shards`
-    * with the cluster. One exchange on shard, nothing else. */
-  def pack(docs: DataFrame, budgetTokens: Int, shards: Int = 8,
+    * each hash-partition-sized, embarrassingly parallel. One exchange on
+    * shard, nothing else. The default (`shards <= 0`) sizes the shard
+    * count to the cluster automatically (defaultParallelism), so the
+    * windows keep every core busy at any deployment size; pass an
+    * explicit count when the shard layout itself is the output contract
+    * (training shard files, a cross-engine oracle, ...). */
+  def pack(docs: DataFrame, budgetTokens: Int, shards: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nShards =
+      if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy("shard").orderBy(idCol)
-    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+    docs.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),

@@ -33,6 +33,16 @@ object CpcInline {
   private def sqlValues(xs: Seq[String]): String =
     xs.map(x => s"('${x.replace("'", "''")}')").mkString(", ")
 
+  private def sqlValuesBatched(batches: Seq[Seq[String]]): String =
+    batches.zipWithIndex.flatMap { case (xs, b) =>
+      xs.map(x => s"('${x.replace("'", "''")}', $b)")
+    }.mkString(", ")
+
+  /** The title lines split into two landing files for the incremental
+    * ingest demo (q78): run 1 sees the first six lines, run 2 the rest. */
+  private val titleBatches: Seq[Seq[String]] =
+    Seq(titleLines.take(6), titleLines.drop(6))
+
   private val LvlRe = """^([A-Z0-9/]+)\s+([0-9]+)\s+(.+)$"""
   private val FbRe = """^([A-Z0-9/]+)\s+(.+)$"""
 
@@ -150,5 +160,40 @@ object CpcInline {
               |    CASE WHEN validity_status <> 'ACTIVE' THEN 'Symbol status: ' || validity_status END,
               |    CASE WHEN NOT schema_valid THEN 'Symbol not found in schema hierarchy' END
               |  ], x -> x IS NOT NULL), '|'), '') AS warnings
-              |FROM j ORDER BY symbol""".stripMargin)))
+              |FROM j ORDER BY symbol""".stripMargin)),
+
+    // ---- incremental title ingestion (streaming tier's oracle row): the
+    // file-source stream + checkpoint processes each landed file exactly
+    // once under Trigger.AvailableNow; output = q40's parse of the same
+    // lines, plus which micro-batch ingested each row. A checkpoint bug
+    // (re-processing or skipping a file) changes rows or batch_ids and
+    // fails the hash compare.
+    Q("q78_incremental_ingest",
+      (s, _) => graft.streaming.EventsStream
+        .incrementalIngestDemo(s, titleBatches)
+        .orderBy("symbol", "title", "batch_id"),
+      Some(s"""WITH raw(line, batch_id) AS (VALUES ${sqlValuesBatched(titleBatches)}),
+              |t AS (SELECT trim(line) AS l, batch_id FROM raw),
+              |m AS (SELECT l, batch_id,
+              |  regexp_matches(l, '$LvlRe') AS haslvl,
+              |  regexp_matches(l, '$FbRe') AS hasfb FROM t),
+              |p AS (SELECT batch_id,
+              |  CASE WHEN haslvl THEN regexp_extract(l, '$LvlRe', 1)
+              |       ELSE regexp_extract(l, '$FbRe', 1) END AS symbol,
+              |  CASE WHEN haslvl THEN CAST(regexp_extract(l, '$LvlRe', 2) AS DOUBLE) END AS level,
+              |  CASE WHEN haslvl THEN regexp_extract(l, '$LvlRe', 3)
+              |       ELSE regexp_extract(l, '$FbRe', 2) END AS title
+              |  FROM m WHERE haslvl OR hasfb)
+              |SELECT symbol, level, title,
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 1, 1), '^\\p{L}$$')
+              |       THEN substring(symbol, 1, 1) END AS section,
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 2, 2), '^\\p{Nd}{2}$$')
+              |       THEN substring(symbol, 1, 3) END AS "class",
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 4, 1), '^\\p{L}$$')
+              |       THEN substring(symbol, 1, 4) END AS subclass,
+              |  CAST(batch_id AS BIGINT) AS batch_id
+              |FROM p ORDER BY symbol, title, batch_id""".stripMargin)))
 }

@@ -384,9 +384,11 @@ object PipelineQueries {
 
     // ---- sequence packing: documents laid end-to-end into per-shard token
     // streams cut every 256 tokens (see TrainingPrep.pack for the
-    // per-shard-window scale argument).
+    // per-shard-window scale argument). shards pinned to 8 because the
+    // shard layout is part of the oracle contract; unpinned, pack() sizes
+    // shards to the cluster.
     Q("q59_seq_pack",
-      (s, d) => graft.operators.TrainingPrep.pack(t(s, d, "documents"), 256)
+      (s, d) => graft.operators.TrainingPrep.pack(t(s, d, "documents"), 256, shards = 8)
         .orderBy("doc_id"),
       Some("""WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

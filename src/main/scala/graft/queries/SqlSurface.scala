@@ -32,17 +32,24 @@ object SqlSurface {
     * runs DDL once per session, not once per query — re-running CREATE
     * VIEW per execution charged catalog writes + parquet footer/file
     * listing (~0.5 s warm at sf0.1) to every query. Re-registers only
-    * when the dir changes. */
+    * when the dir changes or a view has gone missing. WEAK keys: a strong
+    * SparkSession key would pin every stopped session (and its
+    * SessionState) for the life of the JVM. */
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   private def sqlQ(s: SparkSession, d: String, text: String): DataFrame = {
     val dir = d.stripSuffix("/")
     // record the dir only AFTER registration succeeds (a failed or
     // mid-flight registration must be retried, not skipped); synchronized
-    // so two threads sharing the session can't observe half-created views
+    // so two threads sharing the session can't observe half-created views.
+    // The dir cache alone is not sufficient to skip: a caller may have
+    // dropped or replaced the temp views since, so verify they still
+    // resolve in the session catalog (in-memory lookups, ~free).
     registeredDir.synchronized {
-      if (registeredDir.get(s) != dir) {
+      val intact = registeredDir.get(s) == dir &&
+        SqlTables.forall(n => s.catalog.tableExists(n))
+      if (!intact) {
         graft.expressions.VectorFunctions.register(s)
         viewsFor(s, dir, SqlTables: _*)
         registeredDir.put(s, dir)
@@ -154,5 +161,42 @@ object SqlSurface {
              |        ORDER BY c_acctbal DESC, c_custkey) AS rk
              |      FROM customer)
              |WHERE rk <= 3
-             |ORDER BY nationkey, rk""".stripMargin)))
+             |ORDER BY nationkey, rk""".stripMargin)),
+
+    // ---- persistent catalog DDL: CREATE TABLE ... USING parquet (CTAS)
+    // materializes a durable table — parquet files at a real location,
+    // metadata in the shared external catalog — and the SELECT runs from a
+    // FRESH session (newSession(): fresh session state, no temp views),
+    // proving the table outlives the session that created it. This is the
+    // durable-artifact analog of the reference's published parquet table
+    // (reference: main.py:110-121), beyond the session-scoped temp views
+    // the rest of the SQL surface uses.
+    Q("q79_catalog_table",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = java.nio.file.Files
+          .createTempDirectory("graft-cat").resolve("nation_orders").toString
+        s.sql("DROP TABLE IF EXISTS graft_nation_orders")
+        s.sql(
+          s"""CREATE TABLE graft_nation_orders USING parquet LOCATION '$loc' AS
+             |SELECT n.n_name AS nation, o.o_orderstatus AS st,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o.o_totalprice), 2) AS total
+             |FROM parquet.`$dir/orders.parquet` o
+             |JOIN parquet.`$dir/customer.parquet` c ON o.o_custkey = c.c_custkey
+             |JOIN parquet.`$dir/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY 1, 2""".stripMargin)
+        s.newSession().sql(
+          """SELECT nation, st, n_orders, total
+            |FROM graft_nation_orders
+            |ORDER BY nation, st""".stripMargin)
+      },
+      Some("""SELECT n.n_name AS nation, o.o_orderstatus AS st,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o.o_totalprice), 2) AS total
+             |FROM orders o
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY 1, 2
+             |ORDER BY nation, st""".stripMargin)))
 }

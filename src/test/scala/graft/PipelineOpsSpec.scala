@@ -97,6 +97,18 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Set((1L, 0L, "a"), (2L, 0L, "a b"), (3L, 0L, "")))
   }
 
+  test("pack auto-sizes shards to the cluster; explicit count still honored") {
+    import graft.operators.TrainingPrep
+    val df = (0L until 64L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val auto = TrainingPrep.pack(df, 4)
+      .select("shard").distinct().count()
+    assert(auto == spark.sparkContext.defaultParallelism,
+      s"auto shard count $auto should track defaultParallelism")
+    val pinned = TrainingPrep.pack(df, 4, shards = 8)
+      .select("shard").distinct().count()
+    assert(pinned == 8)
+  }
+
   test("boilerplate removal: hot segments dropped, all-boilerplate docs vanish") {
     import graft.operators.TrainingPrep
     val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "u v x y"))

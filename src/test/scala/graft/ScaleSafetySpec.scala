@@ -88,6 +88,35 @@ class ScaleSafetySpec extends GraftSpec {
     }
   }
 
+  test("q22 executed adaptive plan materializes exchange reuse (ReusedExchange >= 2)") {
+    // The PPJoin pipeline's cost model rests on the shared shingle
+    // exchanges being READ MORE THAN ONCE rather than re-executed per
+    // subtree: the sh-keyed prefix exchange feeds both sides of the
+    // self-join, and the did-keyed exploded exchange feeds both the prefix
+    // pipeline and the verification set build. `explain` of the UNEXECUTED
+    // AdaptiveSparkPlan can't show this (AQE inserts ReusedExchange at
+    // runtime), so this asserts on the plan AFTER an action — a conf or
+    // Spark upgrade that silently disabled stage reuse would re-quadruple
+    // the corpus scans and fail here.
+    // fresh UNCACHED scan — the registered query's real input shape. A
+    // re-read of the SAME path still resolves to the suite's cached
+    // InMemoryRelation (CacheManager matches by canonicalized plan), which
+    // changes AQE's stage layout and hides the reuse, so scan a COPY of
+    // the file at a path nothing has cached.
+    val tmp = java.nio.file.Files.createTempDirectory("q22plan")
+    val copied = tmp.resolve("documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/documents.parquet"), copied)
+    val freshDocs = spark.read.parquet(copied.toString)
+    val df = Dedup.shingleJaccardPairs(freshDocs, 0.5)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(300))
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    assert(reused >= 2, s"expected >=2 ReusedExchange nodes, got $reused in:\n" +
+      finalPlan.take(3000))
+  }
+
   test("SortedIntersectCount == size(array_intersect) on sorted random sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
