@@ -65,6 +65,31 @@ object DedupScaleBench {
     val baseMh = time("sf0.1 minhash pairs")(Dedup.minHashLshPairs(base, 0.5).count())
     val x10Mh = time("10x minhash pairs")(Dedup.minHashLshPairs(x10, 0.5).count())
     println(s"== minhash recall at 10x: $x10Mh vs exact ${10 * basePairs} (base $baseMh)")
+
+    // ---- clusters: connected components over the exact pairs must
+    // replicate exactly (replica-disjoint vocabularies -> disjoint graphs)
+    val baseCl = time("sf0.1 dup clusters")(
+      Dedup.duplicateClusters(Dedup.shingleJaccardPairs(base, 0.5)).count())
+    val x10Cl = time("10x dup clusters")(
+      Dedup.duplicateClusters(Dedup.shingleJaccardPairs(x10, 0.5)).count())
+    assert(x10Cl == 10 * baseCl, s"$x10Cl != 10*$baseCl")
+
+    // ---- boilerplate gate: scale-default shuffle anti-join vs the
+    // explicit broadcast opt-in, head-to-head at 1x and 10x (the hot-set
+    // bound argument says the default must not cost much even when the
+    // hot set happens to be small)
+    import graft.operators.TrainingPrep
+    val baseBp = time("sf0.1 boilerplate (shuffle gate)")(
+      TrainingPrep.removeBoilerplate(base, 8, 2).count())
+    val baseBpB = time("sf0.1 boilerplate (broadcast opt-in)")(
+      TrainingPrep.removeBoilerplate(base, 8, 2, broadcastHotSet = true).count())
+    assert(baseBp == baseBpB)
+    val x10Bp = time("10x boilerplate (shuffle gate)")(
+      TrainingPrep.removeBoilerplate(x10, 8, 2).count())
+    val x10BpB = time("10x boilerplate (broadcast opt-in)")(
+      TrainingPrep.removeBoilerplate(x10, 8, 2, broadcastHotSet = true).count())
+    assert(x10Bp == x10BpB)
+    println(s"== boilerplate rows: 1x $baseBp, 10x $x10Bp (gate shapes agree)")
     x10.unpersist()
 
     // ---- 2. adversarial hot-shingle corpus (df == corpus size)
