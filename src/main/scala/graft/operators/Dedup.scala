@@ -277,12 +277,15 @@ object Dedup {
     * say which rows to drop when A~B~C chain).
     *
     * SCALE: each round is one hash join (labels ⋈ edges) + one
-    * map-side-combinable min aggregation; rounds needed = graph diameter
-    * (near-dup components are tiny cliques/chains, so a handful). The
-    * driver loop only reads a per-round convergence COUNT; labels are
-    * localCheckpoint'd per round so lineage doesn't deepen. This is the
-    * join-based connected-components shape (cf. large-star/small-star,
-    * Kiveris et al.) specialized to min-label propagation. */
+    * map-side-combinable min aggregation, followed by a POINTER-JUMPING
+    * step (label(v) := label(label(v)) — one more hash join on the label
+    * table): propagation alone needs diameter-d rounds, and at cluster
+    * scale rounds are scheduled JOBS, so round count — not per-round work
+    * — is the latency bottleneck for deep components; path halving cuts it
+    * to O(log d) (the same round-reduction argument as large-star/
+    * small-star, Kiveris et al.). The driver loop only reads a per-round
+    * convergence COUNT; labels are localCheckpoint'd per round so lineage
+    * doesn't deepen. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     // undirected edge list + the nodes themselves
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -294,15 +297,23 @@ object Dedup {
     var round = 0
     var converged = false
     // <= so the budget counts PROPAGATION rounds: converging on a
-    // diameter-d component takes d label-changing rounds plus one
+    // diameter-d component takes O(log d) label-changing rounds plus one
     // no-change round to detect the fixpoint
     while (!converged && round <= maxRounds) {
       // candidate label for v = min over neighbors u of label(u)
       val viaNeighbors = edges.join(labels, edges("u") === labels("id"))
         .groupBy(col("v").as("id2")).agg(min(col("cluster")).as("nl"))
-      val next = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
+      val stepped = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+      // pointer jumping: follow the label chain one hop (label of my
+      // label). A label value is always a node id of the same component,
+      // so the self-join matches; left + coalesce guards the root rows.
+      val jumped = stepped.as("s").join(
+          stepped.select(col("id").as("jid"), col("cluster").as("jcl")).as("j"),
+          col("s.cluster") === col("j.jid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.cluster"), coalesce(col("jcl"), col("s.cluster"))).as("cluster"))
+      val next = jumped.localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).isEmpty
       labels = next

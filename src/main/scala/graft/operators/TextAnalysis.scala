@@ -70,6 +70,21 @@ object TextAnalysis {
     (lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2)
   }
 
+  /** Intra-document repetition ratio (the Gopher/RefinedWeb duplicate
+    * n-gram quality signal): fraction of word n-grams that are repeats of
+    * an earlier n-gram in the same document — high values mark boilerplate
+    * loops, keyword stuffing, and degenerate generations. Pure per-row
+    * columns off the codegen'd shingle kernel (distinct n-gram count /
+    * total n-gram count), shuffle-free, scan-speed. Hashed-distinct
+    * counting is injective in practice (collision odds within one doc's
+    * ~100-shingle set ≈ 1e-15 — same argument as [[Dedup]]). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(split(text, " ")) - (n - 1), lit(0)).cast("double")
+    val distinct =
+      size(graft.expressions.ShingleHashes.shingle_hashes(text, n)).cast("double")
+    when(total > 0, lit(1.0) - distinct / total).otherwise(lit(0.0))
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text. Stable across engines (md5 is md5), so it doubles as the
     * exact-dedup key for near-identical-after-normalization docs.

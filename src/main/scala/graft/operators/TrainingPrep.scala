@@ -92,6 +92,23 @@ object TrainingPrep {
           s => s.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Deterministic stratified sampling — the training-MIX knob: each
+    * stratum (language, domain, source) keeps a different percentage of
+    * its documents, so corpus composition can be reweighted without a
+    * shuffle. Membership is a pure function of (salt, id) via the
+    * engine-portable 60-bit md5 hash: reproducible across engines, runs
+    * and cluster layouts, and different salts give independent samples
+    * (cf. the unstratified q66). Strata absent from `ratesPct` are
+    * dropped (rate 0). Per-row predicate — scan-speed, shuffle-free. */
+  def stratifiedSample(df: DataFrame, ratesPct: Map[String, Int], salt: String,
+      stratumCol: String = "stratum", idCol: String = "doc_id"): DataFrame = {
+    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(pmod(graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol))), lit(100L)) < rate)
+  }
+
   /** Benchmark decontamination: ids of corpus documents sharing at least
     * one word n-gram shingle with any document of an evaluation/benchmark
     * set — those documents leak test data into training and must be

@@ -446,6 +446,54 @@ object PipelineQueries {
              |WHERE CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic training-mix sampling: per-language sampling
+    // rates (the corpus-composition knob) with engine-portable hash
+    // membership — en 60%, de 30%, es 20%, fr 10%, und dropped.
+    Q("q80_corpus_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("stratum", TextAnalysis.langId(col("text")))
+        graft.operators.TrainingPrep.stratifiedSample(docs,
+          Map("en" -> 60, "de" -> 30, "es" -> 20, "fr" -> 10), "mix1")
+          .select(col("doc_id"), col("stratum").as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS s_es,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr
+             |  FROM documents),
+             |l AS (SELECT doc_id, CASE
+             |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |  ELSE 'fr' END AS lang FROM sc)
+             |SELECT doc_id, lang FROM l
+             |WHERE CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+             |  < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+             |              WHEN 'es' THEN 20 WHEN 'fr' THEN 10 ELSE 0 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- intra-document repetition ratio (duplicate-trigram fraction —
+    // the Gopher/RefinedWeb quality signal for boilerplate loops and
+    // degenerate text), off the codegen'd shingle kernel.
+    Q("q81_repetition",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          (round((TextAnalysis.repetitionRatio(col("text"))) * 1000000.0) / 1000000.0).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total,
+             |        CASE WHEN len(w) >= 3 THEN len(list_distinct(
+             |          [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]))
+             |        ELSE 0 END AS dist
+             |      FROM ws)
+             |SELECT doc_id,
+             |  round((CASE WHEN total > 0 THEN 1.0 - dist::DOUBLE / total ELSE 0.0 END) * 1000000.0) / 1000000.0 AS rep_ratio
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ---- full outer join (the one join type not otherwise registered):
     // customers and their order counts, keeping customerless orders AND
     // orderless customers visible.
