@@ -78,18 +78,24 @@ object Dedup {
         graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("shs"))
       .select(col("did"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
 
-  /** [[explodedShingles]] behind an explicit did-keyed Exchange, so every
-    * consumer of the shingle stream in a near-dup query reads ONE
-    * materialized shuffle instead of re-running scan + shingle hashing per
-    * subtree. Without this, the planner broadcasts the self-join/verify
-    * sides and the full prefix pipeline + set build execute 2-4x each
-    * (shingle_hashes went from ~8 to ~2 evaluations per doc). The
-    * did-partitioning is chosen because the per-doc aggregations
-    * (signature build, set build, prefix sort) then run exchange-free on
-    * top of it, and the document-frequency aggregation still map-side
-    * combines before its own narrow shuffle. One extra linear shuffle of
-    * (did, nsh, sh) rows buys the removal of 3+ full corpus re-scans —
-    * the right trade at any scale. */
+  /** [[explodedShingles]] behind an explicit did-keyed Exchange. What this
+    * buys (verified against the EXECUTED adaptive plan, see PLANS_r4 and
+    * the ReusedExchange assertion in ScaleSafetySpec): the per-doc
+    * aggregations downstream — prefix sort and verification-set build —
+    * run exchange-free on did-partitioned input instead of each planning
+    * its own shuffle of raw exploded rows, the sh-keyed prefix exchange
+    * above it is built once and REUSED by both sides of the candidate
+    * self-join, and the verification-set broadcast is built once and
+    * reused by both id probes. What it does NOT do: collapse the scans —
+    * column pruning gives each consumer's exchange subtree a different
+    * canonicalized form, so the corpus is still scanned per consumer
+    * (~3x) and only the exchanges above the divergence point dedupe.
+    * Measured net effect on the full q22 at sf0.1 (Q22Profile, min-of-3):
+    * 1.87 s with the exchange vs 2.02 s without; round 3's 4.09 → 1.64 s
+    * gain was this plus the merge-intersect verify kernel and the df==1
+    * pre-drop. MinHash deliberately does NOT use this (see
+    * [[minHashLshPairs]]): its min() aggregation partial-aggregates
+    * before its own shuffle, which beats repartitioning raw rows. */
   private def sharedExploded(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     explodedShingles(docs, idCol, textCol, n).repartition(col("did"))
 
@@ -183,8 +189,10 @@ object Dedup {
     * Identical output to the naive all-shared-shingles join (proven in
     * ScaleSafetySpec); linear shuffles only. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
-    val exploded = sharedExploded(docs, idCol, textCol, n)
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      shareShingleExchange: Boolean = true): DataFrame = {
+    val exploded = if (shareShingleExchange) sharedExploded(docs, idCol, textCol, n)
+                   else explodedShingles(docs, idCol, textCol, n)
     // the self-join reads ONE sh-keyed exchange twice (ReusedExchange), so
     // the prefix pipeline — dfreq agg, df join, per-doc sort — runs once,
     // not once per join side

@@ -386,5 +386,27 @@ object Relational {
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
-             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- manual hot-key salting (SkewUtils.saltedJoin): the fact side is
+    // salted 8 ways and the dimension replicated 8x, turning one hot-key
+    // straggler task into 8 parallel tasks — for the skew cases AQE can't
+    // fix (hot key inside a broadcast-too-big dim join). Salting must be
+    // RESULT-INVISIBLE, which is exactly what the oracle (a plain join)
+    // checks.
+    Q("q82_salted_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+          .withColumnRenamed("c_custkey", "o_custkey")
+        graft.operators.SkewUtils.saltedJoin(o, c, "o_custkey", 8)
+          .groupBy(col("c_name"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_name")
+      },
+      Some("""SELECT c_name, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_name ORDER BY c_name""".stripMargin)))
 }

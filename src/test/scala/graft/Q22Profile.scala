@@ -1,45 +1,45 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
-/** Stage-by-stage wall-clock breakdown of q22_dedup_shingle at sf0.1 —
-  * identifies which exchange/aggregation dominates before optimizing.
-  * `sbt "Test/runMain graft.Q22Profile"` */
+/** q22 exchange-shape profiler: PPJoin with vs without the explicit
+  * did-keyed shingle exchange, under the bench session config.
+  * `sbt "Test/runMain graft.Q22Profile"`. */
 object Q22Profile {
   def main(args: Array[String]): Unit = {
-    val spark = TestSpark.spark
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      .select("doc_id", "text")
-    println(s"== docs: ${docs.count()}")
 
-    val exploded = docs.select(col("doc_id").cast("long").as("did"),
-        graft.expressions.ShingleHashes.shingle_hashes(col("text"), 3).as("shs"))
-      .select(col("did"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
-
-    (1 to 2).foreach { i =>
-      time(s"[$i] exploded shingles count")(exploded.count())
-      time(s"[$i] dfreq agg")(exploded.groupBy("sh").agg(count(lit(1))).count())
-      val prefix = Dedup.prefixShingles(docs, 0.5, "doc_id", "text", 3)
-      time(s"[$i] prefix shingles")(prefix.count())
-      val minOverlap = ceil(lit(0.5 / 1.5) * (col("a.nsh") + col("b.nsh")))
-      val overlapBound = least(col("a.rk"), col("b.rk")) - 1 +
-        least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")) + 1
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
-            col("b.nsh") >= lit(0.5) * col("a.nsh") &&
-            col("a.nsh") >= lit(0.5) * col("b.nsh") &&
-            overlapBound >= minOverlap)
-        .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
-        .distinct()
-      time(s"[$i] candidates")(cand.count())
-      time(s"[$i] full q22")(Dedup.shingleJaccardPairs(docs, 0.5)
-        .write.mode("overwrite").format("noop").save())
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(1).sortWithinPartitions("id_a", "id_b")
+    def time(label: String)(f: => Unit): Unit = {
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"== $label: $t%.3f s")
     }
+
+    def shared = sorted(Dedup.shingleJaccardPairs(docs, 0.5))
+    def direct = sorted(Dedup.shingleJaccardPairs(docs, 0.5, shareShingleExchange = false))
+
+    noop(shared); noop(direct) // warmup
+    time("q22 shared did-exchange (current)")(noop(shared))
+    time("q22 direct (no did-exchange)")(noop(direct))
+    val a = shared.collect().toSeq
+    val b = direct.collect().toSeq
+    println(s"== results equal: ${a == b} (${a.size} pairs)")
     spark.stop()
   }
 }

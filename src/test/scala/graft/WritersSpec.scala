@@ -67,6 +67,25 @@ class WritersSpec extends GraftSpec {
     assert(spark.read.parquet(out).where(col("k") === 2).count() == 1)
   }
 
+  test("stale staging leftovers are swept and never corrupt an upsert") {
+    val root = Files.createTempDirectory("writers5")
+    val out = root.toString + "/t"
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
+    TableWriters.parquetPartitioned(base, out, Seq("p"))
+    // a crashed predecessor's staging dir with garbage partition data
+    val stale = new java.io.File(root.toFile, ".t.staging-deadbeef")
+    new java.io.File(stale, "p=10").mkdirs()
+    Files.write(stale.toPath.resolve("p=10/part-junk.parquet"), Array[Byte](1, 2))
+    TableWriters.upsertParquet(spark, out,
+      Seq((1L, "a2", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    assert(!stale.exists(), "stale staging dir must be swept")
+    assert(root.toFile.listFiles().map(_.getName).toSet == Set("t"),
+      "no staging residue after a successful swap")
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("compaction shrinks file count, preserves content and partitioning") {
     val out = Files.createTempDirectory("writers4").toString + "/t"
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
