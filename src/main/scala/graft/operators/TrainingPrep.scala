@@ -127,4 +127,91 @@ object TrainingPrep {
     hashes(docs).join(benchShingles, Seq("sh"), "left_semi")
       .select(col("did").as(idCol)).distinct()
   }
+
+  /** Top-`k` most characteristic terms per document by tf-idf, with a
+    * RATIONAL idf: score = tf * (N+1)/(df+1). The textbook ln() is
+    * deliberately absent — measured on this corpus's df range, JVM
+    * Math.log and DuckDB/libm ln disagree in the last bit on ~0.1% of
+    * inputs, enough to flip a rank at a near-tie and break cross-engine
+    * reproducibility. Add/multiply/divide and casts of exact integers are
+    * correctly rounded under IEEE-754 in every engine, so the rational score is
+    * bit-identical everywhere and the (score desc, term asc) ranking is
+    * total and portable.
+    *
+    * SCALE: token explode is a per-row generate; tf is one (doc,term)
+    * shuffle with map-side combine; df re-aggregates tf (already one row
+    * per doc-term) on term; N joins in as a broadcast single-row
+    * aggregate; the final per-doc top-k is a rank window on the doc key.
+    * Vocabulary (df) joins by term — AQE broadcasts it when the measured
+    * vocabulary is small, shuffles otherwise; no a-priori hint. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.select(countDistinct(col(idCol)).as("n_docs")))
+    val scored = tf.join(df_, "term").crossJoin(n)
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        (round(col("score") * 1000000.0) / 1000000.0).as("score"))
+  }
+
+  /** Deterministic training-shard assignment: every document gets a
+    * (shard, pos) slot — shard by portable hash, position by hash order
+    * within the shard — so the exported corpus is globally shuffled
+    * (random-looking order, reproducible across runs and engines) without
+    * ever materializing a global sort.
+    *
+    * SCALE: the one anti-pattern this replaces is ORDER BY random() over
+    * the whole corpus — a corpus-wide range sort whose boundary sampling
+    * re-executes the input. Here each shard's row_number window is an
+    * independent hash-partition-sized sort running in parallel; one
+    * exchange on shard, nothing global. Shards are balanced by
+    * construction (uniform hash). */
+  def shardExport(docs: DataFrame, nShards: Int, salt: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val key = graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol)))
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    docs.select(col(idCol), key.as("shuffle_key"),
+        pmod(key, lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("shuffle_key")
+  }
+
+  /** Group-coherent train/validation split with a per-group document
+    * quota. The split key is the GROUP (site, source, domain), not the
+    * document: hashing doc ids would scatter near-identical pages of one
+    * site across train and validation and leak. The quota caps any one
+    * group's contribution (anti-domination), keeping the `quota`
+    * hash-smallest documents — a deterministic uniform subsample of the
+    * group, not its head.
+    *
+    * SCALE: one window keyed by the group column for the quota rank, one
+    * scan-speed hash predicate for the split label. A pathological
+    * mega-group makes that window's sort partition-local-heavy; the quota
+    * itself bounds the OUTPUT, and a rank-window top-k is the standard
+    * shape (same as [[graft.operators.TopK]]'s discussion) — for known
+    * mega-group skew, pre-filter with a cheap per-partition cap first. */
+  def domainSplit(docs: DataFrame, groupCol: String, quota: Int,
+      valPct: Int, salt: String, idCol: String = "doc_id"): DataFrame = {
+    val docKey = graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol)))
+    val w = Window.partitionBy(groupCol).orderBy(col("doc_key"), col(idCol))
+    docs.select(col(idCol), col(groupCol), docKey.as("doc_key"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .withColumn("split",
+        when(pmod(graft.expressions.PortableHash.md5Hash60(
+          concat(lit(salt + ":"), col(groupCol))), lit(100L)) < valPct,
+          lit("val")).otherwise(lit("train")))
+      .select(col(idCol), col(groupCol), col("split"))
+  }
 }

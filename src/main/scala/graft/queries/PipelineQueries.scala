@@ -494,6 +494,61 @@ object PipelineQueries {
              |  round((CASE WHEN total > 0 THEN 1.0 - dist::DOUBLE / total ELSE 0.0 END) * 1000000.0) / 1000000.0 AS rep_ratio
              |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- top-3 characteristic terms per document by tf-idf with a
+    // RATIONAL idf (tf * (N+1)/(df+1)); ln() is deliberately absent —
+    // JVM Math.log and libm ln disagree in the last bit on ~0.1% of this
+    // corpus's idf inputs (measured), enough to flip a rank cross-engine.
+    Q("q83_tfidf",
+      (s, d) => graft.operators.TrainingPrep
+        .tfIdfTopTerms(t(s, d, "documents"), 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |s AS (SELECT doc_id, term,
+             |        tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+             |      FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |      FROM s)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+             |  round(score * 1000000.0) / 1000000.0 AS score
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- deterministic training-shard export: (shard, pos) slot per
+    // document via the portable hash — a reproducible global shuffle with
+    // NO global sort (per-shard windows, one exchange on shard).
+    Q("q84_shard_export",
+      (s, d) => graft.operators.TrainingPrep
+        .shardExport(t(s, d, "documents").select("doc_id"), 8, "shard1")
+        .orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5('shard1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+             |  FROM documents)
+             |SELECT doc_id, key % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // ---- group-coherent train/val split + per-source quota: the split
+    // hashes the SOURCE (all pages of a site land in one split — no
+    // near-dup leakage across the boundary), the quota keeps each
+    // source's 100 hash-smallest docs (anti-domination subsample).
+    Q("q85_domain_split",
+      (s, d) => graft.operators.TrainingPrep
+        .domainSplit(t(s, d, "documents"), "source", 100, 20, "split1")
+        .orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id, source,
+             |  CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS dk
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source ORDER BY dk, doc_id) AS rk
+             |      FROM k)
+             |SELECT doc_id, source,
+             |  CASE WHEN CAST(('0x' || substr(md5('split1:' || source), 1, 15)) AS BIGINT) % 100 < 20
+             |       THEN 'val' ELSE 'train' END AS split
+             |FROM r WHERE rk <= 100 ORDER BY doc_id""".stripMargin)),
+
     // ---- full outer join (the one join type not otherwise registered):
     // customers and their order counts, keeping customerless orders AND
     // orderless customers visible.

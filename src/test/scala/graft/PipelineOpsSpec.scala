@@ -186,6 +186,33 @@ class PipelineOpsSpec extends GraftSpec {
     assert(plain == salted)
   }
 
+  test("tf-idf top terms: k rows per doc, rank 1 is the max score, corpus-wide terms score low") {
+    val tt = graft.operators.TrainingPrep.tfIdfTopTerms(docs, 3)
+    val perDoc = tt.groupBy("doc_id").count().agg(max("count"), min("count")).collect()(0)
+    assert(perDoc.getLong(0) == 3)
+    val r1 = tt.where(col("rank") === 1).select("doc_id", "score")
+      .withColumnRenamed("score", "s1")
+    val viol = tt.join(r1, "doc_id").where(col("score") > col("s1")).count()
+    assert(viol == 0, "rank-1 must carry the per-doc max score")
+  }
+
+  test("shard export: every doc exactly one slot, contiguous positions, balanced shards") {
+    val ex = graft.operators.TrainingPrep.shardExport(docs.select("doc_id"), 8, "t1")
+    assert(ex.count() == docs.count() && ex.select("doc_id").distinct().count() == docs.count())
+    val perShard = ex.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("mx"))
+    assert(perShard.where(col("n") =!= col("mx")).count() == 0, "positions must be 1..n")
+    val sizes = perShard.select("n").collect().map(_.getLong(0))
+    assert(sizes.length == 8 && sizes.max < sizes.min * 2, s"unbalanced: ${sizes.toSeq}")
+  }
+
+  test("domain split: quota enforced, split label constant within a group") {
+    val sp = graft.operators.TrainingPrep.domainSplit(docs, "source", 5, 30, "t2")
+    assert(sp.groupBy("source").count().agg(max("count")).collect()(0).getLong(0) <= 5)
+    val mixed = sp.groupBy("source").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1).count()
+    assert(mixed == 0, "a source must never straddle train and val")
+  }
+
   test("streaming: incremental title ingestion over a landing dir (AvailableNow shape)") {
     val landing = java.nio.file.Files.createTempDirectory("cpc-landing")
     java.nio.file.Files.writeString(landing.resolve("batch1.txt"),

@@ -37,6 +37,15 @@ class WritersSpec extends GraftSpec {
     assert(fromJson.collect().map(_.toSeq).toSet == want)
   }
 
+  test("orc round-trip preserves values and schema") {
+    val out = Files.createTempDirectory("writers_orc").toString + "/nation_orc"
+    val nation = spark.read.parquet(s"$sf0001/nation.parquet")
+    nation.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == nation.schema)
+    assert(back.collect().map(_.toSeq).toSet == nation.collect().map(_.toSeq).toSet)
+  }
+
   test("keyed upsert rewrites only touched partitions, last-writer-wins") {
     val out = Files.createTempDirectory("writers3").toString + "/t"
     val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 20))
