@@ -138,12 +138,15 @@ object TrainingPrep {
     * bit-identical everywhere and the (score desc, term asc) ranking is
     * total and portable.
     *
-    * SCALE: token explode is a per-row generate; tf is one (doc,term)
-    * shuffle with map-side combine; df re-aggregates tf (already one row
-    * per doc-term) on term; N joins in as a broadcast single-row
-    * aggregate; the final per-doc top-k is a rank window on the doc key.
-    * Vocabulary (df) joins by term — AQE broadcasts it when the measured
-    * vocabulary is small, shuffles otherwise; no a-priori hint. */
+    * SCALE: token explode is a per-row generate; tf and df are each one
+    * scan-speed tokenize pass whose shuffle partial-aggregates map-side
+    * (two passes by design — see the inline note on why sharing one
+    * exchange or folding df into a window loses at scale); N joins in as
+    * a broadcast single-row aggregate; the final per-doc top-k is a rank
+    * window on the doc key, and Spark's WindowGroupLimit pre-prunes each
+    * partition to k rows before the shuffle. Vocabulary (df) joins by
+    * term — AQE broadcasts it when the measured vocabulary is small,
+    * shuffles otherwise; no a-priori hint. */
   def tfIdfTopTerms(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs
@@ -151,6 +154,17 @@ object TrainingPrep {
       .where(col("term") =!= "")
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // The df branch re-tokenizes the corpus (the optimizer prunes tf's
+    // count into a bare distinct here, so the two subtrees are not
+    // canonically equal and AQE cannot reuse the (doc,term) exchange).
+    // That second scan is deliberate — each alternative is worse at
+    // scale: a shared raw-token exchange shuffles unaggregated rows and
+    // loses both branches' map-side combine (the q23/MinHash lesson); a
+    // `count over (partition by term)` window folds df into one pass but
+    // puts every occurrence of a stopword-grade hot term on a single
+    // task; caching tf materializes corpus-scale state. Two scan-speed
+    // passes whose shuffles both partial-aggregate is the cheapest
+    // network shape.
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.select(countDistinct(col(idCol)).as("n_docs")))
     val scored = tf.join(df_, "term").crossJoin(n)
@@ -195,11 +209,12 @@ object TrainingPrep {
     * group, not its head.
     *
     * SCALE: one window keyed by the group column for the quota rank, one
-    * scan-speed hash predicate for the split label. A pathological
-    * mega-group makes that window's sort partition-local-heavy; the quota
-    * itself bounds the OUTPUT, and a rank-window top-k is the standard
-    * shape (same as [[graft.operators.TopK]]'s discussion) — for known
-    * mega-group skew, pre-filter with a cheap per-partition cap first. */
+    * scan-speed hash predicate for the split label. Mega-group skew is
+    * bounded by Spark's rank-limit pushdown: the executed plan shows a
+    * PARTIAL WindowGroupLimit before the exchange, so every map
+    * partition forwards at most `quota` rows per group and the post-
+    * shuffle sort sees at most quota x upstream-partitions rows for even
+    * the hottest group. */
   def domainSplit(docs: DataFrame, groupCol: String, quota: Int,
       valPct: Int, salt: String, idCol: String = "doc_id"): DataFrame = {
     val docKey = graft.expressions.PortableHash.md5Hash60(
