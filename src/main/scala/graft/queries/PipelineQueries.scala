@@ -514,7 +514,8 @@ object PipelineQueries {
              |      FROM s)
              |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
              |  round(score * 1000000.0) / 1000000.0 AS score
-             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      bench = true),
 
     // ---- deterministic training-shard export: (shard, pos) slot per
     // document via the portable hash — a reproducible global shuffle with
