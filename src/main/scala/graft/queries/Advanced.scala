@@ -407,5 +407,18 @@ object Advanced {
               |  UNION ALL
               |  SELECT a.symbol, e.parent_symbol, a.depth + 1
               |  FROM anc a JOIN ed e ON a.ancestor = e.symbol)
-              |SELECT symbol, ancestor, depth FROM anc ORDER BY symbol, depth""".stripMargin)))
+              |SELECT symbol, ancestor, depth FROM anc ORDER BY symbol, depth""".stripMargin)),
+
+    // ---- Z-order (Morton) clustering key — the data-layout primitive
+    // behind Layout.zOrderedWrite (Delta/Iceberg OPTIMIZE ZORDER BY,
+    // from plain Spark ops). Pure integer bit arithmetic, bit-identical
+    // cross-engine; LayoutSpec proves the 2-D file-pruning win.
+    Q("q86_zorder",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), col("p_size"),
+          graft.operators.Layout.zValue(col("p_partkey"), col("p_size")).as("zkey"))
+        .orderBy("zkey", "p_partkey"),
+      Some(s"""SELECT p_partkey, p_size,
+              |  ${graft.operators.Layout.zValueSql("p_partkey", "p_size")} AS zkey
+              |FROM part ORDER BY zkey, p_partkey""".stripMargin)))
 }
