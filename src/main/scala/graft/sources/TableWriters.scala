@@ -28,28 +28,104 @@ object TableWriters {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Writes a partitioned result to a STAGING directory next to `path`,
-    * then swaps each staged leaf partition directory into the target.
-    * The staged copy is complete and durable on disk BEFORE the first
-    * destructive action, so a crash at any point loses no committed data:
-    * before the swap the target is untouched (orphan staging dirs are
-    * cleaned opportunistically below); mid-swap, every partition is either
-    * its complete old or complete new state (directory rename is atomic on
-    * HDFS/POSIX filesystems — on object stores without atomic rename a
-    * transactional table format should own the commit instead). Writing to
-    * a path DIFFERENT from the one being read also removes the need to
-    * checkpoint the plan that reads the target. */
-  private def overwriteViaStaging(spark: SparkSession, path: String,
-      partitionCols: Seq[String])(writeTo: String => Unit): Unit = {
+  /** Prefix + layout of the per-partition "aside" directories the swap
+    * protocol uses: `.graft-old-<36-char-uuid>-<leafName>`, created in the
+    * leaf's parent. The uuid is the transaction id of the swap that created
+    * it; the leaf name after the fixed-width uuid lets recovery map an
+    * aside back to the partition it shadows without any manifest. */
+  private val AsidePrefix = ".graft-old-"
+  private val UuidLen = 36
+
+  /** How stale an orphan staging directory must be before the pre-write
+    * sweep garbage-collects it. Correctness never depends on sweeping
+    * (orphan staging is dead weight, not shared state); the age gate exists
+    * so a sweep can never delete a LIVE staging dir if the single-writer
+    * contract is violated by a slow concurrent writer. */
+  val StagingSweepAgeMs: Long = 24L * 3600 * 1000
+
+  /** Heals a partitioned table after a crashed swap and garbage-collects
+    * stale staging leftovers. Safe (and cheap) to call any time; called
+    * automatically by [[upsertParquet]] and [[compactParquet]] BEFORE they
+    * read the target, so a crashed predecessor's interrupted swap is rolled
+    * back before the merge plan lists files.
+    *
+    * Recovery per aside dir found in the partition tree (or next to the
+    * target root): if the partition it shadows is MISSING the crash hit
+    * between aside-rename and swap-in — rename the aside back (complete old
+    * state restored); if the partition exists the crash hit after swap-in —
+    * the aside is a fully-superseded copy, delete it. Either way every
+    * partition ends complete-old or complete-new, never absent.
+    *
+    * CONCURRENCY: assumes a single writer per table path (the same contract
+    * every non-transactional table layout has). The staging sweep is
+    * age-gated ([[StagingSweepAgeMs]]) as defense in depth so two writers
+    * racing on one path cannot delete each other's in-flight staging. */
+  def recoverPartitionedTable(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      stagingMaxAgeMs: Long = StagingSweepAgeMs): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep staging leftovers from crashed predecessors (same prefix)
+    def healAsides(dir: Path, onlyLeaf: Option[String]): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(AsidePrefix))
+          .foreach { st =>
+            val leaf = st.getPath.getName.substring(AsidePrefix.length + UuidLen + 1)
+            if (onlyLeaf.forall(_ == leaf)) {
+              val dst = new Path(dir, leaf)
+              if (fs.exists(dst)) fs.delete(st.getPath, true)
+              else if (!fs.rename(st.getPath, dst))
+                throw new java.io.IOException(
+                  s"recovery failed: ${st.getPath} -> $dst")
+            }
+          }
+    // root-level aside (unpartitioned swap of the whole table dir); scoped
+    // to THIS table's name — sibling tables in the same parent are not ours
+    healAsides(target.getParent, Some(target.getName))
+    // asides inside the partition tree: a leaf at depth d leaves its aside
+    // in its parent at depth d-1
+    def walk(p: Path, depth: Int): Unit = if (depth > 0 && fs.exists(p)) {
+      healAsides(p, None)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("="))
+        .foreach(c => walk(c, depth - 1))
+    }
+    walk(target, partitionCols.length)
+    // age-gated sweep of orphan staging dirs from crashed predecessors
     val prefix = s".${target.getName}.staging-"
+    val cutoff = System.currentTimeMillis() - stagingMaxAgeMs
     if (fs.exists(target.getParent))
-      fs.listStatus(target.getParent).filter(_.getPath.getName.startsWith(prefix))
+      fs.listStatus(target.getParent)
+        .filter(st => st.getPath.getName.startsWith(prefix) &&
+          st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
-    val staging = new Path(target.getParent, prefix + java.util.UUID.randomUUID())
+  }
+
+  /** Writes a partitioned result to a STAGING directory next to `path`,
+    * then swaps each staged leaf partition directory into the target with
+    * a rename-aside protocol: the OLD partition is renamed aside first,
+    * the staged replacement renamed in, and the aside deleted only after
+    * the swap-in succeeded. No committed data is ever deleted before its
+    * replacement is durably in place, so a crash at ANY point leaves every
+    * partition complete (old or new): before the swap the target is
+    * untouched; between aside and swap-in the old copy survives under its
+    * aside name and [[recoverPartitionedTable]] restores it; after swap-in
+    * the aside is a superseded copy recovery deletes. Directory rename is
+    * atomic on HDFS/POSIX filesystems — on object stores without atomic
+    * rename a transactional table format should own the commit instead
+    * (see DESIGN.md "Durable commit"). Writing to a path DIFFERENT from
+    * the one being read also removes the need to checkpoint the plan that
+    * reads the target. Single writer per table path assumed. */
+  private def overwriteViaStaging(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      stagingMaxAgeMs: Long = StagingSweepAgeMs)(writeTo: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionedTable(spark, path, partitionCols, stagingMaxAgeMs)
+    val txnId = java.util.UUID.randomUUID().toString
+    val staging = new Path(target.getParent, s".${target.getName}.staging-$txnId")
     writeTo(staging.toString)
     try {
       // (path, relative-partition-path) pairs; the relative path is built
@@ -64,10 +140,20 @@ object TableWriters {
             if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
       leaves(staging, partitionCols.length, "").foreach { case (src, rel) =>
         val dst = if (rel.isEmpty) target else new Path(target, rel)
-        if (fs.exists(dst)) fs.delete(dst, true)
         if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
+        val aside = new Path(dst.getParent, s"$AsidePrefix$txnId-${dst.getName}")
+        val hadOld = fs.exists(dst)
+        if (hadOld && !fs.rename(dst, aside))
+          throw new java.io.IOException(s"aside rename failed: $dst -> $aside")
+        if (!fs.rename(src, dst)) {
+          // roll the partition back so the target stays complete even when
+          // the swap-in itself fails (recovery would do the same later)
+          if (hadOld && !fs.rename(aside, dst))
+            throw new java.io.IOException(
+              s"staging swap failed AND rollback failed: $src -> $dst")
           throw new java.io.IOException(s"staging swap failed: $src -> $dst")
+        }
+        if (hadOld) fs.delete(aside, true)
       }
     } finally fs.delete(staging, true)
   }
@@ -88,13 +174,16 @@ object TableWriters {
     * SCALE: cost is proportional to the TOUCHED partitions, never the
     * table (broadcast semi-join on the partition values, staged write of
     * only those partitions). DURABILITY: the merged partitions land in a
-    * staging dir first and are swapped in per-partition
-    * ([[overwriteViaStaging]]) — the pre-merge data is never destroyed
-    * before its replacement is fully written, so a failure at any point
-    * leaves every partition complete (old or new) and re-running the same
-    * upsert converges. */
+    * staging dir first and are swapped in per-partition with the
+    * rename-aside protocol ([[overwriteViaStaging]]) — the pre-merge data
+    * is never destroyed before its replacement is durably in place, so a
+    * failure at any point leaves every partition complete (old or new) and
+    * re-running the same upsert converges. A crashed predecessor's
+    * interrupted swap is healed ([[recoverPartitionedTable]]) before the
+    * target is read. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
+    recoverPartitionedTable(spark, path, partitionCols)
     val target = spark.read.parquet(path)
     val touched = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touched), partitionCols, "left_semi")
@@ -123,12 +212,14 @@ object TableWriters {
     * columns — e.g. `col("date") >= last_week`) from the scheduled job so
     * only recently-appended partitions are read (partition-pruned scan)
     * and rewritten; omitting it compacts the whole table. DURABILITY: the
-    * compacted partitions are staged and swapped in per-partition
-    * ([[overwriteViaStaging]]) — source files are never deleted before
-    * their compacted replacement is fully written. */
+    * compacted partitions are staged and swapped in per-partition with the
+    * rename-aside protocol ([[overwriteViaStaging]]) — source files are
+    * never deleted before their compacted replacement is durably in
+    * place. */
   def compactParquet(spark: SparkSession, path: String,
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
       partitionPredicate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    recoverPartitionedTable(spark, path, partitionCols)
     val compacted = spark.read.parquet(path)
       .where(partitionPredicate.getOrElse(lit(true)))
       .repartition(partitionCols.map(col): _*)

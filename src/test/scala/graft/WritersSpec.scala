@@ -76,23 +76,96 @@ class WritersSpec extends GraftSpec {
     assert(spark.read.parquet(out).where(col("k") === 2).count() == 1)
   }
 
-  test("stale staging leftovers are swept and never corrupt an upsert") {
+  test("stale staging leftovers are swept (age-gated) and never corrupt an upsert") {
     val root = Files.createTempDirectory("writers5")
     val out = root.toString + "/t"
     val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
     TableWriters.parquetPartitioned(base, out, Seq("p"))
-    // a crashed predecessor's staging dir with garbage partition data
+    // a crashed predecessor's staging dir with garbage partition data,
+    // old enough to clear the sweep's age gate
     val stale = new java.io.File(root.toFile, ".t.staging-deadbeef")
     new java.io.File(stale, "p=10").mkdirs()
     Files.write(stale.toPath.resolve("p=10/part-junk.parquet"), Array[Byte](1, 2))
+    stale.setLastModified(System.currentTimeMillis() - 2 * TableWriters.StagingSweepAgeMs)
+    // a FRESH staging dir (a concurrent writer's, if the single-writer
+    // contract were violated) must SURVIVE the sweep
+    val live = new java.io.File(root.toFile, ".t.staging-11112222-3333-4444-5555-666677778888")
+    live.mkdirs()
     TableWriters.upsertParquet(spark, out,
       Seq((1L, "a2", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
     assert(!stale.exists(), "stale staging dir must be swept")
+    assert(live.exists(), "fresh staging dir must survive the age-gated sweep")
+    live.delete()
     assert(root.toFile.listFiles().map(_.getName).toSet == Set("t"),
       "no staging residue after a successful swap")
     val back = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(back == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("crash between aside-rename and swap-in: old partition restored, replay converges") {
+    val root = Files.createTempDirectory("writers6")
+    val out = root.toString + "/t"
+    val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)).toDF("k", "v", "p")
+    TableWriters.parquetPartitioned(base, out, Seq("p"))
+    // manufacture the exact on-disk state of a writer killed between the
+    // aside rename and the swap-in of partition p=10: the old partition
+    // lives only under its aside name, the replacement only in staging
+    val txn = java.util.UUID.randomUUID().toString
+    val old10 = new java.io.File(s"$out/p=10")
+    val aside = new java.io.File(s"$out/.graft-old-$txn-p=10")
+    assert(old10.renameTo(aside))
+    val staging = s"$root/.t.staging-$txn"
+    Seq((1L, "A2", 10), (9L, "z", 10)).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(staging)
+    // the table still READS complete-old for every present partition, and
+    // recovery restores the absent one from its aside before any merge runs
+    TableWriters.upsertParquet(spark, out,
+      Seq((1L, "A2", 10), (9L, "z", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back == Map(1L -> "A2", 2L -> "b", 3L -> "c", 9L -> "z"),
+      s"pre-merge row k=2 must survive the crash+replay, got $back")
+    assert(!aside.exists(), "aside healed away")
+    // replaying the SAME upsert converges (idempotent)
+    TableWriters.upsertParquet(spark, out,
+      Seq((1L, "A2", 10), (9L, "z", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    val again = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again == back)
+  }
+
+  test("crash after swap-in before aside delete: superseded aside cleaned, new data kept") {
+    val root = Files.createTempDirectory("writers7")
+    val out = root.toString + "/t"
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
+    TableWriters.parquetPartitioned(base, out, Seq("p"))
+    TableWriters.upsertParquet(spark, out,
+      Seq((1L, "a2", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    // manufacture a crash AFTER p=10's swap-in: the superseded old copy
+    // still sits under its aside name next to the committed new partition
+    val txn = java.util.UUID.randomUUID().toString
+    val aside = new java.io.File(s"$out/.graft-old-$txn-p=10")
+    new java.io.File(aside, "x").mkdirs()
+    Files.write(aside.toPath.resolve("x/part-old.parquet"), Array[Byte](9))
+    TableWriters.recoverPartitionedTable(spark, out, Seq("p"))
+    assert(!aside.exists(), "superseded aside must be deleted, not restored")
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("recovery does not touch sibling tables' asides") {
+    val root = Files.createTempDirectory("writers8")
+    val out = root.toString + "/t"
+    val base = Seq((1L, "a", 10)).toDF("k", "v", "p")
+    TableWriters.parquetPartitioned(base, out, Seq("p"))
+    // a sibling table's root-level aside in the same parent dir
+    val txn = java.util.UUID.randomUUID().toString
+    val other = new java.io.File(root.toFile, s".graft-old-$txn-other_table")
+    other.mkdirs()
+    TableWriters.recoverPartitionedTable(spark, out, Seq("p"))
+    assert(other.exists(), "another table's aside is not ours to heal")
   }
 
   test("compaction shrinks file count, preserves content and partitioning") {
