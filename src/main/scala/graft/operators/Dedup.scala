@@ -311,8 +311,13 @@ object Dedup {
       // candidate label for v = min over neighbors u of label(u)
       val viaNeighbors = edges.join(labels, edges("u") === labels("id"))
         .groupBy(col("v").as("id2")).agg(min(col("cluster")).as("nl"))
+      // materialized: `stepped` feeds BOTH sides of the jump self-join,
+      // so without this its propagation subtree (join + agg) would run
+      // twice per round unless AQE happened to insert a ReusedExchange —
+      // a runtime optimization nothing guarantees across confs/upgrades
       val stepped = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
       // pointer jumping: follow the label chain one hop (label of my
       // label). A label value is always a node id of the same component,
       // so the self-join matches; left + coalesce guards the root rows.

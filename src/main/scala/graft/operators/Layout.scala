@@ -33,11 +33,16 @@ object Layout {
     }
   }
 
-  /** The matching DuckDB/ANSI SQL expression, for oracle parity. */
-  def zValueSql(a: String, b: String, bits: Int = 16): String =
+  /** The matching DuckDB/ANSI SQL expression, for oracle parity. The
+    * operands are cast to BIGINT exactly as [[zValue]] casts to long —
+    * without the cast an INTEGER input with bit 15 set shifts to
+    * `1 << 31`, which overflows 32-bit engines. */
+  def zValueSql(a: String, b: String, bits: Int = 16): String = {
+    val (av, bv) = (s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)")
     (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+      s"((($av >> $i) & 1) << ${2 * i}) | ((($bv >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
+  }
 
   /** Writes `df` as `nFiles` parquet files range-partitioned and sorted
     * by the Morton key of (colA, colB), then drops the key — the

@@ -420,5 +420,23 @@ object Advanced {
         .orderBy("zkey", "p_partkey"),
       Some(s"""SELECT p_partkey, p_size,
               |  ${graft.operators.Layout.zValueSql("p_partkey", "p_size")} AS zkey
-              |FROM part ORDER BY zkey, p_partkey""".stripMargin)))
+              |FROM part ORDER BY zkey, p_partkey""".stripMargin)),
+
+    // ---- Z-order key on HIGH-bit inputs: TPC-H p_size never sets bit 15,
+    // so q86 alone could hide an overflowing `1 << 31` in a 32-bit oracle
+    // engine. Both dimensions here are offset past 2^15, proving the
+    // BIGINT-cast parity of zValue/zValueSql over the full 16-bit domain.
+    Q("q87_zorder_wide",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          (col("p_partkey") + lit(32768)).as("a"),
+          (col("p_size") + lit(32768)).as("b"))
+        .select(col("p_partkey"), col("a"), col("b"),
+          graft.operators.Layout.zValue(col("a"), col("b")).as("zkey"))
+        .orderBy("zkey", "p_partkey"),
+      Some(s"""SELECT p_partkey, a, b,
+              |  ${graft.operators.Layout.zValueSql("a", "b")} AS zkey
+              |FROM (SELECT p_partkey, p_partkey + 32768 AS a,
+              |        p_size + 32768 AS b FROM part)
+              |ORDER BY zkey, p_partkey""".stripMargin)))
 }
