@@ -174,9 +174,21 @@ object SqlSurface {
     Q("q79_catalog_table",
       (s, d) => {
         val dir = d.stripSuffix("/")
-        val loc = java.nio.file.Files
-          .createTempDirectory("graft-cat").resolve("nation_orders").toString
+        // FIXED per-dataset location, replaced wholesale on every run:
+        // repeated executions leave disk usage flat (DROP on an external
+        // table keeps the files, so a fresh temp dir per run would leak
+        // both the dir and the previous table's parquet). The global
+        // table name + location assume the driver's single-threaded
+        // harness — concurrent executions on one metastore would race.
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-catalog"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/nation_orders")
         s.sql("DROP TABLE IF EXISTS graft_nation_orders")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
         s.sql(
           s"""CREATE TABLE graft_nation_orders USING parquet LOCATION '$loc' AS
              |SELECT n.n_name AS nation, o.o_orderstatus AS st,

@@ -113,7 +113,8 @@ object TableWriters {
     * aside name and [[recoverPartitionedTable]] restores it; after swap-in
     * the aside is a superseded copy recovery deletes. Directory rename is
     * atomic on HDFS/POSIX filesystems — on object stores without atomic
-    * rename a transactional table format should own the commit instead
+    * rename use [[ManifestCommit]], whose commit is a single
+    * create-if-absent manifest file and which never renames a directory
     * (see DESIGN.md "Durable commit"). Writing to a path DIFFERENT from
     * the one being read also removes the need to checkpoint the plan that
     * reads the target. Single writer per table path assumed. */

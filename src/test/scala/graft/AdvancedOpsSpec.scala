@@ -124,4 +124,20 @@ class AdvancedOpsSpec extends GraftSpec {
     // "*(n)" is the WholeStageCodegen marker in plan strings
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("q79 catalog table: repeated executions leave disk usage flat") {
+    val run = SparkEntry.queries("q79_catalog_table")
+    def duBytes(f: java.io.File): Long =
+      if (!f.exists()) 0L
+      else if (f.isDirectory) f.listFiles().map(duBytes).sum
+      else f.length()
+    val catRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft-catalog")
+    val r1 = run(spark, sf0001).collect()
+    val afterFirst = duBytes(catRoot)
+    (1 to 3).foreach(_ => run(spark, sf0001).collect())
+    val afterMore = duBytes(catRoot)
+    assert(afterMore == afterFirst,
+      s"catalog location must be replaced, not accumulated: $afterFirst -> $afterMore")
+    assert(run(spark, sf0001).collect().map(_.toSeq).toSeq == r1.map(_.toSeq).toSeq)
+  }
 }
