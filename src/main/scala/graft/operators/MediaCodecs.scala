@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+/** The decode seam [[Multimodal]] plugs a codec into: one function from an
+  * asset to fixed-width features. Implementations must be serializable —
+  * they ride inside `mapPartitions` closures. */
+trait MediaCodec extends Serializable {
+  def decode(a: MmAsset): MmFeatures
+}
+
+/** REAL media decode built on the JDK's own codecs — `javax.imageio`
+  * (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV/PCM) are public Java
+  * standard-library APIs, so no external dependency is needed. This is the
+  * production end of the seam [[Multimodal.FakeDecoder]] stubs: images
+  * decode to per-channel/luma statistics, audio decodes to
+  * amplitude/energy statistics, both as the same fixed-width vector shape
+  * a model-embedding codec would emit.
+  *
+  * Video stays honestly out of scope: the JDK ships no MP4 codec, so
+  * `video/mp4` (and any undecodable payload) falls back to byte-level
+  * statistics rather than pretending — the `decoded` flag in feature slot
+  * 0 records which path ran.
+  *
+  * SCALE: decode is pure per-row CPU inside `mapPartitions` (no shuffle,
+  * no driver involvement); codec instances are JVM-static so executor
+  * reuse amortizes class-init across batches.
+  */
+object JdkMediaCodec extends MediaCodec {
+  val Dim = 8
+
+  def decode(a: MmAsset): MmFeatures = {
+    val feats =
+      if (a.mime.startsWith("image/")) decodeImage(a.payload)
+      else if (a.mime == "audio/wav" || a.mime == "audio/x-wav") decodeWav(a.payload)
+      else None
+    MmFeatures(a.doc_id, a.mime, a.payload.length.toLong,
+      feats.getOrElse(byteStats(a.payload)))
+  }
+
+  /** slot 0: 1.0 = real decode ran, 0.0 = byte-stat fallback. */
+  private def byteStats(p: Array[Byte]): Array[Float] = {
+    var sum = 0L; var i = 0
+    while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+    val mean = if (p.length == 0) 0f else sum.toFloat / p.length
+    Array(0f, p.length.toFloat, mean / 255f, 0f, 0f, 0f, 0f, 0f)
+  }
+
+  /** [decoded=1, width, height, meanR, meanG, meanB, meanLuma, stdLuma] —
+    * channel means in [0,1]; luma = Rec.601 integer weights. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var sy = 0.0; var syy = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val luma = (299 * r + 587 * g + 114 * b) / 1000.0
+            sy += luma; syy += luma * luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val meanLuma = sy / n
+        val varLuma = math.max(0.0, syy / n - meanLuma * meanLuma)
+        Some(Array(1f, w.toFloat, h.toFloat,
+          sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+          (meanLuma / 255.0).toFloat, (math.sqrt(varLuma) / 255.0).toFloat))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** [decoded=1, sampleRate, channels, frames, meanAbs, rms, zeroCrossRate,
+    * peak] — amplitudes normalized to [0,1] against the sample width. */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None // 16-bit PCM is the contract
+        else {
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = bytes.length / 2
+          var i = 0; var sumAbs = 0.0; var sumSq = 0.0
+          var crossings = 0L; var prevNeg = false; var peak = 0.0
+          while (i < n) {
+            val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+            val hi = bytes(2 * i + (if (big) 0 else 1))
+            val s = ((hi << 8) | lo).toShort / 32768.0
+            val a = math.abs(s)
+            sumAbs += a; sumSq += s * s
+            if (a > peak) peak = a
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          if (n == 0) None
+          else Some(Array(1f, fmt.getSampleRate, fmt.getChannels.toFloat,
+            (n / fmt.getChannels).toFloat, (sumAbs / n).toFloat,
+            math.sqrt(sumSq / n).toFloat, (crossings.toDouble / n).toFloat,
+            peak.toFloat))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Real aspect-preserving re-encode for [[Multimodal.resizePlan]]'s
+    * payload seam: decode, high-quality bilinear scale to (outW, outH),
+    * re-encode PNG. Returns None when the payload isn't a decodable
+    * image (callers keep the original bytes — same pass-through contract
+    * as the stub). */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, outW, outH, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case _: java.io.IOException => None }
+}

@@ -14,11 +14,13 @@ case class MmFeatures(doc_id: Long, mime: String, n_bytes: Long,
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * as opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * The actual media decode is STUBBED (this environment ships no image/audio
-  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
-  * payload bytes. Everything around it — the schema, the typed Dataset
-  * boundary, the per-partition batch shape, the partitioning strategy — is
-  * the real production plumbing a codec would drop into.
+  * Decode runs through the [[MediaCodec]] seam with two ends:
+  * [[JdkMediaCodec]] REALLY decodes PNG/JPEG/BMP/GIF and WAV through the
+  * JDK's own `javax.imageio` / `javax.sound.sampled` codecs (and really
+  * re-encodes resized images); [[FakeDecoder]] derives deterministic
+  * pseudo-features so the ORACLE queries stay exact on the synthetic
+  * fixtures, whose payloads are text bytes, not media. Video remains a
+  * stub boundary — the JDK ships no MP4 codec.
   *
   * SCALE: payloads stay opaque bytes end-to-end (never exploded into rows),
   * decode runs `mapPartitions` so a codec can amortize per-batch init
@@ -28,11 +30,13 @@ case class MmFeatures(doc_id: Long, mime: String, n_bytes: Long,
   */
 object Multimodal {
 
-  /** Deterministic stand-in for a media decoder. A real implementation
-    * would decode `payload` (PNG/WAV/MP4) and emit model features; this one
-    * hashes bytes into a fixed-width vector so tests can assert exact
-    * values. Swap point is this single function. */
-  object FakeDecoder {
+  /** Deterministic stand-in for a media decoder: hashes bytes into a
+    * fixed-width vector so oracle queries can assert exact values on the
+    * SYNTHETIC payloads (UTF-8 text bytes, not real media). The real end
+    * of the same [[MediaCodec]] seam is [[JdkMediaCodec]], which decodes
+    * actual PNG/JPEG/WAV payloads through the JDK's own codecs —
+    * [[extractFeatures]] takes either. */
+  object FakeDecoder extends MediaCodec {
     val Dim = 8
     def decode(a: MmAsset): MmFeatures = {
       val feats = Array.tabulate(Dim) { i =>
@@ -61,17 +65,16 @@ object Multimodal {
       .as[MmAsset]
   }
 
-  /** Partition-wise feature extraction through the (stubbed) decoder.
-    * `mapPartitions` is deliberate: a real codec initializes once per
-    * partition, then streams the batch. */
+  /** Partition-wise feature extraction through the decoder seam.
+    * `mapPartitions` is deliberate: a codec amortizes per-partition init
+    * (native buffers, model load) across the batch. Default codec is the
+    * deterministic stub (the oracle fixtures are synthetic bytes); pass
+    * [[JdkMediaCodec]] for real PNG/JPEG/WAV decode. */
   def extractFeatures(spark: SparkSession, assets: Dataset[MmAsset],
-      partitions: Int = 0): Dataset[MmFeatures] = {
+      partitions: Int = 0, codec: MediaCodec = FakeDecoder): Dataset[MmFeatures] = {
     import spark.implicits._
     val parted = if (partitions > 0) assets.repartition(partitions, col("doc_id")) else assets
-    parted.mapPartitions { it =>
-      // real impl: val codec = HeavyCodec.init() — once per partition
-      it.map(FakeDecoder.decode)
-    }
+    parted.mapPartitions(it => it.map(codec.decode))
   }
 
   /** Aspect-preserving resize PLAN for image assets: the target geometry
@@ -87,6 +90,22 @@ object Multimodal {
         greatest(lit(1L), floor(col("width") * f)).as("out_w"),
         greatest(lit(1L), floor(col("height") * f)).as("out_h"),
         col("payload")) // stub: a codec would re-encode to (out_w, out_h)
+  }
+
+  /** Executes [[resizePlan]]'s payload seam with the REAL codec: each
+    * image payload is re-encoded to its computed (out_w, out_h) via
+    * [[JdkMediaCodec.resizeImage]]; payloads the codec can't decode pass
+    * through unchanged (the stub's contract). Pure per-row CPU in
+    * `mapPartitions` — the plan's geometry columns stay oracle-checkable,
+    * the pixel work stays distributed. */
+  def applyResize(spark: SparkSession, plan: DataFrame): DataFrame = {
+    import spark.implicits._
+    plan.select(col("doc_id"), col("out_w"), col("out_h"), col("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, w, h, p) =>
+        (id, w, h, JdkMediaCodec.resizeImage(p, w.toInt, h.toInt).getOrElse(p))
+      })
+      .toDF("doc_id", "out_w", "out_h", "payload")
   }
 
   /** Frame-sampling PLAN for video assets: one row per sampled frame every
