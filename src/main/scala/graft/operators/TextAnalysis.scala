@@ -109,4 +109,32 @@ object TextAnalysis {
     val emails = regexp_replace(urls, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
     trim(regexp_replace(emails, s"$ws+", " "))
   }
+
+  /** PII redaction patterns, applied in THIS order (emails before the
+    * digit patterns so an address is replaced whole; SSN before phone —
+    * the group shapes 3-2-4 vs 3-3-4 cannot match the same span, but a
+    * fixed order keeps the output deterministic by construction). Every
+    * construct (explicit classes, bounded repetition) behaves identically
+    * in Java regex and RE2, so the oracle matches bit-for-bit — same
+    * portability argument as [[normalizeText]]'s whitespace class. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\d{3}-\\d{2}-\\d{4}",
+    "phone" -> "\\d{3}-\\d{3}-\\d{4}",
+    "ipv4" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")
+
+  /** Redacts every [[PiiPatterns]] match with `<pii:kind>`. Pure regexp
+    * columns — per-row, shuffle-free, scan-speed; the compliance-hygiene
+    * pass every shipped training corpus runs (cf. the C4/RefinedWeb
+    * cleaning stages). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (kind, p)) =>
+      regexp_replace(t, p, s"<pii:$kind>")
+    }
+
+  /** Match count for one PII kind on the ORIGINAL text (counts are
+    * per-pattern and independent — an audit metric, not a parse). */
+  def piiCount(text: Column, kind: String): Column =
+    size(regexp_extract_all(text,
+      lit(PiiPatterns.toMap.apply(kind)), lit(0)))
 }

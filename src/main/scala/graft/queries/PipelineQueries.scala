@@ -619,5 +619,46 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
              |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
              |       ELSE 'video/mp4' END AS mime
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII redaction (compliance hygiene before publishing a corpus):
+    // the corpus text carries no PII, so each document is AUGMENTED with
+    // deterministic doc_id-derived email/phone/IP spans first — the
+    // redactor then has real work to do and the oracle checks both the
+    // rewritten text and the per-kind audit counts.
+    Q("q88_pii_redact",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@ex"),
+            pmod(col("doc_id"), lit(5)), lit(".com tel 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit("."),
+            pmod(col("doc_id") * 7, lit(256))).as("text"))
+        aug.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean"),
+          TextAnalysis.piiCount(col("text"), "email").as("n_email"),
+          TextAnalysis.piiCount(col("text"), "phone").as("n_phone"),
+          TextAnalysis.piiCount(col("text"), "ipv4").as("n_ipv4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+             |       || CAST(doc_id % 5 AS VARCHAR) || '.com tel 555-123-'
+             |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |       || CAST(doc_id * 7 % 256 AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<pii:email>', 'g'),
+             |    '\d{3}-\d{2}-\d{4}', '<pii:ssn>', 'g'),
+             |    '\d{3}-\d{3}-\d{4}', '<pii:phone>', 'g'),
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<pii:ipv4>', 'g') AS clean,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ipv4
+             |FROM aug ORDER BY doc_id""".stripMargin)))
 }

@@ -236,4 +236,27 @@ class PipelineOpsSpec extends GraftSpec {
       .select(countDistinct("user_id")).collect()(0).getLong(0)
     assert(sess.select("user_id").distinct().count() == n)
   }
+
+  test("PII redaction: every kind replaced, counts audited, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org thanks"),
+      (2L, "call 555-867-5309 or 555-123-4567 now"),
+      (3L, "ssn 078-05-1120 is not a phone"),
+      (4L, "server at 192.168.1.1 and 10.0.0.255"),
+      (5L, "no pii here at all")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.redactPii(col("text")).as("clean"),
+      graft.operators.TextAnalysis.piiCount(col("text"), "email").as("ne"),
+      graft.operators.TextAnalysis.piiCount(col("text"), "phone").as("np"),
+      graft.operators.TextAnalysis.piiCount(col("text"), "ssn").as("ns"),
+      graft.operators.TextAnalysis.piiCount(col("text"), "ipv4").as("ni"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(got(1L) == (("mail me at <pii:email> thanks", 1, 0, 0, 0)))
+    assert(got(2L) == (("call <pii:phone> or <pii:phone> now", 0, 2, 0, 0)))
+    assert(got(3L) == (("ssn <pii:ssn> is not a phone", 0, 0, 1, 0)))
+    assert(got(4L) == (("server at <pii:ipv4> and <pii:ipv4>", 0, 0, 0, 2)))
+    assert(got(5L) == (("no pii here at all", 0, 0, 0, 0)))
+  }
 }
