@@ -229,4 +229,77 @@ object TrainingPrep {
           lit("val")).otherwise(lit("train")))
       .select(col(idCol), col(groupCol), col("split"))
   }
+
+  /** Corpus selection under a GLOBAL token budget: keep the best documents
+    * (priority = `n_chars` desc, doc_id tiebreak) whose cumulative token
+    * count stays within `budgetTokens` — the "how much of the crawl fits
+    * this training run" cut. Returns (doc_id, n_tok, cum_tok) for the
+    * selected prefix of the priority order; the result is a prefix of a
+    * TOTAL order, so it is independent of partitioning and oracles
+    * exactly against a window cumsum.
+    *
+    * SCALE: a global cumulative sum is the textbook one-partition-window
+    * trap (`ORDER BY` window with no PARTITION BY collapses the corpus
+    * onto one task). This is the classic two-phase prefix sum instead:
+    * (1) range-partition by the priority key — parallel, balanced by
+    * sampled boundaries; (2) one tiny pass summing each partition's
+    * tokens (one row per PARTITION collected — bounded by the partition
+    * count, never the data); (3) per-partition running sums + the
+    * broadcast exclusive prefix offsets give every row its exact global
+    * cumulative position with zero additional shuffles. Partitions whose
+    * offset already exceeds the budget short-circuit without reading
+    * rows; within a partition the monotone cum allows takeWhile early
+    * exit. The ranged projection is localCheckpoint'd because
+    * repartitionByRange SAMPLES its boundaries — the two passes must see
+    * identical partitions (and it pins 3 long columns per doc, not the
+    * text). */
+  def selectUnderBudget(docs: DataFrame, budgetTokens: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+        size(split(col("text"), " ")).cast("long"))
+      .repartitionByRange(nParts, col("n_chars").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .localCheckpoint()
+    val partSums = ranged.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._3)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    // exclusive prefix: offsets(p) = total tokens in partitions before p
+    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val start = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      if (start >= budgetTokens) Iterator.empty
+      else {
+        var cum = start
+        it.map { case (id, _, tok) => cum += tok; (id, tok, cum) }
+          .takeWhile(_._3 <= budgetTokens)
+      }
+    }.toDF("doc_id", "n_tok", "cum_tok")
+  }
+
+  /** Inverted index over the corpus: term -> sorted posting list of the
+    * documents containing it, plus the document frequency — the retrieval
+    * primitive behind decontamination lookups, RAG-style search, and df
+    * statistics.
+    *
+    * SCALE: ONE shuffle keyed by term — `collect_set` dedups doc ids in
+    * the partial (map-side) aggregate, so repeated terms within a doc
+    * never cross the wire more than once. Posting lists are bounded by
+    * corpus df; for web-corpus stopwords pair this with a df cutoff
+    * (the q77 hot-set argument) before materializing. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("term"),
+        col(idCol))
+      .groupBy("term")
+      .agg(sort_array(collect_set(col(idCol))).as("postings"))
+      .withColumn("df", size(col("postings")))
 }

@@ -660,5 +660,34 @@ object PipelineQueries {
              |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phone,
              |  CAST(len(regexp_extract_all(text,
              |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ipv4
-             |FROM aug ORDER BY doc_id""".stripMargin)))
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus selection under a global token budget: the selected set
+    // is a PREFIX of the (n_chars desc, doc_id) total order, so the
+    // distributed two-phase prefix sum oracles exactly against a plain
+    // window cumsum.
+    Q("q89_budget_select",
+      (s, d) => graft.operators.TrainingPrep
+        .selectUnderBudget(t(s, d, "documents"), 10000L)
+        .orderBy("cum_tok"),
+      Some("""SELECT doc_id, n_tok, cum_tok FROM (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+             |  FROM documents)
+             |WHERE cum_tok <= 10000 ORDER BY cum_tok""".stripMargin)),
+
+    // ---- inverted index: term -> sorted postings + df (retrieval
+    // primitive; one term-keyed shuffle, map-side collect_set dedup).
+    Q("q90_inverted_index",
+      (s, d) => graft.operators.TrainingPrep
+        .invertedIndex(t(s, d, "documents"))
+        .orderBy("term"),
+      Some("""SELECT term, list(doc_id ORDER BY doc_id) AS postings,
+             |  CAST(len(list(doc_id)) AS INT) AS df
+             |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+             |      FROM documents)
+             |GROUP BY term ORDER BY term""".stripMargin)))
 }

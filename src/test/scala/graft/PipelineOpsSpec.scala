@@ -259,4 +259,38 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got(4L) == (("server at <pii:ipv4> and <pii:ipv4>", 0, 0, 0, 2)))
     assert(got(5L) == (("no pii here at all", 0, 0, 0, 0)))
   }
+
+  test("budget selection == single-window twin, invariant to partition count") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val twin = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+        col("n_chars"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .where(col("cum_tok") <= 10000)
+      .select("doc_id", "n_tok", "cum_tok")
+      .collect().map(_.toSeq).toSet
+    assert(twin.nonEmpty)
+    Seq(1, 3, 32).foreach { p =>
+      val got = graft.operators.TrainingPrep
+        .selectUnderBudget(docs, 10000L, partitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(got == twin, s"partitions=$p")
+    }
+  }
+
+  test("inverted index: postings sorted+distinct, df consistent, membership correct") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val idx = graft.operators.TrainingPrep.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1).toSeq, r.getInt(2))).toMap
+    assert(idx.values.forall { case (ps, df) =>
+      df == ps.size && ps == ps.distinct.sorted })
+    // spot-check one term against a direct scan
+    val (term, (postings, _)) = idx.maxBy(_._2._2)
+    val want = docs.where(array_contains(split(col("text"), " "), term))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(postings == want)
+  }
 }
