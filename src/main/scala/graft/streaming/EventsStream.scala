@@ -205,6 +205,38 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** [[incrementalUpsertTitles]] committed through [[graft.sources
+    * .ManifestCommit]] instead of directory swaps — the variant for
+    * object stores without atomic rename: each micro-batch's merge
+    * publishes a new manifest version (single-file atomic claim), a
+    * crash mid-batch leaves only an unreferenced txn dir, and replaying
+    * a batch converges because the upsert is idempotent. Same CDC
+    * semantics, different commit substrate. */
+  def incrementalUpsertTitlesManifested(spark: SparkSession, landingDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    import graft.sources.ManifestCommit
+    val target = s"$outDir/titles_current"
+    val q = incrementalTitles(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch.withColumn("section", substring(col("symbol"), 1, 1))
+          if (ManifestCommit.currentSnapshot(spark, target).isDefined)
+            ManifestCommit.upsertManifested(spark, target, delta,
+              Seq("symbol"), Seq("section"))
+          else
+            ManifestCommit.overwriteViaManifest(spark, target, Seq("section"),
+              replaceAll = true) { txn =>
+              delta.write.partitionBy("section").parquet(txn)
+            }
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup: drop events with a duplicate (user_id, props)
     * within the watermark horizon — the streaming twin of batch
     * Dedup.exactGroups, state bounded by the watermark. */

@@ -125,6 +125,37 @@ class AdvancedOpsSpec extends GraftSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // 100 TB shape: a selective dim predicate should reach the FACT scan
+    // as a runtime bloom filter when the join shuffles (no broadcast) —
+    // rows that cannot match are dropped at scan speed instead of being
+    // shuffled. Spark injects it from the filtered creation side; this
+    // asserts the injection actually happens under our session so a
+    // conf/upgrade can't silently drop it.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val n = j.collect()(0).getLong(1)
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"expected a runtime bloom filter on the fact scan, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q79 catalog table: repeated executions leave disk usage flat") {
     val run = SparkEntry.queries("q79_catalog_table")
     def duBytes(f: java.io.File): Long =

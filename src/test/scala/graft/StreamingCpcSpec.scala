@@ -89,4 +89,39 @@ class StreamingCpcSpec extends GraftSpec {
     publish()
     assert(spark.read.parquet(s"$out/titles_current").count() == 3)
   }
+
+  test("streaming upsert through the manifest commit: same semantics, versioned state") {
+    import graft.sources.ManifestCommit
+    val landing = Files.createTempDirectory("cpc-mfc-landing")
+    val out = Files.createTempDirectory("cpc-mfc-out").toString
+    val ckpt = Files.createTempDirectory("cpc-mfc-ckpt").toString
+    val target = s"$out/titles_current"
+    def publish(): Unit =
+      EventsStream.incrementalUpsertTitlesManifested(spark, landing.toString, out, ckpt)
+
+    Files.writeString(landing.resolve("d1.txt"),
+      "A01B1/00 0 Hand tools\nB01D1/00 0 Evaporating")
+    publish()
+    assert(ManifestCommit.readManifested(spark, target).count() == 2)
+    val snap1 = ManifestCommit.currentSnapshot(spark, target).get
+    assert(snap1.version == 1L)
+
+    Files.writeString(landing.resolve("d2.txt"),
+      "A01B1/00 0 Hand tools RENAMED\nA01B1/02 1 Spades")
+    publish()
+    val t2 = ManifestCommit.readManifested(spark, target)
+    assert(t2.count() == 3)
+    assert(t2.where(col("symbol") === "A01B1/00")
+      .select("title").collect()(0).getString(0) == "Hand tools RENAMED")
+    val snap2 = ManifestCommit.currentSnapshot(spark, target).get
+    assert(snap2.version == 2L)
+    // untouched section B still points at its original txn; section A moved
+    assert(snap2.entries("section=B") == snap1.entries("section=B"))
+    assert(snap2.entries("section=A") != snap1.entries("section=A"))
+
+    // replay with no new files: checkpoint skips, manifest version unchanged
+    publish()
+    assert(ManifestCommit.currentSnapshot(spark, target).get.version == 2L)
+    assert(ManifestCommit.readManifested(spark, target).count() == 3)
+  }
 }
