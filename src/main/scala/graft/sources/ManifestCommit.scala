@@ -59,7 +59,13 @@ object ManifestCommit {
     * txn dir name). `rel` is "" for an unpartitioned table. */
   final case class Snapshot(version: Long, entries: Map[String, String])
 
-  def currentSnapshot(spark: SparkSession, path: String): Option[Snapshot] = {
+  /** Resolves the table state at `version` — or the newest version when
+    * `version` is None. Every retained manifest version stays readable
+    * (TIME TRAVEL): a version file is immutable once published and the
+    * txn dirs it references survive until [[vacuum]] retires versions
+    * beyond the retention window. */
+  def snapshotAt(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[Snapshot] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val mdir = new Path(root, ManifestDir)
@@ -68,9 +74,14 @@ object ManifestCommit {
       val versions = fs.listStatus(mdir).map(_.getPath.getName)
         .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
         .map(n => n.stripSuffix(ManifestSuffix).toLong)
-      if (versions.isEmpty) None
-      else {
-        val v = versions.max
+      val chosen = version match {
+        case Some(v) =>
+          if (versions.contains(v)) Some(v)
+          else throw new java.io.FileNotFoundException(
+            s"manifest version $v not found at $path (retained: ${versions.sorted.mkString(",")})")
+        case None => versions.maxOption
+      }
+      chosen.map { v =>
         val in = fs.open(manifestPath(root, v))
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
@@ -78,16 +89,21 @@ object ManifestCommit {
           val i = line.indexOf('\t')
           line.substring(i + 1) -> line.substring(0, i)
         }.toMap
-        Some(Snapshot(v, entries))
+        Snapshot(v, entries)
       }
     }
   }
 
-  /** Reads the table at its current manifest version. One scan per live
-    * txn generation (entries grouped by txn, `basePath` recovers the
+  def currentSnapshot(spark: SparkSession, path: String): Option[Snapshot] =
+    snapshotAt(spark, path, None)
+
+  /** Reads the table at its current manifest version — or, with
+    * `version`, at a retained historical one (time travel). One scan per
+    * live txn generation (entries grouped by txn, `basePath` recovers the
     * partition columns), unioned by name. */
-  def readManifested(spark: SparkSession, path: String): DataFrame = {
-    val snap = currentSnapshot(spark, path).getOrElse(
+  def readManifested(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshotAt(spark, path, version).getOrElse(
       throw new java.io.FileNotFoundException(s"no manifest at $path"))
     snap.entries.groupBy(_._2).map { case (txn, es) =>
       val base = s"$path/$DataDir/$txn"
@@ -164,33 +180,61 @@ object ManifestCommit {
     }
   }
 
-  /** Deletes txn directories the CURRENT manifest no longer references,
-    * provided they are older than `minAgeMs` (an in-flight writer's
-    * uncommitted txn is always younger than a sanely-chosen age; the same
-    * retention contract as the public formats' VACUUM). Also prunes all
-    * but the newest `keepManifests` manifest files. Returns the number of
+  /** Collapses all live txn generations into ONE: rewrites the current
+    * table state into a fresh txn dir and publishes a replaceAll manifest
+    * pointing every partition at it. Run periodically (like the public
+    * formats' OPTIMIZE): read fan-out is one scan per live GENERATION, so
+    * a long-running upsert stream degrades planning until compaction
+    * resets it to one. `maxRecordsPerFile` doubles as small-file
+    * compaction for the partitions themselves. Old txn dirs stay on disk
+    * for readers of older manifest versions until [[vacuum]] retires
+    * them. */
+  def compactManifested(spark: SparkSession, path: String,
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Snapshot = {
+    val current = readManifested(spark, path)
+      .repartition(partitionCols.map(col): _*)
+    overwriteViaManifest(spark, path, partitionCols, replaceAll = true) { txn =>
+      current.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(txn)
+    }
+  }
+
+  /** Retires history: prunes all but the newest `keepManifests` manifest
+    * versions, then deletes txn directories no RETAINED manifest
+    * references, provided they are older than `minAgeMs` (an in-flight
+    * writer's uncommitted txn is always younger than a sanely-chosen age —
+    * the same retention contract as the public formats' VACUUM). Every
+    * version that survives stays fully time-travel-readable: its txn dirs
+    * are in the retained live set by construction. Returns the number of
     * txn dirs removed. */
   def vacuum(spark: SparkSession, path: String,
       minAgeMs: Long = 24L * 3600 * 1000, keepManifests: Int = 10): Int = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val live: Set[String] = currentSnapshot(spark, path)
-      .map(_.entries.values.toSet).getOrElse(Set.empty)
+    val mdir = new Path(root, ManifestDir)
+    val retained: Seq[Long] =
+      if (!fs.exists(mdir)) Seq.empty
+      else {
+        val versions = fs.listStatus(mdir).map(_.getPath.getName)
+          .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
+          .map(_.stripSuffix(ManifestSuffix).toLong).sorted.toSeq
+        versions.dropRight(keepManifests)
+          .foreach(v => fs.delete(manifestPath(root, v), false))
+        versions.takeRight(keepManifests)
+      }
+    val live: Set[String] = retained
+      .flatMap(v => snapshotAt(spark, path, Some(v)).map(_.entries.values.toSet)
+        .getOrElse(Set.empty))
+      .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val ddir = new Path(root, DataDir)
-    val removed = if (!fs.exists(ddir)) 0
-      else fs.listStatus(ddir)
-        .filter(st => st.getPath.getName.startsWith("txn-") &&
-          !live.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff)
-        .count(st => fs.delete(st.getPath, true))
-    val mdir = new Path(root, ManifestDir)
-    if (fs.exists(mdir)) {
-      val manifests = fs.listStatus(mdir).map(_.getPath)
-        .filter(p => p.getName.endsWith(ManifestSuffix) && !p.getName.startsWith("."))
-        .sortBy(_.getName)
-      manifests.dropRight(keepManifests).foreach(fs.delete(_, false))
-    }
-    removed
+    if (!fs.exists(ddir)) 0
+    else fs.listStatus(ddir)
+      .filter(st => st.getPath.getName.startsWith("txn-") &&
+        !live.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .count(st => fs.delete(st.getPath, true))
   }
 }

@@ -90,6 +90,44 @@ class ManifestCommitSpec extends GraftSpec {
     assert(contents(out) == (want - ((1L, "a", 10)) + ((1L, "A2", 10))))
   }
 
+  test("compaction collapses generations to one txn; vacuum then retires the old dirs") {
+    val out = Files.createTempDirectory("mfc6").toString + "/t"
+    writeBase(out)
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((1L, "A2", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    val want = contents(out)
+    assert(ManifestCommit.currentSnapshot(spark, out).get.entries.values.toSet.size == 2,
+      "upsert leaves two live generations")
+    val snap = ManifestCommit.compactManifested(spark, out, Seq("p"))
+    assert(snap.entries.values.toSet.size == 1, "one generation after compaction")
+    assert(contents(out) == want, "compaction preserves content")
+    // old generations still on disk — retained manifests keep them live
+    // (time travel), so a vacuum with full retention removes nothing
+    assert(new java.io.File(s"$out/data").listFiles().count(_.getName.startsWith("txn-")) == 3)
+    assert(ManifestCommit.vacuum(spark, out, minAgeMs = -10000) == 0)
+    // retiring history to the newest version frees the old generations
+    assert(ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1) == 2)
+    assert(contents(out) == want)
+  }
+
+  test("time travel: every retained version readable; vacuum bounds the horizon") {
+    val out = Files.createTempDirectory("mfc7").toString + "/t"
+    val base = writeBase(out)
+    val v1 = base.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((1L, "A2", 10)).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    val v2 = contents(out)
+    assert(v2 != v1)
+    def at(v: Long) = ManifestCommit.readManifested(spark, out, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(at(1L) == v1, "version 1 still reads its original state")
+    assert(at(2L) == v2)
+    // retire version 1; its now-unreferenced generation is collectable
+    ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1)
+    intercept[java.io.FileNotFoundException] { at(1L) }
+    assert(at(2L) == v2, "current version unaffected by retirement")
+  }
+
   test("no directory is ever renamed or deleted on the commit path") {
     val out = Files.createTempDirectory("mfc5").toString + "/t"
     writeBase(out)
