@@ -39,19 +39,25 @@ object Bench {
 
     // min of 3 measured runs per query: scheduler/GC jitter at local[32]
     // is ±0.3 s (±25% on the heavier queries), which round-over-round
-    // comparisons would otherwise read as real regressions
+    // comparisons would otherwise read as real regressions. All samples
+    // are published alongside the min so transient machine load (one
+    // outlier among three) is self-diagnosing from the JSON instead of
+    // needing a re-run.
     val results = names.map { name =>
-      val t = (1 to 3).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run(name)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
+      }
+      name -> ts
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, ts) => "\"" + k + f"""\":${ts.min}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samples = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,5 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (xs: Seq[Expression]) => SortedIntersectCount(xs(0), xs(1))))
+    // CPC symbol surface — SQL: cpc_section(s), cpc_class(s), cpc_subclass(s),
+    // cpc_subgroup(s), cpc_valid_format(s), cpc_normalize(s); same column
+    // compositions as graft.functions.CpcSymbolOps, adapted at resolution time
+    graft.functions.CpcFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.functions.CpcFunctions.getClass.getName, name),
+        b))
+    }
   }
 }

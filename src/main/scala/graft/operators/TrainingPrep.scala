@@ -293,13 +293,29 @@ object TrainingPrep {
     * SCALE: ONE shuffle keyed by term — `collect_set` dedups doc ids in
     * the partial (map-side) aggregate, so repeated terms within a doc
     * never cross the wire more than once. Posting lists are bounded by
-    * corpus df; for web-corpus stopwords pair this with a df cutoff
-    * (the q77 hot-set argument) before materializing. */
+    * corpus df; for web corpora pass `maxDf` so stopword-grade terms
+    * (df ~ corpus size) never materialize a corpus-sized aggregation
+    * buffer: the cutoff variant counts df FIRST (Expand-based distinct
+    * agg — partial phase keys on (term, doc), buffers stay bounded),
+    * left-semi-joins the surviving terms, and only then builds posting
+    * lists, so every `collect_set` buffer is <= maxDf by construction
+    * (the q77 hot-set argument). The join and the final groupBy share
+    * the term hash partitioning, so the postings build adds no extra
+    * exchange over the join. */
   def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("term"),
-        col(idCol))
-      .groupBy("term")
+      textCol: String = "text", maxDf: Option[Long] = None): DataFrame = {
+    val pairs = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("term"), col(idCol))
+    val kept = maxDf match {
+      case None => pairs
+      case Some(cut) =>
+        val dfs = pairs.groupBy("term")
+          .agg(countDistinct(col(idCol)).as("df"))
+        pairs.join(dfs.filter(col("df") <= cut).select("term"),
+          Seq("term"), "left_semi")
+    }
+    kept.groupBy("term")
       .agg(sort_array(collect_set(col(idCol))).as("postings"))
       .withColumn("df", size(col("postings")))
+  }
 }

@@ -420,7 +420,8 @@ object Advanced {
         .orderBy("zkey", "p_partkey"),
       Some(s"""SELECT p_partkey, p_size,
               |  ${graft.operators.Layout.zValueSql("p_partkey", "p_size")} AS zkey
-              |FROM part ORDER BY zkey, p_partkey""".stripMargin)),
+              |FROM part ORDER BY zkey, p_partkey""".stripMargin),
+      bench = true),
 
     // ---- Z-order key on HIGH-bit inputs: TPC-H p_size never sets bit 15,
     // so q86 alone could hide an overflowing `1 << 31` in a 32-bit oracle

@@ -195,5 +195,43 @@ object CpcInline {
               |       WHEN regexp_matches(substring(symbol, 4, 1), '^\\p{L}$$')
               |       THEN substring(symbol, 1, 4) END AS subclass,
               |  CAST(batch_id AS BIGINT) AS batch_id
-              |FROM p ORDER BY symbol, title, batch_id""".stripMargin)))
+              |FROM p ORDER BY symbol, title, batch_id""".stripMargin)),
+
+    // ---- the CPC surface through SQL TEXT (parser → resolver → the
+    // injected functions): the same CpcSymbolOps column compositions,
+    // resolved by NAME via CpcFunctions (runtime route here, since the
+    // driver owns this session; GraftExtensions injects identical builders
+    // at session build). Oracle = q41's componentization + normalization,
+    // so any drift between the SQL adapters and the column API flips the
+    // hash.
+    Q("q92_cpc_sql_functions",
+      (s, _) => {
+        import s.implicits._
+        graft.functions.CpcFunctions.register(s)
+        symbols.toDF("symbol").createOrReplaceTempView("cpc_syms")
+        s.sql("""SELECT symbol,
+                |  cpc_section(symbol) AS section,
+                |  cpc_class(symbol) AS `class`,
+                |  cpc_subclass(symbol) AS subclass,
+                |  cpc_subgroup(symbol) AS subgroup,
+                |  cpc_valid_format(symbol) AS fmt_valid,
+                |  cpc_normalize(symbol) AS norm
+                |FROM cpc_syms ORDER BY symbol""".stripMargin)
+      },
+      Some(s"""WITH syms(symbol) AS (VALUES ${sqlValues(symbols)})
+              |SELECT symbol,
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 1, 1), '^\\p{L}$$')
+              |       THEN substring(symbol, 1, 1) END AS section,
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 2, 2), '^\\p{Nd}{2}$$')
+              |       THEN substring(symbol, 1, 3) END AS "class",
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN regexp_matches(substring(symbol, 4, 1), '^\\p{L}$$')
+              |       THEN substring(symbol, 1, 4) END AS subclass,
+              |  CASE WHEN symbol = '' OR regexp_matches(symbol, '^\\p{Nd}+$$') THEN NULL
+              |       WHEN contains(symbol, '/') THEN symbol END AS subgroup,
+              |  ${validFmt("symbol")} AS fmt_valid,
+              |  regexp_replace(symbol, '\\s+', '', 'g') AS norm
+              |FROM syms ORDER BY symbol""".stripMargin)))
 }

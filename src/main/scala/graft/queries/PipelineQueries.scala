@@ -137,7 +137,8 @@ object PipelineQueries {
              |          UNION
              |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
              |SELECT src AS doc_id, min(dst) AS cluster
-             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- SimHash signatures + hamming<=3 pairs on the real corpus
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
@@ -337,7 +338,8 @@ object PipelineQueries {
              |SELECT doc_id,
              |  array_to_string(list(chunk ORDER BY start), ' ') AS clean_text
              |FROM fp JOIN dfq USING (f) WHERE seg_df <= 2
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- corpus term frequency (explode + count).
     Q("q30_term_freq",
@@ -670,22 +672,35 @@ object PipelineQueries {
       (s, d) => graft.operators.TrainingPrep
         .selectUnderBudget(t(s, d, "documents"), 10000L)
         .orderBy("cum_tok"),
+      // CAST the window sum: DuckDB sum(BIGINT) yields HUGEINT, which the
+      // driver's pandas frame demotes to float64 and the hash flips on
+      // 99 vs 99.0 (the Queries.scala:12-14 convention applies to window
+      // aggregates too).
       Some("""SELECT doc_id, n_tok, cum_tok FROM (
              |  SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
              |      ORDER BY n_chars DESC, doc_id
-             |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
              |  FROM documents)
-             |WHERE cum_tok <= 10000 ORDER BY cum_tok""".stripMargin)),
+             |WHERE cum_tok <= 10000 ORDER BY cum_tok""".stripMargin),
+      bench = true),
 
     // ---- inverted index: term -> sorted postings + df (retrieval
     // primitive; one term-keyed shuffle, map-side collect_set dedup).
+    // The registered row projects the posting ARRAY to a ','-joined string:
+    // the driver's pandas-based hasher cannot sort/factorize an array-typed
+    // column (CORRECTNESS_r07 `unhashable type: numpy.ndarray`). Engine
+    // users keep the array-returning `TrainingPrep.invertedIndex` API.
     Q("q90_inverted_index",
       (s, d) => graft.operators.TrainingPrep
         .invertedIndex(t(s, d, "documents"))
+        .select(col("term"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"),
+          col("df"))
         .orderBy("term"),
-      Some("""SELECT term, list(doc_id ORDER BY doc_id) AS postings,
+      Some("""SELECT term,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
              |  CAST(len(list(doc_id)) AS INT) AS df
              |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
              |      FROM documents)

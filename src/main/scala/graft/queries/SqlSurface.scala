@@ -210,5 +210,60 @@ object SqlSurface {
              |JOIN customer c ON o.o_custkey = c.c_custkey
              |JOIN nation n ON c.c_nationkey = n.n_nationkey
              |GROUP BY 1, 2
-             |ORDER BY nation, st""".stripMargin)))
+             |ORDER BY nation, st""".stripMargin)),
+
+    // ---- manifest-committed table end-to-end: seed a partitioned table
+    // through ManifestCommit (immutable txn dirs + create-if-absent
+    // versioned manifest — the object-store-safe commit), keyed-upsert a
+    // second txn touching ONE partition (updates + inserts, last-writer-
+    // wins: reference validator.py:96-98), then read the stitched
+    // snapshot. The read spans TWO live txn generations — untouched
+    // segments resolve to the seed txn, BUILDING to the upsert txn — so
+    // this row drives manifest resolution, per-generation scans, and the
+    // unionByName stitch against a DuckDB oracle, complementing
+    // ManifestCommitSpec's crash/race/retention coverage.
+    // Fixed per-dataset location wiped per run (the q79 argument): disk
+    // usage stays flat across repeated harness executions.
+    Q("q91_manifest_upsert",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-manifest"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/cust_by_seg")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("custkey"),
+            round(col("c_acctbal"), 2).as("bal"),
+            col("c_mktsegment").as("seg"))
+        graft.sources.ManifestCommit.overwriteViaManifest(s, loc.toString,
+          Seq("seg"), replaceAll = true) { txn =>
+          base.write.partitionBy("seg").parquet(txn)
+        }
+        val upd = base
+          .filter(col("seg") === "BUILDING" && col("custkey") % 10 === 0)
+          .withColumn("bal", round(col("bal") + lit(1000), 2))
+        val ins = upd.select((col("custkey") + 1000000L).as("custkey"),
+          lit(0.0).as("bal"), col("seg"))
+        graft.sources.ManifestCommit.upsertManifested(s, loc.toString,
+          upd.unionByName(ins), Seq("custkey"), Seq("seg"))
+        graft.sources.ManifestCommit.readManifested(s, loc.toString)
+          .select(col("custkey").cast("long"), col("bal"),
+            col("seg").cast("string"))
+          .orderBy("custkey")
+      },
+      Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+             |         round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+             |       FROM customer),
+             |     upd AS (SELECT custkey, round(bal + 1000, 2) AS bal, seg
+             |       FROM base WHERE seg = 'BUILDING' AND custkey % 10 = 0)
+             |SELECT custkey, bal, seg FROM base
+             |WHERE NOT (seg = 'BUILDING' AND custkey % 10 = 0)
+             |UNION ALL SELECT custkey, bal, seg FROM upd
+             |UNION ALL SELECT custkey + 1000000 AS custkey, 0.0 AS bal, seg
+             |FROM upd
+             |ORDER BY custkey""".stripMargin)))
 }

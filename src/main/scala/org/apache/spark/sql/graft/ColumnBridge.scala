@@ -11,6 +11,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode -> catalyst conversion. `expression` wraps non-
+    * expression nodes in a LAZY ColumnNodeExpression, which never converts
+    * when the result is handed to the function registry (the analyzer sees
+    * an opaque Unevaluable leaf and codegen dies on it); function builders
+    * need the converted tree — with its UnresolvedFunction children — up
+    * front so analysis resolves them in place. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a raw LogicalPlan (classic Dataset.ofRows is
     * private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -95,4 +95,21 @@ class CpcSymbolOpsSpec extends GraftSpec {
       assert(o(4).forall(_ == sym))
     }
   }
+
+  test("SQL function surface == column surface (CpcFunctions runtime route)") {
+    graft.functions.CpcFunctions.register(spark)
+    val syms = Seq("A", "A01", "A01B", "A01B1/00", "", "123", "Y02E", "Ab",
+      "1A", "AXX", "Z01", "B23K9/00", "A 01")
+    syms.toDF("symbol").createOrReplaceTempView("cpc_fn_syms")
+    val viaSql = spark.sql(
+      """SELECT cpc_section(symbol), cpc_class(symbol), cpc_subclass(symbol),
+        |  cpc_subgroup(symbol), cpc_valid_format(symbol), cpc_normalize(symbol)
+        |FROM cpc_fn_syms""".stripMargin).collect().map(_.toSeq).toSeq
+    val viaCol = syms.toDF("symbol").select(
+      section(col("symbol")), cpcClass(col("symbol")),
+      cpcSubclass(col("symbol")), subgroup(col("symbol")),
+      validFormat(col("symbol")), normalizeSymbol(col("symbol")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaCol)
+  }
 }

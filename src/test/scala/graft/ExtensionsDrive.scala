@@ -26,6 +26,15 @@ object ExtensionsDrive {
     println(s"== text kernels via SQL: $t")
     assert(t.getLong(0) == ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
     assert(t.getInt(1) == 2 && t.getLong(2) == 2 && t.getLong(3) == 1 && t.getInt(4) == 2)
+    val c = spark.sql(
+      """SELECT cpc_section('A01B1/00') AS s, cpc_class('A01B1/00') AS c,
+        |  cpc_subclass('A01B1/00') AS sc, cpc_subgroup('A01B1/00') AS sg,
+        |  cpc_valid_format('Z01') AS v, cpc_normalize('A 01') AS n""".stripMargin)
+      .collect()(0)
+    println(s"== cpc surface via SQL: $c")
+    assert(c.getString(0) == "A" && c.getString(1) == "A01" &&
+      c.getString(2) == "A01B" && c.getString(3) == "A01B1/00" &&
+      !c.getBoolean(4) && c.getString(5) == "A01")
     println("== extensions drive: OK")
     spark.stop()
   }

@@ -293,4 +293,19 @@ class PipelineOpsSpec extends GraftSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(postings == want)
   }
+
+  test("inverted index maxDf: hot terms dropped, surviving postings unchanged") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val full = graft.operators.TrainingPrep.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1).toSeq, r.getInt(2))).toMap
+    // a cutoff between min and max df so both branches are non-trivial
+    val dfs = full.values.map(_._2).toSeq
+    val cut = (dfs.min + dfs.max) / 2
+    assert(dfs.exists(_ > cut) && dfs.exists(_ <= cut),
+      s"degenerate corpus for cutoff test: dfs in [${dfs.min},${dfs.max}]")
+    val capped = graft.operators.TrainingPrep
+      .invertedIndex(docs, maxDf = Some(cut.toLong)).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1).toSeq, r.getInt(2))).toMap
+    assert(capped == full.filter(_._2._2 <= cut))
+  }
 }
