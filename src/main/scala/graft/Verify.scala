@@ -41,7 +41,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // a null here is an object-init ordering bug in a queries module
+        // (a Q row capturing a val declared below `all`); fail naming the
+        // query instead of NPE-ing in the escape loop
+        require(v != null, s"null oracle SQL for $k")
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -225,45 +225,95 @@ object SqlSurface {
     // Fixed per-dataset location wiped per run (the q79 argument): disk
     // usage stays flat across repeated harness executions.
     Q("q91_manifest_upsert",
+      (s, d) => readManifestDemo(
+        manifestDemoTable(s, d, "cust_by_seg"), s, version = None),
+      Some(ManifestMergedOracle)),
+
+    // ---- manifest TIME TRAVEL: after the upsert published version 2,
+    // version 1 must still read back byte-identical to the seed — the
+    // published manifest file is immutable and vacuum hasn't retired its
+    // txn dirs. Oracle = the plain base projection, so any leakage of the
+    // v2 txn into a v1 read (or any mutation of seed files during the
+    // upsert) flips the hash. Own location: query registry order is
+    // undefined, so no row may depend on another's side effects.
+    Q("q93_manifest_time_travel",
+      (s, d) => readManifestDemo(
+        manifestDemoTable(s, d, "cust_by_seg_tt"), s, version = Some(1L)),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey,
+             |  round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+             |FROM customer ORDER BY custkey""".stripMargin)),
+
+    // ---- manifest COMPACTION: collapse the two live txn generations into
+    // one (the public formats' OPTIMIZE — replaceAll manifest pointing
+    // every partition at a fresh rewritten txn) and prove the visible
+    // table is unchanged: same oracle as q91. Also asserts the collapse
+    // actually happened, so the row can't silently degrade into a no-op.
+    Q("q94_manifest_compact",
       (s, d) => {
-        val dir = d.stripSuffix("/")
-        val loc = new java.io.File(
-          new java.io.File(sys.props("java.io.tmpdir"), "graft-manifest"),
-          java.lang.Integer.toHexString(dir.hashCode) + "/cust_by_seg")
-        def rmTree(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
-        val base = s.read.parquet(s"$dir/customer.parquet")
-          .select(col("c_custkey").cast("long").as("custkey"),
-            round(col("c_acctbal"), 2).as("bal"),
-            col("c_mktsegment").as("seg"))
-        graft.sources.ManifestCommit.overwriteViaManifest(s, loc.toString,
-          Seq("seg"), replaceAll = true) { txn =>
-          base.write.partitionBy("seg").parquet(txn)
-        }
-        val upd = base
-          .filter(col("seg") === "BUILDING" && col("custkey") % 10 === 0)
-          .withColumn("bal", round(col("bal") + lit(1000), 2))
-        val ins = upd.select((col("custkey") + 1000000L).as("custkey"),
-          lit(0.0).as("bal"), col("seg"))
-        graft.sources.ManifestCommit.upsertManifested(s, loc.toString,
-          upd.unionByName(ins), Seq("custkey"), Seq("seg"))
-        graft.sources.ManifestCommit.readManifested(s, loc.toString)
-          .select(col("custkey").cast("long"), col("bal"),
-            col("seg").cast("string"))
-          .orderBy("custkey")
+        val loc = manifestDemoTable(s, d, "cust_by_seg_cp")
+        val snap = graft.sources.ManifestCommit.compactManifested(
+          s, loc, Seq("seg"))
+        require(snap.entries.values.toSet.size == 1,
+          s"compaction left ${snap.entries.values.toSet.size} txn generations")
+        readManifestDemo(loc, s, version = None)
       },
-      Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
-             |         round(c_acctbal, 2) AS bal, c_mktsegment AS seg
-             |       FROM customer),
-             |     upd AS (SELECT custkey, round(bal + 1000, 2) AS bal, seg
-             |       FROM base WHERE seg = 'BUILDING' AND custkey % 10 = 0)
-             |SELECT custkey, bal, seg FROM base
-             |WHERE NOT (seg = 'BUILDING' AND custkey % 10 = 0)
-             |UNION ALL SELECT custkey, bal, seg FROM upd
-             |UNION ALL SELECT custkey + 1000000 AS custkey, 0.0 AS bal, seg
-             |FROM upd
-             |ORDER BY custkey""".stripMargin)))
+      Some(ManifestMergedOracle)))
+
+  /** Seeds a manifest-committed customer-by-segment table at a fixed
+    * per-(dataset,suffix) location (wiped per run — disk-flat across
+    * harness executions), then keyed-upserts a second txn touching only
+    * the BUILDING partition (updates + inserts). Returns the table path;
+    * the resulting table has TWO live txn generations. */
+  private def manifestDemoTable(s: SparkSession, d: String,
+      suffix: String): String = {
+    val dir = d.stripSuffix("/")
+    val loc = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-manifest"),
+      java.lang.Integer.toHexString(dir.hashCode) + "/" + suffix)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    if (loc.exists()) rmTree(loc)
+    val base = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("custkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        col("c_mktsegment").as("seg"))
+    graft.sources.ManifestCommit.overwriteViaManifest(s, loc.toString,
+      Seq("seg"), replaceAll = true) { txn =>
+      base.write.partitionBy("seg").parquet(txn)
+    }
+    val upd = base
+      .filter(col("seg") === "BUILDING" && col("custkey") % 10 === 0)
+      .withColumn("bal", round(col("bal") + lit(1000), 2))
+    val ins = upd.select((col("custkey") + 1000000L).as("custkey"),
+      lit(0.0).as("bal"), col("seg"))
+    graft.sources.ManifestCommit.upsertManifested(s, loc.toString,
+      upd.unionByName(ins), Seq("custkey"), Seq("seg"))
+    loc.toString
+  }
+
+  private def readManifestDemo(loc: String, s: SparkSession,
+      version: Option[Long]): DataFrame =
+    graft.sources.ManifestCommit.readManifested(s, loc, version)
+      .select(col("custkey").cast("long"), col("bal"),
+        col("seg").cast("string"))
+      .orderBy("custkey")
+
+  /** Last-writer-wins merge of the seed + the BUILDING upsert, in DuckDB
+    * terms (reference semantics: validator.py:96-98). A `def`: `all` is
+    * built during object init, which runs top-to-bottom — a later `val`
+    * would still be null when the Q rows capture it. */
+  private def ManifestMergedOracle =
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+      |         round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+      |       FROM customer),
+      |     upd AS (SELECT custkey, round(bal + 1000, 2) AS bal, seg
+      |       FROM base WHERE seg = 'BUILDING' AND custkey % 10 = 0)
+      |SELECT custkey, bal, seg FROM base
+      |WHERE NOT (seg = 'BUILDING' AND custkey % 10 = 0)
+      |UNION ALL SELECT custkey, bal, seg FROM upd
+      |UNION ALL SELECT custkey + 1000000 AS custkey, 0.0 AS bal, seg
+      |FROM upd
+      |ORDER BY custkey""".stripMargin
 }
