@@ -65,6 +65,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
+  /** Incremental exact dedup: the rows of `incoming` that are new against
+    * `existing` — the shape every periodically-refreshed corpus needs
+    * (dedup the day's crawl against everything already ingested, not the
+    * whole corpus against itself). Matching is by canonical-form
+    * fingerprint ([[TextAnalysis.fingerprint]]: md5 of lowercased,
+    * whitespace-collapsed text); within the batch the smallest-id copy of
+    * each fingerprint wins, and anything whose fingerprint already exists
+    * in `existing` is dropped.
+    *
+    * SCALE: one fingerprint-keyed shuffle per side — the within-batch
+    * winner is a fp-partitioned window (keyed, never one-partition) and
+    * the history check a left-anti join that AQE broadcasts only when the
+    * existing side measures small. At 100 TB don't re-fingerprint the
+    * corpus per batch: `existing` can be just the fingerprint column, so
+    * maintain a (fp) table via [[graft.sources.ManifestCommit
+    * .upsertManifested]] and pass `readManifested(...)` here — the scan
+    * then reads one slim column family instead of the text. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fpCol = TextAnalysis.fingerprint(col(textCol))
+    val seen = existing.select(fpCol.as("__fp")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col(idCol))
+    incoming.withColumn("__fp", fpCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** (did, set-size, one 64-bit-hashed shingle per row) — the
     * inverted-index input. Shingle generation + hashing run inside the
     * codegen'd [[graft.expressions.ShingleHashes]] expression (no typed

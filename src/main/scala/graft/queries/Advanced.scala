@@ -439,5 +439,27 @@ object Advanced {
               |  ${graft.operators.Layout.zValueSql("a", "b")} AS zkey
               |FROM (SELECT p_partkey, p_partkey + 32768 AS a,
               |        p_size + 32768 AS b FROM part)
-              |ORDER BY zkey, p_partkey""".stripMargin)))
+              |ORDER BY zkey, p_partkey""".stripMargin)),
+
+    // ---- the z-order WRITE path end-to-end: range-sample + sort + parquet
+    // write via Layout.zOrderedWrite, then read the files back — the
+    // roundtrip must lose nothing (oracle = source projection). Bench-
+    // flagged: this is the suite's only timed WRITE operator, so a
+    // regression in the layout path (a lost partial sort, a skewed range
+    // sample, parquet writer conf drift) shows up in BENCH_r*.json rather
+    // than only in LayoutSpec's pruning assertions. Fixed per-dataset
+    // location, overwritten per run — disk-flat across executions.
+    Q("q95_zorder_roundtrip",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-zorder"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/part_z")
+        graft.operators.Layout.zOrderedWrite(
+          t(s, d, "part").select("p_partkey", "p_size"),
+          "p_partkey", "p_size", loc.toString, nFiles = 8)
+        s.read.parquet(loc.toString).orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_size FROM part ORDER BY p_partkey"),
+      bench = true))
 }

@@ -688,6 +688,28 @@ object PipelineQueries {
 
     // ---- inverted index: term -> sorted postings + df (retrieval
     // primitive; one term-keyed shuffle, map-side collect_set dedup).
+    // ---- incremental exact dedup: the day's batch (doc_id % 3 == 0)
+    // deduped against the already-ingested corpus (the rest) — survivors
+    // are incoming docs whose canonical fingerprint is new to BOTH the
+    // history and the earlier part of the batch. The per-batch shape every
+    // refreshed corpus runs instead of corpus-vs-itself.
+    Q("q96_incremental_dedup",
+      (s, d) => graft.operators.Dedup.incrementalDedup(
+          t(s, d, "documents").where(col("doc_id") % 3 =!= 0),
+          t(s, d, "documents").where(col("doc_id") % 3 === 0))
+        .select("doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS f
+             |  FROM documents),
+             |inc AS (SELECT doc_id, f,
+             |    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+             |  FROM fp WHERE doc_id % 3 = 0)
+             |SELECT doc_id FROM inc
+             |WHERE rn = 1 AND NOT EXISTS (
+             |  SELECT 1 FROM fp s WHERE s.doc_id % 3 <> 0 AND s.f = inc.f)
+             |ORDER BY doc_id""".stripMargin)),
+
     // The registered row projects the posting ARRAY to a ','-joined string:
     // the driver's pandas-based hasher cannot sort/factorize an array-typed
     // column (CORRECTNESS_r07 `unhashable type: numpy.ndarray`). Engine

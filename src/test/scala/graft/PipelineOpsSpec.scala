@@ -294,6 +294,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(postings == want)
   }
 
+  test("incremental dedup: history dups, within-batch dups, normalization variants") {
+    import spark.implicits._
+    val existing = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a  b"),  // whitespace variant of history doc 1 -> dropped
+      (11L, "e f"),   // new -> survives
+      (12L, "e f"),   // exact within-batch dup of 11 -> dropped
+      (13L, "E F")    // case variant of 11, same fingerprint -> dropped
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalDedup(existing, incoming)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((11L, "e f")))
+    // empty history: only within-batch dedup applies
+    val noHist = graft.operators.Dedup
+      .incrementalDedup(existing.limit(0), incoming)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(noHist == Seq(10L, 11L))
+  }
+
   test("inverted index maxDf: hot terms dropped, surviving postings unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val full = graft.operators.TrainingPrep.invertedIndex(docs).collect()
