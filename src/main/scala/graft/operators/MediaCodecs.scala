@@ -17,10 +17,14 @@ trait MediaCodec extends Serializable {
   * amplitude/energy statistics, both as the same fixed-width vector shape
   * a model-embedding codec would emit.
   *
-  * Video stays honestly out of scope: the JDK ships no MP4 codec, so
-  * `video/mp4` (and any undecodable payload) falls back to byte-level
-  * statistics rather than pretending — the `decoded` flag in feature slot
-  * 0 records which path ran.
+  * Video runs through [[Mp4]], a real ISO-BMFF demuxer: the container's
+  * sample tables yield true frame count, geometry, duration and per-frame
+  * byte ranges for ANY parseable MP4, and MJPEG tracks (`jpeg`/`mjpa`
+  * sample entries) additionally get REAL pixel decode — each sample is a
+  * complete JPEG the `javax.imageio` codec reads. H.264/H.265 samples have
+  * no JDK codec, so their tracks report demuxed container stats with the
+  * `decoded` flag 0; payloads that aren't parseable MP4 at all fall back
+  * to byte-level statistics, also with `decoded` 0.
   *
   * SCALE: decode is pure per-row CPU inside `mapPartitions` (no shuffle,
   * no driver involvement); codec instances are JVM-static so executor
@@ -33,6 +37,7 @@ object JdkMediaCodec extends MediaCodec {
     val feats =
       if (a.mime.startsWith("image/")) decodeImage(a.payload)
       else if (a.mime == "audio/wav" || a.mime == "audio/x-wav") decodeWav(a.payload)
+      else if (a.mime == "video/mp4") decodeVideo(a.payload)
       else None
     MmFeatures(a.doc_id, a.mime, a.payload.length.toLong,
       feats.getOrElse(byteStats(a.payload)))
@@ -116,6 +121,63 @@ object JdkMediaCodec extends MediaCodec {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+
+  /** [decoded, nFrames, width, height, meanLuma, stdLuma, durationMs, fps]
+    * — container fields come from the REAL [[Mp4]] demux (sample tables,
+    * not metadata guesses). `decoded`=1 iff the track's samples pixel-
+    * decoded (MJPEG); an H.264 track demuxes (real frame count/geometry/
+    * timing) but reports luma 0 with `decoded`=0. Non-MP4 payloads return
+    * None → byte-stat fallback. */
+  private[operators] def decodeVideo(payload: Array[Byte]): Option[Array[Float]] =
+    Mp4.demux(payload).map { t =>
+      val durMs = t.durationMs
+      val fps =
+        if (durMs == 0) 0f else t.frameCount.toFloat * 1000f / durMs
+      var sy = 0.0; var syy = 0.0; var n = 0L
+      var i = 0
+      while (i < t.frameCount) {
+        frameLuma(payload, t, i).foreach { case (s, ss, cnt) =>
+          sy += s; syy += ss; n += cnt
+        }
+        i += 1
+      }
+      if (n == 0)
+        Array(0f, t.frameCount.toFloat, t.width.toFloat, t.height.toFloat,
+          0f, 0f, durMs.toFloat, fps)
+      else {
+        val mean = sy / n
+        val varL = math.max(0.0, syy / n - mean * mean)
+        Array(1f, t.frameCount.toFloat, t.width.toFloat, t.height.toFloat,
+          (mean / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+          durMs.toFloat, fps)
+      }
+    }
+
+  /** (sumLuma, sumLumaSq, pixelCount) of one demuxed frame, when its
+    * sample bytes decode as an image (MJPEG). */
+  def frameLuma(payload: Array[Byte], t: Mp4.VideoTrack,
+      i: Int): Option[(Double, Double, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Mp4.sampleBytes(payload, t, i)))
+      if (img == null) None
+      else {
+        var sy = 0.0; var syy = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000.0
+            sy += luma; syy += luma * luma
+            x += 1
+          }
+          y += 1
+        }
+        Some((sy, syy, img.getWidth.toLong * img.getHeight))
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** Real aspect-preserving re-encode for [[Multimodal.resizePlan]]'s
     * payload seam: decode, high-quality bilinear scale to (outW, outH),

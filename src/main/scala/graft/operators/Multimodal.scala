@@ -17,10 +17,10 @@ case class MmFeatures(doc_id: Long, mime: String, n_bytes: Long,
   * Decode runs through the [[MediaCodec]] seam with two ends:
   * [[JdkMediaCodec]] REALLY decodes PNG/JPEG/BMP/GIF and WAV through the
   * JDK's own `javax.imageio` / `javax.sound.sampled` codecs (and really
-  * re-encodes resized images); [[FakeDecoder]] derives deterministic
+  * re-encodes resized images, and demuxes MP4 through [[Mp4]] with real
+  * pixel decode for MJPEG tracks); [[FakeDecoder]] derives deterministic
   * pseudo-features so the ORACLE queries stay exact on the synthetic
-  * fixtures, whose payloads are text bytes, not media. Video remains a
-  * stub boundary — the JDK ships no MP4 codec.
+  * fixtures, whose payloads are text bytes, not media.
   *
   * SCALE: payloads stay opaque bytes end-to-end (never exploded into rows),
   * decode runs `mapPartitions` so a codec can amortize per-batch init
@@ -119,4 +119,31 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs.toLong))).as("ts_ms"))
       .select(col("doc_id"), (col("ts_ms") / everyMs).cast("long").as("frame_idx"),
         col("ts_ms"))
+
+  /** Executes [[frameSamplePlan]]'s grab-the-frame seam with the REAL
+    * [[Mp4]] demuxer: each video payload's sample tables are parsed once
+    * per asset, each sampled timestamp maps to the last frame at-or-before
+    * it, and MJPEG frames additionally pixel-decode to a luma mean
+    * (`decoded`=1). Assets that aren't parseable MP4 are dropped — same
+    * contract as a codec rejecting a corrupt clip. The clip's own duration
+    * (from the demuxed media header, not the metadata column) bounds the
+    * sweep. Per-asset CPU inside `mapPartitions`; the payload is demuxed
+    * once for all of its sampled frames. */
+  def applyFrameSample(spark: SparkSession, assets: Dataset[MmAsset],
+      everyMs: Int): DataFrame = {
+    import spark.implicits._
+    assets.filter(col("mime") === "video/mp4")
+      .mapPartitions(_.flatMap { a =>
+        Mp4.demux(a.payload).toSeq.flatMap { t =>
+          (0L to t.durationMs by everyMs.toLong).map { ts =>
+            val si = t.sampleAt(ts)
+            val luma = JdkMediaCodec.frameLuma(a.payload, t, si)
+            (a.doc_id, ts / everyMs, ts, si,
+              luma.map { case (s, _, n) => s / n / 255.0 }.getOrElse(0.0),
+              if (luma.isDefined) 1 else 0)
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "ts_ms", "sample_idx", "mean_luma", "decoded")
+  }
 }

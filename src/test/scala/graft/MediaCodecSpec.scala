@@ -88,6 +88,77 @@ class MediaCodecSpec extends GraftSpec {
     assert(got.values.forall(_.features.length == JdkMediaCodec.Dim))
   }
 
+  /** JPEG of one solid gray level (r=g=b): chroma is constant and luma is
+    * spatially flat, so even the lossy codec round-trips the level to
+    * within quantization error — closed-form enough for tight bounds. */
+  private def jpegGray(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** 3-frame MJPEG MP4, 200 ms per frame, gray levels 64/128/192. */
+  private def mjpeg(w: Int = 32, h: Int = 24): Array[Byte] =
+    graft.operators.Mp4.mux(
+      Seq(jpegGray(w, h, 64), jpegGray(w, h, 128), jpegGray(w, h, 192)),
+      w, h, frameDurMs = 200)
+
+  test("MJPEG MP4 demuxes to the muxed sample table and really pixel-decodes") {
+    val clip = mjpeg()
+    val t = graft.operators.Mp4.demux(clip).get
+    assert(t.codec == "jpeg" && t.frameCount == 3)
+    assert(t.width == 32 && t.height == 24)
+    assert(t.durationMs == 600L && t.sampleTimes.toSeq == Seq(0L, 200L, 400L))
+    // per-frame pixel decode recovers each frame's gray level
+    val lumas = (0 until 3).map { i =>
+      val (s, _, n) = JdkMediaCodec.frameLuma(clip, t, i).get
+      s / n
+    }
+    assert(math.abs(lumas(0) - 64) < 2 && math.abs(lumas(1) - 128) < 2 &&
+      math.abs(lumas(2) - 192) < 2, s"lumas $lumas")
+
+    val f = JdkMediaCodec.decode(MmAsset(5L, "video/mp4", clip, 32, 24, 600L)).features
+    assert(f(0) == 1f, "MJPEG must count as a real decode")
+    assert(f(1) == 3f && f(2) == 32f && f(3) == 24f)
+    assert(math.abs(f(4) - 128f / 255f) < 0.01f, s"mean luma ${f(4)}")
+    assert(f(6) == 600f && math.abs(f(7) - 5f) < 1e-4, "duration + fps from mdhd/stts")
+  }
+
+  test("an undecodable-codec track still demuxes real container stats, decoded=0") {
+    // same container, but the sample entry claims avc1 and the samples are
+    // not JPEGs -> demux succeeds, pixel decode honestly refuses
+    val clip = graft.operators.Mp4.mux(
+      Seq(Array[Byte](0, 0, 0, 1, 0x65), Array[Byte](0, 0, 0, 1, 0x41)),
+      640, 360, frameDurMs = 40, codec = "avc1")
+    val t = graft.operators.Mp4.demux(clip).get
+    assert(t.codec == "avc1" && t.frameCount == 2 && t.width == 640)
+    val f = JdkMediaCodec.decode(MmAsset(6L, "video/mp4", clip, 640, 360, 80L)).features
+    assert(f(0) == 0f, "no JDK H.264 codec: must not claim pixel decode")
+    assert(f(1) == 2f && f(2) == 640f && f(3) == 360f && f(6) == 80f)
+  }
+
+  test("applyFrameSample decodes the frame at each sampled timestamp, distributed") {
+    val assets = Seq(
+      MmAsset(20L, "video/mp4", mjpeg(), 32, 24, 600L),
+      MmAsset(21L, "video/mp4", Array[Byte](9, 9, 9), 0, 0, 500L)).toDS()
+    val rows = Multimodal.applyFrameSample(spark, assets, everyMs = 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getInt(5)))
+      .sortBy(r => (r._1, r._2))
+    // corrupt clip dropped; 600ms clip sampled at 0/250/500 -> frames 0/1/2
+    assert(rows.map(_._1).distinct.toSeq == Seq(20L))
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 0), (1L, 250L, 1), (2L, 500L, 2)))
+    assert(rows.forall(_._6 == 1), "MJPEG frames must really decode")
+    val got = rows.map(_._5)
+    assert(math.abs(got(0) - 64.0 / 255) < 0.01 && math.abs(got(1) - 128.0 / 255) < 0.01 &&
+      math.abs(got(2) - 192.0 / 255) < 0.01, s"per-frame lumas ${got.toSeq}")
+  }
+
   test("applyResize re-encodes images to the plan's computed geometry") {
     val assets = Seq(
       MmAsset(10L, "image/png", png(64, 48, 10, 200, 30), 64, 48, 0L)).toDS()
