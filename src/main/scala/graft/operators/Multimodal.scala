@@ -65,6 +65,34 @@ object Multimodal {
       .as[MmAsset]
   }
 
+  /** Deterministic REAL video assets derived from doc_id: `doc_id % 3 + 1`
+    * solid-gray 8x8 JPEG frames (level `(doc_id*37 + i*41) % 256`), 100 ms
+    * each, muxed into a valid MP4 through [[Mp4.mux]]. Unlike [[assets]]
+    * (opaque fake payloads for the stub/oracle path), these payloads the
+    * REAL codec demuxes and pixel-decodes — they drive the video path in
+    * driver-checked queries (q97), where the frame/timestamp/sample
+    * mapping and the decoded flag are exactly oracle-able even though
+    * JPEG luma is only near-exact. Encode is per-row CPU on executors. */
+  def mjpegAssets(spark: SparkSession, docs: DataFrame): Dataset[MmAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (id % 3 + 1).toInt
+      val frames = (0 until n).map(i => grayJpeg(8, 8, ((id * 37 + i * 41) % 256).toInt))
+      MmAsset(id, "video/mp4", Mp4.mux(frames, 8, 8, frameDurMs = 100), 8, 8, n * 100L)
+    }
+  }
+
+  private def grayJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Partition-wise feature extraction through the decoder seam.
     * `mapPartitions` is deliberate: a codec amortizes per-partition init
     * (native buffers, model load) across the batch. Default codec is the

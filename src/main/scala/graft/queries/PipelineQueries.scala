@@ -726,5 +726,32 @@ object PipelineQueries {
              |  CAST(len(list(doc_id)) AS INT) AS df
              |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
              |      FROM documents)
-             |GROUP BY term ORDER BY term""".stripMargin)))
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ---- REAL video path, driver-checked: deterministic MJPEG clips are
+    // muxed from doc_id (Mp4.mux), demuxed back through the real ISO-BMFF
+    // sample tables, and each sampled timestamp's frame pixel-decodes via
+    // the JDK JPEG codec. The frame/ts/sample mapping and the decoded flag
+    // are exact (clip i has doc_id%3+1 frames of 100 ms; sampleAt = last
+    // frame at-or-before ts); JPEG luma is near-exact only, so it stays
+    // out of the registered projection (spec-checked in MediaCodecSpec).
+    Q("q97_video_real_frames",
+      (s, d) => graft.operators.Multimodal.applyFrameSample(
+          s,
+          graft.operators.Multimodal.mjpegAssets(
+            s, t(s, d, "documents").where(col("doc_id") % 7 === 0)),
+          everyMs = 150)
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          col("sample_idx"), col("decoded"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH v AS (SELECT doc_id, doc_id % 3 + 1 AS n
+             |          FROM documents WHERE doc_id % 7 = 0)
+             |SELECT doc_id,
+             |  CAST(ts_ms // 150 AS BIGINT) AS frame_idx,
+             |  CAST(ts_ms AS BIGINT) AS ts_ms,
+             |  CAST(least(ts_ms // 100, n - 1) AS INT) AS sample_idx,
+             |  CAST(1 AS INT) AS decoded
+             |FROM (SELECT doc_id, n, unnest(range(0, n * 100 + 1, 150)) AS ts_ms
+             |      FROM v)
+             |ORDER BY doc_id, frame_idx""".stripMargin)))
 }
