@@ -318,4 +318,83 @@ object TrainingPrep {
       .agg(sort_array(collect_set(col(idCol))).as("postings"))
       .withColumn("df", size(col("postings")))
   }
+
+  /** BM25 ranked retrieval — the scoring end of [[invertedIndex]]'s
+    * retrieval story (Robertson/Sparck-Jones idf with Lucene's +1 floor,
+    * so scores stay positive even for terms in most docs).
+    *
+    * SCALE: the token explode is filtered to the QUERY's terms before
+    * anything shuffles, so the per-(doc,term) tf aggregation moves
+    * |q| * df rows, not the corpus; df and the corpus length stats are
+    * tiny aggregates broadcast back (single-row / |q|-row build sides);
+    * the final top-k is an orderBy+limit the planner runs as
+    * TakeOrderedAndProject — no global sort materializes. The aggregated
+    * tf (bounded by |q| * N rows, three narrow columns) is materialized
+    * with localCheckpoint so the df branch derives from it instead of
+    * re-scanning and re-exploding the corpus (column pruning would
+    * otherwise specialize the two subtrees apart and defeat exchange
+    * reuse). One corpus explode total; the avgdl pass reads only the
+    * text column, shuffle-free. Ranking ties break on the ROUNDED score
+    * then doc_id, so the cut at `topK` is deterministic across engines
+    * and float-summation orders. For repeated queries against a static
+    * corpus, persist the (term, doc, tf, dl) table once (q90's inverted
+    * index) instead of re-running the scan per query. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    val stats = toks.agg(avg(size(col("w"))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val tf = toks
+      .select(col(idCol), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("w_td", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w_td")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Unigram-LM surprisal scoring — the statistical half of a
+    * CCNet-style quality filter: fit a unigram model on the corpus itself
+    * (p(w) = count(w)/total) and score each document by its
+    * cross-entropy in bits/token. Template spam scores low, rare-token
+    * noise scores high; filters band-pass the middle.
+    *
+    * SCALE: two tokenize passes (the q83 trade — cheaper than carrying
+    * exploded tokens through a wide plan): pass one builds the
+    * term->count model with map-side partial aggregation; pass two
+    * re-explodes and joins tokens to the model on the term key. The model
+    * is vocab-sized, NOT corpus-sized, but a web-scale vocab (hundreds of
+    * millions of tails) is not a-priori driver-sized, so the join stays a
+    * shuffle join by default and AQE converts it to broadcast when the
+    * built side measures small — the q77 hot-set argument. The total
+    * token count is a single-row aggregate off the un-exploded scan
+    * (size(tokens), no shuffle) broadcast into the score — NOT an
+    * unpartitioned window over the vocab, which would funnel every model
+    * row through one task. */
+  def unigramSurprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val model = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(
+      sum(size(TextAnalysis.tokens(col(textCol)))).cast("double").as("total"))
+    val logTwo = math.log(2.0)
+    toks.join(model, Seq("term"))
+      .join(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        round(avg(-log(col("cnt").cast("double") / col("total")) / logTwo), 4)
+          .as("bits_per_tok"))
+  }
 }

@@ -753,5 +753,42 @@ object PipelineQueries {
              |  CAST(1 AS INT) AS decoded
              |FROM (SELECT doc_id, n, unnest(range(0, n * 100 + 1, 150)) AS ts_ms
              |      FROM v)
-             |ORDER BY doc_id, frame_idx""".stripMargin)))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- BM25 ranked retrieval: the scoring end of q90's inverted-index
+    // story. Ties at the top-k cut break on (rounded score, doc_id) so the
+    // limit is deterministic across engines.
+    Q("q98_bm25_search",
+      (s, d) => graft.operators.TrainingPrep
+        .bm25(t(s, d, "documents"), Seq("spark", "window", "vector"), topK = 20),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |s AS (SELECT avg(len(w)) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM d),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             |         any_value(dl) AS dl
+             |       FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+             |       WHERE term IN ('spark', 'window', 'vector')
+             |       GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+             |SELECT doc_id,
+             |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+             |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |FROM tf JOIN df USING (term), s
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- unigram-LM surprisal: corpus-fit p(w), per-doc cross-entropy in
+    // bits/token — the statistical half of a CCNet-style quality filter.
+    Q("q99_unigram_surprisal",
+      (s, d) => graft.operators.TrainingPrep
+        .unigramSurprisal(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS total
+             |        FROM documents)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  round(avg(-ln(CAST(cnt AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |FROM toks JOIN model USING (term), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -327,4 +327,35 @@ class PipelineOpsSpec extends GraftSpec {
       .map(r => r.getString(0) -> (r.getSeq[Long](1).toSeq, r.getInt(2))).toMap
     assert(capped == full.filter(_._2._2 <= cut))
   }
+
+  test("bm25: closed-form score on a 3-doc corpus, tie cut deterministic") {
+    import spark.implicits._
+    // doc 1: query term 'a' twice of 4 tokens; doc 2: 'a' once of 2;
+    // doc 3: no query terms (must not appear)
+    val docs = Seq((1L, "a x a y"), (2L, "a z"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TrainingPrep.bm25(docs, Seq("a"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "only matching docs, best first")
+    val (k1, b, n, df, avgdl) = (1.2, 0.75, 3.0, 2.0, 10.0 / 3)
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(1L -> s(2, 4), 2L -> s(1, 2)), s"got $got")
+  }
+
+  test("unigram surprisal: uniform corpus scores exactly log2(vocab) bits") {
+    import spark.implicits._
+    // 4 equal-count terms -> p = 1/4 everywhere -> 2 bits/token for all
+    val docs = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    val got = graft.operators.TrainingPrep.unigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq((1L, 4L, 2.0), (2L, 4L, 2.0)), s"got $got")
+    // a skewed doc scores above a template doc built from the common term
+    val skew = Seq((1L, "t t t t t t rare"), (2L, "t t t t t t t")).toDF("doc_id", "text")
+    val s2 = graft.operators.TrainingPrep.unigramSurprisal(skew)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(1L) > s2(2L), s"rare-token doc must be more surprising: $s2")
+  }
 }
