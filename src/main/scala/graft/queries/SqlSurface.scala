@@ -257,7 +257,50 @@ object SqlSurface {
           s"compaction left ${snap.entries.values.toSet.size} txn generations")
         readManifestDemo(loc, s, version = None)
       },
-      Some(ManifestMergedOracle)))
+      Some(ManifestMergedOracle)),
+
+    // ---- manifest DATA SKIPPING: commit with statCols (footer min/max
+    // sidecar), range-clustered files (sortWithinPartitions + small
+    // maxRecordsPerFile), then read through readManifestedPruned — files
+    // whose custkey range misses [100, 400] are never opened. The require
+    // keeps the row honest: if pruning ever stops cutting files, the row
+    // errors rather than silently degrading to a full scan. Values are
+    // oracled against the plain range filter, proving skipping changes
+    // WHICH FILES are read, never the answer.
+    Q("q100_manifest_pruned",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-manifest"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/cust_pruned")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("custkey"),
+            round(col("c_acctbal"), 2).as("bal"),
+            col("c_mktsegment").as("seg"))
+        graft.sources.ManifestCommit.overwriteViaManifest(s, loc.toString,
+          Seq("seg"), replaceAll = true, statCols = Seq("custkey")) { txn =>
+          base.repartition(col("seg")).sortWithinPartitions("custkey")
+            .write.option("maxRecordsPerFile", 20)
+            .partitionBy("seg").parquet(txn)
+        }
+        val (df, scanned, total) = graft.sources.ManifestCommit
+          .readManifestedPruned(s, loc.toString, "custkey", 100L, 400L)
+        require(scanned < total,
+          s"data skipping must cut the scan, read $scanned of $total files")
+        df.where(col("custkey").between(100L, 400L))
+          .select(col("custkey").cast("long"), col("bal"),
+            col("seg").cast("string"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey,
+             |  round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+             |FROM customer WHERE c_custkey BETWEEN 100 AND 400
+             |ORDER BY custkey""".stripMargin)))
 
   /** Seeds a manifest-committed customer-by-segment table at a fixed
     * per-(dataset,suffix) location (wiped per run — disk-flat across

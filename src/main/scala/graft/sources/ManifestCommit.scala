@@ -42,12 +42,24 @@ import org.apache.spark.sql.functions._
   * not table size — bounds planning fan-out (compaction collapses
   * generations). Data-side cost is identical to the staged variant: only
   * touched partitions are written.
+  *
+  * DATA SKIPPING: commits made with `statCols` additionally publish a
+  * `.stats` sidecar per manifest version — file-level min/max lifted from
+  * the parquet FOOTERS of that commit's txn (metadata reads only; stats
+  * accumulate incrementally, old generations are never re-read).
+  * [[readManifestedPruned]] intersects a range predicate with the sidecars
+  * and opens only the files whose range can match — the Iceberg-style scan
+  * cut that, with range-clustered writes (sort or [[graft.operators.Layout]]
+  * z-order), turns a 100 TB scan into the few files that matter. Sidecars
+  * are derived metadata: missing stats mean "read the file", never wrong
+  * answers.
   */
 object ManifestCommit {
 
   private val DataDir = "data"
   private val ManifestDir = "_manifests"
   private val ManifestSuffix = ".manifest"
+  private val StatsSuffix = ".stats"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,7 +132,8 @@ object ManifestCommit {
     * Throws [[java.nio.file.FileAlreadyExistsException]] when another
     * writer committed first — the caller re-runs against the new snapshot. */
   def overwriteViaManifest(spark: SparkSession, path: String,
-      partitionCols: Seq[String], replaceAll: Boolean = false)(
+      partitionCols: Seq[String], replaceAll: Boolean = false,
+      statCols: Seq[String] = Nil)(
       writeTo: String => Unit): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -155,14 +168,204 @@ object ManifestCommit {
       throw new java.nio.file.FileAlreadyExistsException(target.toString,
         null, "concurrent commit won; re-run against the new snapshot")
     }
+    publishStats(spark, path, next, txn, statCols)
     next
+  }
+
+  // ---- data skipping (Iceberg-style file-level min/max pruning) --------
+
+  private def statsPath(root: Path, v: Long) =
+    new Path(new Path(root, ManifestDir), f"$v%020d$StatsSuffix")
+
+  /** One file's min/max for one column, read from the parquet FOOTER (no
+    * data scan). Values carry a type tag (L/D/S) so ordering survives the
+    * text round-trip. */
+  final case class FileStat(txn: String, relFile: String, column: String,
+      min: String, max: String)
+
+  /** Reads the parquet footers of every data file under `txnDir` and
+    * returns per-file min/max for `statCols`. Footer reads touch only
+    * file metadata, never row data; at fleet scale run this inside the
+    * writer task that just produced the file — here it is a driver loop
+    * bounded by the files of ONE txn (the partitions the commit touched),
+    * not the table. */
+  private def footerStats(spark: SparkSession, txnDir: Path, txn: String,
+      statCols: Seq[String]): Seq[FileStat] = {
+    val fs = fsOf(spark, txnDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def files(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) files(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val qdir = fs.makeQualified(txnDir).toString
+    files(txnDir).flatMap { f =>
+      val rel = fs.makeQualified(f).toString.stripPrefix(qdir).stripPrefix("/")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val perCol = scala.collection.mutable.Map.empty[String, (String, String)]
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (statCols.contains(name)) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              tagged(st.genericGetMin).zip(tagged(st.genericGetMax)).foreach {
+                case (lo, hi) =>
+                  val merged = perCol.get(name) match {
+                    case Some((plo, phi)) =>
+                      (if (cmpTagged(lo, plo) < 0) lo else plo,
+                        if (cmpTagged(hi, phi) > 0) hi else phi)
+                    case None => (lo, hi)
+                  }
+                  perCol(name) = merged
+              }
+            }
+          }
+        }
+        perCol.toSeq.map { case (cn, (lo, hi)) => FileStat(txn, rel, cn, lo, hi) }
+      } finally reader.close()
+    }
+  }
+
+  private def tagged(v: Any): Option[String] = v match {
+    case n: java.lang.Long => Some(s"L:$n")
+    case n: java.lang.Integer => Some(s"L:$n")
+    case n: java.lang.Double => Some(s"D:$n")
+    case n: java.lang.Float => Some(s"D:${n.toDouble}")
+    case b: org.apache.parquet.io.api.Binary => Some(s"S:${b.toStringUsingUTF8}")
+    case _ => None // boolean/int96/unknown: skip, file stays unprunable
+  }
+
+  /** Orders two same-tag values; mixed tags order arbitrarily (never
+    * produced for one column). */
+  private def cmpTagged(a: String, b: String): Int = (a.head: @unchecked) match {
+    case 'L' => java.lang.Long.compare(a.drop(2).toLong, b.drop(2).toLong)
+    case 'D' => java.lang.Double.compare(a.drop(2).toDouble, b.drop(2).toDouble)
+    case 'S' => a.drop(2).compareTo(b.drop(2))
+  }
+
+  /** Publishes the stats sidecar for `snap`'s version: footer min/max per
+    * (file, statCol) for the files of `txn` (the generation the commit
+    * just wrote). Sidecars are derived, append-only metadata — a reader
+    * that finds no sidecar for some file simply cannot prune it, so a
+    * crash between manifest publish and stats publish costs performance,
+    * never correctness. Same tmp+rename-without-overwrite publish as the
+    * manifest. */
+  def publishStats(spark: SparkSession, path: String, snap: Snapshot,
+      txn: String, statCols: Seq[String]): Unit = {
+    if (statCols.isEmpty) return
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val stats = footerStats(spark,
+      new Path(new Path(root, DataDir), txn), txn, statCols)
+    val tmp = new Path(new Path(root, ManifestDir),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(stats.sortBy(s => (s.relFile, s.column))
+      .map(s => s"${s.txn}\t${s.relFile}\t${s.column}\t${s.min}\t${s.max}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = statsPath(root, snap.version)
+    if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** All file stats visible at `version`: the union of the retained
+    * sidecars at-or-below it. Each sidecar covers only its own commit's
+    * txn, so stats accumulate incrementally — no commit ever re-reads old
+    * generations' footers. */
+  private def statsAt(spark: SparkSession, path: String,
+      version: Long): Seq[FileStat] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(StatsSuffix) && !n.startsWith("."))
+      .filter(_.stripSuffix(StatsSuffix).toLong <= version)
+      .flatMap { n =>
+        val in = fs.open(new Path(mdir, n))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').filter(_.nonEmpty).map { line =>
+          val Array(txn, rel, cn, lo, hi) = line.split('\t')
+          FileStat(txn, rel, cn, lo, hi)
+        }
+      }
+  }
+
+  /** Reads the current table with FILE-LEVEL DATA SKIPPING on
+    * `column in [lo, hi]` (both bounds inclusive, tagged like the
+    * sidecar: pass Long/Double/String). Files whose footer range misses
+    * the interval are never opened; files with no recorded stats are
+    * always read (safe fallback — pruning is an optimization, not a
+    * filter). The caller still applies its own predicate: skipping
+    * changes which FILES are scanned, not row-level semantics. Returns
+    * (dataframe, scannedFiles, totalFiles) so callers/specs can observe
+    * the pruning. */
+  def readManifestedPruned(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val (tlo, thi) = (tagged(lo).get, tagged(hi).get)
+    val stats = statsAt(spark, path, snap.version)
+      .filter(s => s.column == column && snap.entries.values.exists(_ == s.txn))
+      .map(s => (s.txn, s.relFile) -> (s.min, s.max)).toMap
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var total = 0
+    var scanned = 0
+    val perTxn = snap.entries.groupBy(_._2).map { case (txn, es) =>
+      val base = new Path(new Path(root, DataDir), txn)
+      def files(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) files(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      val qbase = fs.makeQualified(base).toString
+      def relOf(f: Path) =
+        fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+      val inLiveParts = es.keySet
+      val all = files(base).filter { f =>
+        val rel = relOf(f)
+        val part = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i => rel.substring(0, i)
+        }
+        inLiveParts.contains(part)
+      }
+      total += all.size
+      val kept = all.filter { f =>
+        val rel = relOf(f)
+        stats.get((txn, rel)) match {
+          case Some((mn, mx)) =>
+            cmpTagged(mx, tlo) >= 0 && cmpTagged(mn, thi) <= 0
+          case None => true
+        }
+      }
+      scanned += kept.size
+      (base, kept)
+    }.filter(_._2.nonEmpty)
+    val df =
+      if (perTxn.isEmpty)
+        readManifested(spark, path).limit(0)
+      else perTxn.map { case (base, kept) =>
+        spark.read.option("basePath", base.toString)
+          .parquet(kept.map(_.toString): _*)
+      }.reduce(_.unionByName(_))
+    (df, scanned, total)
   }
 
   /** Keyed upsert with [[TableWriters.upsertParquet]] semantics
     * (last-writer-wins, touched-partitions-only cost) committed through
     * the manifest instead of directory swaps. */
   def upsertManifested(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], partitionCols: Seq[String]): Snapshot = {
+      keyCols: Seq[String], partitionCols: Seq[String],
+      statCols: Seq[String] = Nil): Snapshot = {
     val target = readManifested(spark, path)
     val touchedParts = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touchedParts), partitionCols, "left_semi")
@@ -173,7 +376,7 @@ object ManifestCommit {
       .unionByName(affected.withColumn("__is_update", lit(0)))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__is_update", "__rn")
-    overwriteViaManifest(spark, path, partitionCols) { txnDir =>
+    overwriteViaManifest(spark, path, partitionCols, statCols = statCols) { txnDir =>
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)
         .parquet(txnDir)
@@ -190,10 +393,12 @@ object ManifestCommit {
     * for readers of older manifest versions until [[vacuum]] retires
     * them. */
   def compactManifested(spark: SparkSession, path: String,
-      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Snapshot = {
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
+      statCols: Seq[String] = Nil): Snapshot = {
     val current = readManifested(spark, path)
       .repartition(partitionCols.map(col): _*)
-    overwriteViaManifest(spark, path, partitionCols, replaceAll = true) { txn =>
+    overwriteViaManifest(spark, path, partitionCols, replaceAll = true,
+        statCols = statCols) { txn =>
       current.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
@@ -220,8 +425,10 @@ object ManifestCommit {
         val versions = fs.listStatus(mdir).map(_.getPath.getName)
           .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
           .map(_.stripSuffix(ManifestSuffix).toLong).sorted.toSeq
-        versions.dropRight(keepManifests)
-          .foreach(v => fs.delete(manifestPath(root, v), false))
+        versions.dropRight(keepManifests).foreach { v =>
+          fs.delete(manifestPath(root, v), false)
+          fs.delete(statsPath(root, v), false) // sidecar retires with its manifest
+        }
         versions.takeRight(keepManifests)
       }
     val live: Set[String] = retained

@@ -128,6 +128,50 @@ class ManifestCommitSpec extends GraftSpec {
     assert(at(2L) == v2, "current version unaffected by retirement")
   }
 
+  test("data skipping: footer stats prune files a range predicate can't match") {
+    val out = Files.createTempDirectory("mfc8").toString + "/t"
+    // range-clustered write: sort by k, small files -> tight disjoint
+    // per-file ranges, the layout data skipping exists for
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 4).cast("int").as("p"), (col("id") * 2).as("v"))
+      .sort("k").coalesce(1).sortWithinPartitions("p", "k")
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("k")) { txn =>
+      base.write.option("maxRecordsPerFile", 50)
+        .partitionBy("p").parquet(txn)
+    }
+    val statsFile = new java.io.File(s"$out/_manifests")
+      .listFiles().map(_.getName).filter(_.endsWith(".stats"))
+    assert(statsFile.length == 1, "commit with statCols publishes one sidecar")
+
+    val (pruned, scanned, total) =
+      ManifestCommit.readManifestedPruned(spark, out, "k", 100L, 140L)
+    assert(total > 10, s"fixture must split into many files, got $total")
+    assert(scanned < total / 2, s"pruning must cut the scan: $scanned/$total")
+    val want = (100L to 140L).map(k => (k, (k % 4).toInt, k * 2)).toSet
+    val got = pruned.where(col("k").between(100, 140)).collect()
+      .map(r => (r.getAs[Long]("k"),
+        r.getAs[Number]("p").intValue(), r.getAs[Long]("v"))).toSet
+    assert(got == want, "pruned read + predicate == exact answer")
+
+    // stats accumulate across commits: upsert one partition with stats,
+    // prune again — old generations' stats still apply, new files covered
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((2000L, 0, 9L)).toDF("k", "p", "v"), Seq("k"), Seq("p"),
+      statCols = Seq("k"))
+    val (p2, scanned2, total2) =
+      ManifestCommit.readManifestedPruned(spark, out, "k", 2000L, 2000L)
+    assert(scanned2 < total2, "post-upsert prune still cuts files")
+    assert(p2.where(col("k") === 2000L).count() == 1)
+
+    // a commit WITHOUT stats stays readable: its files simply never prune
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((3000L, 1, 9L)).toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    val (p3, _, _) = ManifestCommit.readManifestedPruned(spark, out, "k", 3000L, 3000L)
+    assert(p3.where(col("k") === 3000L).count() == 1,
+      "stat-less files always read (prune is never a filter)")
+  }
+
   test("no directory is ever renamed or deleted on the commit path") {
     val out = Files.createTempDirectory("mfc5").toString + "/t"
     writeBase(out)
