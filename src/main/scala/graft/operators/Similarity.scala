@@ -190,6 +190,29 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: drop all but one document of
+    * every group whose EMBEDDINGS are mutually near-duplicate (cosine >=
+    * `threshold`), keeping the minimum id per group — the embedding-space
+    * twin of text-level near-dup clustering (Abbas et al. 2023,
+    * "SemDeDup"). Composition of two already-scale-shaped pieces:
+    * [[nearDupPairs]] (SRP-bucketed candidate generation — never
+    * all-pairs) feeds [[Dedup.duplicateClusters]] (pointer-jumping
+    * connected components, so transitive chains A~B~C collapse to ONE
+    * survivor even when cos(A,C) < threshold), and the kept set is a
+    * left-anti join of the corpus against the non-root members. Vectors
+    * with no qualifying neighbor never enter the component computation
+    * and survive untouched — the CC input is bounded by the PAIR count,
+    * not the corpus. */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planes: Int = 4): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      nearDupPairs(emb, threshold, idCol, vecCol, tables, planes))
+    val losers = clusters.where(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max(|v_i|)/127,
     * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] (zero vectors quantize to
     * zeros). 4x smaller embedding storage/shuffle for ANN at corpus scale;

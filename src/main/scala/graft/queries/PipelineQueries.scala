@@ -253,6 +253,30 @@ object PipelineQueries {
              |WHERE (round((list_cosine_similarity(a.v, b.v)) * 1000000.0) / 1000000.0) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- SemDeDup-style semantic dedup: survivors after dropping all but
+    // the min-id member of every embedding near-dup component (transitive:
+    // A~B~C keeps only A even when cos(A,C) < tau). Oracle = exact
+    // all-pairs cosine graph + recursive CC in DuckDB; the engine side is
+    // SRP-bucketed pairs + pointer-jumping components.
+    Q("q101_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), 0.8)
+        .select(col("vec_id")).orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |                     FROM embeddings),
+             |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |      WHERE round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+             |            / 1000000.0 >= 0.8),
+             |edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+             |lab AS (SELECT src AS vec_id, min(dst) AS cluster
+             |        FROM reach GROUP BY src)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")

@@ -328,6 +328,24 @@ class PipelineOpsSpec extends GraftSpec {
     assert(capped == full.filter(_._2._2 <= cut))
   }
 
+  test("semantic dedup: transitive chains keep min id, singletons survive") {
+    import spark.implicits._
+    // chain: 10 ~ 11 ~ 12 (neighbors ~5.7° apart, cos ~0.995; ends 11.4°,
+    // cos ~0.98 — all above tau, but transitivity is what collapses them);
+    // 20 is orthogonal to the chain, 21 nearly-opposite: both survive
+    def dir(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val emb = Seq(
+      (10L, dir(0)), (11L, dir(5.7)), (12L, dir(11.4)),
+      (20L, Array(0f, 0f, 1f, 0f)), (21L, Array(0f, 0f, -1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val kept = graft.operators.Similarity.semanticDedup(emb, 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 20L, 21L), s"kept $kept")
+  }
+
   test("bm25: closed-form score on a 3-doc corpus, tie cut deterministic") {
     import spark.implicits._
     // doc 1: query term 'a' twice of 4 tokens; doc 2: 'a' once of 2;
