@@ -275,7 +275,8 @@ object PipelineQueries {
              |        FROM reach GROUP BY src)
              |SELECT vec_id FROM embeddings
              |WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
-             |ORDER BY vec_id""".stripMargin)),
+             |ORDER BY vec_id""".stripMargin),
+      bench = true),
 
     // ---- language ID via stopword profiles.
     Q("q28_langid",
@@ -798,7 +799,8 @@ object PipelineQueries {
              |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
              |FROM tf JOIN df USING (term), s
              |GROUP BY doc_id
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      bench = true),
 
     // ---- unigram-LM surprisal: corpus-fit p(w), per-doc cross-entropy in
     // bits/token — the statistical half of a CCNet-style quality filter.
