@@ -278,6 +278,74 @@ object PipelineQueries {
              |ORDER BY vec_id""".stripMargin),
       bench = true),
 
+    // ---- BPE tokenizer training, driver-checked where SQL can follow:
+    // the FIRST learned merge is a closed-form aggregation (adjacent char
+    // pairs weighted by word count, </w> marker on word-final chars, total
+    // tie-break), so q102 oracles Bpe.train(numMerges=1) exactly. Deeper
+    // merge tables are inherently iterative (each round depends on the
+    // previous rewrite) — spec-checked on the classic hand-computable
+    // corpus instead (PipelineOpsSpec).
+    Q("q102_bpe_first_merge",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Bpe.train(t(s, d, "documents"), numMerges = 1)
+          .toDF().select(col("left"), col("right"), col("pair_count"))
+      },
+      Some("""WITH wc AS (SELECT word, count(*) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE len(word) > 0 GROUP BY word),
+             |idx AS (SELECT unnest(range(1, 101)) AS i),
+             |pairs AS (SELECT substring(word, CAST(i AS INT), 1) AS l,
+             |            substring(word, CAST(i AS INT) + 1, 1) ||
+             |              CASE WHEN i + 1 = len(word) THEN '</w>' ELSE '' END AS r,
+             |            c
+             |          FROM wc JOIN idx ON i <= len(word) - 1)
+             |SELECT l AS "left", r AS "right", CAST(sum(c) AS BIGINT) AS pair_count
+             |FROM pairs GROUP BY l, r
+             |ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin)),
+
+    // ---- one-merge BPE segmentation: per-doc learned-vocab token counts
+    // after applying the single learned merge. The oracle DERIVES the
+    // merge itself (same aggregation as q102), then replays it in SQL:
+    // a word of n chars starts as n symbols (the </w> marker rides the
+    // final char); a marker-right merge fires at most once (word-final),
+    // a plain-right merge fires once per non-overlapping occurrence
+    // inside the first n-1 chars (replace() is left-to-right
+    // non-overlapping — exactly mergeOnce's scan order).
+    Q("q103_bpe_token_counts",
+      (s, d) => {
+        val m = graft.operators.Bpe.train(t(s, d, "documents"), numMerges = 1)
+        graft.operators.Bpe.tokenCounts(t(s, d, "documents"), m)
+          .orderBy("doc_id")
+      },
+      Some("""WITH wc AS (SELECT word, count(*) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE len(word) > 0 GROUP BY word),
+             |idx AS (SELECT unnest(range(1, 101)) AS i),
+             |pr AS (SELECT substring(word, CAST(i AS INT), 1) AS l,
+             |         substring(word, CAST(i AS INT) + 1, 1) ||
+             |           CASE WHEN i + 1 = len(word) THEN '</w>' ELSE '' END AS r,
+             |         c
+             |       FROM wc JOIN idx ON i <= len(word) - 1),
+             |m AS (SELECT l, r, r LIKE '%</w>' AS marker,
+             |        CASE WHEN r LIKE '%</w>' THEN substring(r, 1, len(r) - 4)
+             |             ELSE r END AS rchar
+             |      FROM pr GROUP BY l, r ORDER BY sum(c) DESC, l, r LIMIT 1),
+             |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |      FROM documents)
+             |SELECT doc_id, CAST(sum(len(word) - CASE
+             |    WHEN m.marker THEN
+             |      CASE WHEN len(word) >= 2
+             |             AND substring(word, len(word) - 1, 1) = m.l
+             |             AND substring(word, len(word), 1) = m.rchar
+             |           THEN 1 ELSE 0 END
+             |    ELSE (len(substring(word, 1, len(word) - 1))
+             |          - len(replace(substring(word, 1, len(word) - 1),
+             |                        m.l || m.rchar, ''))) / 2
+             |  END) AS BIGINT) AS n_subwords
+             |FROM w, m WHERE len(word) > 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")

@@ -328,6 +328,45 @@ class PipelineOpsSpec extends GraftSpec {
     assert(capped == full.filter(_._2._2 <= cut))
   }
 
+  test("BPE train: classic corpus learns the hand-computable merges in order") {
+    import spark.implicits._
+    // Sennrich's example vocab {low:5, lower:2, newest:6, widest:3}:
+    // merge 1 = (e,s) 9 (newest+widest), merge 2 = (es,t</w>) 9,
+    // merge 3 = (l,o) 7 (low+lower)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(docs, numMerges = 3)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pair_count)) ==
+      Seq((0, "e", "s", 9L), (1, "es", "t</w>", 9L), (2, "l", "o", 7L)),
+      s"got $merges")
+  }
+
+  test("BPE segment: learned merges replay on unseen words; counts match") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(train, numMerges = 3)
+    // 'lowest' is UNSEEN: l o w e s t</w> -(e,s)-> l o w es t</w>
+    // -(es,t</w>)-> l o w est</w> -(l,o)-> lo w est</w>
+    val seg = graft.operators.Bpe
+      .segment(Seq((1L, "lowest newest")).toDF("doc_id", "text"), merges)
+      .collect()(0).getSeq[String](1).toSeq
+    assert(seg == Seq("lo", "w", "est</w>", "n", "e", "w", "est</w>"), s"got $seg")
+    val counts = graft.operators.Bpe
+      .tokenCounts(Seq((1L, "lowest newest")).toDF("doc_id", "text"), merges)
+      .collect()(0).getLong(1)
+    assert(counts == 7L)
+    // zero merges degrade to characters + </w>
+    val raw = graft.operators.Bpe
+      .segment(Seq((2L, "ab")).toDF("doc_id", "text"), Seq.empty)
+      .collect()(0).getSeq[String](1).toSeq
+    assert(raw == Seq("a", "b</w>"))
+  }
+
   test("semantic dedup: transitive chains keep min id, singletons survive") {
     import spark.implicits._
     // chain: 10 ~ 11 ~ 12 (neighbors ~5.7° apart, cos ~0.995; ends 11.4°,
