@@ -375,9 +375,11 @@ object TrainingPrep {
     * term->count model with map-side partial aggregation; pass two
     * re-explodes and joins tokens to the model on the term key. The model
     * is vocab-sized, NOT corpus-sized, but a web-scale vocab (hundreds of
-    * millions of tails) is not a-priori driver-sized, so the join stays a
-    * shuffle join by default and AQE converts it to broadcast when the
-    * built side measures small — the q77 hot-set argument. The total
+    * millions of tails) is not a-priori driver-sized, so the model
+    * carries NO broadcast hint: the planner/AQE broadcast it only when
+    * its measured size is small, and a large vocab degrades to a shuffle
+    * join — the q77 hot-set argument (spec-asserted under a disabled
+    * broadcast threshold). The total
     * token count is a single-row aggregate off the un-exploded scan
     * (size(tokens), no shuffle) broadcast into the score — NOT an
     * unpartitioned window over the vocab, which would funnel every model

@@ -117,6 +117,48 @@ class ScaleSafetySpec extends GraftSpec {
       finalPlan.take(3000))
   }
 
+  test("bm25 plan: one corpus explode, checkpointed tf feeds df, top-k is TakeOrdered") {
+    // fresh uncached scan so the cost shape is the registered query's
+    val fresh = spark.read.parquet(s"$sf001/documents.parquet")
+    val df = graft.operators.TrainingPrep.bm25(fresh, Seq("spark", "window"), 10)
+    df.collect()
+    // executedPlan.toString prints final + initial AQE sections; audit the
+    // FINAL one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus text is exploded exactly once (sealed inside the
+    // checkpointed tf); both [doc_id,term,tf,dl] scans are the SAME RDD
+    assert("Generate explode".r.findAllIn(plan).isEmpty,
+      "corpus explode must be sealed inside the checkpointed tf, not replayed")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    val corpusScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(corpusScans == 1, s"only the avgdl pass may rescan the corpus, got $corpusScans")
+  }
+
+  test("surprisal plan: no hard broadcast hint on the model, no window anywhere") {
+    // at tiny scale the planner measures the model small and broadcasts —
+    // correct. What must hold for a web-scale vocab is that nothing FORCES
+    // the broadcast: with the threshold disabled, the model join must
+    // plan as a shuffle join (only the single-row total keeps its explicit
+    // broadcast hint), and the total must never be an unpartitioned window
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.TrainingPrep.unigramSurprisal(docs)
+      val initial = df.queryExecution.sparkPlan.toString
+      assert(!initial.contains("BroadcastHashJoin"),
+        "model join must degrade to shuffle when not measured small")
+      assert(!initial.contains("Window"), "no window in the surprisal plan at all")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("semantic dedup plan: no cartesian anywhere, CC bounded by pair count") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val df = graft.operators.Similarity.semanticDedup(emb, 0.8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in semantic dedup plan")
+  }
+
   test("SortedIntersectCount == size(array_intersect) on sorted random sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
