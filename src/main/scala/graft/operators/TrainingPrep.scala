@@ -319,6 +319,32 @@ object TrainingPrep {
       .withColumn("df", size(col("postings")))
   }
 
+  /** INTRA-document repeated-chunk removal — the within-doc half of
+    * repetition cleanup (the cross-corpus half is [[removeBoilerplate]]):
+    * split each document into non-overlapping `segTokens`-token chunks and
+    * keep only each chunk content's FIRST occurrence within its own
+    * document (looping scraped pages, duplicated boilerplate blocks,
+    * copy-paste runs).
+    *
+    * SCALE: zero shuffles, zero explodes — the whole operation is array
+    * higher-order functions on the text column (`transform` over a
+    * `sequence` of chunk indices, `filter` on first-occurrence via
+    * `array_position`, `array_join` to rebuild), so it runs at scan speed
+    * inside whole-stage codegen and composes into any pipeline for free.
+    * Contrast with [[removeBoilerplate]]'s explode + window, which must
+    * shuffle because its duplicate test is CORPUS-wide. */
+  def dedupRepeatedChunks(docs: DataFrame, segTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    docs.select(col(idCol),
+      array_join(
+        filter(chunks, (c, i) => array_position(chunks, c) === i + 1),
+        " ").as("clean_text"))
+  }
+
   /** BM25 ranked retrieval — the scoring end of [[invertedIndex]]'s
     * retrieval story (Robertson/Sparck-Jones idf with Lucene's +1 floor,
     * so scores stay positive even for terms in most docs).

@@ -346,6 +346,23 @@ object PipelineQueries {
              |FROM w, m WHERE len(word) > 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- intra-doc repeated-chunk removal: within-document dedup at scan
+    // speed (array HOFs only — zero shuffles/explodes; the cross-corpus
+    // twin is q77). First occurrence of each chunk content survives.
+    Q("q105_intradoc_dedup",
+      (s, d) => graft.operators.TrainingPrep
+        .dedupRepeatedChunks(t(s, d, "documents"), segTokens = 2)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |c AS (SELECT doc_id,
+             |        [array_to_string(w[(i*2+1):(i*2+2)], ' ')
+             |         for i in range(0, CAST(ceil(len(w) / 2.0) AS INT))] AS chunks
+             |      FROM d)
+             |SELECT doc_id,
+             |  array_to_string(list_filter(chunks,
+             |    (x, i) -> list_position(chunks, x) = i), ' ') AS clean_text
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")

@@ -300,7 +300,38 @@ object SqlSurface {
       Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey,
              |  round(c_acctbal, 2) AS bal, c_mktsegment AS seg
              |FROM customer WHERE c_custkey BETWEEN 100 AND 400
-             |ORDER BY custkey""".stripMargin)))
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- manifest COUNT(*) pushdown: the row count comes from the
+    // `.stats` sidecars' per-file `_rows` lines (parquet footer row
+    // counts) — no data file opened, no job run (ManifestCommitSpec
+    // asserts the no-job property; this row drives the VALUE against the
+    // DuckDB count). Coverage is checked per live file; a stats-less
+    // commit would fall back to a real distributed count.
+    Q("q104_manifest_count",
+      (s, d) => {
+        import s.implicits._
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-manifest"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/cust_counted")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("custkey"),
+            col("c_mktsegment").as("seg"))
+        graft.sources.ManifestCommit.overwriteViaManifest(s, loc.toString,
+          Seq("seg"), replaceAll = true, statCols = Seq("custkey")) { txn =>
+          base.write.option("maxRecordsPerFile", 200)
+            .partitionBy("seg").parquet(txn)
+        }
+        Seq(graft.sources.ManifestCommit.countManifested(s, loc.toString))
+          .toDF("total_rows")
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM customer")))
 
   /** Seeds a manifest-committed customer-by-segment table at a fixed
     * per-(dataset,suffix) location (wiped per run — disk-flat across

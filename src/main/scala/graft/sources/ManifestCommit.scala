@@ -178,10 +178,15 @@ object ManifestCommit {
     new Path(new Path(root, ManifestDir), f"$v%020d$StatsSuffix")
 
   /** One file's min/max for one column, read from the parquet FOOTER (no
-    * data scan). Values carry a type tag (L/D/S) so ordering survives the
-    * text round-trip. */
+    * data scan), plus the file's row count. Values carry a type tag
+    * (L/D/S) so ordering survives the text round-trip. The pseudo-column
+    * `_rows` carries the per-file row count alone — written for EVERY
+    * file of a stats-publishing commit, so metadata-only aggregates can
+    * tell "all files covered" from "sidecar incomplete". */
   final case class FileStat(txn: String, relFile: String, column: String,
-      min: String, max: String)
+      min: String, max: String, rows: Long)
+
+  private val RowsCol = "_rows"
 
   /** Reads the parquet footers of every data file under `txnDir` and
     * returns per-file min/max for `statCols`. Footer reads touch only
@@ -207,26 +212,32 @@ object ManifestCommit {
       try {
         import scala.jdk.CollectionConverters._
         val perCol = scala.collection.mutable.Map.empty[String, (String, String)]
-        for (block <- reader.getFooter.getBlocks.asScala;
-             c <- block.getColumns.asScala) {
-          val name = c.getPath.toDotString
-          if (statCols.contains(name)) {
-            val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              tagged(st.genericGetMin).zip(tagged(st.genericGetMax)).foreach {
-                case (lo, hi) =>
-                  val merged = perCol.get(name) match {
-                    case Some((plo, phi)) =>
-                      (if (cmpTagged(lo, plo) < 0) lo else plo,
-                        if (cmpTagged(hi, phi) > 0) hi else phi)
-                    case None => (lo, hi)
-                  }
-                  perCol(name) = merged
+        var rows = 0L
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          rows += block.getRowCount
+          for (c <- block.getColumns.asScala) {
+            val name = c.getPath.toDotString
+            if (statCols.contains(name)) {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                tagged(st.genericGetMin).zip(tagged(st.genericGetMax)).foreach {
+                  case (lo, hi) =>
+                    val merged = perCol.get(name) match {
+                      case Some((plo, phi)) =>
+                        (if (cmpTagged(lo, plo) < 0) lo else plo,
+                          if (cmpTagged(hi, phi) > 0) hi else phi)
+                      case None => (lo, hi)
+                    }
+                    perCol(name) = merged
+                }
               }
             }
           }
         }
-        perCol.toSeq.map { case (cn, (lo, hi)) => FileStat(txn, rel, cn, lo, hi) }
+        FileStat(txn, rel, RowsCol, "", "", rows) +:
+          perCol.toSeq.map { case (cn, (lo, hi)) =>
+            FileStat(txn, rel, cn, lo, hi, rows)
+          }
       } finally reader.close()
     }
   }
@@ -266,7 +277,7 @@ object ManifestCommit {
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(stats.sortBy(s => (s.relFile, s.column))
-      .map(s => s"${s.txn}\t${s.relFile}\t${s.column}\t${s.min}\t${s.max}")
+      .map(s => s"${s.txn}\t${s.relFile}\t${s.column}\t${s.min}\t${s.max}\t${s.rows}")
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = statsPath(root, snap.version)
@@ -291,10 +302,53 @@ object ManifestCommit {
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         text.split('\n').filter(_.nonEmpty).map { line =>
-          val Array(txn, rel, cn, lo, hi) = line.split('\t')
-          FileStat(txn, rel, cn, lo, hi)
+          val f = line.split('\t')
+          FileStat(f(0), f(1), f(2), f(3), f(4), f(5).toLong)
         }
       }
+  }
+
+  /** COUNT(*) of the current table answered from METADATA ALONE when the
+    * sidecars cover every live file (per-file `_rows` lines, summed for
+    * the files each live txn actually references) — the Iceberg-style
+    * aggregate pushdown: no file is opened, no job runs. Falls back to a
+    * real distributed count when any live file lacks a sidecar line
+    * (e.g. a commit made without statCols). */
+  def countManifested(spark: SparkSession, path: String): Long = {
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val rowLines = statsAt(spark, path, snap.version)
+      .filter(_.column == RowsCol)
+      .map(s => (s.txn, s.relFile) -> s.rows).toMap
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var total = 0L
+    val complete = snap.entries.groupBy(_._2).forall { case (txn, es) =>
+      val base = new Path(new Path(root, DataDir), txn)
+      val qbase = fs.makeQualified(base).toString
+      def files(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) files(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      val live = es.keySet
+      files(base).filter { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        val part = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i => rel.substring(0, i)
+        }
+        live.contains(part)
+      }.forall { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        rowLines.get((txn, rel)) match {
+          case Some(r) => total += r; true
+          case None => false
+        }
+      }
+    }
+    if (complete) total else readManifested(spark, path).count()
   }
 
   /** Reads the current table with FILE-LEVEL DATA SKIPPING on

@@ -172,6 +172,28 @@ class ManifestCommitSpec extends GraftSpec {
       "stat-less files always read (prune is never a filter)")
   }
 
+  test("count pushdown: covered sidecars answer COUNT(*) without running a job") {
+    val out = Files.createTempDirectory("mfc9").toString + "/t"
+    val base = spark.range(0, 777).select(col("id").as("k"),
+      (col("id") % 3).cast("int").as("p"), (col("id") * 2).as("v"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("k")) { txn =>
+      base.write.option("maxRecordsPerFile", 100).partitionBy("p").parquet(txn)
+    }
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(ManifestCommit.countManifested(spark, out) == 777L)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      "fully-covered sidecars must answer the count from metadata alone")
+    // a stats-less commit breaks coverage -> falls back to a REAL count,
+    // still correct
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((9000L, 1, 1L)).toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    assert(ManifestCommit.countManifested(spark, out) == 778L)
+    val jobsFinal = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsFinal > jobsAfter, "uncovered files must trigger the real count")
+  }
+
   test("no directory is ever renamed or deleted on the commit path") {
     val out = Files.createTempDirectory("mfc5").toString + "/t"
     writeBase(out)

@@ -328,6 +328,18 @@ class PipelineOpsSpec extends GraftSpec {
     assert(capped == full.filter(_._2._2 <= cut))
   }
 
+  test("intra-doc chunk dedup: repeats dropped, first kept, partial tail survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c d a b x"), // chunks: [a b][a b][c d][a b][x] -> keep 1,3,5
+      (2L, "p q r")              // no repeats: [p q][r] unchanged
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TrainingPrep.dedupRepeatedChunks(docs, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d x", s"got ${got(1L)}")
+    assert(got(2L) == "p q r")
+  }
+
   test("BPE train: classic corpus learns the hand-computable merges in order") {
     import spark.implicits._
     // Sennrich's example vocab {low:5, lower:2, newest:6, widest:3}:
