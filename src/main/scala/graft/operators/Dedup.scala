@@ -287,6 +287,56 @@ object Dedup {
     verifyExactJaccard(cand, setsFromExploded(sh), threshold)
   }
 
+  /** Incremental NEAR-dup dedup — the fuzzy twin of [[incrementalDedup]],
+    * the shape a refreshed corpus actually runs: today's batch is checked
+    * against the already-ingested corpus (and against its own earlier
+    * rows) WITHOUT ever re-pairing the corpus with itself. Survivors are
+    * incoming docs with no shingle-Jaccard >= `threshold` match in the
+    * history and none among smaller-id incoming docs. The within-batch
+    * rule is CONSERVATIVE: a doc is dropped when any smaller-id incoming
+    * doc matches it, whether or not that doc itself survived (near-dup is
+    * not transitive, so chain survivors would need the q71 component
+    * machinery — callers wanting keep-one-per-cluster compose
+    * [[duplicateClusters]] instead).
+    *
+    * SCALE: both sides band through the same MinHash scheme as
+    * [[minHashLshPairs]], but the band self-join is replaced by
+    * history-band x incoming-band and incoming x incoming joins — the
+    * history side never pairs with itself, so the candidate space is
+    * |batch|-proportional, not |corpus|^2. At steady state the history's
+    * band rows are a MATERIALIZED table (ManifestCommit) appended per
+    * batch; here they derive from the frame for self-containment. Exact
+    * verification stays the id-keyed shuffle-join Jaccard. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    def bandRows(docs: DataFrame): DataFrame = {
+      val sh = explodedShingles(docs, idCol, textCol, n)
+      val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+      val sig = sh.groupBy("did").agg(sigCols.head, sigCols.tail: _*)
+      val bandKeyArr = array((0 until bands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      }: _*)
+      sig.select(col("did"), posexplode(bandKeyArr)).toDF("did", "band", "bkey")
+    }
+    val hist = bandRows(existing)
+    val inc = bandRows(incoming)
+    val crossCand = hist.as("x").join(inc.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.did").as("id_a"), col("y.did").as("id_b")).distinct()
+    val withinCand = inc.as("x").join(inc.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.did") < col("y.did"))
+      .select(col("x.did").as("id_a"), col("y.did").as("id_b")).distinct()
+    val sets = setsFromExploded(
+      explodedShingles(existing.unionByName(incoming), idCol, textCol, n))
+    val dropped = verifyExactJaccard(
+        crossCand.unionByName(withinCand).distinct(), sets, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    incoming.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** SimHash per doc over whitespace tokens: bit b of the signature is 1
     * iff the sum of ±1 votes (from bit b of each token's hash) is
     * positive. The token hash defaults to xxhash64 (the production path);

@@ -838,6 +838,36 @@ object PipelineQueries {
              |      FROM documents)
              |GROUP BY term ORDER BY term""".stripMargin)),
 
+    // ---- incremental NEAR-dup: today's batch (doc_id % 3 == 0) deduped
+    // fuzzily against the already-ingested corpus — MinHash bands joined
+    // history x incoming and incoming x incoming (never history x
+    // history), exact-Jaccard verified. Survivors have no >= 0.5 match in
+    // the history and none among smaller-id batch docs. The oracle is the
+    // exact pair computation on the same subsets.
+    Q("q106_incremental_neardup",
+      (s, d) => graft.operators.Dedup.incrementalNearDup(
+          t(s, d, "documents").where(col("doc_id") % 3 =!= 0),
+          t(s, d, "documents").where(col("doc_id") % 3 === 0), 0.5)
+        .select("doc_id").orderBy("doc_id"),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |          for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s
+             |          WHERE b.doc_id % 3 = 0 AND (a.doc_id % 3 <> 0 OR
+             |                a.doc_id < b.doc_id)
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ib FROM inter
+             |          JOIN cnt ca ON ca.doc_id = ia
+             |          JOIN cnt cb ON cb.doc_id = ib
+             |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT ib FROM pairs)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- REAL video path, driver-checked: deterministic MJPEG clips are
     // muxed from doc_id (Mp4.mux), demuxed back through the real ISO-BMFF
     // sample tables, and each sampled timestamp's frame pixel-decodes via

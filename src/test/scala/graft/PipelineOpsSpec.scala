@@ -328,6 +328,26 @@ class PipelineOpsSpec extends GraftSpec {
     assert(capped == full.filter(_._2._2 <= cut))
   }
 
+  test("incremental near-dup: history matches drop, within-batch earlier wins, novel survives") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val hist = Seq((100L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, base + " iota"),                            // near-dup of history -> dropped
+      (6L, "one two three four five six seven eight"), // novel -> survives
+      (9L, "one two three four five six seven nine"),  // near-dup of 6 -> dropped
+      (12L, "totally different words entirely here now yes ok")) // novel
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.incrementalNearDup(hist, incoming, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(6L, 12L), s"kept $kept")
+    // empty history: only the within-batch rule applies
+    val noHist = graft.operators.Dedup
+      .incrementalNearDup(hist.limit(0), incoming, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(noHist == Seq(3L, 6L, 12L), s"kept $noHist")
+  }
+
   test("intra-doc chunk dedup: repeats dropped, first kept, partial tail survives") {
     import spark.implicits._
     val docs = Seq(
