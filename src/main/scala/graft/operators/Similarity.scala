@@ -167,12 +167,16 @@ object Similarity {
     * in >= 1 of `tables` SRP hash tables (equi-join on (table, bucket) —
     * never an all-pairs product), then are verified with the exact codegen'd
     * cosine via id-keyed shuffle joins back to the vectors. At threshold
-    * 0.8 (angle <= 37°) a plane agrees w.p. ~0.8, so 16 tables × 4 planes
-    * catch a qualifying pair w.p. 1-(1-0.8^4)^16 ≈ 0.9997; recall vs the
-    * exact form is spec-checked on planted duplicates (PipelineOpsSpec). */
+    * 0.8 (angle <= 37°) a plane agrees w.p. ~0.795, so 28 tables × 6
+    * planes catch a boundary pair w.p. 1-(1-0.795^6)^28 ≈ 0.9997 — the
+    * same recall the old 16 × 4 scheme had, but with 4x the buckets per
+    * table the RANDOM collision volume (candidates ∝ tables/2^planes)
+    * drops ~2.3x; measured 2.2 s → 1.6 s on the q101 drive at sf0.1
+    * (Q101Time; 10 planes starts losing to signature cost). Recall vs
+    * the exact form is spec-checked on planted duplicates. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 16, planes: Int = 4): DataFrame = {
+      tables: Int = 28, planes: Int = 6): DataFrame = {
     val keyArr = srpKeys(col(vecCol), tables, planes)
     val keyed = emb.select(col(idCol).as("did"), posexplode(keyArr))
       .toDF("did", "tbl", "bkey")
@@ -205,7 +209,7 @@ object Similarity {
     * not the corpus. */
   def semanticDedup(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 16, planes: Int = 4): DataFrame = {
+      tables: Int = 28, planes: Int = 6): DataFrame = {
     val clusters = Dedup.duplicateClusters(
       nearDupPairs(emb, threshold, idCol, vecCol, tables, planes))
     val losers = clusters.where(col("doc_id") =!= col("cluster"))
