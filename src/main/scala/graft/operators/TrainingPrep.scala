@@ -200,6 +200,36 @@ object TrainingPrep {
       .drop("shuffle_key")
   }
 
+  /** Writes the corpus as gzip JSONL shards — the standard LLM
+    * training-data delivery format (one JSON object per line, one
+    * directory per shard, reproducible membership and order). Composes
+    * [[shardExport]]'s deterministic (shard, pos) slotting: shard = a
+    * salted portable hash of the id (so membership is stable across runs
+    * and engines), file order = the within-shard shuffle order.
+    *
+    * SCALE: the id-keyed join attaches slots, then ONE shard-keyed
+    * exchange lays rows out and `sortWithinPartitions(pos)` orders each
+    * shard's file — no global sort anywhere (shards sharing a task still
+    * write their own directories in pos order). Gzip JSONL trades CPU for
+    * the wire/disk format every downstream trainer ingests. Returns the
+    * written row count (from a read-back of what landed). */
+  def exportJsonlShards(docs: DataFrame, path: String, nShards: Int,
+      salt: String, idCol: String = "doc_id"): Long = {
+    val slots = shardExport(docs, nShards, salt, idCol)
+    // sort key leads with the partition column: the dynamic-partition
+    // writer requires its input ordered by partition expressions and
+    // would otherwise insert its own shard-only re-sort, destroying pos
+    // order inside each file
+    val out = docs.join(slots, Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    out.write.mode("overwrite")
+      .partitionBy("shard")
+      .option("compression", "gzip")
+      .json(path)
+    docs.sparkSession.read.json(path).count()
+  }
+
   /** Group-coherent train/validation split with a per-group document
     * quota. The split key is the GROUP (site, source, domain), not the
     * document: hashing doc ids would scatter near-identical pages of one

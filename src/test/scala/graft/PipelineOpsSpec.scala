@@ -328,6 +328,29 @@ class PipelineOpsSpec extends GraftSpec {
     assert(capped == full.filter(_._2._2 <= cut))
   }
 
+  test("jsonl shard export: gzip files per shard, reproducible membership, pos order") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString + "/c"
+    val n = graft.operators.TrainingPrep.exportJsonlShards(docs, out, 4, "s1")
+    assert(n == 200L)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    assert(new java.io.File(s"$out/shard=0").listFiles()
+      .exists(_.getName.endsWith(".json.gz")), "gzip jsonl files expected")
+    // read-back: same rows, and within each shard the line order is pos
+    val back = spark.read.json(out)
+    assert(back.count() == 200L)
+    val slots = graft.operators.TrainingPrep.shardExport(docs, 4, "s1")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val shard0Ids = spark.read.json(s"$out/shard=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shard0Ids == shard0Ids.sortBy(id => slots(id)._2),
+      "file line order must be the deterministic pos order")
+    assert(shard0Ids.forall(id => slots(id)._1 == 0L))
+  }
+
   test("incremental near-dup: history matches drop, within-batch earlier wins, novel survives") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
