@@ -363,6 +363,30 @@ object PipelineQueries {
              |    (x, i) -> list_position(chunks, x) = i), ' ') AS clean_text
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- JSONL shard sink round-trip, driver-checked (the q95 pattern
+    // for the write path): export the corpus as gzip JSONL shards to a
+    // fixed per-dataset tmp location, read the files back, and oracle the
+    // content against the source table — proving the sink loses nothing
+    // and the format parses. Fixed location wiped per run (q79 argument).
+    Q("q107_jsonl_roundtrip",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-jsonl"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/docs")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        graft.operators.TrainingPrep.exportJsonlShards(
+          t(s, d, "documents"), loc.toString, nShards = 8, salt = "q107")
+        s.read.json(loc.toString)
+          .select(col("doc_id").cast("long"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")

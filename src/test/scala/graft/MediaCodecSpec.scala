@@ -159,6 +159,55 @@ class MediaCodecSpec extends GraftSpec {
       math.abs(got(2) - 192.0 / 255) < 0.01, s"per-frame lumas ${got.toSeq}")
   }
 
+  test("property: mux -> demux recovers the exact sample table for random clips") {
+    import org.scalacheck.Gen
+    val genClip = for {
+      n <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 200))
+      w <- Gen.choose(1, 1920)
+      h <- Gen.choose(1, 1080)
+      dur <- Gen.choose(1, 2000)
+      codec <- Gen.oneOf("jpeg", "avc1", "mjpa")
+      seed <- Gen.choose(0, 1000000)
+    } yield (sizes, w, h, dur, codec, seed)
+    Gen.listOfN(40, genClip).sample.get.foreach {
+      case (sizes, w, h, dur, codec, seed) =>
+        val rng = new scala.util.Random(seed)
+        val frames = sizes.map { s =>
+          val b = new Array[Byte](s); rng.nextBytes(b); b
+        }
+        val clip = graft.operators.Mp4.mux(frames, w, h, dur, codec)
+        val t = graft.operators.Mp4.demux(clip)
+          .getOrElse(fail(s"demux failed for $codec n=${sizes.length}"))
+        assert(t.codec == codec && t.width == w && t.height == h)
+        assert(t.frameCount == frames.length)
+        assert(t.sampleSizes.toSeq == sizes)
+        assert(t.durationMs == frames.length.toLong * dur)
+        assert(t.sampleTimes.toSeq ==
+          frames.indices.map(_.toLong * dur), "stts expansion")
+        frames.indices.foreach { i =>
+          assert(java.util.Arrays.equals(
+            graft.operators.Mp4.sampleBytes(clip, t, i), frames(i)),
+            s"sample $i bytes must round-trip exactly")
+        }
+    }
+  }
+
+  test("demux rejects malformed containers instead of throwing") {
+    val clip = graft.operators.Mp4.mux(
+      Seq(Array[Byte](1, 2, 3)), 8, 8, 100)
+    // truncations at every prefix length must return None, never throw
+    (0 until clip.length by 7).foreach { cut =>
+      graft.operators.Mp4.demux(java.util.Arrays.copyOf(clip, cut))
+    }
+    // bit flips in the box headers must not throw either
+    (0 until math.min(clip.length, 64)).foreach { i =>
+      val mut = clip.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      graft.operators.Mp4.demux(mut)
+    }
+    assert(graft.operators.Mp4.demux(Array.emptyByteArray).isEmpty)
+  }
+
   test("applyResize re-encodes images to the plan's computed geometry") {
     val assets = Seq(
       MmAsset(10L, "image/png", png(64, 48, 10, 200, 30), 64, 48, 0L)).toDS()
