@@ -173,13 +173,37 @@ object Similarity {
     * table the RANDOM collision volume (candidates ∝ tables/2^planes)
     * drops ~2.3x; measured 2.2 s → 1.6 s on the q101 drive at sf0.1
     * (Q101Time; 10 planes starts losing to signature cost). Recall vs
-    * the exact form is spec-checked on planted duplicates. */
+    * the exact form is spec-checked on planted duplicates.
+    *
+    * `maxBucket` is the hot-bucket guard a web-scale corpus needs:
+    * degenerate vectors (zero/near-zero embeddings, hub points, encoder
+    * failure modes that emit one constant vector) all land in the SAME
+    * bucket of every table, and an m-member bucket emits m²/2 candidates
+    * — one million bad rows becomes 5·10^11 pairs. With a cutoff, buckets
+    * larger than `maxBucket` are dropped from CANDIDATE GENERATION
+    * (counted first with a map-side-combined aggregation, then
+    * anti-joined — the q77 hot-set shape, no broadcast assumption). A
+    * true near-dup pair inside a dropped bucket is still found through
+    * any of its other `tables`-1 buckets, so only pairs whose EVERY
+    * bucket is hot lose recall — exactly the degenerate mass the guard
+    * exists to excise. Off by default: the oracle-checked rows prove the
+    * unguarded form exact. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 28, planes: Int = 6): DataFrame = {
+      tables: Int = 28, planes: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     val keyArr = srpKeys(col(vecCol), tables, planes)
-    val keyed = emb.select(col(idCol).as("did"), posexplode(keyArr))
+    val keyed0 = emb.select(col(idCol).as("did"), posexplode(keyArr))
       .toDF("did", "tbl", "bkey")
+    val keyed = maxBucket match {
+      case None => keyed0
+      case Some(cap) =>
+        val hot = keyed0.groupBy("tbl", "bkey")
+          .agg(count(lit(1)).as("members"))
+          .where(col("members") > cap)
+          .select("tbl", "bkey")
+        keyed0.join(hot, Seq("tbl", "bkey"), "left_anti")
+    }
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))

@@ -151,6 +151,24 @@ class ScaleSafetySpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH hot-bucket guard: hub mass excised, genuine pairs keep their other buckets") {
+    import spark.implicits._
+    // 40 identical "hub" vectors (one constant embedding — an encoder
+    // failure mode) + one genuine near-dup pair off-axis
+    val hub = (0L until 40L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+    val pair = Seq((100L, Array(0f, 1f, 0.1f, 0f)), (101L, Array(0f, 1f, 0.11f, 0f)))
+    val emb = (hub ++ pair).toDF("vec_id", "embedding")
+    val guarded = graft.operators.Similarity
+      .nearDupPairs(emb, 0.9, maxBucket = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the hub's 780 mutual pairs are excised (every bucket they share is
+    // hot); the genuine pair survives via its own cold buckets
+    assert(guarded == Seq((100L, 101L)), s"got $guarded")
+    val unguarded = graft.operators.Similarity.nearDupPairs(emb, 0.9)
+      .collect().length
+    assert(unguarded == 40 * 39 / 2 + 1, s"got $unguarded")
+  }
+
   test("semantic dedup plan: no cartesian anywhere, CC bounded by pair count") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val df = graft.operators.Similarity.semanticDedup(emb, 0.8)
