@@ -189,9 +189,12 @@ object Mp4 {
 
   /** Write a single-track self-contained MP4: all frames in one `mdat`
     * chunk, constant frame duration, millisecond timescale. `codec` is the
-    * sample-entry fourcc — "jpeg" for MJPEG (each frame a complete JPEG). */
+    * sample-entry fourcc — "jpeg" for MJPEG (each frame a complete JPEG).
+    * `use64BitOffsets` emits a `co64` chunk-offset box instead of `stco` —
+    * what a >4 GiB clip needs; the demuxer reads both. */
   def mux(frames: Seq[Array[Byte]], width: Int, height: Int,
-      frameDurMs: Int, codec: String = "jpeg"): Array[Byte] = {
+      frameDurMs: Int, codec: String = "jpeg",
+      use64BitOffsets: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && codec.length == 4)
     val durationMs = frames.length.toLong * frameDurMs
 
@@ -253,9 +256,14 @@ object Mp4 {
 
     // mdat precedes moov; its payload offset depends only on ftyp+mdat headers
     val mdatPayloadAt = ftyp.length + 8
-    val stco = full("stco", 0, 0, u32s(1, mdatPayloadAt))
+    val chunkOffsets =
+      if (use64BitOffsets) {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(1).putLong(mdatPayloadAt.toLong)
+        full("co64", 0, 0, b.array())
+      } else full("stco", 0, 0, u32s(1, mdatPayloadAt))
 
-    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val stbl = box("stbl", stsd, stts, stsc, stsz, chunkOffsets)
     val minf = box("minf", vmhd, dinf, stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)
     val trak = box("trak", tkhd, mdia)

@@ -169,14 +169,16 @@ class MediaCodecSpec extends GraftSpec {
       dur <- Gen.choose(1, 2000)
       codec <- Gen.oneOf("jpeg", "avc1", "mjpa")
       seed <- Gen.choose(0, 1000000)
-    } yield (sizes, w, h, dur, codec, seed)
+      co64 <- Gen.oneOf(false, true)
+    } yield (sizes, w, h, dur, codec, seed, co64)
     Gen.listOfN(40, genClip).sample.get.foreach {
-      case (sizes, w, h, dur, codec, seed) =>
+      case (sizes, w, h, dur, codec, seed, co64) =>
         val rng = new scala.util.Random(seed)
         val frames = sizes.map { s =>
           val b = new Array[Byte](s); rng.nextBytes(b); b
         }
-        val clip = graft.operators.Mp4.mux(frames, w, h, dur, codec)
+        val clip = graft.operators.Mp4.mux(frames, w, h, dur, codec,
+          use64BitOffsets = co64)
         val t = graft.operators.Mp4.demux(clip)
           .getOrElse(fail(s"demux failed for $codec n=${sizes.length}"))
         assert(t.codec == codec && t.width == w && t.height == h)
