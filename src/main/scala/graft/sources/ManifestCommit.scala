@@ -247,9 +247,17 @@ object ManifestCommit {
     case n: java.lang.Integer => Some(s"L:$n")
     case n: java.lang.Double => Some(s"D:$n")
     case n: java.lang.Float => Some(s"D:${n.toDouble}")
-    case b: org.apache.parquet.io.api.Binary => Some(s"S:${b.toStringUsingUTF8}")
+    case b: org.apache.parquet.io.api.Binary => taggedString(b.toStringUsingUTF8)
+    case s: String => taggedString(s) // caller-provided prune bounds
     case _ => None // boolean/int96/unknown: skip, file stays unprunable
   }
+
+  /** The sidecar is line/tab-delimited: a string value containing a
+    * control character would corrupt it — leave such files unprunable
+    * (safe direction) rather than escape-encode. */
+  private def taggedString(s: String): Option[String] =
+    if (s.exists(c => c == '\t' || c == '\n' || c == '\r')) None
+    else Some(s"S:$s")
 
   /** Orders two same-tag values; mixed tags order arbitrarily (never
     * produced for one column). */
@@ -364,7 +372,11 @@ object ManifestCommit {
       lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val snap = currentSnapshot(spark, path).getOrElse(
       throw new java.io.FileNotFoundException(s"no manifest at $path"))
-    val (tlo, thi) = (tagged(lo).get, tagged(hi).get)
+    val (tlo, thi) = (tagged(lo), tagged(hi)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"unprunable bound type/value: $lo .. $hi (pass Long/Double/control-free String)")
+    }
     val stats = statsAt(spark, path, snap.version)
       .filter(s => s.column == column && snap.entries.values.exists(_ == s.txn))
       .map(s => (s.txn, s.relFile) -> (s.min, s.max)).toMap

@@ -172,6 +172,27 @@ class ManifestCommitSpec extends GraftSpec {
       "stat-less files always read (prune is never a filter)")
   }
 
+  test("string-column skipping prunes; control-char bounds stay unprunable, never corrupt") {
+    val out = Files.createTempDirectory("mfc10").toString + "/t"
+    // two clean name-range files + one file whose min contains a TAB —
+    // that file must publish NO stats line (unprunable) and the sidecar
+    // must stay parseable
+    val rows = Seq(("alpha", 1), ("beta", 1), ("mike", 2), ("nancy", 2),
+      ("\tweird", 3), ("zulu", 3)).toDF("name", "p")
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("name")) { txn =>
+      rows.repartition(col("p")).sortWithinPartitions("p", "name")
+        .write.partitionBy("p").parquet(txn)
+    }
+    val (df, scanned, total) =
+      ManifestCommit.readManifestedPruned(spark, out, "name", "aa", "bz")
+    assert(total == 3 && scanned == 2,
+      s"clean out-of-range file pruned, control-char file kept: $scanned/$total")
+    assert(df.where(col("name").between("aa", "bz")).count() == 2) // alpha, beta
+    // the p=3 partition (tab-min file) must still be readable end-to-end
+    assert(ManifestCommit.readManifested(spark, out).count() == 6)
+  }
+
   test("count pushdown: covered sidecars answer COUNT(*) without running a job") {
     val out = Files.createTempDirectory("mfc9").toString + "/t"
     val base = spark.range(0, 777).select(col("id").as("k"),
