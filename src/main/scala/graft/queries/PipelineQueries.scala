@@ -387,6 +387,46 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // ---- the full training-prep pipeline composed as ONE declarative
+    // plan: normalize -> quality gate -> exact dedup (keep min id per
+    // canonical form) -> token-budget selection. What a user of the
+    // engine actually runs — and the proof that the operators compose
+    // without materialization boundaries (the budget step's range
+    // partition is the plan's only presentation shuffle). Oracle = the
+    // same CTE chain in SQL, each stage in its proven oracle form.
+    Q("q108_full_pipeline",
+      (s, d) => {
+        val norm = t(s, d, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.normalizeText(col("text")).as("text"))
+          .withColumn("n_chars", length(col("text")))
+        val gated = norm.where(size(split(col("text"), " ")) >= 20)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("text").orderBy("doc_id")
+        val deduped = gated.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.operators.TrainingPrep.selectUnderBudget(deduped, 20000L)
+          .orderBy("cum_tok")
+      },
+      Some("""WITH norm AS (SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             |      'https?://[^ \t\n\r\f]+', '<url>', 'g'),
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+             |      '[ \t\n\r\f]+', ' ', 'g')) AS text
+             |  FROM documents),
+             |gated AS (SELECT doc_id, text, len(text) AS n_chars FROM norm
+             |          WHERE len(string_split(text, ' ')) >= 20),
+             |deduped AS (SELECT doc_id, text, n_chars FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |    FROM gated) WHERE rn = 1)
+             |SELECT doc_id, n_tok, cum_tok FROM (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |  FROM deduped)
+             |WHERE cum_tok <= 20000 ORDER BY cum_tok""".stripMargin)),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")
