@@ -260,6 +260,50 @@ object EventsStream {
       .select(col("user_id"), col("pid"), col("cid"), col("pts"), col("cts"))
   }
 
+  /** Streaming trending terms: watermarked tumbling-window counts of the
+    * whitespace terms in the event payload column, with the per-window
+    * top-k cut applied PER EMITTED BATCH in `foreachBatch` — the honest
+    * streaming shape for rank queries: the windowed count aggregation is
+    * incremental (watermark-bounded state, map-side partials), while the
+    * rank itself is not incrementally maintainable without replaying the
+    * window, so it runs on the final, watermark-closed rows the
+    * aggregation emits in append mode. Results land keyed by
+    * (window, rank) in an idempotent in-memory table per test-harness
+    * batch — a real deployment points the same function at a keyed
+    * upsert sink ([[incrementalUpsertTitlesManifested]] pattern).
+    *
+    * SCALE: state is (window x term) counters bounded by the watermark
+    * horizon; the top-k per batch is a WindowGroupLimit-prunable rank
+    * over only the rows that batch emitted, never the history. */
+  def trendingTerms(spark: SparkSession, events: DataFrame, textCol: String,
+      window_ : String, k: Int): Seq[(java.sql.Timestamp, String, Long, Int)] = {
+    val counts = events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(window(col("ts"), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("term"), col("n"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, Long, Int)]
+    val q = counts.writeStream
+      .outputMode(OutputMode.Append()) // only watermark-CLOSED windows emit
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ws").orderBy(col("n").desc, col("term"))
+        val ranked = batch.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        out.synchronized { out ++= ranked }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    out.toSeq
+  }
+
   /** Run a stream to completion against static input via the memory sink;
     * returns the collected result table (local smoke/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

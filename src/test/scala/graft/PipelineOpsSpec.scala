@@ -176,6 +176,29 @@ class PipelineOpsSpec extends GraftSpec {
     assert(n == distinctPairs)
   }
 
+  test("streaming: trending terms top-k matches the batch rank per closed window") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val got = EventsStream.trendingTerms(spark, stream, "props", "1 hour", k = 3)
+    assert(got.nonEmpty, "some windows must have closed")
+    // batch twin: same tokenize/window/rank on the static table
+    val batch = graft.queries.Tables.events(spark, sf0001)
+      .select((col("ts").cast("decimal(25,0)") / 3600000000000L).cast("long").as("h"),
+        explode(split(col("props"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("h", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc, col("term"))
+    val batchTop = batch.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    got.foreach { case (ws, term, n, rank) =>
+      val h = ws.getTime / 3600000L
+      assert(batchTop((h, rank)) == (term, n),
+        s"window $h rank $rank: got ($term,$n), want ${batchTop((h, rank))}")
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     val skewed = spark.range(0, 20000)
       .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
