@@ -455,4 +455,150 @@ object TrainingPrep {
         round(avg(-log(col("cnt").cast("double") / col("total")) / logTwo), 4)
           .as("bits_per_tok"))
   }
+
+  /** Cross-document duplicate-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * `windowTokens`-token window whose exact text occurs more than once
+    * in the corpus is stripped from every occurrence except the first
+    * (lexicographically smallest (doc_id, pos)). Overlapping removal
+    * spans within a doc are merged before the text is rebuilt, so a long
+    * shared boilerplate run collapses to one island instead of W near-
+    * identical cuts. Returns (doc_id, clean_text, removed-token count)
+    * for EVERY input doc.
+    *
+    * SCALE: the duplicate detection is ONE corpus-wide groupBy on the
+    * gram with map-side partial (count + min-struct keeper); the span
+    * join shuffles on the same gram key, so the grams exchange is reused
+    * between the two consumers. At 100 TB, group on a 64-bit hash of the
+    * gram instead of its text ([[graft.expressions.PortableHash]]) to
+    * cut shuffle width ~10x (a 2^-60 collision erroneously drops one
+    * span — acceptable for data prep; this form keeps the text so the
+    * cross-engine oracle can reproduce it). Island-merge windows are
+    * partitioned per doc and bounded by that doc's span count; the text
+    * rebuild is a doc-keyed left join plus a higher-order filter, no
+    * per-row UDF. */
+  def removeDuplicateSpans(docs: DataFrame, windowTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("w"))
+    // guard: sequence(0, n) with n < 0 counts DOWN in Spark — empty out
+    // short docs explicitly instead
+    val grams = base.select(col("doc_id"),
+      posexplode(when(size(col("w")) >= w,
+        transform(sequence(lit(0), size(col("w")) - w),
+          i => array_join(slice(col("w"), i + 1, lit(w)), " ")))
+        .otherwise(expr("cast(array() as array<string>)"))))
+      .toDF("doc_id", "pos", "gram")
+    val dups = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .where(col("cnt") > 1)
+    val spans = grams.join(dups, "gram")
+      .where(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + w - 1).as("e"))
+    val ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = spans
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(prev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy("doc_id", "grp").agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    base.join(merged, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("kept", filter(sequence(lit(0), size(col("w")) - 1),
+        i => !exists(col("sp"), sp => i >= sp("s") && i <= sp("e"))))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), i => element_at(col("w"), i + 1)), " ")
+          .as("clean_text"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed"))
+  }
+
+  /** Pointwise-mutual-information co-occurring term pairs: PMI =
+    * ln(P(a,b) / (P(a)P(b))) over per-document distinct-term incidence,
+    * the standard collocation / related-term statistic. Per-doc terms are
+    * capped at the first `maxTermsPerDoc` distinct tokens (in position
+    * order) so a pathological doc can't blow up the pair space
+    * quadratically; pairs below `minPairCount` are cut before scoring
+    * (PMI of rare pairs is noise anyway).
+    *
+    * SCALE: the pair generation is a doc-keyed self-join — both sides
+    * are the SAME (doc, term) subplan, so the doc_id exchange is planned
+    * once and reused; per-doc cost is bounded at maxTermsPerDoc^2. Term
+    * and pair counts partial-aggregate map-side. The vocabulary-count
+    * join carries no broadcast hint (web-scale vocab may not be
+    * driver-sized — the q99 argument); AQE broadcasts it when small.
+    * Top-k is orderBy+limit = TakeOrderedAndProject, no global sort. */
+  def pmiPairs(docs: DataFrame, maxTermsPerDoc: Int, minPairCount: Long,
+      topK: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(slice(array_distinct(TextAnalysis.tokens(col(textCol))),
+        1, maxTermsPerDoc)).as("term"))
+    val tc = dt.groupBy("term").agg(count(lit(1)).as("n"))
+    val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val pc = dt.as("a").join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("ta"), col("b.term").as("tb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    pc.join(broadcast(nd))
+      .join(tc.select(col("term").as("ta"), col("n").as("na")), Seq("ta"))
+      .join(tc.select(col("term").as("tb"), col("n").as("nb")), Seq("tb"))
+      .select(col("ta"), col("tb"), col("n_pair").cast("long").as("n_pair"),
+        round(log(col("n_pair").cast("double") * col("nd") /
+          (col("na").cast("double") * col("nb").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(topK)
+  }
+
+  /** Temperature-based corpus mixture (the multilingual/multi-domain
+    * sampling rule of mBERT/XLM-R, rate ∝ n^alpha): computes per-group
+    * token mass, reweights it by `alpha` (alpha<1 upsamples small
+    * domains), converts the target shares of `budgetTokens` into
+    * per-group sampling RATES, and reports the plan next to the realized
+    * deterministic-hash sample (picked docs / tokens per group). Rates
+    * cap at 1.0 — a group smaller than its target is taken whole, not
+    * oversampled.
+    *
+    * SCALE: the plan is a group-count aggregate (tiny, broadcast back);
+    * membership is a scan-speed portable-hash predicate on the doc id —
+    * no shuffle of the corpus, no RNG (re-runs and engines agree
+    * exactly). alpha = 0.5 routes through sqrt (IEEE-exact, bit-identical
+    * across engines); other alphas use pow, whose last-ulp libm drift is
+    * absorbed by the rate rounding. */
+  def temperatureMixture(docs: DataFrame, budgetTokens: Long, salt: String,
+      alpha: Double = 0.5, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def weight(c: org.apache.spark.sql.Column) =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val ntok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val st = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(ntok).as("n_tokens"))
+    val tot = st.agg(sum(weight(col("n_tokens").cast("double"))).as("z"))
+    val plan = st.join(broadcast(tot))
+      .withColumn("rate", least(
+        weight(col("n_tokens").cast("double")) / col("z") *
+          budgetTokens / col("n_tokens").cast("double"),
+        lit(1.0)))
+    val picked = docs
+      .join(broadcast(plan.select(col(groupCol), col("rate"))), Seq(groupCol))
+      .where(pmod(graft.expressions.PortableHash.md5Hash60(
+          concat(lit(salt + ":"), col(idCol))), lit(1000000L)) <
+        floor(col("rate") * 1000000).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("picked"), sum(ntok).as("picked_tokens"))
+    plan.join(picked, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("picked"), lit(0L)).cast("long").as("picked"),
+        coalesce(col("picked_tokens"), lit(0L)).cast("long")
+          .as("picked_tokens"))
+      .orderBy(groupCol)
+  }
 }

@@ -427,6 +427,77 @@ object PipelineQueries {
              |  FROM deduped)
              |WHERE cum_tok <= 20000 ORDER BY cum_tok""".stripMargin)),
 
+    // ---- cross-document duplicate-span removal (Lee et al. 2022): strip
+    // every occurrence but the first of any 5-token window duplicated
+    // anywhere in the corpus, merging overlapping cuts per doc. Oracle
+    // mirrors the dup-window/keeper/island/rebuild chain with DuckDB
+    // list comprehensions (the q105 machinery).
+    Q("q109_dup_span_removal",
+      (s, d) => graft.operators.TrainingPrep
+        .removeDuplicateSpans(t(s, d, "documents"), windowTokens = 5)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(w[(i+1):(i+5)], ' ')}
+             |        for i in range(0, greatest(len(w)-5+1,0))], recursive := true) FROM d),
+             |occ AS (SELECT doc_id, pos,
+             |        count(*) OVER (PARTITION BY gram) AS cnt,
+             |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+             |spans AS (SELECT doc_id, pos AS s, pos + 5 - 1 AS e FROM occ WHERE cnt > 1 AND rn > 1),
+             |isl AS (SELECT doc_id, s, e,
+             |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+             |        FROM spans),
+             |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+             |        SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+             |        FROM isl) GROUP BY doc_id, grp),
+             |perdoc AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM merged GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(array_to_string([w[i+1] for i in range(0, len(w))
+             |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0], ' '), '') AS clean_text,
+             |  CAST(len(w) - len([w[i+1] for i in range(0, len(w))
+             |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0]) AS BIGINT) AS removed
+             |FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- PMI collocations: top co-occurring term pairs by pointwise
+    // mutual information over per-doc distinct-term incidence.
+    Q("q110_pmi_pairs",
+      (s, d) => graft.operators.TrainingPrep
+        .pmiPairs(t(s, d, "documents"), maxTermsPerDoc = 40,
+          minPairCount = 5L, topK = 30),
+      Some("""WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))[1:40]) AS term FROM documents),
+             |tc AS (SELECT term, count(*) AS n FROM dt GROUP BY term),
+             |pc AS (SELECT a.term AS ta, b.term AS tb, count(*) AS n
+             |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+             |       GROUP BY 1, 2),
+             |tot AS (SELECT count(*) AS nd FROM documents)
+             |SELECT ta, tb, CAST(pc.n AS BIGINT) AS n_pair,
+             |  round(ln(pc.n::DOUBLE * nd / (ca.n::DOUBLE * cb.n)), 4) AS pmi
+             |FROM pc, tot, tc ca, tc cb
+             |WHERE ca.term = pc.ta AND cb.term = pc.tb AND pc.n >= 5
+             |ORDER BY pmi DESC, ta, tb LIMIT 30""".stripMargin)),
+
+    // ---- temperature mixture (rate ∝ n^0.5): per-source sampling plan
+    // plus the realized portable-hash sample under an 8000-token budget.
+    Q("q111_temperature_mix",
+      (s, d) => graft.operators.TrainingPrep
+        .temperatureMixture(t(s, d, "documents"), budgetTokens = 8000L,
+          salt = "mix"),
+      Some("""WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |            CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+             |tot AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS z FROM st),
+             |plan AS (SELECT source, n_docs, n_tokens,
+             |         least(sqrt(n_tokens::DOUBLE) / z * 8000 / n_tokens, 1.0) AS rate FROM st, tot),
+             |samp AS (SELECT d.source, CAST(count(*) AS BIGINT) AS picked,
+             |         CAST(sum(len(string_split(d.text,' '))) AS BIGINT) AS picked_tokens
+             |         FROM documents d JOIN plan p USING (source)
+             |         WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+             |               < CAST(floor(p.rate * 1000000) AS BIGINT)
+             |         GROUP BY d.source)
+             |SELECT p.source, p.n_docs, p.n_tokens, round(p.rate, 6) AS rate,
+             |  CAST(coalesce(s.picked, 0) AS BIGINT) AS picked,
+             |  CAST(coalesce(s.picked_tokens, 0) AS BIGINT) AS picked_tokens
+             |FROM plan p LEFT JOIN samp s USING (source) ORDER BY p.source""".stripMargin)),
+
     // ---- language ID via stopword profiles.
     Q("q28_langid",
       (s, d) => t(s, d, "documents")

@@ -199,6 +199,55 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("duplicate-span removal keeps the first occurrence, merges overlaps") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),          // keeper of [a..e] (lowest doc,pos)
+      (2L, "x a b c d e y z"),          // dup of [a..e] at pos 1 -> stripped
+      (3L, "p q a b c d e f g h i j")   // dup [a..e]@2 and [d..h]@5 overlap -> one merged cut 2..9
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TrainingPrep.removeDuplicateSpans(d, 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0) == ((1L, "a b c d e f g h", 0L)), s"keeper intact: ${got(0)}")
+    assert(got(1) == ((2L, "x y z", 5L)), s"dup stripped: ${got(1)}")
+    // doc 3: grams a..e (pos 2) and d..h (pos 5, dup of doc1 pos 3) overlap
+    // -> merged island [2,9] removed, leaving p q i j
+    assert(got(2) == ((3L, "p q i j", 8L)), s"overlap merged: ${got(2)}")
+  }
+
+  test("pmi pairs: planted collocation ranks above independent terms") {
+    val base = (1 to 40).map(i => (i.toLong,
+      if (i <= 20) s"alpha beta noise$i" else s"gamma delta$i noise$i"))
+    val got = graft.operators.TrainingPrep
+      .pmiPairs(base.toDF("doc_id", "text"), 40, 5L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // (alpha,beta) co-occur in all 20 of their docs: n=20, na=nb=20, N=40
+    // -> pmi = ln(20*40/400) = ln 2
+    val ab = got.find(p => p._1 == "alpha" && p._2 == "beta").get
+    assert(ab._3 == 20L && math.abs(ab._4 - math.log(2.0)) < 1e-3, s"$ab")
+    assert(got.head._1 == "alpha" && got.head._2 == "beta", "top pair by pmi")
+  }
+
+  test("temperature mixture caps rates at 1.0 and reports exact picks") {
+    val d = (1 to 100).map(i => (i.toLong,
+      if (i <= 90) "big" else "small", "t " * 9 + "t")).toDF("doc_id", "source", "text")
+    val rows = graft.operators.TrainingPrep
+      .temperatureMixture(d, budgetTokens = 2000L, salt = "s")
+      .orderBy("source").collect()
+    val big = rows(0); val small = rows(1)
+    assert(big.getString(0) == "big" && big.getLong(2) == 900L)
+    // budget 2000 >= corpus 1000 tokens: every rate caps at 1.0, all picked
+    assert(big.getDouble(3) == 1.0 && small.getDouble(3) == 1.0)
+    assert(big.getLong(4) == 90L && small.getLong(4) == 10L)
+    assert(big.getLong(5) == 900L && small.getLong(5) == 100L)
+    // alpha<1 upsamples the small domain when the budget binds
+    val binding = graft.operators.TrainingPrep
+      .temperatureMixture(d, budgetTokens = 500L, salt = "s")
+      .orderBy("source").collect()
+    assert(binding(1).getDouble(3) > binding(0).getDouble(3),
+      "small domain gets the higher rate under sqrt temperature")
+  }
+
   test("salted join equals plain join on a skewed key") {
     val skewed = spark.range(0, 20000)
       .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
