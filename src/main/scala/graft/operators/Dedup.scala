@@ -420,6 +420,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Canonical-document selection over [[duplicateClusters]] output: for
+    * each near-dup cluster keep exactly one representative — the LARGEST
+    * doc by `sizeCol` (RefinedWeb's keep-longest rule), ties to the
+    * smallest doc id. Returns every clustered doc with its cluster and a
+    * `keep` flag, so the caller can anti-join the losers out of the
+    * corpus (or audit what a dedup pass would drop).
+    *
+    * SCALE: the keeper election is a map-side-combinable max_by
+    * aggregation on the cluster key (NOT a rank window — no per-cluster
+    * sort materializes), and the flag join shuffles on the same cluster
+    * key, so the exchange is planned once and reused. Cluster count is
+    * bounded by the pair graph, orders of magnitude below the corpus. */
+  def canonicalizeClusters(clusters: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", sizeCol: String = "n_chars"): DataFrame = {
+    val sized = clusters.join(
+      docs.select(col(idCol).as("doc_id"), col(sizeCol).cast("long").as("sz")),
+      Seq("doc_id"))
+    val keep = sized.groupBy("cluster")
+      .agg(max_by(col("doc_id"), struct(col("sz"), -col("doc_id"))).as("keeper"))
+    sized.join(keep, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist: Manku-style
     * block-combination candidates. The 64-bit signature splits into
     * `nBlocks` blocks; each doc is keyed by every (nBlocks - maxDist)-subset

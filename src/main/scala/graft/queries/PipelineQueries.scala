@@ -140,6 +140,90 @@ object PipelineQueries {
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // ---- canonical-doc election over the q71 clusters: keep-longest
+    // (ties to min doc_id), every clustered doc flagged keep/drop.
+    Q("q112_cluster_canonical",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.canonicalizeClusters(
+          Dedup.duplicateClusters(Dedup.shingleJaccardPairs(docs, 0.5)), docs)
+          .select(col("doc_id"), col("cluster"),
+            col("keep").cast("long").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ia, ib
+             |          FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |          UNION SELECT ib, ia FROM pairs),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+             |sized AS (SELECT cl.doc_id, cl.cluster, d.n_chars FROM cl JOIN documents d USING (doc_id)),
+             |k AS (SELECT cluster, doc_id AS keeper FROM (
+             |       SELECT cluster, doc_id,
+             |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+             |       FROM sized) WHERE rn = 1)
+             |SELECT s.doc_id, s.cluster, CAST(s.doc_id = k.keeper AS BIGINT) AS keep
+             |FROM sized s JOIN k USING (cluster) ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- weighted PageRank over the customer-nation -> supplier-nation
+    // trade graph, 5 fixed iterations (deterministic, oracle-unrollable).
+    Q("q113_pagerank_trade",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.pageRank(edges, iterations = 5)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+             |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+             |r1 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
+             |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r0 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
+             |       FROM nodes v, nn),
+             |r2 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
+             |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r1 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
+             |       FROM nodes v, nn),
+             |r3 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
+             |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r2 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
+             |       FROM nodes v, nn),
+             |r4 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
+             |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r3 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
+             |       FROM nodes v, nn),
+             |r5 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
+             |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r4 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
+             |       FROM nodes v, nn)
+             |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin)),
+
     // ---- SimHash signatures + hamming<=3 pairs on the real corpus
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
     // SimHash entry is q53 on the planted corpus below).

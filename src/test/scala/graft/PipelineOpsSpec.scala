@@ -248,6 +248,39 @@ class PipelineOpsSpec extends GraftSpec {
       "small domain gets the higher rate under sqrt temperature")
   }
 
+  test("cluster canonicalization keeps the longest doc, ties to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.operators.Dedup.canonicalizeClusters(clusters, docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // cluster 1: docs 2 and 3 tie on n_chars=9 -> min id 2 wins;
+    // cluster 10: docs 10/11 tie on 4 -> 10 wins
+    assert(got == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("pagerank matches a local reference on a small weighted graph") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 2L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps.pageRank(edges, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local twin: same fixed-iteration update on an adjacency map
+    val out = Map(1L -> Seq((2L, 0.5), (3L, 0.5)), 2L -> Seq((1L, 1.0)),
+      3L -> Seq((1L, 2.0 / 3), (2L, 1.0 / 3)))
+    var rank = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0)
+      for ((u, es) <- out; (v, p) <- es) contrib(v) += rank(u) * p
+      rank = contrib.map { case (k, c) => k -> (0.15 / 3 + 0.85 * c) }.toMap
+    }
+    rank.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"node $k") }
+    // strongly connected graph: no dangling leak, total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val skewed = spark.range(0, 20000)
       .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
