@@ -112,7 +112,10 @@ object ManifestCommit {
   /** Reads the table at its current manifest version — or, with
     * `version`, at a retained historical one (time travel). One scan per
     * live txn generation (entries grouped by txn, `basePath` recovers the
-    * partition columns), unioned by name. */
+    * partition columns), unioned by name — with missing columns allowed,
+    * so a txn written under an EVOLVED schema (new column appended)
+    * coexists with older generations: absent columns read as null, the
+    * public formats' add-column semantics. */
   def readManifested(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val snap = snapshotAt(spark, path, version).getOrElse(
@@ -121,7 +124,7 @@ object ManifestCommit {
       val base = s"$path/$DataDir/$txn"
       val dirs = es.keys.map(rel => if (rel.isEmpty) base else s"$base/$rel").toSeq
       spark.read.option("basePath", base).parquet(dirs: _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Writes a new txn directory via `writeTo`, then publishes the next
@@ -422,13 +425,17 @@ object ManifestCommit {
       else perTxn.map { case (base, kept) =>
         spark.read.option("basePath", base.toString)
           .parquet(kept.map(_.toString): _*)
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     (df, scanned, total)
   }
 
   /** Keyed upsert with [[TableWriters.upsertParquet]] semantics
     * (last-writer-wins, touched-partitions-only cost) committed through
-    * the manifest instead of directory swaps. */
+    * the manifest instead of directory swaps. Accepts schema-EVOLVED
+    * updates: a new column in `updates` null-fills the carried-over rows
+    * of the touched partitions and becomes part of the table schema from
+    * this version on (untouched older txns read as null through
+    * [[readManifested]]). */
   def upsertManifested(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String],
       statCols: Seq[String] = Nil): Snapshot = {
@@ -436,10 +443,16 @@ object ManifestCommit {
     val touchedParts = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touchedParts), partitionCols, "left_semi")
     val dataCols = target.columns.toSeq
+    // evolution is ADDITIVE-only: updates missing an existing column would
+    // silently null it out on every overwritten key — reject instead
+    val missing = dataCols.toSet -- updates.columns.toSet
+    require(missing.isEmpty, s"updates must carry every existing column " +
+      s"(missing: ${missing.mkString(",")}); schema evolution is additive-only")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__is_update").desc, struct(dataCols.map(col): _*).asc)
     val merged = updates.withColumn("__is_update", lit(1))
-      .unionByName(affected.withColumn("__is_update", lit(0)))
+      .unionByName(affected.withColumn("__is_update", lit(0)),
+        allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__is_update", "__rn")
     overwriteViaManifest(spark, path, partitionCols, statCols = statCols) { txnDir =>

@@ -225,4 +225,31 @@ class ManifestCommitSpec extends GraftSpec {
     assert(before.subsetOf(after), "old txn dirs immutable through a commit")
     assert((after -- before).size == 1, "exactly one new txn dir per commit")
   }
+
+  test("schema evolution: an added column null-fills older txns; narrowing rejected") {
+    val out = Files.createTempDirectory("mfc6").toString + "/t"
+    writeBase(out)
+    // upsert under an EVOLVED schema: new column `extra` appears
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((1L, "A2", 10, "x1"), (9L, "z", 10, "x9")).toDF("k", "v", "p", "extra"),
+      Seq("k"), Seq("p"))
+    val got = ManifestCommit.readManifested(spark, out)
+      .select("k", "v", "p", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, "A2", 10, Some("x1")), (9L, "z", 10, Some("x9")),
+      (2L, "b", 10, None),            // carried row of the touched partition
+      (3L, "c", 20, None), (4L, "d", 20, None)), // untouched old-schema txn
+      s"evolved read: $got")
+    // time travel below the evolution point still shows the old schema
+    val v1 = ManifestCommit.readManifested(spark, out, Some(1L))
+    assert(!v1.columns.contains("extra"))
+    // updates MISSING an existing column must be rejected, not null-filled
+    val ex = intercept[IllegalArgumentException] {
+      ManifestCommit.upsertManifested(spark, out,
+        Seq((1L, 10)).toDF("k", "p"), Seq("k"), Seq("p"))
+    }
+    assert(ex.getMessage.contains("additive-only"))
+  }
 }
