@@ -210,6 +210,57 @@ object TextStats {
     ColumnBridge.column(TextStats(ColumnBridge.expression(c.cast("string"))))
 }
 
+/** Deflate compression ratio of the UTF-8 text — compressed bytes / raw
+  * bytes — the redundancy-based quality signal of Gopher (Rae et al. 2021,
+  * doc filter "compression ratio") and RefinedWeb: templated or looping
+  * text compresses far below ~0.4, natural prose sits near 0.5-0.8, random
+  * strings exceed 1.0 (deflate framing overhead). Empty text → 1.0.
+  *
+  * Codegen'd (generated code calls the static helper, so the expression
+  * stays inside whole-stage codegen); one Deflater per thread, reset per
+  * row, raw mode (nowrap) at the default level 6. The VALUE depends on the
+  * JVM's zlib, so this is a rows-only signal (no DuckDB oracle); its
+  * oracled twin in the same signal family is q81's distinct-shingle
+  * repetition ratio.
+  */
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    CompressionRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CompressionRatio.ratio($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CompressionRatio {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
+  /** Called from generated code. */
+  def ratio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = local.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    // output is only COUNTED, so one reusable buffer per call is enough
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n.toDouble / raw.length
+  }
+
+  def compression_ratio(c: Column): Column =
+    ColumnBridge.column(CompressionRatio(ColumnBridge.expression(c.cast("string"))))
+}
+
 /** Engine-portable hash idioms shared by the oracle-checked sketches. */
 object PortableHash {
   import org.apache.spark.sql.functions.{conv, md5, substring}

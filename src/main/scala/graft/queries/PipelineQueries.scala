@@ -825,6 +825,18 @@ object PipelineQueries {
              |  round((CASE WHEN total > 0 THEN 1.0 - dist::DOUBLE / total ELSE 0.0 END) * 1000000.0) / 1000000.0 AS rep_ratio
              |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- deflate compression ratio (the Gopher redundancy filter).
+    // zlib output is JVM-implementation-defined -> rows-only by design;
+    // the oracled twin in the same signal family is q81 above. The spec
+    // asserts the discriminative ordering (repetitive < prose < random).
+    Q("q114_compression_ratio",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          round(graft.expressions.CompressionRatio
+            .compression_ratio(col("text")), 4).as("zlib_ratio"))
+        .orderBy("doc_id"),
+      None),
+
     // ---- top-3 characteristic terms per document by tf-idf with a
     // RATIONAL idf (tf * (N+1)/(df+1)); ln() is deliberately absent —
     // JVM Math.log and libm ln disagree in the last bit on ~0.1% of this

@@ -248,6 +248,26 @@ class PipelineOpsSpec extends GraftSpec {
       "small domain gets the higher rate under sqrt temperature")
   }
 
+  test("compression ratio: repetitive < prose < random, deterministic, empty=1.0") {
+    import graft.expressions.CompressionRatio.compression_ratio
+    val rep = Seq.fill(200)("spam eggs").mkString(" ")
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "sailors debate whether the harbour lights were ever truly green, and " +
+      "a passing cartographer sketches the coastline from memory alone. " * 5
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(300)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, random), (4L, ""))
+      .toDF("doc_id", "text")
+    def run() = df.select(col("doc_id"), compression_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = run()
+    assert(got(1L) < got(2L) && got(2L) < got(3L),
+      s"ordering must discriminate redundancy: $got")
+    assert(got(1L) < 0.1, s"pure repetition compresses to almost nothing: ${got(1L)}")
+    assert(got(4L) == 1.0, "empty text pins to 1.0")
+    assert(run() == got, "deterministic across runs")
+  }
+
   test("cluster canonicalization keeps the longest doc, ties to min id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "cluster")
