@@ -466,17 +466,21 @@ object TrainingPrep {
     * identical cuts. Returns (doc_id, clean_text, removed-token count)
     * for EVERY input doc.
     *
-    * SCALE: the duplicate detection is ONE corpus-wide groupBy on the
-    * gram with map-side partial (count + min-struct keeper); the span
-    * join shuffles on the same gram key, so the grams exchange is reused
-    * between the two consumers. At 100 TB, group on a 64-bit hash of the
-    * gram instead of its text ([[graft.expressions.PortableHash]]) to
-    * cut shuffle width ~10x (a 2^-60 collision erroneously drops one
-    * span — acceptable for data prep; this form keeps the text so the
-    * cross-engine oracle can reproduce it). Island-merge windows are
-    * partitioned per doc and bounded by that doc's span count; the text
-    * rebuild is a doc-keyed left join plus a higher-order filter, no
-    * per-row UDF. */
+    * SCALE: duplicate detection is ONE corpus-wide groupBy on the gram;
+    * the span join shuffles on the same gram key. The two gram subtrees
+    * are NOT exchange-reusable (the dup side partial-aggregates below
+    * its shuffle — executed plan verified), and that trade is right:
+    * map-side combine collapses repeated grams before they move, which
+    * outweighs re-running the scan-side explode. The keeper min(struct)
+    * plans as SortAggregate (struct buffers aren't hash-aggregable) —
+    * the sort is per-partition on the gram only. At 100 TB, group on a
+    * 64-bit hash of the gram instead of its text
+    * ([[graft.expressions.PortableHash]]) to cut shuffle width ~10x (a
+    * 2^-60 collision erroneously drops one span — acceptable for data
+    * prep; this form keeps the text so the cross-engine oracle can
+    * reproduce it). Island-merge windows are partitioned per doc and
+    * bounded by that doc's span count; the text rebuild is a doc-keyed
+    * left join plus a higher-order filter, no per-row UDF. */
   def removeDuplicateSpans(docs: DataFrame, windowTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = windowTokens

@@ -174,7 +174,8 @@ object PipelineQueries {
              |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
              |       FROM sized) WHERE rn = 1)
              |SELECT s.doc_id, s.cluster, CAST(s.doc_id = k.keeper AS BIGINT) AS keep
-             |FROM sized s JOIN k USING (cluster) ORDER BY s.doc_id""".stripMargin)),
+             |FROM sized s JOIN k USING (cluster) ORDER BY s.doc_id""".stripMargin),
+      bench = true),
 
     // ---- weighted PageRank over the customer-nation -> supplier-nation
     // trade graph, 5 fixed iterations (deterministic, oracle-unrollable).
@@ -222,7 +223,8 @@ object PipelineQueries {
              |r5 AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(
              |        (SELECT sum(m.p * r.rank) FROM norm m JOIN r4 r ON r.node = m.src WHERE m.dst = v.node), 0.0) AS rank
              |       FROM nodes v, nn)
-             |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin)),
+             |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin),
+      bench = true),
 
     // ---- SimHash signatures + hamming<=3 pairs on the real corpus
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
@@ -540,7 +542,8 @@ object PipelineQueries {
              |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0], ' '), '') AS clean_text,
              |  CAST(len(w) - len([w[i+1] for i in range(0, len(w))
              |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0]) AS BIGINT) AS removed
-             |FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+             |FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- PMI collocations: top co-occurring term pairs by pointwise
     // mutual information over per-doc distinct-term incidence.
@@ -558,7 +561,8 @@ object PipelineQueries {
              |  round(ln(pc.n::DOUBLE * nd / (ca.n::DOUBLE * cb.n)), 4) AS pmi
              |FROM pc, tot, tc ca, tc cb
              |WHERE ca.term = pc.ta AND cb.term = pc.tb AND pc.n >= 5
-             |ORDER BY pmi DESC, ta, tb LIMIT 30""".stripMargin)),
+             |ORDER BY pmi DESC, ta, tb LIMIT 30""".stripMargin),
+      bench = true),
 
     // ---- temperature mixture (rate ∝ n^0.5): per-source sampling plan
     // plus the realized portable-hash sample under an 8000-token budget.
