@@ -456,6 +456,47 @@ object TrainingPrep {
           .as("bits_per_tok"))
   }
 
+  /** Bigram-LM surprisal — the sharper statistical half of a CCNet-style
+    * quality filter: fit an interpolated bigram model on the corpus
+    * itself, p(w2|w1) = λ·c(w1w2)/c(w1) + (1-λ)·c(w2)/T, and score each
+    * document by its bigram cross-entropy in bits/token. Catches
+    * word-salad that unigram surprisal ([[unigramSurprisal]]) can't:
+    * shuffled common words keep their unigram score but lose their
+    * bigram mass. Docs with fewer than 2 tokens have no bigrams and are
+    * absent from the output.
+    *
+    * SCALE: bigrams come from arrays_zip of two slices — no self-join,
+    * no window; the pair explode is the only corpus-sized relation and
+    * it shuffles once per model join. Bigram and unigram models are
+    * vocab²-/vocab-sized with map-side partial aggregation; neither
+    * carries a broadcast hint (the q99 argument — AQE broadcasts when
+    * measured-small). Total-token count is a single-row broadcast. The
+    * interpolation uses the λ literal and (1-λ) COMPUTED the same way
+    * on both engine and oracle sides, so IEEE doubles agree bitwise
+    * before the final rounding. */
+  def bigramSurprisal(docs: DataFrame, lambda: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val pairs = docs.select(col(idCol).as("doc_id"),
+      explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val bgc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val uni = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val total = docs.agg(sum(size(toks)).cast("double").as("total"))
+    val logTwo = math.log(2.0)
+    val p = lit(lambda) * col("cbg").cast("double") / col("c1") +
+      lit(1.0 - lambda) * col("cu2").cast("double") / col("total")
+    pairs.join(bgc, Seq("w1", "w2"))
+      .join(uni.select(col("term").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bg"),
+        round(avg(-log(p) / logTwo), 4).as("bits_per_tok"))
+  }
+
   /** Cross-document duplicate-SPAN removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): any
     * `windowTokens`-token window whose exact text occurs more than once

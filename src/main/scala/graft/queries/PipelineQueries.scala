@@ -1166,5 +1166,27 @@ object PipelineQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              |  round(avg(-ln(CAST(cnt AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
              |FROM toks JOIN model USING (term), tot
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- interpolated bigram-LM surprisal: the q99 filter upgraded to
+    // bigram cross-entropy (catches word-salad unigrams can't). (1-λ) is
+    // COMPUTED on both sides so the doubles match bitwise.
+    Q("q115_bigram_surprisal",
+      (s, d) => graft.operators.TrainingPrep
+        .bigramSurprisal(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |         for i in range(1, len(w))], recursive := true)
+             |       FROM d WHERE len(w) >= 2),
+             |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+             |uc AS (SELECT term, count(*) AS cu FROM (SELECT unnest(w) AS term FROM d) GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS total FROM d)
+             |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             |  round(avg(-ln(0.7 * CAST(cbg AS DOUBLE) / c1.cu
+             |    + (1.0 - 0.7) * CAST(c2.cu AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |FROM bg JOIN bgc USING (w1, w2)
+             |  JOIN uc c1 ON c1.term = bg.w1
+             |  JOIN uc c2 ON c2.term = bg.w2, tot
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)))
 }

@@ -248,6 +248,20 @@ class PipelineOpsSpec extends GraftSpec {
       "small domain gets the higher rate under sqrt temperature")
   }
 
+  test("bigram surprisal flags word-salad that unigram scoring misses") {
+    val natural = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on cat the sat")) // same BAG of words
+    val df = (natural ++ salad).toDF("doc_id", "text")
+    def scores(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bg = scores(graft.operators.TrainingPrep.bigramSurprisal(df))
+    val uni = scores(graft.operators.TrainingPrep.unigramSurprisal(df))
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9,
+      "unigram model cannot distinguish a permuted doc")
+    assert(bg(99L) > bg(1L) + 1.0,
+      s"bigram surprisal must flag the salad: ${bg(99L)} vs ${bg(1L)}")
+  }
+
   test("compression ratio: repetitive < prose < random, deterministic, empty=1.0") {
     import graft.expressions.CompressionRatio.compression_ratio
     val rep = Seq.fill(200)("spam eggs").mkString(" ")
