@@ -315,4 +315,55 @@ class ScaleSafetySpec extends GraftSpec {
       .map(id => (id, id + 100000)).toSet
     assert(twinPairs.subsetOf(set), "identical docs must be hamming-0 pairs")
   }
+
+  test("span-removal plan: no cartesian, dup side partial-aggregates below its shuffle") {
+    val df = graft.operators.TrainingPrep.removeDuplicateSpans(docs, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), "cartesian in span-removal plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in span-removal plan")
+    // the dup-detection aggregate must map-side combine BEFORE the gram
+    // exchange — that (not exchange reuse) is what bounds the shuffle
+    assert("partial_count".r.findAllIn(plan).nonEmpty &&
+      "partial_min".r.findAllIn(plan).nonEmpty,
+      "keeper aggregation must have a partial (map-side) phase")
+    // island merge windows are doc-partitioned, never global
+    assert(!plan.contains("windowspecdefinition()") &&
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findAllIn(plan).hasNext,
+      "unpartitioned window in span-removal plan")
+  }
+
+  test("pmi plan: self-join sides are one subplan; no hard hint on the vocab join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.TrainingPrep.pmiPairs(docs, 40, 5L, 30)
+      // sparkPlan = pre-EnsureRequirements: hints visible as join CHOICE
+      val initial = df.queryExecution.sparkPlan.toString
+      // only the single-row doc count keeps an explicit broadcast; the
+      // vocab joins must degrade to shuffle joins
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(initial).length
+      assert(bnlj == 1, s"expected exactly the 1-row count broadcast, got $bnlj")
+      assert(!initial.contains("BroadcastHashJoin"),
+        "vocab/pair joins must not be force-broadcast")
+      assert(initial.contains("TakeOrderedAndProject"),
+        "top-k must not be a global sort")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bigram surprisal plan: no self-join for pairs, no window, no model hint") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.TrainingPrep.bigramSurprisal(docs)
+      val initial = df.queryExecution.sparkPlan.toString
+      assert(!initial.contains("Window"), "no window in the bigram plan")
+      // pair generation is arrays_zip in the scan project — the only
+      // joins are the model lookups (shuffle) + the 1-row total broadcast
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(initial).length
+      assert(bnlj == 1, s"only the 1-row total may broadcast, got $bnlj")
+      assert(!initial.contains("BroadcastHashJoin"),
+        "model joins must not be force-broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
