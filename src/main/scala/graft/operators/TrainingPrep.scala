@@ -497,6 +497,38 @@ object TrainingPrep {
         round(avg(-log(p) / logTwo), 4).as("bits_per_tok"))
   }
 
+  /** Deterministic MLM example generation (BERT-style): masks ~`maskPct`%
+    * of tokens, emitting the masked text, the label sequence (the masked
+    * tokens in position order), and the mask count. The mask decision is
+    * a PORTABLE HASH of (salt, doc, position) — no RNG — so shards are
+    * reproducible run-to-run, a re-run after a lost executor produces
+    * identical examples, and a different `salt` yields a fresh epoch's
+    * masking. (Whole-word/span masking variants change only the decision
+    * input: hash the span start instead of each position.)
+    *
+    * SCALE: pure per-row column work (HOF transform/filter over the
+    * token array) — zero shuffles, runs at scan speed inside codegen;
+    * the md5-per-token cost is the deliberate price of portability
+    * (xxhash64 would be ~4x cheaper but engine-specific — swap the
+    * decision column at deployment if reproducibility across engines
+    * stops mattering). */
+  def mlmMask(docs: DataFrame, maskPct: Int = 15, salt: String = "mlm",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    def masked(i: org.apache.spark.sql.Column) =
+      graft.expressions.PortableHash.md5Hash60(
+        concat(lit(salt + ":"), col(idCol).cast("string"), lit(":"),
+          i.cast("string"))) % 100 < maskPct
+    val idxs = sequence(lit(0), size(toks) - 1)
+    docs.select(col(idCol),
+      array_join(transform(idxs, i =>
+        when(masked(i), lit("[MASK]")).otherwise(element_at(toks, i + 1))),
+        " ").as("masked_text"),
+      array_join(transform(filter(idxs, masked _), i =>
+        element_at(toks, i + 1)), " ").as("labels"),
+      size(filter(idxs, masked _)).cast("long").as("n_masked"))
+  }
+
   /** Cross-document duplicate-SPAN removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): any
     * `windowTokens`-token window whose exact text occurs more than once

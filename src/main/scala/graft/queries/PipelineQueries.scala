@@ -1188,5 +1188,23 @@ object PipelineQueries {
              |FROM bg JOIN bgc USING (w1, w2)
              |  JOIN uc c1 ON c1.term = bg.w1
              |  JOIN uc c2 ON c2.term = bg.w2, tot
-             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)))
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
+    // ---- deterministic MLM example generation: portable-hash 15% token
+    // masking, masked text + labels + count, reproducible across engines.
+    Q("q116_mlm_mask",
+      (s, d) => graft.operators.TrainingPrep
+        .mlmMask(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |m AS (SELECT doc_id,
+             |  [CASE WHEN CAST(('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15
+             |        THEN '[MASK]' ELSE w[i+1] END for i in range(0, len(w))] AS masked,
+             |  [w[i+1] for i in range(0, len(w))
+             |    if CAST(('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15] AS labels
+             |  FROM d)
+             |SELECT doc_id, array_to_string(masked, ' ') AS masked_text,
+             |  coalesce(array_to_string(labels, ' '), '') AS labels,
+             |  CAST(len(labels) AS BIGINT) AS n_masked
+             |FROM m ORDER BY doc_id""".stripMargin)))
 }

@@ -248,6 +248,33 @@ class PipelineOpsSpec extends GraftSpec {
       "small domain gets the higher rate under sqrt temperature")
   }
 
+  test("mlm masking: exact reconstruction, ~15% rate, salt varies the mask") {
+    val got = graft.operators.TrainingPrep.mlmMask(docs).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var maskSum = 0L; var tokSum = 0L
+    got.foreach { r =>
+      val (id, mtext, labels, n) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      val mt = mtext.split(" ", -1); val ot = orig(id).split(" ", -1)
+      assert(mt.length == ot.length, s"doc $id token count changed")
+      val lab = if (labels.isEmpty) Array.empty[String] else labels.split(" ", -1)
+      assert(lab.length == n, s"doc $id label count != n_masked")
+      var li = 0
+      val rebuilt = mt.map { t =>
+        if (t == "[MASK]") { val x = lab(li); li += 1; x } else t
+      }
+      assert(rebuilt.sameElements(ot), s"doc $id does not reconstruct")
+      maskSum += n; tokSum += ot.length
+    }
+    val rate = maskSum.toDouble / tokSum
+    assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate out of band")
+    val epoch2 = graft.operators.TrainingPrep.mlmMask(docs, salt = "epoch2")
+      .collect().map(_.getString(1))
+    assert(!epoch2.sameElements(got.map(_.getString(1))),
+      "a different salt must produce a different masking")
+  }
+
   test("bigram surprisal flags word-salad that unigram scoring misses") {
     val natural = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
     val salad = Seq((99L, "mat the on cat the sat")) // same BAG of words
