@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (xs: Seq[Expression]) => SortedIntersectCount(xs(0), xs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[graft.expressions.CompressionRatio].getName,
+        "compression_ratio"),
+      (xs: Seq[Expression]) =>
+        graft.expressions.CompressionRatio(Cast(xs(0), StringType))))
     // CPC symbol surface — SQL: cpc_section(s), cpc_class(s), cpc_subclass(s),
     // cpc_subgroup(s), cpc_valid_format(s), cpc_normalize(s); same column
     // compositions as graft.functions.CpcSymbolOps, adapted at resolution time

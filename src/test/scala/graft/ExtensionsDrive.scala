@@ -26,6 +26,11 @@ object ExtensionsDrive {
     println(s"== text kernels via SQL: $t")
     assert(t.getLong(0) == ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
     assert(t.getInt(1) == 2 && t.getLong(2) == 2 && t.getLong(3) == 1 && t.getInt(4) == 2)
+    val z = spark.sql(
+      """SELECT compression_ratio(repeat('spam eggs ', 100)) AS rep,
+        |       compression_ratio('') AS empty""".stripMargin).collect()(0)
+    println(s"== compression_ratio via SQL: $z")
+    assert(z.getDouble(0) < 0.1 && z.getDouble(1) == 1.0)
     val c = spark.sql(
       """SELECT cpc_section('A01B1/00') AS s, cpc_class('A01B1/00') AS c,
         |  cpc_subclass('A01B1/00') AS sc, cpc_subgroup('A01B1/00') AS sg,
