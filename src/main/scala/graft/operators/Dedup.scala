@@ -444,6 +444,37 @@ object Dedup {
         (col("doc_id") === col("keeper")).as("keep"))
   }
 
+  /** Fuzzy entity matching (record linkage): pairs of rows whose
+    * `nameCol` values are within `maxDist` edit distance, found by
+    * BLOCKING — candidates must share a blocking key (default: the first
+    * whitespace token) and sit within a length band (|len_a - len_b| <=
+    * maxDist, a lower bound on edit distance) before the exact
+    * levenshtein verify runs. Blocking trades recall for tractability —
+    * a pair differing in its FIRST token is never compared; callers
+    * needing higher recall union several blocking passes (first token,
+    * last token, sorted-token prefix), the standard multi-pass linkage
+    * recipe.
+    *
+    * SCALE: the candidate join is an equi-join on the blocking key whose
+    * two inputs are the identical subplan (one exchange, read twice);
+    * the length band rides in the join condition so candidates die
+    * before the O(len^2) levenshtein verify. A hot blocking key (one
+    * giant block) quadratically dominates — salt it with
+    * [[SkewUtils]] or add a second blocking column, same as any skewed
+    * self-join. */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+      .withColumn("blk", substring_index(col("name"), " ", 1))
+      .withColumn("len", length(col("name")))
+    n.as("a").join(n.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .where(levenshtein(col("a.name"), col("b.name")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist: Manku-style
     * block-combination candidates. The 64-bit signature splits into
     * `nBlocks` blocks; each doc is keyed by every (nBlocks - maxDist)-subset

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the (user, type, ts) shape — the
+  * batch twins of the streaming sessionization in
+  * [[graft.streaming.EventsStream]]. */
+object EventOps {
+
+  /** First-touch conversion funnel: for each user, the earliest
+    * occurrence of `stages.head`, then for every later stage the
+    * earliest matching event within `windowNs` AFTER the previous
+    * stage's timestamp. Emits one row per user who entered the funnel:
+    * the per-stage timestamps (null once the chain breaks) and the
+    * count of stages reached. "First-touch" is the deterministic
+    * greedy semantic every funnel dashboard uses — a later entry event
+    * that would have converted does NOT rescue a user whose earliest
+    * entry didn't.
+    *
+    * SCALE: one conditional-min aggregation per stage, every one keyed
+    * on the user — after the first aggregation the accumulator is
+    * already hash-partitioned by user_id, so each later join re-shuffles
+    * only the (stage-filtered, far smaller) event slice, never the
+    * accumulated funnel. Stage filters sit directly on the scan
+    * (pushable). No windows, no per-user event collection — state per
+    * user is exactly `stages.length` timestamps. */
+  def funnelStages(events: DataFrame, stages: Seq[String], windowNs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), col(tsCol).as("tns"))
+    var acc = e.where(col("et") === stages.head)
+      .groupBy("user_id").agg(min("tns").as("t0"))
+    for ((s, i) <- stages.tail.zipWithIndex) {
+      val prev = s"t$i"
+      val nxt = e.where(col("et") === s)
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .where(col("tns") >= col(prev) && col("tns") <= col(prev) + windowNs)
+        .groupBy("user_id").agg(min("tns").as(s"t${i + 1}"))
+      acc = acc.join(nxt, Seq("user_id"), "left")
+    }
+    val stage = stages.indices
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce((a: Column, b: Column) => a + b)
+    acc.withColumn("stage", stage.cast("long"))
+  }
+}

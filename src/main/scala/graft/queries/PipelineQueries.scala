@@ -1206,5 +1206,52 @@ object PipelineQueries {
              |SELECT doc_id, array_to_string(masked, ' ') AS masked_text,
              |  coalesce(array_to_string(labels, ' '), '') AS labels,
              |  CAST(len(labels) AS BIGINT) AS n_masked
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- first-touch conversion funnel view -> click -> purchase with a
+    // 2-day per-stage window: per-user stage timestamps + stages reached.
+    Q("q117_funnel",
+      (s, d) => graft.operators.EventOps
+        .funnelStages(Tables.events(s, d), Seq("view", "click", "purchase"),
+          windowNs = 2L * 86400 * 1000000000L)
+        .select(col("user_id"),
+          // DuckDB reads TIMESTAMP(NANOS) parquet at us precision ->
+          // compare stage times in MICROseconds on both sides. Integer
+          // `div`, NOT `/`: epoch-ns exceeds double's exact range
+          expr("t0 div 1000").as("t_view"),
+          expr("t1 div 1000").as("t_click"),
+          expr("t2 div 1000").as("t_purchase"), col("stage"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events),
+             |v AS (SELECT user_id, min(tns) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tns) AS t_click FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tns >= t_view AND tns <= t_view + 172800000000000
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tns) AS t_purchase FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tns >= t_click AND tns <= t_click + 172800000000000
+             |      GROUP BY e.user_id)
+             |SELECT v.user_id,
+             |  CAST(v.t_view // 1000 AS BIGINT) AS t_view,
+             |  CAST(c.t_click // 1000 AS BIGINT) AS t_click,
+             |  CAST(p.t_purchase // 1000 AS BIGINT) AS t_purchase,
+             |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // ---- fuzzy entity matching over the distinct part-name dictionary:
+    // first-token blocking + length band + levenshtein <= 3 verify.
+    Q("q118_fuzzy_match",
+      (s, d) => Dedup.fuzzyMatchPairs(
+        t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name")),
+        "id", "p_name", maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+             |n AS (SELECT id, name, string_split(name, ' ')[1] AS blk, length(name) AS len FROM names)
+             |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+             |FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+             |  AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

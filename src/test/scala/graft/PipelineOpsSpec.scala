@@ -248,6 +248,40 @@ class PipelineOpsSpec extends GraftSpec {
       "small domain gets the higher rate under sqrt temperature")
   }
 
+  test("funnel: converts inside the window, breaks on late or missing stages") {
+    val h = 3600L // toy timestamps
+    val ev = Seq(
+      // user 1: full conversion inside 2h windows
+      (1L, "view", 0L), (1L, "click", h), (1L, "purchase", 2 * h),
+      // user 2: click arrives after the window -> stage 1
+      (2L, "view", 0L), (2L, "click", 10 * h), (2L, "purchase", 11 * h),
+      // user 3: converts off its SECOND view? no — first-touch: earliest
+      // view at 0, click at 9h misses the 2h window even though the view
+      // at 8h would have caught it
+      (3L, "view", 0L), (3L, "view", 8 * h), (3L, "click", 9 * h),
+      // user 4: no view at all -> not in the funnel
+      (4L, "click", 0L), (4L, "purchase", h)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.EventOps
+      .funnelStages(ev, Seq("view", "click", "purchase"), windowNs = 2 * h)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (3L, 1L)), s"got $got")
+  }
+
+  test("fuzzy match: length band + verify inside blocks, blocking miss documented") {
+    val names = Seq((1L, "alpha one"), (2L, "alpha onne"), (3L, "alpha zzzzzzzzz"),
+      (4L, "bravo kit"), (5L, "bravo kat"), (6L, "charlie q"), (7L, "charlee q"))
+      .toDF("id", "name")
+    val got = graft.operators.Dedup.fuzzyMatchPairs(names, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // in-block matches found with exact distances
+    assert(got == Set((1L, 2L, 1L), (4L, 5L, 1L)), s"got $got")
+    // 6/7 differ only in the first (blocking) token -> never compared:
+    // the documented recall trade, not a bug
+    assert(!got.exists(p => p._1 == 6L || p._2 == 7L))
+  }
+
   test("mlm masking: exact reconstruction, ~15% rate, salt varies the mask") {
     val got = graft.operators.TrainingPrep.mlmMask(docs).collect()
     val orig = docs.select("doc_id", "text").collect()
