@@ -12,6 +12,9 @@ case class SessionUpdate(user_id: Long, n_events: Long, started_ms: Long,
 
 private case class SessionState(nEvents: Long, startedMs: Long, lastMs: Long)
 
+case class FunnelUpdate(user_id: Long, stage: Int, at_us: Long)
+private[streaming] case class FunnelProgress(stage: Int, deadlineUs: Long)
+
 /** Structured Streaming tier (SURVEY §2.11 — extension beyond the batch-only
   * reference): event-time windowed aggregation with watermarks, plus a
   * custom-state sessionizer via mapGroupsWithState (the stateful analog of
@@ -302,6 +305,47 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     out.toSeq
+  }
+
+  /** Streaming first-touch funnel — the stateful-stream twin of
+    * [[graft.operators.EventOps.funnelStages]]: per-user state is the
+    * stage reached plus the current conversion deadline, advanced by
+    * `flatMapGroupsWithState` as events arrive in event-time order;
+    * every advancement emits an update row (append mode). With events
+    * delivered time-ordered (a replayed log, or a watermark-sorted
+    * upstream), the final per-user stage equals the batch operator's —
+    * spec-asserted against the static table.
+    *
+    * SCALE: state per user is TWO numbers (stage, deadline) — no event
+    * buffering; groups are hash-partitioned by user across executors;
+    * NoTimeout keeps funnels open indefinitely (pass a timeout to expire
+    * abandoned funnels and bound state at web scale). */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowUs: Long): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[StreamEvent],
+         state: GroupState[FunnelProgress]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelProgress(0, Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          sorted.foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage)) {
+              val t = micros(e.ts)
+              if (st.stage == 0 || t <= st.deadlineUs) {
+                st = FunnelProgress(st.stage + 1, t + windowUs)
+                out += FunnelUpdate(user, st.stage, t)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** Run a stream to completion against static input via the memory sink;

@@ -376,6 +376,23 @@ class PipelineOpsSpec extends GraftSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("streaming funnel final stages equal the batch first-touch operator") {
+    val wUs = 2L * 86400 * 1000000L
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val updates = EventsStream.streamingFunnel(spark, stream,
+      Seq("view", "click", "purchase"), wUs)
+    val got = EventsStream.runToMemory(spark, updates.toDF(), "sfunnel")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.EventOps
+      .funnelStages(graft.queries.Tables.events(spark, sf0001),
+        Seq("view", "click", "purchase"), windowNs = wUs * 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4).toInt).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(batch.values.exists(_ == 3) && batch.values.exists(_ < 3),
+      "window must be discriminative at this sf")
+  }
+
   test("salted join equals plain join on a skewed key") {
     val skewed = spark.range(0, 20000)
       .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
