@@ -46,4 +46,26 @@ object EventOps {
       .reduce((a: Column, b: Column) => a + b)
     acc.withColumn("stage", stage.cast("long"))
   }
+
+  /** Exponentially time-decayed counts per key: each event contributes
+    * 2^(-(T_max - t)/halfLife), so a key's score is its recency-weighted
+    * popularity (an event a half-life old counts half). The reference
+    * time is the corpus max — deterministic, so re-runs agree (pass a
+    * wall clock only when you accept non-reproducible output).
+    *
+    * SCALE: one map-side-combinable groupBy plus a single-row max
+    * broadcast; the decay term is pure scan-stage arithmetic. Nanosecond
+    * diffs stay exact in double (corpus spans << 2^53 ns); the pow
+    * libm last-ulp drift across engines is absorbed by the caller's
+    * rounding. */
+  def decayedCounts(events: DataFrame, halfLifeNs: Double,
+      keyCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val tmax = events.agg(max(col(tsCol)).as("tmax"))
+    events.join(broadcast(tmax))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(pow(lit(2.0),
+          -((col("tmax") - col(tsCol)).cast("double") / halfLifeNs)))
+          .as("decayed"))
+  }
 }

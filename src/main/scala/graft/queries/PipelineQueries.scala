@@ -1253,5 +1253,18 @@ object PipelineQueries {
              |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
              |FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
              |  AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- recency-weighted popularity: 7-day half-life decayed counts
+    // per event type, referenced to the corpus max (deterministic).
+    Q("q119_decayed_counts",
+      (s, d) => graft.operators.EventOps
+        .decayedCounts(Tables.events(s, d), halfLifeNs = 6.048e14)
+        .select(col("event_type"), col("n"),
+          round(col("decayed"), 4).as("decayed"))
+        .orderBy("event_type"),
+      Some("""WITH tm AS (SELECT max(epoch_ns(ts)) AS tmax FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(pow(2.0, -(CAST(tmax - epoch_ns(ts) AS DOUBLE) / 604800000000000.0))), 4) AS decayed
+             |FROM events, tm GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -376,6 +376,16 @@ class PipelineOpsSpec extends GraftSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("decayed counts: one half-life-old event contributes exactly half") {
+    val hl = 1000L
+    val ev = Seq(("a", 2000L), ("a", 1000L), ("b", 2000L))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.decayedCounts(ev, hl.toDouble)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 2L, 1.5), ("b", 1L, 1.0)), s"got $got")
+  }
+
   test("streaming funnel final stages equal the batch first-touch operator") {
     val wUs = 2L * 86400 * 1000000L
     val stream = EventsStream.readEvents(spark, sf0001)
