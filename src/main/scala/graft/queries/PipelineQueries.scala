@@ -1188,7 +1188,8 @@ object PipelineQueries {
              |FROM bg JOIN bgc USING (w1, w2)
              |  JOIN uc c1 ON c1.term = bg.w1
              |  JOIN uc c2 ON c2.term = bg.w2, tot
-             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
+      bench = true),
 
     // ---- deterministic MLM example generation: portable-hash 15% token
     // masking, masked text + labels + count, reproducible across engines.
