@@ -376,6 +376,76 @@ class PipelineOpsSpec extends GraftSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("property: fuzzy match equals brute force under the same blocking") {
+    import org.scalacheck.Gen
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val tok = Gen.oneOf("aa", "ab", "ba", "bb", "ccc")
+    val genName = for {
+      k <- Gen.choose(2, 3); ts <- Gen.listOfN(k, tok)
+    } yield ts.mkString(" ")
+    val genCorpus = Gen.choose(8, 16).flatMap(n => Gen.listOfN(n, genName))
+    Gen.listOfN(6, genCorpus).sample.get.foreach { names =>
+      val rows = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      val got = graft.operators.Dedup
+        .fuzzyMatchPairs(rows.toDF("id", "name"), "id", "name", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, na) <- rows
+        (ib, nb) <- rows
+        if ia < ib
+        if na.split(" ").head == nb.split(" ").head
+        if math.abs(na.length - nb.length) <= 2
+        d = lev(na, nb)
+        if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == want, s"names=$names got=$got want=$want")
+    }
+  }
+
+  test("property: funnel equals a local first-touch fold on random event logs") {
+    import org.scalacheck.Gen
+    val stages = Seq("s0", "s1", "s2")
+    val w = 50L
+    val genEv = for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 200L)
+      e <- Gen.oneOf("s0", "s1", "s2", "noise")
+    } yield (u, e, t)
+    val genLog = Gen.choose(10, 40).flatMap(n => Gen.listOfN(n, genEv))
+    Gen.listOfN(6, genLog).sample.get.foreach { log =>
+      val got = graft.operators.EventOps
+        .funnelStages(log.toDF("user_id", "event_type", "ts"), stages, w)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(4),
+          Seq(0, 1, 2).map(i => if (r.isNullAt(i + 1)) -1L else r.getLong(i + 1))))
+        .toMap
+      val want = log.groupBy(_._1).flatMap { case (u, evs) =>
+        val byStage = stages.map(s => evs.filter(_._2 == s).map(_._3).sorted)
+        byStage.head.headOption.map { t0 =>
+          var times = List(t0)
+          var prev = t0
+          var open = true
+          byStage.tail.foreach { ts =>
+            if (open) ts.find(t => t >= prev && t <= prev + w) match {
+              case Some(t) => times = t :: times; prev = t
+              case None => open = false
+            }
+          }
+          val full = times.reverse.padTo(3, -1L)
+          u -> (times.length.toLong, full)
+        }
+      }
+      assert(got == want, s"log=$log\ngot=$got\nwant=$want")
+    }
+  }
+
   test("decayed counts: one half-life-old event contributes exactly half") {
     val hl = 1000L
     val ev = Seq(("a", 2000L), ("a", 1000L), ("b", 2000L))
