@@ -529,6 +529,53 @@ object TrainingPrep {
       size(filter(idxs, masked _)).cast("long").as("n_masked"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020): deterministic span
+    * masking where each position starts a `spanLen`-token span with
+    * probability `startPermille`/1000 (decided by a portable hash of
+    * (salt, doc, position) — no RNG, reproducible epochs like
+    * [[mlmMask]]). Adjacent/overlapping spans merge into one run; each
+    * masked RUN is replaced in the corrupted text by one indexed
+    * sentinel `<extra_id_k>`, and the target sequence lists each
+    * sentinel followed by the tokens it hides — the exact seq2seq
+    * denoising objective shape.
+    *
+    * SCALE: pure per-row HOF column work over precomputed mask/run
+    * arrays (each hash computed once; the run-index prefix count is
+    * O(len²) on BOOLEANS, not hashes) — zero shuffles, scan-speed. */
+  def spanCorrupt(docs: DataFrame, spanLen: Int = 3, startPermille: Int = 50,
+      salt: String = "t5", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    def isStart(j: org.apache.spark.sql.Column) =
+      graft.expressions.PortableHash.md5Hash60(
+        concat(lit(salt + ":"), col(idCol).cast("string"), lit(":"),
+          j.cast("string"))) % 1000 < startPermille
+    val idxs = sequence(lit(0), size(col("w")) - 1)
+    val sent = (p: org.apache.spark.sql.Column) => concat(lit("<extra_id_"),
+      element_at(col("sidx"), p + 1).cast("string"), lit(">"))
+    docs.select(col(idCol), toks.as("w"))
+      .withColumn("msk", transform(idxs, p =>
+        size(filter(sequence(greatest(p - (spanLen - 1), lit(0)), p),
+          j => isStart(j))) > 0))
+      .withColumn("rs", transform(idxs, p =>
+        when(p === 0, element_at(col("msk"), 1))
+          .otherwise(element_at(col("msk"), p + 1) &&
+            !element_at(col("msk"), p))))
+      .withColumn("sidx", transform(idxs, p =>
+        size(filter(slice(col("rs"), lit(1), p), x => x))))
+      .select(col(idCol),
+        array_join(filter(transform(idxs, p =>
+          when(!element_at(col("msk"), p + 1), element_at(col("w"), p + 1))
+            .when(element_at(col("rs"), p + 1), sent(p))
+            .otherwise(lit(null))), x => x.isNotNull), " ").as("corrupted"),
+        array_join(filter(transform(idxs, p =>
+          when(element_at(col("rs"), p + 1),
+            concat(sent(p), lit(" "), element_at(col("w"), p + 1)))
+            .when(element_at(col("msk"), p + 1), element_at(col("w"), p + 1))
+            .otherwise(lit(null))), x => x.isNotNull), " ").as("targets"),
+        size(filter(col("msk"), x => x)).cast("long").as("n_masked"))
+  }
+
   /** Cross-document duplicate-SPAN removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): any
     * `windowTokens`-token window whose exact text occurs more than once

@@ -1267,5 +1267,35 @@ object PipelineQueries {
       Some("""WITH tm AS (SELECT max(epoch_ns(ts)) AS tmax FROM events)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(pow(2.0, -(CAST(tmax - epoch_ns(ts) AS DOUBLE) / 604800000000000.0))), 4) AS decayed
-             |FROM events, tm GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events, tm GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- T5 span corruption: hash-seeded 3-token spans, merged runs,
+    // indexed sentinels, seq2seq targets.
+    Q("q120_span_corrupt",
+      (s, d) => graft.operators.TrainingPrep
+        .spanCorrupt(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |m AS (SELECT doc_id, w,
+             |  [len([j for j in range(greatest(p - 2, 0), p + 1)
+             |        if CAST(('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 50]) > 0
+             |   for p in range(0, len(w))] AS msk
+             |  FROM d),
+             |r AS (SELECT doc_id, w, msk,
+             |  [msk[p+1] AND (p = 0 OR NOT msk[p]) for p in range(0, len(w))] AS rs
+             |  FROM m),
+             |s AS (SELECT doc_id, w, msk, rs,
+             |  [len(list_filter(rs[1:p], x -> x)) for p in range(0, len(w))] AS sidx
+             |  FROM r)
+             |SELECT doc_id,
+             |  coalesce(array_to_string(list_filter(
+             |    [CASE WHEN NOT msk[p+1] THEN w[p+1]
+             |          WHEN rs[p+1] THEN '<extra_id_' || CAST(sidx[p+1] AS VARCHAR) || '>'
+             |          ELSE NULL END for p in range(0, len(w))], x -> x IS NOT NULL), ' '), '') AS corrupted,
+             |  coalesce(array_to_string(list_filter(
+             |    [CASE WHEN rs[p+1] THEN '<extra_id_' || CAST(sidx[p+1] AS VARCHAR) || '> ' || w[p+1]
+             |          WHEN msk[p+1] THEN w[p+1]
+             |          ELSE NULL END for p in range(0, len(w))], x -> x IS NOT NULL), ' '), '') AS targets,
+             |  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked
+             |FROM s ORDER BY doc_id""".stripMargin)))
 }

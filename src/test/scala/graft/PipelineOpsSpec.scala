@@ -282,6 +282,40 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!got.exists(p => p._1 == 6L || p._2 == 7L))
   }
 
+  test("span corruption: sentinel substitution reconstructs the original") {
+    val got = graft.operators.TrainingPrep.spanCorrupt(docs).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L; var total = 0L
+    got.foreach { r =>
+      val (id, corrupted, targets, n) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      // parse targets into sentinel -> hidden tokens
+      val runs = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      targets.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; runs(cur) = Nil
+        case tok => runs(cur) = runs(cur) :+ tok
+      }
+      assert(runs.values.map(_.length).sum == n, s"doc $id target size")
+      val rebuilt = corrupted.split(" ", -1).flatMap {
+        case sentinel(k) => runs(k.toInt)
+        case tok => Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id does not reconstruct")
+      // runs are maximal: a run's sentinel never directly follows another
+      corrupted.split(" ").sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(!(sentinel.matches(w(0)) && sentinel.matches(w(1))),
+            s"doc $id adjacent sentinels — runs not merged")
+      }
+      masked += n; total += orig(id).split(" ", -1).length
+    }
+    val rate = masked.toDouble / total
+    assert(rate > 0.08 && rate < 0.22, s"corpus span-mask rate $rate")
+  }
+
   test("mlm masking: exact reconstruction, ~15% rate, salt varies the mask") {
     val got = graft.operators.TrainingPrep.mlmMask(docs).collect()
     val orig = docs.select("doc_id", "text").collect()
