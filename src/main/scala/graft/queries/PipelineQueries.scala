@@ -1297,5 +1297,82 @@ object PipelineQueries {
              |          WHEN msk[p+1] THEN w[p+1]
              |          ELSE NULL END for p in range(0, len(w))], x -> x IS NOT NULL), ' '), '') AS targets,
              |  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked
-             |FROM s ORDER BY doc_id""".stripMargin)))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- the RefinedWeb-shaped pipeline v2 composed as ONE plan:
+    // cross-doc span dedup -> length gate -> bigram-surprisal band-pass
+    // (model fit on the SURVIVING corpus) -> n^0.5 temperature-mixture
+    // sampling. Oracle = the q109/q115/q111 chains composed, each stage
+    // in its proven form. n_tok = n_bg + 1 exactly (docs are >= 20
+    // tokens). The surprisal cut compares the ROUNDED score so the
+    // boundary is engine-deterministic.
+    Q("q121_pipeline_v2",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cleaned = graft.operators.TrainingPrep
+          .removeDuplicateSpans(docs, windowTokens = 5)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val gated = cleaned.where(size(split(col("text"), " ")) >= 20)
+        val scored = graft.operators.TrainingPrep.bigramSurprisal(gated)
+          .where(col("bits_per_tok") <= 4.95)
+          .withColumn("n_tok", col("n_bg") + 1)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val st = scored.groupBy("source").agg(sum("n_tok").as("ntoks"))
+        val z = st.agg(sum(sqrt(col("ntoks").cast("double"))).as("z"))
+        val rates = st.join(broadcast(z)).withColumn("rate",
+          least(sqrt(col("ntoks").cast("double")) / col("z") * 8000
+            / col("ntoks").cast("double"), lit(1.0)))
+        scored.join(broadcast(rates.select("source", "rate")), Seq("source"))
+          .where(pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("mix2:"), col("doc_id"))), lit(1000000L)) <
+            floor(col("rate") * 1000000).cast("long"))
+          .select(col("doc_id"), col("source"),
+            col("n_tok").cast("long").as("n_tok"), col("bits_per_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(w[(i+1):(i+5)], ' ')}
+             |        for i in range(0, greatest(len(w)-5+1,0))], recursive := true) FROM d0),
+             |occ AS (SELECT doc_id, pos,
+             |        count(*) OVER (PARTITION BY gram) AS cnt,
+             |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g0),
+             |spans AS (SELECT doc_id, pos AS s, pos + 4 AS e FROM occ WHERE cnt > 1 AND rn > 1),
+             |isl AS (SELECT doc_id, s, e,
+             |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+             |        FROM spans),
+             |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+             |        SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+             |        FROM isl) GROUP BY doc_id, grp),
+             |perdoc AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM merged GROUP BY doc_id),
+             |cleaned AS (SELECT d0.doc_id,
+             |  [w[i+1] for i in range(0, len(w))
+             |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0] AS cw
+             |  FROM d0 LEFT JOIN perdoc USING (doc_id)),
+             |gated AS (SELECT doc_id, cw AS w FROM cleaned WHERE len(cw) >= 20),
+             |bg AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |         for i in range(1, len(w))], recursive := true) FROM gated),
+             |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+             |uc AS (SELECT term, count(*) AS cu FROM (SELECT unnest(w) AS term FROM gated) GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS total FROM gated),
+             |scored AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             |    round(avg(-ln(0.7 * CAST(cbg AS DOUBLE) / c1.cu
+             |      + (1.0 - 0.7) * CAST(c2.cu AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |  FROM bg JOIN bgc USING (w1, w2)
+             |    JOIN uc c1 ON c1.term = bg.w1
+             |    JOIN uc c2 ON c2.term = bg.w2, tot
+             |  GROUP BY bg.doc_id),
+             |base AS (SELECT s.doc_id, s.n_bg + 1 AS n_tok, s.bits_per_tok, doc.source
+             |  FROM scored s JOIN documents doc USING (doc_id)
+             |  WHERE s.bits_per_tok <= 4.95),
+             |st AS (SELECT source, sum(n_tok) AS ntoks FROM base GROUP BY source),
+             |z AS (SELECT sum(sqrt(CAST(ntoks AS DOUBLE))) AS z FROM st),
+             |rates AS (SELECT source,
+             |    least(sqrt(CAST(ntoks AS DOUBLE)) / z.z * 8000 / CAST(ntoks AS DOUBLE), 1.0) AS rate
+             |  FROM st, z)
+             |SELECT b.doc_id, b.source, CAST(b.n_tok AS BIGINT) AS n_tok, b.bits_per_tok
+             |FROM base b JOIN rates r USING (source)
+             |WHERE CAST(('0x' || substr(md5('mix2:' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+             |      < CAST(floor(r.rate * 1000000) AS BIGINT)
+             |ORDER BY b.doc_id""".stripMargin)))
 }
