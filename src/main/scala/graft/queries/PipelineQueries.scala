@@ -1374,5 +1374,6 @@ object PipelineQueries {
              |FROM base b JOIN rates r USING (source)
              |WHERE CAST(('0x' || substr(md5('mix2:' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
              |      < CAST(floor(r.rate * 1000000) AS BIGINT)
-             |ORDER BY b.doc_id""".stripMargin)))
+             |ORDER BY b.doc_id""".stripMargin),
+      bench = true))
 }
