@@ -529,6 +529,54 @@ object TrainingPrep {
       size(filter(idxs, masked _)).cast("long").as("n_masked"))
   }
 
+  /** Deterministic exact-n per-group sample: the n rows with the
+    * SMALLEST portable hash of (salt, id) in each group — a uniform
+    * without-replacement sample that is reproducible across runs and
+    * engines, unlike rate-based sampling ([[stratifiedSample]]) which
+    * can't hit an exact count. A new salt redraws the sample.
+    *
+    * SCALE: one rank window per group; for groups so large the
+    * per-group sort hurts, the bounded-buffer alternative is
+    * [[TopK.topKByScore]] keyed on the hash (same result, heap-bounded
+    * memory, no sort) — this form keeps the window so the cross-engine
+    * oracle states the identical ordering. */
+  def groupSampleExactN(df: DataFrame, n: Int, salt: String,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val h = graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Per-source distribution drift: KL(P_source || P_corpus) in bits
+    * over unigram term distributions — the monitoring statistic that
+    * flags a source whose language shifted relative to the corpus
+    * (crawl rot, template takeover, language drift). No smoothing
+    * needed: every source term exists in the corpus by construction.
+    *
+    * SCALE: ONE corpus tokenize feeding a (source, term) count; the
+    * per-source totals AND the corpus term counts both derive from that
+    * vocab-sized aggregate (no second explode). The term join carries
+    * no broadcast hint (web-scale vocab — the q99 argument); the corpus
+    * total is a single-row broadcast. */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val sc = toks.groupBy("g", "term").agg(count(lit(1)).as("cs"))
+    val stot = sc.groupBy("g").agg(sum("cs").as("ts"))
+    val cc = sc.groupBy("term").agg(sum("cs").as("cc"))
+    val ctot = cc.agg(sum("cc").cast("double").as("tc"))
+    val ps = col("cs").cast("double") / col("ts")
+    val pc = col("cc").cast("double") / col("tc")
+    val logTwo = math.log(2.0)
+    sc.join(stot, Seq("g")).join(cc, Seq("term")).join(broadcast(ctot))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("ts")).cast("long").as("n_tokens"),
+        round(sum(ps * log(ps / pc)) / logTwo, 4).as("kl_bits"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020): deterministic span
     * masking where each position starts a `spanLen`-token span with
     * probability `startPermille`/1000 (decided by a portable hash of

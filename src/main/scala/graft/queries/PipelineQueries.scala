@@ -1375,5 +1375,34 @@ object PipelineQueries {
              |WHERE CAST(('0x' || substr(md5('mix2:' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
              |      < CAST(floor(r.rate * 1000000) AS BIGINT)
              |ORDER BY b.doc_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- exact-n deterministic per-group sample (smallest portable
+    // hash wins; reproducible, redrawable by salt).
+    Q("q122_group_sample_n",
+      (s, d) => graft.operators.TrainingPrep
+        .groupSampleExactN(t(s, d, "documents"), n = 3, salt = "gs")
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             |    ORDER BY CAST(('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- per-source unigram KL drift vs the corpus distribution.
+    Q("q123_source_drift",
+      (s, d) => graft.operators.TrainingPrep
+        .sourceDrift(t(s, d, "documents"))
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term FROM documents),
+             |sc AS (SELECT g, term, count(*) AS cs FROM toks GROUP BY g, term),
+             |stot AS (SELECT g, sum(cs) AS ts FROM sc GROUP BY g),
+             |cc AS (SELECT term, sum(cs) AS cc FROM sc GROUP BY term),
+             |ctot AS (SELECT CAST(sum(cc) AS DOUBLE) AS tc FROM cc)
+             |SELECT g AS source, CAST(max(ts) AS BIGINT) AS n_tokens,
+             |  round(sum((CAST(cs AS DOUBLE) / ts) *
+             |    ln((CAST(cs AS DOUBLE) / ts) / (CAST(cc.cc AS DOUBLE) / tc))) / ln(2), 4) AS kl_bits
+             |FROM sc JOIN stot USING (g) JOIN cc USING (term), ctot
+             |GROUP BY g ORDER BY source""".stripMargin)))
 }

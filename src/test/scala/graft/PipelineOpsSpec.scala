@@ -480,6 +480,31 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("exact-n group sample: exact counts, whole small groups, deterministic") {
+    val df = ((1 to 20).map(i => (i.toLong, "big")) ++ Seq((100L, "small")))
+      .toDF("doc_id", "source")
+    def run(salt: String) = graft.operators.TrainingPrep
+      .groupSampleExactN(df, 5, salt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run("s1")
+    assert(a.count(_._2 == "big") == 5 && a.count(_._2 == "small") == 1)
+    assert(run("s1") == a, "same salt -> same sample")
+    assert(run("s2") != a, "new salt -> redraw")
+  }
+
+  test("source drift: zero KL for identical distributions, positive for skew") {
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val kl0 = graft.operators.TrainingPrep.sourceDrift(same)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl0("a") == 0.0 && kl0("b") == 0.0, s"identical dists: $kl0")
+    val skew = Seq((1L, "a", "x y z"), (2L, "b", "x x x x x x x x"))
+      .toDF("doc_id", "source", "text")
+    val kl1 = graft.operators.TrainingPrep.sourceDrift(skew)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl1.values.forall(_ > 0.0), s"both sources drift from the blend: $kl1")
+  }
+
   test("decayed counts: one half-life-old event contributes exactly half") {
     val hl = 1000L
     val ev = Seq(("a", 2000L), ("a", 1000L), ("b", 2000L))
