@@ -46,11 +46,17 @@ object GraphOps {
       val contrib = norm.join(ranks, norm("src") === ranks("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("p") * col("rank")).as("c"))
+      // LAZY checkpoint: each round's ranks has exactly ONE downstream
+      // consumer (the next round), so the q71 double-execution argument
+      // for eager materialization doesn't apply; deferring into the
+      // consumer's job still truncates lineage and saves one job launch
+      // per round (a small win here — the edge build dominates q113 —
+      // but one that grows linearly with iteration count)
       ranks = nodes.join(contrib, nodes("node") === col("cnode"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     ranks
   }
