@@ -315,6 +315,51 @@ object TrainingPrep {
     }.toDF("doc_id", "n_tok", "cum_tok")
   }
 
+  /** Coverage-targeted vocabulary: the SMALLEST set of top-frequency
+    * terms whose counts cover at least `coveragePermille`/1000 of the
+    * corpus token mass (the crossing term is included) — how word-level
+    * vocabs and BPE alphabet cutoffs are actually sized. Ties order by
+    * term so the cut is deterministic.
+    *
+    * SCALE: the same two-phase distributed prefix sum as
+    * [[selectUnderBudget]], applied to the VOCAB relation: range
+    * partition by (cnt desc, term), per-partition sums to the driver
+    * (one row per partition — bounded by partition count, never data),
+    * exclusive offsets broadcast back, partitions past the target
+    * short-circuit. No one-partition window anywhere; the only
+    * driver-side values are the partition sums and the single total. */
+  def vocabCoverage(docs: DataFrame, coveragePermille: Int,
+      textCol: String = "text", partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranged = counts.select(col("term"), col("cnt").cast("long"))
+      .repartitionByRange(nParts, col("cnt").desc, col("term"))
+      .sortWithinPartitions(col("cnt").desc, col("term"))
+      .as[(String, Long)]
+      .localCheckpoint()
+    val partSums = ranged.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._2)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    val total = (0 until nParts).map(partSums.getOrElse(_, 0L)).sum
+    val target = (total * coveragePermille + 999) / 1000
+    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      if (cum >= target) Iterator.empty
+      else it.map { case (t, c) =>
+        val before = cum; cum += c; (t, c, cum, before)
+      }.takeWhile(_._4 < target).map(x => (x._1, x._2, x._3))
+    }.toDF("term", "cnt", "cum_cnt")
+  }
+
   /** Inverted index over the corpus: term -> sorted posting list of the
     * documents containing it, plus the document frequency — the retrieval
     * primitive behind decontamination lookups, RAG-style search, and df

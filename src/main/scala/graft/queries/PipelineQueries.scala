@@ -1404,5 +1404,21 @@ object PipelineQueries {
              |  round(sum((CAST(cs AS DOUBLE) / ts) *
              |    ln((CAST(cs AS DOUBLE) / ts) / (CAST(cc.cc AS DOUBLE) / tc))) / ln(2), 4) AS kl_bits
              |FROM sc JOIN stot USING (g) JOIN cc USING (term), ctot
-             |GROUP BY g ORDER BY source""".stripMargin)))
+             |GROUP BY g ORDER BY source""".stripMargin)),
+
+    // ---- coverage-targeted vocab: smallest top-frequency term set
+    // covering 99% of token mass, via the q89 distributed prefix sum.
+    Q("q124_vocab_coverage",
+      (s, d) => graft.operators.TrainingPrep
+        .vocabCoverage(t(s, d, "documents"), coveragePermille = 990)
+        .orderBy("cum_cnt"),
+      Some("""WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |         SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY term),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc),
+             |c AS (SELECT term, cnt,
+             |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+             |      FROM tc)
+             |SELECT term, cnt, cum_cnt FROM c, tot
+             |WHERE cum_cnt - cnt < (total * 990 + 999) // 1000
+             |ORDER BY cum_cnt""".stripMargin)))
 }

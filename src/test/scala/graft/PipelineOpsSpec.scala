@@ -492,6 +492,21 @@ class PipelineOpsSpec extends GraftSpec {
     assert(run("s2") != a, "new salt -> redraw")
   }
 
+  test("vocab coverage: smallest covering prefix, crossing term included") {
+    // counts: a=5, b=3, c=1, d=1 (total 10)
+    val df = Seq((1L, "a a a a a b b b c d")).toDF("doc_id", "text")
+    def run(permille: Int) = graft.operators.TrainingPrep
+      .vocabCoverage(df, permille).orderBy("cum_cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 80% -> target 8: a (cum 5) then b CROSSES at 8; c excluded
+    assert(run(800) == Seq(("a", 5L, 5L), ("b", 3L, 8L)))
+    // 60% -> target 6: b still included (the crossing term), then stop
+    assert(run(600) == Seq(("a", 5L, 5L), ("b", 3L, 8L)))
+    // 100% -> whole vocab, ties (c, d) ordered by term
+    assert(run(1000) == Seq(("a", 5L, 5L), ("b", 3L, 8L),
+      ("c", 1L, 9L), ("d", 1L, 10L)))
+  }
+
   test("source drift: zero KL for identical distributions, positive for skew") {
     val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
       .toDF("doc_id", "source", "text")
