@@ -47,6 +47,28 @@ object EventOps {
     acc.withColumn("stage", stage.cast("long"))
   }
 
+  /** Cohort retention: users grouped by first-activity period (cohort),
+    * counted per later period they return in. `periodNs` buckets event
+    * time from a fixed epoch (periods are absolute, not per-user), so
+    * offset 0 is the cohort period itself and the diagonal equals the
+    * cohort size. The retention-curve input every growth dashboard plots.
+    *
+    * SCALE: first-seen is one user-keyed min aggregation; activity
+    * periods are a user-keyed distinct (map-side combinable); the join
+    * shares the user partitioning with both aggregates, so the matrix
+    * build re-shuffles nothing. Output is cohort x offset — tiny. */
+  def cohortRetention(events: DataFrame, periodNs: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    // integral div — `/` on longs is double division (ns > 2^53)
+    val period = expr(s"cast($tsCol as bigint) div ${periodNs}L")
+    val first = events.groupBy(col(userCol).as("u"))
+      .agg(min(period).as("cohort"))
+    val active = events.select(col(userCol).as("u"), period.as("p")).distinct()
+    first.join(active, Seq("u"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("wk_offset"))
+      .agg(count(lit(1)).cast("long").as("users"))
+  }
+
   /** Exponentially time-decayed counts per key: each event contributes
     * 2^(-(T_max - t)/halfLife), so a key's score is its recency-weighted
     * popularity (an event a half-life old counts half). The reference

@@ -1420,5 +1420,17 @@ object PipelineQueries {
              |      FROM tc)
              |SELECT term, cnt, cum_cnt FROM c, tot
              |WHERE cum_cnt - cnt < (total * 990 + 999) // 1000
-             |ORDER BY cum_cnt""".stripMargin)))
+             |ORDER BY cum_cnt""".stripMargin)),
+
+    // ---- weekly cohort retention matrix over the events table.
+    Q("q125_cohort_retention",
+      (s, d) => graft.operators.EventOps
+        .cohortRetention(Tables.events(s, d), periodNs = 604800000000000L)
+        .orderBy("cohort", "wk_offset"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS p FROM events),
+             |first AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+             |active AS (SELECT DISTINCT user_id, p FROM e)
+             |SELECT cohort, p - cohort AS wk_offset, CAST(count(*) AS BIGINT) AS users
+             |FROM first JOIN active USING (user_id)
+             |GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin)))
 }

@@ -520,6 +520,17 @@ class PipelineOpsSpec extends GraftSpec {
     assert(kl1.values.forall(_ > 0.0), s"both sources drift from the blend: $kl1")
   }
 
+  test("cohort retention: diagonal equals cohort size, offsets count returns") {
+    // period = 10; u1 active in periods {0,1,3}, u2 {1,2}, u3 {0}
+    val ev = Seq((1L, 1L), (1L, 11L), (1L, 35L), (2L, 12L), (2L, 25L), (3L, 5L))
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventOps.cohortRetention(ev, periodNs = 10L)
+      .orderBy("cohort", "wk_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)), s"got $got")
+  }
+
   test("decayed counts: one half-life-old event contributes exactly half") {
     val hl = 1000L
     val ev = Seq(("a", 2000L), ("a", 1000L), ("b", 2000L))
