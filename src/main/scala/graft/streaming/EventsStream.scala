@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 
 case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -14,6 +14,38 @@ private case class SessionState(nEvents: Long, startedMs: Long, lastMs: Long)
 
 case class FunnelUpdate(user_id: Long, stage: Int, at_us: Long)
 private[streaming] case class FunnelProgress(stage: Int, deadlineUs: Long)
+
+/** StatefulProcessor form of the funnel fold (transformWithState). */
+private[streaming] class FunnelProcessor(stages: Seq[String], windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamEvent, FunnelUpdate] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+  @transient private var state: ss.ValueState[FunnelProgress] = _
+
+  override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+    state = getHandle.getValueState[FunnelProgress]("funnel",
+      Encoders.product[FunnelProgress], ss.TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[StreamEvent],
+      timerValues: ss.TimerValues): Iterator[FunnelUpdate] = {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var st = Option(state.get()).getOrElse(FunnelProgress(0, Long.MaxValue))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+    sorted.foreach { e =>
+      if (st.stage < stages.length && e.event_type == stages(st.stage)) {
+        val t = micros(e.ts)
+        if (st.stage == 0 || t <= st.deadlineUs) {
+          st = FunnelProgress(st.stage + 1, t + windowUs)
+          out += FunnelUpdate(user, st.stage, t)
+        }
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+}
 
 /** Structured Streaming tier (SURVEY §2.11 — extension beyond the batch-only
   * reference): event-time windowed aggregation with watermarks, plus a
@@ -346,6 +378,23 @@ object EventsStream {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** The [[streamingFunnel]] semantics on Spark 4's transformWithState
+    * API (StatefulProcessor + typed ValueState): state is the same two
+    * numbers, but held in a named, schema'd, TTL-capable state variable
+    * the state store can evolve/introspect — the API the
+    * mapGroupsWithState paths migrate to. Requires the RocksDB state
+    * store provider (transformWithState's backing store); the spec sets
+    * it for its own query only. Output and semantics are identical to
+    * [[streamingFunnel]] — spec-asserted against it AND the batch twin. */
+  def streamingFunnelTws(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowUs: Long): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages, windowUs),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Run a stream to completion against static input via the memory sink;

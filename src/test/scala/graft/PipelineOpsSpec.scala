@@ -558,6 +558,35 @@ class PipelineOpsSpec extends GraftSpec {
       "window must be discriminative at this sf")
   }
 
+  test("transformWithState funnel equals the flatMapGroupsWithState form") {
+    val wUs = 2L * 86400 * 1000000L
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsStream.readEvents(spark, sf0001)
+      val tws = EventsStream.streamingFunnelTws(spark, stream,
+        Seq("view", "click", "purchase"), wUs)
+      val got = EventsStream.runToMemory(spark, tws.toDF(), "twsfunnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val fmgws = EventsStream.streamingFunnel(spark,
+        EventsStream.readEvents(spark, sf0001),
+        Seq("view", "click", "purchase"), wUs)
+      val want = EventsStream.runToMemory(spark, fmgws.toDF(), "fmgwsfunnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want, s"tws size=${got.size} fmgws size=${want.size}")
+      assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     val skewed = spark.range(0, 20000)
       .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
