@@ -463,9 +463,10 @@ object Dedup {
     * [[SkewUtils]] or add a second blocking column, same as any skewed
     * self-join. */
   def fuzzyMatchPairs(df: DataFrame, idCol: String, nameCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      blockKey: Column => Column = substring_index(_, " ", 1)): DataFrame = {
     val n = df.select(col(idCol).as("id"), col(nameCol).as("name"))
-      .withColumn("blk", substring_index(col("name"), " ", 1))
+      .withColumn("blk", blockKey(col("name")))
       .withColumn("len", length(col("name")))
     n.as("a").join(n.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
@@ -473,6 +474,27 @@ object Dedup {
       .where(levenshtein(col("a.name"), col("b.name")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+  }
+
+  /** Multi-pass blocking (the standard linkage recall recipe): union the
+    * single-pass candidates from three complementary blocking keys —
+    * first token, last token, and the lexicographically-smallest token —
+    * and dedup. A pair escapes only by differing in ALL three keys,
+    * which at edit distance <= maxDist requires the edits to hit three
+    * separate tokens.
+    *
+    * SCALE: three independent blocked self-joins (each the q118 shape)
+    * plus one distinct on the pair key; passes don't multiply the
+    * quadratic term — each stays bounded by its own block sizes. */
+  def fuzzyMatchPairsMultiPass(df: DataFrame, idCol: String,
+      nameCol: String, maxDist: Int): DataFrame = {
+    val passes: Seq[Column => Column] = Seq(
+      substring_index(_, " ", 1),
+      c => element_at(split(c, " "), -1),
+      c => array_min(split(c, " ")))
+    passes.map(p => fuzzyMatchPairs(df, idCol, nameCol, maxDist, p))
+      .reduce(_.unionAll(_))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist: Manku-style

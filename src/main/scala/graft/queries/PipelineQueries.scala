@@ -1432,5 +1432,33 @@ object PipelineQueries {
              |active AS (SELECT DISTINCT user_id, p FROM e)
              |SELECT cohort, p - cohort AS wk_offset, CAST(count(*) AS BIGINT) AS users
              |FROM first JOIN active USING (user_id)
-             |GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin)))
+             |GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin)),
+
+    // ---- multi-pass blocked fuzzy matching (first/last/min-token keys
+    // unioned): q118's recall recipe realized.
+    Q("q126_fuzzy_multipass",
+      (s, d) => Dedup.fuzzyMatchPairsMultiPass(
+        t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name")),
+        "id", "p_name", maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+             |n AS (SELECT id, name, length(name) AS len,
+             |        string_split(name, ' ')[1] AS b1,
+             |        string_split(name, ' ')[-1] AS b2,
+             |        list_min(string_split(name, ' ')) AS b3 FROM names),
+             |hits AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+             |  FROM n a JOIN n b ON a.b1 = b.b1 AND a.id < b.id
+             |    AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3
+             |  UNION ALL
+             |  SELECT a.id, b.id, CAST(levenshtein(a.name, b.name) AS BIGINT)
+             |  FROM n a JOIN n b ON a.b2 = b.b2 AND a.id < b.id
+             |    AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3
+             |  UNION ALL
+             |  SELECT a.id, b.id, CAST(levenshtein(a.name, b.name) AS BIGINT)
+             |  FROM n a JOIN n b ON a.b3 = b.b3 AND a.id < b.id
+             |    AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3)
+             |SELECT DISTINCT id_a, id_b, dist FROM hits ORDER BY id_a, id_b""".stripMargin)))
 }

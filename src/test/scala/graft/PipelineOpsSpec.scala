@@ -280,6 +280,12 @@ class PipelineOpsSpec extends GraftSpec {
     // 6/7 differ only in the first (blocking) token -> never compared:
     // the documented recall trade, not a bug
     assert(!got.exists(p => p._1 == 6L || p._2 == 7L))
+    // ...and the multi-pass recipe recovers exactly that pair via the
+    // last-token key, without inventing anything else
+    val multi = graft.operators.Dedup
+      .fuzzyMatchPairsMultiPass(names, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == got + ((6L, 7L, 1L)), s"multi=$multi")
   }
 
   test("span corruption: sentinel substitution reconstructs the original") {
