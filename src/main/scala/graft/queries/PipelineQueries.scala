@@ -1312,7 +1312,13 @@ object PipelineQueries {
         val cleaned = graft.operators.TrainingPrep
           .removeDuplicateSpans(docs, windowTokens = 5)
           .select(col("doc_id"), col("clean_text").as("text"))
+        // materialize the composition seam: bigramSurprisal reads its
+        // input three times (pairs, unigram model, total), and here that
+        // input is the whole span-dedup subtree — checkpoint it once
+        // instead of re-executing it per consumer (measured 6.0 -> 4.7 s
+        // at sf0.1 in Q121Time)
         val gated = cleaned.where(size(split(col("text"), " ")) >= 20)
+          .localCheckpoint()
         val scored = graft.operators.TrainingPrep.bigramSurprisal(gated)
           .where(col("bits_per_tok") <= 4.95)
           .withColumn("n_tok", col("n_bg") + 1)
