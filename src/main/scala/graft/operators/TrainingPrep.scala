@@ -609,7 +609,11 @@ object TrainingPrep {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(groupCol).as("g"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // sc feeds THREE consumers (per-source totals, corpus counts, the
+    // final join) — materialize it so the corpus explode+shuffle runs
+    // once, not once per consumer (the q121 seam argument)
     val sc = toks.groupBy("g", "term").agg(count(lit(1)).as("cs"))
+      .localCheckpoint()
     val stot = sc.groupBy("g").agg(sum("cs").as("ts"))
     val cc = sc.groupBy("term").agg(sum("cs").as("cc"))
     val ctot = cc.agg(sum("cc").cast("double").as("tc"))
