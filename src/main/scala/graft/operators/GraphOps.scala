@@ -60,4 +60,45 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list (src, dst) —
+    * the clustering-structure primitive (community density, spam-ring
+    * detection, near-dup cluster shape). Self-loops dropped, edges
+    * deduped on the unordered pair.
+    *
+    * SCALE: edges are ORIENTED low→high by (degree, node) before the
+    * wedge join — the classic trick that bounds per-vertex wedge
+    * generation by out-degree ≤ O(√E) on any graph, making total wedge
+    * work O(E^1.5) instead of Σ deg² (a hub node generates NO wedges:
+    * everything orients INTO it). Each triangle is found exactly once,
+    * at its lowest-ordered vertex. The oriented edge relation feeds
+    * three consumers (both wedge sides + the closing-edge probe) and is
+    * checkpointed once — the seam rule. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("s"), col("b").as("t"),
+            struct(col("db").as("kd"), col("b").as("kn")).as("kt")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"),
+            struct(col("da").as("kd"), col("a").as("kn")).as("kt"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.kt").as("kd"))
+      .localCheckpoint()
+    val tri = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kd") < col("e2.kd"))
+      .join(dir.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
+  }
 }

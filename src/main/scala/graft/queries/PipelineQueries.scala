@@ -1466,5 +1466,43 @@ object PipelineQueries {
              |  SELECT a.id, b.id, CAST(levenshtein(a.name, b.name) AS BIGINT)
              |  FROM n a JOIN n b ON a.b3 = b.b3 AND a.id < b.id
              |    AND abs(a.len - b.len) <= 3 AND levenshtein(a.name, b.name) <= 3)
-             |SELECT DISTINCT id_a, id_b, dist FROM hits ORDER BY id_a, id_b""".stripMargin)))
+             |SELECT DISTINCT id_a, id_b, dist FROM hits ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- per-nation triangle counts over the trade graph. The engine
+    // orients edges by degree (the O(E^1.5) bound); the oracle uses the
+    // simple id-ordered 3-way join — different algorithm, identical
+    // triangles, which is exactly what the cross-check should prove.
+    Q("q127_triangle_count",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .select("src", "dst").distinct()
+        graft.operators.GraphOps.triangleCounts(edges)
+          .orderBy("node")
+      },
+      Some("""WITH raw AS (SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+             |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |       FROM raw WHERE src <> dst),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+             |  SELECT x AS node FROM tri UNION ALL
+             |  SELECT y FROM tri UNION ALL
+             |  SELECT z FROM tri)
+             |GROUP BY node ORDER BY node""".stripMargin)))
 }

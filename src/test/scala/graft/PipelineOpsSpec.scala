@@ -397,6 +397,17 @@ class PipelineOpsSpec extends GraftSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("triangle counts: K4 gives 3 per node; wedge path without closure gives 0") {
+    // K4 (complete on 1..4) has C(4,3)=4 triangles, each node in 3; node
+    // 5 hangs off a path (4-5, 5-6) that closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (2L, 1L) /* dup reversed */, (3L, 3L) /* loop */)
+      .toDF("src", "dst")
+    val got = graft.operators.GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
   test("pagerank matches a local reference on a small weighted graph") {
     val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L),
       (3L, 1L, 2L), (3L, 2L, 1L)).toDF("src", "dst", "w")
