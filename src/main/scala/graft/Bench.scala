@@ -25,13 +25,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchQueries
-    def run(name: String): Unit = {
-      val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+    val extras = SparkEntry.benchExtras
+    val names = SparkEntry.benchQueries ++ extras.keys.toSeq.sorted
+    def run(name: String): Unit = extras.get(name) match {
+      case Some(fn) => fn(spark, sfDir)
+      case None =>
+        val fn = SparkEntry.queries(name)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
     }
     // full warmup pass: JIT + codegen caches + FS cache, not counted —
     // we measure warm engine throughput, not JVM cold start
@@ -40,24 +43,30 @@ object Bench {
     // min of 3 measured runs per query: scheduler/GC jitter at local[32]
     // is ±0.3 s (±25% on the heavier queries), which round-over-round
     // comparisons would otherwise read as real regressions. All samples
-    // are published alongside the min so transient machine load (one
-    // outlier among three) is self-diagnosing from the JSON instead of
-    // needing a re-run.
-    val results = names.map { name =>
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        run(name)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> ts
+    // are published alongside the min so transient machine load is
+    // self-diagnosing from the JSON instead of needing a re-run.
+    //
+    // Samples are taken in round-robin order over the whole suite
+    // (q1..qN, q1..qN, q1..qN) rather than 3x back-to-back per query: a
+    // sustained machine-load transient then lands on ONE sample of many
+    // queries (each query's min absorbs it) instead of all three samples
+    // of whichever query was running — back-to-back sampling produced
+    // phantom 3-17x "regressions" in two consecutive rounds that each
+    // cost a manual re-bench to disprove.
+    val times = Array.fill(names.length)(Vector.empty[Double])
+    for (_ <- 1 to 3; i <- names.indices) {
+      val t0 = System.nanoTime()
+      run(names(i))
+      times(i) :+= (System.nanoTime() - t0) / 1e9
     }
+    val results = names.zip(times).map { case (n, ts) => n -> ts.toSeq }
     val qs = results.map { case (k, ts) => "\"" + k + f"""\":${ts.min}%.3f""" }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,4 +27,20 @@ object SparkEntry {
 
   /** Headline queries timed by graft.Bench. */
   def benchQueries: Seq[String] = modules.filter(_.bench).map(_.name)
+
+  /** Bench-only drives: operators whose production cost has no registered
+    * query row shaped like it (the register keeps oracle-checkable forms;
+    * these time the full-scale form). Timed by graft.Bench alongside
+    * [[benchQueries]]; NOT part of the correctness register. Names are
+    * prefixed x_ so a bench reader can't mistake them for q-rows. */
+  def benchExtras: Map[String, (SparkSession, String) => Unit] = Map(
+    // q102's registered row proves ONE merge against the oracle; the
+    // production cost is the full multi-merge train loop (30 rounds over
+    // the vocab-sized word table).
+    "x_bpe_train30" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.operators.Bpe.train(docs, numMerges = 30)
+      require(merges.nonEmpty)
+    })
+  )
 }

@@ -89,11 +89,18 @@ object Bpe {
         val (l, rr, pc) = (best(0).getAs[String]("left"),
           best(0).getAs[String]("right"), best(0).getAs[Long]("pc"))
         merges += Merge(r, l, rr, pc)
-        words = words.map(w => WordRow(mergeOnce(w.symbols, l, rr), w.count))
+        // eager checkpoint, then release the superseded round's blocks —
+        // hundreds of merges would otherwise hold O(rounds) vocab-sized
+        // block sets hostage to ContextCleaner/GC timing
+        val next = words.map(w => WordRow(mergeOnce(w.symbols, l, rr), w.count))
           .localCheckpoint()
+        IterUtils.unpersistCheckpoint(words)
+        words = next
         r += 1
       }
     }
+    // the learned rules are driver-side; the word table is done with
+    IterUtils.unpersistCheckpoint(words)
     merges.result()
   }
 
@@ -102,6 +109,14 @@ object Bpe {
     * apply rule), then the per-doc subword stream is emitted in order.
     * The merge table is broadcast (bounded by numMerges); the pass is
     * shuffle-free. */
+  /** Hard cap on [[segment]]'s per-partition word→symbols cache. Word
+    * frequency is Zipfian, so the hot words that make the cache pay for
+    * itself all land within a small prefix of distinct words — past the
+    * cap, long-tail words (which would each be seen ~once per partition
+    * anyway) are segmented directly instead of growing the map without
+    * bound on a web-scale partition's unbounded vocabulary. */
+  private val SegmentCacheCap = 1 << 16
+
   def segment(docs: DataFrame, merges: Seq[Merge], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -113,20 +128,29 @@ object Bpe {
       .mapPartitions { it =>
         val ms = bc.value
         // per-partition word cache: corpora repeat words heavily, and the
-        // merge replay is the hot loop
+        // merge replay is the hot loop. Size-capped (insert-until-full):
+        // executor memory must not scale with a partition's distinct-word
+        // count.
         val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def segmentWord(w: String): Array[String] = {
+          var sym = toSymbols(w)
+          var i = 0
+          while (i < ms.length) {
+            // skip replay once the word is a single symbol
+            if (sym.length > 1) sym = mergeOnce(sym, ms(i)._1, ms(i)._2)
+            i += 1
+          }
+          sym
+        }
         it.map { case (id, text) =>
           val toks = text.split(" ").filter(_.nonEmpty).flatMap { w =>
-            cache.getOrElseUpdate(w, {
-              var sym = toSymbols(w)
-              var i = 0
-              while (i < ms.length) {
-                // skip replay once the word is a single symbol
-                if (sym.length > 1) sym = mergeOnce(sym, ms(i)._1, ms(i)._2)
-                i += 1
-              }
-              sym
-            })
+            cache.get(w) match {
+              case Some(sym) => sym
+              case None =>
+                val sym = segmentWord(w)
+                if (cache.size < SegmentCacheCap) cache.update(w, sym)
+                sym
+            }
           }
           (id, toks)
         }

@@ -151,13 +151,20 @@ object Dedup {
     * duplicate-free, so the union size is exact) — same value as the
     * array_intersect/array_union form it replaces, ~14x cheaper per pair. */
   private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifyExactJaccardSided(cand, sets, sets, threshold)
+
+  /** Two-sided form: id_a resolves its set in `setsA`, id_b in `setsB` —
+    * required when the two pair sides come from DIFFERENT frames that may
+    * reuse ids (incremental dedup: history vs batch). */
+  private def verifyExactJaccardSided(cand: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.expressions.SetFunctions
       .sorted_intersect_count(col("sa.set"), col("sb.set")).cast("double")
     val j = inter / (size(col("sa.set")) + size(col("sb.set")) - inter)
     cand
-      .join(sets.as("sa"), col("id_a") === col("sa.did"))
-      .join(sets.as("sb"), col("id_b") === col("sb.did"))
+      .join(setsA.as("sa"), col("id_a") === col("sa.did"))
+      .join(setsB.as("sb"), col("id_b") === col("sb.did"))
       .where(j >= threshold)
       .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
   }
@@ -329,10 +336,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))
       .select(col("x.did").as("id_a"), col("y.did").as("id_b")).distinct()
-    val sets = setsFromExploded(
-      explodedShingles(existing.unionByName(incoming), idCol, textCol, n))
-    val dropped = verifyExactJaccard(
-        crossCand.unionByName(withinCand).distinct(), sets, threshold)
+    // verification sets are built PER SIDE and each candidate id resolves
+    // against its own side's sets — an id reused across history and batch
+    // (re-crawled doc keeping its key) then compares the two documents'
+    // real sets instead of silently merging their shingles into one set
+    // (which corrupted the Jaccard for every pair touching that id)
+    val histSets = setsFromExploded(explodedShingles(existing, idCol, textCol, n))
+    val incSets = setsFromExploded(explodedShingles(incoming, idCol, textCol, n))
+    val dropped = verifyExactJaccardSided(crossCand, histSets, incSets, threshold)
+      .unionByName(verifyExactJaccard(withinCand, incSets, threshold))
       .select(col("id_b").as(idCol)).distinct()
     incoming.join(dropped, Seq(idCol), "left_anti")
   }
@@ -407,11 +419,21 @@ object Dedup {
         .select(col("s.id").as("id"),
           least(col("s.cluster"), coalesce(col("jcl"), col("s.cluster"))).as("cluster"))
       val next = jumped.localCheckpoint()
+      // `next` is materialized: the round's intermediate checkpoint and —
+      // once the convergence probe has read it — the superseded label set
+      // can be released NOW instead of whenever the ContextCleaner gets to
+      // them (GC-timing-dependent; a deep-diameter run would otherwise
+      // hold O(rounds) node-sized block sets)
+      IterUtils.unpersistCheckpoint(stepped)
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).isEmpty
+      IterUtils.unpersistCheckpoint(labels)
       labels = next
       round += 1
     }
+    // the final labels are a self-contained eager checkpoint — the edge
+    // relation can be released before handing the result to the caller
+    IterUtils.unpersistCheckpoint(edges)
     // partial labels are silently WRONG — fail loudly if a component's
     // diameter exceeded the round budget rather than return them
     if (!converged) throw new IllegalStateException(

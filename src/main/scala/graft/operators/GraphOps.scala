@@ -46,18 +46,25 @@ object GraphOps {
       val contrib = norm.join(ranks, norm("src") === ranks("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("p") * col("rank")).as("c"))
-      // LAZY checkpoint: each round's ranks has exactly ONE downstream
-      // consumer (the next round), so the q71 double-execution argument
-      // for eager materialization doesn't apply; deferring into the
-      // consumer's job still truncates lineage and saves one job launch
-      // per round (a small win here — the edge build dominates q113 —
-      // but one that grows linearly with iteration count)
-      ranks = nodes.join(contrib, nodes("node") === col("cnode"), "left")
+      // EAGER checkpoint + deterministic release of the superseded round:
+      // the lazy form (r8) deferred materialization into the next round's
+      // job, but left every round's blocks to the ContextCleaner — a
+      // 100-iteration production run holds O(rounds) node-sized block
+      // sets hostage to GC timing. One extra job launch per round buys
+      // flat storage: once `next` is materialized the previous ranks can
+      // never be re-read (its only consumer was this round's join).
+      val next = nodes.join(contrib, nodes("node") === col("cnode"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(ranks)
+      ranks = next
     }
+    // ranks is self-contained (eager checkpoint): the loop-invariant
+    // relations can be released before handing the result to the caller
+    IterUtils.unpersistCheckpoint(norm)
+    IterUtils.unpersistCheckpoint(nodes)
     ranks
   }
 

@@ -37,13 +37,35 @@ object Mp4 {
     def frameCount: Int = sampleSizes.length
     def durationMs: Long =
       if (timescale == 0) 0L else duration * 1000L / timescale
-    /** Index of the last sample whose decode time is <= tsMs (or 0). */
+    /** End of the REAL content in ms, derived from the stts sample table
+      * (last sample's start + its inferred duration) rather than the mdhd
+      * duration field. The two agree on well-formed files; on a corrupt or
+      * hostile container (timescale=1, duration=2^32) the mdhd value is
+      * unbounded while this stays bounded by the demuxed sample count —
+      * use it to clamp any per-timestamp sweep. */
+    def contentEndMs: Long = {
+      if (timescale == 0 || sampleTimes.isEmpty) return 0L
+      val n = sampleTimes.length
+      val lastStart = sampleTimes(n - 1)
+      val lastDelta =
+        if (n >= 2) sampleTimes(n - 1) - sampleTimes(n - 2)
+        else math.max(0L, duration - lastStart)
+      (lastStart + lastDelta) * 1000L / timescale
+    }
+    /** Index of the last sample whose decode time is <= tsMs (or 0).
+      * Binary search over the non-decreasing stts-derived times — a
+      * per-timestamp linear scan made timestamp sweeps quadratic in
+      * frame count. */
     def sampleAt(tsMs: Long): Int = {
       if (timescale == 0 || sampleTimes.isEmpty) return 0
       val t = tsMs * timescale / 1000L
-      var i = sampleTimes.length - 1
-      while (i > 0 && sampleTimes(i) > t) i -= 1
-      i
+      var lo = 0
+      var hi = sampleTimes.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (sampleTimes(mid) <= t) lo = mid else hi = mid - 1
+      }
+      lo
     }
   }
 
@@ -117,6 +139,11 @@ object Mp4 {
     val stsz = child(r, sb, "stsz").getOrElse(return None)
     val constSize = r.u32(stsz._2 + 4)
     val nSamples = r.u32(stsz._2 + 8).toInt
+    // plausibility gate BEFORE any nSamples-sized allocation: every sample
+    // occupies >= 1 byte of the payload in any real container, so a declared
+    // count beyond the payload length is hostile/corrupt (a u32 count of
+    // 2^32 would otherwise allocate gigabytes here)
+    if (nSamples < 0 || nSamples.toLong > r.length) return None
     val sizes = Array.tabulate(nSamples) { i =>
       (if (constSize != 0) constSize else r.u32(stsz._2 + 12 + 4L * i)).toInt
     }

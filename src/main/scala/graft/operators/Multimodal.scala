@@ -155,15 +155,25 @@ object Multimodal {
     * (`decoded`=1). Assets that aren't parseable MP4 are dropped — same
     * contract as a codec rejecting a corrupt clip. The clip's own duration
     * (from the demuxed media header, not the metadata column) bounds the
-    * sweep. Per-asset CPU inside `mapPartitions`; the payload is demuxed
-    * once for all of its sampled frames. */
+    * sweep — CLAMPED to the stts-derived content end: the mdhd duration is
+    * untrusted input, and a hostile container (timescale=1, duration=2^32)
+    * would otherwise generate billions of rows per asset from a
+    * kilobyte payload. `maxFrames` additionally hard-caps sampled rows per
+    * asset (a legitimate 10 h clip at 100 ms sampling is 360k frames — the
+    * default cap admits it; anything past the cap is truncated, which at
+    * pipeline scale is a sampling-density decision, not data loss).
+    * Per-asset CPU inside `mapPartitions`; the payload is demuxed once for
+    * all of its sampled frames, and the frame lookup per timestamp is a
+    * binary search. */
   def applyFrameSample(spark: SparkSession, assets: Dataset[MmAsset],
-      everyMs: Int): DataFrame = {
+      everyMs: Int, maxFrames: Int = 1 << 20): DataFrame = {
     import spark.implicits._
     assets.filter(col("mime") === "video/mp4")
       .mapPartitions(_.flatMap { a =>
         Mp4.demux(a.payload).toSeq.flatMap { t =>
-          (0L to t.durationMs by everyMs.toLong).map { ts =>
+          val endMs = math.min(t.durationMs, t.contentEndMs)
+          val sweep = (0L to endMs by everyMs.toLong).take(maxFrames)
+          sweep.map { ts =>
             val si = t.sampleAt(ts)
             val luma = JdkMediaCodec.frameLuma(a.payload, t, si)
             (a.doc_id, ts / everyMs, ts, si,

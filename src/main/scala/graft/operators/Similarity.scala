@@ -230,12 +230,19 @@ object Similarity {
     * left-anti join of the corpus against the non-root members. Vectors
     * with no qualifying neighbor never enter the component computation
     * and survive untouched — the CC input is bounded by the PAIR count,
-    * not the corpus. */
+    * not the corpus.
+    *
+    * `maxBucket` passes through to [[nearDupPairs]]'s hot-bucket guard —
+    * and matters MOST here: encoder failure modes that emit one constant
+    * embedding are precisely the degenerate mass SemDeDup corpora carry,
+    * and an m-member hot bucket emits m²/2 candidate pairs. Off by
+    * default so the oracle rows prove the exact form. */
   def semanticDedup(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 28, planes: Int = 6): DataFrame = {
+      tables: Int = 28, planes: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     val clusters = Dedup.duplicateClusters(
-      nearDupPairs(emb, threshold, idCol, vecCol, tables, planes))
+      nearDupPairs(emb, threshold, idCol, vecCol, tables, planes, maxBucket))
     val losers = clusters.where(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as(idCol))
     emb.join(losers, Seq(idCol), "left_anti")

@@ -227,7 +227,11 @@ object TrainingPrep {
       .partitionBy("shard")
       .option("compression", "gzip")
       .json(path)
-    docs.sparkSession.read.json(path).count()
+    // read-back verification counts what actually LANDED (not what the
+    // plan said it would write) — but with the writer's own schema made
+    // explicit, so the count is ONE pass over the gzip export instead of
+    // two (schema inference reads every byte before the count otherwise)
+    docs.sparkSession.read.schema(out.schema).json(path).count()
   }
 
   /** Group-coherent train/validation split with a per-group document

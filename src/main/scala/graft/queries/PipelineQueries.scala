@@ -1128,7 +1128,8 @@ object PipelineQueries {
              |  CAST(1 AS INT) AS decoded
              |FROM (SELECT doc_id, n, unnest(range(0, n * 100 + 1, 150)) AS ts_ms
              |      FROM v)
-             |ORDER BY doc_id, frame_idx""".stripMargin)),
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+      bench = true),
 
     // ---- BM25 ranked retrieval: the scoring end of q90's inverted-index
     // story. Ties at the top-k cut break on (rounded score, doc_id) so the
@@ -1504,5 +1505,61 @@ object PipelineQueries {
              |  SELECT x AS node FROM tri UNION ALL
              |  SELECT y FROM tri UNION ALL
              |  SELECT z FROM tri)
-             |GROUP BY node ORDER BY node""".stripMargin)))
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ---- the transformWithState funnel (Spark 4 StatefulProcessor state
+    // API) driver-checked: the TWS stream runs to completion under
+    // Trigger.AvailableNow on the events table (RocksDB state store, the
+    // API's backing provider, set for this query and restored after), and
+    // the per-user stage advancements pivot to the q117 batch-twin shape —
+    // same oracle SQL, so a state-machine divergence between the streaming
+    // fold and the batch first-touch operator fails the hash compare.
+    // Stream execution happens EAGERLY inside this function (the returned
+    // frame is the completed memory table), so the conf restore in
+    // `finally` cannot race the run.
+    Q("q128_funnel_tws",
+      (s, d) => {
+        import graft.streaming.EventsStream
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val updates = EventsStream.runToMemoryAvailableNow(s,
+            EventsStream.streamingFunnelTws(s, EventsStream.readEvents(s, d),
+              Seq("view", "click", "purchase"),
+              windowUs = 2L * 86400 * 1000000L).toDF(),
+            "q128_tws_updates")
+          // each stage advances at most once per user, so the when-max
+          // picks exactly that advancement's event time
+          updates.groupBy("user_id").agg(
+              max(when(col("stage") === 1, col("at_us"))).as("t_view"),
+              max(when(col("stage") === 2, col("at_us"))).as("t_click"),
+              max(when(col("stage") === 3, col("at_us"))).as("t_purchase"),
+              max(col("stage")).cast("long").as("stage"))
+            .orderBy("user_id")
+        } finally {
+          prev match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events),
+             |v AS (SELECT user_id, min(tns) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tns) AS t_click FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tns >= t_view AND tns <= t_view + 172800000000000
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tns) AS t_purchase FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tns >= t_click AND tns <= t_click + 172800000000000
+             |      GROUP BY e.user_id)
+             |SELECT v.user_id,
+             |  CAST(v.t_view // 1000 AS BIGINT) AS t_view,
+             |  CAST(c.t_click // 1000 AS BIGINT) AS t_click,
+             |  CAST(p.t_purchase // 1000 AS BIGINT) AS t_purchase,
+             |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+             |ORDER BY v.user_id""".stripMargin)))
 }

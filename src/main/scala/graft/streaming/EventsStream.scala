@@ -339,6 +339,58 @@ object EventsStream {
     out.toSeq
   }
 
+  /** [[trendingTerms]] with a PRODUCTION sink: each closed window's top-k
+    * is foreachBatch-MERGED into a keyed parquet table instead of
+    * accumulating in a driver buffer — the only shape that can run
+    * unattended (the driver-Seq form above is the spec/demo harness; its
+    * buffer grows with stream lifetime). Same CDC pattern as
+    * [[incrementalUpsertTitles]]: the upsert is keyed by (ws, rank) and
+    * partitioned by window date, so delivery is idempotent by
+    * construction — an at-least-once foreachBatch replay (crash between
+    * sink write and checkpoint commit) or a full from-scratch replay
+    * re-merges the same keys with the same values and CONVERGES, no
+    * batch_id bookkeeping. Run with Trigger.AvailableNow as the scheduled
+    * incremental job.
+    *
+    * SCALE: the windowed-count state is watermark-bounded as before; the
+    * per-batch rank runs over only the rows that batch emitted (closed
+    * windows), never history; the upsert rewrites only the window-date
+    * partitions the batch touched. */
+  def trendingTermsToTable(spark: SparkSession, events: DataFrame,
+      textCol: String, window_ : String, k: Int, target: String,
+      checkpointDir: String): Unit = {
+    val counts = events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(window(col("ts"), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("term"), col("n"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Append()) // only watermark-CLOSED windows emit
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("ws").orderBy(col("n").desc, col("term"))
+          val ranked = batch.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= k)
+            .withColumn("ws_date", date_format(col("ws"), "yyyy-MM-dd"))
+          val p = new org.apache.hadoop.fs.Path(target)
+          val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          if (exists)
+            graft.sources.TableWriters.upsertParquet(spark, target, ranked,
+              Seq("ws", "rank"), Seq("ws_date"))
+          else
+            graft.sources.TableWriters.parquetPartitioned(ranked, target, Seq("ws_date"))
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming first-touch funnel — the stateful-stream twin of
     * [[graft.operators.EventOps.funnelStages]]: per-user state is the
     * stage reached plus the current conversion deadline, advanced by
@@ -404,6 +456,18 @@ object EventsStream {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
+    spark.table(name)
+  }
+
+  /** [[runToMemory]] under `Trigger.AvailableNow` — the scheduled-batch
+    * trigger production incremental jobs run with: the query processes
+    * everything available at start and terminates on its own. */
+  def runToMemoryAvailableNow(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(name)
   }
 }

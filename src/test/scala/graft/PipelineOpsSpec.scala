@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IterUtils, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,37 @@ class PipelineOpsSpec extends GraftSpec {
       assert(batchTop((h, rank)) == (term, n),
         s"window $h rank $rank: got ($term,$n), want ${batchTop((h, rank))}")
     }
+  }
+
+  test("streaming: trending terms table sink matches the batch ranks and replay converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    val target = s"$root/trending"
+    def run(ckpt: String): Unit = EventsStream.trendingTermsToTable(spark,
+      EventsStream.readEvents(spark, sf0001), "props", "1 hour", k = 3,
+      target, s"$root/$ckpt")
+    run("ckpt1")
+    def snapshot() = spark.read.parquet(target)
+      .select("ws", "rank", "term", "n")
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000L, r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val got = snapshot()
+    assert(got.nonEmpty, "some windows must have closed")
+    // the table must hold exactly the batch twin's ranks per closed window
+    val batch = graft.queries.Tables.events(spark, sf0001)
+      .select((col("ts").cast("decimal(25,0)") / 3600000000000L).cast("long").as("h"),
+        explode(split(col("props"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("h", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc, col("term"))
+    val batchTop = batch.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    got.foreach { case (k, v) => assert(batchTop(k) == v, s"window/rank $k") }
+    // full replay with a FRESH checkpoint re-merges every key: converges
+    run("ckpt2")
+    assert(snapshot() == got, "replayed upsert must converge to the same table")
   }
 
   test("duplicate-span removal keeps the first occurrence, merges overlaps") {
@@ -602,6 +633,38 @@ class PipelineOpsSpec extends GraftSpec {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("iterative loops release superseded checkpoints: flat storage across 25 rounds") {
+    val sc = spark.sparkContext
+    def stored(): Int = sc.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+    // unpersist is non-blocking (deliberate: prod loops shouldn't stall on
+    // block release) — poll briefly before judging a leak
+    def settledAtMost(limit: Int, what: String): Unit = {
+      val deadline = System.nanoTime() + 10e9.toLong
+      var n = stored()
+      while (n > limit && System.nanoTime() < deadline) { Thread.sleep(100); n = stored() }
+      assert(n <= limit, s"$what leaked checkpoint blocks: $n stored > $limit allowed")
+    }
+    // PageRank, 25 rounds: ends with ONLY the returned ranks checkpoint
+    val edges = (0L until 200L).map(i => (i, (i + 1) % 200, 1.0)).toDF("src", "dst", "w")
+    val before = stored()
+    val pr = graft.operators.GraphOps.pageRank(edges, iterations = 25)
+    assert(pr.count() == 200)
+    settledAtMost(before + 1, "pageRank")
+    IterUtils.unpersistCheckpoint(pr)
+    // BPE train, 25 merge rounds: rules are driver-side, nothing persists
+    val bpeBefore = stored()
+    val merges = graft.operators.Bpe.train(docs.limit(200), numMerges = 25,
+      minPairCount = 1L)
+    assert(merges.size == 25)
+    settledAtMost(bpeBefore, "Bpe.train")
+    // connected components on a 50-edge chain: only the labels survive
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cBefore = stored()
+    val cl = graft.operators.Dedup.duplicateClusters(pairs)
+    assert(cl.count() == 51)
+    settledAtMost(cBefore + 1, "duplicateClusters")
   }
 
   test("salted join equals plain join on a skewed key") {
