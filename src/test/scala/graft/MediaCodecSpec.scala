@@ -195,6 +195,32 @@ class MediaCodecSpec extends GraftSpec {
     }
   }
 
+  test("hostile mdhd duration cannot explode the frame-sample sweep") {
+    // take a valid 3-frame clip and patch its mdhd to timescale=1,
+    // duration=2^31-1 — the untrusted header now claims ~68 years of
+    // content while the stts sample table still holds 3 frames
+    val clip = mjpeg()
+    val idx = clip.indices.find(i => i + 4 <= clip.length &&
+      new String(clip, i, 4, "ISO-8859-1") == "mdhd").get
+    val p = idx + 4 // mdhd payload: ver/flags(4) created(4) modified(4) ts(4) dur(4)
+    val bb = java.nio.ByteBuffer.wrap(clip).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(p + 12, 1)
+    bb.putInt(p + 16, Int.MaxValue)
+    val t = graft.operators.Mp4.demux(clip).get
+    assert(t.durationMs == Int.MaxValue.toLong * 1000L, "mdhd read as claimed")
+    // content end derives from the stts table, not the hostile header:
+    // last start 400 (timescale units) + delta 200, over timescale 1 -> 600000 ms
+    assert(t.contentEndMs == 600000L, s"contentEndMs ${t.contentEndMs}")
+    val assets = Seq(MmAsset(30L, "video/mp4", clip, 32, 24, 0L)).toDS()
+    val capped = Multimodal.applyFrameSample(spark, assets, everyMs = 250,
+      maxFrames = 16).collect()
+    assert(capped.length == 16, s"cap must bound rows, got ${capped.length}")
+    val uncapped = Multimodal.applyFrameSample(spark, assets, everyMs = 250)
+      .count()
+    assert(uncapped == 600000L / 250 + 1,
+      s"sweep must clamp to the sample-table content end, got $uncapped")
+  }
+
   test("demux rejects malformed containers instead of throwing") {
     val clip = graft.operators.Mp4.mux(
       Seq(Array[Byte](1, 2, 3)), 8, 8, 100)

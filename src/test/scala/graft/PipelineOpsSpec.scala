@@ -931,6 +931,41 @@ class PipelineOpsSpec extends GraftSpec {
     assert(kept == Seq(10L, 20L, 21L), s"kept $kept")
   }
 
+  test("semantic dedup: maxBucket guard excises a degenerate constant-embedding mass") {
+    import spark.implicits._
+    // encoder-failure shape: 10 IDENTICAL vectors (every SRP key equal in
+    // every table -> one m=10 bucket per table) + 2 distinct singletons
+    val const = Array(1f, 0f, 0f, 0f)
+    val emb = ((0L until 10L).map(i => (i, const)) ++
+      Seq((20L, Array(0f, 1f, 0f, 0f)), (21L, Array(0f, 0f, 1f, 0f))))
+      .toDF("vec_id", "embedding")
+    val unguarded = graft.operators.Similarity.semanticDedup(emb, 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(unguarded == Seq(0L, 20L, 21L), s"unguarded kept $unguarded")
+    // cap below the degenerate bucket size: its pairs are never generated,
+    // so the constant mass passes through undeduped — the documented trade
+    val guarded = graft.operators.Similarity
+      .semanticDedup(emb, 0.9, maxBucket = Some(3L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(guarded == (0L until 10L) ++ Seq(20L, 21L), s"guarded kept $guarded")
+  }
+
+  test("incremental near-dup: an id reused across history and batch keeps its own sets") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // history doc 5 is `base`; the INCOMING doc 5 is unrelated text. A
+    // merged (union-keyed) verification set would dilute doc 7's Jaccard
+    // against history-5 below threshold (6/13 < 0.5) and wrongly keep it.
+    val hist = Seq((5L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (5L, "completely unrelated replacement words live right here today"),
+      (7L, base + " iota"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.incrementalNearDup(hist, incoming, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(5L), s"kept $kept — 7 is a near-dup of history-5 (6/7 >= 0.5)")
+  }
+
   test("bm25: closed-form score on a 3-doc corpus, tie cut deterministic") {
     import spark.implicits._
     // doc 1: query term 'a' twice of 4 tokens; doc 2: 'a' once of 2;
