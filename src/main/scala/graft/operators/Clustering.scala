@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the clustering
+  * stage the SemDeDup recipe (Abbas et al. 2023) runs BEFORE its
+  * within-cluster cosine dedup, and the training step behind q49's IVF
+  * index: partition a corpus's embedding space so per-cluster work
+  * (dedup, ANN probes, diversity sampling) never touches the full corpus.
+  *
+  * Cross-engine reproducibility is designed in, not hoped for:
+  *   - vectors are quantized ONCE to integers (`round(x * scale)`), so
+  *     every cross-row reduction (centroid member sums) is an exact
+  *     integer aggregate — order-independent, identical in any engine;
+  *   - centroid components are the correctly-rounded double quotient
+  *     sum/count of those exact integers — IEEE-identical everywhere;
+  *   - per-point distances fold (q_i - c_i)^2 left-to-right in fixed
+  *     dimension order, so no floating-point result ever depends on row
+  *     order or partitioning;
+  *   - argmin ties break to the smallest cluster id, and the seed
+  *     centroids are the k smallest-id vectors (deterministic init, the
+  *     hash-seeded variant is one `orderBy` swap away).
+  *
+  * SCALE: the model (k x d integer sums + counts) is the ONLY driver-side
+  * state — bounded by k*d, never by data (the q49 "driver-sized
+  * centroids" contract; MLlib's KMeans holds the same state in
+  * `collect()`ed form). Each iteration is one scan-speed assignment (the
+  * centroid literals are folded into a codegen'd expression — no join, no
+  * broadcast exchange) plus one map-side-combinable (cid, dim) sum. An
+  * empty cluster keeps its previous centroid (documented Lloyd
+  * degenerate-case convention).
+  */
+object Clustering {
+
+  /** Assign every vector to one of `k` Lloyd clusters after `iters`
+    * update rounds. Returns (idCol, cluster, dist) where `dist` is the
+    * squared quantized-space distance to the final centroid, rounded to
+    * 4 dp for presentation. */
+  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters must be positive")
+    val spark = emb.sparkSession
+
+    // exact integer view of the corpus: float -> double is exact, the
+    // scaled round is the single, shared quantization both engines agree
+    // on bit-for-bit. All later sums are over these longs.
+    val q = emb.select(col(idCol).cast("long").as("vid"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+        .as("q"))
+      .localCheckpoint() // read every iteration + final assignment
+
+    val dims = q.select(size(col("q"))).head().getInt(0)
+
+    // seed: the k smallest-id vectors, as (sum, count=1) states
+    var sums: Array[Array[Long]] = q.orderBy("vid").limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    var counts: Array[Long] = Array.fill(sums.length)(1L)
+
+    def centroids(): Array[Array[Double]] =
+      sums.zip(counts).map { case (s, c) => s.map(_.toDouble / c.toDouble) }
+
+    /** dist to centroid j as a codegen'd left-to-right fold in dimension
+      * order — no array intermediate, no row-order dependence. */
+    def distTo(cent: Array[Double]): Column =
+      cent.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (c, i)) =>
+        val d = element_at(col("q"), i + 1).cast("double") - lit(c)
+        acc + d * d
+      }
+
+    /** cluster = argmin_j dist_j, ties to the smallest j. */
+    def assignCol(cents: Array[Array[Double]]): Column = {
+      val pairs = cents.zipWithIndex.map { case (c, j) =>
+        struct(distTo(c).as("d"), lit(j.toLong).as("cid"))
+      }
+      array_min(array(pairs: _*))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = q.select(col("vid"), col("q"),
+        assignCol(centroids()).getField("cid").as("cid"))
+      // one (cid, dim)-keyed exact integer aggregate — k*d result rows,
+      // partial-aggregated map-side; the ONLY shuffle per round
+      val upd = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .collect()
+      val ns = Array.fill(sums.length)(Array.fill(dims)(0L))
+      val nc = Array.fill(sums.length)(0L)
+      upd.foreach { r =>
+        val cid = r.getLong(0).toInt
+        ns(cid)(r.getInt(1)) = r.getLong(2)
+        nc(cid) = r.getLong(3)
+      }
+      // empty cluster: keep the previous centroid state
+      for (j <- sums.indices if nc(j) > 0L) { sums(j) = ns(j); counts(j) = nc(j) }
+    }
+
+    val fin = assignCol(centroids())
+    q.select(col("vid").as(idCol),
+        fin.getField("cid").as("cluster"),
+        round(fin.getField("d"), 4).as("dist"))
+      .orderBy(idCol)
+  }
+}

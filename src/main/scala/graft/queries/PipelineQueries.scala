@@ -1561,5 +1561,54 @@ object PipelineQueries {
              |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
              |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
              |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-             |ORDER BY v.user_id""".stripMargin)))
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // ---- distributed Lloyd k-means over the embedding corpus (the
+    // SemDeDup pre-clustering / IVF training stage). Engine and oracle
+    // share one integer quantization, so every cross-row reduction is an
+    // exact integer sum and every double derives from identical exact
+    // inputs via identical per-row operation order — the assignment is
+    // bit-reproducible across engines (see Clustering scaladoc). The
+    // oracle unrolls the three Lloyd rounds as CTE blocks.
+    Q("q129_kmeans_embed",
+      (s, d) => graft.operators.Clustering
+        .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3),
+      Some(kmeansOracle(k = 4, iters = 3, dims = 64)),
+      bench = true))
+
+  /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
+    * same quantize → (assign → integer-sum update) x iters → assign
+    * chain, each Lloyd round one unrolled CTE block. `list_reduce`
+    * folds left-to-right like the engine's codegen'd fold, and the
+    * centroid quotient divides the same exact integers — doubles match
+    * bit-for-bit, so `round(d, 4)` agrees. */
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+    def assign(n: String, cent: String) =
+      s"""a$n AS (SELECT e.vid, c.cid,
+         |    list_reduce(list_transform(
+         |      [CAST(e.q[i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,$dims)], v -> v*v),
+         |      (x,y) -> x+y) AS d
+         |  FROM e CROSS JOIN $cent c),
+         |s$n AS (SELECT vid, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM a$n)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { n =>
+      s"""${assign(n.toString, s"cent${n - 1}")},
+         |u$n AS (SELECT cid,
+         |    list_reduce(list(q ORDER BY vid), (a,b) -> [a[i+1]+b[i+1] for i in range(0,$dims)]) AS sl,
+         |    count(*) AS c
+         |  FROM s$n JOIN e USING (vid) GROUP BY cid),
+         |cent$n AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS vid,
+       |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
+       |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
+       |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0),
+       |$rounds,
+       |${assign("fin", s"cent$iters")}
+       |SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist FROM sfin
+       |ORDER BY vec_id""".stripMargin
+  }
 }
