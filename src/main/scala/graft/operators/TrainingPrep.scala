@@ -826,4 +826,69 @@ object TrainingPrep {
           .as("picked_tokens"))
       .orderBy(groupCol)
   }
+
+  /** DSIR importance log-weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw-corpus document by how
+    * much it resembles a TARGET domain, using hashed word-bigram features
+    * and two Laplace-smoothed bag-of-buckets models:
+    *
+    *   log w(doc) = Σ_g  ln p_target(bucket(g)) − ln p_raw(bucket(g))
+    *
+    * over the doc's bigram occurrences g (with multiplicity), where
+    * p(b) = (count(b)+1) / (N+B). Selecting (or resampling) by this
+    * weight steers a web-scale crawl toward the target distribution
+    * without training a classifier — the production recipe behind
+    * quality-targeted pre-training subsets.
+    *
+    * Feature hashing uses the engine-portable 60-bit md5 hash mod
+    * `buckets`, so weights are reproducible across engines and runs.
+    * The ln terms are composed identically on the engine and oracle
+    * sides, and the per-doc sum is round()ed: cross-engine drift is
+    * bounded by libm's last bit per term.
+    *
+    * SCALE: both models are aggregates BOUNDED BY `buckets` rows — they
+    * broadcast regardless of corpus size (the parameter, not the data,
+    * sizes them; same contract as q49's driver-sized centroids). The raw
+    * corpus is exploded ONCE into (doc, bucket) counts; everything
+    * downstream of that map-side-combinable aggregate is
+    * bucket-model-sized or per-doc. Docs too short for bigrams keep
+    * weight 0 (no evidence either way). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    def feat(df: DataFrame): DataFrame = df.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"),
+        pmod(graft.expressions.PortableHash.md5Hash60(
+          concat(col("bg.0"), lit(" "), col("bg.1"))),
+          lit(buckets.toLong)).as("b"))
+    val rawF = feat(raw)
+    // one corpus explode feeds the raw model, the raw total AND the
+    // per-doc features (the q121 seam argument applied to the dominant
+    // input): (doc, bucket) partial-aggregates map-side first
+    val docB = rawF.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rawModel = docB.groupBy("b").agg(sum("n").as("cr"))
+    val nr = docB.agg(sum("n").cast("double").as("nr"))
+    val tgtF = feat(target)
+    val tgtModel = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    val nt = tgtF.agg(count(lit(1)).cast("double").as("nt"))
+    val bD = lit(buckets.toDouble)
+    val term = col("n").cast("double") *
+      (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0) -
+        log(col("nt") + bD) -
+        log(col("cr").cast("double") + 1.0) +
+        log(col("nr") + bD))
+    val perDoc = docB
+      .join(broadcast(rawModel), Seq("b"))
+      .join(broadcast(tgtModel), Seq("b"), "left")
+      .join(broadcast(nr)).join(broadcast(nt))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_feat"), round(sum(term), 4).as("logw"))
+    raw.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
 }

@@ -1574,6 +1574,38 @@ object PipelineQueries {
       (s, d) => graft.operators.Clustering
         .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3),
       Some(kmeansOracle(k = 4, iters = 3, dims = 64)),
+      bench = true),
+
+    // ---- DSIR (importance-resampling) doc scores against an English
+    // target domain: hashed-bigram bag-of-buckets models, Laplace
+    // smoothing, portable md5 feature hash — the ln terms are composed
+    // identically on both sides and the per-doc sum rounds to 4 dp.
+    Q("q130_dsir_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TrainingPrep
+          .dsirLogWeights(docs, docs.where(col("lang") === "en"),
+            buckets = 1024)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT) % 1024 AS b
+             |       FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+             |             recursive := true) FROM d WHERE len(w) >= 2)),
+             |tg AS (SELECT bg.b FROM bg JOIN documents USING (doc_id) WHERE lang = 'en'),
+             |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+             |rm AS (SELECT b, sum(n) AS cr FROM db GROUP BY b),
+             |nr AS (SELECT CAST(sum(n) AS DOUBLE) AS nr FROM db),
+             |tm AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+             |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tg),
+             |terms AS (SELECT doc_id, n,
+             |    CAST(n AS DOUBLE) * (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(nt + 1024.0)
+             |      - ln(CAST(cr AS DOUBLE) + 1.0) + ln(nr + 1024.0)) AS t
+             |  FROM db JOIN rm USING (b) LEFT JOIN tm USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feat, round(sum(t), 4) AS logw
+             |        FROM terms GROUP BY doc_id)
+             |SELECT d2.doc_id, coalesce(n_feat, 0) AS n_feat, coalesce(logw, 0.0) AS logw
+             |FROM documents d2 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the

@@ -996,4 +996,27 @@ class PipelineOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s2(1L) > s2(2L), s"rare-token doc must be more surprising: $s2")
   }
+
+  test("dsir: target-like docs outscore off-target docs; short docs weight 0") {
+    // target domain speaks in 'alpha beta' bigrams; off-target in 'zig zag'
+    val raw = Seq(
+      (1L, Seq.fill(30)("alpha beta").mkString(" ")), // pure target voice
+      (2L, Seq.fill(30)("zig zag").mkString(" ")),    // pure off-target
+      (3L, Seq.fill(15)("alpha beta") ++ Seq.fill(15)("zig zag") mkString " "),
+      (4L, "solo")                                    // no bigrams at all
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, Seq.fill(50)("alpha beta").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TrainingPrep
+      .dsirLogWeights(raw, target, buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2,
+      s"weight order must follow target resemblance: $got")
+    assert(got(4L) == ((0L, 0.0)), s"bigram-less doc keeps weight 0: $got")
+    // partitioning must not change any (rounded) weight
+    val re = graft.operators.TrainingPrep
+      .dsirLogWeights(raw.repartition(7), target.repartition(3), buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == got)
+  }
 }
