@@ -827,6 +827,53 @@ object TrainingPrep {
       .orderBy(groupCol)
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-fit unigram LM ([[unigramSurprisal]]) and split the corpus
+    * into `nBuckets` equal-population quality bands (CCNet's
+    * head/middle/tail; Wenzek et al. 2020) — the standard coarse quality
+    * label for choosing what to keep, downsample, or drop.
+    *
+    * Bucket assignment needs each doc's exact GLOBAL rank, which naive
+    * implementations buy with a one-partition window. Here it is the
+    * [[selectUnderBudget]] two-phase distributed rank: range-partition by
+    * (bits, id), per-partition row COUNTS to the driver (one long per
+    * partition), exclusive offsets broadcast back, rank = offset + local
+    * index. Ranking on the ROUNDED score keeps the order cross-engine
+    * reproducible (the q99-proven value), with doc id as the total
+    * tie-break. bucket = rank*nBuckets/N in exact integer arithmetic. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val scored = unigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol).cast("long"), col("n_tok"), col("bits_per_tok"))
+      .repartitionByRange(nParts, col("bits_per_tok"), col(idCol))
+      .sortWithinPartitions(col("bits_per_tok"), col(idCol))
+      .as[(Long, Long, Double)]
+      .localCheckpoint()
+    val partCounts = scored.mapPartitions { it =>
+      var c = 0L; it.foreach(_ => c += 1)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+    }.collect().toMap
+    val offsets = (0 until nParts).map(partCounts.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val n = offsets.last
+    val bc = spark.sparkContext.broadcast(offsets)
+    val nb = nBuckets.toLong
+    scored.mapPartitions { it =>
+      var rank = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, ntok, bits) =>
+        val b = rank * nb / n
+        rank += 1
+        (id, ntok, bits, b)
+      }
+    }.toDF(idCol, "n_tok", "bits_per_tok", "bucket")
+  }
+
   /** DSIR importance log-weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every raw-corpus document by how
     * much it resembles a TARGET domain, using hashed word-bigram features

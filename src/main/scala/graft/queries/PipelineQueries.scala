@@ -1606,7 +1606,28 @@ object PipelineQueries {
              |        FROM terms GROUP BY doc_id)
              |SELECT d2.doc_id, coalesce(n_feat, 0) AS n_feat, coalesce(logw, 0.0) AS logw
              |FROM documents d2 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- CCNet head/middle/tail perplexity bands: q99's unigram bits
+    // ranked globally by the two-phase distributed rank (no one-partition
+    // window), bucket = rank*3/N in integer arithmetic. The oracle ranks
+    // the same rounded score with row_number.
+    Q("q131_ccnet_buckets",
+      (s, d) => graft.operators.TrainingPrep
+        .perplexityBuckets(t(s, d, "documents"), nBuckets = 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS total
+             |        FROM documents),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |         round(avg(-ln(CAST(cnt AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |       FROM toks JOIN model USING (term), tot GROUP BY doc_id),
+             |r AS (SELECT *, row_number() OVER (ORDER BY bits_per_tok, doc_id) - 1 AS rk,
+             |        count(*) OVER () AS n FROM sc)
+             |SELECT doc_id, n_tok, bits_per_tok, CAST((rk * 3) // n AS BIGINT) AS bucket
+             |FROM r ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

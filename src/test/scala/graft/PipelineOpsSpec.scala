@@ -1019,4 +1019,23 @@ class PipelineOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(re == got)
   }
+
+  test("ccnet buckets: equal bands, score-monotone, partition-invariant") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val got = graft.operators.TrainingPrep.perplexityBuckets(docs, nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"equal-population bands expected: $sizes")
+    // every head score <= every middle score <= every tail score
+    val maxByB = got.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByB = got.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    assert(maxByB(0L) <= minByB(1L) && maxByB(1L) <= minByB(2L))
+    val re = graft.operators.TrainingPrep
+      .perplexityBuckets(docs.repartition(11), nBuckets = 3, partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(re.sortBy(_._1).sameElements(got.sortBy(_._1)),
+      "bucket assignment must not depend on physical partitioning")
+  }
 }
