@@ -123,6 +123,84 @@ case class FoldDotProduct(left: Expression, right: Expression) extends VectorBin
     copy(left = l, right = r)
 }
 
+/** Argmin squared distance from an integer-quantized vector to a fixed
+  * centroid matrix — the Lloyd assignment kernel behind
+  * [[graft.operators.Clustering.kMeansAssign]].
+  *
+  * The declarative alternative — unrolling (qᵢ−cᵢ)² literals per centroid
+  * into one `array_min(array(struct(...)))` tree — generates O(k·dims)
+  * source per row and blows Janino's 64 KB method limit past ~k·dims ≈
+  * 300 (observed at k=8 × 64 dims: whole-stage codegen fails and the
+  * stage silently falls back to interpreted projection). Here the
+  * centroid matrix is a REFERENCE OBJECT and the generated code is a
+  * constant-size double loop, so assignment stays inside whole-stage
+  * codegen at any k·dims.
+  *
+  * Semantics exactly match the literal form (and the DuckDB oracle's
+  * `list_reduce` fold): distances accumulate left-to-right in dimension
+  * order starting from 0.0, and ties keep the SMALLEST centroid id
+  * (strict `<` scan in id order). Output struct (d, cid) keeps the
+  * struct-comparison field order of the literal form. */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    var bestD = Double.PositiveInfinity
+    var bestJ = 0L
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val t = q.getLong(i).toDouble - c(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestJ = j.toLong }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestJ))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      val bestD = ctx.freshName("bestD"); val bestJ = ctx.freshName("bestJ")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val m = ctx.freshName("m")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      s"""double $bestD = Double.POSITIVE_INFINITY;
+         |long $bestJ = 0L;
+         |for (int $j = 0; $j < $cref.length; $j++) {
+         |  double[] $c = $cref[$j];
+         |  int $m = java.lang.Math.min($q.numElements(), $c.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $t = (double) $q.getLong($i) - $c[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $bestJ = (long) $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{java.lang.Double.valueOf($bestD), java.lang.Long.valueOf($bestJ)});""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration. */
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -133,6 +211,10 @@ object VectorFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     c(CosineSimilarity(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+
+  /** `q` must be array<long> (the quantized-vector convention). */
+  def nearest_centroid(q: Column, cents: Array[Array[Double]]): Column =
+    c(NearestCentroid(e(q), cents))
 
   /** Expose as SQL functions (`SELECT cosine_sim(a, b)`). SQL literals may
     * arrive as decimal/float arrays, so children are cast explicitly (the

@@ -62,21 +62,14 @@ object Clustering {
     def centroids(): Array[Array[Double]] =
       sums.zip(counts).map { case (s, c) => s.map(_.toDouble / c.toDouble) }
 
-    /** dist to centroid j as a codegen'd left-to-right fold in dimension
-      * order — no array intermediate, no row-order dependence. */
-    def distTo(cent: Array[Double]): Column =
-      cent.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (c, i)) =>
-        val d = element_at(col("q"), i + 1).cast("double") - lit(c)
-        acc + d * d
-      }
-
-    /** cluster = argmin_j dist_j, ties to the smallest j. */
-    def assignCol(cents: Array[Array[Double]]): Column = {
-      val pairs = cents.zipWithIndex.map { case (c, j) =>
-        struct(distTo(c).as("d"), lit(j.toLong).as("cid"))
-      }
-      array_min(array(pairs: _*))
-    }
+    /** cluster = argmin_j of the left-to-right (q_i - c_ji)^2 fold, ties
+      * to the smallest j — the codegen'd [[graft.expressions
+      * .NearestCentroid]] kernel. (The literal-unrolled
+      * `array_min(array(struct...))` form generates O(k*dims) source per
+      * row and falls out of whole-stage codegen past Janino's 64 KB
+      * method limit; the kernel's runtime loop is constant-size.) */
+    def assignCol(cents: Array[Array[Double]]): Column =
+      graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
 
     for (_ <- 1 to iters) {
       val assigned = q.select(col("vid"), col("q"),

@@ -248,6 +248,54 @@ object Similarity {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup as the PAPER actually runs it (Abbas et al. 2023 §3): the
+    * corpus is first k-means-clustered in embedding space, then near-dup
+    * detection runs all-pairs WITHIN each cluster only. The contract
+    * that makes this scale is the paper's own: `k` is chosen large
+    * enough that expected cluster size N/k is pairable — per-cluster
+    * candidate work is (N/k)²/2, and the cluster-keyed self-join
+    * shuffles each vector once. A duplicate pair split across two
+    * k-means clusters is MISSED by construction (the paper accepts this
+    * boundary loss; [[semanticDedup]]'s 28-table SRP variant is the
+    * recall-hedged alternative when that matters). `maxCluster` is the
+    * degenerate-mass guard, same argument as [[nearDupPairs]]'s
+    * `maxBucket`: a constant-embedding failure mode collapses into ONE
+    * cluster of m members ⇒ m²/2 pairs; clusters larger than the cap
+    * are excised from candidate generation entirely (counted first,
+    * anti-joined — no broadcast assumption). Off by default so the
+    * oracle rows prove the exact form.
+    *
+    * Downstream is the proven tail: rounded-cosine exact verification
+    * (the 1e-6 rounding both engines agree on), pointer-jumping
+    * connected components, keep-min-id, left-anti against the corpus. */
+  def semanticDedupClustered(emb: DataFrame, threshold: Double,
+      k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCluster: Option[Long] = None): DataFrame = {
+    val assign = Clustering.kMeansAssign(emb, k, iters, idCol, vecCol)
+      .select(col(idCol).as("did"), col("cluster"))
+    val vecs = emb.select(col(idCol).as("did"), col(vecCol).as("v"))
+      .join(assign, Seq("did"))
+    val scoped = maxCluster match {
+      case None => vecs
+      case Some(cap) =>
+        val hot = vecs.groupBy("cluster").agg(count(lit(1)).as("members"))
+          .where(col("members") > cap).select("cluster")
+        vecs.join(hot, Seq("cluster"), "left_anti")
+    }
+    val pairs = scoped.as("a").join(scoped.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        (round((cosine(col("a.v"), col("b.v"))) * 1000000.0) / 1000000.0)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs)
+    val losers = comp.where(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max(|v_i|)/127,
     * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] (zero vectors quantize to
     * zeros). 4x smaller embedding storage/shuffle for ANN at corpus scale;

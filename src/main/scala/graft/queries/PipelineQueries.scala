@@ -1627,7 +1627,20 @@ object PipelineQueries {
              |r AS (SELECT *, row_number() OVER (ORDER BY bits_per_tok, doc_id) - 1 AS rk,
              |        count(*) OVER () AS n FROM sc)
              |SELECT doc_id, n_tok, bits_per_tok, CAST((rk * 3) // n AS BIGINT) AS bucket
-             |FROM r ORDER BY doc_id""".stripMargin)))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- SemDeDup as the paper runs it: k-means clusters first, exact
+    // cosine dedup within each cluster only (cross-cluster pairs missed
+    // by construction — the paper's accepted boundary loss; q101 is the
+    // SRP recall-hedged variant). One oracle proves the whole chain:
+    // kmeans CTEs -> cluster-scoped pairs -> recursive CC -> keep-min.
+    Q("q132_semdedup_clustered",
+      (s, d) => Similarity
+        .semanticDedupClustered(t(s, d, "embeddings"), 0.8, k = 8, iters = 2)
+        .select(col("vec_id")).orderBy("vec_id"),
+      Some(semdedupClusteredOracle(k = 8, iters = 2, dims = 64,
+        threshold = 0.8)),
+      bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign
@@ -1635,7 +1648,10 @@ object PipelineQueries {
     * folds left-to-right like the engine's codegen'd fold, and the
     * centroid quotient divides the same exact integers — doubles match
     * bit-for-bit, so `round(d, 4)` agrees. */
-  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+  /** The k-means CTE chain up to `sfin` (vid, cid, d) — shared by q129
+    * (which presents the assignment) and q132 (which dedups within the
+    * assigned clusters). */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     def assign(n: String, cent: String) =
       s"""a$n AS (SELECT e.vid, c.cid,
          |    list_reduce(list_transform(
@@ -1653,15 +1669,40 @@ object PipelineQueries {
          |  FROM s$n JOIN e USING (vid) GROUP BY cid),
          |cent$n AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS vid,
+    s"""e AS (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
        |  FROM embeddings),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
        |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
        |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0),
        |$rounds,
-       |${assign("fin", s"cent$iters")}
+       |${assign("fin", s"cent$iters")}""".stripMargin
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dims)}
        |SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist FROM sfin
        |ORDER BY vec_id""".stripMargin
-  }
+
+  /** q132: the kmeans chain, then q101's exact-cosine + recursive-CC
+    * tail scoped to pairs sharing a k-means cluster. */
+  private def semdedupClusteredOracle(k: Int, iters: Int, dims: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${kmeansCtes(k, iters, dims)},
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT a.vid AS ia, b.vid AS ib
+       |      FROM sfin a JOIN sfin b ON a.cid = b.cid AND a.vid < b.vid
+       |      JOIN ev va ON va.vec_id = a.vid
+       |      JOIN ev vb ON vb.vec_id = b.vid
+       |      WHERE round(list_cosine_similarity(va.v, vb.v) * 1000000.0)
+       |            / 1000000.0 >= $threshold),
+       |edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+       |reach AS (SELECT u AS src, u AS dst FROM edges
+       |          UNION
+       |          SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+       |lab AS (SELECT src AS vec_id, min(dst) AS cluster
+       |        FROM reach GROUP BY src)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
+       |ORDER BY vec_id""".stripMargin
 }

@@ -46,4 +46,39 @@ class ClusteringSpec extends GraftSpec {
     assert(out(0L) == out(1L))
     assert(out.values.forall(c => c == 0L || c == 1L))
   }
+
+  test("clustered semdedup: planted within-cluster dups dropped, min id kept") {
+    import graft.operators.Similarity
+    // two far-apart blobs; ids 2,3 duplicate id 0's vector (same blob),
+    // id 11 duplicates id 10's. Seeds (two smallest ids) split the blobs.
+    val rows = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.0f), 10L -> Seq(0.0f, 100.0f, 0.0f),
+      2L -> Seq(1.0f, 0.001f, 0.0f), 3L -> Seq(0.999f, 0.0f, 0.001f),
+      5L -> Seq(0.0f, 0.0f, 1.0f), // orthogonal: no dup anywhere
+      11L -> Seq(0.001f, 100.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity
+      .semanticDedupClustered(rows, threshold = 0.99, k = 2, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(2L) && !kept.contains(3L),
+      s"dups of 0 must drop: $kept")
+    assert(!kept.contains(11L), s"dup of 10 must drop: $kept")
+    assert(kept.contains(0L) && kept.contains(10L) && kept.contains(5L),
+      s"cluster minima and singletons survive: $kept")
+  }
+
+  test("clustered semdedup: maxCluster excises a degenerate hot cluster") {
+    import graft.operators.Similarity
+    // 30 identical vectors (encoder-failure mass) + 2 honest dups
+    val degen = (100L until 130L).map(i => i -> Seq(5.0f, 5.0f, 5.0f))
+    val honest = Seq(0L -> Seq(1.0f, 0.0f, 0.0f), 1L -> Seq(1.0f, 0.0001f, 0.0f))
+    val df = (honest ++ degen).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupClustered(df, threshold = 0.99,
+        k = 2, iters = 2, maxCluster = Some(10L))
+      .select("vec_id").as[Long].collect().toSet
+    // the degenerate cluster is excised from candidate generation: all
+    // 30 survive (nothing pairs), while the honest pair still dedups
+    assert((100L until 130L).forall(kept.contains), s"guarded mass survives: $kept")
+    assert(kept.contains(0L) && !kept.contains(1L), s"honest dup still drops: $kept")
+  }
 }
