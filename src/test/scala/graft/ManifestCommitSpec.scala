@@ -201,18 +201,25 @@ class ManifestCommitSpec extends GraftSpec {
       replaceAll = true, statCols = Seq("k")) { txn =>
       base.write.option("maxRecordsPerFile", 100).partitionBy("p").parquet(txn)
     }
-    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // job PRESENCE is probed via the HIGHEST job id, not the id count:
+    // the status store evicts past spark.ui.retainedJobs, so the count
+    // can go DOWN across snapshots late in a long suite (seen at 164
+    // tests), while the max id grows monotonically
+    def maxJobId(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val jobsBefore = maxJobId()
     assert(ManifestCommit.countManifested(spark, out) == 777L)
-    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobsAfter = maxJobId()
     assert(jobsAfter == jobsBefore,
       "fully-covered sidecars must answer the count from metadata alone")
     // a stats-less commit breaks coverage -> falls back to a REAL count,
     // still correct
     ManifestCommit.upsertManifested(spark, out,
       Seq((9000L, 1, 1L)).toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    val jobsUpsert = maxJobId()
     assert(ManifestCommit.countManifested(spark, out) == 778L)
-    val jobsFinal = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    assert(jobsFinal > jobsAfter, "uncovered files must trigger the real count")
+    val jobsFinal = maxJobId()
+    assert(jobsFinal > jobsUpsert, "uncovered files must trigger the real count")
   }
 
   test("no directory is ever renamed or deleted on the commit path") {
