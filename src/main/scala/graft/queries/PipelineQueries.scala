@@ -1640,6 +1640,98 @@ object PipelineQueries {
         .select(col("vec_id")).orderBy("vec_id"),
       Some(semdedupClusteredOracle(k = 8, iters = 2, dims = 64,
         threshold = 0.8)),
+      bench = true),
+
+    // ---- pipeline v3: the full modern data-curation recipe as ONE
+    // declarative chain — DSIR target-domain gate (keep logw >= 0: docs
+    // with net positive evidence toward the English target), CCNet
+    // perplexity banding REFIT on the survivors (keep head+middle, drop
+    // the tail third), then cluster-scoped SemDeDup over the surviving
+    // embeddings (docs without an embedding can't near-dup and survive).
+    // Every stage is its proven q130/q131/q132 form; the oracle composes
+    // the same three chains. Deterministic cutoffs: the rounded logw and
+    // the integer band are engine-identical, so stage boundaries are too.
+    Q("q133_pipeline_v3",
+      (s, d) => {
+        import graft.operators.{Similarity, TrainingPrep}
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        // dsir weights feed the gate AND the final projection — one
+        // checkpointed seam instead of two executions of the corpus
+        // explode (the q121 seam argument)
+        val w = TrainingPrep
+          .dsirLogWeights(docs, docs.where(col("lang") === "en"),
+            buckets = 1024)
+          .where(col("logw") >= 0.0)
+          .select("doc_id", "logw")
+          .localCheckpoint()
+        val survDocs = docs.join(w.select("doc_id"), Seq("doc_id"))
+        val banded = TrainingPrep.perplexityBuckets(survDocs, nBuckets = 3)
+          .where(col("bucket") < 2)
+        val embSurv = emb.join(banded.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val keptEmb = Similarity
+          .semanticDedupClustered(embSurv, 0.8, k = 8, iters = 2)
+        val losers = embSurv.select(col("vec_id").as("doc_id"))
+          .join(keptEmb.select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+        banded.join(losers, Seq("doc_id"), "left_anti")
+          .join(w, Seq("doc_id"))
+          .select(col("doc_id"), col("logw"), col("n_tok"),
+            col("bits_per_tok"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE dd AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT) % 1024 AS b
+             |       FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+             |             recursive := true) FROM dd WHERE len(w) >= 2)),
+             |tg AS (SELECT bg.b FROM bg JOIN documents USING (doc_id) WHERE lang = 'en'),
+             |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+             |rm AS (SELECT b, sum(n) AS cr FROM db GROUP BY b),
+             |nr AS (SELECT CAST(sum(n) AS DOUBLE) AS nr FROM db),
+             |tm AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+             |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tg),
+             |terms AS (SELECT doc_id, n,
+             |    CAST(n AS DOUBLE) * (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(nt + 1024.0)
+             |      - ln(CAST(cr AS DOUBLE) + 1.0) + ln(nr + 1024.0)) AS t
+             |  FROM db JOIN rm USING (b) LEFT JOIN tm USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |dagg AS (SELECT doc_id, round(sum(t), 4) AS logw FROM terms GROUP BY doc_id),
+             |dsir AS (SELECT d2.doc_id, coalesce(logw, 0.0) AS logw
+             |         FROM documents d2 LEFT JOIN dagg USING (doc_id)),
+             |surv AS (SELECT doc_id, logw FROM dsir WHERE logw >= 0.0),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |         FROM documents JOIN surv USING (doc_id)),
+             |model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS total
+             |        FROM documents JOIN surv USING (doc_id)),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |         round(avg(-ln(CAST(cnt AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |       FROM toks JOIN model USING (term), tot GROUP BY doc_id),
+             |r AS (SELECT *, row_number() OVER (ORDER BY bits_per_tok, doc_id) - 1 AS rk,
+             |        count(*) OVER () AS nn FROM sc),
+             |banded AS (SELECT doc_id, n_tok, bits_per_tok,
+             |             CAST((rk * 3) // nn AS BIGINT) AS bucket
+             |           FROM r WHERE (rk * 3) // nn < 2),
+             |embsrc AS (SELECT e0.* FROM embeddings e0
+             |           JOIN banded ON e0.vec_id = banded.doc_id),
+             |${kmeansCtes(k = 8, iters = 2, dims = 64, src = "embsrc")},
+             |evv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embsrc),
+             |p AS (SELECT a.vid AS ia, b.vid AS ib
+             |      FROM sfin a JOIN sfin b ON a.cid = b.cid AND a.vid < b.vid
+             |      JOIN evv va ON va.vec_id = a.vid
+             |      JOIN evv vb ON vb.vec_id = b.vid
+             |      WHERE round(list_cosine_similarity(va.v, vb.v) * 1000000.0)
+             |            / 1000000.0 >= 0.8),
+             |edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT rr.src, e2.v FROM reach rr JOIN edges e2 ON rr.dst = e2.u),
+             |lab AS (SELECT src AS vec_id, min(dst) AS cluster
+             |        FROM reach GROUP BY src)
+             |SELECT b.doc_id, s.logw, b.n_tok, b.bits_per_tok, b.bucket
+             |FROM banded b JOIN surv s USING (doc_id)
+             |WHERE b.doc_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
+             |ORDER BY b.doc_id""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
@@ -1649,9 +1741,11 @@ object PipelineQueries {
     * centroid quotient divides the same exact integers — doubles match
     * bit-for-bit, so `round(d, 4)` agrees. */
   /** The k-means CTE chain up to `sfin` (vid, cid, d) — shared by q129
-    * (which presents the assignment) and q132 (which dedups within the
-    * assigned clusters). */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+    * (which presents the assignment), q132 (which dedups within the
+    * assigned clusters) and q133 (which runs it on a gated survivor
+    * subset via `src`). */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int,
+      src: String = "embeddings"): String = {
     def assign(n: String, cent: String) =
       s"""a$n AS (SELECT e.vid, c.cid,
          |    list_reduce(list_transform(
@@ -1671,7 +1765,7 @@ object PipelineQueries {
     }.mkString(",\n")
     s"""e AS (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
-       |  FROM embeddings),
+       |  FROM $src),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
        |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
        |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0),
