@@ -91,10 +91,13 @@ object Clustering {
       for (j <- sums.indices if nc(j) > 0L) { sums(j) = ns(j); counts(j) = nc(j) }
     }
 
+    // no presentation sort here: composed callers (cluster-scoped
+    // SemDeDup, pipeline v3) consume the assignment as a relation, and
+    // an operator-level orderBy would charge every composition a range
+    // exchange it doesn't want. q129's register row sorts for display.
     val fin = assignCol(centroids())
     q.select(col("vid").as(idCol),
-        fin.getField("cid").as("cluster"),
-        round(fin.getField("d"), 4).as("dist"))
-      .orderBy(idCol)
+      fin.getField("cid").as("cluster"),
+      round(fin.getField("d"), 4).as("dist"))
   }
 }

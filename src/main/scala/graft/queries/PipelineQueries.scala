@@ -1572,7 +1572,8 @@ object PipelineQueries {
     // oracle unrolls the three Lloyd rounds as CTE blocks.
     Q("q129_kmeans_embed",
       (s, d) => graft.operators.Clustering
-        .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3),
+        .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3)
+        .orderBy("vec_id"),
       Some(kmeansOracle(k = 4, iters = 3, dims = 64)),
       bench = true),
 

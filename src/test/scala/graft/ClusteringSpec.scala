@@ -25,10 +25,11 @@ class ClusteringSpec extends GraftSpec {
 
   test("kMeans assignment is invariant to input partitioning") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-    val a = Clustering.kMeansAssign(emb, k = 4, iters = 2).collect()
-    val b = Clustering.kMeansAssign(emb.repartition(13), k = 4, iters = 2)
-      .collect()
-    assert(a.sameElements(b))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kMeansAssign(df, k = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+    assert(run(emb).sameElements(run(emb.repartition(13))))
   }
 
   test("empty cluster keeps its previous centroid instead of crashing") {
