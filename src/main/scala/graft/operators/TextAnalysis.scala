@@ -137,4 +137,51 @@ object TextAnalysis {
   def piiCount(text: Column, kind: String): Column =
     size(regexp_extract_all(text,
       lit(PiiPatterns.toMap.apply(kind)), lit(0)))
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, App. A):
+    * the standard rule battery run before any model-based quality
+    * scoring — word-count band, mean-word-length band, symbol-to-word
+    * ratio cap, bullet-line fraction cap, minimum stop-word presence.
+    * Emits the measured statistic AND a boolean per rule (the audit
+    * shape: a corpus report is one groupBy over the flags), plus the
+    * conjunction `keep`.
+    *
+    * Rule COMPARISONS run on the unrounded doubles: every ratio is an
+    * integer/integer division, identical in any IEEE engine, so the
+    * booleans are cross-engine deterministic without rounding; the
+    * displayed ratios round to 4 dp for presentation only. Pure column
+    * arithmetic — per-row, shuffle-free, scan-speed. */
+  def gopherRules(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      minStopwords: Int = 2): Column = {
+    val w = tokens(text)
+    val n = size(w).cast("long")
+    val charSum = aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = charSum.cast("double") / n.cast("double")
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+      .cast("long")
+    val symbolRatio = symbols.cast("double") / n.cast("double")
+    val lines = split(text, "\n")
+    val bullets = size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long")
+    val bulletFrac = bullets.cast("double") / size(lines).cast("long").cast("double")
+    val stopArr = array(Profiles.toMap.apply("en").map(lit): _*)
+    val stops = size(array_intersect(array_distinct(w), stopArr)).cast("long")
+    val rWords = n >= minWords && n <= maxWords
+    val rLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSym = symbolRatio < maxSymbolRatio
+    val rBullet = bulletFrac <= maxBulletFrac
+    val rStop = stops >= minStopwords
+    struct(
+      n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      stops.as("n_stopwords"),
+      rWords.as("r_words"), rLen.as("r_wordlen"), rSym.as("r_symbol"),
+      rBullet.as("r_bullet"), rStop.as("r_stop"),
+      (rWords && rLen && rSym && rBullet && rStop).as("keep"))
+  }
 }

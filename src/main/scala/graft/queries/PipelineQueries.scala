@@ -1733,7 +1733,43 @@ object PipelineQueries {
              |FROM banded b JOIN surv s USING (doc_id)
              |WHERE b.doc_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
              |ORDER BY b.doc_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Gopher rule battery (Rae et al. 2021 App. A): measured stats
+    // + per-rule booleans + the keep conjunction, per doc. Comparisons
+    // run on unrounded int/int ratio doubles (engine-identical), display
+    // ratios round to 4 dp.
+    Q("q134_gopher_rules",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             |             string_split(text, chr(10)) AS ln FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(w) AS BIGINT) AS n,
+             |  CAST(list_reduce(list_transform(w, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+             |    / CAST(len(w) AS DOUBLE) AS ml,
+             |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS sym,
+             |  CAST(len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS bl,
+             |  CAST(len(ln) AS BIGINT) AS nl,
+             |  CAST(len(list_intersect(list_distinct(w), [$EnList])) AS BIGINT) AS st
+             |  FROM d)
+             |SELECT doc_id, n AS n_words, round(ml, 4) AS mean_word_len,
+             |  round(CAST(sym AS DOUBLE) / CAST(n AS DOUBLE), 4) AS symbol_ratio,
+             |  round(CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE), 4) AS bullet_frac,
+             |  st AS n_stopwords,
+             |  (n >= 50 AND n <= 100000) AS r_words,
+             |  (ml >= 3.0 AND ml <= 10.0) AS r_wordlen,
+             |  (CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1) AS r_symbol,
+             |  (CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9) AS r_bullet,
+             |  (st >= 2) AS r_stop,
+             |  ((n >= 50 AND n <= 100000) AND (ml >= 3.0 AND ml <= 10.0)
+             |    AND (CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1)
+             |    AND (CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9)
+             |    AND (st >= 2)) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

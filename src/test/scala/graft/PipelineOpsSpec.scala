@@ -1020,6 +1020,32 @@ class PipelineOpsSpec extends GraftSpec {
     assert(re == got)
   }
 
+  test("gopher rules: each planted violation fails exactly its rule") {
+    import graft.operators.TextAnalysis
+    val good = (Seq("the", "of", "and") ++ Seq.fill(60)("sensible")).mkString(" ")
+    val docs = Seq(
+      1L -> good,                                      // passes everything
+      2L -> "the of short",                            // too few words
+      3L -> (Seq("the", "of") ++ Seq.fill(60)("a")).mkString(" "),  // mean len < 3
+      4L -> (Seq("the", "of") ++ Seq.fill(30)("word") ++ Seq.fill(30)("#")).mkString(" "), // symbols
+      5L -> (Seq.fill(30)("- bullet line") ++ Seq("the of and filler " * 15)).mkString("\n"), // bullets
+      6L -> Seq.fill(60)("zork").mkString(" ")         // no stopwords
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.r_words"), col("g.r_wordlen"),
+        col("g.r_symbol"), col("g.r_bullet"), col("g.r_stop"), col("g.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)), s"good doc: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6, s"word count: ${got(2L)}")
+    assert(!got(3L)._2 && !got(3L)._6, s"mean length: ${got(3L)}")
+    assert(!got(4L)._3 && !got(4L)._6, s"symbol ratio: ${got(4L)}")
+    assert(!got(5L)._4 && !got(5L)._6, s"bullet fraction: ${got(5L)}")
+    assert(!got(6L)._5 && !got(6L)._6, s"stopwords: ${got(6L)}")
+  }
+
   test("ccnet buckets: equal bands, score-monotone, partition-invariant") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val got = graft.operators.TrainingPrep.perplexityBuckets(docs, nBuckets = 3)
