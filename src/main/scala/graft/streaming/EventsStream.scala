@@ -470,4 +470,53 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming near-dup ADMISSION CONTROL — the production sink of
+    * [[graft.operators.Dedup.incrementalNearDup]]: each micro-batch of
+    * crawled documents is deduped against everything ACCEPTED so far
+    * (and within itself), and only the survivors append to the accepted
+    * table. The batch operator's contract carries over unchanged —
+    * history×incoming and incoming×incoming band joins (never
+    * history×history, so per-batch candidate work is batch-proportional),
+    * exact-Jaccard verification, conservative smaller-id within-batch
+    * rule.
+    *
+    * Delivery: foreachBatch is at-least-once, so admission is made
+    * idempotent BY ID — a batch's rows first anti-join against the
+    * accepted table, which makes a replayed batch (crash between the
+    * append and the checkpoint commit, or a full fresh-checkpoint replay)
+    * a no-op regardless of each row's dedup outcome. At scale the
+    * history's band rows would be a materialized table maintained per
+    * batch (the incrementalNearDup scaladoc's ManifestCommit note); here
+    * they derive from the accepted table for self-containment. */
+  def streamingNearDupIngest(spark: SparkSession, docs: DataFrame,
+      threshold: Double, target: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val path = new org.apache.hadoop.fs.Path(target)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val history =
+            if (fs.exists(path)) Some(spark.read.parquet(target)) else None
+          val fresh = history.fold(batch.toDF())(h =>
+            batch.join(h.select(col(idCol)), Seq(idCol), "left_anti"))
+          val hist = history
+            .map(_.select(col(idCol), col(textCol)))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              fresh.select(col(idCol), col(textCol)).schema))
+          val kept = graft.operators.Dedup.incrementalNearDup(
+            hist, fresh, threshold, idCol, textCol, n, bands, rowsPerBand)
+          kept.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(target)
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

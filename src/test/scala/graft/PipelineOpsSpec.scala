@@ -1020,6 +1020,57 @@ class PipelineOpsSpec extends GraftSpec {
     assert(re == got)
   }
 
+  test("streaming near-dup ingest: matches the batch twin, replay is a no-op") {
+    import graft.operators.Dedup
+    import graft.streaming.EventsStream
+    val root = java.nio.file.Files.createTempDirectory("graft-snd")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val target = root.resolve("accepted").toString
+    val ckpt = root.resolve("ckpt").toString
+    val base = (0 until 40).map(j => s"w$j")
+    val alt = (0 until 40).map(j => s"v$j")
+    val b1 = Seq(1L -> base.mkString(" "),
+      2L -> base.map(_ + "x").mkString(" "),
+      3L -> base.mkString(" "))                  // dup of 1 within batch
+    val b2 = Seq(10L -> base.map(_ + "x").mkString(" "), // dup of history 2
+      11L -> alt.mkString(" "),
+      12L -> alt.mkString(" "))                  // dup of 11 within batch
+    def land(batch: Seq[(Long, String)], tag: String): Unit = {
+      val stage = root.resolve(s"stage-$tag")
+      batch.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$tag.parquet"))
+    }
+    val schema = b1.toDF("doc_id", "text").schema
+    def stream = spark.readStream.schema(schema).parquet(landing.toString)
+    land(b1, "b1")
+    EventsStream.streamingNearDupIngest(spark, stream, 0.9, target, ckpt)
+    land(b2, "b2")
+    EventsStream.streamingNearDupIngest(spark, stream, 0.9, target, ckpt)
+    def acceptedIds() = spark.read.parquet(target)
+      .select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds() == Set(1L, 2L, 11L))
+    // batch twin: the same two batches through the batch operator
+    val b1df = b1.toDF("doc_id", "text"); val b2df = b2.toDF("doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val k1 = Dedup.incrementalNearDup(empty, b1df, 0.9)
+    val k2 = Dedup.incrementalNearDup(k1, b2df, 0.9)
+    val twin = (k1.select("doc_id").as[Long].collect() ++
+      k2.select("doc_id").as[Long].collect()).toSet
+    assert(acceptedIds() == twin, "stream admission must equal the batch twin")
+    // fresh-checkpoint full replay: every row anti-joins away by id or
+    // re-drops against the grown history — the table must not change
+    EventsStream.streamingNearDupIngest(spark, stream, 0.9, target,
+      root.resolve("ckpt2").toString)
+    assert(acceptedIds() == twin)
+    assert(spark.read.parquet(target).count() == 3,
+      "replay must not append duplicate rows")
+  }
+
   test("gopher rules: each planted violation fails exactly its rule") {
     import graft.operators.TextAnalysis
     val good = (Seq("the", "of", "and") ++ Seq.fill(60)("sensible")).mkString(" ")
