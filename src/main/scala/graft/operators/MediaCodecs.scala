@@ -122,6 +122,39 @@ object JdkMediaCodec extends MediaCodec {
       case _: java.io.IOException => None
     }
 
+  /** Raw int16 PCM samples + sample rate from a WAV payload — the
+    * sample-level seam [[Multimodal.applyAudioFrames]] frames over.
+    * Returning the RAW shorts (not normalized floats) keeps downstream
+    * energy sums exact integer arithmetic. Same contract as
+    * [[decodeWav]]: 16-bit PCM only, None on undecodable input. */
+  private[operators] def wavSamples(
+      payload: Array[Byte]): Option[(Float, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+            val hi = bytes(2 * i + (if (big) 0 else 1))
+            out(i) = ((hi << 8) | lo).toShort
+            i += 1
+          }
+          if (n == 0) None else Some((fmt.getSampleRate, out))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** [decoded, nFrames, width, height, meanLuma, stdLuma, durationMs, fps]
     * — container fields come from the REAL [[Mp4]] demux (sample tables,
     * not metadata guesses). `decoded`=1 iff the track's samples pixel-

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One multimodal asset: opaque payload bytes + typed metadata. */
@@ -80,6 +80,35 @@ object Multimodal {
       val frames = (0 until n).map(i => grayJpeg(8, 8, ((id * 37 + i * 41) % 256).toInt))
       MmAsset(id, "video/mp4", Mp4.mux(frames, 8, 8, frameDurMs = 100), 8, 8, n * 100L)
     }
+  }
+
+  /** Deterministic REAL audio assets derived from doc_id: 16-bit mono
+    * 8 kHz PCM WAVs whose sample i is the integer pseudo-noise
+    * `((i·31 + 7) mod 201 − 100)·50` — SQL-reproducible, so frame
+    * energies are exactly oracle-able — with doc-dependent length
+    * `100` (shorter than one analysis frame: emits no frames) when
+    * `doc_id % 5 = 0`, else `400 + (doc_id % 5)·300`. Encode is per-row
+    * CPU on executors through the real `javax.sound` writer. */
+  def pcmAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = if (id % 5 == 0) 100 else (400 + (id % 5) * 300).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (((i * 31 + 7) % 201 - 100) * 50).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      (id, 8000, n.toLong, out.toByteArray)
+    }.toDF("doc_id", "sample_rate", "n_samples", "payload")
   }
 
   private def grayJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
@@ -165,6 +194,62 @@ object Multimodal {
     * Per-asset CPU inside `mapPartitions`; the payload is demuxed once for
     * all of its sampled frames, and the frame lookup per timestamp is a
     * binary search. */
+  /** Audio analysis-frame PLAN: one row per (frameMs, hopMs) sliding
+    * window over a clip — the first stage of every audio pipeline (VAD,
+    * silence trimming, feature extraction). Geometry is pure integer
+    * column arithmetic from (sample_rate, n_samples): frame_len =
+    * rate·frameMs/1000, hop_len = rate·hopMs/1000, frames only where
+    * they fit entirely (n_frames = (n−frame_len)/hop_len + 1; clips
+    * shorter than one frame emit nothing). Shuffle-free generate;
+    * computing each frame's energy from the payload is the codec seam
+    * [[applyAudioFrames]] executes for real. */
+  def audioFramePlan(assets: DataFrame, frameMs: Int, hopMs: Int): DataFrame = {
+    def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val frameLen = intDiv(col("sample_rate") * frameMs, lit(1000))
+    val hopLen = intDiv(col("sample_rate") * hopMs, lit(1000))
+    assets
+      .select(col("doc_id"), col("n_samples").cast("long").as("n_samples"),
+        frameLen.as("frame_len"), hopLen.as("hop_len"))
+      .where(col("n_samples") >= col("frame_len"))
+      .select(col("doc_id"), col("frame_len"), col("hop_len"),
+        explode(sequence(lit(0L),
+          intDiv(col("n_samples") - col("frame_len"), col("hop_len")))).as("k"))
+      .select(col("doc_id"), col("k").as("frame_idx"),
+        (col("k") * col("hop_len")).as("start_sample"), col("frame_len"))
+  }
+
+  /** Executes [[audioFramePlan]]'s energy seam with the REAL
+    * `javax.sound` WAV decode: each payload's int16 samples are decoded
+    * once per asset ([[JdkMediaCodec.wavSamples]]), each analysis frame's
+    * energy sum Σ s² accumulates in exact integer arithmetic (raw int16
+    * scale — bounded by frame_len·32768² « 2⁶³), and
+    * rms = sqrt(Σ s² / frame_len) is a correctly-rounded double of exact
+    * inputs, so the value is engine- and partitioning-deterministic.
+    * Undecodable payloads are dropped — the [[applyFrameSample]]
+    * contract. Per-asset CPU inside `mapPartitions`. */
+  def applyAudioFrames(spark: SparkSession, assets: DataFrame,
+      frameMs: Int, hopMs: Int): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        JdkMediaCodec.wavSamples(payload).toSeq.flatMap { case (rate, s) =>
+          val frameLen = (rate.toLong * frameMs / 1000).toInt
+          val hopLen = (rate.toLong * hopMs / 1000).toInt
+          if (frameLen <= 0 || hopLen <= 0 || s.length < frameLen) Seq.empty
+          else (0 to (s.length - frameLen) / hopLen).map { k =>
+            val st = k * hopLen
+            var sumSq = 0L
+            var i = st
+            while (i < st + frameLen) { sumSq += s(i).toLong * s(i); i += 1 }
+            (id, k.toLong, st.toLong,
+              math.sqrt(sumSq.toDouble / frameLen))
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "start_sample", "rms")
+  }
+
   def applyFrameSample(spark: SparkSession, assets: Dataset[MmAsset],
       everyMs: Int, maxFrames: Int = 1 << 20): DataFrame = {
     import spark.implicits._

@@ -1769,7 +1769,38 @@ object PipelineQueries {
              |    AND (CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1)
              |    AND (CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9)
              |    AND (st >= 2)) AS keep
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- audio analysis frames driver-checked through the REAL
+    // javax.sound decode (the q97 pattern for audio): deterministic PCM
+    // assets whose integer pseudo-noise samples are SQL-reproducible, so
+    // every 25 ms / 10 ms-hop frame's rms — an exact-integer energy sum
+    // under a correctly-rounded sqrt — hash-matches the oracle. Clips
+    // shorter than one frame (doc_id % 5 = 0) emit nothing.
+    Q("q135_audio_frames",
+      (s, d) => graft.operators.Multimodal.applyAudioFrames(
+          s,
+          graft.operators.Multimodal.pcmAssets(
+            s, t(s, d, "documents").where(col("doc_id") % 11 === 0)),
+          frameMs = 25, hopMs = 10)
+        .select(col("doc_id"), col("frame_idx"), col("start_sample"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH a AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN 100
+             |         ELSE 400 + (doc_id % 5) * 300 END AS n
+             |  FROM documents WHERE doc_id % 11 = 0),
+             |s AS (SELECT doc_id, i,
+             |    CAST(((i * 31 + 7) % 201 - 100) * 50 AS BIGINT) AS v
+             |  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM a)),
+             |fr AS (SELECT doc_id, CAST(k AS BIGINT) AS k, CAST(k * 80 AS BIGINT) AS st
+             |       FROM (SELECT doc_id, unnest(range(0, (n - 200) // 80 + 1)) AS k
+             |             FROM a WHERE n >= 200))
+             |SELECT fr.doc_id, k AS frame_idx, st AS start_sample,
+             |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 200.0), 6) AS rms
+             |FROM fr JOIN s ON s.doc_id = fr.doc_id AND s.i >= st AND s.i < st + 200
+             |GROUP BY fr.doc_id, k, st
+             |ORDER BY fr.doc_id, frame_idx""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

@@ -251,4 +251,22 @@ class MediaCodecSpec extends GraftSpec {
     val rgb = img.getRGB(16, 12)
     assert(((rgb >> 16) & 0xff) == 10 && ((rgb >> 8) & 0xff) == 200 && (rgb & 0xff) == 30)
   }
+
+  test("audio frames: plan geometry == executed geometry; closed-form rms") {
+    import org.apache.spark.sql.functions.col
+    // square wave +/-16384: every frame's rms is exactly 16384
+    val assets = Seq((1L, 8000, 800L, wav(800)), (2L, 8000, 100L, wav(100)))
+      .toDF("doc_id", "sample_rate", "n_samples", "payload")
+    val plan = Multimodal.audioFramePlan(assets, frameMs = 25, hopMs = 10)
+      .select("doc_id", "frame_idx", "start_sample")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Multimodal.applyAudioFrames(spark, assets, frameMs = 25, hopMs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == plan,
+      "the plan's generate and the codec execution must frame identically")
+    // doc 2 is shorter than one 200-sample frame -> no rows
+    assert(got.forall(_._1 == 1L))
+    // (800 - 200) / 80 + 1 = 8 frames, each rms exactly 16384 (square wave)
+    assert(got.length == 8 && got.forall(_._4 == 16384.0), s"got ${got.toSeq}")
+  }
 }
