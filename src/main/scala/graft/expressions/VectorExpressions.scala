@@ -143,9 +143,19 @@ case class FoldDotProduct(left: Expression, right: Expression) extends VectorBin
   * struct-comparison field order of the literal form. */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
   override def prettyName: String = "nearest_centroid"
+
+  // the eval path reads elements with ArrayData.getLong — on any other
+  // element type that would silently reinterpret bytes into garbage
+  // assignments, so misuse must fail analysis, not corrupt results
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
   override def dataType: DataType = StructType(Seq(
     StructField("d", DoubleType, nullable = false),
     StructField("cid", LongType, nullable = false)))

@@ -125,8 +125,9 @@ object JdkMediaCodec extends MediaCodec {
   /** Raw int16 PCM samples + sample rate from a WAV payload — the
     * sample-level seam [[Multimodal.applyAudioFrames]] frames over.
     * Returning the RAW shorts (not normalized floats) keeps downstream
-    * energy sums exact integer arithmetic. Same contract as
-    * [[decodeWav]]: 16-bit PCM only, None on undecodable input. */
+    * energy sums exact integer arithmetic. Stricter than [[decodeWav]]
+    * (which folds stats across channels): MONO SIGNED 16-bit PCM only,
+    * None on anything else. */
   private[operators] def wavSamples(
       payload: Array[Byte]): Option[(Float, Array[Short])] =
     try {
@@ -134,7 +135,12 @@ object JdkMediaCodec extends MediaCodec {
         .getAudioInputStream(new ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        // mono signed 16-bit PCM is the contract: a stereo or unsigned
+        // stream would otherwise decode "successfully" into garbage
+        // (interleaved channels / biased amplitudes) instead of None
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getChannels != 1) None
         else {
           val bytes = in.readAllBytes()
           val big = fmt.isBigEndian

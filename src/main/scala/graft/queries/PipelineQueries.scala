@@ -1800,7 +1800,73 @@ object PipelineQueries {
              |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 200.0), 6) AS rms
              |FROM fr JOIN s ON s.doc_id = fr.doc_id AND s.i >= st AND s.i < st + 200
              |GROUP BY fr.doc_id, k, st
-             |ORDER BY fr.doc_id, frame_idx""".stripMargin)))
+             |ORDER BY fr.doc_id, frame_idx""".stripMargin)),
+
+    // ---- Streaming near-dup ADMISSION CONTROL, driver-checked: two
+    // staged document batches (even ids, then odd ids) stream through
+    // streamingNearDupIngest under Trigger.AvailableNow against a shared
+    // checkpoint; the accepted table must equal the iterated batch twin —
+    // batch 1 deduped within itself (conservative smaller-id rule),
+    // batch 2 against batch-1 SURVIVORS and within itself. batch_id
+    // comes from the checkpoint (0 then 1), so a checkpoint bug
+    // (re-processing or skipping a landed file) changes rows or
+    // batch_ids and fails the hash compare. Same threshold/shingle
+    // scheme as q106, so the oracle reuses its exact-Jaccard CTEs.
+    Q("q136_stream_neardup",
+      (s, d) => {
+        import graft.streaming.EventsStream
+        val root = java.nio.file.Files.createTempDirectory("graft-q136")
+        val landing = root.resolve("landing")
+        java.nio.file.Files.createDirectories(landing)
+        val target = root.resolve("accepted").toString
+        val ckpt = root.resolve("ckpt").toString
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        def land(batch: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+          val tmp = root.resolve(s"stage_$tag")
+          batch.coalesce(1).write.parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(part.toPath, landing.resolve(s"$tag.parquet"))
+          ()
+        }
+        def stream = s.readStream.schema(docs.schema).parquet(landing.toString)
+        land(docs.where(col("doc_id") % 2 === 0), "b1")
+        EventsStream.streamingNearDupIngest(s, stream, 0.5, target, ckpt)
+        land(docs.where(col("doc_id") % 2 === 1), "b2")
+        EventsStream.streamingNearDupIngest(s, stream, 0.5, target, ckpt)
+        s.read.parquet(target).select(col("doc_id"), col("batch_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |          for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |sim AS (SELECT ia, ib FROM inter
+             |        JOIN cnt ca ON ca.doc_id = ia
+             |        JOIN cnt cb ON cb.doc_id = ib
+             |        WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |simu AS (SELECT ia AS u, ib AS v FROM sim
+             |         UNION ALL SELECT ib, ia FROM sim),
+             |k1 AS (SELECT doc_id FROM documents
+             |       WHERE doc_id % 2 = 0
+             |         AND doc_id NOT IN (SELECT u FROM simu
+             |                            WHERE v % 2 = 0 AND v < u)),
+             |k2 AS (SELECT doc_id FROM documents
+             |       WHERE doc_id % 2 = 1
+             |         AND doc_id NOT IN (SELECT u FROM simu
+             |                            WHERE v IN (SELECT doc_id FROM k1))
+             |         AND doc_id NOT IN (SELECT u FROM simu
+             |                            WHERE v % 2 = 1 AND v < u))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM k1
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k2
+             |ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign
@@ -1829,7 +1895,10 @@ object PipelineQueries {
          |    list_reduce(list(q ORDER BY vid), (a,b) -> [a[i+1]+b[i+1] for i in range(0,$dims)]) AS sl,
          |    count(*) AS c
          |  FROM s$n JOIN e USING (vid) GROUP BY cid),
-         |cent$n AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n)""".stripMargin
+         |cent$n AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n
+         |  UNION ALL
+         |  SELECT p.cid, p.cl FROM cent${n - 1} p
+         |  WHERE p.cid NOT IN (SELECT cid FROM u$n))""".stripMargin
     }.mkString(",\n")
     s"""e AS (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q

@@ -23,6 +23,18 @@ class ClusteringSpec extends GraftSpec {
     assert(Set(1L, 4L, 5L, 7L).forall(out(_) == 1L))
   }
 
+  test("nearest_centroid rejects non-bigint arrays at analysis time") {
+    // the kernel reads elements with ArrayData.getLong — applied to
+    // array<double> it would reinterpret bytes into garbage assignments,
+    // so misuse must fail analysis instead
+    val df = Seq(Seq(1.0, 2.0)).toDF("v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.expressions.VectorFunctions
+        .nearest_centroid(col("v"), Array(Array(0.0, 0.0)))).collect()
+    }
+    assert(ex.getMessage.contains("array<bigint>"), ex.getMessage)
+  }
+
   test("kMeans assignment is invariant to input partitioning") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

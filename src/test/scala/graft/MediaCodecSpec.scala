@@ -62,6 +62,27 @@ class MediaCodecSpec extends GraftSpec {
     assert(math.abs(f(7) - 0.5f) < 1e-4, s"peak ${f(7)}")
   }
 
+  test("audio frames: stereo WAV is rejected, not interleaved into mono") {
+    // a stereo stream read as mono would double the apparent sample count
+    // and interleave channels — wavSamples must return None instead, so
+    // the frame pipeline emits nothing for it
+    val nFrames = 400
+    val pcm = new Array[Byte](nFrames * 2 * 2)
+    (0 until nFrames * 2).foreach { i => // L/R interleaved square wave
+      val s: Short = if (i % 4 < 2) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val assets = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+    assert(Multimodal.applyAudioFrames(spark, assets, 25, 10).count() == 0L,
+      "stereo payload must decode to None, not garbage frames")
+  }
+
   test("undecodable payloads fall back to byte stats, flagged as such") {
     val f = JdkMediaCodec.decode(
       MmAsset(3L, "video/mp4", Array[Byte](1, 2, 3, 4), 0, 0, 0L)).features
