@@ -938,4 +938,54 @@ object TrainingPrep {
         coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         coalesce(col("logw"), lit(0.0)).as("logw"))
   }
+
+  /** DSIR SELECTION — the resampling step of Xie et al. 2023 made
+    * deterministic: keep the `n` raw-corpus documents with the highest
+    * [[dsirLogWeights]] importance weight, ties broken by doc_id.
+    *
+    * The paper resamples stochastically (Gumbel draws over the weights),
+    * which needs exp()/log() boundary behavior no two libms agree on —
+    * there is no sqrt-style exactness trick for exp, so a stochastic
+    * form cannot be engine-reproducible (the q111 discussion). Rank-based
+    * selection on the ROUNDED logw is the deterministic contract: the
+    * result is a prefix of a total order, identical across engines,
+    * runs, and partitionings, and in expectation equals the paper's
+    * resample as temperature → 0.
+    *
+    * Returns (doc_id, logw, rank) with rank 1..n in selection order.
+    *
+    * SCALE: the weight models are bucket-bounded broadcasts (the
+    * [[dsirLogWeights]] contract); the global top-n cut is the
+    * [[selectUnderBudget]] two-phase prefix pattern applied to row
+    * COUNTS — range-partition by (logw desc, doc_id), one row per
+    * partition to the driver, exclusive offsets broadcast back.
+    * No one-partition window, no TakeOrdered driver collect of n rows;
+    * partitions whose offset already exceeds `n` short-circuit. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, buckets: Int, n: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val scored = dsirLogWeights(raw, target, buckets, idCol, textCol)
+      .select(col("doc_id").cast("long"), col("logw"))
+      .repartitionByRange(nParts, col("logw").desc, col("doc_id"))
+      .sortWithinPartitions(col("logw").desc, col("doc_id"))
+      .as[(Long, Double)]
+      .localCheckpoint() // boundaries are SAMPLED: both passes must agree
+    val partCounts = scored.mapPartitions { it =>
+      var c = 0L; it.foreach(_ => c += 1)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+    }.collect().toMap
+    val offsets = (0 until nParts).map(partCounts.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    scored.mapPartitions { it =>
+      var rank = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      if (rank >= n) Iterator.empty
+      else it.map { case (id, w) => rank += 1; (id, w, rank) }
+        .takeWhile(_._3 <= n)
+    }.toDF("doc_id", "logw", "rank")
+  }
 }

@@ -1866,6 +1866,43 @@ object PipelineQueries {
              |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM k1
              |UNION ALL
              |SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR resampling: q130's scores become a SELECTION — the top-n
+    // documents by (rounded logw desc, doc_id), the deterministic
+    // contract replacing the paper's Gumbel resample (no engine-portable
+    // exp(); see dsirSelect scaladoc). The cut is the q89 two-phase
+    // prefix pattern on counts, so no one-partition window; the oracle
+    // ranks the identical rounded weights with row_number.
+    Q("q137_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TrainingPrep
+          .dsirSelect(docs, docs.where(col("lang") === "en"),
+            buckets = 1024, n = 120)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT) % 1024 AS b
+             |       FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+             |             recursive := true) FROM d WHERE len(w) >= 2)),
+             |tg AS (SELECT bg.b FROM bg JOIN documents USING (doc_id) WHERE lang = 'en'),
+             |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+             |rm AS (SELECT b, sum(n) AS cr FROM db GROUP BY b),
+             |nr AS (SELECT CAST(sum(n) AS DOUBLE) AS nr FROM db),
+             |tm AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+             |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tg),
+             |terms AS (SELECT doc_id, n,
+             |    CAST(n AS DOUBLE) * (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(nt + 1024.0)
+             |      - ln(CAST(cr AS DOUBLE) + 1.0) + ln(nr + 1024.0)) AS t
+             |  FROM db JOIN rm USING (b) LEFT JOIN tm USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |agg AS (SELECT doc_id, round(sum(t), 4) AS logw FROM terms GROUP BY doc_id),
+             |sel AS (SELECT d2.doc_id, coalesce(logw, 0.0) AS logw
+             |        FROM documents d2 LEFT JOIN agg USING (doc_id)),
+             |r AS (SELECT doc_id, logw,
+             |        CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank
+             |      FROM sel)
+             |SELECT doc_id, logw, rank FROM r WHERE rank <= 120
              |ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the

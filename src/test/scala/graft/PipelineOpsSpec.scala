@@ -772,6 +772,31 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("dsir selection == orderBy/limit twin, invariant to partition count") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val target = docs.where(col("lang") === "en")
+    val twin = graft.operators.TrainingPrep
+      .dsirLogWeights(docs, target, buckets = 1024)
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "logw")
+      .collect().map(_.toSeq).toSet
+    assert(twin.size == 50)
+    Seq(1, 3, 32).foreach { p =>
+      val got = graft.operators.TrainingPrep
+        .dsirSelect(docs, target, buckets = 1024, n = 50, partitions = p)
+        .collect()
+      assert(got.map(r => Seq(r.get(0), r.get(1))).toSet == twin, s"partitions=$p")
+      // ranks are exactly 1..n and consistent with the selection order
+      val byRank = got.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to 50L),
+        s"partitions=$p ranks")
+      val resorted = got.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      assert(resorted.map(_.getLong(0)).toSeq ==
+        byRank.map(_.getLong(0)).toSeq, s"partitions=$p rank order")
+    }
+  }
+
   test("inverted index: postings sorted+distinct, df consistent, membership correct") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val idx = graft.operators.TrainingPrep.invertedIndex(docs).collect()
