@@ -1903,7 +1903,45 @@ object PipelineQueries {
              |        CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank
              |      FROM sel)
              |SELECT doc_id, logw, rank FROM r WHERE rank <= 120
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- trending-terms PRODUCTION table sink, driver-checked: the
+    // events file-stream drives trendingTermsToTable under
+    // Trigger.AvailableNow; the keyed (ws, rank) table is read back and
+    // must hold the batch ranks of every watermark-CLOSED hour window.
+    // Closed = window_end <= watermark, where the final watermark is
+    // floor(max event ms) - 1 hour (Spark tracks watermarks in ms).
+    // ws presents as epoch SECONDS (hour-aligned, so exact) per the
+    // register's no-raw-timestamp convention.
+    Q("q138_trending_table",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-q138")
+        val target = root.resolve("trending").toString
+        graft.streaming.EventsStream.trendingTermsToTable(s,
+          graft.streaming.EventsStream.readEvents(s, d), "props",
+          "1 hour", k = 5, target, root.resolve("ckpt").toString)
+        s.read.parquet(target)
+          .select(col("ws").cast("long").as("ws_s"), col("rank"),
+            col("term"), col("n"))
+          .orderBy("ws_s", "rank")
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms, props
+             |           FROM events),
+             |wm AS (SELECT max(ms) - 3600000 AS w FROM e),
+             |t AS (SELECT ms // 3600000 AS h,
+             |             unnest(string_split(props, ' ')) AS term
+             |      FROM e),
+             |c AS (SELECT h, term, count(*) AS n FROM t
+             |      WHERE len(term) > 0 GROUP BY 1, 2),
+             |closed AS (SELECT h, term, n FROM c, wm
+             |           WHERE (h + 1) * 3600000 <= w),
+             |r AS (SELECT h, term, n,
+             |        row_number() OVER (PARTITION BY h ORDER BY n DESC, term) AS rank
+             |      FROM closed)
+             |SELECT CAST(h * 3600 AS BIGINT) AS ws_s, CAST(rank AS INT) AS rank,
+             |       term, n
+             |FROM r WHERE rank <= 5
+             |ORDER BY ws_s, rank""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign
