@@ -2,6 +2,7 @@ package graft
 
 import graft.queries._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* modules; this object aggregates them. */
@@ -41,6 +42,42 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val merges = graft.operators.Bpe.train(docs, numMerges = 30)
       require(merges.nonEmpty)
+    }),
+    // BucketingSpec proves the exchange-free join at fixture scale; this
+    // times it at bench scale. The UNTIMED warmup pass builds the bucketed
+    // orders/lineitem pair (session-catalog check: tables are built once
+    // per JVM), so the measured samples time ONLY the co-located join —
+    // the repeated-fact-join shape bucketing exists for at 100 TB. The
+    // plan is asserted exchange-free on the join keys every run, so a
+    // regression to a shuffling plan fails the bench rather than quietly
+    // timing a different query.
+    "x_bucketed_join" -> ((s, dir) => {
+      val db = "graft_bench_bucketed"
+      if (!s.catalog.databaseExists(db)) {
+        // the session catalog is in-memory per JVM but the warehouse dir is
+        // not: a killed prior run leaves orphan table locations that make
+        // saveAsTable refuse (LOCATION_ALREADY_EXISTS). Clear them first.
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        s.read.parquet(s"$dir/orders.parquet")
+          .write.mode("overwrite").bucketBy(32, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable(s"$db.orders_b")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .write.mode("overwrite").bucketBy(32, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable(s"$db.lineitem_b")
+      }
+      val j = s.table(s"$db.orders_b")
+        .join(s.table(s"$db.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      j.write.mode("overwrite").format("noop").save()
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join must not shuffle its join keys")
     })
   )
 }
