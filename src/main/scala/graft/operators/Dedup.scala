@@ -95,6 +95,36 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Bloom-gated exact anti-join: the rows of `batch` whose key does not
+    * appear in `corpus` — byte-identical to
+    * `batch.join(corpus, key, "left_anti")`, but only the Bloom-POSITIVE
+    * slice of the batch ever reaches that join. A Bloom "no" is definite,
+    * so those rows are admitted at scan speed with no join at all; the
+    * "maybe" rows (true hits plus the ~(1-e^(-kn/m))^k false-positive
+    * sliver) are settled by the exact anti-join, which keeps the result
+    * exact whatever the filter's collision behavior.
+    *
+    * SCALE: this is the 100 TB shape of "dedup today's batch against
+    * everything ever ingested" when the history is too big to broadcast
+    * exactly. The filter build is one history scan reduced to m/64 words
+    * ([[Sketches.bloomBuild]]); the probe is pure column arithmetic over
+    * the broadcast-literal words; and the exact join's left side shrinks
+    * from |batch| to the maybe-hits, so its shuffle mass is the corpus
+    * KEY column only — which at steady state is the slim materialized key
+    * table ([[graft.sources.ManifestCommit]]) rather than a re-derivation,
+    * and the filter itself is incrementally maintainable (OR in each
+    * admitted batch's words) instead of rebuilt per batch. */
+  def bloomGatedAntiJoin(batch: DataFrame, corpus: DataFrame, keyCol: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val words = Sketches.bloomBuild(corpus.select(keyCol), col(keyCol), numBits, numHashes)
+    val probed = batch.withColumn("__bloom_maybe",
+      Sketches.bloomMightContain(words, col(keyCol), numHashes))
+    probed.where(!col("__bloom_maybe"))
+      .unionByName(probed.where(col("__bloom_maybe"))
+        .join(corpus.select(keyCol), Seq(keyCol), "left_anti"))
+      .drop("__bloom_maybe")
+  }
+
   /** (did, set-size, one 64-bit-hashed shingle per row) — the
     * inverted-index input. Shingle generation + hashing run inside the
     * codegen'd [[graft.expressions.ShingleHashes]] expression (no typed

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Distinct-count sketching (custom UDAF surface).
   *
@@ -48,4 +49,55 @@ object Sketches {
       override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
       override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
     }
+
+  /** Double-hashed bit positions for a Bloom filter (Kirsch & Mitzenmacher
+    * 2006: pos_i = h1 + i*h2 mod m needs only two base hashes for any k).
+    * Both hashes are reduced mod m BEFORE the multiply-add: the combined
+    * value then tops out near k·m, far from Long.MaxValue, so ANSI mode
+    * (Spark 4's default) can't see an overflow. Build and probe share this
+    * function, so the two sides always agree. */
+  private def bloomPositions(key: Column, numBits: Int, numHashes: Int): Seq[Column] = {
+    val m = lit(numBits.toLong)
+    val h1 = pmod(xxhash64(key), m)
+    val h2 = pmod(xxhash64(lit("bloom2"), key), m)
+    (0 until numHashes).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+  }
+
+  /** Distributed Bloom-filter build over `df`'s `key` values: the m-bit
+    * filter as packed little-endian words (bit p lives at word p>>6, bit
+    * p&63).
+    *
+    * SCALE: one scan of `df` sets k positions per row; the groupBy on the
+    * word index is map-side combined by `bit_or`, so the shuffle carries at
+    * most m/64 rows PER MAP TASK and the driver collect is bounded by m/64
+    * longs — the size of the filter itself, which any Bloom design must
+    * materialize wherever it is probed. Size m to the corpus: false-positive
+    * rate is (1-e^(-kn/m))^k, so m ≈ 10·n bits with k=5 gives ~1% — for
+    * 10^12 corpus keys that is ~1.2 TB, at which point build per-executor
+    * region filters instead; at the common 10^9-key history the filter is
+    * ~1.2 GB and this single-filter form holds. */
+  def bloomBuild(df: DataFrame, key: Column, numBits: Int, numHashes: Int = 5): Array[Long] = {
+    require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64: $numBits")
+    val words = new Array[Long](numBits / 64)
+    df.select(explode(array(bloomPositions(key, numBits, numHashes): _*)).as("p"))
+      .groupBy(shiftrightunsigned(col("p"), 6).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("p") % 64).cast("int"))).as("bits"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership probe against a built filter: true iff all k bits are set
+    * (i.e. the key MIGHT be in the build set; false means definitely not).
+    * Pure column arithmetic over the words as an array literal — the
+    * literal rides codegen as one reference object (never unrolled into
+    * source, so no Janino size cliff), and the probe runs at scan speed
+    * with no shuffle, no UDF. */
+  def bloomMightContain(words: Array[Long], key: Column, numHashes: Int = 5): Column = {
+    val wlit = typedlit(words.toSeq)
+    bloomPositions(key, words.length * 64, numHashes).map { pos =>
+      (element_at(wlit, (shiftrightunsigned(pos, 6) + 1L).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+  }
 }

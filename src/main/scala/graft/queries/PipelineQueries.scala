@@ -1941,7 +1941,32 @@ object PipelineQueries {
              |SELECT CAST(h * 3600 AS BIGINT) AS ws_s, CAST(rank AS INT) AS rank,
              |       term, n
              |FROM r WHERE rank <= 5
-             |ORDER BY ws_s, rank""".stripMargin)))
+             |ORDER BY ws_s, rank""".stripMargin)),
+
+    // ---- Bloom-gated incremental dedup: the batch anti-joined against
+    // the ingested corpus on the q96 content fingerprint, with a Bloom
+    // filter admitting bloom-negative rows at scan speed so only the
+    // maybe-hits reach the exact anti-join. The result is EXACT (the
+    // filter only gates), so the oracle is the plain anti-join — engine
+    // and oracle agree whatever the filter's collision behavior.
+    Q("q139_bloom_gated_dedup",
+      (s, d) => {
+        val fp = graft.operators.TextAnalysis.fingerprint(col("text"))
+        val docs = t(s, d, "documents")
+        graft.operators.Dedup.bloomGatedAntiJoin(
+            docs.where(col("doc_id") % 3 === 0).withColumn("f", fp),
+            docs.where(col("doc_id") % 3 =!= 0).select(fp.as("f")),
+            "f", numBits = 1 << 17)
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS f
+             |  FROM documents)
+             |SELECT doc_id FROM fp b
+             |WHERE doc_id % 3 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM fp c WHERE c.doc_id % 3 <> 0 AND c.f = b.f)
+             |ORDER BY doc_id""".stripMargin),
+      bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

@@ -36,7 +36,8 @@ class CodegenGuardSpec extends GraftSpec {
     "q129_kmeans_embed",      // NearestCentroid reference-object kernel
     "q132_semdedup_clustered",
     "q133_pipeline_v3",
-    "q134_gopher_rules")
+    "q134_gopher_rules",
+    "q139_bloom_gated_dedup") // bloom words array-literal probe
 
   test("register hot paths execute with codegen fallback disabled") {
     val conf = spark.conf

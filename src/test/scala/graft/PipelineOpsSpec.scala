@@ -829,6 +829,30 @@ class PipelineOpsSpec extends GraftSpec {
     assert(noHist == Seq(10L, 11L))
   }
 
+  test("bloom-gated anti-join: equals plain anti-join, no false negatives, partition-invariant build") {
+    val corpus = docs.where(col("doc_id") % 3 =!= 0).select(col("text").as("k"))
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text").as("k"))
+    val want = batch.join(corpus, Seq("k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = Dedup.bloomGatedAntiJoin(batch, corpus, "k", numBits = 1 << 12)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    // a saturated filter (64 bits for thousands of keys) routes everything
+    // through the exact join — still exact, just ungated
+    val saturated = Dedup.bloomGatedAntiJoin(batch, corpus, "k", numBits = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(saturated == want)
+    // no false negatives: every built key must probe maybe=true
+    val words = graft.operators.Sketches.bloomBuild(corpus, col("k"), 1 << 12)
+    assert(corpus.where(
+      !graft.operators.Sketches.bloomMightContain(words, col("k"))).count() == 0L)
+    // the filter is a pure function of the key SET, not its layout
+    val words2 = graft.operators.Sketches.bloomBuild(
+      corpus.repartition(13), col("k"), 1 << 12)
+    assert(words.toSeq == words2.toSeq)
+  }
+
   test("inverted index maxDf: hot terms dropped, surviving postings unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val full = graft.operators.TrainingPrep.invertedIndex(docs).collect()
