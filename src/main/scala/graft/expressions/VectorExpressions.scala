@@ -211,6 +211,89 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** [[NearestCentroid]] plus the RUNNER-UP cluster: struct (d, cid, d2,
+  * cid2) where (d2, cid2) is the second-smallest (distance, id) pair —
+  * the "nearest competing cluster" that hard-negative mining draws from.
+  * Both slots come out of one two-min scan with the same strict-`<`
+  * id-order tie rule as [[NearestCentroid]], so (d, cid) here is
+  * bit-identical to the single-best kernel and (d2, cid2) equals rank 2
+  * of the oracle's row_number ORDER BY (d, cid). Requires >= 2 centroids
+  * (checked at construction — a runner-up must exist). */
+case class NearestCentroid2(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+  require(cents.length >= 2, s"runner-up needs >= 2 centroids, got ${cents.length}")
+
+  override def prettyName: String = "nearest_centroid2"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cid2", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    var bestD = Double.PositiveInfinity; var bestJ = 0L
+    var secD = Double.PositiveInfinity; var secJ = 0L
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val t = q.getLong(i).toDouble - c(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { secD = bestD; secJ = bestJ; bestD = d; bestJ = j.toLong }
+      else if (d < secD) { secD = d; secJ = j.toLong }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestJ, secD, secJ))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      val bestD = ctx.freshName("bestD"); val bestJ = ctx.freshName("bestJ")
+      val secD = ctx.freshName("secD"); val secJ = ctx.freshName("secJ")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val m = ctx.freshName("m")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      s"""double $bestD = Double.POSITIVE_INFINITY; long $bestJ = 0L;
+         |double $secD = Double.POSITIVE_INFINITY; long $secJ = 0L;
+         |for (int $j = 0; $j < $cref.length; $j++) {
+         |  double[] $c = $cref[$j];
+         |  int $m = java.lang.Math.min($q.numElements(), $c.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $t = (double) $q.getLong($i) - $c[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $secD = $bestD; $secJ = $bestJ; $bestD = $d; $bestJ = (long) $j; }
+         |  else if ($d < $secD) { $secD = $d; $secJ = (long) $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{java.lang.Double.valueOf($bestD), java.lang.Long.valueOf($bestJ),
+         |    java.lang.Double.valueOf($secD), java.lang.Long.valueOf($secJ)});""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration. */
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -225,6 +308,9 @@ object VectorFunctions {
   /** `q` must be array<long> (the quantized-vector convention). */
   def nearest_centroid(q: Column, cents: Array[Array[Double]]): Column =
     c(NearestCentroid(e(q), cents))
+
+  def nearest_centroid2(q: Column, cents: Array[Array[Double]]): Column =
+    c(NearestCentroid2(e(q), cents))
 
   /** Expose as SQL functions (`SELECT cosine_sim(a, b)`). SQL literals may
     * arrive as decimal/float arrays, so children are cast explicitly (the

@@ -33,15 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Assign every vector to one of `k` Lloyd clusters after `iters`
-    * update rounds. Returns (idCol, cluster, dist) where `dist` is the
-    * squared quantized-space distance to the final centroid, rounded to
-    * 4 dp for presentation. */
-  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      scale: Double = 10000.0): DataFrame = {
+  /** The shared Lloyd fit: quantized corpus view (localCheckpointed — read
+    * every iteration and by the caller's final assignment) plus the final
+    * centroid matrix. Both assignment surfaces ([[kMeansAssign]],
+    * [[kMeansAssignRunnerUp]]) run the SAME fit, so their (cluster, dist)
+    * columns are bit-identical. */
+  private def fitQuantized(emb: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String, scale: Double): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters must be positive")
-    val spark = emb.sparkSession
 
     // exact integer view of the corpus: float -> double is exact, the
     // scaled round is the single, shared quantization both engines agree
@@ -90,14 +89,43 @@ object Clustering {
       // empty cluster: keep the previous centroid state
       for (j <- sums.indices if nc(j) > 0L) { sums(j) = ns(j); counts(j) = nc(j) }
     }
+    (q, centroids())
+  }
 
+  /** Assign every vector to one of `k` Lloyd clusters after `iters`
+    * update rounds. Returns (idCol, cluster, dist) where `dist` is the
+    * squared quantized-space distance to the final centroid, rounded to
+    * 4 dp for presentation. */
+  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    val (q, cents) = fitQuantized(emb, k, iters, idCol, vecCol, scale)
     // no presentation sort here: composed callers (cluster-scoped
     // SemDeDup, pipeline v3) consume the assignment as a relation, and
     // an operator-level orderBy would charge every composition a range
     // exchange it doesn't want. q129's register row sorts for display.
-    val fin = assignCol(centroids())
+    val fin = graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
     q.select(col("vid").as(idCol),
       fin.getField("cid").as("cluster"),
       round(fin.getField("d"), 4).as("dist"))
+  }
+
+  /** [[kMeansAssign]] plus the runner-up: (idCol, cluster, dist,
+    * cluster2, dist2) where cluster2 is the second-nearest final centroid
+    * — the "nearest competing cluster" hard-negative mining scopes its
+    * candidates to. Same fit, same quantization, same tie rule; the
+    * runner-up falls out of the SAME scan-speed kernel pass
+    * ([[graft.expressions.NearestCentroid2]]), not a second assignment. */
+  def kMeansAssignRunnerUp(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    require(k >= 2, s"runner-up assignment needs k >= 2, got $k")
+    val (q, cents) = fitQuantized(emb, k, iters, idCol, vecCol, scale)
+    val fin = graft.expressions.VectorFunctions.nearest_centroid2(col("q"), cents)
+    q.select(col("vid").as(idCol),
+      fin.getField("cid").as("cluster"),
+      round(fin.getField("d"), 4).as("dist"),
+      fin.getField("cid2").as("cluster2"),
+      round(fin.getField("d2"), 4).as("dist2"))
   }
 }

@@ -296,6 +296,54 @@ object Similarity {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE data
+    * shape): for each anchor vector, its best POSITIVE — the most-similar
+    * vector in the SAME k-means cluster — and its top-`nNeg` HARD
+    * NEGATIVES — the most-similar vectors in the anchor's NEAREST
+    * COMPETING cluster (the runner-up centroid of
+    * [[Clustering.kMeansAssignRunnerUp]]). Random negatives are easy and
+    * teach nothing; the hardest useful negatives live just across the
+    * nearest cluster boundary, which is exactly where the runner-up
+    * centroid points.
+    *
+    * Output: one row per (anchor, role, rank) — (idCol, kind 'pos'|'neg',
+    * rnk, other_id, cos) with cosine rounded to 1e-6 (the cross-engine
+    * contract q132 established) and ties broken on (cos DESC, other_id).
+    * A singleton cluster yields no 'pos' row for its member; an empty
+    * runner-up cluster yields no 'neg' rows — both are real absences, not
+    * sentinel rows.
+    *
+    * SCALE: the q132 within-cluster contract, twice — candidates are
+    * (anchor x own-cluster members) for positives and (anchor x
+    * runner-up-cluster members) for negatives, both cluster-keyed joins
+    * whose pair mass is bounded by k sizing the pairable cluster, never
+    * all-pairs. The per-anchor top-k is a vid-keyed window (keyed, never
+    * one-partition), and the assignment rides the scan-speed
+    * NearestCentroid2 kernel — the runner-up costs no second pass. */
+  def hardNegatives(emb: DataFrame, k: Int, iters: Int, nNeg: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nNeg > 0, s"nNeg must be positive: $nNeg")
+    val asg = Clustering.kMeansAssignRunnerUp(emb, k, iters, idCol, vecCol)
+      .select(col(idCol).as("did"), col("cluster"), col("cluster2"))
+    val av = emb.select(col(idCol).as("did"), col(vecCol).cast("array<double>").as("v"))
+      .join(asg, Seq("did"))
+    def ranked(pairs: DataFrame, kind: String, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vid").orderBy(col("cos").desc, col("other_id"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= keep)
+        .select(col("vid"), lit(kind).as("kind"), col("rnk"),
+          col("other_id"), col("cos"))
+    }
+    val rcos = round(cosine(col("a.v"), col("b.v")) * 1000000.0) / 1000000.0
+    val pos = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.did") =!= col("b.did"))
+      .select(col("a.did").as("vid"), col("b.did").as("other_id"), rcos.as("cos"))
+    val neg = av.as("a").join(av.as("b"), col("a.cluster2") === col("b.cluster"))
+      .select(col("a.did").as("vid"), col("b.did").as("other_id"), rcos.as("cos"))
+    ranked(pos, "pos", 1).unionByName(ranked(neg, "neg", nNeg))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max(|v_i|)/127,
     * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] (zero vectors quantize to
     * zeros). 4x smaller embedding storage/shuffle for ANN at corpus scale;

@@ -1966,6 +1966,21 @@ object PipelineQueries {
              |WHERE doc_id % 3 = 0 AND NOT EXISTS (
              |  SELECT 1 FROM fp c WHERE c.doc_id % 3 <> 0 AND c.f = b.f)
              |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- hard-negative mining for contrastive training: per anchor, the
+    // best positive from its own k-means cluster and the top-3 hardest
+    // negatives from its runner-up (nearest competing) cluster. The
+    // runner-up comes from the same NearestCentroid2 kernel pass as the
+    // assignment; the oracle re-derives it as rank 2 of the kmeans CTE
+    // chain's full (vid, cid, d) relation under the same (d, cid) order.
+    Q("q140_hard_negatives",
+      (s, d) => graft.operators.Similarity
+        .hardNegatives(t(s, d, "embeddings"), k = 8, iters = 2, nNeg = 3)
+        .select(col("vid").as("vec_id"), col("kind"), col("rnk"),
+          col("other_id"), col("cos"))
+        .orderBy("vec_id", "kind", "rnk"),
+      Some(hardNegativesOracle(k = 8, iters = 2, dims = 64, nNeg = 3)),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
@@ -2014,6 +2029,41 @@ object PipelineQueries {
     s"""WITH ${kmeansCtes(k, iters, dims)}
        |SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist FROM sfin
        |ORDER BY vec_id""".stripMargin
+
+  /** q140: the kmeans chain, with BOTH assignment ranks (1 = cluster,
+    * 2 = runner-up) taken from the final all-distances relation `afin`
+    * under the same (d, cid) order the engine's two-min kernel scan
+    * implements, then the positive/negative candidate joins with the
+    * q132 rounded-cosine contract. */
+  private def hardNegativesOracle(k: Int, iters: Int, dims: Int,
+      nNeg: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dims)},
+       |asg AS (SELECT vid, cid,
+       |          row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+       |        FROM afin),
+       |av AS (SELECT e2.vec_id AS did, e2.embedding::DOUBLE[] AS v,
+       |          a1.cid AS cluster, a2.cid AS cluster2
+       |       FROM embeddings e2
+       |       JOIN asg a1 ON a1.vid = e2.vec_id AND a1.rn = 1
+       |       JOIN asg a2 ON a2.vid = e2.vec_id AND a2.rn = 2),
+       |pos AS (SELECT a.did AS vid, b.did AS other_id,
+       |          round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+       |            / 1000000.0 AS cos
+       |        FROM av a JOIN av b ON a.cluster = b.cluster AND a.did <> b.did),
+       |neg AS (SELECT a.did AS vid, b.did AS other_id,
+       |          round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+       |            / 1000000.0 AS cos
+       |        FROM av a JOIN av b ON a.cluster2 = b.cluster),
+       |rp AS (SELECT vid, 'pos' AS kind,
+       |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, other_id) AS rnk,
+       |         other_id, cos FROM pos),
+       |rg AS (SELECT vid, 'neg' AS kind,
+       |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, other_id) AS rnk,
+       |         other_id, cos FROM neg)
+       |SELECT vid AS vec_id, kind, CAST(rnk AS INT) AS rnk, other_id, cos
+       |FROM (SELECT * FROM rp WHERE rnk <= 1
+       |      UNION ALL SELECT * FROM rg WHERE rnk <= $nNeg)
+       |ORDER BY vec_id, kind, rnk""".stripMargin
 
   /** q132: the kmeans chain, then q101's exact-cosine + recursive-CC
     * tail scoped to pairs sharing a k-means cluster. */

@@ -80,6 +80,35 @@ class ClusteringSpec extends GraftSpec {
       s"cluster minima and singletons survive: $kept")
   }
 
+  test("runner-up assignment: agrees with kMeansAssign, matches brute-force rank 2") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val base = Clustering.kMeansAssign(emb, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Clustering.kMeansAssignRunnerUp(emb, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(full.keySet == base.keySet)
+    full.foreach { case (vid, (c1, d1, c2, d2)) =>
+      // best slot bit-identical to the single-best kernel
+      assert((c1, d1) == base(vid), s"vid=$vid best slot drifted")
+      // runner-up is a DIFFERENT cluster at >= the best distance
+      assert(c2 != c1, s"vid=$vid runner-up == best")
+      assert(d2 >= d1, s"vid=$vid d2=$d2 < d=$d1")
+    }
+    // brute-force rank-2 check on a tiny fixture with known geometry:
+    // anchors near (0,0) have best=0, runner-up=1 ((10,0) beats (0,20))
+    val rows = Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 0.0f), 2L -> Seq(0.0f, 20.0f),
+      3L -> Seq(1.0f, 0.0f), 4L -> Seq(9.0f, 0.0f))
+    val out = Clustering.kMeansAssignRunnerUp(toDf(rows), k = 3, iters = 0)
+      .select("vec_id", "cluster", "cluster2")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // iters=0 keeps the seed centroids (vectors 0/1/2) — assignments are
+    // hand-checkable: 3 is nearest seed0 then seed1; 4 nearest seed1 then seed0
+    assert(out(3L) == (0L, 1L), s"got ${out(3L)}")
+    assert(out(4L) == (1L, 0L), s"got ${out(4L)}")
+  }
+
   test("clustered semdedup: maxCluster excises a degenerate hot cluster") {
     import graft.operators.Similarity
     // 30 identical vectors (encoder-failure mass) + 2 honest dups

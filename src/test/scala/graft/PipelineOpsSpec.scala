@@ -853,6 +853,27 @@ class PipelineOpsSpec extends GraftSpec {
     assert(words.toSeq == words2.toSeq)
   }
 
+  test("hard negatives: pos from own cluster, neg from runner-up cluster, ranks contiguous") {
+    val asg = graft.operators.Clustering.kMeansAssignRunnerUp(emb, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val rows = Similarity.hardNegatives(emb, k = 8, iters = 2, nNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (vid, kind, _, other) =>
+      val (cl, cl2) = asg(vid)
+      if (kind == "pos") {
+        assert(other != vid, s"$vid paired with itself")
+        assert(asg(other)._1 == cl, s"pos for $vid not from its cluster")
+      } else
+        assert(asg(other)._1 == cl2, s"neg for $vid not from its runner-up cluster")
+    }
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((vid, kind), g) =>
+      val ranks = g.map(_._3).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"$vid/$kind ranks not contiguous: $ranks")
+      assert(if (kind == "pos") ranks.size == 1 else ranks.size <= 3)
+    }
+  }
+
   test("inverted index maxDf: hot terms dropped, surviving postings unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val full = graft.operators.TrainingPrep.invertedIndex(docs).collect()
