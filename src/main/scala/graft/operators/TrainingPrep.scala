@@ -319,6 +319,67 @@ object TrainingPrep {
     }.toDF("doc_id", "n_tok", "cum_tok")
   }
 
+  /** Source-balanced corpus selection (the RefinedWeb/Dolma "no single
+    * domain dominates" cut): within EACH source keep the priority-ordered
+    * prefix (`n_chars` desc, doc_id) whose cumulative token count fits
+    * `budgetTokens` — a per-source budget rather than [[selectUnderBudget]]'s
+    * global one. Returns (source, doc_id, n_tok, cum_tok) for the kept
+    * rows; each source's result is a prefix of a total order, so it is
+    * independent of partitioning.
+    *
+    * SCALE: the tempting form — a source-keyed window cumsum — puts each
+    * source's ENTIRE history on one task, and real corpora are exactly the
+    * workload where one source (the web crawl) is 90% of the mass. This
+    * instead extends [[selectUnderBudget]]'s two-phase prefix sum with a
+    * source dimension: range-partition by (source, priority) — a hot
+    * source SPANS partitions instead of collapsing onto one — then one
+    * tiny pass collects per-(partition, source) token sums (bounded by
+    * partitions + sources-at-boundaries, never rows), the driver folds
+    * them into exclusive per-source offsets, and the second pass gives
+    * every row its exact in-source cumulative position with zero further
+    * shuffles. */
+  def selectPerSourceBudget(docs: DataFrame, budgetTokens: Long,
+      sourceCol: String = "source", partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(sourceCol).cast("string"), col("doc_id").cast("long"),
+        col("n_chars").cast("long"), size(split(col("text"), " ")).cast("long"))
+      .repartitionByRange(nParts, col(sourceCol), col("n_chars").desc, col("doc_id"))
+      .sortWithinPartitions(col(sourceCol), col("n_chars").desc, col("doc_id"))
+      .as[(String, Long, Long, Long)]
+      .localCheckpoint() // both passes must see identical sampled ranges
+    val partSums: Array[(Int, Seq[(String, Long)])] = ranged.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (s, _, _, tok) => m.update(s, m.getOrElse(s, 0L) + tok) }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), m.toSeq))
+    }.collect()
+    // exclusive offsets: tokens of (source) in partitions BEFORE p. Fold in
+    // partition order; within a partition the source order is the sorted
+    // row order (LinkedHashMap preserves it), so the fold is deterministic.
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offsets: Map[(Int, String), Long] = partSums.sortBy(_._1).flatMap {
+      case (p, sums) => sums.map { case (s, tot) =>
+        val off = running.getOrElse(s, 0L)
+        running.update(s, off + tot)
+        ((p, s), off)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var cum = 0L
+      it.flatMap { case (s, id, _, tok) =>
+        if (s != cur) { cur = s; cum = bc.value.getOrElse((pid, s), 0L) }
+        cum += tok
+        if (cum <= budgetTokens) Iterator((s, id, tok, cum)) else Iterator.empty
+      }
+    }.toDF("source", "doc_id", "n_tok", "cum_tok")
+  }
+
   /** Coverage-targeted vocabulary: the SMALLEST set of top-frequency
     * terms whose counts cover at least `coveragePermille`/1000 of the
     * corpus token mass (the crossing term is included) — how word-level

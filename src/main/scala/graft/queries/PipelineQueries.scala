@@ -1981,7 +1981,28 @@ object PipelineQueries {
           col("other_id"), col("cos"))
         .orderBy("vec_id", "kind", "rnk"),
       Some(hardNegativesOracle(k = 8, iters = 2, dims = 64, nNeg = 3)),
-      bench = true))
+      bench = true),
+
+    // ---- source-balanced selection: q89's budget cut applied PER SOURCE
+    // (no domain may exceed its token budget). The engine runs the
+    // skew-robust two-phase prefix sum (a hot source spans range
+    // partitions); the oracle is the declarative keyed-window cumsum the
+    // result is defined to equal.
+    Q("q141_source_budget",
+      (s, d) => graft.operators.TrainingPrep
+        .selectPerSourceBudget(t(s, d, "documents"), budgetTokens = 800)
+        .orderBy("source", "doc_id"),
+      Some("""WITH d AS (SELECT source, doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |  FROM d)
+             |SELECT source, doc_id, n_tok, cum_tok FROM c
+             |WHERE cum_tok <= 800
+             |ORDER BY source, doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

@@ -772,6 +772,30 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("per-source budget == keyed-window twin, invariant to partitions, hot source spans ranges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // make one source dominant: relabel 80% of the corpus onto src0
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 5 =!= 0, lit("src0")).otherwise(col("source")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val twin = skewed
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), col("n_chars"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .where(col("cum_tok") <= 3000)
+      .select("source", "doc_id", "n_tok", "cum_tok")
+      .collect().map(_.toSeq).toSet
+    assert(twin.nonEmpty)
+    Seq(1, 3, 32).foreach { p =>
+      val got = graft.operators.TrainingPrep
+        .selectPerSourceBudget(skewed, 3000L, partitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(got == twin, s"partitions=$p")
+    }
+  }
+
   test("dsir selection == orderBy/limit twin, invariant to partition count") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val target = docs.where(col("lang") === "en")
