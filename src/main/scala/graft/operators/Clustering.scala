@@ -39,7 +39,8 @@ object Clustering {
     * [[kMeansAssignRunnerUp]]) run the SAME fit, so their (cluster, dist)
     * columns are bit-identical. */
   private def fitQuantized(emb: DataFrame, k: Int, iters: Int,
-      idCol: String, vecCol: String, scale: Double): (DataFrame, Array[Array[Double]]) = {
+      idCol: String, vecCol: String, scale: Double,
+      farthestSeeds: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters must be positive")
 
     // exact integer view of the corpus: float -> double is exact, the
@@ -52,10 +53,13 @@ object Clustering {
 
     val dims = q.select(size(col("q"))).head().getInt(0)
 
-    // seed: the k smallest-id vectors, as (sum, count=1) states
-    var sums: Array[Array[Long]] = q.orderBy("vid").limit(k)
-      .select(col("q")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    // seed: the k smallest-id vectors (reproducibility-first default), or
+    // greedy farthest-point (Gonzalez) when quality-seeded — both as
+    // (sum, count=1) states
+    var sums: Array[Array[Long]] =
+      if (farthestSeeds) farthestPointSeeds(q, k)
+      else q.orderBy("vid").limit(k).select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray)
     var counts: Array[Long] = Array.fill(sums.length)(1L)
 
     def centroids(): Array[Array[Double]] =
@@ -92,6 +96,36 @@ object Clustering {
     (q, centroids())
   }
 
+  /** Greedy farthest-point (Gonzalez) seeding: seed 1 is the smallest-id
+    * vector; each next seed is the vector FARTHEST from its nearest
+    * already-chosen seed (ties to the smallest vid). Deterministic
+    * quality seeding — no RNG, no transcendental, so the DuckDB oracle
+    * replays it exactly; the k-means++ D² sampling this stands in for
+    * needs a random draw that has no cross-engine convention
+    * (DESIGN.md's exp()-boundary argument, same shape).
+    *
+    * SCALE: k-1 passes, each ONE scan-speed kernel pass (min distance to
+    * the chosen matrix via [[graft.expressions.NearestCentroid]]) plus a
+    * 1-row argmax collect — the BPE argmax shape. Driver state is the
+    * chosen k x d matrix. For k in the hundreds prefer a k-means‖-style
+    * oversampled variant (O(log n) passes); at the k this engine clusters
+    * with (tens), k scans of a checkpointed 3-column projection are the
+    * cheaper, simpler plan. */
+  private def farthestPointSeeds(q: DataFrame, k: Int): Array[Array[Long]] = {
+    var chosen = q.orderBy("vid").limit(1).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    while (chosen.length < k) {
+      val cents = chosen.map(_.map(_.toDouble))
+      val d = graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
+        .getField("d")
+      val next = q.select(col("vid"), col("q"), d.as("d"))
+        .orderBy(col("d").desc, col("vid")).limit(1)
+        .select("q").collect()
+      chosen = chosen :+ next.head.getSeq[Long](0).toArray
+    }
+    chosen
+  }
+
   /** Assign every vector to one of `k` Lloyd clusters after `iters`
     * update rounds. Returns (idCol, cluster, dist) where `dist` is the
     * squared quantized-space distance to the final centroid, rounded to
@@ -104,6 +138,22 @@ object Clustering {
     // SemDeDup, pipeline v3) consume the assignment as a relation, and
     // an operator-level orderBy would charge every composition a range
     // exchange it doesn't want. q129's register row sorts for display.
+    val fin = graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
+    q.select(col("vid").as(idCol),
+      fin.getField("cid").as("cluster"),
+      round(fin.getField("d"), 4).as("dist"))
+  }
+
+  /** [[kMeansAssign]] with greedy farthest-point seeding instead of the
+    * smallest-id default — quality-aware initial centroids (the Gonzalez
+    * max-min sweep spreads seeds across the data's extent, where
+    * smallest-id seeding can start k seeds inside one blob) with the same
+    * Lloyd rounds, quantization, and determinism contract after seeding. */
+  def kMeansAssignFarthest(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    val (q, cents) = fitQuantized(emb, k, iters, idCol, vecCol, scale,
+      farthestSeeds = true)
     val fin = graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
     q.select(col("vid").as(idCol),
       fin.getField("cid").as("cluster"),

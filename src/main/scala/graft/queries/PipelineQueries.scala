@@ -1983,6 +1983,18 @@ object PipelineQueries {
       Some(hardNegativesOracle(k = 8, iters = 2, dims = 64, nNeg = 3)),
       bench = true),
 
+    // ---- farthest-point-seeded k-means: q129's Lloyd machinery with
+    // Gonzalez max-min seeding replacing smallest-id seeds — quality-aware
+    // init that stays deterministic (no RNG, no transcendental), so the
+    // oracle replays the greedy seed sweep round by round.
+    Q("q142_kmeans_farthest",
+      (s, d) => graft.operators.Clustering
+        .kMeansAssignFarthest(t(s, d, "embeddings"), k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH ${kmeansCtes(4, 2, 64, seedCtes = Some(farthestSeedCtes(4, 64)))}
+              |SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist FROM sfin
+              |ORDER BY vec_id""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range
@@ -2015,7 +2027,7 @@ object PipelineQueries {
     * assigned clusters) and q133 (which runs it on a gated survivor
     * subset via `src`). */
   private def kmeansCtes(k: Int, iters: Int, dims: Int,
-      src: String = "embeddings"): String = {
+      src: String = "embeddings", seedCtes: Option[String] = None): String = {
     def assign(n: String, cent: String) =
       s"""a$n AS (SELECT e.vid, c.cid,
          |    list_reduce(list_transform(
@@ -2036,14 +2048,43 @@ object PipelineQueries {
          |  SELECT p.cid, p.cl FROM cent${n - 1} p
          |  WHERE p.cid NOT IN (SELECT cid FROM u$n))""".stripMargin
     }.mkString(",\n")
+    val seeds = seedCtes.getOrElse(
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
+         |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
+         |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0)""".stripMargin)
     s"""e AS (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
        |  FROM $src),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
-       |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
-       |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0),
+       |$seeds,
        |$rounds,
        |${assign("fin", s"cent$iters")}""".stripMargin
+  }
+
+  /** Greedy farthest-point seeding as CTEs ending in `cent0` — one
+    * unrolled round per seed: distances to the chosen set (same fold as
+    * the assignment CTEs), min per vid, argmax by (d DESC, vid). Replays
+    * [[graft.operators.Clustering.kMeansAssignFarthest]]'s seeding
+    * exactly. */
+  private def farthestSeedCtes(k: Int, dims: Int): String = {
+    require(k >= 2, s"farthest seeding CTEs need k >= 2, got $k")
+    val rounds = (1 until k).map { j =>
+      s"""fa$j AS (SELECT e.vid, c.cid,
+         |    list_reduce(list_transform(
+         |      [CAST(e.q[i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,$dims)], v -> v*v),
+         |      (x,y) -> x+y) AS d
+         |  FROM e CROSS JOIN fc$j c),
+         |fm$j AS (SELECT vid, min(d) AS d FROM fa$j GROUP BY vid),
+         |fn$j AS (SELECT e.q FROM fm$j JOIN e USING (vid)
+         |         ORDER BY fm$j.d DESC, vid LIMIT 1),
+         |fc${j + 1} AS (SELECT cid, cl FROM fc$j UNION ALL
+         |  SELECT CAST($j AS BIGINT) AS cid,
+         |         [CAST(x AS DOUBLE) for x in q] AS cl FROM fn$j)""".stripMargin
+    }.mkString(",\n")
+    s"""f1 AS (SELECT vid, q FROM e ORDER BY vid LIMIT 1),
+       |fc1 AS (SELECT CAST(0 AS BIGINT) AS cid,
+       |        [CAST(x AS DOUBLE) for x in q] AS cl FROM f1),
+       |$rounds,
+       |cent0 AS (SELECT cid, cl FROM fc$k)""".stripMargin
   }
 
   private def kmeansOracle(k: Int, iters: Int, dims: Int): String =

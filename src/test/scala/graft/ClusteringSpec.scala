@@ -109,6 +109,32 @@ class ClusteringSpec extends GraftSpec {
     assert(out(4L) == (1L, 0L), s"got ${out(4L)}")
   }
 
+  test("farthest-point seeding spreads seeds across blobs where smallest-id cannot") {
+    // the three smallest ids all live in blob A: smallest-id seeding with
+    // iters=0 starts (and stays) inside one blob, farthest-point jumps to
+    // blob B for its second seed
+    val rows = Seq(
+      0L -> Seq(0.1f, 0.2f), 1L -> Seq(0.3f, -0.1f), 2L -> Seq(-0.2f, 0.1f),
+      3L -> Seq(100.0f, 100.1f), 4L -> Seq(99.8f, 100.2f))
+    val far = Clustering.kMeansAssignFarthest(toDf(rows), k = 2, iters = 0)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L).map(far).size == 1, s"blob A split: $far")
+    assert(Set(3L, 4L).map(far).size == 1, s"blob B split: $far")
+    assert(far(0L) != far(3L), s"blobs merged: $far")
+    // smallest-id seeding with iters=0 seeds 0 and 1 — both in blob A —
+    // and B's points report a huge dist; farthest seeding's max in-cluster
+    // dist is blob-radius-sized. The quality gap is the point of the op.
+    val naive = Clustering.kMeansAssign(toDf(rows), k = 2, iters = 0)
+      .agg(max("dist")).head().getDouble(0)
+    val seeded = Clustering.kMeansAssignFarthest(toDf(rows), k = 2, iters = 0)
+      .agg(max("dist")).head().getDouble(0)
+    assert(seeded < naive / 100.0, s"seeded=$seeded naive=$naive")
+    // with Lloyd rounds on top, the seeded variant still separates exactly
+    val conv = Clustering.kMeansAssignFarthest(toDf(rows), k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L).map(conv).size == 1 && conv(0L) != conv(3L))
+  }
+
   test("clustered semdedup: maxCluster excises a degenerate hot cluster") {
     import graft.operators.Similarity
     // 30 identical vectors (encoder-failure mass) + 2 honest dups
