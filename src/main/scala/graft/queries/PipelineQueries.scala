@@ -1995,6 +1995,125 @@ object PipelineQueries {
               |SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist FROM sfin
               |ORDER BY vec_id""".stripMargin)),
 
+    // ---- pipeline v4: v3's DSIR -> CCNet -> clustered-SemDeDup chain
+    // with the round's new gates up front — the Gopher rule battery
+    // (q134's keep conjunction) and Bloom-gated decontamination against
+    // an evaluation slice (doc_id % 41 == 0; exact-content fingerprints,
+    // the q139 operator). Gates are scan-speed predicates, so they run
+    // FIRST and every downstream stage (DSIR model, perplexity model,
+    // dedup) is built over the gated corpus only.
+    Q("q143_pipeline_v4",
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity, TextAnalysis, TrainingPrep}
+        val all = t(s, d, "documents")
+        val fp = TextAnalysis.fingerprint(col("text"))
+        val evalSet = all.where(col("doc_id") % 41 === 0)
+        val gated = Dedup.bloomGatedAntiJoin(
+            all.where(col("doc_id") % 41 =!= 0)
+              .where(TextAnalysis.gopherRules(col("text")).getField("keep"))
+              .withColumn("f", fp),
+            evalSet.select(fp.as("f")), "f", numBits = 1 << 17)
+          .drop("f")
+        val w = TrainingPrep
+          .dsirLogWeights(gated, gated.where(col("lang") === "en"),
+            buckets = 1024)
+          .where(col("logw") >= 0.0)
+          .select("doc_id", "logw")
+          .localCheckpoint()
+        val survDocs = gated.join(w.select("doc_id"), Seq("doc_id"))
+        val banded = TrainingPrep.perplexityBuckets(survDocs, nBuckets = 3)
+          .where(col("bucket") < 2)
+        val embSurv = t(s, d, "embeddings")
+          .join(banded.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val keptEmb = Similarity
+          .semanticDedupClustered(embSurv, 0.8, k = 8, iters = 2)
+        val losers = embSurv.select(col("vec_id").as("doc_id"))
+          .join(keptEmb.select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+        banded.join(losers, Seq("doc_id"), "left_anti")
+          .join(w, Seq("doc_id"))
+          .select(col("doc_id"), col("logw"), col("n_tok"),
+            col("bits_per_tok"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE evf AS (SELECT DISTINCT
+             |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS f
+             |  FROM documents WHERE doc_id % 41 = 0),
+             |gm AS (SELECT doc_id,
+             |  CAST(len(w) AS BIGINT) AS n,
+             |  CAST(list_reduce(list_transform(w, x -> CAST(len(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+             |    / CAST(len(w) AS DOUBLE) AS ml,
+             |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS sym,
+             |  CAST(len(list_filter(ln, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS bl,
+             |  CAST(len(ln) AS BIGINT) AS nl,
+             |  CAST(len(list_intersect(list_distinct(w), [$EnList])) AS BIGINT) AS st
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w,
+             |          string_split(text, chr(10)) AS ln
+             |        FROM documents WHERE doc_id % 41 <> 0)),
+             |base AS MATERIALIZED (SELECT d0.doc_id, d0.text, d0.lang
+             |  FROM documents d0 JOIN gm USING (doc_id)
+             |  LEFT JOIN evf ON evf.f =
+             |    md5(lower(trim(regexp_replace(d0.text, '[ \\t\\n\\r\\f]+', ' ', 'g'))))
+             |  WHERE (gm.n >= 50 AND gm.n <= 100000)
+             |    AND (gm.ml >= 3.0 AND gm.ml <= 10.0)
+             |    AND (CAST(gm.sym AS DOUBLE) / CAST(gm.n AS DOUBLE) < 0.1)
+             |    AND (CAST(gm.bl AS DOUBLE) / CAST(gm.nl AS DOUBLE) <= 0.9)
+             |    AND (gm.st >= 2)
+             |    AND evf.f IS NULL),
+             |dd AS (SELECT doc_id, string_split(text,' ') AS w FROM base),
+             |bg AS (SELECT doc_id, CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT) % 1024 AS b
+             |       FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+             |             recursive := true) FROM dd WHERE len(w) >= 2)),
+             |tg AS (SELECT bg.b FROM bg JOIN base USING (doc_id) WHERE lang = 'en'),
+             |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+             |rm AS (SELECT b, sum(n) AS cr FROM db GROUP BY b),
+             |nr AS (SELECT CAST(sum(n) AS DOUBLE) AS nr FROM db),
+             |tm AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+             |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tg),
+             |terms AS (SELECT doc_id, n,
+             |    CAST(n AS DOUBLE) * (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(nt + 1024.0)
+             |      - ln(CAST(cr AS DOUBLE) + 1.0) + ln(nr + 1024.0)) AS t
+             |  FROM db JOIN rm USING (b) LEFT JOIN tm USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |dagg AS (SELECT doc_id, round(sum(t), 4) AS logw FROM terms GROUP BY doc_id),
+             |dsir AS (SELECT d2.doc_id, coalesce(logw, 0.0) AS logw
+             |         FROM base d2 LEFT JOIN dagg USING (doc_id)),
+             |surv AS MATERIALIZED (SELECT doc_id, logw FROM dsir WHERE logw >= 0.0),
+             |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |         FROM base JOIN surv USING (doc_id)),
+             |model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS total
+             |        FROM base JOIN surv USING (doc_id)),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |         round(avg(-ln(CAST(cnt AS DOUBLE) / total) / ln(2)), 4) AS bits_per_tok
+             |       FROM toks JOIN model USING (term), tot GROUP BY doc_id),
+             |r AS (SELECT *, row_number() OVER (ORDER BY bits_per_tok, doc_id) - 1 AS rk,
+             |        count(*) OVER () AS nn FROM sc),
+             |banded AS MATERIALIZED (SELECT doc_id, n_tok, bits_per_tok,
+             |             CAST((rk * 3) // nn AS BIGINT) AS bucket
+             |           FROM r WHERE (rk * 3) // nn < 2),
+             |embsrc AS MATERIALIZED (SELECT e0.* FROM embeddings e0
+             |           JOIN banded ON e0.vec_id = banded.doc_id),
+             |${kmeansCtes(k = 8, iters = 2, dims = 64, src = "embsrc")},
+             |evv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embsrc),
+             |p AS (SELECT a.vid AS ia, b.vid AS ib
+             |      FROM sfin a JOIN sfin b ON a.cid = b.cid AND a.vid < b.vid
+             |      JOIN evv va ON va.vec_id = a.vid
+             |      JOIN evv vb ON vb.vec_id = b.vid
+             |      WHERE round(list_cosine_similarity(va.v, vb.v) * 1000000.0)
+             |            / 1000000.0 >= 0.8),
+             |edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT rr.src, e2.v FROM reach rr JOIN edges e2 ON rr.dst = e2.u),
+             |lab AS (SELECT src AS vec_id, min(dst) AS cluster
+             |        FROM reach GROUP BY src)
+             |SELECT b.doc_id, s.logw, b.n_tok, b.bits_per_tok, b.bucket
+             |FROM banded b JOIN surv s USING (doc_id)
+             |WHERE b.doc_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster)
+             |ORDER BY b.doc_id""".stripMargin),
+      bench = true),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range
