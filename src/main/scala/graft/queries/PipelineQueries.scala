@@ -1699,8 +1699,8 @@ object PipelineQueries {
              |dagg AS (SELECT doc_id, round(sum(t), 4) AS logw FROM terms GROUP BY doc_id),
              |dsir AS (SELECT d2.doc_id, coalesce(logw, 0.0) AS logw
              |         FROM documents d2 LEFT JOIN dagg USING (doc_id)),
-             |surv AS (SELECT doc_id, logw FROM dsir WHERE logw >= 0.0),
-             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |surv AS MATERIALIZED (SELECT doc_id, logw FROM dsir WHERE logw >= 0.0),
+             |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |         FROM documents JOIN surv USING (doc_id)),
              |model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
              |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS total
@@ -1710,10 +1710,10 @@ object PipelineQueries {
              |       FROM toks JOIN model USING (term), tot GROUP BY doc_id),
              |r AS (SELECT *, row_number() OVER (ORDER BY bits_per_tok, doc_id) - 1 AS rk,
              |        count(*) OVER () AS nn FROM sc),
-             |banded AS (SELECT doc_id, n_tok, bits_per_tok,
+             |banded AS MATERIALIZED (SELECT doc_id, n_tok, bits_per_tok,
              |             CAST((rk * 3) // nn AS BIGINT) AS bucket
              |           FROM r WHERE (rk * 3) // nn < 2),
-             |embsrc AS (SELECT e0.* FROM embeddings e0
+             |embsrc AS MATERIALIZED (SELECT e0.* FROM embeddings e0
              |           JOIN banded ON e0.vec_id = banded.doc_id),
              |${kmeansCtes(k = 8, iters = 2, dims = 64, src = "embsrc")},
              |evv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embsrc),
@@ -2171,7 +2171,7 @@ object PipelineQueries {
       s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
          |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
          |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0)""".stripMargin)
-    s"""e AS (SELECT vec_id AS vid,
+    s"""e AS MATERIALIZED (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
        |  FROM $src),
        |$seeds,
@@ -2219,10 +2219,10 @@ object PipelineQueries {
   private def hardNegativesOracle(k: Int, iters: Int, dims: Int,
       nNeg: Int): String =
     s"""WITH ${kmeansCtes(k, iters, dims)},
-       |asg AS (SELECT vid, cid,
+       |asg AS MATERIALIZED (SELECT vid, cid,
        |          row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
        |        FROM afin),
-       |av AS (SELECT e2.vec_id AS did, e2.embedding::DOUBLE[] AS v,
+       |av AS MATERIALIZED (SELECT e2.vec_id AS did, e2.embedding::DOUBLE[] AS v,
        |          a1.cid AS cluster, a2.cid AS cluster2
        |       FROM embeddings e2
        |       JOIN asg a1 ON a1.vid = e2.vec_id AND a1.rn = 1
