@@ -2008,12 +2008,17 @@ object PipelineQueries {
         val all = t(s, d, "documents")
         val fp = TextAnalysis.fingerprint(col("text"))
         val evalSet = all.where(col("doc_id") % 41 === 0)
+        // checkpointed seam (the v3 `w` argument): every downstream stage
+        // (DSIR raw + target, perplexity fit, band join) re-references the
+        // gated corpus, and without the seam each reference re-runs the
+        // Gopher battery + fingerprint md5 + bloom probe scans
         val gated = Dedup.bloomGatedAntiJoin(
             all.where(col("doc_id") % 41 =!= 0)
               .where(TextAnalysis.gopherRules(col("text")).getField("keep"))
               .withColumn("f", fp),
             evalSet.select(fp.as("f")), "f", numBits = 1 << 17)
           .drop("f")
+          .localCheckpoint()
         val w = TrainingPrep
           .dsirLogWeights(gated, gated.where(col("lang") === "en"),
             buckets = 1024)
