@@ -50,6 +50,48 @@ object Sketches {
       override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
     }
 
+  /** Count-min row/bucket pairs for one key value: row j hashes the key
+    * with salt `cm$j:` through the engine-portable 60-bit truncated md5
+    * (the q62/q111 construction), so the DuckDB oracle reproduces every
+    * bucket index — and because the counters are SUMS, the whole sketch
+    * is order- and partition-independent. */
+  private def cmBuckets(key: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map { j =>
+      pmod(graft.expressions.PortableHash.md5Hash60(
+        concat(lit(s"cm$j:"), key.cast("string"))), lit(width.toLong))
+    }: _*)
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005): the counter
+    * RELATION (j, b, c) — depth x width cells, one count per (row,
+    * bucket). Point estimates overcount (collisions only add), never
+    * undercount: est(k) = min_j counter[j][h_j(k)] >= true count.
+    *
+    * SCALE: one scan of `df` emits `depth` (j, b) pairs per row into a
+    * map-side-combinable groupBy whose result is bounded by depth*width
+    * cells regardless of corpus size — the bounded-memory way to track
+    * heavy-hitter frequencies when the exact vocabulary would not fit.
+    * The sketch stays a RELATION (joinable, unionable — summing two
+    * sketches' cells merges corpora); collect the w*d cells only if a
+    * literal-probe form is wanted (the [[bloomMightContain]] shape). */
+  def countMinCounters(df: DataFrame, key: Column,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, s"width=$width depth=$depth must be positive")
+    df.select(posexplode(cmBuckets(key, width, depth)).as(Seq("j", "b")))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `keys` against a built counter relation:
+    * min over the depth rows of each key's bucket counts (absent cells
+    * are zero — the key was never seen). `keys` should be small-ish
+    * (heavy-hitter candidates, a query set); the join is (j, b)-keyed
+    * against the depth*width-bounded counter table, which AQE broadcasts. */
+  def countMinEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
+      width: Int = 1024, depth: Int = 4): DataFrame =
+    keys.select(col(keyCol), posexplode(cmBuckets(col(keyCol), width, depth))
+        .as(Seq("j", "b")))
+      .join(counters, Seq("j", "b"), "left")
+      .groupBy(keyCol).agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
   /** Double-hashed bit positions for a Bloom filter (Kirsch & Mitzenmacher
     * 2006: pos_i = h1 + i*h2 mod m needs only two base hashes for any k).
     * Both hashes are reduced mod m BEFORE the multiply-add: the combined

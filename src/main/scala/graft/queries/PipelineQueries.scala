@@ -2119,6 +2119,39 @@ object PipelineQueries {
              |ORDER BY b.doc_id""".stripMargin),
       bench = true),
 
+    // ---- count-min heavy-hitter estimation: the true top-20 terms with
+    // their sketch estimates alongside. Counters are SUMS over portable
+    // md5 buckets, so the sketch is order/partition-independent and the
+    // oracle rebuilds every cell; estimates only ever overcount
+    // (min over depth rows bounds the collision error).
+    Q("q144_count_min",
+      (s, d) => {
+        import graft.operators.{Sketches, TextAnalysis}
+        val toks = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val counters = Sketches.countMinCounters(toks, col("term"), 1024, 4)
+        val top = toks.groupBy("term").agg(count(lit(1)).as("n_true"))
+          .orderBy(col("n_true").desc, col("term")).limit(20)
+        Sketches.countMinEstimate(counters, top.select("term"), "term", 1024, 4)
+          .join(top, Seq("term"))
+          .select(col("term"), col("n_true"), col("est"))
+          .orderBy("term")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |cells AS (SELECT j,
+             |            CAST(('0x' || substr(md5('cm' || j || ':' || term), 1, 15)) AS BIGINT) % 1024 AS b,
+             |            count(*) AS c
+             |          FROM tok, range(4) r(j) GROUP BY 1, 2),
+             |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n_true FROM tok
+             |        GROUP BY term ORDER BY n_true DESC, term LIMIT 20),
+             |est AS (SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+             |        FROM (SELECT term, j,
+             |                CAST(('0x' || substr(md5('cm' || j || ':' || term), 1, 15)) AS BIGINT) % 1024 AS b
+             |              FROM top, range(4) r(j)) k
+             |        LEFT JOIN cells USING (j, b) GROUP BY term)
+             |SELECT term, n_true, est
+             |FROM top JOIN est USING (term) ORDER BY term""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

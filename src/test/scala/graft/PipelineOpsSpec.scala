@@ -898,6 +898,38 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("count-min: never undercounts, conserves mass per row, merges by cell sum") {
+    import graft.operators.Sketches
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val counters = Sketches.countMinCounters(toks, col("term"), width = 256, depth = 3)
+    val truth = toks.groupBy("term").count()
+    val est = Sketches.countMinEstimate(counters, truth.select("term"), "term",
+      width = 256, depth = 3)
+    val joined = est.join(truth, Seq("term"))
+      .select(col("term"), col("est"), col("count")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"${r.getString(0)} undercounted")
+    }
+    // each depth row's cells sum to the total token count
+    val total = toks.count()
+    val rowMass = counters.groupBy("j").agg(sum("c")).collect()
+    assert(rowMass.length == 3 && rowMass.forall(_.getLong(1) == total))
+    // sketch of a union == cell-wise sum of the halves' sketches
+    val (a, b) = (docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+    def cm(df: org.apache.spark.sql.DataFrame) = Sketches.countMinCounters(
+      df.select(explode(split(col("text"), " ")).as("term")), col("term"), 256, 3)
+    val merged = cm(a).unionByName(cm(b)).groupBy("j", "b").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // cells are a pure function of the multiset, not the layout
+    val repart = Sketches.countMinCounters(toks.repartition(13), col("term"), 256, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(repart == whole)
+  }
+
   test("inverted index maxDf: hot terms dropped, surviving postings unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val full = graft.operators.TrainingPrep.invertedIndex(docs).collect()
