@@ -115,8 +115,21 @@ object Dedup {
     * and the filter itself is incrementally maintainable (OR in each
     * admitted batch's words) instead of rebuilt per batch. */
   def bloomGatedAntiJoin(batch: DataFrame, corpus: DataFrame, keyCol: String,
-      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    val words = Sketches.bloomBuild(corpus.select(keyCol), col(keyCol), numBits, numHashes)
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =
+    bloomGatedAntiJoinWith(
+      Sketches.bloomBuild(corpus.select(keyCol), col(keyCol), numBits, numHashes),
+      batch, corpus, keyCol, numHashes)
+
+  /** [[bloomGatedAntiJoin]] against a PREBUILT filter — the maintained-
+    * filter path: an ingest pipeline keeps the history's words (ORing in
+    * each admitted batch via [[Sketches.bloomMerge]]) so no per-batch
+    * rebuild ever scans the history; `corpus` is still the exact-verify
+    * side for the maybe-hits (at steady state the slim materialized key
+    * table). The filter must cover AT LEAST the corpus keys — missing
+    * keys would let true duplicates skip the exact check; extra keys only
+    * cost false-positive verifications. */
+  def bloomGatedAntiJoinWith(words: Array[Long], batch: DataFrame,
+      corpus: DataFrame, keyCol: String, numHashes: Int = 5): DataFrame = {
     val probed = batch.withColumn("__bloom_maybe",
       Sketches.bloomMightContain(words, col(keyCol), numHashes))
     probed.where(!col("__bloom_maybe"))

@@ -129,6 +129,17 @@ object Sketches {
     words
   }
 
+  /** Union of two filters built with the SAME (m, k) parameters: the
+    * bitwise OR. Exact, not approximate: each key contributes a fixed bit
+    * pattern, so build(A ∪ B) == merge(build(A), build(B)) word for word
+    * (spec-asserted) — an ingest pipeline ORs in each admitted batch's
+    * words instead of ever rebuilding over the full history. */
+  def bloomMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"filters disagree on size: ${a.length} vs ${b.length} words")
+    Array.tabulate(a.length)(i => a(i) | b(i))
+  }
+
   /** Membership probe against a built filter: true iff all k bits are set
     * (i.e. the key MIGHT be in the build set; false means definitely not).
     * Pure column arithmetic over the words as an array literal — the

@@ -2152,6 +2152,46 @@ object PipelineQueries {
              |SELECT term, n_true, est
              |FROM top JOIN est USING (term) ORDER BY term""".stripMargin)),
 
+    // ---- incrementally-MAINTAINED bloom filter across ingest batches:
+    // batch 1 dedups against the initial history; batch 2 dedups against
+    // history + batch-1 SURVIVORS with the filter obtained by ORing the
+    // survivors' words into the history's words (bloomMerge) — no
+    // history rescan. Results stay exact (the filter only gates), so the
+    // oracle is the two iterated anti-joins.
+    Q("q145_bloom_incremental",
+      (s, d) => {
+        import graft.operators.{Dedup, Sketches, TextAnalysis}
+        val fp = TextAnalysis.fingerprint(col("text"))
+        val docs = t(s, d, "documents").withColumn("f", fp)
+        val hist = docs.where(col("doc_id") % 3 === 1)
+        val b1 = docs.where(col("doc_id") % 3 === 2)
+        val b2 = docs.where(col("doc_id") % 3 === 0)
+        val m = 1 << 17
+        val histWords = Sketches.bloomBuild(hist.select("f"), col("f"), m)
+        val acc1 = Dedup.bloomGatedAntiJoinWith(histWords, b1, hist.select("f"), "f")
+          .localCheckpoint() // read twice: its words and the verify union
+        val words2 = Sketches.bloomMerge(histWords,
+          Sketches.bloomBuild(acc1.select("f"), col("f"), m))
+        val acc2 = Dedup.bloomGatedAntiJoinWith(words2, b2,
+          hist.select("f").unionByName(acc1.select("f")), "f")
+        acc1.select(col("doc_id"), lit(1L).as("batch"))
+          .unionByName(acc2.select(col("doc_id"), lit(2L).as("batch")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS f
+             |  FROM documents),
+             |k1 AS (SELECT doc_id, f FROM fp b WHERE doc_id % 3 = 2
+             |       AND NOT EXISTS (SELECT 1 FROM fp h
+             |                       WHERE h.doc_id % 3 = 1 AND h.f = b.f)),
+             |k2 AS (SELECT doc_id FROM fp b WHERE doc_id % 3 = 0
+             |       AND NOT EXISTS (SELECT 1 FROM fp h
+             |                       WHERE h.doc_id % 3 = 1 AND h.f = b.f)
+             |       AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.f = b.f))
+             |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM k1
+             |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM k2
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

@@ -898,6 +898,29 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("bloom merge: OR of the halves' words == rebuild over the union, gated result unchanged") {
+    import graft.operators.{Dedup, Sketches}
+    val keys = docs.select(col("text").as("k"))
+    val (a, b) = (docs.where(col("doc_id") % 2 === 0).select(col("text").as("k")),
+      docs.where(col("doc_id") % 2 === 1).select(col("text").as("k")))
+    val whole = Sketches.bloomBuild(keys, col("k"), 1 << 12)
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBuild(a, col("k"), 1 << 12),
+      Sketches.bloomBuild(b, col("k"), 1 << 12))
+    assert(merged.toSeq == whole.toSeq)
+    // gating with the maintained filter equals gating with a rebuild
+    val batch = docs.select(col("doc_id"), col("text").as("k")).limit(80)
+    val viaMerged = Dedup.bloomGatedAntiJoinWith(merged, batch, keys, "k")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaRebuild = Dedup.bloomGatedAntiJoin(batch, keys, "k", numBits = 1 << 12)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaMerged == viaRebuild)
+    // size mismatch is a hard error, not a silent wrong filter
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMerge(whole, new Array[Long](32))
+    }
+  }
+
   test("count-min: never undercounts, conserves mass per row, merges by cell sum") {
     import graft.operators.Sketches
     val toks = docs.select(explode(split(col("text"), " ")).as("term"))
