@@ -50,6 +50,42 @@ object Sketches {
       override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
     }
 
+  /** KMV set algebra (Beyer et al. 2007 §3): distinct-count estimates for
+    * the UNION and INTERSECTION of two key sets from their k-minimum-value
+    * sketches — no exact pairing of the sets required. With the
+    * engine-portable 60-bit md5 hash the whole computation is a pure
+    * function of the two sets, so the DuckDB oracle reproduces every
+    * intermediate: τ (the k-th smallest union hash), the union estimate
+    * (k-1)·2^60/τ, and ρ (union k-mins present in BOTH sets) giving
+    * est(∩) = ρ/k · est(∪). Degenerate case: fewer than k distinct union
+    * hashes means the "sketch" IS the set — both estimates are exact.
+    *
+    * SCALE: each side is one distinct-hash aggregation; the k-min is a
+    * TakeOrdered (never a full sort); memberships are k-row broadcast
+    * semi-joins. Returns ONE row: (est_union, est_intersect, rho, kk). */
+  def kmvSetAlgebra(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1: $k")
+    def hs(df: DataFrame) = df.select(graft.expressions.PortableHash
+      .md5Hash60(col(keyCol).cast("string")).as("h")).distinct()
+    val ha = hs(a).localCheckpoint() // union AND membership probes
+    val hb = hs(b).localCheckpoint()
+    val kmin = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+      .localCheckpoint() // stats AND the two membership probes
+    val stats = kmin.agg(max(col("h")).as("tau"), count(lit(1)).as("kk"))
+    val rho = kmin.join(ha, Seq("h"), "left_semi")
+      .join(hb, Seq("h"), "left_semi").agg(count(lit(1)).as("rho"))
+    val estU = when(col("kk") < k, col("kk").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("tau").cast("double"))
+    // intersection scales by the REALIZED sketch size kk (= min(k, |∪|)):
+    // at kk == k this is the textbook ρ/k, and in the degenerate exact
+    // case it reduces to ρ itself
+    stats.crossJoin(rho)
+      .select(round(estU, 4).as("est_union"),
+        round(col("rho").cast("double") / col("kk").cast("double") * estU, 4)
+          .as("est_intersect"),
+        col("rho"), col("kk"))
+  }
+
   /** Count-min row/bucket pairs for one key value: row j hashes the key
     * with salt `cm$j:` through the engine-portable 60-bit truncated md5
     * (the q62/q111 construction), so the DuckDB oracle reproduces every

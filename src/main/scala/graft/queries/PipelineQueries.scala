@@ -2192,6 +2192,54 @@ object PipelineQueries {
              |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM k2
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- KMV set algebra: union/intersection distinct-term estimates
+    // for the two corpus halves from their k-min sketches — mergeable
+    // set cardinality without pairing the sets. Deterministic under the
+    // portable hash, so every intermediate (tau, kk, rho) is
+    // oracle-reproduced; exact truths ride along for calibration.
+    Q("q146_kmv_set_algebra",
+      (s, d) => {
+        import graft.operators.{Sketches, TextAnalysis}
+        val docs = t(s, d, "documents")
+        def terms(p: org.apache.spark.sql.Column) = docs.where(p)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val a = terms(col("doc_id") % 2 === 0)
+        val b = terms(col("doc_id") % 2 === 1)
+        val exact = a.select(col("term")).distinct()
+          .join(b.select(col("term")).distinct(), Seq("term"), "left_semi")
+          .agg(count(lit(1)).as("n_inter_exact"))
+        Sketches.kmvSetAlgebra(a, b, "term", k = 256)
+          .crossJoin(exact)
+      },
+      Some("""WITH ta AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+             |        FROM documents WHERE doc_id % 2 = 0)),
+             |tb AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+             |        FROM documents WHERE doc_id % 2 = 1)),
+             |kmin AS (SELECT h FROM (SELECT DISTINCT h
+             |         FROM (SELECT h FROM ta UNION ALL SELECT h FROM tb))
+             |         ORDER BY h LIMIT 256),
+             |st AS (SELECT max(h) AS tau, count(*) AS kk FROM kmin),
+             |rho AS (SELECT count(*) AS rho FROM kmin
+             |        WHERE h IN (SELECT h FROM ta) AND h IN (SELECT h FROM tb)),
+             |eu AS (SELECT CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+             |         ELSE 255.0 * 1152921504606846976.0 / CAST(tau AS DOUBLE) END AS estu,
+             |         tau, kk FROM st),
+             |ex AS (SELECT count(*) AS n_inter_exact FROM
+             |         (SELECT DISTINCT term FROM (SELECT unnest(string_split(text, ' ')) AS term
+             |            FROM documents WHERE doc_id % 2 = 0)) x
+             |       WHERE term IN (SELECT DISTINCT term FROM
+             |         (SELECT unnest(string_split(text, ' ')) AS term
+             |          FROM documents WHERE doc_id % 2 = 1)))
+             |SELECT round(estu, 4) AS est_union,
+             |  round(CAST(rho AS DOUBLE) / CAST(kk AS DOUBLE) * estu, 4) AS est_intersect,
+             |  CAST(rho AS BIGINT) AS rho, CAST(kk AS BIGINT) AS kk,
+             |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact
+             |FROM eu, rho, ex""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

@@ -921,6 +921,32 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("kmv set algebra: close to exact truth, exact when degenerate, partition-invariant") {
+    import graft.operators.Sketches
+    def terms(p: org.apache.spark.sql.Column) = docs.where(p)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val a = terms(col("doc_id") % 2 === 0)
+    val b = terms(col("doc_id") % 2 === 1)
+    val r = Sketches.kmvSetAlgebra(a, b, "term", k = 256).head()
+    val (estU, estI) = (r.getDouble(0), r.getDouble(1))
+    val nu = a.unionByName(b).distinct().count().toDouble
+    val ni = a.distinct().join(b.distinct(), Seq("term"), "left_semi").count().toDouble
+    // KMV standard error is ~1/sqrt(k) ≈ 6% at k=256; 25% is a safe bound
+    assert(math.abs(estU - nu) / nu < 0.25, s"union est $estU vs $nu")
+    assert(math.abs(estI - ni) / ni < 0.25, s"intersect est $estI vs $ni")
+    // degenerate: fewer distinct keys than k means both estimates are exact
+    val sa = a.limit(30).distinct()
+    val sb = b.limit(30).distinct()
+    val s0 = Sketches.kmvSetAlgebra(sa, sb, "term", k = 256).head()
+    val exactU = sa.unionByName(sb).distinct().count().toDouble
+    val exactI = sa.join(sb, Seq("term"), "left_semi").count().toDouble
+    assert(s0.getDouble(0) == exactU && s0.getDouble(1) == exactI,
+      s"degenerate not exact: $s0 vs ($exactU, $exactI)")
+    // pure function of the sets, not the layout
+    val r2 = Sketches.kmvSetAlgebra(a.repartition(13), b.repartition(7), "term", 256).head()
+    assert(r2 == r)
+  }
+
   test("count-min: never undercounts, conserves mass per row, merges by cell sum") {
     import graft.operators.Sketches
     val toks = docs.select(explode(split(col("text"), " ")).as("term"))
