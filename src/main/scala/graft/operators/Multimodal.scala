@@ -111,6 +111,88 @@ object Multimodal {
     }.toDF("doc_id", "sample_rate", "n_samples", "payload")
   }
 
+  /** Deterministic REAL image assets: 16x16 grayscale PNGs whose pixel
+    * (x, y) is the SQL-reproducible integer
+    * `((x+1)(g+3)·7 + (y+1)(g+5)·11) mod 256` with g = doc_id % 7 (seven
+    * structural "motifs"), plus a +8 perturbation of pixel (0,0) when
+    * doc_id % 4 == 0 (no mod-wrap: the base of (0,0) is 18g+76 <= 202) —
+    * planted exact-and-near duplicate groups. PNG is LOSSLESS, so the
+    * real `javax.imageio` decode returns these integers exactly and the
+    * whole downstream hash is oracle-able. Encode is per-row CPU on
+    * executors. */
+  def pngAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = (id % 7).toInt
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          var v = ((x + 1) * (g + 3) * 7 + (y + 1) * (g + 5) * 11) % 256
+          if (id % 4 == 0 && x == 0 && y == 0) v += 8
+          r.setSample(x, y, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      (id, out.toByteArray)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded
+    * pixels: grid x grid block sums vs the global sum, bit b set iff
+    * blockSum * grid^2 > totalSum — the mean comparison cleared of
+    * divisions, so every bit is an exact integer compare reproducible
+    * from the pixel formula. Output is the bit STRING (row-major blocks)
+    * — engine-portable, no 64-bit sign traps. Near-identical images
+    * (small local edits) agree on almost all bits; hamming distance over
+    * these strings is the standard image near-dup signal, bucketable by
+    * the same Manku block-combination machinery as SimHash.
+    *
+    * SCALE: decode + hash run in `mapPartitions` (codec-init pattern);
+    * one pass per asset, no shuffle — the hash is scan-speed over the
+    * asset table and downstream dedup operates on 64-char strings, never
+    * pixels. */
+  def imageAHash(spark: SparkSession, assets: DataFrame, grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (bw, bh) = (w / grid, h / grid)
+          val raster = img.getRaster
+          val sums = new Array[Long](grid * grid)
+          var total = 0L
+          var y = 0
+          while (y < grid * bh) {
+            var x = 0
+            while (x < grid * bw) {
+              val v = raster.getSample(x, y, 0).toLong
+              sums((y / bh) * grid + (x / bw)) += v
+              total += v
+              x += 1
+            }
+            y += 1
+          }
+          val bits = new Array[Char](grid * grid)
+          var b = 0
+          while (b < grid * grid) {
+            bits(b) = if (sums(b) * grid * grid > total) '1' else '0'
+            b += 1
+          }
+          (id, new String(bits))
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
   private def grayJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -2240,6 +2240,29 @@ object PipelineQueries {
              |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact
              |FROM eu, rho, ex""".stripMargin)),
 
+    // ---- image perceptual hash over REAL PNG decode (the q97/q135
+    // pattern for still images): deterministic 16x16 grayscale assets
+    // round-trip the real javax.imageio codec losslessly, and every
+    // aHash bit is an exact integer compare (blockSum*64 > totalSum)
+    // the oracle reproduces from the pixel formula.
+    Q("q147_image_ahash",
+      (s, d) => graft.operators.Multimodal.imageAHash(
+          s,
+          graft.operators.Multimodal.pngAssets(s, t(s, d, "documents")))
+        .orderBy("doc_id"),
+      Some("""WITH px AS (SELECT doc_id, x, y,
+             |    ((x + 1) * (doc_id % 7 + 3) * 7 + (y + 1) * (doc_id % 7 + 5) * 11) % 256
+             |      + CASE WHEN doc_id % 4 = 0 AND x = 0 AND y = 0 THEN 8 ELSE 0 END AS v
+             |  FROM documents, range(16) rx(x), range(16) ry(y)),
+             |bl AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS b, sum(v) AS bs
+             |       FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(v) AS ts FROM px GROUP BY 1),
+             |bits AS (SELECT doc_id, b,
+             |           CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
+             |         FROM bl JOIN tot USING (doc_id))
+             |SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

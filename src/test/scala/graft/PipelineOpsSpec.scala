@@ -898,6 +898,29 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("image aHash: lossless decode determinism, edits vanish, motifs stay far apart") {
+    val h = Multimodal.imageAHash(spark, Multimodal.pngAssets(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.nonEmpty)
+    assert(h.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    // assets are a pure function of (motif, perturbed) — one hash each
+    def sig(id: Long) = (id % 7, id % 4 == 0)
+    val groups = h.groupBy { case (id, _) => sig(id) }.map { case (k, m) => k -> m.values.toSet }
+    assert(groups.values.forall(_.size == 1), "same-signature assets hashed differently")
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // the +8 single-pixel edit is INVISIBLE to the hash (that is the point
+    // of perceptual hashing) while distinct motifs sit >= 27 bits apart
+    // on this fixture — a wide, stable near-dup margin
+    for (g <- 0L until 7L;
+         b <- groups.get((g, false)).map(_.head);
+         p <- groups.get((g, true)).map(_.head))
+      assert(ham(b, p) == 0, s"motif $g: edit flipped ${ham(b, p)} bits")
+    val bases = (0L until 7L).flatMap(g => groups.get((g, false)).map(_.head))
+    val cross = for (i <- bases.indices; j <- i + 1 until bases.size)
+      yield ham(bases(i), bases(j))
+    assert(cross.nonEmpty && cross.forall(_ >= 16), s"motifs too close: ${cross.min}")
+  }
+
   test("bloom merge: OR of the halves' words == rebuild over the union, gated result unchanged") {
     import graft.operators.{Dedup, Sketches}
     val keys = docs.select(col("text").as("k"))
