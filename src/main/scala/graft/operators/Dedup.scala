@@ -575,11 +575,22 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
       nBlocks: Int = 6,
-      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    hammingPairs(simHash(docs, idCol, textCol, tokenHash, bits), maxDist,
+      idCol, "simhash", nBlocks, bits)
+
+  /** The Manku pairing step alone, over PRECOMPUTED 64-bit signatures —
+    * any fingerprint with the "near means small hamming distance"
+    * property routes through the same candidates-then-verify machinery
+    * (SimHash text signatures, image aHashes, …). Semantics and output
+    * are exactly the old inline form's. */
+  def hammingPairs(sigs: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", sigCol: String = "simhash",
+      nBlocks: Int = 6, bits: Int = 64): DataFrame = {
     val keep = nBlocks - maxDist
     require(maxDist >= 0 && keep >= 1 && nBlocks <= bits,
       s"need 1 <= nBlocks - maxDist; got nBlocks=$nBlocks maxDist=$maxDist")
-    val sig = simHash(docs, idCol, textCol, tokenHash, bits)
+    val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
     // block b = bits [b*bits/nBlocks, (b+1)*bits/nBlocks)
     val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
     def block(b: Int): Column = {

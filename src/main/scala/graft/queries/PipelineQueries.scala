@@ -2263,6 +2263,49 @@ object PipelineQueries {
              |SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- image near-dup PAIRS: q147's aHash routed through the SimHash
+    // Manku block-combination machinery (hammingPairs over precomputed
+    // signatures) — candidates from block-subset keys, exact
+    // bit_count(xor) verify, never all-pairs. On this fixture edits hash
+    // identically and motifs sit >= 27 bits apart, so hamming <= 2 pairs
+    // are exactly the same-motif pairs; the oracle still computes real
+    // hamming over the distinct hash pairs and expands to ids.
+    Q("q148_image_neardup",
+      (s, d) => {
+        import graft.operators.{Dedup, Multimodal}
+        val sub = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+        val h = Multimodal.imageAHash(s, Multimodal.pngAssets(s, sub))
+        val sig = h.select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(substring(col("ahash"), b + 1, 1) === "1", lit(1L << b))
+              .otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("sig"))
+        Dedup.hammingPairs(sig, maxDist = 2, sigCol = "sig")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH px AS (SELECT doc_id, x, y,
+             |    ((x + 1) * (doc_id % 7 + 3) * 7 + (y + 1) * (doc_id % 7 + 5) * 11) % 256
+             |      + CASE WHEN doc_id % 4 = 0 AND x = 0 AND y = 0 THEN 8 ELSE 0 END AS v
+             |  FROM documents, range(16) rx(x), range(16) ry(y)
+             |  WHERE doc_id % 5 = 0),
+             |bl AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS b, sum(v) AS bs
+             |       FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(v) AS ts FROM px GROUP BY 1),
+             |bits AS (SELECT doc_id, b,
+             |           CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
+             |         FROM bl JOIN tot USING (doc_id)),
+             |h AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+             |      FROM bits GROUP BY doc_id),
+             |dh AS (SELECT DISTINCT ahash FROM h),
+             |hd AS (SELECT a.ahash AS ha, b.ahash AS hb,
+             |         len([i for i in range(1, 65) IF a.ahash[i] <> b.ahash[i]]) AS hamming
+             |       FROM dh a, dh b)
+             |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             |       CAST(hd.hamming AS BIGINT) AS hamming
+             |FROM hd JOIN h x ON x.ahash = hd.ha JOIN h y ON y.ahash = hd.hb
+             |WHERE x.doc_id < y.doc_id AND hd.hamming <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

@@ -921,6 +921,26 @@ class PipelineOpsSpec extends GraftSpec {
     assert(cross.nonEmpty && cross.forall(_ >= 16), s"motifs too close: ${cross.min}")
   }
 
+  test("image near-dup pairs: Manku-keyed hammingPairs == brute force over aHash sigs") {
+    import graft.operators.{Dedup, Multimodal}
+    val h = Multimodal.imageAHash(spark,
+      Multimodal.pngAssets(spark, docs.where(col("doc_id") % 5 === 0)))
+    val sig = h.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(substring(col("ahash"), b + 1, 1) === "1", lit(1L << b))
+          .otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("sig"))
+    val got = Dedup.hammingPairs(sig, maxDist = 2, sigCol = "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 2
+    } yield (ia, ib, hd.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain same-motif image pairs")
+  }
+
   test("bloom merge: OR of the halves' words == rebuild over the union, gated result unchanged") {
     import graft.operators.{Dedup, Sketches}
     val keys = docs.select(col("text").as("k"))
