@@ -193,6 +193,77 @@ object Multimodal {
       }.toDF("doc_id", "ahash")
   }
 
+  /** Deterministic REAL audio assets with MOTIFS: 1625-sample (65 frames
+    * of 25) 16-bit mono 8 kHz WAVs whose sample i is the SQL-reproducible
+    * integer `((i·31 + 7 + g·13) mod 201 − 100)·50` with g = doc_id % 7,
+    * plus a +50 perturbation of sample 0 when doc_id % 4 == 0 — the audio
+    * twin of [[pngAssets]]' planted near-dup groups. Encode is per-row
+    * CPU on executors through the real `javax.sound` writer. */
+  def pcmMotifAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = (id % 7).toInt
+      val n = 1625
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        var s = ((i * 31 + 7 + g * 13) % 201 - 100) * 50
+        if (id % 4 == 0 && i == 0) s += 50
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      (id, out.toByteArray)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Audio energy-delta fingerprint over REAL WAV decode (the classic
+    * Haitsma-Kalker shape reduced to one band): 65 frames of 25 samples,
+    * e_k = Σ s² exact in integer arithmetic, bit k set iff
+    * e_{k+1} > e_k — 64 exact integer compares the oracle reproduces
+    * from the sample formula. Output is the 64-char bit string, routed
+    * to near-dup pairing by the same [[Dedup.hammingPairs]] machinery as
+    * SimHash and the image aHash.
+    *
+    * SCALE: decode + fingerprint is one `mapPartitions` pass (codec-init
+    * pattern), no shuffle; downstream dedup never touches samples. */
+  def audioFingerprint(spark: SparkSession, assets: DataFrame,
+      frameLen: Int = 25, nBits: Int = 64): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val fp = JdkMediaCodec.wavSamples(bytes) match {
+            case Some((_, samples)) if samples.length >= (nBits + 1) * frameLen =>
+              val e = Array.tabulate(nBits + 1) { k =>
+                var s = 0L
+                var i = k * frameLen
+                while (i < (k + 1) * frameLen) {
+                  s += samples(i).toLong * samples(i); i += 1
+                }
+                s
+              }
+              val bits = new Array[Char](nBits)
+              var k = 0
+              while (k < nBits) {
+                bits(k) = if (e(k + 1) > e(k)) '1' else '0'; k += 1
+              }
+              new String(bits)
+            case _ => null
+          }
+          (id, fp)
+        }
+      }.toDF("doc_id", "afp")
+      .where(col("afp").isNotNull)
+  }
+
   private def grayJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -2306,6 +2306,31 @@ object PipelineQueries {
              |WHERE x.doc_id < y.doc_id AND hd.hamming <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- audio energy-delta fingerprint over REAL WAV decode: the q147
+    // pattern for audio — motif assets round-trip javax.sound, frame
+    // energies are exact integer sums, and each of the 64 bits is the
+    // exact compare e_{k+1} > e_k the oracle reproduces from the sample
+    // formula. Near-dup pairing rides Dedup.hammingPairs (spec).
+    Q("q149_audio_fingerprint",
+      (s, d) => graft.operators.Multimodal.audioFingerprint(
+          s,
+          graft.operators.Multimodal.pcmMotifAssets(
+            s, t(s, d, "documents").where(col("doc_id") % 5 === 0)))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, i,
+             |    ((i * 31 + 7 + (doc_id % 7) * 13) % 201 - 100) * 50
+             |      + CASE WHEN doc_id % 4 = 0 AND i = 0 THEN 50 ELSE 0 END AS s
+             |  FROM documents, range(1625) r(i)
+             |  WHERE doc_id % 5 = 0),
+             |e AS (SELECT doc_id, i // 25 AS k, sum(s * s) AS e
+             |      FROM p GROUP BY 1, 2),
+             |b AS (SELECT a.doc_id, a.k,
+             |        CASE WHEN n.e > a.e THEN '1' ELSE '0' END AS bit
+             |      FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.k = a.k + 1
+             |      WHERE a.k < 64)
+             |SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

@@ -941,6 +941,43 @@ class PipelineOpsSpec extends GraftSpec {
     assert(want.nonEmpty, "fixture should contain same-motif image pairs")
   }
 
+  test("audio fingerprint: decode determinism, edit flips at most bit 0, pairs route through hammingPairs") {
+    import graft.operators.{Dedup, Multimodal}
+    val h = Multimodal.audioFingerprint(spark,
+      Multimodal.pcmMotifAssets(spark, docs.where(col("doc_id") % 5 === 0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.nonEmpty)
+    assert(h.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def sig(id: Long) = (id % 7, id % 4 == 0)
+    val groups = h.groupBy { case (id, _) => sig(id) }.map { case (k, m) => k -> m.values.toSet }
+    assert(groups.values.forall(_.size == 1), "same-signature assets fingerprinted differently")
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // the +50 edit lives in frame 0, so only e_0 — and therefore only the
+    // e_1 > e_0 compare — can change: hamming <= 1 by construction
+    for (g <- 0L until 7L;
+         b <- groups.get((g, false)).map(_.head);
+         p <- groups.get((g, true)).map(_.head))
+      assert(ham(b, p) <= 1, s"motif $g: edit flipped ${ham(b, p)} bits")
+    // the fingerprints route through the same pairing machinery as simhash
+    val sigDf = Multimodal.audioFingerprint(spark,
+        Multimodal.pcmMotifAssets(spark, docs.where(col("doc_id") % 5 === 0)))
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(substring(col("afp"), b + 1, 1) === "1", lit(1L << b))
+            .otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+    val got = Dedup.hammingPairs(sigDf, maxDist = 1, sigCol = "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = h.toSeq.map { case (id, s) =>
+      id -> s.zipWithIndex.foldLeft(0L) { case (acc, (c, b)) =>
+        if (c == '1') acc | (1L << b) else acc } }
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 1
+    } yield (ia, ib, hd.toLong)).toSet
+    assert(got == want)
+  }
+
   test("bloom merge: OR of the halves' words == rebuild over the union, gated result unchanged") {
     import graft.operators.{Dedup, Sketches}
     val keys = docs.select(col("text").as("k"))
