@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** One-pass table profiling: the per-column data-quality report
+  * (non-null count, exact distinct count, min, max) every ingest gate
+  * wants before accepting a drop.
+  *
+  * SCALE: ONE aggregation over ONE scan — all columns' aggregates ride
+  * the same pass (the multi-distinct plans through Catalyst's Expand,
+  * still a single scan + one shuffle), and the only driver-side state is
+  * the single result row pivoted to per-column rows — bounded by the
+  * COLUMN count, never by data. Min/max surface as strings so one report
+  * schema covers any table. */
+object Profiling {
+
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(count(col(f.name)).as(s"nn_$i"),
+        count_distinct(col(f.name)).as(s"nd_$i"),
+        min(col(f.name)).cast("string").as(s"mn_$i"),
+        max(col(f.name)).cast("string").as(s"mx_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val out = fields.zipWithIndex.map { case (f, i) =>
+      Row(f.name, f.dataType.simpleString,
+        row.getAs[Long](s"nn_$i"), row.getAs[Long](s"nd_$i"),
+        row.getAs[String](s"mn_$i"), row.getAs[String](s"mx_$i"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("dtype", StringType, nullable = false),
+        StructField("n_notnull", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_s", StringType, nullable = true),
+        StructField("max_s", StringType, nullable = true))))
+  }
+}

@@ -2331,6 +2331,37 @@ object PipelineQueries {
              |SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- one-pass table profile: the per-column data-quality report
+    // (non-null, exact distinct, min/max as strings) from ONE scan — the
+    // ingest-gate audit. Oracle is the per-column UNION ALL.
+    Q("q150_table_profile",
+      (s, d) => graft.operators.Profiling.profile(t(s, d, "documents"))
+        .orderBy("column"),
+      Some("""SELECT * FROM (
+             |SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+             |  CAST(count(doc_id) AS BIGINT) AS n_notnull,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             |  CAST(min(doc_id) AS VARCHAR) AS min_s,
+             |  CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+             |UNION ALL
+             |SELECT 'text', 'string', CAST(count(text) AS BIGINT),
+             |  CAST(count(DISTINCT text) AS BIGINT),
+             |  min(text), max(text) FROM documents
+             |UNION ALL
+             |SELECT 'lang', 'string', CAST(count(lang) AS BIGINT),
+             |  CAST(count(DISTINCT lang) AS BIGINT),
+             |  min(lang), max(lang) FROM documents
+             |UNION ALL
+             |SELECT 'source', 'string', CAST(count(source) AS BIGINT),
+             |  CAST(count(DISTINCT source) AS BIGINT),
+             |  min(source), max(source) FROM documents
+             |UNION ALL
+             |SELECT 'n_chars', 'bigint', CAST(count(n_chars) AS BIGINT),
+             |  CAST(count(DISTINCT n_chars) AS BIGINT),
+             |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+             |  FROM documents)
+             |ORDER BY "column"""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

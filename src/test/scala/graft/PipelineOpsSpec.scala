@@ -978,6 +978,17 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("table profile: null-aware counts, exact distincts, min/max from one pass") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "v")
+    val p = graft.operators.Profiling.profile(df).collect().map(r =>
+      r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(p("id") == (("bigint", 4L, 4L, "1", "4")))
+    // nulls are excluded from every statistic, not counted as a value
+    assert(p("v") == (("string", 3L, 2L, "a", "b")))
+  }
+
   test("bloom merge: OR of the halves' words == rebuild over the union, gated result unchanged") {
     import graft.operators.{Dedup, Sketches}
     val keys = docs.select(col("text").as("k"))
