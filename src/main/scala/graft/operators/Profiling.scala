@@ -41,4 +41,23 @@ object Profiling {
         StructField("min_s", StringType, nullable = true),
         StructField("max_s", StringType, nullable = true))))
   }
+
+  /** Profile drift between two snapshots of the same schema: one row per
+    * column with both sides' statistics and a `stable` verdict (equal
+    * distinct counts AND equal min/max bounds — null-safe). The
+    * before/after ingest audit: a column whose bounds or cardinality
+    * moved is where the new drop changed shape. Cost = the two one-pass
+    * profiles plus a column-count-sized join. */
+  def profileDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val a = profile(before).select(col("column"), col("dtype"),
+      col("n_notnull").as("nn_a"), col("n_distinct").as("nd_a"),
+      col("min_s").as("min_a"), col("max_s").as("max_a"))
+    val b = profile(after).select(col("column"),
+      col("n_notnull").as("nn_b"), col("n_distinct").as("nd_b"),
+      col("min_s").as("min_b"), col("max_s").as("max_b"))
+    a.join(b, Seq("column"))
+      .withColumn("stable",
+        col("nd_a") === col("nd_b") &&
+          col("min_a") <=> col("min_b") && col("max_a") <=> col("max_b"))
+  }
 }

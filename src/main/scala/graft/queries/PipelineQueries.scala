@@ -2362,6 +2362,57 @@ object PipelineQueries {
              |  FROM documents)
              |ORDER BY "column"""".stripMargin)),
 
+    // ---- profile drift between two snapshots (even-id vs odd-id halves
+    // as stand-ins for yesterday/today): both one-pass profiles joined
+    // per column with a null-safe stability verdict — the before/after
+    // ingest audit.
+    Q("q151_profile_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Profiling.profileDrift(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1))
+          .orderBy("column")
+      },
+      Some("""WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+             |pa AS (
+             |  SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+             |    CAST(count(doc_id) AS BIGINT) AS nn_a,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_a,
+             |    CAST(min(doc_id) AS VARCHAR) AS min_a,
+             |    CAST(max(doc_id) AS VARCHAR) AS max_a FROM a
+             |  UNION ALL SELECT 'text', 'string', CAST(count(text) AS BIGINT),
+             |    CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM a
+             |  UNION ALL SELECT 'lang', 'string', CAST(count(lang) AS BIGINT),
+             |    CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM a
+             |  UNION ALL SELECT 'source', 'string', CAST(count(source) AS BIGINT),
+             |    CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM a
+             |  UNION ALL SELECT 'n_chars', 'bigint', CAST(count(n_chars) AS BIGINT),
+             |    CAST(count(DISTINCT n_chars) AS BIGINT),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM a),
+             |pb AS (
+             |  SELECT 'doc_id' AS "column",
+             |    CAST(count(doc_id) AS BIGINT) AS nn_b,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_b,
+             |    CAST(min(doc_id) AS VARCHAR) AS min_b,
+             |    CAST(max(doc_id) AS VARCHAR) AS max_b FROM b
+             |  UNION ALL SELECT 'text', CAST(count(text) AS BIGINT),
+             |    CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM b
+             |  UNION ALL SELECT 'lang', CAST(count(lang) AS BIGINT),
+             |    CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM b
+             |  UNION ALL SELECT 'source', CAST(count(source) AS BIGINT),
+             |    CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM b
+             |  UNION ALL SELECT 'n_chars', CAST(count(n_chars) AS BIGINT),
+             |    CAST(count(DISTINCT n_chars) AS BIGINT),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM b)
+             |SELECT pa."column", dtype, nn_a, nd_a, min_a, max_a,
+             |  nn_b, nd_b, min_b, max_b,
+             |  (nd_a = nd_b AND min_a IS NOT DISTINCT FROM min_b
+             |    AND max_a IS NOT DISTINCT FROM max_b) AS stable
+             |FROM pa JOIN pb USING ("column")
+             |ORDER BY "column"""".stripMargin)),
+
     // ---- source-balanced selection: q89's budget cut applied PER SOURCE
     // (no domain may exceed its token budget). The engine runs the
     // skew-robust two-phase prefix sum (a hot source spans range

@@ -978,6 +978,14 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("profile drift: planted bound shift flags exactly its column") {
+    val before = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val after = Seq((1L, "x"), (9L, "y")).toDF("id", "v") // id range moved
+    val d = graft.operators.Profiling.profileDrift(before, after)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("stable")).toMap
+    assert(d == Map("id" -> false, "v" -> true), d.toString)
+  }
+
   test("table profile: null-aware counts, exact distincts, min/max from one pass") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
       .toDF("id", "v")
