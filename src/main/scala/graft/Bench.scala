@@ -66,7 +66,17 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","sf":"$sfDir"}"""
+    // The harness that records bench output keeps only a short stdout
+    // TAIL, which truncates the full per-sample payload mid-line. So:
+    // full payload goes to a FILE, and the LAST stdout line is a compact
+    // mins-only JSON object sized to survive any reasonable tail window.
+    val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    java.nio.file.Files.write(outFile,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sampling":"round-robin","samples_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

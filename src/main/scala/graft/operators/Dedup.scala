@@ -130,6 +130,8 @@ object Dedup {
     * cost false-positive verifications. */
   def bloomGatedAntiJoinWith(words: Array[Long], batch: DataFrame,
       corpus: DataFrame, keyCol: String, numHashes: Int = 5): DataFrame = {
+    require(!batch.columns.contains("__bloom_maybe"),
+      "batch already has a __bloom_maybe column; rename it before calling")
     val probed = batch.withColumn("__bloom_maybe",
       Sketches.bloomMightContain(words, col(keyCol), numHashes))
     probed.where(!col("__bloom_maybe"))
@@ -591,15 +593,10 @@ object Dedup {
     require(maxDist >= 0 && keep >= 1 && nBlocks <= bits,
       s"need 1 <= nBlocks - maxDist; got nBlocks=$nBlocks maxDist=$maxDist")
     val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
-    // block b = bits [b*bits/nBlocks, (b+1)*bits/nBlocks)
-    val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
-    def block(b: Int): Column = {
-      val lo = bounds(b); val w = bounds(b + 1) - lo
-      shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1L)
-    }
+    val blocks = mankuBlocks(col("simhash"), nBlocks, bits)
     val combos = (0 until nBlocks).combinations(keep).toSeq
     val keyArr = array(combos.zipWithIndex.map { case (combo, ci) =>
-      xxhash64((lit(ci) +: combo.map(block)): _*)
+      xxhash64((lit(ci) +: combo.map(blocks)): _*)
     }: _*)
     val keyed = sig.select(col("doc_id"), col("simhash"), explode(keyArr).as("bkey"))
     val hd = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
@@ -609,5 +606,18 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         hd.cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** The Manku block extractors: block b covers bits
+    * [b*bits/nBlocks, (b+1)*bits/nBlocks). The mask is width-safe —
+    * `(1L << 64) - 1` is 0 under Scala's shift-mod-64, which would key
+    * every signature into one bucket (nBlocks=1, bits=64) and silently
+    * degrade candidate generation to a full cross join. */
+  private[graft] def mankuBlocks(sig: Column, nBlocks: Int, bits: Int): Seq[Column] = {
+    val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
+    (0 until nBlocks).map { b =>
+      val lo = bounds(b); val w = bounds(b + 1) - lo
+      shiftright(sig, lo).bitwiseAND(-1L >>> (64 - w))
+    }
   }
 }

@@ -79,10 +79,12 @@ object Sketches {
     // intersection scales by the REALIZED sketch size kk (= min(k, |∪|)):
     // at kk == k this is the textbook ρ/k, and in the degenerate exact
     // case it reduces to ρ itself
+    // kk == 0 (both inputs empty) must yield 0, not 0.0/0.0 = NaN
+    val estI = when(col("kk") === 0, lit(0.0))
+      .otherwise(col("rho").cast("double") / col("kk").cast("double") * estU)
     stats.crossJoin(rho)
       .select(round(estU, 4).as("est_union"),
-        round(col("rho").cast("double") / col("kk").cast("double") * estU, 4)
-          .as("est_intersect"),
+        round(estI, 4).as("est_intersect"),
         col("rho"), col("kk"))
   }
 

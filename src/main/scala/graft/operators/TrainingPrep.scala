@@ -370,10 +370,13 @@ object TrainingPrep {
     val bc = spark.sparkContext.broadcast(offsets)
     ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      // a 'seen any row yet' flag, NOT a null sentinel: a null source
+      // value must still trigger its offset load on the first row
+      var started = false
       var cur: String = null
       var cum = 0L
       it.flatMap { case (s, id, _, tok) =>
-        if (s != cur) { cur = s; cum = bc.value.getOrElse((pid, s), 0L) }
+        if (!started || s != cur) { started = true; cur = s; cum = bc.value.getOrElse((pid, s), 0L) }
         cum += tok
         if (cum <= budgetTokens) Iterator((s, id, tok, cum)) else Iterator.empty
       }

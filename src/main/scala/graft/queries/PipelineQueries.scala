@@ -2150,7 +2150,8 @@ object PipelineQueries {
              |              FROM top, range(4) r(j)) k
              |        LEFT JOIN cells USING (j, b) GROUP BY term)
              |SELECT term, n_true, est
-             |FROM top JOIN est USING (term) ORDER BY term""".stripMargin)),
+             |FROM top JOIN est USING (term) ORDER BY term""".stripMargin),
+      bench = true),
 
     // ---- incrementally-MAINTAINED bloom filter across ingest batches:
     // batch 1 dedups against the initial history; batch 2 dedups against
@@ -2238,7 +2239,8 @@ object PipelineQueries {
              |  round(CAST(rho AS DOUBLE) / CAST(kk AS DOUBLE) * estu, 4) AS est_intersect,
              |  CAST(rho AS BIGINT) AS rho, CAST(kk AS BIGINT) AS kk,
              |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact
-             |FROM eu, rho, ex""".stripMargin)),
+             |FROM eu, rho, ex""".stripMargin),
+      bench = true),
 
     // ---- image perceptual hash over REAL PNG decode (the q97/q135
     // pattern for still images): deterministic 16x16 grayscale assets
@@ -2261,7 +2263,8 @@ object PipelineQueries {
              |           CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
              |         FROM bl JOIN tot USING (doc_id))
              |SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
-             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- image near-dup PAIRS: q147's aHash routed through the SimHash
     // Manku block-combination machinery (hammingPairs over precomputed
@@ -2304,7 +2307,8 @@ object PipelineQueries {
              |       CAST(hd.hamming AS BIGINT) AS hamming
              |FROM hd JOIN h x ON x.ahash = hd.ha JOIN h y ON y.ahash = hd.hb
              |WHERE x.doc_id < y.doc_id AND hd.hamming <= 2
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
 
     // ---- audio energy-delta fingerprint over REAL WAV decode: the q147
     // pattern for audio — motif assets round-trip javax.sound, frame
@@ -2360,7 +2364,8 @@ object PipelineQueries {
              |  CAST(count(DISTINCT n_chars) AS BIGINT),
              |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
              |  FROM documents)
-             |ORDER BY "column"""".stripMargin)),
+             |ORDER BY "column"""".stripMargin),
+      bench = true),
 
     // ---- profile drift between two snapshots (even-id vs odd-id halves
     // as stand-ins for yesterday/today): both one-pass profiles joined

@@ -310,7 +310,7 @@ object EventsStream {
     * SCALE: state is (window x term) counters bounded by the watermark
     * horizon; the top-k per batch is a WindowGroupLimit-prunable rank
     * over only the rows that batch emitted, never the history. */
-  def trendingTerms(spark: SparkSession, events: DataFrame, textCol: String,
+  private[graft] def trendingTerms(spark: SparkSession, events: DataFrame, textCol: String,
       window_ : String, k: Int): Seq[(java.sql.Timestamp, String, Long, Int)] = {
     val counts = events
       .withWatermark("ts", "1 hour")

@@ -978,6 +978,59 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("edge hardening: null source budgets, empty kmv, bloom column clash, width-64 manku mask") {
+    import graft.operators.{Dedup, Sketches, TrainingPrep}
+    // 1) a null source is a real group: its rows must load their broadcast
+    //    offset like any other source, so the result stays the keyed-window
+    //    twin and stays partition-invariant
+    val docs0 = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nullSrc = docs0.withColumn("source",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 3 === 1, lit("srcA")).otherwise(col("source")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val twin = nullSrc
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), col("n_chars"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .where(col("cum_tok") <= 2000)
+      .select("source", "doc_id", "n_tok", "cum_tok")
+      .collect().map(_.toSeq).toSet
+    assert(twin.exists(_.head == null), "fixture must exercise the null-source group")
+    Seq(1, 3, 32).foreach { p =>
+      val got = TrainingPrep.selectPerSourceBudget(nullSrc, 2000L, partitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(got == twin, s"partitions=$p")
+    }
+    // 2) kmv over two empty inputs: (0, 0), never NaN
+    val empty = docs0.where(lit(false)).select(col("text").as("term"))
+    val z = Sketches.kmvSetAlgebra(empty, empty, "term", k = 16).head()
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0, s"empty kmv: $z")
+    // 3) a pre-existing __bloom_maybe column is a hard error, not silent
+    //    corruption of the caller's data
+    val keys = docs0.select(col("text").as("k"))
+    val clashing = docs0.select(col("doc_id"), col("text").as("k"))
+      .withColumn("__bloom_maybe", lit(true))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGatedAntiJoinWith(
+        Sketches.bloomBuild(keys, col("k"), 1 << 12), clashing, keys, "k")
+    }
+    // 4) width-64 block mask: nBlocks=1/bits=64 must key by the FULL
+    //    signature (the buggy (1L<<64)-1 mask is 0 → one global bucket)
+    val sigDf2 = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL),
+      (3L, -42L)).toDF("doc_id", "sig")
+    val blockVals = sigDf2.select(
+        Dedup.mankuBlocks(col("sig"), nBlocks = 1, bits = 64).head.as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(blockVals == Set(0x0123456789abcdefL, -42L),
+      s"width-64 block must be the raw signature, got $blockVals")
+    val exactPairs = Dedup.hammingPairs(sigDf2, maxDist = 0, sigCol = "sig",
+        nBlocks = 1, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exactPairs == Set((1L, 2L, 0L)))
+  }
+
   test("profile drift: planted bound shift flags exactly its column") {
     val before = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val after = Seq((1L, "x"), (9L, "y")).toDF("id", "v") // id range moved
