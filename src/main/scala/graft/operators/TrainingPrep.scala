@@ -787,6 +787,21 @@ object TrainingPrep {
       .where(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + w - 1).as("e"))
+    exciseSpans(base, spans)
+  }
+
+  /** Shared span-excision tail: merge overlapping/adjacent removal spans
+    * per document into islands, then rebuild each document's text minus
+    * the excised token indices. `base` is (doc_id, w: array<string>);
+    * `spans` is (doc_id, s, e) token-index intervals (inclusive; e past
+    * the end is harmless — the rebuild filter only ranges over real
+    * indices). Returns (doc_id, clean_text, removed) for EVERY base doc.
+    *
+    * SCALE: the island-merge windows are partitioned per doc and bounded
+    * by that doc's span count (spans are rare by construction in both
+    * callers); the rebuild is a doc-keyed left join plus higher-order
+    * filters — no per-row UDF, no extra shuffle beyond the doc key. */
+  private[graft] def exciseSpans(base: DataFrame, spans: DataFrame): DataFrame = {
     val ord = Window.partitionBy("doc_id").orderBy("s", "e")
     val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
     val merged = spans
@@ -806,6 +821,50 @@ object TrainingPrep {
         array_join(transform(col("kept"), i => element_at(col("w"), i + 1)), " ")
           .as("clean_text"),
         (size(col("w")) - size(col("kept"))).cast("long").as("removed"))
+  }
+
+  /** GPT-3/PaLM-style benchmark decontamination with SPAN EXCISION (the
+    * GPT-3 appendix-C recipe: excise the overlapping n-gram span plus a
+    * `margin`-token buffer on each side, KEEP the document) — the
+    * surgical alternative to [[contaminatedIds]]' whole-document drop: a
+    * single leaked benchmark sentence no longer costs an entire long
+    * document. Returns (doc_id, clean_text, removed) for every corpus
+    * document; uncontaminated docs pass through with removed = 0.
+    * Default n = 13 is the GPT-3/PaLM contamination window.
+    *
+    * SCALE: the benchmark side collapses to DISTINCT 64-bit gram hashes
+    * and is BROADCAST (benchmark sets are tiny next to a training
+    * corpus), so detection is a map-side semi-join probe at scan speed —
+    * the corpus never shuffles to find its hits. Grams probe as xxhash64
+    * of the space-joined window (a 2^-64 collision excises one spurious
+    * span — acceptable for data prep, the [[Dedup]] argument), so the
+    * broadcast is 8 bytes per benchmark gram, ~10x narrower than the
+    * text. Only the HIT spans (rare by construction) enter the
+    * [[exciseSpans]] island-merge windows; everything downstream of
+    * detection is bounded by the contamination count, not the corpus. */
+  def exciseContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      margin: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("w"))
+    // guard: sequence(0, n) with n < 0 counts DOWN in Spark — empty out
+    // short docs explicitly instead
+    def posGramHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => xxhash64(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+          .otherwise(expr("cast(array() as array<bigint>)"))))
+        .toDF("doc_id", "pos", "gh")
+    val benchGrams = broadcast(
+      posGramHashes(benchmark.select(lit(0L).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w")))
+        .select("gh").distinct())
+    val spans = posGramHashes(base).join(benchGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        greatest(col("pos") - margin, lit(0)).as("s"),
+        (col("pos") + (n - 1) + margin).as("e"))
+    exciseSpans(base, spans)
   }
 
   /** Pointwise-mutual-information co-occurring term pairs: PMI =

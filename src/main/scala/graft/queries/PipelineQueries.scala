@@ -2437,7 +2437,54 @@ object PipelineQueries {
              |  FROM d)
              |SELECT source, doc_id, n_tok, cum_tok FROM c
              |WHERE cum_tok <= 800
-             |ORDER BY source, doc_id""".stripMargin)))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- GPT-3/PaLM-style 13-gram decontamination with SPAN EXCISION:
+    // q61 drops whole contaminated documents; the standard recipe (GPT-3
+    // appendix C) excises the overlapping window ± margin and KEEPS the
+    // document. Benchmark = a mid-document 21-token excerpt of every
+    // doc_id%17 doc — a benchmark sentence embedded verbatim in crawl
+    // text — so hits exist at every scale and every contaminated doc
+    // survives with partial text. The engine detects hits via a
+    // broadcast hashed-gram semi-join (corpus never shuffles to find
+    // them) and rebuilds through the q109 island-merge machinery; the
+    // oracle composes the q61 gram chain with the q109 merge/rebuild
+    // chain on gram TEXT (the xxhash64 probe is a Spark-side broadcast-
+    // width optimization, not semantics).
+    Q("q152_decontam_excise",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.where(col("doc_id") % 17 === 0)
+          .select(array_join(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 11, 21), " ")
+            .as("text"))
+        graft.operators.TrainingPrep
+          .exciseContamination(docs, bench, n = 13, margin = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |bw AS (SELECT w[11:31] AS w FROM d WHERE doc_id % 17 = 0),
+             |bg AS (SELECT DISTINCT unnest([array_to_string(w[(i+1):(i+13)], ' ')
+             |       for i in range(0, greatest(len(w)-13+1,0))]) AS gram FROM bw),
+             |g AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(w[(i+1):(i+13)], ' ')}
+             |       for i in range(0, greatest(len(w)-13+1,0))], recursive := true) FROM d),
+             |spans AS (SELECT doc_id, greatest(pos - 2, 0) AS s, pos + 13 - 1 + 2 AS e
+             |        FROM g JOIN bg USING (gram)),
+             |isl AS (SELECT doc_id, s, e,
+             |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+             |        FROM spans),
+             |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+             |        SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+             |        FROM isl) GROUP BY doc_id, grp),
+             |perdoc AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM merged GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(array_to_string([w[i+1] for i in range(0, len(w))
+             |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0], ' '), '') AS clean_text,
+             |  CAST(len(w) - len([w[i+1] for i in range(0, len(w))
+             |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0]) AS BIGINT) AS removed
+             |FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin),
+      bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
     * same quantize → (assign → integer-sum update) x iters → assign

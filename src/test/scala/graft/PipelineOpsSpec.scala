@@ -978,6 +978,33 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("excision decontamination: planted benchmark sentence is cut, doc survives") {
+    import graft.operators.TrainingPrep
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val bench14 = (1 to 14).map(i => s"x$i").mkString(" ")
+    val head = (1 to 6).map(i => s"h$i").mkString(" ")
+    val tail = (1 to 6).map(i => s"t$i").mkString(" ")
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$head $bench13 $tail"), // one 13-gram hit at token 6
+      (2L, clean),                   // no hit: must pass through verbatim
+      (3L, s"$head $bench14 $tail")  // two overlapping hits -> one island
+    ).toDF("doc_id", "text")
+    val bench = Seq(bench13, bench14).toDF("text")
+    val got = TrainingPrep.exciseContamination(docs, bench, n = 13, margin = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1: hit gram at pos 6, margin 2 -> excise [4, 20] of 25 tokens
+    assert(got(0) == ((1L, "h1 h2 h3 h4 t3 t4 t5 t6", 17L)))
+    assert(got(1) == ((2L, clean, 0L)))
+    // doc 3: hits at pos 6 and 7 -> spans [4,20]+[5,21] merge to [4,21]
+    assert(got(2) == ((3L, "h1 h2 h3 h4 t3 t4 t5 t6", 18L)))
+    // margin 0: only the exact window goes
+    val m0 = TrainingPrep.exciseContamination(docs, bench, n = 13, margin = 0)
+      .orderBy("doc_id").collect()
+    assert(m0(0).getString(1) == s"$head $tail" && m0(0).getLong(2) == 13L)
+  }
+
   test("edge hardening: null source budgets, empty kmv, bloom column clash, width-64 manku mask") {
     import graft.operators.{Dedup, Sketches, TrainingPrep}
     // 1) a null source is a real group: its rows must load their broadcast
