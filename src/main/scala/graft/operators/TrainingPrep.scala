@@ -1111,4 +1111,80 @@ object TrainingPrep {
         .takeWhile(_._3 <= n)
     }.toDF("doc_id", "logw", "rank")
   }
+
+  /** Trained character-n-gram language identification — the model-based
+    * upgrade of [[TextAnalysis.langId]]'s fixed marker heuristic: fit
+    * per-language char-n-gram profiles on a LABELED slice, score every
+    * document by add-one-smoothed log-likelihood under each language's
+    * profile, take the argmax (the langid.py / fastText family recipe
+    * reduced to its deterministic core).
+    *
+    * Model: over the `vocabSize` globally most frequent n-grams of the
+    * labeled slice (count desc, gram asc — a total order, so the vocab
+    * cut is reproducible), p(g|L) = (cnt_{L,g} + 1) / (tot_L + V). A
+    * document scores Σ ln p(g|L) over its IN-VOCAB n-gram occurrences
+    * (OOV n-grams carry no per-language signal and are dropped); the
+    * winner is row 1 of (ROUNDED score desc, lang asc) — rounded FIRST,
+    * the q110/q130 convention, so libm/summation-order drift can never
+    * flip the argmax differently across engines. Only documents with at
+    * least one in-vocab n-gram are returned (zero evidence, no argmax).
+    *
+    * Decomposition: Σ ln p = Σ_{seen} ln(cnt+1) − m·ln(tot_L + V), with
+    * m = the doc's in-vocab occurrence count — the score needs only the
+    * SPARSE (lang, gram) count rows plus one constant per language, and
+    * the (doc × lang) grid completes by exploding a literal language
+    * array (collected once; driver state = #languages strings, the
+    * centroid-collect argument), never a BNLJ cross join.
+    *
+    * SCALE: the n-gram space is bounded by charset^n, not the corpus;
+    * the vocab cut is orderBy+limit = TakeOrderedAndProject; every model
+    * join is a bounded broadcast (≤ vocabSize rows). The corpus side is
+    * two explode passes (the q83 trade — m and the per-lang sum each
+    * re-derive from the scan rather than checkpointing corpus-scale
+    * exploded rows), both feeding map-side-combining aggregations; the
+    * argmax is a doc-partitioned rank window Spark prunes with
+    * WindowGroupLimit. */
+  def trainedLangId(docs: DataFrame, labeled: DataFrame, n: Int = 3,
+      vocabSize: Int = 2000, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    // guard: sequence(1, k) counts DOWN for k < 1 — empty short docs out
+    def grams(c: org.apache.spark.sql.Column) =
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+        .otherwise(expr("cast(array() as array<string>)"))
+    val counts = labeled
+      .select(col(langCol).as("lang"), explode(grams(col(textCol))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // vocab + scoring both derive from it
+    val vocab = counts.groupBy("g").agg(sum("cnt").as("tot"))
+      .orderBy(col("tot").desc, col("g")).limit(vocabSize)
+      .select("g")
+      .localCheckpoint(eager = false) // referenced by model AND both doc passes
+    val countsV = counts.join(broadcast(vocab), Seq("g"))
+      .localCheckpoint(eager = false)
+    val perLang = countsV.groupBy("lang").agg(sum("cnt").as("tot_l"))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v")))) // single-row
+    val langs = countsV.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0)) // bounded: one string per language
+    def occ = docs.select(col(idCol).as("doc_id"),
+        explode(grams(col(textCol))).as("g"))
+      .join(broadcast(vocab), Seq("g")) // in-vocab occurrences, with multiplicity
+    val m = occ.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val a = occ.join(broadcast(countsV), Seq("g"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(log(col("cnt").cast("double") + 1.0)).as("a"))
+    val rnk = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang"))
+    m.select(col("doc_id"), col("m"),
+        explode(array(langs.map(lit): _*)).as("lang"))
+      .join(a, Seq("doc_id", "lang"), "left")
+      .join(broadcast(perLang), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round(coalesce(col("a"), lit(0.0)) - col("m").cast("double") *
+          log(col("tot_l").cast("double") + col("v").cast("double")), 4)
+          .as("score"))
+      .withColumn("rn", row_number().over(rnk))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+  }
 }

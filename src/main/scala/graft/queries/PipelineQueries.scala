@@ -2484,6 +2484,49 @@ object PipelineQueries {
              |  CAST(len(w) - len([w[i+1] for i in range(0, len(w))
              |    if len(list_filter(coalesce(sp, []), x -> i >= x.s AND i <= x.e)) = 0]) AS BIGINT) AS removed
              |FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- TRAINED char-trigram language ID: q28's langId is a fixed
+    // marker heuristic; this fits per-language trigram profiles on a
+    // labeled slice (doc_id%10, using the corpus's own lang labels) and
+    // scores every doc by smoothed log-likelihood, argmax per doc. The
+    // engine completes the (doc x lang) grid by exploding a literal
+    // language array (bounded driver collect, never a BNLJ cross join)
+    // and ranks on the ROUNDED score (q110/q130 convention) so the
+    // argmax is engine-reproducible. Oracle = the same decomposition
+    // S ln p = S ln(cnt+1) - m*ln(tot_l+V) in DuckDB; hot CTEs
+    // MATERIALIZED (DuckDB inlines per reference otherwise).
+    Q("q153_lang_id_trained",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.TrainingPrep.trainedLangId(
+          docs, docs.where(col("doc_id") % 10 === 0), n = 3, vocabSize = 500)
+          .orderBy("doc_id")
+      },
+      Some("""WITH lt AS MATERIALIZED (
+             |  SELECT lang, unnest([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS g
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |counts AS MATERIALIZED (SELECT lang, g, count(*) AS cnt FROM lt GROUP BY 1, 2),
+             |vocab AS MATERIALIZED (SELECT g FROM (
+             |  SELECT g, sum(cnt) AS tot FROM counts GROUP BY g ORDER BY tot DESC, g LIMIT 500)),
+             |cv AS MATERIALIZED (SELECT lang, g, cnt FROM counts JOIN vocab USING (g)),
+             |pl AS (SELECT lang, sum(cnt) AS tot_l FROM cv GROUP BY lang),
+             |vc AS (SELECT count(*) AS v FROM vocab),
+             |occ AS MATERIALIZED (
+             |  SELECT doc_id, g FROM (
+             |    SELECT doc_id, unnest([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS g
+             |    FROM documents) JOIN vocab USING (g)),
+             |m AS (SELECT doc_id, count(*) AS m FROM occ GROUP BY doc_id),
+             |a AS (SELECT doc_id, lang, sum(ln(cnt + 1)) AS a FROM occ JOIN cv USING (g) GROUP BY 1, 2),
+             |langs AS (SELECT DISTINCT lang FROM cv),
+             |sc AS (SELECT m.doc_id, l.lang,
+             |       round(coalesce(a.a, 0) - m.m * ln(tot_l + v), 4) AS score
+             |       FROM m CROSS JOIN langs l
+             |       LEFT JOIN a ON a.doc_id = m.doc_id AND a.lang = l.lang
+             |       JOIN pl ON pl.lang = l.lang CROSS JOIN vc)
+             |SELECT doc_id, lang AS lang_pred, score
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the

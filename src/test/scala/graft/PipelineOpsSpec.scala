@@ -1005,6 +1005,34 @@ class PipelineOpsSpec extends GraftSpec {
     assert(m0(0).getString(1) == s"$head $tail" && m0(0).getLong(2) == 13L)
   }
 
+  test("trained lang-id: planted char distributions classify correctly") {
+    import graft.operators.TrainingPrep
+    // three fake languages with disjoint char inventories; a fourth
+    // "mixed" doc leans aa-ward; a too-short doc (< 3 chars of vocab
+    // overlap) must be absent from the result
+    def rep(s: String, k: Int) = Array.fill(k)(s).mkString(" ")
+    val labeled = Seq(
+      (100L, rep("aalta kalla saari", 4), "aa"),
+      (101L, rep("aakko nalle vaara", 4), "aa"),
+      (102L, rep("zorro bizzo pizza", 4), "zz"),
+      (103L, rep("zanza mezzo rezzo", 4), "zz"),
+      (104L, rep("qumqu uqquq muqqa", 4), "qq"),
+      (105L, rep("ququm aqqad daqqu", 4), "qq")
+    ).toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (1L, rep("kalla vaara aalta", 3)),   // clearly aa
+      (2L, rep("pizza rezzo zorro", 3)),   // clearly zz
+      (3L, rep("muqqa ququm uqquq", 3)),   // clearly qq
+      (4L, "aalta saari " + rep("nalle", 2) + " zorro"), // mixed, aa-major
+      (5L, "xy")                            // no trigram at all
+    ).toDF("doc_id", "text")
+    val got = TrainingPrep.trainedLangId(docs, labeled, n = 3, vocabSize = 200)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got.map(_._1) == List(1L, 2L, 3L, 4L)) // doc 5: no evidence, absent
+    assert(got.map(_._2) == List("aa", "zz", "qq", "aa"), s"got $got")
+  }
+
   test("edge hardening: null source budgets, empty kmv, bloom column clash, width-64 manku mask") {
     import graft.operators.{Dedup, Sketches, TrainingPrep}
     // 1) a null source is a real group: its rows must load their broadcast
