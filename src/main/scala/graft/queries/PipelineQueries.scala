@@ -2527,6 +2527,64 @@ object PipelineQueries {
              |SELECT doc_id, lang AS lang_pred, score
              |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- unigram-LM (SentencePiece-family) tokenizer, one hard-EM round
+    // closed-form: seed = substring candidates (len<=4, minCount 5,
+    // single chars always kept) with quantized log-probs; E-step =
+    // integer-Viterbi per distinct word (quantization makes the DP exact
+    // integer arithmetic — bit-reproducible across engines, the q129
+    // trick); M-step = usage renormalization. The oracle replicates the
+    // Viterbi DP with a recursive CTE carrying (best, back) LISTS per
+    // word and the same smallest-split tie-break, then backtraces with a
+    // second recursive CTE. Bpe.train's full-loop analogue is
+    // Unigram.train (spec-driven; prune order deterministic).
+    Q("q154_unigram_lm_round",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Unigram.emRound(docs,
+            graft.operators.Unigram.seedPieces(docs, maxPieceLen = 4, minCount = 5))
+          .orderBy("piece")
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+             |d AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+             |sub AS (SELECT cnt, unnest(flatten([[substr(word, s, l) for s in range(1, len(word)-l+2)]
+             |        for l in range(1, least(len(word), 4)+1)])) AS piece FROM d),
+             |pc AS MATERIALIZED (SELECT piece, sum(cnt) AS cnt FROM sub GROUP BY piece
+             |      HAVING sum(cnt) >= 5 OR len(piece) = 1),
+             |tot AS (SELECT sum(cnt) AS t FROM pc),
+             |mp AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
+             |      list(CAST(round((ln(cnt) - ln(t)) * 10000) AS BIGINT) ORDER BY piece)) AS m
+             |      FROM pc CROSS JOIN tot),
+             |dp AS (
+             |  SELECT word, cnt, 0 AS j, [CAST(0 AS BIGINT)] AS best, [CAST(-1 AS BIGINT)] AS back
+             |  FROM d
+             |  UNION ALL
+             |  SELECT word, cnt, j + 1,
+             |    list_append(best, -struct_extract(pick, 'negs')),
+             |    list_append(back, struct_extract(pick, 'i'))
+             |  FROM (
+             |    SELECT word, cnt, j, best, back,
+             |      list_min([{'negs': -(best[i+1] + m[substr(word, i+1, j+1-i)][1]), 'i': i}
+             |        for i in range(greatest(j+1-4, 0), j+1)
+             |        if best[i+1] IS NOT NULL AND len(m[substr(word, i+1, j+1-i)]) > 0]) AS pick
+             |    FROM dp CROSS JOIN mp WHERE j < len(word))
+             |),
+             |fin AS MATERIALIZED (SELECT word, cnt, back FROM dp
+             |      WHERE j = len(word) AND best[len(word)+1] IS NOT NULL),
+             |bt AS (
+             |  SELECT word, cnt, back, len(word) AS j, CAST([] AS VARCHAR[]) AS pieces FROM fin
+             |  UNION ALL
+             |  SELECT word, cnt, back, back[j+1],
+             |    list_prepend(substr(word, CAST(back[j+1]+1 AS INT), CAST(j - back[j+1] AS INT)), pieces)
+             |  FROM bt WHERE j > 0
+             |),
+             |use AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+             |      SELECT cnt, unnest(pieces) AS piece FROM bt WHERE j = 0) GROUP BY piece),
+             |ut AS (SELECT sum(usage) AS t FROM use)
+             |SELECT piece, usage, round(usage / t, 4) AS p_new
+             |FROM use CROSS JOIN ut ORDER BY piece""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the

@@ -1033,6 +1033,40 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got.map(_._2) == List("aa", "zz", "qq", "aa"), s"got $got")
   }
 
+  test("unigram-lm: viterbi choice, tie-break, unk word, trained round-trip") {
+    import graft.operators.Unigram
+    import graft.operators.Unigram.Piece
+    // known answer: "ab" (-10) beats "a"+"b" (-200)
+    val m1 = Seq(Piece("ab", 0, -10), Piece("a", 0, -100), Piece("b", 0, -100),
+      Piece("c", 0, -100))
+    val s1 = Unigram.segment(Seq((1L, "abc ab")).toDF("doc_id", "text"), m1)
+      .collect().head.getSeq[String](1)
+    assert(s1 == Seq("ab", "c", "ab"))
+    // all segmentations of "aaa" tie at -30: smallest split point wins
+    // deterministically -> ["a", "aa"]
+    val m2 = Seq(Piece("aa", 0, -20), Piece("a", 0, -10))
+    val s2 = Unigram.segment(Seq((1L, "aaa")).toDF("doc_id", "text"), m2)
+      .collect().head.getSeq[String](1)
+    assert(s2 == Seq("a", "aa"))
+    // uncoverable word (unseen chars) comes out whole — by-word UNK
+    val s3 = Unigram.segment(Seq((1L, "ab zq!")).toDF("doc_id", "text"), m1)
+      .collect().head.getSeq[String](1)
+    assert(s3 == Seq("ab", "zq!"))
+    // trainer: singles survive pruning unconditionally, vocab is capped,
+    // segmentation with the trained model reconstructs every word
+    val corpus = Seq((1L, "banana bandana banana"), (2L, "ananas banana"))
+      .toDF("doc_id", "text")
+    val model = Unigram.train(corpus, vocabSize = 10, maxPieceLen = 3,
+      minCount = 2, rounds = 2)
+    assert(model.count(_.piece.length == 1) == 5) // a b d n s
+    assert(model.size <= 10)
+    val seg = Unigram.segment(corpus, model).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(seg(1L).mkString == "bananabandanabanana")
+    assert(seg(2L).mkString == "ananasbanana")
+    assert(seg(1L).exists(_.length > 1), "trained model should use a multi-char piece")
+  }
+
   test("edge hardening: null source budgets, empty kmv, bloom column clash, width-64 manku mask") {
     import graft.operators.{Dedup, Sketches, TrainingPrep}
     // 1) a null source is a real group: its rows must load their broadcast
