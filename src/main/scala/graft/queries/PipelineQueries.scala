@@ -2585,6 +2585,103 @@ object PipelineQueries {
              |ut AS (SELECT sum(usage) AS t FROM use)
              |SELECT piece, usage, round(usage / t, 4) AS p_new
              |FROM use CROSS JOIN ut ORDER BY piece""".stripMargin),
+      bench = true),
+
+    // ---- WordPiece (BERT tokenizer family) likelihood scoring round:
+    // unlike BPE (raw pair frequency), WordPiece fuses the pair with the
+    // largest unigram-LM likelihood gain score = pc/(ca*cb); the ln
+    // decomposition ln pc - ln ca - ln cb is composed identically on both
+    // engines and rounded 4 dp (q110/q130 convention), ties broken on the
+    // unique (lsym, rsym) group key. Scoring runs on the distinct-word
+    // table (vocab-sized); symbol counts are alphabet-sized broadcasts.
+    Q("q155_wordpiece_score",
+      (s, d) => graft.operators.WordPiece.scoreRound(
+        t(s, d, "documents"), topN = 20),
+      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+             |d AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+             |s AS MATERIALIZED (SELECT cnt,
+             |  [CASE WHEN i = 1 THEN substr(word, 1, 1) ELSE '##' || substr(word, i, 1) END
+             |   for i in range(1, len(word)+1)] AS syms FROM d),
+             |sc AS MATERIALIZED (SELECT sym, sum(cnt) AS c FROM (
+             |  SELECT cnt, unnest(syms) AS sym FROM s) GROUP BY sym),
+             |pc AS (SELECT lsym, rsym, sum(cnt) AS pc FROM (
+             |  SELECT cnt, unnest([{'lsym': syms[i+1], 'rsym': syms[i+2]}
+             |    for i in range(0, len(syms)-1)], recursive := true)
+             |  FROM s WHERE len(syms) >= 2) GROUP BY lsym, rsym)
+             |SELECT lsym, rsym, CAST(pc AS BIGINT) AS pair_cnt,
+             |  CAST(l.c AS BIGINT) AS left_cnt, CAST(r.c AS BIGINT) AS right_cnt,
+             |  round(ln(pc) - ln(l.c) - ln(r.c), 4) AS score_ln
+             |FROM pc JOIN sc l ON l.sym = pc.lsym JOIN sc r ON r.sym = pc.rsym
+             |ORDER BY score_ln DESC, lsym, rsym LIMIT 20""".stripMargin),
+      bench = true),
+
+    // ---- WordPiece MaxMatch vocabulary, data-derived: word-initial
+    // pieces plain, continuations ##-prefixed, count-thresholded with
+    // single chars kept unconditionally (coverage guarantee — the
+    // Unigram.seedPieces convention). Vocab-bounded by construction.
+    Q("q156_wordpiece_vocab",
+      (s, d) => graft.operators.WordPiece.greedyVocab(t(s, d, "documents"))
+        .orderBy("piece"),
+      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+             |d AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+             |sub AS (SELECT cnt, unnest(flatten(
+             |  [[CASE WHEN s = 1 THEN substr(word, s, l) ELSE '##' || substr(word, s, l) END
+             |    for l in range(1, least(4, len(word)-s+1)+1)]
+             |   for s in range(1, len(word)+1)])) AS piece FROM d)
+             |SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY piece
+             |HAVING sum(cnt) >= 5 OR len(regexp_replace(piece, '^##', '')) = 1
+             |ORDER BY piece""".stripMargin)),
+
+    // ---- WordPiece greedy longest-match-first segmentation (BERT's
+    // wordpiece_tokenizer contract, by-word UNK) against the q156 vocab.
+    // The engine broadcasts the vocab as a set and segments scan-speed
+    // with a capped per-partition word cache (Bpe.segment shape); the
+    // oracle replays greedy MaxMatch per distinct word with a recursive
+    // CTE (pick = longest vocab hit at pos via the q154 map-probe trick)
+    // then reassembles docs in word order.
+    Q("q157_wordpiece_segment",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.WordPiece.segment(docs,
+          graft.operators.WordPiece.trainedVocab(docs)).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |w0 AS (SELECT doc_id, string_split(text,' ') AS wl FROM documents),
+             |w AS (SELECT unnest(wl) AS word FROM w0),
+             |d AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+             |sub AS (SELECT cnt, unnest(flatten(
+             |  [[CASE WHEN s = 1 THEN substr(word, s, l) ELSE '##' || substr(word, s, l) END
+             |    for l in range(1, least(4, len(word)-s+1)+1)]
+             |   for s in range(1, len(word)+1)])) AS piece FROM d),
+             |pieces AS (SELECT piece FROM sub GROUP BY piece
+             |  HAVING sum(cnt) >= 5 OR len(regexp_replace(piece, '^##', '')) = 1),
+             |mp AS MATERIALIZED (SELECT map(list(piece), list(1)) AS m FROM pieces),
+             |seg AS (
+             |  SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces, false AS unk FROM d
+             |  UNION ALL
+             |  SELECT word,
+             |    CASE WHEN pick IS NULL THEN len(word) ELSE pos + pick END,
+             |    CASE WHEN pick IS NULL THEN ['[UNK]']
+             |         ELSE list_append(pieces,
+             |           CASE WHEN pos = 0 THEN substr(word, pos+1, pick)
+             |                ELSE '##' || substr(word, pos+1, pick) END) END,
+             |    pick IS NULL AS unk
+             |  FROM (
+             |    SELECT word, pos, pieces,
+             |      list_max([l for l in range(1, least(4, len(word)-pos)+1)
+             |        if len(m[CASE WHEN pos = 0 THEN substr(word, pos+1, l)
+             |                      ELSE '##' || substr(word, pos+1, l) END]) > 0]) AS pick
+             |    FROM seg CROSS JOIN mp WHERE pos < len(word) AND NOT unk)
+             |),
+             |fin AS MATERIALIZED (SELECT word, pieces FROM seg WHERE pos = len(word)),
+             |dw AS (SELECT doc_id, unnest([{'i': i, 'word': wl[i+1]}
+             |  for i in range(0, len(wl)) if wl[i+1] <> ''], recursive := true) FROM w0),
+             |agg AS (SELECT doc_id, flatten(list(pieces ORDER BY i)) AS pl
+             |  FROM dw JOIN fin USING (word) GROUP BY doc_id)
+             |SELECT doc_id, coalesce(array_to_string(pl, ' '), '') AS piece_str,
+             |  CAST(coalesce(len(pl), 0) AS BIGINT) AS n_pieces
+             |FROM documents LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the

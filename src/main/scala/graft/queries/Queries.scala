@@ -25,14 +25,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"${dir.stripSuffix("/")}/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 won't
-    * read as TimestampType. We read it under the nanosAsLong legacy flag, so
-    * `ts` is LongType epoch-NANOSECONDS here. Integer nanos keep ordering,
+  /** The events table: `ts` is normalized to LongType epoch-NANOSECONDS
+    * regardless of how the parquet encodes it. Integer nanos keep ordering,
     * bucketing, and gap arithmetic exact (no µs truncation) — queries must
-    * use `tsSeconds`/ns literals, and oracle SQL uses epoch(ts). */
+    * use `tsSeconds`/ns literals, and oracle SQL uses epoch(ts).
+    *
+    * Two physical encodings exist across testdata generations:
+    * TIMESTAMP(NANOS) (unreadable as TimestampType by Spark 4 → read under
+    * the nanosAsLong legacy flag, already epoch-ns), and TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ → cast to TimestampType under the UTC session
+    * timezone every session pins, then unix_micros × 1000). Both paths land
+    * on the same instants DuckDB's epoch(ts) sees. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          df("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
 
   val NanosPerSecond = 1000000000L

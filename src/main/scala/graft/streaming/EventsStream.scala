@@ -58,16 +58,24 @@ private[streaming] class FunnelProcessor(stages: Seq[String], windowUs: Long)
   */
 object EventsStream {
 
-  /** File-source stream over parquet events. ts lands as TIMESTAMP(NANOS) →
-    * read as long under nanosAsLong, converted to a proper timestamp (µs)
-    * for event-time semantics. */
+  /** File-source stream over parquet events, `ts` normalized to
+    * TimestampType for event-time semantics whichever way the parquet
+    * encodes it: TIMESTAMP(NANOS) (read as epoch-ns long under the
+    * nanosAsLong legacy flag → timestamp_micros) or TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ → cast under the pinned UTC session tz). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Tumbling event-time window counts with a 1-hour watermark. */
