@@ -56,7 +56,10 @@ object WordPiece {
     * match bit-for-bit. */
   def scoreRound(docs: DataFrame, topN: Int = 20,
       textCol: String = "text"): DataFrame = {
-    val w = words(docs, textCol)
+    // both the symbol-count and pair-count branches read the word table;
+    // checkpointing it (vocab-sized — one corpus pass) keeps the corpus
+    // scan single even though Spark won't CSE across the two branches
+    val w = words(docs, textCol).localCheckpoint()
     val syms = w.select(col("cnt"), symbolsCol.as("syms"))
     // symbol occurrence counts (alphabet-sized: ≤ 2 rows per distinct char)
     val symCnt = syms
