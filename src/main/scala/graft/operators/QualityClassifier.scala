@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier: full-batch logistic regression over the
+  * one-pass text-stats features — the standard DISCRIMINATIVE corpus
+  * filter (the GPT-3 appendix-A / LLaMA "quality classifier" stage),
+  * complementing the generative scorers already in the engine (q130 DSIR
+  * importance weights, q153 trained language ID, q99/q115 LM surprisal).
+  *
+  * DETERMINISM (the q129 quantization discipline, applied to GD):
+  *   - features quantize to 1e-6 units as longs at extraction
+  *     ([[featuresQ]]); ln is the only transcendental and is composed
+  *     identically in the DuckDB oracle (the q110/q130 convention),
+  *   - each iteration quantizes the sigmoid to 1e-6 units BEFORE the
+  *     gradient, so every per-document gradient term
+  *     (sq − y·10⁶)·xq_j is an EXACT integer — sums are
+  *     partition-order-invariant and engine-portable by construction,
+  *   - the weight update w_j −= lr·((g/10¹²)/N) runs on exact
+  *     integer-derived doubles with lr a binary fraction (default 1/4),
+  *     so every IEEE operation is correctly rounded and identical in
+  *     any engine — weights stay bit-identical across partitionings and
+  *     across the DuckDB replay.
+  *
+  * SCALE SHAPE: training is T full-batch passes over a localCheckpoint'd
+  * feature table of (label, 5 longs) per doc — the corpus text is read
+  * ONCE; each pass is one map-side-combined aggregation to 5 numbers.
+  * Gradient terms reach ~10¹³ per doc, so the distributed sums run as
+  * DECIMAL(38,0) — exact and mergeable past 10²⁵ documents, where a long
+  * would overflow around 10⁵ docs of worst-case text. Scoring is a pure
+  * per-row projection: shuffle-free, scan-speed, broadcast-free (the
+  * model is five literal doubles baked into the plan).
+  */
+object QualityClassifier {
+
+  /** Feature/sigmoid quantum: 1e-6 units. */
+  val Quantum = 1000000L
+
+  /** Feature vector layout (index-aligned with [[featuresQ]]). */
+  val FeatureNames: Seq[String] =
+    Seq("bias", "ln_tokens", "punct_ratio", "stop_ratio", "mean_word_len")
+
+  /** Quantized feature vector as array<long>, 1e-6 units:
+    * [bias=10⁶, ln(1+n_tokens), punct_ratio, stop_ratio, mean_word_len].
+    * Tokens are the corpus-convention single-space split (empties count,
+    * exactly q29's n_tokens); mean word length is the exact integer
+    * identity charSum = len(text) − (n−1) for a single-char separator.
+    * Ratios guard their integer denominators, so empty text yields a
+    * well-defined all-zero (but biased) vector, never NaN. */
+  /** The five quantized features as scalar columns (array-free form:
+    * inlining one array through five element_at's trips a Spark
+    * UnsafeProjection subexpression-elimination codegen bug — "isNull is
+    * not an rvalue" — and falls back to the interpreter; scalar columns
+    * keep the projection codegen'd, the q29 shape). */
+  private def featureColsQ(text: Column): Seq[Column] = {
+    val n = size(split(text, " ")).cast("long") // >= 1 always
+    val nChars = length(text).cast("long")
+    val punct = when(nChars > 0,
+      TextAnalysis.punctRatio(text)).otherwise(lit(0.0))
+    val stop = TextAnalysis.stopwordRatio(text) // denom n >= 1
+    val meanLen = (nChars - n + 1L).cast("double") / n.cast("double")
+    Seq(
+      lit(Quantum),
+      round(log(lit(1.0) + n.cast("double")) * Quantum).cast("long"),
+      round(punct * Quantum).cast("long"),
+      round(stop * Quantum).cast("long"),
+      round(meanLen * Quantum).cast("long"))
+  }
+
+  def featuresQ(text: Column): Column = array(featureColsQ(text): _*)
+
+  /** z = Σ_j w_j·(xq_j/10⁶), fixed left-to-right fold — the SAME
+    * composition the oracle writes out, so the double is bit-identical. */
+  private def zFromCols(w: Array[Double], xq: Seq[Column]): Column =
+    w.indices.map(j => lit(w(j)) * (xq(j).cast("double") /
+      Quantum.toDouble)).reduceLeft(_ + _)
+
+  private def zCol(w: Array[Double], xq: Column): Column =
+    zFromCols(w, w.indices.map(j => element_at(xq, j + 1)))
+
+  /** T iterations of exact-quantized full-batch gradient descent from
+    * w = 0 over `labeled` (needs `labelCol` ∈ {0,1} and `textCol`).
+    * Returns the weight vector. `lr` must be a binary fraction for exact
+    * cross-engine arithmetic. Deterministic under any partitioning. */
+  def train(labeled: DataFrame, labelCol: String = "y", iters: Int = 3,
+      lr: Double = 0.25, textCol: String = "text"): Array[Double] = {
+    val k = FeatureNames.size
+    val fx = labeled.select(col(labelCol).cast("long").as("y"),
+      featuresQ(col(textCol)).as("xq")).localCheckpoint()
+    val n = fx.count()
+    require(n > 0, "logreg training set is empty")
+    var w = Array.fill(k)(0.0)
+    for (_ <- 1 to iters) {
+      val sq = round(lit(1.0) / (lit(1.0) + exp(-zCol(w, col("xq")))) *
+        Quantum.toDouble).cast("long")
+      val gCols = (0 until k).map(j =>
+        sum(((sq - col("y") * Quantum) * element_at(col("xq"), j + 1))
+          .cast("decimal(38,0)")).as(s"g$j"))
+      val g = fx.agg(gCols.head, gCols.tail: _*).collect().head
+      w = Array.tabulate(k) { j =>
+        val gd = g.getDecimal(j).doubleValue()
+        w(j) - lr * ((gd / (Quantum.toDouble * Quantum.toDouble)) / n)
+      }
+    }
+    fx.unpersist()
+    w
+  }
+
+  /** Per-doc quality score σ(w·x) rounded to 1e-6 (the q29 convention)
+    * and the keep flag from the ROUNDED score — pure projection,
+    * shuffle-free, model baked in as literals. */
+  def score(docs: DataFrame, w: Array[Double], threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigma = lit(1.0) /
+      (lit(1.0) + exp(-zFromCols(w, featureColsQ(col(textCol)))))
+    val sc = round(sigma * 1000000.0) / 1000000.0
+    docs.select(col(idCol), sc.as("score"), (sc >= threshold).as("keep"))
+  }
+
+  /** The trained model as a table: (j, feature, weight) with the weight
+    * rounded 6 dp for presentation (training itself is unrounded). */
+  def weightsTable(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    w.toSeq.zip(FeatureNames).zipWithIndex
+      .map { case ((wj, nm), j) =>
+        // compose exactly like the oracle's round(w*1e6)/1e6: scale as a
+        // double FIRST, then HALF_UP (away from zero — what both Spark
+        // round() and DuckDB round() do; math.rint would tie-to-even)
+        (j.toLong, nm,
+          BigDecimal(wj * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble / 1000000.0) }
+      .toDF("j", "feature", "weight")
+  }
+}

@@ -2682,6 +2682,49 @@ object PipelineQueries {
              |  CAST(coalesce(len(pl), 0) AS BIGINT) AS n_pieces
              |FROM documents LEFT JOIN agg USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- trained quality classifier, model inspection: 3 rounds of
+    // exact-quantized full-batch logistic regression distilling the q29
+    // heuristic quality gate (label y = quality >= 0.9 on the doc_id%3
+    // slice) into weights over the five stats-kernel features. Sigmoid
+    // quantizes to 1e-6 BEFORE the gradient so every per-doc term is an
+    // exact integer — sums are partition-invariant and the DuckDB replay
+    // is bit-identical (the q129 discipline applied to GD).
+    Q("q158_logreg_train",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.QualityClassifier
+          .weightsTable(docs, logregModel(docs)).orderBy("j")
+      },
+      Some(s"""WITH ${logregCtes(3)}
+              |SELECT j, feature, round(w*1000000.0)/1000000.0 AS weight FROM (
+              |  SELECT CAST(0 AS BIGINT) AS j, 'bias' AS feature, w1 AS w FROM wfin
+              |  UNION ALL SELECT 1, 'ln_tokens', w2 FROM wfin
+              |  UNION ALL SELECT 2, 'punct_ratio', w3 FROM wfin
+              |  UNION ALL SELECT 3, 'stop_ratio', w4 FROM wfin
+              |  UNION ALL SELECT 4, 'mean_word_len', w5 FROM wfin)
+              |ORDER BY j""".stripMargin)),
+
+    // ---- trained quality classifier, scoring pass: every doc scored
+    // sigma(w.x) under the q158 model, keep from the ROUNDED score. The
+    // scoring projection is pure per-row column arithmetic — shuffle-free
+    // scan-speed, the model baked in as five literal doubles; training
+    // cost is 3 aggregations over a localCheckpoint'd (y, 5 longs) table
+    // (decimal(38,0) sums — exact past 10^25 docs where longs overflow).
+    Q("q159_logreg_quality",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.QualityClassifier
+          .score(docs, logregModel(docs)).orderBy("doc_id")
+      },
+      Some(s"""WITH ${logregCtes(3)}
+              |SELECT doc_id, score, score >= 0.5 AS keep FROM (
+              |  SELECT doc_id,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin)
+              |ORDER BY doc_id""".stripMargin),
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
@@ -2690,6 +2733,69 @@ object PipelineQueries {
     * folds left-to-right like the engine's codegen'd fold, and the
     * centroid quotient divides the same exact integers — doubles match
     * bit-for-bit, so `round(d, 4)` agrees. */
+  /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
+    * feature extraction (quantized 1e-6 longs, ln composed identically),
+    * the heuristic-quality distillation label (q29's unrounded-double
+    * composition, compared exactly like the gopher rule booleans), and
+    * `iters` unrolled GD rounds. Each round quantizes the sigmoid to
+    * 1e-6 BEFORE the gradient so every per-doc term (sq − y·10⁶)·xq_j is
+    * an exact integer (HUGEINT sum == the engine's decimal(38,0) sum);
+    * the weight update divides the same exact integers by the same
+    * exact doubles in the same order, so w stays bit-identical with the
+    * engine across all rounds. Ends with CTE `wfin` (w1..w5) and keeps
+    * `fx` (doc_id, y, x1..x5) in scope for scoring. */
+  private def logregCtes(iters: Int, lr: String = "0.25"): String = {
+    val x = (1 to 5).map(j => s"x$j")
+    def z(w: Int => String) =
+      x.zipWithIndex.map { case (xj, j) => s"${w(j + 1)}*($xj/1000000.0)" }
+        .mkString(" + ")
+    val rounds = (1 to iters).map { r =>
+      val wPrev: Int => String =
+        if (r == 1) _ => "0.0" else j => s"w$j"
+      val from = if (r == 1) "tr" else s"tr CROSS JOIN w${r - 1}_"
+      val gs = x.zipWithIndex.map { case (xj, j) =>
+        s"sum((sq - y*1000000) * $xj) AS g${j + 1}" }.mkString(", ")
+      val ws = (1 to 5).map { j =>
+        s"${wPrev(j)} - $lr*((CAST(g$j AS DOUBLE)/1000000000000.0)/n) AS w$j"
+      }.mkString(",\n       ")
+      s"""it$r AS (SELECT $gs FROM (
+         |    SELECT y, ${x.mkString(", ")},
+         |      CAST(round(1.0/(1.0 + exp(-(${z(wPrev)}))) * 1000000) AS BIGINT) AS sq
+         |    FROM $from)),
+         |w${r}_ AS (SELECT
+         |       $ws
+         |     FROM it$r CROSS JOIN nn${if (r == 1) "" else s" CROSS JOIN w${r - 1}_"})""".stripMargin
+    }.mkString(",\n")
+    s"""fx AS MATERIALIZED (SELECT doc_id,
+       |  CAST(least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
+       |     + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
+       |     + least(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+       |           / len(string_split(text,' ')) * 10.0, 1.0) * 0.2 >= 0.9 AS BIGINT) AS y,
+       |  CAST(1000000 AS BIGINT) AS x1,
+       |  CAST(round(ln(1 + len(string_split(text,' '))) * 1000000) AS BIGINT) AS x2,
+       |  CAST(round(CASE WHEN length(text) > 0
+       |       THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+       |       ELSE 0.0 END * 1000000) AS BIGINT) AS x3,
+       |  CAST(round(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x4,
+       |  CAST(round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x5
+       |  FROM documents),
+       |tr AS MATERIALIZED (SELECT * FROM fx WHERE doc_id % 3 = 0),
+       |nn AS (SELECT count(*) AS n FROM tr),
+       |$rounds,
+       |wfin AS (SELECT w1, w2, w3, w4, w5 FROM w${iters}_)""".stripMargin
+  }
+
+  /** The engine-side twin of [[logregCtes]]'s label + training slice. */
+  private def logregModel(docs: org.apache.spark.sql.DataFrame,
+      iters: Int = 3): Array[Double] =
+    graft.operators.QualityClassifier.train(
+      docs.where(col("doc_id") % 3 === 0).withColumn("y",
+        (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+          .cast("long")),
+      iters = iters, lr = 0.25)
+
   /** The k-means CTE chain up to `sfin` (vid, cid, d) — shared by q129
     * (which presents the assignment), q132 (which dedups within the
     * assigned clusters) and q133 (which runs it on a gated survivor
