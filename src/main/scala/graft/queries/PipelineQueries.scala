@@ -2725,6 +2725,73 @@ object PipelineQueries {
               |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
               |  FROM fx CROSS JOIN wfin)
               |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- distributed PCA, stage 1 — the covariance table: one corpus
+    // pass exploding each vector to its upper-triangle quantized moment
+    // products, map-side combined to 2080 exact integer sums (nothing
+    // row-sized shuffles); covariance composed from the sums with the
+    // same divisions in the same order as the DuckDB replay, so the
+    // doubles are bit-identical (IEEE ops only — no transcendentals
+    // anywhere in the PCA rows).
+    Q("q160_pca_covariance",
+      (s, d) => graft.operators.Pca.covariance(t(s, d, "embeddings"), 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          (round(col("cov") * 100000000.0) / 100000000.0).as("cov"))
+        .orderBy("i", "j"),
+      Some(s"""WITH RECURSIVE ${pcaCtes(64, 1, 1)}
+              |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              |  round(c*100000000.0)/100000000.0 AS cov
+              |FROM cov ORDER BY i, j""".stripMargin)),
+
+    // ---- distributed PCA, stage 2 — the eigen-model: top-4 principal
+    // directions by re-orthogonalized power iteration (40 rounds of
+    // matvec + modified Gram-Schmidt + normalize per component from the
+    // (1,2,…,d) start — orthonormal BY CONSTRUCTION, which matters on
+    // this corpus's near-isotropic spectrum) on the DRIVER over the
+    // collected 2080-row moments — model-sized work off the cluster; λ
+    // is the Rayleigh quotient on the original covariance. The oracle
+    // replays the identical iteration with recursive CTEs. Sign is
+    // pinned by the deterministic start vector.
+    Q("q161_pca_loadings",
+      (s, d) => graft.operators.Pca.loadingsTable(
+          t(s, d, "embeddings"), 64, k = 4).orderBy("rank", "i"),
+      Some {
+        val ranks = (1 to 4).map { r =>
+          s"""SELECT CAST(${r - 1} AS BIGINT) AS rank, CAST(t.i AS BIGINT) AS i,
+             |  v[t.i+1] AS loading, l AS lambda
+             |FROM range(0, 64) t(i) CROSS JOIN v$r CROSS JOIN l$r""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${pcaCtes(64, 4, 40)}
+           |SELECT rank, i, round(loading*1000000.0)/1000000.0 AS loading,
+           |  round(lambda*1000000.0)/1000000.0 AS lambda FROM (
+           |$ranks)
+           |ORDER BY rank, i""".stripMargin
+      }),
+
+    // ---- distributed PCA, stage 3 — the projection: every embedding
+    // onto the top-4 mean-centered components. Scan-speed: the model
+    // (4x64 loadings + 64 means) bakes into the plan as literals — one
+    // codegen'd projection, shuffle-free, broadcast-free; per-element
+    // scalar quantization (the q158 codegen lesson — no array
+    // round-trip through element_at).
+    Q("q162_pca_project",
+      (s, d) => graft.operators.Pca.project(t(s, d, "embeddings"), 64, k = 4)
+        .orderBy("vec_id"),
+      Some {
+        val ps = (1 to 4).map { r =>
+          s"""round(list_reduce([w$r[i+1] * (q[i+1]/10000.0 - mu[i+1])
+             |      for i in range(0, 64)], (a,b) -> a + b) * 1000000.0)/1000000.0 AS p${r - 1}"""
+            .stripMargin
+        }.mkString(",\n  ")
+        val joins = (1 to 4).map(r =>
+          s"CROSS JOIN (SELECT v AS w$r FROM v$r) a$r").mkString(" ")
+        s"""WITH RECURSIVE ${pcaCtes(64, 4, 40)}
+           |SELECT vec_id,
+           |  $ps
+           |FROM qid $joins CROSS JOIN mu
+           |ORDER BY vec_id""".stripMargin
+      },
       bench = true))
 
   /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
@@ -2785,6 +2852,73 @@ object PipelineQueries {
        |nn AS (SELECT count(*) AS n FROM tr),
        |$rounds,
        |wfin AS (SELECT w1, w2, w3, w4, w5 FROM w${iters}_)""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.operators.Pca]]: quantized upper-triangle
+    * moment sums (HUGEINT — exact, matching the engine's decimal(38,0)),
+    * the covariance composed with the same divisions in the same order,
+    * then `k` power-iteration chains (recursive CTE per component, `iters`
+    * matvec + modified-Gram-Schmidt + normalize rounds from the
+    * (1,2,…,d) start, orthogonalizing against the already-materialized
+    * v1..v{r-1} inside every round) with the Rayleigh quotient λ = v'Cv
+    * on the original covariance — all IEEE +,×,/,sqrt in the engine's
+    * fold order, so every quantity is bit-identical. Leaves in scope:
+    * `cov` (i, j, c upper triangle), `mu` (means list), `qid` (vec_id,
+    * quantized vector), and per component r: `v$r` (vector), `l$r` (λ). */
+  private def pcaCtes(d: Int = 64, k: Int = 4, iters: Int = 40): String = {
+    val rng = s"range(0, $d)"
+    val comps = (1 to k).map { r =>
+      // previous directions come in via CROSS JOINed aliases w1..w{r-1};
+      // each modified-GS step is two layered derived tables (the dot,
+      // then the subtraction) so the dot is computed on the ALREADY
+      // partially-orthogonalized vector, exactly like the engine loop
+      val wjoins = (1 until r)
+        .map(l => s"CROSS JOIN (SELECT v AS w$l FROM v$l) a$l").mkString(" ")
+      val wcols = (1 until r).map(l => s", w$l").mkString
+      var inner =
+        s"""SELECT it,
+           |      [list_reduce([m[i+1][j+1] * v[j+1] for j in $rng], (a,b) -> a + b) for i in $rng] AS g0$wcols
+           |    FROM e$r CROSS JOIN cm1 $wjoins WHERE it < $iters""".stripMargin
+      for (l <- 1 until r) {
+        val carry = (l + 1 until r).map(x => s", w$x").mkString
+        inner =
+          s"""SELECT it, [g${l - 1}[i+1] - d$l * w$l[i+1] for i in $rng] AS g$l$carry
+             |    FROM (SELECT it, g${l - 1}, w$l$carry,
+             |      list_reduce([g${l - 1}[i+1] * w$l[i+1] for i in $rng], (a,b) -> a + b) AS d$l
+             |    FROM ($inner))""".stripMargin
+      }
+      s"""e$r AS (
+         |  SELECT 0 AS it, [CAST(i + 1 AS DOUBLE) for i in $rng] AS v
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    [u / sqrt(list_reduce(list_transform(g${r - 1}, t -> t*t), (a,b) -> a + b)) for u in g${r - 1}]
+         |  FROM ($inner)
+         |),
+         |v$r AS MATERIALIZED (SELECT v FROM e$r WHERE it = $iters),
+         |l$r AS MATERIALIZED (SELECT list_reduce(flatten(
+         |    [[v[i+1] * m[i+1][j+1] * v[j+1] for j in $rng] for i in $rng]), (a,b) -> a + b) AS l
+         |  FROM v$r CROSS JOIN cm1)""".stripMargin
+    }.mkString(",\n")
+    s"""qid AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings),
+       |mom AS MATERIALIZED (SELECT i, j, sum(pp) AS spp, sum(x) AS sx, count(*) AS n FROM (
+       |    SELECT unnest(flatten([[{'i': i, 'j': j, 'pp': q[i+1] * q[j+1],
+       |        'x': CASE WHEN i = j THEN q[i+1] ELSE CAST(0 AS BIGINT) END}
+       |      for j in range(i, $d)] for i in range(0, $d)]), recursive := true) FROM qid)
+       |  GROUP BY i, j),
+       |cov AS MATERIALIZED (SELECT m.i, m.j,
+       |    (CAST(m.spp AS DOUBLE)/100000000.0)/m.n
+       |      - ((CAST(di.sx AS DOUBLE)/10000.0)/m.n)*((CAST(dj.sx AS DOUBLE)/10000.0)/m.n) AS c
+       |  FROM mom m JOIN (SELECT i, sx FROM mom WHERE i = j) di ON di.i = m.i
+       |             JOIN (SELECT i, sx FROM mom WHERE i = j) dj ON dj.i = m.j),
+       |covf AS (SELECT i, j, c FROM cov
+       |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+       |cm1 AS MATERIALIZED (SELECT list(l ORDER BY i) AS m FROM (
+       |  SELECT i, list(c ORDER BY j) AS l FROM covf GROUP BY i)),
+       |mu AS MATERIALIZED (SELECT list((CAST(sx AS DOUBLE)/10000.0)/n ORDER BY i) AS mu
+       |  FROM mom WHERE i = j),
+       |$comps""".stripMargin
   }
 
   /** The engine-side twin of [[logregCtes]]'s label + training slice. */
