@@ -41,18 +41,18 @@ object QualityClassifier {
   val FeatureNames: Seq[String] =
     Seq("bias", "ln_tokens", "punct_ratio", "stop_ratio", "mean_word_len")
 
-  /** Quantized feature vector as array<long>, 1e-6 units:
-    * [bias=10⁶, ln(1+n_tokens), punct_ratio, stop_ratio, mean_word_len].
-    * Tokens are the corpus-convention single-space split (empties count,
-    * exactly q29's n_tokens); mean word length is the exact integer
-    * identity charSum = len(text) − (n−1) for a single-char separator.
-    * Ratios guard their integer denominators, so empty text yields a
-    * well-defined all-zero (but biased) vector, never NaN. */
-  /** The five quantized features as scalar columns (array-free form:
-    * inlining one array through five element_at's trips a Spark
-    * UnsafeProjection subexpression-elimination codegen bug — "isNull is
-    * not an rvalue" — and falls back to the interpreter; scalar columns
-    * keep the projection codegen'd, the q29 shape). */
+  /** The five quantized features (1e-6 units) as scalar columns, in
+    * [[FeatureNames]] order: bias=10⁶, ln(1+n_tokens), punct_ratio,
+    * stop_ratio, mean_word_len. Tokens are the corpus-convention
+    * single-space split (empties count, exactly q29's n_tokens); mean
+    * word length is the exact integer identity
+    * charSum = len(text) − (n−1) for a single-char separator. Ratios
+    * guard their integer denominators, so empty text yields a
+    * well-defined all-zero (but biased) vector, never NaN.
+    * Array-free form: inlining one array through five element_at's trips
+    * a Spark UnsafeProjection subexpression-elimination codegen bug —
+    * "isNull is not an rvalue" — and falls back to the interpreter;
+    * scalar columns keep the projection codegen'd, the q29 shape. */
   private def featureColsQ(text: Column): Seq[Column] = {
     val n = size(split(text, " ")).cast("long") // >= 1 always
     val nChars = length(text).cast("long")
@@ -94,9 +94,13 @@ object QualityClassifier {
     for (_ <- 1 to iters) {
       val sq = round(lit(1.0) / (lit(1.0) + exp(-zCol(w, col("xq")))) *
         Quantum.toDouble).cast("long")
+      // both factors go to decimal BEFORE the multiply: x5 (mean word
+      // len) is unbounded, so an extreme doc (one ~10⁷-char word →
+      // xq_5 ~ 10¹³) would overflow a LongType product (~10¹⁹); the
+      // decimal product matches the oracle's HUGEINT promotion exactly
       val gCols = (0 until k).map(j =>
-        sum(((sq - col("y") * Quantum) * element_at(col("xq"), j + 1))
-          .cast("decimal(38,0)")).as(s"g$j"))
+        sum((sq - col("y") * Quantum).cast("decimal(38,0)") *
+          element_at(col("xq"), j + 1).cast("decimal(38,0)")).as(s"g$j"))
       val g = fx.agg(gCols.head, gCols.tail: _*).collect().head
       w = Array.tabulate(k) { j =>
         val gd = g.getDecimal(j).doubleValue()

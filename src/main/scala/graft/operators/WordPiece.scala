@@ -58,7 +58,12 @@ object WordPiece {
       textCol: String = "text"): DataFrame = {
     // both the symbol-count and pair-count branches read the word table;
     // checkpointing it (vocab-sized — one corpus pass) keeps the corpus
-    // scan single even though Spark won't CSE across the two branches
+    // scan single even though Spark won't CSE across the two branches.
+    // LIFETIME: the checkpoint blocks back the lazily-returned DataFrame,
+    // so they cannot be unpersisted here; they are vocab-sized and are
+    // released when the result DataFrame is GC'd (callers that loop
+    // rounds and materialize each result — [[train]] — unpersist per
+    // round instead)
     val w = words(docs, textCol).localCheckpoint()
     val syms = w.select(col("cnt"), symbolsCol.as("syms"))
     // symbol occurrence counts (alphabet-sized: ≤ 2 rows per distinct char)

@@ -2739,7 +2739,7 @@ object PipelineQueries {
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           (round(col("cov") * 100000000.0) / 100000000.0).as("cov"))
         .orderBy("i", "j"),
-      Some(s"""WITH RECURSIVE ${pcaCtes(64, 1, 1)}
+      Some(s"""WITH ${pcaCtes(64, 0, 0)}
               |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
               |  round(c*100000000.0)/100000000.0 AS cov
               |FROM cov ORDER BY i, j""".stripMargin)),
@@ -2864,7 +2864,9 @@ object PipelineQueries {
     * on the original covariance — all IEEE +,×,/,sqrt in the engine's
     * fold order, so every quantity is bit-identical. Leaves in scope:
     * `cov` (i, j, c upper triangle), `mu` (means list), `qid` (vec_id,
-    * quantized vector), and per component r: `v$r` (vector), `l$r` (λ). */
+    * quantized vector), and per component r: `v$r` (vector), `l$r` (λ).
+    * `k = 0` emits only the moment/cov/mu CTEs — the covariance-only
+    * q160 oracle, with no dead power-iteration SQL. */
   private def pcaCtes(d: Int = 64, k: Int = 4, iters: Int = 40): String = {
     val rng = s"range(0, $d)"
     val comps = (1 to k).map { r =>
@@ -2911,14 +2913,15 @@ object PipelineQueries {
        |    (CAST(m.spp AS DOUBLE)/100000000.0)/m.n
        |      - ((CAST(di.sx AS DOUBLE)/10000.0)/m.n)*((CAST(dj.sx AS DOUBLE)/10000.0)/m.n) AS c
        |  FROM mom m JOIN (SELECT i, sx FROM mom WHERE i = j) di ON di.i = m.i
-       |             JOIN (SELECT i, sx FROM mom WHERE i = j) dj ON dj.i = m.j),
+       |             JOIN (SELECT i, sx FROM mom WHERE i = j) dj ON dj.i = m.j)${
+      if (k == 0) "" else s""",
        |covf AS (SELECT i, j, c FROM cov
        |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
        |cm1 AS MATERIALIZED (SELECT list(l ORDER BY i) AS m FROM (
        |  SELECT i, list(c ORDER BY j) AS l FROM covf GROUP BY i)),
        |mu AS MATERIALIZED (SELECT list((CAST(sx AS DOUBLE)/10000.0)/n ORDER BY i) AS mu
        |  FROM mom WHERE i = j),
-       |$comps""".stripMargin
+       |$comps"""}""".stripMargin
   }
 
   /** The engine-side twin of [[logregCtes]]'s label + training slice. */
