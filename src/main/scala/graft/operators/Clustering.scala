@@ -38,18 +38,24 @@ object Clustering {
     * centroid matrix. Both assignment surfaces ([[kMeansAssign]],
     * [[kMeansAssignRunnerUp]]) run the SAME fit, so their (cluster, dist)
     * columns are bit-identical. */
-  private def fitQuantized(emb: DataFrame, k: Int, iters: Int,
+  /** Exact integer view of the corpus — (vid, q: array<long>),
+    * localCheckpoint'd: float -> double is exact, the scaled round is
+    * the single, shared quantization both engines agree on bit-for-bit.
+    * All cross-row reductions in this module (and [[Pq]]) sum these
+    * longs. */
+  private[operators] def quantizedView(emb: DataFrame, idCol: String,
+      vecCol: String, scale: Double): DataFrame =
+    emb.select(col(idCol).cast("long").as("vid"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+        .as("q"))
+      .localCheckpoint() // read every iteration + final assignment
+
+  private[operators] def fitQuantized(emb: DataFrame, k: Int, iters: Int,
       idCol: String, vecCol: String, scale: Double,
       farthestSeeds: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters must be positive")
 
-    // exact integer view of the corpus: float -> double is exact, the
-    // scaled round is the single, shared quantization both engines agree
-    // on bit-for-bit. All later sums are over these longs.
-    val q = emb.select(col(idCol).cast("long").as("vid"),
-      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
-        .as("q"))
-      .localCheckpoint() // read every iteration + final assignment
+    val q = quantizedView(emb, idCol, vecCol, scale)
 
     val dims = q.select(size(col("q"))).head().getInt(0)
 

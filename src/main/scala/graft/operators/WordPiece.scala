@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WordPiece tokenizer family (Schuster & Nakajima 2012, "Japanese and
@@ -65,8 +65,18 @@ object WordPiece {
     // rounds and materialize each result — [[train]] — unpersist per
     // round instead)
     val w = words(docs, textCol).localCheckpoint()
-    val syms = w.select(col("cnt"), symbolsCol.as("syms"))
-    // symbol occurrence counts (alphabet-sized: ≤ 2 rows per distinct char)
+    scorePairs(w.select(col("cnt"), symbolsCol.as("syms")))
+      .orderBy(col("score_ln").desc, col("lsym"), col("rsym"))
+      .limit(topN)
+  }
+
+  /** Every adjacent symbol pair of a (cnt, syms) table with its counts
+    * and likelihood score — the shared scoring kernel of [[scoreRound]]
+    * (round 1, presented) and [[train]] (every round's argmax).
+    * Unordered and uncut; callers sort/limit. */
+  private def scorePairs(syms: DataFrame): DataFrame = {
+    // symbol occurrence counts (vocab-bounded: symbols are chars, then
+    // fused pieces — never more rows than symbol positions in the vocab)
     val symCnt = syms
       .select(col("cnt"), explode(col("syms")).as("sym"))
       .groupBy("sym").agg(sum("cnt").as("c"))
@@ -89,8 +99,75 @@ object WordPiece {
         col("rc").cast("long").as("right_cnt"),
         round(log(col("pc")) - log(col("lc")) - log(col("rc")), 4)
           .as("score_ln"))
-      .orderBy(col("score_ln").desc, col("lsym"), col("rsym"))
-      .limit(topN)
+  }
+
+  /** One learned WordPiece fusion: `round` is application order
+    * (1-based), (lsym, rsym) the adjacent pair the likelihood argmax
+    * chose, `piece` the fused symbol (lsym ++ rsym without its `##`). */
+  case class WpMerge(round: Int, lsym: String, rsym: String, piece: String,
+      pair_cnt: Long, score_ln: Double)
+
+  private[operators] case class WpWordRow(syms: Array[String], cnt: Long)
+
+  /** [[Bpe.mergeOnce]]'s left-to-right non-overlapping adjacent-pair scan
+    * with WordPiece's fusion spelling: the fused symbol keeps lsym's
+    * word-position form and drops rsym's continuation marker (a merged
+    * symbol does NOT participate again within the same round). */
+  private[graft] def fuseOnce(syms: Array[String], l: String, r: String,
+      piece: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += piece; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The ITERATIVE WordPiece trainer (the [[Bpe.train]] loop driven by
+    * [[scoreRound]]'s likelihood rule): `rounds` times, score every
+    * adjacent pair on the current symbolization, fuse the argmax —
+    * (score_ln desc, lsym, rsym), the q155 total order — into a new
+    * vocabulary piece, and rewrite the word table. Rounds with no
+    * adjacent pair left stop early.
+    *
+    * SCALE SHAPE: identical to BPE training — the corpus is read ONCE
+    * into the distinct-(word, cnt) table; every round runs on that
+    * vocab-sized table (two map-side-combined aggregations, a 1-row
+    * TakeOrdered argmax, a typed rewrite map), localCheckpoint'd per
+    * round with the superseded round's blocks released eagerly. */
+  def train(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): Seq[WpMerge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur: Dataset[WpWordRow] = words(docs, textCol)
+      .select(symbolsCol.as("syms"), col("cnt"))
+      .as[WpWordRow].localCheckpoint()
+    val out = Seq.newBuilder[WpMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = scorePairs(cur.toDF())
+        .orderBy(col("score_ln").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val b = best(0)
+        val l = b.getAs[String]("lsym")
+        val rs = b.getAs[String]("rsym")
+        val piece = l + rs.stripPrefix("##")
+        out += WpMerge(r, l, rs, piece, b.getAs[Long]("pair_cnt"),
+          b.getAs[Double]("score_ln"))
+        val next = cur.map(w => WpWordRow(fuseOnce(w.syms, l, rs, piece),
+          w.cnt)).localCheckpoint()
+        IterUtils.unpersistCheckpoint(cur)
+        cur = next
+        r += 1
+      }
+    }
+    IterUtils.unpersistCheckpoint(cur)
+    out.result()
   }
 
   /** Data-derived MaxMatch vocabulary in `##`-form: word-initial pieces

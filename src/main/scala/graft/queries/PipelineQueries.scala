@@ -2792,14 +2792,142 @@ object PipelineQueries {
            |FROM qid $joins CROSS JOIN mu
            |ORDER BY vec_id""".stripMargin
       },
-      bench = true))
+      bench = true),
 
-  /** DuckDB replica of [[graft.operators.Clustering.kMeansAssign]]: the
-    * same quantize → (assign → integer-sum update) x iters → assign
-    * chain, each Lloyd round one unrolled CTE block. `list_reduce`
-    * folds left-to-right like the engine's codegen'd fold, and the
-    * centroid quotient divides the same exact integers — doubles match
-    * bit-for-bit, so `round(d, 4)` agrees. */
+    // ---- product quantization, stage 1 — the codes: every vector's m=8
+    // subspace codewords under freshly-trained per-subspace Lloyd
+    // codebooks (Jégou 2011). Engine trains all 8 codebooks in ONE
+    // assignment + ONE integer (code, dim) aggregation per round; the
+    // oracle replays them as 8 independent suffixed k-means chains over
+    // sliced vectors (slice-then-quantize == quantize-then-slice) —
+    // codes hash-matching proves codebooks AND assignments bit-exact.
+    Q("q163_pq_codes",
+      (s, d) => graft.operators.Pq.pqCodes(t(s, d, "embeddings"))
+        .orderBy("vec_id"),
+      Some {
+        val chains = (0 until 8).map { sp =>
+          kmeansCtes(16, 2, 8, src = s"(SELECT vec_id, " +
+            s"embedding[${sp * 8 + 1}:${(sp + 1) * 8}] AS embedding " +
+            s"FROM embeddings) AS sub$sp", sfx = s"p$sp")
+        }.mkString(",\n")
+        val codeJoins = (0 until 8).map(sp =>
+          s"JOIN sfinp$sp c$sp ON c$sp.vid = ep0.vid").mkString("\n  ")
+        val codeArr = (0 until 8).map(sp => s"CAST(c$sp.cid AS INT)")
+          .mkString("[", ", ", "]")
+        s"""WITH $chains
+           |SELECT ep0.vid AS vec_id, $codeArr AS codes
+           |FROM ep0
+           |  $codeJoins
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- product quantization, stage 2 — IVFADC search (the complete
+    // Jégou pipeline: q49's IVF coarse gate + the ADC lookup-table scan
+    // over the q163 codes + the q65 exact re-rank): probe the 3 cells
+    // nearest the query, rank probed candidates by the m-term LUT sum,
+    // exact-cosine re-rank the best 50 to top-10. The oracle replays
+    // EVERYTHING — coarse k-means, 8 subspace codebooks, codes, LUT,
+    // ADC fold, both cuts — not a brute-force stand-in; recall vs brute
+    // force is additionally spec-checked (PqSpec).
+    Q("q164_sim_topk_ivfpq",
+      (s, d) => graft.operators.Pq.ivfPqTopK(t(s, d, "embeddings"), 0L, 10),
+      Some {
+        val chains = (0 until 8).map { sp =>
+          kmeansCtes(16, 2, 8, src = s"(SELECT vec_id, " +
+            s"embedding[${sp * 8 + 1}:${(sp + 1) * 8}] AS embedding " +
+            s"FROM embeddings) AS sub$sp", sfx = s"p$sp")
+        }.mkString(",\n")
+        // LUT per subspace: exact squared distance from the query's
+        // sub-vector to each final codeword — the kernel's fold order
+        val luts = (0 until 8).map(sp =>
+          s"""lut$sp AS (SELECT c.cid, list_reduce(list_transform(
+             |    [CAST(qq.q[${sp * 8}+i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,8)],
+             |    v -> v*v), (x,y) -> x+y) AS lv
+             |  FROM cent2p$sp c CROSS JOIN qq)""".stripMargin).mkString(",\n")
+        val codeJoins = (0 until 8).map(sp =>
+          s"JOIN sfinp$sp a$sp ON a$sp.vid = s.vid " +
+            s"JOIN lut$sp l$sp ON l$sp.cid = a$sp.cid").mkString("\n  ")
+        val adcSum = (0 until 8).map(sp => s"l$sp.lv").mkString(" + ")
+        s"""WITH ${kmeansCtes(8, 2, 64, sfx = "cv")},
+           |$chains,
+           |qq AS (SELECT q FROM ecv WHERE vid = 0),
+           |probe AS (SELECT cid FROM (
+           |    SELECT c.cid, list_reduce(list_transform(
+           |        [CAST(qq.q[i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,64)],
+           |        v -> v*v), (x,y) -> x+y) AS d
+           |    FROM cent2cv c CROSS JOIN qq)
+           |  ORDER BY d, cid LIMIT 3),
+           |$luts,
+           |cand AS (SELECT s.vid, $adcSum AS adist
+           |  FROM sfincv s
+           |  $codeJoins
+           |  WHERE s.cid IN (SELECT cid FROM probe) AND s.vid <> 0
+           |  ORDER BY adist, s.vid LIMIT 50),
+           |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  (round((list_cosine_similarity(e.embedding::DOUBLE[], qv.qe)) * 1000000.0) / 1000000.0) AS cos
+           |FROM cand JOIN embeddings e ON e.vec_id = cand.vid CROSS JOIN qv
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      },
+      bench = true),
+
+    // ---- the ITERATIVE WordPiece trainer (completing q155, which
+    // materializes only the first scoring round): 3 rounds of
+    // score-argmax-fuse-recount over the vocab-sized word table — the
+    // Bpe.train loop shape under the likelihood rule. The oracle unrolls
+    // all 3 rounds; its fusion rewrites the symbol list through a
+    // sentinel-delimited string replace() (left-to-right non-overlapping
+    // — exactly fuseOnce's scan; chr(1)/chr(2) verified absent from the
+    // corpus), so every later round's counts, argmax, and rounded score
+    // are reproduced bit-for-bit.
+    Q("q165_wordpiece_train",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.WordPiece.train(t(s, d, "documents"), rounds = 3)
+          .toDF()
+          .select(col("round").cast("long").as("round"), col("lsym"),
+            col("rsym"), col("piece"), col("pair_cnt"), col("score_ln"))
+          .orderBy("round")
+      },
+      Some {
+        val perRound = (1 to 3).map { r =>
+          val fuse = if (r == 3) "" else s""",
+            |ws${r + 1} AS MATERIALIZED (SELECT cnt,
+            |    string_split(substr(s2, 2, len(s2) - 2), chr(2)||chr(1)) AS syms
+            |  FROM (SELECT cnt,
+            |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+            |        chr(1) || b.lsym || chr(2) || chr(1) || b.rsym || chr(2),
+            |        chr(1) || b.piece || chr(2)) AS s2
+            |    FROM ws$r CROSS JOIN best$r b))"""
+          s"""sc$r AS MATERIALIZED (SELECT sym, sum(cnt) AS c FROM (
+             |  SELECT cnt, unnest(syms) AS sym FROM ws$r) GROUP BY sym),
+             |pc$r AS (SELECT lsym, rsym, sum(cnt) AS pc FROM (
+             |  SELECT cnt, unnest([{'lsym': syms[i+1], 'rsym': syms[i+2]}
+             |    for i in range(0, len(syms)-1)], recursive := true)
+             |  FROM ws$r WHERE len(syms) >= 2) GROUP BY lsym, rsym),
+             |best$r AS MATERIALIZED (SELECT lsym, rsym,
+             |    CAST(pc AS BIGINT) AS pair_cnt,
+             |    round(ln(pc) - ln(l.c) - ln(r.c), 4) AS score_ln,
+             |    lsym || CASE WHEN rsym LIKE '##%' THEN substr(rsym, 3)
+             |                 ELSE rsym END AS piece
+             |  FROM pc$r JOIN sc$r l ON l.sym = pc$r.lsym
+             |            JOIN sc$r r ON r.sym = pc$r.rsym
+             |  ORDER BY score_ln DESC, lsym, rsym LIMIT 1)$fuse"""
+        }.mkString(",\n")
+        val rows = (1 to 3).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, lsym, rsym, piece, " +
+            s"pair_cnt, score_ln FROM best$r").mkString("\nUNION ALL ")
+        s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+           |d AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+           |ws1 AS MATERIALIZED (SELECT cnt,
+           |  [CASE WHEN i = 1 THEN substr(word, 1, 1) ELSE '##' || substr(word, i, 1) END
+           |   for i in range(1, len(word)+1)] AS syms FROM d),
+           |$perRound
+           |SELECT * FROM (
+           |$rows)
+           |ORDER BY round""".stripMargin
+      }))
+
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
     * the heuristic-quality distillation label (q29's unrounded-double
@@ -2938,37 +3066,44 @@ object PipelineQueries {
     * assigned clusters) and q133 (which runs it on a gated survivor
     * subset via `src`). */
   private def kmeansCtes(k: Int, iters: Int, dims: Int,
-      src: String = "embeddings", seedCtes: Option[String] = None): String = {
+      src: String = "embeddings", seedCtes: Option[String] = None,
+      sfx: String = ""): String = {
+    // sfx suffixes every CTE name (e$sfx, sfin$sfx, cent$n$sfx, ...) so
+    // several independent chains — the PQ oracle's m subspace fits plus
+    // its coarse quantizer — coexist in ONE WITH clause. Caller-supplied
+    // seed CTEs embed unsuffixed names, so the combination is rejected.
+    require(sfx.isEmpty || seedCtes.isEmpty,
+      "sfx and custom seedCtes cannot combine")
     def assign(n: String, cent: String) =
-      s"""a$n AS (SELECT e.vid, c.cid,
+      s"""a$n$sfx AS (SELECT e$sfx.vid, c.cid,
          |    list_reduce(list_transform(
-         |      [CAST(e.q[i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,$dims)], v -> v*v),
+         |      [CAST(e$sfx.q[i+1] AS DOUBLE) - c.cl[i+1] for i in range(0,$dims)], v -> v*v),
          |      (x,y) -> x+y) AS d
-         |  FROM e CROSS JOIN $cent c),
-         |s$n AS (SELECT vid, cid, d FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM a$n)
+         |  FROM e$sfx CROSS JOIN $cent c),
+         |s$n$sfx AS (SELECT vid, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM a$n$sfx)
          |  WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { n =>
-      s"""${assign(n.toString, s"cent${n - 1}")},
-         |u$n AS (SELECT cid,
+      s"""${assign(n.toString, s"cent${n - 1}$sfx")},
+         |u$n$sfx AS (SELECT cid,
          |    list_reduce(list(q ORDER BY vid), (a,b) -> [a[i+1]+b[i+1] for i in range(0,$dims)]) AS sl,
          |    count(*) AS c
-         |  FROM s$n JOIN e USING (vid) GROUP BY cid),
-         |cent$n AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n
+         |  FROM s$n$sfx JOIN e$sfx USING (vid) GROUP BY cid),
+         |cent$n$sfx AS (SELECT cid, [CAST(x AS DOUBLE)/CAST(c AS DOUBLE) for x in sl] AS cl FROM u$n$sfx
          |  UNION ALL
-         |  SELECT p.cid, p.cl FROM cent${n - 1} p
-         |  WHERE p.cid NOT IN (SELECT cid FROM u$n))""".stripMargin
+         |  SELECT p.cid, p.cl FROM cent${n - 1}$sfx p
+         |  WHERE p.cid NOT IN (SELECT cid FROM u$n$sfx))""".stripMargin
     }.mkString(",\n")
     val seeds = seedCtes.getOrElse(
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
-         |       FROM (SELECT vid, q FROM e ORDER BY vid LIMIT $k)),
-         |cent0 AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0)""".stripMargin)
-    s"""e AS MATERIALIZED (SELECT vec_id AS vid,
+      s"""c0$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, q
+         |       FROM (SELECT vid, q FROM e$sfx ORDER BY vid LIMIT $k)),
+         |cent0$sfx AS (SELECT cid, [CAST(x AS DOUBLE) for x in q] AS cl FROM c0$sfx)""".stripMargin)
+    s"""e$sfx AS MATERIALIZED (SELECT vec_id AS vid,
        |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
        |  FROM $src),
        |$seeds,
        |$rounds,
-       |${assign("fin", s"cent$iters")}""".stripMargin
+       |${assign("fin", s"cent$iters$sfx")}""".stripMargin
   }
 
   /** Greedy farthest-point seeding as CTEs ending in `cent0` — one
