@@ -268,6 +268,22 @@ object Similarity {
     * Downstream is the proven tail: rounded-cosine exact verification
     * (the 1e-6 rounding both engines agree on), pointer-jumping
     * connected components, keep-min-id, left-anti against the corpus. */
+  /** The SemDeDup paper's cluster-count sizing rule made executable:
+    * pick k from the corpus so EXPECTED cluster size stays near
+    * `targetClusterSize`. Per-cluster candidate mass is (N/k)²/2, so a
+    * PINNED k turns linear data growth into quadratic pair growth — the
+    * r13 sf1 stress measured exactly that (k=8 → 10× data, ~100×
+    * runtime on the clustered-dedup pipelines); holding cluster SIZE
+    * constant keeps total pair work linear in N. `floorK` anchors
+    * small corpora — including the pinned sf0.01 oracle evaluations,
+    * where the rule lands exactly on the floor, so the unrolled
+    * fixed-k oracle SQL stays bit-exact. Cost: one count(*) over the
+    * (usually raw-parquet) corpus — footer-statistics cheap next to
+    * the dedup it sizes. */
+  def scaledK(emb: DataFrame, targetClusterSize: Int = 512,
+      floorK: Int = 8): Int =
+    math.max(floorK, (emb.count() / targetClusterSize).toInt)
+
   def semanticDedupClustered(emb: DataFrame, threshold: Double,
       k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1636,9 +1636,17 @@ object PipelineQueries {
     // SRP recall-hedged variant). One oracle proves the whole chain:
     // kmeans CTEs -> cluster-scoped pairs -> recursive CC -> keep-min.
     Q("q132_semdedup_clustered",
-      (s, d) => Similarity
-        .semanticDedupClustered(t(s, d, "embeddings"), 0.8, k = 8, iters = 2)
-        .select(col("vec_id")).orderBy("vec_id"),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // k scales with the corpus (constant EXPECTED cluster size, the
+        // paper's own sizing contract) so per-cluster pair mass doesn't
+        // grow quadratically — the r13 sf1 stress cliff. At the pinned
+        // sf0.01 oracle evaluation the rule lands on the floor, k = 8.
+        Similarity
+          .semanticDedupClustered(emb, 0.8, k = Similarity.scaledK(emb),
+            iters = 2)
+          .select(col("vec_id")).orderBy("vec_id")
+      },
       Some(semdedupClusteredOracle(k = 8, iters = 2, dims = 64,
         threshold = 0.8)),
       bench = true),
@@ -1671,8 +1679,11 @@ object PipelineQueries {
           .where(col("bucket") < 2)
         val embSurv = emb.join(banded.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
+        // k sized from the RAW table's footer-cheap count (the survivor
+        // set would re-run the gate to count); floor keeps sf0.01 at 8
         val keptEmb = Similarity
-          .semanticDedupClustered(embSurv, 0.8, k = 8, iters = 2)
+          .semanticDedupClustered(embSurv, 0.8,
+            k = Similarity.scaledK(emb), iters = 2)
         val losers = embSurv.select(col("vec_id").as("doc_id"))
           .join(keptEmb.select(col("vec_id").as("doc_id")),
             Seq("doc_id"), "left_anti")
@@ -1975,11 +1986,17 @@ object PipelineQueries {
     // assignment; the oracle re-derives it as rank 2 of the kmeans CTE
     // chain's full (vid, cid, d) relation under the same (d, cid) order.
     Q("q140_hard_negatives",
-      (s, d) => graft.operators.Similarity
-        .hardNegatives(t(s, d, "embeddings"), k = 8, iters = 2, nNeg = 3)
-        .select(col("vid").as("vec_id"), col("kind"), col("rnk"),
-          col("other_id"), col("cos"))
-        .orderBy("vec_id", "kind", "rnk"),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // scaled k: positives/negatives are cluster-keyed pair joins, so
+        // the q132 sizing argument applies verbatim (sf0.01 floor = 8)
+        graft.operators.Similarity
+          .hardNegatives(emb, k = Similarity.scaledK(emb), iters = 2,
+            nNeg = 3)
+          .select(col("vid").as("vec_id"), col("kind"), col("rnk"),
+            col("other_id"), col("cos"))
+          .orderBy("vec_id", "kind", "rnk")
+      },
       Some(hardNegativesOracle(k = 8, iters = 2, dims = 64, nNeg = 3)),
       bench = true),
 
@@ -2028,11 +2045,14 @@ object PipelineQueries {
         val survDocs = gated.join(w.select("doc_id"), Seq("doc_id"))
         val banded = TrainingPrep.perplexityBuckets(survDocs, nBuckets = 3)
           .where(col("bucket") < 2)
-        val embSurv = t(s, d, "embeddings")
+        val embRaw = t(s, d, "embeddings")
+        val embSurv = embRaw
           .join(banded.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
+        // scaled k from the raw table — the q133 sizing note applies
         val keptEmb = Similarity
-          .semanticDedupClustered(embSurv, 0.8, k = 8, iters = 2)
+          .semanticDedupClustered(embSurv, 0.8,
+            k = Similarity.scaledK(embRaw), iters = 2)
         val losers = embSurv.select(col("vec_id").as("doc_id"))
           .join(keptEmb.select(col("vec_id").as("doc_id")),
             Seq("doc_id"), "left_anti")
