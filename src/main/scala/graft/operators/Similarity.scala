@@ -284,6 +284,26 @@ object Similarity {
       floorK: Int = 8): Int =
     math.max(floorK, (emb.count() / targetClusterSize).toInt)
 
+  /** SRP plane-count sizing, the [[scaledK]] argument applied to
+    * [[nearDupPairs]]/[[semanticDedup]]: a table has 2^planes buckets,
+    * so FIXED planes turn linear corpus growth into quadratic
+    * random-collision candidate mass (expected bucket size N/2^planes;
+    * the r13 sf1 stress measured q101 going 1.6 s → 111 s warm on 10×
+    * data). Scaling planes holds expected bucket size near
+    * `targetBucket`, keeping collision candidates linear in N. The
+    * trade is RECALL, not correctness of emitted pairs (verification
+    * stays exact): a plane agrees w.p. ~0.795 on a cos-0.8 boundary
+    * pair, so at the same 28 tables recall falls from ~0.9997 (6
+    * planes) to ~0.95 (10 planes) — raise `tables` alongside when
+    * exhaustive recall matters. At the floor the pinned sf0.01 oracle
+    * sees the exact 28×6 scheme unchanged. */
+  def scaledPlanes(emb: DataFrame, targetBucket: Int = 80,
+      floorPlanes: Int = 6): Int = {
+    val n = emb.count().toDouble
+    math.max(floorPlanes,
+      math.ceil(math.log(n / targetBucket) / math.log(2.0)).toInt)
+  }
+
   def semanticDedupClustered(emb: DataFrame, threshold: Double,
       k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -331,7 +331,12 @@ object PipelineQueries {
 
     // ---- embedding near-dup pairs (exact; empty on this corpus by design).
     Q("q27_emb_neardup",
-      (s, d) => sortedPairs(Similarity.nearDupPairs(t(s, d, "embeddings"), 0.8)),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // scaled planes — the q101 sizing note applies (sf0.01 floor)
+        sortedPairs(Similarity.nearDupPairs(emb, 0.8,
+          planes = Similarity.scaledPlanes(emb)))
+      },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  (round((list_cosine_similarity(a.v, b.v)) * 1000000.0) / 1000000.0) AS cos
@@ -345,8 +350,14 @@ object PipelineQueries {
     // all-pairs cosine graph + recursive CC in DuckDB; the engine side is
     // SRP-bucketed pairs + pointer-jumping components.
     Q("q101_semantic_dedup",
-      (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), 0.8)
-        .select(col("vec_id")).orderBy("vec_id"),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // plane count scales with the corpus (constant expected bucket
+        // size — the r13 sf1 stress cliff); sf0.01 floor keeps 28×6
+        Similarity.semanticDedup(emb, 0.8,
+            planes = Similarity.scaledPlanes(emb))
+          .select(col("vec_id")).orderBy("vec_id")
+      },
       Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |                     FROM embeddings),
              |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
