@@ -214,6 +214,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (round((j) * 1000000.0) / 1000000.0).as("jaccard"))
   }
 
+  /** The doc ids appearing on either side of a candidate pair — the gate
+    * [[shingleJaccardPairs]]/[[minHashLshPairs]] apply to the exploded
+    * shingle stream BEFORE the sorted-set aggregation, so the
+    * corpus-sized explode+sort builds sets for candidate docs only.
+    * Placed explicitly below the aggregation (Catalyst's
+    * PushDownLeftSemiAntiJoin would only sink it when the gate side is
+    * broadcastable-by-estimate, and a candidate list has no usable
+    * estimate — and hinting it broadcast would assume a bound the pair
+    * count doesn't have). The semi join is did-keyed and the exploded
+    * stream is already did-partitioned, so the gate reuses that
+    * exchange; the extra cand consumer re-reads the candidate join's
+    * REUSED exchanges, not the corpus. On a mostly-unique corpus this
+    * is almost the whole set-build cost; on the r13 sf1 stress corpus
+    * (dense planted near-dups, ~800 MB of per-doc long arrays) it also
+    * cuts the humongous-allocation GC pressure that made repeat q22
+    * runs swing 13–96 s. Plan-asserted in ScaleSafetySpec. */
+  private def candidateDocs(cand: DataFrame): DataFrame =
+    cand.select(col("id_a").as("did"))
+      .union(cand.select(col("id_b").as("did")))
+      .distinct()
+
   /** Rarest-first ranking of each doc's shingles: rank within a doc by
     * ascending corpus document-frequency (ties by hash); keep the prefix
     * rank <= nsh - ceil(t*nsh) + 1. Guarantee (prefix filtering, Bayardo et
@@ -290,7 +311,9 @@ object Dedup {
           overlapBound >= minOverlap)
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .distinct()
-    verifyExactJaccard(cand, setsFromExploded(exploded), threshold)
+    // sets built for candidate docs only — see [[candidateDocs]]
+    verifyExactJaccard(cand, setsFromExploded(
+      exploded.join(candidateDocs(cand), Seq("did"), "left_semi")), threshold)
   }
 
   /** MinHash-LSH near-dup pairs: k hash functions in b bands of r rows
@@ -335,8 +358,10 @@ object Dedup {
     // one row per doc — both sides hash-partition on the join key. (A
     // corpus-wide broadcast of the sets would OOM the executors at real
     // corpus sizes; Catalyst may still pick a broadcast on its own when the
-    // candidate side is provably tiny.)
-    verifyExactJaccard(cand, setsFromExploded(sh), threshold)
+    // candidate side is provably tiny.) Sets built for candidate docs
+    // only — see [[candidateDocs]]
+    verifyExactJaccard(cand, setsFromExploded(
+      sh.join(candidateDocs(cand), Seq("did"), "left_semi")), threshold)
   }
 
   /** Incremental NEAR-dup dedup — the fuzzy twin of [[incrementalDedup]],

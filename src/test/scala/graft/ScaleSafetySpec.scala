@@ -333,6 +333,27 @@ class ScaleSafetySpec extends GraftSpec {
       "unpartitioned window in span-removal plan")
   }
 
+  test("shingle verify plan: candidate gate pushes below the sorted-set aggregation") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = graft.operators.Dedup.shingleJaccardPairs(docs, 0.5)
+      .queryExecution.optimizedPlan
+    // the sorted-set build (the aggregate producing `set`) must sit
+    // ABOVE a LeftSemi gate — i.e. the candidate-docs gate lies below
+    // the aggregation, so the corpus-sized explode+sort runs over
+    // candidate docs only. (The prefix-ranking sort_array aggregate is
+    // deliberately ungated: it feeds candidate GENERATION.)
+    val setAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(e =>
+        e.name == "set" && e.toString.contains("sort_array")) => a
+    }
+    assert(setAggs.nonEmpty, "no sorted-set aggregate found")
+    setAggs.foreach { a =>
+      assert(a.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        "sorted-set aggregate is not gated by a pushed-down LeftSemi")
+    }
+  }
+
   test("pmi plan: self-join sides are one subplan; no hard hint on the vocab join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
