@@ -52,20 +52,27 @@ object Clustering {
 
   private[operators] def fitQuantized(emb: DataFrame, k: Int, iters: Int,
       idCol: String, vecCol: String, scale: Double,
-      farthestSeeds: Boolean = false): (DataFrame, Array[Array[Double]]) = {
+      farthestSeeds: Boolean = false,
+      seedVectors: Option[Array[Array[Long]]] = None)
+      : (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters must be positive")
 
     val q = quantizedView(emb, idCol, vecCol, scale)
 
     val dims = q.select(size(col("q"))).head().getInt(0)
 
-    // seed: the k smallest-id vectors (reproducibility-first default), or
-    // greedy farthest-point (Gonzalez) when quality-seeded — both as
+    // seed: caller-supplied vectors (k-means|| picks), greedy
+    // farthest-point (Gonzalez) when quality-seeded, or the k
+    // smallest-id vectors (reproducibility-first default) — all as
     // (sum, count=1) states
-    var sums: Array[Array[Long]] =
-      if (farthestSeeds) farthestPointSeeds(q, k)
-      else q.orderBy("vid").limit(k).select(col("q")).collect()
+    var sums: Array[Array[Long]] = seedVectors match {
+      case Some(sv) =>
+        require(sv.length == k, s"got ${sv.length} seed vectors, need $k")
+        sv
+      case None if farthestSeeds => farthestPointSeeds(q, k)
+      case None => q.orderBy("vid").limit(k).select(col("q")).collect()
         .map(_.getSeq[Long](0).toArray)
+    }
     var counts: Array[Long] = Array.fill(sums.length)(1L)
 
     def centroids(): Array[Array[Double]] =
@@ -164,6 +171,135 @@ object Clustering {
     q.select(col("vid").as(idCol),
       fin.getField("cid").as("cluster"),
       round(fin.getField("d"), 4).as("dist"))
+  }
+
+  /** k-means‖ oversampled seeding (Bahmani et al. 2012, "Scalable
+    * K-Means++"), made deterministic: `rounds` passes, each sampling
+    * every point x independently with probability
+    * min(1, ℓ·d²(x,C)/φ) where φ = Σ d² — the D² distribution
+    * k-means++ draws SEQUENTIALLY, drawn here for the whole corpus at
+    * once — then the ~ℓ·rounds candidates are weighted by how many
+    * corpus points they'd absorb and reclustered down to k seeds.
+    * This exists for exactly the regime [[graft.operators.Similarity
+    * .scaledK]] creates: at k in the hundreds the Gonzalez sweep
+    * ([[farthestPointSeeds]]) needs k−1 corpus passes, while k-means‖
+    * needs `rounds` (constant) passes for the SAME quality class.
+    *
+    * Every randomness source is the portable 60-bit md5 hash (the
+    * q66 sampling convention): u(x) = md5₆₀("kmp:r:" ++ vid) mod 2²⁰,
+    * keep x iff u·φ < ℓ·2²⁰·d²(x). Distances to the candidate set run
+    * on the [[graft.expressions.NearestCentroid]] kernel (candidates
+    * are exact integer vectors, so d² is an exact integer-valued
+    * double and φ sums exactly as decimal(38,0)); candidate order is
+    * (round, vid); the final recluster is the paper's weighted
+    * k-means++ step made deterministic — greedy weighted
+    * farthest-point: seed 0 = heaviest candidate (ties smallest vid),
+    * then argmax of weight·d²-to-chosen (ties smallest vid), k picks.
+    * Result: one row per candidate — (idCol, round, weight,
+    * seed_rank ∈ 0..k−1 | −1) — fully replayable in SQL.
+    *
+    * SCALE: `rounds` scan-speed kernel passes + one map-side-combined
+    * φ aggregation + one 1-row-per-candidate weight aggregation;
+    * driver state is the candidate set (≈ 1 + ℓ·rounds vectors) —
+    * model-sized. Nothing corpus-sized is ever collected. */
+  def kMeansParallelCandidates(emb: DataFrame, k: Int, ell: Int = 16,
+      rounds: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame =
+    kMeansParallelCore(emb, k, ell, rounds, idCol, vecCol, scale)._1
+
+  /** [[kMeansAssign]] seeded by the k-means‖ picks instead of the
+    * smallest-id default: same Lloyd rounds, quantization, and
+    * determinism contract after seeding — the constant-pass quality
+    * seeding for the large-k regime [[graft.operators.Similarity
+    * .scaledK]] produces. */
+  def kMeansAssignParallelSeeded(emb: DataFrame, k: Int, iters: Int,
+      ell: Int = 16, rounds: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    val seeds = kMeansParallelCore(emb, k, ell, rounds, idCol, vecCol,
+      scale)._2
+    val (q, cents) = fitQuantized(emb, k, iters, idCol, vecCol, scale,
+      seedVectors = Some(seeds))
+    val fin = graft.expressions.VectorFunctions.nearest_centroid(col("q"), cents)
+    q.select(col("vid").as(idCol),
+      fin.getField("cid").as("cluster"),
+      round(fin.getField("d"), 4).as("dist"))
+  }
+
+  private def kMeansParallelCore(emb: DataFrame, k: Int, ell: Int,
+      rounds: Int, idCol: String, vecCol: String,
+      scale: Double): (DataFrame, Array[Array[Long]]) = {
+    require(k > 0 && ell > 0 && rounds > 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantizedView(emb, idCol, vecCol, scale)
+
+    // candidates in (round, vid) order; vectors stay integer-exact
+    var cand = q.orderBy("vid").limit(1).select("vid", "q").collect()
+      .map(r => (0, r.getLong(0), r.getSeq[Long](1).toArray)).toVector
+    def cents(): Array[Array[Double]] =
+      cand.map(_._3.map(_.toDouble)).toArray
+
+    for (r <- 1 to rounds) {
+      val d = graft.expressions.VectorFunctions
+        .nearest_centroid(col("q"), cents()).getField("d")
+      val scored = q.select(col("vid"), col("q"), d.as("d"))
+      // φ as an exact decimal sum (d is an exact integer-valued double:
+      // squared integer differences)
+      val phi = scored.agg(sum(col("d").cast("decimal(38,0)")))
+        .head().getDecimal(0).doubleValue()
+      val u = pmod(graft.expressions.PortableHash.md5Hash60(
+        concat(lit(s"kmp:$r:"), col("vid"))), lit(1048576L))
+      val sampled = scored
+        .where(u.cast("double") * lit(phi) <
+          lit(ell * 1048576.0) * col("d"))
+        .orderBy("vid")
+        .select("vid", "q").collect()
+        .map(x => (r, x.getLong(0), x.getSeq[Long](1).toArray))
+      // expected ℓ draws/round; 64x is far past any non-adversarial tail
+      require(cand.length + sampled.length <= 64 * ell * rounds,
+        s"k-means|| oversampling drew ${sampled.length} in one round")
+      cand = cand ++ sampled
+    }
+
+    // weight = corpus points each candidate would absorb (exact counts;
+    // kernel ties -> smallest candidate index = (round, vid) order)
+    val fin = graft.expressions.VectorFunctions
+      .nearest_centroid(col("q"), cents()).getField("cid")
+    val w = q.select(fin.as("ord")).groupBy("ord").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val weights = cand.indices.map(i => w.getOrElse(i, 0L))
+
+    // deterministic weighted farthest-point recluster to k seed picks
+    def d2(a: Array[Long], b: Array[Long]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      acc
+    }
+    require(cand.length >= k,
+      s"k-means|| drew ${cand.length} candidates < k=$k; raise ell/rounds")
+    val seedRank = Array.fill(cand.length)(-1)
+    val first = cand.indices.maxBy(i => (weights(i), -cand(i)._2))
+    seedRank(first) = 0
+    var chosen = List(first)
+    for (pick <- 1 until k) {
+      val next = cand.indices.filterNot(seedRank(_) >= 0)
+        .maxBy { i =>
+          val minD = chosen.map(c => d2(cand(i)._3, cand(c)._3)).min
+          (weights(i).toDouble * minD, -cand(i)._2)
+        }
+      seedRank(next) = pick
+      chosen ::= next
+    }
+
+    val out = cand.indices.map { i =>
+      (cand(i)._2, cand(i)._1.toLong, weights(i), seedRank(i).toLong)
+    }.toDF(idCol, "round", "weight", "seed_rank")
+    val seeds = cand.indices.filter(seedRank(_) >= 0)
+      .sortBy(seedRank(_)).map(cand(_)._3).toArray
+    (out, seeds)
   }
 
   /** [[kMeansAssign]] plus the runner-up: (idCol, cluster, dist,

@@ -2957,7 +2957,21 @@ object PipelineQueries {
            |SELECT * FROM (
            |$rows)
            |ORDER BY round""".stripMargin
-      }))
+      }),
+
+    // ---- k-means|| oversampled seeding (Bahmani 2012), deterministic:
+    // the constant-pass quality seeding the scaledK regime needs (at
+    // k ~ 100 the Gonzalez sweep is k-1 corpus passes; this is `rounds`
+    // passes for the same quality class). Every draw is the portable
+    // md5 hash, distances the exact integer-quantized kernel, phi an
+    // exact decimal sum, the recluster a deterministic weighted
+    // farthest-point — so the oracle replays ALL of it: 3 sampling
+    // rounds, candidate weights, and the 8 greedy seed picks.
+    Q("q166_kmeans_parallel_seed",
+      (s, d) => graft.operators.Clustering.kMeansParallelCandidates(
+          t(s, d, "embeddings"), k = 8, ell = 16, rounds = 3)
+        .orderBy("vec_id"),
+      Some(kmeansParallelOracle(k = 8, ell = 16, rounds = 3, dims = 64))))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
@@ -3081,6 +3095,67 @@ object PipelineQueries {
        |mu AS MATERIALIZED (SELECT list((CAST(sx AS DOUBLE)/10000.0)/n ORDER BY i) AS mu
        |  FROM mom WHERE i = j),
        |$comps"""}""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.operators.Clustering
+    * .kMeansParallelCandidates]]: the quantized view, `rounds` unrolled
+    * D²-sampling rounds (min-distance fold in the kernel's order, φ as
+    * an exact HUGEINT sum matching the engine's decimal(38,0), the
+    * md5₆₀ mod 2²⁰ draw with the identical double composition of the
+    * keep predicate), candidate ordering (round, vid), exact integer
+    * weights under the same (d, ord) argmin tie, and the k greedy
+    * weighted-farthest-point picks unrolled with the same
+    * (w·minD² desc, vid) order. */
+  private def kmeansParallelOracle(k: Int, ell: Int, rounds: Int,
+      dims: Int): String = {
+    val thresh = s"${(ell.toLong * 1048576L)}.0"
+    def fold(a: String, b: String) =
+      s"""list_reduce(list_transform(
+         |      [CAST($a.q[i+1] AS DOUBLE) - CAST($b.q[i+1] AS DOUBLE) for i in range(0,$dims)],
+         |      v -> v*v), (x,y) -> x+y)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""dr$r AS (SELECT vid, min(dd) AS d FROM (
+         |    SELECT e.vid, ${fold("e", "c")} AS dd
+         |    FROM e CROSS JOIN call${r - 1} c) GROUP BY vid),
+         |ph$r AS (SELECT sum(CAST(d AS HUGEINT)) AS phi FROM dr$r),
+         |sm$r AS (SELECT vid FROM dr$r CROSS JOIN ph$r
+         |  WHERE CAST(CAST(('0x' || substr(md5('kmp:$r:' || CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS DOUBLE)
+         |        * CAST(phi AS DOUBLE) < $thresh * d),
+         |call$r AS (SELECT * FROM call${r - 1} UNION ALL
+         |  SELECT $r AS rnd, e.vid, e.q FROM e JOIN sm$r USING (vid))""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 until k).map { i =>
+      s"""g$i AS (SELECT ord, vid, q, w FROM (
+         |    SELECT c.ord, c.vid, c.q, c.w, min(${fold("c", "g")}) AS md
+         |    FROM wt c CROSS JOIN ga${i - 1} g
+         |    WHERE c.ord NOT IN (SELECT ord FROM ga${i - 1})
+         |    GROUP BY c.ord, c.vid, c.q, c.w)
+         |  ORDER BY CAST(w AS DOUBLE) * md DESC, vid LIMIT 1),
+         |ga$i AS (SELECT * FROM ga${i - 1} UNION ALL
+         |  SELECT $i AS seed_rank, ord, vid, q, w FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS vid,
+       |    [CAST(round(CAST(x AS DOUBLE)*10000.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings),
+       |call0 AS (SELECT 0 AS rnd, vid, q FROM (SELECT vid, q FROM e ORDER BY vid LIMIT 1)),
+       |$perRound,
+       |cw AS MATERIALIZED (SELECT row_number() OVER (ORDER BY rnd, vid) - 1 AS ord, rnd, vid, q
+       |  FROM call$rounds),
+       |asg AS (SELECT vid, ord FROM (
+       |    SELECT t.vid, t.ord, row_number() OVER (PARTITION BY t.vid ORDER BY t.dd, t.ord) AS rn
+       |    FROM (SELECT e.vid AS vid, c.ord AS ord, ${fold("e", "c")} AS dd
+       |          FROM e CROSS JOIN cw c) t)
+       |  WHERE rn = 1),
+       |wt AS MATERIALIZED (SELECT c.ord, c.rnd, c.vid, c.q, coalesce(a.w, 0) AS w
+       |  FROM cw c LEFT JOIN (SELECT ord, count(*) AS w FROM asg GROUP BY ord) a USING (ord)),
+       |g0 AS (SELECT ord, vid, q, w FROM wt ORDER BY w DESC, vid LIMIT 1),
+       |ga0 AS (SELECT 0 AS seed_rank, ord, vid, q, w FROM g0),
+       |$picks
+       |SELECT w.vid AS vec_id, CAST(w.rnd AS BIGINT) AS round,
+       |  CAST(w.w AS BIGINT) AS weight,
+       |  CAST(coalesce(g.seed_rank, -1) AS BIGINT) AS seed_rank
+       |FROM wt w LEFT JOIN ga${k - 1} g ON g.ord = w.ord
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The engine-side twin of [[logregCtes]]'s label + training slice. */

@@ -149,4 +149,42 @@ class ClusteringSpec extends GraftSpec {
     assert((100L until 130L).forall(kept.contains), s"guarded mass survives: $kept")
     assert(kept.contains(0L) && !kept.contains(1L), s"honest dup still drops: $kept")
   }
+
+  test("k-means|| candidates: deterministic across partitionings, k seeds ranked") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kMeansParallelCandidates(df, k = 8, ell = 16, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val a = rows(emb.repartition(1))
+    val b = rows(emb.repartition(13))
+    assert(a == b, "candidate set must be partition-invariant")
+    // exactly k picked seeds, ranks 0..k-1, each a real candidate
+    val ranks = a.filter(_._4 >= 0).map(_._4).sorted
+    assert(ranks == (0L until 8L), s"seed ranks: $ranks")
+    // weights cover the corpus: every corpus point absorbed by someone
+    assert(a.map(_._3).sum == emb.count())
+  }
+
+  test("k-means|| seeding spreads across planted blobs where smallest-id seeding cannot") {
+    // 4 tight blobs; ids ordered so the 4 smallest-id points all sit in
+    // blob 0 — smallest-id seeding starts every seed in one blob, while
+    // the D^2-sampled + weighted-farthest recluster must hit all 4
+    val pts = (0 until 400).map { i =>
+      val blob = if (i < 4) 0 else i % 4
+      val base = Seq(0.0f, 40.0f, -40.0f, 80.0f)(blob)
+      (i.toLong, Seq(base + (i % 7) * 0.01f, base - (i % 5) * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val asg = Clustering.kMeansAssignParallelSeeded(df, k = 4, iters = 2,
+      ell = 8, rounds = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // every blob ends in its own cluster: 4 distinct labels, and blob
+    // membership is consistent
+    val byBlob = pts.groupBy { case (id, _) =>
+      if (id < 4) 0 else (id % 4).toInt }
+      .map { case (b, ps) => b -> ps.map(p => asg(p._1)).toSet }
+    assert(byBlob.values.forall(_.size == 1), s"blob split: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 4, s"blobs merged: $byBlob")
+  }
 }
