@@ -409,6 +409,27 @@ object Advanced {
               |  FROM anc a JOIN ed e ON a.ancestor = e.symbol)
               |SELECT symbol, ancestor, depth FROM anc ORDER BY symbol, depth""".stripMargin)),
 
+    // ---- NATIVE recursive SQL: Spark 4's WITH RECURSIVE executes the
+    // SAME text DuckDB runs as the oracle — one SQL string, two engines,
+    // hash-equal. The q92 pattern (SQL route of an operator row) applied
+    // to q43's closure: the iterative-self-join operator
+    // (Hierarchy.ancestors, checkpoint-per-level) stays the 100 TB path
+    // for unbounded depth; this row proves the SQL surface itself now
+    // covers recursion (parity with engines whose users write recursive
+    // CTEs directly).
+    {
+      val recSql =
+        s"""WITH RECURSIVE ed(symbol, parent_symbol) AS (
+           |  VALUES ${valEdges.map(p => s"('${p._1}', '${p._2}')").mkString(", ")}),
+           |anc AS (
+           |  SELECT symbol, parent_symbol AS ancestor, CAST(1 AS BIGINT) AS depth FROM ed
+           |  UNION ALL
+           |  SELECT a.symbol, e.parent_symbol, a.depth + 1
+           |  FROM anc a JOIN ed e ON a.ancestor = e.symbol)
+           |SELECT symbol, ancestor, depth FROM anc ORDER BY symbol, depth""".stripMargin
+      Q("q167_recursive_sql_ancestors", (s, _) => s.sql(recSql), Some(recSql))
+    },
+
     // ---- Z-order (Morton) clustering key — the data-layout primitive
     // behind Layout.zOrderedWrite (Delta/Iceberg OPTIMIZE ZORDER BY,
     // from plain Spark ops). Pure integer bit arithmetic, bit-identical
