@@ -48,6 +48,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: ALL of `queryIds` answered in ONE corpus scan
+    * — the shape a production retrieval pass actually runs (per-query
+    * loops re-scan the corpus |Q| times). The query set broadcasts
+    * (bounded by the caller — it is the batch, not the corpus), the
+    * scan crosses each corpus vector with the broadcast batch, and the
+    * per-query cut is a query-keyed window — Spark 4 plans it as
+    * WindowGroupLimit, pruning to k per query map-side BEFORE the
+    * shuffle, so the exchange carries |Q|·k rows, not |Q|·N. Output:
+    * (query_id, idCol, cos, rnk), ties (cos desc, id). */
+  def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty)
+    val q = emb.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
+    emb.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (round(cosine(col(vecCol), col("qv")) * 1000000.0) / 1000000.0)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): a zero-mean value derived from a 64-bit avalanche hash. Defined
     * as a column expression so plan + codegen stay pure. */

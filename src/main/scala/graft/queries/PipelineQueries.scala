@@ -2971,7 +2971,32 @@ object PipelineQueries {
       (s, d) => graft.operators.Clustering.kMeansParallelCandidates(
           t(s, d, "embeddings"), k = 8, ell = 16, rounds = 3)
         .orderBy("vec_id"),
-      Some(kmeansParallelOracle(k = 8, ell = 16, rounds = 3, dims = 64))))
+      Some(kmeansParallelOracle(k = 8, ell = 16, rounds = 3, dims = 64))),
+
+    // ---- BATCHED exact ANN: 8 queries answered in ONE corpus scan
+    // (per-query loops re-scan |Q| times); the broadcast is the query
+    // BATCH, bounded by the caller, and the per-query top-k is a
+    // WindowGroupLimit — pruned to k per query map-side before the
+    // shuffle carries |Q|*k rows. The production retrieval shape q25's
+    // single-query form composes into.
+    Q("q168_sim_topk_batch",
+      (s, d) => Similarity.bruteForceTopKBatch(t(s, d, "embeddings"),
+          Seq(0L, 7L, 23L, 100L, 211L, 333L, 404L, 499L), 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |      WHERE vec_id IN (0, 7, 23, 100, 211, 333, 404, 499)),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |         (round((list_cosine_similarity(e.v, q.qv)) * 1000000.0) / 1000000.0) AS cos
+             |       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+             |       FROM sc)
+             |SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+             |FROM rk WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin),
+      bench = true))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

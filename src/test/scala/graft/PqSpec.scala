@@ -95,6 +95,24 @@ class PqSpec extends GraftSpec {
     assert(WordPiece.fuseOnce(Array("a"), "a", "##b", "ab").toSeq == Seq("a"))
   }
 
+  test("batched top-k agrees with the single-query form, per query") {
+    val ids = Seq(0L, 7L, 23L)
+    val batch = Similarity.bruteForceTopKBatch(emb, ids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    ids.foreach { qid =>
+      val single = Similarity.bruteForceTopK(emb, qid, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = batch(qid).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(b == single, s"query $qid: batch != single")
+    }
+    // the plan must prune per query below the shuffle (WindowGroupLimit
+    // partial phase) — the property that keeps the exchange at |Q|*k
+    val plan = Similarity.bruteForceTopKBatch(emb, ids, 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "no WindowGroupLimit in plan")
+  }
+
   test("segment with the trained vocab covers the training corpus") {
     val merges = WordPiece.train(docs, rounds = 3)
     // trained vocab = every single-char piece (##-form) + the fusions —
