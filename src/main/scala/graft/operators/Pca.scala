@@ -36,27 +36,72 @@ object Pca {
 
   /** Exact quantized moment sums in one pass: rows (i, j, spp, sx, n)
     * for 0 <= i <= j < d, where spp = Σ q_i·q_j, sx = Σ q_i (carried on
-    * the diagonal rows, 0 elsewhere), n = row count. One Generate into a
-    * map-side-combined aggregation — the only corpus-sized stage. The
-    * `q` alias is referenced twice inside the pair lambda, so Catalyst
-    * keeps the quantization projection separate (computed once per row,
-    * not once per pair). */
+    * the diagonal rows, 0 elsewhere), n = row count.
+    *
+    * The corpus pass is a per-partition ACCUMULATOR (the §2.10 typed
+    * tier — genuine per-partition imperative logic, the Bpe.segment
+    * precedent): each partition folds its rows into one d(d+1)/2-lane
+    * long array and emits ONE partial row per lane, so only
+    * partitions×2,080 tiny rows reach the decimal aggregation. The
+    * earlier explode form materialized 2,080 struct rows PER CORPUS ROW
+    * through the hash aggregate — same arithmetic, ~9× the wall at sf1
+    * (r13 measured 35.4 s → see DESIGN) — and integer addition is
+    * associative, so the final decimal sums (and every hash-checked
+    * result downstream) are bit-identical to the explode form and the
+    * oracle. Partition-local lanes flush to the output every 2²⁴ rows:
+    * |pp| ≤ 10⁸ per row keeps a chunk's lane below 1.7·10¹⁵ — no long
+    * overflow on ANY partition size; cross-chunk and cross-partition
+    * accumulation happens in decimal(38,0). */
   def moments(vecs: DataFrame, d: Int,
       vecCol: String = "embedding"): DataFrame = {
-    val pairs = expr(
-      // NB Spark SQL bracket indexing is 0-based (element_at is the
-      // 1-based form); i, j run 0..d-1
-      s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  transform(sequence(i, ${d - 1}), j -> struct(
-         |    i AS i, j AS j,
-         |    q[i] * q[j] AS pp,
-         |    IF(i = j, q[i], 0L) AS x))))""".stripMargin)
-    vecs.select(quantArr(vecCol).as("q"))
-      .select(explode(pairs).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.pp").cast("decimal(38,0)")).as("spp"),
-        sum(col("t.x").cast("decimal(38,0)")).as("sx"),
-        count(lit(1)).as("n"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val lanes = d * (d + 1) / 2
+    vecs.select(quantArr(vecCol).as("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val FlushRows = 1 << 24
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long, Long, Long)]
+        val spp = new Array[Long](lanes)
+        val sx = new Array[Long](d)
+        var cnt = 0L
+        def flush(): Unit = if (cnt > 0) {
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              out += ((i, j, spp(idx), if (i == j) sx(i) else 0L, cnt))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          java.util.Arrays.fill(spp, 0L)
+          java.util.Arrays.fill(sx, 0L)
+          cnt = 0L
+        }
+        it.foreach { q =>
+          val a = q.toArray
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            val qi = a(i)
+            sx(i) += qi
+            var j = i
+            while (j < d) { spp(idx) += qi * a(j); idx += 1; j += 1 }
+            i += 1
+          }
+          cnt += 1
+          if (cnt == FlushRows) flush()
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("i", "j", "pp", "x", "cnt")
+      .groupBy("i", "j")
+      .agg(sum(col("pp").cast("decimal(38,0)")).as("spp"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("cnt")).as("n"))
   }
 
   /** Covariance table (i, j, cov) for i <= j from [[moments]], composed
