@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the (user, type, ts) shape — the
@@ -89,5 +90,34 @@ object EventOps {
         sum(pow(lit(2.0),
           -((col("tmax") - col(tsCol)).cast("double") / halfLifeNs)))
           .as("decayed"))
+  }
+
+  /** Slowly-changing-dimension Type-2 build from a change log: collapse
+    * each key's consecutive runs of the same attribute value into
+    * validity intervals `[valid_from, valid_to)` with a version number
+    * and an is_current flag — the warehouse-dimension shape every
+    * downstream as-of join (q19) consumes. Run starts are rows whose
+    * attribute differs from the previous row's (per key, ordered by
+    * (ts, seq) — seq breaks timestamp ties deterministically);
+    * valid_to is the NEXT run's valid_from, null while current.
+    *
+    * SCALE: two window passes over the same (key, ts, seq) ordering —
+    * one shuffle by key, then both lag() and the post-filter lead()/
+    * row_number() reuse that partitioning (the second window sees
+    * run-start rows only, a strict subset). State per key is one row;
+    * no self-join, no collect. At 100 TB the only cost is the one
+    * hash-partition-by-key exchange any per-key history pass needs. */
+  def scdType2(changes: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, seqCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    val runs = changes
+      .withColumn("_prev", lag(col(attrCol), 1).over(byKey))
+      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+    runs
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
   }
 }

@@ -482,5 +482,33 @@ object Advanced {
         s.read.parquet(loc.toString).orderBy("p_partkey")
       },
       Some("SELECT p_partkey, p_size FROM part ORDER BY p_partkey"),
-      bench = true))
+      bench = true),
+
+    // ---- SCD Type-2 dimension build: the events change log collapsed
+    // into per-user validity intervals (runs of the same event_type →
+    // [valid_from, valid_to), version, is_current). Two window passes
+    // over one key-partitioning; timestamps compared at µs (q117
+    // convention: DuckDB reads TIMESTAMP(NANOS) parquet at µs).
+    Q("q169_scd2_intervals",
+      (s, d) => graft.operators.EventOps.scdType2(
+          Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_type"),
+          expr("valid_from div 1000").as("valid_from"),
+          expr("valid_to div 1000").as("valid_to"), col("is_current"))
+        .orderBy("user_id", "version"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id FROM events),
+             |g AS (SELECT user_id, event_type, tns, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+             |      FROM e),
+             |r AS (SELECT user_id, event_type, tns, event_id FROM g
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id, event_type, tns,
+             |        row_number() OVER w AS version,
+             |        lead(tns) OVER w AS vto
+             |      FROM r WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             |  CAST(tns // 1000 AS BIGINT) AS valid_from,
+             |  CAST(vto // 1000 AS BIGINT) AS valid_to,
+             |  (vto IS NULL) AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin)))
 }

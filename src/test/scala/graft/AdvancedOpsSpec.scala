@@ -78,6 +78,30 @@ class AdvancedOpsSpec extends GraftSpec {
     assert(got("p3") == null) // right@9 is after left@5 -> no match
   }
 
+  test("SCD2: runs collapse, ts ties break on seq, singleton key current") {
+    val log = Seq(
+      // key 1: A A B A -> three intervals (the repeat A at ts=20 folds in)
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      // key 2: tie at ts=10 ordered by seq -> A then B, two intervals
+      (2L, 10L, 200L, "A"), (2L, 10L, 201L, "B"),
+      // key 3: single row -> one open interval
+      (3L, 7L, 300L, "C"))
+      .toDF("k", "ts", "seq", "attr")
+    val got = graft.operators.EventOps.scdType2(log, "k", "attr", "ts", "seq")
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", 10L, 30L, false),
+      (1L, 2L, "B", 30L, 40L, false),
+      (1L, 3L, "A", 40L, -1L, true),
+      (2L, 1L, "A", 10L, 10L, false),
+      (2L, 2L, "B", 10L, -1L, true),
+      (3L, 1L, "C", 7L, -1L, true)))
+  }
+
   test("native as-of join exec matches the composed union+window form") {
     val ev = graft.queries.Tables.events(spark, sf001)
     val p = ev.where(col("event_type") === "purchase")
