@@ -108,4 +108,57 @@ object GraphOps {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
   }
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) over
+    * an edge list (src, dst, w): every node starts labeled with itself;
+    * each round every node adopts the label carrying the largest total
+    * incident weight among its neighbors, ties broken toward the
+    * smaller label — run for FIXED `rounds` so the output is
+    * deterministic and oracle-unrollable (asynchronous/convergence
+    * variants depend on visit order). Edges are symmetrized and
+    * self-loops dropped before the loop; a node whose only edges were
+    * self-loops keeps its previous label via the restore join.
+    * Weights must be integral-valued (counts) so vote sums compare
+    * exactly across engines — the tie-break is then total-order stable.
+    *
+    * SCALE: each round is one join (labels are dst-keyed onto the
+    * symmetrized edges), one (node, label) aggregation with map-side
+    * combine, and one per-node top-1 — a window over the node key,
+    * pruned map-side by WindowGroupLimit to one row per (node, label)
+    * group before the shuffle. Labels are eagerly checkpointed and the
+    * superseded round released, the [[pageRank]] lifetime discipline.
+    * Nothing driver-sized; state per round is one label per node. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val noSelf = e.where(col("src") =!= col("dst"))
+    val sym = noSelf
+      .union(noSelf.select(col("dst"), col("src"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("ws").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val winner = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("v"), col("label"))
+        .agg(sum("w").as("ws"))
+        .withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1)
+        .select(col("v"), col("label").as("nl"))
+      val next = labels
+        .join(winner, labels("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(labels)
+      labels = next
+    }
+    IterUtils.unpersistCheckpoint(sym)
+    IterUtils.unpersistCheckpoint(nodes)
+    labels
+  }
 }

@@ -226,6 +226,64 @@ object PipelineQueries {
              |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin),
       bench = true),
 
+    // ---- synchronous label-propagation communities over the SAME trade
+    // graph, thresholded to above-average-weight edges so the structure
+    // is non-trivial; 4 fixed rounds, each unrolled in the oracle. Vote
+    // sums are exact integer counts, so the (weight desc, label asc)
+    // tie-break is total-order stable cross-engine.
+    Q("q170_label_prop_communities",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val avgW = raw.agg(avg(col("w")).as("aw"))
+        val edges = raw.join(broadcast(avgW))
+          .where(col("w").cast("double") > col("aw"))
+          .select("src", "dst", "w")
+        graft.operators.GraphOps.labelPropagation(edges, rounds = 4)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""l$r AS (SELECT p.node, coalesce(t.label, p.label) AS label
+             |  FROM l${r - 1} p LEFT JOIN (
+             |    SELECT v, label FROM (
+             |      SELECT s.src AS v, q.label AS label, sum(s.w) AS ws,
+             |        row_number() OVER (PARTITION BY s.src
+             |          ORDER BY sum(s.w) DESC, q.label) AS rn
+             |      FROM sym s JOIN l${r - 1} q ON q.node = s.dst
+             |      GROUP BY s.src, q.label) z WHERE rn = 1) t ON t.v = p.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  GROUP BY 1, 2),
+           |aw AS (SELECT avg(w) AS aw FROM raw),
+           |ed AS (SELECT src, dst, w FROM raw, aw WHERE w > aw),
+           |sym AS (SELECT src, dst, sum(w) AS w FROM (
+           |    SELECT src, dst, w FROM ed WHERE src <> dst
+           |    UNION ALL
+           |    SELECT dst AS src, src AS dst, w FROM ed WHERE src <> dst)
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |$rounds
+           |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+      }),
+
     // ---- SimHash signatures + hamming<=3 pairs on the real corpus
     // (xxhash-dependent hamming values -> rows-only; the oracle-checked
     // SimHash entry is q53 on the planted corpus below).

@@ -439,6 +439,21 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("label propagation: weak bridge splits two triangles; self-loop-only node keeps its label") {
+    // two weight-10 triangles joined by a weight-1 bridge (3-4) -> LPA
+    // settles on one community per triangle; node 7 has only a
+    // self-loop, so it keeps its own label through the restore join
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L), (7L, 7L, 5L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L), s"got $got")
+  }
+
   test("pagerank matches a local reference on a small weighted graph") {
     val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L),
       (3L, 1L, 2L), (3L, 2L, 1L)).toDF("src", "dst", "w")
