@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, RollingHash, ShingleHashes, SortedIntersectCount, TextStats}
+import graft.expressions.{CosineSimilarity, DotProduct, JaroWinkler, RollingHash, ShingleHashes, SortedIntersectCount, TextStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (xs: Seq[Expression]) => SortedIntersectCount(xs(0), xs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (xs: Seq[Expression]) =>
+        JaroWinkler(Cast(xs(0), StringType), Cast(xs(1), StringType))))
     ext.injectFunction((
       FunctionIdentifier("compression_ratio"),
       new ExpressionInfo(classOf[graft.expressions.CompressionRatio].getName,

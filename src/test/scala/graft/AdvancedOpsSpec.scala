@@ -27,6 +27,26 @@ class AdvancedOpsSpec extends GraftSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
   }
 
+  test("jaro-winkler: textbook values, DuckDB-pinned edges, SQL surface") {
+    import graft.expressions.JaroWinkler.sim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double = sim(u(a), u(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    // DuckDB-pinned edges: empty -> 0 (both empty too); no boost at
+    // jaro <= 0.7 despite a 3-char common prefix; floored transpositions
+    assert(jw("", "ABC") == 0.0 && jw("", "") == 0.0)
+    assert(math.abs(jw("aaaaaa", "aaahhh") - 2.0 / 3) < 1e-12)
+    assert(math.abs(jw("cebbcdb", "ebccebb") - 0.7936507936507936) < 1e-12)
+    assert(jw("A", "A") == 1.0 && jw("AB", "BA") == 0.0)
+    // SQL surface (GraftExtensions or runtime registration)
+    graft.expressions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 6) AS s").collect()
+    assert(r.head.getDouble(0) == 0.961111)
+  }
+
   test("KMV sketch: estimate within 35% of exact, partition-independent") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_returnflag"),

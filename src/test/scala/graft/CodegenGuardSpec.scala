@@ -38,7 +38,8 @@ class CodegenGuardSpec extends GraftSpec {
     "q133_pipeline_v3",
     "q134_gopher_rules",
     "q139_bloom_gated_dedup",  // bloom words array-literal probe
-    "q140_hard_negatives")     // NearestCentroid2 reference-object kernel
+    "q140_hard_negatives",     // NearestCentroid2 reference-object kernel
+    "q171_jaro_winkler_match") // JaroWinkler codegen Expression
 
   test("register hot paths execute with codegen fallback disabled") {
     val conf = spark.conf
