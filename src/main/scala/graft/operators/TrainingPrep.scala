@@ -1187,4 +1187,33 @@ object TrainingPrep {
       .where(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
+
+  /** Sequence-length bucketing analysis: assign every document to the
+    * smallest cap in the fixed `caps` menu that fits its token count
+    * (overflow docs land in the last cap), and report per bucket how
+    * much a pad-to-cap batcher wastes — the planning pass behind
+    * length-grouped batching (bucketed batches cut padding FLOPs vs
+    * one global max-length pad; this quantifies by how much, per
+    * bucket, before committing to a bucket menu). The cap menu is a
+    * CASE chain of literals, not log2 float math, so bucket edges are
+    * exact and engine-portable.
+    *
+    * SCALE: one codegen'd projection (token count + cap CASE) feeding
+    * one map-side-combinable aggregation keyed on the menu-sized cap —
+    * scan-speed, output is |caps| rows. */
+  def lengthBucketWaste(docs: DataFrame, caps: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted, "caps must be ascending")
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val cap = caps.init.foldRight(lit(caps.last.toLong): org.apache.spark.sql.Column)(
+      (c, rest) => when(n <= c, c.toLong).otherwise(rest))
+    docs.select(cap.as("bucket_cap"), n.as("n"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_cap") * col("n_docs")).as("padded_tokens"),
+        (round((lit(1.0) - col("sum_tokens").cast("double") /
+          (col("bucket_cap") * col("n_docs")).cast("double")) * 1000000.0)
+          / 1000000.0).as("waste_frac"))
+  }
 }

@@ -3084,7 +3084,24 @@ object PipelineQueries {
              |  round(jaro_winkler_similarity(a.name, b.name) * 1000000.0) / 1000000.0 AS jw
              |FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
              |  AND jaro_winkler_similarity(a.name, b.name) >= 0.87
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- sequence-length bucketing: padding waste per power-of-two
+    // cap — the planning pass for length-grouped training batches.
+    Q("q172_length_buckets",
+      (s, d) => graft.operators.TrainingPrep.lengthBucketWaste(
+          t(s, d, "documents"), Seq(16, 32, 64, 128, 256, 512))
+        .orderBy("bucket_cap"),
+      Some("""WITH tok AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             |b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |               WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             |               WHEN n <= 256 THEN 256 ELSE 512 END AS bucket_cap, n
+             |      FROM tok)
+             |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+             |  CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+             |  round((1.0 - sum(n)::DOUBLE / (bucket_cap * count(*))::DOUBLE) * 1000000.0) / 1000000.0 AS waste_frac
+             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -439,6 +439,18 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("length-bucket waste: caps assign smallest-fit, overflow lands in last cap") {
+    // token counts: 3, 4, 5, 9 -> caps 4, 4, 8, 8 (overflow 9 -> last cap 8)
+    val docs = Seq("a b c", "a b c d", "a b c d e", "a b c d e f g h i")
+      .toDF("text")
+    val got = graft.operators.TrainingPrep
+      .lengthBucketWaste(docs, Seq(4, 8))
+      .orderBy("bucket_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // cap 4: docs {3,4} -> sum 7, padded 8, waste 1/8; cap 8: {5,9} -> 14/16, waste 2/16
+    assert(got.toSeq == Seq((4L, 2L, 7L, 8L, 0.125), (8L, 2L, 14L, 16L, 0.125)))
+  }
+
   test("label propagation: weak bridge splits two triangles; self-loop-only node keeps its label") {
     // two weight-10 triangles joined by a weight-1 bridge (3-4) -> LPA
     // settles on one community per triangle; node 7 has only a
