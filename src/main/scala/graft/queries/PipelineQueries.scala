@@ -3101,7 +3101,53 @@ object PipelineQueries {
              |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
              |  CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
              |  round((1.0 - sum(n)::DOUBLE / (bucket_cap * count(*))::DOUBLE) * 1000000.0) / 1000000.0 AS waste_frac
-             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)))
+             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)),
+
+    // ---- ORC sink/source round-trip (the q107 JSONL pattern for the
+    // second columnar format): export the corpus as ORC, read it back,
+    // oracle the content against the source table. The read path gets
+    // parquet-class pushdown/pruning (WritersSpec asserts PushedFilters
+    // reach the ORC scan), so ORC inputs are hot-path capable.
+    Q("q173_orc_roundtrip",
+      (s, d) => {
+        val dir = d.stripSuffix("/")
+        val loc = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-orc"),
+          java.lang.Integer.toHexString(dir.hashCode) + "/docs")
+        graft.sources.TableWriters.orc(
+          t(s, d, "documents"), loc.toString)
+        graft.sources.TableWriters.readOrc(s, loc.toString)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    // ---- STREAM-STREAM interval join, executed as an actual Structured
+    // Streaming query (the q136 precedent: the register row runs the
+    // stream) and oracled against the batch interval join — the
+    // equivalence Structured Streaming promises. Both sides watermarked
+    // (1 h) so join state is evictable at scale; the memory-sink drive
+    // processes the whole file source, so no row is lost to eviction and
+    // the batch SQL is the exact answer.
+    Q("q174_stream_interval_join",
+      (s, d) => {
+        import graft.streaming.EventsStream
+        val joined = EventsStream.purchaseClickJoin(
+          EventsStream.readEvents(s, d.stripSuffix("/")))
+        EventsStream.runToMemory(s, joined, "q174_ssjoin")
+          .select(col("user_id"), col("pid"), col("cid"),
+            unix_micros(col("pts")).as("pts"),
+            unix_micros(col("cts")).as("cts"))
+          .orderBy("pid", "cid")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+             |p AS (SELECT user_id, event_id AS pid, tus AS pts FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS cid, tus AS cts FROM e WHERE event_type = 'click')
+             |SELECT p.user_id, pid, cid, pts, cts
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND cts <= pts AND cts >= pts - 3600000000
+             |ORDER BY pid, cid""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

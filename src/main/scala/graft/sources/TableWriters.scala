@@ -28,6 +28,14 @@ object TableWriters {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink — the second columnar format a lakehouse meets (Hive-lineage
+    * warehouses hand ORC to every engine that reads them). Same pushdown/
+    * pruning class as parquet: predicate pushdown + column pruning reach
+    * the stripe reader (WritersSpec asserts PushedFilters on the read
+    * path), so ORC inputs can sit on the hot path, unlike CSV/JSON. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Prefix + layout of the per-partition "aside" directories the swap
     * protocol uses: `.graft-old-<36-char-uuid>-<leafName>`, created in the
     * leaf's parent. The uuid is the transaction id of the swap that created
@@ -242,4 +250,7 @@ object TableWriters {
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

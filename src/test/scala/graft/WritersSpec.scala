@@ -44,6 +44,12 @@ class WritersSpec extends GraftSpec {
     val back = spark.read.orc(out)
     assert(back.schema == nation.schema)
     assert(back.collect().map(_.toSeq).toSet == nation.collect().map(_.toSeq).toSet)
+    // predicate pushdown + column pruning reach the ORC stripe reader —
+    // what qualifies ORC inputs for the hot path (vs CSV/JSON)
+    val plan = back.where(col("n_nationkey") === 7).select("n_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,7)]"), plan)
+    assert(plan.contains("ReadSchema: struct<n_nationkey:int,n_name:string>"), plan)
   }
 
   test("keyed upsert rewrites only touched partitions, last-writer-wins") {
