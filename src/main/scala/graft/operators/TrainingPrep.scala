@@ -662,6 +662,66 @@ object TrainingPrep {
       .where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement, `n` winners per
+    * group (Efraimidis & Spirakis 2006, the exponential-race form): each
+    * row draws u ∈ (0,1] from the portable md5 hash and races with key
+    * −ln(u)/w — the n smallest keys per group are a weight-proportional
+    * without-replacement sample. [[groupSampleExactN]]'s uniform draw is
+    * the w≡1 special case; this is the corpus-subsampling knob when
+    * longer/higher-quality documents should win proportionally more
+    * often. The draw depends only on (salt, id), so reruns and both
+    * engines select identical rows; keys are continuous doubles, so a
+    * cross-engine ln() ulp can only matter if two keys collide to
+    * within an ulp — and the trailing id sort key breaks even that.
+    *
+    * SCALE: one codegen'd key projection + one per-group top-n (window
+    * rank, WindowGroupLimit-pruned map-side before the group shuffle).
+    * Weights must be positive; rows with w <= 0 are dropped (they can
+    * never win a weighted race). */
+  def weightedSampleK(df: DataFrame, n: Int, salt: String,
+      weightCol: String = "n_chars", groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol))).cast("double") + 1.0) /
+      1152921504606846976.0 // 2^60: u in (0, 1]
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Deterministic stratified train/val/test split with EXACT per-stratum
+    * proportions: within each stratum rows are ranked by the portable md5
+    * draw and the first ⌊trainFrac·n⌋ become `train`, the next
+    * ⌊valFrac·n⌋ `val`, the rest `test`. Hash-threshold splits (q66
+    * shape) only hit the fractions in expectation; the rank-vs-count
+    * form is what evaluation protocols need — per-stratum counts exact
+    * to the floor, assignment still a pure function of (salt, id, the
+    * stratum's membership).
+    *
+    * SCALE: one window rank + one count over the same stratum
+    * partitioning (a single shuffle by stratum); the split label is a
+    * scan-speed comparison against the two floor thresholds. */
+  def stratifiedSplit(df: DataFrame, trainFrac: Double, valFrac: Double,
+      salt: String, stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "fractions must leave room for a test split")
+    val h = graft.expressions.PortableHash.md5Hash60(
+      concat(lit(salt + ":"), col(idCol)))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rnk = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(rnk))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .withColumn("split",
+        when(col("__rn") <= floor(col("__n") * trainFrac), "train")
+          .when(col("__rn") <= floor(col("__n") * trainFrac) +
+            floor(col("__n") * valFrac), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
   /** Per-source distribution drift: KL(P_source || P_corpus) in bits
     * over unigram term distributions — the monitoring statistic that
     * flags a source whose language shifted relative to the corpus

@@ -3147,7 +3147,43 @@ object PipelineQueries {
              |SELECT p.user_id, pid, cid, pts, cts
              |FROM p JOIN c ON p.user_id = c.user_id
              |  AND cts <= pts AND cts >= pts - 3600000000
-             |ORDER BY pid, cid""".stripMargin)))
+             |ORDER BY pid, cid""".stripMargin)),
+
+    // ---- weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race, portable-md5 draw): 5 winners per source,
+    // weight-proportional by n_chars. q122's uniform sampler is the
+    // w=1 special case of the same race.
+    Q("q175_weighted_sample",
+      (s, d) => graft.operators.TrainingPrep.weightedSampleK(
+          t(s, d, "documents"), n = 5, salt = "ws1")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("source", "doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY source
+             |    ORDER BY -ln((CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+             |        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), doc_id) AS rn
+             |  FROM documents WHERE n_chars > 0)
+             |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- stratified train/val/test split with EXACT per-stratum
+    // proportions (rank-vs-count, not hash-threshold-in-expectation):
+    // 80/10/10 within each source, assignment a pure function of
+    // (salt, doc_id, stratum membership).
+    Q("q176_stratified_split",
+      (s, d) => graft.operators.TrainingPrep.stratifiedSplit(
+          t(s, d, "documents"), trainFrac = 0.8, valFrac = 0.1, salt = "sp1")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+             |       WHEN rn <= floor(n * 0.8) + floor(n * 0.1) THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY CAST(('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY source) AS n
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -439,6 +439,33 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("weighted sample: dominant weight always wins, w<=0 dropped, partition-independent") {
+    val rows = (1L to 40L).map(i => (i, "s", if (i == 7L) 1000000L else 1L)) :+
+      ((41L, "s", 0L)) // non-positive weight: can never win
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.TrainingPrep
+      .weightedSampleK(df, n = 3, salt = "t", weightCol = "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 7's weight is 1e6x everyone: its race key is ~1e6 smaller
+    assert(got.contains(7L) && got.size == 3 && !got.contains(41L))
+    val got1 = graft.operators.TrainingPrep
+      .weightedSampleK(df.repartition(13), n = 3, salt = "t", weightCol = "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got1 == got) // draw is a pure function of (salt, id)
+  }
+
+  test("stratified split: per-stratum counts exact to the floor, assignment stable") {
+    val df = (1L to 103L).map(i => (i, if (i <= 60) "a" else "b"))
+      .toDF("doc_id", "source")
+    val got = graft.operators.TrainingPrep
+      .stratifiedSplit(df, 0.8, 0.1, salt = "t")
+      .groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a: n=60 -> 48/6/6; b: n=43 -> floor(34.4)=34 / floor(4.3)=4 / 5
+    assert(got == Map(("a", "train") -> 48L, ("a", "val") -> 6L, ("a", "test") -> 6L,
+      ("b", "train") -> 34L, ("b", "val") -> 4L, ("b", "test") -> 5L), s"got $got")
+  }
+
   test("length-bucket waste: caps assign smallest-fit, overflow lands in last cap") {
     // token counts: 3, 4, 5, 9 -> caps 4, 4, 8, 8 (overflow 9 -> last cap 8)
     val docs = Seq("a b c", "a b c d", "a b c d e", "a b c d e f g h i")
