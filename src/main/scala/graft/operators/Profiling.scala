@@ -60,4 +60,51 @@ object Profiling {
         col("nd_a") === col("nd_b") &&
           col("min_a") <=> col("min_b") && col("max_a") <=> col("max_b"))
   }
+
+  /** Exact per-group median via WINDOW RANK selection, not an in-memory
+    * percentile buffer: rank each group's values with a sort-based
+    * window (spillable — state per task is the sort run, never a
+    * group-sized array, unlike `percentile()` whose aggregation buffer
+    * holds every value of the group), then average the one or two
+    * middle values. Engine-portable: the middle-pair mean is the same
+    * (a+b)/2 DuckDB's `median`/`quantile_cont(0.5)` computes.
+    *
+    * SCALE: one shuffle by group for the window, one map-side-combined
+    * aggregation of the ≤2 selected rows per group. */
+  def groupMedian(df: DataFrame, gCol: String, xCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCol).orderBy(col(xCol))
+    df.select(col(gCol), col(xCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gCol)))
+      .where(col("__rn") === expr("(__n + 1) div 2") ||
+        col("__rn") === expr("(__n + 2) div 2"))
+      .groupBy(gCol).agg(avg(col(xCol)).as("med"))
+  }
+
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of values outside med ± k·MAD — the
+    * robust-statistics alternative to mean/stddev gates (one corrupt
+    * extreme value shifts a z-score gate; it leaves med/MAD untouched).
+    * Both medians use [[groupMedian]]'s rank-selection form.
+    *
+    * SCALE: three passes over the (group, x) projection — two window
+    * medians and one outlier count — every one keyed on the group;
+    * the model-sized median tables re-enter as broadcasts. */
+  def madOutliers(df: DataFrame, gCol: String, xCol: String,
+      k: Double = 3.0): DataFrame = {
+    val base = df.select(col(gCol), col(xCol).cast("double").as("x"))
+    val med = groupMedian(base, gCol, "x")
+    val dev = base.join(broadcast(med), Seq(gCol))
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = groupMedian(dev.select(col(gCol), col("ad")), gCol, "ad")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), Seq(gCol))
+      .groupBy(gCol)
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

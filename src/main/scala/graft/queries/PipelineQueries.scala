@@ -3183,7 +3183,36 @@ object PipelineQueries {
              |          ORDER BY CAST(('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn,
              |        count(*) OVER (PARTITION BY source) AS n
              |      FROM documents)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- robust per-group outlier profile: median + MAD + outlier
+    // count per nation over customer balances. Medians are exact but
+    // WINDOW-RANK selected (spillable sort state, never a group-sized
+    // percentile buffer — the scale distinction from `percentile()`).
+    Q("q177_mad_outliers",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_acctbal"))
+        graft.operators.Profiling.madOutliers(c, "n_name", "c_acctbal")
+          .select(col("n_name"), col("n"),
+            (round(col("med") * 10000.0) / 10000.0).as("med"),
+            (round(col("mad") * 10000.0) / 10000.0).as("mad"),
+            col("n_outliers"))
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (SELECT n_name, c_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |med AS (SELECT n_name, median(c_acctbal) AS med FROM c GROUP BY n_name),
+             |dev AS (SELECT c.n_name, c_acctbal, abs(c_acctbal - med.med) AS ad, med.med AS med
+             |        FROM c JOIN med USING (n_name)),
+             |mad AS (SELECT n_name, median(ad) AS mad FROM dev GROUP BY n_name)
+             |SELECT d.n_name, count(*) AS n,
+             |  round(max(d.med) * 10000.0) / 10000.0 AS med,
+             |  round(max(mad.mad) * 10000.0) / 10000.0 AS mad,
+             |  CAST(sum(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mad USING (n_name)
+             |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -439,6 +439,22 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("group median: odd and even group sizes, rank-selection form") {
+    val df = Seq(("a", 1.0), ("a", 9.0), ("a", 3.0), // odd: median 3
+      ("b", 4.0), ("b", 1.0), ("b", 2.0), ("b", 100.0)) // even: (2+4)/2 = 3
+      .toDF("g", "x")
+    val got = graft.operators.Profiling.groupMedian(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 3.0, "b" -> 3.0), s"got $got")
+    // MAD is robust: one corrupt extreme in group b leaves med/MAD sane
+    val prof = graft.operators.Profiling.madOutliers(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // b: devs |4-3|,|1-3|,|2-3|,|100-3| = 1,2,1,97 -> MAD (1+2)/2=1.5;
+    // only 100 exceeds 3*1.5
+    assert(prof("b") == ((3.0, 1.5, 1L)), s"got $prof")
+  }
+
   test("weighted sample: dominant weight always wins, w<=0 dropped, partition-independent") {
     val rows = (1L to 40L).map(i => (i, "s", if (i == 7L) 1000000L else 1L)) :+
       ((41L, "s", 0L)) // non-positive weight: can never win
