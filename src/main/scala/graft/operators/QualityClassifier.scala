@@ -138,4 +138,42 @@ object QualityClassifier {
             .toDouble / 1000000.0) }
       .toDF("j", "feature", "weight")
   }
+
+  /** Calibration (reliability) table: score each labeled row, cut the
+    * population into `buckets` EQUAL-COUNT score-rank bins (ntile — the
+    * right cut when a young model's scores concentrate in a narrow
+    * band, where equal-width bins collapse to one), and report per bin
+    * the count, the empirical positive rate, and the mean predicted
+    * score — the curve that says whether a higher score MEANS more
+    * likely positive. The evaluation every deployed quality gate needs
+    * before its threshold is trusted (run it on rows the trainer never
+    * saw).
+    *
+    * Means are composed from EXACT integer sums (labels, 1e-6-quantized
+    * scores) divided once — no floating accumulation, so the table is
+    * bit-identical under any partitioning and across engines.
+    *
+    * SCALE: the ntile ranks over a GLOBAL total order (score, id) — a
+    * single-partition window by design: this is an evaluation-set
+    * statistic, run on a held-out sample, not a corpus operator. The
+    * scoring projection itself is scan-speed with the model as
+    * literals. */
+  def calibrationTable(labeled: DataFrame, w: Array[Double],
+      buckets: Int = 10, labelCol: String = "y", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigma = lit(1.0) /
+      (lit(1.0) + exp(-zFromCols(w, featureColsQ(col(textCol)))))
+    val sc = round(sigma * 1000000.0) / 1000000.0
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sq"), col(idCol))
+    labeled.select(col(idCol), col(labelCol).cast("long").as("y"),
+        round(sc * 1000000.0).cast("long").as("sq"))
+      .withColumn("bucket", ntile(buckets).over(byScore).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("y").cast("double") / count(lit(1)) * 1000000.0)
+          / 1000000.0).as("mean_label"),
+        (round(sum("sq").cast("double") / count(lit(1)))
+          / 1000000.0).as("mean_score"))
+  }
 }

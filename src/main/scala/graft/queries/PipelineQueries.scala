@@ -3212,7 +3212,35 @@ object PipelineQueries {
              |  round(max(mad.mad) * 10000.0) / 10000.0 AS mad,
              |  CAST(sum(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev d JOIN mad USING (n_name)
-             |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)))
+             |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)),
+
+    // ---- classifier calibration (reliability) table on the HELD-OUT
+    // split (the trainer saw doc_id%3=0; this evaluates the rest):
+    // equal-count score-rank deciles (ntile — equal-width bins collapse
+    // on a young model's narrow score band) vs the empirical positive
+    // rate. Means are exact-integer-sum/count — no floating
+    // accumulation, so the table hashes identically under any
+    // partitioning.
+    Q("q178_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val heldOut = docs.where(col("doc_id") % 3 =!= 0).withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        graft.operators.QualityClassifier
+          .calibrationTable(heldOut, logregModel(docs))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |sc AS (SELECT doc_id, y,
+              |    CAST(round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0) AS BIGINT) AS sq
+              |  FROM fx CROSS JOIN wfin WHERE doc_id % 3 <> 0),
+              |nt AS (SELECT y, sq, CAST(ntile(10) OVER (ORDER BY sq, doc_id) AS BIGINT) AS bucket FROM sc)
+              |SELECT bucket, count(*) AS n,
+              |  round(CAST(sum(y) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS mean_label,
+              |  round(CAST(sum(sq) AS DOUBLE) / count(*)) / 1000000.0 AS mean_score
+              |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
