@@ -1248,6 +1248,40 @@ object TrainingPrep {
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
 
+  /** Zipf's-law fit over the corpus unigram distribution: OLS of
+    * ln(freq) on ln(rank) across the top-`k` terms — slope ≈ −1 is the
+    * healthy-natural-text signature; a flattened slope flags template/
+    * boilerplate takeover and a steepened one vocabulary collapse. The
+    * cheap corpus-health scalar to trend per ingest batch (q123's KL
+    * drift localizes WHICH source moved; this says whether the corpus
+    * still looks like language).
+    *
+    * SCALE: one tokenize into a vocab-sized (term, count) aggregate,
+    * cut to k rows by TakeOrderedAndProject (map-side top-k, no global
+    * sort); the rank window and the OLS fold run on those k rows only.
+    * Output is a single row. */
+  def zipfFit(docs: DataFrame, k: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val top = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    top.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_terms"),
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * 10000.0)
+          / 10000.0).as("slope"),
+        (round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n") * 10000.0) / 10000.0).as("intercept"))
+  }
+
   /** Sequence-length bucketing analysis: assign every document to the
     * smallest cap in the fixed `caps` menu that fits its token count
     * (overflow docs land in the last cap), and report per bucket how

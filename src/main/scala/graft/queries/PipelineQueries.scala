@@ -3240,7 +3240,24 @@ object PipelineQueries {
               |SELECT bucket, count(*) AS n,
               |  round(CAST(sum(y) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS mean_label,
               |  round(CAST(sum(sq) AS DOUBLE) / count(*)) / 1000000.0 AS mean_score
-              |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin)))
+              |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
+    // top-100 terms — the corpus-health scalar (slope ~ -1 = natural
+    // text; flattened = template takeover).
+    Q("q179_zipf_fit",
+      (s, d) => graft.operators.TrainingPrep.zipfFit(t(s, d, "documents")),
+      Some("""WITH tf AS (SELECT term, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |  GROUP BY term ORDER BY cnt DESC, term LIMIT 100),
+             |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+             |         ln(CAST(cnt AS DOUBLE)) AS y FROM tf),
+             |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             |          sum(x*x) AS sxx, sum(x*y) AS sxy FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0) / 10000.0 AS slope,
+             |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 10000.0) / 10000.0 AS intercept
+             |FROM agg""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
