@@ -83,6 +83,33 @@ object Profiling {
       .groupBy(gCol).agg(avg(col(xCol)).as("med"))
   }
 
+  /** Exact NEAREST-RANK percentiles per group (P50/P90/P99-style bands):
+    * rank each group's values with a spillable sort window and select
+    * the value at rank ⌈p·n⌉ for every requested p — pure selection, no
+    * interpolation arithmetic, so the band values are corpus values and
+    * cross-engine identical. The latency/size-profile shape every ops
+    * dashboard wants. Same scale argument as [[groupMedian]]: state is
+    * the sort run, never a group-sized buffer.
+    *
+    * Ties on the value are harmless: ranks within a tie are arbitrary
+    * but every rank in the tie holds the SAME value, and selection is
+    * by value. */
+  def rankPercentiles(df: DataFrame, gCol: String, xCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCol).orderBy(col("__x"))
+    val ranked = df.select(col(gCol), col(xCol).as("__x"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gCol)))
+    val bands = ps.map(p => max(when(
+      col("__rn") === ceil(lit(p) * col("__n")), col("__x")))
+      .as("p" + math.round(p * 100)))
+    ranked.groupBy(gCol)
+      .agg(max(col("__n")).as("n"), bands: _*)
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation), and the count of values outside med ± k·MAD — the
     * robust-statistics alternative to mean/stddev gates (one corrupt

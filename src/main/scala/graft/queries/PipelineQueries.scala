@@ -3257,7 +3257,62 @@ object PipelineQueries {
              |SELECT CAST(n AS BIGINT) AS n_terms,
              |  round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0) / 10000.0 AS slope,
              |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 10000.0) / 10000.0 AS intercept
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ---- exact nearest-rank percentile bands (P50/P90/P99 of event
+    // value per type): pure rank SELECTION — no interpolation
+    // arithmetic, the band values are corpus values, bit-identical
+    // cross-engine. Spillable sort-window state (the q177 argument),
+    // never a group-sized percentile buffer.
+    Q("q180_percentile_bands",
+      (s, d) => graft.operators.Profiling.rankPercentiles(
+          Tables.events(s, d), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type"),
+      Some("""WITH r AS (SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM events)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+             |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+             |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Heaps'-law vocabulary growth: distinct-term count after the
+    // first n/8, n/4, n/2, n documents — ONE first-occurrence aggregate
+    // (term -> min doc_id) answers every prefix, no per-prefix rescan.
+    // The q179 Zipf fit's companion corpus-health curve (sub-linear
+    // growth = natural text; linear = unbounded-id templates).
+    Q("q181_heaps_vocab",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val firsts = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(min("doc_id").as("fd"))
+        val nn = docs.agg(count(lit(1)).as("nd"))
+        val divisors = Seq(8, 4, 2, 1)
+        firsts.join(broadcast(nn))
+          .select(explode(array(divisors.map(v =>
+            struct(lit(v.toLong).as("d"),
+              expr(s"nd div $v").as("prefix_docs"))): _*)).as("b"), col("fd"))
+          .select(col("b.d").as("d"), col("b.prefix_docs").as("prefix_docs"),
+            col("fd"))
+          .groupBy("d", "prefix_docs")
+          .agg(sum(when(col("fd") < col("prefix_docs"), 1L).otherwise(0L))
+            .as("vocab"))
+          .orderBy(col("d").desc)
+      },
+      Some("""WITH firsts AS (SELECT term, min(doc_id) AS fd FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  GROUP BY term),
+             |nn AS (SELECT count(*) AS nd FROM documents),
+             |b AS (SELECT unnest([8, 4, 2, 1]) AS d),
+             |g AS (SELECT CAST(b.d AS BIGINT) AS d, nn.nd // b.d AS prefix_docs
+             |      FROM b CROSS JOIN nn)
+             |SELECT g.d, CAST(g.prefix_docs AS BIGINT) AS prefix_docs,
+             |  CAST(sum(CASE WHEN f.fd < g.prefix_docs THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+             |FROM g CROSS JOIN firsts f
+             |GROUP BY g.d, g.prefix_docs ORDER BY g.d DESC""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
