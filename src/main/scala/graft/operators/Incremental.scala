@@ -69,4 +69,31 @@ object Incremental {
       .select(keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
         Seq(col("change")) ++ valueCols.map(c => col(s"n.$c").as(c)): _*)
   }
+
+  /** Persisted Bloom-filter sidecar: the accepted-table's membership
+    * filter written as a versioned (idx, word) parquet table so the NEXT
+    * ingest run LOADS the filter instead of rebuilding it from the full
+    * history — filter maintenance is then OR-merge of the new batch's
+    * words ([[Sketches.bloomMerge]]) plus one model-sized write, cost
+    * proportional to the batch forever. The on-disk form is plain
+    * parquet (engine-portable, versioned like the manifest tables), and
+    * the filter is only ever a GATE — admission stays exact via the
+    * anti-join verify, so a lost/stale sidecar can cost performance,
+    * never correctness.
+    *
+    * SCALE: the words table is m/64 rows (2,048 longs at m=2^17 —
+    * model-sized); save coalesces to one file, load collects the same
+    * bounded rowset. */
+  def saveBloomWords(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long, words: Array[Long]): Unit = {
+    import spark.implicits._
+    words.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("idx", "word").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/v$version")
+  }
+
+  def loadBloomWords(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long): Array[Long] =
+    spark.read.parquet(s"$root/v$version").orderBy("idx")
+      .collect().map(_.getLong(1))
 }

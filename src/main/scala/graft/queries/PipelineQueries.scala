@@ -3312,7 +3312,57 @@ object PipelineQueries {
              |SELECT g.d, CAST(g.prefix_docs AS BIGINT) AS prefix_docs,
              |  CAST(sum(CASE WHEN f.fd < g.prefix_docs THEN 1 ELSE 0 END) AS BIGINT) AS vocab
              |FROM g CROSS JOIN firsts f
-             |GROUP BY g.d, g.prefix_docs ORDER BY g.d DESC""".stripMargin)))
+             |GROUP BY g.d, g.prefix_docs ORDER BY g.d DESC""".stripMargin)),
+
+    // ---- Bloom filter MAINTAINED ON DISK across ingest runs: the q145
+    // incremental admission flow, but each batch LOADS the persisted
+    // (idx, word) sidecar from the previous version and OR-merges its
+    // own words back — no rebuild-from-history ever. The filter stays a
+    // gate (anti-join verify keeps admission exact), so a stale sidecar
+    // costs performance, never correctness. Same admission semantics as
+    // q145 (identical oracle), now durable across JVMs.
+    Q("q182_bloom_sidecar",
+      (s, d) => {
+        import graft.operators.{Dedup, Incremental, Sketches, TextAnalysis}
+        val root = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-bloomside"),
+          java.lang.Integer.toHexString(d.stripSuffix("/").hashCode)).toString
+        val fp = TextAnalysis.fingerprint(col("text"))
+        val docs = t(s, d, "documents").withColumn("f", fp)
+        val hist = docs.where(col("doc_id") % 3 === 1)
+        val m = 1 << 17
+        // v1: bootstrap — history admitted wholesale, filter persisted once
+        Incremental.saveBloomWords(s, root, 1,
+          Sketches.bloomBuild(hist.select("f"), col("f"), m))
+        // batch 1 gates against the LOADED v1 words (no rebuild)
+        val w1 = Incremental.loadBloomWords(s, root, 1)
+        val acc1 = Dedup.bloomGatedAntiJoinWith(w1,
+            docs.where(col("doc_id") % 3 === 2), hist.select("f"), "f")
+          .localCheckpoint() // read twice: its words and the verify union
+        Incremental.saveBloomWords(s, root, 2, Sketches.bloomMerge(w1,
+          Sketches.bloomBuild(acc1.select("f"), col("f"), m)))
+        // batch 2 gates against the LOADED v2 words
+        val w2 = Incremental.loadBloomWords(s, root, 2)
+        val acc2 = Dedup.bloomGatedAntiJoinWith(w2,
+          docs.where(col("doc_id") % 3 === 0),
+          hist.select("f").unionByName(acc1.select("f")), "f")
+        acc1.select(col("doc_id"), lit(1L).as("batch"))
+          .unionByName(acc2.select(col("doc_id"), lit(2L).as("batch")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS f
+             |  FROM documents),
+             |k1 AS (SELECT doc_id, f FROM fp b WHERE doc_id % 3 = 2
+             |       AND NOT EXISTS (SELECT 1 FROM fp h
+             |                       WHERE h.doc_id % 3 = 1 AND h.f = b.f)),
+             |k2 AS (SELECT doc_id FROM fp b WHERE doc_id % 3 = 0
+             |       AND NOT EXISTS (SELECT 1 FROM fp h
+             |                       WHERE h.doc_id % 3 = 1 AND h.f = b.f)
+             |       AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.f = b.f))
+             |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM k1
+             |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM k2
+             |ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

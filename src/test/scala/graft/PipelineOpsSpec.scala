@@ -439,6 +439,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("bloom sidecar: words round-trip the parquet sidecar; OR-merge persists") {
+    val root = java.nio.file.Files.createTempDirectory("bloomside").toString
+    val a = spark.range(100).select(col("id"))
+    val wa = graft.operators.Sketches.bloomBuild(a, col("id"), 1 << 12)
+    graft.operators.Incremental.saveBloomWords(spark, root, 1, wa)
+    val loaded = graft.operators.Incremental.loadBloomWords(spark, root, 1)
+    assert(loaded.toSeq == wa.toSeq)
+    // OR-merge with a second batch, persist as v2, reload: probes for
+    // BOTH batches' keys must hit (no false negatives, the bloom contract)
+    val b = spark.range(200, 250).select(col("id"))
+    val wb = graft.operators.Sketches.bloomBuild(b, col("id"), 1 << 12)
+    graft.operators.Incremental.saveBloomWords(spark, root, 2,
+      graft.operators.Sketches.bloomMerge(loaded, wb))
+    val w2 = graft.operators.Incremental.loadBloomWords(spark, root, 2)
+    val misses = a.union(b).where(
+      !graft.operators.Sketches.bloomMightContain(w2, col("id"))).count()
+    assert(misses == 0)
+  }
+
   test("group median: odd and even group sizes, rank-selection form") {
     val df = Seq(("a", 1.0), ("a", 9.0), ("a", 3.0), // odd: median 3
       ("b", 4.0), ("b", 1.0), ("b", 2.0), ("b", 100.0)) // even: (2+4)/2 = 3
