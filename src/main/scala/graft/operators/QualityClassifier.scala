@@ -176,4 +176,38 @@ object QualityClassifier {
         (round(sum("sq").cast("double") / count(lit(1)))
           / 1000000.0).as("mean_score"))
   }
+
+  /** Precision/recall/F1 at a literal threshold sweep — the companion
+    * to [[calibrationTable]] that picks the deployment threshold: one
+    * scoring projection, the thresholds exploded per row (|T|×
+    * multiplier, thresholds are a handful of literals), and one
+    * map-side-combined aggregation per threshold. TP/FP/FN are exact
+    * integer counts; each metric is one exact division, so the sweep is
+    * partition- and engine-invariant. Zero-denominator cells are null
+    * (no positives predicted / present), never a fake 0. */
+  def prCurve(labeled: DataFrame, w: Array[Double], thresholds: Seq[Double],
+      labelCol: String = "y", textCol: String = "text"): DataFrame = {
+    val sigma = lit(1.0) /
+      (lit(1.0) + exp(-zFromCols(w, featureColsQ(col(textCol)))))
+    val sc = round(sigma * 1000000.0) / 1000000.0
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double") *
+        1000000.0) / 1000000.0)
+    labeled.select(col(labelCol).cast("long").as("y"), sc.as("score"))
+      .select(col("y"), col("score"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
 }

@@ -3362,7 +3362,111 @@ object PipelineQueries {
              |       AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.f = b.f))
              |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM k1
              |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM k2
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- precision/recall/F1 threshold sweep on the held-out split —
+    // the q178 calibration's companion that picks the deployment
+    // threshold. Exact integer TP/FP/FN, one exact division per metric;
+    // zero-denominator cells null, never a fake 0.
+    Q("q183_pr_curve",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val heldOut = docs.where(col("doc_id") % 3 =!= 0).withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        graft.operators.QualityClassifier.prCurve(heldOut, logregModel(docs),
+            Seq(0.36, 0.37, 0.38, 0.39, 0.4))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |sc AS (SELECT doc_id, y,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin WHERE doc_id % 3 <> 0),
+              |sw AS (SELECT y, score, unnest([0.36, 0.37, 0.38, 0.39, 0.4]) AS threshold FROM sc),
+              |ag AS (SELECT threshold,
+              |    CAST(sum(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              |  FROM sw GROUP BY threshold)
+              |SELECT threshold, tp, fp, fn,
+              |  CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp) * 1000000.0) / 1000000.0 END AS precision,
+              |  CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn) * 1000000.0) / 1000000.0 END AS recall,
+              |  CASE WHEN 2*tp + fp + fn > 0 THEN round(2.0*tp / (2*tp + fp + fn) * 1000000.0) / 1000000.0 END AS f1
+              |FROM ag ORDER BY threshold""".stripMargin)),
+
+    // ---- trained-lang-ID confusion matrix vs the corpus's ground-truth
+    // lang column — the evaluation row that says WHERE the q153
+    // classifier errs, not just that it scores.
+    Q("q184_langid_confusion",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pred = graft.operators.TrainingPrep.trainedLangId(
+          docs, docs.where(col("doc_id") % 10 === 0), n = 3, vocabSize = 500)
+        docs.select(col("doc_id"), col("lang"))
+          .join(pred.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some("""WITH lt AS MATERIALIZED (
+             |  SELECT lang, unnest([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS g
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |counts AS MATERIALIZED (SELECT lang, g, count(*) AS cnt FROM lt GROUP BY 1, 2),
+             |vocab AS MATERIALIZED (SELECT g FROM (
+             |  SELECT g, sum(cnt) AS tot FROM counts GROUP BY g ORDER BY tot DESC, g LIMIT 500)),
+             |cv AS MATERIALIZED (SELECT lang, g, cnt FROM counts JOIN vocab USING (g)),
+             |pl AS (SELECT lang, sum(cnt) AS tot_l FROM cv GROUP BY lang),
+             |vc AS (SELECT count(*) AS v FROM vocab),
+             |occ AS MATERIALIZED (
+             |  SELECT doc_id, g FROM (
+             |    SELECT doc_id, unnest([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS g
+             |    FROM documents) JOIN vocab USING (g)),
+             |m AS (SELECT doc_id, count(*) AS m FROM occ GROUP BY doc_id),
+             |a AS (SELECT doc_id, lang, sum(ln(cnt + 1)) AS a FROM occ JOIN cv USING (g) GROUP BY 1, 2),
+             |langs AS (SELECT DISTINCT lang FROM cv),
+             |sc AS (SELECT m.doc_id, l.lang,
+             |       round(coalesce(a.a, 0) - m.m * ln(tot_l + v), 4) AS score
+             |       FROM m CROSS JOIN langs l
+             |       LEFT JOIN a ON a.doc_id = m.doc_id AND a.lang = l.lang
+             |       JOIN pl ON pl.lang = l.lang CROSS JOIN vc),
+             |pred AS (SELECT doc_id, lang AS lang_pred
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT d.lang, p.lang_pred, count(*) AS n
+             |FROM documents d JOIN pred p USING (doc_id)
+             |GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred""".stripMargin)),
+
+    // ---- entity resolution end-to-end: the q171 Jaro-Winkler blocked
+    // pairs closed into entity clusters by the pointer-jumping connected
+    // components (q71 machinery) — record linkage's last mile.
+    Q("q185_entity_clusters",
+      (s, d) => {
+        val names = t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name").as("name"),
+            split(col("p_name"), " ").getItem(0).as("blk"))
+        val a = names.select(col("id").as("id_a"), col("name").as("na"), col("blk"))
+        val b = names.select(col("id").as("id_b"), col("name").as("nb"), col("blk"))
+        val pairs = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+          .where(graft.expressions.JaroWinkler
+            .jaro_winkler(col("na"), col("nb")) >= 0.87)
+          .select("id_a", "id_b")
+        graft.operators.Dedup.duplicateClusters(pairs)
+          .select(col("doc_id").as("id"), col("cluster").as("entity"))
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+             |n AS (SELECT id, name, string_split(name, ' ')[1] AS blk FROM names),
+             |pairs AS (SELECT a.id AS ia, b.id AS ib
+             |  FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+             |  AND jaro_winkler_similarity(a.name, b.name) >= 0.87),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |          UNION SELECT ib, ia FROM pairs),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+             |SELECT src AS id, min(dst) AS entity
+             |FROM reach GROUP BY src ORDER BY id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
