@@ -92,6 +92,84 @@ object EventOps {
           .as("decayed"))
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: P(next | current) estimated from all adjacent pairs,
+    * ordered per user by (ts, seq). The behavioral-model primitive
+    * (next-action prediction, anomalous-flow detection, session
+    * simulation seeds).
+    *
+    * SCALE: one lag window over the per-user partitioning (the
+    * [[scdType2]] shape) into one map-side-combined (from, to) count;
+    * probabilities are exact integer ratios computed at the
+    * |types|²-sized output, via one broadcast-sized per-from total. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      seqCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(seqCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(byUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (round(col("n").cast("double") / col("tot").cast("double") *
+          1000000.0) / 1000000.0).as("p"))
+  }
+
+  /** Two-proportion conversion z-test between experiment variants: per
+    * variant the distinct exposed users and distinct converting users,
+    * then the pooled-proportion z statistic — the readout every A/B
+    * dashboard prints. Counts are exact distincts; the z composition is
+    * a fixed chain of IEEE ops (one sqrt), engine-identical before the
+    * display rounding.
+    *
+    * SCALE: two distinct-aggregations keyed by variant (map-side
+    * combinable via partial distinct), output is |variants| rows joined
+    * at model size. */
+  def abConversion(events: DataFrame, variantCol: Column,
+      convertPred: Column, userCol: String = "user_id"): DataFrame = {
+    val e = events.select(variantCol.as("variant"), col(userCol).as("u"),
+      convertPred.as("cv"))
+    val exposed = e.groupBy("variant").agg(countDistinct(col("u")).as("n"))
+    val conv = e.where(col("cv"))
+      .groupBy("variant").agg(countDistinct(col("u")).as("k"))
+    exposed.join(conv, Seq("variant"), "left")
+      .select(col("variant"), col("n"),
+        coalesce(col("k"), lit(0L)).as("k"),
+        (round(coalesce(col("k"), lit(0L)).cast("double") /
+          col("n").cast("double") * 1000000.0) / 1000000.0).as("rate"))
+  }
+
+  /** The z statistic for exactly two variants of [[abConversion]]
+    * output (a one-row model-sized fold): z = (p₀ − p₁) /
+    * sqrt(p̂(1−p̂)(1/n₀ + 1/n₁)) with p̂ the pooled proportion. A
+    * degenerate experiment (pooled rate exactly 0 or 1 — the variance
+    * term vanishes) yields z = null, never a division error. */
+  def abZScore(rates: DataFrame): DataFrame = {
+    val w = Window.orderBy("variant")
+    val two = rates
+      .withColumn("rn", row_number().over(w))
+      .agg(
+        max(when(col("rn") === 1, col("k"))).as("k0"),
+        max(when(col("rn") === 1, col("n"))).as("n0"),
+        max(when(col("rn") === 2, col("k"))).as("k1"),
+        max(when(col("rn") === 2, col("n"))).as("n1"))
+    two.select(col("k0"), col("n0"), col("k1"), col("n1"),
+      when(col("k0") + col("k1") > 0 &&
+          col("k0") + col("k1") < col("n0") + col("n1"),
+        round({
+          val p0 = col("k0").cast("double") / col("n0").cast("double")
+          val p1 = col("k1").cast("double") / col("n1").cast("double")
+          val pp = (col("k0") + col("k1")).cast("double") /
+            (col("n0") + col("n1")).cast("double")
+          (p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double")))
+        } * 10000.0) / 10000.0).as("z"))
+  }
+
   /** Slowly-changing-dimension Type-2 build from a change log: collapse
     * each key's consecutive runs of the same attribute value into
     * validity intervals `[valid_from, valid_to)` with a version number

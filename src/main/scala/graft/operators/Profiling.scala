@@ -110,6 +110,39 @@ object Profiling {
       .agg(max(col("__n")).as("n"), bands: _*)
   }
 
+  /** Exact ROC AUC by the Mann-Whitney rank identity with midrank tie
+    * handling: group rows by distinct score (ties collapse to one row),
+    * run one cumulative-count window over the score order, and fold
+    * AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻). All terms are
+    * integers and exact halves — exact doubles far past any evaluation
+    * set size, so the statistic is partition- and engine-invariant
+    * (no trapezoid sweep, no floating accumulation).
+    *
+    * SCALE: the cumulative window is a GLOBAL order over the DISTINCT
+    * scores — evaluation-set statistic by design (the q178 argument);
+    * the grouping pass itself is map-side combinable. */
+  def rocAuc(scored: DataFrame, labelCol: String = "y",
+      scoreCol: String = "score"): DataFrame = {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("c"), sum(col(labelCol).cast("long")).as("cp"))
+      .withColumn("run", sum(col("c")).over(byScore))
+      .select((col("cp").cast("double") *
+          ((col("run") - col("c")).cast("double") +
+            (col("c").cast("double") + 1.0) / 2.0)).as("contrib"),
+        col("cp"), col("c"))
+      .agg(sum("contrib").as("spos"), sum("cp").as("np"),
+        (sum("c") - sum("cp")).as("nn"))
+      .select(col("np"), col("nn"),
+        (round((col("spos") - col("np").cast("double") *
+          (col("np").cast("double") + 1.0) / 2.0) /
+          (col("np").cast("double") * col("nn").cast("double")) * 1000000.0)
+          / 1000000.0).as("auc"))
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation), and the count of values outside med ± k·MAD — the
     * robust-statistics alternative to mean/stddev gates (one corrupt

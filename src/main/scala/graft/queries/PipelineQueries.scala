@@ -3466,7 +3466,77 @@ object PipelineQueries {
              |          UNION
              |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
              |SELECT src AS id, min(dst) AS entity
-             |FROM reach GROUP BY src ORDER BY id""".stripMargin)))
+             |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
+
+    // ---- exact ROC AUC (Mann-Whitney midrank identity) of the trained
+    // classifier on the held-out split — every term an integer or exact
+    // half, no trapezoid sweep, no floating accumulation.
+    Q("q186_roc_auc",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val heldOut = docs.where(col("doc_id") % 3 =!= 0).withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        val scored = graft.operators.QualityClassifier
+          .score(heldOut.select(col("doc_id"), col("text")), logregModel(docs))
+          .join(heldOut.select(col("doc_id"), col("y")), Seq("doc_id"))
+        graft.operators.Profiling.rocAuc(scored)
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |sc AS (SELECT doc_id, y,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin WHERE doc_id % 3 <> 0),
+              |g AS (SELECT score, count(*) AS c, sum(y) AS cp FROM sc GROUP BY score),
+              |r AS (SELECT *, sum(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM g),
+              |ag AS (SELECT sum(cp * ((run - c) + (c + 1.0)/2.0)) AS spos,
+              |         sum(cp) AS np, sum(c) - sum(cp) AS nn FROM r)
+              |SELECT CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn,
+              |  round((spos - np * (np + 1.0)/2.0) / (np::DOUBLE * nn::DOUBLE) * 1000000.0) / 1000000.0 AS auc
+              |FROM ag""".stripMargin)),
+
+    // ---- two-proportion conversion z-test (user_id parity as the
+    // variant split): exact distinct counts, one fixed IEEE chain (one
+    // sqrt) for the z statistic.
+    Q("q188_ab_conversion_z",
+      (s, d) => graft.operators.EventOps.abZScore(
+        graft.operators.EventOps.abConversion(
+          Tables.events(s, d), pmod(col("user_id"), lit(2L)),
+          col("event_type") === "purchase" && col("value") > 80.0)),
+      Some("""WITH e AS (SELECT user_id % 2 AS variant, user_id,
+             |      (event_type = 'purchase' AND value > 80.0) AS cv FROM events),
+             |x AS (SELECT variant, count(DISTINCT user_id) AS n FROM e GROUP BY variant),
+             |c AS (SELECT variant, count(DISTINCT user_id) AS k FROM e
+             |      WHERE cv GROUP BY variant),
+             |t AS (SELECT x.variant, n, coalesce(k, 0) AS k FROM x LEFT JOIN c USING (variant)),
+             |two AS (SELECT
+             |    max(CASE WHEN variant = 0 THEN k END) AS k0,
+             |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+             |    max(CASE WHEN variant = 1 THEN k END) AS k1,
+             |    max(CASE WHEN variant = 1 THEN n END) AS n1 FROM t)
+             |SELECT CAST(k0 AS BIGINT) AS k0, CAST(n0 AS BIGINT) AS n0,
+             |  CAST(k1 AS BIGINT) AS k1, CAST(n1 AS BIGINT) AS n1,
+             |  round((k0::DOUBLE/n0 - k1::DOUBLE/n1)
+             |    / sqrt(((k0+k1)::DOUBLE/(n0+n1)) * (1.0 - (k0+k1)::DOUBLE/(n0+n1))
+             |           * (1.0/n0 + 1.0/n1)) * 10000.0) / 10000.0 AS z
+             |FROM two""".stripMargin)),
+
+    // ---- first-order Markov transition matrix over each user's event
+    // sequence: one lag window on the per-user partitioning, exact
+    // count ratios at the |types|^2-sized output.
+    Q("q189_event_transitions",
+      (s, d) => graft.operators.EventOps
+        .transitionMatrix(Tables.events(s, d))
+        .orderBy("from_type", "to_type"),
+      Some("""WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+             |         event_type AS to_type FROM events),
+             |n AS (SELECT from_type, to_type, count(*) AS n FROM p
+             |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |tt AS (SELECT from_type, sum(n) AS tot FROM n GROUP BY from_type)
+             |SELECT n.from_type, n.to_type, n.n,
+             |  round(n.n::DOUBLE / tt.tot::DOUBLE * 1000000.0) / 1000000.0 AS p
+             |FROM n JOIN tt USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -439,6 +439,31 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("roc auc: perfect separation 1.0, all-tied 0.5, midrank tie case") {
+    def auc(rows: Seq[(Long, Double)]): Double =
+      graft.operators.Profiling.rocAuc(rows.toDF("y", "score"))
+        .collect().head.getDouble(2)
+    assert(auc(Seq((0L, 0.1), (0L, 0.2), (1L, 0.8), (1L, 0.9))) == 1.0)
+    assert(auc(Seq((0L, 0.5), (1L, 0.5), (0L, 0.5), (1L, 0.5))) == 0.5)
+    // one tie crossing classes: pos at .9, pos+neg tied at .5, neg at .1
+    // -> pairs: (p.9,n.5)=1, (p.9,n.1)=1, (p.5,n.5)=.5, (p.5,n.1)=1 -> 3.5/4
+    assert(auc(Seq((1L, 0.9), (1L, 0.5), (0L, 0.5), (0L, 0.1))) == 0.875)
+  }
+
+  test("transition matrix: hand-built sequences, rows sum to 1") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), // a->b, b->a
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b")) // a->b, b->b
+      .toDF("user_id", "ts", "event_id")
+      .withColumnRenamed("event_id", "event_type")
+      .withColumn("event_id", col("ts"))
+    val got = graft.operators.EventOps.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 0.5)), ("b", "b") -> ((1L, 0.5))), s"got $got")
+  }
+
   test("bloom sidecar: words round-trip the parquet sidecar; OR-merge persists") {
     val root = java.nio.file.Files.createTempDirectory("bloomside").toString
     val a = spark.range(100).select(col("id"))
