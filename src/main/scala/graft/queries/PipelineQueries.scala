@@ -3521,6 +3521,51 @@ object PipelineQueries {
              |           * (1.0/n0 + 1.0/n1)) * 10000.0) / 10000.0 AS z
              |FROM two""".stripMargin)),
 
+    // ---- per-batch n-gram NOVELTY vs the accepted history: the share
+    // of a batch's distinct word-3-grams never seen before — the ingest
+    // drift alarm (a template-flooded crawl drop scores near 0; a new
+    // domain scores high). Distinct gram relations are vocab-sized; the
+    // unseen cut is one anti-join per batch, no hint (web-scale vocab).
+    Q("q187_batch_novelty",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        // sequence(a, b) DESCENDS when a > b — guard the short-doc case
+        // explicitly instead of feeding element_at an index 0
+        val sh = when(size(ws) >= 3, array_distinct(transform(
+            sequence(lit(0), size(ws) - 3),
+            i => concat_ws(" ", element_at(ws, i + 1),
+              element_at(ws, i + 2), element_at(ws, i + 3)))))
+          .otherwise(array().cast("array<string>"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), explode(sh).as("g"))
+        val hist = docs.where(col("doc_id") % 3 === 1).select("g").distinct()
+        val batches = docs.where(col("doc_id") % 3 =!= 1)
+          .select((col("doc_id") % 3).as("batch"), col("g")).distinct()
+        val novel = batches.join(hist, Seq("g"), "left_anti")
+          .groupBy("batch").agg(count(lit(1)).as("n_novel"))
+        batches.groupBy("batch").agg(count(lit(1)).as("n_grams"))
+          .join(novel, Seq("batch"), "left")
+          .select(col("batch"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_grams").cast("double") * 1000000.0) / 1000000.0)
+              .as("novelty"))
+          .orderBy("batch")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+             |       FROM ws WHERE len(w) >= 3),
+             |hist AS (SELECT DISTINCT g FROM sh WHERE doc_id % 3 = 1),
+             |b AS (SELECT DISTINCT doc_id % 3 AS batch, g FROM sh WHERE doc_id % 3 <> 1),
+             |tot AS (SELECT batch, count(*) AS n_grams FROM b GROUP BY batch),
+             |nov AS (SELECT batch, count(*) AS n_novel FROM b
+             |        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.g = b.g)
+             |        GROUP BY batch)
+             |SELECT t.batch, t.n_grams, coalesce(n.n_novel, 0) AS n_novel,
+             |  round(coalesce(n.n_novel, 0)::DOUBLE / t.n_grams::DOUBLE * 1000000.0) / 1000000.0 AS novelty
+             |FROM tot t LEFT JOIN nov n USING (batch) ORDER BY t.batch""".stripMargin)),
+
     // ---- first-order Markov transition matrix over each user's event
     // sequence: one lag window on the per-user partitioning, exact
     // count ratios at the |types|^2-sized output.
