@@ -170,6 +170,69 @@ object EventOps {
         } * 10000.0) / 10000.0).as("z"))
   }
 
+  /** Session-level fact table from the raw event stream: gap-based
+    * sessionization (q18's lag+cumsum chain) aggregated to one row per
+    * (user, session) — start/end, depth, and a conversion flag. The
+    * intermediate every session-scoped analysis (duration
+    * distributions, conversion attribution, funnel entry) joins
+    * against, here materialized as an operator instead of re-deriving
+    * the window chain per consumer.
+    *
+    * SCALE: both windows and the final aggregation share ONE hash
+    * partitioning by user; nothing else shuffles. */
+  def sessionStats(events: DataFrame, gapNs: Long,
+      convertType: String = "purchase", userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      seqCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(seqCol))
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(col("_prev_ts").isNull ||
+          (col(tsCol) - col("_prev_ts")) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("_new_sess")).over(byUser))
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(min(col(tsCol)).as("start_ns"), max(col(tsCol)).as("end_ns"),
+        count(lit(1)).as("n_events"),
+        (sum(when(col(typeCol) === convertType, 1L).otherwise(0L)) > 0)
+          .as("converted"))
+  }
+
+  /** RFM (recency / frequency / monetary) quartile segmentation — the
+    * classic customer-value cut. Per-user metrics reduce in one
+    * aggregation; the quartile BOUNDARIES come from nearest-rank
+    * selection ([[Profiling.rankPercentiles]]) over the user dimension
+    * and re-enter as a single-row broadcast, so the assignment itself
+    * is a scan-speed comparison — no global re-rank of the dimension
+    * to label it. Monetary sums are rounded to 1e-6 BEFORE the
+    * quantile/bucket comparisons so partial-aggregation accumulation
+    * order can never flip a boundary tie cross-engine.
+    *
+    * Quartile rule: value ≤ p25 → 1, ≤ p50 → 2, ≤ p75 → 3, else 4
+    * (boundaries are corpus values — exact comparisons). */
+  def rfmSegments(events: DataFrame, convertType: String = "purchase",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val perUser = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsCol)).as("r"), count(lit(1)).as("f"),
+        (round(sum(when(col(typeCol) === convertType, col(valueCol))
+          .otherwise(lit(0.0))) * 1000000.0) / 1000000.0).as("m"))
+      .localCheckpoint() // feeds three boundary windows + the assignment
+    def bounds(c: String, pfx: String) =
+      broadcast(Profiling.rankPercentiles(
+        perUser.select(lit(1).as("g"), col(c)), "g", c, Seq(0.25, 0.5, 0.75))
+        .select(col("p25").as(s"${pfx}25"), col("p50").as(s"${pfx}50"),
+          col("p75").as(s"${pfx}75")))
+    def quart(x: Column, pfx: String): Column =
+      when(x <= col(s"${pfx}25"), 1L).when(x <= col(s"${pfx}50"), 2L)
+        .when(x <= col(s"${pfx}75"), 3L).otherwise(4L)
+    perUser
+      .join(bounds("r", "r")).join(bounds("f", "f")).join(bounds("m", "m"))
+      .select(col("user_id"), col("f"), col("m"),
+        quart(col("r"), "r").as("rq"), quart(col("f"), "f").as("fq"),
+        quart(col("m"), "m").as("mq"))
+  }
+
   /** Slowly-changing-dimension Type-2 build from a change log: collapse
     * each key's consecutive runs of the same attribute value into
     * validity intervals `[valid_from, valid_to)` with a version number

@@ -3581,7 +3581,67 @@ object PipelineQueries {
              |SELECT n.from_type, n.to_type, n.n,
              |  round(n.n::DOUBLE / tt.tot::DOUBLE * 1000000.0) / 1000000.0 AS p
              |FROM n JOIN tt USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin)))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- RFM quartile segmentation: per-user recency/frequency/
+    // monetary quartiles with the boundaries nearest-rank-selected once
+    // and broadcast back, so the labeling pass is a scan-speed
+    // comparison (never a global re-rank of the user dimension).
+    // Monetary sums rounded 1e-6 before any comparison so accumulation
+    // order can't flip a boundary tie cross-engine.
+    Q("q190_rfm_segments",
+      (s, d) => graft.operators.EventOps.rfmSegments(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""WITH pu AS (SELECT user_id, max(epoch_ns(ts)) AS r, count(*) AS f,
+             |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 1000000.0) / 1000000.0 AS m
+             |  FROM events GROUP BY user_id),
+             |nb AS (SELECT count(*) AS n FROM pu),
+             |rb AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN r END) AS r25,
+             |         max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN r END) AS r50,
+             |         max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN r END) AS r75
+             |       FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn, n FROM pu, nb)),
+             |fb AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN f END) AS f25,
+             |         max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN f END) AS f50,
+             |         max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN f END) AS f75
+             |       FROM (SELECT f, row_number() OVER (ORDER BY f) AS rn, n FROM pu, nb)),
+             |mb AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN m END) AS m25,
+             |         max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN m END) AS m50,
+             |         max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN m END) AS m75
+             |       FROM (SELECT m, row_number() OVER (ORDER BY m) AS rn, n FROM pu, nb))
+             |SELECT user_id, CAST(f AS BIGINT) AS f, m,
+             |  CAST(CASE WHEN r <= r25 THEN 1 WHEN r <= r50 THEN 2 WHEN r <= r75 THEN 3 ELSE 4 END AS BIGINT) AS rq,
+             |  CAST(CASE WHEN f <= f25 THEN 1 WHEN f <= f50 THEN 2 WHEN f <= f75 THEN 3 ELSE 4 END AS BIGINT) AS fq,
+             |  CAST(CASE WHEN m <= m25 THEN 1 WHEN m <= m50 THEN 2 WHEN m <= m75 THEN 3 ELSE 4 END AS BIGINT) AS mq
+             |FROM pu, rb, fb, mb ORDER BY user_id""".stripMargin)),
+
+    // ---- session-level fact table (gap sessionization aggregated to
+    // one row per session): the intermediate every session-scoped
+    // analysis joins against. Times presented at µs (q117 convention).
+    Q("q191_session_stats",
+      (s, d) => graft.operators.EventOps.sessionStats(
+          Tables.events(s, d), gapNs = 1800L * Tables.NanosPerSecond)
+        .select(col("user_id"), col("sess_id"),
+          expr("start_ns div 1000").as("start_us"),
+          expr("end_ns div 1000").as("end_us"),
+          col("n_events"), col("converted"))
+        .orderBy("user_id", "sess_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, event_type, tns,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM g)
+             |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             |  CAST(min(tns) // 1000 AS BIGINT) AS start_us,
+             |  CAST(max(tns) // 1000 AS BIGINT) AS end_us,
+             |  count(*) AS n_events,
+             |  (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS converted
+             |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
