@@ -198,6 +198,37 @@ object EventOps {
           .as("converted"))
   }
 
+  /** Top-k most common session PATHS (the ordered event-type sequence
+    * within a session) — the flow-mining staple behind "how do users
+    * actually reach checkout". Sessionization reuses [[sessionStats]]'s
+    * gap chain; the path string is an order-stable fold: collect the
+    * session's (ts, seq, type) structs, array_sort (lexicographic on
+    * the struct = the (ts, seq) event order), project the types, join
+    * with a separator — deterministic under any partitioning, no
+    * order-sensitive string agg.
+    *
+    * SCALE: the collect_list is SESSION-bounded (the natural unit — a
+    * session is human-sized), the path relation aggregates map-side,
+    * and the top-k is TakeOrderedAndProject. */
+  def topSessionPaths(events: DataFrame, gapNs: Long, k: Int,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(seqCol))
+    val sess = events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(col("_prev_ts").isNull ||
+          (col(tsCol) - col("_prev_ts")) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("_new_sess")).over(byUser))
+    sess.groupBy(col(userCol), col("sess_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"),
+          col(seqCol).as("s"), col(typeCol).as("e")))),
+        x => x.getField("e")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** RFM (recency / frequency / monetary) quartile segmentation — the
     * classic customer-value cut. Per-user metrics reduce in one
     * aggregation; the quartile BOUNDARIES come from nearest-rank

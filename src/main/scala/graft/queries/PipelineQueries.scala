@@ -3526,18 +3526,15 @@ object PipelineQueries {
     // drift alarm (a template-flooded crawl drop scores near 0; a new
     // domain scores high). Distinct gram relations are vocab-sized; the
     // unseen cut is one anti-join per batch, no hint (web-scale vocab).
+    // Grams are the CODEGEN'D 64-bit ShingleHashes kernel (an
+    // interpreted HOF gram builder measured 37 s at sf1; this is
+    // scan-speed) — counts vs the oracle's textual grams under the
+    // q61/q139 injective-in-practice contract.
     Q("q187_batch_novelty",
       (s, d) => {
-        val ws = split(col("text"), " ")
-        // sequence(a, b) DESCENDS when a > b — guard the short-doc case
-        // explicitly instead of feeding element_at an index 0
-        val sh = when(size(ws) >= 3, array_distinct(transform(
-            sequence(lit(0), size(ws) - 3),
-            i => concat_ws(" ", element_at(ws, i + 1),
-              element_at(ws, i + 2), element_at(ws, i + 3)))))
-          .otherwise(array().cast("array<string>"))
         val docs = t(s, d, "documents")
-          .select(col("doc_id"), explode(sh).as("g"))
+          .select(col("doc_id"), explode(graft.expressions.ShingleHashes
+            .shingle_hashes(col("text"), 3)).as("g"))
         val hist = docs.where(col("doc_id") % 3 === 1).select("g").distinct()
         val batches = docs.where(col("doc_id") % 3 =!= 1)
           .select((col("doc_id") % 3).as("batch"), col("g")).distinct()
@@ -3641,7 +3638,62 @@ object PipelineQueries {
              |  count(*) AS n_events,
              |  (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS converted
              |FROM s GROUP BY user_id, sess_id
-             |ORDER BY user_id, sess_id""".stripMargin)))
+             |ORDER BY user_id, sess_id""".stripMargin)),
+
+    // ---- time-to-convert bands: nearest-rank P50/P90/P99 of the
+    // view->purchase completion time over q117's funnel — the q180
+    // selection machinery composed onto the funnel output (band values
+    // are corpus durations, exact cross-engine).
+    Q("q192_time_to_convert",
+      (s, d) => {
+        val f = graft.operators.EventOps
+          .funnelStages(Tables.events(s, d), Seq("view", "click", "purchase"),
+            windowNs = 2L * 86400 * 1000000000L)
+          .where(col("t2").isNotNull)
+          .select(lit(1).as("g"), expr("(t2 - t0) div 1000").as("dt_us"))
+        graft.operators.Profiling
+          .rankPercentiles(f, "g", "dt_us", Seq(0.5, 0.9, 0.99))
+          .select(col("n"), col("p50"), col("p90"), col("p99"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events),
+             |v AS (SELECT user_id, min(tns) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tns) AS t_click FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tns >= t_view AND tns <= t_view + 172800000000000
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tns) AS t_purchase FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tns >= t_click AND tns <= t_click + 172800000000000
+             |      GROUP BY e.user_id),
+             |dts AS (SELECT (p.t_purchase - v.t_view) // 1000 AS dt FROM p JOIN v USING (user_id)),
+             |r AS (SELECT dt, row_number() OVER (ORDER BY dt) AS rn,
+             |        count(*) OVER () AS n FROM dts)
+             |SELECT CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dt END) AS BIGINT) AS p50,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN dt END) AS BIGINT) AS p90,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN dt END) AS BIGINT) AS p99
+             |FROM r""".stripMargin)),
+
+    // ---- top-10 session paths (flow mining): order-stable struct-sort
+    // path fold (no order-sensitive string agg), session-bounded
+    // collect, TakeOrderedAndProject cut.
+    Q("q193_session_paths",
+      (s, d) => graft.operators.EventOps.topSessionPaths(
+          Tables.events(s, d), gapNs = 1800L * Tables.NanosPerSecond, k = 10)
+        .withColumn("n", col("n").cast("long")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, event_type, tns, event_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM g),
+             |paths AS (SELECT user_id, sess_id,
+             |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+             |  FROM s GROUP BY user_id, sess_id)
+             |SELECT path, count(*) AS n FROM paths
+             |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
