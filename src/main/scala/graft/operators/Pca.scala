@@ -123,6 +123,24 @@ object Pca {
           .as("cov"))
   }
 
+  /** Pearson correlation matrix from the SAME one-pass exact moment
+    * sums as [[covariance]]: corr(i,j) = cov(i,j)/√(var_i·var_j), the
+    * diagonal re-entering as a model-sized broadcast. The feature-
+    * redundancy readout (which embedding dimensions move together)
+    * with no additional corpus work beyond the covariance pass. */
+  def correlation(vecs: DataFrame, d: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    // feeds the diagonal twice plus the main relation — the seam rule
+    val c = covariance(vecs, d, vecCol).localCheckpoint()
+    val diag = c.where(col("i") === col("j"))
+      .select(col("i").as("k"), col("cov").as("v"))
+    c.join(broadcast(diag.select(col("k").as("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(diag.select(col("k").as("j"), col("v").as("vj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (round(col("cov") / (sqrt(col("vi")) * sqrt(col("vj"))) * 1000000.0)
+          / 1000000.0).as("corr"))
+  }
+
   /** One collected moments pass → (n, means, full covariance matrix),
     * composed on the driver EXACTLY as [[covariance]] writes it column-
     * side (same divisions, same order), so both routes produce the same

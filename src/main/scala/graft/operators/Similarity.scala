@@ -462,4 +462,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), (round((cosine(col("va"), col("vb"))) * 1000000.0) / 1000000.0).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Pairwise cosine between per-LABEL centroid embeddings — the
+    * cluster-separation / source-drift readout over an embedded corpus
+    * (two labels whose centroids drift together are collapsing; a
+    * label drifting from its own history is shifting domain).
+    *
+    * Centroids come from exact integer-quantized dimension sums (the
+    * q160 convention: one posexplode into a (label, dim)-keyed
+    * map-side-combined aggregation — nothing row-sized shuffles); the
+    * pairwise cosine runs on the LABEL-sized centroid relation
+    * (dim-aligned self-join, |labels|² output). */
+  def labelCentroidCosines(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = transform(col(vecCol),
+      x => round(x.cast("double") * 10000.0).cast("long"))
+    val sums = emb.select(col(labelCol).as("lbl"), posexplode(q).as(Seq("i", "v")))
+      .groupBy("lbl", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .select(col("lbl"), col("i"),
+        (col("s").cast("double") / (lit(10000.0) * col("c").cast("double")))
+          .as("v"))
+    val a = sums.select(col("lbl").as("la"), col("i"), col("v").as("va"))
+    val b = sums.select(col("lbl").as("lb"), col("i"), col("v").as("vb"))
+    a.join(b, Seq("i")).where(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(col("va") * col("vb")).as("dot"),
+        sum(col("va") * col("va")).as("na"),
+        sum(col("vb") * col("vb")).as("nb"))
+      .select(col("la"), col("lb"),
+        (round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) * 1000000.0)
+          / 1000000.0).as("cos"))
+  }
 }

@@ -3693,7 +3693,42 @@ object PipelineQueries {
              |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
              |  FROM s GROUP BY user_id, sess_id)
              |SELECT path, count(*) AS n FROM paths
-             |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)))
+             |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // ---- per-label centroid cosine matrix: cluster-separation /
+    // source-drift readout over the embedded corpus. Exact quantized
+    // dimension sums (q160 convention), label-sized pairwise fold.
+    Q("q194_centroid_cosines",
+      (s, d) => graft.operators.Similarity
+        .labelCentroidCosines(t(s, d, "embeddings"))
+        .orderBy("la", "lb"),
+      Some("""WITH e AS (SELECT label AS lbl,
+             |    unnest([round(x * 10000.0)::BIGINT for x in embedding::DOUBLE[]]) AS v,
+             |    unnest(range(0, len(embedding))) AS i
+             |  FROM embeddings),
+             |sums AS (SELECT lbl, i, sum(v) AS s, count(*) AS c FROM e GROUP BY lbl, i),
+             |cent AS (SELECT lbl, i, s::DOUBLE / (10000.0 * c::DOUBLE) AS v FROM sums),
+             |p AS (SELECT a.lbl AS la, b.lbl AS lb,
+             |        sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+             |      FROM cent a JOIN cent b ON a.i = b.i AND a.lbl < b.lbl
+             |      GROUP BY a.lbl, b.lbl)
+             |SELECT la, lb, round(dot / (sqrt(na) * sqrt(nb)) * 1000000.0) / 1000000.0 AS cos
+             |FROM p ORDER BY la, lb""".stripMargin)),
+
+    // ---- Pearson correlation matrix from the SAME exact moment sums
+    // as the q160 covariance (no extra corpus work): the feature-
+    // redundancy readout ahead of PCA/PQ dimension decisions.
+    Q("q195_correlation_matrix",
+      (s, d) => graft.operators.Pca.correlation(t(s, d, "embeddings"), 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("corr"))
+        .orderBy("i", "j"),
+      Some(s"""WITH ${pcaCtes(64, 0, 0)},
+              |dg AS (SELECT i, c FROM cov WHERE i = j)
+              |SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+              |  round(c.c / (sqrt(di.c) * sqrt(dj.c)) * 1000000.0) / 1000000.0 AS corr
+              |FROM cov c JOIN dg di ON di.i = c.i JOIN dg dj ON dj.i = c.j
+              |ORDER BY i, j""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
