@@ -109,6 +109,64 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
   }
 
+  /** Unweighted BFS hop distances from a source node, run a FIXED
+    * `rounds` (= the distance horizon): distance r is final once the
+    * frontier has expanded r times, so `rounds` ≥ the component
+    * diameter gives exact shortest hop counts. The reachability-with-
+    * distance primitive (blast radius, degrees-of-separation) next to
+    * [[Dedup.duplicateClusters]]'s plain reachability.
+    *
+    * SCALE: per round ONE join (current distances onto the symmetrized
+    * edges) + one min-aggregation, both keyed small; distances are
+    * node-sized and eagerly checkpointed per round with the superseded
+    * round released ([[pageRank]] discipline). Unreached nodes are
+    * absent, not infinite. */
+  def bfsHops(edges: DataFrame, source: String, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val noSelf = e.where(col("src") =!= col("dst"))
+    val sym = noSelf.union(noSelf.select(col("dst"), col("src")))
+      .distinct().localCheckpoint()
+    var dist = sym.sparkSession.createDataFrame(
+      Seq((source, 0L))).toDF("node", "d").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = dist.join(sym, dist("node") === sym("src"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+      val next = dist.unionByName(expanded)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(dist)
+      dist = next
+    }
+    IterUtils.unpersistCheckpoint(sym)
+    dist
+  }
+
+  /** Local clustering coefficient per node: triangles(v) / C(deg(v), 2)
+    * — how close each node's neighborhood is to a clique (community
+    * density, spam-ring tightness). Triangle counts ride the
+    * [[triangleCounts]] O(E^1.5) orientation; degrees come from the
+    * same deduped undirected edge relation; the coefficient is one
+    * exact integer ratio. Degree-1 nodes have no wedge — coefficient
+    * 0 by convention. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds degrees + the triangle pass
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(und.select(col("a").as("src"), col("b").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1)).cast("double") * 1000000.0)
+            / 1000000.0)
+          .otherwise(0.0).as("coeff"))
+  }
+
   /** Synchronous weighted label propagation (Raghavan et al. 2007) over
     * an edge list (src, dst, w): every node starts labeled with itself;
     * each round every node adopts the label carrying the largest total

@@ -3728,7 +3728,102 @@ object PipelineQueries {
               |SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
               |  round(c.c / (sqrt(di.c) * sqrt(dj.c)) * 1000000.0) / 1000000.0 AS corr
               |FROM cov c JOIN dg di ON di.i = c.i JOIN dg dj ON dj.i = c.j
-              |ORDER BY i, j""".stripMargin)))
+              |ORDER BY i, j""".stripMargin)),
+
+    // ---- BFS hop distances from NATION_0 over the thresholded trade
+    // graph (q170's edge rule): fixed 6-round horizon >= diameter. The
+    // oracle's recursive CTE uses UNION (distinct) so its state is
+    // (node, d) pairs, never path enumerations.
+    Q("q196_bfs_hops",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val avgW = raw.agg(avg(col("w")).as("aw"))
+        val edges = raw.join(broadcast(avgW))
+          .where(col("w").cast("double") > col("aw"))
+          .select("src", "dst")
+        graft.operators.GraphOps.bfsHops(edges, "NATION_0", rounds = 6)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |aw AS (SELECT avg(w) AS aw FROM raw),
+             |ed AS (SELECT src, dst FROM raw, aw WHERE w > aw AND src <> dst),
+             |sym AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+             |walk AS (SELECT 'NATION_0' AS node, 0 AS d
+             |         UNION
+             |         SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node
+             |         WHERE w.d < 6)
+             |SELECT node, CAST(min(d) AS BIGINT) AS d
+             |FROM walk GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ---- local clustering coefficient (triangles / wedge capacity)
+    // per node on the same thresholded trade graph — community density
+    // next to q127's raw triangle counts. One exact integer ratio.
+    Q("q197_clustering_coeff",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val avgW = raw.agg(avg(col("w")).as("aw"))
+        val edges = raw.join(broadcast(avgW))
+          .where(col("w").cast("double") > col("aw"))
+          .select("src", "dst")
+        graft.operators.GraphOps.clusteringCoefficients(edges)
+          .orderBy("node")
+      },
+      Some("""WITH raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |aw AS (SELECT avg(w) AS aw FROM raw),
+             |th AS (SELECT src, dst FROM raw, aw WHERE w > aw),
+             |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |       FROM th WHERE src <> dst),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tcnt AS (SELECT node, count(*) AS triangles FROM (
+             |  SELECT x AS node FROM tri UNION ALL
+             |  SELECT y FROM tri UNION ALL
+             |  SELECT z FROM tri) GROUP BY node),
+             |deg AS (SELECT node, count(*) AS deg FROM (
+             |  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY node)
+             |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+             |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+             |  CASE WHEN d.deg >= 2
+             |    THEN round(coalesce(t.triangles, 0)::DOUBLE * 2.0
+             |         / (d.deg * (d.deg - 1))::DOUBLE * 1000000.0) / 1000000.0
+             |    ELSE 0.0 END AS coeff
+             |FROM deg d LEFT JOIN tcnt t USING (node) ORDER BY d.node""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -439,6 +439,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("bfs hops: path graph distances exact, unreached node absent") {
+    // path 1-2-3-4 plus isolated edge 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+    val got = graft.operators.GraphOps.bfsHops(edges, source = "1", rounds = 5)
+    // node col type follows the seed DF (string source) vs long edges —
+    // spark unions by position after the join casts; read generically
+    val m = got.collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(m == Map("1" -> 0L, "2" -> 1L, "3" -> 2L, "4" -> 3L), s"got $m")
+  }
+
+  test("clustering coefficient: K3 node = 1.0, bridge node partial") {
+    // triangle 1-2-3 plus a pendant 3-4: nodes 1,2 coeff 1; node 3 has
+    // deg 3, 1 triangle -> 2*1/(3*2) = 1/3; node 4 deg 1 -> 0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.GraphOps.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.333333, 4L -> 0.0), s"got $got")
+  }
+
   test("roc auc: perfect separation 1.0, all-tied 0.5, midrank tie case") {
     def auc(rows: Seq[(Long, Double)]): Double =
       graft.operators.Profiling.rocAuc(rows.toDF("y", "score"))
