@@ -1248,6 +1248,36 @@ object TrainingPrep {
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
 
+  /** Per-GROUP simple OLS — [[zipfFit]]'s regression fold generalized
+    * to grouped data: within every group fit y = a + b·x by the closed-
+    * form normal equations and report slope, intercept, and R². One
+    * map-side-combined aggregation per group (the five sufficient
+    * sums), the fit composed at the group-sized output; display
+    * rounding absorbs cross-engine sum-order ulps. Degenerate groups
+    * (n < 2 or zero x-variance) report null slope/intercept/r2. */
+  def groupedOls(df: DataFrame, gCol: String, xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    val agg = df.select(col(gCol), xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .groupBy(gCol)
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val vx = agg("n") * col("sxx") - col("sx") * col("sx")
+    val vy = agg("n") * col("syy") - col("sy") * col("sy")
+    val cxy = agg("n") * col("sxy") - col("sx") * col("sy")
+    val slope = cxy / vx
+    agg.select(col(gCol), col("n").cast("long").as("n"),
+      when(col("n") >= 2 && vx > 0,
+        round(slope * 10000.0) / 10000.0).as("slope"),
+      when(col("n") >= 2 && vx > 0,
+        round((col("sy") - slope * col("sx")) / col("n") * 10000.0)
+          / 10000.0).as("intercept"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        round(cxy * cxy / (vx * vy) * 10000.0) / 10000.0).as("r2"))
+  }
+
   /** Zipf's-law fit over the corpus unigram distribution: OLS of
     * ln(freq) on ln(rank) across the top-`k` terms — slope ≈ −1 is the
     * healthy-natural-text signature; a flattened slope flags template/

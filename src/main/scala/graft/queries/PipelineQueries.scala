@@ -3823,7 +3823,61 @@ object PipelineQueries {
              |    THEN round(coalesce(t.triangles, 0)::DOUBLE * 2.0
              |         / (d.deg * (d.deg - 1))::DOUBLE * 1000000.0) / 1000000.0
              |    ELSE 0.0 END AS coeff
-             |FROM deg d LEFT JOIN tcnt t USING (node) ORDER BY d.node""".stripMargin)))
+             |FROM deg d LEFT JOIN tcnt t USING (node) ORDER BY d.node""".stripMargin)),
+
+    // ---- per-source OLS: chars-per-token linearity by source (slope =
+    // effective mean token length + separator overhead; a source whose
+    // fit degrades is mixing content shapes). One sufficient-sums
+    // aggregation per source; fit composed at the group-sized output.
+    Q("q198_grouped_ols",
+      (s, d) => graft.operators.TrainingPrep.groupedOls(
+          t(s, d, "documents"), "source",
+          expr("size(split(text, ' '))"), col("n_chars"))
+        .orderBy("source"),
+      Some("""WITH b AS (SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+             |    CAST(n_chars AS DOUBLE) AS y FROM documents),
+             |a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             |        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             |        sum(y*y) AS syy, sum(x*y) AS sxy
+             |      FROM b GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+             |    THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0) / 10000.0 END AS slope,
+             |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+             |    THEN round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 10000.0) / 10000.0 END AS intercept,
+             |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             |    THEN round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             |         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) * 10000.0) / 10000.0 END AS r2
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- week-over-week growth per event type: weekly counts + the
+    // lag-window growth rate — the trend series every ops review reads.
+    Q("q199_wow_growth",
+      (s, d) => {
+        val wk = (expr(s"ts div ${604800L * Tables.NanosPerSecond}")
+          * 604800L).as("week_start")
+        val counts = Tables.events(s, d)
+          .groupBy(col("event_type"), wk)
+          .agg(count(lit(1)).as("n"))
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("week_start")
+        counts
+          .withColumn("prev", lag(col("n"), 1).over(byType))
+          .select(col("event_type"), col("week_start"), col("n"),
+            (round((col("n") - col("prev")).cast("double") /
+              col("prev").cast("double") * 1000000.0) / 1000000.0)
+              .as("growth"))
+          .orderBy("event_type", "week_start")
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS week_start,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, week_start, n,
+             |  round((n - lag(n) OVER w)::DOUBLE / (lag(n) OVER w)::DOUBLE * 1000000.0) / 1000000.0 AS growth
+             |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+             |ORDER BY event_type, week_start""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
