@@ -167,4 +167,45 @@ object Profiling {
         sum(when(col("ad") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * distributions of an integer-valued column in two populations —
+    * the distribution-free drift gate (did this source's length/score
+    * distribution move?) that madOutliers' point-wise test can't see.
+    *
+    * D = max over values v of |F₁(v) − F₂(v)|. The argmax is taken on
+    * the EXACT integer numerator |c₁(v)·n₂ − c₂(v)·n₁| (cumulative
+    * counts cross-scaled instead of divided), so the winning value is
+    * identical on any engine — no float-ordering hazard; the statistic
+    * itself is one double division at the single-row output, display-
+    * rounded. Ties break to the smallest value.
+    *
+    * SCALE: the per-population counts aggregate map-side to one row per
+    * DISTINCT value — the cumulative window then runs over that
+    * domain-sized table (an integer measurement domain, e.g. doc
+    * lengths, is bounded regardless of corpus size), not over rows.
+    * The single-partition window is domain-sized by construction and
+    * documented as such. */
+  def ksDrift(df: DataFrame, valueCol: String,
+      inGroup1: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.select(col(valueCol).cast("long").as("v"),
+      inGroup1.cast("long").as("g"))
+    val byV = g.groupBy("v")
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val tot = g.agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n2"))
+    // domain-sized cumulative ECDF window (see scaladoc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byV
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(tot))
+      .withColumn("num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .orderBy(col("num").desc, col("v"))
+      .limit(1)
+      .select(col("v").as("at_value"), col("n1"), col("n2"),
+        (round(col("num").cast("double") /
+          (col("n1") * col("n2")).cast("double") * 1000000.0) / 1000000.0)
+          .as("d_stat"))
+  }
 }

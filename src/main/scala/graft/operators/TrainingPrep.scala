@@ -1340,4 +1340,50 @@ object TrainingPrep {
           (col("bucket_cap") * col("n_docs")).cast("double")) * 1000000.0)
           / 1000000.0).as("waste_frac"))
   }
+
+  /** χ² token–label feature selection: for every token, the 2×2
+    * contingency of document-frequency against a boolean label, scored
+    * by Pearson's chi-squared — the classic pre-training step that
+    * surfaces the vocabulary most associated with a quality/domain
+    * label before training a classifier on it (Yang & Pedersen,
+    * ICML '97 survey ranks χ² top among selection criteria).
+    *
+    * Determinism: the contingency cells (a = docs with token & label,
+    * b = token & ¬label, c/d = complements) are exact integer counts;
+    * a·d − b·c is computed in decimal(38,0) so the cross term never
+    * wraps a long (each factor is ≤ N, the corpus doc count — the
+    * product is ~N², past Long.MaxValue for N ≥ ~3·10⁹ docs). The
+    * square and the marginal product happen in double on BOTH engines
+    * in the same expression shape, then display-rounded — identical
+    * bits either side.
+    *
+    * SCALE: one corpus pass exploding DISTINCT tokens per doc into a
+    * vocab-sized (token, a, b) aggregate (map-side combined); the label
+    * totals join back as a single-row broadcast. Top-k cuts with
+    * TakeOrderedAndProject — no global sort. */
+  def chiSquaredTokens(docs: DataFrame, label: org.apache.spark.sql.Column,
+      topK: Int = 30, textCol: String = "text"): DataFrame = {
+    val lab = docs.select(label.cast("long").as("y"), col(textCol))
+    val pairs = lab.select(col("y"), explode(array_distinct(
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)))
+      .as("token"))
+    val tok = pairs.groupBy("token")
+      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"))
+    val tot = lab.agg(sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (aD, bD) = (col("a").cast(dec), col("b").cast(dec))
+    val cD = (col("n1") - col("a")).cast(dec)
+    val dD = (col("n0") - col("b")).cast(dec)
+    val delta = (aD * dD - bD * cD).cast("double")
+    val den = (aD + bD).cast("double") * (cD + dD).cast("double") *
+      (aD + cD).cast("double") * (bD + dD).cast("double")
+    val chi2 = (col("n1") + col("n0")).cast("double") * delta * delta / den
+    tok.join(broadcast(tot))
+      .where(col("a") + col("b") < col("n1") + col("n0"))
+      .select(col("token"), col("a").cast("long").as("df_pos"),
+        col("b").cast("long").as("df_neg"),
+        (round(chi2 * 10000.0) / 10000.0).as("chi2"))
+      .orderBy(col("chi2").desc, col("token")).limit(topK)
+  }
 }

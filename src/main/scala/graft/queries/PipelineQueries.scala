@@ -3877,7 +3877,53 @@ object PipelineQueries {
              |SELECT event_type, week_start, n,
              |  round((n - lag(n) OVER w)::DOUBLE / (lag(n) OVER w)::DOUBLE * 1000000.0) / 1000000.0 AS growth
              |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
-             |ORDER BY event_type, week_start""".stripMargin)))
+             |ORDER BY event_type, week_start""".stripMargin)),
+
+    // ---- χ² token–label feature selection: which vocabulary is most
+    // associated with the English-language label — the pre-classifier
+    // step that picks the features worth training on. Exact integer
+    // contingency cells; the cross term in decimal(38,0).
+    Q("q200_chi2_tokens",
+      (s, d) => graft.operators.TrainingPrep.chiSquaredTokens(
+        t(s, d, "documents"), col("lang") === "en", topK = 30),
+      Some("""WITH lab AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text FROM documents),
+             |pr AS (SELECT DISTINCT doc_id, y, tok FROM (
+             |    SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok FROM lab)
+             |  WHERE len(tok) > 0),
+             |tk AS (SELECT tok, sum(y) AS a, sum(1 - y) AS b FROM pr GROUP BY tok),
+             |tt AS (SELECT sum(y) AS n1, sum(1 - y) AS n0 FROM lab),
+             |x AS (SELECT tok, a, b, n1 - a AS c, n0 - b AS d, n1, n0
+             |      FROM tk, tt WHERE a + b < n1 + n0)
+             |SELECT tok AS token, CAST(a AS BIGINT) AS df_pos,
+             |  CAST(b AS BIGINT) AS df_neg,
+             |  round(CAST(n1 + n0 AS DOUBLE)
+             |    * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+             |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+             |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+             |    * 10000.0) / 10000.0 AS chi2
+             |FROM x ORDER BY chi2 DESC, token LIMIT 30""".stripMargin)),
+
+    // ---- exact two-sample KS drift on document length: did the
+    // English slice's length distribution move vs the rest? Argmax on
+    // the exact integer ECDF numerator — no float-ordering hazard.
+    Q("q201_ks_drift",
+      (s, d) => graft.operators.Profiling.ksDrift(
+        t(s, d, "documents"), "n_chars", col("lang") === "en"),
+      Some("""WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g FROM documents),
+             |bv AS (SELECT v, sum(g) AS c1, sum(1 - g) AS c2 FROM g GROUP BY v),
+             |tt AS (SELECT sum(g) AS n1, sum(1 - g) AS n2 FROM g),
+             |cm AS (SELECT v, c1, c2,
+             |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM bv),
+             |x AS (SELECT v, abs(cum1*n2 - cum2*n1) AS num, n1, n2 FROM cm, tt)
+             |SELECT v AS at_value, CAST(n1 AS BIGINT) AS n1,
+             |  CAST(n2 AS BIGINT) AS n2,
+             |  round(CAST(num AS DOUBLE) / CAST(n1*n2 AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS d_stat
+             |FROM x ORDER BY num DESC, v LIMIT 1""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
