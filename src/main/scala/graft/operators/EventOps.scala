@@ -292,4 +292,85 @@ object EventOps {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Pointwise-mutual-information contingency between two categorical
+    * columns: every (x, y) cell with its joint count, marginals, and
+    * PMI term p(x,y)·ln(p(x,y)/(p(x)p(y))) — summing the last column IS
+    * the mutual information, but the per-cell table is the useful
+    * artifact (it names WHICH combinations carry the dependence).
+    *
+    * Determinism: all counts are exact integers from one pass; the only
+    * float work is the final per-cell expression, composed identically
+    * on any engine (÷ and × are IEEE-exact; ln may differ in the last
+    * ulp across libms, absorbed by the 1e-6 display rounding).
+    *
+    * SCALE: three map-side-combined aggregations over one projection;
+    * the marginal tables and the grand total re-enter as broadcasts
+    * (domain-sized — categorical by assumption). Output is one row per
+    * observed cell. */
+  def pmiContingency(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.as("x"), yCol.as("y"))
+    val cells = base.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val mx = base.groupBy("x").agg(count(lit(1)).as("nx"))
+    val my = base.groupBy("y").agg(count(lit(1)).as("ny"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val (dxy, dx, dy, dn) = (col("nxy").cast("double"),
+      col("nx").cast("double"), col("ny").cast("double"),
+      col("n").cast("double"))
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .join(broadcast(tot))
+      .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"),
+        (round(dxy / dn * log(dxy * dn / (dx * dy)) * 1000000.0)
+          / 1000000.0).as("mi_term"))
+      .orderBy("x", "y")
+  }
+
+  /** Autocorrelation of the dense daily event-count series at lags
+    * 1..`maxLag` — the seasonality/health scalar per lag (lag-7 spikes
+    * = weekly cycle; lag-1 collapse = bursty ingest). The series is
+    * densified over [min_day, max_day] (absent days count 0) so gaps
+    * don't silently splice distant days together.
+    *
+    * r_k is the Pearson correlation of (x_t, x_{t+k}) computed from
+    * exact integer sufficient sums: counts are longs, their products
+    * accumulate in decimal(38,0) (a day at 100 TB scale can hold ~10¹²
+    * events; the square is ~10²⁴, far past a long), and the closed
+    * form touches doubles only at the single-output-row fold — sqrt is
+    * IEEE-correctly-rounded, so both engines emit identical bits
+    * before the display rounding.
+    *
+    * SCALE: one corpus aggregation to the day-sized count table; the
+    * densify + lag self-join + per-lag fold all run on that table
+    * (days × maxLag rows). Driver state: the 2-value bounds row. */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val counts = events
+      .select(expr(s"ts div $dayNs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("day").as("mn"), max("day").as("mx"))
+    val dense = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lagged = dense
+      .select(col("day"), col("c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(dense.select(col("day").as("bday"), col("c").as("cb")),
+        col("bday") === col("day") + col("lag"))
+    val agg = lagged.groupBy("lag").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("c")).cast(dec).as("sx"), sum(col("cb")).cast(dec).as("sy"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("sxx"),
+      sum(col("cb").cast(dec) * col("cb").cast(dec)).as("syy"),
+      sum(col("c").cast(dec) * col("cb").cast(dec)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("lag").cast("long").as("lag"),
+      col("n").cast("long").as("n_pairs"),
+      when(vx > 0 && vy > 0,
+        round(num / sqrt(vx * vy) * 1000000.0) / 1000000.0).as("acf"))
+      .orderBy("lag")
+  }
 }

@@ -3923,7 +3923,58 @@ object PipelineQueries {
              |  CAST(n2 AS BIGINT) AS n2,
              |  round(CAST(num AS DOUBLE) / CAST(n1*n2 AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS d_stat
-             |FROM x ORDER BY num DESC, v LIMIT 1""".stripMargin)))
+             |FROM x ORDER BY num DESC, v LIMIT 1""".stripMargin)),
+
+    // ---- PMI contingency: which (event_type, payload-quartile) cells
+    // carry the dependence between the two columns — the per-cell
+    // decomposition whose sum is the mutual information.
+    Q("q202_event_pmi",
+      (s, d) => graft.operators.EventOps.pmiContingency(
+        Tables.events(s, d), col("event_type"),
+        expr("CAST(get_json_object(props, '$.k') AS LONG) div 25")),
+      Some("""WITH b AS (SELECT event_type AS x,
+             |    CAST(props->>'k' AS BIGINT) // 25 AS y FROM events),
+             |c AS (SELECT x, y, count(*) AS nxy FROM b GROUP BY 1, 2),
+             |mx AS (SELECT x, count(*) AS nx FROM b GROUP BY 1),
+             |my AS (SELECT y, count(*) AS ny FROM b GROUP BY 1),
+             |t AS (SELECT count(*) AS n FROM b)
+             |SELECT x, y, CAST(nxy AS BIGINT) AS nxy, CAST(nx AS BIGINT) AS nx,
+             |  CAST(ny AS BIGINT) AS ny,
+             |  round(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+             |    * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+             |         / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS mi_term
+             |FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+             |ORDER BY x, y""".stripMargin)),
+
+    // ---- autocorrelation of the dense daily event-count series at
+    // lags 1..7 — weekly-cycle / burstiness health per ingest review.
+    // Exact integer sufficient sums in decimal(38,0) / HUGEINT.
+    Q("q203_daily_acf",
+      (s, d) => graft.operators.EventOps.dailyAcf(Tables.events(s, d), 7),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |l AS (SELECT lg.lag, a.c AS ca, bb.c AS cb
+             |  FROM d a CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) lg
+             |  JOIN d bb ON bb.day = a.day + lg.lag),
+             |g AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(ca AS HUGEINT)) AS sx, sum(CAST(cb AS HUGEINT)) AS sy,
+             |    sum(CAST(ca AS HUGEINT) * CAST(ca AS HUGEINT)) AS sxx,
+             |    sum(CAST(cb AS HUGEINT) * CAST(cb AS HUGEINT)) AS syy,
+             |    sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS sxy
+             |  FROM l GROUP BY lag)
+             |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+             |        AND CAST(n*syy - sy*sy AS DOUBLE) > 0
+             |    THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+             |             * CAST(n*syy - sy*sy AS DOUBLE)) * 1000000.0)
+             |      / 1000000.0 END AS acf
+             |FROM g ORDER BY lag""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Profiling, TrainingPrep}
+import graft.operators.{EventOps, Profiling, TrainingPrep}
 import org.apache.spark.sql.functions._
 
 /** Behavioral checks for the statistical-analysis operators (χ² feature
@@ -48,6 +48,31 @@ class StatsOpsSpec extends GraftSpec {
     assert(d.getAs[Double]("d_stat") == 1.0)
     assert(d.getAs[Long]("at_value") == 30L,
       "max ECDF gap sits at the end of group 1's support")
+  }
+
+  test("pmiContingency: independent columns score ~0, aligned columns positive") {
+    val ind = (0 until 400).map(i => (s"x${i % 2}", (i / 2) % 2))
+      .toDF("a", "b")
+    val indOut = EventOps.pmiContingency(ind, col("a"), col("b")).collect()
+    assert(indOut.length == 4 && indOut.forall(r =>
+      math.abs(r.getAs[Double]("mi_term")) < 1e-9))
+    val dep = (0 until 400).map(i => (s"x${i % 2}", i % 2)).toDF("a", "b")
+    val depOut = EventOps.pmiContingency(dep, col("a"), col("b")).collect()
+    assert(depOut.length == 2 && depOut.forall(r =>
+      r.getAs[Double]("mi_term") > 0.3), "x==y cells carry ln(2)/2 each")
+  }
+
+  test("dailyAcf: alternating series has acf(1) = -1, acf(2) = 1; constant series is null") {
+    val dayNs = 86400L * 1000000000L
+    // one event on even days, three on odd days, 40 days
+    val alt = (0 until 40).flatMap(d =>
+      Seq.fill(if (d % 2 == 0) 1 else 3)(Tuple1(d * dayNs))).toDF("ts")
+    val acf = EventOps.dailyAcf(alt, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(acf(1L) + 1.0) < 1e-6 && math.abs(acf(2L) - 1.0) < 1e-6)
+    val const = (0 until 10).map(d => Tuple1(d * dayNs)).toDF("ts")
+    val c = EventOps.dailyAcf(const, 1).collect().head
+    assert(c.isNullAt(2), "zero-variance series has undefined acf")
   }
 
   test("ksDrift: shifted distribution is detected with the textbook D") {
