@@ -210,4 +210,66 @@ object QualityClassifier {
         ratio(lit(2L) * col("tp"),
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
   }
+
+  /** Best Gini-gain decision stump per feature — the interpretable
+    * single-split baseline (CART's first node) against which the logreg
+    * weights are sanity-read: for each of the four non-bias features,
+    * the threshold whose ≤/> split most reduces class impurity.
+    *
+    * Thresholds come from a COARSE grid (features bucketed to `coarse`
+    * 1e-6 units, i.e. 1e-2 in natural units) — the histogram-split
+    * trick every distributed tree trainer (XGBoost/LightGBM hist mode)
+    * uses, which bounds the candidate table by the GRID, not the
+    * corpus. Split counts are exact integers via one cumulative pass
+    * per feature; the Gini algebra touches doubles only in the final
+    * projection with +,−,×,÷ (all IEEE-exact), so the per-candidate
+    * gain — and therefore the argmax — is bit-identical on any engine.
+    *
+    * SCALE: one corpus pass exploding 4 features/doc into a grid-sized
+    * (feature, bucket) aggregate; windows and argmax run on that grid.
+    * The per-feature cumulative window is grid-partitioned (4
+    * partitions × ~10³ buckets). */
+  def stumpSplits(labeled: DataFrame, labelCol: String = "y",
+      textCol: String = "text", coarse: Long = 10000L): DataFrame = {
+    val fx = labeled.select(col(labelCol).cast("long").as("y"),
+      posexplode(featuresQ(col(textCol))).as(Seq("idx", "xq")))
+      .where(col("idx") >= 1) // bias is constant: no split exists
+    val cand = fx.groupBy(col("idx"), expr(s"xq div $coarse").as("cb"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val tots = cand.groupBy("idx").agg(sum(col("c1")).as("p"),
+      sum(col("c0") + col("c1")).as("n"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("idx").orderBy("cb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cand
+      .withColumn("aL", sum(col("c1")).over(wv))
+      .withColumn("nL", sum(col("c0") + col("c1")).over(wv))
+      .join(broadcast(tots), "idx")
+      .where(col("nL") < col("n")) // last bucket: right side empty
+    def d(c: Column) = c.cast("double")
+    def sq(c: Column) = c * c
+    val (aR, nR) = (col("p") - col("aL"), col("n") - col("nL"))
+    val bL = col("nL") - col("aL")
+    val bR = nR - aR
+    val gp = lit(1.0) - sq(d(col("p")) / d(col("n"))) -
+      sq(d(col("n") - col("p")) / d(col("n")))
+    val gl = lit(1.0) - sq(d(col("aL")) / d(col("nL"))) -
+      sq(d(bL) / d(col("nL")))
+    val gr = lit(1.0) - sq(d(aR) / d(nR)) - sq(d(bR) / d(nR))
+    val gain = gp - d(col("nL")) / d(col("n")) * gl -
+      d(nR) / d(col("n")) * gr
+    val byGain = org.apache.spark.sql.expressions.Window
+      .partitionBy("idx").orderBy(col("gain").desc, col("cb"))
+    cum.withColumn("gain", gain)
+      .withColumn("rn", row_number().over(byGain))
+      .where(col("rn") === 1)
+      .select(
+        element_at(array(FeatureNames.map(lit): _*), col("idx") + 1)
+          .as("feature"),
+        ((col("cb") + 1) * coarse).as("threshold_q"),
+        col("nL").as("n_left"), col("aL").as("pos_left"),
+        nR.as("n_right"), aR.as("pos_right"),
+        (round(col("gain") * 1000000.0) / 1000000.0).as("gini_gain"))
+      .orderBy("feature")
+  }
 }

@@ -191,4 +191,53 @@ object Sketches {
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int")))) =!= 0L
     }.reduce(_ && _)
   }
+
+  /** Quantile estimates from a MERGEABLE equi-width histogram — the
+    * streaming/distributed alternative to the exact rank-selection of
+    * q32: bin counts are sums (associative, partition-order-free, and
+    * trivially mergeable across shards/days), so the sketch costs one
+    * map-side-combined pass and `bins` longs of state, where the exact
+    * quantile costs a full shuffle-and-rank. Estimates interpolate
+    * linearly inside the covering bin (NIST's definition of the
+    * histogram-estimator); max error is bounded by the bin width.
+    *
+    * Determinism: bin assignment, the covering-bin argmin, and the
+    * interpolation are all +,−,×,÷,floor over exact integer counts and
+    * the two-value (min, max) bounds row — IEEE-exact everywhere, so
+    * any engine lands on identical bits.
+    *
+    * SCALE: one pass to a bins-sized table; the bounds row and the
+    * probe list re-enter as broadcasts. The cumulative window is
+    * bins-sized by construction. */
+  def histogramQuantiles(df: DataFrame, valueCol: Column, bins: Int,
+      probs: Seq[Double]): DataFrame = {
+    val v = df.select(valueCol.cast("double").as("v"))
+    val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val bw = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val binned = v.join(broadcast(mm))
+      .select(least(floor((col("v") - col("mn")) / bw), lit((bins - 1).toLong))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // bins-sized cumulative window (see scaladoc)
+    val cum = binned.withColumn("cum", sum(col("cnt")).over(wv))
+      .join(broadcast(mm))
+      .select(col("bin"), col("cnt"), col("cum"), col("mn"), col("mx"),
+        col("n"), explode(array(probs.map(lit): _*)).as("p"))
+    val target = col("p") * col("n").cast("double")
+    val byP = org.apache.spark.sql.expressions.Window
+      .partitionBy("p").orderBy("bin")
+    cum.where(col("cum").cast("double") >= target)
+      .withColumn("rn", row_number().over(byP))
+      .where(col("rn") === 1)
+      .select(col("p"),
+        (round((col("mn") + bw * col("bin").cast("double") +
+          bw * ((target - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))) * 1000000.0) / 1000000.0)
+          .as("quantile_est"),
+        col("bin"), col("cnt").as("bin_count"))
+      .orderBy("p")
+  }
 }

@@ -3974,7 +3974,77 @@ object PipelineQueries {
              |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
              |             * CAST(n*syy - sy*sy AS DOUBLE)) * 1000000.0)
              |      / 1000000.0 END AS acf
-             |FROM g ORDER BY lag""".stripMargin)))
+             |FROM g ORDER BY lag""".stripMargin)),
+
+    // ---- best Gini decision stump per quality feature: the CART root
+    // node on the q158 feature/label table — coarse histogram splits
+    // (the distributed-tree-trainer trick), exact integer cells, IEEE-
+    // exact gain algebra so the argmax is engine-independent.
+    Q("q204_stump_train",
+      (s, d) => graft.operators.QualityClassifier.stumpSplits(
+        t(s, d, "documents").withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))),
+      Some(s"""WITH $featureCtes,
+             |u AS (SELECT y, 1 AS idx, x2 AS xq FROM fx
+             |      UNION ALL SELECT y, 2, x3 FROM fx
+             |      UNION ALL SELECT y, 3, x4 FROM fx
+             |      UNION ALL SELECT y, 4, x5 FROM fx),
+             |cand AS (SELECT idx, xq // 10000 AS cb, sum(y) AS c1,
+             |    sum(1 - y) AS c0 FROM u GROUP BY 1, 2),
+             |tots AS (SELECT idx, sum(c1) AS p, sum(c0 + c1) AS n
+             |         FROM cand GROUP BY idx),
+             |cum AS (SELECT c.idx, cb,
+             |    sum(c1) OVER w AS aL, sum(c0 + c1) OVER w AS nL, p, n
+             |  FROM cand c JOIN tots USING (idx)
+             |  WINDOW w AS (PARTITION BY c.idx ORDER BY cb
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |g AS (SELECT idx, cb, aL, nL, p, n,
+             |    1.0 - (CAST(p AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(p AS DOUBLE)/CAST(n AS DOUBLE))
+             |        - (CAST(n - p AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(n - p AS DOUBLE)/CAST(n AS DOUBLE))
+             |      - CAST(nL AS DOUBLE)/CAST(n AS DOUBLE)
+             |        * (1.0 - (CAST(aL AS DOUBLE)/CAST(nL AS DOUBLE))*(CAST(aL AS DOUBLE)/CAST(nL AS DOUBLE))
+             |               - (CAST(nL - aL AS DOUBLE)/CAST(nL AS DOUBLE))*(CAST(nL - aL AS DOUBLE)/CAST(nL AS DOUBLE)))
+             |      - CAST(n - nL AS DOUBLE)/CAST(n AS DOUBLE)
+             |        * (1.0 - (CAST(p - aL AS DOUBLE)/CAST(n - nL AS DOUBLE))*(CAST(p - aL AS DOUBLE)/CAST(n - nL AS DOUBLE))
+             |               - (CAST((n - nL) - (p - aL) AS DOUBLE)/CAST(n - nL AS DOUBLE))*(CAST((n - nL) - (p - aL) AS DOUBLE)/CAST(n - nL AS DOUBLE)))
+             |      AS gain
+             |  FROM cum WHERE nL < n),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY idx ORDER BY gain DESC, cb) AS rn FROM g)
+             |SELECT CASE idx WHEN 1 THEN 'ln_tokens' WHEN 2 THEN 'punct_ratio'
+             |         WHEN 3 THEN 'stop_ratio' ELSE 'mean_word_len' END AS feature,
+             |  CAST((cb + 1) * 10000 AS BIGINT) AS threshold_q,
+             |  CAST(nL AS BIGINT) AS n_left, CAST(aL AS BIGINT) AS pos_left,
+             |  CAST(n - nL AS BIGINT) AS n_right,
+             |  CAST(p - aL AS BIGINT) AS pos_right,
+             |  round(gain * 1000000.0) / 1000000.0 AS gini_gain
+             |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin)),
+
+    // ---- mergeable equi-width histogram quantiles over order values —
+    // the one-pass, bins-long-state sketch vs q32's exact shuffle-rank.
+    Q("q205_hist_quantile",
+      (s, d) => graft.operators.Sketches.histogramQuantiles(
+        t(s, d, "orders"), col("o_totalprice"), 16, Seq(0.5, 0.9, 0.99)),
+      Some("""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+             |mm AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+             |bn AS (SELECT least(CAST(floor((v - mn) / ((mx - mn) / 16.0)) AS BIGINT),
+             |         CAST(15 AS BIGINT)) AS bin FROM v, mm),
+             |bc AS (SELECT bin, count(*) AS cnt FROM bn GROUP BY bin),
+             |cm AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bc),
+             |pr AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+             |                      CAST(0.99 AS DOUBLE)]) AS p),
+             |x AS (SELECT p, bin, cnt, cum, mn, mx, n,
+             |        row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+             |      FROM cm CROSS JOIN mm CROSS JOIN pr
+             |      WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE))
+             |SELECT p, round((mn + (mx - mn) / 16.0 * CAST(bin AS DOUBLE)
+             |    + (mx - mn) / 16.0
+             |      * ((p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             |         / CAST(cnt AS DOUBLE))) * 1000000.0) / 1000000.0 AS quantile_est,
+             |  bin, CAST(cnt AS BIGINT) AS bin_count
+             |FROM x WHERE rn = 1 ORDER BY p""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
@@ -3987,6 +4057,29 @@ object PipelineQueries {
     * exact doubles in the same order, so w stays bit-identical with the
     * engine across all rounds. Ends with CTE `wfin` (w1..w5) and keeps
     * `fx` (doc_id, y, x1..x5) in scope for scoring. */
+  /** The `fx` feature CTE shared by the logreg trainer replica and the
+    * decision-stump oracle: (doc_id, y, x1..x5) — the distillation
+    * label (q29's unrounded-double quality composition ≥ 0.9) and
+    * [[graft.operators.QualityClassifier.featuresQ]]'s five quantized
+    * 1e-6 features, all exact BIGINTs. */
+  // def, not val: interpolated from `all`'s initializer, which runs first
+  private def featureCtes: String =
+    s"""fx AS MATERIALIZED (SELECT doc_id,
+       |  CAST(least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
+       |     + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
+       |     + least(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+       |           / len(string_split(text,' ')) * 10.0, 1.0) * 0.2 >= 0.9 AS BIGINT) AS y,
+       |  CAST(1000000 AS BIGINT) AS x1,
+       |  CAST(round(ln(1 + len(string_split(text,' '))) * 1000000) AS BIGINT) AS x2,
+       |  CAST(round(CASE WHEN length(text) > 0
+       |       THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+       |       ELSE 0.0 END * 1000000) AS BIGINT) AS x3,
+       |  CAST(round(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x4,
+       |  CAST(round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x5
+       |  FROM documents)""".stripMargin
+
   private def logregCtes(iters: Int, lr: String = "0.25"): String = {
     val x = (1 to 5).map(j => s"x$j")
     def z(w: Int => String) =
@@ -4009,21 +4102,7 @@ object PipelineQueries {
          |       $ws
          |     FROM it$r CROSS JOIN nn${if (r == 1) "" else s" CROSS JOIN w${r - 1}_"})""".stripMargin
     }.mkString(",\n")
-    s"""fx AS MATERIALIZED (SELECT doc_id,
-       |  CAST(least(len(string_split(text,' '))::DOUBLE / 50.0, 1.0) * 0.4
-       |     + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) * 5.0, 0.0) * 0.4
-       |     + least(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
-       |           / len(string_split(text,' ')) * 10.0, 1.0) * 0.2 >= 0.9 AS BIGINT) AS y,
-       |  CAST(1000000 AS BIGINT) AS x1,
-       |  CAST(round(ln(1 + len(string_split(text,' '))) * 1000000) AS BIGINT) AS x2,
-       |  CAST(round(CASE WHEN length(text) > 0
-       |       THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
-       |       ELSE 0.0 END * 1000000) AS BIGINT) AS x3,
-       |  CAST(round(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is')))::DOUBLE
-       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x4,
-       |  CAST(round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-       |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x5
-       |  FROM documents),
+    s"""$featureCtes,
        |tr AS MATERIALIZED (SELECT * FROM fx WHERE doc_id % 3 = 0),
        |nn AS (SELECT count(*) AS n FROM tr),
        |$rounds,

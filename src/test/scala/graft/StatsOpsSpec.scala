@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventOps, Profiling, TrainingPrep}
+import graft.operators.{EventOps, Profiling, QualityClassifier, Sketches, TextAnalysis, TrainingPrep}
 import org.apache.spark.sql.functions._
 
 /** Behavioral checks for the statistical-analysis operators (χ² feature
@@ -48,6 +48,36 @@ class StatsOpsSpec extends GraftSpec {
     assert(d.getAs[Double]("d_stat") == 1.0)
     assert(d.getAs[Long]("at_value") == 30L,
       "max ECDF gap sits at the end of group 1's support")
+  }
+
+  test("stumpSplits: partition identity holds and a separating split is found") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("y",
+        (TextAnalysis.qualityScore(col("text")) >= 0.9).cast("long"))
+    val total = docs.count()
+    val pos = docs.where(col("y") === 1).count()
+    val out = QualityClassifier.stumpSplits(docs).collect()
+    assert(out.nonEmpty && out.length <= 4)
+    assert(out.map(_.getAs[String]("feature")).distinct.length == out.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == total)
+      assert(r.getAs[Long]("pos_left") + r.getAs[Long]("pos_right") == pos)
+      assert(r.getAs[Double]("gini_gain") >= 0.0,
+        "a best split never increases impurity")
+    }
+    assert(out.exists(_.getAs[Double]("gini_gain") > 0.0),
+      "at least one feature must carry signal for the quality label")
+  }
+
+  test("histogramQuantiles: estimates sit within one bin width of the exact quantiles") {
+    val df = (0 until 1600).map(v => Tuple1(v.toDouble)).toDF("v")
+    val bw = 1599.0 / 16.0
+    val out = Sketches.histogramQuantiles(df, col("v"), 16, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getAs[Double]("quantile_est")).toMap
+    assert(math.abs(out(0.5) - 800.0) <= bw)
+    assert(math.abs(out(0.9) - 1440.0) <= bw)
+    assert(math.abs(out(0.99) - 1584.0) <= bw)
+    assert(out(0.5) < out(0.9) && out(0.9) < out(0.99), "estimates are monotone in p")
   }
 
   test("pmiContingency: independent columns score ~0, aligned columns positive") {
