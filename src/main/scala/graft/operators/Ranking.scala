@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistics analytics: Pareto frontiers and inequality
+  * (concentration) measures — the "which points/entities dominate"
+  * reports layered over the plain top-k of q09/q57. */
+object Ranking {
+
+  /** 2-D Pareto frontier (skyline): the rows not dominated in the
+    * maximize-(x, y) sense — p dominates q iff p ≥ q on both axes and
+    * p > q on at least one. Duplicate (x, y) points collapse to the
+    * first under the id tiebreak (a duplicate neither dominates nor is
+    * dominated, but a frontier report wants each point once).
+    *
+    * Algorithm: the classic sort-sweep — order by (x DESC, y DESC),
+    * keep a row iff its y strictly exceeds every preceding y. Run
+    * TWICE: first within `shards` hash-shards of the id (each shard's
+    * sweep discards its locally dominated rows — dominance within a
+    * shard implies global dominance, so nothing a global frontier
+    * needs is lost), then globally over the shard survivors.
+    *
+    * SCALE: the phase-1 window is shard-partitioned (no global sort of
+    * the corpus); phase 2 sorts only the union of per-shard frontiers
+    * — frontier-sized × shards, the classic distributed-skyline
+    * shape. Exact integer/whatever-the-column-is comparisons — no
+    * float composition at all. */
+  def skyline2d(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+      shards: Int = 32): DataFrame = {
+    val base = df.select(idCol.as("id"), xCol.as("x"), yCol.as("y"))
+    def sweep(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("x").desc, col("y").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("_my", max(col("y")).over(w))
+        .where(col("_my").isNull || col("y") > col("_my"))
+        .drop("_my")
+    }
+    val local = sweep(base.withColumn("_sh", pmod(hash(col("id")), lit(shards))),
+      Seq(col("_sh"))).drop("_sh")
+    sweep(local, Seq.empty).orderBy(col("x").desc, col("y").desc)
+  }
+
+  /** Gini coefficient of a value's concentration within each group —
+    * the inequality scalar (0 = uniform, →1 = one entity holds all)
+    * that turns "revenue by customer" into "how concentrated is each
+    * nation's revenue". Uses the rank formula over ascending values:
+    * G = (2·Σᵢ i·vᵢ − (n+1)·Σv) / (n·Σv).
+    *
+    * Determinism: callers pass an INTEGER value column (quantize
+    * currency to cents first); Σ i·v accumulates in decimal(38,0)
+    * (i ≤ n, v unbounded — the product wraps a long at warehouse
+    * scale), and Σ i·v over a run of tied values is invariant to
+    * which tied row takes which rank, so the tiebreak cannot leak
+    * into the result. One double division at the group-sized output.
+    *
+    * SCALE: one shuffle to rank within groups (group-sized windows,
+    * keyed), one map-side-combined aggregation per group. */
+  def giniConcentration(df: DataFrame, gCol: String, vCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byG = Window.partitionBy(gCol).orderBy("v")
+    val ranked = df.select(col(gCol), col(vCol).cast("long").as("v"))
+      .withColumn("i", row_number().over(byG).cast("long"))
+    val agg = ranked.groupBy(gCol).agg(
+      count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"),
+      sum(col("i").cast(dec) * col("v").cast(dec)).as("siv"))
+    val num = (lit(2L).cast(dec) * col("siv") -
+      (col("n") + 1L).cast(dec) * col("sv")).cast("double")
+    val den = (col("n").cast(dec) * col("sv")).cast("double")
+    agg.select(col(gCol), col("n"), col("sv").cast("long").as("total"),
+      when(col("sv") =!= 0,
+        round(num / den * 1000000.0) / 1000000.0).as("gini"))
+      .orderBy(gCol)
+  }
+}

@@ -4044,7 +4044,65 @@ object PipelineQueries {
              |      * ((p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
              |         / CAST(cnt AS DOUBLE))) * 1000000.0) / 1000000.0 AS quantile_est,
              |  bin, CAST(cnt AS BIGINT) AS bin_count
-             |FROM x WHERE rn = 1 ORDER BY p""".stripMargin)))
+             |FROM x WHERE rn = 1 ORDER BY p""".stripMargin)),
+
+    // ---- 2-D Pareto frontier over parts (maximize total quantity AND
+    // line count): the sharded sort-sweep skyline; oracle is the direct
+    // dominance definition.
+    Q("q206_pareto_parts",
+      (s, d) => {
+        val agg = t(s, d, "lineitem").groupBy("l_partkey").agg(
+          sum(col("l_quantity").cast("long")).as("x"),
+          count(lit(1)).as("y"))
+        graft.operators.Ranking
+          .skyline2d(agg, col("l_partkey"), col("x"), col("y"))
+          .select(col("id").as("part_key"), col("x").as("total_qty"),
+            col("y").as("n_lines"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS id,
+             |    sum(CAST(l_quantity AS BIGINT)) AS x, count(*) AS y
+             |  FROM lineitem GROUP BY 1),
+             |s AS (SELECT * FROM a p WHERE NOT EXISTS (
+             |    SELECT 1 FROM a q
+             |    WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))),
+             |dd AS (SELECT id, x, y,
+             |    row_number() OVER (PARTITION BY x, y ORDER BY id) AS rn FROM s)
+             |SELECT id AS part_key, CAST(x AS BIGINT) AS total_qty,
+             |  CAST(y AS BIGINT) AS n_lines
+             |FROM dd WHERE rn = 1 ORDER BY x DESC, y DESC""".stripMargin)),
+
+    // ---- Gini concentration of customer revenue within each nation —
+    // the inequality scalar per market. Revenue quantized to cents so
+    // every sum is exact; rank·value sums in decimal(38,0)/HUGEINT.
+    Q("q207_gini_revenue",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "c_custkey")
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long")).as("cents"))
+        graft.operators.Ranking.giniConcentration(rev, "n_name", "cents")
+      },
+      Some("""WITH r AS (SELECT n_name, c_custkey,
+             |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |k AS (SELECT n_name, v,
+             |    row_number() OVER (PARTITION BY n_name ORDER BY v) AS i FROM r),
+             |g AS (SELECT n_name, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+             |    sum(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS siv
+             |  FROM k GROUP BY 1)
+             |SELECT n_name, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS total,
+             |  CASE WHEN sv <> 0
+             |    THEN round(CAST(2*siv - (n + 1)*sv AS DOUBLE)
+             |      / CAST(n*sv AS DOUBLE) * 1000000.0) / 1000000.0 END AS gini
+             |FROM g ORDER BY n_name""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventOps, Profiling, QualityClassifier, Sketches, TextAnalysis, TrainingPrep}
+import graft.operators.{EventOps, Profiling, QualityClassifier, Ranking, Sketches, TextAnalysis, TrainingPrep}
 import org.apache.spark.sql.functions._
 
 /** Behavioral checks for the statistical-analysis operators (χ² feature
@@ -48,6 +48,29 @@ class StatsOpsSpec extends GraftSpec {
     assert(d.getAs[Double]("d_stat") == 1.0)
     assert(d.getAs[Long]("at_value") == 30L,
       "max ECDF gap sits at the end of group 1's support")
+  }
+
+  test("skyline2d: matches the brute-force dominance definition and collapses duplicates") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i => (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val got = Ranking.skyline2d(df, col("id"), col("x"), col("y"), shards = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map(p => (p._2, p._3)).distinct
+      .sortBy { case (x, y) => (-x, -y) }
+    assert(got == brute)
+  }
+
+  test("giniConcentration: 0 for uniform, (n-1)/n for total concentration") {
+    val uni = (1 to 10).map(i => ("g", 100L)).toDF("g", "v")
+    assert(Ranking.giniConcentration(uni, "g", "v")
+      .collect().head.getAs[Double]("gini") == 0.0)
+    val conc = (Seq(("h", 1000L)) ++ Seq.fill(9)(("h", 0L))).toDF("g", "v")
+    assert(Ranking.giniConcentration(conc, "g", "v")
+      .collect().head.getAs[Double]("gini") == 0.9)
   }
 
   test("stumpSplits: partition identity holds and a separating split is found") {
