@@ -186,6 +186,37 @@ object Profiling {
     * lengths, is bounded regardless of corpus size), not over rows.
     * The single-partition window is domain-sized by construction and
     * documented as such. */
+  /** Benford's-law first-digit profile of a positive currency column —
+    * the classic fabricated-data screen: natural multiplicative data
+    * follows P(d) = log₁₀(1 + 1/d); a flat or spiked digit histogram
+    * flags synthetic or tampered values. Values are quantized to cents
+    * first so the leading digit comes from an exact INTEGER's decimal
+    * string — identical on any engine — never from float log/division.
+    *
+    * Output: per digit 1–9, the count, observed fraction, expected
+    * Benford fraction, and the signed deviation (obs − exp), all
+    * display-rounded.
+    *
+    * SCALE: one map-side-combined pass to a 9-row table; the total
+    * re-enters as a single-row broadcast. */
+  def benford(df: DataFrame, valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val cents = round(valueCol.cast("double") * lit(100.0)).cast("long")
+    val digits = df.select(cents.as("cents")).where(col("cents") >= 1L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nt"))
+    val obs = col("n").cast("double") / col("nt").cast("double")
+    val exp10 = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    digits.join(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (round(obs * 1000000.0) / 1000000.0).as("obs_frac"),
+        (round(exp10 * 1000000.0) / 1000000.0).as("exp_frac"),
+        (round((obs - exp10) * 1000000.0) / 1000000.0).as("deviation"))
+      .orderBy("digit")
+  }
+
   def ksDrift(df: DataFrame, valueCol: String,
       inGroup1: org.apache.spark.sql.Column): DataFrame = {
     val g = df.select(col(valueCol).cast("long").as("v"),

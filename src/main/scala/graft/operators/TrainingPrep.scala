@@ -1341,6 +1341,49 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning, CL 19(1)
+    * 1993): rank adjacent word pairs by the G² statistic of the 2×2
+    * bigram contingency — the collocation test that, unlike PMI
+    * ([[pmiPairs]]), does not explode on rare pairs, because xlogx
+    * weights cells by their mass.
+    *
+    * Cells: k11 = c(w1w2); k12 = c(w1·) − k11; k21 = c(·w2) − k11;
+    * k22 = N − c(w1·) − c(·w2) + k11, over the N corpus bigram slots.
+    * G² = 2·[Σ xlx(k) + xlx(N) − xlx(rows) − xlx(cols)] with
+    * xlx(c) = c·ln c (0 at 0). All cells are exact integer counts; ln
+    * is the one libm call, absorbed by 4 dp display rounding, and the
+    * top-k orders on the ROUNDED statistic with a (w1, w2) tiebreak so
+    * a last-ulp libm difference can't reorder engines.
+    *
+    * SCALE: bigrams via arrays_zip of token-array slices (no
+    * self-join); three vocab-sized aggregates + a single-row total,
+    * joined pair-table-sized; top-k via TakeOrderedAndProject. */
+  def llrCollocations(docs: DataFrame, topK: Int = 30, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val pairs = docs.select(
+      explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+    val lft = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val rgt = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val tot = pairs.agg(count(lit(1)).as("nn"))
+    def xlx(c: org.apache.spark.sql.Column) = when(c > 0,
+      c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val (k11, c1, c2, nn) = (col("k11"), col("c1"), col("c2"), col("nn"))
+    val k12 = c1 - k11
+    val k21 = c2 - k11
+    val k22 = nn - c1 - c2 + k11
+    val llr = lit(2.0) * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) +
+      xlx(nn) - xlx(c1) - xlx(nn - c1) - xlx(c2) - xlx(nn - c2))
+    bg.where(col("k11") >= minCount)
+      .join(lft, "w1").join(rgt, "w2").join(broadcast(tot))
+      .select(col("w1"), col("w2"), col("k11").as("n_pair"),
+        (round(llr * 10000.0) / 10000.0).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2")).limit(topK)
+  }
+
   /** χ² token–label feature selection: for every token, the 2×2
     * contingency of document-frequency against a boolean label, scored
     * by Pearson's chi-squared — the classic pre-training step that

@@ -4102,7 +4102,50 @@ object PipelineQueries {
              |  CASE WHEN sv <> 0
              |    THEN round(CAST(2*siv - (n + 1)*sv AS DOUBLE)
              |      / CAST(n*sv AS DOUBLE) * 1000000.0) / 1000000.0 END AS gini
-             |FROM g ORDER BY n_name""".stripMargin)))
+             |FROM g ORDER BY n_name""".stripMargin)),
+
+    // ---- Dunning LLR collocations: G² over the bigram contingency —
+    // the mass-weighted collocation rank that PMI (q110) can't give.
+    Q("q208_llr_collocations",
+      (s, d) => graft.operators.TrainingPrep
+        .llrCollocations(t(s, d, "documents"), topK = 30, minCount = 5L),
+      Some(s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+             |         for i in range(1, len(w))], recursive := true)
+             |       FROM d WHERE len(w) >= 2),
+             |bgc AS (SELECT w1, w2, count(*) AS k11 FROM bg GROUP BY 1, 2),
+             |lc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+             |rc AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+             |tt AS (SELECT count(*) AS nn FROM bg)
+             |SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair,
+             |  round(2.0 * (${xlxSql("k11")} + ${xlxSql("c1 - k11")}
+             |    + ${xlxSql("c2 - k11")} + ${xlxSql("nn - c1 - c2 + k11")}
+             |    + ${xlxSql("nn")} - ${xlxSql("c1")} - ${xlxSql("nn - c1")}
+             |    - ${xlxSql("c2")} - ${xlxSql("nn - c2")}) * 10000.0) / 10000.0 AS llr
+             |FROM bgc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tt
+             |WHERE k11 >= 5 ORDER BY llr DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // ---- Benford first-digit screen on order totals: observed digit
+    // fractions vs log10(1+1/d) — the fabricated-data smell test,
+    // leading digits taken from exact integer cents.
+    Q("q209_benford",
+      (s, d) => graft.operators.Profiling
+        .benford(t(s, d, "orders"), col("o_totalprice")),
+      Some("""WITH c AS (SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents
+             |  FROM orders),
+             |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    count(*) AS n
+             |  FROM c WHERE cents >= 1 GROUP BY 1),
+             |tt AS (SELECT sum(n) AS nt FROM dg)
+             |SELECT digit, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS obs_frac,
+             |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
+             |    / 1000000.0 AS exp_frac,
+             |  round((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+             |    - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1000000.0)
+             |    / 1000000.0 AS deviation
+             |FROM dg CROSS JOIN tt ORDER BY digit""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
@@ -4120,6 +4163,10 @@ object PipelineQueries {
     * label (q29's unrounded-double quality composition ≥ 0.9) and
     * [[graft.operators.QualityClassifier.featuresQ]]'s five quantized
     * 1e-6 features, all exact BIGINTs. */
+  /** SQL xlogx: c·ln c with the 0·ln 0 = 0 convention (Dunning G²). */
+  private def xlxSql(e: String): String =
+    s"CASE WHEN $e > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END"
+
   // def, not val: interpolated from `all`'s initializer, which runs first
   private def featureCtes: String =
     s"""fx AS MATERIALIZED (SELECT doc_id,

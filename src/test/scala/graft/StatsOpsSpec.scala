@@ -50,6 +50,32 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("llrCollocations: a frozen collocation outranks independent co-occurrence") {
+    // "hong kong" always adjacent; "the X" spread over many continuations
+    val docs = ((1 to 30).map(i => (i.toLong, "hong kong is busy today")) ++
+      (31 to 60).map(i => (i.toLong, s"the w${i % 10} is busy today")))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.llrCollocations(docs, topK = 20, minCount = 3L)
+      .collect()
+    val llr = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("llr")).toMap
+    val hk = llr(("hong", "kong"))
+    assert(hk > 0.0)
+    // every diffuse ("the", wX) pair scores below the frozen collocation
+    llr.keys.filter(_._1 == "the").foreach(p => assert(llr(p) < hk))
+  }
+
+  test("benford: 9 digit rows, fractions total 1, exp matches log10(1+1/d)") {
+    val vals = (1 to 2000).map(i => Tuple1(math.pow(1.01, i)))
+    val out = Profiling.benford(vals.toDF("v"), col("v")).collect()
+    assert(out.length == 9)
+    assert(math.abs(out.map(_.getAs[Double]("obs_frac")).sum - 1.0) < 1e-4)
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(math.abs(d1.getAs[Double]("exp_frac") - 0.301030) < 1e-6)
+    // 1.01^i is log-uniform: empirical fractions track Benford closely
+    out.foreach(r => assert(math.abs(r.getAs[Double]("deviation")) < 0.02))
+  }
+
   test("skyline2d: matches the brute-force dominance definition and collapses duplicates") {
     val rnd = new scala.util.Random(7)
     val pts = (1L to 300L).map(i => (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
