@@ -342,16 +342,23 @@ object EventOps {
     * SCALE: one corpus aggregation to the day-sized count table; the
     * densify + lag self-join + per-lag fold all run on that table
     * (days × maxLag rows). Driver state: the 2-value bounds row. */
-  def dailyAcf(events: DataFrame, maxLag: Int = 7,
-      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+  /** Dense daily event counts over [min_day, max_day] — absent days
+    * count 0. One corpus aggregation to a day-sized table; the densify
+    * joins against the exploded bounds row. */
+  private def denseDailyCounts(events: DataFrame, dayNs: Long): DataFrame = {
     val counts = events
       .select(expr(s"ts div $dayNs").as("day"))
       .groupBy("day").agg(count(lit(1)).as("c"))
     val bounds = counts.agg(min("day").as("mn"), max("day").as("mx"))
-    val dense = bounds
+    bounds
       .select(explode(sequence(col("mn"), col("mx"))).as("day"))
       .join(counts, Seq("day"), "left")
       .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  def dailyAcf(events: DataFrame, maxLag: Int = 7,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dense = denseDailyCounts(events, dayNs)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val lagged = dense
       .select(col("day"), col("c"),
@@ -372,5 +379,87 @@ object EventOps {
       when(vx > 0 && vy > 0,
         round(num / sqrt(vx * vy) * 1000000.0) / 1000000.0).as("acf"))
       .orderBy("lag")
+  }
+
+  /** CUSUM changepoint over the dense daily event-count series: the
+    * day t maximizing |T·cum_t − t·S| — the cross-scaled form of the
+    * classic max |Σᵢ≤t (cᵢ − mean)| (multiply through by T), kept in
+    * EXACT integers (decimal(38,0): cum ~ corpus count, T ~ days —
+    * the product wraps a long at ~10¹⁴ events) so the argmax is
+    * engine-independent. Reports the split day with the before/after
+    * means — "ingest volume changed HERE".
+    *
+    * SCALE: one corpus pass to the day-sized dense series; the
+    * cumulative window and argmax run on that domain-sized table
+    * (single-partition by construction, documented). */
+  def cusumChangepoint(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dense = denseDailyCounts(events, dayNs)
+    val w = Window.orderBy("day")
+    val tot = dense.agg(sum(col("c")).cast(dec).as("s"),
+      count(lit(1)).cast(dec).as("t_days"))
+    val cum = dense
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot))
+      .where(col("t").cast(dec) < col("t_days"))
+      .withColumn("stat", abs(col("t_days") * col("cum").cast(dec) -
+        col("t").cast(dec) * col("s")))
+    cum.orderBy(col("stat").desc, col("t")).limit(1)
+      .select(col("day").as("split_day"), col("t"),
+        (round(col("cum").cast("double") / col("t").cast("double")
+          * 1000000.0) / 1000000.0).as("mean_before"),
+        (round((col("s") - col("cum").cast(dec)).cast("double") /
+          (col("t_days") - col("t").cast(dec)).cast("double")
+          * 1000000.0) / 1000000.0).as("mean_after"),
+        (round(col("stat").cast("double") / col("t_days").cast("double")
+          * 1000000.0) / 1000000.0).as("cusum"))
+  }
+
+  /** Market-basket lift between event types at SESSION granularity:
+    * for each unordered type pair, lift = P(a,b)/(P(a)·P(b)) over
+    * sessions (same 30-min-gap chain as [[sessionStats]]) — which
+    * behaviors co-occur in a visit beyond chance. Counts are session-
+    * presence (distinct), all exact integers; lift is one double
+    * composition at the pair-table output.
+    *
+    * SCALE: sessionization is the one keyed window pass; presence
+    * dedups map-side to (session, type) — type-domain-bounded per
+    * session; the pair self-join is keyed on the session and emits
+    * ≤ |types|² rows per session. Marginals and the session total
+    * re-enter as broadcasts. */
+  def sessionLift(events: DataFrame, gapNs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(seqCol))
+    val sess = events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(col("_prev_ts").isNull ||
+          (col(tsCol) - col("_prev_ts")) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("_new_sess")).over(byUser))
+    val pres = sess.select(col(userCol).as("u"), col("sess_id"),
+      col(typeCol).as("t")).distinct()
+    val tot = pres.select("u", "sess_id").distinct()
+      .agg(count(lit(1)).as("ns"))
+    val singles = pres.groupBy("t").agg(count(lit(1)).as("na"))
+    val pairs = pres.select(col("u"), col("sess_id"), col("t").as("ta"))
+      .join(pres.select(col("u"), col("sess_id"), col("t").as("tb")),
+        Seq("u", "sess_id"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("ta"), col("na"))), "ta")
+      .join(broadcast(singles.select(col("t").as("tb"),
+        col("na").as("nb"))), "tb")
+      .join(broadcast(tot))
+      .select(col("ta"), col("tb"), col("n_ab"), col("na"), col("nb"),
+        col("ns").as("n_sessions"),
+        (round(col("n_ab").cast("double") * col("ns").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))
+          * 1000000.0) / 1000000.0).as("lift"))
+      .orderBy("ta", "tb")
   }
 }

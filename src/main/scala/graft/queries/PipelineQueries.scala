@@ -4145,7 +4145,70 @@ object PipelineQueries {
              |  round((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
              |    - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1000000.0)
              |    / 1000000.0 AS deviation
-             |FROM dg CROSS JOIN tt ORDER BY digit""".stripMargin)))
+             |FROM dg CROSS JOIN tt ORDER BY digit""".stripMargin)),
+
+    // ---- CUSUM changepoint on the dense daily count series: the day
+    // where ingest volume shifted, argmaxed on exact cross-scaled
+    // integers with before/after means for the report.
+    Q("q210_cusum_changepoint",
+      (s, d) => graft.operators.EventOps
+        .cusumChangepoint(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT CAST(sum(c) AS HUGEINT) AS s,
+             |    CAST(count(*) AS HUGEINT) AS t_days FROM d),
+             |cm AS (SELECT day, row_number() OVER (ORDER BY day) AS t,
+             |    sum(c) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+             |x AS (SELECT day, t, cum, s, t_days,
+             |    abs(t_days * CAST(cum AS HUGEINT) - CAST(t AS HUGEINT) * s) AS stat
+             |  FROM cm CROSS JOIN tt WHERE CAST(t AS HUGEINT) < t_days)
+             |SELECT day AS split_day, CAST(t AS BIGINT) AS t,
+             |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean_before,
+             |  round(CAST(s - CAST(cum AS HUGEINT) AS DOUBLE)
+             |    / CAST(t_days - CAST(t AS HUGEINT) AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean_after,
+             |  round(CAST(stat AS DOUBLE) / CAST(t_days AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS cusum
+             |FROM x ORDER BY stat DESC, t LIMIT 1""".stripMargin)),
+
+    // ---- session-basket lift between event types: which behaviors
+    // co-occur within a 30-min-gap session beyond chance.
+    Q("q211_session_lift",
+      (s, d) => graft.operators.EventOps.sessionLift(
+        Tables.events(s, d), gapNs = 1800L * Tables.NanosPerSecond),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, event_type,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM g),
+             |p AS (SELECT DISTINCT user_id, sess_id, event_type FROM s),
+             |tt AS (SELECT count(*) AS ns FROM
+             |  (SELECT DISTINCT user_id, sess_id FROM p)),
+             |sg AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1),
+             |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+             |  FROM p a JOIN p b ON a.user_id = b.user_id
+             |    AND a.sess_id = b.sess_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(ns AS BIGINT) AS n_sessions,
+             |  round(CAST(n_ab AS DOUBLE) * CAST(ns AS DOUBLE)
+             |    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS lift
+             |FROM pr JOIN sg sa ON sa.event_type = pr.ta
+             |  JOIN sg sb ON sb.event_type = pr.tb CROSS JOIN tt
+             |ORDER BY ta, tb""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,32 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("cusumChangepoint: finds the planted level shift") {
+    val dayNs = 86400L * 1000000000L
+    // 20 days at 2/day then 20 days at 10/day: split at day 19 (t=20)
+    val evs = (0 until 40).flatMap(d =>
+      Seq.fill(if (d < 20) 2 else 10)(Tuple1(d * dayNs))).toDF("ts")
+    val r = EventOps.cusumChangepoint(evs).collect().head
+    assert(r.getAs[Long]("t") == 20L)
+    assert(r.getAs[Double]("mean_before") == 2.0)
+    assert(r.getAs[Double]("mean_after") == 10.0)
+  }
+
+  test("sessionLift: co-occurring types lift > 1, disjoint types absent") {
+    val gap = 1800L * 1000000000L
+    // users 1..10: a+b in one session; users 11..20: c alone
+    val evs = ((1 to 10).flatMap(u => Seq(
+      (u.toLong * 2, u.toLong, "a", 0L), (u.toLong * 2 + 1, u.toLong, "b", 1000L))) ++
+      (11 to 20).map(u => (u.toLong * 100, u.toLong, "c", 0L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.sessionLift(evs, gap).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("ta") == "a" && r.getAs[String]("tb") == "b")
+    assert(r.getAs[Long]("n_sessions") == 20L)
+    assert(r.getAs[Double]("lift") == 2.0, "P(ab)=.5, P(a)=P(b)=.5 -> lift 2")
+  }
+
   test("llrCollocations: a frozen collocation outranks independent co-occurrence") {
     // "hong kong" always adjacent; "the X" spread over many continuations
     val docs = ((1 to 30).map(i => (i.toLong, "hong kong is busy today")) ++
