@@ -58,6 +58,40 @@ object Ranking {
     *
     * SCALE: one shuffle to rank within groups (group-sized windows,
     * keyed), one map-side-combined aggregation per group. */
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09) of
+    * several ranked retrieval lists: each list contributes
+    * 1/(k + rank) per id, sums fused, top-k re-ranked — the robust,
+    * score-scale-free way to merge lexical (BM25) and dense
+    * (embedding) retrieval.
+    *
+    * Inputs are (id, score) lists ALREADY cut to per-list top-k (the
+    * retrieval contract — list-sized, not corpus-sized); ranks are
+    * assigned here by (score DESC, id), so callers pass display-
+    * rounded scores (both engines agree on those) and the integer
+    * ranks — hence the fused sums — are engine-exact. With two lists
+    * the fusion sum is a single commutative IEEE addition; ordering
+    * uses the ROUNDED fused score with an id tiebreak.
+    *
+    * SCALE: everything after retrieval is list-sized; the per-list
+    * rank windows are bounded by the list cut. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty)
+    val ranked = rankings.map { df =>
+      val w = Window.orderBy(col("score").desc, col("id"))
+      df.select(col("id"), col("score"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col("id"), (lit(1.0) /
+          (lit(kRrf.toDouble) + col("r").cast("double"))).as("contrib"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"),
+        (round(sum(col("contrib")) * 1000000.0) / 1000000.0).as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(topK)
+      .select(col("id"), col("n_lists"), col("rrf"))
+  }
+
   def giniConcentration(df: DataFrame, gCol: String, vCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val byG = Window.partitionBy(gCol).orderBy("v")

@@ -4208,7 +4208,50 @@ object PipelineQueries {
              |    / 1000000.0 AS lift
              |FROM pr JOIN sg sa ON sa.event_type = pr.ta
              |  JOIN sg sb ON sb.event_type = pr.tb CROSS JOIN tt
-             |ORDER BY ta, tb""".stripMargin)))
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // ---- reciprocal-rank fusion of lexical (BM25 top-50) and dense
+    // (exact-cosine top-50) retrieval — the scale-free hybrid-search
+    // merge; doc_id and vec_id share the id space in this corpus.
+    Q("q212_rrf_fusion",
+      (s, d) => {
+        val bm = graft.operators.TrainingPrep.bm25(t(s, d, "documents"),
+          Seq("spark", "window", "vector"), topK = 50)
+          .select(col("doc_id").as("id"), col("score"))
+        val em = graft.operators.Similarity
+          .bruteForceTopK(t(s, d, "embeddings"), 0L, 50)
+          .select(col("vec_id").as("id"), col("cos").as("score"))
+        graft.operators.Ranking.rrfFuse(Seq(bm, em), kRrf = 60, topK = 20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |s AS (SELECT avg(len(w)) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM d),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             |         any_value(dl) AS dl
+             |       FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+             |       WHERE term IN ('spark', 'window', 'vector')
+             |       GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |bm AS (SELECT doc_id AS id,
+             |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+             |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |  FROM tf JOIN df USING (term), s
+             |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |em AS (SELECT vec_id AS id,
+             |    round(list_cosine_similarity(v, qv) * 1000000.0) / 1000000.0 AS score
+             |  FROM e, q WHERE vec_id <> 0
+             |  ORDER BY score DESC, vec_id LIMIT 50),
+             |rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM bm),
+             |re AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM em),
+             |u AS (SELECT id, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS contrib FROM rb
+             |      UNION ALL
+             |      SELECT id, 1.0 / (60.0 + CAST(r AS DOUBLE)) FROM re),
+             |f AS (SELECT id, count(*) AS n_lists,
+             |        round(sum(contrib) * 1000000.0) / 1000000.0 AS rrf
+             |      FROM u GROUP BY id)
+             |SELECT id, CAST(n_lists AS BIGINT) AS n_lists, rrf
+             |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,18 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("rrfFuse: consensus ids outrank single-list winners") {
+    val l1 = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
+    val l2 = Seq((10L, 0.5), (40L, 0.4), (20L, 0.3)).toDF("id", "score")
+    val out = Ranking.rrfFuse(Seq(l1, l2), kRrf = 60, topK = 10).collect()
+    assert(out.head.getLong(0) == 10L, "rank-1 in both lists wins")
+    assert(out.head.getLong(1) == 2L)
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Double]("rrf")).toMap
+    assert(math.abs(byId(10L) - (1.0 / 61 + 1.0 / 61)) < 1e-6)
+    assert(byId(20L) > byId(30L) && byId(20L) > byId(40L),
+      "two mid ranks beat one good rank here")
+  }
+
   test("cusumChangepoint: finds the planted level shift") {
     val dayNs = 86400L * 1000000000L
     // 20 days at 2/day then 20 days at 10/day: split at day 19 (t=20)
