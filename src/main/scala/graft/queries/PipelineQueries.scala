@@ -4251,7 +4251,59 @@ object PipelineQueries {
              |        round(sum(contrib) * 1000000.0) / 1000000.0 AS rrf
              |      FROM u GROUP BY id)
              |SELECT id, CAST(n_lists AS BIGINT) AS n_lists, rrf
-             |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin)))
+             |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- 3-fold cross-validated logreg: train the q158 model on each
+    // 2/3 slice, exact AUC (q186 machinery) on the held-out third —
+    // the generalization check behind any trained quality gate. Oracle
+    // unrolls THREE full GD chains via the suffixed logregRounds CTEs.
+    Q("q213_logreg_cv",
+      (s, d) => {
+        val labeled = t(s, d, "documents").withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        (0 until 3).map { f =>
+          val w = graft.operators.QualityClassifier.train(
+            labeled.where(col("doc_id") % 3 =!= f.toLong),
+            iters = 3, lr = 0.25)
+          val test = labeled.where(col("doc_id") % 3 === f.toLong)
+          val scored = graft.operators.QualityClassifier
+            .score(test.select(col("doc_id"), col("text")), w)
+            .join(test.select(col("doc_id"), col("y")), Seq("doc_id"))
+          graft.operators.Profiling.rocAuc(scored)
+            .select(lit(f.toLong).as("fold"), col("np"), col("nn"),
+              col("auc"))
+        }.reduce(_ unionAll _).orderBy("fold")
+      },
+      Some {
+        val folds = (0 until 3).map(f =>
+          logregRounds(3, "0.25", s"doc_id % 3 <> $f", s"f$f"))
+          .mkString(",\n")
+        val aucs = (0 until 3).map { f =>
+          s"""sc$f AS (SELECT doc_id, y,
+             |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+             |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+             |  FROM fx CROSS JOIN wfinf$f WHERE doc_id % 3 = $f),
+             |g$f AS (SELECT score, count(*) AS c, sum(y) AS cp FROM sc$f GROUP BY score),
+             |r$f AS (SELECT *, sum(c) OVER (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM g$f),
+             |ag$f AS (SELECT sum(cp * ((run - c) + (c + 1.0)/2.0)) AS spos,
+             |    sum(cp) AS np, sum(c) - sum(cp) AS nn FROM r$f)""".stripMargin
+        }.mkString(",\n")
+        val rows = (0 until 3).map { f =>
+          s"""SELECT CAST($f AS BIGINT) AS fold, CAST(np AS BIGINT) AS np,
+             |  CAST(nn AS BIGINT) AS nn,
+             |  round((spos - np * (np + 1.0)/2.0) / (np::DOUBLE * nn::DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS auc
+             |FROM ag$f""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $featureCtes,
+           |$folds,
+           |$aucs
+           |SELECT * FROM (
+           |$rows)
+           |ORDER BY fold""".stripMargin
+      }))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
@@ -4291,7 +4343,13 @@ object PipelineQueries {
        |       / len(string_split(text,' ')) * 1000000) AS BIGINT) AS x5
        |  FROM documents)""".stripMargin
 
-  private def logregCtes(iters: Int, lr: String = "0.25"): String = {
+  /** The GD-round CTEs of the logreg replica, assuming `fx` is already
+    * in scope: training slice (`trainPred` over fx), per-round gradient
+    * + weight updates, ending in `wfin$sfx` (w1..w5). `sfx` suffixes
+    * every CTE name so several independently-trained models (the q213
+    * cross-validation folds) coexist in ONE WITH clause. */
+  private def logregRounds(iters: Int, lr: String = "0.25",
+      trainPred: String = "doc_id % 3 = 0", sfx: String = ""): String = {
     val x = (1 to 5).map(j => s"x$j")
     def z(w: Int => String) =
       x.zipWithIndex.map { case (xj, j) => s"${w(j + 1)}*($xj/1000000.0)" }
@@ -4299,26 +4357,29 @@ object PipelineQueries {
     val rounds = (1 to iters).map { r =>
       val wPrev: Int => String =
         if (r == 1) _ => "0.0" else j => s"w$j"
-      val from = if (r == 1) "tr" else s"tr CROSS JOIN w${r - 1}_"
+      val from = if (r == 1) s"tr$sfx" else s"tr$sfx CROSS JOIN w${r - 1}_$sfx"
       val gs = x.zipWithIndex.map { case (xj, j) =>
         s"sum((sq - y*1000000) * $xj) AS g${j + 1}" }.mkString(", ")
       val ws = (1 to 5).map { j =>
         s"${wPrev(j)} - $lr*((CAST(g$j AS DOUBLE)/1000000000000.0)/n) AS w$j"
       }.mkString(",\n       ")
-      s"""it$r AS (SELECT $gs FROM (
+      s"""it$r$sfx AS (SELECT $gs FROM (
          |    SELECT y, ${x.mkString(", ")},
          |      CAST(round(1.0/(1.0 + exp(-(${z(wPrev)}))) * 1000000) AS BIGINT) AS sq
          |    FROM $from)),
-         |w${r}_ AS (SELECT
+         |w${r}_$sfx AS (SELECT
          |       $ws
-         |     FROM it$r CROSS JOIN nn${if (r == 1) "" else s" CROSS JOIN w${r - 1}_"})""".stripMargin
+         |     FROM it$r$sfx CROSS JOIN nn$sfx${if (r == 1) "" else s" CROSS JOIN w${r - 1}_$sfx"})""".stripMargin
     }.mkString(",\n")
-    s"""$featureCtes,
-       |tr AS MATERIALIZED (SELECT * FROM fx WHERE doc_id % 3 = 0),
-       |nn AS (SELECT count(*) AS n FROM tr),
+    s"""tr$sfx AS MATERIALIZED (SELECT * FROM fx WHERE $trainPred),
+       |nn$sfx AS (SELECT count(*) AS n FROM tr$sfx),
        |$rounds,
-       |wfin AS (SELECT w1, w2, w3, w4, w5 FROM w${iters}_)""".stripMargin
+       |wfin$sfx AS (SELECT w1, w2, w3, w4, w5 FROM w${iters}_$sfx)""".stripMargin
   }
+
+  private def logregCtes(iters: Int, lr: String = "0.25"): String =
+    s"""$featureCtes,
+       |${logregRounds(iters, lr)}""".stripMargin
 
   /** DuckDB replica of [[graft.operators.Pca]]: quantized upper-triangle
     * moment sums (HUGEINT — exact, matching the engine's decimal(38,0)),
