@@ -219,4 +219,48 @@ object GraphOps {
     IterUtils.unpersistCheckpoint(nodes)
     labels
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive when
+    * hubs attach to hubs (social shape), negative when hubs attach to
+    * leaves (infrastructure shape). The one scalar that says which
+    * regime a graph is in before any skew mitigation is chosen.
+    *
+    * Determinism: degrees are exact integer counts; the Pearson fold
+    * uses decimal(38,0) sufficient sums over the directed pair list
+    * (each undirected edge contributes both orientations, the standard
+    * symmetrization) and touches doubles only in the final single-row
+    * expression — sqrt is IEEE-correctly-rounded, so engines agree to
+    * the bit before display rounding.
+    *
+    * SCALE: dedup + degree aggregation are edge/node-keyed map-side
+    * passes; the degree join back to edges is node-keyed (AQE
+    * broadcasts when the degree table measures small). Output: 1 row. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds degrees + the pair list
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val pairs = dir
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+    val agg = pairs.agg(count(lit(1)).cast(dec).as("m"),
+      sum(col("dx")).cast(dec).as("sx"), sum(col("dy")).cast(dec).as("sy"),
+      sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+      sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"),
+      sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("m").cast("long").as("n_directed_edges"),
+      when(vx > 0 && vy > 0,
+        round(num / sqrt(vx * vy) * 1000000.0) / 1000000.0)
+        .as("assortativity"))
+  }
 }

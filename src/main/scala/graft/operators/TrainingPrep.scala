@@ -1341,6 +1341,49 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ phrase length over its occurrences),
+    * a phrase scores the sum of its words — the zero-training
+    * keyphrase ranker that beats pure frequency on multi-word terms.
+    *
+    * Determinism: frequencies and degrees are exact integer counts;
+    * the per-phrase score sums a handful of exact-ratio doubles
+    * (display-rounded to 4 dp, which absorbs sub-ulp aggregation-order
+    * drift); ordering uses the ROUNDED score with a phrase tiebreak.
+    *
+    * SCALE: phrase segmentation is pure per-row array work
+    * (scan-speed); word stats and candidates are vocab-/phrase-
+    * vocabulary-sized map-side aggregates; top-k cuts with
+    * TakeOrderedAndProject. */
+  def rakeKeyphrases(docs: DataFrame, stopwords: Seq[String],
+      topK: Int = 20, maxPhraseLen: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val marked = transform(toks, t =>
+      when(array_contains(stops, t) || length(t) === 0, lit("\u0001"))
+        .otherwise(t))
+    val segs = split(array_join(marked, " "), "\u0001")
+    val phrases = filter(transform(segs, p => trim(p)), p => length(p) > 0)
+    val ph = docs.select(explode(phrases).as("phrase"))
+      .where(size(split(col("phrase"), " ")) <= maxPhraseLen)
+    val words = ph.select(col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val stats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+    val cand = ph.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    cand.select(col("phrase"), explode(split(col("phrase"), " ")).as("w"))
+      .join(stats, "w")
+      .groupBy("phrase")
+      .agg((round(sum(col("degree").cast("double") /
+        col("freq").cast("double")) * 10000.0) / 10000.0).as("score"))
+      .join(cand, "phrase")
+      .select(col("phrase"), col("n_occ"), col("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
+  }
+
   /** Dunning log-likelihood-ratio collocations (Dunning, CL 19(1)
     * 1993): rank adjacent word pairs by the G² statistic of the 2×2
     * bigram contingency — the collocation test that, unlike PMI

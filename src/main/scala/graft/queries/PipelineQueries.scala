@@ -3902,7 +3902,8 @@ object PipelineQueries {
              |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
              |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
              |    * 10000.0) / 10000.0 AS chi2
-             |FROM x ORDER BY chi2 DESC, token LIMIT 30""".stripMargin)),
+             |FROM x ORDER BY chi2 DESC, token LIMIT 30""".stripMargin),
+      bench = true),
 
     // ---- exact two-sample KS drift on document length: did the
     // English slice's length distribution move vs the rest? Argmax on
@@ -4102,7 +4103,8 @@ object PipelineQueries {
              |  CASE WHEN sv <> 0
              |    THEN round(CAST(2*siv - (n + 1)*sv AS DOUBLE)
              |      / CAST(n*sv AS DOUBLE) * 1000000.0) / 1000000.0 END AS gini
-             |FROM g ORDER BY n_name""".stripMargin)),
+             |FROM g ORDER BY n_name""".stripMargin),
+      bench = true),
 
     // ---- Dunning LLR collocations: G² over the bigram contingency —
     // the mass-weighted collocation rank that PMI (q110) can't give.
@@ -4123,7 +4125,8 @@ object PipelineQueries {
              |    + ${xlxSql("nn")} - ${xlxSql("c1")} - ${xlxSql("nn - c1")}
              |    - ${xlxSql("c2")} - ${xlxSql("nn - c2")}) * 10000.0) / 10000.0 AS llr
              |FROM bgc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tt
-             |WHERE k11 >= 5 ORDER BY llr DESC, w1, w2 LIMIT 30""".stripMargin)),
+             |WHERE k11 >= 5 ORDER BY llr DESC, w1, w2 LIMIT 30""".stripMargin),
+      bench = true),
 
     // ---- Benford first-digit screen on order totals: observed digit
     // fractions vs log10(1+1/d) — the fabricated-data smell test,
@@ -4303,7 +4306,91 @@ object PipelineQueries {
            |SELECT * FROM (
            |$rows)
            |ORDER BY fold""".stripMargin
-      }))
+      },
+      bench = true),
+
+    // ---- degree assortativity of the nation trade graph (q197's
+    // above-average-weight edges): do hub markets trade with hubs?
+    // Exact decimal Pearson over the symmetrized endpoint degrees.
+    Q("q214_degree_assortativity",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val avgW = raw.agg(avg(col("w")).as("aw"))
+        val edges = raw.join(broadcast(avgW))
+          .where(col("w").cast("double") > col("aw"))
+          .select("src", "dst")
+        graft.operators.GraphOps.degreeAssortativity(edges)
+      },
+      Some("""WITH raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |aw AS (SELECT avg(w) AS aw FROM raw),
+             |th AS (SELECT src, dst FROM raw, aw WHERE w > aw),
+             |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |       FROM th WHERE src <> dst),
+             |deg AS (SELECT node, count(*) AS deg FROM (
+             |  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY node),
+             |dir AS (SELECT a AS u, b AS v FROM ed
+             |        UNION ALL SELECT b AS u, a AS v FROM ed),
+             |pr AS (SELECT du.deg AS dx, dv.deg AS dy FROM dir
+             |       JOIN deg du ON du.node = dir.u
+             |       JOIN deg dv ON dv.node = dir.v),
+             |g AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+             |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+             |    sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+             |    sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy,
+             |    sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy
+             |  FROM pr)
+             |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+             |  CASE WHEN CAST(m*sxx - sx*sx AS DOUBLE) > 0
+             |        AND CAST(m*syy - sy*sy AS DOUBLE) > 0
+             |    THEN round(CAST(m*sxy - sx*sy AS DOUBLE)
+             |      / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+             |             * CAST(m*syy - sy*sy AS DOUBLE)) * 1000000.0)
+             |      / 1000000.0 END AS assortativity
+             |FROM g""".stripMargin)),
+
+    // ---- RAKE keyphrases: stopword-delimited candidate phrases scored
+    // by summed word degree/frequency — zero-training keyphrase mining.
+    Q("q215_rake_keyphrases",
+      (s, d) => graft.operators.TrainingPrep.rakeKeyphrases(
+        t(s, d, "documents"),
+        Seq("the", "a", "of", "and", "to", "is"), topK = 20),
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |mk AS (SELECT [CASE WHEN x IN ('the','a','of','and','to','is')
+             |         OR len(x) = 0 THEN chr(1) ELSE x END for x in w] AS m FROM d),
+             |ph0 AS (SELECT unnest(string_split(array_to_string(m, ' '), chr(1))) AS p
+             |        FROM mk),
+             |ph AS (SELECT trim(p) AS phrase FROM ph0
+             |       WHERE len(trim(p)) > 0
+             |         AND len(string_split(trim(p), ' ')) <= 4),
+             |wd AS (SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+             |         unnest(string_split(phrase, ' ')) AS w FROM ph),
+             |st AS (SELECT w, count(*) AS freq, sum(plen) AS degree FROM wd GROUP BY w),
+             |cand AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+             |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM cand),
+             |sc AS (SELECT phrase,
+             |    round(sum(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)) * 10000.0)
+             |      / 10000.0 AS score
+             |  FROM pw JOIN st USING (w) GROUP BY phrase)
+             |SELECT c.phrase, CAST(n_occ AS BIGINT) AS n_occ, score
+             |FROM sc JOIN cand c USING (phrase)
+             |ORDER BY score DESC, c.phrase LIMIT 20""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

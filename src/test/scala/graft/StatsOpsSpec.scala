@@ -50,6 +50,33 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("degreeAssortativity: star graph is perfectly disassortative") {
+    // hub 0 - leaves 1..6: every edge pairs deg 6 with deg 1 -> r = -1
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val r = graft.operators.GraphOps.degreeAssortativity(star).collect().head
+    assert(r.getAs[Long]("n_directed_edges") == 12L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // a clique is degree-regular: zero variance -> null by convention
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    assert(graft.operators.GraphOps.degreeAssortativity(k4)
+      .collect().head.isNullAt(1))
+  }
+
+  test("rakeKeyphrases: multi-word phrase outscores its constituent unigrams") {
+    val docs = (1L to 10L)
+      .map(i => (i, "deep neural networks and the gradient descent of loss"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.rakeKeyphrases(docs,
+      Seq("the", "a", "of", "and", "to", "is"), topK = 10).collect()
+    val byPhrase = out.map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(byPhrase.contains("deep neural networks"))
+    assert(byPhrase("deep neural networks") == 9.0,
+      "three words, each degree 3 / freq 1")
+    assert(byPhrase("deep neural networks") > byPhrase("loss"))
+    assert(out.forall(_.getAs[Long]("n_occ") == 10L))
+  }
+
   test("rrfFuse: consensus ids outrank single-list winners") {
     val l1 = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
     val l2 = Seq((10L, 0.5), (40L, 0.4), (20L, 0.3)).toDF("id", "score")
