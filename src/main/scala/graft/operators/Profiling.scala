@@ -186,6 +186,40 @@ object Profiling {
     * lengths, is bounded regardless of corpus size), not over rows.
     * The single-partition window is domain-sized by construction and
     * documented as such. */
+  /** Winsorized + trimmed robust means per group: clamp (winsorize) or
+    * drop (trim) values outside the nearest-rank [lo, hi] percentile
+    * band before averaging — the tail-insensitive mean pair that
+    * complements [[madOutliers]]' outlier COUNT with a robust LEVEL.
+    *
+    * Determinism: band boundaries are corpus VALUES (nearest-rank
+    * selection, exact); clamped/trimmed sums are exact integer sums of
+    * an integer column; the means are one double division each at the
+    * group-sized output.
+    *
+    * SCALE: one ranked window pass for the boundaries
+    * ([[rankPercentiles]]), boundaries re-enter as a broadcast, then
+    * one map-side-combined aggregation over the scan. */
+  def winsorizedStats(df: DataFrame, gCol: String, xCol: String,
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    val base = df.select(col(gCol), col(xCol).cast("long").as("x"))
+    val bands = rankPercentiles(base, gCol, "x", Seq(lo, hi))
+    val pLo = "p" + math.round(lo * 100)
+    val pHi = "p" + math.round(hi * 100)
+    val clamped = least(greatest(col("x"), col(pLo)), col(pHi))
+    val inBand = col("x") >= col(pLo) && col("x") <= col(pHi)
+    base.join(broadcast(bands), Seq(gCol))
+      .groupBy(gCol)
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("x")).cast("double") / count(lit(1)).cast("double")
+          * 1000000.0) / 1000000.0).as("mean"),
+        (round(sum(clamped).cast("double") / count(lit(1)).cast("double")
+          * 1000000.0) / 1000000.0).as("winsorized_mean"),
+        (round(sum(when(inBand, col("x")).otherwise(lit(0L))).cast("double")
+          / sum(when(inBand, 1L).otherwise(0L)).cast("double")
+          * 1000000.0) / 1000000.0).as("trimmed_mean"))
+      .orderBy(gCol)
+  }
+
   /** Benford's-law first-digit profile of a positive currency column —
     * the classic fabricated-data screen: natural multiplicative data
     * follows P(d) = log₁₀(1 + 1/d); a flat or spiked digit histogram

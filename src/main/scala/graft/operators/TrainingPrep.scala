@@ -1341,6 +1341,42 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR '01) — the language-modeling alternative to
+    * [[bm25]]: score(d) = Σ_{w∈q} ln p(w|d) with
+    * p(w|d) = (tf + μ·p(w|C)) / (dl + μ), decomposed into the present-
+    * term sum Σ ln(1 + tf/(μ·p(w|C))) plus the length normalizer
+    * |q|·ln(μ/(dl+μ)) so EVERY document scores (absent terms ride the
+    * background model) without materializing absent (doc, term) pairs.
+    *
+    * SCALE: same shape as bm25 — term-filtered tf explode (the filter
+    * sits on the scan), query-term-sized collection stats broadcast,
+    * one left join of the doc-length table against the per-doc present-
+    * term sums, TakeOrderedAndProject cut. */
+  def qlDirichlet(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+      mu: Double = 2000.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    val dl = toks.select(col(idCol), size(col("w")).cast("double").as("dl"))
+    val tot = toks.agg(sum(size(col("w"))).cast("double").as("total"))
+    val terms = toks.select(col(idCol), explode(col("w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+    val cf = terms.groupBy("term").agg(count(lit(1)).cast("double").as("cf"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val present = tf.join(broadcast(cf), Seq("term")).join(broadcast(tot))
+      .withColumn("contrib",
+        log(lit(1.0) + col("tf") / (lit(mu) * (col("cf") / col("total")))))
+      .groupBy(col(idCol)).agg(sum(col("contrib")).as("s"))
+    dl.join(present, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("s"), lit(0.0)) +
+          lit(queryTerms.size.toDouble) * log(lit(mu) / (col("dl") + lit(mu))),
+          4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs; each word scores
     * degree/frequency (degree = Σ phrase length over its occurrences),

@@ -4390,7 +4390,54 @@ object PipelineQueries {
              |  FROM pw JOIN st USING (w) GROUP BY phrase)
              |SELECT c.phrase, CAST(n_occ AS BIGINT) AS n_occ, score
              |FROM sc JOIN cand c USING (phrase)
-             |ORDER BY score DESC, c.phrase LIMIT 20""".stripMargin)))
+             |ORDER BY score DESC, c.phrase LIMIT 20""".stripMargin)),
+
+    // ---- query-likelihood retrieval (Dirichlet smoothing): the
+    // language-modeling twin of q98's BM25 over the same query terms —
+    // every doc scores via the background model decomposition.
+    Q("q216_ql_dirichlet",
+      (s, d) => graft.operators.TrainingPrep.qlDirichlet(
+        t(s, d, "documents"), Seq("spark", "window", "vector"), topK = 20),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+             |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS total FROM d),
+             |tm AS (SELECT doc_id, term FROM
+             |    (SELECT doc_id, unnest(w) AS term FROM d)
+             |  WHERE term IN ('spark', 'window', 'vector')),
+             |cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM tm GROUP BY term),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM tm GROUP BY 1, 2),
+             |p1 AS (SELECT doc_id,
+             |    sum(ln(1.0 + tf / (2000.0 * (cf / total)))) AS s
+             |  FROM tf JOIN cf USING (term), tot GROUP BY doc_id)
+             |SELECT dl.doc_id,
+             |  round(coalesce(s, 0.0) + 3.0 * ln(2000.0 / (dl + 2000.0)), 4) AS score
+             |FROM dl LEFT JOIN p1 USING (doc_id)
+             |ORDER BY score DESC, dl.doc_id LIMIT 20""".stripMargin)),
+
+    // ---- winsorized + trimmed means of document length per source:
+    // robust level stats over the q180 nearest-rank band machinery.
+    Q("q217_winsorized_stats",
+      (s, d) => graft.operators.Profiling.winsorizedStats(
+        t(s, d, "documents"), "source", "n_chars"),
+      Some("""WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+             |r AS (SELECT source, x,
+             |    row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n FROM b),
+             |bd AS (SELECT source,
+             |    max(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN x END) AS p10,
+             |    max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN x END) AS p90
+             |  FROM r GROUP BY source),
+             |j AS (SELECT b.source, x, p10, p90 FROM b JOIN bd USING (source))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean,
+             |  round(CAST(sum(least(greatest(x, p10), p90)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS winsorized_mean,
+             |  round(CAST(sum(CASE WHEN x >= p10 AND x <= p90 THEN x ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(CASE WHEN x >= p10 AND x <= p90 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS trimmed_mean
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,24 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("qlDirichlet: term-bearing docs outrank same-length term-free docs") {
+    val docs = ((1L to 5L).map(i => (i, "spark makes shuffles fly fast")) ++
+      (6L to 10L).map(i => (i, "plain filler words sit here idle")))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.qlDirichlet(docs, Seq("spark"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    (1L to 5L).foreach(i => (6L to 10L).foreach(j =>
+      assert(out(i) > out(j), s"doc $i must outrank $j")))
+  }
+
+  test("winsorizedStats: one extreme outlier moves the mean, not the robust means") {
+    val df = (("g", 1000000L) +: Seq.fill(99)(("g", 10L))).toDF("g", "x")
+    val r = Profiling.winsorizedStats(df, "g", "x").collect().head
+    assert(r.getAs[Double]("mean") > 10000.0)
+    assert(r.getAs[Double]("winsorized_mean") == 10.0)
+    assert(r.getAs[Double]("trimmed_mean") == 10.0)
+  }
+
   test("degreeAssortativity: star graph is perfectly disassortative") {
     // hub 0 - leaves 1..6: every edge pairs deg 6 with deg 1 -> r = -1
     val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
