@@ -418,6 +418,40 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Cohort LTV accumulation: users cohorted by first-seen week, value
+    * (converted to exact integer cents, `convertType` events only)
+    * summed per (cohort, age-in-weeks) cell and accumulated along age —
+    * the revenue twin of the q125 retention matrix, read as "how much
+    * has the week-W cohort spent by age A, per user".
+    *
+    * SCALE: the cohort assignment is one user-keyed aggregation; the
+    * cell grid is (weeks × weeks)-sized; the cumulative window is
+    * cohort-partitioned over ages. Cohort sizes re-enter as a
+    * broadcast. All sums exact integers; one division per output row. */
+  def cohortLtv(events: DataFrame, weekNs: Long = 604800L * 1000000000L,
+      convertType: String = "purchase"): DataFrame = {
+    val base = events.select(col("user_id"),
+      expr(s"ts div $weekNs").as("wk"),
+      when(col("event_type") === convertType,
+        round(col("value") * lit(100.0)).cast("long")).otherwise(lit(0L))
+        .as("cents"))
+    val cohort = base.groupBy("user_id").agg(min("wk").as("cw"))
+    val sized = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+    val cells = base.join(cohort, "user_id")
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("cw").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sized), "cw")
+      .select(col("cw").as("cohort_week"), col("age"), col("cents"),
+        col("cum_cents"), col("cohort_users"),
+        (round(col("cum_cents").cast("double") /
+          col("cohort_users").cast("double") * 1000000.0) / 1000000.0)
+          .as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "age")
+  }
+
   /** Market-basket lift between event types at SESSION granularity:
     * for each unordered type pair, lift = P(a,b)/(P(a)·P(b)) over
     * sessions (same 30-min-gap chain as [[sessionStats]]) — which

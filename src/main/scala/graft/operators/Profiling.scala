@@ -186,6 +186,34 @@ object Profiling {
     * lengths, is bounded regardless of corpus size), not over rows.
     * The single-partition window is domain-sized by construction and
     * documented as such. */
+  /** Join-key heavy-hitter report: the top-k keys of a prospective
+    * join/grouping column with each key's frequency share and the
+    * running cumulative share — the skew pre-check that says whether a
+    * plain hash join will hotspot (pair with the q82 salted join when
+    * the head share is large).
+    *
+    * SCALE: one map-side-combined count to a key-domain-sized table,
+    * TakeOrderedAndProject top-k cut, then windows over k rows only;
+    * the total re-enters as a single-row broadcast. */
+  def heavyHitters(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nt"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.join(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("key"), col("n"),
+        (round(col("n").cast("double") / col("nt").cast("double")
+          * 1000000.0) / 1000000.0).as("share"),
+        (round(col("cum_n").cast("double") / col("nt").cast("double")
+          * 1000000.0) / 1000000.0).as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** Winsorized + trimmed robust means per group: clamp (winsorize) or
     * drop (trim) values outside the nearest-rank [lo, hi] percentile
     * band before averaging — the tail-insensitive mean pair that

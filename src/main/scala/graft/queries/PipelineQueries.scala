@@ -4437,7 +4437,53 @@ object PipelineQueries {
              |  round(CAST(sum(CASE WHEN x >= p10 AND x <= p90 THEN x ELSE 0 END) AS DOUBLE)
              |    / CAST(sum(CASE WHEN x >= p10 AND x <= p90 THEN 1 ELSE 0 END) AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS trimmed_mean
-             |FROM j GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- cohort LTV accumulation: first-seen-week cohorts, purchase
+    // cents per (cohort, age) with the running per-user LTV curve.
+    Q("q218_cohort_ltv",
+      (s, d) => graft.operators.EventOps.cohortLtv(Tables.events(s, d)),
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END AS cents
+             |  FROM events),
+             |ch AS (SELECT user_id, min(wk) AS cw FROM b GROUP BY user_id),
+             |sz AS (SELECT cw, count(*) AS cohort_users FROM ch GROUP BY cw),
+             |cl AS (SELECT cw, wk - cw AS age, sum(cents) AS cents
+             |  FROM b JOIN ch USING (user_id) GROUP BY 1, 2),
+             |cm AS (SELECT cw, age, cents,
+             |    sum(cents) OVER (PARTITION BY cw ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+             |  FROM cl)
+             |SELECT cw AS cohort_week, age, CAST(cents AS BIGINT) AS cents,
+             |  CAST(cum_cents AS BIGINT) AS cum_cents,
+             |  CAST(cohort_users AS BIGINT) AS cohort_users,
+             |  round(CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS ltv_cents_per_user
+             |FROM cm JOIN sz USING (cw)
+             |ORDER BY cohort_week, age""".stripMargin)),
+
+    // ---- join-key skew report: top-20 l_partkey heavy hitters with
+    // share and cumulative share — the pre-join hotspot check that
+    // decides whether q82's salting is needed.
+    Q("q219_heavy_hitters",
+      (s, d) => graft.operators.Profiling.heavyHitters(
+        t(s, d, "lineitem"), "l_partkey", topK = 20),
+      Some("""WITH c AS (SELECT l_partkey AS key, count(*) AS n
+             |  FROM lineitem GROUP BY 1),
+             |tt AS (SELECT sum(n) AS nt FROM c),
+             |tp AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20),
+             |r AS (SELECT key, n,
+             |    row_number() OVER (ORDER BY n DESC, key) AS rank,
+             |    sum(n) OVER (ORDER BY n DESC, key
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+             |  FROM tp)
+             |SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS share,
+             |  round(CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS cum_share
+             |FROM r CROSS JOIN tt ORDER BY rank""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

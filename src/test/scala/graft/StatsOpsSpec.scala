@@ -50,6 +50,32 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("cohortLtv: cumulative cents accumulate along age within a cohort") {
+    val wk = 604800L * 1000000000L
+    // user 1 joins week 0, buys 100.00 in weeks 0 and 1
+    val evs = Seq(
+      (1L, 0L * wk, "purchase", 100.0), (1L, 1L * wk, "purchase", 100.0),
+      (2L, 0L * wk, "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventOps.cohortLtv(evs).collect()
+    val byAge = out.map(r => r.getLong(1) -> r).toMap
+    assert(byAge(0L).getAs[Long]("cum_cents") == 10000L)
+    assert(byAge(1L).getAs[Long]("cum_cents") == 20000L)
+    assert(byAge(1L).getAs[Double]("ltv_cents_per_user") == 10000.0,
+      "two users in the week-0 cohort")
+  }
+
+  test("heavyHitters: shares ordered, cumulative share is monotone and consistent") {
+    val df = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 20).map(i => s"cold$i")).toDF("k")
+    val out = Profiling.heavyHitters(df, "k", topK = 5).collect()
+    assert(out.head.getAs[String]("key") == "hot")
+    assert(out.head.getAs[Double]("share") == 0.5)
+    assert(out(1).getAs[Double]("cum_share") == 0.8)
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+  }
+
   test("qlDirichlet: term-bearing docs outrank same-length term-free docs") {
     val docs = ((1L to 5L).map(i => (i, "spark makes shuffles fly fast")) ++
       (6L to 10L).map(i => (i, "plain filler words sit here idle")))
