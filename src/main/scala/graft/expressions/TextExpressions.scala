@@ -346,6 +346,58 @@ object JaroWinkler {
       ColumnBridge.expression(b.cast("string"))))
 }
 
+/** Shannon entropy (nats) of a string's character distribution in ONE
+  * codegen'd pass: H = ln(n) − (Σ c·ln c)/n over codepoint counts —
+  * the scan-speed randomness signal (low = repeated-char spam /
+  * template runs, high = encrypted or binary-ish junk) that the
+  * declarative form would need a corpus×chars explode to express.
+  *
+  * The count fold iterates codepoints; the float fold then iterates
+  * counts in ASCENDING CODEPOINT order (TreeMap), so the double sum is
+  * order-deterministic here — the DuckDB oracle sums the same terms in
+  * its own group order, and the sub-ulp difference is absorbed by the
+  * registered query's 4 dp rounding (the q99/q115 precedent for ln
+  * folds). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CharEntropy.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharEntropy {
+  /** Called from generated code. */
+  def compute(s: UTF8String): Double = {
+    val js = s.toString
+    if (js.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      counts.merge(cp, 1L, (a, b) => a + b)
+    }
+    var s1 = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      s1 += c * math.log(c)
+    }
+    math.log(n.toDouble) - s1 / n.toDouble
+  }
+
+  def char_entropy(c: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c.cast("string"))))
+}
+
 /** Engine-portable hash idioms shared by the oracle-checked sketches. */
 object PortableHash {
   import org.apache.spark.sql.functions.{conv, md5, substring}

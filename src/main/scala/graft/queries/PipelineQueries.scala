@@ -4483,7 +4483,27 @@ object PipelineQueries {
              |    / 1000000.0 AS share,
              |  round(CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS cum_share
-             |FROM r CROSS JOIN tt ORDER BY rank""".stripMargin)))
+             |FROM r CROSS JOIN tt ORDER BY rank""".stripMargin)),
+
+    // ---- per-doc character entropy via the codegen'd CharEntropy
+    // expression — scan-speed randomness gate (no corpus×chars
+    // explode); band filter marks template spam (low) / junk (high).
+    Q("q220_char_entropy",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          (round(graft.expressions.CharEntropy.char_entropy(col("text"))
+            * 10000.0) / 10000.0).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents),
+             |g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+             |h AS (SELECT doc_id, sum(cnt) AS n,
+             |    sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s1
+             |  FROM g GROUP BY doc_id)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+             |  round((ln(CAST(n AS DOUBLE)) - s1 / CAST(n AS DOUBLE)) * 10000.0)
+             |    / 10000.0 AS entropy
+             |FROM h ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -39,7 +39,8 @@ class CodegenGuardSpec extends GraftSpec {
     "q134_gopher_rules",
     "q139_bloom_gated_dedup",  // bloom words array-literal probe
     "q140_hard_negatives",     // NearestCentroid2 reference-object kernel
-    "q171_jaro_winkler_match") // JaroWinkler codegen Expression
+    "q171_jaro_winkler_match", // JaroWinkler codegen Expression
+    "q220_char_entropy")       // CharEntropy codegen Expression
 
   test("register hot paths execute with codegen fallback disabled") {
     val conf = spark.conf

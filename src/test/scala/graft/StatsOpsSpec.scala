@@ -50,6 +50,17 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("charEntropy: closed-form values on degenerate and uniform strings") {
+    import graft.expressions.CharEntropy.char_entropy
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcdabcd"))
+      .toDF("id", "t")
+      .select(col("id"), char_entropy(col("t")).as("h")).collect()
+    val byId = df.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) == 0.0)
+    assert(math.abs(byId(2L) - math.log(2.0)) < 1e-12)
+    assert(math.abs(byId(3L) - math.log(4.0)) < 1e-12)
+  }
+
   test("cohortLtv: cumulative cents accumulate along age within a cohort") {
     val wk = 604800L * 1000000000L
     // user 1 joins week 0, buys 100.00 in weeks 0 and 1
