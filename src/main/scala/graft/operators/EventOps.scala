@@ -418,6 +418,47 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** First-touch / last-touch conversion attribution: every `convertType`
+    * event's value (exact cents) is credited to the user's FIRST
+    * preceding non-conversion event type ever (first-touch) and to the
+    * LAST one within `windowNs` (last-touch); conversions with no
+    * qualifying touch credit "direct". The two models aggregate to one
+    * (model, channel) report — the marketing-mix table every funnel
+    * review wants next to q117.
+    *
+    * SCALE: one user-keyed window pass (first/last ignore-nulls carry
+    * over the same (ts, seq) order the session chain uses), then a
+    * channel-domain-sized aggregation. No self-joins. */
+  def touchAttribution(events: DataFrame, windowNs: Long,
+      convertType: String = "purchase", valueCol: String = "value",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(col(tsCol), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convertType,
+      struct(col(tsCol).as("t"), col(seqCol).as("s"), col(typeCol).as("e")))
+    val tagged = events
+      .withColumn("_last", last(touch, ignoreNulls = true).over(byUser))
+      .withColumn("_first", first(touch, ignoreNulls = true).over(byUser))
+    val purch = tagged.where(col(typeCol) === convertType)
+      .select(
+        when(col("_last").isNotNull &&
+          col(tsCol) - col("_last.t") <= windowNs, col("_last.e"))
+          .otherwise(lit("direct")).as("last_touch"),
+        when(col("_first").isNotNull, col("_first.e"))
+          .otherwise(lit("direct")).as("first_touch"),
+        round(col(valueCol) * lit(100.0)).cast("long").as("cents"))
+    def agg(model: String, chan: Column): DataFrame =
+      purch.groupBy(chan.as("channel"))
+        .agg(count(lit(1)).as("conversions"), sum(col("cents")).as("cents"))
+        .select(lit(model).as("model"), col("channel"),
+          col("conversions"), col("cents"))
+    agg("first_touch", col("first_touch"))
+      .unionAll(agg("last_touch", col("last_touch")))
+      .orderBy("model", "channel")
+  }
+
   /** Cohort LTV accumulation: users cohorted by first-seen week, value
     * (converted to exact integer cents, `convertType` events only)
     * summed per (cohort, age-in-weeks) cell and accumulated along age —

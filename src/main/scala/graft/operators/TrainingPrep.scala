@@ -1341,6 +1341,53 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source token
+    * distributions over the shared top-`vocabK` corpus vocabulary —
+    * the symmetric, bounded [0, ln 2] drift matrix that says WHICH
+    * sources differ (q123's KL drift is one-vs-rest; this is
+    * all-pairs). Distributions are restricted to the fixed head vocab
+    * so the grid is (sources × vocabK)-bounded regardless of corpus
+    * size.
+    *
+    * Determinism: counts exact; each pair's JS sums 2·vocabK ln terms
+    * (display-rounded 4 dp — the ln-fold precedent); zero-count terms
+    * contribute 0 by the 0·ln 0 convention.
+    *
+    * SCALE: one tokenize to the vocab cut (TakeOrderedAndProject), one
+    * source×vocab dense grid (broadcast-built), a pair join keyed on
+    * term — everything after the scan is grid-sized. */
+  def jsDivergenceMatrix(docs: DataFrame, vocabK: Int = 50,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(srcCol).as("src"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabK)
+      .select("term")
+    val counts = toks.join(broadcast(vocab), Seq("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("c"))
+    val srcs = counts.select("src").distinct()
+    val dense = srcs.crossJoin(broadcast(vocab))
+      .join(counts, Seq("src", "term"), "left")
+      .select(col("src"), col("term"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy("src").agg(sum(col("c")).as("n"))
+    val withP = dense.join(broadcast(totals), "src")
+      .select(col("src"), col("term"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val pairs = withP.select(col("src").as("src_a"), col("term"),
+        col("p").as("pa"))
+      .join(withP.select(col("src").as("src_b"), col("term"),
+        col("p").as("pb")), Seq("term"))
+      .where(col("src_a") < col("src_b"))
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    val term = when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / m))
+      .otherwise(lit(0.0)) +
+      when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / m))
+        .otherwise(lit(0.0))
+    pairs.groupBy("src_a", "src_b")
+      .agg((round(sum(term) * 10000.0) / 10000.0).as("js"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     * Lafferty, SIGIR '01) — the language-modeling alternative to
     * [[bm25]]: score(d) = Σ_{w∈q} ln p(w|d) with

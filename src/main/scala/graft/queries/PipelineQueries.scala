@@ -4503,7 +4503,68 @@ object PipelineQueries {
              |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
              |  round((ln(CAST(n AS DOUBLE)) - s1 / CAST(n AS DOUBLE)) * 10000.0)
              |    / 10000.0 AS entropy
-             |FROM h ORDER BY doc_id""".stripMargin)))
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- pairwise Jensen-Shannon divergence between source token
+    // distributions over the shared top-50 vocab — the all-pairs drift
+    // matrix (q123's KL is one-vs-rest).
+    Q("q221_js_divergence",
+      (s, d) => graft.operators.TrainingPrep
+        .jsDivergenceMatrix(t(s, d, "documents"), vocabK = 50),
+      Some("""WITH tk AS (SELECT source AS src, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |vc AS (SELECT term FROM (
+             |  SELECT term, count(*) AS cnt FROM tk GROUP BY term
+             |  ORDER BY cnt DESC, term LIMIT 50)),
+             |ct AS (SELECT src, term, count(*) AS c FROM tk JOIN vc USING (term)
+             |       GROUP BY 1, 2),
+             |ss AS (SELECT DISTINCT src FROM ct),
+             |dn AS (SELECT s.src, v.term, coalesce(c.c, 0) AS c
+             |  FROM ss s CROSS JOIN vc v
+             |  LEFT JOIN ct c ON c.src = s.src AND c.term = v.term),
+             |tt AS (SELECT src, sum(c) AS n FROM dn GROUP BY src),
+             |wp AS (SELECT dn.src, term, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+             |       FROM dn JOIN tt USING (src)),
+             |pr AS (SELECT a.src AS src_a, b.src AS src_b, a.p AS pa, b.p AS pb
+             |       FROM wp a JOIN wp b USING (term) WHERE a.src < b.src)
+             |SELECT src_a, src_b,
+             |  round(sum(
+             |    CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END
+             |    + CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END
+             |  ) * 10000.0) / 10000.0 AS js
+             |FROM pr GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- first-/last-touch conversion attribution with a 7-day
+    // last-touch window: purchase cents credited per channel under both
+    // models — the marketing-mix table next to q117's funnel.
+    Q("q222_touch_attribution",
+      (s, d) => graft.operators.EventOps.touchAttribution(
+        Tables.events(s, d), windowNs = 7L * 86400 * 1000000000L),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |    epoch_ns(ts) AS tns FROM events),
+             |w0 AS (SELECT *,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN tns END
+             |      IGNORE NULLS) OVER w AS lt_t,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER w AS lt_e,
+             |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER w AS ft_e
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |p AS (SELECT
+             |    CASE WHEN lt_e IS NOT NULL AND tns - lt_t <= 604800000000000
+             |      THEN lt_e ELSE 'direct' END AS last_touch,
+             |    CASE WHEN ft_e IS NOT NULL THEN ft_e ELSE 'direct' END AS first_touch,
+             |    CAST(round(value * 100.0) AS BIGINT) AS cents
+             |  FROM w0 WHERE event_type = 'purchase')
+             |SELECT * FROM (
+             |  SELECT 'first_touch' AS model, first_touch AS channel,
+             |    CAST(count(*) AS BIGINT) AS conversions,
+             |    CAST(sum(cents) AS BIGINT) AS cents FROM p GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'last_touch', last_touch, CAST(count(*) AS BIGINT),
+             |    CAST(sum(cents) AS BIGINT) FROM p GROUP BY 2)
+             |ORDER BY model, channel""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,36 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("jsDivergenceMatrix: identical sources diverge 0, disjoint sources ln 2") {
+    val docs = ((1L to 10L).map(i => (i, "s1", "alpha beta gamma")) ++
+      (11L to 20L).map(i => (i, "s2", "alpha beta gamma")) ++
+      (21L to 30L).map(i => (i, "s3", "delta epsilon zeta")))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingPrep.jsDivergenceMatrix(docs, vocabK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("js")).toMap
+    assert(out(("s1", "s2")) == 0.0)
+    assert(math.abs(out(("s1", "s3")) - math.log(2.0)) < 1e-3,
+      "disjoint supports hit the JS upper bound ln 2")
+  }
+
+  test("touchAttribution: last-touch window expires to direct; first-touch sticks") {
+    val day = 86400L * 1000000000L
+    val evs = Seq(
+      // user 1: view then purchase next day -> last=view, first=view
+      (1L, 1L, "view", 0.0, 0L), (2L, 1L, "purchase", 50.0, day),
+      // user 2: click, then purchase 30 days later -> last=direct, first=click
+      (3L, 2L, "click", 0.0, 0L), (4L, 2L, "purchase", 20.0, 30L * day))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventOps.touchAttribution(evs, windowNs = 7L * day)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("conversions"), r.getAs[Long]("cents"))).toMap
+    assert(out(("last_touch", "view")) == ((1L, 5000L)))
+    assert(out(("last_touch", "direct")) == ((1L, 2000L)))
+    assert(out(("first_touch", "view")) == ((1L, 5000L)))
+    assert(out(("first_touch", "click")) == ((1L, 2000L)))
+  }
+
   test("charEntropy: closed-form values on degenerate and uniform strings") {
     import graft.expressions.CharEntropy.char_entropy
     val df = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcdabcd"))
