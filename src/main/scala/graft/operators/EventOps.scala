@@ -418,6 +418,32 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Day-of-week load profile over the dense daily series: events and
+    * active days per weekday slot, the per-day mean, and the index vs
+    * the grand daily mean (1.0 = flat; a lopsided index = weekly
+    * seasonality worth modeling before any anomaly gate). Weekday is
+    * epoch-day mod 7 — a fixed, engine-portable labeling (slot 0 =
+    * Thursday for the Unix epoch; the INDEX shape is what matters).
+    *
+    * SCALE: one corpus pass to the day table; everything after is
+    * 7-row work. All counts exact; two divisions per output row. */
+  def weekdayProfile(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dense = denseDailyCounts(events, dayNs)
+    val tot = dense.agg(sum(col("c")).as("s"), count(lit(1)).as("t"))
+    dense.select(pmod(col("day"), lit(7L)).as("dow"), col("c"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("events"))
+      .join(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("events"),
+        (round(col("events").cast("double") / col("n_days").cast("double")
+          * 1000000.0) / 1000000.0).as("mean_per_day"),
+        (round(col("events").cast("double") / col("n_days").cast("double")
+          / (col("s").cast("double") / col("t").cast("double"))
+          * 1000000.0) / 1000000.0).as("index_vs_grand"))
+      .orderBy("dow")
+  }
+
   /** First-touch / last-touch conversion attribution: every `convertType`
     * event's value (exact cents) is credited to the user's FIRST
     * preceding non-conversion event type ever (first-touch) and to the

@@ -186,6 +186,39 @@ object Profiling {
     * lengths, is bounded regardless of corpus size), not over rows.
     * The single-partition window is domain-sized by construction and
     * documented as such. */
+  /** Cohen's kappa between two categorical columns (rater A vs rater B
+    * — a model's predictions vs labels, or two models): agreement
+    * corrected for chance, κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    * marginal products. The single scalar that says whether q184's
+    * confusion matrix is better than a majority-class coin.
+    *
+    * Determinism: all cells/marginals exact integers; Σ n_a·n_b
+    * accumulates in decimal(38,0); p_o, p_e and κ are a fixed IEEE
+    * chain at the single-row output.
+    *
+    * SCALE: two map-side-combined label-domain-sized aggregations over
+    * one projection; marginal join at label-domain size. */
+  def cohenKappa(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(aCol.as("a"), bCol.as("b"))
+    val ma = base.groupBy("a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("b").agg(count(lit(1)).as("nb"))
+    val diag = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val pe = ma.join(mb, col("a") === col("b"))
+      .agg(sum(col("na").cast(dec) * col("nb").cast(dec)).as("sab"))
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val peD = col("sab").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    diag.join(broadcast(pe))
+      .select(col("n"), col("agree"),
+        (round(po * 1000000.0) / 1000000.0).as("po"),
+        (round(peD * 1000000.0) / 1000000.0).as("pe"),
+        (round((po - peD) / (lit(1.0) - peD) * 1000000.0) / 1000000.0)
+          .as("kappa"))
+  }
+
   /** Join-key heavy-hitter report: the top-k keys of a prospective
     * join/grouping column with each key's frequency share and the
     * running cumulative share — the skew pre-check that says whether a

@@ -58,6 +58,38 @@ object Ranking {
     *
     * SCALE: one shuffle to rank within groups (group-sized windows,
     * keyed), one map-side-combined aggregation per group. */
+  /** Generic basket co-occurrence: top-k unordered item pairs sharing a
+    * group (order, session, document), with per-pair lift against the
+    * item marginals — [[graft.operators.EventOps.sessionLift]]'s fold
+    * without the sessionization, applicable to any (group, item)
+    * relation (orders×parts, docs×entities).
+    *
+    * SCALE: presence dedups map-side to (group, item); the pair
+    * self-join is group-keyed and emits ≤ basket² rows per group
+    * (baskets are human-sized by assumption — document if not);
+    * marginals and the group total re-enter as broadcasts; top-k cuts
+    * with TakeOrderedAndProject on the exact pair count. */
+  def cooccurrencePairs(df: DataFrame, groupCol: Column, itemCol: Column,
+      topK: Int = 20): DataFrame = {
+    val pres = df.select(groupCol.as("g"), itemCol.as("i")).distinct()
+    val tot = pres.select("g").distinct().agg(count(lit(1)).as("ng"))
+    val singles = pres.groupBy("i").agg(count(lit(1)).as("ni"))
+    val pairs = pres.select(col("g"), col("i").as("ia"))
+      .join(pres.select(col("g"), col("i").as("ib")), Seq("g"))
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("ia"), col("ib")).limit(topK)
+    pairs
+      .join(broadcast(singles.select(col("i").as("ia"), col("ni").as("na"))), "ia")
+      .join(broadcast(singles.select(col("i").as("ib"), col("ni").as("nb"))), "ib")
+      .join(broadcast(tot))
+      .select(col("ia"), col("ib"), col("n_ab"), col("na"), col("nb"),
+        (round(col("n_ab").cast("double") * col("ng").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))
+          * 1000000.0) / 1000000.0).as("lift"))
+      .orderBy(col("n_ab").desc, col("ia"), col("ib"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09) of
     * several ranked retrieval lists: each list contributes
     * 1/(k + rank) per id, sums fused, top-k re-ranked — the robust,

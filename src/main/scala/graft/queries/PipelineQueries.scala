@@ -4564,7 +4564,89 @@ object PipelineQueries {
              |  UNION ALL
              |  SELECT 'last_touch', last_touch, CAST(count(*) AS BIGINT),
              |    CAST(sum(cents) AS BIGINT) FROM p GROUP BY 2)
-             |ORDER BY model, channel""".stripMargin)))
+             |ORDER BY model, channel""".stripMargin)),
+
+    // ---- day-of-week load profile over the dense daily series: the
+    // weekly-seasonality index every anomaly gate should see first.
+    Q("q223_weekday_profile",
+      (s, d) => graft.operators.EventOps.weekdayProfile(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT sum(c) AS s, count(*) AS t FROM d),
+             |g AS (SELECT day % 7 AS dow, count(*) AS n_days, sum(c) AS events
+             |  FROM d GROUP BY 1)
+             |SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(events AS BIGINT) AS events,
+             |  round(CAST(events AS DOUBLE) / CAST(n_days AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean_per_day,
+             |  round(CAST(events AS DOUBLE) / CAST(n_days AS DOUBLE)
+             |    / (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS index_vs_grand
+             |FROM g CROSS JOIN tt ORDER BY dow""".stripMargin)),
+
+    // ---- order-basket part co-occurrence: top-20 part pairs bought
+    // together with lift — market-basket at order granularity (q211 is
+    // the session twin).
+    Q("q224_basket_pairs",
+      (s, d) => graft.operators.Ranking.cooccurrencePairs(
+        t(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"), topK = 20),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+             |  FROM lineitem),
+             |tt AS (SELECT count(*) AS ng FROM (SELECT DISTINCT g FROM p)),
+             |sg AS (SELECT i, count(*) AS ni FROM p GROUP BY i),
+             |pr AS (SELECT a.i AS ia, b.i AS ib, count(*) AS n_ab
+             |       FROM p a JOIN p b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+             |tp AS (SELECT ia, ib, n_ab FROM pr
+             |       ORDER BY n_ab DESC, ia, ib LIMIT 20)
+             |SELECT ia, ib, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(sa.ni AS BIGINT) AS na, CAST(sb.ni AS BIGINT) AS nb,
+             |  round(CAST(n_ab AS DOUBLE) * CAST(ng AS DOUBLE)
+             |    / (CAST(sa.ni AS DOUBLE) * CAST(sb.ni AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS lift
+             |FROM tp JOIN sg sa ON sa.i = tp.ia JOIN sg sb ON sb.i = tp.ib
+             |  CROSS JOIN tt
+             |ORDER BY n_ab DESC, ia, ib""".stripMargin)),
+
+    // ---- Cohen's kappa: the q28 stopword-profile language heuristic
+    // against the true label — chance-corrected agreement in one row.
+    Q("q225_cohen_kappa",
+      (s, d) => graft.operators.Profiling.cohenKappa(
+        t(s, d, "documents").select(
+          graft.operators.TextAnalysis.langId(col("text")).as("pred"),
+          col("lang")),
+        col("pred"), col("lang")),
+      Some("""WITH sc AS (SELECT lang,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS s_es,
+             |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr
+             |  FROM documents),
+             |pd AS (SELECT CASE
+             |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             |    ELSE 'fr' END AS a, lang AS b FROM sc),
+             |ma AS (SELECT a, count(*) AS na FROM pd GROUP BY a),
+             |mb AS (SELECT b, count(*) AS nb FROM pd GROUP BY b),
+             |dg AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM pd),
+             |pe AS (SELECT sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS sab
+             |       FROM ma JOIN mb ON ma.a = mb.b)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+             |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS po,
+             |  round(CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS pe,
+             |  round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |    / (1.0 - CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS kappa
+             |FROM dg CROSS JOIN pe""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

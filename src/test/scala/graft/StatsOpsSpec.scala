@@ -50,6 +50,29 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("cohenKappa: perfect agreement is 1; independent raters near 0") {
+    val perfect = (1 to 100).map(i => (s"l${i % 4}", s"l${i % 4}"))
+      .toDF("a", "b")
+    assert(Profiling.cohenKappa(perfect, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    val indep = (0 until 400).map(i => (s"l${i % 2}", s"l${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val k = Profiling.cohenKappa(indep, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa")
+    assert(math.abs(k) < 1e-9, s"chance-level agreement must score ~0, got $k")
+  }
+
+  test("cooccurrencePairs: planted always-together pair tops the list with max lift") {
+    val rows = (1L to 30L).flatMap(g => Seq((g, "x"), (g, "y"))) ++
+      (1L to 30L).map(g => (g, s"z${g % 10}"))
+    val out = Ranking.cooccurrencePairs(rows.toDF("g", "i"),
+      col("g"), col("i"), topK = 5).collect()
+    assert(out.head.getString(0) == "x" && out.head.getString(1) == "y")
+    assert(out.head.getAs[Long]("n_ab") == 30L)
+    assert(out.head.getAs[Double]("lift") == 1.0,
+      "x and y are in every basket: lift exactly 1")
+  }
+
   test("jsDivergenceMatrix: identical sources diverge 0, disjoint sources ln 2") {
     val docs = ((1L to 10L).map(i => (i, "s1", "alpha beta gamma")) ++
       (11L to 20L).map(i => (i, "s2", "alpha beta gamma")) ++
