@@ -418,6 +418,57 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Weekly engagement stickiness: per week, the weekly-active-user
+    * count, the average daily-active-user count over the week's active
+    * span, and the DAU/WAU ratio — the product-health scalar ("how many
+    * of this week's users show up on a given day").
+    *
+    * SCALE: two exact-distinct aggregations (day-keyed and week-keyed)
+    * over one projection; the join is week-keyed. */
+  def stickiness(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val base = events.select(expr(s"ts div $dayNs").as("day"),
+      col("user_id"))
+    val daily = base.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("active_days"), sum(col("dau")).as("dau_sum"))
+    val weekly = base.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.join(weekly, "week")
+      .select(col("week"), col("active_days"), col("wau"),
+        (round(col("dau_sum").cast("double") /
+          col("active_days").cast("double") * 1000000.0) / 1000000.0)
+          .as("dau_avg"),
+        (round(col("dau_sum").cast("double") /
+          col("active_days").cast("double") / col("wau").cast("double")
+          * 1000000.0) / 1000000.0).as("stickiness"))
+      .orderBy("week")
+  }
+
+  /** New vs returning weekly actives: each week's distinct users split
+    * by whether this is their first-seen week — the growth-mix row
+    * (is the product acquiring or retaining?) next to [[cohortLtv]].
+    *
+    * SCALE: one user-keyed first-seen aggregation, one (week, user)
+    * distinct, a user-keyed join, a week-sized output. */
+  def newVsReturning(events: DataFrame,
+      weekNs: Long = 604800L * 1000000000L): DataFrame = {
+    val base = events.select(expr(s"ts div $weekNs").as("wk"),
+      col("user_id")).distinct()
+    val first = base.groupBy("user_id").agg(min("wk").as("fw"))
+    base.join(first, "user_id")
+      .groupBy("wk")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("wk") === col("fw"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("wk").as("week"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        (round(col("new_users").cast("double") /
+          col("active_users").cast("double") * 1000000.0) / 1000000.0)
+          .as("new_frac"))
+      .orderBy("week")
+  }
+
   /** Day-of-week load profile over the dense daily series: events and
     * active days per weekday slot, the per-day mean, and the index vs
     * the grand daily mean (1.0 = flat; a lopsided index = weekly

@@ -1341,6 +1341,42 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Per-source signature terms: for every source, the top-`perSource`
+    * terms by source-frequency × ln(S/df_sources) — tf-idf computed at
+    * SOURCE granularity, so a term scores high when one source uses it
+    * heavily and few other sources use it at all. The qualitative
+    * companion to [[jsDivergenceMatrix]]: the matrix says sources
+    * differ, this names the words that make them differ.
+    *
+    * Determinism: tf and the source-document-frequency are exact
+    * integers; the score is one multiply of an exact int against one
+    * ln of an exact ratio, ranked on the ROUNDED value with a term
+    * tiebreak.
+    *
+    * SCALE: one tokenize into a (source × vocab)-sized aggregate; df
+    * aggregates from that same table; the per-source top-k is a
+    * source-partitioned window over the vocab slice. */
+  def sourceSignatures(docs: DataFrame, perSource: Int = 5,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(srcCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSrc = tf.select("src").distinct().agg(count(lit(1)).as("s"))
+    val score = round(col("tf").cast("double") *
+      log(col("s").cast("double") / col("df").cast("double")) * 10000.0) /
+      10000.0
+    val byScore = Window.partitionBy("src")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").join(broadcast(nSrc))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .where(col("rnk") <= perSource)
+      .select(col("src").as("source"), col("rnk"), col("term"),
+        col("tf"), col("df").as("df_sources"), col("score"))
+      .orderBy("source", "rnk")
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source token
     * distributions over the shared top-`vocabK` corpus vocabulary —
     * the symmetric, bounded [0, ln 2] drift matrix that says WHICH

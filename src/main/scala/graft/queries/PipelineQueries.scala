@@ -4646,7 +4646,63 @@ object PipelineQueries {
              |      - CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
              |    / (1.0 - CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
              |    * 1000000.0) / 1000000.0 AS kappa
-             |FROM dg CROSS JOIN pe""".stripMargin)))
+             |FROM dg CROSS JOIN pe""".stripMargin)),
+
+    // ---- per-source signature terms: source-level tf-idf — the words
+    // that make each source different (q221 names the pairs, this
+    // names the vocabulary).
+    Q("q226_source_signatures",
+      (s, d) => graft.operators.TrainingPrep
+        .sourceSignatures(t(s, d, "documents"), perSource = 5),
+      Some("""WITH tf AS (SELECT source AS src, term, count(*) AS tf FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |ns AS (SELECT count(DISTINCT src) AS s FROM tf),
+             |sc AS (SELECT src, term, tf, df,
+             |    round(CAST(tf AS DOUBLE) * ln(CAST(s AS DOUBLE) / CAST(df AS DOUBLE))
+             |      * 10000.0) / 10000.0 AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN ns),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY src ORDER BY score DESC, term) AS rnk FROM sc)
+             |SELECT src AS source, CAST(rnk AS BIGINT) AS rnk, term,
+             |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df_sources, score
+             |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)),
+
+    // ---- weekly stickiness: WAU, average DAU over the active span,
+    // and the DAU/WAU ratio per week.
+    Q("q227_stickiness",
+      (s, d) => graft.operators.EventOps.stickiness(Tables.events(s, d)),
+      Some("""WITH b AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+             |  FROM events),
+             |dd AS (SELECT day, count(DISTINCT user_id) AS dau FROM b GROUP BY day),
+             |dw AS (SELECT day // 7 AS week, count(*) AS active_days,
+             |    sum(dau) AS dau_sum FROM dd GROUP BY 1),
+             |ww AS (SELECT day // 7 AS week, count(DISTINCT user_id) AS wau
+             |  FROM b GROUP BY 1)
+             |SELECT week, CAST(active_days AS BIGINT) AS active_days,
+             |  CAST(wau AS BIGINT) AS wau,
+             |  round(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS dau_avg,
+             |  round(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE)
+             |    / CAST(wau AS DOUBLE) * 1000000.0) / 1000000.0 AS stickiness
+             |FROM dw JOIN ww USING (week) ORDER BY week""".stripMargin)),
+
+    // ---- new vs returning weekly actives: the acquisition/retention
+    // mix per week.
+    Q("q228_new_vs_returning",
+      (s, d) => graft.operators.EventOps.newVsReturning(Tables.events(s, d)),
+      Some("""WITH b AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS fw FROM b GROUP BY user_id)
+             |SELECT wk AS week, CAST(count(*) AS BIGINT) AS active_users,
+             |  CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             |  CAST(count(*) - sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS returning_users,
+             |  round(CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS new_frac
+             |FROM b JOIN f USING (user_id)
+             |GROUP BY wk ORDER BY week""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

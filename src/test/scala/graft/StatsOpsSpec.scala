@@ -50,6 +50,38 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("sourceSignatures: a source-exclusive heavy term tops its source") {
+    val docs = ((1L to 10L).map(i => (i, "sA", "quark quark shared words")) ++
+      (11L to 20L).map(i => (i, "sB", "gluon shared words here")))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingPrep.sourceSignatures(docs, perSource = 2).collect()
+    val top = out.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(top("sA") == "quark" && top("sB") == "gluon")
+    assert(out.filter(r => r.getString(2) == "shared")
+      .forall(_.getAs[Double]("score") == 0.0),
+      "a term in every source has ln(S/df) = 0")
+  }
+
+  test("stickiness and newVsReturning: identities on a planted two-week log") {
+    val day = 86400L * 1000000000L
+    // week 0: users 1,2 active every day of a 7-day span; week 1: user 1 only, 1 day
+    val evs = ((0 until 7).flatMap(dd => Seq((1L, dd * day), (2L, dd * day))) ++
+      Seq((1L, 7L * day)))
+      .zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val st = EventOps.stickiness(evs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(0L).getAs[Long]("wau") == 2L)
+    assert(st(0L).getAs[Double]("stickiness") == 1.0,
+      "both users active all 7 days")
+    val nr = EventOps.newVsReturning(evs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nr(0L).getAs[Long]("new_users") == 2L)
+    assert(nr(1L).getAs[Long]("returning_users") == 1L &&
+      nr(1L).getAs[Long]("new_users") == 0L)
+  }
+
   test("cohenKappa: perfect agreement is 1; independent raters near 0") {
     val perfect = (1 to 100).map(i => (s"l${i % 4}", s"l${i % 4}"))
       .toDF("a", "b")
