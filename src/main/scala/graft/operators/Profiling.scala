@@ -186,6 +186,78 @@ object Profiling {
     * lengths, is bounded regardless of corpus size), not over rows.
     * The single-partition window is domain-sized by construction and
     * documented as such. */
+  /** Weighted nearest-rank quantiles per group: the smallest value v
+    * whose cumulative WEIGHT reaches p·W — e.g. token-weighted document
+    * length percentiles ("the median token lives in docs this long"),
+    * where the unweighted [[rankPercentiles]] would report the median
+    * DOCUMENT instead. Boundaries are corpus values; the comparison
+    * cumw ≥ p·W pits an exact integer (cast double) against one
+    * product — engine-exact.
+    *
+    * SCALE: value-keyed weight aggregation first (map-side combined,
+    * domain-sized), then the cumulative window per group over distinct
+    * values only. */
+  def weightedQuantiles(df: DataFrame, gCol: String, xCol: String,
+      wCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1.0))
+    val byV = df.select(col(gCol), col(xCol).cast("long").as("x"),
+        col(wCol).cast("long").as("w"))
+      .groupBy(gCol, "x").agg(sum(col("w")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCol).orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(gCol)
+    val cum = byV.withColumn("cumw", sum(col("w")).over(win))
+      .withColumn("tw", sum(col("w")).over(tot))
+    val bands = ps.map(p => min(when(
+      col("cumw").cast("double") >= lit(p) * col("tw").cast("double"),
+      col("x"))).as("wp" + math.round(p * 100)))
+    cum.groupBy(gCol)
+      .agg(max(col("tw")).as("total_weight"), bands: _*)
+      .orderBy(gCol)
+  }
+
+  /** Decile gains table for a scored binary classifier: rows ranked by
+    * score (ties broken by id for a total order), cut into 10 equal-
+    * count bands by nearest rank, each reporting its positive count,
+    * rate, and the cumulative capture of all positives — the marketing
+    * "gains chart" / model-lift view that P-R curves (q183) don't give.
+    *
+    * Determinism: band assignment is ceil(10·rank/n) on exact integers
+    * (the nearest-rank convention); everything downstream is exact
+    * counts; rates are single divisions at the 10-row output.
+    *
+    * SCALE: one global rank over the SCORED EVALUATION SET (eval-sized
+    * by contract, the q186 argument), then 10-row work. */
+  def gainsTable(scored: DataFrame, labelCol: String = "y",
+      scoreCol: String = "score", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val n = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ranked = scored
+      .select(col(idCol), col(labelCol).cast("long").as("yy"),
+        col(scoreCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(n))
+    val banded = ranked
+      .select(ceil(lit(10L) * col("rnk") / col("nn")).cast("long")
+        .as("decile"), col("yy"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("yy")).as("positives"))
+    val totPos = banded.agg(sum(col("positives")).as("tp"))
+    val cw = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    banded.withColumn("cum_pos", sum(col("positives")).over(cw))
+      .join(broadcast(totPos))
+      .select(col("decile"), col("n"), col("positives"),
+        (round(col("positives").cast("double") / col("n").cast("double")
+          * 1000000.0) / 1000000.0).as("rate"),
+        (round(col("cum_pos").cast("double") / col("tp").cast("double")
+          * 1000000.0) / 1000000.0).as("cum_capture"))
+      .orderBy("decile")
+  }
+
   /** Cohen's kappa between two categorical columns (rater A vs rater B
     * — a model's predictions vs labels, or two models): agreement
     * corrected for chance, κ = (p_o − p_e)/(1 − p_e) with p_e from the

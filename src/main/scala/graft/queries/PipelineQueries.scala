@@ -4702,7 +4702,67 @@ object PipelineQueries {
              |  round(CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS new_frac
              |FROM b JOIN f USING (user_id)
-             |GROUP BY wk ORDER BY week""".stripMargin)))
+             |GROUP BY wk ORDER BY week""".stripMargin)),
+
+    // ---- token-weighted document-length percentiles per source: the
+    // length of the doc the MEDIAN TOKEN lives in (unweighted medians
+    // report the median document instead).
+    Q("q229_weighted_quantiles",
+      (s, d) => graft.operators.Profiling.weightedQuantiles(
+        t(s, d, "documents").select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).as("w")),
+        "source", "n_chars", "w", Seq(0.5, 0.9)),
+      Some("""WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+             |v AS (SELECT source, x, sum(w) AS w FROM b GROUP BY 1, 2),
+             |c AS (SELECT source, x, w,
+             |    sum(w) OVER (PARTITION BY source ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             |    sum(w) OVER (PARTITION BY source) AS tw FROM v)
+             |SELECT source, CAST(max(tw) AS BIGINT) AS total_weight,
+             |  CAST(min(CASE WHEN CAST(cumw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+             |    THEN x END) AS BIGINT) AS wp50,
+             |  CAST(min(CASE WHEN CAST(cumw AS DOUBLE) >= 0.9 * CAST(tw AS DOUBLE)
+             |    THEN x END) AS BIGINT) AS wp90
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- decile gains table for the trained quality classifier: per
+    // score decile the positive rate and cumulative capture — the
+    // model-lift view next to q183's P-R sweep.
+    Q("q230_gains_table",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val labeled = docs.withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        val scored = graft.operators.QualityClassifier
+          .score(docs, logregModel(docs))
+          .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+        graft.operators.Profiling.gainsTable(scored)
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |sc AS (SELECT doc_id, y,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin),
+              |r AS (SELECT doc_id, y, score,
+              |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+              |    count(*) OVER () AS nn FROM sc),
+              |bd AS (SELECT CAST(ceil(10 * rnk / nn) AS BIGINT) AS decile, y FROM r),
+              |g AS (SELECT decile, count(*) AS n, sum(y) AS positives
+              |      FROM bd GROUP BY decile),
+              |tp AS (SELECT sum(positives) AS tp FROM g),
+              |c AS (SELECT decile, n, positives,
+              |    sum(positives) OVER (ORDER BY decile
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              |  FROM g)
+              |SELECT decile, CAST(n AS BIGINT) AS n,
+              |  CAST(positives AS BIGINT) AS positives,
+              |  round(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+              |    / 1000000.0 AS rate,
+              |  round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) * 1000000.0)
+              |    / 1000000.0 AS cum_capture
+              |FROM c CROSS JOIN tp ORDER BY decile""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,29 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("weightedQuantiles: weight mass relocates the median away from the row median") {
+    // 9 rows of x=10 with weight 1, 1 row of x=100 with weight 91
+    val df = ((1 to 9).map(_ => ("g", 10L, 1L)) :+ (("g", 100L, 91L)))
+      .toDF("g", "x", "w")
+    val r = Profiling.weightedQuantiles(df, "g", "x", "w", Seq(0.5))
+      .collect().head
+    assert(r.getAs[Long]("total_weight") == 100L)
+    assert(r.getAs[Long]("wp50") == 100L,
+      "91% of the weight sits at x=100, so the weighted median is 100")
+  }
+
+  test("gainsTable: a perfect scorer captures all positives in the top deciles") {
+    val scored = (1L to 100L).map(i =>
+      (i, if (i <= 20) 1L else 0L, 1.0 - i.toDouble / 100.0))
+      .toDF("doc_id", "y", "score")
+    val out = Profiling.gainsTable(scored).collect()
+    assert(out.length == 10)
+    assert(out.head.getAs[Double]("rate") == 1.0)
+    assert(out(1).getAs[Double]("cum_capture") == 1.0,
+      "all 20 positives live in deciles 1-2")
+    assert(out.map(_.getAs[Long]("n")).forall(_ == 10L))
+  }
+
   test("sourceSignatures: a source-exclusive heavy term tops its source") {
     val docs = ((1L to 10L).map(i => (i, "sA", "quark quark shared words")) ++
       (11L to 20L).map(i => (i, "sB", "gluon shared words here")))
