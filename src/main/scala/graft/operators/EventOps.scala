@@ -418,6 +418,64 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Kaplan–Meier survival curve for entry→conversion durations with
+    * right-censoring: per user, time from first `entryType` to first
+    * subsequent `conversionType` (event) or to their last activity
+    * (censored); at each distinct duration d (in days),
+    * S(d) = Π_{d'≤d} (1 − e_{d'}/n_{d'}) over event-bearing times —
+    * the censoring-correct answer to "what fraction converts within
+    * t?", which q192's completed-only bands overstate.
+    *
+    * Determinism: durations, event/censor counts and at-risk counts
+    * are exact integers; the product runs as exp(Σ ln(1 − e/n)) with
+    * the Σ a CUMULATIVE WINDOW over the sorted duration domain — a
+    * fixed summation order, so both engines fold identical doubles
+    * (display-rounded 1e-6).
+    *
+    * SCALE: two user-keyed aggregations and one keyed join build the
+    * per-user duration row; everything after is duration-domain-sized
+    * (the single-partition window is domain-bounded, documented). */
+  def kaplanMeier(events: DataFrame, entryType: String = "view",
+      conversionType: String = "purchase",
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val entry = events.groupBy("user_id").agg(
+      min(when(col("event_type") === entryType, col("ts"))).as("t0"),
+      max(col("ts")).as("tmax"))
+      .where(col("t0").isNotNull)
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), col("ts"))
+      .join(entry.select("user_id", "t0"), "user_id")
+      .where(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    val dur = entry.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $dayNs"))
+          .otherwise(expr(s"(tmax - t0) div $dayNs")).as("dur"),
+        col("tp").isNotNull.cast("long").as("ev"))
+    val cell = dur.groupBy("dur")
+      .agg(sum(col("ev")).as("e"), sum(lit(1L) - col("ev")).as("c"))
+    val tot = cell.agg(sum(col("e") + col("c")).as("n"))
+    val prior = org.apache.spark.sql.expressions.Window.orderBy("dur")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upto = org.apache.spark.sql.expressions.Window.orderBy("dur")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val risk = col("n") - coalesce(sum(col("e") + col("c")).over(prior), lit(0L))
+    // e == n_risk means everyone still at risk converts here: S hits an
+    // absorbing 0 (ln would be -inf) — carried as an explicit flag.
+    val term = when(col("e") > 0 && col("e") < col("n_risk"),
+      log(lit(1.0) - col("e").cast("double") / col("n_risk").cast("double")))
+      .otherwise(lit(0.0))
+    val dead = sum(when(col("e") === col("n_risk"), 1L).otherwise(0L))
+      .over(upto)
+    cell.join(broadcast(tot))
+      .withColumn("n_risk", risk)
+      .withColumn("survival", when(dead > 0, lit(0.0)).otherwise(
+        round(exp(sum(term).over(upto)) * 1000000.0) / 1000000.0))
+      .select(col("dur").as("duration_days"), col("n_risk"),
+        col("e").as("events"), col("c").as("censored"), col("survival"))
+      .orderBy("duration_days")
+  }
+
   /** Weekly engagement stickiness: per week, the weekly-active-user
     * count, the average daily-active-user count over the week's active
     * span, and the DAU/WAU ratio — the product-health scalar ("how many

@@ -4762,7 +4762,45 @@ object PipelineQueries {
               |    / 1000000.0 AS rate,
               |  round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) * 1000000.0)
               |    / 1000000.0 AS cum_capture
-              |FROM c CROSS JOIN tp ORDER BY decile""".stripMargin)))
+              |FROM c CROSS JOIN tp ORDER BY decile""".stripMargin)),
+
+    // ---- Kaplan-Meier view->purchase survival with right-censoring:
+    // the censoring-correct "fraction converted by day t" curve.
+    Q("q231_kaplan_meier",
+      (s, d) => graft.operators.EventOps.kaplanMeier(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+             |en AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN tns END) AS t0,
+             |    max(tns) AS tmax
+             |  FROM e GROUP BY user_id
+             |  HAVING min(CASE WHEN event_type = 'view' THEN tns END) IS NOT NULL),
+             |cv AS (SELECT e.user_id, min(tns) AS tp
+             |  FROM e JOIN en USING (user_id)
+             |  WHERE event_type = 'purchase' AND tns >= t0 GROUP BY e.user_id),
+             |du AS (SELECT en.user_id,
+             |    CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+             |         ELSE (tmax - t0) // 86400000000000 END AS dur,
+             |    CAST(tp IS NOT NULL AS BIGINT) AS ev
+             |  FROM en LEFT JOIN cv USING (user_id)),
+             |cl AS (SELECT dur, sum(ev) AS e, sum(1 - ev) AS c FROM du GROUP BY dur),
+             |tt AS (SELECT sum(e + c) AS n FROM cl),
+             |rk AS (SELECT dur, e, c, n,
+             |    n - coalesce(sum(e + c) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM cl CROSS JOIN tt),
+             |sv AS (SELECT dur, n_risk, e, c,
+             |    CASE WHEN sum(CASE WHEN e = n_risk THEN 1 ELSE 0 END)
+             |        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+             |      THEN 0.0
+             |      ELSE round(exp(sum(CASE WHEN e > 0 AND e < n_risk
+             |        THEN ln(1.0 - CAST(e AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |        ELSE 0.0 END)
+             |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      * 1000000.0) / 1000000.0 END AS survival
+             |  FROM rk)
+             |SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(e AS BIGINT) AS events, CAST(c AS BIGINT) AS censored, survival
+             |FROM sv ORDER BY duration_days""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,25 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("kaplanMeier: textbook hand-computed curve with censoring") {
+    val day = 86400L * 1000000000L
+    // u1: view d0, purchase d1 (event at 1). u2: view d0, last seen d2
+    // (censored at 2). u3: view d0, purchase d3 (event at 3).
+    val evs = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 1L * day),
+      (3L, 2L, "view", 0L), (4L, 2L, "click", 2L * day),
+      (5L, 3L, "view", 0L), (6L, 3L, "purchase", 3L * day))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.kaplanMeier(evs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // d1: risk 3, 1 event -> S = 2/3; d2: censored only -> S stays 2/3;
+    // d3: risk 1, 1 event -> S = 0 (absorbing)
+    assert(out(1L).getAs[Long]("n_risk") == 3L)
+    assert(math.abs(out(1L).getAs[Double]("survival") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(out(2L).getAs[Double]("survival") - 2.0 / 3.0) < 1e-6)
+    assert(out(3L).getAs[Double]("survival") == 0.0)
+  }
+
   test("weightedQuantiles: weight mass relocates the median away from the row median") {
     // 9 rows of x=10 with weight 1, 1 row of x=100 with weight 91
     val df = ((1 to 9).map(_ => ("g", 10L, 1L)) :+ (("g", 100L, 91L)))
