@@ -418,6 +418,29 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Rolling `windowDays`-day distinct active users per day: each
+    * (day, user) presence row is EXPLODED to the days it contributes
+    * to (day..day+w−1) and the target day counts distinct users — the
+    * equi-join shape for a rolling DISTINCT (a range join would be a
+    * nested-loop; distinct doesn't slide, so each target recounts).
+    *
+    * SCALE: presence dedups map-side to (day, user); the explode
+    * multiplies by the window length only; the count-distinct
+    * aggregation is day-keyed. Bounds row broadcast. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val du = events.select(expr(s"ts div $dayNs").as("day"), col("user_id"))
+      .distinct()
+    val bounds = du.agg(min("day").as("mn"), max("day").as("mx"))
+    du.select(explode(sequence(col("day"),
+        col("day") + lit((windowDays - 1).toLong))).as("d"), col("user_id"))
+      .join(broadcast(bounds))
+      .where(col("d") <= col("mx"))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("rolling_users"))
+      .orderBy("day")
+  }
+
   /** Kaplan–Meier survival curve for entry→conversion durations with
     * right-censoring: per user, time from first `entryType` to first
     * subsequent `conversionType` (event) or to their last activity

@@ -1341,6 +1341,42 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Cross-language perplexity matrix: every language's documents
+    * scored under every language's add-one-smoothed unigram LM —
+    * bits/token per (doc_lang, model_lang) cell. The diagonal should
+    * be the minimum of each row; an off-diagonal dip flags mislabeled
+    * slices. The DSIR-style "how target-like is this slice" view
+    * generalized to all pairs.
+    *
+    * p(w|L) = (c_{w,L} + 1) / (n_L + V), V the shared vocab size —
+    * smoothing keeps unseen tokens finite so every (doc, model) pair
+    * scores.
+    *
+    * SCALE: the model tables are (lang × vocab)-sized; the scoring
+    * pass crosses each token row with the LANG list (domain-sized
+    * broadcast — the documented bounded-multiplier class) and left-
+    * joins the model on (lang, term). One corpus explode ×|langs|. */
+  def crossPerplexity(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(langCol).as("dl"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("dl", "term").agg(count(lit(1)).as("c"))
+    val nl = counts.groupBy("dl").agg(sum(col("c")).as("n"))
+    val vocab = toks.select("term").distinct().agg(count(lit(1)).as("v"))
+    val models = counts.select(col("dl").as("ml"), col("term"), col("c"))
+    val langs = nl.select(col("dl").as("ml"), col("n"))
+    val logTwo = math.log(2.0)
+    val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n").cast("double") + col("v").cast("double"))
+    toks.crossJoin(broadcast(langs))
+      .join(models, Seq("ml", "term"), "left")
+      .join(broadcast(vocab))
+      .groupBy(col("dl").as("doc_lang"), col("ml").as("model_lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(p) / logTwo), 4).as("bits_per_tok"))
+      .orderBy("doc_lang", "model_lang")
+  }
+
   /** Per-source signature terms: for every source, the top-`perSource`
     * terms by source-frequency × ln(S/df_sources) — tf-idf computed at
     * SOURCE granularity, so a term scores high when one source uses it

@@ -4800,7 +4800,68 @@ object PipelineQueries {
              |  FROM rk)
              |SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
              |  CAST(e AS BIGINT) AS events, CAST(c AS BIGINT) AS censored, survival
-             |FROM sv ORDER BY duration_days""".stripMargin)))
+             |FROM sv ORDER BY duration_days""".stripMargin)),
+
+    // ---- distribution window functions: percent_rank / cume_dist /
+    // ntile(4) over a per-segment total order (tiebreak by custkey so
+    // ntile's positional split is engine-deterministic).
+    Q("q232_window_distributions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer").select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal") * lit(100.0)).cast("long").as("bal_cents"),
+          (round(percent_rank().over(w) * 1000000.0) / 1000000.0)
+            .as("pct_rank"),
+          (round(cume_dist().over(w) * 1000000.0) / 1000000.0).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |  CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+             |  round(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
+             |  round(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cdist,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // ---- cross-language perplexity matrix: every lang slice scored
+    // under every lang's smoothed unigram LM — diagonal-dominance is
+    // the label-sanity check; off-diagonal dips flag mislabeled slices.
+    Q("q233_cross_perplexity",
+      (s, d) => graft.operators.TrainingPrep
+        .crossPerplexity(t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT lang AS dl, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |ct AS (SELECT dl, term, count(*) AS c FROM tk GROUP BY 1, 2),
+             |nl AS (SELECT dl AS ml, sum(c) AS n FROM ct GROUP BY 1),
+             |vc AS (SELECT count(DISTINCT term) AS v FROM tk)
+             |SELECT tk.dl AS doc_lang, nl.ml AS model_lang,
+             |  CAST(count(*) AS BIGINT) AS n_tok,
+             |  round(avg(-ln((CAST(coalesce(mc.c, 0) AS DOUBLE) + 1.0)
+             |    / (CAST(nl.n AS DOUBLE) + CAST(v AS DOUBLE))) / ln(2)), 4)
+             |    AS bits_per_tok
+             |FROM tk CROSS JOIN nl
+             |  LEFT JOIN ct mc ON mc.dl = nl.ml AND mc.term = tk.term
+             |  CROSS JOIN vc
+             |GROUP BY 1, 2 ORDER BY doc_lang, model_lang""".stripMargin)),
+
+    // ---- rolling 7-day distinct active users per day: the sliding
+    // WAU series via the explode-to-target-days equi shape (a rolling
+    // DISTINCT cannot slide — each day recounts).
+    Q("q234_rolling_active",
+      (s, d) => graft.operators.EventOps
+        .rollingActiveUsers(Tables.events(s, d), windowDays = 7),
+      Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+             |  FROM events),
+             |b AS (SELECT max(day) AS mx FROM du),
+             |ex AS (SELECT unnest(generate_series(day, day + 6)) AS d, user_id
+             |       FROM du)
+             |SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_users
+             |FROM ex CROSS JOIN b WHERE d <= mx
+             |GROUP BY d ORDER BY day""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,29 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("crossPerplexity: the matching model wins its own slice (diagonal minimum)") {
+    val docs = ((1L to 20L).map(i => (i, "aa", "red blue green red blue")) ++
+      (21L to 40L).map(i => (i, "bb", "vert bleu rouge vert bleu")))
+      .toDF("doc_id", "lang", "text")
+    val out = TrainingPrep.crossPerplexity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("bits_per_tok")).toMap
+    assert(out(("aa", "aa")) < out(("aa", "bb")))
+    assert(out(("bb", "bb")) < out(("bb", "aa")))
+  }
+
+  test("rollingActiveUsers: window accumulates then forgets") {
+    val day = 86400L * 1000000000L
+    // user 1 on day 0 only; user 2 on day 10 only
+    val evs = Seq((1L, 1L, 0L), (2L, 2L, 10L * day))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventOps.rollingActiveUsers(evs, windowDays = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L && out(6L) == 1L, "user 1 counts for 7 days")
+    assert(!out.contains(7L), "days with an empty window emit nothing")
+    assert(out(10L) == 1L)
+  }
+
   test("kaplanMeier: textbook hand-computed curve with censoring") {
     val day = 86400L * 1000000000L
     // u1: view d0, purchase d1 (event at 1). u2: view d0, last seen d2
