@@ -494,4 +494,45 @@ object Similarity {
         (round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) * 1000000.0)
           / 1000000.0).as("cos"))
   }
+
+  /** Per-label embedding anisotropy profile: average vector norm, the
+    * label-centroid norm, and their ratio — Ethayarajh (EMNLP '19)'s
+    * anisotropy diagnostic (a ratio near 1 means vectors point one way
+    * and cosine similarity is saturated; near 0 means an isotropic,
+    * usable space). The embedding-health gate to read before trusting
+    * any cosine threshold (q27/q101).
+    *
+    * Determinism: coordinates quantize to exact 1e-4 longs (the PCA
+    * convention); per-row squared norms fold as exact long sums inside
+    * a HOF; dimension sums accumulate in decimal(38,0). The only
+    * cross-row float folds are the norm average and the 64-term
+    * centroid sum, both display-rounded 4 dp.
+    *
+    * SCALE: one pass for the per-row norms (scan-speed HOF) + one
+    * posexplode to a (label × dims)-sized exact sum table. */
+  def anisotropyProfile(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = emb.select(col(labelCol).as("lab"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS LONG))")
+        .as("q"))
+    val rows = q.select(col("lab"),
+      (sqrt(expr("aggregate(q, CAST(0 AS LONG), (a, x) -> a + x * x)")
+        .cast("double")) / lit(10000.0)).as("norm"))
+    val perLab = rows.groupBy("lab").agg(count(lit(1)).as("n"),
+      round(avg(col("norm")), 4).as("avg_norm"))
+    val dimSums = q.select(col("lab"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("lab", "i").agg(sum(col("v")).cast(dec).as("s"))
+    val meanDim = col("s").cast("double") / col("n").cast("double")
+    val centroid = dimSums.join(perLab.select(col("lab"), col("n")), "lab")
+      .groupBy("lab")
+      .agg(sum(meanDim * meanDim).as("ss"))
+      .select(col("lab"),
+        round(sqrt(col("ss")) / lit(10000.0), 4).as("centroid_norm"))
+    perLab.join(centroid, "lab")
+      .select(col("lab").as("label"), col("n"), col("avg_norm"),
+        col("centroid_norm"),
+        round(col("centroid_norm") / col("avg_norm"), 4).as("anisotropy"))
+      .orderBy("label")
+  }
 }

@@ -4861,7 +4861,64 @@ object PipelineQueries {
              |       FROM du)
              |SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_users
              |FROM ex CROSS JOIN b WHERE d <= mx
-             |GROUP BY d ORDER BY day""".stripMargin)))
+             |GROUP BY d ORDER BY day""".stripMargin)),
+
+    // ---- per-label embedding anisotropy (Ethayarajh 2019): centroid
+    // norm over average norm — is this space isotropic enough for
+    // cosine thresholds to mean anything?
+    Q("q235_anisotropy",
+      (s, d) => graft.operators.Similarity
+        .anisotropyProfile(t(s, d, "embeddings")),
+      Some("""WITH q AS (SELECT label AS lab,
+             |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding] AS q
+             |  FROM embeddings),
+             |r AS (SELECT lab,
+             |    sqrt(CAST(list_reduce(list_transform(q, x -> x * x),
+             |      (a, b) -> a + b) AS DOUBLE)) / 10000.0 AS norm FROM q),
+             |pl AS (SELECT lab, count(*) AS n, round(avg(norm), 4) AS avg_norm
+             |  FROM r GROUP BY lab),
+             |dv AS (SELECT lab, i, sum(CAST(q[i+1] AS HUGEINT)) AS s
+             |  FROM q CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+             |ct AS (SELECT dv.lab,
+             |    round(sqrt(sum((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) / 10000.0, 4)
+             |      AS centroid_norm
+             |  FROM dv JOIN pl USING (lab) GROUP BY dv.lab)
+             |SELECT pl.lab AS label, CAST(n AS BIGINT) AS n, avg_norm,
+             |  centroid_norm, round(centroid_norm / avg_norm, 4) AS anisotropy
+             |FROM pl JOIN ct USING (lab) ORDER BY label""".stripMargin)),
+
+    // ---- duplicate-cluster size distribution: how big do the q71
+    // connected components get — the dedup-telemetry histogram that
+    // catches template floods (one giant cluster) early.
+    Q("q236_cluster_sizes",
+      (s, d) => Dedup.duplicateClusters(
+          Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.5))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some("""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ia, ib
+             |          FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |          UNION SELECT ib, ia FROM pairs),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |          UNION
+             |          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |lab AS (SELECT src AS doc_id, min(dst) AS cluster
+             |        FROM reach GROUP BY src),
+             |sz AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+             |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+             |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,19 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("anisotropyProfile: identical vectors ratio 1, symmetric pair ratio 0") {
+    val one = Array.fill(64)(0.5f)
+    val neg = one.map(-_)
+    val emb = (Seq.fill(5)(("same", one)) ++
+      Seq(("sym", one), ("sym", neg))).zipWithIndex
+      .map { case ((l, v), i) => (i.toLong, v, l) }
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.anisotropyProfile(emb)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("anisotropy")).toMap
+    assert(out("same") == 1.0)
+    assert(out("sym") == 0.0)
+  }
+
   test("crossPerplexity: the matching model wins its own slice (diagonal minimum)") {
     val docs = ((1L to 20L).map(i => (i, "aa", "red blue green red blue")) ++
       (21L to 40L).map(i => (i, "bb", "vert bleu rouge vert bleu")))
