@@ -418,6 +418,48 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Theil–Sen robust trend of the dense daily count series: the
+    * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
+    * intercept as the median of c_i − slope·day_i — the outlier-proof
+    * alternative to [[dailyAcf]]'s OLS-style folds (one flood day
+    * cannot bend it; breakdown point 29%).
+    *
+    * Determinism: slopes are single IEEE divisions of exact integers —
+    * identical doubles either engine; the median is nearest-rank over
+    * the sorted slope list with a (j, i) tiebreak, so selection is
+    * total-order deterministic.
+    *
+    * SCALE: the day series is domain-sized; the pair set is days² —
+    * still domain-bounded (a decade is ~3.6 k days → 6.7 M pairs,
+    * shuffle-keyed). Output: 1 row. */
+  def theilSenTrend(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dense = denseDailyCounts(events, dayNs).localCheckpoint()
+    val a = dense.select(col("day").as("di"), col("c").as("ci"))
+    val b = dense.select(col("day").as("dj"), col("c").as("cj"))
+    val slopes = a.join(b, col("dj") > col("di"))
+      .select(((col("cj") - col("ci")).cast("double") /
+        (col("dj") - col("di")).cast("double")).as("s"),
+        col("di"), col("dj"))
+    val n = slopes.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("s"), col("di"), col("dj"))
+    val slope = slopes.join(broadcast(n))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") === ceil(col("n").cast("double") / 2.0).cast("long"))
+      .select(col("s").as("slope"))
+    val resid = dense.join(broadcast(slope))
+      .select(col("day"),
+        (col("c").cast("double") - col("slope") * col("day").cast("double"))
+          .as("r"), col("slope"))
+    val nd = resid.agg(count(lit(1)).as("nd"))
+    val wi = Window.orderBy(col("r"), col("day"))
+    resid.join(broadcast(nd))
+      .withColumn("rn", row_number().over(wi).cast("long"))
+      .where(col("rn") === ceil(col("nd").cast("double") / 2.0).cast("long"))
+      .select((round(col("slope") * 1000000.0) / 1000000.0).as("slope"),
+        (round(col("r") * 1000000.0) / 1000000.0).as("intercept"))
+  }
+
   /** Rolling `windowDays`-day distinct active users per day: each
     * (day, user) presence row is EXPLODED to the days it contributes
     * to (day..day+w−1) and the target day counts distinct users — the

@@ -1341,6 +1341,37 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Pairwise vocabulary Jaccard between sources: distinct-term set
+    * overlap |A∩B|/|A∪B| per source pair — the set-membership
+    * complement to [[jsDivergenceMatrix]]'s distributional distance
+    * (two sources can share every word yet weight them differently;
+    * this catches disjoint jargon, that catches reweighting). Pairs
+    * with zero shared terms are absent (no row, by the inner join).
+    *
+    * SCALE: distinct (source, term) is vocab×sources-sized; the
+    * intersection join is term-keyed; sizes re-enter source-domain-
+    * sized. All exact integers + one division. */
+  def vocabJaccard(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val vt = docs.select(col(srcCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0).distinct()
+    val sz = vt.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = vt.select(col("src").as("sa"), col("term"))
+      .join(vt.select(col("src").as("sb"), col("term")), Seq("term"))
+      .where(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sz.select(col("src").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(sz.select(col("src").as("sb"), col("n").as("nb"))), "sb")
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("i").as("common"), col("na").as("n_a"), col("nb").as("n_b"),
+        (round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double") * 1000000.0)
+          / 1000000.0).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Cross-language perplexity matrix: every language's documents
     * scored under every language's add-one-smoothed unigram LM —
     * bits/token per (doc_lang, model_lang) cell. The diagonal should

@@ -4918,7 +4918,52 @@ object PipelineQueries {
              |        FROM reach GROUP BY src),
              |sz AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
              |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-             |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin)))
+             |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
+    // ---- Theil-Sen robust daily trend: median pairwise slope +
+    // median-residual intercept — the flood-day-proof trend line.
+    Q("q237_theil_sen",
+      (s, d) => graft.operators.EventOps.theilSenTrend(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |p AS (SELECT a.day AS di, a.c AS ci, b2.day AS dj, b2.c AS cj
+             |      FROM d a JOIN d b2 ON b2.day > a.day),
+             |s AS (SELECT CAST(cj - ci AS DOUBLE) / CAST(dj - di AS DOUBLE) AS s,
+             |        di, dj FROM p),
+             |nn AS (SELECT count(*) AS n FROM s),
+             |sl AS (SELECT s AS slope FROM
+             |    (SELECT s, row_number() OVER (ORDER BY s, di, dj) AS rn FROM s), nn
+             |  WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+             |r AS (SELECT day, CAST(c AS DOUBLE) - slope * CAST(day AS DOUBLE) AS r,
+             |        slope FROM d CROSS JOIN sl),
+             |nd AS (SELECT count(*) AS nd FROM r)
+             |SELECT round(slope * 1000000.0) / 1000000.0 AS slope,
+             |  round(r * 1000000.0) / 1000000.0 AS intercept
+             |FROM (SELECT r, slope, row_number() OVER (ORDER BY r, day) AS rn FROM r), nd
+             |WHERE rn = CAST(ceil(CAST(nd AS DOUBLE) / 2.0) AS BIGINT)""".stripMargin)),
+
+    // ---- source vocabulary-overlap Jaccard matrix: the set complement
+    // of q221's distributional JS (disjoint jargon vs reweighting).
+    Q("q238_vocab_jaccard",
+      (s, d) => graft.operators.TrainingPrep
+        .vocabJaccard(t(s, d, "documents")),
+      Some("""WITH vt AS (SELECT DISTINCT src, term FROM (
+             |    SELECT source AS src, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) WHERE len(term) > 0),
+             |sz AS (SELECT src, count(*) AS n FROM vt GROUP BY src),
+             |iv AS (SELECT a.src AS sa, b.src AS sb, count(*) AS i
+             |       FROM vt a JOIN vt b ON a.term = b.term AND a.src < b.src
+             |       GROUP BY 1, 2)
+             |SELECT sa AS src_a, sb AS src_b, CAST(i AS BIGINT) AS common,
+             |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             |  round(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS jaccard
+             |FROM iv JOIN sz na ON na.src = sa JOIN sz nb ON nb.src = sb
+             |ORDER BY src_a, src_b""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,29 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("theilSenTrend: immune to one flood day that bends OLS") {
+    val day = 86400L * 1000000000L
+    // counts 1,2,3,...,20 per day (slope 1), except day 10 floods to 500
+    val evs = (0 until 20).flatMap { dd =>
+      val c = if (dd == 10) 500 else dd + 1
+      Seq.fill(c)(Tuple1(dd * day))
+    }.toDF("ts")
+    val r = EventOps.theilSenTrend(evs).collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 0.2,
+      s"robust slope must stay ~1, got ${r.getAs[Double]("slope")}")
+  }
+
+  test("vocabJaccard: identical vocab 1.0, disjoint vocab pair absent") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "a b c"),
+      (3L, "s3", "x y z")).toDF("doc_id", "source", "text")
+    val out = TrainingPrep.vocabJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(out(("s1", "s2")) == 1.0)
+    assert(!out.contains(("s1", "s3")),
+      "zero-overlap pairs emit no row by the inner join")
+  }
+
   test("anisotropyProfile: identical vectors ratio 1, symmetric pair ratio 0") {
     val one = Array.fill(64)(0.5f)
     val neg = one.map(-_)
