@@ -418,6 +418,95 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Exponential fit + KS goodness for per-user inter-arrival times:
+    * MLE rate λ = n/Σdt over integer-second gaps, then the exact KS
+    * distance between the empirical gap distribution and Exp(λ) — "is
+    * arrival really Poisson, and where does it deviate most" (a heavy
+    * tail at the argmax gap = sessionization signature, not noise).
+    *
+    * Determinism: gaps/counts exact integers; λ is one division; the
+    * deviation is computed per DISTINCT gap value and argmaxed on the
+    * value ROUNDED to 1e-9 (a last-ulp libm difference in exp() cannot
+    * reorder engines) with the gap tiebreak.
+    *
+    * SCALE: one user-keyed lag pass; everything after runs on the
+    * distinct-gap domain. Output: 1 row. */
+  def interArrivalExpFit(events: DataFrame,
+      secNs: Long = 1000000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val dt = events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .where(col("_prev").isNotNull)
+      .select(expr(s"(ts - _prev) div $secNs").as("v"))
+    val tot = dt.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val byV = dt.groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0) // gap-domain-sized
+    val lambda = col("n").cast("double") / col("s").cast("double")
+    val diff = abs(col("cum").cast("double") / col("n").cast("double") -
+      (lit(1.0) - exp(-lambda * col("v").cast("double"))))
+    byV.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot))
+      .withColumn("d9", round(diff * 1000000000.0) / 1000000000.0)
+      .orderBy(col("d9").desc, col("v"))
+      .limit(1)
+      .select(col("n"),
+        (round(col("s").cast("double") / col("n").cast("double")
+          * 1000000.0) / 1000000.0).as("mean_gap_s"),
+        (round(lambda * 1000000000.0) / 1000000000.0).as("lambda"),
+        col("v").as("at_gap_s"),
+        (round(col("d9") * 1000000.0) / 1000000.0).as("ks_d"))
+  }
+
+  /** Stationary distribution of the [[transitionMatrix]] Markov chain
+    * by quantized power iteration: π₀ uniform, each round
+    * π'[j] = round₉(Σᵢ π[i]·P[i][j]) in 1e-9 units — the quantize-
+    * before-accumulate pattern (the logreg trainer's) that makes every
+    * round's vector an exact integer tuple on any engine, so 30 rounds
+    * stay bit-identical while the float drift per round (~1e-16) sits
+    * five orders below the rounding threshold. Answers "where does a
+    * user's session settle" — the long-run state mix.
+    *
+    * SCALE: the transition counts collect at MODEL size (|types|² —
+    * the same contract as the PCA moments); iteration is driver-side
+    * on that model; output is |types| rows. */
+  def stationaryDistribution(events: DataFrame, rounds: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = transitionMatrix(events)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val cnt = Array.ofDim[Long](k, k)
+    cells.foreach { case (f, t, n) => cnt(idx(f))(idx(t)) = n }
+    val rowTot = cnt.map(_.sum)
+    var pi = Array.fill(k)(math.round(1e9 / k))
+    for (_ <- 1 to rounds) {
+      val next = Array.ofDim[Long](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        var i = 0
+        while (i < k) { // ascending-i fold; drift absorbed by round₉
+          if (rowTot(i) > 0)
+            acc += (pi(i) / 1e9) * (cnt(i)(j).toDouble / rowTot(i).toDouble)
+          i += 1
+        }
+        next(j) = math.round(acc * 1e9)
+        j += 1
+      }
+      pi = next
+    }
+    states.zip(pi).toSeq.toDF("state", "prob_q")
+      .select(col("state"), col("prob_q"),
+        (round(col("prob_q").cast("double") / lit(1000.0)) / 1000000.0)
+          .as("prob"))
+      .orderBy("state")
+  }
+
   /** Theil–Sen robust trend of the dense daily count series: the
     * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
     * intercept as the median of c_i − slope·day_i — the outlier-proof

@@ -4963,7 +4963,72 @@ object PipelineQueries {
              |  round(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS jaccard
              |FROM iv JOIN sz na ON na.src = sa JOIN sz nb ON nb.src = sb
-             |ORDER BY src_a, src_b""".stripMargin)))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- per-user inter-arrival exponential fit + exact KS distance:
+    // is arrival Poisson, and at which gap does it deviate most?
+    Q("q239_interarrival_fit",
+      (s, d) => graft.operators.EventOps
+        .interArrivalExpFit(Tables.events(s, d)),
+      Some("""WITH g0 AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),
+             |g1 AS (SELECT (tns - lag(tns) OVER (
+             |    PARTITION BY user_id ORDER BY tns, event_id)) AS d FROM g0),
+             |g AS (SELECT d // 1000000000 AS v FROM g1 WHERE d IS NOT NULL),
+             |tt AS (SELECT count(*) AS n, sum(v) AS s FROM g),
+             |bv AS (SELECT v, count(*) AS c FROM g GROUP BY v),
+             |cm AS (SELECT v, sum(c) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bv),
+             |x AS (SELECT v, cum, n, s,
+             |    round(abs(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (1.0 - exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+             |                   * CAST(v AS DOUBLE)))) * 1000000000.0)
+             |      / 1000000000.0 AS d9
+             |  FROM cm CROSS JOIN tt)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean_gap_s,
+             |  round(CAST(n AS DOUBLE) / CAST(s AS DOUBLE) * 1000000000.0)
+             |    / 1000000000.0 AS lambda,
+             |  v AS at_gap_s,
+             |  round(d9 * 1000000.0) / 1000000.0 AS ks_d
+             |FROM x ORDER BY d9 DESC, v LIMIT 1""".stripMargin)),
+
+    // ---- stationary distribution of the q189 session Markov chain:
+    // 30 quantized power-iteration rounds (1e-9 units — the logreg
+    // quantize-before-accumulate pattern), bit-stable on any engine.
+    Q("q240_stationary_dist",
+      (s, d) => graft.operators.EventOps
+        .stationaryDistribution(Tables.events(s, d), rounds = 30),
+      Some {
+        // every pi CTE MATERIALIZED: without it DuckDB inlines the
+        // 30-layer chain and the planner blows up (observed: minutes)
+        val roundCtes = (1 to 30).map { r =>
+          s"""pi$r AS MATERIALIZED (SELECT s.s,
+             |    CAST(round(coalesce(x.acc, 0.0) * 1000000000.0) AS BIGINT) AS q
+             |  FROM st s LEFT JOIN (
+             |    SELECT m.to_type AS s,
+             |        sum((pp.q / 1000000000.0)
+             |            * (CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE))) AS acc
+             |    FROM pi${r - 1} pp JOIN n m ON m.from_type = pp.s
+             |    JOIN tt t ON t.from_type = pp.s
+             |    GROUP BY m.to_type) x ON x.s = s.s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT lag(event_type) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           |    event_type AS to_type FROM events),
+           |n AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n FROM p
+           |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |tt AS MATERIALIZED (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1),
+           |st AS MATERIALIZED (SELECT DISTINCT s FROM (
+           |  SELECT from_type AS s FROM n UNION SELECT to_type FROM n)),
+           |ns AS (SELECT count(*) AS k FROM st),
+           |pi0 AS MATERIALIZED (SELECT s, CAST(round(1000000000.0 / k) AS BIGINT) AS q
+           |        FROM st, ns),
+           |$roundCtes
+           |SELECT s AS state, q AS prob_q,
+           |  round(CAST(q AS DOUBLE) / 1000.0) / 1000000.0 AS prob
+           |FROM pi30 ORDER BY state""".stripMargin
+      }))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,21 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("stationaryDistribution: two-state chain converges to the closed form") {
+    val day = 86400L * 1000000000L
+    // user chains alternating a->b->a...: P(a->b)=1, P(b->a)=1 -> period-2;
+    // use a lazy chain instead: a a a b / b b b a per user gives
+    // P(a->a)=2/3, P(a->b)=1/3, P(b->b)=2/3, P(b->a)=1/3 -> pi=(1/2,1/2)
+    val evs = (Seq("a", "a", "a", "b").zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, t, i * day) } ++
+      Seq("b", "b", "b", "a").zipWithIndex.map { case (t, i) =>
+        (10L + i, 2L, t, i * day) })
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.stationaryDistribution(evs, rounds = 50).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("prob")).toMap
+    assert(math.abs(out("a") - 0.5) < 1e-3 && math.abs(out("b") - 0.5) < 1e-3)
+  }
+
   test("theilSenTrend: immune to one flood day that bends OLS") {
     val day = 86400L * 1000000000L
     // counts 1,2,3,...,20 per day (slope 1), except day 10 floods to 500
