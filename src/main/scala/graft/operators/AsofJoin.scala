@@ -49,4 +49,32 @@ object AsofJoin {
       .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
         rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Forward as-of join — for each left row, the single EARLIEST right
+    * row with `right.ts >= left.ts` in the key group (the "next quote
+    * after the order" direction). Mirror of [[backward]]: left rows tag
+    * __side 0 so they sort BEFORE an equal-ts right row, and the first
+    * right payload is taken from the [current, ∞) frame. Same one-
+    * shuffle sort-merge cost profile. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains).filter(_ != tsCol)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
+    val l = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++ leftCols.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__r"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+    carried.where(col("__side") === 0)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
+        rightPayload.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

@@ -153,6 +153,37 @@ object Dedup {
         graft.expressions.ShingleHashes.shingle_hashes(col(textCol), n).as("shs"))
       .select(col("did"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
 
+  /** Shingle-CONTAINMENT pairs: documents whose entire shingle set lives
+    * inside another document's — the quote/repost/wrapper dedup class
+    * that Jaccard thresholds miss (a tweet quoted inside an article has
+    * tiny Jaccard but total containment). A ⊆ B iff the shared-shingle
+    * count equals |A|; equal sets dedupe to the smaller id.
+    *
+    * SCALE: only shingles with document frequency ≥ 2 enter the pair
+    * join — a document owning ANY df-1 shingle cannot be contained, so
+    * dropping those rows changes nothing while bounding the join to
+    * genuinely-shared shingle mass (the q77 hot-set shape). |A| counts
+    * come from the pre-filter stream. */
+  def containmentPairs(docs: DataFrame, minShingles: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val shared = sh.join(df.where(col("df") >= 2).select("sh"), Seq("sh"))
+    val inter = shared.select(col("did").as("ia"), col("nsh").as("na"),
+        col("sh"))
+      .join(shared.select(col("did").as("ib"), col("nsh").as("nb"),
+        col("sh")), Seq("sh"))
+      .where(col("ia") =!= col("ib"))
+      .groupBy("ia", "ib", "na", "nb").agg(count(lit(1)).as("i"))
+    inter.where(col("na") >= minShingles && col("i") === col("na") &&
+        (col("na") < col("nb") ||
+          (col("na") === col("nb") && col("ia") < col("ib"))))
+      .select(col("ia").as("contained_id"), col("ib").as("container_id"),
+        col("na").as("n_shingles_a"), col("nb").as("n_shingles_b"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** [[explodedShingles]] behind an explicit did-keyed Exchange. What this
     * buys (verified against the EXECUTED adaptive plan, see PLANS_r4 and
     * the ReusedExchange assertion in ScaleSafetySpec): the per-doc

@@ -5028,7 +5028,51 @@ object PipelineQueries {
            |SELECT s AS state, q AS prob_q,
            |  round(CAST(q AS DOUBLE) / 1000.0) / 1000000.0 AS prob
            |FROM pi30 ORDER BY state""".stripMargin
-      }))
+      }),
+
+    // ---- shingle-containment dedup pairs: A's entire shingle set
+    // inside B's — the quote/repost class Jaccard thresholds miss.
+    Q("q241_containment_pairs",
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents")),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |iv AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT ia AS contained_id, ib AS container_id,
+             |  CAST(ca.n AS BIGINT) AS n_shingles_a,
+             |  CAST(cb.n AS BIGINT) AS n_shingles_b
+             |FROM iv JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |WHERE ca.n >= 3 AND i = ca.n
+             |  AND (ca.n < cb.n OR (ca.n = cb.n AND ia < ib))
+             |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ---- forward as-of: for each click, the NEXT purchase at-or-after
+    // — the q19 backward join's mirror, completing the as-of family.
+    Q("q242_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val c = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"), col("ts"))
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            col("ts").as("pts2"), col("ts"))
+        graft.operators.AsofJoin.forward(c, p, Seq("user_id"), "ts",
+          Seq("pid", "pts2"))
+          .select(col("user_id"), col("cid"), col("pid"),
+            (expr("pts2 div 1000") - expr("ts div 1000")).as("gap_us"))
+          .orderBy("cid")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS cid, ts FROM events
+             |           WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT c.user_id, cid, pid, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+             |ORDER BY cid""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,29 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("containmentPairs: a quoted doc is contained; near-miss is not") {
+    val base = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, base), // contained in 2
+      (2L, s"prefix words here $base suffix words there"),
+      (3L, "alpha beta gamma delta zeta")) // shares a prefix, not contained
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+  }
+
+  test("asof forward picks the earliest at-or-after match, null when none") {
+    val left = Seq((1L, 10L, "c1"), (1L, 50L, "c2")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "ts", "pay")
+    val out = graft.operators.AsofJoin
+      .forward(left, right, Seq("k"), "ts", Seq("pay"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.get(r.fieldIndex("pay")))).toMap
+    assert(out("c1").contains(100L), "equal ts matches inclusively")
+    assert(out("c2").isEmpty, "no right row at-or-after ts=50")
+  }
+
   test("stationaryDistribution: two-state chain converges to the closed form") {
     val day = 86400L * 1000000000L
     // user chains alternating a->b->a...: P(a->b)=1, P(b->a)=1 -> period-2;
