@@ -418,6 +418,38 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Trailing-window z-score anomalies over the dense daily series:
+    * each day scored against the mean/std of the PRECEDING `window`
+    * days — the self-calibrating volume alarm (a fixed threshold goes
+    * stale; a trailing baseline tracks drift). Emits only days with a
+    * full baseline window.
+    *
+    * Determinism: the frame sums Σc and Σc² are exact integers
+    * (decimal(38,0) — day counts square past a long at warehouse
+    * scale); mean/std/z compose in one fixed IEEE chain per row.
+    *
+    * SCALE: day-domain-sized window work after one corpus pass. */
+  def rollingZScore(events: DataFrame, window: Int = 14,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dense = denseDailyCounts(events, dayNs)
+    val w = Window.orderBy("day").rowsBetween(-window, -1)
+    val base = dense
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("c").cast(dec)).over(w))
+      .withColumn("s2", sum(col("c").cast(dec) * col("c").cast(dec)).over(w))
+      .where(col("k") === window)
+    val kD = col("k").cast("double")
+    val mean = col("s1").cast("double") / kD
+    val varE = (col("s2").cast("double") - col("s1").cast("double") *
+      col("s1").cast("double") / kD) / kD
+    base.select(col("day"), col("c"),
+      (round(mean * 1000000.0) / 1000000.0).as("baseline_mean"),
+      when(varE > 0, round((col("c").cast("double") - mean) / sqrt(varE)
+        * 1000000.0) / 1000000.0).as("z"))
+      .orderBy("day")
+  }
+
   /** Exponential fit + KS goodness for per-user inter-arrival times:
     * MLE rate λ = n/Σdt over integer-second gaps, then the exact KS
     * distance between the empirical gap distribution and Exp(λ) — "is

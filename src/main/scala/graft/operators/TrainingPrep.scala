@@ -1341,6 +1341,45 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Top-k tf-idf cosine document pairs: sparse dot products over the
+    * shared-term join, normalized by per-doc vector norms — the
+    * lexical near-duplicate/relatedness rank that complements the
+    * shingle (surface) and embedding (semantic) pair finders. The
+    * vector space keeps terms with 2 ≤ df ≤ `maxDf`: df-1 terms join
+    * no pairs, and stopword-frequency terms would make every pair a
+    * candidate (the PPJoin prefix argument in its crudest form).
+    *
+    * SCALE: the pair join is term-keyed and df-bounded (each term
+    * contributes ≤ maxDf² pairs); norms are doc-keyed one-pass sums;
+    * top-k cuts with TakeOrderedAndProject on the ROUNDED cosine. */
+  def tfidfCosinePairs(docs: DataFrame, topK: Int = 20, maxDf: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+    val wts = tf.join(dfT, "term").join(broadcast(nd))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("nd").cast("double") / col("df").cast("double"))).as("w"))
+      .localCheckpoint() // feeds norms + both pair-join sides
+    val norms = wts.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = wts.select(col("id").as("ia"), col("term"), col("w").as("wa"))
+      .join(wts.select(col("id").as("ib"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("ia"), col("n2").as("na")), "ia")
+      .join(norms.select(col("id").as("ib"), col("n2").as("nb")), "ib")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        (round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) * 10000.0)
+          / 10000.0).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(topK)
+  }
+
   /** Pairwise vocabulary Jaccard between sources: distinct-term set
     * overlap |A∩B|/|A∪B| per source pair — the set-membership
     * complement to [[jsDivergenceMatrix]]'s distributional distance

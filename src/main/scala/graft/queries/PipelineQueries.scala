@@ -5072,7 +5072,58 @@ object PipelineQueries {
              |      WHERE event_type = 'purchase')
              |SELECT c.user_id, cid, pid, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
              |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
-             |ORDER BY cid""".stripMargin)))
+             |ORDER BY cid""".stripMargin)),
+
+    // ---- trailing-14-day z-score anomaly days: the self-calibrating
+    // volume alarm — exact integer frame sums, one IEEE chain per row.
+    Q("q243_rolling_zscore",
+      (s, d) => graft.operators.EventOps
+        .rollingZScore(Tables.events(s, d), window = 14),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |w AS (SELECT day, c,
+             |    count(*) OVER fr AS k,
+             |    sum(CAST(c AS HUGEINT)) OVER fr AS s1,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER fr AS s2
+             |  FROM d WINDOW fr AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+             |SELECT day, CAST(c AS BIGINT) AS c,
+             |  round(CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS baseline_mean,
+             |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |             / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE) > 0
+             |    THEN round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+             |      / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |              / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE)) * 1000000.0)
+             |      / 1000000.0 END AS z
+             |FROM w WHERE k = 14 ORDER BY day""".stripMargin)),
+
+    // ---- top tf-idf cosine document pairs: the lexical relatedness
+    // rank between the shingle (surface) and embedding (semantic) pair
+    // finders; vector space df-bounded on both ends.
+    Q("q244_tfidf_pairs",
+      (s, d) => graft.operators.TrainingPrep
+        .tfidfCosinePairs(t(s, d, "documents"), topK = 20, maxDf = 100),
+      Some("""WITH tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |nd AS (SELECT count(*) AS nd FROM documents),
+             |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+             |        HAVING count(*) >= 2 AND count(*) <= 100),
+             |w AS (SELECT id, tf.term,
+             |    CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+             |  FROM tf JOIN dfx ON dfx.term = tf.term CROSS JOIN nd),
+             |nm AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id),
+             |dt AS (SELECT a.id AS ia, b.id AS ib, sum(a.w * b.w) AS dot
+             |       FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             |       GROUP BY 1, 2)
+             |SELECT ia AS id_a, ib AS id_b,
+             |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000.0) / 10000.0 AS cos
+             |FROM dt JOIN nm na ON na.id = ia JOIN nm nb ON nb.id = ib
+             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,35 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("rollingZScore: a planted spike scores high against its trailing baseline") {
+    val day = 86400L * 1000000000L
+    // baseline alternates 9/11 (mean 10, var 1); day 25 spikes to 50
+    val evs = (0 until 30).flatMap { dd =>
+      val c = if (dd == 25) 50 else 9 + (dd % 2) * 2
+      Seq.fill(c)(Tuple1(dd * day))
+    }.toDF("ts")
+    val out = EventOps.rollingZScore(evs, window = 14).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(25L).isNullAt(3) && out(25L).getAs[Double]("z") == 40.0,
+      "spike of 50 vs mean 10 / std 1")
+    assert(math.abs(out(20L).getAs[Double]("z")) <= 1.1,
+      "in-baseline days score ~within one sigma")
+    assert(!out.contains(5L), "days without a full window are absent")
+  }
+
+  test("tfidfCosinePairs: docs sharing a rare term outrank docs sharing nothing") {
+    val docs = (Seq(
+      (1L, "quasar filler1 padding1"), (2L, "quasar filler2 padding2"),
+      (3L, "pulsar filler3 padding3"), (4L, "nebula filler4 padding4")) ++
+      (5L to 30L).map(i => (i, s"noise$i other$i words$i")))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.tfidfCosinePairs(docs, topK = 10, maxDf = 50)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L,
+      "the quasar pair is the only shared-vocabulary pair")
+  }
+
   test("containmentPairs: a quoted doc is contained; near-miss is not") {
     val base = "alpha beta gamma delta epsilon"
     val docs = Seq(
