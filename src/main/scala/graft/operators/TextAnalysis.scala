@@ -14,6 +14,25 @@ object TextAnalysis {
     * `tokensRegex` below is the robust variant. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Flesch reading-ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with syllables estimated as VOWEL-GROUP
+    * runs (the standard regex approximation) and sentences as
+    * [.!?]-terminated spans (min 1). All three inputs are exact integer
+    * counts from one regexp pass each — scan-speed, shuffle-free — and
+    * the score is one fixed IEEE chain; callers display-round. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = size(tokens(text)).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables = greatest(
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("long"), lit(1L))
+    lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6) * (syllables.cast("double") / words.cast("double"))
+  }
+
   /** BPE-ish regex token count: word pieces, digit runs, single
     * punctuation — the usual pre-tokenizer shape. */
   def tokenCountRegex(text: Column): Column =

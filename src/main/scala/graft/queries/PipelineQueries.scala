@@ -5123,7 +5123,37 @@ object PipelineQueries {
              |SELECT ia AS id_a, ib AS id_b,
              |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000.0) / 10000.0 AS cos
              |FROM dt JOIN nm na ON na.id = ia JOIN nm nb ON nb.id = ib
-             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)))
+             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
+    // ---- Flesch reading-ease per doc + the per-source mean: the
+    // classic readability gate (vowel-group syllable estimate).
+    Q("q245_readability",
+      (s, d) => {
+        val score = graft.operators.TextAnalysis
+          .fleschReadingEase(col("text"))
+        val perDoc = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            (round(score * 10000.0) / 10000.0).as("flesch"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (round(avg(col("flesch")) * 10000.0) / 10000.0)
+              .as("mean_flesch"),
+            min(col("flesch")).as("min_flesch"),
+            max(col("flesch")).as("max_flesch"))
+          .orderBy("source")
+      },
+      Some("""WITH pd AS (SELECT source,
+             |  round((206.835
+             |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+             |        / CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS DOUBLE))
+             |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+             |        / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000.0)
+             |    / 10000.0 AS flesch
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(avg(flesch) * 10000.0) / 10000.0 AS mean_flesch,
+             |  min(flesch) AS min_flesch, max(flesch) AS max_flesch
+             |FROM pd GROUP BY source ORDER BY source""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

@@ -50,6 +50,18 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("fleschReadingEase: short common words read easier than long latinate ones") {
+    import graft.operators.TextAnalysis.fleschReadingEase
+    val df = Seq(
+      (1L, "the cat sat. the dog ran."),
+      (2L, "incomprehensibility characterizes bureaucratization methodologies."))
+      .toDF("id", "text")
+      .select(col("id"), fleschReadingEase(col("text")).as("f")).collect()
+    val byId = df.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) > byId(2L),
+      "simple prose must outscore polysyllabic prose")
+  }
+
   test("rollingZScore: a planted spike scores high against its trailing baseline") {
     val day = 86400L * 1000000000L
     // baseline alternates 9/11 (mean 10, var 1); day 25 spikes to 50
