@@ -1226,13 +1226,23 @@ object TrainingPrep {
       .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v")))) // single-row
     val langs = countsV.select("lang").distinct().orderBy("lang")
       .collect().map(_.getString(0)) // bounded: one string per language
-    def occ = docs.select(col(idCol).as("doc_id"),
+    // ONE corpus explode: in-vocab occurrences aggregate to per-(doc,
+    // gram) multiplicities first, and BOTH the m-count and the scoring
+    // sum derive from that table (a `def` here re-ran the explode and
+    // the vocab join per consumer — measured 2x the whole query).
+    // Σ_occurrences log(cnt+1) == Σ_grams k·log(cnt+1) exactly as math;
+    // the float fold order changes, absorbed by the 4 dp rounding the
+    // score already carries.
+    val og = docs.select(col(idCol).as("doc_id"),
         explode(grams(col(textCol))).as("g"))
-      .join(broadcast(vocab), Seq("g")) // in-vocab occurrences, with multiplicity
-    val m = occ.groupBy("doc_id").agg(count(lit(1)).as("m"))
-    val a = occ.join(broadcast(countsV), Seq("g"))
+      .join(broadcast(vocab), Seq("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false) // feeds m AND the per-lang scores
+    val m = og.groupBy("doc_id").agg(sum(col("k")).as("m"))
+    val a = og.join(broadcast(countsV), Seq("g"))
       .groupBy("doc_id", "lang")
-      .agg(sum(log(col("cnt").cast("double") + 1.0)).as("a"))
+      .agg(sum(col("k").cast("double") *
+        log(col("cnt").cast("double") + 1.0)).as("a"))
     val rnk = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("lang"))
     m.select(col("doc_id"), col("m"),
