@@ -5153,7 +5153,66 @@ object PipelineQueries {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |  round(avg(flesch) * 10000.0) / 10000.0 AS mean_flesch,
              |  min(flesch) AS min_flesch, max(flesch) AS max_flesch
-             |FROM pd GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM pd GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- session depth histogram + bounce rate: the q191 session fact
+    // table rolled to "how deep do visits go" (depth 1 = bounce).
+    Q("q246_session_depth",
+      (s, d) => {
+        val sess = graft.operators.EventOps.sessionStats(
+          Tables.events(s, d), gapNs = 1800L * Tables.NanosPerSecond)
+        val tot = sess.agg(count(lit(1)).as("ns"))
+        sess.groupBy(col("n_events").as("depth"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+          .join(broadcast(tot))
+          .select(col("depth"), col("n_sessions"), col("n_converted"),
+            (round(col("n_sessions").cast("double") / col("ns").cast("double")
+              * 1000000.0) / 1000000.0).as("frac"))
+          .orderBy("depth")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, event_type,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM g),
+             |f AS (SELECT user_id, sess_id, count(*) AS depth,
+             |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS conv
+             |  FROM s GROUP BY 1, 2),
+             |tt AS (SELECT count(*) AS ns FROM f)
+             |SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             |  round(CAST(count(*) AS DOUBLE) / CAST(ns AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS frac
+             |FROM f CROSS JOIN tt GROUP BY depth, ns
+             |ORDER BY depth""".stripMargin)),
+
+    // ---- top repeated 8-token phrases across documents: the
+    // boilerplate STRINGS themselves with their document reach (q77
+    // gates on fingerprints; this surfaces the actual offenders).
+    Q("q247_repeated_phrases",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(CASE WHEN size(split(text, ' ')) >= 8
+            |  THEN transform(sequence(1, size(split(text, ' ')) - 7),
+            |       i -> array_join(slice(split(text, ' '), i, 8), ' '))
+            |  ELSE cast(array() as array<string>) END)""".stripMargin))
+          .as("ph"))
+        .groupBy("ph").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("ph")).limit(20),
+      Some("""WITH px AS (SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS ph
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 8)
+             |SELECT ph, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM px GROUP BY ph HAVING count(*) >= 3
+             |ORDER BY n_docs DESC, ph LIMIT 20""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
