@@ -320,4 +320,64 @@ object Clustering {
       fin.getField("cid2").as("cluster2"),
       round(fin.getField("d2"), 4).as("dist2"))
   }
+
+  /** Squared-distance silhouette per cluster for a [[kMeansAssign]]
+    * clustering: s(i) = (b−a)/max(a,b) with a = mean squared distance
+    * to own-cluster co-members, b = the best other cluster's mean —
+    * the clustering-quality scalar (near 1 = tight/separated, near 0 =
+    * overlapping, negative = misassigned).
+    *
+    * The SQUARED-distance variant is deliberate: Σⱼ‖xᵢ−xⱼ‖² over a
+    * cluster decomposes as n·‖xᵢ‖² − 2·xᵢ·S + Q from the cluster SUMS
+    * (S, Q) — so the whole statistic is O(N·k) against k broadcast
+    * rows instead of the O(N²) pair join the euclidean mean would
+    * force. All sums are exact quantized integers (products bounded by
+    * scale²·d·n — longs hold to ~10⁸ rows/cluster at the 1e-4 scale;
+    * beyond that lift to decimal); the only doubles are the two
+    * per-(point, cluster) divisions and the final fold. Singleton
+    * clusters score 0 by the standard convention.
+    *
+    * SCALE: one assignment (the kMeansAssign contract), one
+    * posexplode to (cluster × dims) exact sums, one scan-speed
+    * zip_with pass against the k-row broadcast. */
+  def silhouette(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): DataFrame = {
+    val asg = kMeansAssign(emb, k, iters, idCol, vecCol, scale)
+      .select(col(idCol).as("vid"), col("cluster"))
+    val q = emb.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS LONG))")
+        .as("q"))
+    val pts = q.join(asg, "vid")
+      .withColumn("n2", expr(
+        "aggregate(transform(q, x -> x * x), CAST(0 AS LONG), (a, x) -> a + x)"))
+      .localCheckpoint() // feeds cluster sums AND the scoring pass
+    val dimSums = pts.select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("cluster", "i").agg(sum(col("v")).as("s"))
+      .groupBy("cluster")
+      .agg(expr("transform(sort_array(collect_list(struct(i, s))), x -> x.s)")
+        .as("sv"))
+    val stats = pts.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("qq"))
+      .join(dimSums, "cluster")
+      .select(col("cluster").as("other"), col("n"), col("qq"), col("sv"))
+    val dot = expr(
+      "aggregate(zip_with(q, sv, (a, b) -> a * b), CAST(0 AS LONG), (a, x) -> a + x)")
+    val ssd = col("n") * col("n2") - lit(2L) * dot + col("qq")
+    val perC = pts.crossJoin(broadcast(stats)) // k-row bounded multiplier
+      .select(col("vid"), col("cluster"), col("other"), col("n"),
+        ssd.as("ssd"))
+    val ab = perC.groupBy("vid", "cluster")
+      .agg(max(when(col("other") === col("cluster") && col("n") > 1,
+        col("ssd").cast("double") / (col("n") - 1L).cast("double"))).as("a"),
+        min(when(col("other") =!= col("cluster"),
+          col("ssd").cast("double") / col("n").cast("double"))).as("b"))
+    val s = when(col("a").isNull, lit(0.0))
+      .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.select(col("cluster"), s.as("s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("s")) * 1000000.0) / 1000000.0).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
 }

@@ -5212,7 +5212,40 @@ object PipelineQueries {
              |  WHERE len(w) >= 8)
              |SELECT ph, CAST(count(*) AS BIGINT) AS n_docs
              |FROM px GROUP BY ph HAVING count(*) >= 3
-             |ORDER BY n_docs DESC, ph LIMIT 20""".stripMargin)))
+             |ORDER BY n_docs DESC, ph LIMIT 20""".stripMargin)),
+
+    // ---- squared-distance silhouette of the q129 clustering: O(N·k)
+    // via the cluster-sum decomposition (never an all-pairs join);
+    // exact quantized integer sums, two divisions per (point, cluster).
+    Q("q248_silhouette",
+      (s, d) => graft.operators.Clustering
+        .silhouette(t(s, d, "embeddings"), k = 4, iters = 3),
+      Some(s"""WITH ${kmeansCtes(4, 3, 64)},
+              |no AS (SELECT vid, CAST(list_reduce(list_transform(q, x -> x * x),
+              |    (a, b) -> a + b) AS BIGINT) AS n2 FROM e),
+              |cs AS (SELECT cid, count(*) AS n,
+              |    list_reduce(list(q ORDER BY vid),
+              |      (a, b) -> [a[i+1] + b[i+1] for i in range(0, 64)]) AS sv,
+              |    sum(n2) AS qq
+              |  FROM sfin JOIN e USING (vid) JOIN no USING (vid) GROUP BY cid),
+              |pc AS (SELECT s.vid, s.cid AS own, c.cid AS other, c.n,
+              |    c.n * no.n2
+              |      - 2 * list_reduce([e.q[i+1] * c.sv[i+1] for i in range(0, 64)],
+              |            (a, b) -> a + b)
+              |      + c.qq AS ssd
+              |  FROM sfin s JOIN e USING (vid) JOIN no USING (vid) CROSS JOIN cs c),
+              |ab AS (SELECT vid, own,
+              |    max(CASE WHEN other = own AND n > 1
+              |      THEN CAST(ssd AS DOUBLE) / CAST(n - 1 AS DOUBLE) END) AS a,
+              |    min(CASE WHEN other <> own
+              |      THEN CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE) END) AS b
+              |  FROM pc GROUP BY 1, 2),
+              |si AS (SELECT own AS cluster,
+              |    CASE WHEN a IS NULL THEN 0.0
+              |         ELSE (b - a) / greatest(a, b) END AS s FROM ab)
+              |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+              |  round(avg(s) * 1000000.0) / 1000000.0 AS mean_silhouette
+              |FROM si GROUP BY cluster ORDER BY cluster""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

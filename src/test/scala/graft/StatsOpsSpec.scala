@@ -50,6 +50,20 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("silhouette: tight separated blobs score near 1") {
+    // two blobs far apart in 64-dim space, tiny within-blob jitter
+    val mk = (base: Float, id: Long) =>
+      (id, Array.tabulate(64)(j => base + (id % 3) * 0.001f + j * 0.0f), "x")
+    val emb = ((0L to 9L).map(i => mk(0.0f, i)) ++
+      (10L to 19L).map(i => mk(5.0f, i)))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Clustering.silhouette(emb, k = 2, iters = 3)
+      .collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Double]("mean_silhouette") > 0.95,
+      s"tight blobs must approach 1, got $r"))
+  }
+
   test("fleschReadingEase: short common words read easier than long latinate ones") {
     import graft.operators.TextAnalysis.fleschReadingEase
     val df = Seq(
