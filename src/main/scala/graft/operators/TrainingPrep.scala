@@ -1351,6 +1351,55 @@ object TrainingPrep {
           / 1000000.0).as("waste_frac"))
   }
 
+  /** Retrieval evaluation — NDCG@`atK` and MRR for a [[bm25]] ranking
+    * against a graded term-overlap relevance proxy (rel = number of
+    * DISTINCT query terms the document contains): the ranking-quality
+    * scalars that PR/AUC (classification) don't measure. DCG uses the
+    * standard (2^rel − 1)/log₂(rank+1) gains; the ideal ordering sorts
+    * the CORPUS by rel (not just the retrieved list), so a ranker that
+    * misses relevant docs is penalized.
+    *
+    * Determinism: rels and ranks are exact integers; each gain term is
+    * one fixed IEEE chain (log₂ via ln/ln — same shape both engines);
+    * the ≤k-term DCG sums are display-rounded 6 dp.
+    *
+    * SCALE: the ranking is list-sized by the bm25 contract; the rel
+    * proxy is one scan-speed projection; IDCG needs only the top-`atK`
+    * rel values (TakeOrderedAndProject). Output: 1 row. */
+  def retrievalEval(docs: DataFrame, queryTerms: Seq[String], atK: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val rel = docs.select(col(idCol).as("id"),
+      size(array_intersect(array_distinct(toks),
+        array(queryTerms.map(lit): _*))).cast("long").as("rel"))
+    val ranked = bm25(docs, queryTerms, topK = atK, idCol = idCol,
+        textCol = textCol)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol).as("id"), col("rank"))
+    val logTwo = math.log(2.0)
+    def gain(relC: org.apache.spark.sql.Column,
+        rankC: org.apache.spark.sql.Column) =
+      (pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
+        (log(rankC.cast("double") + lit(1.0)) / lit(logTwo))
+    val dcg = ranked.join(rel, Seq("id"))
+      .agg(sum(gain(col("rel"), col("rank"))).as("dcg"))
+    val ideal = rel.orderBy(col("rel").desc, col("id")).limit(atK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rel").desc, col("id"))).cast("long"))
+      .agg(sum(gain(col("rel"), col("rank"))).as("idcg"))
+    val mrr = ranked.join(rel, Seq("id"))
+      .where(col("rel") > 0)
+      .agg(min(col("rank")).as("first_rel"))
+    dcg.join(broadcast(ideal)).join(broadcast(mrr))
+      .select(
+        (round(col("dcg") / col("idcg") * 1000000.0) / 1000000.0)
+          .as("ndcg_at_k"),
+        (round(lit(1.0) / col("first_rel").cast("double") * 1000000.0)
+          / 1000000.0).as("mrr"),
+        col("first_rel"))
+  }
+
   /** Top-k tf-idf cosine document pairs: sparse dot products over the
     * shared-term join, normalized by per-doc vector norms — the
     * lexical near-duplicate/relatedness rank that complements the

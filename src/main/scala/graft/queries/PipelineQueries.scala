@@ -5245,7 +5245,46 @@ object PipelineQueries {
               |         ELSE (b - a) / greatest(a, b) END AS s FROM ab)
               |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
               |  round(avg(s) * 1000000.0) / 1000000.0 AS mean_silhouette
-              |FROM si GROUP BY cluster ORDER BY cluster""".stripMargin)))
+              |FROM si GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // ---- retrieval quality: NDCG@10 + MRR of the q98 BM25 ranking
+    // against a graded term-overlap relevance proxy — ranking-quality
+    // scalars the PR/AUC rows don't measure.
+    Q("q249_retrieval_eval",
+      (s, d) => graft.operators.TrainingPrep.retrievalEval(
+        t(s, d, "documents"), Seq("spark", "window", "vector"), atK = 10),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |s AS (SELECT avg(len(w)) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM d),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             |         any_value(dl) AS dl
+             |       FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+             |       WHERE term IN ('spark', 'window', 'vector')
+             |       GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |bm0 AS (SELECT doc_id AS id,
+             |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+             |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |  FROM tf JOIN df USING (term), s
+             |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10),
+             |bm AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+             |       FROM bm0),
+             |rl AS (SELECT doc_id AS id,
+             |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+             |      ['spark', 'window', 'vector'])) AS BIGINT) AS rel
+             |  FROM documents),
+             |dcg AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+             |    / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg
+             |  FROM bm JOIN rl USING (id)),
+             |id0 AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS rank
+             |  FROM (SELECT id, rel FROM rl ORDER BY rel DESC, id LIMIT 10)),
+             |idcg AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+             |    / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))) AS idcg FROM id0),
+             |mr AS (SELECT min(rank) AS first_rel FROM bm JOIN rl USING (id)
+             |       WHERE rel > 0)
+             |SELECT round(dcg / idcg * 1000000.0) / 1000000.0 AS ndcg_at_k,
+             |  round(1.0 / CAST(first_rel AS DOUBLE) * 1000000.0) / 1000000.0 AS mrr,
+             |  CAST(first_rel AS BIGINT) AS first_rel
+             |FROM dcg CROSS JOIN idcg CROSS JOIN mr""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

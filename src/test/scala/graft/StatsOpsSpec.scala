@@ -50,6 +50,21 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("retrievalEval: a corpus where BM25 finds the graded docs scores ndcg 1") {
+    // rel-3 doc, rel-1 doc, noise: BM25 orders them exactly like the
+    // ideal rel ordering, so NDCG@10 = 1 and the top hit is relevant
+    val docs = (Seq(
+      (1L, "spark window vector spark window vector filler"),
+      (2L, "spark only here with plain filler words now")) ++
+      (3L to 30L).map(i => (i, s"noise$i padding$i words$i here$i")))
+      .toDF("doc_id", "text")
+    val r = TrainingPrep.retrievalEval(docs,
+      Seq("spark", "window", "vector"), atK = 10).collect().head
+    assert(r.getAs[Double]("ndcg_at_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Long]("first_rel") == 1L)
+  }
+
   test("silhouette: tight separated blobs score near 1") {
     // two blobs far apart in 64-dim space, tiny within-blob jitter
     val mk = (base: Float, id: Long) =>
