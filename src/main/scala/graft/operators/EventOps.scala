@@ -142,6 +142,26 @@ object EventOps {
           col("n").cast("double") * 1000000.0) / 1000000.0).as("rate"))
   }
 
+  /** Wilson score interval (95%, z = 1.96) for each [[abConversion]]
+    * variant's conversion rate — the small-sample-safe CI the naive
+    * normal interval gets wrong near 0/1. One fixed IEEE chain per
+    * variant row over exact distinct counts:
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n). */
+  def wilsonIntervals(rates: DataFrame, z: Double = 1.96): DataFrame = {
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    rates.select(col("variant"), col("n"), col("k"),
+      (round(p * 1000000.0) / 1000000.0).as("rate"),
+      (round((center - spread) / denom * 1000000.0) / 1000000.0).as("lo95"),
+      (round((center + spread) / denom * 1000000.0) / 1000000.0).as("hi95"))
+      .orderBy("variant")
+  }
+
   /** The z statistic for exactly two variants of [[abConversion]]
     * output (a one-row model-sized fold): z = (p₀ − p₁) /
     * sqrt(p̂(1−p̂)(1/n₀ + 1/n₁)) with p̂ the pooled proportion. A

@@ -5284,7 +5284,71 @@ object PipelineQueries {
              |SELECT round(dcg / idcg * 1000000.0) / 1000000.0 AS ndcg_at_k,
              |  round(1.0 / CAST(first_rel AS DOUBLE) * 1000000.0) / 1000000.0 AS mrr,
              |  CAST(first_rel AS BIGINT) AS first_rel
-             |FROM dcg CROSS JOIN idcg CROSS JOIN mr""".stripMargin)))
+             |FROM dcg CROSS JOIN idcg CROSS JOIN mr""".stripMargin)),
+
+    // ---- operating-point selection: the threshold maximizing F1 over
+    // a 16-point sweep of the q183 machinery — "ship the gate at
+    // THIS cut", ties to the lower threshold.
+    Q("q250_best_threshold",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val heldOut = docs.where(col("doc_id") % 3 =!= 0).withColumn("y",
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .cast("long"))
+        val grid = (30 to 45).map(_ / 100.0)
+        graft.operators.QualityClassifier
+          .prCurve(heldOut, logregModel(docs), grid)
+          .orderBy(col("f1").desc_nulls_last, col("threshold")).limit(1)
+      },
+      Some {
+        val grid = (30 to 45).map(i => f"${i / 100.0}%.2f").mkString(", ")
+        s"""WITH ${logregCtes(3)},
+           |sc AS (SELECT doc_id, y,
+           |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+           |      + w4*(x4/1000000.0) + w5*(x5/1000000.0)))) * 1000000.0)/1000000.0 AS score
+           |  FROM fx CROSS JOIN wfin WHERE doc_id % 3 <> 0),
+           |sw AS (SELECT y, score, unnest([$grid]) AS threshold FROM sc),
+           |ag AS (SELECT threshold,
+           |    CAST(sum(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM sw GROUP BY threshold)
+           |SELECT threshold, tp, fp, fn,
+           |  CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp) * 1000000.0) / 1000000.0 END AS precision,
+           |  CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn) * 1000000.0) / 1000000.0 END AS recall,
+           |  CASE WHEN 2*tp + fp + fn > 0 THEN round(2.0*tp / (2*tp + fp + fn) * 1000000.0) / 1000000.0 END AS f1
+           |FROM ag ORDER BY f1 DESC NULLS LAST, threshold LIMIT 1""".stripMargin
+      }),
+
+    // ---- Wilson 95% intervals per experiment variant: the
+    // small-sample-safe CI readout next to q188's z test.
+    Q("q251_wilson_ci",
+      (s, d) => graft.operators.EventOps.wilsonIntervals(
+        graft.operators.EventOps.abConversion(
+          Tables.events(s, d), pmod(col("user_id"), lit(2L)),
+          col("event_type") === "purchase" && col("value") > 80.0)),
+      Some("""WITH e AS (SELECT user_id % 2 AS variant, user_id,
+             |      (event_type = 'purchase' AND value > 80.0) AS cv FROM events),
+             |x AS (SELECT variant, count(DISTINCT user_id) AS n FROM e GROUP BY variant),
+             |c AS (SELECT variant, count(DISTINCT user_id) AS k FROM e
+             |      WHERE cv GROUP BY variant),
+             |t AS (SELECT x.variant, CAST(n AS BIGINT) AS n,
+             |        CAST(coalesce(k, 0) AS BIGINT) AS k
+             |      FROM x LEFT JOIN c USING (variant)),
+             |w AS (SELECT variant, n, k,
+             |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             |    1.96 * 1.96 AS z2, 1.96 AS z FROM t)
+             |SELECT variant, n, k,
+             |  round(p * 1000000.0) / 1000000.0 AS rate,
+             |  round((p + z2 / (2.0 * CAST(n AS DOUBLE))
+             |    - z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+             |               + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             |    / (1.0 + z2 / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0 AS lo95,
+             |  round((p + z2 / (2.0 * CAST(n AS DOUBLE))
+             |    + z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+             |               + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             |    / (1.0 + z2 / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0 AS hi95
+             |FROM w ORDER BY variant""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

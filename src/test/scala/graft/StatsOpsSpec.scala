@@ -50,6 +50,20 @@ class StatsOpsSpec extends GraftSpec {
       "max ECDF gap sits at the end of group 1's support")
   }
 
+  test("wilsonIntervals: interval brackets the rate and respects [0, 1]") {
+    val rates = Seq((0L, 100L, 30L, 0.3), (1L, 10L, 0L, 0.0))
+      .toDF("variant", "n", "k", "rate")
+    val out = EventOps.wilsonIntervals(rates).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v0 = out(0L)
+    assert(v0.getAs[Double]("lo95") < 0.3 && v0.getAs[Double]("hi95") > 0.3)
+    val v1 = out(1L)
+    assert(v1.getAs[Double]("lo95") == 0.0,
+      "k = 0 pins the lower bound at 0")
+    assert(v1.getAs[Double]("hi95") > 0.0 && v1.getAs[Double]("hi95") < 0.5,
+      "Wilson upper bound stays informative at k = 0 where the normal CI collapses")
+  }
+
   test("retrievalEval: a corpus where BM25 finds the graded docs scores ndcg 1") {
     // rel-3 doc, rel-1 doc, noise: BM25 orders them exactly like the
     // ideal rel ordering, so NDCG@10 = 1 and the top hit is relevant
