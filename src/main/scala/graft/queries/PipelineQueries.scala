@@ -5348,7 +5348,155 @@ object PipelineQueries {
              |    + z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
              |               + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
              |    / (1.0 + z2 / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0 AS hi95
-             |FROM w ORDER BY variant""".stripMargin)))
+             |FROM w ORDER BY variant""".stripMargin)),
+
+    // ---- MinHash ACCURACY against exact Jaccard: a 16-slot PORTABLE
+    // (md5) MinHash signature's estimate vs the true Jaccard on the
+    // verified q22 pairs — measures the sketch's error, fully oracled
+    // because the hash is the engine-portable md5Hash60.
+    Q("q252_minhash_accuracy",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val slots = 0 until 16
+        val ex = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        val aggs = slots.map(i => min(graft.expressions.PortableHash
+          .md5Hash60(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+        val sig = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val matches = slots.map(i =>
+          when(col(s"ma.m$i") === col(s"mb.m$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        Dedup.shingleJaccardPairs(docs, 0.5)
+          .join(sig.as("ma"), col("id_a") === col("ma.doc_id"))
+          .join(sig.as("mb"), col("id_b") === col("mb.doc_id"))
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (matches.cast("double") / lit(16.0)).as("est"),
+            (round((matches.cast("double") / lit(16.0) - col("jaccard"))
+              * 1000000.0) / 1000000.0).as("err"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+             |       FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pr AS (SELECT ia, ib,
+             |    round((i::DOUBLE / (ca.n + cb.n - i)) * 1000000.0) / 1000000.0 AS jaccard
+             |  FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |mh AS (SELECT doc_id, slot,
+             |    min(CAST('0x' || substr(md5(CAST(slot AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+             |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS slot)
+             |  GROUP BY doc_id, slot),
+             |ag AS (SELECT p.ia, p.ib, p.jaccard,
+             |    sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS matches
+             |  FROM pr p JOIN mh a ON a.doc_id = p.ia
+             |  JOIN mh b ON b.doc_id = p.ib AND b.slot = a.slot
+             |  GROUP BY 1, 2, 3)
+             |SELECT ia AS id_a, ib AS id_b, jaccard,
+             |  CAST(matches AS DOUBLE) / 16.0 AS est,
+             |  round((CAST(matches AS DOUBLE) / 16.0 - jaccard) * 1000000.0)
+             |    / 1000000.0 AS err
+             |FROM ag ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- PII density per source over the q88 synthetic-PII corpus:
+    // hits per 1000 tokens by kind — the compliance heat map.
+    Q("q253_pii_density",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@ex"),
+            pmod(col("doc_id"), lit(5)), lit(".com tel 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit("."),
+            pmod(col("doc_id") * 7, lit(256))).as("text"))
+        def dens(c: org.apache.spark.sql.Column) =
+          round(c.cast("double") * 1000.0 /
+            col("toks").cast("double") * 10000.0) / 10000.0
+        aug.select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tk"),
+          graft.operators.TextAnalysis.piiCount(col("text"), "email")
+            .cast("long").as("em"),
+          graft.operators.TextAnalysis.piiCount(col("text"), "phone")
+            .cast("long").as("ph"),
+          graft.operators.TextAnalysis.piiCount(col("text"), "ipv4")
+            .cast("long").as("ip"))
+          .groupBy("source")
+          .agg(sum(col("tk")).as("toks"), sum(col("em")).as("n_email"),
+            sum(col("ph")).as("n_phone"), sum(col("ip")).as("n_ipv4"))
+          .select(col("source"), col("toks"), col("n_email"),
+            col("n_phone"), col("n_ipv4"),
+            dens(col("n_email")).as("email_per_1k"),
+            dens(col("n_phone")).as("phone_per_1k"),
+            dens(col("n_ipv4")).as("ipv4_per_1k"))
+          .orderBy("source")
+      },
+      Some("""WITH aug AS (SELECT source,
+             |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+             |      || CAST(doc_id % 5 AS VARCHAR) || '.com tel 555-123-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |      || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+             |  FROM documents),
+             |pd AS (SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS em,
+             |    CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS ph,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS ip
+             |  FROM aug),
+             |g AS (SELECT source, sum(tk) AS toks, sum(em) AS n_email,
+             |    sum(ph) AS n_phone, sum(ip) AS n_ipv4 FROM pd GROUP BY source)
+             |SELECT source, CAST(toks AS BIGINT) AS toks,
+             |  CAST(n_email AS BIGINT) AS n_email,
+             |  CAST(n_phone AS BIGINT) AS n_phone,
+             |  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+             |  round(CAST(n_email AS DOUBLE) * 1000.0 / CAST(toks AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS email_per_1k,
+             |  round(CAST(n_phone AS DOUBLE) * 1000.0 / CAST(toks AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS phone_per_1k,
+             |  round(CAST(n_ipv4 AS DOUBLE) * 1000.0 / CAST(toks AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS ipv4_per_1k
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ---- basket-size dispersion: lineitems-per-order mean, variance,
+    // and the variance/mean index (1 = Poisson; >1 = clumped demand).
+    Q("q254_basket_dispersion",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val c = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("c"))
+        val agg = c.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("s"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        val nD = col("n").cast("double")
+        val mean = col("s").cast("double") / nD
+        val varE = (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / nD) / nD
+        agg.select(col("n").cast("long").as("n_orders"),
+          (round(mean * 1000000.0) / 1000000.0).as("mean_items"),
+          (round(varE * 1000000.0) / 1000000.0).as("var_items"),
+          (round(varE / mean * 1000000.0) / 1000000.0).as("dispersion"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+             |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss FROM c)
+             |SELECT CAST(n AS BIGINT) AS n_orders,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS mean_items,
+             |  round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS var_items,
+             |  round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS dispersion
+             |FROM g""".stripMargin)))
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),
