@@ -167,18 +167,36 @@ object Dedup {
   def containmentPairs(docs: DataFrame, minShingles: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
+    // Candidates join on each doc's single RAREST shingle only: A ⊆ B
+    // implies B holds every A shingle INCLUDING the rarest, so the
+    // prune is lossless and each doc contributes df(rarest) candidates
+    // — the PPJoin prefix argument at prefix length 1. (A first cut
+    // joined ALL df≥2 shingles; on a clone-heavy corpus the hot-shingle
+    // df² mass made it quadratic — measured unbounded at sf1.)
+    // Verification is the q22 sorted-set kernel: contained iff the
+    // merge-intersect count equals |A|.
     val sh = explodedShingles(docs, idCol, textCol, n)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val shared = sh.join(df.where(col("df") >= 2).select("sh"), Seq("sh"))
-    val inter = shared.select(col("did").as("ia"), col("nsh").as("na"),
-        col("sh"))
-      .join(shared.select(col("did").as("ib"), col("nsh").as("nb"),
-        col("sh")), Seq("sh"))
-      .where(col("ia") =!= col("ib"))
-      .groupBy("ia", "ib", "na", "nb").agg(count(lit(1)).as("i"))
-    inter.where(col("na") >= minShingles && col("i") === col("na") &&
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("did").orderBy(col("df"), col("sh"))
+    val rarest = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") === 1 && col("nsh") >= minShingles)
+      .select(col("did").as("ia"), col("nsh").as("na"), col("sh"))
+    val cands = rarest
+      .join(sh.select(col("did").as("ib"), col("nsh").as("nb"), col("sh")),
+        Seq("sh"))
+      .where(col("ia") =!= col("ib") &&
         (col("na") < col("nb") ||
           (col("na") === col("nb") && col("ia") < col("ib"))))
+      .select("ia", "ib", "na", "nb")
+    val sets = setsFromExploded(sharedExploded(docs, idCol, textCol, n))
+    val inter = graft.expressions.SetFunctions
+      .sorted_intersect_count(col("sa.set"), col("sb.set"))
+    cands
+      .join(sets.as("sa"), col("ia") === col("sa.did"))
+      .join(sets.as("sb"), col("ib") === col("sb.did"))
+      .where(inter === col("na"))
       .select(col("ia").as("contained_id"), col("ib").as("container_id"),
         col("na").as("n_shingles_a"), col("nb").as("n_shingles_b"))
       .orderBy("contained_id", "container_id")
