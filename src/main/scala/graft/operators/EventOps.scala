@@ -438,6 +438,51 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Truncated exponential smoothing of the dense daily series with the
+    * DYADIC kernel α=1/2: ewma_t = Σ_{j=0..K-1} 2^{-(j+1)} c_{t-j},
+    * normalized by the truncated weight mass (1 − 2^{-K}), plus the
+    * one-step-ahead forecast error |c_t − ewma_{t-1}|. Emits only days
+    * with a full K-day history (the [[rollingZScore]] full-baseline
+    * convention).
+    *
+    * Exactness: α=1/2 makes every weight a power of two, so the kernel
+    * scaled by 2^K is the INTEGER vector (2^{K-1}..2^0) and the scaled
+    * convolution Σ c_{t-j}·2^{K-1-j} is an exact decimal(38,0) sum under
+    * any accumulation order — no engine-dependent float pow, no window
+    * running-sum order sensitivity. One decimal→double conversion (IEEE
+    * correctly rounded, identical in both engines) precedes the display
+    * rounding. A non-dyadic α would put pow() ulps inside the sum; this
+    * is the deterministic member of the EWMA family by construction.
+    *
+    * SCALE: one corpus pass to the day-sized dense series; the K-lag
+    * explode+join convolution runs on days×K rows ([[dailyAcf]] shape).
+    * No driver state beyond the densify bounds row. */
+  def ewmaSmooth(events: DataFrame, k: Int = 20,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    require(k >= 1 && k <= 60, "dyadic kernel needs 1 <= k <= 60 lags")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dense = denseDailyCounts(events, dayNs).localCheckpoint()
+    val mass = (1L << k) - 1L // Σ_{j<k} 2^{k-1-j}; normalizer × 2^{-k}
+    val conv = dense
+      .select(col("day"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .join(dense.select(col("day").as("lday"), col("c").as("lc")),
+        col("lday") === col("day") - col("j"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("m"),
+        sum(col("lc").cast(dec) *
+          expr(s"shiftleft(1L, ${k - 1} - j)").cast(dec)).as("scaled"))
+      .where(col("m") === k) // full history only
+      .select(col("day"),
+        (col("scaled").cast("double") / mass.toDouble).as("ewma"))
+    dense.join(conv.select((col("day") + 1).as("day"),
+        col("ewma").as("prev_ewma")), Seq("day"))
+      .join(conv, Seq("day"))
+      .select(col("day"), col("c"),
+        (round(col("ewma") * 1000000.0) / 1000000.0).as("ewma"),
+        (round(abs(col("c").cast("double") - col("prev_ewma")) * 1000000.0)
+          / 1000000.0).as("forecast_abs_err"))
+  }
+
   /** Trailing-window z-score anomalies over the dense daily series:
     * each day scored against the mean/std of the PRECEDING `window`
     * days — the self-calibrating volume alarm (a fixed threshold goes

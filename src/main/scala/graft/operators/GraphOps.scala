@@ -220,6 +220,91 @@ object GraphOps {
     labels
   }
 
+  /** k-core membership by synchronous peeling (Seidman 1983), run for a
+    * FIXED `rounds`: each round drops every node whose degree within the
+    * surviving subgraph is < k, simultaneously — the deterministic,
+    * oracle-unrollable variant of the usual peel-to-fixpoint (the
+    * fixpoint is reached when a round removes nothing; with equal fixed
+    * rounds on both engines the outputs agree whether or not the
+    * fixpoint was hit, so the round count is a CONTRACT, not a
+    * convergence guess). Returns surviving nodes with their degree
+    * inside the surviving set — the core's internal connectivity.
+    *
+    * SCALE: per round, the survivor set filters the symmetrized edge
+    * relation with two node-keyed joins (AQE broadcasts the survivor
+    * side when it measures small) and one map-side-combined degree
+    * count; survivor state is node-sized, eagerly checkpointed, the
+    * superseded round released ([[pageRank]] discipline). No per-node
+    * sequential peel order exists anywhere — the synchronous variant is
+    * what makes the algorithm a join-aggregate program. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = sym
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val next = deg.where(col("d") >= k).select("node").localCheckpoint()
+      IterUtils.unpersistCheckpoint(alive)
+      alive = next
+    }
+    // eager-checkpoint the node-sized result BEFORE releasing the edge
+    // relation it reads — a lazy return here would dangle on sym's blocks
+    val coreDeg = sym
+      .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("core_degree"))
+      .localCheckpoint()
+    IterUtils.unpersistCheckpoint(sym)
+    IterUtils.unpersistCheckpoint(alive)
+    coreDeg
+  }
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
+    * NON-adjacent node pair with at least one common neighbor, the score
+    * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) plus the raw common-neighbor count —
+    * the classic "who should be connected next" ranking. Every common
+    * neighbor z has deg ≥ 2 by construction, so ln(deg z) > 0.
+    *
+    * SCALE: candidate pairs come from the wedge join (both directed
+    * copies keyed on the shared center z), which is Σ deg² work — the
+    * same budget as [[triangleCounts]] pre-orientation. Callers MUST
+    * bound hub degrees first (threshold the edge relation, as the q256
+    * register row does, or cap N(z) at a sampled top-d) — an unbounded
+    * hub makes wedge generation quadratic in its degree. Existing edges
+    * leave via a pair-keyed anti-join; the degree table enters broadcast
+    * (node-sized). */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds degrees, wedges, and the anti-join
+    val sym = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    val wedged = sym.join(broadcast(deg), Seq("z"))
+    val pairs = wedged.as("e1")
+      .join(wedged.as("e2"),
+        col("e1.z") === col("e2.z") && col("e1.n") < col("e2.n"))
+      .select(col("e1.n").as("id_a"), col("e2.n").as("id_b"),
+        col("e1.deg").as("dz"))
+    pairs
+      .join(und.select(col("a").as("id_a"), col("b").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("common"),
+        (round(sum(lit(1.0) / log(col("dz").cast("double"))) * 1000000.0)
+          / 1000000.0).as("aa_score"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — positive when
     * hubs attach to hubs (social shape), negative when hubs attach to

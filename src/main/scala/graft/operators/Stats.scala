@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed classical statistics whose sufficient statistics are kept
+  * in exact integer arithmetic until a final single-row double chain —
+  * the [[EventOps]]/[[QualityClassifier]] determinism discipline applied
+  * to hypothesis testing. Reference behavior: the reference pipeline has
+  * no stats module; these are engine-surface extensions for corpus
+  * drift/AB analysis at warehouse scale.
+  */
+object Stats {
+
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing `valueCol` between the
+    * rows where `isGroup1` is true and the rest, with average ranks for
+    * ties and the tie-corrected normal approximation.
+    *
+    * Exactness: ranks never exist per row. Grouping by distinct value
+    * gives (n1_v, t_v); with cumB_v = Σ_{u<v} t_u, the doubled rank sum
+    * R1×2 = Σ_v n1_v·(2·cumB_v + t_v + 1) is an EXACT integer
+    * (decimal(38,0) sums — the per-term product wraps a long at ~10⁹·10⁹
+    * pooled rows), as are U1×2 and the tie term Σ(t³−t). Doubles appear
+    * only in the final one-row z chain, a fixed IEEE composition.
+    *
+    * SCALE: one corpus aggregation to the distinct-value table, then the
+    * [[TrainingPrep.selectUnderBudget]] two-phase prefix sum over it:
+    * range-partition by value (parallel, sampled boundaries), one
+    * partition-count-sized collect of per-partition tie totals, and a
+    * broadcast-offset map-side pass gives every distinct value its exact
+    * global cumB with no one-partition window anywhere. Output: 1 row. */
+  def mannWhitneyU(df: DataFrame, valueCol: Column,
+      isGroup1: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val byValue = df
+      .select(valueCol.cast("double").as("v"),
+        when(isGroup1, 1L).otherwise(0L).as("g1"))
+      .groupBy("v")
+      .agg(sum("g1").as("n1v"), count(lit(1)).as("tv"))
+      .repartitionByRange(nParts, col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+      .localCheckpoint() // the two passes must see identical partitions
+    val partSums = byValue.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._3)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().toMap // one row per partition — bounded by nParts
+    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withCum = byValue.mapPartitions { it =>
+      var cumB = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (v, n1v, tv) =>
+        val r = (v, n1v, tv, cumB); cumB += tv; r
+      }
+    }.toDF("v", "n1v", "tv", "cumb")
+    val agg = withCum.agg(
+      sum(col("n1v")).cast(dec).as("n1"),
+      (sum(col("tv")) - sum(col("n1v"))).cast(dec).as("n2"),
+      sum(col("n1v").cast(dec) *
+        (lit(2).cast(dec) * col("cumb").cast(dec) + col("tv").cast(dec) +
+          lit(1).cast(dec))).as("r1x2"),
+      sum(col("tv").cast(dec) * col("tv").cast(dec) * col("tv").cast(dec) -
+        col("tv").cast(dec)).as("ties"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nTot = (col("n1") + col("n2")).cast("double")
+    // U1×2 = R1×2 − 2·n1(n1+1)/2 = R1×2 − n1(n1+1): still exact integer
+    val u1x2 = (col("r1x2") - col("n1") * (col("n1") + lit(1).cast(dec)))
+      .cast("double")
+    val mu2 = n1d * n2d // 2·mean of U
+    val sigma = sqrt(n1d * n2d / 12.0 *
+      ((nTot + 1.0) - col("ties").cast("double") / (nTot * (nTot - 1.0))))
+    agg.select(col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      (u1x2 / 2.0).as("u1"),
+      (round((u1x2 - mu2) / (lit(2.0) * sigma) * 1000000.0) / 1000000.0)
+        .as("z"))
+  }
+
+  /** One-way ANOVA of `valueCol` across the groups of `groupCol`: the
+    * between/within variance decomposition, F statistic, and effect size
+    * η² — "does this partition of the corpus explain the metric". Values
+    * must be integral-valued (counts/lengths) so the sufficient sums
+    * n_g, S_g, Σv² are exact integers; SSB = Σ_g S_g²/n_g and the F/η²
+    * chain run in doubles only in the final group-count-sized step.
+    *
+    * SCALE: one map-side-combined corpus aggregation to the group-sized
+    * table, then a single-row fold over it. Output: 1 row. */
+  def oneWayAnova(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val perGroup = df.groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).cast(dec).as("n_g"), sum(v).cast(dec).as("s_g"),
+        sum(v.cast(dec) * v.cast(dec)).as("ss_g"))
+    val agg = perGroup.agg(
+      count(lit(1)).cast(dec).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+      // Σ_g S_g²/n_g in doubles: each term is one exact-integer ratio
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sb") - col("s").cast("double") * col("s").cast("double") / nD
+    val sse = col("ss").cast("double") - col("sb")
+    val sst = col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    agg.select(col("k").cast("long").as("k_groups"),
+      col("n").cast("long").as("n_rows"),
+      (round(ssb * 100.0) / 100.0).as("ssb"),
+      (round(sse * 100.0) / 100.0).as("sse"),
+      (round((ssb / (kD - 1.0)) / (sse / (nD - kD)) * 1000000.0)
+        / 1000000.0).as("f_stat"),
+      (round(ssb / sst * 1000000.0) / 1000000.0).as("eta_sq"))
+  }
+}

@@ -5496,7 +5496,188 @@ object PipelineQueries {
              |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
              |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
              |    / 1000000.0 AS dispersion
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // ---- k-core of the thresholded nation-trade graph: the maximal
+    // subgraph where every nation keeps >= k above-average trade links —
+    // the "core market" membership question. FIXED 5 synchronous peel
+    // rounds on both engines (the round count is the contract; equal
+    // rounds agree whether or not the fixpoint was hit).
+    Q("q255_kcore",
+      (s, d) => graft.operators.GraphOps
+        .kCorePeel(tradeEdges(s, d), k = 3, rounds = 5)
+        .orderBy("node"),
+      Some {
+        val peel = (1 to 5).map { r =>
+          s"""d$r AS (SELECT u AS node, count(*) AS d FROM sym
+             |  JOIN a${r - 1} x ON sym.u = x.node
+             |  JOIN a${r - 1} y ON sym.v = y.node GROUP BY u),
+             |a$r AS (SELECT node FROM d$r WHERE d >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $tradeEdgeCtes,
+           |sym AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+           |a0 AS (SELECT DISTINCT u AS node FROM sym),
+           |$peel
+           |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree FROM sym
+           |JOIN a5 x ON sym.u = x.node JOIN a5 y ON sym.v = y.node
+           |GROUP BY u ORDER BY node""".stripMargin
+      }),
+
+    // ---- Adamic-Adar link prediction on the same graph: for trade-pairs
+    // NOT yet linked above-average, the classic next-link score
+    // sum(1/ln deg z) over common neighbors z — "which corridors open
+    // next". Hub-degree bound comes from the edge thresholding (the
+    // operator's documented contract).
+    Q("q256_link_prediction",
+      (s, d) => graft.operators.GraphOps.adamicAdar(tradeEdges(s, d))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $tradeEdgeCtes,
+             |sym AS (SELECT a AS z, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
+             |deg AS (SELECT z, count(*) AS deg FROM sym GROUP BY z),
+             |w AS (SELECT e1.n AS id_a, e2.n AS id_b, d.deg AS dz
+             |      FROM sym e1 JOIN sym e2 ON e1.z = e2.z AND e1.n < e2.n
+             |      JOIN deg d ON d.z = e1.z),
+             |nw AS (SELECT w.* FROM w LEFT JOIN ed
+             |       ON ed.a = w.id_a AND ed.b = w.id_b WHERE ed.a IS NULL)
+             |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS common,
+             |  round(sum(1.0 / ln(CAST(dz AS DOUBLE))) * 1000000.0)
+             |    / 1000000.0 AS aa_score
+             |FROM nw GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Mann-Whitney U: does order value distribute differently
+    // between the BUILDING and MACHINERY customer segments? Rank-sum
+    // with tie-averaged ranks + tie-corrected normal z — the
+    // distribution-free AB answer when means lie (heavy tails). Exact
+    // integer rank algebra; the only doubles are the final z chain.
+    Q("q257_mann_whitney",
+      (s, d) => graft.operators.Stats.mannWhitneyU(
+        t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("o_totalprice"), col("c_mktsegment") === "BUILDING"),
+      Some("""WITH g AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             |d AS (SELECT v, CAST(sum(g1) AS HUGEINT) AS n1v,
+             |    CAST(count(*) AS HUGEINT) AS tv FROM g GROUP BY v),
+             |c AS (SELECT *, coalesce(sum(tv) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             |  FROM d),
+             |a AS (SELECT sum(n1v) AS n1, sum(tv) - sum(n1v) AS n2,
+             |    sum(n1v * (2 * cumb + tv + 1)) AS r1x2,
+             |    sum(tv * tv * tv - tv) AS ties FROM c)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             |  round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+             |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+             |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+             |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+             |          * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+             |    * 1000000.0) / 1000000.0 AS z
+             |FROM a""".stripMargin)),
+
+    // ---- one-way ANOVA: does source explain token count? Between/
+    // within variance decomposition with exact integer sufficient sums;
+    // F and effect size eta-squared — the "is this corpus partition
+    // real" gate before any per-source policy.
+    Q("q258_anova_f",
+      (s, d) => graft.operators.Stats.oneWayAnova(t(s, d, "documents"),
+        col("source"), size(split(col("text"), " "))),
+      Some("""WITH v AS (SELECT source AS g,
+             |    CAST(len(string_split(text, ' ')) AS HUGEINT) AS v
+             |  FROM documents),
+             |pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS n_g,
+             |    sum(v) AS s_g, sum(v * v) AS ss_g FROM v GROUP BY g),
+             |a AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(n_g) AS n,
+             |    sum(s_g) AS s, sum(ss_g) AS ss,
+             |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+             |      / CAST(n_g AS DOUBLE)) AS sb FROM pg)
+             |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+             |  round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) * 100.0) / 100.0 AS ssb,
+             |  round((CAST(ss AS DOUBLE) - sb) * 100.0) / 100.0 AS sse,
+             |  round(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             |    / ((CAST(ss AS DOUBLE) - sb)
+             |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS f_stat,
+             |  round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |    / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS eta_sq
+             |FROM a""".stripMargin)),
+
+    // ---- dyadic EWMA (alpha = 1/2, 20-lag truncation) over the dense
+    // daily event series + one-step-ahead forecast error: the
+    // deterministic member of the EWMA family (every weight a power of
+    // two -> the scaled convolution is an exact integer sum; no float
+    // pow, no window accumulation-order sensitivity).
+    Q("q259_ewma_smooth",
+      (s, d) => graft.operators.EventOps.ewmaSmooth(Tables.events(s, d))
+        .orderBy("day"),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |cv AS (SELECT a.day, count(*) AS m,
+             |    sum(CAST(l.c AS HUGEINT) * (CAST(1 AS HUGEINT) << (19 - lg.j))) AS scaled
+             |  FROM dn a CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS j) lg
+             |  JOIN dn l ON l.day = a.day - lg.j
+             |  GROUP BY a.day),
+             |em AS (SELECT day, CAST(scaled AS DOUBLE) / 1048575.0 AS ewma
+             |  FROM cv WHERE m = 20)
+             |SELECT d.day, d.c,
+             |  round(e.ewma * 1000000.0) / 1000000.0 AS ewma,
+             |  round(abs(CAST(d.c AS DOUBLE) - p.ewma) * 1000000.0)
+             |    / 1000000.0 AS forecast_abs_err
+             |FROM dn d JOIN em p ON p.day = d.day - 1 JOIN em e ON e.day = d.day
+             |ORDER BY d.day""".stripMargin)))
+
+  /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
+    * edge recipe): trade-count edges between customer and supplier
+    * nations, kept when strictly heavier than the mean edge weight.
+    * Dims broadcast; the fact join is the only shuffle. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val nation = t(s, d, "nation")
+    val raw = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+        col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+        col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val avgW = raw.agg(avg(col("w")).as("aw"))
+    raw.join(broadcast(avgW))
+      .where(col("w").cast("double") > col("aw"))
+      .select("src", "dst")
+  }
+
+  /** The matching DuckDB CTE prefix for [[tradeEdges]], ending in `ed`
+    * (deduped undirected above-average pairs). def, not val: interpolated
+    * from `all`'s initializer, which runs first. */
+  private def tradeEdgeCtes: String =
+    """raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |aw AS (SELECT avg(w) AS aw FROM raw),
+      |th AS (SELECT src, dst FROM raw, aw WHERE w > aw),
+      |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |       FROM th WHERE src <> dst)""".stripMargin
 
   /** DuckDB replica of [[graft.operators.QualityClassifier.train]]: the
     * feature extraction (quantized 1e-6 longs, ln composed identically),

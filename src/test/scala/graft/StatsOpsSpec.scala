@@ -589,4 +589,59 @@ class StatsOpsSpec extends GraftSpec {
     val d = Profiling.ksDrift(df, "x", col("g") === 1L).collect().head
     assert(d.getAs[Double]("d_stat") == 0.5)
   }
+
+  test("mannWhitneyU: total separation gives U = 0; identity gives U = n1n2/2, z = 0") {
+    val sep = Seq((1.0, 1), (2.0, 1), (3.0, 1), (4.0, 0), (5.0, 0), (6.0, 0))
+      .toDF("v", "g")
+    val r1 = graft.operators.Stats.mannWhitneyU(sep, col("v"), col("g") === 1)
+      .collect().head
+    assert(r1.getAs[Double]("u1") == 0.0 && r1.getAs[Double]("z") < -1.9)
+    val same = Seq((1.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)).toDF("v", "g")
+    val r2 = graft.operators.Stats.mannWhitneyU(same, col("v"), col("g") === 1)
+      .collect().head
+    assert(r2.getAs[Double]("u1") == 2.0, "tie-averaged ranks: U1 = n1*n2/2")
+    assert(r2.getAs[Double]("z") == 0.0)
+  }
+
+  test("oneWayAnova: hand-computed two-group decomposition") {
+    // a={1,2}, b={3,4}: SSB=4, SSE=1, F=(4/1)/(1/2)=8, eta^2=0.8
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = graft.operators.Stats.oneWayAnova(df, col("g"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Double]("ssb") == 4.0 && r.getAs[Double]("sse") == 1.0)
+    assert(r.getAs[Double]("f_stat") == 8.0 && r.getAs[Double]("eta_sq") == 0.8)
+  }
+
+  test("ewmaSmooth: constant series smooths to itself with zero forecast error") {
+    val dayNs = 86400L * 1000000000L
+    val const = (0 until 25).flatMap(d =>
+      Seq.fill(2)(Tuple1(d * dayNs))).toDF("ts")
+    val rows = EventOps.ewmaSmooth(const).collect()
+    // conv is full-history from day 19 (lags 0..19); the forecast join
+    // needs the previous day's smooth too -> emitted days are 20..24
+    assert(rows.length == 5, "25 dense days emit the last 5")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ewma") == 2.0)
+      assert(r.getAs[Double]("forecast_abs_err") == 0.0)
+    }
+  }
+
+  test("kCorePeel: pendant peels off, the 4-clique survives k=3 with core degree 3") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("e", "a")).toDF("src", "dst")
+    val core = graft.operators.GraphOps.kCorePeel(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("adamicAdar: path endpoints score 1/ln(deg of the shared center)") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val rows = graft.operators.GraphOps.adamicAdar(edges).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    assert(r.getAs[Long]("common") == 1L)
+    assert(math.abs(r.getAs[Double]("aa_score") - 1.0 / math.log(2.0)) < 1e-6)
+  }
 }
