@@ -60,4 +60,25 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
+    * assignment: each key goes to the shard whose portable 60-bit hash
+    * of "key#shard" is largest. Unlike `pmod(hash, n)`, growing the
+    * shard count moves ONLY the keys whose new shard wins — an expected
+    * 1/(n+1) of the data relocates instead of (n-1)/n, which is the
+    * difference between adding capacity and rewriting the warehouse.
+    *
+    * Pure codegen'd expression (n md5s + one `greatest` over (hash,
+    * shard) structs — the struct order makes any tie break toward the
+    * larger shard id, deterministically); bit-identical to the DuckDB
+    * arg_max-over-md5 oracle. Scan-speed, no shuffle, no driver state. */
+  def rendezvousShard(idCol: Column, nShards: Int): Column = {
+    require(nShards >= 2, "rendezvous needs at least two shards")
+    val cands = (0 until nShards).map { sh =>
+      struct(graft.expressions.PortableHash.md5Hash60(
+        concat(idCol.cast("string"), lit(s"#$sh"))).as("h"),
+        lit(sh).as("s"))
+    }
+    greatest(cands: _*).getField("s")
+  }
 }

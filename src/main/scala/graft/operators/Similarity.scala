@@ -535,4 +535,113 @@ object Similarity {
         round(col("centroid_norm") / col("avg_norm"), 4).as("anisotropy"))
       .orderBy("label")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * with λ = 1/2 over the exact top-`poolK` pool of one query: greedily
+    * select `selectK` results maximizing relevance minus the max
+    * similarity to anything already selected — retrieval that refuses to
+    * return five near-copies of the best hit.
+    *
+    * Determinism: both relevance and pairwise cosines are quantized to
+    * 1e-6 micro-units (LONG) BEFORE any comparison, so every greedy
+    * argmax is an exact integer comparison with vec_id tie-break — no
+    * float-ulp selection flips between engines, and λ = 1/2 drops out of
+    * the argmax entirely (score ∝ rel_u − maxsim_u). Round 1's "max
+    * similarity to the empty set" is 0 by convention.
+    *
+    * SCALE: the pool cut is [[bruteForceTopK]] (one corpus scan,
+    * TakeOrderedAndProject); everything after runs on the poolK-sized
+    * pool (pairwise table poolK², localCheckpoint'd once). The greedy
+    * loop collects ONE argmax row per round — driver state is the
+    * selection itself (selectK rows), the model-sized-collect
+    * convention. Output: (rank, vec_id, rel, max_sim_sel, mmr). */
+  def mmrRerank(emb: DataFrame, queryId: Long, poolK: Int, selectK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(emb, queryId, poolK, idCol, vecCol)
+      .select(col(idCol),
+        round(col("cos") * 1000000.0).cast("long").as("rel_u"))
+      .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("v")),
+        Seq(idCol))
+      .localCheckpoint() // feeds the pair table and every round's filter
+    val pairs = pool.as("a").join(pool.as("b"),
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("ia"), col(s"b.$idCol").as("ib"),
+        (round(cosine(col("a.v"), col("b.v")) * 1000000.0)).cast("long")
+          .as("sim_u"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Long, Long)] // (vec_id, rel_u, maxsim_u)
+    for (_ <- 1 to selectK) {
+      val selIds = selected.map(_._1)
+      val cand = if (selIds.isEmpty) pool.select(col(idCol), col("rel_u"),
+          lit(0L).as("maxsim_u"))
+        else pool.where(!col(idCol).isin(selIds: _*))
+          .join(pairs.where(col("ib").isin(selIds: _*))
+            .groupBy(col("ia").as(idCol)).agg(max("sim_u").as("maxsim_u")),
+            Seq(idCol))
+          .select(col(idCol), col("rel_u"), col("maxsim_u"))
+      val best = cand
+        .orderBy((col("rel_u") - col("maxsim_u")).desc, col(idCol))
+        .limit(1).collect().head // 1 row/round: the model-sized collect
+      selected :+= ((best.getLong(0), best.getLong(1), best.getLong(2)))
+    }
+    IterUtils.unpersistCheckpoint(pool)
+    IterUtils.unpersistCheckpoint(pairs)
+    selected.zipWithIndex.map { case ((id, rel, ms), i) =>
+      (i + 1L, id, rel / 1000000.0, ms / 1000000.0, (rel - ms) / 1000000.0)
+    }.toDF("rnk", idCol, "rel", "max_sim_sel", "mmr")
+  }
+
+  /** Deterministic ±1 sign for the JL projection cell (i, j): parity of
+    * the md5 of "i#j" — the [[graft.expressions.PortableHash]] family
+    * evaluated at PLAN BUILD time, so both the engine plan and the
+    * generated oracle SQL embed the same literal sign matrix. */
+  def jlSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i#$j".getBytes("UTF-8"))
+    if ((d.last & 1) == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss distortion audit: project d-dim embeddings to
+    * `m` dims with the literal ±1 sign matrix [[jlSign]], then measure
+    * ||ya−yb||²/(m·||va−vb||²) over all pairs of the audit prefix
+    * (`auditIds` lowest vec_ids) — the empirical answer to "how many
+    * random-projection dims does THIS corpus need before ANN recall
+    * collapses". Achlioptas 2003 guarantees concentration near 1; the
+    * emitted min/max/frac-within-[½,2] show the actual tails.
+    *
+    * Determinism: each projection component and each squared distance is
+    * ONE index-ordered fold (functions.aggregate / list-comprehension
+    * sum) over the same doubles in both engines; ratios are
+    * display-rounded, and the [½,2] band count compares identical
+    * doubles. SCALE: projection is a scan-speed per-row expression (the
+    * sign matrix is m·d literals baked into the plan — the
+    * [[Pca]]-projection shape); the pair audit is bounded by auditIds²,
+    * a sample, never corpus². Output: 1 row. */
+  def jlDistortion(emb: DataFrame, m: Int, auditIds: Int,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val proj = emb.where(col(idCol) < auditIds)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), array((0 until m).map { j =>
+        (0 until dim).map { i =>
+          element_at(col("v"), i + 1) * lit(jlSign(i, j).toDouble)
+        }.reduce(_ + _)
+      }: _*).as("y"), col("v"))
+    val pairs = proj.as("a").join(proj.as("b"),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)").as("dx"),
+        expr("aggregate(zip_with(a.y, b.y, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)").as("dy"))
+      .where(col("dx") > 0.0)
+      .select((col("dy") / (lit(m.toDouble) * col("dx"))).as("ratio"))
+    pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+      (round(avg("ratio") * 1000000.0) / 1000000.0).as("avg_ratio"),
+      (round(min("ratio") * 1000000.0) / 1000000.0).as("min_ratio"),
+      (round(max("ratio") * 1000000.0) / 1000000.0).as("max_ratio"),
+      (round(sum(when(col("ratio") >= 0.5 && col("ratio") <= 2.0, 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)).cast("double")
+        * 1000000.0) / 1000000.0).as("frac_within_2x"))
+  }
 }

@@ -5637,7 +5637,122 @@ object PipelineQueries {
              |  round(abs(CAST(d.c AS DOUBLE) - p.ewma) * 1000000.0)
              |    / 1000000.0 AS forecast_abs_err
              |FROM dn d JOIN em p ON p.day = d.day - 1 JOIN em e ON e.day = d.day
-             |ORDER BY d.day""".stripMargin)))
+             |ORDER BY d.day""".stripMargin)),
+
+    // ---- MMR diversified retrieval: greedy rel-minus-max-sim selection
+    // of 5 from the exact top-20 pool of query 0 (lambda = 1/2). All
+    // comparisons in integer micro-units, so the greedy path is
+    // engine-independent; the oracle unrolls the 5 rounds as CTEs.
+    Q("q260_mmr_rerank",
+      (s, d) => graft.operators.Similarity
+        .mmrRerank(t(s, d, "embeddings"), 0L, poolK = 20, selectK = 5),
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""c$r AS (SELECT p.vec_id, p.rel_u, max(pp.sim_u) AS maxsim_u
+             |  FROM pool p JOIN pp ON pp.ia = p.vec_id
+             |  WHERE pp.ib IN (SELECT vec_id FROM sel${r - 1})
+             |    AND p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  GROUP BY 1, 2),
+             |s$r AS (SELECT vec_id, rel_u, maxsim_u FROM c$r
+             |  ORDER BY rel_u - maxsim_u DESC, vec_id LIMIT 1),
+             |sel$r AS (SELECT vec_id FROM sel${r - 1}
+             |  UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(r =>
+          s"""SELECT $r AS rnk, vec_id, CAST(rel_u AS DOUBLE) / 1000000.0 AS rel,
+             |  CAST(maxsim_u AS DOUBLE) / 1000000.0 AS max_sim_sel,
+             |  CAST(rel_u - maxsim_u AS DOUBLE) / 1000000.0 AS mmr FROM s$r"""
+            .stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |pool AS (SELECT vec_id,
+           |    CAST(round(list_cosine_similarity(v, qv) * 1000000.0) AS BIGINT) AS rel_u, v
+           |  FROM e, q WHERE vec_id <> 0
+           |  ORDER BY rel_u DESC, vec_id LIMIT 20),
+           |pp AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS sim_u
+           |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+           |s1 AS (SELECT vec_id, rel_u, CAST(0 AS BIGINT) AS maxsim_u
+           |  FROM pool ORDER BY rel_u DESC, vec_id LIMIT 1),
+           |sel1 AS (SELECT vec_id FROM s1),
+           |$rounds
+           |SELECT * FROM ($out) ORDER BY rnk""".stripMargin
+      }),
+
+    // ---- rendezvous (HRW) sharding stability: per-shard doc counts at
+    // 8 and at 9 shards, plus how many docs moved INTO each shard when
+    // shard 8 was added — the HRW guarantee says only the new shard
+    // receives movers (~1/9 of the corpus), vs (n-1)/n for mod-hashing.
+    Q("q261_rendezvous_shard",
+      (s, d) => {
+        val a = t(s, d, "documents").select(
+          graft.operators.Layout.rendezvousShard(col("doc_id"), 8).as("a8"),
+          graft.operators.Layout.rendezvousShard(col("doc_id"), 9).as("a9"))
+        val g8 = a.groupBy(col("a8").as("shard"))
+          .agg(count(lit(1)).as("n8"))
+        val g9 = a.groupBy(col("a9").as("shard"))
+          .agg(count(lit(1)).as("n9"),
+            sum(when(col("a8") =!= col("a9"), 1L).otherwise(0L)).as("mv"))
+        s.range(9).select(col("id").as("shard"))
+          .join(g8, Seq("shard"), "left").join(g9, Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n8"), lit(0L)).cast("long").as("n_8shards"),
+            coalesce(col("n9"), lit(0L)).cast("long").as("n_9shards"),
+            coalesce(col("mv"), lit(0L)).cast("long").as("moved_in"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, sh.s AS s,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+             |      || CAST(sh.s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s) sh),
+             |a AS (SELECT doc_id, arg_max(s, h) FILTER (WHERE s < 8) AS a8,
+             |    arg_max(s, h) AS a9 FROM h GROUP BY doc_id),
+             |g8 AS (SELECT a8 AS shard, count(*) AS n8 FROM a GROUP BY 1),
+             |g9 AS (SELECT a9 AS shard, count(*) AS n9,
+             |    sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS mv
+             |  FROM a GROUP BY 1)
+             |SELECT r.shard, CAST(coalesce(n8, 0) AS BIGINT) AS n_8shards,
+             |  CAST(coalesce(n9, 0) AS BIGINT) AS n_9shards,
+             |  CAST(coalesce(mv, 0) AS BIGINT) AS moved_in
+             |FROM (SELECT unnest(range(0, 9)) AS shard) r
+             |LEFT JOIN g8 USING (shard) LEFT JOIN g9 USING (shard)
+             |ORDER BY r.shard""".stripMargin)),
+
+    // ---- Johnson-Lindenstrauss distortion audit: 64 -> 16 dims via the
+    // literal +-1 sign matrix (md5 parity, baked into BOTH plans at
+    // build time), squared-distance ratios over the vec_id < 40 audit
+    // prefix. Index-ordered folds on both engines keep every double
+    // bit-identical before the display rounding.
+    Q("q262_jl_distortion",
+      (s, d) => graft.operators.Similarity
+        .jlDistortion(t(s, d, "embeddings"), m = 16, auditIds = 40),
+      Some {
+        import graft.operators.Similarity.jlSign
+        val yCols = (0 until 16).map { j =>
+          (0 until 64).map(i => s"v[${i + 1}] * (${jlSign(i, j)}.0)")
+            .mkString(" + ") + s" AS y$j"
+        }.mkString(",\n    ")
+        val dx = (0 until 64).map(i =>
+          s"(a.v[${i + 1}] - b.v[${i + 1}]) * (a.v[${i + 1}] - b.v[${i + 1}])")
+          .mkString(" + ")
+        val dy = (0 until 16).map(j =>
+          s"(a.y$j - b.y$j) * (a.y$j - b.y$j)").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id < 40),
+           |p AS (SELECT vec_id, v,
+           |    $yCols
+           |  FROM e),
+           |pr AS (SELECT ($dx) AS dx, ($dy) AS dy
+           |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+           |r AS (SELECT dy / (16.0 * dx) AS ratio FROM pr WHERE dx > 0.0)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(avg(ratio) * 1000000.0) / 1000000.0 AS avg_ratio,
+           |  round(min(ratio) * 1000000.0) / 1000000.0 AS min_ratio,
+           |  round(max(ratio) * 1000000.0) / 1000000.0 AS max_ratio,
+           |  round(sum(CASE WHEN ratio >= 0.5 AND ratio <= 2.0 THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*)::DOUBLE * 1000000.0) / 1000000.0 AS frac_within_2x
+           |FROM r""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

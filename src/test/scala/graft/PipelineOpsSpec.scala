@@ -1664,4 +1664,50 @@ class PipelineOpsSpec extends GraftSpec {
     assert(re.sortBy(_._1).sameElements(got.sortBy(_._1)),
       "bucket assignment must not depend on physical partitioning")
   }
+
+  test("mmrRerank: picks the best hit first, then diversity over a near-duplicate") {
+    import graft.operators.Similarity
+    // id1/id2 are exact duplicates (highest relevance); id3 is less
+    // relevant but nearly orthogonal to them — MMR must take 1 then 3.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.866f, 0.0f))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(emb, 0L, poolK = 3, selectK = 2)
+      .collect()
+    assert(sel.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L))
+    assert(sel.head.getAs[Long]("rnk") == 1L)
+    assert(sel.head.getAs[Double]("max_sim_sel") == 0.0,
+      "round 1 has no selected set; empty-max is 0 by convention")
+    assert(sel(1).getAs[Double]("mmr") < sel(1).getAs[Double]("rel"))
+  }
+
+  test("rendezvousShard: stable under growth — movers land only in the new shard") {
+    import graft.operators.Layout
+    val ids = spark.range(1000).toDF("doc_id")
+    val a = ids.select(
+      Layout.rendezvousShard(col("doc_id"), 8).as("a8"),
+      Layout.rendezvousShard(col("doc_id"), 9).as("a9"))
+      .collect()
+    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    assert(a.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 9))
+    val movers = a.filter(r => r.getInt(0) != r.getInt(1))
+    assert(movers.forall(_.getInt(1) == 8),
+      "HRW: a key moves only when the NEW shard wins its hash race")
+    val frac = movers.length / 1000.0
+    assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
+  }
+
+  test("jlDistortion: unit-basis corpus concentrates ratios near 1 with positive support") {
+    import graft.operators.Similarity
+    val basis = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.jlDistortion(basis, m = 16, auditIds = 10).collect().head
+    assert(r.getAs[Long]("n_pairs") == 45L)
+    assert(r.getAs[Double]("min_ratio") > 0.0)
+    val avg = r.getAs[Double]("avg_ratio")
+    assert(avg > 0.4 && avg < 2.5, s"JL mean ratio should sit near 1, got $avg")
+  }
 }
