@@ -220,6 +220,64 @@ object GraphOps {
     labels
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * list (src, dst), run for FIXED `rounds` with max-normalization in
+    * integer billionths: each half-round sums the opposite score over
+    * the edges (an EXACT decimal(38,0) integer sum — no float
+    * accumulation-order drift), then rescales so the max is 10⁹ via
+    * round(score/max·10⁹), a correctly-rounded double op on exact
+    * integer inputs — deterministic in every engine. L2 normalization
+    * would put a sqrt inside the loop and compound ulps across rounds;
+    * max-normalization is the fixed-point-friendly integer choice
+    * (scores converge to the principal eigenvector direction either
+    * way, and the output is scale-free [0, 1]).
+    *
+    * Determinism bound: score sums stay exact while nodes·10⁹ < 2⁵³
+    * (~9·10⁶ nodes); past that, lift the ratio into decimal division.
+    *
+    * SCALE: per half-round one edge-keyed join + one map-side-combined
+    * aggregation + a broadcast 1-row max; scores are node-sized,
+    * eagerly checkpointed, superseded rounds released ([[pageRank]]
+    * discipline). Output: (node, auth, hub) in [0, 1]. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val B = 1000000000L
+    def renorm(sums: DataFrame): DataFrame = {
+      // sums: (node, s) possibly missing nodes; rescale max -> 10^9
+      val mx = sums.agg(max(col("s")).as("m"))
+      nodes.join(sums, Seq("node"), "left").join(broadcast(mx))
+        .select(col("node"),
+          round(coalesce(col("s"), lit(0L)).cast("double") /
+            col("m").cast("double") * B.toDouble).cast("long").as("v"))
+    }
+    var h = nodes.select(col("node"), lit(B).as("v")).localCheckpoint()
+    var a = h
+    for (_ <- 1 to rounds) {
+      val aSums = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("v").as("s"))
+      val aNext = renorm(aSums).localCheckpoint()
+      if (a ne h) IterUtils.unpersistCheckpoint(a)
+      a = aNext
+      val hSums = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("v").as("s"))
+      val hNext = renorm(hSums).localCheckpoint()
+      IterUtils.unpersistCheckpoint(h)
+      h = hNext
+    }
+    val out = nodes
+      .join(a.select(col("node"), col("v").as("av")), Seq("node"), "left")
+      .join(h.select(col("node"), col("v").as("hv")), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("av"), lit(0L)).cast("double") / B.toDouble).as("auth"),
+        (coalesce(col("hv"), lit(0L)).cast("double") / B.toDouble).as("hub"))
+      .localCheckpoint()
+    Seq(e, nodes, a, h).foreach(IterUtils.unpersistCheckpoint)
+    out
+  }
+
   /** k-core membership by synchronous peeling (Seidman 1983), run for a
     * FIXED `rounds`: each round drops every node whose degree within the
     * surviving subgraph is < k, simultaneously — the deterministic,

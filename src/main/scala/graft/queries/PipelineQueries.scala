@@ -5752,7 +5752,128 @@ object PipelineQueries {
            |  round(sum(CASE WHEN ratio >= 0.5 AND ratio <= 2.0 THEN 1 ELSE 0 END)::DOUBLE
            |    / count(*)::DOUBLE * 1000000.0) / 1000000.0 AS frac_within_2x
            |FROM r""".stripMargin
-      }))
+      }),
+
+    // ---- HITS hubs/authorities on the DIRECTED thresholded trade graph
+    // (customer-nation -> supplier-nation): who concentrates demand
+    // (hubs) vs supply (authorities). 8 fixed rounds, integer-billionth
+    // max-normalization — exact sums, one correctly-rounded double op
+    // per rescale, so the oracle unrolls bit-identically.
+    Q("q263_hits",
+      (s, d) => graft.operators.GraphOps.hits(tradeEdges(s, d), rounds = 8)
+        .orderBy("node"),
+      Some {
+        val rounds = (1 to 8).map { r =>
+          s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.v) AS s FROM ed2 e
+             |  JOIN h${r - 1} h ON h.node = e.src GROUP BY 1),
+             |am$r AS (SELECT max(s) AS m FROM ar$r),
+             |a$r AS MATERIALIZED (SELECT n.node, CAST(round(CAST(coalesce(x.s, 0) AS DOUBLE)
+             |    / CAST(am$r.m AS DOUBLE) * 1000000000.0) AS BIGINT) AS v
+             |  FROM nodes n LEFT JOIN ar$r x ON x.node = n.node CROSS JOIN am$r),
+             |hr$r AS MATERIALIZED (SELECT e.src AS node, sum(a.v) AS s FROM ed2 e
+             |  JOIN a$r a ON a.node = e.dst GROUP BY 1),
+             |hm$r AS (SELECT max(s) AS m FROM hr$r),
+             |h$r AS MATERIALIZED (SELECT n.node, CAST(round(CAST(coalesce(x.s, 0) AS DOUBLE)
+             |    / CAST(hm$r.m AS DOUBLE) * 1000000000.0) AS BIGINT) AS v
+             |  FROM nodes n LEFT JOIN hr$r x ON x.node = n.node CROSS JOIN hm$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $tradeEdgeCtes,
+           |ed2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM th WHERE src <> dst),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM ed2 UNION SELECT dst FROM ed2),
+           |h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS v FROM nodes),
+           |$rounds
+           |SELECT n.node, CAST(coalesce(a8.v, 0) AS DOUBLE) / 1000000000.0 AS auth,
+           |  CAST(coalesce(h8.v, 0) AS DOUBLE) / 1000000000.0 AS hub
+           |FROM nodes n LEFT JOIN a8 ON a8.node = n.node
+           |LEFT JOIN h8 ON h8.node = n.node ORDER BY n.node""".stripMargin
+      }),
+
+    // ---- TextRank keywords: per-doc PageRank over adjacent-token
+    // graphs, every sampled doc iterated simultaneously as one keyed
+    // relation. Integer-millionth ranks -> the 5 damped rounds unroll
+    // exactly; top-3 per doc.
+    Q("q264_textrank",
+      (s, d) => graft.operators.TextRank.keywords(
+        t(s, d, "documents").where(col("doc_id") % 25 === 0),
+        rounds = 5, topK = 3)
+        .orderBy("doc_id", "pos"),
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""c$r AS (SELECT s.doc_id, s.v AS w, sum(rr.r // d.deg) AS c
+             |  FROM sym s JOIN dg d ON d.doc_id = s.doc_id AND d.u = s.u
+             |  JOIN r${r - 1} rr ON rr.doc_id = s.doc_id AND rr.w = s.u
+             |  GROUP BY 1, 2),
+             |r$r AS (SELECT doc_id, w,
+             |  CAST(round(150000.0 + 0.85 * CAST(c AS DOUBLE)) AS BIGINT) AS r
+             |  FROM c$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pl AS (SELECT doc_id, string_split(text, ' ') AS t
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |pr AS (SELECT doc_id,
+           |    unnest([{'a': t[i], 'b': t[i + 1]} for i in range(1, len(t))]) AS p
+           |  FROM pl WHERE len(t) >= 2),
+           |ed AS (SELECT DISTINCT doc_id, least(p.a, p.b) AS wa,
+           |    greatest(p.a, p.b) AS wb FROM pr WHERE p.a <> p.b),
+           |sym AS (SELECT doc_id, wa AS u, wb AS v FROM ed
+           |  UNION ALL SELECT doc_id, wb, wa FROM ed),
+           |dg AS (SELECT doc_id, u, count(*) AS deg FROM sym GROUP BY 1, 2),
+           |r0 AS (SELECT doc_id, u AS w, CAST(1000000 AS BIGINT) AS r FROM dg),
+           |$rounds
+           |SELECT doc_id, CAST(pos AS BIGINT) AS pos, w,
+           |  CAST(r AS DOUBLE) / 1000000.0 AS score
+           |FROM (SELECT doc_id, w, r, row_number() OVER
+           |    (PARTITION BY doc_id ORDER BY r DESC, w) AS pos FROM r5)
+           |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin
+      }),
+
+    // ---- interpolated Kneser-Ney bigram LM: fit on 90% of docs, score
+    // the held-out 10% — continuation-count smoothing, the model-free
+    // held-out-perplexity quality signal. OOV bigrams counted, not
+    // imputed.
+    Q("q265_kneser_ney",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.KneserNey.bigramScore(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0))
+      },
+      Some("""WITH trt AS (SELECT string_split(text, ' ') AS t
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |trp AS (SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+             |    for i in range(1, len(t))]) AS p FROM trt WHERE len(t) >= 2),
+             |trb AS (SELECT p.a AS v, p.b AS w FROM trp),
+             |cvw AS (SELECT v, w, count(*) AS cvw FROM trb GROUP BY 1, 2),
+             |cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1fwd
+             |  FROM cvw GROUP BY 1),
+             |nb AS (SELECT w, count(*) AS n1back FROM cvw GROUP BY 1),
+             |bt AS (SELECT count(*) AS b_types FROM cvw),
+             |tet AS (SELECT string_split(text, ' ') AS t
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |tep AS (SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+             |    for i in range(1, len(t))]) AS p FROM tet WHERE len(t) >= 2),
+             |teb AS (SELECT p.a AS v, p.b AS w FROM tep),
+             |sc AS (SELECT teb.v, teb.w, cv.cv, cv.n1fwd, nb.n1back,
+             |    cvw.cvw, bt.b_types
+             |  FROM teb LEFT JOIN cv ON cv.v = teb.v
+             |  LEFT JOIN nb ON nb.w = teb.w
+             |  LEFT JOIN cvw ON cvw.v = teb.v AND cvw.w = teb.w
+             |  CROSS JOIN bt),
+             |lps AS (SELECT b_types, CASE WHEN cv IS NOT NULL
+             |    AND n1back IS NOT NULL THEN
+             |    log2(greatest(CAST(coalesce(cvw, 0) AS DOUBLE) - 0.75, 0.0)
+             |        / CAST(cv AS DOUBLE)
+             |      + 0.75 * CAST(n1fwd AS DOUBLE) / CAST(cv AS DOUBLE)
+             |        * (CAST(n1back AS DOUBLE) / CAST(b_types AS DOUBLE)))
+             |  END AS lp FROM sc)
+             |SELECT CAST(max(b_types) AS BIGINT) AS n_bigram_types,
+             |  CAST(sum(CASE WHEN lp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_scored,
+             |  CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_skipped_oov,
+             |  round(avg(lp) * 1000000.0) / 1000000.0 AS avg_log2p,
+             |  round(pow(2.0, -avg(lp)) * 10000.0) / 10000.0 AS perplexity
+             |FROM lps""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

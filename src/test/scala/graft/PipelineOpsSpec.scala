@@ -1699,6 +1699,28 @@ class PipelineOpsSpec extends GraftSpec {
     assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
   }
 
+  test("textRank keywords: the co-occurrence hub outranks its satellites") {
+    val d = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
+    val rows = graft.operators.TextRank.keywords(d, rounds = 5, topK = 3)
+      .orderBy("pos").collect()
+    assert(rows.head.getAs[String]("w") == "hub",
+      "degree-3 center must carry the highest rank")
+    assert(rows.head.getAs[Double]("score") > rows(1).getAs[Double]("score"))
+  }
+
+  test("kneserNeyBigram: hand-computed interpolated probability on a 2-type corpus") {
+    // train "a b a b": c(ab)=2, c(ba)=1; cv(a)=2, N1+(a.)=1; N1+(.b)=1; B=2
+    // P(b|a) = (2-0.75)/2 + 0.75*(1/2)*(1/2) = 0.8125
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val test0 = Seq((2L, "a b"), (3L, "zz qq")).toDF("doc_id", "text")
+    val r = graft.operators.KneserNey.bigramScore(train, test0).collect().head
+    assert(r.getAs[Long]("n_bigram_types") == 2L)
+    assert(r.getAs[Long]("n_scored") == 1L)
+    assert(r.getAs[Long]("n_skipped_oov") == 1L)
+    val want = math.round(math.log(0.8125) / math.log(2.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("avg_log2p") == want)
+  }
+
   test("jlDistortion: unit-basis corpus concentrates ratios near 1 with positive support") {
     import graft.operators.Similarity
     val basis = (0 until 10).map { i =>

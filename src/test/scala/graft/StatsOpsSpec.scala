@@ -635,6 +635,15 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("hits: a pure sink is the authority, its feeders the hubs") {
+    val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val m = graft.operators.GraphOps.hits(edges, rounds = 3).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("auth"),
+        r.getAs[Double]("hub"))).toMap
+    assert(m("c") == ((1.0, 0.0)))
+    assert(m("a") == ((0.0, 1.0)) && m("b") == ((0.0, 1.0)))
+  }
+
   test("adamicAdar: path endpoints score 1/ln(deg of the shared center)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val rows = graft.operators.GraphOps.adamicAdar(edges).collect()
