@@ -82,6 +82,70 @@ object Stats {
         .as("z"))
   }
 
+  /** Poisson(1) CDF as double literals — the SAME strings are embedded
+    * in the oracle SQL, so both engines threshold identical doubles. */
+  private[graft] val PoissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563")
+
+  /** Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    * that works in one distributed pass): each (row, replicate) pair
+    * draws weight ~ Poisson(1) DETERMINISTICALLY, by inverting the CDF
+    * at u = md5₆₀(key@b)/2⁶⁰ — no RNG state, no sampling shuffle, and
+    * the oracle replays the identical draws. Returns the plain mean of
+    * `valueCol` (a 2-dp money column, folded in exact integer cents)
+    * with the order-statistic 90% interval [m₍₅₎, m₍₉₆₎] of the B=100
+    * replicate means.
+    *
+    * Determinism: weights are integer; each replicate's weighted sum is
+    * an exact decimal; each replicate mean is one correctly-rounded
+    * double ratio. The final rank-5/96 selection compares those exact
+    * ratios (b tie-break) — no float-accumulation anywhere.
+    *
+    * SCALE: one pass over rows×B with map-side combine down to B rows;
+    * the order-statistic window runs on the B-row relation (bounded by
+    * nBoot, not data — documented single partition). Driver state: none. */
+  def poissonBootstrapMean(df: DataFrame, keyCol: Column, valueCol: Column,
+      nBoot: Int = 100): DataFrame = {
+    val base = df.select(keyCol.cast("string").as("k"),
+      round(valueCol.cast("double") * 100.0).cast("long").as("cents"))
+      .localCheckpoint() // feeds the point estimate + the replicate pass
+    val point = base.agg(sum(col("cents")).cast(dec).as("s"),
+      count(lit(1)).cast(dec).as("n"))
+      .select((col("s").cast("double") / col("n").cast("double") / 100.0)
+        .as("pm"))
+    val u = graft.expressions.PortableHash
+      .md5Hash60(concat(col("k"), lit("@"), col("b"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(5L)) {
+      case ((c, i), rest) => when(u < expr(s"CAST($c AS DOUBLE)"), i.toLong)
+        .otherwise(rest)
+    }
+    val reps = base
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .select(col("b"), col("cents"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w").cast(dec) * col("cents").cast(dec)).as("ws"),
+        sum(col("w")).as("wc"))
+      .where(col("wc") > 0)
+      .select(col("b"), (col("ws").cast("double") /
+        col("wc").cast("double") / 100.0).as("m"))
+    val byMean = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
+    val loIdx = math.ceil(0.05 * nBoot).toInt
+    val hiIdx = nBoot - loIdx + 1
+    val ranked = reps.withColumn("rk", row_number().over(byMean))
+    val ci = ranked.agg(count(lit(1)).cast("long").as("n_boot"),
+      max(when(col("rk") === loIdx, col("m"))).as("lo"),
+      max(when(col("rk") === hiIdx, col("m"))).as("hi"))
+    ci.join(point)
+      .select(col("n_boot"),
+        (round(col("pm") * 10000.0) / 10000.0).as("point_mean"),
+        (round(col("lo") * 10000.0) / 10000.0).as("lo90"),
+        (round(col("hi") * 10000.0) / 10000.0).as("hi90"))
+  }
+
   /** One-way ANOVA of `valueCol` across the groups of `groupCol`: the
     * between/within variance decomposition, F statistic, and effect size
     * η² — "does this partition of the corpus explain the metric". Values

@@ -5873,7 +5873,128 @@ object PipelineQueries {
              |    AS n_skipped_oov,
              |  round(avg(lp) * 1000000.0) / 1000000.0 AS avg_log2p,
              |  round(pow(2.0, -avg(lp)) * 10000.0) / 10000.0 AS perplexity
-             |FROM lps""".stripMargin)))
+             |FROM lps""".stripMargin)),
+
+    // ---- Poisson-bootstrap 90% CI for mean order value on the 5%
+    // keyed sample: weight ~ Poisson(1) inverted DETERMINISTICALLY from
+    // md5(key@replicate)/2^60 against literal CDF constants shared with
+    // the oracle — one distributed pass, no RNG state, replayable draws.
+    Q("q266_bootstrap_ci",
+      (s, d) => graft.operators.Stats.poissonBootstrapMean(
+        t(s, d, "orders").where(col("o_orderkey") % 20 === 0),
+        col("o_orderkey"), col("o_totalprice")),
+      Some {
+        val cdf = graft.operators.Stats.PoissonCdf
+        val cases = cdf.zipWithIndex.map { case (c, i) =>
+          s"WHEN CAST(h AS DOUBLE) / 1152921504606846976.0 < $c THEN $i"
+        }.mkString("\n             ")
+        s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+           |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 20 = 0),
+           |pt AS (SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    / 100.0 AS pm FROM base),
+           |rep AS (SELECT bb.b, base.cents,
+           |    CAST(('0x' || substr(md5(base.k || '@' || CAST(bb.b AS VARCHAR)),
+           |      1, 15)) AS BIGINT) AS h
+           |  FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) bb),
+           |wts AS (SELECT b, cents, CASE
+           |    $cases
+           |    ELSE 5 END AS w FROM rep),
+           |g AS (SELECT b, sum(CAST(w AS HUGEINT) * CAST(cents AS HUGEINT)) AS ws,
+           |    sum(w) AS wc FROM wts GROUP BY b),
+           |m AS (SELECT b, CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE) / 100.0 AS m
+           |  FROM g WHERE wc > 0),
+           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+           |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
+           |    max(CASE WHEN rk = 5 THEN m END) AS lo,
+           |    max(CASE WHEN rk = 96 THEN m END) AS hi FROM rk)
+           |SELECT n_boot, round(pm * 10000.0) / 10000.0 AS point_mean,
+           |  round(lo * 10000.0) / 10000.0 AS lo90,
+           |  round(hi * 10000.0) / 10000.0 AS hi90
+           |FROM ci, pt""".stripMargin
+      }),
+
+    // ---- unpivot (melt): the q35 pivot's inverse as a first-class
+    // relational op — wide per-source language counts back to tidy
+    // (source, lang, n) via Dataset.unpivot (one projection, no shuffle
+    // beyond the aggregation that built the wide frame).
+    Q("q267_unpivot_melt",
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val aggs = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+        val wide = t(s, d, "documents").groupBy("source")
+          .agg(aggs.head, aggs.tail: _*)
+        wide.unpivot(Array(col("source")),
+            langs.map(l => col(s"n_$l")).toArray, "lang", "n")
+          .withColumn("lang", expr("substring(lang, 3)"))
+          .orderBy("source", "lang")
+      },
+      Some {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val wideCols = langs.map(l =>
+          s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS n_$l")
+          .mkString(", ")
+        val arms = langs.map(l =>
+          s"SELECT source, '$l' AS lang, CAST(n_$l AS BIGINT) AS n FROM w")
+          .mkString("\nUNION ALL ")
+        s"""WITH w AS (SELECT source, $wideCols FROM documents GROUP BY source)
+           |SELECT * FROM ($arms) ORDER BY source, lang""".stripMargin
+      }),
+
+    // ---- BLEU-2 over the verified Jaccard>=0.5 near-dup pairs:
+    // order-sensitive clipped-precision overlap + brevity penalty —
+    // separates reordered-vocabulary twins from true sequence copies.
+    Q("q268_bleu_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Bleu.bleu2Pairs(docs,
+          Dedup.shingleJaccardPairs(docs, 0.5)
+            .select(col("id_a"), col("id_b")))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+             |       FROM ws WHERE len(t) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pr AS (SELECT ia, ib FROM inter
+             |  JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |uni AS (SELECT doc_id, g, count(*) AS c FROM
+             |  (SELECT doc_id, unnest(t) AS g FROM ws) GROUP BY 1, 2),
+             |bi AS (SELECT doc_id, g, count(*) AS c FROM
+             |  (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+             |     for i in range(1, len(t))]) AS g FROM ws WHERE len(t) >= 2)
+             |  GROUP BY 1, 2),
+             |lens AS (SELECT doc_id, len(t) AS tot1,
+             |    greatest(len(t) - 1, 0) AS tot2 FROM ws),
+             |c1 AS (SELECT p.ia, p.ib, sum(least(cu.c, ru.c)) AS clip1
+             |  FROM pr p JOIN uni cu ON cu.doc_id = p.ib
+             |  JOIN uni ru ON ru.doc_id = p.ia AND ru.g = cu.g GROUP BY 1, 2),
+             |c2 AS (SELECT p.ia, p.ib, sum(least(cb.c, rb.c)) AS clip2
+             |  FROM pr p JOIN bi cb ON cb.doc_id = p.ib
+             |  JOIN bi rb ON rb.doc_id = p.ia AND rb.g = cb.g GROUP BY 1, 2),
+             |f AS (SELECT p.ia, p.ib,
+             |    CAST(coalesce(c1.clip1, 0) AS DOUBLE) / CAST(lc.tot1 AS DOUBLE) AS p1,
+             |    CASE WHEN lc.tot2 > 0 THEN
+             |      CAST(coalesce(c2.clip2, 0) AS DOUBLE) / CAST(lc.tot2 AS DOUBLE)
+             |      ELSE 0.0 END AS p2,
+             |    least(1.0, exp(1.0 - CAST(lr.tot1 AS DOUBLE)
+             |      / CAST(lc.tot1 AS DOUBLE))) AS bp
+             |  FROM pr p JOIN lens lc ON lc.doc_id = p.ib
+             |  JOIN lens lr ON lr.doc_id = p.ia
+             |  LEFT JOIN c1 ON c1.ia = p.ia AND c1.ib = p.ib
+             |  LEFT JOIN c2 ON c2.ia = p.ia AND c2.ib = p.ib)
+             |SELECT ia AS id_a, ib AS id_b,
+             |  round(p1 * 1000000.0) / 1000000.0 AS p1,
+             |  round(p2 * 1000000.0) / 1000000.0 AS p2,
+             |  round(bp * 1000000.0) / 1000000.0 AS bp,
+             |  round(bp * sqrt(p1 * p2) * 1000000.0) / 1000000.0 AS bleu2
+             |FROM f ORDER BY id_a, id_b""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -1699,6 +1699,21 @@ class PipelineOpsSpec extends GraftSpec {
     assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
   }
 
+  test("bleu2Pairs: exact copy scores 1; bag-of-words shuffle keeps p1 but loses p2") {
+    import graft.operators.Bleu
+    val d = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "w6 w4 w2 w1 w3 w5")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val m = Bleu.bleu2Pairs(d, pairs).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(m(2L).getAs[Double]("bleu2") == 1.0)
+    assert(m(2L).getAs[Double]("bp") == 1.0)
+    assert(m(3L).getAs[Double]("p1") == 1.0,
+      "a permutation preserves every unigram")
+    assert(m(3L).getAs[Double]("p2") < 0.5,
+      "a permutation destroys the bigram sequences")
+  }
+
   test("textRank keywords: the co-occurrence hub outranks its satellites") {
     val d = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
     val rows = graft.operators.TextRank.keywords(d, rounds = 5, topK = 3)

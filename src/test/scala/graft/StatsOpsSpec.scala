@@ -635,6 +635,15 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("poissonBootstrapMean: constant data collapses the interval onto the mean") {
+    val df = (1 to 200).map(i => (i.toLong, 42.0)).toDF("k", "v")
+    val r = graft.operators.Stats.poissonBootstrapMean(df, col("k"), col("v"))
+      .collect().head
+    assert(r.getAs[Double]("point_mean") == 42.0)
+    assert(r.getAs[Double]("lo90") == 42.0 && r.getAs[Double]("hi90") == 42.0)
+    assert(r.getAs[Long]("n_boot") == 100L)
+  }
+
   test("hits: a pure sink is the authority, its feeders the hubs") {
     val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
     val m = graft.operators.GraphOps.hits(edges, rounds = 3).collect()
