@@ -380,4 +380,49 @@ object Clustering {
         (round(avg(col("s")) * 1000000.0) / 1000000.0).as("mean_silhouette"))
       .orderBy("cluster")
   }
+
+  /** DBSCAN (Ester et al. 1996) over the cosine-similarity eps-graph:
+    * a point is CORE when it has >= `minPts` neighbors at cosine >=
+    * `threshold` (self excluded — the convention is documented, not
+    * hoped); clusters are the connected components of the core-core
+    * graph labeled by min member id; non-core points with a core
+    * neighbor become BORDER (assigned the min cluster among core
+    * neighbors — deterministic where the textbook's "first reached" is
+    * not); everything else is NOISE.
+    *
+    * SCALE: the eps-graph comes from [[Similarity.nearDupPairs]] —
+    * SRP-bucketed candidates + exact verification, never corpus²; the
+    * component pass is [[Dedup.duplicateClusters]] pointer-jumping;
+    * everything else is node-keyed joins. An isolated core point (all
+    * neighbors border) is its own cluster via the coalesce-self label. */
+  def dbscan(emb: DataFrame, threshold: Double, minPts: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = Similarity.nearDupPairs(emb, threshold, idCol, vecCol,
+        planes = Similarity.scaledPlanes(emb))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val core = sym.groupBy("id").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts).select("id").localCheckpoint()
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val ccl = core
+      .join(Dedup.duplicateClusters(coreEdges)
+        .select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .localCheckpoint() // feeds core labels + border election
+    val border = sym
+      .join(core.select(col("id")), Seq("id"), "left_anti")
+      .join(ccl.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    emb.select(col(idCol).as("id"))
+      .join(ccl.select(col("id"), col("cluster").as("core_cl")), Seq("id"), "left")
+      .join(border.select(col("id"), col("cluster").as("bord_cl")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("bord_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("bord_cl")).as("cluster"))
+  }
 }

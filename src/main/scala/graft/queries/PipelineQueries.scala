@@ -4999,36 +4999,10 @@ object PipelineQueries {
     Q("q240_stationary_dist",
       (s, d) => graft.operators.EventOps
         .stationaryDistribution(Tables.events(s, d), rounds = 30),
-      Some {
-        // every pi CTE MATERIALIZED: without it DuckDB inlines the
-        // 30-layer chain and the planner blows up (observed: minutes)
-        val roundCtes = (1 to 30).map { r =>
-          s"""pi$r AS MATERIALIZED (SELECT s.s,
-             |    CAST(round(coalesce(x.acc, 0.0) * 1000000000.0) AS BIGINT) AS q
-             |  FROM st s LEFT JOIN (
-             |    SELECT m.to_type AS s,
-             |        sum((pp.q / 1000000000.0)
-             |            * (CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE))) AS acc
-             |    FROM pi${r - 1} pp JOIN n m ON m.from_type = pp.s
-             |    JOIN tt t ON t.from_type = pp.s
-             |    GROUP BY m.to_type) x ON x.s = s.s)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH p AS (SELECT lag(event_type) OVER (
-           |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
-           |    event_type AS to_type FROM events),
-           |n AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n FROM p
-           |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
-           |tt AS MATERIALIZED (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1),
-           |st AS MATERIALIZED (SELECT DISTINCT s FROM (
-           |  SELECT from_type AS s FROM n UNION SELECT to_type FROM n)),
-           |ns AS (SELECT count(*) AS k FROM st),
-           |pi0 AS MATERIALIZED (SELECT s, CAST(round(1000000000.0 / k) AS BIGINT) AS q
-           |        FROM st, ns),
-           |$roundCtes
+      Some(s"""$stationaryCtePrefix
            |SELECT s AS state, q AS prob_q,
            |  round(CAST(q AS DOUBLE) / 1000.0) / 1000000.0 AS prob
-           |FROM pi30 ORDER BY state""".stripMargin
-      }),
+           |FROM pi30 ORDER BY state""".stripMargin)),
 
     // ---- shingle-containment dedup pairs: A's entire shingle set
     // inside B's — the quote/repost class Jaccard thresholds miss.
@@ -5994,7 +5968,147 @@ object PipelineQueries {
              |  round(p2 * 1000000.0) / 1000000.0 AS p2,
              |  round(bp * 1000000.0) / 1000000.0 AS bp,
              |  round(bp * sqrt(p1 * p2) * 1000000.0) / 1000000.0 AS bleu2
-             |FROM f ORDER BY id_a, id_b""".stripMargin)))
+             |FROM f ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Markov entropy rate of the session chain: H = -sum_i pi_i
+    // sum_j p_ij ln p_ij with the q240 quantized stationary pi and the
+    // exact-count transition probabilities — how predictable the next
+    // event is, in one scalar (plus the ln(k)-normalized efficiency).
+    Q("q269_entropy_rate",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val st = graft.operators.EventOps.stationaryDistribution(ev, 30)
+        val tm = graft.operators.EventOps.transitionMatrix(ev)
+        val tot = tm.groupBy("from_type").agg(sum("n").as("tot"))
+        val pij = col("n").cast("double") / col("tot").cast("double")
+        val h = tm.join(broadcast(tot), Seq("from_type"))
+          .join(broadcast(st.select(col("state").as("from_type"),
+            col("prob_q"))), Seq("from_type"))
+          .agg(sum((col("prob_q") / lit(1000000000.0)) * pij * log(pij))
+            .as("hs"))
+        val ns = st.agg(count(lit(1)).as("k"))
+        h.join(broadcast(ns)).select(
+          col("k").cast("long").as("n_states"),
+          (round(-col("hs") * 1000000.0) / 1000000.0).as("entropy_nats"),
+          (round(-col("hs") / log(lit(2.0)) * 1000000.0) / 1000000.0)
+            .as("entropy_bits"),
+          (round(-col("hs") / log(col("k").cast("double")) * 1000000.0)
+            / 1000000.0).as("efficiency"))
+      },
+      Some(s"""$stationaryCtePrefix,
+           |hx AS (SELECT sum((pp.q / 1000000000.0)
+           |        * (CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+           |        * ln(CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE))) AS hs
+           |  FROM pi30 pp JOIN n m ON m.from_type = pp.s
+           |  JOIN tt t ON t.from_type = pp.s)
+           |SELECT CAST(k AS BIGINT) AS n_states,
+           |  round((-hs) * 1000000.0) / 1000000.0 AS entropy_nats,
+           |  round((-hs) / ln(2.0) * 1000000.0) / 1000000.0 AS entropy_bits,
+           |  round((-hs) / ln(CAST(k AS DOUBLE)) * 1000000.0) / 1000000.0
+           |    AS efficiency
+           |FROM hx, ns""".stripMargin)),
+
+    // ---- two-component GMM via quantized EM on doc token counts: IS
+    // the length distribution bimodal, with actual (pi, mu, sigma)
+    // parameters. E-step responsibilities quantized to 1e-6 before the
+    // M-step sums (the q158 trainer discipline) -> the oracle's 3
+    // unrolled EM rounds land on the same parameters.
+    Q("q270_gmm_em",
+      (s, d) => graft.operators.Gmm.em1d(t(s, d, "documents"),
+        size(split(col("text"), " "))),
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""e$k AS MATERIALIZED (SELECT x, CAST(round(1000000.0 / (1.0 + exp(
+             |    ln((1.0 - pi1) / pi1)
+             |    - (CAST(x AS DOUBLE) - mu2) * (CAST(x AS DOUBLE) - mu2)
+             |      / (2.0 * s2g * s2g)
+             |    - ln(s2g)
+             |    + (CAST(x AS DOUBLE) - mu1) * (CAST(x AS DOUBLE) - mu1)
+             |      / (2.0 * s1g * s1g)
+             |    + ln(s1g)))) AS BIGINT) AS rq
+             |  FROM xs CROSS JOIN p${k - 1}),
+             |g$k AS (SELECT sum(CAST(rq AS HUGEINT)) AS n1,
+             |    sum(CAST(rq AS HUGEINT) * CAST(x AS HUGEINT)) AS s1,
+             |    sum(CAST(rq AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss1,
+             |    sum(CAST(1000000 - rq AS HUGEINT)) AS n2,
+             |    sum(CAST(1000000 - rq AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+             |    sum(CAST(1000000 - rq AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss2
+             |  FROM e$k),
+             |p$k AS MATERIALIZED (SELECT
+             |    CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pi1,
+             |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mu1,
+             |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mu2,
+             |    sqrt(greatest(CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.000001)) AS s1g,
+             |    sqrt(greatest(CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+             |      - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |        * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 0.000001)) AS s2g
+             |  FROM g$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH xs AS MATERIALIZED (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           |  FROM documents),
+           |bd AS (SELECT min(x) AS mn, max(x) AS mx FROM xs),
+           |p0 AS MATERIALIZED (SELECT 0.5 AS pi1,
+           |    CAST(mn AS DOUBLE) + (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 4.0 AS mu1,
+           |    CAST(mn AS DOUBLE) + (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) * 3.0 / 4.0 AS mu2,
+           |    greatest((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 4.0, 1.0) AS s1g,
+           |    greatest((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 4.0, 1.0) AS s2g
+           |  FROM bd),
+           |$rounds
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(pi1 * 1000000.0) / 1000000.0 AS pi1,
+           |  round(mu1 * 1000000.0) / 1000000.0 AS mu1,
+           |  round(s1g * 1000000.0) / 1000000.0 AS sigma1,
+           |  round(mu2 * 1000000.0) / 1000000.0 AS mu2,
+           |  round(s2g * 1000000.0) / 1000000.0 AS sigma2,
+           |  round(avg(ln(pi1 * exp((CAST(x AS DOUBLE) - mu1) * (CAST(x AS DOUBLE) - mu1)
+           |      / (-2.0 * s1g * s1g)) * (0.3989422804014327 / s1g)
+           |    + (1.0 - pi1) * exp((CAST(x AS DOUBLE) - mu2) * (CAST(x AS DOUBLE) - mu2)
+           |      / (-2.0 * s2g * s2g)) * (0.3989422804014327 / s2g)))
+           |    * 1000000.0) / 1000000.0 AS avg_ll
+           |FROM xs CROSS JOIN p3
+           |GROUP BY pi1, mu1, s1g, mu2, s2g""".stripMargin
+      }),
+
+    // ---- DBSCAN on the cosine eps-graph (eps: cos >= 0.8, minPts 3):
+    // core / border / noise roles with min-id component clusters — the
+    // density clustering that, unlike k-means, refuses to assign
+    // outliers. Pairs come from the q27-exact SRP-bucketed eps-graph.
+    Q("q271_dbscan",
+      (s, d) => graft.operators.Clustering
+        .dbscan(t(s, d, "embeddings"), threshold = 0.8, minPts = 3)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pr AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+             |    / 1000000.0 >= 0.8),
+             |sym AS (SELECT ia AS id, ib AS nb FROM pr
+             |  UNION ALL SELECT ib, ia FROM pr),
+             |core AS MATERIALIZED (SELECT id FROM sym GROUP BY id
+             |  HAVING count(*) >= 3),
+             |ce AS (SELECT ia, ib FROM pr
+             |  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+             |edges AS (SELECT ia AS u, ib AS v FROM ce
+             |  UNION SELECT ib, ia FROM ce),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |  UNION SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+             |clab AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+             |ccl AS MATERIALIZED (SELECT c.id, coalesce(cl.cluster, c.id) AS cluster
+             |  FROM core c LEFT JOIN clab cl USING (id)),
+             |border AS (SELECT s.id, min(ccl.cluster) AS cluster
+             |  FROM sym s JOIN ccl ON ccl.id = s.nb
+             |  WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
+             |SELECT emb.vec_id,
+             |  CASE WHEN ccl.id IS NOT NULL THEN 'core'
+             |    WHEN border.id IS NOT NULL THEN 'border'
+             |    ELSE 'noise' END AS role,
+             |  coalesce(ccl.cluster, border.cluster) AS cluster
+             |FROM embeddings emb
+             |LEFT JOIN ccl ON ccl.id = emb.vec_id
+             |LEFT JOIN border ON border.id = emb.vec_id
+             |ORDER BY emb.vec_id""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
@@ -6018,6 +6132,38 @@ object PipelineQueries {
     raw.join(broadcast(avgW))
       .where(col("w").cast("double") > col("aw"))
       .select("src", "dst")
+  }
+
+  /** The q240 stationary-distribution WITH-prefix (transition counts +
+    * 30 quantized power-iteration rounds, ending in `pi30`), shared by
+    * q240 and the q269 entropy-rate composition. Every pi CTE
+    * MATERIALIZED: without it DuckDB inlines the 30-layer chain and the
+    * planner blows up (observed: minutes). def, not val: interpolated
+    * from `all`'s initializer, which runs first. */
+  private def stationaryCtePrefix: String = {
+    val roundCtes = (1 to 30).map { r =>
+      s"""pi$r AS MATERIALIZED (SELECT s.s,
+         |    CAST(round(coalesce(x.acc, 0.0) * 1000000000.0) AS BIGINT) AS q
+         |  FROM st s LEFT JOIN (
+         |    SELECT m.to_type AS s,
+         |        sum((pp.q / 1000000000.0)
+         |            * (CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE))) AS acc
+         |    FROM pi${r - 1} pp JOIN n m ON m.from_type = pp.s
+         |    JOIN tt t ON t.from_type = pp.s
+         |    GROUP BY m.to_type) x ON x.s = s.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+       |    event_type AS to_type FROM events),
+       |n AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n FROM p
+       |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS MATERIALIZED (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1),
+       |st AS MATERIALIZED (SELECT DISTINCT s FROM (
+       |  SELECT from_type AS s FROM n UNION SELECT to_type FROM n)),
+       |ns AS (SELECT count(*) AS k FROM st),
+       |pi0 AS MATERIALIZED (SELECT s, CAST(round(1000000000.0 / k) AS BIGINT) AS q
+       |        FROM st, ns),
+       |$roundCtes""".stripMargin
   }
 
   /** The matching DuckDB CTE prefix for [[tradeEdges]], ending in `ed`

@@ -1699,6 +1699,22 @@ class PipelineOpsSpec extends GraftSpec {
     assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
   }
 
+  test("dbscan: planted core cluster, a one-neighbor border point, and noise") {
+    import graft.operators.Clustering
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.96f, 0.28f, 0.0f)),
+      (2L, Array(0.96f, -0.28f, 0.0f)), (3L, Array(0.96f, 0.0f, 0.28f)),
+      (4L, Array(0.81f, 0.0f, -0.5864f)), (5L, Array(0.0f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.dbscan(emb, threshold = 0.8, minPts = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    (0L to 3L).foreach(i => assert(m(i) == (("core", 0L)), s"id $i: ${m(i)}"))
+    assert(m(4L) == (("border", 0L)),
+      "one core neighbor, degree below minPts -> border of that cluster")
+    assert(m(5L) == (("noise", -1L)))
+  }
+
   test("bleu2Pairs: exact copy scores 1; bag-of-words shuffle keeps p1 but loses p2") {
     import graft.operators.Bleu
     val d = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),

@@ -635,6 +635,28 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("gmm em1d: a planted bimodal mixture recovers both modes") {
+    val df = ((1 to 100).map(i => Tuple1(8L + (i % 5))) ++
+      (1 to 100).map(i => Tuple1(98L + (i % 5)))).toDF("v")
+    val r = graft.operators.Gmm.em1d(df, col("v")).collect().head
+    assert(r.getAs[Long]("n_rows") == 200L)
+    val (m1, m2) = (r.getAs[Double]("mu1"), r.getAs[Double]("mu2"))
+    assert(m1 > 5 && m1 < 20, s"low mode, got $m1")
+    assert(m2 > 90 && m2 < 105, s"high mode, got $m2")
+    val p = r.getAs[Double]("pi1")
+    assert(p > 0.4 && p < 0.6, s"balanced mixture, got $p")
+  }
+
+  test("entropy rate building blocks: a deterministic cycle carries zero entropy") {
+    val dayNs = 86400L * 1000000000L
+    val ev = (0 until 40).map { i =>
+      (i.toLong, i * dayNs / 40, 1L, if (i % 2 == 0) "a" else "b", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tm = EventOps.transitionMatrix(ev).collect()
+    assert(tm.forall(_.getAs[Double]("p") == 1.0),
+      "strict alternation: every transition is certain")
+  }
+
   test("poissonBootstrapMean: constant data collapses the interval onto the mean") {
     val df = (1 to 200).map(i => (i.toLong, 42.0)).toDF("k", "v")
     val r = graft.operators.Stats.poissonBootstrapMean(df, col("k"), col("v"))
