@@ -438,6 +438,54 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** CUPED variance reduction (Deng et al. WSDM 2013): split the window
+    * at its midpoint day, take each user's pre-period and post-period
+    * value totals (exact integer cents), and compute θ = cov(X,Y)/var(X)
+    * with the achieved variance reduction var(Y−θX)/var(Y) = 1−ρ² — how
+    * much experiment sensitivity the pre-period covariate buys. Users
+    * absent in a period contribute 0 (the standard all-exposed frame).
+    *
+    * Determinism: the split day derives from exact min/max day integers;
+    * all five moments are exact decimal sums of cent-integers; θ/ρ²
+    * compose in one fixed double chain on the single output row.
+    *
+    * SCALE: one user-keyed aggregation (map-side combined) to the
+    * user-sized (x, y) table, one moment fold, 1-row output. */
+  def cuped(events: DataFrame, valueCol: String = "value",
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dayed = events.select(col("user_id"),
+      expr(s"ts div $dayNs").as("day"),
+      round(col(valueCol).cast("double") * 100.0).cast("long").as("cents"))
+    val bounds = dayed.agg(min("day").as("mn"), max("day").as("mx"))
+    val split = dayed.join(broadcast(bounds))
+      .select(col("user_id"), col("cents"),
+        (col("day") < expr("(mn + mx + 1) div 2")).as("pre"))
+    val perUser = split.groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+    val m = perUser.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) / nD
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD) / nD
+    val covXY = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD) / nD
+    val theta = covXY / varX
+    m.select(col("n").cast("long").as("n_users"),
+      (round(theta * 1000000.0) / 1000000.0).as("theta"),
+      (round(varY * 10000.0) / 10000.0).as("var_y"),
+      (round((varY - covXY * covXY / varX) * 10000.0) / 10000.0)
+        .as("var_adj"),
+      (round(covXY * covXY / (varX * varY) * 1000000.0) / 1000000.0)
+        .as("reduction"))
+  }
+
   /** Truncated exponential smoothing of the dense daily series with the
     * DYADIC kernel α=1/2: ewma_t = Σ_{j=0..K-1} 2^{-(j+1)} c_{t-j},
     * normalized by the truncated weight mass (1 − 2^{-K}), plus the

@@ -69,6 +69,28 @@ object Ranking {
     * (baskets are human-sized by assumption — document if not);
     * marginals and the group total re-enter as broadcasts; top-k cuts
     * with TakeOrderedAndProject on the exact pair count. */
+  /** Frequent 3-itemsets by direct ordered triple join within each
+    * basket (a < b < c — each triple found once), ranked by support with
+    * full key tie-break. The [[cooccurrencePairs]] story one arity up:
+    * the per-basket work is C(basket, 3), bounded by basket size, never
+    * corpus² — the skew guard is the basket, not a global product. At
+    * Apriori scale (huge baskets) prune with a frequent-pair semi-join
+    * first; the testdata's basket sizes make the direct join exact and
+    * cheaper. Exact integer supports — deterministic everywhere. */
+  def frequentTriples(df: DataFrame, groupCol: Column, itemCol: Column,
+      topK: Int = 15): DataFrame = {
+    val pres = df.select(groupCol.as("g"), itemCol.as("i")).distinct()
+      .localCheckpoint() // three-way self-join reads it thrice
+    pres.select(col("g"), col("i").as("a"))
+      .join(pres.select(col("g"), col("i").as("b")), Seq("g"))
+      .where(col("a") < col("b"))
+      .join(pres.select(col("g"), col("i").as("c")), Seq("g"))
+      .where(col("b") < col("c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).cast("long").as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(topK)
+  }
+
   def cooccurrencePairs(df: DataFrame, groupCol: Column, itemCol: Column,
       topK: Int = 20): DataFrame = {
     val pres = df.select(groupCol.as("g"), itemCol.as("i")).distinct()

@@ -82,6 +82,46 @@ object Stats {
         .as("z"))
   }
 
+  /** Isotonic (PAV) calibration of a [0, 1] score against a binary
+    * label, in the CLOSED minimax form: bin the score into `bins`
+    * equal-width cells with exact (n, positives) counts, then the
+    * nondecreasing least-squares fit at bin i is
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} (Σ pos_{j..k}) / (Σ n_{j..k})
+    *
+    * (Robertson, Wright & Dykstra 1988, thm 1.4.4) — the pool-adjacent-
+    * violators SOLUTION without PAV's sequential merge loop, so it is a
+    * pure join-aggregate program and the oracle states the same formula.
+    * Weighted averages are exact-integer ratios; min/max over them is
+    * value-selection, not accumulation — deterministic in any engine.
+    *
+    * SCALE: the corpus pass is one map-side-combined bin aggregation;
+    * everything after runs on ranges of the bin table — O(bins³) rows,
+    * bounded by the bin count (model-sized), never by data. */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 20): DataFrame = {
+    val b = least(floor(scoreCol.cast("double") * bins), lit(bins - 1))
+      .cast("long")
+    val g = df.select(b.as("bin"), when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint() // bin-sized; feeds ranges + the final join
+    val ranges = g.select(col("bin").as("j")).as("lo")
+      .join(g.select(col("bin").as("k")), col("j") <= col("k"))
+      .join(g, col("bin").between(col("j"), col("k")))
+      .groupBy("j", "k")
+      .agg((sum("pos").cast("double") / sum("n").cast("double")).as("r"))
+    val fitted = g.select(col("bin"))
+      .join(ranges, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy("bin", "j").agg(min("r").as("inner"))
+      .groupBy("bin").agg(max("inner").as("iso"))
+    g.join(fitted, Seq("bin"))
+      .select(col("bin"), col("n"), col("pos"),
+        (round(col("pos").cast("double") / col("n").cast("double")
+          * 1000000.0) / 1000000.0).as("raw_rate"),
+        (round(col("iso") * 1000000.0) / 1000000.0).as("iso_rate"))
+  }
+
   /** Poisson(1) CDF as double literals — the SAME strings are embedded
     * in the oracle SQL, so both engines threshold identical doubles. */
   private[graft] val PoissonCdf = Seq(

@@ -445,6 +445,42 @@ object TrainingPrep {
     * (the q77 hot-set argument). The join and the final groupBy share
     * the term hash partitioning, so the postings build adds no extra
     * exchange over the join. */
+  /** Phrase query through a POSITIONAL inverted index: build
+    * (doc_id, term, pos), elect the corpus's top adjacent bigram
+    * (count desc, then lexicographic — fully deterministic), then
+    * answer the phrase query the way a search index does: probe the
+    * postings of w1, join the postings of w2 at pos+1 in the same doc.
+    * Output: one row (w1, w2, n_occurrences, n_docs) — the occurrence
+    * count provably equals the election count, which is the index
+    * correctness statement the register row hashes.
+    *
+    * SCALE: the index is one posexplode projection; the phrase probe
+    * joins two TERM-FILTERED postings lists (the broadcast 1-row query
+    * prunes the scan before the join) keyed on (doc, pos) — work is the
+    * postings of the two query terms, never the corpus product. */
+  def phraseSearchTopBigram(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col(idCol).as("did"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .localCheckpoint() // feeds the election + both probe sides
+    val top = pos.as("p1")
+      .join(pos.as("p2"),
+        col("p1.did") === col("p2.did") &&
+          col("p2.pos") === col("p1.pos") + 1)
+      .groupBy(col("p1.term").as("w1"), col("p2.term").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(1)
+    pos.as("i1")
+      .join(broadcast(top), col("i1.term") === col("w1"))
+      .join(pos.as("i2"),
+        col("i2.did") === col("i1.did") && col("i2.term") === col("w2") &&
+          col("i2.pos") === col("i1.pos") + 1)
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        countDistinct(col("i1.did")).cast("long").as("n_docs"))
+  }
+
   def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDf: Option[Long] = None): DataFrame = {
     val pairs = docs.select(

@@ -6108,7 +6108,129 @@ object PipelineQueries {
              |FROM embeddings emb
              |LEFT JOIN ccl ON ccl.id = emb.vec_id
              |LEFT JOIN border ON border.id = emb.vec_id
-             |ORDER BY emb.vec_id""".stripMargin)))
+             |ORDER BY emb.vec_id""".stripMargin)),
+
+    // ---- isotonic (PAV) calibration of the stopword-density score
+    // against the is-English label, via the CLOSED minimax form
+    // max_{j<=i} min_{k>=i} avg(j..k) — the PAV solution as a pure
+    // join-aggregate program over the bin table (O(bins^3), model-sized).
+    Q("q272_pav_isotonic",
+      (s, d) => {
+        val tk = split(col("text"), " ")
+        val stops = filter(tk, x =>
+          x.isin("the", "a", "of", "and", "to", "is"))
+        val score = least(size(stops).cast("double") /
+          size(tk).cast("double") * 10.0, lit(1.0))
+        graft.operators.Stats.isotonicCalibration(t(s, d, "documents"),
+          score, col("lang") === "en", bins = 20)
+          .orderBy("bin")
+      },
+      Some("""WITH sc AS (SELECT least(
+             |    len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+             |    / len(string_split(text, ' '))::DOUBLE * 10.0, 1.0) AS s,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+             |g AS MATERIALIZED (SELECT CAST(least(floor(s * 20), 19) AS BIGINT) AS bin,
+             |    count(*) AS n, sum(y) AS pos FROM sc GROUP BY 1),
+             |rg AS MATERIALIZED (SELECT j.bin AS j, k.bin AS k,
+             |    sum(m.pos)::DOUBLE / sum(m.n)::DOUBLE AS r
+             |  FROM g j JOIN g k ON j.bin <= k.bin
+             |  JOIN g m ON m.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2),
+             |inner_min AS (SELECT i.bin, rg.j, min(rg.r) AS mn_r
+             |  FROM g i JOIN rg ON rg.j <= i.bin AND rg.k >= i.bin
+             |  GROUP BY 1, 2),
+             |fit AS (SELECT bin, max(mn_r) AS iso FROM inner_min GROUP BY bin)
+             |SELECT g.bin, CAST(g.n AS BIGINT) AS n, CAST(g.pos AS BIGINT) AS pos,
+             |  round(g.pos::DOUBLE / g.n::DOUBLE * 1000000.0) / 1000000.0 AS raw_rate,
+             |  round(f.iso * 1000000.0) / 1000000.0 AS iso_rate
+             |FROM g JOIN fit f ON f.bin = g.bin ORDER BY g.bin""".stripMargin)),
+
+    // ---- CUPED variance reduction: pre-period spend as the covariate
+    // for post-period spend, theta = cov/var and the achieved rho^2 —
+    // how much experiment sensitivity the pre-period buys. Exact cent
+    // moments; one double chain on the single output row.
+    Q("q273_cuped",
+      (s, d) => graft.operators.EventOps.cuped(Tables.events(s, d)),
+      Some("""WITH dy AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+             |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM dy),
+             |sp AS (SELECT user_id, cents, day < (mn + mx + 1) // 2 AS pre
+             |  FROM dy, bd),
+             |pu AS (SELECT user_id,
+             |    sum(CASE WHEN pre THEN cents ELSE 0 END) AS x,
+             |    sum(CASE WHEN NOT pre THEN cents ELSE 0 END) AS y
+             |  FROM sp GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy FROM pu)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS theta,
+             |  round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 10000.0) / 10000.0
+             |    AS var_y,
+             |  round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |      * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) * 10000.0) / 10000.0
+             |    AS var_adj,
+             |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |    / (((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             |      * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS reduction
+             |FROM m""".stripMargin)),
+
+    // ---- frequent 3-itemsets over part-category baskets: the q224
+    // pair story one arity up — ordered triple join within each order,
+    // support-ranked with full tie-break.
+    Q("q274_itemsets3",
+      (s, d) => graft.operators.Ranking.frequentTriples(
+        t(s, d, "lineitem"), col("l_orderkey"),
+        pmod(col("l_partkey"), lit(50)), topK = 15),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey % 50 AS i
+             |  FROM lineitem)
+             |SELECT a, b, c, CAST(count(*) AS BIGINT) AS support FROM (
+             |  SELECT pa.g, pa.i AS a, pb.i AS b, pc.i AS c
+             |  FROM p pa JOIN p pb ON pb.g = pa.g AND pa.i < pb.i
+             |  JOIN p pc ON pc.g = pa.g AND pb.i < pc.i)
+             |GROUP BY 1, 2, 3 ORDER BY support DESC, a, b, c
+             |LIMIT 15""".stripMargin)),
+
+    // ---- phrase query through the positional inverted index: elect
+    // the corpus's top adjacent bigram, then answer it as an index
+    // probe (postings of w1 joined to postings of w2 at pos+1).
+    Q("q275_phrase_search",
+      (s, d) => graft.operators.TrainingPrep
+        .phraseSearchTopBigram(t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pe AS MATERIALIZED (SELECT doc_id,
+             |    unnest([{'p': i - 1, 'w': t[i]} for i in range(1, len(t) + 1)]) AS e
+             |  FROM tk),
+             |px AS MATERIALIZED (SELECT doc_id, e.p AS pos, e.w AS term FROM pe),
+             |top AS (SELECT p1.term AS w1, p2.term AS w2, count(*) AS n
+             |  FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id
+             |    AND p2.pos = p1.pos + 1
+             |  GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 1)
+             |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_occurrences,
+             |  CAST(count(DISTINCT i1.doc_id) AS BIGINT) AS n_docs
+             |FROM px i1 JOIN top ON i1.term = top.w1
+             |JOIN px i2 ON i2.doc_id = i1.doc_id AND i2.term = top.w2
+             |  AND i2.pos = i1.pos + 1
+             |GROUP BY w1, w2""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -1699,6 +1699,26 @@ class PipelineOpsSpec extends GraftSpec {
     assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
   }
 
+  test("frequentTriples: the repeated basket triple tops the ranking") {
+    import graft.operators.Ranking
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (2L, "c"), (3L, "a"), (3L, "b"), (3L, "d")).toDF("g", "i")
+    val top = Ranking.frequentTriples(rows, col("g"), col("i"), topK = 2)
+      .collect()
+    assert(top.head.getString(0) == "a" && top.head.getString(1) == "b" &&
+      top.head.getString(2) == "c")
+    assert(top.head.getAs[Long]("support") == 2L)
+  }
+
+  test("phraseSearchTopBigram: index probe count equals the election count") {
+    import graft.operators.TrainingPrep
+    val d = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TrainingPrep.phraseSearchTopBigram(d).collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getAs[Long]("n_occurrences") == 3L)
+    assert(r.getAs[Long]("n_docs") == 2L)
+  }
+
   test("dbscan: planted core cluster, a one-neighbor border point, and noise") {
     import graft.operators.Clustering
     val emb = Seq(

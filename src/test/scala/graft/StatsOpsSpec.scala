@@ -635,6 +635,30 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("isotonicCalibration: minimax fit equals the hand-run PAV merge") {
+    // bin rates [0.1, 0.4, 0.2, 0.6] -> PAV pools bins 1,2 -> 0.3
+    val rows = Seq((0.1, 1), (0.35, 4), (0.6, 2), (0.85, 6)).flatMap {
+      case (s, pos) => (1 to 10).map(i => (s, i <= pos))
+    }.toDF("s", "y")
+    val iso = graft.operators.Stats
+      .isotonicCalibration(rows, col("s"), col("y"), bins = 4)
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
+    assert(iso.toSeq == Seq(0.1, 0.3, 0.3, 0.6))
+  }
+
+  test("cuped: a perfectly predictive pre-period removes all variance") {
+    val dayNs = 86400L * 1000000000L
+    val ev = (1 to 50).flatMap { u =>
+      Seq((u * 2L, 0L * dayNs, u.toLong, "view", u.toDouble),
+        (u * 2L + 1, 10L * dayNs, u.toLong, "view", 2.0 * u))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.cuped(ev).collect().head
+    assert(r.getAs[Long]("n_users") == 50L)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("var_adj") == 0.0)
+    assert(r.getAs[Double]("reduction") == 1.0)
+  }
+
   test("gmm em1d: a planted bimodal mixture recovers both modes") {
     val df = ((1 to 100).map(i => Tuple1(8L + (i % 5))) ++
       (1 to 100).map(i => Tuple1(98L + (i % 5)))).toDF("v")
