@@ -438,6 +438,18 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Weekly seasonality strength: one-way ANOVA of the dense daily
+    * counts across the 7 day-of-week classes ([[Stats.oneWayAnova]]) —
+    * η² IS the fraction of daily-volume variance the weekly cycle
+    * explains (the variance-decomposition definition of seasonality
+    * strength), and F answers whether the cycle is real at all. Day
+    * classes come from day-number mod 7 — calendar-free, exact.
+    * SCALE: one corpus pass to the day-sized series, then group math. */
+  def seasonalityStrength(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame =
+    Stats.oneWayAnova(denseDailyCounts(events, dayNs),
+      pmod(col("day"), lit(7L)), col("c"))
+
   /** CUPED variance reduction (Deng et al. WSDM 2013): split the window
     * at its midpoint day, take each user's pre-period and post-period
     * value totals (exact integer cents), and compute θ = cov(X,Y)/var(X)

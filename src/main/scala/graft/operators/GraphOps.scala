@@ -220,6 +220,91 @@ object GraphOps {
     labels
   }
 
+  /** Betweenness centrality (Brandes 2001) over an undirected edge
+    * list, ALL sources processed simultaneously: the forward phase runs
+    * `depth` BFS frontier expansions carrying exact integer shortest-
+    * path counts σ keyed by (src, node) — one relation, every source a
+    * key, the [[TextRank]] simultaneity trick; the backward phase walks
+    * the levels deepest-first accumulating the dependency
+    * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)), QUANTIZED to integer
+    * billionths per level (the [[hits]]/[[EventOps.stationaryDistribution]]
+    * pattern) so each level's δ is an exact integer tuple and the final
+    * per-node fold Σ_src δ is an exact decimal sum. Undirected halving
+    * applied at the end. Pairs farther apart than `depth` contribute
+    * nothing — `depth` is a CONTRACT shared with the oracle, exact when
+    * it covers the diameter.
+    *
+    * SCALE: each forward round is one frontier-edge join + an
+    * anti-join against the visited set + a map-side-combined σ sum;
+    * each backward level is one three-way (src, node)-keyed join. State
+    * is (src × reached-node)-sized — all-sources Brandes is inherently
+    * n·reach work; run it on thresholded/sampled graphs, or shard the
+    * source set across jobs at web scale. */
+  def betweenness(edges: DataFrame, depth: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    // forward: frontiers f(0..depth) with exact sigma; visited accumulates
+    var frontiers = Vector(nodes.select(col("node").as("s"), col("node"),
+      lit(1L).cast(dec).as("sigma")).localCheckpoint())
+    var visited = frontiers(0).select(col("s"), col("node")).localCheckpoint()
+    for (_ <- 1 to depth) {
+      val f = frontiers.last.join(sym, col("node") === col("u"))
+        .select(col("s"), col("v").as("cand"), col("sigma"))
+        .join(visited.select(col("s"), col("node").as("cand")),
+          Seq("s", "cand"), "left_anti")
+        .groupBy(col("s"), col("cand").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .localCheckpoint()
+      val nv = visited.union(f.select(col("s"), col("node"))).localCheckpoint()
+      IterUtils.unpersistCheckpoint(visited)
+      visited = nv
+      frontiers :+= f
+    }
+    // backward: deltas quantized to 1e-9 per level, deepest level = 0
+    val levelDeltas = Array.fill[DataFrame](depth + 1)(null)
+    levelDeltas(depth) = frontiers(depth)
+      .select(col("s"), col("node"), lit(0L).as("dq")).localCheckpoint()
+    for (lev <- depth - 1 to 0 by -1) {
+      val fv = frontiers(lev)
+      val acc = fv.join(sym, col("node") === col("u"))
+        .select(col("s"), col("node"), col("sigma"), col("v").as("w"))
+        .join(frontiers(lev + 1).select(col("s"), col("node").as("w"),
+          col("sigma").as("sw")), Seq("s", "w"))
+        .join(levelDeltas(lev + 1).select(col("s"), col("node").as("w"),
+          col("dq")), Seq("s", "w"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum((col("sigma").cast("double") / col("sw").cast("double")) *
+          (lit(1.0) + col("dq") / lit(1000000000.0))).as("acc"))
+      levelDeltas(lev) = fv.select(col("s"), col("node"))
+        .join(acc, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          round(coalesce(col("acc"), lit(0.0)) * 1000000000.0)
+            .cast("long").as("dq"))
+        .localCheckpoint()
+    }
+    // betweenness: sum deltas of NON-source levels (1..depth), halved
+    val all = (1 to depth).map(l => levelDeltas(l).select(col("node"),
+      col("dq"))).reduce(_ unionByName _)
+    val out = nodes
+      .join(all.groupBy("node").agg(sum(col("dq").cast(dec)).as("sd")),
+        Seq("node"), "left")
+      .select(col("node"),
+        (round((coalesce(col("sd"), lit(0L)).cast("double") /
+          lit(1000000000.0)) / 2.0 * 1000000.0) / 1000000.0)
+          .as("betweenness"))
+      .localCheckpoint()
+    (frontiers ++ levelDeltas :+ sym :+ nodes :+ visited)
+      .foreach(IterUtils.unpersistCheckpoint)
+    out
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     * list (src, dst), run for FIXED `rounds` with max-normalization in
     * integer billionths: each half-round sums the opposite score over

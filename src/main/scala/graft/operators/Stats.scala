@@ -217,8 +217,11 @@ object Stats {
       col("n").cast("long").as("n_rows"),
       (round(ssb * 100.0) / 100.0).as("ssb"),
       (round(sse * 100.0) / 100.0).as("sse"),
-      (round((ssb / (kD - 1.0)) / (sse / (nD - kD)) * 1000000.0)
-        / 1000000.0).as("f_stat"),
-      (round(ssb / sst * 1000000.0) / 1000000.0).as("eta_sq"))
+      // ANSI Spark raises on x/0.0 even for doubles: a zero within-group
+      // (or total) variance yields NULL, not a synthetic infinity
+      when(sse > 0.0, round((ssb / (kD - 1.0)) / (sse / (nD - kD))
+        * 1000000.0) / 1000000.0).as("f_stat"),
+      when(sst > 0.0, round(ssb / sst * 1000000.0) / 1000000.0)
+        .as("eta_sq"))
   }
 }

@@ -445,6 +445,41 @@ object TrainingPrep {
     * (the q77 hot-set argument). The join and the final groupBy share
     * the term hash partitioning, so the postings build adds no extra
     * exchange over the join. */
+  /** Skip-gram training-pair extraction (Mikolov et al. 2013 §3, the
+    * DATA side of word2vec): for every token position, the ±`window`
+    * in-bounds neighbors become (center, context, label=1) pairs, plus
+    * one DETERMINISTIC in-document negative per center — the token at
+    * position md5₆₀(doc#pos) mod len, label 0 (in-batch-style negative
+    * sampling with zero RNG state; a negative that happens to equal a
+    * true context keeps label 0, the standard convention). This is the
+    * materialization a downstream embedding trainer streams.
+    *
+    * SCALE: one scan-speed projection per offset (the offsets are a
+    * literal explode, not a self-join) — no shuffle at all until the
+    * caller aggregates. Output ordered by the caller. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("did"),
+      TextAnalysis.tokens(col(textCol)).as("t"))
+    val offsets = (-window to window).filter(_ != 0)
+    val pos = toks.select(col("did"), col("t"),
+      posexplode(col("t")).as(Seq("pos", "center")))
+    val positives = pos.select(col("did"), col("t"), col("pos"),
+        col("center"), explode(array(offsets.map(o => lit(o)): _*)).as("off"))
+      .where(col("pos") + col("off") >= 0 &&
+        col("pos") + col("off") < size(col("t")))
+      .select(col("did"), col("pos"), col("center"),
+        element_at(col("t"), col("pos") + col("off") + 1).as("context"),
+        lit(1L).as("label"))
+    val negatives = pos.select(col("did"), col("pos"), col("center"),
+      element_at(col("t"),
+        (pmod(graft.expressions.PortableHash.md5Hash60(
+          concat(col("did"), lit("#"), col("pos"))), size(col("t"))) + 1)
+          .cast("int")).as("context"),
+      lit(0L).as("label"))
+    positives.unionByName(negatives)
+  }
+
   /** Phrase query through a POSITIONAL inverted index: build
     * (doc_id, term, pos), elect the corpus's top adjacent bigram
     * (count desc, then lexicographic — fully deterministic), then

@@ -6230,7 +6230,121 @@ object PipelineQueries {
              |FROM px i1 JOIN top ON i1.term = top.w1
              |JOIN px i2 ON i2.doc_id = i1.doc_id AND i2.term = top.w2
              |  AND i2.pos = i1.pos + 1
-             |GROUP BY w1, w2""".stripMargin)))
+             |GROUP BY w1, w2""".stripMargin)),
+
+    // ---- Brandes betweenness on the thresholded trade graph, all 25
+    // sources simultaneously: exact integer path counts forward,
+    // billionth-quantized dependency accumulation backward (depth-4
+    // contract shared with the oracle) — which nations BROKER trade.
+    Q("q276_betweenness",
+      (s, d) => graft.operators.GraphOps.betweenness(tradeEdges(s, d),
+        depth = 4).orderBy("node"),
+      Some {
+        val fwd = (1 to 4).map { r =>
+          s"""f$r AS MATERIALIZED (SELECT f.s, e.v AS node, sum(f.sigma) AS sigma
+             |  FROM f${r - 1} f JOIN sym e ON e.u = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} x
+             |    WHERE x.s = f.s AND x.node = e.v)
+             |  GROUP BY 1, 2),
+             |vis$r AS MATERIALIZED (SELECT s, node FROM vis${r - 1}
+             |  UNION ALL SELECT s, node FROM f$r)""".stripMargin
+        }.mkString(",\n")
+        val bwd = (3 to 0 by -1).map { lev =>
+          s"""b$lev AS MATERIALIZED (SELECT fv.s, fv.node,
+             |    CAST(round(coalesce(x.acc, 0.0) * 1000000000.0) AS BIGINT) AS dq
+             |  FROM f$lev fv LEFT JOIN (
+             |    SELECT f2.s, f2.node,
+             |      sum((CAST(f2.sigma AS DOUBLE) / CAST(fw.sigma AS DOUBLE))
+             |        * (1.0 + bw.dq / 1000000000.0)) AS acc
+             |    FROM f$lev f2 JOIN sym e ON e.u = f2.node
+             |    JOIN f${lev + 1} fw ON fw.s = f2.s AND fw.node = e.v
+             |    JOIN b${lev + 1} bw ON bw.s = f2.s AND bw.node = e.v
+             |    GROUP BY 1, 2) x ON x.s = fv.s AND x.node = fv.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $tradeEdgeCtes,
+           |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
+           |  UNION ALL SELECT b, a FROM ed),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |f0 AS MATERIALIZED (SELECT node AS s, node, CAST(1 AS HUGEINT) AS sigma
+           |  FROM nodes),
+           |vis0 AS MATERIALIZED (SELECT s, node FROM f0),
+           |$fwd,
+           |b4 AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS dq FROM f4),
+           |$bwd
+           |SELECT n.node, round((CAST(coalesce(sd.sd, 0) AS DOUBLE)
+           |    / 1000000000.0) / 2.0 * 1000000.0) / 1000000.0 AS betweenness
+           |FROM nodes n LEFT JOIN (
+           |  SELECT node, sum(dq) AS sd FROM (
+           |    SELECT node, dq FROM b1 UNION ALL SELECT node, dq FROM b2
+           |    UNION ALL SELECT node, dq FROM b3
+           |    UNION ALL SELECT node, dq FROM b4) GROUP BY node) sd
+           |  ON sd.node = n.node
+           |ORDER BY n.node""".stripMargin
+      }),
+
+    // ---- weekly seasonality strength: one-way ANOVA of dense daily
+    // counts across day-of-week classes — eta^2 IS the fraction of
+    // volume variance the weekly cycle explains.
+    Q("q277_seasonality",
+      (s, d) => graft.operators.EventOps
+        .seasonalityStrength(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |v AS (SELECT day % 7 AS g, CAST(c AS HUGEINT) AS v FROM dn),
+             |pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS n_g,
+             |    sum(v) AS s_g, sum(v * v) AS ss_g FROM v GROUP BY g),
+             |a AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(n_g) AS n,
+             |    sum(s_g) AS s, sum(ss_g) AS ss,
+             |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+             |      / CAST(n_g AS DOUBLE)) AS sb FROM pg)
+             |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+             |  round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) * 100.0) / 100.0 AS ssb,
+             |  round((CAST(ss AS DOUBLE) - sb) * 100.0) / 100.0 AS sse,
+             |  round(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             |    / ((CAST(ss AS DOUBLE) - sb)
+             |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS f_stat,
+             |  round((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |    / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS eta_sq
+             |FROM a""".stripMargin)),
+
+    // ---- skip-gram (center, context, label) extraction with
+    // deterministic md5 in-doc negative sampling — word2vec's data side
+    // materialized at scan speed over the sampled docs.
+    Q("q278_skipgram_pairs",
+      (s, d) => graft.operators.TrainingPrep
+        .skipgramPairs(t(s, d, "documents").where(col("doc_id") % 100 === 0))
+        .select(col("did").as("doc_id"), col("pos").cast("long").as("pos"),
+          col("center"), col("context"), col("label"))
+        .orderBy("doc_id", "pos", "label", "context"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE doc_id % 100 = 0),
+             |ps AS (SELECT doc_id, t,
+             |    unnest([{'p': i - 1, 'w': t[i]} for i in range(1, len(t) + 1)]) AS e
+             |  FROM tk),
+             |px AS (SELECT doc_id, t, e.p AS pos, e.w AS center FROM ps),
+             |pp AS (SELECT doc_id, pos, center, t[pos + off + 1] AS context,
+             |    CAST(1 AS BIGINT) AS label
+             |  FROM px CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
+             |  WHERE pos + off >= 0 AND pos + off < len(t)),
+             |ng AS (SELECT doc_id, pos, center,
+             |    t[CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+             |      || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % len(t) AS INT) + 1]
+             |      AS context,
+             |    CAST(0 AS BIGINT) AS label FROM px)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos, center, context, label
+             |FROM (SELECT * FROM pp UNION ALL SELECT * FROM ng)
+             |ORDER BY doc_id, pos, label, context""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -1699,6 +1699,18 @@ class PipelineOpsSpec extends GraftSpec {
     assert(frac > 0.05 && frac < 0.20, s"expected ~1/9 movers, got $frac")
   }
 
+  test("skipgramPairs: window-2 positives plus one deterministic negative per position") {
+    import graft.operators.TrainingPrep
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val rows = TrainingPrep.skipgramPairs(d).collect()
+    val pos = rows.filter(_.getAs[Long]("label") == 1L)
+    val neg = rows.filter(_.getAs[Long]("label") == 0L)
+    assert(pos.length == 6, "each of 3 positions pairs with its in-bounds ±2")
+    assert(neg.length == 3, "one hashed negative per position")
+    assert(neg.forall(r => Seq("a", "b", "c").contains(r.getAs[String]("context"))),
+      "negatives are drawn from the document itself")
+  }
+
   test("frequentTriples: the repeated basket triple tops the ranking") {
     import graft.operators.Ranking
     val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),

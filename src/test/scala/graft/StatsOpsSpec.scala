@@ -635,6 +635,30 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("betweenness: path center brokers its endpoints; star center brokers all pairs") {
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val pb = graft.operators.GraphOps.betweenness(path, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("betweenness")).toMap
+    assert(pb == Map("a" -> 0.0, "b" -> 1.0, "c" -> 0.0))
+    val star = Seq(("a", "x"), ("b", "x"), ("c", "x")).toDF("src", "dst")
+    val sb = graft.operators.GraphOps.betweenness(star, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("betweenness")).toMap
+    assert(sb("x") == 3.0 && sb("a") == 0.0)
+  }
+
+  test("seasonalityStrength: a planted weekly cycle explains nearly all variance") {
+    val dayNs = 86400L * 1000000000L
+    val ev = (0 until 28).flatMap { day =>
+      Seq.fill(if (day % 7 == 0) 10 else 1)(Tuple1(day * dayNs))
+    }.toDF("ts")
+    val r = EventOps.seasonalityStrength(ev).collect().head
+    assert(r.getAs[Long]("k_groups") == 7L && r.getAs[Long]("n_rows") == 28L)
+    assert(r.getAs[Double]("eta_sq") == 1.0,
+      "counts are a pure function of day-of-week here")
+    assert(r.isNullAt(r.fieldIndex("f_stat")),
+      "zero within-group variance: F undefined, NULL by contract")
+  }
+
   test("isotonicCalibration: minimax fit equals the hand-run PAV merge") {
     // bin rates [0.1, 0.4, 0.2, 0.6] -> PAV pools bins 1,2 -> 0.3
     val rows = Seq((0.1, 1), (0.35, 4), (0.6, 2), (0.85, 6)).flatMap {
