@@ -406,4 +406,35 @@ object Profiling {
           (col("n1") * col("n2")).cast("double") * 1000000.0) / 1000000.0)
           .as("d_stat"))
   }
+
+  /** Declarative data-contract gate (the Great-Expectations shape as a
+    * relational program): every ROW rule is a boolean column evaluated
+    * in ONE conditional-sum aggregation pass over the table — adding a
+    * rule adds a projection column, never a scan — and each UNIQUENESS
+    * contract is one count-vs-count-distinct aggregate in the same
+    * pass. Output: one row per rule (rule, n_rows, n_violations,
+    * passed), the table an ingest gate either blocks on or publishes.
+    *
+    * Exact integer counts — deterministic everywhere. SCALE: one
+    * map-side-combined pass regardless of rule count; the per-rule
+    * unpivot happens on the 1-row aggregate. */
+  def expectations(df: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    val rowAggs = rowRules.map { case (n, c) =>
+      sum(when(c, 0L).otherwise(1L)).as(s"__v_$n")
+    }
+    val uniqAggs = uniqueCols.map(c =>
+      (count(lit(1)) - countDistinct(col(c))).as(s"__u_$c"))
+    val aggs = rowAggs ++ uniqAggs :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rowRules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"__v_$n").as("v"))
+    } ++ uniqueCols.map(c =>
+      struct(lit(s"unique($c)").as("rule"), col(s"__u_$c").as("v")))
+    one.select(col("__n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.rule").as("rule"), col("__n").cast("long").as("n_rows"),
+        col("e.v").cast("long").as("n_violations"),
+        (col("e.v") === 0).as("passed"))
+  }
 }

@@ -6344,7 +6344,140 @@ object PipelineQueries {
              |    CAST(0 AS BIGINT) AS label FROM px)
              |SELECT doc_id, CAST(pos AS BIGINT) AS pos, center, context, label
              |FROM (SELECT * FROM pp UNION ALL SELECT * FROM ng)
-             |ORDER BY doc_id, pos, label, context""".stripMargin)))
+             |ORDER BY doc_id, pos, label, context""".stripMargin)),
+
+    // ---- nearest-covariate matching ATT (the propensity-matching
+    // estimator shape): urgent orders matched to the closest LOW-
+    // priority order by total price WITHIN the same order month (exact
+    // blocking + nearest covariate, the q19/q242 as-of pair composed in
+    // both directions), outcome = basket size. Controls deduped to
+    // min-key per (month, price) so the as-of pick is total-order
+    // deterministic.
+    Q("q279_matching_att",
+      (s, d) => {
+        import graft.operators.AsofJoin
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val orders = t(s, d, "orders")
+        def side(p: String) = orders.where(col("o_orderpriority") === p)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_totalprice").as("price"), col("o_orderkey").as("okey"))
+        val items = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("okey"))
+          .agg(count(lit(1)).as("items"))
+        val control = side("5-LOW").groupBy("month", "price")
+          .agg(min("okey").as("okc"))
+        val bwd = AsofJoin.backward(side("1-URGENT"),
+          control.select(col("month"), col("price"), col("okc").as("ob"),
+            col("price").as("pb")), Seq("month"), "price", Seq("ob", "pb"))
+        val fwd = AsofJoin.forward(bwd,
+          control.select(col("month"), col("price"), col("okc").as("ocf"),
+            col("price").as("pf")), Seq("month"), "price", Seq("ocf", "pf"))
+        val gapB = col("price") - col("pb")
+        val gapF = col("pf") - col("price")
+        val useB = col("pb").isNotNull && (col("pf").isNull || gapB <= gapF)
+        val ch = fwd.select(col("okey"),
+          when(useB, col("ob")).otherwise(col("ocf")).as("mok"),
+          when(useB, gapB).otherwise(gapF).as("gap"))
+        val j = ch
+          .join(items.select(col("okey"), col("items").as("yt")),
+            Seq("okey"), "left")
+          .join(items.select(col("okey").as("mok"), col("items").as("yc")),
+            Seq("mok"), "left")
+          .select(col("mok"), col("gap"),
+            coalesce(col("yt"), lit(0L)).as("yt"),
+            coalesce(col("yc"), lit(0L)).as("yc"))
+        j.agg(count(lit(1)).cast("long").as("n_treated"),
+          sum(when(col("mok").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_matched"),
+          sum(when(col("mok").isNotNull, col("yt") - col("yc"))
+            .otherwise(0L)).cast(dec).as("sd"),
+          sum(when(col("mok").isNotNull, col("gap")).otherwise(0.0))
+            .as("sg"))
+          .select(col("n_treated"), col("n_matched"),
+            (round(col("sd").cast("double") /
+              col("n_matched").cast("double") * 1000000.0) / 1000000.0)
+              .as("att_items"),
+            (round(col("sg") / col("n_matched").cast("double") * 10000.0)
+              / 10000.0).as("avg_price_gap"))
+      },
+      Some("""WITH it AS (SELECT l_orderkey AS okey, count(*) AS items
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |    o_totalprice AS price, o_orderkey AS okey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |c AS (SELECT month, price, min(okey) AS okc FROM (
+             |    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |      o_totalprice AS price, o_orderkey AS okey FROM orders
+             |    WHERE o_orderpriority = '5-LOW') GROUP BY 1, 2),
+             |tb AS (SELECT t.month, t.price, t.okey, b.price AS pb,
+             |    b.okc AS ob
+             |  FROM t ASOF LEFT JOIN c b
+             |    ON t.month = b.month AND t.price >= b.price),
+             |tf AS (SELECT tb.*, f.price AS pf, f.okc AS ocf
+             |  FROM tb ASOF LEFT JOIN c f
+             |    ON tb.month = f.month AND tb.price <= f.price),
+             |ch AS (SELECT okey,
+             |    CASE WHEN pb IS NOT NULL AND (pf IS NULL
+             |        OR (price - pb) <= (pf - price)) THEN ob ELSE ocf END AS mok,
+             |    CASE WHEN pb IS NOT NULL AND (pf IS NULL
+             |        OR (price - pb) <= (pf - price)) THEN price - pb
+             |      ELSE pf - price END AS gap
+             |  FROM tf),
+             |j AS (SELECT ch.mok, ch.gap,
+             |    coalesce(ti.items, 0) AS yt, coalesce(ci.items, 0) AS yc
+             |  FROM ch LEFT JOIN it ti ON ti.okey = ch.okey
+             |  LEFT JOIN it ci ON ci.okey = ch.mok)
+             |SELECT CAST(count(*) AS BIGINT) AS n_treated,
+             |  CAST(sum(CASE WHEN mok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_matched,
+             |  round(CAST(sum(CASE WHEN mok IS NOT NULL THEN yt - yc ELSE 0 END)
+             |      AS DOUBLE)
+             |    / CAST(sum(CASE WHEN mok IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) * 1000000.0) / 1000000.0 AS att_items,
+             |  round(sum(CASE WHEN mok IS NOT NULL THEN gap ELSE 0.0 END)
+             |    / CAST(sum(CASE WHEN mok IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) * 10000.0) / 10000.0 AS avg_price_gap
+             |FROM j""".stripMargin)),
+
+    // ---- declarative data-contract gate: five row rules + a key-
+    // uniqueness contract over orders, evaluated in ONE aggregation
+    // pass — the publish/block decision table an ingest pipeline runs
+    // before committing a snapshot.
+    Q("q280_expectations",
+      (s, d) => graft.operators.Profiling.expectations(t(s, d, "orders"),
+        Seq(
+          "custkey_not_null" -> col("o_custkey").isNotNull,
+          "date_in_range" -> col("o_orderdate")
+            .between("1992-01-01", "1998-12-31"),
+          "orderkey_not_null" -> col("o_orderkey").isNotNull,
+          "price_positive" -> (col("o_totalprice") > 0),
+          "priority_domain" -> col("o_orderpriority").isin("1-URGENT",
+            "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        uniqueCols = Seq("o_orderkey"))
+        .orderBy("rule"),
+      Some("""WITH a AS (SELECT count(*) AS n,
+             |  sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v1,
+             |  sum(CASE WHEN o_orderdate BETWEEN '1992-01-01' AND '1998-12-31'
+             |    THEN 0 ELSE 1 END) AS v2,
+             |  sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v3,
+             |  sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v4,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+             |    '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END) AS v5,
+             |  count(*) - count(DISTINCT o_orderkey) AS u1 FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'custkey_not_null' AS rule, CAST(n AS BIGINT) AS n_rows,
+             |    CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS passed FROM a
+             |  UNION ALL SELECT 'date_in_range', CAST(n AS BIGINT),
+             |    CAST(v2 AS BIGINT), v2 = 0 FROM a
+             |  UNION ALL SELECT 'orderkey_not_null', CAST(n AS BIGINT),
+             |    CAST(v3 AS BIGINT), v3 = 0 FROM a
+             |  UNION ALL SELECT 'price_positive', CAST(n AS BIGINT),
+             |    CAST(v4 AS BIGINT), v4 = 0 FROM a
+             |  UNION ALL SELECT 'priority_domain', CAST(n AS BIGINT),
+             |    CAST(v5 AS BIGINT), v5 = 0 FROM a
+             |  UNION ALL SELECT 'unique(o_orderkey)', CAST(n AS BIGINT),
+             |    CAST(u1 AS BIGINT), u1 = 0 FROM a)
+             |ORDER BY rule""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

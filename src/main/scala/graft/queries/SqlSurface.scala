@@ -331,7 +331,30 @@ object SqlSurface {
         Seq(graft.sources.ManifestCommit.countManifested(s, loc.toString))
           .toDF("total_rows")
       },
-      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM customer")))
+      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM customer")),
+
+    // ---- LATERAL correlated subquery as SQL text: per-order top-2
+    // lineitems via an ORDER BY ... LIMIT subquery referencing the
+    // outer row — the SQL-user spelling of the q57 per-group top-k
+    // (Catalyst rewrites it to the same window/limit machinery).
+    Q("q281_sql_lateral",
+      (s, d) => sqlQ(s, d,
+        """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity AS qty
+          |FROM orders o
+          |JOIN LATERAL (
+          |  SELECT l_linenumber, l_quantity FROM lineitem
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+          |WHERE o.o_orderkey % 500 = 0
+          |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin),
+      Some("""SELECT o.o_orderkey, l.l_linenumber, l.l_quantity AS qty
+             |FROM orders o
+             |JOIN LATERAL (
+             |  SELECT l_linenumber, l_quantity FROM lineitem
+             |  WHERE l_orderkey = o.o_orderkey
+             |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l ON true
+             |WHERE o.o_orderkey % 500 = 0
+             |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin)))
 
   /** Seeds a manifest-committed customer-by-segment table at a fixed
     * per-(dataset,suffix) location (wiped per run — disk-flat across

@@ -635,6 +635,18 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("expectations: planted violations are counted per rule; clean rules pass") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (2L, 20.0)).toDF("k", "v")
+    val m = graft.operators.Profiling.expectations(df,
+      Seq("v_positive" -> (col("v") > 0), "k_not_null" -> col("k").isNotNull),
+      uniqueCols = Seq("k")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("passed"))).toMap
+    assert(m("v_positive") == ((1L, false)))
+    assert(m("k_not_null") == ((0L, true)))
+    assert(m("unique(k)") == ((1L, false)), "3 rows, 2 distinct keys")
+  }
+
   test("betweenness: path center brokers its endpoints; star center brokers all pairs") {
     val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val pb = graft.operators.GraphOps.betweenness(path, depth = 3)
