@@ -82,6 +82,37 @@ object Stats {
         .as("z"))
   }
 
+  /** Pairwise Cohen's d effect-size matrix across the groups of
+    * `groupCol` on a 2-dp money column: d = (m_a − m_b)/s_pooled with
+    * the pooled sample SD — "how big is the difference" where a t/z
+    * only says "is there one". Exact cent sufficient sums per group;
+    * each pair's d is one double chain over six exact integers.
+    *
+    * SCALE: one corpus aggregation to the group table, then a
+    * group²-sized self-join (model-sized). */
+  def pairwiseCohensD(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cents = round(valueCol.cast("double") * 100.0).cast("long")
+    val g = df.select(groupCol.as("g"), cents.as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+    def m(p: String) = col(s"$p.s").cast("double") /
+      col(s"$p.n").cast("double")
+    def sv(p: String) = (col(s"$p.ss").cast("double") -
+      col(s"$p.s").cast("double") * col(s"$p.s").cast("double") /
+        col(s"$p.n").cast("double")) / (col(s"$p.n").cast("double") - 1.0)
+    val spool = sqrt(((col("a.n").cast("double") - 1.0) * sv("a") +
+      (col("b.n").cast("double") - 1.0) * sv("b")) /
+      (col("a.n").cast("double") + col("b.n").cast("double") - 2.0))
+    g.as("a").join(g.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        col("a.n").cast("long").as("n_a"), col("b.n").cast("long").as("n_b"),
+        (round((m("a") - m("b")) / 100.0 * 100.0) / 100.0).as("mean_diff"),
+        (round((m("a") - m("b")) / spool * 1000000.0) / 1000000.0)
+          .as("cohens_d"))
+  }
+
   /** Isotonic (PAV) calibration of a [0, 1] score against a binary
     * label, in the CLOSED minimax form: bin the score into `bins`
     * equal-width cells with exact (n, positives) counts, then the

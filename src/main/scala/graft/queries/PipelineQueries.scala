@@ -6477,7 +6477,112 @@ object PipelineQueries {
              |    CAST(v5 AS BIGINT), v5 = 0 FROM a
              |  UNION ALL SELECT 'unique(o_orderkey)', CAST(n AS BIGINT),
              |    CAST(u1 AS BIGINT), u1 = 0 FROM a)
-             |ORDER BY rule""".stripMargin)))
+             |ORDER BY rule""".stripMargin)),
+
+    // ---- sliding-window event counts (1 h window, 15 min slide) via
+    // Spark's native window() generator — each event lands in exactly
+    // window/slide = 4 overlapping windows; the oracle derives the same
+    // epoch-aligned starts arithmetically.
+    Q("q282_sliding_windows",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val tsc = timestamp_micros(expr("ts div 1000"))
+        ev.groupBy(window(tsc, "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"), col("n"))
+          .orderBy("start_us")
+      },
+      Some("""WITH sl AS (SELECT (epoch_us(ts) // 900000000 - j.j) * 900000000
+             |    AS start_us
+             |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
+             |SELECT start_us, start_us + 3600000000 AS end_us,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM sl GROUP BY start_us ORDER BY start_us""".stripMargin)),
+
+    // ---- pairwise Cohen's d across customer segments on order value:
+    // the effect-size matrix (how BIG the differences are) next to
+    // q257's rank test (whether they exist). Exact cent moments.
+    Q("q283_cohens_d",
+      (s, d) => graft.operators.Stats.pairwiseCohensD(
+        t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("g_a", "g_b"),
+      Some("""WITH v AS (SELECT c_mktsegment AS g,
+             |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |g AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+             |  FROM v GROUP BY g)
+             |SELECT a.g AS g_a, b.g AS g_b,
+             |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+             |  round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0 * 100.0)
+             |    / 100.0 AS mean_diff,
+             |  round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |    / sqrt(((CAST(a.n AS DOUBLE) - 1.0)
+             |      * ((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE)
+             |        * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+             |        / (CAST(a.n AS DOUBLE) - 1.0))
+             |      + (CAST(b.n AS DOUBLE) - 1.0)
+             |      * ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE)
+             |        * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |        / (CAST(b.n AS DOUBLE) - 1.0)))
+             |      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))
+             |    * 1000000.0) / 1000000.0 AS cohens_d
+             |FROM g a JOIN g b ON a.g < b.g ORDER BY g_a, g_b""".stripMargin)),
+
+    // ---- AB-test power analysis from OBSERVED variance: the n-per-arm
+    // needed to detect a 2% lift in mean order value at alpha 0.05,
+    // power 0.80 (normal approximation; z literals shared verbatim with
+    // the oracle).
+    Q("q284_power_analysis",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cents = round(col("o_totalprice").cast("double") * 100.0)
+          .cast("long")
+        val m = t(s, d, "orders").select(cents.as("c"))
+          .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+            sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        val nD = col("n").cast("double")
+        val mean = col("s").cast("double") / nD / 100.0
+        val variance = (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / nD) / nD /
+          10000.0
+        val za = expr("CAST(1.959963984540054 AS DOUBLE)")
+        val zb = expr("CAST(0.8416212335729143 AS DOUBLE)")
+        val delta = mean * 0.02
+        m.select(
+          (round(mean * 100.0) / 100.0).as("mean_value"),
+          (round(sqrt(variance) * 100.0) / 100.0).as("sd_value"),
+          (round(delta * 100.0) / 100.0).as("delta"),
+          ceil((za + zb) * (za + zb) * lit(2.0) * variance /
+            (delta * delta)).cast("long").as("n_per_arm"))
+      },
+      Some("""WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+             |  FROM (SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+             |    AS BIGINT) AS c FROM orders))
+             |SELECT
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 100.0)
+             |    / 100.0 AS mean_value,
+             |  round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+             |    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             |    / 10000.0) * 100.0) / 100.0 AS sd_value,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 0.02
+             |    * 100.0) / 100.0 AS delta,
+             |  CAST(ceil((1.959963984540054 + 0.8416212335729143)
+             |    * (1.959963984540054 + 0.8416212335729143) * 2.0
+             |    * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 10000.0)
+             |    / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 0.02)
+             |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 0.02)))
+             |    AS BIGINT) AS n_per_arm
+             |FROM m""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

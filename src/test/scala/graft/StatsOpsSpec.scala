@@ -635,6 +635,16 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("pairwiseCohensD: unit-separated constant-variance groups give the textbook d") {
+    // a ~ {10, 12}, b ~ {20, 22}: means 11/21, pooled sd 1.414..., d = -7.07
+    val df = Seq(("a", 10.0), ("a", 12.0), ("b", 20.0), ("b", 22.0))
+      .toDF("g", "v")
+    val r = graft.operators.Stats.pairwiseCohensD(df, col("g"), col("v"))
+      .collect().head
+    assert(r.getAs[Double]("mean_diff") == -10.0)
+    assert(math.abs(r.getAs[Double]("cohens_d") + 10.0 / math.sqrt(2.0)) < 1e-5)
+  }
+
   test("expectations: planted violations are counted per rule; clean rules pass") {
     val df = Seq((1L, 10.0), (2L, -5.0), (2L, 20.0)).toDF("k", "v")
     val m = graft.operators.Profiling.expectations(df,
