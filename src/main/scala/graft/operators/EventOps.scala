@@ -438,6 +438,90 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Data-driven Shapley channel attribution (Shapley 1953 applied to
+    * the marketing coalition game): per user, the SET of touched
+    * non-conversion channels (a 4-bit mask) and a converted flag; the
+    * game value v(S) = conversion rate of users whose touch set ⊆ S;
+    * each channel's credit is the exact Shapley sum
+    * Σ_{S∌c} |S|!(C−|S|−1)!/C! · (v(S∪c) − v(S)). Unlike last-touch
+    * (q222), a channel only earns credit for conversions it MARGINALLY
+    * enables across every coalition.
+    *
+    * Determinism: masks and subset-cumulative counts are exact
+    * integers; v is an exact-integer ratio; factorial weights are
+    * literal fraction chains shared with the oracle. Empty-denominator
+    * coalitions value 0 by contract.
+    *
+    * SCALE: one user-keyed aggregation to the ≤2^C-row mask table;
+    * everything after runs on the 2^C lattice (model-sized — C is the
+    * channel count, never the data). */
+  def shapleyAttribution(events: DataFrame,
+      convertType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    val channels = Seq("click", "error", "signup", "view")
+    val full = (1 << channels.length) - 1
+    val bits = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, 1L << i).otherwise(0L)).as(s"b$i")
+    }
+    val perUser = events.groupBy("user_id")
+      .agg(bits.head, bits.tail ++ Seq(max(when(
+        col("event_type") === convertType, 1L).otherwise(0L)).as("conv")): _*)
+      .select(channels.indices.map(i => col(s"b$i")).reduce(_ + _).as("m"),
+        col("conv"))
+    val grp = perUser.groupBy("m")
+      .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+    val lattice = spark.range(1 << channels.length).select(col("id").as("s"))
+    val v = lattice.join(grp,
+        (col("m").bitwiseAND(lit(full.toLong) - col("s"))) === 0L, "left")
+      .groupBy("s")
+      .agg(sum(coalesce(col("n"), lit(0L))).as("vn"),
+        sum(coalesce(col("nc"), lit(0L))).as("vc"))
+      .select(col("s"), when(col("vn") > 0,
+        col("vc").cast("double") / col("vn").cast("double"))
+        .otherwise(0.0).as("v"))
+      .localCheckpoint() // probed at S and S∪{c}
+    val terms = spark.range(channels.length).select(col("id").as("c"))
+      .join(lattice.withColumnRenamed("s", "s0"))
+      .where(col("s0").bitwiseAND(expr("shiftleft(1L, CAST(c AS INT))")) === 0L)
+      .join(v.select(col("s").as("s0"), col("v").as("v0")), Seq("s0"))
+      .join(v.select(col("s").as("s1"), col("v").as("v1")),
+        col("s1") === col("s0") + expr("shiftleft(1L, CAST(c AS INT))"))
+      .select(col("c"),
+        (expr("CASE bit_count(s0) WHEN 0 THEN 6.0 WHEN 1 THEN 2.0 " +
+          "WHEN 2 THEN 2.0 ELSE 6.0 END") / lit(24.0) *
+          (col("v1") - col("v0"))).as("t"))
+    val out = terms.groupBy("c")
+      .agg((round(sum("t") * 1000000.0) / 1000000.0).as("shapley"))
+      .select(expr("CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'error' " +
+        "WHEN 2 THEN 'signup' ELSE 'view' END").as("channel"),
+        col("shapley"))
+      .orderBy("channel").localCheckpoint()
+    IterUtils.unpersistCheckpoint(v)
+    out
+  }
+
+  /** Per-user covered active time under `holdNs`-long activity
+    * intervals: the length of the UNION of [ts, ts+hold) — the classic
+    * merge-overlaps sweep as one user-keyed window (running max of
+    * interval ends), in exact integer nanoseconds.
+    * SCALE: one user-keyed window pass; output user-sized. */
+  def coveredTime(events: DataFrame,
+      holdNs: Long = 300L * 1000000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("prevEnd", max(col("ts") + holdNs).over(byUser))
+      .select(col("user_id"),
+        greatest(lit(0L), col("ts") + holdNs -
+          greatest(col("ts"), coalesce(col("prevEnd"), col("ts"))))
+          .as("add"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (round(sum(col("add")).cast("double") / 1000000000.0 * 1000.0)
+          / 1000.0).as("covered_s"))
+  }
+
   /** Weekly seasonality strength: one-way ANOVA of the dense daily
     * counts across the 7 day-of-week classes ([[Stats.oneWayAnova]]) —
     * η² IS the fraction of daily-volume variance the weekly cycle

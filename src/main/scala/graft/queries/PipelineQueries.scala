@@ -6582,7 +6582,89 @@ object PipelineQueries {
              |    / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 0.02)
              |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 0.02)))
              |    AS BIGINT) AS n_per_arm
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ---- data-driven Shapley channel attribution over the 16-subset
+    // coalition lattice: v(S) = conversion rate of users whose touch
+    // set fits in S; each channel earns its exact marginal-contribution
+    // sum — the principled alternative to q222's last-touch.
+    Q("q285_shapley_attribution",
+      (s, d) => graft.operators.EventOps
+        .shapleyAttribution(Tables.events(s, d)),
+      Some("""WITH pu AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |  + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+             |  + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             |  + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS m,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT m, count(*) AS n, sum(conv) AS nc FROM pu GROUP BY m),
+             |lat AS (SELECT unnest(range(0, 16)) AS s),
+             |v AS MATERIALIZED (SELECT lat.s, CASE WHEN sum(coalesce(n, 0)) > 0
+             |    THEN CAST(sum(coalesce(nc, 0)) AS DOUBLE)
+             |      / CAST(sum(coalesce(n, 0)) AS DOUBLE)
+             |    ELSE 0.0 END AS v
+             |  FROM lat LEFT JOIN g ON (g.m & (15 - lat.s)) = 0 GROUP BY lat.s),
+             |t AS (SELECT cc.c,
+             |    (CASE bit_count(s0.s) WHEN 0 THEN 6.0 WHEN 1 THEN 2.0
+             |      WHEN 2 THEN 2.0 ELSE 6.0 END / 24.0) * (v1.v - v0.v) AS t
+             |  FROM (SELECT unnest(range(0, 4)) AS c) cc
+             |  CROSS JOIN lat s0
+             |  JOIN v v0 ON v0.s = s0.s
+             |  JOIN v v1 ON v1.s = s0.s + (1 << cc.c)
+             |  WHERE (s0.s & (1 << cc.c)) = 0)
+             |SELECT CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+             |    WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+             |  round(sum(t) * 1000000.0) / 1000000.0 AS shapley
+             |FROM t GROUP BY c ORDER BY channel""".stripMargin)),
+
+    // ---- per-user covered active time: union length of 5-minute
+    // activity intervals via the running-max-of-ends sweep, exact
+    // integer nanoseconds end to end.
+    Q("q286_interval_union",
+      (s, d) => graft.operators.EventOps.coveredTime(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(CAST(sum(addn) AS DOUBLE) / 1000000000.0 * 1000.0)
+             |    / 1000.0 AS covered_s
+             |FROM (
+             |  SELECT user_id,
+             |    greatest(0, tsn + 300000000000
+             |      - greatest(tsn, coalesce(pe, tsn))) AS addn
+             |  FROM (
+             |    SELECT user_id, tsn,
+             |      max(tsn + 300000000000) OVER (PARTITION BY user_id
+             |        ORDER BY tsn, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+             |    FROM (SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn
+             |          FROM events)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- LOCF forward-fill: the last purchase amount seen, carried
+    // over every subsequent event per user (the imputation primitive) —
+    // last_value IGNORE NULLS over the (ts, event_id) total order.
+    Q("q287_locf_fill",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.events(s, d).where(pmod(col("user_id"), lit(10)) === 0)
+          .withColumn("lp", last(when(col("event_type") === "purchase",
+            col("value")), ignoreNulls = true).over(w))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"),
+            (round(col("lp") * 100.0) / 100.0).as("last_purchase"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+             |      IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    * 100.0) / 100.0 AS last_purchase
+             |FROM events WHERE user_id % 10 = 0
+             |ORDER BY user_id, ts_us, event_id""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

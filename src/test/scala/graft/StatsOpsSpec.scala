@@ -635,6 +635,31 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("shapleyAttribution: a channel that gates conversion earns the closed-form credit") {
+    // users {click->convert, click->convert, view, view}: hand-computed
+    // Shapley: click 0.75, view -0.25, others 0; sums to v(full)-v(empty)
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0.0), (2L, 1L, 1L, "purchase", 1.0),
+      (3L, 0L, 2L, "view", 0.0),
+      (4L, 0L, 3L, "click", 0.0), (5L, 1L, 3L, "purchase", 1.0),
+      (6L, 0L, 4L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = EventOps.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("shapley")).toMap
+    assert(m("click") == 0.75 && m("view") == -0.25)
+    assert(m("error") == 0.0 && m("signup") == 0.0)
+  }
+
+  test("coveredTime: overlapping intervals merge, disjoint ones add") {
+    val ns = 1000000000L
+    val ev = Seq((1L, 0L * ns, 7L), (2L, 100L * ns, 7L), (3L, 1000L * ns, 7L))
+      .toDF("event_id", "ts", "user_id")
+    val r = EventOps.coveredTime(ev).collect().head
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Double]("covered_s") == 700.0,
+      "[0,400) merged from the overlap plus [1000,1300)")
+  }
+
   test("pairwiseCohensD: unit-separated constant-variance groups give the textbook d") {
     // a ~ {10, 12}, b ~ {20, 22}: means 11/21, pooled sd 1.414..., d = -7.07
     val df = Seq(("a", 10.0), ("a", 12.0), ("b", 20.0), ("b", 22.0))
