@@ -5799,7 +5799,8 @@ object PipelineQueries {
            |FROM (SELECT doc_id, w, r, row_number() OVER
            |    (PARTITION BY doc_id ORDER BY r DESC, w) AS pos FROM r5)
            |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- interpolated Kneser-Ney bigram LM: fit on 90% of docs, score
     // the held-out 10% — continuation-count smoothing, the model-free
@@ -5847,7 +5848,8 @@ object PipelineQueries {
              |    AS n_skipped_oov,
              |  round(avg(lp) * 1000000.0) / 1000000.0 AS avg_log2p,
              |  round(pow(2.0, -avg(lp)) * 10000.0) / 10000.0 AS perplexity
-             |FROM lps""".stripMargin)),
+             |FROM lps""".stripMargin),
+      bench = true),
 
     // ---- Poisson-bootstrap 90% CI for mean order value on the 5%
     // keyed sample: weight ~ Poisson(1) inverted DETERMINISTICALLY from
@@ -6108,7 +6110,8 @@ object PipelineQueries {
              |FROM embeddings emb
              |LEFT JOIN ccl ON ccl.id = emb.vec_id
              |LEFT JOIN border ON border.id = emb.vec_id
-             |ORDER BY emb.vec_id""".stripMargin)),
+             |ORDER BY emb.vec_id""".stripMargin),
+      bench = true),
 
     // ---- isotonic (PAV) calibration of the stopword-density score
     // against the is-English label, via the CLOSED minimax form
@@ -6281,7 +6284,8 @@ object PipelineQueries {
            |    UNION ALL SELECT node, dq FROM b4) GROUP BY node) sd
            |  ON sd.node = n.node
            |ORDER BY n.node""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- weekly seasonality strength: one-way ANOVA of dense daily
     // counts across day-of-week classes — eta^2 IS the fraction of
