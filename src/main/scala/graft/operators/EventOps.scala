@@ -438,6 +438,29 @@ object EventOps {
           * 1000000.0) / 1000000.0).as("cusum"))
   }
 
+  /** Frequent contiguous event-type trigrams per user (the SPADE-lite
+    * sequential-pattern cut): every (t, t+1, t+2) run in the per-user
+    * (ts, event_id) total order, ranked by distinct-user reach then raw
+    * occurrences — "what do users actually DO three steps in a row".
+    * SCALE: one user-keyed window pass (two leads), one pattern-keyed
+    * aggregation with map-side combine; top-k via TakeOrdered. */
+  def sequentialPatterns(events: DataFrame, topK: Int = 15): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("t1", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t2", lead(col("event_type"), 2).over(byUser))
+      .where(col("t1").isNotNull && col("t2").isNotNull)
+      .select(col("user_id"), concat(col("event_type"), lit(">"),
+        col("t1"), lit(">"), col("t2")).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        countDistinct("user_id").cast("long").as("n_users"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("pattern"))
+      .limit(topK)
+  }
+
   /** Data-driven Shapley channel attribution (Shapley 1953 applied to
     * the marketing coalition game): per user, the SET of touched
     * non-conversion channels (a 4-bit mask) and a converted flag; the

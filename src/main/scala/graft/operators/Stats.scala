@@ -82,6 +82,95 @@ object Stats {
         .as("z"))
   }
 
+  /** Chi-squared test of independence between two categorical columns
+    * with Cramér's V effect size: observed cell counts vs the
+    * margin-product expectation, INCLUDING structurally-empty cells
+    * (absent (i,j) groups still contribute (0−e)²/e = e — the margins
+    * cross-join restores them). Exact integer counts; e and every term
+    * compose in one double chain.
+    *
+    * SCALE: one corpus aggregation to the cell table; margins and the
+    * restored grid are category²-sized (model-sized). Output: 1 row. */
+  def chiSquaredIndependence(df: DataFrame, rowCol: Column,
+      colCol: Column): DataFrame = {
+    val cells = df.groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rm = cells.groupBy("r").agg(sum("o").as("ri"))
+    val cm = cells.groupBy("c").agg(sum("o").as("cj"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("r").as("nr"), countDistinct("c").as("nc"))
+    val grid = rm.join(cm).join(broadcast(tot))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("n"), col("nr"), col("nc"),
+        coalesce(col("o"), lit(0L)).cast("double").as("od"),
+        (col("ri").cast("double") * col("cj").cast("double") /
+          col("n").cast("double")).as("e"))
+    grid.groupBy("n", "nr", "nc")
+      .agg(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e"))
+        .as("chi2"))
+      .select(col("n").cast("long").as("n"),
+        col("nr").cast("long").as("n_row_classes"),
+        col("nc").cast("long").as("n_col_classes"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+        (round(col("chi2") * 1000000.0) / 1000000.0).as("chi2"),
+        (round(sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("nr") - 1, col("nc") - 1).cast("double")))
+          * 1000000.0) / 1000000.0).as("cramers_v"))
+  }
+
+  /** Benjamini-Hochberg FDR control over per-group one-sample z-tests:
+    * each group's mean of an integral metric against the corpus mean
+    * (corpus sd), two-sided p via the Abramowitz-Stegun 26.2.17 normal
+    * CDF polynomial — the SAME literal Horner chain in the oracle, so
+    * both engines produce identical p doubles — then the step-up rule:
+    * discoveries are ranks ≤ max{k : p₍ₖ₎ ≤ k·α/m}. The multiple-
+    * testing answer to "which sources actually deviate" that per-test
+    * α inflates.
+    *
+    * SCALE: two aggregations (corpus + group moments, map-side
+    * combined); the rank/step-up pass runs on the group-sized table
+    * (model-sized window, documented). */
+  def bhFdr(df: DataFrame, groupCol: Column, valueCol: Column,
+      alpha: Double = 0.1): DataFrame = {
+    val v = valueCol.cast("long")
+    val g = df.select(groupCol.as("g"), v.as("v"))
+      .groupBy("g").agg(count(lit(1)).cast(dec).as("ng"),
+        sum(col("v")).cast(dec).as("sg"))
+    val tot = df.select(v.as("v"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("v")).cast(dec).as("s"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("ss"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val sd = sqrt((col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD) / nD)
+    val z = (col("sg").cast("double") / col("ng").cast("double") - mean) /
+      (sd / sqrt(col("ng").cast("double")))
+    // A&S 26.2.17 upper-tail, literal Horner chain (shared with oracle)
+    val az = abs(col("z"))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val p = lit(2.0) * (lit(0.3989422804014327) * exp(-az * az / 2.0) * poly)
+    val scored = g.join(broadcast(tot))
+      .select(col("g"), col("ng").cast("long").as("n_g"), z.as("z"))
+      .withColumn("p", p)
+    val byP = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p"), col("g")) // group-sized window
+    val m0 = scored.count()
+    val ranked = scored.withColumn("rnk", row_number().over(byP))
+      .withColumn("thr", col("rnk").cast("double") * alpha / m0.toDouble)
+    val kmax = ranked.agg(max(when(col("p") <= col("thr"), col("rnk")))
+      .as("kmax"))
+    ranked.join(broadcast(kmax))
+      .select(col("g"), col("n_g"),
+        (round(col("z") * 1000000.0) / 1000000.0).as("z"),
+        (round(col("p") * 1000000.0) / 1000000.0).as("p"),
+        col("rnk").cast("long").as("rnk"),
+        (round(col("thr") * 1000000.0) / 1000000.0).as("bh_threshold"),
+        coalesce(col("rnk") <= col("kmax"), lit(false)).as("discovery"))
+  }
+
   /** Pairwise Cohen's d effect-size matrix across the groups of
     * `groupCol` on a 2-dp money column: d = (m_a − m_b)/s_pooled with
     * the pooled sample SD — "how big is the difference" where a t/z

@@ -6668,7 +6668,101 @@ object PipelineQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    * 100.0) / 100.0 AS last_purchase
              |FROM events WHERE user_id % 10 = 0
-             |ORDER BY user_id, ts_us, event_id""".stripMargin)))
+             |ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    // ---- chi-squared independence of customer segment × order
+    // priority with Cramér's V: is the 5x5 contingency structure real?
+    // Empty cells restored from the margins cross; exact counts.
+    Q("q288_chisq_independence",
+      (s, d) => graft.operators.Stats.chiSquaredIndependence(
+        t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_orderpriority")),
+      Some("""WITH cells AS (SELECT c_mktsegment AS r, o_orderpriority AS c,
+             |    count(*) AS o
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |rm AS (SELECT r, sum(o) AS ri FROM cells GROUP BY r),
+             |cm AS (SELECT c, sum(o) AS cj FROM cells GROUP BY c),
+             |tt AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+             |    count(DISTINCT c) AS nc FROM cells),
+             |grid AS (SELECT tt.n, tt.nr, tt.nc,
+             |    CAST(coalesce(cells.o, 0) AS DOUBLE) AS od,
+             |    CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |  FROM rm CROSS JOIN cm CROSS JOIN tt
+             |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+             |agg AS (SELECT n, nr, nc, sum((od - e) * (od - e) / e) AS chi2
+             |  FROM grid GROUP BY 1, 2, 3)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_row_classes,
+             |  CAST(nc AS BIGINT) AS n_col_classes,
+             |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+             |  round(chi2 * 1000000.0) / 1000000.0 AS chi2,
+             |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+             |    * CAST(least(nr - 1, nc - 1) AS DOUBLE))) * 1000000.0)
+             |    / 1000000.0 AS cramers_v
+             |FROM agg""".stripMargin)),
+
+    // ---- Benjamini-Hochberg FDR over per-source doc-length z-tests:
+    // which sources deviate from the corpus mean AFTER multiple-testing
+    // control. Normal CDF via the A&S 26.2.17 Horner chain, literal-
+    // identical in both engines.
+    Q("q289_bh_fdr",
+      (s, d) => graft.operators.Stats.bhFdr(t(s, d, "documents"),
+        col("source"), col("n_chars")).orderBy("rnk"),
+      Some("""WITH g AS (SELECT source AS g, CAST(count(*) AS HUGEINT) AS ng,
+             |    CAST(sum(n_chars) AS HUGEINT) AS sg FROM documents GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(n_chars) AS HUGEINT) AS s,
+             |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS ss
+             |  FROM documents),
+             |m AS (SELECT count(*) AS m FROM g),
+             |sc AS (SELECT g.g, CAST(ng AS BIGINT) AS n_g,
+             |    (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+             |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+             |        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / CAST(n AS DOUBLE))
+             |      / sqrt(CAST(ng AS DOUBLE))) AS z
+             |  FROM g CROSS JOIN tt),
+             |pv AS (SELECT g, n_g, z,
+             |    2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0)
+             |      * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+             |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |                * 1.330274429)))))) AS p
+             |  FROM sc),
+             |rk AS (SELECT g, n_g, z, p,
+             |    row_number() OVER (ORDER BY p, g) AS rnk FROM pv),
+             |th AS (SELECT rk.*, CAST(rnk AS DOUBLE) * 0.1 / CAST(m AS DOUBLE)
+             |    AS thr FROM rk CROSS JOIN m),
+             |km AS (SELECT max(CASE WHEN p <= thr THEN rnk END) AS kmax FROM th)
+             |SELECT g, n_g, round(z * 1000000.0) / 1000000.0 AS z,
+             |  round(p * 1000000.0) / 1000000.0 AS p,
+             |  CAST(rnk AS BIGINT) AS rnk,
+             |  round(thr * 1000000.0) / 1000000.0 AS bh_threshold,
+             |  coalesce(rnk <= kmax, false) AS discovery
+             |FROM th CROSS JOIN km ORDER BY rnk""".stripMargin)),
+
+    // ---- frequent contiguous event trigrams: what users DO three
+    // steps in a row, ranked by user reach — the sequence-mining view
+    // q189's one-step transition matrix can't give.
+    Q("q290_seq_patterns",
+      (s, d) => graft.operators.EventOps
+        .sequentialPatterns(Tables.events(s, d)),
+      Some("""WITH tg AS (SELECT user_id,
+             |    event_type || '>' || lead(event_type, 1) OVER w || '>'
+             |      || lead(event_type, 2) OVER w AS pattern,
+             |    lead(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT pattern, CAST(count(*) AS BIGINT) AS n_occurrences,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM tg WHERE t2 IS NOT NULL
+             |GROUP BY pattern
+             |ORDER BY n_users DESC, n_occurrences DESC, pattern
+             |LIMIT 15""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -635,6 +635,42 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("chiSquaredIndependence: independence gives 0; perfect association gives V = 1") {
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r1 = graft.operators.Stats.chiSquaredIndependence(
+      ind.toDF("r", "c"), col("r"), col("c")).collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0 && r1.getAs[Double]("cramers_v") == 0.0)
+    val dep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r2 = graft.operators.Stats.chiSquaredIndependence(
+      dep.toDF("r", "c"), col("r"), col("c")).collect().head
+    assert(r2.getAs[Double]("chi2") == 20.0, "perfect 2x2 association: chi2 = N")
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("bhFdr: the planted deviant group is the discovery; conformers are not") {
+    // 9 conforming groups at the corpus mean, one mild deviant: only the
+    // deviant's |z| clears its BH threshold
+    val rows = (1 to 9).flatMap(gi => (1 to 20).map(i =>
+      (s"g$gi", 50L + (i % 3)))) ++ (1 to 20).map(i => ("dev", 52L + (i % 3)))
+    val out = graft.operators.Stats.bhFdr(rows.toDF("g", "v"),
+      col("g"), col("v")).collect()
+    val dev = out.find(_.getString(0) == "dev").get
+    assert(dev.getAs[Long]("rnk") == 1L && dev.getAs[Boolean]("discovery"))
+    assert(out.count(_.getAs[Boolean]("discovery")) == 1,
+      "groups sitting on the corpus mean must not be flagged")
+  }
+
+  test("sequentialPatterns: the repeated trigram dominates by occurrences") {
+    val ev = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (i.toLong, i.toLong * 1000L, 1L, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val top = EventOps.sequentialPatterns(ev).collect()
+    assert(top.head.getString(0) == "a>b>c")
+    assert(top.head.getAs[Long]("n_occurrences") == 2L)
+    assert(top.length == 3, "four trigram runs collapse to three patterns")
+  }
+
   test("shapleyAttribution: a channel that gates conversion earns the closed-form credit") {
     // users {click->convert, click->convert, view, view}: hand-computed
     // Shapley: click 0.75, view -0.25, others 0; sums to v(full)-v(empty)
