@@ -220,6 +220,60 @@ object GraphOps {
     labels
   }
 
+  /** Per-node eccentricity (max hop distance to any reachable node,
+    * within the `depth` horizon shared with the oracle) plus the
+    * graph-level center/periphery flags (radius = min ecc, diameter =
+    * max ecc) — the "how far is the farthest market" readout on top of
+    * [[bfsHops]]'s single-source distances, ALL sources simultaneously
+    * via the (src, node)-keyed frontier relation.
+    *
+    * SCALE: `depth` frontier expansions, each one edge join + one
+    * anti-join against the visited set (both (src, node)-keyed);
+    * state is src×reached-sized. Output: node-sized. */
+  def eccentricity(edges: DataFrame, depth: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var frontier = nodes.select(col("node").as("s"), col("node"))
+      .localCheckpoint()
+    var visited = frontier
+    var levels = Vector.empty[DataFrame]
+    var toRelease = Vector(frontier)
+    for (r <- 1 to depth) {
+      val f = frontier.join(sym, col("node") === col("u"))
+        .select(col("s"), col("v").as("cand"))
+        .join(visited.select(col("s"), col("node").as("cand")),
+          Seq("s", "cand"), "left_anti")
+        .select(col("s"), col("cand").as("node")).distinct()
+        .localCheckpoint()
+      val nv = visited.union(f).localCheckpoint()
+      if (visited ne frontier) IterUtils.unpersistCheckpoint(visited)
+      visited = nv
+      frontier = f
+      levels :+= f.select(col("s"), lit(r.toLong).as("lev"))
+      toRelease ++= Vector(f, nv)
+    }
+    val ecc = levels.reduce(_ unionByName _)
+      .groupBy(col("s").as("node")).agg(max("lev").as("ecc"))
+    val reach = visited.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_reached"))
+    val sm = ecc.agg(max("ecc").as("dia"), min("ecc").as("rad"))
+    val out = nodes.join(ecc, Seq("node")).join(reach, Seq("node"))
+      .join(broadcast(sm))
+      .select(col("node"), col("ecc").cast("long").as("ecc"),
+        col("n_reached").cast("long").as("n_reached"),
+        (col("ecc") === col("rad")).as("is_center"),
+        (col("ecc") === col("dia")).as("is_peripheral"))
+      .localCheckpoint()
+    (toRelease :+ sym :+ nodes :+ visited).foreach(IterUtils.unpersistCheckpoint)
+    out
+  }
+
   /** Betweenness centrality (Brandes 2001) over an undirected edge
     * list, ALL sources processed simultaneously: the forward phase runs
     * `depth` BFS frontier expansions carrying exact integer shortest-

@@ -82,6 +82,46 @@ object Stats {
         .as("z"))
   }
 
+  /** Two-sided normal p-value 2·(1−Φ(az)) via the Abramowitz-Stegun
+    * 26.2.17 polynomial — a LITERAL Horner chain every oracle mirrors
+    * verbatim, so both engines produce identical p doubles (|error|
+    * < 7.5e-8, far above the 1e-6 display rounding). `az` must be the
+    * absolute z. */
+  private[operators] def normTwoSidedP(az: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    lit(2.0) * (lit(0.3989422804014327) * exp(-az * az / 2.0) * poly)
+  }
+
+  /** Sample-ratio-mismatch check (the first thing to run on ANY
+    * experiment): distinct units per variant vs the 50/50 design,
+    * 1-dof chi-squared goodness of fit, p via [[normTwoSidedP]](√χ²),
+    * flagged at the industry-standard p < 0.001. A failed SRM means
+    * the assignment (or logging) is broken and every downstream
+    * metric is untrustworthy.
+    *
+    * SCALE: one distinct-aggregation keyed by variant; 1-row output. */
+  def srmCheck(df: DataFrame, variantCol: Column,
+      unitCol: Column): DataFrame = {
+    val counts = df.select(variantCol.as("v"), unitCol.as("u"))
+      .groupBy("v").agg(countDistinct("u").as("n"))
+    val agg = counts.agg(
+      sum(when(col("v") === 0, col("n")).otherwise(0L)).as("na"),
+      sum(when(col("v") === 1, col("n")).otherwise(0L)).as("nb"))
+    val nD = (col("na") + col("nb")).cast("double")
+    val e = nD / 2.0
+    val da = col("na").cast("double") - e
+    val db = col("nb").cast("double") - e
+    val chi2 = da * da / e + db * db / e
+    agg.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      (round(chi2 * 1000000.0) / 1000000.0).as("chi2"),
+      (round(normTwoSidedP(sqrt(chi2)) * 1000000.0) / 1000000.0).as("p"),
+      (normTwoSidedP(sqrt(chi2)) < 0.001).as("srm_flag"))
+  }
+
   /** Chi-squared test of independence between two categorical columns
     * with Cramér's V effect size: observed cell counts vs the
     * margin-product expectation, INCLUDING structurally-empty cells
@@ -146,12 +186,7 @@ object Stats {
     val z = (col("sg").cast("double") / col("ng").cast("double") - mean) /
       (sd / sqrt(col("ng").cast("double")))
     // A&S 26.2.17 upper-tail, literal Horner chain (shared with oracle)
-    val az = abs(col("z"))
-    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
-    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
-      t * (lit(1.781477937) + t * (lit(-1.821255978) +
-        t * lit(1.330274429)))))
-    val p = lit(2.0) * (lit(0.3989422804014327) * exp(-az * az / 2.0) * poly)
+    val p = normTwoSidedP(abs(col("z")))
     val scored = g.join(broadcast(tot))
       .select(col("g"), col("ng").cast("long").as("n_g"), z.as("z"))
       .withColumn("p", p)

@@ -6762,7 +6762,117 @@ object PipelineQueries {
              |FROM tg WHERE t2 IS NOT NULL
              |GROUP BY pattern
              |ORDER BY n_users DESC, n_occurrences DESC, pattern
-             |LIMIT 15""".stripMargin)))
+             |LIMIT 15""".stripMargin)),
+
+    // ---- negative-binomial method-of-moments fit of items-per-order:
+    // the parametric completion of q254's dispersion index (r, p from
+    // mean/variance; null when the data is not overdispersed).
+    Q("q291_negbin_fit",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val c = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("c"))
+        val agg = c.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("s"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        val nD = col("n").cast("double")
+        val m = col("s").cast("double") / nD
+        val v = (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / nD) / nD
+        agg.select(col("n").cast("long").as("n_orders"),
+          (round(m * 1000000.0) / 1000000.0).as("mean_items"),
+          (round(v * 1000000.0) / 1000000.0).as("var_items"),
+          when(v > m, round(m * m / (v - m) * 1000000.0) / 1000000.0)
+            .as("nb_r"),
+          when(v > 0.0, round(m / v * 1000000.0) / 1000000.0).as("nb_p"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+             |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss FROM c),
+             |mv AS (SELECT CAST(n AS BIGINT) AS n_orders,
+             |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS v FROM g)
+             |SELECT n_orders,
+             |  round(m * 1000000.0) / 1000000.0 AS mean_items,
+             |  round(v * 1000000.0) / 1000000.0 AS var_items,
+             |  CASE WHEN v > m THEN round(m * m / (v - m) * 1000000.0)
+             |    / 1000000.0 END AS nb_r,
+             |  CASE WHEN v > 0.0 THEN round(m / v * 1000000.0)
+             |    / 1000000.0 END AS nb_p
+             |FROM mv""".stripMargin)),
+
+    // ---- sample-ratio mismatch: md5-hash 50/50 assignment audited
+    // with the 1-dof goodness-of-fit chi-square at the p < 0.001
+    // industry gate — the first check on any experiment.
+    Q("q292_srm_check",
+      (s, d) => graft.operators.Stats.srmCheck(Tables.events(s, d),
+        pmod(graft.expressions.PortableHash.md5Hash60(col("user_id")),
+          lit(2L)), col("user_id")),
+      Some("""WITH e AS (SELECT
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) % 2 AS v, user_id AS u FROM events),
+             |cn AS (SELECT v, count(DISTINCT u) AS n FROM e GROUP BY v),
+             |a AS (SELECT sum(CASE WHEN v = 0 THEN n ELSE 0 END) AS na,
+             |    sum(CASE WHEN v = 1 THEN n ELSE 0 END) AS nb FROM cn),
+             |x AS (SELECT na, nb,
+             |    (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+             |      * (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+             |      / (CAST(na + nb AS DOUBLE) / 2.0)
+             |    + (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+             |      * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+             |      / (CAST(na + nb AS DOUBLE) / 2.0) AS chi2 FROM a),
+             |p AS (SELECT na, nb, chi2,
+             |    2.0 * (0.3989422804014327 * exp(-sqrt(chi2) * sqrt(chi2) / 2.0)
+             |      * ((1.0 / (1.0 + 0.2316419 * sqrt(chi2)))
+             |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * sqrt(chi2)))
+             |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * sqrt(chi2)))
+             |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * sqrt(chi2)))
+             |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419
+             |                * sqrt(chi2))) * 1.330274429)))))) AS p FROM x)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(chi2 * 1000000.0) / 1000000.0 AS chi2,
+             |  round(p * 1000000.0) / 1000000.0 AS p,
+             |  p < 0.001 AS srm_flag
+             |FROM p""".stripMargin)),
+
+    // ---- eccentricity / center / periphery of the thresholded trade
+    // graph, all sources at once over the (src, node)-keyed frontier —
+    // radius and diameter as flags on every node.
+    Q("q293_eccentricity",
+      (s, d) => graft.operators.GraphOps
+        .eccentricity(tradeEdges(s, d), depth = 6).orderBy("node"),
+      Some {
+        val fwd = (1 to 6).map { r =>
+          s"""f$r AS MATERIALIZED (SELECT DISTINCT f.s, e.v AS node
+             |  FROM f${r - 1} f JOIN sym e ON e.u = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} x
+             |    WHERE x.s = f.s AND x.node = e.v)),
+             |vis$r AS MATERIALIZED (SELECT s, node FROM vis${r - 1}
+             |  UNION ALL SELECT s, node FROM f$r)""".stripMargin
+        }.mkString(",\n")
+        val lv = (1 to 6).map(r =>
+          s"SELECT s, CAST($r AS BIGINT) AS lev FROM f$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH $tradeEdgeCtes,
+           |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
+           |  UNION ALL SELECT b, a FROM ed),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |f0 AS MATERIALIZED (SELECT node AS s, node FROM nodes),
+           |vis0 AS MATERIALIZED (SELECT s, node FROM f0),
+           |$fwd,
+           |lv AS ($lv),
+           |ecc AS (SELECT s AS node, max(lev) AS ecc FROM lv GROUP BY s),
+           |rc AS (SELECT s AS node, count(*) AS n_reached FROM vis6 GROUP BY s),
+           |sm AS (SELECT max(ecc) AS dia, min(ecc) AS rad FROM ecc)
+           |SELECT n.node, CAST(ecc AS BIGINT) AS ecc,
+           |  CAST(n_reached AS BIGINT) AS n_reached,
+           |  ecc = rad AS is_center, ecc = dia AS is_peripheral
+           |FROM nodes n JOIN ecc ON ecc.node = n.node
+           |JOIN rc ON rc.node = n.node CROSS JOIN sm
+           |ORDER BY n.node""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

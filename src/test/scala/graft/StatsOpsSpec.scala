@@ -635,6 +635,29 @@ class StatsOpsSpec extends GraftSpec {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("srmCheck: a balanced split passes; a 60/40 skew at scale is flagged") {
+    val ok = (1 to 1000).map(i => Tuple2((i % 2).toLong, i.toLong))
+      .toDF("v", "u")
+    val r1 = graft.operators.Stats.srmCheck(ok, col("v"), col("u"))
+      .collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0 && !r1.getAs[Boolean]("srm_flag"))
+    val skew = (1 to 6000).map(i => (0L, i.toLong)) ++
+      (1 to 4000).map(i => (1L, 10000L + i))
+    val r2 = graft.operators.Stats.srmCheck(skew.toDF("v", "u"),
+      col("v"), col("u")).collect().head
+    assert(r2.getAs[Boolean]("srm_flag"), "chi2 = 400 >> the 0.001 gate")
+  }
+
+  test("eccentricity: path graph endpoints are peripheral, the middle is the center") {
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val m = graft.operators.GraphOps.eccentricity(path, depth = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Boolean]("is_center"),
+          r.getAs[Boolean]("is_peripheral"))).toMap
+    assert(m("b") == ((1L, true, false)))
+    assert(m("a") == ((2L, false, true)) && m("c") == ((2L, false, true)))
+  }
+
   test("chiSquaredIndependence: independence gives 0; perfect association gives V = 1") {
     val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
       Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
