@@ -365,6 +365,12 @@ object EventOps {
   /** Dense daily event counts over [min_day, max_day] — absent days
     * count 0. One corpus aggregation to a day-sized table; the densify
     * joins against the exploded bounds row. */
+  /** Public alias of [[denseDailyCounts]] for query-layer compositions
+    * (q296 regression diagnostics). */
+  def dailyCountsDense(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame =
+    denseDailyCounts(events, dayNs)
+
   private def denseDailyCounts(events: DataFrame, dayNs: Long): DataFrame = {
     val counts = events
       .select(expr(s"ts div $dayNs").as("day"))

@@ -6872,7 +6872,210 @@ object PipelineQueries {
            |FROM nodes n JOIN ecc ON ecc.node = n.node
            |JOIN rc ON rc.node = n.node CROSS JOIN sm
            |ORDER BY n.node""".stripMargin
-      }))
+      }),
+
+    // ---- label-noise detection (confident-learning-lite, Northcutt et
+    // al. 2021): docs whose trained-classifier score lands at-or-beyond
+    // the OPPOSITE class's mean score are suspected mislabels. Class
+    // thresholds compared by exact integer cross-multiplication
+    // (score_u·n_class vs sum_class) — no float boundary anywhere.
+    Q("q294_label_noise",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents")
+        val w = logregModel(docs)
+        val y = (graft.operators.TextAnalysis.qualityScore(col("text"))
+          >= 0.9).cast("long")
+        val sc = graft.operators.QualityClassifier.score(docs, w)
+          .join(docs.select(col("doc_id"), y.as("y")), Seq("doc_id"))
+          .select(col("y"),
+            round(col("score") * 1000000.0).cast("long").as("su"))
+        val cm = sc.agg(
+          sum(when(col("y") === 0, col("su")).otherwise(0L)).cast(dec)
+            .as("s0"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).cast(dec).as("n0"),
+          sum(when(col("y") === 1, col("su")).otherwise(0L)).cast(dec)
+            .as("s1"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).cast(dec).as("n1"),
+          count(lit(1)).cast(dec).as("n"))
+        val j = sc.join(broadcast(cm))
+        val suspPos = col("y") === 1 &&
+          col("su").cast(dec) * col("n0") <= col("s0")
+        val suspNeg = col("y") === 0 &&
+          col("su").cast(dec) * col("n1") >= col("s1")
+        j.groupBy("n", "n0", "n1")
+          .agg(sum(when(suspPos, 1L).otherwise(0L)).as("sp"),
+            sum(when(suspNeg, 1L).otherwise(0L)).as("sn"))
+          .select(col("n").cast("long").as("n_docs"),
+            col("n1").cast("long").as("n_y1"),
+            col("n0").cast("long").as("n_y0"),
+            col("sp").cast("long").as("n_suspect_pos"),
+            col("sn").cast("long").as("n_suspect_neg"),
+            (round((col("sp") + col("sn")).cast("double") /
+              col("n").cast("double") * 1000000.0) / 1000000.0)
+              .as("suspect_rate"))
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |sc AS (SELECT fx.y,
+              |    CAST(round(1.0/(1.0 + exp(-(w1*(x1/1000000.0) + w2*(x2/1000000.0)
+              |      + w3*(x3/1000000.0) + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
+              |      * 1000000.0) AS BIGINT) AS su
+              |  FROM fx CROSS JOIN wfin),
+              |cm AS (SELECT
+              |    CAST(sum(CASE WHEN y = 0 THEN su ELSE 0 END) AS HUGEINT) AS s0,
+              |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+              |    CAST(sum(CASE WHEN y = 1 THEN su ELSE 0 END) AS HUGEINT) AS s1,
+              |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+              |    CAST(count(*) AS HUGEINT) AS n FROM sc)
+              |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n1 AS BIGINT) AS n_y1,
+              |  CAST(n0 AS BIGINT) AS n_y0,
+              |  CAST(sum(CASE WHEN y = 1 AND CAST(su AS HUGEINT) * n0 <= s0
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_pos,
+              |  CAST(sum(CASE WHEN y = 0 AND CAST(su AS HUGEINT) * n1 >= s1
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_neg,
+              |  round(CAST(sum(CASE WHEN (y = 1 AND CAST(su AS HUGEINT) * n0 <= s0)
+              |      OR (y = 0 AND CAST(su AS HUGEINT) * n1 >= s1)
+              |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n AS DOUBLE)
+              |    * 1000000.0) / 1000000.0 AS suspect_rate
+              |FROM sc CROSS JOIN cm GROUP BY n, n1, n0""".stripMargin)),
+
+    // ---- Tukey boxplot fences per return flag on extended price:
+    // exact percentile quartiles, 1.5-IQR fences ROUNDED 4 dp as the
+    // comparison contract, per-group outlier counts.
+    Q("q295_tukey_fences",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val fences = li.groupBy("l_returnflag")
+          .agg((round(expr("percentile(l_extendedprice, 0.25)") * 10000.0)
+            / 10000.0).as("q1"),
+            (round(expr("percentile(l_extendedprice, 0.75)") * 10000.0)
+              / 10000.0).as("q3"))
+          .select(col("l_returnflag"), col("q1"), col("q3"),
+            (round((col("q3") - col("q1")) * 10000.0) / 10000.0).as("iqr"),
+            (round((col("q1") - lit(1.5) * (col("q3") - col("q1"))) * 10000.0)
+              / 10000.0).as("lo_fence"),
+            (round((col("q3") + lit(1.5) * (col("q3") - col("q1"))) * 10000.0)
+              / 10000.0).as("hi_fence"))
+        li.join(broadcast(fences), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("q1"), col("q3"), col("iqr"),
+            col("lo_fence"), col("hi_fence"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("l_extendedprice") < col("lo_fence"), 1L)
+              .otherwise(0L)).cast("long").as("n_low_outliers"),
+            sum(when(col("l_extendedprice") > col("hi_fence"), 1L)
+              .otherwise(0L)).cast("long").as("n_high_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH f AS (SELECT l_returnflag,
+             |    round(quantile_cont(l_extendedprice, 0.25) * 10000.0)
+             |      / 10000.0 AS q1,
+             |    round(quantile_cont(l_extendedprice, 0.75) * 10000.0)
+             |      / 10000.0 AS q3
+             |  FROM lineitem GROUP BY 1),
+             |fx2 AS (SELECT l_returnflag, q1, q3,
+             |    round((q3 - q1) * 10000.0) / 10000.0 AS iqr,
+             |    round((q1 - 1.5 * (q3 - q1)) * 10000.0) / 10000.0 AS lo_fence,
+             |    round((q3 + 1.5 * (q3 - q1)) * 10000.0) / 10000.0 AS hi_fence
+             |  FROM f)
+             |SELECT li.l_returnflag, q1, q3, iqr, lo_fence, hi_fence,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_low_outliers,
+             |  CAST(sum(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_high_outliers
+             |FROM lineitem li JOIN fx2 ON fx2.l_returnflag = li.l_returnflag
+             |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY li.l_returnflag""".stripMargin)),
+
+    // ---- OLS influence diagnostics on the dense daily series: Cook's
+    // distance + leverage per day against the counts-vs-day fit — WHICH
+    // days bend the q198-style trend line. Exact integer sums feed one
+    // fixed double chain; top-5 by (D desc, day).
+    Q("q296_cooks_distance",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val m = dense.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("day")).cast(dec).as("st"),
+          sum(col("c")).cast(dec).as("sy"),
+          sum(col("day").cast(dec) * col("day").cast(dec)).as("stt"),
+          sum(col("day").cast(dec) * col("c").cast(dec)).as("sty"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("syy"))
+        val nD = col("n").cast("double")
+        val sxx = col("stt").cast("double") -
+          col("st").cast("double") * col("st").cast("double") / nD
+        val sxy = col("sty").cast("double") -
+          col("st").cast("double") * col("sy").cast("double") / nD
+        val b = sxy / sxx
+        val a = (col("sy").cast("double") - b * col("st").cast("double")) / nD
+        val tbar = col("st").cast("double") / nD
+        val j = dense.join(broadcast(m))
+        val fit = a + b * col("day").cast("double")
+        val r = col("c").cast("double") - fit
+        val h = lit(1.0) / nD +
+          (col("day").cast("double") - tbar) *
+            (col("day").cast("double") - tbar) / sxx
+        val syyC = col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / nD
+        val sse = syyC - b * sxy
+        val s2 = sse / (nD - 2.0)
+        val dcook = r * r / (lit(2.0) * s2) * (h / ((lit(1.0) - h) *
+          (lit(1.0) - h)))
+        j.select(col("day"), col("c"),
+            (round(r * 10000.0) / 10000.0).as("residual"),
+            (round(h * 1000000.0) / 1000000.0).as("leverage"),
+            (round(dcook * 1000000.0) / 1000000.0).as("cooks_d"),
+            dcook.as("_d"))
+          .orderBy(col("_d").desc, col("day")).limit(5)
+          .drop("_d")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(day) AS HUGEINT) AS st, CAST(sum(c) AS HUGEINT) AS sy,
+             |    sum(CAST(day AS HUGEINT) * CAST(day AS HUGEINT)) AS stt,
+             |    sum(CAST(day AS HUGEINT) * CAST(c AS HUGEINT)) AS sty,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy FROM dn),
+             |k AS (SELECT dn.day, dn.c,
+             |    CAST(c AS DOUBLE)
+             |      - ((CAST(sy AS DOUBLE) - ((CAST(sty AS DOUBLE)
+             |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+             |            / CAST(n AS DOUBLE))
+             |        / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+             |          * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             |          * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+             |        + ((CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+             |          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+             |          * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             |          * CAST(day AS DOUBLE)) AS r,
+             |    1.0 / CAST(n AS DOUBLE)
+             |      + (CAST(day AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(day AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+             |        * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS h,
+             |    ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |      - ((CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+             |        * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / (CAST(n AS DOUBLE) - 2.0) AS s2
+             |  FROM dn CROSS JOIN m)
+             |SELECT day, c, round(r * 10000.0) / 10000.0 AS residual,
+             |  round(h * 1000000.0) / 1000000.0 AS leverage,
+             |  round(r * r / (2.0 * s2) * (h / ((1.0 - h) * (1.0 - h)))
+             |    * 1000000.0) / 1000000.0 AS cooks_d
+             |FROM k
+             |ORDER BY r * r / (2.0 * s2) * (h / ((1.0 - h) * (1.0 - h))) DESC,
+             |  day
+             |LIMIT 5""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
