@@ -7075,7 +7075,139 @@ object PipelineQueries {
              |FROM k
              |ORDER BY r * r / (2.0 * s2) * (h / ((1.0 - h) * (1.0 - h))) DESC,
              |  day
-             |LIMIT 5""".stripMargin)))
+             |LIMIT 5""".stripMargin)),
+
+    // ---- PSI (population stability index) of order value, later years
+    // vs the <=1994 baseline, over the baseline's decile bins (bounds
+    // rounded 4 dp as the shared binning contract; counts Laplace-
+    // smoothed +0.5) — THE model-monitoring drift number, next to
+    // q201's KS and q221's JS.
+    Q("q297_psi_drift",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_totalprice").as("v"),
+          (year(col("o_orderdate")) <= 1994).as("p1"))
+        val bAggs = (1 to 9).map(i =>
+          (round(expr(s"percentile(v, 0.$i)") * 10000.0) / 10000.0)
+            .as(s"b$i"))
+        val bounds = o.where(col("p1")).agg(bAggs.head, bAggs.tail: _*)
+        val bin = (1 to 9).map(i =>
+          when(col("v") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+        val counts = o.join(broadcast(bounds))
+          .select(bin.as("bin"), col("p1"))
+          .groupBy("bin")
+          .agg(sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"))
+        val full = o.sparkSession.range(10).select(col("id").as("bin"))
+          .join(counts, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+        val tot = full.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+        val p1s = (col("n1").cast("double") + 0.5) /
+          (col("t1").cast("double") + 5.0)
+        val p2s = (col("n2").cast("double") + 0.5) /
+          (col("t2").cast("double") + 5.0)
+        val term = (p2s - p1s) * log(p2s / p1s)
+        val terms = full.join(broadcast(tot))
+          .select(col("bin"), col("n1"), col("n2"), term.as("term"))
+        val worst = terms.orderBy(abs(col("term")).desc, col("bin"))
+          .limit(1)
+          .select(col("bin").cast("long").as("worst_bin"),
+            (round(col("term") * 1000000.0) / 1000000.0).as("worst_term"))
+        terms.agg(sum("n1").cast("long").as("n_p1"),
+            sum("n2").cast("long").as("n_p2"),
+            (round(sum("term") * 1000000.0) / 1000000.0).as("psi"))
+          .join(broadcast(worst))
+      },
+      Some("""WITH o AS (SELECT o_totalprice AS v,
+             |    year(o_orderdate) <= 1994 AS p1 FROM orders),
+             |bd AS (SELECT
+             |    round(quantile_cont(v, 0.1) * 10000.0) / 10000.0 AS b1,
+             |    round(quantile_cont(v, 0.2) * 10000.0) / 10000.0 AS b2,
+             |    round(quantile_cont(v, 0.3) * 10000.0) / 10000.0 AS b3,
+             |    round(quantile_cont(v, 0.4) * 10000.0) / 10000.0 AS b4,
+             |    round(quantile_cont(v, 0.5) * 10000.0) / 10000.0 AS b5,
+             |    round(quantile_cont(v, 0.6) * 10000.0) / 10000.0 AS b6,
+             |    round(quantile_cont(v, 0.7) * 10000.0) / 10000.0 AS b7,
+             |    round(quantile_cont(v, 0.8) * 10000.0) / 10000.0 AS b8,
+             |    round(quantile_cont(v, 0.9) * 10000.0) / 10000.0 AS b9
+             |  FROM o WHERE p1),
+             |cn AS (SELECT (CASE WHEN v > b1 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b2 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b3 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b4 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b5 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b6 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b7 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b8 THEN 1 ELSE 0 END
+             |    + CASE WHEN v > b9 THEN 1 ELSE 0 END) AS bin,
+             |    p1 FROM o CROSS JOIN bd),
+             |g AS (SELECT bin, sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS n2
+             |  FROM cn GROUP BY bin),
+             |fl AS (SELECT r.bin, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+             |  FROM (SELECT unnest(range(0, 10)) AS bin) r
+             |  LEFT JOIN g ON g.bin = r.bin),
+             |tt AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM fl),
+             |tm AS (SELECT bin, n1, n2,
+             |    ((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0)
+             |      - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))
+             |    * ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0))
+             |      / ((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0)))
+             |    AS term
+             |  FROM fl CROSS JOIN tt),
+             |wo AS (SELECT CAST(bin AS BIGINT) AS worst_bin,
+             |    round(term * 1000000.0) / 1000000.0 AS worst_term
+             |  FROM tm ORDER BY abs(term) DESC, bin LIMIT 1),
+             |ag AS (SELECT CAST(sum(n1) AS BIGINT) AS n_p1,
+             |    CAST(sum(n2) AS BIGINT) AS n_p2,
+             |    round(sum(term) * 1000000.0) / 1000000.0 AS psi FROM tm)
+             |SELECT n_p1, n_p2, psi, worst_bin, worst_term
+             |FROM ag CROSS JOIN wo""".stripMargin)),
+
+    // ---- point-in-time feature join: purchases look up the SCD2
+    // status (q169's intervals built from signup/error changes) valid
+    // AT purchase time — the feature-store correctness join that
+    // prevents label leakage.
+    Q("q298_pit_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val scd = graft.operators.EventOps.scdType2(
+          ev.where(col("event_type").isin("signup", "error"))
+            .select(col("user_id"), col("event_type").as("status"),
+              col("ts"), col("event_id")),
+          "user_id", "status", "ts", "event_id")
+          .select(col("user_id").as("su"), col("status"), col("version"),
+            col("valid_from"), col("valid_to"))
+        val f = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            col("ts").as("pts"))
+        f.join(scd, col("user_id") === col("su") &&
+            col("valid_from") <= col("pts") &&
+            (col("valid_to").isNull || col("pts") < col("valid_to")),
+            "left")
+          .select(col("user_id"), col("pid"),
+            expr("pts div 1000").as("ts_us"), col("status"), col("version"))
+          .orderBy("pid")
+      },
+      Some("""WITH ch AS (SELECT user_id, event_type AS status, ts, event_id
+             |  FROM events WHERE event_type IN ('signup', 'error')),
+             |runs AS (SELECT user_id, status, ts, event_id FROM (
+             |    SELECT user_id, status, ts, event_id,
+             |      lag(status) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS pv FROM ch)
+             |  WHERE pv IS NULL OR pv <> status),
+             |scd AS (SELECT user_id AS su, status,
+             |    CAST(row_number() OVER w AS BIGINT) AS version,
+             |    ts AS vf, lead(ts) OVER w AS vt
+             |  FROM runs WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id)),
+             |f AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT f.user_id, pid, epoch_us(pts) AS ts_us, scd.status,
+             |  scd.version
+             |FROM f LEFT JOIN scd ON scd.su = f.user_id AND scd.vf <= f.pts
+             |  AND (scd.vt IS NULL OR f.pts < scd.vt)
+             |ORDER BY pid""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
