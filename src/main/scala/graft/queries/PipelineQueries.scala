@@ -7207,7 +7207,167 @@ object PipelineQueries {
              |  scd.version
              |FROM f LEFT JOIN scd ON scd.su = f.user_id AND scd.vf <= f.pts
              |  AND (scd.vt IS NULL OR f.pts < scd.vt)
-             |ORDER BY pid""".stripMargin)))
+             |ORDER BY pid""".stripMargin)),
+
+    // ---- PCA whitening audit: scale the q162 projections by 1/sqrt(λ)
+    // (quantized 1e-6) and verify the whitened component covariance is
+    // the identity — diag 1, off-diag 0 — in exact integer micro-unit
+    // sums. The decorrelation CONTRACT of the PCA front-end, measured.
+    Q("q299_pca_whitening",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val emb = t(s, d, "embeddings")
+        val (_, _, cov) = graft.operators.Pca.model(emb, 64)
+        val lambdas = graft.operators.Pca.topEigen(cov, 4).map(_._1)
+        val proj = graft.operators.Pca.project(emb, 64, k = 4)
+        val w = proj.select(
+          (0 until 4).map(r => round(col(s"p$r") /
+            lit(math.sqrt(lambdas(r))) * 1000000.0).cast("long")
+            .as(s"w$r")): _*)
+        val pairIdx = for { a <- 0 until 4; b <- a until 4 } yield (a, b)
+        val aggs = pairIdx.map { case (a, b) =>
+          sum(col(s"w$a").cast(dec) * col(s"w$b").cast(dec)).as(s"s${a}_$b")
+        } ++ (0 until 4).map(r => sum(col(s"w$r").cast(dec)).as(s"m$r")) :+
+          count(lit(1)).cast(dec).as("n")
+        val g = w.agg(aggs.head, aggs.tail: _*)
+        val nD = col("n").cast("double")
+        val entries = pairIdx.map { case (a, b) =>
+          struct(lit(a.toLong).as("a"), lit(b.toLong).as("b"),
+            (round((col(s"s${a}_$b").cast("double") / nD -
+              (col(s"m$a").cast("double") / nD) *
+                (col(s"m$b").cast("double") / nD)) / 1.0e12 * 10000.0)
+              / 10000.0).as("cov_w"))
+        }
+        g.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"),
+            col("e.cov_w").as("cov_w"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val ps = (1 to 4).map { r =>
+          s"""round(list_reduce([w$r[i+1] * (q[i+1]/10000.0 - mu[i+1])
+             |      for i in range(0, 64)], (a,b) -> a + b) * 1000000.0)/1000000.0 AS p${r - 1}"""
+            .stripMargin
+        }.mkString(",\n  ")
+        val joins = (1 to 4).map(r =>
+          s"CROSS JOIN (SELECT v AS w$r FROM v$r) a$r").mkString(" ")
+        val lj = (1 to 4).map(r =>
+          s"CROSS JOIN (SELECT l AS la${r - 1} FROM l$r) x${r - 1}")
+          .mkString(" ")
+        val wqs = (0 until 4).map(r =>
+          s"CAST(round(p$r / sqrt(la$r) * 1000000.0) AS BIGINT) AS w$r")
+          .mkString(",\n    ")
+        val pairIdx = for { a <- 0 until 4; b <- a until 4 } yield (a, b)
+        val sums = pairIdx.map { case (a, b) =>
+          s"sum(CAST(w$a AS HUGEINT) * CAST(w$b AS HUGEINT)) AS s${a}_$b"
+        }.mkString(", ") + ", " + (0 until 4).map(r =>
+          s"CAST(sum(w$r) AS HUGEINT) AS m$r").mkString(", ") +
+          ", CAST(count(*) AS HUGEINT) AS n"
+        val arms = pairIdx.map { case (a, b) =>
+          s"""SELECT CAST($a AS BIGINT) AS a, CAST($b AS BIGINT) AS b,
+             |  round((CAST(s${a}_$b AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - (CAST(m$a AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(m$b AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    / 1000000000000.0 * 10000.0) / 10000.0 AS cov_w FROM gg"""
+            .stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${pcaCtes(64, 4, 40)},
+           |pr AS MATERIALIZED (SELECT vec_id,
+           |  $ps
+           |FROM qid $joins CROSS JOIN mu),
+           |wq AS MATERIALIZED (SELECT
+           |    $wqs
+           |  FROM pr $lj),
+           |gg AS (SELECT $sums FROM wq)
+           |SELECT * FROM (
+           |$arms) ORDER BY a, b""".stripMargin
+      }),
+
+    // ---- pipeline v5 — the session-4 curation funnel: contract gate ->
+    // above-mean trained-classifier keep -> exact dedup (min-id per text)
+    // -> shingle near-dup cluster canonicalization; one row per stage
+    // with survivors. The flagship composition of the new tier.
+    Q("q300_pipeline_v5",
+      (s, d) => {
+        import graft.operators.{Dedup, QualityClassifier}
+        val docs = t(s, d, "documents").localCheckpoint()
+        val gated = docs.where(col("text").isNotNull &&
+          size(split(col("text"), " ")) >= 5)
+        val w = logregModel(docs)
+        // keep the above-mean-score half: su·n > Σsu compared in exact
+        // integers (the q294 cross-multiplication — no float boundary)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val scored = QualityClassifier.score(gated, w).select(col("doc_id"),
+          round(col("score") * 1000000.0).cast("long").as("su"))
+        val stat = scored.agg(sum(col("su")).cast(dec).as("ssum"),
+          count(lit(1)).cast(dec).as("sn"))
+        val kept = gated.join(scored.join(broadcast(stat))
+          .where(col("su").cast(dec) * col("sn") > col("ssum"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val exact = kept.join(kept.groupBy("text")
+          .agg(min("doc_id").as("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi").localCheckpoint()
+        val drop = Dedup.duplicateClusters(
+          Dedup.shingleJaccardPairs(exact, 0.5)
+            .select(col("id_a"), col("id_b")))
+          .where(col("doc_id") =!= col("cluster")).select("doc_id")
+        val fin = exact.join(drop, Seq("doc_id"), "left_anti")
+        Seq("s0_raw" -> docs, "s1_gated" -> gated, "s2_quality" -> kept,
+          "s3_exact_dedup" -> exact, "s4_near_dedup" -> fin)
+          .map { case (n, df) =>
+            df.agg(count(lit(1)).cast("long").as("n_rows"))
+              .select(lit(n).as("stage"), col("n_rows"))
+          }.reduce(_ unionByName _).orderBy("stage")
+      },
+      Some(s"""WITH RECURSIVE ${logregCtes(3)},
+              |g AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+              |  WHERE d.text IS NOT NULL
+              |    AND len(string_split(d.text, ' ')) >= 5),
+              |scu AS MATERIALIZED (SELECT g.doc_id, g.text,
+              |    CAST(round(1.0/(1.0 + exp(-(w1*(x1/1000000.0)
+              |      + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
+              |      * 1000000.0) AS BIGINT) AS su
+              |  FROM g JOIN fx ON fx.doc_id = g.doc_id CROSS JOIN wfin),
+              |st AS (SELECT CAST(sum(su) AS HUGEINT) AS ssum,
+              |    CAST(count(*) AS HUGEINT) AS sn FROM scu),
+              |sc AS MATERIALIZED (SELECT doc_id, text FROM scu CROSS JOIN st
+              |  WHERE CAST(su AS HUGEINT) * sn > ssum),
+              |ex AS MATERIALIZED (SELECT sc.doc_id, sc.text FROM sc JOIN (
+              |    SELECT min(doc_id) AS doc_id FROM sc GROUP BY text) k
+              |  ON k.doc_id = sc.doc_id),
+              |ws2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+              |sh2 AS (SELECT doc_id, unnest(list_distinct(
+              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              |     for i in range(1, len(w) - 1)])) AS s
+              |  FROM ws2 WHERE len(w) >= 3),
+              |cnt2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+              |inter2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs2 AS (SELECT ia, ib FROM inter2
+              |  JOIN cnt2 ca ON ca.doc_id = ia JOIN cnt2 cb ON cb.doc_id = ib
+              |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+              |edges2 AS (SELECT ia AS u, ib AS v FROM pairs2
+              |  UNION SELECT ib, ia FROM pairs2),
+              |reach2 AS (SELECT u AS src, u AS dst FROM edges2
+              |  UNION SELECT r.src, e.v FROM reach2 r JOIN edges2 e
+              |    ON r.dst = e.u),
+              |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach2
+              |  GROUP BY src),
+              |dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+              |SELECT * FROM (
+              |  SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+              |  FROM documents
+              |  UNION ALL SELECT 's1_gated', CAST(count(*) AS BIGINT) FROM g
+              |  UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT) FROM sc
+              |  UNION ALL SELECT 's3_exact_dedup', CAST(count(*) AS BIGINT)
+              |    FROM ex
+              |  UNION ALL SELECT 's4_near_dedup', CAST(count(*) AS BIGINT)
+              |    FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dr))
+              |ORDER BY stage""".stripMargin),
+      bench = true))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
