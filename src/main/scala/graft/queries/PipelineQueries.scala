@@ -7367,7 +7367,175 @@ object PipelineQueries {
               |  UNION ALL SELECT 's4_near_dedup', CAST(count(*) AS BIGINT)
               |    FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dr))
               |ORDER BY stage""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Theil inequality decomposition of order value by customer
+    // segment: T_total = T_between + sum share_g * T_g — q207's Gini
+    // says HOW unequal; Theil says WHERE the inequality lives (between
+    // segments or inside them). Exact cent sums feed the log chains.
+    Q("q301_theil_decomposition",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("g"),
+            round(col("o_totalprice").cast("double") * 100.0).cast("long")
+              .as("x"))
+          .localCheckpoint() // two passes: moments, then per-row logs
+        val gm = o.groupBy("g").agg(count(lit(1)).cast(dec).as("ng"),
+          sum(col("x")).cast(dec).as("xg"))
+        val tot = gm.agg(sum(col("ng")).as("n"), sum(col("xg")).as("xt"))
+        val mu = col("xt").cast("double") / col("n").cast("double")
+        val mug = col("xg").cast("double") / col("ng").cast("double")
+        // within: per-row (x/mu_g) ln(x/mu_g) averaged inside the group
+        val withinTerms = o.join(broadcast(gm), Seq("g"))
+          .select(col("g"), ((col("x").cast("double") / mug) *
+            log(col("x").cast("double") / mug)).as("t"))
+          .groupBy("g").agg(sum("t").as("st"))
+        val rows = gm.join(broadcast(tot)).join(withinTerms, Seq("g"))
+          .select(concat(lit("within_"), col("g")).as("component"),
+            col("ng").cast("long").as("n"),
+            (round((col("xg").cast("double") / col("xt").cast("double")) *
+              (col("st") / col("ng").cast("double")) * 1000000.0)
+              / 1000000.0).as("theil"))
+        val between = gm.join(broadcast(tot))
+          .select(((col("xg").cast("double") / col("xt").cast("double")) *
+            log(mug / mu)).as("t"), col("ng"))
+          .agg(sum("ng").cast("long").as("n"),
+            (round(sum("t") * 1000000.0) / 1000000.0).as("theil"))
+          .select(lit("zz_between").as("component"), col("n"), col("theil"))
+        val total = o.join(broadcast(tot))
+          .select(((col("x").cast("double") / mu) *
+            log(col("x").cast("double") / mu)).as("t"))
+          .agg((round(sum("t") * 1000000.0) / 1000000.0).as("tt"))
+          .join(broadcast(tot))
+          .select(lit("zz_total").as("component"),
+            col("n").cast("long").as("n"),
+            (round(col("tt") / col("n").cast("double") * 1000000.0)
+              / 1000000.0).as("theil"))
+        rows.unionByName(between).unionByName(total).orderBy("component")
+      },
+      Some("""WITH o AS (SELECT c_mktsegment AS g,
+             |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |gm AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             |    CAST(sum(x) AS HUGEINT) AS xg FROM o GROUP BY g),
+             |tt AS (SELECT sum(ng) AS n, sum(xg) AS xt FROM gm),
+             |wt AS (SELECT o.g, sum((CAST(x AS DOUBLE)
+             |      / (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)))
+             |    * ln(CAST(x AS DOUBLE)
+             |      / (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)))) AS st
+             |  FROM o JOIN gm ON gm.g = o.g GROUP BY o.g),
+             |rows0 AS (SELECT 'within_' || gm.g AS component,
+             |    CAST(ng AS BIGINT) AS n,
+             |    round((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))
+             |      * (st / CAST(ng AS DOUBLE)) * 1000000.0) / 1000000.0 AS theil
+             |  FROM gm CROSS JOIN tt JOIN wt ON wt.g = gm.g),
+             |btw AS (SELECT 'zz_between' AS component,
+             |    CAST(sum(ng) AS BIGINT) AS n,
+             |    round(sum((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))
+             |      * ln((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))
+             |        / (CAST(xt AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000000.0)
+             |      / 1000000.0 AS theil
+             |  FROM gm CROSS JOIN tt GROUP BY xt, n),
+             |ttl AS (SELECT 'zz_total' AS component, CAST(n AS BIGINT) AS n,
+             |    round(round(sum((CAST(x AS DOUBLE)
+             |        / (CAST(xt AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      * ln(CAST(x AS DOUBLE)
+             |        / (CAST(xt AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000000.0)
+             |      / 1000000.0 / CAST(n AS DOUBLE) * 1000000.0) / 1000000.0
+             |      AS theil
+             |  FROM o CROSS JOIN tt GROUP BY n)
+             |SELECT * FROM (SELECT * FROM rows0
+             |  UNION ALL SELECT * FROM btw UNION ALL SELECT * FROM ttl)
+             |ORDER BY component""".stripMargin)),
+
+    // ---- per-user feature assembly (the feature-store build): RFM +
+    // tenure + activity cadence + type entropy in one user-keyed pass
+    // over the sampled users.
+    Q("q302_user_features",
+      (s, d) => {
+        val dayNs = 86400L * 1000000000L
+        val ev = Tables.events(s, d)
+          .where(pmod(col("user_id"), lit(20)) === 0)
+          .select(col("user_id"), col("event_type"),
+            expr(s"ts div $dayNs").as("day"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100.0).cast("long")).otherwise(0L)
+              .as("cents"))
+          .localCheckpoint() // feeds the base and the entropy passes
+        val base = ev.groupBy("user_id").agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purchases"),
+          sum(col("cents")).as("spend_cents"),
+          min("day").as("d0"), max("day").as("d1"),
+          countDistinct("day").as("active_days"))
+        val perType = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val entropy = perType
+          .join(perType.groupBy("user_id").agg(sum("c").as("nt")), "user_id")
+          .select(col("user_id"),
+            (-(col("c").cast("double") / col("nt").cast("double")) *
+              log(col("c").cast("double") / col("nt").cast("double")))
+              .as("t"))
+          .groupBy("user_id")
+          .agg((round(sum("t") * 1000000.0) / 1000000.0).as("type_entropy"))
+        base.join(entropy, Seq("user_id"))
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            (round(col("spend_cents").cast("double") / 100.0 * 100.0)
+              / 100.0).as("spend"),
+            (col("d1") - col("d0") + 1).cast("long").as("tenure_days"),
+            col("active_days").cast("long").as("active_days"),
+            (round(col("n_events").cast("double") /
+              col("active_days").cast("double") * 10000.0) / 10000.0)
+              .as("events_per_active_day"),
+            col("type_entropy"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END AS cents
+             |  FROM events WHERE user_id % 20 = 0),
+             |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_purchases,
+             |    sum(cents) AS spend_cents, min(day) AS d0, max(day) AS d1,
+             |    count(DISTINCT day) AS active_days FROM ev GROUP BY user_id),
+             |pt AS (SELECT user_id, event_type, count(*) AS c FROM ev
+             |  GROUP BY 1, 2),
+             |nt AS (SELECT user_id, sum(c) AS nt FROM pt GROUP BY 1),
+             |en AS (SELECT pt.user_id,
+             |    round(sum(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))) * 1000000.0)
+             |      / 1000000.0 AS type_entropy
+             |  FROM pt JOIN nt ON nt.user_id = pt.user_id GROUP BY pt.user_id)
+             |SELECT b.user_id, n_events, n_purchases,
+             |  round(CAST(spend_cents AS DOUBLE) / 100.0 * 100.0) / 100.0
+             |    AS spend,
+             |  CAST(d1 - d0 + 1 AS BIGINT) AS tenure_days,
+             |  CAST(active_days AS BIGINT) AS active_days,
+             |  round(CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS events_per_active_day,
+             |  type_entropy
+             |FROM b JOIN en ON en.user_id = b.user_id
+             |ORDER BY b.user_id""".stripMargin)),
+
+    // ---- streaming sliding windows: the q282 batch window replayed
+    // through Structured Streaming (AvailableNow, COMPLETE mode — every
+    // window in the final state) — batch/stream equivalence on the
+    // 1h/15min sliding shape, hash-checked against the SAME oracle.
+    Q("q303_stream_sliding",
+      (s, d) => graft.streaming.EventsStream
+        .slidingWindowCounts(s, d.stripSuffix("/"))
+        .orderBy("start_us"),
+      Some("""WITH sl AS (SELECT (epoch_us(ts) // 900000000 - j.j) * 900000000
+             |    AS start_us
+             |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
+             |SELECT start_us, start_us + 3600000000 AS end_us,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM sl GROUP BY start_us ORDER BY start_us""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -479,6 +479,25 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Sliding-window counts (1 h window / 15 min slide) driven to
+    * completion in COMPLETE mode — the streaming twin of the q282 batch
+    * window. No watermark: on static input the final state table holds
+    * EVERY window, so the memory-sink table equals the batch result
+    * exactly (with a watermark, append mode would hold back the windows
+    * the final watermark never passes — the equivalence would be
+    * silently partial). AvailableNow + complete is the replay-the-
+    * history shape; production would add the watermark and accept
+    * append-mode finality semantics. */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = readEvents(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val name = "sliding_" + Integer.toHexString(dir.hashCode)
+    runToMemoryAvailableNow(spark, counts, name, OutputMode.Complete())
+      .select(unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n"))
+  }
+
   /** Streaming near-dup ADMISSION CONTROL — the production sink of
     * [[graft.operators.Dedup.incrementalNearDup]]: each micro-batch of
     * crawled documents is deduped against everything ACCEPTED so far
