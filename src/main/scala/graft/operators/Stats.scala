@@ -139,7 +139,7 @@ object Stats {
     val cm = cells.groupBy("c").agg(sum("o").as("cj"))
     val tot = cells.agg(sum("o").as("n"),
       countDistinct("r").as("nr"), countDistinct("c").as("nc"))
-    val grid = rm.join(cm).join(broadcast(tot))
+    val grid = rm.join(broadcast(cm)).join(broadcast(tot))
       .join(cells, Seq("r", "c"), "left")
       .select(col("n"), col("nr"), col("nc"),
         coalesce(col("o"), lit(0L)).cast("double").as("od"),
@@ -229,7 +229,9 @@ object Stats {
     val spool = sqrt(((col("a.n").cast("double") - 1.0) * sv("a") +
       (col("b.n").cast("double") - 1.0) * sv("b")) /
       (col("a.n").cast("double") + col("b.n").cast("double") - 2.0))
-    g.as("a").join(g.as("b"), col("a.g") < col("b.g"))
+    // broadcast the (tiny, group-sized) right side: the non-equi pair
+    // join plans as the documented bounded BNLJ, never a CartesianProduct
+    g.as("a").join(broadcast(g.as("b")), col("a.g") < col("b.g"))
       .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
         col("a.n").cast("long").as("n_a"), col("b.n").cast("long").as("n_b"),
         (round((m("a") - m("b")) / 100.0 * 100.0) / 100.0).as("mean_diff"),
