@@ -220,6 +220,45 @@ object GraphOps {
     labels
   }
 
+  /** Personalized PageRank (the PPR variant of [[pageRank]]): teleport
+    * mass returns to the SEED distribution instead of uniform —
+    * rank_v = (1−d)·s_v + d·Σ contribs with s uniform over `seeds` —
+    * so the ranking answers "important RELATIVE TO these nodes"
+    * (recommendation neighborhoods, seeded influence). Same fixed-
+    * iteration, per-round eager-checkpoint discipline as [[pageRank]];
+    * same simplified dangling treatment. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val norm = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint()
+    val prior = when(col("node").isin(seeds: _*),
+      lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().select(col("node"), prior.as("pri")).localCheckpoint()
+    var ranks = nodes.select(col("node"), col("pri").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = norm.join(ranks, norm("src") === ranks("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("p") * col("rank")).as("c"))
+      val next = nodes.join(contrib, nodes("node") === col("cnode"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("pri") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    IterUtils.unpersistCheckpoint(norm)
+    IterUtils.unpersistCheckpoint(nodes)
+    ranks
+  }
+
   /** Per-node eccentricity (max hop distance to any reachable node,
     * within the `depth` horizon shared with the oracle) plus the
     * graph-level center/periphery flags (radius = min ecc, diameter =

@@ -7535,7 +7535,175 @@ object PipelineQueries {
              |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
              |SELECT start_us, start_us + 3600000000 AS end_us,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM sl GROUP BY start_us ORDER BY start_us""".stripMargin)))
+             |FROM sl GROUP BY start_us ORDER BY start_us""".stripMargin)),
+
+    // ---- community quality of the q170 label-prop partition:
+    // per-community modularity contribution and conductance over the
+    // weighted trade graph — exact integer edge weights, one double
+    // chain per community. Q says "is this partition better than
+    // chance"; conductance says "which community leaks".
+    Q("q304_community_quality",
+      (s, d) => {
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation").select(
+            col("n_nationkey").as("ck"), col("n_name").as("src"))),
+            col("c_nationkey") === col("ck"))
+          .join(broadcast(t(s, d, "nation").select(
+            col("n_nationkey").as("sk"), col("n_name").as("dst"))),
+            col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val avgW = raw.agg(avg(col("w")).as("aw"))
+        val edges = raw.join(broadcast(avgW))
+          .where(col("w").cast("double") > col("aw"))
+          .select("src", "dst", "w")
+        val labels = graft.operators.GraphOps.labelPropagation(edges, 4)
+        val noSelf = edges.where(col("src") =!= col("dst"))
+        val sym = noSelf.select(col("src"), col("dst"), col("w"))
+          .union(noSelf.select(col("dst").as("src"), col("src").as("dst"),
+            col("w")))
+          .groupBy("src", "dst").agg(sum("w").as("w"))
+        val lab = labels.select(col("node"), col("label"))
+        val j = sym
+          .join(lab.select(col("node").as("src"), col("label").as("la")),
+            Seq("src"))
+          .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+            Seq("dst"))
+        val m2 = j.agg(sum("w").as("m2"))
+        val per = j.groupBy(col("la").as("label"))
+          .agg(sum("w").as("d_c"),
+            sum(when(col("la") === col("lb"), col("w")).otherwise(0L))
+              .as("e2_c"))
+        val nper = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        per.join(nper, Seq("label")).join(broadcast(m2))
+          .select(col("label"), col("n_nodes").cast("long").as("n_nodes"),
+            col("d_c").cast("long").as("degree_w"),
+            col("e2_c").cast("long").as("internal2_w"),
+            (col("d_c") - col("e2_c")).cast("long").as("cut_w"),
+            // a community holding ALL volume has no outside to leak to:
+            // conductance undefined -> NULL (ANSI raises on x/0.0)
+            when(least(col("d_c").cast("double"),
+              col("m2").cast("double") - col("d_c").cast("double")) > 0.0,
+              round(((col("d_c") - col("e2_c")).cast("double") /
+                least(col("d_c").cast("double"),
+                  col("m2").cast("double") - col("d_c").cast("double")))
+                * 1000000.0) / 1000000.0).as("conductance"),
+            (round((col("e2_c").cast("double") / col("m2").cast("double") -
+              (col("d_c").cast("double") / col("m2").cast("double")) *
+                (col("d_c").cast("double") / col("m2").cast("double")))
+              * 1000000.0) / 1000000.0).as("q_contrib"))
+          .orderBy("label")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""l$r AS (SELECT p.node, coalesce(t.label, p.label) AS label
+             |  FROM l${r - 1} p LEFT JOIN (
+             |    SELECT v, label FROM (
+             |      SELECT s.src AS v, q.label AS label, sum(s.w) AS ws,
+             |        row_number() OVER (PARTITION BY s.src
+             |          ORDER BY sum(s.w) DESC, q.label) AS rn
+             |      FROM sym s JOIN l${r - 1} q ON q.node = s.dst
+             |      GROUP BY s.src, q.label) z WHERE rn = 1) t ON t.v = p.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  GROUP BY 1, 2),
+           |aw AS (SELECT avg(w) AS aw FROM raw),
+           |ed AS (SELECT src, dst, w FROM raw, aw WHERE w > aw),
+           |sym AS (SELECT src, dst, sum(w) AS w FROM (
+           |    SELECT src, dst, w FROM ed WHERE src <> dst
+           |    UNION ALL
+           |    SELECT dst AS src, src AS dst, w FROM ed WHERE src <> dst)
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |$rounds,
+           |jj AS (SELECT s.w, la.label AS la, lb.label AS lb
+           |  FROM sym s JOIN l4 la ON la.node = s.src
+           |  JOIN l4 lb ON lb.node = s.dst),
+           |m2 AS (SELECT sum(w) AS m2 FROM jj),
+           |per AS (SELECT la AS label, sum(w) AS d_c,
+           |    sum(CASE WHEN la = lb THEN w ELSE 0 END) AS e2_c
+           |  FROM jj GROUP BY la),
+           |np AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY label)
+           |SELECT per.label, CAST(n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(d_c AS BIGINT) AS degree_w,
+           |  CAST(e2_c AS BIGINT) AS internal2_w,
+           |  CAST(d_c - e2_c AS BIGINT) AS cut_w,
+           |  CASE WHEN least(CAST(d_c AS DOUBLE),
+           |      CAST(m2 AS DOUBLE) - CAST(d_c AS DOUBLE)) > 0.0
+           |    THEN round((CAST(d_c - e2_c AS DOUBLE)
+           |      / least(CAST(d_c AS DOUBLE),
+           |        CAST(m2 AS DOUBLE) - CAST(d_c AS DOUBLE))) * 1000000.0)
+           |      / 1000000.0 END AS conductance,
+           |  round((CAST(e2_c AS DOUBLE) / CAST(m2 AS DOUBLE)
+           |    - (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+           |      * (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))) * 1000000.0)
+           |    / 1000000.0 AS q_contrib
+           |FROM per JOIN np ON np.label = per.label CROSS JOIN m2
+           |ORDER BY per.label""".stripMargin
+      }),
+
+    // ---- personalized PageRank: teleport mass returns to the two seed
+    // nations — "important relative to THESE markets". Same fixed-round
+    // float replay as q113 (final 6-dp rounding absorbs sub-ulp
+    // accumulation differences).
+    Q("q305_personalized_pagerank",
+      (s, d) => {
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation").select(
+            col("n_nationkey").as("ck"), col("n_name").as("src"))),
+            col("c_nationkey") === col("ck"))
+          .join(broadcast(t(s, d, "nation").select(
+            col("n_nationkey").as("sk"), col("n_name").as("dst"))),
+            col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.personalizedPageRank(raw,
+          Seq("NATION_0", "NATION_1"), iterations = 5)
+          .select(col("node"), (round(col("rank") * 1000000.0) / 1000000.0)
+            .as("rank"))
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""r$r AS (SELECT v.node, 0.15000000000000002 * v.pri
+             |    + 0.85 * coalesce((SELECT sum(m.p * r.rank) FROM norm m
+             |      JOIN r${r - 1} r ON r.node = m.src
+             |      WHERE m.dst = v.node), 0.0) AS rank
+             |  FROM sd v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+           |    CAST(count(*) AS DOUBLE) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  GROUP BY 1, 2),
+           |norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+           |  FROM edges),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |sd AS (SELECT node, CASE WHEN node IN ('NATION_0', 'NATION_1')
+           |    THEN 0.5 ELSE 0.0 END AS pri FROM nodes),
+           |r0 AS (SELECT node, pri AS rank FROM sd),
+           |$rounds
+           |SELECT node, round(rank * 1000000.0) / 1000000.0 AS rank
+           |FROM r5 ORDER BY node""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

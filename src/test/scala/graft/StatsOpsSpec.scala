@@ -820,6 +820,18 @@ class StatsOpsSpec extends GraftSpec {
     assert(r.getAs[Long]("n_boot") == 100L)
   }
 
+  test("personalizedPageRank: the two-node cycle settles toward the seeded fixpoint") {
+    // a <-> b, seed {a}: fixpoint r_a = 0.15/(1-0.7225) ~ 0.5405, r_b ~ 0.4595
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val m = graft.operators.GraphOps
+      .personalizedPageRank(edges, Seq("a"), iterations = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // contraction is 0.7225 per TWO steps: 60 iters -> |err| ~ 3e-5
+    assert(math.abs(m("a") - 0.15 / (1.0 - 0.85 * 0.85)) < 1e-3)
+    assert(m("a") > m("b") && m("b") > 0.4,
+      "teleport favors the seed; the cycle feeds the neighbor")
+  }
+
   test("hits: a pure sink is the authority, its feeders the hubs") {
     val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
     val m = graft.operators.GraphOps.hits(edges, rounds = 3).collect()
