@@ -7703,6 +7703,66 @@ object PipelineQueries {
            |$rounds
            |SELECT node, round(rank * 1000000.0) / 1000000.0 AS rank
            |FROM r5 ORDER BY node""".stripMargin
+      }),
+
+    // ---- dedup threshold sensitivity: pair volume, touched docs, and
+    // cluster count at Jaccard 0.3/0.5/0.7/0.9 — the tuning table that
+    // says where the near-dup knob actually bites. ONE candidate pass
+    // at the loosest threshold; each arm filters the rounded jaccard
+    // and re-clusters (pair-subset-sized work).
+    Q("q306_dedup_threshold_sweep",
+      (s, d) => {
+        val pairs = Dedup.shingleJaccardPairs(t(s, d, "documents"), 0.3)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .localCheckpoint() // all four arms filter this one pass
+        Seq(0.3, 0.5, 0.7, 0.9).map { tau =>
+          val p = pairs.where(col("jaccard") >= tau).localCheckpoint()
+          val nd = p.select(explode(array(col("id_a"), col("id_b")))
+            .as("id")).distinct()
+          val nc = Dedup.duplicateClusters(p).select("cluster").distinct()
+          p.agg(count(lit(1)).cast("long").as("n_pairs"))
+            .join(nd.agg(count(lit(1)).cast("long").as("n_docs")))
+            .join(nc.agg(count(lit(1)).cast("long").as("n_clusters")))
+            .select(lit(tau).as("threshold"), col("n_pairs"),
+              col("n_docs"), col("n_clusters"))
+        }.reduce(_ unionByName _).orderBy("threshold")
+      },
+      Some {
+        val arms = Seq("0.3", "0.5", "0.7", "0.9").zipWithIndex.map {
+          case (tau, i) =>
+            s"""p$i AS MATERIALIZED (SELECT ia, ib FROM pr WHERE j >= $tau),
+               |e$i AS (SELECT ia AS u, ib AS v FROM p$i
+               |  UNION SELECT ib, ia FROM p$i),
+               |r$i AS (SELECT u AS src, u AS dst FROM e$i
+               |  UNION SELECT r.src, e.v FROM r$i r JOIN e$i e ON r.dst = e.u),
+               |c$i AS (SELECT src, min(dst) AS cluster FROM r$i GROUP BY src),
+               |a$i AS (SELECT CAST($tau AS DOUBLE) AS threshold,
+               |    (SELECT CAST(count(*) AS BIGINT) FROM p$i) AS n_pairs,
+               |    (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+               |      SELECT ia AS id FROM p$i UNION ALL SELECT ib FROM p$i))
+               |      AS n_docs,
+               |    (SELECT CAST(count(DISTINCT cluster) AS BIGINT) FROM c$i)
+               |      AS n_clusters)""".stripMargin
+        }.mkString(",\n")
+        val sel = (0 to 3).map(i => s"SELECT * FROM a$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |     for i in range(1, len(w) - 1)])) AS s
+           |  FROM ws WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pr AS MATERIALIZED (SELECT ia, ib,
+           |    round(i::DOUBLE / (ca.n + cb.n - i) * 1000000.0) / 1000000.0 AS j
+           |  FROM inter JOIN cnt ca ON ca.doc_id = ia
+           |  JOIN cnt cb ON cb.doc_id = ib
+           |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.3),
+           |$arms
+           |SELECT * FROM ($sel) ORDER BY threshold""".stripMargin
       }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
