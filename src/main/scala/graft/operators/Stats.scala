@@ -343,6 +343,101 @@ object Stats {
         (round(col("hi") * 10000.0) / 10000.0).as("hi90"))
   }
 
+  /** [[poissonBootstrapMean]] for a DIFFERENCE of means between the
+    * `isGroup1` rows and the rest: the same deterministic md5-inverted
+    * Poisson(1) draws resample BOTH groups jointly per replicate, the
+    * replicate statistic is meanG1 − meanG2, and the 90% interval is
+    * the order-statistic bracket — "does the gap survive resampling",
+    * with zero RNG state and a replayable oracle. Replicates where
+    * either group draws no mass are dropped (counted in n_boot).
+    *
+    * SCALE: one rows×B pass map-side-combined to B rows; B-row window. */
+  def poissonBootstrapMeanDiff(df: DataFrame, keyCol: Column,
+      valueCol: Column, isGroup1: Column, nBoot: Int = 100): DataFrame = {
+    val base = df.select(keyCol.cast("string").as("k"),
+      round(valueCol.cast("double") * 100.0).cast("long").as("cents"),
+      when(isGroup1, 1L).otherwise(0L).as("g1"))
+      .localCheckpoint()
+    val point = base.agg(
+      sum(when(col("g1") === 1, col("cents")).otherwise(0L)).cast(dec)
+        .as("s1"),
+      sum(col("g1")).cast(dec).as("n1"),
+      sum(when(col("g1") === 0, col("cents")).otherwise(0L)).cast(dec)
+        .as("s0"),
+      (count(lit(1)) - sum(col("g1"))).cast(dec).as("n0"))
+      .select(((col("s1").cast("double") / col("n1").cast("double") -
+        col("s0").cast("double") / col("n0").cast("double")) / 100.0)
+        .as("pd"))
+    val u = graft.expressions.PortableHash
+      .md5Hash60(concat(col("k"), lit("@"), col("b"))).cast("double") /
+      lit(1152921504606846976.0)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(5L)) {
+      case ((c, i), rest) => when(u < expr(s"CAST($c AS DOUBLE)"), i.toLong)
+        .otherwise(rest)
+    }
+    val reps = base
+      .select(col("k"), col("cents"), col("g1"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .select(col("b"), col("cents"), col("g1"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(when(col("g1") === 1, col("w") * col("cents")).otherwise(0L)
+          .cast(dec)).as("ws1"),
+        sum(when(col("g1") === 1, col("w")).otherwise(0L)).as("wc1"),
+        sum(when(col("g1") === 0, col("w") * col("cents")).otherwise(0L)
+          .cast(dec)).as("ws0"),
+        sum(when(col("g1") === 0, col("w")).otherwise(0L)).as("wc0"))
+      .where(col("wc1") > 0 && col("wc0") > 0)
+      .select(col("b"),
+        ((col("ws1").cast("double") / col("wc1").cast("double") -
+          col("ws0").cast("double") / col("wc0").cast("double")) / 100.0)
+          .as("m"))
+    val loIdx = math.ceil(0.05 * nBoot).toInt
+    val hiIdx = nBoot - loIdx + 1
+    val byMean = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
+    val ranked = reps.withColumn("rk", row_number().over(byMean))
+    val ci = ranked.agg(count(lit(1)).cast("long").as("n_boot"),
+      max(when(col("rk") === loIdx, col("m"))).as("lo"),
+      max(when(col("rk") === hiIdx, col("m"))).as("hi"))
+    ci.join(point)
+      .select(col("n_boot"),
+        (round(col("pd") * 10000.0) / 10000.0).as("point_diff"),
+        (round(col("lo") * 10000.0) / 10000.0).as("lo90"),
+        (round(col("hi") * 10000.0) / 10000.0).as("hi90"))
+  }
+
+  /** Kendall's τ-b rank agreement between two metrics computed over the
+    * same groups: concordant/discordant pair counts with the tie-
+    * corrected denominator — "do these two rankings tell the same
+    * story", robust to any monotone transform of either metric. Metrics
+    * must be exact-integer ratios (engine and oracle then compare
+    * IDENTICAL doubles, so C/D/tie counts are exact).
+    *
+    * SCALE: one corpus aggregation to the group table; the pair
+    * comparison is a group²-sized broadcast BNLJ (model-sized). */
+  def kendallTauB(groups: DataFrame, gCol: String, m1: Column,
+      m2: Column): DataFrame = {
+    val g = groups.select(col(gCol).as("g"), m1.as("x"), m2.as("y"))
+    val pairs = g.as("a").join(broadcast(g.as("b")), col("a.g") < col("b.g"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    val agg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("dx") =!= 0.0 && col("dy") =!= 0.0 &&
+        (col("dx") > 0.0) === (col("dy") > 0.0), 1L).otherwise(0L)).as("c"),
+      sum(when(col("dx") =!= 0.0 && col("dy") =!= 0.0 &&
+        (col("dx") > 0.0) =!= (col("dy") > 0.0), 1L).otherwise(0L)).as("d"),
+      sum(when(col("dx") === 0.0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0.0, 1L).otherwise(0L)).as("ty"))
+    agg.select(col("n_pairs").cast("long").as("n_pairs"),
+      col("c").cast("long").as("concordant"),
+      col("d").cast("long").as("discordant"),
+      col("tx").cast("long").as("ties_x"), col("ty").cast("long").as("ties_y"),
+      (round((col("c") - col("d")).cast("double") /
+        sqrt((col("n_pairs") - col("tx")).cast("double") *
+          (col("n_pairs") - col("ty")).cast("double")) * 1000000.0)
+        / 1000000.0).as("tau_b"))
+  }
+
   /** One-way ANOVA of `valueCol` across the groups of `groupCol`: the
     * between/within variance decomposition, F statistic, and effect size
     * η² — "does this partition of the corpus explain the metric". Values

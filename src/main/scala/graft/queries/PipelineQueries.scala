@@ -7763,7 +7763,112 @@ object PipelineQueries {
            |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.3),
            |$arms
            |SELECT * FROM ($sel) ORDER BY threshold""".stripMargin
-      }))
+      }),
+
+    // ---- Poisson-bootstrap CI for the BUILDING-minus-MACHINERY mean
+    // order-value gap: both groups resampled jointly per replicate with
+    // the q266 deterministic draws — does the gap survive resampling.
+    Q("q307_bootstrap_diff",
+      (s, d) => graft.operators.Stats.poissonBootstrapMeanDiff(
+        t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+            col("o_orderkey") % 20 === 0),
+        col("o_orderkey"), col("o_totalprice"),
+        col("c_mktsegment") === "BUILDING"),
+      Some {
+        val cdf = graft.operators.Stats.PoissonCdf
+        val cases = cdf.zipWithIndex.map { case (c, i) =>
+          s"WHEN CAST(h AS DOUBLE) / 1152921504606846976.0 < $c THEN $i"
+        }.mkString("\n             ")
+        s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+           |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents,
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           |    AND o_orderkey % 20 = 0),
+           |pt AS (SELECT (CAST(sum(CASE WHEN g1 = 1 THEN cents ELSE 0 END)
+           |      AS DOUBLE) / CAST(sum(g1) AS DOUBLE)
+           |    - CAST(sum(CASE WHEN g1 = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           |      / CAST(count(*) - sum(g1) AS DOUBLE)) / 100.0 AS pd
+           |  FROM base),
+           |rep AS (SELECT bb.b, base.cents, base.g1,
+           |    CAST(('0x' || substr(md5(base.k || '@' || CAST(bb.b AS VARCHAR)),
+           |      1, 15)) AS BIGINT) AS h
+           |  FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) bb),
+           |wts AS (SELECT b, cents, g1, CASE
+           |    $cases
+           |    ELSE 5 END AS w FROM rep),
+           |g AS (SELECT b,
+           |    sum(CASE WHEN g1 = 1 THEN CAST(w * cents AS HUGEINT)
+           |      ELSE 0 END) AS ws1,
+           |    sum(CASE WHEN g1 = 1 THEN w ELSE 0 END) AS wc1,
+           |    sum(CASE WHEN g1 = 0 THEN CAST(w * cents AS HUGEINT)
+           |      ELSE 0 END) AS ws0,
+           |    sum(CASE WHEN g1 = 0 THEN w ELSE 0 END) AS wc0
+           |  FROM wts GROUP BY b),
+           |m AS (SELECT b, (CAST(ws1 AS DOUBLE) / CAST(wc1 AS DOUBLE)
+           |    - CAST(ws0 AS DOUBLE) / CAST(wc0 AS DOUBLE)) / 100.0 AS m
+           |  FROM g WHERE wc1 > 0 AND wc0 > 0),
+           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+           |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
+           |    max(CASE WHEN rk = 5 THEN m END) AS lo,
+           |    max(CASE WHEN rk = 96 THEN m END) AS hi FROM rk)
+           |SELECT n_boot, round(pd * 10000.0) / 10000.0 AS point_diff,
+           |  round(lo * 10000.0) / 10000.0 AS lo90,
+           |  round(hi * 10000.0) / 10000.0 AS hi90
+           |FROM ci, pt""".stripMargin
+      }),
+
+    // ---- Kendall tau-b between two source rankings (mean doc length
+    // vs corpus stopword rate): do the orderings agree, robust to any
+    // monotone transform. Metrics are exact-integer ratios, so the
+    // concordance counts are exact.
+    Q("q308_kendall_tau",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tk = split(col("text"), " ")
+        val stops = size(filter(tk, x =>
+          x.isin("the", "a", "of", "and", "to", "is")))
+        val g = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(size(tk).cast("long")).cast(dec).as("toks"),
+            sum(stops.cast("long")).cast(dec).as("stp"))
+          .select(col("source"),
+            (col("toks").cast("double") / col("n").cast("double"))
+              .as("mean_tokens"),
+            (col("stp").cast("double") / col("toks").cast("double"))
+              .as("stop_rate"))
+        graft.operators.Stats.kendallTauB(g, "source",
+          col("mean_tokens"), col("stop_rate"))
+      },
+      Some("""WITH g AS (SELECT source,
+             |    CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS toks,
+             |    CAST(sum(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','is')))) AS HUGEINT)
+             |      AS stp
+             |  FROM documents GROUP BY source),
+             |mt AS (SELECT source,
+             |    CAST(toks AS DOUBLE) / CAST(n AS DOUBLE) AS x,
+             |    CAST(stp AS DOUBLE) / CAST(toks AS DOUBLE) AS y FROM g),
+             |pr AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+             |  FROM mt a JOIN mt b ON a.source < b.source),
+             |agg AS (SELECT count(*) AS n_pairs,
+             |    sum(CASE WHEN dx <> 0.0 AND dy <> 0.0
+             |      AND (dx > 0.0) = (dy > 0.0) THEN 1 ELSE 0 END) AS c,
+             |    sum(CASE WHEN dx <> 0.0 AND dy <> 0.0
+             |      AND (dx > 0.0) <> (dy > 0.0) THEN 1 ELSE 0 END) AS d,
+             |    sum(CASE WHEN dx = 0.0 THEN 1 ELSE 0 END) AS tx,
+             |    sum(CASE WHEN dy = 0.0 THEN 1 ELSE 0 END) AS ty FROM pr)
+             |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+             |  CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y,
+             |  round(CAST(c - d AS DOUBLE)
+             |    / sqrt(CAST(n_pairs - tx AS DOUBLE)
+             |      * CAST(n_pairs - ty AS DOUBLE)) * 1000000.0) / 1000000.0
+             |    AS tau_b
+             |FROM agg""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

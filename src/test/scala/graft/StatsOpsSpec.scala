@@ -811,6 +811,29 @@ class StatsOpsSpec extends GraftSpec {
       "strict alternation: every transition is certain")
   }
 
+  test("kendallTauB: identical rankings give +1, reversed give -1") {
+    val up = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0), ("c", 3.0, 30.0))
+      .toDF("g", "x", "y")
+    val r1 = graft.operators.Stats.kendallTauB(up, "g", col("x"), col("y"))
+      .collect().head
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    val down = Seq(("a", 1.0, 30.0), ("b", 2.0, 20.0), ("c", 3.0, 10.0))
+      .toDF("g", "x", "y")
+    val r2 = graft.operators.Stats.kendallTauB(down, "g", col("x"), col("y"))
+      .collect().head
+    assert(r2.getAs[Double]("tau_b") == -1.0)
+    assert(r2.getAs[Long]("discordant") == 3L)
+  }
+
+  test("poissonBootstrapMeanDiff: constant per-group data collapses onto the gap") {
+    val df = ((1 to 100).map(i => (i.toLong, 10.0, true)) ++
+      (1 to 100).map(i => (1000L + i, 4.0, false))).toDF("k", "v", "g")
+    val r = graft.operators.Stats.poissonBootstrapMeanDiff(df, col("k"),
+      col("v"), col("g")).collect().head
+    assert(r.getAs[Double]("point_diff") == 6.0)
+    assert(r.getAs[Double]("lo90") == 6.0 && r.getAs[Double]("hi90") == 6.0)
+  }
+
   test("poissonBootstrapMean: constant data collapses the interval onto the mean") {
     val df = (1 to 200).map(i => (i.toLong, 42.0)).toDF("k", "v")
     val r = graft.operators.Stats.poissonBootstrapMean(df, col("k"), col("v"))
