@@ -438,6 +438,37 @@ object Stats {
         / 1000000.0).as("tau_b"))
   }
 
+  /** Spearman rank correlation between two metrics over the same
+    * groups, tie-averaged ranks kept EXACT as doubled integers
+    * (2·rank + ties − 1), Pearson composed from exact decimal rank
+    * sums — [[kendallTauB]]'s magnitude-aware sibling.
+    *
+    * SCALE: the rank windows run on the group-sized metric table
+    * (model-sized, documented); everything else is one fold. */
+  def spearmanRho(groups: DataFrame, gCol: String, m1: Column,
+      m2: Column): DataFrame = {
+    val g = groups.select(col(gCol).as("g"), m1.as("x"), m2.as("y"))
+    def dranks(c: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      val byV = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
+      (rank().over(w) * 2 + count(lit(1)).over(byV) - 1).cast("long")
+    }
+    val ranked = g.select(col("g"), dranks("x").as("rx"),
+      dranks("y").as("ry"))
+    val m = ranked.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("rx")).cast(dec).as("sx"), sum(col("ry")).cast(dec).as("sy"),
+      sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),
+      sum(col("ry").cast(dec) * col("ry").cast(dec)).as("syy"),
+      sum(col("rx").cast(dec) * col("ry").cast(dec)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("n").cast("long").as("n_groups"),
+      when(vx > 0.0 && vy > 0.0,
+        round(num / sqrt(vx * vy) * 1000000.0) / 1000000.0)
+        .as("spearman_rho"))
+  }
+
   /** One-way ANOVA of `valueCol` across the groups of `groupCol`: the
     * between/within variance decomposition, F statistic, and effect size
     * η² — "does this partition of the corpus explain the metric". Values

@@ -7868,7 +7868,97 @@ object PipelineQueries {
              |    / sqrt(CAST(n_pairs - tx AS DOUBLE)
              |      * CAST(n_pairs - ty AS DOUBLE)) * 1000000.0) / 1000000.0
              |    AS tau_b
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ---- Spearman rho over the same two source metrics as q308:
+    // tie-averaged ranks as exact doubled integers, Pearson of ranks
+    // from exact decimal sums.
+    Q("q309_spearman_rho",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tk = split(col("text"), " ")
+        val stops = size(filter(tk, x =>
+          x.isin("the", "a", "of", "and", "to", "is")))
+        val g = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(size(tk).cast("long")).cast(dec).as("toks"),
+            sum(stops.cast("long")).cast(dec).as("stp"))
+          .select(col("source"),
+            (col("toks").cast("double") / col("n").cast("double"))
+              .as("mean_tokens"),
+            (col("stp").cast("double") / col("toks").cast("double"))
+              .as("stop_rate"))
+        graft.operators.Stats.spearmanRho(g, "source",
+          col("mean_tokens"), col("stop_rate"))
+      },
+      Some("""WITH g AS (SELECT source,
+             |    CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS toks,
+             |    CAST(sum(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','is')))) AS HUGEINT)
+             |      AS stp
+             |  FROM documents GROUP BY source),
+             |mt AS (SELECT source,
+             |    CAST(toks AS DOUBLE) / CAST(n AS DOUBLE) AS x,
+             |    CAST(stp AS DOUBLE) / CAST(toks AS DOUBLE) AS y FROM g),
+             |rk AS (SELECT source,
+             |    CAST(rank() OVER (ORDER BY x) * 2
+             |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             |    CAST(rank() OVER (ORDER BY y) * 2
+             |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+             |  FROM mt),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+             |    sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+             |    sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+             |    sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy FROM rk)
+             |SELECT CAST(n AS BIGINT) AS n_groups,
+             |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+             |      AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+             |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+             |      / 1000000.0 END AS spearman_rho
+             |FROM m""".stripMargin)),
+
+    // ---- inverse-propensity off-policy evaluation: what would mean
+    // event value be under a target policy (uniform over view/click)
+    // given logs from the empirical behavior policy — IPS, the
+    // self-normalized SNIPS, and the effective sample size that says
+    // whether to trust them.
+    Q("q310_ips_offline_eval",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("a"), col("value").as("r"))
+          .localCheckpoint() // feeds propensities + the weighted pass
+        val mu = ev.groupBy("a").agg(count(lit(1)).as("na"))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        val piT = when(col("a").isin("view", "click"), 0.5).otherwise(0.0)
+        val wcol = piT / (col("na").cast("double") / col("n").cast("double"))
+        val weighted = ev.join(broadcast(mu), Seq("a"))
+          .join(broadcast(tot))
+          .select(wcol.as("w"), col("r"))
+        weighted.agg(count(lit(1)).cast("long").as("n"),
+          (round(sum(col("w") * col("r")) /
+            count(lit(1)).cast("double") * 10000.0) / 10000.0).as("ips"),
+          (round(sum(col("w") * col("r")) / sum(col("w")) * 10000.0)
+            / 10000.0).as("snips"),
+          (round(sum(col("w")) * sum(col("w")) /
+            sum(col("w") * col("w")) * 100.0) / 100.0).as("ess"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS a, value AS r FROM events),
+             |mu AS (SELECT a, count(*) AS na FROM ev GROUP BY a),
+             |tt AS (SELECT count(*) AS n FROM ev),
+             |wr AS (SELECT (CASE WHEN ev.a IN ('view', 'click') THEN 0.5
+             |      ELSE 0.0 END
+             |      / (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))) AS w, r
+             |  FROM ev JOIN mu ON mu.a = ev.a CROSS JOIN tt)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(w * r) / CAST(count(*) AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS ips,
+             |  round(sum(w * r) / sum(w) * 10000.0) / 10000.0 AS snips,
+             |  round(sum(w) * sum(w) / sum(w * w) * 100.0) / 100.0 AS ess
+             |FROM wr""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

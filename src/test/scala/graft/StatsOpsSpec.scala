@@ -811,6 +811,20 @@ class StatsOpsSpec extends GraftSpec {
       "strict alternation: every transition is certain")
   }
 
+  test("spearmanRho: monotone nonlinear relation scores +1; reversal -1") {
+    val up = Seq(("a", 1.0, 1.0), ("b", 2.0, 100.0), ("c", 3.0, 101.0),
+      ("d", 4.0, 1000.0)).toDF("g", "x", "y")
+    val r1 = graft.operators.Stats.spearmanRho(up, "g", col("x"), col("y"))
+      .collect().head
+    assert(r1.getAs[Double]("spearman_rho") == 1.0,
+      "rank correlation ignores the nonlinearity")
+    val down = Seq(("a", 1.0, 4.0), ("b", 2.0, 3.0), ("c", 3.0, 2.0),
+      ("d", 4.0, 1.0)).toDF("g", "x", "y")
+    val r2 = graft.operators.Stats.spearmanRho(down, "g", col("x"), col("y"))
+      .collect().head
+    assert(r2.getAs[Double]("spearman_rho") == -1.0)
+  }
+
   test("kendallTauB: identical rankings give +1, reversed give -1") {
     val up = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0), ("c", 3.0, 30.0))
       .toDF("g", "x", "y")
