@@ -7958,7 +7958,142 @@ object PipelineQueries {
              |    / 10000.0 AS ips,
              |  round(sum(w * r) / sum(w) * 10000.0) / 10000.0 AS snips,
              |  round(sum(w) * sum(w) / sum(w * w) * 100.0) / 100.0 AS ess
-             |FROM wr""".stripMargin)))
+             |FROM wr""".stripMargin)),
+
+    // ---- quantile treatment effects: the BUILDING-minus-MACHINERY
+    // order-value gap at every decile — where in the distribution the
+    // difference lives (means hide tail effects; q307 brackets only the
+    // mean gap).
+    Q("q311_quantile_effects",
+      (s, d) => {
+        val o = t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+        val aggs = (1 to 9).flatMap { i =>
+          Seq((round(expr(s"percentile(CASE WHEN g = 'BUILDING' THEN v END, 0.$i)")
+            * 10000.0) / 10000.0).as(s"qb$i"),
+            (round(expr(s"percentile(CASE WHEN g = 'MACHINERY' THEN v END, 0.$i)")
+              * 10000.0) / 10000.0).as(s"qm$i"))
+        }
+        val w = o.agg(aggs.head, aggs.tail: _*)
+        val rows = (1 to 9).map(i => struct(lit(i.toLong).as("decile"),
+          col(s"qb$i").as("q_building"), col(s"qm$i").as("q_machinery"),
+          (round((col(s"qb$i") - col(s"qm$i")) * 10000.0) / 10000.0)
+            .as("qte")))
+        w.select(explode(array(rows: _*)).as("e"))
+          .select(col("e.decile").as("decile"),
+            col("e.q_building").as("q_building"),
+            col("e.q_machinery").as("q_machinery"), col("e.qte").as("qte"))
+          .orderBy("decile")
+      },
+      Some {
+        val arms = (1 to 9).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS decile,
+             |  round(quantile_cont(CASE WHEN g = 'BUILDING' THEN v END, 0.$i)
+             |    * 10000.0) / 10000.0 AS q_building,
+             |  round(quantile_cont(CASE WHEN g = 'MACHINERY' THEN v END, 0.$i)
+             |    * 10000.0) / 10000.0 AS q_machinery,
+             |  round((round(quantile_cont(CASE WHEN g = 'BUILDING' THEN v END, 0.$i)
+             |      * 10000.0) / 10000.0
+             |    - round(quantile_cont(CASE WHEN g = 'MACHINERY' THEN v END, 0.$i)
+             |      * 10000.0) / 10000.0) * 10000.0) / 10000.0 AS qte
+             |FROM o""".stripMargin).mkString("\nUNION ALL ")
+        s"""WITH o AS (SELECT c_mktsegment AS g, o_totalprice AS v
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+           |SELECT * FROM (
+           |$arms) ORDER BY decile""".stripMargin
+      }),
+
+    // ---- multiple OLS via normal equations: order value ~ item count
+    // + total quantity, solved by Cramer's rule over ONE row of exact
+    // decimal sufficient sums (3x3 — model-sized, no iteration), with
+    // R². The q198 single-covariate fit, one covariate up.
+    Q("q312_multiple_ols",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rows = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("okey"))
+          .agg(count(lit(1)).cast("long").as("x1"),
+            sum(col("l_quantity").cast("long")).as("x2"))
+          .join(t(s, d, "orders").select(col("o_orderkey").as("okey"),
+            round(col("o_totalprice").cast("double") * 100.0).cast("long")
+              .as("y")), Seq("okey"))
+        val m = rows.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x1")).cast(dec).as("s1"), sum(col("x2")).cast(dec).as("s2"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("x1").cast(dec) * col("x1").cast(dec)).as("s11"),
+          sum(col("x1").cast(dec) * col("x2").cast(dec)).as("s12"),
+          sum(col("x2").cast(dec) * col("x2").cast(dec)).as("s22"),
+          sum(col("x1").cast(dec) * col("y").cast(dec)).as("s1y"),
+          sum(col("x2").cast(dec) * col("y").cast(dec)).as("s2y"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+        def dd(c: String) = col(c).cast("double")
+        val (n, s1, s2, sy) = (dd("n"), dd("s1"), dd("s2"), dd("sy"))
+        val (s11, s12, s22) = (dd("s11"), dd("s12"), dd("s22"))
+        val (s1y, s2y, syy) = (dd("s1y"), dd("s2y"), dd("syy"))
+        val det = n * (s11 * s22 - s12 * s12) -
+          s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        val d0 = sy * (s11 * s22 - s12 * s12) -
+          s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+        val d1 = n * (s1y * s22 - s12 * s2y) -
+          sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+        val d2 = n * (s11 * s2y - s1y * s12) -
+          s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+        val b0 = d0 / det
+        val b1 = d1 / det
+        val b2 = d2 / det
+        val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+        val sst = syy - sy * sy / n
+        m.select(col("n").cast("long").as("n_orders"),
+          (round(b0 / 100.0 * 10000.0) / 10000.0).as("intercept"),
+          (round(b1 / 100.0 * 10000.0) / 10000.0).as("beta_items"),
+          (round(b2 / 100.0 * 10000.0) / 10000.0).as("beta_qty"),
+          (round((lit(1.0) - sse / sst) * 1000000.0) / 1000000.0).as("r2"))
+      },
+      Some("""WITH rows0 AS (SELECT l.okey, l.x1, l.x2, o.y FROM (
+             |    SELECT l_orderkey AS okey, CAST(count(*) AS BIGINT) AS x1,
+             |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+             |    FROM lineitem GROUP BY 1) l
+             |  JOIN (SELECT o_orderkey AS okey,
+             |      CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+             |        AS y FROM orders) o ON o.okey = l.okey),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+             |    sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+             |    sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+             |    sum(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+             |    sum(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy FROM rows0),
+             |dd AS (SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+             |    CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+             |    CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+             |    CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+             |    CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy FROM m),
+             |sol AS (SELECT n, sy, s1y, s2y, syy,
+             |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+             |      + s2 * (s1y * s12 - s11 * s2y))
+             |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s12 - s11 * s2)) AS b0,
+             |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s2y - s1y * s2))
+             |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s12 - s11 * s2)) AS b1,
+             |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+             |      + sy * (s1 * s12 - s11 * s2))
+             |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s12 - s11 * s2)) AS b2
+             |  FROM dd)
+             |SELECT CAST(n AS BIGINT) AS n_orders,
+             |  round(b0 / 100.0 * 10000.0) / 10000.0 AS intercept,
+             |  round(b1 / 100.0 * 10000.0) / 10000.0 AS beta_items,
+             |  round(b2 / 100.0 * 10000.0) / 10000.0 AS beta_qty,
+             |  round((1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+             |    / (syy - sy * sy / n)) * 1000000.0) / 1000000.0 AS r2
+             |FROM sol""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
