@@ -8093,7 +8093,126 @@ object PipelineQueries {
              |  round(b2 / 100.0 * 10000.0) / 10000.0 AS beta_qty,
              |  round((1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
              |    / (syy - sy * sy / n)) * 1000000.0) / 1000000.0 AS r2
-             |FROM sol""".stripMargin)))
+             |FROM sol""".stripMargin)),
+
+    // ---- Lorenz curve decile points for order value: cumulative value
+    // share at-or-below each 4-dp-rounded decile boundary (the q295
+    // comparison contract) — the curve behind q207's Gini scalar.
+    Q("q313_lorenz_curve",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = t(s, d, "orders").select(
+          round(col("o_totalprice").cast("double") * 100.0).cast("long")
+            .as("c"))
+        val qAggs = (1 to 9).map(i =>
+          (round(expr(s"percentile(c, 0.$i)") * 10000.0) / 10000.0)
+            .as(s"q$i"))
+        val bounds = o.agg(qAggs.head, qAggs.tail: _*)
+        val j = o.join(broadcast(bounds))
+        val aggs = (1 to 9).flatMap { i =>
+          Seq(sum(when(col("c").cast("double") <= col(s"q$i"), col("c"))
+            .otherwise(0L).cast(dec)).as(s"s$i"),
+            sum(when(col("c").cast("double") <= col(s"q$i"), 1L)
+              .otherwise(0L)).cast(dec).as(s"n$i"))
+        } ++ Seq(sum(col("c").cast(dec)).as("st"),
+          count(lit(1)).cast(dec).as("nt"))
+        val g = j.agg(aggs.head, aggs.tail: _*)
+        val rows = (1 to 9).map(i => struct(lit(i.toLong).as("decile"),
+          (round(col(s"n$i").cast("double") / col("nt").cast("double")
+            * 1000000.0) / 1000000.0).as("pop_share"),
+          (round(col(s"s$i").cast("double") / col("st").cast("double")
+            * 1000000.0) / 1000000.0).as("value_share")))
+        g.select(explode(array(rows: _*)).as("e"))
+          .select(col("e.decile").as("decile"),
+            col("e.pop_share").as("pop_share"),
+            col("e.value_share").as("value_share"))
+          .orderBy("decile")
+      },
+      Some {
+        val qs = (1 to 9).map(i =>
+          s"round(quantile_cont(c, 0.$i) * 10000.0) / 10000.0 AS q$i")
+          .mkString(",\n    ")
+        val sums = (1 to 9).map(i =>
+          s"""sum(CASE WHEN CAST(c AS DOUBLE) <= q$i THEN CAST(c AS HUGEINT)
+             |      ELSE 0 END) AS s$i,
+             |    CAST(sum(CASE WHEN CAST(c AS DOUBLE) <= q$i THEN 1 ELSE 0 END)
+             |      AS HUGEINT) AS n$i""".stripMargin).mkString(",\n    ")
+        val arms = (1 to 9).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS decile,
+             |  round(CAST(n$i AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS pop_share,
+             |  round(CAST(s$i AS DOUBLE) / CAST(st AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS value_share FROM g""".stripMargin)
+          .mkString("\nUNION ALL ")
+        s"""WITH o AS (SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+           |    AS BIGINT) AS c FROM orders),
+           |bd AS (SELECT
+           |    $qs
+           |  FROM o),
+           |g AS (SELECT
+           |    $sums,
+           |    sum(CAST(c AS HUGEINT)) AS st, CAST(count(*) AS HUGEINT) AS nt
+           |  FROM o CROSS JOIN bd)
+           |SELECT * FROM (
+           |$arms) ORDER BY decile""".stripMargin
+      }),
+
+    // ---- mutual information of (segment, priority) in nats, from the
+    // q288 contingency counts — how many bits the one label carries
+    // about the other, with the normalized (symmetric-uncertainty)
+    // variant.
+    Q("q314_mutual_information",
+      (s, d) => {
+        val cells = t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("r"), col("o_orderpriority").as("c"))
+          .agg(count(lit(1)).as("o")).localCheckpoint()
+        val rm = cells.groupBy("r").agg(sum("o").as("ri"))
+        val cm = cells.groupBy("c").agg(sum("o").as("cj"))
+        val tot = cells.agg(sum("o").as("n"))
+        val nD = col("n").cast("double")
+        val term = (col("o").cast("double") / nD) *
+          log((col("o").cast("double") * nD) /
+            (col("ri").cast("double") * col("cj").cast("double")))
+        val mi = cells.join(rm, Seq("r")).join(broadcast(cm), Seq("c"))
+          .join(broadcast(tot))
+          .agg(sum(term).as("mi"))
+        val hr = rm.join(broadcast(tot))
+          .agg(sum(-(col("ri").cast("double") / nD) *
+            log(col("ri").cast("double") / nD)).as("hx"))
+        val hc = cm.join(broadcast(tot))
+          .agg(sum(-(col("cj").cast("double") / nD) *
+            log(col("cj").cast("double") / nD)).as("hy"))
+        mi.join(hr).join(hc)
+          .select((round(col("mi") * 1000000.0) / 1000000.0).as("mi_nats"),
+            (round(col("hx") * 1000000.0) / 1000000.0).as("h_segment"),
+            (round(col("hy") * 1000000.0) / 1000000.0).as("h_priority"),
+            (round(lit(2.0) * col("mi") / (col("hx") + col("hy"))
+              * 1000000.0) / 1000000.0).as("symmetric_uncertainty"))
+      },
+      Some("""WITH cells AS (SELECT c_mktsegment AS r, o_orderpriority AS c,
+             |    count(*) AS o
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |rm AS (SELECT r, sum(o) AS ri FROM cells GROUP BY r),
+             |cm AS (SELECT c, sum(o) AS cj FROM cells GROUP BY c),
+             |tt AS (SELECT sum(o) AS n FROM cells),
+             |mi AS (SELECT sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+             |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))) AS mi
+             |  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tt),
+             |hr AS (SELECT sum(-(CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * ln(CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))) AS hx
+             |  FROM rm CROSS JOIN tt),
+             |hc AS (SELECT sum(-(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * ln(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))) AS hy
+             |  FROM cm CROSS JOIN tt)
+             |SELECT round(mi * 1000000.0) / 1000000.0 AS mi_nats,
+             |  round(hx * 1000000.0) / 1000000.0 AS h_segment,
+             |  round(hy * 1000000.0) / 1000000.0 AS h_priority,
+             |  round(2.0 * mi / (hx + hy) * 1000000.0) / 1000000.0
+             |    AS symmetric_uncertainty
+             |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
