@@ -8212,7 +8212,168 @@ object PipelineQueries {
              |  round(hy * 1000000.0) / 1000000.0 AS h_priority,
              |  round(2.0 * mi / (hx + hy) * 1000000.0) / 1000000.0
              |    AS symmetric_uncertainty
-             |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin)))
+             |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin)),
+
+    // ---- Hurst exponent by rescaled-range analysis over the dense
+    // daily series (block sizes 8/16/32, full blocks only): H ~ 0.5 is
+    // memoryless, H > 0.5 long-range dependent — does today's volume
+    // remember last week. Block stats from exact integer sums; H is
+    // the 3-point log-log OLS slope.
+    Q("q315_hurst_rs",
+      (s, d) => {
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+          .localCheckpoint() // three block-size passes
+        val mn = dense.agg(min("day").as("mn"))
+        val idx = dense.join(broadcast(mn))
+          .select((col("day") - col("mn")).as("i"), col("c"))
+        val perW = Seq(8, 16, 32).map { w =>
+          val blk = idx.select(expr(s"i div $w").as("b"), col("i"), col("c"))
+          val bw = org.apache.spark.sql.expressions.Window
+            .partitionBy("b").orderBy("i")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)
+          val full = blk.withColumn("nb",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("b")))
+            .where(col("nb") === w)
+          val withZ = full
+            .withColumn("cum", sum(col("c")).over(bw))
+            .withColumn("j", count(lit(1)).over(bw))
+            .withColumn("bs", sum(col("c")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("b")))
+          val stats = withZ.groupBy("b")
+            .agg(sum("c").as("sx"),
+              sum(col("c") * col("c")).as("sxx"),
+              max(col("cum").cast("double") - col("j").cast("double") *
+                col("bs").cast("double") / w).as("zmax"),
+              min(col("cum").cast("double") - col("j").cast("double") *
+                col("bs").cast("double") / w).as("zmin"))
+          val sVar = (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / w) / w
+          stats.where(sVar > 0.0)
+            .select(((col("zmax") - col("zmin")) / sqrt(sVar)).as("rs"))
+            .agg(count(lit(1)).cast("long").as("n_blocks"),
+              avg("rs").as("mean_rs"))
+            .select(lit(w.toLong).as("w"), col("n_blocks"), col("mean_rs"))
+        }.reduce(_ unionByName _)
+        val pts = perW.select(col("w"), col("n_blocks"),
+          log(col("w").cast("double")).as("lx"),
+          log(col("mean_rs")).as("ly"), col("mean_rs"))
+        val h = pts.agg(count(lit(1)).cast("double").as("k"),
+          sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"),
+          sum(col("lx") * col("ly")).as("sxy"))
+          .select(((col("sxy") - col("sx") * col("sy") / col("k")) /
+            (col("sxx") - col("sx") * col("sx") / col("k"))).as("h"))
+        pts.select(col("w"), col("n_blocks"),
+          (round(col("mean_rs") * 10000.0) / 10000.0).as("mean_rs"))
+          .join(broadcast(h))
+          .select(col("w"), col("n_blocks"), col("mean_rs"),
+            (round(col("h") * 1000000.0) / 1000000.0).as("hurst"))
+          .orderBy("w")
+      },
+      Some {
+        val arms = Seq(8, 16, 32).map { w =>
+          s"""bl$w AS (SELECT i // $w AS b, i, c,
+             |    count(*) OVER (PARTITION BY (i // $w)) AS nb
+             |  FROM ix),
+             |fz$w AS (SELECT b, i, c,
+             |    sum(c) OVER (PARTITION BY b ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    CAST(count(*) OVER (PARTITION BY b ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS j,
+             |    sum(c) OVER (PARTITION BY b) AS bs
+             |  FROM bl$w WHERE nb = $w),
+             |st$w AS (SELECT b, sum(c) AS sx, sum(c * c) AS sxx,
+             |    max(CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
+             |      * CAST(bs AS DOUBLE) / $w) AS zmax,
+             |    min(CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
+             |      * CAST(bs AS DOUBLE) / $w) AS zmin
+             |  FROM fz$w GROUP BY b),
+             |rs$w AS (SELECT CAST($w AS BIGINT) AS w,
+             |    CAST(count(*) AS BIGINT) AS n_blocks,
+             |    avg((zmax - zmin) / sqrt((CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $w) / $w))
+             |      AS mean_rs
+             |  FROM st$w
+             |  WHERE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |    * CAST(sx AS DOUBLE) / $w) / $w > 0.0)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+           |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+           |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+           |  LEFT JOIN c USING (day)),
+           |ix AS (SELECT day - (SELECT mn FROM b) AS i, c FROM dn),
+           |$arms,
+           |pts AS (SELECT w, n_blocks, ln(CAST(w AS DOUBLE)) AS lx,
+           |    ln(mean_rs) AS ly, mean_rs
+           |  FROM (SELECT * FROM rs8 UNION ALL SELECT * FROM rs16
+           |    UNION ALL SELECT * FROM rs32)),
+           |hh AS (SELECT (sum(lx * ly) - sum(lx) * sum(ly)
+           |      / CAST(count(*) AS DOUBLE))
+           |    / (sum(lx * lx) - sum(lx) * sum(lx)
+           |      / CAST(count(*) AS DOUBLE)) AS h FROM pts)
+           |SELECT w, n_blocks, round(mean_rs * 10000.0) / 10000.0 AS mean_rs,
+           |  round(h * 1000000.0) / 1000000.0 AS hurst
+           |FROM pts CROSS JOIN hh ORDER BY w""".stripMargin
+      }),
+
+    // ---- Ljung-Box whiteness test on the q203 daily ACF (lags 1-7):
+    // Q = n(n+2) sum rho_k^2/(n-k) against the literal chi-square 5%
+    // critical value — is the daily series distinguishable from noise.
+    Q("q316_ljung_box",
+      (s, d) => {
+        val acf = graft.operators.EventOps
+          .dailyAcf(Tables.events(s, d), 7)
+          .select(col("lag"), col("n_pairs"), col("acf"))
+        val n = acf.where(col("lag") === 1)
+          .select((col("n_pairs") + 1).cast("double").as("n"))
+        val terms = acf.join(broadcast(n))
+          .select(col("n"),
+            (col("acf") * col("acf") /
+              (col("n") - col("lag").cast("double"))).as("t"))
+        terms.groupBy("n")
+          .agg(sum("t").as("st"), count(lit(1)).cast("long").as("df"))
+          .select(col("n").cast("long").as("n_days"), col("df"),
+            (round(col("n") * (col("n") + 2.0) * col("st") * 1000000.0)
+              / 1000000.0).as("q_stat"),
+            (col("n") * (col("n") + 2.0) * col("st") >
+              14.067140449340169).as("reject_whiteness"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |d AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |l AS (SELECT lg.lag, a.c AS ca, bb.c AS cb
+             |  FROM d a CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) lg
+             |  JOIN d bb ON bb.day = a.day + lg.lag),
+             |g AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(ca AS HUGEINT)) AS sx, sum(CAST(cb AS HUGEINT)) AS sy,
+             |    sum(CAST(ca AS HUGEINT) * CAST(ca AS HUGEINT)) AS sxx,
+             |    sum(CAST(cb AS HUGEINT) * CAST(cb AS HUGEINT)) AS syy,
+             |    sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS sxy
+             |  FROM l GROUP BY lag),
+             |ac AS (SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+             |      / 1000000.0 AS acf
+             |  FROM g),
+             |nn AS (SELECT CAST(n_pairs + 1 AS DOUBLE) AS n FROM ac WHERE lag = 1),
+             |tm AS (SELECT nn.n, acf * acf / (nn.n - CAST(lag AS DOUBLE)) AS t
+             |  FROM ac CROSS JOIN nn)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(count(*) AS BIGINT) AS df,
+             |  round(n * (n + 2.0) * sum(t) * 1000000.0) / 1000000.0 AS q_stat,
+             |  n * (n + 2.0) * sum(t) > 14.067140449340169
+             |    AS reject_whiteness
+             |FROM tm GROUP BY n""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
