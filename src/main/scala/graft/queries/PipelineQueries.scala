@@ -8373,7 +8373,135 @@ object PipelineQueries {
              |  round(n * (n + 2.0) * sum(t) * 1000000.0) / 1000000.0 AS q_stat,
              |  n * (n + 2.0) * sum(t) > 14.067140449340169
              |    AS reject_whiteness
-             |FROM tm GROUP BY n""".stripMargin)))
+             |FROM tm GROUP BY n""".stripMargin)),
+
+    // ---- Gumbel extreme-value fit of weekly-maximum daily volume
+    // (method of moments; Euler-gamma and pi as shared literals) with
+    // the 52-week return level — "how bad can a peak day get", the
+    // capacity-planning number. Block maxima are exact integers.
+    Q("q317_gumbel_maxima",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val mn = dense.agg(min("day").as("mn"))
+        val wk = dense.join(broadcast(mn))
+          .select(expr("(day - mn) div 7").as("wk"), col("c"))
+          .groupBy("wk")
+          .agg(count(lit(1)).as("nd"), max("c").as("m"))
+          .where(col("nd") === 7)
+        val g = wk.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("m")).cast(dec).as("s"),
+          sum(col("m").cast(dec) * col("m").cast(dec)).as("ss"))
+        val nD = col("n").cast("double")
+        val mean = col("s").cast("double") / nD
+        val v = (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / nD) / nD
+        val beta = sqrt(lit(6.0) * v) / lit(3.141592653589793)
+        val mu = mean - lit(0.5772156649015329) * beta
+        val ret52 = mu - beta * log(-log(lit(1.0) - lit(1.0) / 52.0))
+        g.select(col("n").cast("long").as("n_weeks"),
+          (round(mean * 10000.0) / 10000.0).as("mean_weekly_max"),
+          (round(mu * 10000.0) / 10000.0).as("gumbel_mu"),
+          (round(beta * 10000.0) / 10000.0).as("gumbel_beta"),
+          (round(ret52 * 10000.0) / 10000.0).as("return_level_52w"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |wk AS (SELECT (day - (SELECT mn FROM b)) // 7 AS wk,
+             |    count(*) AS nd, max(c) AS m
+             |  FROM dn GROUP BY 1),
+             |fw AS (SELECT m FROM wk WHERE nd = 7),
+             |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(m) AS HUGEINT) AS s,
+             |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS ss FROM fw)
+             |SELECT CAST(n AS BIGINT) AS n_weeks,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS mean_weekly_max,
+             |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - 0.5772156649015329 * (sqrt(6.0 * ((CAST(ss AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n AS DOUBLE))) / 3.141592653589793)) * 10000.0)
+             |    / 10000.0 AS gumbel_mu,
+             |  round((sqrt(6.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+             |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n AS DOUBLE))) / 3.141592653589793) * 10000.0)
+             |    / 10000.0 AS gumbel_beta,
+             |  round(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - 0.5772156649015329 * (sqrt(6.0 * ((CAST(ss AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n AS DOUBLE))) / 3.141592653589793))
+             |    - (sqrt(6.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+             |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n AS DOUBLE))) / 3.141592653589793)
+             |    * ln(-ln(1.0 - 1.0 / 52.0))) * 10000.0) / 10000.0
+             |    AS return_level_52w
+             |FROM g""".stripMargin)),
+
+    // ---- Taylor's power law across customer segments: does variance
+    // scale as a power of the mean (var = a·mean^b)? ln-ln OLS over the
+    // segment moment table (exact cent sufficient sums per group).
+    Q("q318_taylor_law",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("g"),
+            round(col("o_totalprice").cast("double") * 100.0).cast("long")
+              .as("c"))
+          .groupBy("g")
+          .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+            sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        val nD = col("n").cast("double")
+        val mean = col("s").cast("double") / nD / 100.0
+        val v = (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / nD) / nD / 10000.0
+        val pts = g.select(log(mean).as("lx"), log(v).as("ly"))
+        pts.agg(count(lit(1)).cast("double").as("k"),
+          sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"),
+          sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("ly") * col("ly")).as("syy"))
+          .select(col("k").cast("long").as("n_groups"),
+            (round((col("sxy") - col("sx") * col("sy") / col("k")) /
+              (col("sxx") - col("sx") * col("sx") / col("k"))
+              * 1000000.0) / 1000000.0).as("taylor_b"),
+            (round((col("sy") - (col("sxy") - col("sx") * col("sy") /
+              col("k")) / (col("sxx") - col("sx") * col("sx") / col("k")) *
+              col("sx")) / col("k") * 1000000.0) / 1000000.0)
+              .as("taylor_ln_a"))
+      },
+      Some("""WITH g AS (SELECT c_mktsegment AS g,
+             |    CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+             |  FROM (SELECT c_mktsegment,
+             |      CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+             |        AS c
+             |    FROM orders JOIN customer ON o_custkey = c_custkey)
+             |  GROUP BY 1),
+             |pts AS (SELECT
+             |    ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) AS lx,
+             |    ln((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 10000.0) AS ly
+             |  FROM g)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |  round((sum(lx * ly) - sum(lx) * sum(ly)
+             |      / CAST(count(*) AS DOUBLE))
+             |    / (sum(lx * lx) - sum(lx) * sum(lx)
+             |      / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0
+             |    AS taylor_b,
+             |  round((sum(ly) - (sum(lx * ly) - sum(lx) * sum(ly)
+             |      / CAST(count(*) AS DOUBLE))
+             |    / (sum(lx * lx) - sum(lx) * sum(lx)
+             |      / CAST(count(*) AS DOUBLE)) * sum(lx))
+             |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+             |    AS taylor_ln_a
+             |FROM pts""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
