@@ -87,7 +87,7 @@ object Stats {
     * verbatim, so both engines produce identical p doubles (|error|
     * < 7.5e-8, far above the 1e-6 display rounding). `az` must be the
     * absolute z. */
-  private[operators] def normTwoSidedP(az: Column): Column = {
+  private[graft] def normTwoSidedP(az: Column): Column = {
     val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
     val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
       t * (lit(1.781477937) + t * (lit(-1.821255978) +

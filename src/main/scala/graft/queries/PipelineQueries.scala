@@ -8501,7 +8501,108 @@ object PipelineQueries {
              |      / CAST(count(*) AS DOUBLE)) * sum(lx))
              |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
              |    AS taylor_ln_a
-             |FROM pts""".stripMargin)))
+             |FROM pts""".stripMargin)),
+
+    // ---- Mann-Kendall trend test on the dense daily series: S = sum
+    // of pairwise signs, tie-corrected variance, continuity-corrected z
+    // — the significance companion to q237's Theil-Sen slope, exact
+    // integers until the one-row z chain. Day-domain pair join.
+    Q("q319_mann_kendall",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val pairs = dense.as("a")
+          .join(dense.as("b"), col("a.day") < col("b.day"))
+          .select(signum(col("b.c") - col("a.c")).cast("long").as("sg"))
+        val sAgg = pairs.agg(sum(col("sg")).cast(dec).as("s"))
+        val ties = dense.groupBy("c").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t").cast(dec) * (col("t").cast(dec) - 1) *
+            (lit(2).cast(dec) * col("t").cast(dec) + 5)).as("tc"))
+        val nAgg = dense.agg(count(lit(1)).cast(dec).as("n"))
+        val j = sAgg.join(ties).join(nAgg)
+        val nD = col("n").cast("double")
+        val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+          col("tc").cast("double")) / 18.0
+        val sD = col("s").cast("double")
+        val z = when(col("s") > 0, (sD - 1.0) / sqrt(varS))
+          .when(col("s") < 0, (sD + 1.0) / sqrt(varS))
+          .otherwise(0.0)
+        j.select(col("n").cast("long").as("n_days"),
+          col("s").cast("long").as("mk_s"),
+          (round(varS * 100.0) / 100.0).as("var_s"),
+          (round(z * 1000000.0) / 1000000.0).as("z"),
+          (round(graft.operators.Stats.normTwoSidedP(abs(z)) * 1000000.0)
+            / 1000000.0).as("p"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |pr AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+             |    WHEN b.c < a.c THEN -1 ELSE 0 END) AS HUGEINT) AS s
+             |  FROM dn a JOIN dn b ON a.day < b.day),
+             |ti AS (SELECT sum(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1)
+             |    * (2 * CAST(t AS HUGEINT) + 5)) AS tc
+             |  FROM (SELECT c, count(*) AS t FROM dn GROUP BY c)),
+             |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM dn),
+             |x AS (SELECT CAST(s AS DOUBLE) AS sd, CAST(s AS BIGINT) AS s,
+             |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+             |      * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tc AS DOUBLE))
+             |      / 18.0 AS vs,
+             |    CAST(n AS BIGINT) AS n
+             |  FROM pr CROSS JOIN ti CROSS JOIN nn),
+             |zz AS (SELECT n, s, vs, CASE WHEN s > 0 THEN (sd - 1.0) / sqrt(vs)
+             |    WHEN s < 0 THEN (sd + 1.0) / sqrt(vs) ELSE 0.0 END AS z
+             |  FROM x)
+             |SELECT n AS n_days, s AS mk_s,
+             |  round(vs * 100.0) / 100.0 AS var_s,
+             |  round(z * 1000000.0) / 1000000.0 AS z,
+             |  round(2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0)
+             |    * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+             |      * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |        * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |            * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |              * 1.330274429)))))) * 1000000.0) / 1000000.0 AS p
+             |FROM zz""".stripMargin)),
+
+    // ---- lexical diversity: type-token ratio of each source's first
+    // 500 tokens (docs in doc_id order — a fixed-budget TTR so sources
+    // of different sizes compare fairly).
+    Q("q320_ttr_lexical",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id", "pos")
+        toks.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 500)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            countDistinct("w").cast("long").as("n_types"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            (round(col("n_types").cast("double") /
+              col("n_tokens").cast("double") * 1000000.0) / 1000000.0)
+              .as("ttr"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source, doc_id,
+             |    unnest([{'p': i - 1, 'w': t[i]} for i in range(1, len(t) + 1)]) AS e
+             |  FROM (SELECT source, doc_id, string_split(text, ' ') AS t
+             |        FROM documents)),
+             |px AS (SELECT source, doc_id, e.p AS pos, e.w AS w FROM tk),
+             |rk AS (SELECT source, w, row_number() OVER (PARTITION BY source
+             |    ORDER BY doc_id, pos) AS rn FROM px)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+             |  round(CAST(count(DISTINCT w) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS ttr
+             |FROM rk WHERE rn <= 500
+             |GROUP BY source ORDER BY source""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
