@@ -8602,7 +8602,125 @@ object PipelineQueries {
              |  round(CAST(count(DISTINCT w) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS ttr
              |FROM rk WHERE rn <= 500
-             |GROUP BY source ORDER BY source""".stripMargin)))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- 5-NN label classification accuracy on the vec_id < 200 audit
+    // prefix: leave-one-out cosine neighbors vote (count desc, label
+    // asc) — how label-consistent the embedding space is.
+    Q("q321_knn_accuracy",
+      (s, d) => {
+        val sub = t(s, d, "embeddings").where(col("vec_id") < 200)
+          .localCheckpoint()
+        val pairs = sub.as("a").join(broadcast(sub.as("b")),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("qid"),
+            col("a.label").as("true_label"), col("b.label").as("nl"),
+            col("b.vec_id").as("nid"),
+            (round(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+              * 1000000.0) / 1000000.0).as("cos"))
+        val byQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+        val top5 = pairs.withColumn("rn", row_number().over(byQ))
+          .where(col("rn") <= 5)
+        val byVote = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("v").desc, col("nl"))
+        val pred = top5.groupBy("qid", "true_label", "nl")
+          .agg(count(lit(1)).as("v"))
+          .withColumn("vr", row_number().over(byVote))
+          .where(col("vr") === 1)
+        pred.agg(count(lit(1)).cast("long").as("n_eval"),
+          sum(when(col("true_label") === col("nl"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+          .select(col("n_eval"), col("n_correct"),
+            (round(col("n_correct").cast("double") /
+              col("n_eval").cast("double") * 1000000.0) / 1000000.0)
+              .as("accuracy"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 200),
+             |pr AS (SELECT a.vec_id AS qid, a.label AS true_label,
+             |    b.label AS nl, b.vec_id AS nid,
+             |    round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+             |      / 1000000.0 AS cos
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |t5 AS (SELECT * FROM (SELECT qid, true_label, nl, cos,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY cos DESC, nid) AS rn FROM pr) WHERE rn <= 5),
+             |vt AS (SELECT qid, true_label, nl, count(*) AS v FROM t5
+             |  GROUP BY 1, 2, 3),
+             |pk AS (SELECT qid, true_label, nl FROM (SELECT qid, true_label,
+             |    nl, row_number() OVER (PARTITION BY qid
+             |      ORDER BY v DESC, nl) AS vr FROM vt) WHERE vr = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(CASE WHEN true_label = nl THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  round(CAST(sum(CASE WHEN true_label = nl THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS accuracy
+             |FROM pk""".stripMargin)),
+
+    // ---- nearest-centroid (Rocchio) classifier confusion matrix:
+    // per-label centroids from exact quantized sums baked as literals
+    // (the Pca projection shape — scan-speed assignment, no pairs), tie
+    // to the smaller label.
+    Q("q322_centroid_classifier",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val emb = t(s, d, "embeddings")
+        val q = emb.select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+            "* 10000.0) AS LONG))").as("q")).localCheckpoint()
+        val cents = q.select(col("label"),
+            posexplode(col("q")).as(Seq("i", "v")))
+          .groupBy("label", "i").agg(sum(col("v")).cast(dec).as("s"))
+          .join(q.groupBy("label").agg(count(lit(1)).as("n")), "label")
+          .select(col("label"), col("i"),
+            (col("s").cast("double") / col("n").cast("double")).as("c"))
+          .collect() // labels × 64 — model-sized
+        val byLabel = cents.groupBy(_.getInt(0)).map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+        val entries = byLabel.keys.toSeq.sorted.map { l =>
+          val c = byLabel(l)
+          val dsum = (0 until 64).map { i =>
+            val diff = element_at(col("q"), i + 1).cast("double") /
+              lit(10000.0) - lit(c(i))
+            diff * diff
+          }.reduce(_ + _)
+          struct(dsum.as("d"), lit(l.toLong).as("l"))
+        }
+        val pred = array_min(array(entries: _*)).getField("l")
+        q.select(col("label").cast("long").as("true_label"),
+            pred.as("pred_label"))
+          .groupBy("true_label", "pred_label")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("true_label", "pred_label")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+             |     for x in embedding] AS q
+             |  FROM embeddings),
+             |ex AS (SELECT label,
+             |    unnest([{'i': i, 'v': q[i]} for i in range(1, 65)]) AS e
+             |  FROM q),
+             |sm AS (SELECT label, e.i AS i, CAST(sum(e.v) AS HUGEINT) AS s
+             |  FROM ex GROUP BY 1, 2),
+             |ns AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+             |cd AS (SELECT sm.label,
+             |    list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS c
+             |  FROM sm JOIN ns USING (label) GROUP BY sm.label),
+             |di AS (SELECT q.vec_id, q.label AS true_label, cd.label AS cl,
+             |    list_reduce([(q.q[i] / 10000.0 - cd.c[i])
+             |        * (q.q[i] / 10000.0 - cd.c[i]) for i in range(1, 65)],
+             |      (a, b) -> a + b) AS dist
+             |  FROM q CROSS JOIN cd),
+             |pk AS (SELECT vec_id, true_label, cl FROM (SELECT vec_id,
+             |    true_label, cl, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY dist, cl) AS rn FROM di) WHERE rn = 1)
+             |SELECT CAST(true_label AS BIGINT) AS true_label,
+             |  CAST(cl AS BIGINT) AS pred_label,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
