@@ -8720,7 +8720,109 @@ object PipelineQueries {
              |SELECT CAST(true_label AS BIGINT) AS true_label,
              |  CAST(cl AS BIGINT) AS pred_label,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Weibull fit of inter-purchase gaps by the log-moment
+    // (Gumbel-duality) estimator: shape k = pi/(sqrt(6)·sd(ln x)),
+    // scale = exp(mean(ln x) + gamma/k) — is repeat purchasing
+    // memoryless (k~1, the q239 exponential) or aging? Closed form, no
+    // iteration; literals shared with the oracle.
+    Q("q323_weibull_gaps",
+      (s, d) => {
+        val ev = Tables.events(s, d).where(col("event_type") === "purchase")
+        val byU = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gaps = ev.withColumn("pv", lag(col("ts"), 1).over(byU))
+          .where(col("pv").isNotNull && col("ts") > col("pv"))
+          .select(((col("ts") - col("pv")).cast("double") / 1.0e9).as("x"))
+        val lx = gaps.select(log(col("x")).as("l"))
+        val m = lx.agg(count(lit(1)).cast("double").as("n"),
+          sum("l").as("s"), sum(col("l") * col("l")).as("ss"))
+        val mean = col("s") / col("n")
+        val sd = sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
+        val k = lit(3.141592653589793) / (sqrt(lit(6.0)) * sd)
+        val lam = exp(mean + lit(0.5772156649015329) / k)
+        m.select(col("n").cast("long").as("n_gaps"),
+          (round(k * 1000000.0) / 1000000.0).as("weibull_k"),
+          (round(lam * 100.0) / 100.0).as("weibull_lambda_s"),
+          (abs(k - 1.0) < 0.1).as("near_exponential"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |gp AS (SELECT (epoch_us(ts) - epoch_us(pv)) / 1000000.0 AS x
+             |  FROM (SELECT ts, lag(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS pv FROM p)
+             |  WHERE pv IS NOT NULL AND ts > pv),
+             |lx AS (SELECT ln(x) AS l FROM gp),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(l) AS s,
+             |    sum(l * l) AS ss FROM lx)
+             |SELECT CAST(n AS BIGINT) AS n_gaps,
+             |  round(3.141592653589793 / (sqrt(6.0)
+             |    * sqrt((ss - s * s / n) / n)) * 1000000.0) / 1000000.0
+             |    AS weibull_k,
+             |  round(exp(s / n + 0.5772156649015329
+             |    / (3.141592653589793 / (sqrt(6.0) * sqrt((ss - s * s / n) / n))))
+             |    * 100.0) / 100.0 AS weibull_lambda_s,
+             |  abs(3.141592653589793 / (sqrt(6.0) * sqrt((ss - s * s / n) / n))
+             |    - 1.0) < 0.1 AS near_exponential
+             |FROM m""".stripMargin)),
+
+    // ---- term burstiness (Church & Gale 1995): for the 15 most
+    // document-frequent terms, the variance-to-mean ratio of per-doc
+    // counts and the adaptation probability P(>=2 | >=1) — bursty terms
+    // concentrate, function words spread. Exact integer counts.
+    Q("q324_term_burstiness",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("nd"))
+        val tc = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds df ranking + the moment pass
+        val top = tc.groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w")).limit(15)
+        val m = tc.join(broadcast(top.select("w")), Seq("w"), "left_semi")
+          .groupBy("w")
+          .agg(count(lit(1)).cast(dec).as("df"),
+            sum(col("c")).cast(dec).as("s"),
+            sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).cast(dec).as("n2"))
+        val j = m.join(broadcast(nDocs))
+        val ndD = col("nd").cast("double")
+        val mean = col("s").cast("double") / ndD // mean over ALL docs
+        val varD = (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / ndD) / ndD
+        j.select(col("w").as("term"), col("df").cast("long").as("df"),
+            col("s").cast("long").as("total_count"),
+            (round(mean * 10000.0) / 10000.0).as("mean_per_doc"),
+            (round(varD / mean * 10000.0) / 10000.0).as("vmr"),
+            (round(col("n2").cast("double") / col("df").cast("double")
+              * 1000000.0) / 1000000.0).as("adaptation"))
+          .orderBy(col("df").desc, col("term"))
+      },
+      Some("""WITH nd AS (SELECT count(*) AS nd FROM documents),
+             |tc AS (SELECT doc_id, w, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents) GROUP BY 1, 2),
+             |tp AS (SELECT w FROM (SELECT w, count(*) AS df FROM tc GROUP BY w
+             |    ORDER BY df DESC, w LIMIT 15)),
+             |m AS (SELECT tc.w, CAST(count(*) AS HUGEINT) AS df,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss,
+             |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2
+             |  FROM tc JOIN tp ON tp.w = tc.w GROUP BY tc.w)
+             |SELECT w AS term, CAST(df AS BIGINT) AS df,
+             |  CAST(s AS BIGINT) AS total_count,
+             |  round(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS mean_per_doc,
+             |  round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE))
+             |    / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) * 10000.0)
+             |    / 10000.0 AS vmr,
+             |  round(CAST(n2 AS DOUBLE) / CAST(df AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS adaptation
+             |FROM m CROSS JOIN nd ORDER BY df DESC, term""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
