@@ -8822,7 +8822,124 @@ object PipelineQueries {
              |    / 10000.0 AS vmr,
              |  round(CAST(n2 AS DOUBLE) / CAST(df AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS adaptation
-             |FROM m CROSS JOIN nd ORDER BY df DESC, term""".stripMargin)))
+             |FROM m CROSS JOIN nd ORDER BY df DESC, term""".stripMargin)),
+
+    // ---- Herfindahl-Hirschman supplier concentration per supplier
+    // nation-of-origin market: HHI = sum of squared revenue shares of
+    // suppliers within each nation — which supply markets are
+    // monopolized. Exact cent revenue sums; shares squared in one
+    // chain; the > 0.25 DOJ-style flag.
+    Q("q325_hhi_concentration",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rev = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("market"), col("s_suppkey").as("sk"),
+            round(col("l_extendedprice").cast("double") * 100.0)
+              .cast("long").as("cents"))
+          .groupBy("market", "sk").agg(sum(col("cents")).cast(dec).as("r"))
+        val tot = rev.groupBy("market").agg(sum(col("r")).as("rt"),
+          count(lit(1)).as("n_suppliers"))
+        val hhi = rev.join(tot, Seq("market"))
+          .select(col("market"), col("n_suppliers"),
+            ((col("r").cast("double") / col("rt").cast("double")) *
+              (col("r").cast("double") / col("rt").cast("double"))).as("s2"))
+          .groupBy("market", "n_suppliers")
+          .agg(sum("s2").as("hhi"))
+        hhi.select(col("market"), col("n_suppliers").cast("long")
+            .as("n_suppliers"),
+            (round(col("hhi") * 1000000.0) / 1000000.0).as("hhi"),
+            (col("hhi") > 0.25).as("concentrated"))
+          .orderBy("market")
+      },
+      Some("""WITH rev AS (SELECT n_name AS market, s_suppkey AS sk,
+             |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+             |      AS BIGINT)) AS HUGEINT) AS r
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |tt AS (SELECT market, sum(r) AS rt, count(*) AS n_suppliers
+             |  FROM rev GROUP BY market),
+             |h AS (SELECT rev.market, n_suppliers,
+             |    sum((CAST(r AS DOUBLE) / CAST(rt AS DOUBLE))
+             |      * (CAST(r AS DOUBLE) / CAST(rt AS DOUBLE))) AS hhi
+             |  FROM rev JOIN tt ON tt.market = rev.market
+             |  GROUP BY 1, 2)
+             |SELECT market, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+             |  round(hhi * 1000000.0) / 1000000.0 AS hhi,
+             |  hhi > 0.25 AS concentrated
+             |FROM h ORDER BY market""".stripMargin)),
+
+    // ---- higher-moment profile per segment: skewness and excess
+    // kurtosis from EXACT decimal 3rd/4th cent-moment sums — the
+    // distribution-shape completion of the mean/variance profiling
+    // family (heavy tails break every normal-theory gate upstream).
+    Q("q326_moments_profile",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val v = t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("g"),
+            round(col("o_totalprice").cast("double")).cast("long").as("u"))
+        val m = v.groupBy("g").agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("u")).cast(dec).as("s1"),
+          sum(col("u").cast(dec) * col("u").cast(dec)).as("s2"),
+          sum(col("u").cast(dec) * col("u").cast(dec) * col("u").cast(dec))
+            .as("s3"),
+          sum(col("u").cast(dec) * col("u").cast(dec) * col("u").cast(dec) *
+            col("u").cast(dec)).as("s4"))
+        val nD = col("n").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        val m1 = dd("s1") / nD
+        val m2 = dd("s2") / nD - m1 * m1
+        val m3 = dd("s3") / nD - lit(3.0) * m1 * (dd("s2") / nD) +
+          lit(2.0) * m1 * m1 * m1
+        val m4 = dd("s4") / nD - lit(4.0) * m1 * (dd("s3") / nD) +
+          lit(6.0) * m1 * m1 * (dd("s2") / nD) -
+          lit(3.0) * m1 * m1 * m1 * m1
+        m.select(col("g").as("segment"), col("n").cast("long").as("n"),
+            (round(m1 * 100.0) / 100.0).as("mean"),
+            (round(sqrt(m2) * 100.0) / 100.0).as("sd"),
+            (round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) * 1000000.0)
+              / 1000000.0).as("skewness"),
+            (round((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0)
+              .as("excess_kurtosis"))
+          .orderBy("segment")
+      },
+      Some("""WITH v AS (SELECT c_mktsegment AS g,
+             |    CAST(round(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS u
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(u) AS HUGEINT) AS s1,
+             |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS s2,
+             |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)
+             |      * CAST(u AS HUGEINT)) AS s3,
+             |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)
+             |      * CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS s4
+             |  FROM v GROUP BY g),
+             |x AS (SELECT g, n,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+             |  FROM m),
+             |y AS (SELECT g, n, m1,
+             |    r2 - m1 * m1 AS m2,
+             |    r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             |    r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+             |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+             |  FROM x)
+             |SELECT g AS segment, CAST(n AS BIGINT) AS n,
+             |  round(m1 * 100.0) / 100.0 AS mean,
+             |  round(sqrt(m2) * 100.0) / 100.0 AS sd,
+             |  round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) * 1000000.0)
+             |    / 1000000.0 AS skewness,
+             |  round((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0
+             |    AS excess_kurtosis
+             |FROM y ORDER BY segment""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
