@@ -8939,7 +8939,108 @@ object PipelineQueries {
              |    / 1000000.0 AS skewness,
              |  round((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0
              |    AS excess_kurtosis
-             |FROM y ORDER BY segment""".stripMargin)))
+             |FROM y ORDER BY segment""".stripMargin)),
+
+    // ---- Wald-Wolfowitz runs test on the daily above/below-mean
+    // sequence: too FEW runs = regime clustering, too many = oscillation
+    // — randomness the ACF can miss. Above-mean decided by exact integer
+    // cross-multiplication (c·n > S); runs counted with one lag pass.
+    Q("q327_runs_test",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val tot = dense.agg(sum(col("c")).cast(dec).as("s"),
+          count(lit(1)).cast(dec).as("n"))
+        val flagged = dense.join(broadcast(tot))
+          .select(col("day"),
+            (col("c").cast(dec) * col("n") > col("s")).as("hi"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val runs = flagged
+          .withColumn("pv", lag(col("hi"), 1).over(w)) // day-domain window
+          .agg(sum(when(col("pv").isNull || col("pv") =!= col("hi"), 1L)
+            .otherwise(0L)).cast("long").as("r"),
+            sum(when(col("hi"), 1L).otherwise(0L)).cast("double").as("n1"),
+            sum(when(!col("hi"), 1L).otherwise(0L)).cast("double").as("n0"))
+        val nD = col("n1") + col("n0")
+        val er = lit(2.0) * col("n1") * col("n0") / nD + 1.0
+        val vr = (er - 1.0) * (er - 2.0) / (nD - 1.0)
+        runs.select(col("r").as("n_runs"),
+            col("n1").cast("long").as("n_above"),
+            col("n0").cast("long").as("n_below"),
+            (round(er * 10000.0) / 10000.0).as("expected_runs"),
+            (round((col("r").cast("double") - er) / sqrt(vr) * 1000000.0)
+              / 1000000.0).as("z"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT CAST(sum(c) AS HUGEINT) AS s,
+             |    CAST(count(*) AS HUGEINT) AS n FROM dn),
+             |fl AS (SELECT day, CAST(c AS HUGEINT) * n > s AS hi
+             |  FROM dn CROSS JOIN tt),
+             |rn AS (SELECT CAST(sum(CASE WHEN pv IS NULL OR pv <> hi
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             |    CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(sum(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+             |  FROM (SELECT hi, lag(hi) OVER (ORDER BY day) AS pv FROM fl))
+             |SELECT r AS n_runs, CAST(n1 AS BIGINT) AS n_above,
+             |  CAST(n0 AS BIGINT) AS n_below,
+             |  round((2.0 * n1 * n0 / (n1 + n0) + 1.0) * 10000.0) / 10000.0
+             |    AS expected_runs,
+             |  round((CAST(r AS DOUBLE) - (2.0 * n1 * n0 / (n1 + n0) + 1.0))
+             |    / sqrt(((2.0 * n1 * n0 / (n1 + n0) + 1.0) - 1.0)
+             |      * ((2.0 * n1 * n0 / (n1 + n0) + 1.0) - 2.0)
+             |      / ((n1 + n0) - 1.0)) * 1000000.0) / 1000000.0 AS z
+             |FROM rn""".stripMargin)),
+
+    // ---- Lincoln-Petersen capture-recapture estimate of the document
+    // universe from two INDEPENDENT deterministic hash samples: N-hat =
+    // n1·n2/m — the mark-recapture estimator applied to coverage
+    // auditing ("how much corpus do our two crawls imply"). Exact
+    // portable-hash membership; one pass.
+    Q("q328_capture_recapture",
+      (s, d) => {
+        val h1 = pmod(graft.expressions.PortableHash
+          .md5Hash60(concat(lit("s1#"), col("doc_id"))), lit(3L)) === 0L
+        val h2 = pmod(graft.expressions.PortableHash
+          .md5Hash60(concat(lit("s2#"), col("doc_id"))), lit(3L)) === 0L
+        val m = t(s, d, "documents").agg(
+          count(lit(1)).cast("long").as("n_true"),
+          sum(when(h1, 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(h2, 1L).otherwise(0L)).cast("long").as("n2"),
+          sum(when(h1 && h2, 1L).otherwise(0L)).cast("long").as("m"))
+        m.select(col("n_true"), col("n1"), col("n2"), col("m"),
+          when(col("m") > 0, round(col("n1").cast("double") *
+            col("n2").cast("double") / col("m").cast("double") * 100.0)
+            / 100.0).as("n_hat"),
+          when(col("m") > 0, round((col("n1").cast("double") *
+            col("n2").cast("double") / col("m").cast("double") -
+            col("n_true").cast("double")) / col("n_true").cast("double")
+            * 1000000.0) / 1000000.0).as("rel_error"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5('s1#' || CAST(doc_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 3 = 0 AS h1,
+             |    CAST(('0x' || substr(md5('s2#' || CAST(doc_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 3 = 0 AS h2
+             |  FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+             |    CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN h1 AND h2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+             |  FROM f)
+             |SELECT n_true, n1, n2, m,
+             |  CASE WHEN m > 0 THEN round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             |    / CAST(m AS DOUBLE) * 100.0) / 100.0 END AS n_hat,
+             |  CASE WHEN m > 0 THEN round((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             |    / CAST(m AS DOUBLE) - CAST(n_true AS DOUBLE))
+             |    / CAST(n_true AS DOUBLE) * 1000000.0) / 1000000.0 END
+             |    AS rel_error
+             |FROM a""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
