@@ -9040,7 +9040,228 @@ object PipelineQueries {
              |    / CAST(m AS DOUBLE) - CAST(n_true AS DOUBLE))
              |    / CAST(n_true AS DOUBLE) * 1000000.0) / 1000000.0 END
              |    AS rel_error
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ---- McNemar's paired test on two language-ID rules evaluated
+    // against the lang label: rule A = token 'the' present, rule B =
+    // token 'a' present (B fires on es/fr docs too → asymmetric
+    // discordance). b/c are the discordant-pair counts; the statistic is
+    // the continuity-corrected (|b−c|−1)²/(b+c) — the paired-classifier
+    // comparison a model-eval pipeline runs when both predictors score
+    // the SAME documents (independence-assuming chi² would be wrong).
+    // ONE conditional-sum pass, shuffle-free below the final fold.
+    Q("q329_mcnemar",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val lab = col("lang") === "en"
+        val ca = array_contains(toks, "the") === lab
+        val cb = array_contains(toks, "a") === lab
+        t(s, d, "documents").agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(when(ca && cb, 1L).otherwise(0L)).cast("long")
+              .as("both_correct"),
+            sum(when(ca && !cb, 1L).otherwise(0L)).cast("long").as("b"),
+            sum(when(!ca && cb, 1L).otherwise(0L)).cast("long").as("c"))
+          .select(col("n"), col("both_correct"), col("b"), col("c"),
+            when(col("b") + col("c") > 0,
+              round(pow(abs((col("b") - col("c")).cast("double")) - 1.0,
+                2.0) / (col("b") + col("c")).cast("double") * 1000000.0)
+                / 1000000.0).as("chi2"))
+      },
+      Some("""WITH f AS (SELECT
+             |    (list_contains(string_split(text, ' '), 'the'))
+             |      = (lang = 'en') AS ca,
+             |    (list_contains(string_split(text, ' '), 'a'))
+             |      = (lang = 'en') AS cb
+             |  FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS both_correct,
+             |    CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c
+             |  FROM f)
+             |SELECT n, both_correct, b, c,
+             |  CASE WHEN b + c > 0 THEN
+             |    round(pow(abs(CAST(b - c AS DOUBLE)) - 1.0, 2.0)
+             |      / CAST(b + c AS DOUBLE) * 1000000.0) / 1000000.0
+             |  END AS chi2
+             |FROM a""".stripMargin)),
+
+    // ---- Cochran–Mantel–Haenszel test: does order priority (URGENT/
+    // HIGH vs rest) associate with fulfillment (status F) CONTROLLING
+    // for market segment? Per-stratum 2×2 tables as exact long counts
+    // (one shuffle on the 5-value segment key, customer dim broadcast
+    // into the fact scan), then the continuity-corrected CMH statistic
+    // (|Σaₖ−ΣEₖ|−½)²/ΣVₖ from 6-dp-rounded expectation/variance folds —
+    // rounding BEFORE the ratio keeps the cross-engine double drift of
+    // the tiny 5-row fold out of the statistic.
+    Q("q330_cmh_test",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("tr"),
+          (col("o_orderstatus") === "F").as("yy"))
+        val st = o.join(broadcast(t(s, d, "customer")
+              .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(
+            sum(when(col("tr") && col("yy"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("yy"), 1L).otherwise(0L)).as("m1"),
+            count(lit(1)).as("nk"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val ag = st.agg(
+          count(lit(1)).cast("long").as("n_strata"),
+          sum(col("a")).cast("long").as("sum_a"),
+          (round(sum(dd(col("n1")) * dd(col("m1")) / dd(col("nk")))
+            * 1000000.0) / 1000000.0).as("expected"),
+          (round(sum(dd(col("n1")) * (dd(col("nk")) - dd(col("n1")))
+              * dd(col("m1")) * (dd(col("nk")) - dd(col("m1")))
+              / (dd(col("nk")) * dd(col("nk")) * (dd(col("nk")) - 1.0)))
+            * 1000000.0) / 1000000.0).as("variance"))
+        ag.select(col("n_strata"), col("sum_a"), col("expected"),
+          col("variance"),
+          (round(pow(abs(col("sum_a").cast("double") - col("expected"))
+              - 0.5, 2.0) / col("variance") * 1000000.0) / 1000000.0)
+            .as("cmh"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS tr,
+             |    o_orderstatus = 'F' AS yy FROM orders),
+             |st AS (SELECT c_mktsegment,
+             |    sum(CASE WHEN tr AND yy THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN tr THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN yy THEN 1 ELSE 0 END) AS m1,
+             |    count(*) AS nk
+             |  FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             |    CAST(sum(a) AS BIGINT) AS sum_a,
+             |    round(sum(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+             |        / CAST(nk AS DOUBLE)) * 1000000.0) / 1000000.0
+             |      AS expected,
+             |    round(sum(CAST(n1 AS DOUBLE)
+             |        * (CAST(nk AS DOUBLE) - CAST(n1 AS DOUBLE))
+             |        * CAST(m1 AS DOUBLE)
+             |        * (CAST(nk AS DOUBLE) - CAST(m1 AS DOUBLE))
+             |        / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)
+             |          * (CAST(nk AS DOUBLE) - 1.0))) * 1000000.0)
+             |      / 1000000.0 AS variance
+             |  FROM st)
+             |SELECT n_strata, sum_a, expected, variance,
+             |  round(pow(abs(CAST(sum_a AS DOUBLE) - expected) - 0.5, 2.0)
+             |    / variance * 1000000.0) / 1000000.0 AS cmh
+             |FROM ag""".stripMargin)),
+
+    // ---- Seasonal-naive forecast backtest: ŷ(t) = y(t−7) over the
+    // dense daily event-count series, scored with MAE / RMSE / sMAPE —
+    // the baseline every traffic-forecast model must beat, and the
+    // shape of a backtest harness (lag-k prediction + error fold).
+    // Error sums are EXACT longs (counts are integers; only the final
+    // divisions go through double); the day-domain window is the q327
+    // convention (dense series is calendar-bounded, not row-bounded).
+    Q("q331_forecast_eval",
+      (s, d) => {
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val fc = dense.withColumn("f", lag(col("c"), 7).over(w))
+          .where(col("f").isNotNull)
+        val dif = col("c") - col("f")
+        fc.agg(
+            count(lit(1)).cast("long").as("n_eval"),
+            sum(abs(dif)).cast("long").as("sa"),
+            sum(dif * dif).cast("long").as("sq"),
+            sum(when(col("c") + col("f") > 0,
+                lit(2.0) * abs(dif).cast("double")
+                  / (col("c") + col("f")).cast("double"))
+              .otherwise(lit(0.0))).as("sm"))
+          .select(col("n_eval"),
+            (round(col("sa").cast("double") / col("n_eval").cast("double")
+              * 10000.0) / 10000.0).as("mae"),
+            (round(sqrt(col("sq").cast("double")
+              / col("n_eval").cast("double")) * 10000.0) / 10000.0)
+              .as("rmse"),
+            (round(col("sm") / col("n_eval").cast("double") * 1000000.0)
+              / 1000000.0).as("smape"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |fc AS (SELECT c, lag(c, 7) OVER (ORDER BY day) AS f FROM dn),
+             |e AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |    CAST(sum(abs(c - f)) AS BIGINT) AS sa,
+             |    CAST(sum((c - f) * (c - f)) AS BIGINT) AS sq,
+             |    sum(CASE WHEN c + f > 0 THEN 2.0
+             |        * CAST(abs(c - f) AS DOUBLE) / CAST(c + f AS DOUBLE)
+             |      ELSE 0.0 END) AS sm
+             |  FROM fc WHERE f IS NOT NULL)
+             |SELECT n_eval,
+             |  round(CAST(sa AS DOUBLE) / CAST(n_eval AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS mae,
+             |  round(sqrt(CAST(sq AS DOUBLE) / CAST(n_eval AS DOUBLE))
+             |    * 10000.0) / 10000.0 AS rmse,
+             |  round(sm / CAST(n_eval AS DOUBLE) * 1000000.0) / 1000000.0
+             |    AS smape
+             |FROM e""".stripMargin)),
+
+    // ---- 1-D Wasserstein (earth-mover) distance between the document-
+    // length distributions of English vs non-English docs: W₁ =
+    // ∫|F₁−F₂|dx over the merged n_chars support — the drift metric
+    // that, unlike KS (sup-norm, q201) or PSI (binned, q297), weighs
+    // HOW FAR mass moved. The CDF gap is kept as the EXACT integer
+    // c1·N₂ − c2·N₁ (decimal38) so the step integral is exact until the
+    // single final division; support-bounded single-partition window
+    // (distinct char-lengths), single-row totals broadcast.
+    Q("q332_wasserstein_1d",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents")
+          .select(col("n_chars").as("v"), (col("lang") === "en").as("g"))
+        val per = docs.groupBy("v").agg(
+          sum(when(col("g"), 1L).otherwise(0L)).as("a1"),
+          sum(when(!col("g"), 1L).otherwise(0L)).as("a2"))
+        val tot = per.agg(sum(col("a1")).cast(dec).as("t1"),
+          sum(col("a2")).cast(dec).as("t2"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        val cum = per.select(col("v"), sum(col("a1")).over(w).as("c1"),
+          sum(col("a2")).over(w).as("c2"), lead(col("v"), 1).over(w).as("nv"))
+        val st = cum.join(broadcast(tot)).where(col("nv").isNotNull)
+          .select(col("t1"), col("t2"),
+            (abs(col("c1").cast(dec) * col("t2")
+              - col("c2").cast(dec) * col("t1"))
+              * (col("nv") - col("v")).cast(dec)).as("term"))
+        st.agg(count(lit(1)).cast("long").as("n_steps"),
+            max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            sum(col("term")).as("s"))
+          .select(col("n_steps"), col("t1").cast("long").as("n_en"),
+            col("t2").cast("long").as("n_other"),
+            (round(col("s").cast("double") / (col("t1").cast("double")
+              * col("t2").cast("double")) * 1000000.0) / 1000000.0)
+              .as("w1"))
+      },
+      Some("""WITH dcs AS (SELECT n_chars AS v, lang = 'en' AS g
+             |  FROM documents),
+             |per AS (SELECT v, sum(CASE WHEN g THEN 1 ELSE 0 END) AS a1,
+             |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS a2
+             |  FROM dcs GROUP BY 1),
+             |tt AS (SELECT CAST(sum(a1) AS HUGEINT) AS t1,
+             |    CAST(sum(a2) AS HUGEINT) AS t2 FROM per),
+             |cum AS (SELECT v, sum(a1) OVER w AS c1, sum(a2) OVER w AS c2,
+             |    lead(v) OVER w AS nv FROM per WINDOW w AS (ORDER BY v)),
+             |st AS (SELECT t1, t2,
+             |    abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1)
+             |      * CAST(nv - v AS HUGEINT) AS term
+             |  FROM cum CROSS JOIN tt WHERE nv IS NOT NULL)
+             |SELECT CAST(count(*) AS BIGINT) AS n_steps,
+             |  CAST(max(t1) AS BIGINT) AS n_en,
+             |  CAST(max(t2) AS BIGINT) AS n_other,
+             |  round(CAST(sum(term) AS DOUBLE) / (CAST(max(t1) AS DOUBLE)
+             |    * CAST(max(t2) AS DOUBLE)) * 1000000.0) / 1000000.0 AS w1
+             |FROM st""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
