@@ -9261,7 +9261,159 @@ object PipelineQueries {
              |  CAST(max(t2) AS BIGINT) AS n_other,
              |  round(CAST(sum(term) AS DOUBLE) / (CAST(max(t1) AS DOUBLE)
              |    * CAST(max(t2) AS DOUBLE)) * 1000000.0) / 1000000.0 AS w1
-             |FROM st""".stripMargin)))
+             |FROM st""".stripMargin)),
+
+    // ---- Good–Turing frequency-of-frequencies smoothing over the
+    // corpus term table (q30's tokenization): r* = (r+1)·N_{r+1}/N_r over
+    // the 10 SMALLEST frequency classes present (rank-cut, not a fixed
+    // r-cut — the synthetic vocab is dense, so min counts sit high) —
+    // the adjusted counts an n-gram LM uses for unseen-mass
+    // estimation (Good 1953). N_{r+1} is matched at EXACTLY r+1 (lead
+    // guarded on contiguity, not just next-present), counts stay exact
+    // integers until the single division; the window runs over the
+    // freq-of-freqs table, whose size is bounded by max term count.
+    Q("q333_good_turing",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("r"))
+        val ff = tc.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("r")
+        ff.select(col("r"), col("n_r"),
+            lead(col("r"), 1).over(w).as("nr1"),
+            lead(col("n_r"), 1).over(w).as("nn1"),
+            row_number().over(w).as("rk"))
+          .where(col("rk") <= 10)
+          .select(col("r").cast("long").as("r"),
+            col("n_r").cast("long").as("n_r"),
+            when(col("nr1") === col("r") + 1,
+              round((col("r") + 1).cast("double") * col("nn1").cast("double")
+                / col("n_r").cast("double") * 10000.0) / 10000.0)
+              .as("r_star"))
+          .orderBy("r")
+      },
+      Some("""WITH tc AS (SELECT term, count(*) AS r FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY term),
+             |ff AS (SELECT r, count(*) AS n_r FROM tc GROUP BY r),
+             |ld AS (SELECT r, n_r, lead(r) OVER (ORDER BY r) AS nr1,
+             |    lead(n_r) OVER (ORDER BY r) AS nn1,
+             |    row_number() OVER (ORDER BY r) AS rk FROM ff)
+             |SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+             |  CASE WHEN nr1 = r + 1 THEN
+             |    round(CAST(r + 1 AS DOUBLE) * CAST(nn1 AS DOUBLE)
+             |      / CAST(n_r AS DOUBLE) * 10000.0) / 10000.0
+             |  END AS r_star
+             |FROM ld WHERE rk <= 10 ORDER BY r""".stripMargin)),
+
+    // ---- Delta-method CI for a RATIO metric (clicks per view) under a
+    // hash-split A/B assignment: user-level (x, y) sums, R = Σx/Σy, and
+    // se from the user-level moment sums via Var(R) ≈ (s²_x − 2R·s_xy +
+    // R²·s²_y)/(n·ȳ²) — the correct CI when the metric's denominator is
+    // itself random (a per-event z-test would understate variance).
+    // Moment sums are EXACT decimal38 integers (counts); one shuffle on
+    // user_id, then a 2-row variant fold. The final algebra is a fixed
+    // IEEE chain from 6-dp-rounded moment ratios on both engines.
+    Q("q334_ratio_delta_ci",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val ux = ev.groupBy("user_id").agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("y"))
+          .select(pmod(col("user_id"), lit(2L)).as("variant"),
+            col("x"), col("y"))
+        val m = ux.groupBy("variant").agg(
+          count(lit(1)).cast("long").as("n_users"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+          sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = dd(col("n_users"))
+        val r = dd(col("sx")) / dd(col("sy"))
+        val ybar = dd(col("sy")) / n
+        val vx = (dd(col("sxx")) - dd(col("sx")) * dd(col("sx")) / n) /
+          (n - 1.0)
+        val vy = (dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / n) /
+          (n - 1.0)
+        val cxy = (dd(col("sxy")) - dd(col("sx")) * dd(col("sy")) / n) /
+          (n - 1.0)
+        val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / n) / ybar
+        m.select(col("variant").cast("long").as("variant"), col("n_users"),
+            col("sx"), col("sy"),
+            (round(r * 1000000.0) / 1000000.0).as("ratio"),
+            (round(se * 1000000.0) / 1000000.0).as("se"),
+            (round((r - lit(1.96) * se) * 1000000.0) / 1000000.0)
+              .as("ci_lo"),
+            (round((r + lit(1.96) * se) * 1000000.0) / 1000000.0)
+              .as("ci_hi"))
+          .orderBy("variant")
+      },
+      Some("""WITH ux AS (SELECT user_id % 2 AS variant,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+             |  FROM ux GROUP BY variant)
+             |SELECT CAST(variant AS BIGINT) AS variant, n_users, sx, sy,
+             |  round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS ratio,
+             |  round(sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      / (CAST(n_users AS DOUBLE) - 1.0)
+             |    - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0))
+             |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0)))
+             |    / CAST(n_users AS DOUBLE))
+             |    / (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS se,
+             |  round((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) - 1.96
+             |    * sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      / (CAST(n_users AS DOUBLE) - 1.0)
+             |    - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0))
+             |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0)))
+             |    / CAST(n_users AS DOUBLE))
+             |    / (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS ci_lo,
+             |  round((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) + 1.96
+             |    * sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      / (CAST(n_users AS DOUBLE) - 1.0)
+             |    - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0))
+             |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |      * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |        / (CAST(n_users AS DOUBLE) - 1.0)))
+             |    / CAST(n_users AS DOUBLE))
+             |    / (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS ci_hi
+             |FROM m ORDER BY variant""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
