@@ -900,6 +900,54 @@ object EventOps {
       .orderBy("duration_days")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator over the SAME
+    * entry→conversion duration table as [[kaplanMeier]]: H(t) =
+    * Σ_{dur≤t} e/n_risk, plus the Fleming–Harrington survival exp(−H) —
+    * the small-risk-set-robust companion to the KM product-limit curve.
+    * Per-cell hazard terms divide exact integer counts; the ordered
+    * cumulative sum is the only double fold and is 6-dp rounded.
+    *
+    * SCALE: identical profile to kaplanMeier — two user-keyed shuffles
+    * to build durations, then all window work runs on the per-DAY cell
+    * table (calendar-bounded, thousands of rows at any corpus size). */
+  def nelsonAalen(events: DataFrame, entryType: String = "view",
+      conversionType: String = "purchase",
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val entry = events.groupBy("user_id").agg(
+      min(when(col("event_type") === entryType, col("ts"))).as("t0"),
+      max(col("ts")).as("tmax"))
+      .where(col("t0").isNotNull)
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), col("ts"))
+      .join(entry.select("user_id", "t0"), "user_id")
+      .where(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    val dur = entry.join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $dayNs"))
+          .otherwise(expr(s"(tmax - t0) div $dayNs")).as("dur"),
+        col("tp").isNotNull.cast("long").as("ev"))
+    val cell = dur.groupBy("dur")
+      .agg(sum(col("ev")).as("e"), sum(lit(1L) - col("ev")).as("c"))
+    val tot = cell.agg(sum(col("e") + col("c")).as("n"))
+    val prior = org.apache.spark.sql.expressions.Window.orderBy("dur")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upto = org.apache.spark.sql.expressions.Window.orderBy("dur")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val risk = col("n") - coalesce(sum(col("e") + col("c")).over(prior), lit(0L))
+    val term = when(col("e") > 0,
+      col("e").cast("double") / col("n_risk").cast("double"))
+      .otherwise(lit(0.0))
+    cell.join(broadcast(tot))
+      .withColumn("n_risk", risk)
+      .withColumn("ch", sum(term).over(upto))
+      .select(col("dur").as("duration_days"), col("n_risk"),
+        col("e").as("events"), col("c").as("censored"),
+        (round(col("ch") * 1000000.0) / 1000000.0).as("cum_hazard"),
+        (round(exp(-col("ch")) * 1000000.0) / 1000000.0).as("survival_fh"))
+      .orderBy("duration_days")
+  }
+
   /** Weekly engagement stickiness: per week, the weekly-active-user
     * count, the average daily-active-user count over the week's active
     * span, and the DAU/WAU ratio — the product-health scalar ("how many

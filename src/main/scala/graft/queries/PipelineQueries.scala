@@ -9413,7 +9413,113 @@ object PipelineQueries {
              |    / CAST(n_users AS DOUBLE))
              |    / (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))
              |    * 1000000.0) / 1000000.0 AS ci_hi
-             |FROM m ORDER BY variant""".stripMargin)))
+             |FROM m ORDER BY variant""".stripMargin)),
+
+    // ---- Nelson–Aalen cumulative hazard + Fleming–Harrington survival
+    // over the q231 view→purchase duration table: H(t) = Σ e/n_risk —
+    // the estimator that stays stable when risk sets get small (KM's
+    // product terms degenerate first). Same censoring semantics and
+    // day-quantized durations as q231; only the ordered hazard cumsum
+    // is double, 6-dp rounded on both engines.
+    Q("q335_nelson_aalen",
+      (s, d) => graft.operators.EventOps.nelsonAalen(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+             |en AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN tns END) AS t0,
+             |    max(tns) AS tmax
+             |  FROM e GROUP BY user_id
+             |  HAVING min(CASE WHEN event_type = 'view' THEN tns END) IS NOT NULL),
+             |cv AS (SELECT e.user_id, min(tns) AS tp
+             |  FROM e JOIN en USING (user_id)
+             |  WHERE event_type = 'purchase' AND tns >= t0 GROUP BY e.user_id),
+             |du AS (SELECT en.user_id,
+             |    CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+             |         ELSE (tmax - t0) // 86400000000000 END AS dur,
+             |    CAST(tp IS NOT NULL AS BIGINT) AS ev
+             |  FROM en LEFT JOIN cv USING (user_id)),
+             |cl AS (SELECT dur, sum(ev) AS e, sum(1 - ev) AS c FROM du GROUP BY dur),
+             |tt AS (SELECT sum(e + c) AS n FROM cl),
+             |rk AS (SELECT dur, e, c, n,
+             |    n - coalesce(sum(e + c) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM cl CROSS JOIN tt),
+             |sv AS (SELECT dur, n_risk, e, c,
+             |    sum(CASE WHEN e > 0
+             |        THEN CAST(e AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             |        ELSE 0.0 END)
+             |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS ch
+             |  FROM rk)
+             |SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(e AS BIGINT) AS events, CAST(c AS BIGINT) AS censored,
+             |  round(ch * 1000000.0) / 1000000.0 AS cum_hazard,
+             |  round(exp(-ch) * 1000000.0) / 1000000.0 AS survival_fh
+             |FROM sv ORDER BY duration_days""".stripMargin)),
+
+    // ---- Cramér's V association strength for two categorical pairs
+    // (order priority×status, lineitem returnflag×linestatus) via the
+    // identity χ² = n·(Σ o²/(r·c) − 1), so the only double work is the
+    // per-cell o²/(r·c) fold over ≤ R·C cells — row/col marginals join
+    // back broadcast (cell tables are category-bounded however big the
+    // fact is), and V = √((s−1)/(min(R,C)−1)) normalizes χ² to [0,1].
+    Q("q336_cramers_v",
+      (s, d) => {
+        def cram(df: org.apache.spark.sql.DataFrame, pairName: String) = {
+          val cell = df.groupBy("a", "b").agg(count(lit(1)).as("o"))
+          val j = cell
+            .join(broadcast(cell.groupBy("a").agg(sum(col("o")).as("ra"))), "a")
+            .join(broadcast(cell.groupBy("b").agg(sum(col("o")).as("cb"))), "b")
+          j.agg(sum(col("o")).cast("long").as("n"),
+              countDistinct(col("a")).cast("long").as("n_rows"),
+              countDistinct(col("b")).cast("long").as("n_cols"),
+              sum(col("o").cast("double") * col("o").cast("double")
+                / (col("ra").cast("double") * col("cb").cast("double")))
+                .as("s"))
+            .select(lit(pairName).as("pair"), col("n"), col("n_rows"),
+              col("n_cols"),
+              (round(col("n").cast("double") * (col("s") - 1.0) * 10000.0)
+                / 10000.0).as("chi2"),
+              (round(sqrt((col("s") - 1.0)
+                / (least(col("n_rows"), col("n_cols")) - 1L).cast("double"))
+                * 1000000.0) / 1000000.0).as("v"))
+        }
+        cram(t(s, d, "orders").select(col("o_orderpriority").as("a"),
+            col("o_orderstatus").as("b")), "priority_status")
+          .unionAll(cram(t(s, d, "lineitem")
+            .select(col("l_returnflag").as("a"),
+              col("l_linestatus").as("b")), "returnflag_linestatus"))
+          .orderBy("pair")
+      },
+      Some("""WITH c1 AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+             |    count(*) AS o FROM orders GROUP BY 1, 2),
+             |j1 AS (SELECT o, sum(o) OVER (PARTITION BY a) AS ra,
+             |    sum(o) OVER (PARTITION BY b) AS cb, a, b FROM c1),
+             |s1 AS (SELECT 'priority_status' AS pair,
+             |    CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+             |    sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+             |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS s
+             |  FROM j1),
+             |c2 AS (SELECT l_returnflag AS a, l_linestatus AS b,
+             |    count(*) AS o FROM lineitem GROUP BY 1, 2),
+             |j2 AS (SELECT o, sum(o) OVER (PARTITION BY a) AS ra,
+             |    sum(o) OVER (PARTITION BY b) AS cb, a, b FROM c2),
+             |s2 AS (SELECT 'returnflag_linestatus' AS pair,
+             |    CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+             |    sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+             |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS s
+             |  FROM j2),
+             |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+             |SELECT pair, n, n_rows, n_cols,
+             |  round(CAST(n AS DOUBLE) * (s - 1.0) * 10000.0) / 10000.0
+             |    AS chi2,
+             |  round(sqrt((s - 1.0)
+             |    / CAST(least(n_rows, n_cols) - 1 AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS v
+             |FROM u ORDER BY pair""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
