@@ -9519,7 +9519,115 @@ object PipelineQueries {
              |  round(sqrt((s - 1.0)
              |    / CAST(least(n_rows, n_cols) - 1 AS DOUBLE)) * 1000000.0)
              |    / 1000000.0 AS v
-             |FROM u ORDER BY pair""".stripMargin)))
+             |FROM u ORDER BY pair""".stripMargin)),
+
+    // ---- Wald's sequential probability ratio test (SPRT) on the
+    // purchase-rate Bernoulli stream: H₀ p=0.15 vs H₁ p=0.25,
+    // α=β=0.05 → symmetric ±ln 19 boundaries. The LLR at step t is the
+    // EXACT composition k·ln(5/3) + (t−k)·ln(15/17) from integer
+    // cumulative counts (never an accumulated double), so the crossing
+    // row is engine-deterministic; the decision row joins back by the
+    // min crossing rn. The event-domain window is a total (ts,
+    // event_id) order — the sequential test is inherently one ordered
+    // scan; everything after it is O(1) rows.
+    Q("q337_sprt",
+      (s, d) => {
+        val lnR1 = log(lit(5.0 / 3.0))     // ln(p1/p0)
+        val lnR0 = log(lit(15.0 / 17.0))   // ln((1−p1)/(1−p0))
+        val lnA = log(lit(19.0))
+        val ev = Tables.events(s, d).select(col("ts").as("tns"),
+          col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("tns", "event_id")
+        val rows = ev.select(row_number().over(w).as("rn"),
+            sum(col("x")).over(w).as("k"))
+          .select(col("rn"), col("k"),
+            (col("k").cast("double") * lnR1
+              + (col("rn") - col("k")).cast("double") * lnR0).as("llr"))
+        val crossed = rows.where(col("llr") >= lnA || col("llr") <= -lnA)
+        val firstRn = crossed.agg(min(col("rn")).as("n_dec"))
+        val dec = rows.join(broadcast(firstRn), col("rn") === col("n_dec"))
+          .select(col("n_dec"), col("k").as("k_dec"),
+            col("llr").as("llr_dec"))
+        val fin = ev.agg(count(lit(1)).cast("long").as("n_total"),
+          sum(col("x")).cast("long").as("k_total"))
+        fin.join(broadcast(dec), lit(true), "left")
+          .select(col("n_total"),
+            when(col("llr_dec") >= lnA, "accept_h1")
+              .when(col("llr_dec") <= -lnA, "accept_h0")
+              .otherwise("continue").as("decision"),
+            col("n_dec").cast("long").as("n_dec"),
+            col("k_dec").cast("long").as("k_dec"),
+            (round(col("llr_dec") * 1000000.0) / 1000000.0).as("llr_dec"),
+            (round((col("k_total").cast("double") * lnR1
+              + (col("n_total") - col("k_total")).cast("double") * lnR0)
+              * 1000000.0) / 1000000.0).as("llr_final"))
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) AS tns, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+             |  FROM events),
+             |r AS (SELECT row_number() OVER w AS rn, sum(x) OVER w AS k
+             |  FROM e WINDOW w AS (ORDER BY tns, event_id)),
+             |l AS (SELECT rn, k,
+             |    CAST(k AS DOUBLE) * ln(5.0 / 3.0)
+             |      + CAST(rn - k AS DOUBLE) * ln(15.0 / 17.0) AS llr
+             |  FROM r),
+             |c AS (SELECT min(rn) AS n_dec FROM l
+             |  WHERE llr >= ln(19.0) OR llr <= -ln(19.0)),
+             |dr AS (SELECT l.rn AS n_dec, l.k AS k_dec, l.llr AS llr_dec
+             |  FROM l JOIN c ON l.rn = c.n_dec),
+             |f AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(sum(x) AS BIGINT) AS k_total FROM e)
+             |SELECT n_total,
+             |  CASE WHEN llr_dec >= ln(19.0) THEN 'accept_h1'
+             |       WHEN llr_dec <= -ln(19.0) THEN 'accept_h0'
+             |       ELSE 'continue' END AS decision,
+             |  CAST(n_dec AS BIGINT) AS n_dec,
+             |  CAST(k_dec AS BIGINT) AS k_dec,
+             |  round(llr_dec * 1000000.0) / 1000000.0 AS llr_dec,
+             |  round((CAST(k_total AS DOUBLE) * ln(5.0 / 3.0)
+             |    + CAST(n_total - k_total AS DOUBLE) * ln(15.0 / 17.0))
+             |    * 1000000.0) / 1000000.0 AS llr_final
+             |FROM f LEFT JOIN dr ON TRUE""".stripMargin)),
+
+    // ---- Edit-distance near-duplicate pairs over the part-name
+    // vocabulary with LAST-WORD blocking + a length band: the banded
+    // blocking turns the O(V²) all-pairs Levenshtein into per-block
+    // equi-joins (block = product noun), the shape that survives when V
+    // is millions — the quadratic work is confined to same-block,
+    // similar-length candidates and the length band is a pushable
+    // pre-filter that never computes the DP. Spark's levenshtein and
+    // DuckDB's agree on standard unit-cost edit distance.
+    Q("q338_levenshtein_pairs",
+      (s, d) => {
+        val names = t(s, d, "part").select(col("p_name").as("nm"))
+          .distinct()
+          .select(col("nm"),
+            element_at(split(col("nm"), " "), -1).as("blk"),
+            length(col("nm")).as("ln"))
+        val a = names.select(col("nm").as("name_a"), col("blk"),
+          col("ln").as("la"))
+        val b = names.select(col("nm").as("name_b"),
+          col("blk").as("blk_b"), col("ln").as("lb"))
+        a.join(b, col("blk") === col("blk_b")
+            && col("name_a") < col("name_b")
+            && abs(col("la") - col("lb")) <= 3)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long")
+              .as("dist"))
+          .where(col("dist") <= 3)
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+             |x AS (SELECT nm, string_split(nm, ' ')[-1] AS blk,
+             |    length(nm) AS ln FROM names)
+             |SELECT a.nm AS name_a, b.nm AS name_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |FROM x a JOIN x b ON a.blk = b.blk AND a.nm < b.nm
+             |  AND abs(a.ln - b.ln) <= 3
+             |WHERE levenshtein(a.nm, b.nm) <= 3
+             |ORDER BY name_a, name_b""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
