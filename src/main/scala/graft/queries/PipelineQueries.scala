@@ -9627,7 +9627,246 @@ object PipelineQueries {
              |FROM x a JOIN x b ON a.blk = b.blk AND a.nm < b.nm
              |  AND abs(a.ln - b.ln) <= 3
              |WHERE levenshtein(a.nm, b.nm) <= 3
-             |ORDER BY name_a, name_b""".stripMargin)))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // ---- Davies–Bouldin cluster-validity index over the labeled
+    // embeddings (q322's 1e-4 quantization): per-cluster scatter sₖ and
+    // pairwise centroid distances are kept as EXACT integer numerators
+    // (Σx²·n − ΣS², Σ(Sᵢnⱼ−Sⱼnᵢ)²) until one sqrt each, so the
+    // worst-partner ratio Rᵢⱼ=(sᵢ+sⱼ)/dᵢⱼ and its per-cluster max are
+    // engine-deterministic. All post-scan tables are label- or
+    // label²-sized; the vector scan is the only data-sized pass.
+    Q("q339_davies_bouldin",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val q = t(s, d, "embeddings").select(
+          col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+            "* 10000.0) AS LONG))").as("q")).localCheckpoint()
+        val ns = q.groupBy("label").agg(count(lit(1)).cast(dec).as("n"))
+        val ex = q.select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+        val sums = ex.groupBy("label", "i")
+          .agg(sum(col("v")).cast(dec).as("s"))
+        val ssq = ex.groupBy("label")
+          .agg(sum(col("v").cast(dec) * col("v").cast(dec)).as("ssq"))
+        val ss2 = sums.groupBy("label")
+          .agg(sum(col("s") * col("s")).as("ss2"))
+        val st = ns.join(ssq, "label").join(ss2, "label")
+          .select(col("label"), col("n"),
+            (sqrt((col("ssq") * col("n") - col("ss2")).cast("double"))
+              / (col("n").cast("double") * 10000.0)).as("sk"))
+        val a = sums.select(col("label").as("la"), col("i"), col("s").as("sa"))
+          .join(broadcast(ns.select(col("label").as("la"), col("n").as("na"))), "la")
+        val b = sums.select(col("label").as("lb"), col("i").as("ib"),
+            col("s").as("sb"))
+          .join(broadcast(ns.select(col("label").as("lb"), col("n").as("nb"))), "lb")
+        val pr = a.join(b, col("i") === col("ib") && col("la") =!= col("lb"))
+          .groupBy("la", "lb").agg(
+            sum((col("sa") * col("nb") - col("sb") * col("na"))
+              * (col("sa") * col("nb") - col("sb") * col("na"))).as("num"),
+            max(col("na")).as("na"), max(col("nb")).as("nb"))
+        val r = pr
+          .join(broadcast(st.select(col("label").as("la"), col("sk").as("ska"))), "la")
+          .join(broadcast(st.select(col("label").as("lb"), col("sk").as("skb"))), "lb")
+          .select(col("la"),
+            ((col("ska") + col("skb")) / (sqrt(col("num").cast("double"))
+              / (col("na").cast("double") * col("nb").cast("double")
+                * 10000.0))).as("rr"))
+        val mx = r.groupBy("la")
+          .agg((round(max(col("rr")) * 1000000.0) / 1000000.0).as("r_max"))
+        val db = mx.agg((round(avg(col("r_max")) * 1000000.0) / 1000000.0)
+          .as("db_index"))
+        mx.join(broadcast(st.select(col("label").as("la"), col("n"),
+            col("sk"))), "la")
+          .join(broadcast(db))
+          .select(col("la").as("label"), col("n").cast("long").as("n"),
+            (round(col("sk") * 1000000.0) / 1000000.0).as("s_within"),
+            col("r_max"), col("db_index"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (SELECT label,
+             |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+             |     for x in embedding] AS q
+             |  FROM embeddings),
+             |ns AS (SELECT label, CAST(count(*) AS HUGEINT) AS n
+             |  FROM q GROUP BY label),
+             |ex AS (SELECT label,
+             |    unnest([{'i': i, 'v': q[i]} for i in range(1, 65)]) AS e
+             |  FROM q),
+             |sums AS (SELECT label, e.i AS i, CAST(sum(e.v) AS HUGEINT) AS s
+             |  FROM ex GROUP BY 1, 2),
+             |sq AS (SELECT label, sum(CAST(e.v AS HUGEINT)
+             |    * CAST(e.v AS HUGEINT)) AS ssq FROM ex GROUP BY 1),
+             |s2 AS (SELECT label, sum(s * s) AS ss2 FROM sums GROUP BY 1),
+             |st AS (SELECT ns.label, ns.n,
+             |    sqrt(CAST(sq.ssq * ns.n - s2.ss2 AS DOUBLE))
+             |      / (CAST(ns.n AS DOUBLE) * 10000.0) AS sk
+             |  FROM ns JOIN sq ON ns.label = sq.label
+             |    JOIN s2 ON ns.label = s2.label),
+             |pr AS (SELECT a.label AS la, b.label AS lb,
+             |    sum((a.s * bn.n - b.s * an.n) * (a.s * bn.n - b.s * an.n))
+             |      AS num,
+             |    max(an.n) AS na, max(bn.n) AS nb
+             |  FROM sums a JOIN ns an ON a.label = an.label
+             |    JOIN sums b ON a.i = b.i AND a.label <> b.label
+             |    JOIN ns bn ON b.label = bn.label
+             |  GROUP BY 1, 2),
+             |r AS (SELECT la, (sa.sk + sb.sk) / (sqrt(CAST(num AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000.0)) AS rr
+             |  FROM pr JOIN st sa ON pr.la = sa.label
+             |    JOIN st sb ON pr.lb = sb.label),
+             |mx AS (SELECT la, round(max(rr) * 1000000.0) / 1000000.0
+             |    AS r_max FROM r GROUP BY la),
+             |db AS (SELECT round(avg(r_max) * 1000000.0) / 1000000.0
+             |    AS db_index FROM mx)
+             |SELECT CAST(la AS BIGINT) AS label, CAST(st.n AS BIGINT) AS n,
+             |  round(st.sk * 1000000.0) / 1000000.0 AS s_within,
+             |  r_max, db_index
+             |FROM mx JOIN st ON mx.la = st.label CROSS JOIN db
+             |ORDER BY label""".stripMargin)),
+
+    // ---- Calinski–Harabasz variance-ratio index over the same labeled
+    // embeddings: CH = (B/(K−1))/(W/(N−K)). Both scatter totals are
+    // sums of per-cluster EXACT integer numerators (within: Σx²·n−ΣS²
+    // over n; between: Σ(SᵢN−Tᵢnₖ)² over nₖN²), each term rounded to
+    // one 1e-8-unit integer BEFORE the fold so the totals are exact
+    // decimal sums — no accumulation-order drift. Model-sized tables
+    // throughout; one data pass.
+    Q("q340_calinski_harabasz",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val q = t(s, d, "embeddings").select(
+          col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+            "* 10000.0) AS LONG))").as("q")).localCheckpoint()
+        val ns = q.groupBy("label").agg(count(lit(1)).cast(dec).as("n"))
+        val ex = q.select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+        val sums = ex.groupBy("label", "i")
+          .agg(sum(col("v")).cast(dec).as("s"))
+        val ssq = ex.groupBy("label")
+          .agg(sum(col("v").cast(dec) * col("v").cast(dec)).as("ssq"))
+        val ss2 = sums.groupBy("label")
+          .agg(sum(col("s") * col("s")).as("ss2"))
+        val tot = sums.groupBy("i").agg(sum(col("s")).as("ti"))
+        val nn = ns.agg(sum(col("n")).as("nt"),
+          count(lit(1)).cast("long").as("k"))
+        val wterm = ns.join(ssq, "label").join(ss2, "label")
+          .select(round((col("ssq") * col("n") - col("ss2")).cast("double")
+            / col("n").cast("double")).cast(dec).as("wt"))
+        val bterm = sums.join(broadcast(tot), "i").join(broadcast(ns), "label")
+          .join(broadcast(nn))
+          .groupBy("label").agg(
+            sum((col("s") * col("nt") - col("ti") * col("n"))
+              * (col("s") * col("nt") - col("ti") * col("n"))).as("g"),
+            max(col("n")).as("n"), max(col("nt")).as("nt"))
+          .select(round(col("g").cast("double") / (col("n").cast("double")
+            * col("nt").cast("double") * col("nt").cast("double")))
+            .cast(dec).as("bt"))
+        val w = wterm.agg(sum(col("wt")).as("w"))
+        val b = bterm.agg(sum(col("bt")).as("b"))
+        w.join(broadcast(b)).join(broadcast(nn))
+          .select(col("nt").cast("long").as("n_vectors"), col("k")
+              .as("k_clusters"),
+            (round(col("w").cast("double") / 100000000.0 * 10000.0)
+              / 10000.0).as("within_ss"),
+            (round(col("b").cast("double") / 100000000.0 * 10000.0)
+              / 10000.0).as("between_ss"),
+            (round((col("b").cast("double") / (col("k") - 1L).cast("double"))
+              / (col("w").cast("double")
+                / (col("nt").cast("long") - col("k")).cast("double"))
+              * 10000.0) / 10000.0).as("ch"))
+      },
+      Some("""WITH q AS (SELECT label,
+             |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+             |     for x in embedding] AS q
+             |  FROM embeddings),
+             |ns AS (SELECT label, CAST(count(*) AS HUGEINT) AS n
+             |  FROM q GROUP BY label),
+             |ex AS (SELECT label,
+             |    unnest([{'i': i, 'v': q[i]} for i in range(1, 65)]) AS e
+             |  FROM q),
+             |sums AS (SELECT label, e.i AS i, CAST(sum(e.v) AS HUGEINT) AS s
+             |  FROM ex GROUP BY 1, 2),
+             |sq AS (SELECT label, sum(CAST(e.v AS HUGEINT)
+             |    * CAST(e.v AS HUGEINT)) AS ssq FROM ex GROUP BY 1),
+             |s2 AS (SELECT label, sum(s * s) AS ss2 FROM sums GROUP BY 1),
+             |tt AS (SELECT i, sum(s) AS ti FROM sums GROUP BY i),
+             |nn AS (SELECT sum(n) AS nt, CAST(count(*) AS BIGINT) AS k
+             |  FROM ns),
+             |wt AS (SELECT CAST(round(CAST(sq.ssq * ns.n - s2.ss2 AS DOUBLE)
+             |    / CAST(ns.n AS DOUBLE)) AS HUGEINT) AS wt
+             |  FROM ns JOIN sq ON ns.label = sq.label
+             |    JOIN s2 ON ns.label = s2.label),
+             |bt AS (SELECT CAST(round(CAST(g AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+             |      * CAST(nt AS DOUBLE))) AS HUGEINT) AS bt
+             |  FROM (SELECT sums.label,
+             |      sum((sums.s * nn.nt - tt.ti * ns.n)
+             |        * (sums.s * nn.nt - tt.ti * ns.n)) AS g,
+             |      max(ns.n) AS n, max(nn.nt) AS nt
+             |    FROM sums JOIN tt ON sums.i = tt.i
+             |      JOIN ns ON sums.label = ns.label
+             |      CROSS JOIN nn
+             |    GROUP BY 1)),
+             |w AS (SELECT sum(wt) AS w FROM wt),
+             |b AS (SELECT sum(bt) AS b FROM bt)
+             |SELECT CAST(nn.nt AS BIGINT) AS n_vectors, nn.k AS k_clusters,
+             |  round(CAST(w.w AS DOUBLE) / 100000000.0 * 10000.0) / 10000.0
+             |    AS within_ss,
+             |  round(CAST(b.b AS DOUBLE) / 100000000.0 * 10000.0) / 10000.0
+             |    AS between_ss,
+             |  round((CAST(b.b AS DOUBLE) / CAST(nn.k - 1 AS DOUBLE))
+             |    / (CAST(w.w AS DOUBLE)
+             |      / CAST(CAST(nn.nt AS BIGINT) - nn.k AS DOUBLE))
+             |    * 10000.0) / 10000.0 AS ch
+             |FROM w CROSS JOIN b CROSS JOIN nn""".stripMargin)),
+
+    // ---- Bhattacharyya coefficient + Hellinger distance between the
+    // English / non-English document-length distributions over width-25
+    // bins: BC = Σ√(c1·c2)/√(N1·N2) — the per-bin products stay exact
+    // integers under the sqrt, so the only float fold is the ~20-term
+    // bin sum. Completes the drift-metric family (KS q201, PSI q297,
+    // JS q221, W1 q332) with the geometric overlap measure.
+    Q("q341_bhattacharyya",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val b = t(s, d, "documents")
+          .select(expr("n_chars div 25").as("bin"),
+            (col("lang") === "en").as("g"))
+          .groupBy("bin").agg(
+            sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("g"), 1L).otherwise(0L)).as("c2"))
+        b.agg(count(lit(1)).cast("long").as("n_bins"),
+            sum(col("c1")).cast("long").as("n_en"),
+            sum(col("c2")).cast("long").as("n_other"),
+            sum(sqrt((col("c1").cast(dec) * col("c2").cast(dec))
+              .cast("double"))).as("sq"))
+          .select(col("n_bins"), col("n_en"), col("n_other"),
+            (round(col("sq") / sqrt(col("n_en").cast("double")
+              * col("n_other").cast("double")) * 1000000.0) / 1000000.0)
+              .as("bc"),
+            (round(sqrt(greatest(lit(1.0) - col("sq")
+              / sqrt(col("n_en").cast("double")
+                * col("n_other").cast("double")), lit(0.0))) * 1000000.0)
+              / 1000000.0).as("hellinger"))
+      },
+      Some("""WITH b AS (SELECT n_chars // 25 AS bin,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c2
+             |  FROM documents GROUP BY 1),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             |    CAST(sum(c1) AS BIGINT) AS n_en,
+             |    CAST(sum(c2) AS BIGINT) AS n_other,
+             |    sum(sqrt(CAST(CAST(c1 AS HUGEINT) * CAST(c2 AS HUGEINT)
+             |      AS DOUBLE))) AS sq
+             |  FROM b)
+             |SELECT n_bins, n_en, n_other,
+             |  round(sq / sqrt(CAST(n_en AS DOUBLE)
+             |    * CAST(n_other AS DOUBLE)) * 1000000.0) / 1000000.0 AS bc,
+             |  round(sqrt(greatest(1.0 - sq / sqrt(CAST(n_en AS DOUBLE)
+             |    * CAST(n_other AS DOUBLE)), 0.0)) * 1000000.0) / 1000000.0
+             |    AS hellinger
+             |FROM a""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
