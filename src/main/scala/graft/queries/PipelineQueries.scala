@@ -9866,7 +9866,255 @@ object PipelineQueries {
              |  round(sqrt(greatest(1.0 - sq / sqrt(CAST(n_en AS DOUBLE)
              |    * CAST(n_other AS DOUBLE)), 0.0)) * 1000000.0) / 1000000.0
              |    AS hellinger
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ---- Simpson's-paradox audit for the q330 association: per-segment
+    // fulfillment rates under high vs low priority PLUS the pooled row,
+    // with a flag marking strata whose treatment-effect sign disagrees
+    // with the pooled sign — the aggregation-reversal check any metrics
+    // pipeline should run before reporting a pooled lift. Rates are
+    // exact integer ratios, one segment-key shuffle, pooled row unioned.
+    Q("q342_simpsons_audit",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("tr"),
+          (col("o_orderstatus") === "F").as("yy"))
+        val j = o.join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        def rates(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+          sum(when(col("tr") && col("yy"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("tr") && col("yy"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("n0"))
+        val st = rates(j.groupBy(col("c_mktsegment").as("stratum")))
+        val pooled = rates(j.groupBy(lit("_POOLED_").as("stratum")))
+        val all = st.unionAll(pooled)
+        val rt = col("a").cast("double") / col("n1").cast("double")
+        val rc = col("b").cast("double") / col("n0").cast("double")
+        val sgn = signum(rt - rc)
+        val psgn = signum(max(when(col("stratum") === "_POOLED_",
+          rt - rc)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        all.select(col("stratum"), col("n1"), col("n0"),
+            (round(rt * 1000000.0) / 1000000.0).as("rate_treat"),
+            (round(rc * 1000000.0) / 1000000.0).as("rate_ctrl"),
+            (round((rt - rc) * 1000000.0) / 1000000.0).as("diff"),
+            (sgn =!= psgn).as("reversed"))
+          .orderBy("stratum")
+      },
+      Some("""WITH o AS (SELECT c_mktsegment AS stratum,
+             |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS tr,
+             |    o_orderstatus = 'F' AS yy
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |st AS (SELECT stratum,
+             |    CAST(sum(CASE WHEN tr AND yy THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS a,
+             |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN NOT tr AND yy THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0
+             |  FROM o GROUP BY 1
+             |  UNION ALL
+             |  SELECT '_POOLED_',
+             |    CAST(sum(CASE WHEN tr AND yy THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT tr AND yy THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM o),
+             |x AS (SELECT stratum, n1, n0,
+             |    CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE) AS rt,
+             |    CAST(b AS DOUBLE) / CAST(n0 AS DOUBLE) AS rc FROM st),
+             |p AS (SELECT max(CASE WHEN stratum = '_POOLED_'
+             |    THEN rt - rc END) OVER () AS pd, x.* FROM x)
+             |SELECT stratum, n1, n0,
+             |  round(rt * 1000000.0) / 1000000.0 AS rate_treat,
+             |  round(rc * 1000000.0) / 1000000.0 AS rate_ctrl,
+             |  round((rt - rc) * 1000000.0) / 1000000.0 AS diff,
+             |  sign(rt - rc) <> sign(pd) AS reversed
+             |FROM p ORDER BY stratum""".stripMargin)),
+
+    // ---- Log-rank test: does view→purchase conversion SPEED differ
+    // between the even/odd user-id cohorts? The q231 duration table
+    // split by cohort; at each event day the observed-vs-expected
+    // cohort-1 events and the hypergeometric variance accumulate as
+    // 1e-8-quantized exact integer sums (the q340 trick — per-term
+    // round, then exact decimal fold), so the χ² is engine-
+    // deterministic. All window work runs on the per-day cell table.
+    Q("q343_log_rank",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val entry = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t0"),
+          max(col("ts")).as("tmax"))
+          .where(col("t0").isNotNull)
+        val conv = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+          .join(entry.select("user_id", "t0"), "user_id")
+          .where(col("ts") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts")).as("tp"))
+        val dayNs = 86400L * 1000000000L
+        val du = entry.join(conv, Seq("user_id"), "left")
+          .select(pmod(col("user_id"), lit(2L)).as("grp"),
+            when(col("tp").isNotNull, expr(s"(tp - t0) div $dayNs"))
+              .otherwise(expr(s"(tmax - t0) div $dayNs")).as("dur"),
+            col("tp").isNotNull.cast("long").as("ev"))
+        val cell = du.groupBy("dur").agg(
+          sum(when(col("grp") === 0, col("ev")).otherwise(0L)).as("d1"),
+          sum(when(col("grp") === 1, col("ev")).otherwise(0L)).as("d2"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("l1"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("l2"))
+        val tot = cell.agg(sum(col("l1")).as("t1"), sum(col("l2")).as("t2"))
+        val prior = org.apache.spark.sql.expressions.Window.orderBy("dur")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val risked = cell.join(broadcast(tot))
+          .withColumn("n1j",
+            col("t1") - coalesce(sum(col("l1")).over(prior), lit(0L)))
+          .withColumn("n2j",
+            col("t2") - coalesce(sum(col("l2")).over(prior), lit(0L)))
+          .withColumn("dj", col("d1") + col("d2"))
+          .withColumn("nj", col("n1j") + col("n2j"))
+          .where(col("dj") > 0)
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val e1 = dd(col("dj")) * dd(col("n1j")) / dd(col("nj"))
+        val vj = when(col("nj") > 1,
+          dd(col("dj")) * dd(col("n1j")) * dd(col("n2j"))
+            * (dd(col("nj")) - dd(col("dj")))
+            / (dd(col("nj")) * dd(col("nj")) * (dd(col("nj")) - 1.0)))
+          .otherwise(lit(0.0))
+        val agg = risked.agg(
+          count(lit(1)).cast("long").as("n_times"),
+          max(col("t1")).cast("long").as("n_grp0"),
+          max(col("t2")).cast("long").as("n_grp1"),
+          sum(col("d1")).cast("long").as("o1"),
+          sum(round(e1 * 100000000.0).cast(dec)).as("e8"),
+          sum(round(vj * 100000000.0).cast(dec)).as("v8"))
+        agg.select(col("n_grp0"), col("n_grp1"), col("n_times"), col("o1"),
+          (round(col("e8").cast("double") / 100000000.0 * 10000.0)
+            / 10000.0).as("e1"),
+          (round(col("v8").cast("double") / 100000000.0 * 10000.0)
+            / 10000.0).as("variance"),
+          (round(pow(col("o1").cast("double")
+              - col("e8").cast("double") / 100000000.0, 2.0)
+            / (col("v8").cast("double") / 100000000.0) * 10000.0)
+            / 10000.0).as("chi2"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+             |  FROM events),
+             |en AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN tns END) AS t0,
+             |    max(tns) AS tmax
+             |  FROM e GROUP BY user_id
+             |  HAVING min(CASE WHEN event_type = 'view' THEN tns END)
+             |    IS NOT NULL),
+             |cv AS (SELECT e.user_id, min(tns) AS tp
+             |  FROM e JOIN en USING (user_id)
+             |  WHERE event_type = 'purchase' AND tns >= t0
+             |  GROUP BY e.user_id),
+             |du AS (SELECT en.user_id % 2 AS grp,
+             |    CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+             |         ELSE (tmax - t0) // 86400000000000 END AS dur,
+             |    CAST(tp IS NOT NULL AS BIGINT) AS ev
+             |  FROM en LEFT JOIN cv USING (user_id)),
+             |cl AS (SELECT dur,
+             |    sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d1,
+             |    sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d2,
+             |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS l1,
+             |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS l2
+             |  FROM du GROUP BY dur),
+             |tt AS (SELECT sum(l1) AS t1, sum(l2) AS t2 FROM cl),
+             |rk AS (SELECT dur, d1, d2,
+             |    t1 - coalesce(sum(l1) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n1j,
+             |    t2 - coalesce(sum(l2) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n2j,
+             |    t1, t2
+             |  FROM cl CROSS JOIN tt),
+             |fx AS (SELECT dur, d1, d1 + d2 AS dj, n1j, n2j,
+             |    n1j + n2j AS nj, t1, t2 FROM rk WHERE d1 + d2 > 0),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+             |    CAST(max(t1) AS BIGINT) AS n_grp0,
+             |    CAST(max(t2) AS BIGINT) AS n_grp1,
+             |    CAST(sum(d1) AS BIGINT) AS o1,
+             |    sum(CAST(round(CAST(dj AS DOUBLE) * CAST(n1j AS DOUBLE)
+             |      / CAST(nj AS DOUBLE) * 100000000.0) AS HUGEINT)) AS e8,
+             |    sum(CAST(round(CASE WHEN nj > 1
+             |      THEN CAST(dj AS DOUBLE) * CAST(n1j AS DOUBLE)
+             |        * CAST(n2j AS DOUBLE)
+             |        * (CAST(nj AS DOUBLE) - CAST(dj AS DOUBLE))
+             |        / (CAST(nj AS DOUBLE) * CAST(nj AS DOUBLE)
+             |          * (CAST(nj AS DOUBLE) - 1.0))
+             |      ELSE 0.0 END * 100000000.0) AS HUGEINT)) AS v8
+             |  FROM fx)
+             |SELECT n_grp0, n_grp1, n_times, o1,
+             |  round(CAST(e8 AS DOUBLE) / 100000000.0 * 10000.0) / 10000.0
+             |    AS e1,
+             |  round(CAST(v8 AS DOUBLE) / 100000000.0 * 10000.0) / 10000.0
+             |    AS variance,
+             |  round(pow(CAST(o1 AS DOUBLE)
+             |      - CAST(e8 AS DOUBLE) / 100000000.0, 2.0)
+             |    / (CAST(v8 AS DOUBLE) / 100000000.0) * 10000.0) / 10000.0
+             |    AS chi2
+             |FROM ag""".stripMargin)),
+
+    // ---- Durbin–Watson serial-correlation statistic on the dense
+    // daily event-count series: DW = Σ(Δc)²·n / (n·Σc² − S²) — the
+    // mean-centered residual form reduces to FULLY exact integer
+    // algebra (Δc cancels the mean; the denominator is the scaled
+    // moment determinant), one double division at the end. Day-domain
+    // window (q327 convention); one pass over the calendar-sized table.
+    Q("q344_durbin_watson",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val lagged = dense.withColumn("pc", lag(col("c"), 1).over(w))
+        val agg = lagged.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("sc"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("qc"),
+          sum(when(col("pc").isNotNull,
+            (col("c") - col("pc")).cast(dec)
+              * (col("c") - col("pc")).cast(dec)).otherwise(lit(0L)
+              .cast(dec))).as("nd"))
+        agg.select(col("n").cast("long").as("n_days"),
+            (round((col("nd") * col("n")).cast("double")
+              / (col("n") * col("qc") - col("sc") * col("sc"))
+                .cast("double") * 1000000.0) / 1000000.0).as("dw"))
+          .select(col("n_days"), col("dw"),
+            (round((lit(1.0) - col("dw") / 2.0) * 1000000.0) / 1000000.0)
+              .as("rho_approx"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |lg AS (SELECT c, lag(c) OVER (ORDER BY day) AS pc FROM dn),
+             |ag AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS sc,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS qc,
+             |    sum(CASE WHEN pc IS NOT NULL
+             |      THEN CAST(c - pc AS HUGEINT) * CAST(c - pc AS HUGEINT)
+             |      ELSE CAST(0 AS HUGEINT) END) AS nd
+             |  FROM lg),
+             |r AS (SELECT CAST(n AS BIGINT) AS n_days,
+             |    round(CAST(nd * n AS DOUBLE)
+             |      / CAST(n * qc - sc * sc AS DOUBLE) * 1000000.0)
+             |      / 1000000.0 AS dw
+             |  FROM ag)
+             |SELECT n_days, dw,
+             |  round((1.0 - dw / 2.0) * 1000000.0) / 1000000.0
+             |    AS rho_approx
+             |FROM r""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
