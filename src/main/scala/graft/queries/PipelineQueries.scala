@@ -10114,7 +10114,173 @@ object PipelineQueries {
              |SELECT n_days, dw,
              |  round((1.0 - dw / 2.0) * 1000000.0) / 1000000.0
              |    AS rho_approx
-             |FROM r""".stripMargin)))
+             |FROM r""".stripMargin)),
+
+    // ---- Cochran's Q: do THREE matched language-ID rules (tokens
+    // 'the' / 'a' / 'of', q329's framing extended to k=3) have equal
+    // accuracy on the same documents? Q = (k−1)(k·ΣGⱼ²−N²)/(k·ΣLᵢ−ΣLᵢ²)
+    // — the identity form makes every sum an exact integer (per-doc
+    // success counts), one division at the end. ONE conditional-sum
+    // pass; df = k−1 = 2.
+    Q("q345_cochran_q",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val toks = split(col("text"), " ")
+        val lab = col("lang") === "en"
+        def c(word: String) = when(array_contains(toks, word) === lab, 1L)
+          .otherwise(0L)
+        val base = t(s, d, "documents").select(c("the").as("c1"),
+          c("a").as("c2"), c("of").as("c3"))
+        val l = col("c1") + col("c2") + col("c3")
+        val agg = base.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("c1")).cast(dec).as("g1"),
+          sum(col("c2")).cast(dec).as("g2"),
+          sum(col("c3")).cast(dec).as("g3"),
+          sum(l.cast(dec)).as("sl"), sum(l.cast(dec) * l.cast(dec)).as("sl2"))
+        agg.select(col("n"), col("g1").cast("long").as("g1"),
+          col("g2").cast("long").as("g2"), col("g3").cast("long").as("g3"),
+          (round((lit(2L).cast(dec) * (lit(3L).cast(dec)
+              * (col("g1") * col("g1") + col("g2") * col("g2")
+                + col("g3") * col("g3")) - col("sl") * col("sl")))
+              .cast("double")
+            / (lit(3L).cast(dec) * col("sl") - col("sl2")).cast("double")
+            * 10000.0) / 10000.0).as("q_stat"))
+      },
+      Some("""WITH b AS (SELECT
+             |    CASE WHEN list_contains(string_split(text, ' '), 'the')
+             |      = (lang = 'en') THEN 1 ELSE 0 END AS c1,
+             |    CASE WHEN list_contains(string_split(text, ' '), 'a')
+             |      = (lang = 'en') THEN 1 ELSE 0 END AS c2,
+             |    CASE WHEN list_contains(string_split(text, ' '), 'of')
+             |      = (lang = 'en') THEN 1 ELSE 0 END AS c3
+             |  FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c1) AS HUGEINT) AS g1,
+             |    CAST(sum(c2) AS HUGEINT) AS g2,
+             |    CAST(sum(c3) AS HUGEINT) AS g3,
+             |    CAST(sum(c1 + c2 + c3) AS HUGEINT) AS sl,
+             |    sum(CAST(c1 + c2 + c3 AS HUGEINT)
+             |      * CAST(c1 + c2 + c3 AS HUGEINT)) AS sl2
+             |  FROM b)
+             |SELECT n, CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+             |  CAST(g3 AS BIGINT) AS g3,
+             |  round(CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+             |      - sl * sl) AS DOUBLE)
+             |    / CAST(3 * sl - sl2 AS DOUBLE) * 10000.0) / 10000.0
+             |    AS q_stat
+             |FROM a""".stripMargin)),
+
+    // ---- Weekly top-10 churn: rank parts by shipped quantity inside
+    // each ship week, then Jaccard the top-10 sets of CONSECUTIVE weeks
+    // — the "trending stability" monitor (how fast does the head of the
+    // distribution turn over). Rank tables are week×10 rows, so the
+    // consecutive-week overlap is an equi-join on (week+1, part) over
+    // tiny sorted sets; quantities stay exact via cents-free integer
+    // l_quantity sums; the only data-sized work is one (week, part)
+    // aggregation of the fact scan.
+    Q("q346_topk_churn",
+      (s, d) => {
+        val wk = expr(
+          "CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT) div 7")
+          .as("week")
+        val wq = t(s, d, "lineitem")
+          .groupBy(wk, col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("week")
+          .orderBy(col("q").desc, col("l_partkey"))
+        val top = wq.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 10)
+          .select(col("week"), col("l_partkey"))
+        val ov = top.select((col("week") + 1L).as("nweek"),
+            col("l_partkey").as("pk"))
+          .join(top, col("nweek") === col("week")
+            && col("pk") === col("l_partkey"))
+          .groupBy(col("week")).agg(count(lit(1)).as("overlap"))
+        top.groupBy("week").agg(count(lit(1)).as("k"))
+          .join(ov, Seq("week"), "left")
+          .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+          .withColumn("prev_k",
+            lag(col("k"), 1).over(org.apache.spark.sql.expressions.Window
+              .orderBy("week")))
+          .where(col("prev_k").isNotNull)
+          .select(col("week"), col("overlap").cast("long").as("overlap"),
+            (round(col("overlap").cast("double")
+              / (col("prev_k") + col("k") - col("overlap")).cast("double")
+              * 1000000.0) / 1000000.0).as("jaccard"))
+          .orderBy("week")
+      },
+      Some("""WITH wq AS (SELECT
+             |    date_diff('day', DATE '1970-01-01', l_shipdate) // 7
+             |      AS week,
+             |    l_partkey, sum(CAST(l_quantity AS BIGINT)) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |tp AS (SELECT week, l_partkey FROM (SELECT week, l_partkey,
+             |    row_number() OVER (PARTITION BY week
+             |      ORDER BY q DESC, l_partkey) AS rk FROM wq)
+             |  WHERE rk <= 10),
+             |ov AS (SELECT b.week AS week, count(*) AS overlap
+             |  FROM tp a JOIN tp b ON a.week + 1 = b.week
+             |    AND a.l_partkey = b.l_partkey
+             |  GROUP BY 1),
+             |ks AS (SELECT week, count(*) AS k FROM tp GROUP BY 1),
+             |j AS (SELECT ks.week, ks.k,
+             |    coalesce(ov.overlap, 0) AS overlap,
+             |    lag(ks.k) OVER (ORDER BY ks.week) AS prev_k
+             |  FROM ks LEFT JOIN ov ON ks.week = ov.week)
+             |SELECT week, CAST(overlap AS BIGINT) AS overlap,
+             |  round(CAST(overlap AS DOUBLE)
+             |    / CAST(prev_k + k - overlap AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS jaccard
+             |FROM j WHERE prev_k IS NOT NULL ORDER BY week""".stripMargin)),
+
+    // ---- 2-D skyline (Pareto frontier) of parts: minimize retail
+    // price, maximize size. The sort-based O(n log n) formulation — one
+    // row per PRICE LEVEL (groupBy max-size), a running strictly-before
+    // max over the price order, keep levels that beat it, join back for
+    // the member rows — replaces the naive NOT-EXISTS O(n²) self-join;
+    // at scale the level table is price-cardinality-sized and the
+    // running max is one window pass. Equal (price, size) twins are
+    // mutually non-dominated and both kept, matching dominance
+    // semantics (no strict coordinate).
+    Q("q347_skyline",
+      (s, d) => {
+        val parts = t(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"),
+            col("p_size").cast("long").as("p_size"))
+        val lvl = parts.groupBy("p_retailprice")
+          .agg(max(col("p_size")).as("msize"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("p_retailprice")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val keep = lvl.withColumn("before", max(col("msize")).over(w))
+          .where(col("before").isNull || col("msize") > col("before"))
+        parts.join(keep.select(col("p_retailprice"), col("msize")),
+            Seq("p_retailprice"))
+          .where(col("p_size") === col("msize"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100.0).cast("long")
+              .as("price_cents"),
+            col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_retailprice,
+             |    CAST(p_size AS BIGINT) AS p_size FROM part),
+             |lvl AS (SELECT p_retailprice, max(p_size) AS msize
+             |  FROM p GROUP BY 1),
+             |keep AS (SELECT p_retailprice, msize FROM (
+             |    SELECT p_retailprice, msize,
+             |      max(msize) OVER (ORDER BY p_retailprice
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS before
+             |    FROM lvl)
+             |  WHERE before IS NULL OR msize > before)
+             |SELECT p_partkey,
+             |  CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_cents,
+             |  p_size
+             |FROM p JOIN keep USING (p_retailprice)
+             |WHERE p_size = msize
+             |ORDER BY p_partkey""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
