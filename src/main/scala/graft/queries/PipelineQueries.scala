@@ -10280,7 +10280,186 @@ object PipelineQueries {
              |  p_size
              |FROM p JOIN keep USING (p_retailprice)
              |WHERE p_size = msize
-             |ORDER BY p_partkey""".stripMargin)))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- Quantile normalization: re-express every NON-English doc's
+    // length on the English length distribution (the batch-effect
+    // transform applied feature-wise in omics/ML preprocessing), via
+    // the EXACT nearest-rank map r ↦ ceil(r·N₁/N₂) — integer ceil-div,
+    // no interpolation, so the mapping is a pure equi-join between the
+    // two ranked tables. The global row_number is one range-partitioned
+    // sort pass per side at scale; the rank join is key-to-key.
+    Q("q348_quantile_norm",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val en = docs.where(col("lang") === "en")
+          .select(col("n_chars").as("v"), col("doc_id"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("v", "doc_id")))
+          .drop("doc_id")
+        val ne = docs.where(col("lang") =!= "en")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("r2", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("n_chars", "doc_id")))
+        val n1 = en.agg(count(lit(1)).as("n1"))
+        val n2 = ne.agg(count(lit(1)).as("n2"))
+        ne.join(broadcast(n1)).join(broadcast(n2))
+          .withColumn("mr", expr("(r2 * n1 + n2 - 1) div n2"))
+          .join(en, col("mr") === col("r"))
+          .select(col("doc_id"), col("n_chars").as("orig_chars"),
+            col("v").as("mapped_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH en AS (SELECT n_chars AS v,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+             |  FROM documents WHERE lang = 'en'),
+             |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM en),
+             |ne AS (SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) AS r2
+             |  FROM documents WHERE lang <> 'en'),
+             |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM ne),
+             |mp AS (SELECT doc_id, n_chars,
+             |    (r2 * n1 + n2 - 1) // n2 AS mr
+             |  FROM ne CROSS JOIN n1 CROSS JOIN n2)
+             |SELECT mp.doc_id, mp.n_chars AS orig_chars,
+             |  en.v AS mapped_chars
+             |FROM mp JOIN en ON mp.mr = en.r
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Diagonal-covariance Mahalanobis outliers on the (chars,
+    // tokens) document plane: z² = (x−μx)²/s²x + (y−μy)²/s²y from ONE
+    // exact decimal38 moment pass broadcast back into a scan-speed
+    // per-row score — the multivariate generalization of q243's
+    // z-score with no matrix inverse to drift. Top-10 by (score, id):
+    // every score is one fixed IEEE chain from exact integer moments.
+    Q("q349_mahalanobis_diag",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "documents").select(col("doc_id"),
+          col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        val m = base.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = dd(col("n"))
+        val mx = dd(col("sx")) / n
+        val my = dd(col("sy")) / n
+        val vx = (dd(col("sxx")) - dd(col("sx")) * dd(col("sx")) / n) /
+          (n - 1.0)
+        val vy = (dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / n) /
+          (n - 1.0)
+        val score = (dd(col("x")) - mx) * (dd(col("x")) - mx) / vx +
+          (dd(col("y")) - my) * (dd(col("y")) - my) / vy
+        base.join(broadcast(m))
+          .select(col("doc_id"), col("x"), col("y"), score.as("sc"))
+          .orderBy(col("sc").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("x").as("n_chars"),
+            col("y").as("n_tokens"),
+            (round(col("sc") * 1000000.0) / 1000000.0).as("z2"))
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars AS x,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             |  FROM documents),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+             |  FROM b),
+             |sc AS (SELECT doc_id, x, y,
+             |    (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(x AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) - 1.0))
+             |    + (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(y AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) - 1.0)) AS sc
+             |  FROM b CROSS JOIN m)
+             |SELECT doc_id, x AS n_chars, y AS n_tokens,
+             |  round(sc * 1000000.0) / 1000000.0 AS z2
+             |FROM (SELECT * FROM sc ORDER BY sc DESC, doc_id LIMIT 10)
+             |ORDER BY sc DESC, doc_id""".stripMargin)),
+
+    // ---- Page–Hinkley change-point alarm on the dense daily series,
+    // in the FULLY-EXACT scaled form: Mₜ·n = n·cumₜ − t·S is an
+    // integer, so PHₜ = Mₜ − min_{s≤t}Mₛ and its argmax day are
+    // engine-deterministic with no double accumulating anywhere; the
+    // alarm compares the descaled peak against 6·sd (also from exact
+    // moments). Day-domain windows over the calendar-sized table.
+    Q("q350_page_hinkley",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val tot = dense.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("s"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("q"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val m = dense.join(broadcast(tot))
+          .withColumn("t", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("day")))
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("mm", col("cum").cast(dec) * col("n")
+            - col("t").cast(dec) * col("s"))
+          .withColumn("ph", col("mm") - min(col("mm")).over(w))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val sd = sqrt((dd(col("n")) * dd(col("q"))
+          - dd(col("s")) * dd(col("s")))
+          / (dd(col("n")) * (dd(col("n")) - 1.0)))
+        m.orderBy(col("ph").desc, col("day")).limit(1)
+          .select(col("n").cast("long").as("n_days"), col("day")
+              .as("day_at_max"),
+            (round(dd(col("ph")) / dd(col("n")) * 10000.0) / 10000.0)
+              .as("ph_max"),
+            (round(lit(6.0) * sd * 10000.0) / 10000.0).as("threshold"),
+            (dd(col("ph")) / dd(col("n")) > lit(6.0) * sd).as("alarm"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day
+             |    FROM bd) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+             |  FROM dn),
+             |mm AS (SELECT day, n, s, q,
+             |    CAST(sum(c) OVER w AS HUGEINT) * n
+             |      - CAST(row_number() OVER w AS HUGEINT) * s AS m
+             |  FROM dn CROSS JOIN tt
+             |  WINDOW w AS (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |ph AS (SELECT day, n, s, q,
+             |    m - min(m) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+             |  FROM mm),
+             |top AS (SELECT * FROM ph ORDER BY ph DESC, day LIMIT 1)
+             |SELECT CAST(n AS BIGINT) AS n_days, day AS day_at_max,
+             |  round(CAST(ph AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS ph_max,
+             |  round(6.0 * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+             |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |    * 10000.0) / 10000.0 AS threshold,
+             |  CAST(ph AS DOUBLE) / CAST(n AS DOUBLE)
+             |    > 6.0 * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |    AS alarm
+             |FROM top""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
