@@ -10459,7 +10459,199 @@ object PipelineQueries {
              |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
              |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
              |    AS alarm
-             |FROM top""".stripMargin)))
+             |FROM top""".stripMargin)),
+
+    // ---- Empirical semivariogram of the daily event-count series:
+    // γ(k) = Σ(c_{t+k}−c_t)² / (2·pairs) for k = 1..7 — the geostat
+    // companion to q203's ACF (distance-weighted dispersion instead of
+    // correlation), same lag-join recipe over the dense series:
+    // calendar-sized tables, exact integer numerators, one division.
+    Q("q351_semivariogram",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val lagged = dense
+          .select(col("day"), col("c"),
+            explode(sequence(lit(1), lit(7))).as("lag"))
+          .join(dense.select(col("day").as("bday"), col("c").as("cb")),
+            col("bday") === col("day") + col("lag"))
+        lagged.groupBy("lag").agg(
+            count(lit(1)).cast("long").as("n_pairs"),
+            sum((col("cb") - col("c")).cast(dec)
+              * (col("cb") - col("c")).cast(dec)).as("ss"))
+          .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+            (round(col("ss").cast("double")
+              / (lit(2.0) * col("n_pairs").cast("double")) * 10000.0)
+              / 10000.0).as("gamma"))
+          .orderBy("lag")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |lg AS (SELECT l.lag, a.c AS c, bb.c AS cb
+             |  FROM dn a CROSS JOIN (SELECT unnest(generate_series(1, 7))
+             |    AS lag) l
+             |  JOIN dn bb ON bb.day = a.day + l.lag)
+             |SELECT CAST(lag AS BIGINT) AS lag,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(CAST(sum(CAST(cb - c AS HUGEINT)
+             |    * CAST(cb - c AS HUGEINT)) AS DOUBLE)
+             |    / (2.0 * CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0
+             |    AS gamma
+             |FROM lg GROUP BY lag ORDER BY lag""".stripMargin)),
+
+    // ---- Friedman rank test for a weekday effect: each complete week
+    // is a block, its 7 daily counts ranked WITH average-rank ties kept
+    // exact in 2× units (avg2 = 2·rank + ties − 1), so the rank sums
+    // and χ²F = 3·ΣRⱼ2²/(56n) − 24n are pure integer algebra until one
+    // division — the nonparametric ANOVA that q277's F-test
+    // parametrically assumes away. Calendar-sized tables throughout.
+    Q("q352_friedman_weekday",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+          .select(expr("day div 7").as("week"),
+            pmod(col("day"), lit(7L)).as("weekday"), col("c"))
+        val full = dense.groupBy("week").agg(count(lit(1)).as("nd"))
+          .where(col("nd") === 7).select("week")
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("week").orderBy("c")
+        val ties = org.apache.spark.sql.expressions.Window
+          .partitionBy("week", "c")
+        val ranked = dense.join(broadcast(full), "week")
+          .withColumn("avg2",
+            lit(2L) * rank().over(wk) + count(lit(1)).over(ties) - 1L)
+        val rj = ranked.groupBy("weekday").agg(
+          count(lit(1)).cast("long").as("n_weeks"),
+          sum(col("avg2")).cast(dec).as("r2"))
+        val stat = rj.agg(max(col("n_weeks")).cast(dec).as("n"),
+            sum(col("r2") * col("r2")).as("sq"))
+          .select((round((lit(3L).cast(dec) * col("sq")).cast("double")
+            / (lit(56L).cast(dec) * col("n")).cast("double")
+            * 10000.0) / 10000.0
+            - round(lit(24.0) * col("n").cast("double") * 10000.0)
+              / 10000.0).as("chi2_f"))
+        rj.join(broadcast(stat))
+          .select(col("weekday"), col("n_weeks"),
+            (round(col("r2").cast("double")
+              / (lit(2.0) * col("n_weeks").cast("double")) * 10000.0)
+              / 10000.0).as("mean_rank"),
+            (round(col("chi2_f") * 10000.0) / 10000.0).as("chi2_f"))
+          .orderBy("weekday")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |wd AS (SELECT day // 7 AS week, day % 7 AS weekday, c FROM dn),
+             |full_w AS (SELECT week FROM wd GROUP BY week
+             |  HAVING count(*) = 7),
+             |rk AS (SELECT weekday,
+             |    2 * rank() OVER (PARTITION BY wd.week ORDER BY c)
+             |      + count(*) OVER (PARTITION BY wd.week, c) - 1 AS avg2
+             |  FROM wd JOIN full_w ON wd.week = full_w.week),
+             |rj AS (SELECT weekday, CAST(count(*) AS BIGINT) AS n_weeks,
+             |    CAST(sum(avg2) AS HUGEINT) AS r2
+             |  FROM rk GROUP BY weekday),
+             |st AS (SELECT CAST(max(n_weeks) AS HUGEINT) AS n,
+             |    sum(r2 * r2) AS sq FROM rj)
+             |SELECT CAST(weekday AS BIGINT) AS weekday, n_weeks,
+             |  round(CAST(r2 AS DOUBLE) / (2.0 * CAST(n_weeks AS DOUBLE))
+             |    * 10000.0) / 10000.0 AS mean_rank,
+             |  round((round(CAST(3 * sq AS DOUBLE) / CAST(56 * n AS DOUBLE)
+             |      * 10000.0) / 10000.0
+             |    - round(24.0 * CAST(n AS DOUBLE) * 10000.0) / 10000.0)
+             |    * 10000.0) / 10000.0 AS chi2_f
+             |FROM rj CROSS JOIN st ORDER BY weekday""".stripMargin)),
+
+    // ---- Burrows' Delta stylometric distance between sources: the
+    // top-20 corpus terms' per-source relative frequencies, 1e-9-
+    // quantized (exact long), z-scored against the across-source
+    // mean/sd from exact integer moments, then Δ(a,b) = mean|z_a−z_b|
+    // over the marker terms for every source pair — the classic
+    // authorship-attribution measure as a pure source²-sized fold (the
+    // corpus pass is one term count; all downstream tables are
+    // vocabulary- or source-bounded).
+    Q("q353_burrows_delta",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(20)
+          .select("term")
+        val srcTot = toks.groupBy("source").agg(count(lit(1)).as("tot"))
+        val st = toks.join(broadcast(top), "term")
+          .groupBy("source", "term").agg(count(lit(1)).as("a"))
+        val grid = srcTot.crossJoin(broadcast(top))
+          .join(st, Seq("source", "term"), "left")
+          .select(col("source"), col("term"),
+            round(coalesce(col("a"), lit(0L)).cast("double")
+              / col("tot").cast("double") * 1000000000.0).cast("long")
+              .as("fq"))
+        val mom = grid.groupBy("term").agg(
+          count(lit(1)).cast(dec).as("ns"),
+          sum(col("fq")).cast(dec).as("sf"),
+          sum(col("fq").cast(dec) * col("fq").cast(dec)).as("qf"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val z = grid.join(broadcast(mom), "term")
+          .where(col("ns") * col("qf") - col("sf") * col("sf") > 0)
+          .select(col("source"), col("term"),
+            ((dd(col("fq")) - dd(col("sf")) / dd(col("ns")))
+              / sqrt((dd(col("ns")) * dd(col("qf"))
+                - dd(col("sf")) * dd(col("sf")))
+                / (dd(col("ns")) * (dd(col("ns")) - 1.0)))).as("z"))
+        z.select(col("source").as("src_a"), col("term"), col("z").as("za"))
+          .join(z.select(col("source").as("src_b"), col("term").as("tb"),
+            col("z").as("zb")),
+            col("term") === col("tb") && col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("m"), sum(abs(col("za") - col("zb")))
+            .as("sd"))
+          .select(col("src_a"), col("src_b"),
+            (round(col("sd") / col("m").cast("double") * 10000.0)
+              / 10000.0).as("delta"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(string_split(text, ' ')) AS term FROM documents),
+             |top AS (SELECT term FROM (SELECT term, count(*) AS cnt
+             |    FROM tk GROUP BY term ORDER BY cnt DESC, term LIMIT 20)),
+             |tot AS (SELECT source, count(*) AS tot FROM tk GROUP BY 1),
+             |st AS (SELECT source, term, count(*) AS a
+             |  FROM tk JOIN top USING (term) GROUP BY 1, 2),
+             |grid AS (SELECT tot.source, top.term,
+             |    CAST(round(CAST(coalesce(st.a, 0) AS DOUBLE)
+             |      / CAST(tot.tot AS DOUBLE) * 1000000000.0) AS BIGINT)
+             |      AS fq
+             |  FROM tot CROSS JOIN top
+             |  LEFT JOIN st ON st.source = tot.source
+             |    AND st.term = top.term),
+             |mom AS (SELECT term, CAST(count(*) AS HUGEINT) AS ns,
+             |    CAST(sum(fq) AS HUGEINT) AS sf,
+             |    sum(CAST(fq AS HUGEINT) * CAST(fq AS HUGEINT)) AS qf
+             |  FROM grid GROUP BY term),
+             |z AS (SELECT source, grid.term,
+             |    (CAST(fq AS DOUBLE)
+             |      - CAST(sf AS DOUBLE) / CAST(ns AS DOUBLE))
+             |      / sqrt((CAST(ns AS DOUBLE) * CAST(qf AS DOUBLE)
+             |        - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+             |        / (CAST(ns AS DOUBLE) * (CAST(ns AS DOUBLE) - 1.0)))
+             |      AS z
+             |  FROM grid JOIN mom ON grid.term = mom.term
+             |  WHERE ns * qf - sf * sf > 0)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  round(sum(abs(a.z - b.z)) / CAST(count(*) AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS delta
+             |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
