@@ -10651,7 +10651,211 @@ object PipelineQueries {
              |  round(sum(abs(a.z - b.z)) / CAST(count(*) AS DOUBLE)
              |    * 10000.0) / 10000.0 AS delta
              |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
-             |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- Partial correlation: price↔quantity with the discount
+    // channel partialled out, r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)
+    // (1−r_yz²)) — the "is the raw correlation just the promo?"
+    // control. All three pairwise r's come from ONE exact decimal38
+    // moment pass over cents-quantized columns; every double is a fixed
+    // chain from exact integers.
+    Q("q354_partial_corr",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100.0).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"),
+          round(col("l_discount") * 100.0).cast("long").as("z"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast(dec)
+        val m = base.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("z")).cast(dec).as("sz"),
+          sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+          sum(dc(col("y")) * dc(col("y"))).as("syy"),
+          sum(dc(col("z")) * dc(col("z"))).as("szz"),
+          sum(dc(col("x")) * dc(col("y"))).as("sxy"),
+          sum(dc(col("x")) * dc(col("z"))).as("sxz"),
+          sum(dc(col("y")) * dc(col("z"))).as("syz"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        def r(sab: String, sa: String, sb: String, saa: String,
+            sbb: String) =
+          (dd(col("n")) * dd(col(sab)) - dd(col(sa)) * dd(col(sb))) /
+            sqrt((dd(col("n")) * dd(col(saa)) - dd(col(sa)) * dd(col(sa)))
+              * (dd(col("n")) * dd(col(sbb)) - dd(col(sb)) * dd(col(sb))))
+        val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+        val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+        val ryz = r("syz", "sy", "sz", "syy", "szz")
+        m.select(col("n").cast("long").as("n"),
+          (round(rxy * 1000000.0) / 1000000.0).as("r_xy"),
+          (round(rxz * 1000000.0) / 1000000.0).as("r_xz"),
+          (round(ryz * 1000000.0) / 1000000.0).as("r_yz"),
+          (round((rxy - rxz * ryz)
+            / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+            * 1000000.0) / 1000000.0).as("r_partial"))
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS x,
+             |    CAST(l_quantity AS BIGINT) AS y,
+             |    CAST(round(l_discount * 100.0) AS BIGINT) AS z
+             |  FROM lineitem),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(z) AS HUGEINT) AS sz,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             |    sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+             |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+             |    sum(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+             |  FROM b),
+             |r AS (SELECT CAST(n AS BIGINT) AS n,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+             |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+             |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+             |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+             |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+             |  FROM m)
+             |SELECT n,
+             |  round(rxy * 1000000.0) / 1000000.0 AS r_xy,
+             |  round(rxz * 1000000.0) / 1000000.0 AS r_xz,
+             |  round(ryz * 1000000.0) / 1000000.0 AS r_yz,
+             |  round((rxy - rxz * ryz)
+             |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+             |    * 1000000.0) / 1000000.0 AS r_partial
+             |FROM r""".stripMargin)),
+
+    // ---- Tokenizer-vocabulary planning curve: corpus coverage of the
+    // top-⌈V·p/10⌉ terms for each decile p — "how big must the vocab be
+    // to cover X% of tokens", the sizing curve behind q124's fixed-
+    // vocab coverage. One term count, then rank/cumsum windows over the
+    // vocabulary-sized table; coverage ratios divide exact integers.
+    Q("q355_vocab_curve",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tc = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term"))
+        val ranked = tc.select(col("cnt"),
+          row_number().over(w).as("rn"),
+          sum(col("cnt")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast(dec).as("cum"))
+        val tot = ranked.agg(max(col("rn")).cast("long").as("v"),
+          sum(col("cnt")).cast(dec).as("t"))
+        ranked.join(broadcast(tot))
+          .join(broadcast(s.range(1, 11).select(col("id").as("decile"))),
+            col("rn") === expr("(v * decile + 9) div 10"))
+          .select(col("decile"), col("rn").cast("long").as("vocab_size"),
+            (round(col("cum").cast("double") / col("t").cast("double")
+              * 1000000.0) / 1000000.0).as("coverage"))
+          .orderBy("decile")
+      },
+      Some("""WITH tc AS (SELECT term, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY term),
+             |rk AS (SELECT cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, term) AS rn,
+             |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS HUGEINT) AS cum
+             |  FROM tc),
+             |tt AS (SELECT CAST(max(rn) AS BIGINT) AS v,
+             |    CAST(sum(cnt) AS HUGEINT) AS t FROM rk),
+             |dc AS (SELECT unnest(generate_series(1, 10)) AS decile)
+             |SELECT CAST(decile AS BIGINT) AS decile,
+             |  CAST(rn AS BIGINT) AS vocab_size,
+             |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS coverage
+             |FROM rk CROSS JOIN tt JOIN dc
+             |  ON rn = (v * decile + 9) // 10
+             |ORDER BY decile""".stripMargin)),
+
+    // ---- Weekly growth accounting: every active user classified as
+    // new / retained / resurrected from their PREVIOUS active week (one
+    // lag over the user-week table), churn from last week's actives
+    // minus this week's retained, and the quick ratio
+    // (new+resurrected)/churned — the standard MAU decomposition. Two
+    // key-partitioned shuffles (user, then week); all ratios divide
+    // exact counts.
+    Q("q356_growth_accounting",
+      (s, d) => {
+        val wkNs = 604800L * Tables.NanosPerSecond
+        val uw = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div $wkNs").as("week"))
+          .distinct()
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("week")
+        val flagged = uw.withColumn("prev", lag(col("week"), 1).over(wu))
+          .select(col("week"),
+            when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+            when(col("prev") === col("week") - 1, 1L).otherwise(0L)
+              .as("is_ret"),
+            when(col("prev").isNotNull && col("prev") < col("week") - 1, 1L)
+              .otherwise(0L).as("is_res"))
+        val weekly = flagged.groupBy("week").agg(
+          count(lit(1)).as("active"), sum(col("is_new")).as("new_users"),
+          sum(col("is_ret")).as("retained"),
+          sum(col("is_res")).as("resurrected"))
+        val ww = org.apache.spark.sql.expressions.Window.orderBy("week")
+        weekly.withColumn("prev_active",
+            lag(col("active"), 1).over(ww))
+          .where(col("prev_active").isNotNull)
+          .select(col("week"), col("active").cast("long").as("active"),
+            col("new_users").cast("long").as("new_users"),
+            col("retained").cast("long").as("retained"),
+            col("resurrected").cast("long").as("resurrected"),
+            (col("prev_active") - col("retained")).cast("long")
+              .as("churned"),
+            when(col("prev_active") - col("retained") > 0,
+              round((col("new_users") + col("resurrected")).cast("double")
+                / (col("prev_active") - col("retained")).cast("double")
+                * 10000.0) / 10000.0).as("quick_ratio"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+             |fl AS (SELECT week,
+             |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+             |    CASE WHEN prev = week - 1 THEN 1 ELSE 0 END AS is_ret,
+             |    CASE WHEN prev IS NOT NULL AND prev < week - 1
+             |      THEN 1 ELSE 0 END AS is_res
+             |  FROM (SELECT user_id, week,
+             |      lag(week) OVER (PARTITION BY user_id ORDER BY week)
+             |        AS prev
+             |    FROM uw)),
+             |wk AS (SELECT week, count(*) AS active,
+             |    sum(is_new) AS new_users, sum(is_ret) AS retained,
+             |    sum(is_res) AS resurrected
+             |  FROM fl GROUP BY week),
+             |lg AS (SELECT wk.*, lag(active) OVER (ORDER BY week)
+             |    AS prev_active FROM wk)
+             |SELECT week, CAST(active AS BIGINT) AS active,
+             |  CAST(new_users AS BIGINT) AS new_users,
+             |  CAST(retained AS BIGINT) AS retained,
+             |  CAST(resurrected AS BIGINT) AS resurrected,
+             |  CAST(prev_active - retained AS BIGINT) AS churned,
+             |  CASE WHEN prev_active - retained > 0 THEN
+             |    round(CAST(new_users + resurrected AS DOUBLE)
+             |      / CAST(prev_active - retained AS DOUBLE) * 10000.0)
+             |      / 10000.0 END AS quick_ratio
+             |FROM lg WHERE prev_active IS NOT NULL
+             |ORDER BY week""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
