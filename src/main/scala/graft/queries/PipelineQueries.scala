@@ -10855,7 +10855,163 @@ object PipelineQueries {
              |      / CAST(prev_active - retained AS DOUBLE) * 10000.0)
              |      / 10000.0 END AS quick_ratio
              |FROM lg WHERE prev_active IS NOT NULL
-             |ORDER BY week""".stripMargin)))
+             |ORDER BY week""".stripMargin)),
+
+    // ---- Trailing 7-day rolling MEDIAN of the daily count series —
+    // the outlier-robust smoother (vs q259's EWMA): each full frame's
+    // sorted 7-list yields the exact middle element, so every output is
+    // an integer and the engines cannot drift on interpolation
+    // conventions (both sides build the sorted frame list explicitly).
+    // Day-domain window over the calendar-sized dense series.
+    Q("q357_rolling_median",
+      (s, d) => {
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(-6, 0)
+        dense.withColumn("arr", collect_list(col("c")).over(w))
+          .where(size(col("arr")) === 7)
+          .select(col("day"), col("c"),
+            element_at(array_sort(col("arr")), 4).as("med7"))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |fr AS (SELECT day, c, list(c) OVER (ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+             |  FROM dn)
+             |SELECT day, c, list_sort(arr)[4] AS med7
+             |FROM fr WHERE len(arr) = 7 ORDER BY day""".stripMargin)),
+
+    // ---- L-moments of the order-price distribution (Hosking 1990):
+    // L-scale, L-skewness τ₃, L-kurtosis τ₄ from the probability-
+    // weighted moments b₀..b₃ — the outlier-robust alternative to
+    // q326's classical moment profile. The rank-weighted sums
+    // Σ(i−1)…(i−k)·x are EXACT decimal38 integers over cents (tied
+    // values get permutation-invariant weight sums), so every ratio is
+    // one fixed double chain. Global rank = one range-partitioned sort
+    // pass at scale.
+    Q("q358_l_moments",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ranked = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100.0).cast("long").as("x"),
+            col("o_orderkey"))
+          .withColumn("i", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("x", "o_orderkey")).cast("long"))
+        val m = ranked.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("s0"),
+          sum((col("i") - 1L).cast(dec) * col("x").cast(dec)).as("s1"),
+          sum((col("i") - 1L).cast(dec) * (col("i") - 2L).cast(dec)
+            * col("x").cast(dec)).as("s2"),
+          sum((col("i") - 1L).cast(dec) * (col("i") - 2L).cast(dec)
+            * (col("i") - 3L).cast(dec) * col("x").cast(dec)).as("s3"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = dd(col("n"))
+        val b0 = dd(col("s0")) / n
+        val b1 = dd(col("s1")) / (n * (n - 1.0))
+        val b2 = dd(col("s2")) / (n * (n - 1.0) * (n - 2.0))
+        val b3 = dd(col("s3")) / (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+        val l2 = lit(2.0) * b1 - b0
+        val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+        val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+        m.select(col("n").cast("long").as("n"),
+          (round(b0 / 100.0 * 10000.0) / 10000.0).as("l1"),
+          (round(l2 / 100.0 * 10000.0) / 10000.0).as("l2"),
+          (round(l3 / l2 * 1000000.0) / 1000000.0).as("t3"),
+          (round(l4 / l2 * 1000000.0) / 1000000.0).as("t4"))
+      },
+      Some("""WITH rk AS (SELECT
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS x,
+             |    CAST(row_number() OVER (ORDER BY
+             |      CAST(round(o_totalprice * 100.0) AS BIGINT), o_orderkey)
+             |      AS BIGINT) AS i
+             |  FROM orders),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS s0,
+             |    sum(CAST(i - 1 AS HUGEINT) * CAST(x AS HUGEINT)) AS s1,
+             |    sum(CAST(i - 1 AS HUGEINT) * CAST(i - 2 AS HUGEINT)
+             |      * CAST(x AS HUGEINT)) AS s2,
+             |    sum(CAST(i - 1 AS HUGEINT) * CAST(i - 2 AS HUGEINT)
+             |      * CAST(i - 3 AS HUGEINT) * CAST(x AS HUGEINT)) AS s3
+             |  FROM rk),
+             |bb AS (SELECT CAST(n AS BIGINT) AS n,
+             |    CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+             |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE)
+             |      * (CAST(n AS DOUBLE) - 1.0)) AS b1,
+             |    CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE)
+             |      * (CAST(n AS DOUBLE) - 1.0)
+             |      * (CAST(n AS DOUBLE) - 2.0)) AS b2,
+             |    CAST(s3 AS DOUBLE) / (CAST(n AS DOUBLE)
+             |      * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0)
+             |      * (CAST(n AS DOUBLE) - 3.0)) AS b3
+             |  FROM m)
+             |SELECT n,
+             |  round(b0 / 100.0 * 10000.0) / 10000.0 AS l1,
+             |  round((2.0 * b1 - b0) / 100.0 * 10000.0) / 10000.0 AS l2,
+             |  round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0)
+             |    * 1000000.0) / 1000000.0 AS t3,
+             |  round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0)
+             |    / (2.0 * b1 - b0) * 1000000.0) / 1000000.0 AS t4
+             |FROM bb""".stripMargin)),
+
+    // ---- Spike-day detection: strict local maxima of the dense daily
+    // series that clear the mean — lag/lead windows plus one exact moment
+    // fold broadcast back, the alerting primitive behind q210/q350's
+    // drift detectors. The threshold comparison is a fixed double chain
+    // from exact integers, identical on both engines.
+    Q("q359_peak_days",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val tot = dense.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("s"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("q"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val mu = dd(col("s")) / dd(col("n"))
+        val sd = sqrt((dd(col("n")) * dd(col("q"))
+          - dd(col("s")) * dd(col("s")))
+          / (dd(col("n")) * (dd(col("n")) - 1.0)))
+        dense.withColumn("pc", lag(col("c"), 1).over(w))
+          .withColumn("nc", lead(col("c"), 1).over(w))
+          .join(broadcast(tot))
+          .where(col("pc").isNotNull && col("nc").isNotNull
+            && col("c") > col("pc") && col("c") > col("nc")
+            && dd(col("c")) > mu)
+          .select(col("day"), col("c"),
+            (round((dd(col("c")) - mu) / sd * 10000.0) / 10000.0).as("z"))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+             |  FROM dn),
+             |lg AS (SELECT day, c, lag(c) OVER (ORDER BY day) AS pc,
+             |    lead(c) OVER (ORDER BY day) AS nc FROM dn)
+             |SELECT day, c,
+             |  round((CAST(c AS DOUBLE)
+             |    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |    * 10000.0) / 10000.0 AS z
+             |FROM lg CROSS JOIN tt
+             |WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
+             |  AND CAST(c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             |ORDER BY day""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
