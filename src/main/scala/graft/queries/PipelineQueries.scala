@@ -11011,7 +11011,166 @@ object PipelineQueries {
              |FROM lg CROSS JOIN tt
              |WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
              |  AND CAST(c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-             |ORDER BY day""".stripMargin)))
+             |ORDER BY day""".stripMargin)),
+
+    // ---- Ship-latency SLA percentiles per priority: NEAREST-RANK
+    // (type-1) p50/p90/p99 — rank equality against ⌈n·p/100⌉ instead of
+    // an interpolating quantile, so every output is an exact integer
+    // day count and no interpolation convention can drift between
+    // engines — plus the ≤60-day attainment rate. One fact shuffle on
+    // the join key, one priority-partitioned rank window.
+    Q("q360_latency_percentiles",
+      (s, d) => {
+        val lat = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lat"),
+            col("l_orderkey"), col("l_linenumber"))
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy("priority")
+          .orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))
+        val ranked = lat.withColumn("rn", row_number().over(wg).cast("long"))
+        val base = ranked.groupBy("priority").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("lat") <= 60, 1L).otherwise(0L)).as("w60"))
+        val sel = ranked.join(base, "priority")
+          .select(col("priority"), col("lat"), col("rn"), col("n"))
+          .where(col("rn") === expr("(n * 50 + 99) div 100")
+            || col("rn") === expr("(n * 90 + 99) div 100")
+            || col("rn") === expr("(n * 99 + 99) div 100"))
+          .groupBy("priority").agg(
+            min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+              col("lat"))).as("p50"),
+            min(when(col("rn") === expr("(n * 90 + 99) div 100"),
+              col("lat"))).as("p90"),
+            min(when(col("rn") === expr("(n * 99 + 99) div 100"),
+              col("lat"))).as("p99"))
+        base.join(sel, "priority")
+          .select(col("priority"), col("n").cast("long").as("n"),
+            col("p50"), col("p90"), col("p99"),
+            (round(col("w60").cast("double") / col("n").cast("double")
+              * 1000000.0) / 1000000.0).as("pct_within_60"))
+          .orderBy("priority")
+      },
+      Some("""WITH lat AS (SELECT o_orderpriority AS priority,
+             |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+             |      AS lat, l_orderkey, l_linenumber
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |rk AS (SELECT priority, lat,
+             |    CAST(row_number() OVER (PARTITION BY priority
+             |      ORDER BY lat, l_orderkey, l_linenumber) AS BIGINT) AS rn
+             |  FROM lat),
+             |bs AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN lat <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS w60
+             |  FROM lat GROUP BY 1),
+             |sel AS (SELECT rk.priority,
+             |    min(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat END)
+             |      AS p50,
+             |    min(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat END)
+             |      AS p90,
+             |    min(CASE WHEN rn = (n * 99 + 99) // 100 THEN lat END)
+             |      AS p99
+             |  FROM rk JOIN bs ON rk.priority = bs.priority
+             |  GROUP BY 1)
+             |SELECT bs.priority AS priority, n, p50, p90, p99,
+             |  round(CAST(w60 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS pct_within_60
+             |FROM bs JOIN sel ON bs.priority = sel.priority
+             |ORDER BY bs.priority""".stripMargin)),
+
+    // ---- Grubbs' max-outlier test on order prices: G = max|x−μ|/σ.
+    // The argmax is selected on the EXACT integer |x·n − S| (the
+    // n-scaled deviation — same ordering as |x−μ| with no double
+    // compare), tiebroken by orderkey; G itself is one fixed chain from
+    // exact moments. One moment fold broadcast into a scan + top-1.
+    Q("q361_grubbs_test",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100.0).cast("long").as("x"))
+        val m = base.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("s"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("q"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val dev = abs(col("x").cast(dec) * col("n") - col("s"))
+        val sd = sqrt((dd(col("n")) * dd(col("q"))
+          - dd(col("s")) * dd(col("s")))
+          / (dd(col("n")) * (dd(col("n")) - 1.0)))
+        base.join(broadcast(m))
+          .withColumn("dev", dev)
+          .orderBy(col("dev").desc, col("o_orderkey")).limit(1)
+          .select(col("n").cast("long").as("n"), col("o_orderkey"),
+            col("x").as("price_cents"),
+            (round(dd(col("dev")) / dd(col("n")) / sd * 10000.0)
+              / 10000.0).as("g"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS x
+             |  FROM orders),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS s,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+             |  FROM b),
+             |dv AS (SELECT o_orderkey, x, n, s, q,
+             |    abs(CAST(x AS HUGEINT) * n - s) AS dev
+             |  FROM b CROSS JOIN m),
+             |top AS (SELECT * FROM dv ORDER BY dev DESC, o_orderkey
+             |  LIMIT 1)
+             |SELECT CAST(n AS BIGINT) AS n, o_orderkey,
+             |  x AS price_cents,
+             |  round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |    * 10000.0) / 10000.0 AS g
+             |FROM top""".stripMargin)),
+
+    // ---- Per-source lexical entropy and Pielou equitability: H_s =
+    // −Σp·ln p over each source's term distribution, normalized by
+    // ln V_s — the "how repetitive is this source" curation signal at
+    // the TERM level (q220 is per-doc chars). Per-term p = a/T divides
+    // exact integers; the per-source fold is vocabulary-bounded and
+    // 4-dp rounded.
+    Q("q362_source_term_entropy",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        val st = tk.groupBy("source", "term").agg(count(lit(1)).as("a"))
+        val tot = st.groupBy("source").agg(sum(col("a")).as("tt"),
+          count(lit(1)).as("v"))
+        st.join(broadcast(tot), "source")
+          .groupBy("source").agg(
+            max(col("tt")).cast("long").as("n_tokens"),
+            max(col("v")).cast("long").as("n_terms"),
+            sum(-(col("a").cast("double") / col("tt").cast("double"))
+              * log(col("a").cast("double") / col("tt").cast("double")))
+              .as("h"))
+          .select(col("source"), col("n_tokens"), col("n_terms"),
+            (round(col("h") * 10000.0) / 10000.0).as("entropy"),
+            (round(col("h") / log(col("n_terms").cast("double"))
+              * 10000.0) / 10000.0).as("equitability"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(string_split(text, ' ')) AS term FROM documents),
+             |st AS (SELECT source, term, count(*) AS a
+             |  FROM tk GROUP BY 1, 2),
+             |tot AS (SELECT source, sum(a) AS tt, count(*) AS v
+             |  FROM st GROUP BY 1)
+             |SELECT st.source AS source,
+             |  CAST(max(tt) AS BIGINT) AS n_tokens,
+             |  CAST(max(v) AS BIGINT) AS n_terms,
+             |  round(sum(-(CAST(a AS DOUBLE) / CAST(tt AS DOUBLE))
+             |    * ln(CAST(a AS DOUBLE) / CAST(tt AS DOUBLE))) * 10000.0)
+             |    / 10000.0 AS entropy,
+             |  round(sum(-(CAST(a AS DOUBLE) / CAST(tt AS DOUBLE))
+             |    * ln(CAST(a AS DOUBLE) / CAST(tt AS DOUBLE)))
+             |    / ln(CAST(max(v) AS DOUBLE)) * 10000.0) / 10000.0
+             |    AS equitability
+             |FROM st JOIN tot ON st.source = tot.source
+             |GROUP BY st.source ORDER BY st.source""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
