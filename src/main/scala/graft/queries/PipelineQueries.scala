@@ -11170,7 +11170,200 @@ object PipelineQueries {
              |    / ln(CAST(max(v) AS DOUBLE)) * 10000.0) / 10000.0
              |    AS equitability
              |FROM st JOIN tot ON st.source = tot.source
-             |GROUP BY st.source ORDER BY st.source""".stripMargin)))
+             |GROUP BY st.source ORDER BY st.source""".stripMargin)),
+
+    // ---- MinHash-LSH banding planner GROUNDED on the corpus's own
+    // duplicate pairs: for each k=128 banding (b bands × r rows), the
+    // S-curve threshold (1/b)^(1/r) and the detection probability
+    // 1−(1−s^r)^b evaluated at every OBSERVED ≥0.5-Jaccard pair (q22's
+    // exact pair list) — "which banding would catch the dups this
+    // corpus actually has". All powers are 2ᵏ, so s^r and (·)^b are
+    // pure squaring chains and the threshold is a sqrt chain — bit-
+    // identical across engines; the pair list is computed once and
+    // reused by all four plan folds.
+    Q("q363_lsh_planner",
+      (s, d) => {
+        val pairs = Dedup
+          .shingleJaccardPairs(t(s, d, "documents"), 0.5)
+          .localCheckpoint()
+        def powChain(c: org.apache.spark.sql.Column, e: Int)
+            : org.apache.spark.sql.Column =
+          if (e == 1) c else { val h = powChain(c, e / 2); h * h }
+        def sqrtChain(c: org.apache.spark.sql.Column, m: Int)
+            : org.apache.spark.sql.Column =
+          if (m == 0) c else sqrtChain(sqrt(c), m - 1)
+        val plans = Seq((64, 2, 1), (32, 4, 2), (16, 8, 3), (8, 16, 4))
+        plans.map { case (b, r, m) =>
+          val p = lit(1.0) - powChain(lit(1.0)
+            - powChain(col("jaccard"), r), b)
+          pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+              sum(p).as("sp"), min(p).as("mp"))
+            .select(lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              (round(sqrtChain(lit(1.0 / b), m) * 1000000.0) / 1000000.0)
+                .as("threshold"),
+              col("n_pairs"),
+              (round(col("sp") / col("n_pairs").cast("double") * 10000.0)
+                / 10000.0).as("mean_detect"),
+              (round(col("mp") * 10000.0) / 10000.0).as("min_detect"))
+        }.reduce(_ unionAll _).orderBy("rows_per_band")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)])) AS s
+             |  FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT
+             |    round((i::DOUBLE / (ca.n + cb.n - i)) * 1000000.0)
+             |      / 1000000.0 AS s
+             |  FROM inter JOIN cnt ca ON ca.doc_id = ia
+             |    JOIN cnt cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |px AS (SELECT s, s * s AS s2, s2 * s2 AS s4, s4 * s4 AS s8,
+             |    s8 * s8 AS s16 FROM pairs),
+             |p1 AS (SELECT 1.0 - s2 AS u, u * u AS u2, u2 * u2 AS u4,
+             |    u4 * u4 AS u8, u8 * u8 AS u16, u16 * u16 AS u32,
+             |    1.0 - u32 * u32 AS p FROM px),
+             |p2 AS (SELECT 1.0 - s4 AS u, u * u AS u2, u2 * u2 AS u4,
+             |    u4 * u4 AS u8, u8 * u8 AS u16, 1.0 - u16 * u16 AS p
+             |  FROM px),
+             |p3 AS (SELECT 1.0 - s8 AS u, u * u AS u2, u2 * u2 AS u4,
+             |    u4 * u4 AS u8, 1.0 - u8 * u8 AS p FROM px),
+             |p4 AS (SELECT 1.0 - s16 AS u, u * u AS u2, u2 * u2 AS u4,
+             |    1.0 - u4 * u4 AS p FROM px)
+             |SELECT * FROM (
+             |  SELECT CAST(64 AS BIGINT) AS bands,
+             |    CAST(2 AS BIGINT) AS rows_per_band,
+             |    round(sqrt(1.0 / 64.0) * 1000000.0) / 1000000.0
+             |      AS threshold,
+             |    CAST(count(*) AS BIGINT) AS n_pairs,
+             |    round(sum(p) / CAST(count(*) AS DOUBLE) * 10000.0)
+             |      / 10000.0 AS mean_detect,
+             |    round(min(p) * 10000.0) / 10000.0 AS min_detect
+             |  FROM p1
+             |  UNION ALL
+             |  SELECT CAST(32 AS BIGINT), CAST(4 AS BIGINT),
+             |    round(sqrt(sqrt(1.0 / 32.0)) * 1000000.0) / 1000000.0,
+             |    CAST(count(*) AS BIGINT),
+             |    round(sum(p) / CAST(count(*) AS DOUBLE) * 10000.0)
+             |      / 10000.0,
+             |    round(min(p) * 10000.0) / 10000.0
+             |  FROM p2
+             |  UNION ALL
+             |  SELECT CAST(16 AS BIGINT), CAST(8 AS BIGINT),
+             |    round(sqrt(sqrt(sqrt(1.0 / 16.0))) * 1000000.0)
+             |      / 1000000.0,
+             |    CAST(count(*) AS BIGINT),
+             |    round(sum(p) / CAST(count(*) AS DOUBLE) * 10000.0)
+             |      / 10000.0,
+             |    round(min(p) * 10000.0) / 10000.0
+             |  FROM p3
+             |  UNION ALL
+             |  SELECT CAST(8 AS BIGINT), CAST(16 AS BIGINT),
+             |    round(sqrt(sqrt(sqrt(sqrt(1.0 / 8.0)))) * 1000000.0)
+             |      / 1000000.0,
+             |    CAST(count(*) AS BIGINT),
+             |    round(sum(p) / CAST(count(*) AS DOUBLE) * 10000.0)
+             |      / 10000.0,
+             |    round(min(p) * 10000.0) / 10000.0
+             |  FROM p4)
+             |ORDER BY rows_per_band""".stripMargin)),
+
+    // ---- Shard-skew audit of 16-way rendezvous sharding (q261's
+    // portable-hash assignment): per-shard counts vs uniform, with the
+    // exact-integer uniformity χ² = (k·Σc² − N²)/N, max/mean skew, and
+    // the coefficient of variation — the placement-quality report a
+    // 1000-executor write path needs before committing to a shard fn.
+    // One shard-key shuffle; the audit fold is k-row sized.
+    Q("q364_shard_skew",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = t(s, d, "documents")
+          .select(graft.operators.Layout.rendezvousShard(col("doc_id"), 16)
+            .as("shard"))
+          .groupBy("shard").agg(count(lit(1)).as("c"))
+        val full = s.range(16).select(col("id").as("shard"))
+          .join(g, Seq("shard"), "left")
+          .select(coalesce(col("c"), lit(0L)).as("c"))
+        val a = full.agg(sum(col("c")).cast(dec).as("n"),
+          max(col("c")).cast("long").as("mx"),
+          min(col("c")).cast("long").as("mn"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("q"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        a.select(col("n").cast("long").as("n_docs"),
+          lit(16L).as("n_shards"), col("mx").as("max_shard"),
+          col("mn").as("min_shard"),
+          (round(dd(col("mx")) * 16.0 / dd(col("n")) * 10000.0) / 10000.0)
+            .as("skew"),
+          (round(sqrt((lit(16.0) * dd(col("q")) - dd(col("n"))
+              * dd(col("n"))) / (16.0 * 15.0)) * 16.0 / dd(col("n"))
+            * 10000.0) / 10000.0).as("cv"),
+          (round((lit(16.0) * dd(col("q")) - dd(col("n")) * dd(col("n")))
+            / dd(col("n")) * 10000.0) / 10000.0).as("chi2"))
+      },
+      Some("""WITH h AS (SELECT doc_id, sh.s AS s,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+             |      || CAST(sh.s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS s)
+             |    sh),
+             |a AS (SELECT doc_id, arg_max(s, h) AS shard FROM h
+             |  GROUP BY doc_id),
+             |g AS (SELECT shard, count(*) AS c FROM a GROUP BY 1),
+             |fu AS (SELECT coalesce(g.c, 0) AS c
+             |  FROM (SELECT unnest(range(0, 16)) AS shard) r
+             |  LEFT JOIN g ON r.shard = g.shard),
+             |ag AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+             |    CAST(max(c) AS BIGINT) AS mx, CAST(min(c) AS BIGINT) AS mn,
+             |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+             |  FROM fu)
+             |SELECT CAST(n AS BIGINT) AS n_docs,
+             |  CAST(16 AS BIGINT) AS n_shards, mx AS max_shard,
+             |  mn AS min_shard,
+             |  round(CAST(mx AS DOUBLE) * 16.0 / CAST(n AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS skew,
+             |  round(sqrt((16.0 * CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+             |    * CAST(n AS DOUBLE)) / (16.0 * 15.0)) * 16.0
+             |    / CAST(n AS DOUBLE) * 10000.0) / 10000.0 AS cv,
+             |  round((16.0 * CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+             |    * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 10000.0)
+             |    / 10000.0 AS chi2
+             |FROM ag""".stripMargin)),
+
+    // ---- Compaction bin-packing plan: next-fit by byte budget — each
+    // doc lands in bin = exclusive-prefix-bytes div 20000, the
+    // streaming chunker (q60's token recipe applied to FILE layout
+    // planning). The assignment is one ordered prefix-sum window; the
+    // per-bin report is bin-count-sized. Everything is exact integer
+    // arithmetic.
+    Q("q365_bin_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .withColumn("pre", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("bin", expr("pre div 20000"))
+          .groupBy("bin").agg(count(lit(1)).cast("long").as("n_files"),
+            sum(col("n_chars")).cast("long").as("bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      Some("""WITH pre AS (SELECT doc_id, n_chars,
+             |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS pre
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_chars, pre // 20000 AS bin FROM pre)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
