@@ -11363,7 +11363,195 @@ object PipelineQueries {
              |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
              |  CAST(sum(n_chars) AS BIGINT) AS bytes,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)))
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---- Matthews correlation coefficient (plus precision/recall/F1)
+    // for the 'the'-token language-ID rule — the single-number
+    // confusion summary that stays honest under class imbalance, the
+    // companion to q183's PR curve / q186's AUC. Counts are exact
+    // decimal38 (the four-factor product under the sqrt would overflow
+    // a long at corpus scale); one conditional-sum pass.
+    Q("q366_mcc",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val pred = array_contains(split(col("text"), " "), "the")
+        val lab = col("lang") === "en"
+        val m = t(s, d, "documents").agg(
+          sum(when(pred && lab, 1L).otherwise(0L)).cast(dec).as("tp"),
+          sum(when(pred && !lab, 1L).otherwise(0L)).cast(dec).as("fp"),
+          sum(when(!pred && !lab, 1L).otherwise(0L)).cast(dec).as("tn"),
+          sum(when(!pred && lab, 1L).otherwise(0L)).cast(dec).as("fn"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val prec = dd(col("tp")) / dd(col("tp") + col("fp"))
+        val rec = dd(col("tp")) / dd(col("tp") + col("fn"))
+        m.select(col("tp").cast("long").as("tp"),
+          col("fp").cast("long").as("fp"),
+          col("tn").cast("long").as("tn"),
+          col("fn").cast("long").as("fn"),
+          (round(prec * 1000000.0) / 1000000.0).as("precision"),
+          (round(rec * 1000000.0) / 1000000.0).as("recall"),
+          (round(lit(2.0) * prec * rec / (prec + rec) * 1000000.0)
+            / 1000000.0).as("f1"),
+          (round(dd(col("tp") * col("tn") - col("fp") * col("fn"))
+            / sqrt(dd(col("tp") + col("fp")) * dd(col("tp") + col("fn"))
+              * dd(col("tn") + col("fp")) * dd(col("tn") + col("fn")))
+            * 1000000.0) / 1000000.0).as("mcc"))
+      },
+      Some("""WITH m AS (SELECT
+             |    CAST(sum(CASE WHEN list_contains(string_split(text, ' '),
+             |      'the') AND lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT)
+             |      AS tp,
+             |    CAST(sum(CASE WHEN list_contains(string_split(text, ' '),
+             |      'the') AND lang <> 'en' THEN 1 ELSE 0 END) AS HUGEINT)
+             |      AS fp,
+             |    CAST(sum(CASE WHEN NOT list_contains(string_split(text,
+             |      ' '), 'the') AND lang <> 'en' THEN 1 ELSE 0 END)
+             |      AS HUGEINT) AS tn,
+             |    CAST(sum(CASE WHEN NOT list_contains(string_split(text,
+             |      ' '), 'the') AND lang = 'en' THEN 1 ELSE 0 END)
+             |      AS HUGEINT) AS fn
+             |  FROM documents)
+             |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+             |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS precision,
+             |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS recall,
+             |  round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+             |    * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+             |    / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+             |      + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS f1,
+             |  round(CAST(tp * tn - fp * fn AS DOUBLE)
+             |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+             |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS mcc
+             |FROM m""".stripMargin)),
+
+    // ---- Murphy decomposition of the Brier score (reliability −
+    // resolution + uncertainty) for the stopword-ratio-as-probability
+    // forecast of English: forecasts are 1-dp bins (integer tenths), so
+    // the Brier sum and every per-bin term numerator are EXACT integers
+    // — the ≤11-bin folds are the only doubles. The calibration-
+    // diagnosis companion to q178's reliability table.
+    Q("q367_brier_decomposition",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "documents").select(
+          round(TextAnalysis.stopwordRatio(col("text")) * 10.0)
+            .cast("long").as("pt"),
+          (col("lang") === "en").cast("long").as("o"))
+        val tot = base.agg(count(lit(1)).cast(dec).as("nn"),
+          sum(col("o")).cast(dec).as("ss"),
+          sum((col("pt") - col("o") * 10L).cast(dec)
+            * (col("pt") - col("o") * 10L).cast(dec)).as("bsum"))
+        val bins = base.groupBy("pt").agg(count(lit(1)).cast(dec).as("nb"),
+          sum(col("o")).cast(dec).as("sb"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val relT = dd((col("pt").cast(dec) * col("nb") - lit(10L).cast(dec)
+          * col("sb")) * (col("pt").cast(dec) * col("nb")
+          - lit(10L).cast(dec) * col("sb"))) / (lit(100.0) * dd(col("nb")))
+        val resT = dd((col("sb") * col("nn") - col("ss") * col("nb"))
+          * (col("sb") * col("nn") - col("ss") * col("nb"))) /
+          (dd(col("nb")) * dd(col("nn")) * dd(col("nn")))
+        val f = bins.join(broadcast(tot))
+          .agg(max(col("nn")).as("nn"), max(col("ss")).as("ss"),
+            max(col("bsum")).as("bsum"),
+            sum(relT).as("rel_raw"), sum(resT).as("res_raw"))
+        val obar = dd(col("ss")) / dd(col("nn"))
+        f.select(col("nn").cast("long").as("n"),
+          (round(dd(col("bsum")) / (lit(100.0) * dd(col("nn")))
+            * 1000000.0) / 1000000.0).as("brier"),
+          (round(col("rel_raw") / dd(col("nn")) * 1000000.0) / 1000000.0)
+            .as("reliability"),
+          (round(col("res_raw") / dd(col("nn")) * 1000000.0) / 1000000.0)
+            .as("resolution"),
+          (round(obar * (lit(1.0) - obar) * 1000000.0) / 1000000.0)
+            .as("uncertainty"))
+      },
+      Some(s"""WITH b AS (SELECT
+              |    CAST(round((CAST(len(list_filter(string_split(text, ' '),
+              |      x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |      / len(string_split(text, ' '))) * 10.0) AS BIGINT)
+              |      AS pt,
+              |    CAST(lang = 'en' AS BIGINT) AS o
+              |  FROM documents),
+              |tt AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+              |    CAST(sum(o) AS HUGEINT) AS ss,
+              |    sum(CAST(pt - 10 * o AS HUGEINT)
+              |      * CAST(pt - 10 * o AS HUGEINT)) AS bsum
+              |  FROM b),
+              |bins AS (SELECT pt, CAST(count(*) AS HUGEINT) AS nb,
+              |    CAST(sum(o) AS HUGEINT) AS sb
+              |  FROM b GROUP BY pt),
+              |f AS (SELECT max(nn) AS nn, max(ss) AS ss,
+              |    max(bsum) AS bsum,
+              |    sum(CAST((pt * nb - 10 * sb) * (pt * nb - 10 * sb)
+              |      AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE))) AS rel_raw,
+              |    sum(CAST((sb * nn - ss * nb) * (sb * nn - ss * nb)
+              |      AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nn AS DOUBLE)
+              |      * CAST(nn AS DOUBLE))) AS res_raw
+              |  FROM bins CROSS JOIN tt)
+              |SELECT CAST(nn AS BIGINT) AS n,
+              |  round(CAST(bsum AS DOUBLE) / (100.0 * CAST(nn AS DOUBLE))
+              |    * 1000000.0) / 1000000.0 AS brier,
+              |  round(rel_raw / CAST(nn AS DOUBLE) * 1000000.0) / 1000000.0
+              |    AS reliability,
+              |  round(res_raw / CAST(nn AS DOUBLE) * 1000000.0) / 1000000.0
+              |    AS resolution,
+              |  round((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+              |    * (1.0 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+              |    * 1000000.0) / 1000000.0 AS uncertainty
+              |FROM f""".stripMargin)),
+
+    // ---- Hill tail-index estimator over the top-100 order prices:
+    // α̂ = k / Σln(x_i/x_{k+1}) — the heavy-tail diagnostic that
+    // complements q179 (Zipf slope) and q317 (Gumbel maxima). Each
+    // ln runs on an exact integer and is 1e-8-quantized BEFORE the
+    // exact decimal fold (the q340 trick), so the k-term sum cannot
+    // drift; one global top-(k+1) rank pass.
+    Q("q368_hill_tail_index",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ranked = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100.0).cast("long").as("x"),
+            col("o_orderkey"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("x").desc, col("o_orderkey"))))
+        val ref = ranked.where(col("rn") === 101)
+          .select(col("x").as("xref"))
+        val top = ranked.where(col("rn") <= 100)
+          .join(broadcast(ref))
+          .agg(count(lit(1)).cast("long").as("k"),
+            max(col("xref")).as("xref"),
+            sum(round(log(col("x").cast("double")) * 100000000.0)
+              .cast(dec)).as("tsum"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        top.select(col("k"), col("xref").as("xref_cents"),
+          (round(dd(col("k"))
+            / ((dd(col("tsum")) - dd(col("k"))
+              * round(log(dd(col("xref"))) * 100000000.0))
+              / 100000000.0) * 10000.0) / 10000.0).as("alpha"))
+      },
+      Some("""WITH rk AS (SELECT
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS x,
+             |    row_number() OVER (ORDER BY
+             |      CAST(round(o_totalprice * 100.0) AS BIGINT) DESC,
+             |      o_orderkey) AS rn
+             |  FROM orders),
+             |rf AS (SELECT x AS xref FROM rk WHERE rn = 101),
+             |tp AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    max(xref) AS xref,
+             |    sum(CAST(round(ln(CAST(x AS DOUBLE)) * 100000000.0)
+             |      AS HUGEINT)) AS tsum
+             |  FROM rk CROSS JOIN rf WHERE rn <= 100)
+             |SELECT k, xref AS xref_cents,
+             |  round(CAST(k AS DOUBLE)
+             |    / ((CAST(tsum AS DOUBLE) - CAST(k AS DOUBLE)
+             |      * round(ln(CAST(xref AS DOUBLE)) * 100000000.0))
+             |      / 100000000.0) * 10000.0) / 10000.0 AS alpha
+             |FROM tp""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
