@@ -11551,7 +11551,168 @@ object PipelineQueries {
              |    / ((CAST(tsum AS DOUBLE) - CAST(k AS DOUBLE)
              |      * round(ln(CAST(xref AS DOUBLE)) * 100000000.0))
              |      / 100000000.0) * 10000.0) / 10000.0 AS alpha
-             |FROM tp""".stripMargin)))
+             |FROM tp""".stripMargin)),
+
+    // ---- Offline optimal single changepoint by binary segmentation:
+    // the split day maximizing the two-segment SSE reduction, via the
+    // identity argmax G(t) = cum_t²/t + (S−cum_t)²/(n−t) over exact
+    // prefix sums — the retrospective complement to the sequential
+    // CUSUM (q210) / Page–Hinkley (q350) monitors. Every candidate's
+    // G is one fixed chain from exact integers; argmax tiebreaks on
+    // day. One prefix-sum window over the calendar-sized series.
+    Q("q369_binary_segmentation",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val tot = dense.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c")).cast(dec).as("s"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val cand = dense.join(broadcast(tot))
+          .withColumn("t", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("day"))
+            .cast("long"))
+          .withColumn("cum", sum(col("c")).over(w).cast(dec))
+          .where(col("t") < col("n").cast("long"))
+          .withColumn("g", dd(col("cum")) * dd(col("cum")) / dd(col("t"))
+            + dd(col("s") - col("cum")) * dd(col("s") - col("cum"))
+              / (dd(col("n")) - dd(col("t"))))
+        cand.orderBy(col("g").desc, col("day")).limit(1)
+          .select(col("day").as("split_day"),
+            col("t").as("n_left"),
+            (col("n").cast("long") - col("t")).as("n_right"),
+            (round((col("g") - dd(col("s")) * dd(col("s")) / dd(col("n")))
+              * 10000.0) / 10000.0).as("gain"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(c) AS HUGEINT) AS s FROM dn),
+             |pf AS (SELECT day,
+             |    CAST(row_number() OVER w AS BIGINT) AS t,
+             |    CAST(sum(c) OVER w AS HUGEINT) AS cum, n, s
+             |  FROM dn CROSS JOIN tt
+             |  WINDOW w AS (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |cd AS (SELECT day, t, n, s,
+             |    CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE)
+             |      / CAST(t AS DOUBLE)
+             |    + CAST(s - cum AS DOUBLE) * CAST(s - cum AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS g
+             |  FROM pf WHERE t < CAST(n AS BIGINT)),
+             |top AS (SELECT * FROM cd ORDER BY g DESC, day LIMIT 1)
+             |SELECT day AS split_day, t AS n_left,
+             |  CAST(n AS BIGINT) - t AS n_right,
+             |  round((g - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) * 10000.0) / 10000.0 AS gain
+             |FROM top""".stripMargin)),
+
+    // ---- Expected / maximum calibration error for the q367 stopword-
+    // ratio forecast: ECE = Σ|pt·n_b − 10·s_b| / (10N) keeps the
+    // per-bin gap an EXACT integer (1-dp forecasts), so the whole ECE
+    // is one division; MCE is the max per-bin gap ratio. The two
+    // headline calibration scalars a model card reports next to q367's
+    // decomposition.
+    Q("q370_calibration_error",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "documents").select(
+          round(TextAnalysis.stopwordRatio(col("text")) * 10.0)
+            .cast("long").as("pt"),
+          (col("lang") === "en").cast("long").as("o"))
+        val bins = base.groupBy("pt").agg(count(lit(1)).as("nb"),
+          sum(col("o")).as("sb"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val gap = abs(col("pt").cast(dec) * col("nb").cast(dec)
+          - lit(10L).cast(dec) * col("sb").cast(dec))
+        bins.agg(sum(col("nb")).cast("long").as("n"),
+            count(lit(1)).cast("long").as("n_bins"),
+            sum(gap).as("esum"),
+            max(dd(gap) / (lit(10.0) * dd(col("nb")))).as("mce_raw"))
+          .select(col("n"), col("n_bins"),
+            (round(dd(col("esum")) / (lit(10.0) * dd(col("n")))
+              * 1000000.0) / 1000000.0).as("ece"),
+            (round(col("mce_raw") * 1000000.0) / 1000000.0).as("mce"))
+      },
+      Some(s"""WITH b AS (SELECT
+              |    CAST(round((CAST(len(list_filter(string_split(text, ' '),
+              |      x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |      / len(string_split(text, ' '))) * 10.0) AS BIGINT)
+              |      AS pt,
+              |    CAST(lang = 'en' AS BIGINT) AS o
+              |  FROM documents),
+              |bins AS (SELECT pt, count(*) AS nb, sum(o) AS sb
+              |  FROM b GROUP BY pt)
+              |SELECT CAST(sum(nb) AS BIGINT) AS n,
+              |  CAST(count(*) AS BIGINT) AS n_bins,
+              |  round(CAST(sum(abs(CAST(pt AS HUGEINT) * CAST(nb AS HUGEINT)
+              |    - 10 * CAST(sb AS HUGEINT))) AS DOUBLE)
+              |    / (10.0 * CAST(sum(nb) AS DOUBLE)) * 1000000.0)
+              |    / 1000000.0 AS ece,
+              |  round(max(CAST(abs(CAST(pt AS HUGEINT) * CAST(nb AS HUGEINT)
+              |    - 10 * CAST(sb AS HUGEINT)) AS DOUBLE)
+              |    / (10.0 * CAST(nb AS DOUBLE))) * 1000000.0) / 1000000.0
+              |    AS mce
+              |FROM bins""".stripMargin)),
+
+    // ---- word2vec-style negative-sampling table: unigram counts
+    // raised to the 0.75 power (1e-6-quantized per term so the fold is
+    // an exact decimal sum), then NEXT-FIT bucketed into 16 equal-mass
+    // shards by exclusive cumulative weight — the distributed
+    // construction of the sampling table a skip-gram trainer (q278's
+    // consumer) draws negatives from. One vocabulary-sized rank window.
+    Q("q371_negative_sampling",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tc = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .select(col("term"), col("cnt"),
+            round(exp(lit(0.75) * log(col("cnt").cast("double")))
+              * 1000000.0).cast("long").as("w"))
+        val wnd = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term"))
+        val ranked = tc
+          .withColumn("pre", coalesce(sum(col("w")).over(
+            wnd.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)), lit(0L)).cast(dec))
+        val tot = tc.agg(sum(col("w")).cast(dec).as("tw"))
+        ranked.join(broadcast(tot))
+          .withColumn("bucket", expr("(pre * 16) div tw"))
+          .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_terms"),
+            sum(col("w")).cast("long").as("mass"),
+            max(col("tw")).as("tw"))
+          .select(col("bucket"), col("n_terms"),
+            (round(col("mass").cast("double") / col("tw").cast("double")
+              * 1000000.0) / 1000000.0).as("share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tc AS (SELECT term, count(*) AS cnt,
+             |    CAST(round(exp(0.75 * ln(CAST(count(*) AS DOUBLE)))
+             |      * 1000000.0) AS BIGINT) AS w
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+             |    FROM documents) GROUP BY term),
+             |rk AS (SELECT term, cnt, w,
+             |    CAST(coalesce(sum(w) OVER (ORDER BY cnt DESC, term
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS HUGEINT) AS pre
+             |  FROM tc),
+             |tt AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM tc),
+             |bk AS (SELECT (pre * 16) // tw AS bucket, w, tw
+             |  FROM rk CROSS JOIN tt)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_terms,
+             |  round(CAST(sum(w) AS DOUBLE) / CAST(max(tw) AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS share
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
