@@ -11712,7 +11712,129 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_terms,
              |  round(CAST(sum(w) AS DOUBLE) / CAST(max(tw) AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS share
-             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)))
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- Permutation test for the A/B difference in per-user event
+    // counts, with 100 DETERMINISTIC portable-hash relabelings (md5 —
+    // the q328 recapture trick) instead of RNG permutations: every
+    // permuted |mean₁−mean₀| is a fixed chain from exact conditional
+    // sums, so the null distribution and the p-value (1+#{≥obs})/101
+    // are engine-identical. One user fold, then a 100-way explode over
+    // the USER table (not the event table) — resampling cost scales
+    // with users, not events.
+    Q("q372_permutation_test",
+      (s, d) => {
+        val ux = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("x")).localCheckpoint()
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        def diffOf(g: org.apache.spark.sql.Column) =
+          abs(dd(sum(when(g === 1, col("x")).otherwise(0L)))
+            / dd(sum(when(g === 1, 1L).otherwise(0L)))
+            - dd(sum(when(g === 0, col("x")).otherwise(0L)))
+            / dd(sum(when(g === 0, 1L).otherwise(0L))))
+        val obs = ux.agg(count(lit(1)).cast("long").as("n_users"),
+          diffOf(pmod(col("user_id"), lit(2L))).as("obs_diff"))
+        val perms = ux.select(col("user_id"), col("x"),
+            explode(sequence(lit(1), lit(100))).as("j"))
+          .select(col("j"), col("x"),
+            pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("perm"), col("j").cast("string"), lit("#"),
+                col("user_id").cast("string"))), lit(2L)).as("g"))
+          .groupBy("j").agg(diffOf(col("g")).as("pd"))
+        perms.join(broadcast(obs))
+          .agg(max(col("n_users")).as("n_users"),
+            max(col("obs_diff")).as("od"),
+            count(lit(1)).cast("long").as("n_perms"),
+            sum(when(col("pd") >= col("obs_diff"), 1L).otherwise(0L))
+              .cast("long").as("n_ge"))
+          .select(col("n_users"),
+            (round(col("od") * 1000000.0) / 1000000.0).as("obs_diff"),
+            col("n_perms"), col("n_ge"),
+            (round((col("n_ge") + 1L).cast("double")
+              / (col("n_perms") + 1L).cast("double") * 1000000.0)
+              / 1000000.0).as("p_value"))
+      },
+      Some("""WITH ux AS (SELECT user_id, count(*) AS x FROM events
+             |  GROUP BY user_id),
+             |ob AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |    abs(CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)
+             |        AS DOUBLE)
+             |      / CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             |        AS DOUBLE)
+             |      - CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)
+             |        AS DOUBLE)
+             |      / CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |        AS DOUBLE)) AS od
+             |  FROM ux),
+             |pm AS (SELECT j.j AS j,
+             |    CAST(('0x' || substr(md5('perm' || CAST(j.j AS VARCHAR)
+             |      || '#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 2 AS g, x
+             |  FROM ux CROSS JOIN (SELECT unnest(range(1, 101)) AS j) j),
+             |pd AS (SELECT j,
+             |    abs(CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      - CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE))
+             |      AS pd
+             |  FROM pm GROUP BY j)
+             |SELECT n_users,
+             |  round(od * 1000000.0) / 1000000.0 AS obs_diff,
+             |  CAST(count(*) AS BIGINT) AS n_perms,
+             |  CAST(sum(CASE WHEN pd >= od THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_ge,
+             |  round(CAST(sum(CASE WHEN pd >= od THEN 1 ELSE 0 END) + 1
+             |    AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS p_value
+             |FROM pd CROSS JOIN ob
+             |GROUP BY n_users, od""".stripMargin)),
+
+    // ---- Train/test split-leakage audit: hash-split the corpus 90/10
+    // (portable md5 assignment), fingerprint every doc (md5 of text),
+    // and count test docs whose fingerprint also appears in train — the
+    // q61-decontamination check applied to YOUR OWN split, the audit
+    // that catches eval contamination before a model ships. One
+    // fingerprint shuffle; the leak probe is a semi-join.
+    Q("q373_split_leakage",
+      (s, d) => {
+        val fp = t(s, d, "documents").select(col("doc_id"),
+          md5(col("text")).as("fp"),
+          (pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("split#"), col("doc_id").cast("string"))),
+            lit(10L)) === 0L).as("is_test"))
+        val train = fp.where(!col("is_test")).select(col("fp"))
+        val leaked = fp.where(col("is_test"))
+          .join(train, Seq("fp"), "left_semi")
+        val counts = fp.agg(
+          sum(when(col("is_test"), 1L).otherwise(0L)).cast("long")
+            .as("n_test"),
+          sum(when(!col("is_test"), 1L).otherwise(0L)).cast("long")
+            .as("n_train"))
+        val lk = leaked.agg(count(lit(1)).cast("long").as("n_leaked"))
+        counts.join(broadcast(lk))
+          .select(col("n_train"), col("n_test"), col("n_leaked"),
+            (round(col("n_leaked").cast("double")
+              / col("n_test").cast("double") * 1000000.0) / 1000000.0)
+              .as("leak_rate"))
+      },
+      Some("""WITH fp AS (SELECT doc_id, md5(text) AS fp,
+             |    CAST(('0x' || substr(md5('split#'
+             |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+             |      AS is_test
+             |  FROM documents),
+             |tr AS (SELECT DISTINCT fp FROM fp WHERE NOT is_test),
+             |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked
+             |  FROM fp WHERE is_test AND fp IN (SELECT fp FROM tr)),
+             |ct AS (SELECT
+             |    CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_test,
+             |    CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_train
+             |  FROM fp)
+             |SELECT n_train, n_test, n_leaked,
+             |  round(CAST(n_leaked AS DOUBLE) / CAST(n_test AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS leak_rate
+             |FROM ct CROSS JOIN lk""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
