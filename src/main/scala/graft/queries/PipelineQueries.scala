@@ -11834,7 +11834,268 @@ object PipelineQueries {
              |SELECT n_train, n_test, n_leaked,
              |  round(CAST(n_leaked AS DOUBLE) / CAST(n_test AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS leak_rate
-             |FROM ct CROSS JOIN lk""".stripMargin)))
+             |FROM ct CROSS JOIN lk""".stripMargin)),
+
+    // ---- Jarque–Bera normality test on order prices: JB =
+    // n/6·(g₁² + g₂²/4) from the SAME exact decimal38 raw-moment pass
+    // as q326's per-segment profile (central moments composed
+    // identically on both engines) — the one-number normality gate in
+    // front of every z-test in the register. One conditional-free scan.
+    Q("q374_jarque_bera",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100.0).cast("long").as("x"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast(dec)
+        val m = base.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("s1"),
+          sum(dc(col("x")) * dc(col("x"))).as("s2"),
+          sum(dc(col("x")) * dc(col("x")) * dc(col("x"))).as("s3"),
+          sum(dc(col("x")) * dc(col("x")) * dc(col("x")) * dc(col("x")))
+            .as("s4"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = dd(col("n"))
+        val mu = dd(col("s1")) / n
+        val m2 = dd(col("s2")) / n - mu * mu
+        val m3 = dd(col("s3")) / n - lit(3.0) * mu * (dd(col("s2")) / n) +
+          lit(2.0) * mu * mu * mu
+        val m4 = dd(col("s4")) / n - lit(4.0) * mu * (dd(col("s3")) / n) +
+          lit(6.0) * mu * mu * (dd(col("s2")) / n) -
+          lit(3.0) * mu * mu * mu * mu
+        val g1 = m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+        val g2 = m4 / (m2 * m2) - 3.0
+        m.select(col("n").cast("long").as("n"),
+          (round(g1 * 1000000.0) / 1000000.0).as("skewness"),
+          (round(g2 * 1000000.0) / 1000000.0).as("excess_kurtosis"),
+          (round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) * 10000.0)
+            / 10000.0).as("jb"),
+          (n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) > 5.991).as("reject_5pct"))
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS x
+             |  FROM orders),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS s1,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             |      * CAST(x AS HUGEINT)) AS s3,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             |      * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s4
+             |  FROM b),
+             |c AS (SELECT CAST(n AS BIGINT) AS n,
+             |    CAST(n AS DOUBLE) AS nd,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+             |  FROM m),
+             |g AS (SELECT n, nd,
+             |    (r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu)
+             |      / (sqrt(r2 - mu * mu) * sqrt(r2 - mu * mu)
+             |        * sqrt(r2 - mu * mu)) AS g1,
+             |    (r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+             |      - 3.0 * mu * mu * mu * mu)
+             |      / ((r2 - mu * mu) * (r2 - mu * mu)) - 3.0 AS g2
+             |  FROM c)
+             |SELECT n,
+             |  round(g1 * 1000000.0) / 1000000.0 AS skewness,
+             |  round(g2 * 1000000.0) / 1000000.0 AS excess_kurtosis,
+             |  round(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) * 10000.0)
+             |    / 10000.0 AS jb,
+             |  nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) > 5.991 AS reject_5pct
+             |FROM g""".stripMargin)),
+
+    // ---- Two-way ANOVA with interaction: weekday × event-type effects
+    // on daily per-type counts over COMPLETE weeks (q352's balanced
+    // blocks). Every sum of squares comes from the Σ(group²/n) − T²/N
+    // identity over exact integer group sums (cell table is 7×5), so
+    // the F ratios are fixed chains; extends q277's one-way test with
+    // the interaction term. One (day, type) fact fold; everything
+    // after is cell-sized.
+    Q("q375_two_way_anova",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dayNs = 86400L * 1000000000L
+        val obs = Tables.events(s, d)
+          .select(expr(s"ts div $dayNs").as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("y"))
+        val wk = obs.select(expr("day div 7").as("week")).distinct()
+          .join(obs.select(expr("day div 7").as("week"), col("day"))
+            .distinct().groupBy("week").agg(count(lit(1)).as("nd")),
+            "week")
+          .where(col("nd") === 7).select("week")
+        val b = obs.join(broadcast(wk),
+            expr("day div 7") === col("week"))
+          .select(pmod(col("day"), lit(7L)).as("wd"), col("event_type"),
+            col("y")).localCheckpoint()
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val tot = b.agg(count(lit(1)).cast(dec).as("nn"),
+          sum(col("y")).cast(dec).as("tt"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("qq"))
+        def ssOf(g: org.apache.spark.sql.DataFrame) = g
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum(dd(col("gs")) * dd(col("gs")) / dd(col("gn"))).as("raw"))
+        val ssA = ssOf(b.groupBy("wd").agg(sum(col("y")).cast(dec)
+          .as("gs"), count(lit(1)).cast(dec).as("gn")))
+          .select(col("k").as("ka"), col("raw").as("rawa"))
+        val ssB = ssOf(b.groupBy("event_type").agg(sum(col("y")).cast(dec)
+          .as("gs"), count(lit(1)).cast(dec).as("gn")))
+          .select(col("k").as("kb"), col("raw").as("rawb"))
+        val ssC = ssOf(b.groupBy("wd", "event_type")
+          .agg(sum(col("y")).cast(dec).as("gs"),
+            count(lit(1)).cast(dec).as("gn")))
+          .select(col("k").as("kc"), col("raw").as("rawc"))
+        val j = tot.join(broadcast(ssA)).join(broadcast(ssB))
+          .join(broadcast(ssC))
+        val cm = dd(col("tt")) * dd(col("tt")) / dd(col("nn"))
+        val sst = dd(col("qq")) - cm
+        val sa = col("rawa") - cm
+        val sb = col("rawb") - cm
+        val scells = col("rawc") - cm
+        val sab = scells - sa - sb
+        val se = sst - scells
+        val dfa = col("ka") - 1L
+        val dfb = col("kb") - 1L
+        val dfab = dfa * dfb
+        val dfe = col("nn").cast("long") - col("kc")
+        def row(src: String, ss: org.apache.spark.sql.Column,
+            df: org.apache.spark.sql.Column,
+            f: Option[org.apache.spark.sql.Column]) =
+          j.select(lit(src).as("source"), df.cast("long").as("df"),
+            (round(ss * 100.0) / 100.0).as("ss"),
+            f.map(x => (round(x * 10000.0) / 10000.0).as("f"))
+              .getOrElse(lit(null).cast("double").as("f")))
+        val fe = se / dfe.cast("double")
+        row("weekday", sa, dfa, Some(sa / dfa.cast("double") / fe))
+          .unionAll(row("event_type", sb, dfb,
+            Some(sb / dfb.cast("double") / fe)))
+          .unionAll(row("interaction", sab, dfab,
+            Some(sab / dfab.cast("double") / fe)))
+          .unionAll(row("error", se, dfe, None))
+          .orderBy("source")
+      },
+      Some("""WITH obs AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    event_type, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |wk AS (SELECT day // 7 AS week
+             |  FROM (SELECT DISTINCT day FROM obs)
+             |  GROUP BY 1 HAVING count(*) = 7),
+             |b AS (SELECT day % 7 AS wd, event_type, y
+             |  FROM obs JOIN wk ON obs.day // 7 = wk.week),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+             |    CAST(sum(y) AS HUGEINT) AS t,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qq
+             |  FROM b),
+             |ga AS (SELECT CAST(count(*) AS BIGINT) AS ka,
+             |    sum(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+             |      / CAST(gn AS DOUBLE)) AS rawa
+             |  FROM (SELECT CAST(sum(y) AS HUGEINT) AS gs,
+             |      CAST(count(*) AS HUGEINT) AS gn FROM b GROUP BY wd)),
+             |gb AS (SELECT CAST(count(*) AS BIGINT) AS kb,
+             |    sum(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+             |      / CAST(gn AS DOUBLE)) AS rawb
+             |  FROM (SELECT CAST(sum(y) AS HUGEINT) AS gs,
+             |      CAST(count(*) AS HUGEINT) AS gn
+             |    FROM b GROUP BY event_type)),
+             |gc AS (SELECT CAST(count(*) AS BIGINT) AS kc,
+             |    sum(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+             |      / CAST(gn AS DOUBLE)) AS rawc
+             |  FROM (SELECT CAST(sum(y) AS HUGEINT) AS gs,
+             |      CAST(count(*) AS HUGEINT) AS gn
+             |    FROM b GROUP BY wd, event_type)),
+             |x AS (SELECT nn, qq, ka, kb, kc, rawa, rawb, rawc,
+             |    CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) AS cm
+             |  FROM tt CROSS JOIN ga CROSS JOIN gb CROSS JOIN gc),
+             |y AS (SELECT ka, kb, kc, CAST(nn AS BIGINT) AS nl,
+             |    CAST(qq AS DOUBLE) - cm AS sst,
+             |    rawa - cm AS sa, rawb - cm AS sb,
+             |    rawc - cm AS scells FROM x),
+             |z AS (SELECT ka - 1 AS dfa, kb - 1 AS dfb,
+             |    (ka - 1) * (kb - 1) AS dfab, nl - kc AS dfe,
+             |    sa, sb, scells - sa - sb AS sab, sst - scells AS se
+             |  FROM y)
+             |SELECT * FROM (
+             |  SELECT 'weekday' AS source, CAST(dfa AS BIGINT) AS df,
+             |    round(sa * 100.0) / 100.0 AS ss,
+             |    round(sa / CAST(dfa AS DOUBLE)
+             |      / (se / CAST(dfe AS DOUBLE)) * 10000.0) / 10000.0 AS f
+             |  FROM z
+             |  UNION ALL
+             |  SELECT 'event_type', CAST(dfb AS BIGINT),
+             |    round(sb * 100.0) / 100.0,
+             |    round(sb / CAST(dfb AS DOUBLE)
+             |      / (se / CAST(dfe AS DOUBLE)) * 10000.0) / 10000.0
+             |  FROM z
+             |  UNION ALL
+             |  SELECT 'interaction', CAST(dfab AS BIGINT),
+             |    round(sab * 100.0) / 100.0,
+             |    round(sab / CAST(dfab AS DOUBLE)
+             |      / (se / CAST(dfe AS DOUBLE)) * 10000.0) / 10000.0
+             |  FROM z
+             |  UNION ALL
+             |  SELECT 'error', CAST(dfe AS BIGINT),
+             |    round(se * 100.0) / 100.0, NULL
+             |  FROM z)
+             |ORDER BY source""".stripMargin)),
+
+    // ---- Dedup sensitivity to shingle SIZE: the 3-gram (q22) and
+    // 2-gram exact-Jaccard pair sets at τ=0.5, their overlap, and the
+    // pair-set agreement Jaccard — q306 swept the THRESHOLD; this
+    // sweeps the FEATURE, the other knob a dedup config exposes. Both
+    // pair sets come from the same banded-prefix machinery; agreement
+    // is a pair-key join of two tiny pair lists.
+    Q("q376_shingle_sensitivity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val p3 = Dedup.shingleJaccardPairs(docs, 0.5, n = 3)
+          .select(col("id_a"), col("id_b"))
+        val p2 = Dedup.shingleJaccardPairs(docs, 0.5, n = 2)
+          .select(col("id_a").as("a2"), col("id_b").as("b2"))
+        val both = p3.join(p2, col("id_a") === col("a2")
+          && col("id_b") === col("b2"))
+          .agg(count(lit(1)).cast("long").as("n_both"))
+        val c3 = p3.agg(count(lit(1)).cast("long").as("n_3gram"))
+        val c2 = p2.agg(count(lit(1)).cast("long").as("n_2gram"))
+        c3.join(broadcast(c2)).join(broadcast(both))
+          .select(col("n_3gram"), col("n_2gram"), col("n_both"),
+            (round(col("n_both").cast("double")
+              / (col("n_3gram") + col("n_2gram") - col("n_both"))
+                .cast("double") * 1000000.0) / 1000000.0)
+              .as("agreement"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |sh3 AS (SELECT doc_id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)])) AS s
+             |  FROM ws WHERE len(w) >= 3),
+             |c3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+             |i3 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |p3 AS (SELECT ia, ib FROM i3
+             |  JOIN c3 ca ON ca.doc_id = ia JOIN c3 cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |sh2 AS (SELECT doc_id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS s
+             |  FROM ws WHERE len(w) >= 2),
+             |c2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+             |i2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |p2 AS (SELECT ia, ib FROM i2
+             |  JOIN c2 ca ON ca.doc_id = ia JOIN c2 cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |bt AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+             |  FROM p3 JOIN p2 ON p3.ia = p2.ia AND p3.ib = p2.ib),
+             |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_3gram FROM p3),
+             |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_2gram FROM p2)
+             |SELECT n_3gram, n_2gram, n_both,
+             |  round(CAST(n_both AS DOUBLE)
+             |    / CAST(n_3gram + n_2gram - n_both AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS agreement
+             |FROM n3 CROSS JOIN n2 CROSS JOIN bt""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
