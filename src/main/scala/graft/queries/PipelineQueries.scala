@@ -12095,7 +12095,240 @@ object PipelineQueries {
              |  round(CAST(n_both AS DOUBLE)
              |    / CAST(n_3gram + n_2gram - n_both AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS agreement
-             |FROM n3 CROSS JOIN n2 CROSS JOIN bt""".stripMargin)))
+             |FROM n3 CROSS JOIN n2 CROSS JOIN bt""".stripMargin)),
+
+    // ---- Customer value-quartile migration: each customer's revenue
+    // quartile in the first half (orders before 1998-07-01) vs the
+    // second, as a 4×4 transition matrix over customers active in BOTH
+    // — the loyalty-migration report behind q190's static RFM. EXACT
+    // quartiles by rank arithmetic q = ((rank−1)·4) div n (no ntile
+    // positional drift); two period folds, one customer join.
+    Q("q377_quartile_migration",
+      (s, d) => {
+        def half(cond: org.apache.spark.sql.Column, tag: String) =
+          t(s, d, "orders").where(cond)
+            .groupBy("o_custkey")
+            .agg(sum(round(col("o_totalprice") * 100.0).cast("long"))
+              .as(s"rev$tag"))
+        val split = lit("1998-07-01").cast("timestamp")
+        val h1 = half(col("o_orderdate") < split, "1")
+        val h2 = half(col("o_orderdate") >= split, "2")
+        val both = h1.join(h2, "o_custkey")
+        def rk(revCol: String) = (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(revCol), col("o_custkey"))).cast("long") - 1L) * 4L
+        val ranked = both
+          .withColumn("nn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("r1", rk("rev1")).withColumn("r2", rk("rev2"))
+          .withColumn("q1", expr("r1 div nn") + 1L)
+          .withColumn("q2", expr("r2 div nn") + 1L)
+        ranked.groupBy("q1", "q2")
+          .agg(count(lit(1)).cast("long").as("n_users"))
+          .join(broadcast(ranked.groupBy("q1")
+            .agg(count(lit(1)).as("row_n"))), "q1")
+          .select(col("q1"), col("q2"), col("n_users"),
+            (round(col("n_users").cast("double")
+              / col("row_n").cast("double") * 1000000.0) / 1000000.0)
+              .as("row_share"))
+          .orderBy("q1", "q2")
+      },
+      Some("""WITH h1 AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev1
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+             |  GROUP BY 1),
+             |h2 AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev2
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+             |  GROUP BY 1),
+             |b AS (SELECT h1.o_custkey, rev1, rev2
+             |  FROM h1 JOIN h2 ON h1.o_custkey = h2.o_custkey),
+             |n AS (SELECT count(*) AS n FROM b),
+             |rk AS (SELECT o_custkey,
+             |    ((row_number() OVER (ORDER BY rev1, o_custkey) - 1) * 4)
+             |      // n + 1 AS q1,
+             |    ((row_number() OVER (ORDER BY rev2, o_custkey) - 1) * 4)
+             |      // n + 1 AS q2
+             |  FROM b CROSS JOIN n),
+             |mx AS (SELECT q1, q2, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM rk GROUP BY 1, 2),
+             |rn AS (SELECT q1, sum(n_users) AS row_n FROM mx GROUP BY 1)
+             |SELECT CAST(mx.q1 AS BIGINT) AS q1,
+             |  CAST(mx.q2 AS BIGINT) AS q2, n_users,
+             |  round(CAST(n_users AS DOUBLE) / CAST(row_n AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS row_share
+             |FROM mx JOIN rn ON mx.q1 = rn.q1
+             |ORDER BY q1, q2""".stripMargin)),
+
+    // ---- Jelinek–Mercer interpolated bigram LM: train on the 90%
+    // hash split (q373's assignment), score the held-out 10% with
+    // p = 0.75·p_bigram + 0.25·p_unigram-add-one — the linear-
+    // interpolation smoother bracketing q265 (Kneser-Ney) from below.
+    // Per-token ln terms are 1e-8-quantized into an exact decimal fold
+    // (thousands of terms — the unordered-double-sum risk is real
+    // here), so cross-entropy and perplexity are engine-exact.
+    Q("q378_jelinek_mercer",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+          (pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("split#"), col("doc_id").cast("string"))),
+            lit(10L)) === 0L).as("is_test"))
+        val grams = docs.select(col("is_test"),
+            posexplode(split(col("text"), " ")).as(Seq("i", "w")),
+            col("doc_id"))
+          .withColumn("u", lag(col("w"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("i")))
+          .where(col("u").isNotNull)
+          .localCheckpoint()
+        val uniT = grams.where(!col("is_test"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val biT = grams.where(!col("is_test"))
+          .groupBy("u", "w").agg(count(lit(1)).as("cuw"))
+        val ctxT = grams.where(!col("is_test"))
+          .groupBy("u").agg(count(lit(1)).as("cu"))
+        val tot = uniT.agg(sum(col("cw")).cast("long").as("tt"),
+          count(lit(1)).cast("long").as("vv"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val test = grams.where(col("is_test"))
+          .join(uniT, Seq("w"), "left")
+          .join(biT, Seq("u", "w"), "left")
+          .join(ctxT, Seq("u"), "left")
+          .join(broadcast(tot))
+        val pBi = when(col("cu").isNotNull && col("cuw").isNotNull,
+          dd(col("cuw")) / dd(col("cu"))).otherwise(lit(0.0))
+        val pUni = (dd(coalesce(col("cw"), lit(0L))) + 1.0) /
+          (dd(col("tt")) + dd(col("vv")))
+        val lp = round(log(lit(0.75) * pBi + lit(0.25) * pUni)
+          * 100000000.0).cast(dec)
+        val ag = test.agg(count(lit(1)).cast("long").as("m"),
+          sum(lp).as("sl"))
+        val docCounts = docs.agg(
+          sum(when(!col("is_test"), 1L).otherwise(0L)).cast("long")
+            .as("n_train_docs"),
+          sum(when(col("is_test"), 1L).otherwise(0L)).cast("long")
+            .as("n_test_docs"))
+        docCounts.join(broadcast(ag))
+          .select(col("n_train_docs"), col("n_test_docs"), col("m"),
+            (round(-dd(col("sl")) / 100000000.0 / dd(col("m")) * 10000.0)
+              / 10000.0).as("cross_entropy"),
+            (round(exp(-dd(col("sl")) / 100000000.0 / dd(col("m")))
+              * 10000.0) / 10000.0).as("perplexity"))
+      },
+      Some("""WITH dc AS (SELECT doc_id, text,
+             |    CAST(('0x' || substr(md5('split#'
+             |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+             |      AS is_test
+             |  FROM documents),
+             |ws AS (SELECT is_test, string_split(text, ' ') AS w
+             |  FROM dc),
+             |gx AS (SELECT is_test, unnest([{'u': w[i], 'w': w[i+1]}
+             |    for i in range(1, len(w))]) AS g
+             |  FROM ws WHERE len(w) >= 2),
+             |g2 AS (SELECT is_test, g.u AS u, g.w AS w FROM gx),
+             |uni AS (SELECT w, count(*) AS cw FROM g2 WHERE NOT is_test
+             |  GROUP BY w),
+             |bi AS (SELECT u, w, count(*) AS cuw FROM g2
+             |  WHERE NOT is_test GROUP BY u, w),
+             |ctx AS (SELECT u, count(*) AS cu FROM g2 WHERE NOT is_test
+             |  GROUP BY u),
+             |tt AS (SELECT CAST(sum(cw) AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS v FROM uni),
+             |ts AS (SELECT
+             |    CASE WHEN ctx.cu IS NOT NULL AND bi.cuw IS NOT NULL
+             |      THEN CAST(bi.cuw AS DOUBLE) / CAST(ctx.cu AS DOUBLE)
+             |      ELSE 0.0 END AS pbi,
+             |    (CAST(coalesce(uni.cw, 0) AS DOUBLE) + 1.0)
+             |      / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)) AS puni
+             |  FROM g2
+             |  LEFT JOIN uni ON g2.w = uni.w
+             |  LEFT JOIN bi ON g2.u = bi.u AND g2.w = bi.w
+             |  LEFT JOIN ctx ON g2.u = ctx.u
+             |  CROSS JOIN tt
+             |  WHERE g2.is_test),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    sum(CAST(round(ln(0.75 * pbi + 0.25 * puni)
+             |      * 100000000.0) AS HUGEINT)) AS sl
+             |  FROM ts),
+             |ds AS (SELECT
+             |    CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_train_docs,
+             |    CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_test_docs
+             |  FROM dc)
+             |SELECT n_train_docs, n_test_docs, m,
+             |  round(-CAST(sl AS DOUBLE) / 100000000.0 / CAST(m AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS cross_entropy,
+             |  round(exp(-CAST(sl AS DOUBLE) / 100000000.0
+             |    / CAST(m AS DOUBLE)) * 10000.0) / 10000.0 AS perplexity
+             |FROM ds CROSS JOIN ag""".stripMargin)),
+
+    // ---- Laspeyres / Paasche / Fisher price indices between the two
+    // order-date halves, with parts as the basket: period unit values
+    // S/Q stay exact rationals and each cross-period term S₂ᵢQ₁ᵢ/Q₂ᵢ is
+    // rounded to one integer cent BEFORE the exact fold — the
+    // index-number kernel of any longitudinal pricing monitor. Two
+    // part-keyed folds and one part join; all fact scans are single
+    // passes.
+    Q("q379_price_indices",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            (col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+              .as("h1"),
+            round(col("l_extendedprice") * 100.0).cast("long").as("pc"),
+            col("l_quantity").cast("long").as("q"))
+        def per(h1: Boolean, tag: String) = li
+          .where(if (h1) col("h1") else !col("h1"))
+          .groupBy("l_partkey")
+          .agg(sum(col("pc")).as(s"s$tag"), sum(col("q")).as(s"q$tag"))
+        val both = per(true, "1").join(per(false, "2"), "l_partkey")
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val ag = both.agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("s1")).cast(dec).as("ss1"),
+          sum(col("s2")).cast(dec).as("ss2"),
+          sum(round(dd(col("s2")) * dd(col("q1")) / dd(col("q2")))
+            .cast(dec)).as("l_num"),
+          sum(round(dd(col("s1")) * dd(col("q2")) / dd(col("q1")))
+            .cast(dec)).as("p_den"))
+        val lasp = dd(col("l_num")) / dd(col("ss1"))
+        val paas = dd(col("ss2")) / dd(col("p_den"))
+        ag.select(col("n_parts"),
+          (round(lasp * 1000000.0) / 1000000.0).as("laspeyres"),
+          (round(paas * 1000000.0) / 1000000.0).as("paasche"),
+          (round(sqrt(lasp * paas) * 1000000.0) / 1000000.0).as("fisher"))
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+             |    o_orderdate < TIMESTAMP '1998-07-01' AS h1,
+             |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS pc,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |p1 AS (SELECT l_partkey, sum(pc) AS s1, sum(q) AS q1
+             |  FROM li WHERE h1 GROUP BY 1),
+             |p2 AS (SELECT l_partkey, sum(pc) AS s2, sum(q) AS q2
+             |  FROM li WHERE NOT h1 GROUP BY 1),
+             |b AS (SELECT p1.l_partkey, s1, q1, s2, q2
+             |  FROM p1 JOIN p2 ON p1.l_partkey = p2.l_partkey),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |    CAST(sum(s1) AS HUGEINT) AS ss1,
+             |    CAST(sum(s2) AS HUGEINT) AS ss2,
+             |    sum(CAST(round(CAST(s2 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |      / CAST(q2 AS DOUBLE)) AS HUGEINT)) AS l_num,
+             |    sum(CAST(round(CAST(s1 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |      / CAST(q1 AS DOUBLE)) AS HUGEINT)) AS p_den
+             |  FROM b)
+             |SELECT n_parts,
+             |  round(CAST(l_num AS DOUBLE) / CAST(ss1 AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS laspeyres,
+             |  round(CAST(ss2 AS DOUBLE) / CAST(p_den AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS paasche,
+             |  round(sqrt((CAST(l_num AS DOUBLE) / CAST(ss1 AS DOUBLE))
+             |    * (CAST(ss2 AS DOUBLE) / CAST(p_den AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS fisher
+             |FROM ag""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
