@@ -12328,7 +12328,261 @@ object PipelineQueries {
              |  round(sqrt((CAST(l_num AS DOUBLE) / CAST(ss1 AS DOUBLE))
              |    * (CAST(ss2 AS DOUBLE) / CAST(p_den AS DOUBLE)))
              |    * 1000000.0) / 1000000.0 AS fisher
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // ---- Empirical-Bayes shrinkage of per-nation fulfillment rates
+    // toward the grand mean (beta-binomial method of moments): prior
+    // strength M = p̄(1−p̄)/τ̂² − 1 with τ̂² from the moment identity,
+    // then rate_i ↦ (a_i + M·p̄)/(n_i + M) — the small-sample-stable
+    // leaderboard every per-segment metric page needs. τ̂² is 1e-9-
+    // rounded before M so both engines shrink identically; everything
+    // upstream is exact counts. Dims broadcast; one nation fold.
+    Q("q380_eb_shrinkage",
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("a"),
+            count(lit(1)).as("n"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val tot = base.agg(sum(col("a")).as("aa"), sum(col("n")).as("nn"),
+          count(lit(1)).as("k"),
+          sum(dd(col("n")) * dd(col("n"))).as("sn2"))
+        val withTot = base.join(broadcast(tot))
+        val pbar = dd(col("aa")) / dd(col("nn"))
+        val dev = withTot.agg(max(col("aa")).as("aa"),
+          max(col("nn")).as("nn"), max(col("k")).as("k"),
+          max(col("sn2")).as("sn2"),
+          sum(dd(col("n")) * (dd(col("a")) / dd(col("n")) - pbar)
+            * (dd(col("a")) / dd(col("n")) - pbar)).as("ssb"))
+        val tau2 = round((col("ssb") - (dd(col("k")) - 1.0) * pbar
+          * (lit(1.0) - pbar))
+          / (dd(col("nn")) - col("sn2") / dd(col("nn"))) * 1.0e9) / 1.0e9
+        val m = dev.select(col("aa"), col("nn"), col("k"),
+          (pbar * (lit(1.0) - pbar) / greatest(tau2, lit(1.0e-9)) - 1.0)
+            .as("mm"), pbar.as("pb"))
+        base.join(broadcast(m))
+          .select(col("n_name").as("nation"), col("n").cast("long").as("n"),
+            (round(dd(col("a")) / dd(col("n")) * 1000000.0) / 1000000.0)
+              .as("raw_rate"),
+            (round((dd(col("a")) + col("mm") * col("pb"))
+              / (dd(col("n")) + col("mm")) * 1000000.0) / 1000000.0)
+              .as("shrunk_rate"),
+            (round(dd(col("n")) / (dd(col("n")) + col("mm")) * 1000000.0)
+              / 1000000.0).as("weight"))
+          .orderBy("nation")
+      },
+      Some("""WITH b AS (SELECT n_name,
+             |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+             |    count(*) AS n
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1),
+             |tt AS (SELECT CAST(sum(a) AS BIGINT) AS aa,
+             |    CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(count(*) AS BIGINT) AS k,
+             |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sn2
+             |  FROM b),
+             |dv AS (SELECT aa, nn, k, sn2,
+             |    sum(CAST(n AS DOUBLE)
+             |      * (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))) AS ssb
+             |  FROM b CROSS JOIN tt GROUP BY aa, nn, k, sn2),
+             |mm AS (SELECT aa, nn, k,
+             |    (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      / greatest(round(((ssb - (CAST(k AS DOUBLE) - 1.0)
+             |        * (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |        * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE)))
+             |        / (CAST(nn AS DOUBLE) - sn2 / CAST(nn AS DOUBLE)))
+             |        * 1000000000.0) / 1000000000.0, 0.000000001) - 1.0
+             |      AS m,
+             |    CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE) AS pb
+             |  FROM dv)
+             |SELECT n_name AS nation, CAST(n AS BIGINT) AS n,
+             |  round(CAST(a AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS raw_rate,
+             |  round((CAST(a AS DOUBLE) + m * pb)
+             |    / (CAST(n AS DOUBLE) + m) * 1000000.0) / 1000000.0
+             |    AS shrunk_rate,
+             |  round(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + m)
+             |    * 1000000.0) / 1000000.0 AS weight
+             |FROM b CROSS JOIN mm ORDER BY nation""".stripMargin)),
+
+    // ---- Coupon-collector coverage deficit: per event type, observed
+    // distinct users vs the uniform-traffic expectation
+    // U·(1−exp(N·ln(1−1/U))) — a deficit means traffic concentrates on
+    // repeat users. The null expectation is one exp/ln chain from
+    // exact counts; one exact-distinct fold per type plus the global
+    // user universe broadcast.
+    Q("q381_coverage_deficit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val uni = ev.agg(countDistinct(col("user_id")).as("u"))
+        val per = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("dobs"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val expected = dd(col("u")) * (lit(1.0)
+          - exp(dd(col("n")) * log(lit(1.0) - lit(1.0) / dd(col("u")))))
+        per.join(broadcast(uni))
+          .select(col("event_type"), col("n").cast("long").as("n_events"),
+            col("dobs").cast("long").as("distinct_users"),
+            col("u").cast("long").as("universe"),
+            (round(expected * 100.0) / 100.0).as("expected_uniform"),
+            (round((expected - dd(col("dobs"))) / expected * 1000000.0)
+              / 1000000.0).as("deficit"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+             |    AS u FROM events),
+             |p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS dobs
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, n AS n_events, dobs AS distinct_users,
+             |  u AS universe,
+             |  round(CAST(u AS DOUBLE) * (1.0 - exp(CAST(n AS DOUBLE)
+             |    * ln(1.0 - 1.0 / CAST(u AS DOUBLE)))) * 100.0) / 100.0
+             |    AS expected_uniform,
+             |  round((CAST(u AS DOUBLE) * (1.0 - exp(CAST(n AS DOUBLE)
+             |    * ln(1.0 - 1.0 / CAST(u AS DOUBLE))))
+             |    - CAST(dobs AS DOUBLE))
+             |    / (CAST(u AS DOUBLE) * (1.0 - exp(CAST(n AS DOUBLE)
+             |    * ln(1.0 - 1.0 / CAST(u AS DOUBLE))))) * 1000000.0)
+             |    / 1000000.0 AS deficit
+             |FROM p CROSS JOIN u ORDER BY event_type""".stripMargin)),
+
+    // ---- Winsorized vs raw correlation (price, quantity): clamp both
+    // margins at their own nearest-rank p5/p95 (exact rank equality,
+    // q360's convention), recompute Pearson r on the clamped integers,
+    // and report the outlier influence Δr — the robustness check that
+    // says whether q354's raw correlation is tail-driven. Cutoffs are
+    // four scalar broadcasts; both moment passes are exact decimal38.
+    Q("q382_winsorized_corr",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100.0).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"),
+          col("l_orderkey"), col("l_linenumber")).localCheckpoint()
+        def cuts(vCol: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col(vCol), col("l_orderkey"), col("l_linenumber"))
+          val r = base.withColumn("rn", row_number().over(w).cast("long"))
+            .withColumn("nn", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()))
+          r.where(col("rn") === expr("(nn * 5 + 99) div 100")
+              || col("rn") === expr("(nn * 95 + 99) div 100"))
+            .agg(min(when(col("rn") === expr("(nn * 5 + 99) div 100"),
+              col(vCol))).as(s"lo_$vCol"),
+              min(when(col("rn") === expr("(nn * 95 + 99) div 100"),
+                col(vCol))).as(s"hi_$vCol"))
+        }
+        val cx = cuts("x"); val cy = cuts("y")
+        val clamped = base.join(broadcast(cx)).join(broadcast(cy))
+          .select(
+            least(greatest(col("x"), col("lo_x")), col("hi_x")).as("xw"),
+            least(greatest(col("y"), col("lo_y")), col("hi_y")).as("yw"),
+            col("x"), col("y"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast(dec)
+        val m = clamped.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+          sum(dc(col("y")) * dc(col("y"))).as("syy"),
+          sum(dc(col("x")) * dc(col("y"))).as("sxy"),
+          sum(col("xw")).cast(dec).as("wx"), sum(col("yw")).cast(dec).as("wy"),
+          sum(dc(col("xw")) * dc(col("xw"))).as("wxx"),
+          sum(dc(col("yw")) * dc(col("yw"))).as("wyy"),
+          sum(dc(col("xw")) * dc(col("yw"))).as("wxy"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        def pearson(sab: String, sa: String, sb: String, saa: String,
+            sbb: String) =
+          (dd(col("n")) * dd(col(sab)) - dd(col(sa)) * dd(col(sb))) /
+            sqrt((dd(col("n")) * dd(col(saa)) - dd(col(sa)) * dd(col(sa)))
+              * (dd(col("n")) * dd(col(sbb)) - dd(col(sb)) * dd(col(sb))))
+        val rRaw = pearson("sxy", "sx", "sy", "sxx", "syy")
+        val rW = pearson("wxy", "wx", "wy", "wxx", "wyy")
+        m.select(col("n").cast("long").as("n"),
+          (round(rRaw * 1000000.0) / 1000000.0).as("r_raw"),
+          (round(rW * 1000000.0) / 1000000.0).as("r_winsorized"),
+          (round((rW - rRaw) * 1000000.0) / 1000000.0).as("delta"))
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS x,
+             |    CAST(l_quantity AS BIGINT) AS y,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |rx AS (SELECT x, CAST(row_number() OVER (ORDER BY x,
+             |      l_orderkey, l_linenumber) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER () AS BIGINT) AS nn FROM b),
+             |cx AS (SELECT
+             |    min(CASE WHEN rn = (nn * 5 + 99) // 100 THEN x END)
+             |      AS lo_x,
+             |    min(CASE WHEN rn = (nn * 95 + 99) // 100 THEN x END)
+             |      AS hi_x
+             |  FROM rx),
+             |ry AS (SELECT y, CAST(row_number() OVER (ORDER BY y,
+             |      l_orderkey, l_linenumber) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER () AS BIGINT) AS nn FROM b),
+             |cy AS (SELECT
+             |    min(CASE WHEN rn = (nn * 5 + 99) // 100 THEN y END)
+             |      AS lo_y,
+             |    min(CASE WHEN rn = (nn * 95 + 99) // 100 THEN y END)
+             |      AS hi_y
+             |  FROM ry),
+             |cl AS (SELECT x, y,
+             |    least(greatest(x, lo_x), hi_x) AS xw,
+             |    least(greatest(y, lo_y), hi_y) AS yw
+             |  FROM b CROSS JOIN cx CROSS JOIN cy),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    CAST(sum(xw) AS HUGEINT) AS wx,
+             |    CAST(sum(yw) AS HUGEINT) AS wy,
+             |    sum(CAST(xw AS HUGEINT) * CAST(xw AS HUGEINT)) AS wxx,
+             |    sum(CAST(yw AS HUGEINT) * CAST(yw AS HUGEINT)) AS wyy,
+             |    sum(CAST(xw AS HUGEINT) * CAST(yw AS HUGEINT)) AS wxy
+             |  FROM cl)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS r_raw,
+             |  round((CAST(n AS DOUBLE) * CAST(wxy AS DOUBLE)
+             |    - CAST(wx AS DOUBLE) * CAST(wy AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(wxx AS DOUBLE)
+             |      - CAST(wx AS DOUBLE) * CAST(wx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(wyy AS DOUBLE)
+             |      - CAST(wy AS DOUBLE) * CAST(wy AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS r_winsorized,
+             |  round(((CAST(n AS DOUBLE) * CAST(wxy AS DOUBLE)
+             |    - CAST(wx AS DOUBLE) * CAST(wy AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(wxx AS DOUBLE)
+             |      - CAST(wx AS DOUBLE) * CAST(wx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(wyy AS DOUBLE)
+             |      - CAST(wy AS DOUBLE) * CAST(wy AS DOUBLE)))
+             |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             |    * 1000000.0) / 1000000.0 AS delta
+             |FROM m""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
