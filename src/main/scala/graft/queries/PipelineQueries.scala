@@ -12582,7 +12582,143 @@ object PipelineQueries {
              |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
              |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
              |    * 1000000.0) / 1000000.0 AS delta
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ---- Mutual-best-match entity pairs: within q171's first-word
+    // blocks, each name's argmax-Jaro-Winkler partner (directed), kept
+    // only when the choice is RECIPROCAL — the stable-pairing filter
+    // that turns a similarity join into high-precision merge
+    // candidates (one-sided best matches are where ER false-merges
+    // live). One in-block pair pass, one argmax window, one self-join
+    // of the name-sized best-edge table; the JW kernel is the pinned
+    // cross-engine expression.
+    Q("q383_mutual_best_match",
+      (s, d) => {
+        val names = t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name").as("name"),
+            split(col("p_name"), " ").getItem(0).as("blk"))
+        val a = names.select(col("id").as("id_a"), col("name").as("na"),
+          col("blk"))
+        val b = names.select(col("id").as("id_b"), col("name").as("nb"),
+          col("blk").as("blk_b"))
+        val pairs = a.join(b, col("blk") === col("blk_b")
+            && col("id_a") =!= col("id_b"))
+          .withColumn("jw", graft.expressions.JaroWinkler
+            .jaro_winkler(col("na"), col("nb")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy(col("jw").desc, col("id_b"))
+        val best = pairs.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("id_a"), col("id_b"), col("jw"))
+        best.join(best.select(col("id_a").as("ra"), col("id_b").as("rb")),
+            col("id_a") === col("rb") && col("id_b") === col("ra"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (round(col("jw") * 1000000.0) / 1000000.0).as("jw"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name
+             |  FROM part GROUP BY p_name),
+             |n AS (SELECT id, name, string_split(name, ' ')[1] AS blk
+             |  FROM names),
+             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    jaro_winkler_similarity(a.name, b.name) AS jw
+             |  FROM n a JOIN n b ON a.blk = b.blk AND a.id <> b.id),
+             |best AS (SELECT id_a, id_b, jw FROM (SELECT id_a, id_b, jw,
+             |    row_number() OVER (PARTITION BY id_a
+             |      ORDER BY jw DESC, id_b) AS rk FROM pr)
+             |  WHERE rk = 1)
+             |SELECT l.id_a, l.id_b,
+             |  round(l.jw * 1000000.0) / 1000000.0 AS jw
+             |FROM best l JOIN best r ON l.id_a = r.id_b
+             |  AND l.id_b = r.id_a
+             |WHERE l.id_a < l.id_b
+             |ORDER BY l.id_a, l.id_b""".stripMargin)),
+
+    // ---- Retention half-life: pool q125's cohort curves into r(k) =
+    // active-at-offset-k / observable-cohort-size (cohorts censored at
+    // the data edge are EXCLUDED per offset, not silently diluted),
+    // then ln-OLS over k ≥ 1 gives the decay rate and half-life
+    // −ln2/λ — the one-number summary of the retention table. DAILY
+    // periods (weekly is degenerate on this corpus: every user is
+    // active every week, r ≡ 1, slope exactly 0); a flat curve still
+    // yields slope 0, so the half-life is guarded to NULL. Exact count
+    // ratios; the OLS runs over calendar-bounded offset points.
+    Q("q384_retention_halflife",
+      (s, d) => {
+        val pNs = 86400000000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div $pNs").as("p"))
+        val first = e.groupBy("user_id").agg(min(col("p")).as("cohort"))
+        val active = e.distinct()
+        val maxP = e.agg(max(col("p")).as("mx"))
+        val curve = first.join(active, "user_id")
+          .join(broadcast(maxP))
+          .select((col("p") - col("cohort")).as("k"), col("cohort"),
+            col("mx"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val byK = curve.groupBy("k").agg(
+            count(lit(1)).as("users"), max(col("mx")).as("mx"))
+        val size0 = curve.where(col("k") === 0)
+          .groupBy("cohort").agg(count(lit(1)).as("c0"),
+            max(col("mx")).as("mx2"))
+        // observable cohort mass at offset k: cohorts with cohort+k<=mx
+        val obs = size0.crossJoin(
+            broadcast(byK.select(col("k").as("kk"))))
+          .where(col("cohort") + col("kk") <= col("mx2"))
+          .groupBy("kk").agg(sum(col("c0")).as("base"))
+        val r = byK.join(obs, col("k") === col("kk"))
+          .select(col("k").cast("long").as("k"),
+            col("users").cast("long").as("users"),
+            col("base").cast("long").as("base"),
+            (dd(col("users")) / dd(col("base"))).as("r"))
+        val pts = r.where(col("k") >= 1)
+          .select(dd(col("k")).as("x"), log(col("r")).as("y"))
+        val ols = pts.agg(count(lit(1)).cast("long").as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val slope = (dd(col("m")) * col("sxy") - col("sx") * col("sy")) /
+          (dd(col("m")) * col("sxx") - col("sx") * col("sx"))
+        ols.select(col("m").as("n_offsets"),
+          (round(slope * 1000000.0) / 1000000.0).as("lambda"),
+          when(slope < 0,
+            round(-log(lit(2.0)) / slope * 10000.0) / 10000.0)
+            .as("halflife_days"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS p FROM events),
+             |first AS (SELECT user_id, min(p) AS cohort FROM e
+             |  GROUP BY user_id),
+             |mx AS (SELECT max(p) AS mx FROM e),
+             |cv AS (SELECT p - cohort AS k, cohort
+             |  FROM first JOIN e USING (user_id)),
+             |byk AS (SELECT k, count(*) AS users FROM cv GROUP BY k),
+             |s0 AS (SELECT cohort, count(*) AS c0 FROM cv WHERE k = 0
+             |  GROUP BY cohort),
+             |ob AS (SELECT byk.k AS kk, sum(c0) AS base
+             |  FROM s0 CROSS JOIN mx JOIN byk ON s0.cohort + byk.k <= mx.mx
+             |  GROUP BY byk.k),
+             |r AS (SELECT byk.k, CAST(users AS DOUBLE)
+             |    / CAST(base AS DOUBLE) AS r
+             |  FROM byk JOIN ob ON byk.k = ob.kk),
+             |pts AS (SELECT CAST(k AS DOUBLE) AS x, ln(r) AS y FROM r
+             |  WHERE k >= 1),
+             |ols AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |    sum(x * y) AS sxy
+             |  FROM pts)
+             |SELECT m AS n_offsets,
+             |  round((CAST(m AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(m AS DOUBLE) * sxx - sx * sx) * 1000000.0)
+             |    / 1000000.0 AS lambda,
+             |  CASE WHEN (CAST(m AS DOUBLE) * sxy - sx * sy)
+             |      / (CAST(m AS DOUBLE) * sxx - sx * sx) < 0 THEN
+             |    round(-ln(2.0) / ((CAST(m AS DOUBLE) * sxy - sx * sy)
+             |      / (CAST(m AS DOUBLE) * sxx - sx * sx)) * 10000.0)
+             |      / 10000.0 END AS halflife_days
+             |FROM ols""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
