@@ -12718,7 +12718,157 @@ object PipelineQueries {
              |    round(-ln(2.0) / ((CAST(m AS DOUBLE) * sxy - sx * sy)
              |      / (CAST(m AS DOUBLE) * sxx - sx * sx)) * 10000.0)
              |      / 10000.0 END AS halflife_days
-             |FROM ols""".stripMargin)))
+             |FROM ols""".stripMargin)),
+
+    // ---- Local Outlier Factor (k=5) over the q321 bounded audit
+    // prefix (vec_id < 100): squared distances stay exact integer
+    // zip-folds of the 1e-4-quantized vectors, k-distance / kNN come
+    // from exact rank windows, and reachability max commutes with the
+    // final sqrt — only the 5-term lrd folds are doubles. Output is
+    // ALL prefix rows ordered by id (never by a float), so no double
+    // ordering can drift. The density-relative outlier score q349's
+    // global Mahalanobis cannot express.
+    Q("q385_lof",
+      (s, d) => {
+        val q = t(s, d, "embeddings").where(col("vec_id") < 100)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+              "* 10000.0) AS LONG))").as("q")).localCheckpoint()
+        val pairs = q.select(col("vec_id").as("ia"), col("q").as("qa"))
+          .join(q.select(col("vec_id").as("ib"), col("q").as("qb")),
+            col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y))" +
+              ", 0L, (acc, v) -> acc + v)").as("d2"))
+          .localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ia").orderBy(col("d2"), col("ib"))
+        val ranked = pairs.withColumn("rk", row_number().over(w))
+        val kd = ranked.where(col("rk") === 5)
+          .select(col("ia").as("kda"), col("d2").as("kd2"))
+        val knn = ranked.where(col("rk") <= 5)
+          .join(kd.select(col("kda").as("ib2"), col("kd2").as("kd2b")),
+            col("ib") === col("ib2"))
+          .select(col("ia"), col("ib"),
+            sqrt(greatest(col("d2"), col("kd2b")).cast("double"))
+              .as("reach"))
+        val lrd = knn.groupBy("ia")
+          .agg((lit(5.0) / sum(col("reach"))).as("lrd"))
+        val lof = knn.select(col("ia"), col("ib"))
+          .join(lrd.select(col("ia").as("ja"), col("lrd").as("lrd_n")),
+            col("ib") === col("ja"))
+          .groupBy("ia").agg((sum(col("lrd_n")) / 5.0).as("avg_lrd_n"))
+          .join(lrd, "ia")
+          .join(kd, col("ia") === col("kda"))
+        lof.select(col("ia").as("vec_id"),
+            (round(sqrt(col("kd2").cast("double")) / 10000.0 * 10000.0)
+              / 10000.0).as("k_dist"),
+            (round(col("lrd") * 10000.0 * 1000000.0) / 1000000.0)
+              .as("lrd_scaled"),
+            (round(col("avg_lrd_n") / col("lrd") * 10000.0) / 10000.0)
+              .as("lof"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+             |     for x in embedding] AS q
+             |  FROM embeddings WHERE vec_id < 100),
+             |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    CAST(list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+             |      for i in range(1, 65)]) AS BIGINT) AS d2
+             |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+             |rk AS (SELECT ia, ib, d2, row_number() OVER (PARTITION BY ia
+             |    ORDER BY d2, ib) AS rk FROM pr),
+             |kd AS (SELECT ia AS kda, d2 AS kd2 FROM rk WHERE rk = 5),
+             |knn AS (SELECT rk.ia, rk.ib,
+             |    sqrt(CAST(greatest(rk.d2, kd.kd2) AS DOUBLE)) AS reach
+             |  FROM rk JOIN kd ON rk.ib = kd.kda WHERE rk.rk <= 5),
+             |lrd AS (SELECT ia, 5.0 / sum(reach) AS lrd FROM knn
+             |  GROUP BY ia),
+             |ln2 AS (SELECT knn.ia, sum(nb.lrd) / 5.0 AS avg_lrd_n
+             |  FROM knn JOIN lrd nb ON knn.ib = nb.ia GROUP BY knn.ia)
+             |SELECT lrd.ia AS vec_id,
+             |  round(sqrt(CAST(kd.kd2 AS DOUBLE)) / 10000.0 * 10000.0)
+             |    / 10000.0 AS k_dist,
+             |  round(lrd.lrd * 10000.0 * 1000000.0) / 1000000.0
+             |    AS lrd_scaled,
+             |  round(ln2.avg_lrd_n / lrd.lrd * 10000.0) / 10000.0 AS lof
+             |FROM lrd JOIN ln2 ON lrd.ia = ln2.ia
+             |  JOIN kd ON lrd.ia = kd.kda
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- Split-conformal prediction interval for order prices: the
+    // hash-half calibration set's mean is the predictor, its 90%
+    // nearest-rank absolute residual is the radius, and the held-out
+    // half's EXACT coverage is the guarantee check. Residual ranking
+    // and the coverage comparison run entirely on the exact integer
+    // |x·N − S| scale (q361's trick) — the whole query is
+    // integer-exact until the two display divisions.
+    Q("q386_split_conformal",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100.0).cast("long").as("x"),
+          (pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("cal#"), col("o_orderkey").cast("string"))),
+            lit(2L)) === 0L).as("is_cal")).localCheckpoint()
+        val m = base.where(col("is_cal")).agg(
+          count(lit(1)).cast(dec).as("nc"), sum(col("x")).cast(dec).as("sc"))
+        val dev = base.join(broadcast(m))
+          .withColumn("ad", abs(col("x").cast(dec) * col("nc") - col("sc")))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ad"), col("o_orderkey"))
+        val calRanked = dev.where(col("is_cal"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+        val qhat = calRanked
+          .where(col("rn") === expr(
+            "CAST(floor((CAST(nc AS DOUBLE) + 1.0) * 0.9) AS BIGINT) + 1"))
+          .select(col("ad").as("qh"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val cov = dev.where(!col("is_cal")).join(broadcast(qhat))
+          .agg(count(lit(1)).cast("long").as("n_test"),
+            sum(when(col("ad") <= col("qh"), 1L).otherwise(0L))
+              .cast("long").as("covered"),
+            max(col("nc")).as("nc"), max(col("sc")).as("sc"),
+            max(col("qh")).as("qh"))
+        cov.select(col("nc").cast("long").as("n_cal"), col("n_test"),
+          (round(dd(col("sc")) / dd(col("nc"))) / 100.0).as("center"),
+          (round(dd(col("qh")) / dd(col("nc"))) / 100.0).as("radius"),
+          (round(col("covered").cast("double")
+            / col("n_test").cast("double") * 1000000.0) / 1000000.0)
+            .as("coverage"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS x,
+             |    CAST(('0x' || substr(md5('cal#'
+             |      || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 2 = 0 AS is_cal
+             |  FROM orders),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS nc,
+             |    CAST(sum(x) AS HUGEINT) AS sc FROM b WHERE is_cal),
+             |dv AS (SELECT o_orderkey, x, is_cal,
+             |    abs(CAST(x AS HUGEINT) * nc - sc) AS ad, nc, sc
+             |  FROM b CROSS JOIN m),
+             |cr AS (SELECT ad, nc,
+             |    CAST(row_number() OVER (ORDER BY ad, o_orderkey)
+             |      AS BIGINT) AS rn
+             |  FROM dv WHERE is_cal),
+             |qh AS (SELECT ad AS qh FROM cr
+             |  WHERE rn = CAST(floor((CAST(nc AS DOUBLE) + 1.0) * 0.9)
+             |    AS BIGINT) + 1),
+             |cv AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             |    CAST(sum(CASE WHEN ad <= qh THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS covered,
+             |    max(nc) AS nc, max(sc) AS sc, max(qh) AS qh
+             |  FROM dv CROSS JOIN qh WHERE NOT is_cal)
+             |SELECT CAST(nc AS BIGINT) AS n_cal, n_test,
+             |  round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+             |    AS center,
+             |  round(CAST(qh AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+             |    AS radius,
+             |  round(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS coverage
+             |FROM cv""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
