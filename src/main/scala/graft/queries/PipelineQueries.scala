@@ -12868,7 +12868,209 @@ object PipelineQueries {
              |    AS radius,
              |  round(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS coverage
-             |FROM cv""".stripMargin)))
+             |FROM cv""".stripMargin)),
+
+    // ---- Wilcoxon signed-rank test: did per-user activity change
+    // between the first and second half of the observation window? The
+    // PAIRED nonparametric complement to q257 (Mann-Whitney, unpaired):
+    // zero differences dropped, |d| ranked with average ties in exact
+    // 2× units (the q309/q352 convention), z from the closed-form null
+    // moments — everything integer until the final chain. One user
+    // fold, one |d| rank window.
+    Q("q387_wilcoxon_signed",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mid = ev.agg(((min(expr("ts div 86400000000000"))
+          + max(expr("ts div 86400000000000"))) / 2).cast("long")
+          .as("mid"))
+        val ux = ev.select(col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+          .join(broadcast(mid))
+          .groupBy("user_id").agg(
+            sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("x"),
+            sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("y"))
+          .select((col("y") - col("x")).as("dd"))
+          .where(col("dd") =!= 0)
+        val wAbs = org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("dd")))
+        val ties = org.apache.spark.sql.expressions.Window
+          .partitionBy(abs(col("dd")))
+        val ranked = ux.withColumn("r2",
+          lit(2L) * rank().over(wAbs) + count(lit(1)).over(ties) - 1L)
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val ag = ranked.agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("dd") > 0, col("r2")).otherwise(0L)).cast("long")
+            .as("w2p"),
+          sum(when(col("dd") < 0, col("r2")).otherwise(0L)).cast("long")
+            .as("w2m"))
+        val n = db(col("n"))
+        val wp = db(col("w2p")) / 2.0
+        val mu = n * (n + 1.0) / 4.0
+        val sd = sqrt(n * (n + 1.0) * (lit(2.0) * n + 1.0) / 24.0)
+        ag.select(col("n").as("n_nonzero"),
+          (db(col("w2p")) / 2.0).as("w_plus"),
+          (db(col("w2m")) / 2.0).as("w_minus"),
+          (round((wp - mu) / sd * 1000000.0) / 1000000.0).as("z"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |md AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+             |ux AS (SELECT
+             |    sum(CASE WHEN day > mid THEN 1 ELSE 0 END)
+             |      - sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS dd
+             |  FROM e CROSS JOIN md GROUP BY user_id),
+             |nz AS (SELECT dd FROM ux WHERE dd <> 0),
+             |rk AS (SELECT dd, 2 * rank() OVER (ORDER BY abs(dd))
+             |    + count(*) OVER (PARTITION BY abs(dd)) - 1 AS r2
+             |  FROM nz),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT)
+             |      AS w2p,
+             |    CAST(sum(CASE WHEN dd < 0 THEN r2 ELSE 0 END) AS BIGINT)
+             |      AS w2m
+             |  FROM rk)
+             |SELECT n AS n_nonzero,
+             |  CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+             |  CAST(w2m AS DOUBLE) / 2.0 AS w_minus,
+             |  round((CAST(w2p AS DOUBLE) / 2.0
+             |    - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+             |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+             |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0)
+             |    * 1000000.0) / 1000000.0 AS z
+             |FROM ag""".stripMargin)),
+
+    // ---- Weekday-adjusted Durbin-Watson: q344's serial-correlation
+    // statistic on the DESEASONALIZED series. Over complete weeks every
+    // weekday has the same count n_w, so the residual scales to the
+    // EXACT integer Eₜ = cₜ·n_w − S_wd(t) (common denominator cancels
+    // in the ratio) — the whole statistic is integer algebra with one
+    // division, answering "is the autocorrelation real or just the
+    // weekly cycle q344 conflates".
+    Q("q388_deseasonalized_dw",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+          .select(col("day"), col("c"), expr("day div 7").as("week"),
+            pmod(col("day"), lit(7L)).as("wd"))
+        val full = dense.groupBy("week").agg(count(lit(1)).as("nd"))
+          .where(col("nd") === 7).select("week")
+        val kept = dense.join(broadcast(full), "week").localCheckpoint()
+        val wdSum = kept.groupBy("wd").agg(sum(col("c")).as("s_wd"),
+          count(lit(1)).as("n_w"))
+        val e = kept.join(broadcast(wdSum), "wd")
+          .select(col("day"),
+            (col("c").cast(dec) * col("n_w").cast(dec)
+              - col("s_wd").cast(dec)).as("e"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val lagged = e.withColumn("pe", lag(col("e"), 1).over(w))
+        val ag = lagged.agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("e") * col("e")).as("den"),
+          sum(when(col("pe").isNotNull,
+            (col("e") - col("pe")) * (col("e") - col("pe")))
+            .otherwise(lit(0L).cast(dec))).as("num"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        ag.select(col("n_days"),
+            (round(db(col("num")) / db(col("den")) * 1000000.0)
+              / 1000000.0).as("dw_adj"))
+          .select(col("n_days"), col("dw_adj"),
+            (round((lit(1.0) - col("dw_adj") / 2.0) * 1000000.0)
+              / 1000000.0).as("rho_adj"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |wd AS (SELECT day, c, day // 7 AS week, day % 7 AS wdy
+             |  FROM dn),
+             |fw AS (SELECT week FROM wd GROUP BY week
+             |  HAVING count(*) = 7),
+             |kp AS (SELECT day, c, wdy FROM wd
+             |  JOIN fw ON wd.week = fw.week),
+             |ws AS (SELECT wdy, CAST(sum(c) AS HUGEINT) AS s_wd,
+             |    CAST(count(*) AS HUGEINT) AS n_w FROM kp GROUP BY wdy),
+             |e AS (SELECT day, CAST(c AS HUGEINT) * n_w - s_wd AS e
+             |  FROM kp JOIN ws ON kp.wdy = ws.wdy),
+             |lg AS (SELECT e, lag(e) OVER (ORDER BY day) AS pe FROM e),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |    sum(e * e) AS den,
+             |    sum(CASE WHEN pe IS NOT NULL THEN (e - pe) * (e - pe)
+             |      ELSE CAST(0 AS HUGEINT) END) AS num
+             |  FROM lg)
+             |SELECT n_days,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS dw_adj,
+             |  round((1.0 - (round(CAST(num AS DOUBLE)
+             |    / CAST(den AS DOUBLE) * 1000000.0) / 1000000.0) / 2.0)
+             |    * 1000000.0) / 1000000.0 AS rho_adj
+             |FROM ag""".stripMargin)),
+
+    // ---- Records test for trend: count of strict record-high days in
+    // the dense series vs the iid null E = H_n, Var = H_n − H_n⁽²⁾ —
+    // records accumulate like ln n under exchangeability, so an excess
+    // says trend (the distribution-free cousin of q319's Mann-Kendall).
+    // Each harmonic term is 1e-12-quantized into an exact fold; the
+    // record flags come from a strict running max.
+    Q("q389_records_test",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d)).localCheckpoint()
+        val prior = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val recs = dense.withColumn("pm", max(col("c")).over(prior))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("pm").isNull || col("c") > col("pm"), 1L)
+              .otherwise(0L)).cast("long").as("n_records"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val harm = recs.join(
+          dense.select(row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("day"))
+              .cast("long").as("k"))
+            .agg(
+              sum(round(lit(1.0e12) / col("k").cast("double")).cast(dec))
+                .as("h1"),
+              sum(round(lit(1.0e12) / (col("k") * col("k")).cast("double"))
+                .cast(dec)).as("h2")))
+        harm.select(col("n").as("n_days"), col("n_records"),
+          (round(db(col("h1")) / 1.0e12 * 10000.0) / 10000.0)
+            .as("expected"),
+          (round((col("n_records").cast("double")
+            - db(col("h1")) / 1.0e12)
+            / sqrt(db(col("h1")) / 1.0e12 - db(col("h2")) / 1.0e12)
+            * 10000.0) / 10000.0).as("z"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |rc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_records
+             |  FROM (SELECT c, max(c) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |    FROM dn)),
+             |hm AS (SELECT
+             |    sum(CAST(round(1000000000000.0 / CAST(k AS DOUBLE))
+             |      AS HUGEINT)) AS h1,
+             |    sum(CAST(round(1000000000000.0
+             |      / CAST(k * k AS DOUBLE)) AS HUGEINT)) AS h2
+             |  FROM (SELECT CAST(row_number() OVER (ORDER BY day)
+             |      AS BIGINT) AS k FROM dn))
+             |SELECT n AS n_days, n_records,
+             |  round(CAST(h1 AS DOUBLE) / 1000000000000.0 * 10000.0)
+             |    / 10000.0 AS expected,
+             |  round((CAST(n_records AS DOUBLE)
+             |    - CAST(h1 AS DOUBLE) / 1000000000000.0)
+             |    / sqrt(CAST(h1 AS DOUBLE) / 1000000000000.0
+             |      - CAST(h2 AS DOUBLE) / 1000000000000.0) * 10000.0)
+             |    / 10000.0 AS z
+             |FROM rc CROSS JOIN hm""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
