@@ -269,7 +269,12 @@ object GraphOps {
     * SCALE: `depth` frontier expansions, each one edge join + one
     * anti-join against the visited set (both (src, node)-keyed);
     * state is src×reached-sized. Output: node-sized. */
-  def eccentricity(edges: DataFrame, depth: Int): DataFrame = {
+  /** All-pairs BFS level stream over an undirected edge list: one row
+    * per (source s, level lev) for every node FIRST reached from s at
+    * lev ∈ [1, depth] — the shared forward phase of [[eccentricity]]
+    * and [[harmonicCentrality]]. Materialized (localCheckpoint) with
+    * every intermediate frontier released before returning. */
+  private def bfsLevelStream(edges: DataFrame, depth: Int): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -297,19 +302,40 @@ object GraphOps {
       levels :+= f.select(col("s"), lit(r.toLong).as("lev"))
       toRelease ++= Vector(f, nv)
     }
-    val ecc = levels.reduce(_ unionByName _)
-      .groupBy(col("s").as("node")).agg(max("lev").as("ecc"))
-    val reach = visited.groupBy(col("s").as("node"))
-      .agg(count(lit(1)).as("n_reached"))
+    val out = levels.reduce(_ unionByName _).localCheckpoint()
+    (toRelease :+ sym :+ nodes :+ visited).foreach(IterUtils.unpersistCheckpoint)
+    out
+  }
+
+  def eccentricity(edges: DataFrame, depth: Int): DataFrame = {
+    val lv = bfsLevelStream(edges, depth)
+    // n_reached keeps the original visited-set semantics (self included)
+    val ecc = lv.groupBy(col("s").as("node"))
+      .agg(max("lev").as("ecc"), (count(lit(1)) + 1L).as("n_reached"))
     val sm = ecc.agg(max("ecc").as("dia"), min("ecc").as("rad"))
-    val out = nodes.join(ecc, Seq("node")).join(reach, Seq("node"))
-      .join(broadcast(sm))
+    val out = ecc.join(broadcast(sm))
       .select(col("node"), col("ecc").cast("long").as("ecc"),
         col("n_reached").cast("long").as("n_reached"),
         (col("ecc") === col("rad")).as("is_center"),
         (col("ecc") === col("dia")).as("is_peripheral"))
       .localCheckpoint()
-    (toRelease :+ sym :+ nodes :+ visited).foreach(IterUtils.unpersistCheckpoint)
+    IterUtils.unpersistCheckpoint(lv)
+    out
+  }
+
+  /** Harmonic centrality Σ_v 1/d(u,v) truncated at `depth` — the
+    * disconnected-graph-safe closeness variant (unreachable nodes
+    * contribute 0 instead of poisoning the mean). Level counts are
+    * exact; the per-node fold is ≤ depth double terms, 6-dp rounded. */
+  def harmonicCentrality(edges: DataFrame, depth: Int): DataFrame = {
+    val lv = bfsLevelStream(edges, depth)
+    val out = lv.groupBy("s", "lev").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("s").as("node"))
+      .agg(sum(col("cnt")).cast("long").as("n_reached_excl"),
+        (round(sum(col("cnt").cast("double") / col("lev").cast("double"))
+          * 1000000.0) / 1000000.0).as("harmonic"))
+      .localCheckpoint()
+    IterUtils.unpersistCheckpoint(lv)
     out
   }
 

@@ -13070,7 +13070,169 @@ object PipelineQueries {
              |    / sqrt(CAST(h1 AS DOUBLE) / 1000000000000.0
              |      - CAST(h2 AS DOUBLE) / 1000000000000.0) * 10000.0)
              |    / 10000.0 AS z
-             |FROM rc CROSS JOIN hm""".stripMargin)))
+             |FROM rc CROSS JOIN hm""".stripMargin)),
+
+    // ---- Lead/lag cross-correlation between the view and purchase
+    // daily series at lags −7..+7: does one series LEAD the other
+    // (positive-lag peak), the question q203's single-series ACF can't
+    // ask. Per-type counts are zero-filled onto the dense day domain;
+    // per-lag Pearson r comes from exact decimal38 moment sums over the
+    // overlapping pairs — calendar-sized tables throughout.
+    Q("q390_cross_correlation",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val dom = graft.operators.EventOps.dailyCountsDense(ev)
+          .select("day")
+        def series(tp: String, nm: String) = ev
+          .where(col("event_type") === tp)
+          .select(expr("ts div 86400000000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as(nm))
+        val ser = dom
+          .join(series("view", "x"), Seq("day"), "left")
+          .join(series("purchase", "y"), Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y")).localCheckpoint()
+        val lagged = ser.select(col("day"), col("x"),
+            explode(sequence(lit(-7), lit(7))).as("lag"))
+          .join(ser.select(col("day").as("d2"), col("y").as("y2")),
+            col("d2") === col("day") + col("lag"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast(dec)
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        lagged.groupBy("lag").agg(
+            count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).cast(dec).as("sx"),
+            sum(col("y2")).cast(dec).as("sy"),
+            sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+            sum(dc(col("y2")) * dc(col("y2"))).as("syy"),
+            sum(dc(col("x")) * dc(col("y2"))).as("sxy"))
+          .select(col("lag").cast("long").as("lag"),
+            col("n").cast("long").as("n_pairs"),
+            (round((db(col("n")) * db(col("sxy"))
+              - db(col("sx")) * db(col("sy")))
+              / sqrt((db(col("n")) * db(col("sxx"))
+                - db(col("sx")) * db(col("sx")))
+                * (db(col("n")) * db(col("syy"))
+                - db(col("sy")) * db(col("sy")))) * 1000000.0)
+              / 1000000.0).as("ccf"))
+          .orderBy("lag")
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    event_type FROM events),
+             |c AS (SELECT day, count(*) AS c FROM e GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dom AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+             |xv AS (SELECT day, count(*) AS x FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |yv AS (SELECT day, count(*) AS y FROM e
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |ser AS (SELECT dom.day, coalesce(x, 0) AS x,
+             |    coalesce(y, 0) AS y
+             |  FROM dom LEFT JOIN xv ON dom.day = xv.day
+             |  LEFT JOIN yv ON dom.day = yv.day),
+             |lg AS (SELECT l.lag, a.x AS x, bb.y AS y2
+             |  FROM ser a CROSS JOIN
+             |    (SELECT unnest(generate_series(-7, 7)) AS lag) l
+             |  JOIN ser bb ON bb.day = a.day + l.lag)
+             |SELECT CAST(lag AS BIGINT) AS lag,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round((CAST(count(*) AS DOUBLE)
+             |      * CAST(sum(CAST(x AS HUGEINT) * CAST(y2 AS HUGEINT))
+             |        AS DOUBLE)
+             |    - CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE)
+             |      * CAST(CAST(sum(y2) AS HUGEINT) AS DOUBLE))
+             |    / sqrt((CAST(count(*) AS DOUBLE)
+             |      * CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+             |        AS DOUBLE)
+             |      - CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE)
+             |        * CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE))
+             |      * (CAST(count(*) AS DOUBLE)
+             |      * CAST(sum(CAST(y2 AS HUGEINT) * CAST(y2 AS HUGEINT))
+             |        AS DOUBLE)
+             |      - CAST(CAST(sum(y2) AS HUGEINT) AS DOUBLE)
+             |        * CAST(CAST(sum(y2) AS HUGEINT) AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS ccf
+             |FROM lg GROUP BY lag ORDER BY lag""".stripMargin)),
+
+    // ---- Audience-overlap matrix: Jaccard of the user sets behind
+    // every event-type pair — the "are these the same people" report
+    // that decides whether two surfaces can share an experiment. Exact
+    // distinct sets, one (type, user) dedup shuffle, type²-sized join.
+    Q("q391_audience_overlap",
+      (s, d) => {
+        val tu = Tables.events(s, d)
+          .select(col("event_type").as("t"), col("user_id")).distinct()
+          .localCheckpoint()
+        val sizes = tu.groupBy("t").agg(count(lit(1)).as("nu"))
+        val inter = tu.select(col("t").as("ta"), col("user_id"))
+          .join(tu.select(col("t").as("tb"), col("user_id").as("ub")),
+            col("user_id") === col("ub") && col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("t").as("ta"),
+            col("nu").as("na"))), "ta")
+          .join(broadcast(sizes.select(col("t").as("tb"),
+            col("nu").as("nb"))), "tb")
+          .select(col("ta"), col("tb"),
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            col("inter").cast("long").as("n_both"),
+            (round(col("inter").cast("double")
+              / (col("na") + col("nb") - col("inter")).cast("double")
+              * 1000000.0) / 1000000.0).as("jaccard"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type AS t, user_id
+             |  FROM events),
+             |sz AS (SELECT t, count(*) AS nu FROM tu GROUP BY 1),
+             |iv AS (SELECT a.t AS ta, b.t AS tb, count(*) AS inter
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+             |    AND a.t < b.t
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, CAST(na.nu AS BIGINT) AS n_a,
+             |  CAST(nb.nu AS BIGINT) AS n_b,
+             |  CAST(inter AS BIGINT) AS n_both,
+             |  round(CAST(inter AS DOUBLE)
+             |    / CAST(na.nu + nb.nu - inter AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS jaccard
+             |FROM iv JOIN sz na ON iv.ta = na.t
+             |  JOIN sz nb ON iv.tb = nb.t
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // ---- Harmonic centrality over the nation-trade graph: Σ 1/d(u,v)
+    // truncated at the q293 depth — the closeness variant that stays
+    // finite on disconnected graphs (unreachable pairs add 0). Shares
+    // q293's all-pairs BFS level stream (refactored into
+    // GraphOps.bfsLevelStream); level counts exact, ≤6-term fold.
+    Q("q392_harmonic_centrality",
+      (s, d) => graft.operators.GraphOps
+        .harmonicCentrality(tradeEdges(s, d), depth = 6).orderBy("node"),
+      Some {
+        val fwd = (1 to 6).map { r =>
+          s"""f$r AS MATERIALIZED (SELECT DISTINCT f.s, e.v AS node
+             |  FROM f${r - 1} f JOIN sym e ON e.u = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} x
+             |    WHERE x.s = f.s AND x.node = e.v)),
+             |vis$r AS MATERIALIZED (SELECT s, node FROM vis${r - 1}
+             |  UNION ALL SELECT s, node FROM f$r)""".stripMargin
+        }.mkString(",\n")
+        val lv = (1 to 6).map(r =>
+          s"SELECT s, CAST($r AS BIGINT) AS lev FROM f$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH $tradeEdgeCtes,
+           |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
+           |  UNION ALL SELECT b, a FROM ed),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |f0 AS MATERIALIZED (SELECT node AS s, node FROM nodes),
+           |vis0 AS MATERIALIZED (SELECT s, node FROM f0),
+           |$fwd,
+           |lv AS ($lv),
+           |lc AS (SELECT s, lev, count(*) AS cnt FROM lv GROUP BY 1, 2)
+           |SELECT s AS node, CAST(sum(cnt) AS BIGINT) AS n_reached_excl,
+           |  round(sum(CAST(cnt AS DOUBLE) / CAST(lev AS DOUBLE))
+           |    * 1000000.0) / 1000000.0 AS harmonic
+           |FROM lc GROUP BY s ORDER BY node""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
