@@ -13232,7 +13232,202 @@ object PipelineQueries {
            |  round(sum(CAST(cnt AS DOUBLE) / CAST(lev AS DOUBLE))
            |    * 1000000.0) / 1000000.0 AS harmonic
            |FROM lc GROUP BY s ORDER BY node""".stripMargin
-      }))
+      }),
+
+    // ---- Hub-removal resilience: component structure of the trade
+    // graph BEFORE vs AFTER deleting the top-3 degree hubs — does the
+    // network shatter or reroute, the attack-surface audit for any
+    // dependency graph. Components via the q71 pointer-jumping min-
+    // label machinery (string labels compare lexicographically on both
+    // engines); edge-less survivors counted as singleton components.
+    Q("q393_attack_resilience",
+      (s, d) => {
+        val ed = tradeEdges(s, d).select(col("src"), col("dst"))
+          .localCheckpoint()
+        val deg = ed.select(col("src").as("n"), col("dst").as("m"))
+          .union(ed.select(col("dst"), col("src")))
+          .distinct().groupBy("n").agg(count(lit(1)).as("deg"))
+        val top3 = deg.orderBy(col("deg").desc, col("n")).limit(3)
+          .select(col("n").as("hub"))
+        def summarize(edges: org.apache.spark.sql.DataFrame,
+            nNodes: org.apache.spark.sql.DataFrame, phase: String) = {
+          val cc = graft.operators.Dedup.duplicateClusters(
+            edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+          val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          sizes.agg(count(lit(1)).as("n_edge_comps"),
+              max(col("sz")).as("largest"),
+              sum(col("sz")).as("covered"))
+            .join(broadcast(nNodes))
+            .select(lit(phase).as("phase"),
+              col("nn").cast("long").as("n_nodes"),
+              (col("n_edge_comps") + (col("nn") - col("covered")))
+                .cast("long").as("n_components"),
+              col("largest").cast("long").as("largest"))
+        }
+        val allNodes = ed.select(col("src").as("x"))
+          .union(ed.select(col("dst"))).distinct()
+        val nAll = allNodes.agg(count(lit(1)).as("nn"))
+        val kept = ed.join(top3, col("src") === col("hub"), "left_anti")
+          .join(top3, col("dst") === col("hub"), "left_anti")
+          .localCheckpoint()
+        val nAfter = allNodes.join(top3, col("x") === col("hub"),
+          "left_anti").agg(count(lit(1)).as("nn"))
+        summarize(ed, nAll, "before")
+          .unionAll(summarize(kept, nAfter, "after"))
+          .orderBy("phase")
+      },
+      Some(s"""WITH RECURSIVE $tradeEdgeCtes,
+              |deg AS (SELECT n, count(*) AS deg FROM (
+              |    SELECT a AS n, b AS m FROM ed
+              |    UNION SELECT b, a FROM ed) GROUP BY n),
+              |top3 AS (SELECT n AS hub FROM deg
+              |  ORDER BY deg DESC, n LIMIT 3),
+              |nodes AS (SELECT DISTINCT n AS x FROM (
+              |  SELECT a AS n FROM ed UNION SELECT b FROM ed)),
+              |kept AS (SELECT a, b FROM ed
+              |  WHERE a NOT IN (SELECT hub FROM top3)
+              |    AND b NOT IN (SELECT hub FROM top3)),
+              |eb AS (SELECT a AS u, b AS v FROM ed
+              |  UNION SELECT b, a FROM ed),
+              |rb AS (SELECT u AS src, u AS dst FROM eb
+              |  UNION SELECT r.src, e.v FROM rb r JOIN eb e
+              |    ON r.dst = e.u),
+              |ccb AS (SELECT src, min(dst) AS cluster FROM rb
+              |  GROUP BY src),
+              |szb AS (SELECT cluster, count(*) AS sz FROM ccb
+              |  GROUP BY cluster),
+              |sb AS (SELECT count(*) AS n_edge_comps, max(sz) AS largest,
+              |    sum(sz) AS covered FROM szb),
+              |ea AS (SELECT a AS u, b AS v FROM kept
+              |  UNION SELECT b, a FROM kept),
+              |ra AS (SELECT u AS src, u AS dst FROM ea
+              |  UNION SELECT r.src, e.v FROM ra r JOIN ea e
+              |    ON r.dst = e.u),
+              |cca AS (SELECT src, min(dst) AS cluster FROM ra
+              |  GROUP BY src),
+              |sza AS (SELECT cluster, count(*) AS sz FROM cca
+              |  GROUP BY cluster),
+              |sa AS (SELECT count(*) AS n_edge_comps, max(sz) AS largest,
+              |    sum(sz) AS covered FROM sza),
+              |nb AS (SELECT count(*) AS nn FROM nodes),
+              |na AS (SELECT count(*) AS nn FROM nodes
+              |  WHERE x NOT IN (SELECT hub FROM top3))
+              |SELECT * FROM (
+              |  SELECT 'before' AS phase, CAST(nn AS BIGINT) AS n_nodes,
+              |    CAST(n_edge_comps + (nn - covered) AS BIGINT)
+              |      AS n_components,
+              |    CAST(largest AS BIGINT) AS largest
+              |  FROM sb CROSS JOIN nb
+              |  UNION ALL
+              |  SELECT 'after', CAST(nn AS BIGINT),
+              |    CAST(n_edge_comps + (nn - covered) AS BIGINT),
+              |    CAST(largest AS BIGINT)
+              |  FROM sa CROSS JOIN na)
+              |ORDER BY phase""".stripMargin)),
+
+    // ---- Difference-in-differences: treated (odd users) vs control
+    // across the two halves of the window, with the per-user-delta CI
+    // — the parallel-trends causal estimate a raw q188-style z-test
+    // cannot give. User×period cells are zero-filled (absent users
+    // count 0, not missing); all moments exact decimal38; one user
+    // fold.
+    Q("q394_diff_in_diff",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val mid = ev.agg(((min(expr("ts div 86400000000000"))
+          + max(expr("ts div 86400000000000"))) / 2).cast("long").as("mid"))
+        val ux = ev.select(col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+          .join(broadcast(mid))
+          .groupBy("user_id").agg(
+            sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("y1"),
+            sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("y2"))
+          .select(pmod(col("user_id"), lit(2L)).as("g"),
+            (col("y2") - col("y1")).as("dd"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val m = ux.groupBy("g").agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("dd")).cast(dec).as("sd"),
+          sum(col("dd").cast(dec) * col("dd").cast(dec)).as("sdd"))
+        val wide = m.agg(
+          max(when(col("g") === 1, col("n"))).as("n1"),
+          max(when(col("g") === 1, col("sd"))).as("s1"),
+          max(when(col("g") === 1, col("sdd"))).as("q1"),
+          max(when(col("g") === 0, col("n"))).as("n0"),
+          max(when(col("g") === 0, col("sd"))).as("s0"),
+          max(when(col("g") === 0, col("sdd"))).as("q0"))
+        val d1 = db(col("s1")) / db(col("n1"))
+        val d0 = db(col("s0")) / db(col("n0"))
+        val v1 = (db(col("q1")) - db(col("s1")) * db(col("s1"))
+          / db(col("n1"))) / (db(col("n1")) - 1.0)
+        val v0 = (db(col("q0")) - db(col("s0")) * db(col("s0"))
+          / db(col("n0"))) / (db(col("n0")) - 1.0)
+        val se = sqrt(v1 / db(col("n1")) + v0 / db(col("n0")))
+        wide.select(col("n1").cast("long").as("n_treat"),
+          col("n0").cast("long").as("n_ctrl"),
+          (round(d1 * 1000000.0) / 1000000.0).as("delta_treat"),
+          (round(d0 * 1000000.0) / 1000000.0).as("delta_ctrl"),
+          (round((d1 - d0) * 1000000.0) / 1000000.0).as("did"),
+          (round(se * 1000000.0) / 1000000.0).as("se"),
+          (round((d1 - d0 - lit(1.96) * se) * 1000000.0) / 1000000.0)
+            .as("ci_lo"),
+          (round((d1 - d0 + lit(1.96) * se) * 1000000.0) / 1000000.0)
+            .as("ci_hi"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |md AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+             |ux AS (SELECT user_id % 2 AS g,
+             |    sum(CASE WHEN day > mid THEN 1 ELSE 0 END)
+             |      - sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS dd
+             |  FROM e CROSS JOIN md GROUP BY user_id),
+             |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(dd) AS HUGEINT) AS sd,
+             |    sum(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT)) AS sdd
+             |  FROM ux GROUP BY g),
+             |w AS (SELECT
+             |    max(CASE WHEN g = 1 THEN n END) AS n1,
+             |    max(CASE WHEN g = 1 THEN sd END) AS s1,
+             |    max(CASE WHEN g = 1 THEN sdd END) AS q1,
+             |    max(CASE WHEN g = 0 THEN n END) AS n0,
+             |    max(CASE WHEN g = 0 THEN sd END) AS s0,
+             |    max(CASE WHEN g = 0 THEN sdd END) AS q0
+             |  FROM m)
+             |SELECT CAST(n1 AS BIGINT) AS n_treat,
+             |  CAST(n0 AS BIGINT) AS n_ctrl,
+             |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS delta_treat,
+             |  round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS delta_ctrl,
+             |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS did,
+             |  round(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             |      * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+             |    + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+             |      * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS se,
+             |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |    - 1.96 * sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             |      * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+             |    + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+             |      * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS ci_lo,
+             |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |    + 1.96 * sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             |      * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+             |    + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+             |      * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS ci_hi
+             |FROM w""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
