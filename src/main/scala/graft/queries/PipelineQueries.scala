@@ -13427,7 +13427,157 @@ object PipelineQueries {
              |      * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
              |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)))
              |    * 1000000.0) / 1000000.0 AS ci_hi
-             |FROM w""".stripMargin)))
+             |FROM w""".stripMargin)),
+
+    // ---- Log-log price elasticity per part type: ε = cov(ln q, ln p)
+    // / var(ln p) over line items (unit price = extended/qty) — the
+    // econometric demand slope q198's linear OLS can't express. Each
+    // ln is 1e-8-quantized into exact decimal type-level sums (the
+    // q368 recipe), so per-type slopes are engine-exact; one fact
+    // fold with the part dim broadcast.
+    Q("q395_price_elasticity",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            round(log(col("l_extendedprice") / col("l_quantity"))
+              * 100000000.0).cast(dec).as("lp"),
+            round(log(col("l_quantity")) * 100000000.0).cast(dec).as("lq"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        li.groupBy("p_type").agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("lp")).as("sp"), sum(col("lq")).as("sq"),
+            sum(col("lp") * col("lp")).as("spp"),
+            sum(col("lp") * col("lq")).as("spq"))
+          .select(col("p_type"), col("n").cast("long").as("n"),
+            (round((db(col("n")) * db(col("spq"))
+              - db(col("sp")) * db(col("sq")))
+              / (db(col("n")) * db(col("spp"))
+              - db(col("sp")) * db(col("sp"))) * 1000000.0) / 1000000.0)
+              .as("elasticity"))
+          .orderBy("p_type")
+      },
+      Some("""WITH li AS (SELECT p_type,
+             |    CAST(round(ln(l_extendedprice / l_quantity)
+             |      * 100000000.0) AS HUGEINT) AS lp,
+             |    CAST(round(ln(l_quantity) * 100000000.0) AS HUGEINT)
+             |      AS lq
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |m AS (SELECT p_type, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(lp) AS sp, sum(lq) AS sq, sum(lp * lp) AS spp,
+             |    sum(lp * lq) AS spq
+             |  FROM li GROUP BY 1)
+             |SELECT p_type, CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+             |    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+             |    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS elasticity
+             |FROM m ORDER BY p_type""".stripMargin)),
+
+    // ---- Rolling-origin backtest of the seasonal-naive forecaster:
+    // four consecutive 7-day evaluation windows walking back from the
+    // data edge, each scored independently — the time-series CV that
+    // exposes whether q331's single-window MAE was luck. Exact long
+    // error sums per fold; one day-domain window pass shared by all
+    // folds.
+    Q("q396_rolling_origin",
+      (s, d) => {
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val fc = dense.withColumn("f", lag(col("c"), 7).over(w))
+          .where(col("f").isNotNull)
+        val mx = fc.agg(max(col("day")).as("mx"))
+        val folds = fc.join(broadcast(mx))
+          .withColumn("fold", expr("(mx - day) div 7") + 1L)
+          .where(col("fold") <= 4)
+        val dif = col("c") - col("f")
+        folds.groupBy("fold").agg(
+            count(lit(1)).cast("long").as("n_days"),
+            sum(abs(dif)).cast("long").as("sa"),
+            sum(dif * dif).cast("long").as("sq"))
+          .select(col("fold").cast("long").as("fold"), col("n_days"),
+            (round(col("sa").cast("double") / col("n_days").cast("double")
+              * 10000.0) / 10000.0).as("mae"),
+            (round(sqrt(col("sq").cast("double")
+              / col("n_days").cast("double")) * 10000.0) / 10000.0)
+              .as("rmse"))
+          .orderBy("fold")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |fc AS (SELECT day, c, lag(c, 7) OVER (ORDER BY day) AS f
+             |  FROM dn),
+             |fv AS (SELECT * FROM fc WHERE f IS NOT NULL),
+             |mx AS (SELECT max(day) AS mx FROM fv),
+             |fd AS (SELECT (mx - day) // 7 + 1 AS fold, c, f
+             |  FROM fv CROSS JOIN mx)
+             |SELECT CAST(fold AS BIGINT) AS fold,
+             |  CAST(count(*) AS BIGINT) AS n_days,
+             |  round(CAST(sum(abs(c - f)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 10000.0) / 10000.0 AS mae,
+             |  round(sqrt(CAST(sum((c - f) * (c - f)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 AS rmse
+             |FROM fd WHERE fold <= 4 GROUP BY fold ORDER BY fold""".stripMargin)),
+
+    // ---- Mantel-Haenszel pooled odds ratio (the ESTIMATE behind
+    // q330's CMH test): OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) over the segment
+    // strata, with per-stratum ORs alongside — cross-product terms are
+    // 1e-8-quantized into exact folds. Same one-shuffle shape as q330.
+    Q("q397_mh_odds_ratio",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("tr"),
+          (col("o_orderstatus") === "F").as("yy"))
+        val st = o.join(broadcast(t(s, d, "customer")
+              .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(
+            sum(when(col("tr") && col("yy"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("tr") && !col("yy"), 1L).otherwise(0L)).as("b"),
+            sum(when(!col("tr") && col("yy"), 1L).otherwise(0L)).as("c"),
+            sum(when(!col("tr") && !col("yy"), 1L).otherwise(0L)).as("dd"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val nk = db(col("a")) + db(col("b")) + db(col("c")) + db(col("dd"))
+        val agg = st.agg(count(lit(1)).cast("long").as("n_strata"),
+          sum(round(db(col("a")) * db(col("dd")) / nk * 100000000.0)
+            .cast(dec)).as("num"),
+          sum(round(db(col("b")) * db(col("c")) / nk * 100000000.0)
+            .cast(dec)).as("den"))
+        agg.select(col("n_strata"),
+          (round(db(col("num")) / db(col("den")) * 1000000.0)
+            / 1000000.0).as("or_mh"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS tr,
+             |    o_orderstatus = 'F' AS yy FROM orders),
+             |st AS (SELECT c_mktsegment,
+             |    sum(CASE WHEN tr AND yy THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN tr AND NOT yy THEN 1 ELSE 0 END) AS b,
+             |    sum(CASE WHEN NOT tr AND yy THEN 1 ELSE 0 END) AS c,
+             |    sum(CASE WHEN NOT tr AND NOT yy THEN 1 ELSE 0 END) AS dd
+             |  FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             |    sum(CAST(round(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+             |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+             |        + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+             |      * 100000000.0) AS HUGEINT)) AS num,
+             |    sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+             |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+             |        + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+             |      * 100000000.0) AS HUGEINT)) AS den
+             |  FROM st)
+             |SELECT n_strata,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS or_mh
+             |FROM ag""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
