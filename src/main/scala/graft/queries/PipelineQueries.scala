@@ -13577,7 +13577,221 @@ object PipelineQueries {
              |SELECT n_strata,
              |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
              |    * 1000000.0) / 1000000.0 AS or_mh
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // ---- Out-of-vocabulary audit of the q373/q378 hash split: per
+    // language, the unigram and bigram OOV rates of the held-out 10%
+    // against the train vocabulary — the "will the tokenizer/LM see
+    // novel surface forms" report. Exact count ratios; train vocabs are
+    // vocabulary-sized anti-join probes.
+    Q("q398_oov_rate",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("w"),
+          (pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("split#"), col("doc_id").cast("string"))),
+            lit(10L)) === 0L).as("is_test"))
+        val uni = docs.select(col("lang"), col("is_test"),
+          explode(col("w")).as("t1")).localCheckpoint()
+        val bi = docs.where(size(col("w")) >= 2)
+          .select(col("lang"), col("is_test"),
+            explode(expr("transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+              .as("t2")).localCheckpoint()
+        val uniV = uni.where(!col("is_test")).select("t1").distinct()
+        val biV = bi.where(!col("is_test")).select("t2").distinct()
+        val uRate = uni.where(col("is_test"))
+          .join(uniV.withColumn("known1", lit(true)), Seq("t1"), "left")
+          .groupBy("lang").agg(count(lit(1)).as("n_uni"),
+            sum(when(col("known1").isNull, 1L).otherwise(0L)).as("oov_uni"))
+        val bRate = bi.where(col("is_test"))
+          .join(biV.withColumn("known2", lit(true)), Seq("t2"), "left")
+          .groupBy("lang").agg(count(lit(1)).as("n_bi"),
+            sum(when(col("known2").isNull, 1L).otherwise(0L)).as("oov_bi"))
+        uRate.join(bRate, "lang")
+          .select(col("lang"), col("n_uni").cast("long").as("n_uni"),
+            (round(col("oov_uni").cast("double")
+              / col("n_uni").cast("double") * 1000000.0) / 1000000.0)
+              .as("oov_uni_rate"),
+            col("n_bi").cast("long").as("n_bi"),
+            (round(col("oov_bi").cast("double")
+              / col("n_bi").cast("double") * 1000000.0) / 1000000.0)
+              .as("oov_bi_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH dc AS (SELECT doc_id, lang,
+             |    string_split(text, ' ') AS w,
+             |    CAST(('0x' || substr(md5('split#'
+             |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+             |      AS is_test
+             |  FROM documents),
+             |uni AS (SELECT lang, is_test, unnest(w) AS t1 FROM dc),
+             |bi AS (SELECT lang, is_test,
+             |    unnest([w[i] || ' ' || w[i+1]
+             |      for i in range(1, len(w))]) AS t2
+             |  FROM dc WHERE len(w) >= 2),
+             |uv AS (SELECT DISTINCT t1 FROM uni WHERE NOT is_test),
+             |bv AS (SELECT DISTINCT t2 FROM bi WHERE NOT is_test),
+             |ur AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_uni,
+             |    CAST(sum(CASE WHEN uv.t1 IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS oov_uni
+             |  FROM uni LEFT JOIN uv ON uni.t1 = uv.t1
+             |  WHERE is_test GROUP BY lang),
+             |br AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bi,
+             |    CAST(sum(CASE WHEN bv.t2 IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS oov_bi
+             |  FROM bi LEFT JOIN bv ON bi.t2 = bv.t2
+             |  WHERE is_test GROUP BY lang)
+             |SELECT ur.lang AS lang, n_uni,
+             |  round(CAST(oov_uni AS DOUBLE) / CAST(n_uni AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS oov_uni_rate,
+             |  n_bi,
+             |  round(CAST(oov_bi AS DOUBLE) / CAST(n_bi AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS oov_bi_rate
+             |FROM ur JOIN br ON ur.lang = br.lang
+             |ORDER BY ur.lang""".stripMargin)),
+
+    // ---- Dedup-savings report: documents and bytes removed by exact
+    // (md5 fingerprint, min-id keeper) vs near (q22 shingle clusters,
+    // min-id keeper) dedup — the curation-economics rollup that says
+    // what each method actually buys at the corpus level. Near-dup
+    // removals reuse the q71 component machinery; byte masses are
+    // exact sums.
+    Q("q399_dedup_savings",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+          .localCheckpoint()
+        val tot = docs.agg(count(lit(1)).as("nd"),
+          sum(col("n_chars")).as("nb"))
+        val exactGone = docs.join(
+            docs.groupBy("fp").agg(min(col("doc_id")).as("keep")), "fp")
+          .where(col("doc_id") =!= col("keep"))
+          .agg(count(lit(1)).as("docs_removed"),
+            sum(col("n_chars")).as("bytes_removed"))
+          .select(lit("exact").as("method"), col("docs_removed"),
+            col("bytes_removed"))
+        val cc = graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.shingleJaccardPairs(
+            t(s, d, "documents"), 0.5))
+        val nearGone = cc.where(col("doc_id") =!= col("cluster"))
+          .join(docs, "doc_id")
+          .agg(count(lit(1)).as("docs_removed"),
+            sum(col("n_chars")).as("bytes_removed"))
+          .select(lit("near_shingle").as("method"), col("docs_removed"),
+            col("bytes_removed"))
+        exactGone.unionAll(nearGone).join(broadcast(tot))
+          .select(col("method"),
+            col("docs_removed").cast("long").as("docs_removed"),
+            col("bytes_removed").cast("long").as("bytes_removed"),
+            (round(col("bytes_removed").cast("double")
+              / col("nb").cast("double") * 1000000.0) / 1000000.0)
+              .as("byte_share"))
+          .orderBy("method")
+      },
+      Some("""WITH RECURSIVE dc AS (SELECT doc_id, n_chars,
+             |    md5(text) AS fp FROM documents),
+             |tot AS (SELECT count(*) AS nd, sum(n_chars) AS nb FROM dc),
+             |ex AS (SELECT CAST(count(*) AS BIGINT) AS docs_removed,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes_removed
+             |  FROM dc JOIN (SELECT fp, min(doc_id) AS keep FROM dc
+             |    GROUP BY fp) k ON dc.fp = k.fp
+             |  WHERE doc_id <> keep),
+             |ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)])) AS s
+             |  FROM ws WHERE len(w) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT ia, ib FROM inter
+             |  JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+             |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |  UNION SELECT ib, ia FROM pairs),
+             |reach AS (SELECT u AS src, u AS dst FROM edges
+             |  UNION SELECT r.src, e.v FROM reach r JOIN edges e
+             |    ON r.dst = e.u),
+             |cc AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach
+             |  GROUP BY src),
+             |nr AS (SELECT CAST(count(*) AS BIGINT) AS docs_removed,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes_removed
+             |  FROM cc JOIN dc ON cc.doc_id = dc.doc_id
+             |  WHERE cc.doc_id <> cc.cluster)
+             |SELECT * FROM (
+             |  SELECT 'exact' AS method, docs_removed, bytes_removed,
+             |    round(CAST(bytes_removed AS DOUBLE) / CAST(nb AS DOUBLE)
+             |      * 1000000.0) / 1000000.0 AS byte_share
+             |  FROM ex CROSS JOIN tot
+             |  UNION ALL
+             |  SELECT 'near_shingle', docs_removed, bytes_removed,
+             |    round(CAST(bytes_removed AS DOUBLE) / CAST(nb AS DOUBLE)
+             |      * 1000000.0) / 1000000.0
+             |  FROM nr CROSS JOIN tot)
+             |ORDER BY method""".stripMargin)),
+
+    // ---- Curation pipeline v6 (session-5 capstone): quality gate
+    // (q29's composite ≥ 0.5) → exact dedup (min-id keeper per md5
+    // fingerprint) → 8-way rendezvous sharding (q261's portable
+    // assignment) → per-shard packing report with byte mass and mean
+    // quality — the end-to-end curation pass whose every stage is an
+    // already-oracled component composed into ONE dataflow. Quality
+    // means are 1e-6-quantized exact sums per shard.
+    Q("q400_curation_v6",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents")
+        val scored = docs.select(col("doc_id"), col("n_chars"),
+            md5(col("text")).as("fp"),
+            round(graft.operators.TextAnalysis.qualityScore(col("text"))
+              * 1000000.0).cast("long").as("q6"))
+          .where(col("q6") >= 500000L)
+        val kept = scored.join(
+            scored.groupBy("fp").agg(min(col("doc_id")).as("keep")), "fp")
+          .where(col("doc_id") === col("keep"))
+        kept.select(
+            graft.operators.Layout.rendezvousShard(col("doc_id"), 8)
+              .as("shard"), col("n_chars"), col("q6"))
+          .groupBy("shard").agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("bytes"),
+            sum(col("q6")).cast(dec).as("sq"))
+          .select(col("shard"), col("n_docs"), col("bytes"),
+            (round(col("sq").cast("double") / col("n_docs").cast("double"))
+              / 1000000.0).as("mean_quality"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, n_chars, md5(text) AS fp,
+              |    CAST(round((least(len(string_split(text, ' '))::DOUBLE
+              |        / 50.0, 1.0) * 0.4
+              |      + greatest(1.0 - (length(regexp_replace(text,
+              |        '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text))
+              |        * 5.0, 0.0) * 0.4
+              |      + least((CAST(len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($EnList))) AS BIGINT)::DOUBLE
+              |        / len(string_split(text, ' '))) * 10.0, 1.0) * 0.2)
+              |      * 1000000.0) AS BIGINT) AS q6
+              |  FROM documents),
+              |fl AS (SELECT * FROM sc WHERE q6 >= 500000),
+              |kp AS (SELECT fl.doc_id, fl.n_chars, fl.q6
+              |  FROM fl JOIN (SELECT fp, min(doc_id) AS keep FROM fl
+              |    GROUP BY fp) k ON fl.fp = k.fp
+              |  WHERE fl.doc_id = k.keep),
+              |h AS (SELECT doc_id, n_chars, q6, sh.s AS s,
+              |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+              |      || CAST(sh.s AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              |  FROM kp CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sh),
+              |a AS (SELECT doc_id, max(n_chars) AS n_chars,
+              |    max(q6) AS q6, arg_max(s, hv) AS shard
+              |  FROM h GROUP BY doc_id)
+              |SELECT CAST(shard AS BIGINT) AS shard,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+              |  round(CAST(sum(q6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              |    / 1000000.0 AS mean_quality
+              |FROM a GROUP BY shard ORDER BY shard""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
