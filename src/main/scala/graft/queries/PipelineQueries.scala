@@ -12262,7 +12262,8 @@ object PipelineQueries {
              |    * 10000.0) / 10000.0 AS cross_entropy,
              |  round(exp(-CAST(sl AS DOUBLE) / 100000000.0
              |    / CAST(m AS DOUBLE)) * 10000.0) / 10000.0 AS perplexity
-             |FROM ds CROSS JOIN ag""".stripMargin)),
+             |FROM ds CROSS JOIN ag""".stripMargin),
+      bench = true),
 
     // ---- Laspeyres / Paasche / Fisher price indices between the two
     // order-date halves, with parts as the basket: period unit values
@@ -13791,7 +13792,8 @@ object PipelineQueries {
               |  CAST(sum(n_chars) AS BIGINT) AS bytes,
               |  round(CAST(sum(q6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
               |    / 1000000.0 AS mean_quality
-              |FROM a GROUP BY shard ORDER BY shard""".stripMargin)))
+              |FROM a GROUP BY shard ORDER BY shard""".stripMargin),
+      bench = true))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
