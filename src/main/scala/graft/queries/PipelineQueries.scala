@@ -13793,7 +13793,221 @@ object PipelineQueries {
               |  round(CAST(sum(q6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
               |    / 1000000.0 AS mean_quality
               |FROM a GROUP BY shard ORDER BY shard""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Brown-Forsythe variance-equality test between the A/B
+    // variants' per-user activity: one-way ANOVA F on |y − median_g|
+    // with the group medians taken at the EXACT nearest lower rank —
+    // the robust homoscedasticity check q283's Cohen's d silently
+    // assumes. Deviations are exact integers; the F chain runs on
+    // exact decimal sums.
+    Q("q401_brown_forsythe",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ux = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("y"))
+          .select(pmod(col("user_id"), lit(2L)).as("g"), col("y"),
+            col("user_id")).localCheckpoint()
+        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("y"), col("user_id"))
+        val ranked = ux.withColumn("rn", row_number().over(wg).cast("long"))
+          .withColumn("ng", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        val med = ranked.where(col("rn") === expr("(ng + 1) div 2"))
+          .select(col("g").as("gm"), col("y").as("med"))
+        val z = ux.join(broadcast(med), col("g") === col("gm"))
+          .select(col("g"), abs(col("y") - col("med")).as("z"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val grp = z.groupBy("g").agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("z")).cast(dec).as("sz"),
+          sum(col("z").cast(dec) * col("z").cast(dec)).as("qz"))
+        val tot = grp.agg(sum(col("n")).as("nn"), sum(col("sz")).as("tz"),
+          sum(col("qz")).as("qq"),
+          sum(round(db(col("sz")) * db(col("sz")) / db(col("n"))
+            * 100.0).cast(dec)).as("g2"))
+        val medw = med.agg(
+          max(when(col("gm") === 0, col("med"))).as("med0"),
+          max(when(col("gm") === 1, col("med"))).as("med1"))
+        val ssb = db(col("g2")) / 100.0 -
+          db(col("tz")) * db(col("tz")) / db(col("nn"))
+        val ssw = db(col("qq")) - db(col("g2")) / 100.0
+        tot.join(broadcast(medw))
+          .select(col("nn").cast("long").as("n_users"),
+            col("med0").cast("long").as("med0"),
+            col("med1").cast("long").as("med1"),
+            (round(ssb / (ssw / (db(col("nn")) - 2.0)) * 10000.0)
+              / 10000.0).as("w_stat"))
+      },
+      Some("""WITH ux AS (SELECT user_id % 2 AS g, count(*) AS y,
+             |    user_id FROM events GROUP BY user_id),
+             |rk AS (SELECT g, y,
+             |    CAST(row_number() OVER (PARTITION BY g
+             |      ORDER BY y, user_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+             |  FROM ux),
+             |md AS (SELECT g AS gm, y AS med FROM rk
+             |  WHERE rn = (ng + 1) // 2),
+             |z AS (SELECT ux.g, abs(y - med) AS z
+             |  FROM ux JOIN md ON ux.g = md.gm),
+             |grp AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(z) AS HUGEINT) AS sz,
+             |    sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS qz
+             |  FROM z GROUP BY g),
+             |tt AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             |    CAST(sum(sz) AS HUGEINT) AS tz,
+             |    CAST(sum(qz) AS HUGEINT) AS qq,
+             |    sum(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+             |      / CAST(n AS DOUBLE) * 100.0) AS HUGEINT)) AS g2
+             |  FROM grp),
+             |mw AS (SELECT max(CASE WHEN gm = 0 THEN med END) AS med0,
+             |    max(CASE WHEN gm = 1 THEN med END) AS med1 FROM md)
+             |SELECT CAST(nn AS BIGINT) AS n_users,
+             |  CAST(med0 AS BIGINT) AS med0, CAST(med1 AS BIGINT) AS med1,
+             |  round((CAST(g2 AS DOUBLE) / 100.0
+             |    - CAST(tz AS DOUBLE) * CAST(tz AS DOUBLE)
+             |      / CAST(nn AS DOUBLE))
+             |    / ((CAST(qq AS DOUBLE) - CAST(g2 AS DOUBLE) / 100.0)
+             |      / (CAST(nn AS DOUBLE) - 2.0)) * 10000.0) / 10000.0
+             |    AS w_stat
+             |FROM tt CROSS JOIN mw""".stripMargin)),
+
+    // ---- Sessionization timeout sensitivity: session counts and mean
+    // session length under 15/30/60-minute gap thresholds — the
+    // parameter sweep (q306's idea applied to q18's operator) that
+    // shows whether downstream session metrics are stable to the one
+    // magic number they all depend on. One per-user lag pass shared by
+    // all three thresholds; everything exact integers.
+    Q("q402_session_timeout_sweep",
+      (s, d) => {
+        val gapped = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("ts", "event_id")))
+          .localCheckpoint()
+        val thr = Seq(900L, 1800L, 3600L)
+        thr.map { t =>
+          val ns = t * Tables.NanosPerSecond
+          gapped.agg(count(lit(1)).cast("long").as("n_events"),
+              (countDistinct(col("user_id"))
+                + sum(when(col("gap") > ns, 1L).otherwise(0L)))
+                .cast("long").as("n_sessions"))
+            .select(lit(t).as("timeout_s"), col("n_events"),
+              col("n_sessions"),
+              (round(col("n_events").cast("double")
+                / col("n_sessions").cast("double") * 10000.0) / 10000.0)
+                .as("mean_events_per_session"))
+        }.reduce(_ unionAll _).orderBy("timeout_s")
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts)
+             |      - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+             |        ORDER BY epoch_ns(ts), event_id) AS gap
+             |  FROM events),
+             |t AS (SELECT unnest([900, 1800, 3600]) AS timeout_s),
+             |ag AS (SELECT timeout_s,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(DISTINCT user_id)
+             |      + sum(CASE WHEN gap > CAST(timeout_s AS BIGINT)
+             |        * 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_sessions
+             |  FROM g CROSS JOIN t GROUP BY timeout_s)
+             |SELECT CAST(timeout_s AS BIGINT) AS timeout_s, n_events,
+             |  n_sessions,
+             |  round(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             |    * 10000.0) / 10000.0 AS mean_events_per_session
+             |FROM ag ORDER BY timeout_s""".stripMargin)),
+
+    // ---- Nested variance components: how much order-price variance
+    // lives BETWEEN regions, between nations WITHIN region, and within
+    // nation — the hierarchical Σ(G²/n) − Σ(G²/n) ladder over exact
+    // cent sums, each level's share of total. The sampling-design
+    // question ("stratify by what?") behind q82/q261's partitioning
+    // choices. Dims broadcast; one fact fold per level key.
+    Q("q403_variance_components",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("r"), col("c_nationkey").as("n"),
+            round(col("o_totalprice") * 100.0).cast("long").as("y"))
+          .localCheckpoint()
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val tot = base.agg(count(lit(1)).cast(dec).as("nn"),
+          sum(col("y")).cast(dec).as("tt"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("qq"))
+        def lvl(keys: Seq[String], nm: String) = base.groupBy(
+            keys.map(col): _*)
+          .agg(count(lit(1)).cast(dec).as("gn"),
+            sum(col("y")).cast(dec).as("gs"))
+          .agg(sum(round(db(col("gs")) * db(col("gs")) / db(col("gn")))
+            .cast(dec)).as(nm))
+        val byR = lvl(Seq("r"), "g2r")
+        val byN = lvl(Seq("r", "n"), "g2n")
+        val j = tot.join(broadcast(byR)).join(broadcast(byN))
+        val cm = db(col("tt")) * db(col("tt")) / db(col("nn"))
+        val sst = db(col("qq")) - cm
+        val ssr = db(col("g2r")) - cm
+        val ssn = db(col("g2n")) - db(col("g2r"))
+        val sse = db(col("qq")) - db(col("g2n"))
+        def row(nm: String, ss: org.apache.spark.sql.Column) =
+          j.select(lit(nm).as("level"),
+            (round(ss / 10000.0 / 100.0) / 100.0).as("ss_dollars2"),
+            (round(ss / sst * 1000000.0) / 1000000.0).as("share"))
+        row("1_between_region", ssr)
+          .unionAll(row("2_nation_within_region", ssn))
+          .unionAll(row("3_within_nation", sse))
+          .orderBy("level")
+      },
+      Some("""WITH b AS (SELECT n_regionkey AS r, c_nationkey AS n,
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+             |    CAST(sum(y) AS HUGEINT) AS t,
+             |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qq
+             |  FROM b),
+             |gr AS (SELECT sum(CAST(round(CAST(gs AS DOUBLE)
+             |      * CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) AS HUGEINT))
+             |      AS g2r
+             |  FROM (SELECT CAST(count(*) AS HUGEINT) AS gn,
+             |      CAST(sum(y) AS HUGEINT) AS gs FROM b GROUP BY r)),
+             |gn AS (SELECT sum(CAST(round(CAST(gs AS DOUBLE)
+             |      * CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) AS HUGEINT))
+             |      AS g2n
+             |  FROM (SELECT CAST(count(*) AS HUGEINT) AS gn,
+             |      CAST(sum(y) AS HUGEINT) AS gs FROM b GROUP BY r, n)),
+             |x AS (SELECT nn, t, qq, g2r, g2n,
+             |    CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) AS cm
+             |  FROM tt CROSS JOIN gr CROSS JOIN gn)
+             |SELECT * FROM (
+             |  SELECT '1_between_region' AS level,
+             |    round((CAST(g2r AS DOUBLE) - cm) / 10000.0 / 100.0)
+             |      / 100.0 AS ss_dollars2,
+             |    round((CAST(g2r AS DOUBLE) - cm)
+             |      / (CAST(qq AS DOUBLE) - cm) * 1000000.0) / 1000000.0
+             |      AS share
+             |  FROM x
+             |  UNION ALL
+             |  SELECT '2_nation_within_region',
+             |    round((CAST(g2n AS DOUBLE) - CAST(g2r AS DOUBLE))
+             |      / 10000.0 / 100.0) / 100.0,
+             |    round((CAST(g2n AS DOUBLE) - CAST(g2r AS DOUBLE))
+             |      / (CAST(qq AS DOUBLE) - cm) * 1000000.0) / 1000000.0
+             |  FROM x
+             |  UNION ALL
+             |  SELECT '3_within_nation',
+             |    round((CAST(qq AS DOUBLE) - CAST(g2n AS DOUBLE))
+             |      / 10000.0 / 100.0) / 100.0,
+             |    round((CAST(qq AS DOUBLE) - CAST(g2n AS DOUBLE))
+             |      / (CAST(qq AS DOUBLE) - cm) * 1000000.0) / 1000000.0
+             |  FROM x)
+             |ORDER BY level""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
