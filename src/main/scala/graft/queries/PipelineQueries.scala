@@ -14007,7 +14007,148 @@ object PipelineQueries {
              |    round((CAST(qq AS DOUBLE) - CAST(g2n AS DOUBLE))
              |      / (CAST(qq AS DOUBLE) - cm) * 1000000.0) / 1000000.0
              |  FROM x)
-             |ORDER BY level""".stripMargin)))
+             |ORDER BY level""".stripMargin)),
+
+    // ---- Jonckheere-Terpstra ordered-alternative trend: does ship
+    // latency increase MONOTONICALLY with priority class (1<2<3<4<5),
+    // the hypothesis q258's unordered ANOVA wastes power on. Pairwise
+    // Mann-Whitney counts in exact 2× units over the group×VALUE count
+    // tables (latency-cardinality-bounded — the value-pair join is tiny
+    // however big the fact is; the one BroadcastNestedLoopJoin is this
+    // deliberate bounded non-equi pair, the documented class); null
+    // moments in closed form.
+    Q("q404_jonckheere",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val lat = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+            .as("g"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("v"))
+        val cnt = lat.groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val jt2 = cnt.select(col("g").as("ga"), col("v").as("va"),
+            col("c").as("ca"))
+          .join(cnt.select(col("g").as("gb"), col("v").as("vb"),
+            col("c").as("cb")), col("ga") < col("gb"))
+          .select(when(col("va") < col("vb"),
+              lit(2L).cast(dec) * col("ca").cast(dec) * col("cb").cast(dec))
+            .when(col("va") === col("vb"),
+              col("ca").cast(dec) * col("cb").cast(dec))
+            .otherwise(lit(0L).cast(dec)).as("u2"))
+          .agg(sum(col("u2")).as("jt2"))
+        val sizes = cnt.groupBy("g").agg(sum(col("c")).as("ng"))
+          .agg(sum(col("ng")).cast(dec).as("nn"),
+            sum(col("ng").cast(dec) * col("ng").cast(dec)).as("sn2"),
+            sum(col("ng").cast(dec) * col("ng").cast(dec)
+              * (lit(2L).cast(dec) * col("ng").cast(dec)
+                + lit(3L).cast(dec))).as("sn23"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val e = (db(col("nn")) * db(col("nn")) - db(col("sn2"))) / 4.0
+        val vr = (db(col("nn")) * db(col("nn"))
+          * (lit(2.0) * db(col("nn")) + 3.0) - db(col("sn23"))) / 72.0
+        jt2.join(broadcast(sizes))
+          .select(col("nn").cast("long").as("n"),
+            (db(col("jt2")) / 2.0).as("jt"),
+            (round(e * 100.0) / 100.0).as("e_jt"),
+            (round((db(col("jt2")) / 2.0 - e) / sqrt(vr) * 1000000.0)
+              / 1000000.0).as("z"))
+      },
+      Some("""WITH lat AS (SELECT
+             |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+             |      AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cnt AS (SELECT g, v, count(*) AS c FROM lat GROUP BY 1, 2),
+             |jt AS (SELECT sum(CASE WHEN a.v < b.v
+             |      THEN 2 * CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+             |    WHEN a.v = b.v
+             |      THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+             |    ELSE CAST(0 AS HUGEINT) END) AS jt2
+             |  FROM cnt a JOIN cnt b ON a.g < b.g),
+             |sz AS (SELECT CAST(sum(ng) AS HUGEINT) AS nn,
+             |    sum(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)) AS sn2,
+             |    sum(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)
+             |      * (2 * CAST(ng AS HUGEINT) + 3)) AS sn23
+             |  FROM (SELECT g, sum(c) AS ng FROM cnt GROUP BY g))
+             |SELECT CAST(nn AS BIGINT) AS n,
+             |  CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+             |  round((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+             |    - CAST(sn2 AS DOUBLE)) / 4.0 * 100.0) / 100.0 AS e_jt,
+             |  round((CAST(jt2 AS DOUBLE) / 2.0
+             |    - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+             |      - CAST(sn2 AS DOUBLE)) / 4.0)
+             |    / sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+             |      * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+             |      - CAST(sn23 AS DOUBLE)) / 72.0) * 1000000.0)
+             |    / 1000000.0 AS z
+             |FROM jt CROSS JOIN sz""".stripMargin)),
+
+    // ---- Page's L trend test: is there a MONOTONE weekday ordering in
+    // daily traffic (Mon < ... < Sun), the ordered sharpening of q352's
+    // Friedman omnibus. L = Σ j·R_j from the SAME exact 2×-unit average
+    // ranks; null moments closed-form; everything integer until the z
+    // chain.
+    Q("q405_page_trend",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+          .select(expr("day div 7").as("week"),
+            pmod(col("day"), lit(7L)).as("weekday"), col("c"))
+        val full = dense.groupBy("week").agg(count(lit(1)).as("nd"))
+          .where(col("nd") === 7).select("week")
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("week").orderBy("c")
+        val ties = org.apache.spark.sql.expressions.Window
+          .partitionBy("week", "c")
+        val ranked = dense.join(broadcast(full), "week")
+          .withColumn("avg2",
+            lit(2L) * rank().over(wk) + count(lit(1)).over(ties) - 1L)
+        val rj = ranked.groupBy("weekday").agg(
+          count(lit(1)).cast(dec).as("nw"),
+          sum(col("avg2")).cast(dec).as("r2"))
+        val ag = rj.agg(max(col("nw")).as("n"),
+          sum((col("weekday").cast(dec) + 1L) * col("r2")).as("l2"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = db(col("n"))
+        val el = n * 7.0 * 64.0 / 4.0        // n·k(k+1)²/4, k = 7
+        val vl = n * 49.0 * 64.0 * 6.0 / 144.0
+        ag.select(col("n").cast("long").as("n_weeks"),
+          (db(col("l2")) / 2.0).as("l_stat"),
+          (round(el * 100.0) / 100.0).as("e_l"),
+          (round((db(col("l2")) / 2.0 - el) / sqrt(vl) * 1000000.0)
+            / 1000000.0).as("z"))
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    count(*) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT gs.day, coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) gs
+             |  LEFT JOIN c USING (day)),
+             |wd AS (SELECT day // 7 AS week, day % 7 AS weekday, c FROM dn),
+             |fw AS (SELECT week FROM wd GROUP BY week
+             |  HAVING count(*) = 7),
+             |rk AS (SELECT weekday,
+             |    2 * rank() OVER (PARTITION BY wd.week ORDER BY c)
+             |      + count(*) OVER (PARTITION BY wd.week, c) - 1 AS avg2
+             |  FROM wd JOIN fw ON wd.week = fw.week),
+             |rj AS (SELECT weekday, CAST(count(*) AS HUGEINT) AS nw,
+             |    CAST(sum(avg2) AS HUGEINT) AS r2
+             |  FROM rk GROUP BY weekday),
+             |ag AS (SELECT CAST(max(nw) AS BIGINT) AS n,
+             |    CAST(sum((CAST(weekday AS HUGEINT) + 1) * r2) AS HUGEINT)
+             |      AS l2
+             |  FROM rj)
+             |SELECT n AS n_weeks, CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+             |  round(CAST(n AS DOUBLE) * 7.0 * 64.0 / 4.0 * 100.0) / 100.0
+             |    AS e_l,
+             |  round((CAST(l2 AS DOUBLE) / 2.0
+             |    - CAST(n AS DOUBLE) * 7.0 * 64.0 / 4.0)
+             |    / sqrt(CAST(n AS DOUBLE) * 49.0 * 64.0 * 6.0 / 144.0)
+             |    * 1000000.0) / 1000000.0 AS z
+             |FROM ag""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
