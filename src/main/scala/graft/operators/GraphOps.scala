@@ -68,6 +68,71 @@ object GraphOps {
     ranks
   }
 
+  /** Eigenvector centrality by fixed-round L1-normalized power
+    * iteration over the UNDIRECTED weighted graph: v ← A·v / ‖A·v‖₁ —
+    * the influence measure where a neighbor's importance matters
+    * (PageRank without teleport/damping). Fixed rounds keep the oracle
+    * replayable; per-round normalization keeps the iterate bounded.
+    *
+    * SCALE: identical profile to [[pageRank]] — one edge-keyed join per
+    * round against a node-sized rank relation, eager checkpoint +
+    * deterministic release per round. */
+  def eigenvectorCentrality(edges: DataFrame, iterations: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .where(col("src") =!= col("dst"))
+    val sym = und.union(und.select(col("dst"), col("src"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var v = nodes.select(col("node"), lit(1.0 / n).as("v")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = sym.join(v, sym("src") === v("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("w") * col("v")).as("c"))
+      val tot = contrib.agg(sum(col("c")).as("t"))
+      val next = contrib.join(broadcast(tot))
+        .select(col("cnode").as("node"), (col("c") / col("t")).as("v"))
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(v)
+      v = next
+    }
+    IterUtils.unpersistCheckpoint(sym)
+    IterUtils.unpersistCheckpoint(nodes)
+    v
+  }
+
+  /** Katz centrality by fixed-round iteration x ← α·A·x + 1 over the
+    * undirected weighted graph — the path-count measure that, unlike
+    * eigenvector centrality, gives every node a baseline and converges
+    * for α < 1/λ₁ (caller picks a conservative α).
+    *
+    * SCALE: same per-round profile as [[eigenvectorCentrality]]. */
+  def katzCentrality(edges: DataFrame, iterations: Int,
+      alpha: Double): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .where(col("src") =!= col("dst"))
+    val sym = und.union(und.select(col("dst"), col("src"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var x = nodes.select(col("node"), lit(1.0).as("x")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = sym.join(x, sym("src") === x("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("w") * col("x")).as("c"))
+      val next = nodes.join(contrib, nodes("node") === col("cnode"), "left")
+        .select(col("node"),
+          (lit(alpha) * coalesce(col("c"), lit(0.0)) + 1.0).as("x"))
+        .localCheckpoint()
+      IterUtils.unpersistCheckpoint(x)
+      x = next
+    }
+    IterUtils.unpersistCheckpoint(sym)
+    IterUtils.unpersistCheckpoint(nodes)
+    x
+  }
+
   /** Per-node triangle counts over an undirected edge list (src, dst) —
     * the clustering-structure primitive (community density, spam-ring
     * detection, near-dup cluster shape). Self-loops dropped, edges

@@ -14148,7 +14148,111 @@ object PipelineQueries {
              |    - CAST(n AS DOUBLE) * 7.0 * 64.0 / 4.0)
              |    / sqrt(CAST(n AS DOUBLE) * 49.0 * 64.0 * 6.0 / 144.0)
              |    * 1000000.0) / 1000000.0 AS z
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // ---- Eigenvector centrality over the symmetrized trade graph:
+    // five L1-normalized power rounds (q113's fixed-round replay
+    // convention — each round unrolled in the oracle, 6-dp rounding at
+    // the end only), the "important neighbors make you important"
+    // complement to PageRank's teleporting walk.
+    Q("q406_eigenvector_centrality",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.eigenvectorCentrality(edges, 5)
+          .select(col("node"), round(col("v"), 6).as("ev"))
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""c$r AS (SELECT m.dst AS node, sum(m.w * r.v) AS c
+             |  FROM sym m JOIN v${r - 1} r ON r.node = m.src
+             |  GROUP BY m.dst),
+             |t$r AS (SELECT sum(c) AS t FROM c$r),
+             |v$r AS (SELECT node, c / t AS v FROM c$r CROSS JOIN t$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+           |    CAST(count(*) AS DOUBLE) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  GROUP BY 1, 2),
+           |sym AS (SELECT src, dst, sum(w) AS w FROM (
+           |    SELECT src, dst, w FROM edges WHERE src <> dst
+           |    UNION ALL
+           |    SELECT dst, src, w FROM edges WHERE src <> dst)
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM sym),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |v0 AS (SELECT node, 1.0 / nn.n AS v FROM nodes, nn),
+           |$rounds
+           |SELECT node, round(v, 6) AS ev FROM v5 ORDER BY node"""
+          .stripMargin
+      }),
+
+    // ---- Katz centrality over the same graph: x ← α·A·x + 1 for five
+    // rounds with a conservative α = 1e-6 (well under 1/λ₁ for this
+    // weighted graph), the path-count measure that keeps a baseline
+    // for peripheral nodes where eigenvector centrality starves them.
+    // Same fixed-round replay convention.
+    Q("q407_katz_centrality",
+      (s, d) => {
+        val nation = t(s, d, "nation")
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.katzCentrality(edges, 5, alpha = 1.0e-6)
+          .select(col("node"), round(col("x"), 6).as("katz"))
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""x$r AS (SELECT v.node,
+             |    0.000001 * coalesce((SELECT sum(m.w * p.x) FROM sym m
+             |      JOIN x${r - 1} p ON p.node = m.src
+             |      WHERE m.dst = v.node), 0.0) + 1.0 AS x
+             |  FROM nodes v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+           |    CAST(count(*) AS DOUBLE) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  GROUP BY 1, 2),
+           |sym AS (SELECT src, dst, sum(w) AS w FROM (
+           |    SELECT src, dst, w FROM edges WHERE src <> dst
+           |    UNION ALL
+           |    SELECT dst, src, w FROM edges WHERE src <> dst)
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM sym),
+           |x0 AS (SELECT node, 1.0 AS x FROM nodes),
+           |$rounds
+           |SELECT node, round(x, 6) AS katz FROM x5 ORDER BY node"""
+          .stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
