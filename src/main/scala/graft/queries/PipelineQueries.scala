@@ -14252,7 +14252,217 @@ object PipelineQueries {
            |$rounds
            |SELECT node, round(x, 6) AS katz FROM x5 ORDER BY node"""
           .stripMargin
-      }))
+      }),
+
+    // ---- Bowker symmetry test on q377's quartile-migration matrix:
+    // B = Σ_{i<j}(n_ij − n_ji)²/(n_ij + n_ji) — "are upgrades as common
+    // as downgrades", the k×k generalization of McNemar (q329). Cell
+    // counts come from the same exact rank-quartile machinery; the six
+    // off-diagonal pair terms are exact-integer ratios.
+    Q("q408_bowker_symmetry",
+      (s, d) => {
+        def half(cond: org.apache.spark.sql.Column, tag: String) =
+          t(s, d, "orders").where(cond)
+            .groupBy("o_custkey")
+            .agg(sum(round(col("o_totalprice") * 100.0).cast("long"))
+              .as(s"rev$tag"))
+        val split = lit("1998-07-01").cast("timestamp")
+        val both = half(col("o_orderdate") < split, "1")
+          .join(half(col("o_orderdate") >= split, "2"), "o_custkey")
+        def rk(revCol: String) = (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(revCol), col("o_custkey"))).cast("long") - 1L) * 4L
+        val cells = both
+          .withColumn("nn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("r1", rk("rev1")).withColumn("r2", rk("rev2"))
+          .withColumn("q1", expr("r1 div nn") + 1L)
+          .withColumn("q2", expr("r2 div nn") + 1L)
+          .groupBy("q1", "q2").agg(count(lit(1)).as("c"))
+        val pairs = cells.select(col("q1").as("i"), col("q2").as("j"),
+            col("c").as("nij"))
+          .join(cells.select(col("q1").as("j2"), col("q2").as("i2"),
+            col("c").as("nji")),
+            col("i") === col("i2") && col("j") === col("j2"))
+          .where(col("i") < col("j"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(when(col("nij") + col("nji") > 0,
+              db((col("nij") - col("nji")) * (col("nij") - col("nji")))
+                / db(col("nij") + col("nji"))).otherwise(lit(0.0)))
+              .as("b"))
+          .select(col("n_pairs"), lit(6L).as("df"),
+            (round(col("b") * 10000.0) / 10000.0).as("b_stat"))
+      },
+      Some("""WITH h1 AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev1
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+             |  GROUP BY 1),
+             |h2 AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev2
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+             |  GROUP BY 1),
+             |b AS (SELECT h1.o_custkey, rev1, rev2
+             |  FROM h1 JOIN h2 ON h1.o_custkey = h2.o_custkey),
+             |n AS (SELECT count(*) AS n FROM b),
+             |rk AS (SELECT
+             |    ((row_number() OVER (ORDER BY rev1, o_custkey) - 1) * 4)
+             |      // n + 1 AS q1,
+             |    ((row_number() OVER (ORDER BY rev2, o_custkey) - 1) * 4)
+             |      // n + 1 AS q2
+             |  FROM b CROSS JOIN n),
+             |mx AS (SELECT q1, q2, count(*) AS c FROM rk GROUP BY 1, 2),
+             |pr AS (SELECT a.q1 AS i, a.q2 AS j, a.c AS nij, t.c AS nji
+             |  FROM mx a JOIN mx t ON a.q1 = t.q2 AND a.q2 = t.q1
+             |  WHERE a.q1 < a.q2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(6 AS BIGINT) AS df,
+             |  round(sum(CASE WHEN nij + nji > 0 THEN
+             |    CAST((nij - nji) * (nij - nji) AS DOUBLE)
+             |      / CAST(nij + nji AS DOUBLE) ELSE 0.0 END) * 10000.0)
+             |    / 10000.0 AS b_stat
+             |FROM pr""".stripMargin)),
+
+    // ---- Markov stationarity: is the q189 event-transition matrix the
+    // SAME in the first and second half of the window? χ² homogeneity
+    // over (transition-type × half) counts — the assumption q240's
+    // stationary distribution and q269's entropy rate silently make.
+    // Transition pairs come from one per-user lag pass; every expected
+    // count divides exact integers.
+    Q("q409_markov_stationarity",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mid = ev.agg(((min(expr("ts div 86400000000000"))
+          + max(expr("ts div 86400000000000"))) / 2).cast("long").as("mid"))
+        val tr = ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), expr("ts div 86400000000000").as("day"))
+          .withColumn("prev", lag(col("event_type"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("ts", "event_id")))
+          .where(col("prev").isNotNull)
+          .join(broadcast(mid))
+          .select(concat(col("prev"), lit(">"), col("event_type"))
+            .as("tt"), (col("day") <= col("mid")).as("h1"))
+        val cells = tr.groupBy("tt").agg(
+          sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+        val tot = cells.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"),
+          count(lit(1)).cast("long").as("k"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val j = cells.join(broadcast(tot))
+        val nAll = db(col("t1")) + db(col("t2"))
+        val rt = db(col("c1")) + db(col("c2"))
+        def term(o: org.apache.spark.sql.Column,
+            ct: org.apache.spark.sql.Column) = {
+          val e = rt * ct / nAll
+          (db(o) - e) * (db(o) - e) / e
+        }
+        j.agg(max(col("k")).as("n_types"),
+            max(col("t1")).cast("long").as("n_first"),
+            max(col("t2")).cast("long").as("n_second"),
+            sum(term(col("c1"), db(col("t1")))
+              + term(col("c2"), db(col("t2")))).as("chi2"))
+          .select(col("n_types"), col("n_first"), col("n_second"),
+            (col("n_types") - 1L).as("df"),
+            (round(col("chi2") * 10000.0) / 10000.0).as("chi2"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             |    event_type, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events),
+             |md AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+             |tr AS (SELECT prev || '>' || event_type AS tt,
+             |    day <= mid AS h1
+             |  FROM (SELECT event_type, day,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY tns, event_id) AS prev
+             |    FROM e) x CROSS JOIN md
+             |  WHERE prev IS NOT NULL),
+             |cl AS (SELECT tt,
+             |    sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS c2
+             |  FROM tr GROUP BY tt),
+             |tt2 AS (SELECT sum(c1) AS t1, sum(c2) AS t2,
+             |    CAST(count(*) AS BIGINT) AS k FROM cl)
+             |SELECT k AS n_types, CAST(t1 AS BIGINT) AS n_first,
+             |  CAST(t2 AS BIGINT) AS n_second, k - 1 AS df,
+             |  round(sum(
+             |    (CAST(c1 AS DOUBLE) - (CAST(c1 AS DOUBLE)
+             |      + CAST(c2 AS DOUBLE)) * CAST(t1 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |    * (CAST(c1 AS DOUBLE) - (CAST(c1 AS DOUBLE)
+             |      + CAST(c2 AS DOUBLE)) * CAST(t1 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |    / ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))
+             |      * CAST(t1 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |    + (CAST(c2 AS DOUBLE) - (CAST(c1 AS DOUBLE)
+             |      + CAST(c2 AS DOUBLE)) * CAST(t2 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |    * (CAST(c2 AS DOUBLE) - (CAST(c1 AS DOUBLE)
+             |      + CAST(c2 AS DOUBLE)) * CAST(t2 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |    / ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))
+             |      * CAST(t2 AS DOUBLE)
+             |      / (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)))
+             |  ) * 10000.0) / 10000.0 AS chi2
+             |FROM cl CROSS JOIN tt2
+             |GROUP BY k, t1, t2""".stripMargin)),
+
+    // ---- Cochran-Armitage trend in proportions: does the fulfillment
+    // rate trend MONOTONICALLY across the ordered priority classes
+    // (scores 1..5)? z from score-weighted exact counts — the ordered
+    // sharpening of a plain r×2 χ² (q288's framing), one conditional
+    // fold and a fixed closed-form chain.
+    Q("q410_cochran_armitage",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = t(s, d, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+            .as("sc"), (col("o_orderstatus") === "F").as("yy"))
+          .groupBy("sc").agg(
+            sum(when(col("yy"), 1L).otherwise(0L)).as("a"),
+            count(lit(1)).as("n"))
+        val agg = g.agg(sum(col("a")).cast(dec).as("aa"),
+          sum(col("n")).cast(dec).as("nn"),
+          sum(col("sc").cast(dec) * col("a").cast(dec)).as("sa"),
+          sum(col("sc").cast(dec) * col("n").cast(dec)).as("sn"),
+          sum(col("sc").cast(dec) * col("sc").cast(dec)
+            * col("n").cast(dec)).as("s2n"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val pbar = db(col("aa")) / db(col("nn"))
+        val num = db(col("sa")) - db(col("sn")) * pbar
+        val den = sqrt(pbar * (lit(1.0) - pbar)
+          * (db(col("s2n")) - db(col("sn")) * db(col("sn")) / db(col("nn"))))
+        agg.select(col("nn").cast("long").as("n"),
+          col("aa").cast("long").as("n_fulfilled"),
+          (round(num * 100.0) / 100.0).as("trend_num"),
+          (round(num / den * 1000000.0) / 1000000.0).as("z"))
+      },
+      Some("""WITH g AS (SELECT
+             |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+             |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+             |    count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |ag AS (SELECT CAST(sum(a) AS HUGEINT) AS aa,
+             |    CAST(sum(n) AS HUGEINT) AS nn,
+             |    sum(CAST(sc AS HUGEINT) * CAST(a AS HUGEINT)) AS sa,
+             |    sum(CAST(sc AS HUGEINT) * CAST(n AS HUGEINT)) AS sn,
+             |    sum(CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)
+             |      * CAST(n AS HUGEINT)) AS s2n
+             |  FROM g)
+             |SELECT CAST(nn AS BIGINT) AS n,
+             |  CAST(aa AS BIGINT) AS n_fulfilled,
+             |  round((CAST(sa AS DOUBLE) - CAST(sn AS DOUBLE)
+             |    * (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))) * 100.0)
+             |    / 100.0 AS trend_num,
+             |  round((CAST(sa AS DOUBLE) - CAST(sn AS DOUBLE)
+             |    * (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE)))
+             |    / sqrt((CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE)
+             |        * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS z
+             |FROM ag""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
