@@ -14462,7 +14462,138 @@ object PipelineQueries {
              |      * (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE)
              |        * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)))
              |    * 1000000.0) / 1000000.0 AS z
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // ---- Tukey HSD post-hoc pairs: after an omnibus segment effect,
+    // WHICH segment pairs differ in mean order value — the studentized-
+    // range q statistic per pair against the k=5/df→∞ 5% critical value
+    // (3.86, a literal on both engines). Pooled MSE and group means
+    // come from one exact decimal moment fold; the pair table is k²-
+    // sized.
+    Q("q411_tukey_hsd",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100.0).cast("long").as("y"))
+          .groupBy("seg").agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("y")).cast(dec).as("sy"),
+            sum(col("y").cast(dec) * col("y").cast(dec)).as("qy"))
+          .localCheckpoint()
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val mse = g.agg(sum(col("n")).as("nn"),
+            count(lit(1)).cast("long").as("k"),
+            sum(db(col("qy")) - db(col("sy")) * db(col("sy"))
+              / db(col("n"))).as("ssw"))
+          .select(col("nn"), col("k"),
+            (col("ssw") / (db(col("nn")) - db(col("k")))).as("mse"))
+        val pairs = g.select(col("seg").as("sa"), col("n").as("na"),
+            col("sy").as("ya"))
+          .join(g.select(col("seg").as("sb"), col("n").as("nb"),
+            col("sy").as("yb")), col("sa") < col("sb"))
+          .join(broadcast(mse))
+        val diff = db(col("ya")) / db(col("na")) -
+          db(col("yb")) / db(col("nb"))
+        val se = sqrt(col("mse") / 2.0
+          * (lit(1.0) / db(col("na")) + lit(1.0) / db(col("nb"))))
+        val q = abs(diff) / se
+        pairs.select(col("sa"), col("sb"),
+            (round(diff / 100.0 * 100.0) / 100.0).as("diff_dollars"),
+            (round(q * 10000.0) / 10000.0).as("q_stat"),
+            (q > 3.86).as("significant"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH g AS (SELECT c_mktsegment AS seg,
+             |    CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+             |      AS HUGEINT) AS sy,
+             |    sum(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+             |      AS HUGEINT)
+             |      * CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+             |      AS HUGEINT)) AS qy
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1),
+             |ms AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             |    CAST(count(*) AS BIGINT) AS k,
+             |    sum(CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(sum(n) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+             |      AS mse
+             |  FROM g)
+             |SELECT a.seg AS sa, b.seg AS sb,
+             |  round((CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |    - CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0
+             |    * 100.0) / 100.0 AS diff_dollars,
+             |  round(abs(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |    - CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |    / sqrt(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+             |      + 1.0 / CAST(b.n AS DOUBLE))) * 10000.0) / 10000.0
+             |    AS q_stat,
+             |  abs(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |    - CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |    / sqrt(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+             |      + 1.0 / CAST(b.n AS DOUBLE))) > 3.86 AS significant
+             |FROM g a JOIN g b ON a.seg < b.seg CROSS JOIN ms
+             |ORDER BY sa, sb""".stripMargin)),
+
+    // ---- Trade-partner concentration per customer nation: HHI of the
+    // outgoing trade-weight distribution and the effective partner
+    // count 1/HHI — the node-level "how diversified is this nation's
+    // supply base" micro-metric under q325's market-level HHI. Exact
+    // integer weights; per-node folds are partner-bounded.
+    Q("q412_partner_concentration",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val nation = t(s, d, "nation")
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("src"))), col("c_nationkey") === col("ck"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("dst"))), col("s_nationkey") === col("sk"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val tot = edges.groupBy("src").agg(sum(col("w")).cast(dec).as("tw"),
+          count(lit(1)).as("n_partners"))
+        edges.join(broadcast(tot), "src")
+          .groupBy("src").agg(max(col("n_partners")).cast("long")
+              .as("n_partners"),
+            sum(db(col("w").cast(dec) * col("w").cast(dec))
+              / db(col("tw") * col("tw"))).as("hhi"))
+          .select(col("src").as("nation"), col("n_partners"),
+            (round(col("hhi") * 1000000.0) / 1000000.0).as("hhi"),
+            (round(lit(1.0) / col("hhi") * 10000.0) / 10000.0)
+              .as("effective_partners"))
+          .orderBy("nation")
+      },
+      Some("""WITH ed AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+             |    count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |tt AS (SELECT src, CAST(sum(w) AS HUGEINT) AS tw,
+             |    count(*) AS n_partners FROM ed GROUP BY src)
+             |SELECT ed.src AS nation,
+             |  CAST(max(n_partners) AS BIGINT) AS n_partners,
+             |  round(sum(CAST(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)
+             |      AS DOUBLE) / CAST(tw * tw AS DOUBLE)) * 1000000.0)
+             |    / 1000000.0 AS hhi,
+             |  round(1.0 / sum(CAST(CAST(w AS HUGEINT)
+             |      * CAST(w AS HUGEINT) AS DOUBLE)
+             |      / CAST(tw * tw AS DOUBLE)) * 10000.0) / 10000.0
+             |    AS effective_partners
+             |FROM ed JOIN tt ON ed.src = tt.src
+             |GROUP BY ed.src ORDER BY nation""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
