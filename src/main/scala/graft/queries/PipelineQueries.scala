@@ -14593,7 +14593,173 @@ object PipelineQueries {
              |      / CAST(tw * tw AS DOUBLE)) * 10000.0) / 10000.0
              |    AS effective_partners
              |FROM ed JOIN tt ON ed.src = tt.src
-             |GROUP BY ed.src ORDER BY nation""".stripMargin)))
+             |GROUP BY ed.src ORDER BY nation""".stripMargin)),
+
+    // ---- Portable deterministic HyperLogLog: distinct parts per
+    // supplier nation. The fully-oracled HLL complement to q33 (whose
+    // engine sketch is implementation-defined → rows-only): 256 buckets
+    // keyed by the low 8 bits of the portable 60-bit md5 hash, rho =
+    // leading-zero rank of the remaining 52 bits via length(bin(x))
+    // (identical string semantics both engines), register max per
+    // (nation, bucket) in ONE map-side-combinable aggregation — the
+    // register relation is bounded by nations×256 regardless of corpus
+    // size. The harmonic fold stays EXACT: each register contributes
+    // the integer 2^(53−M), summed in decimal(38,0) (≤ 256·2^53 < 2^62),
+    // so the only floating steps are the final alpha·m²·2^53/Z division
+    // and the 1e-8-quantized ln of the linear-counting branch (the q378
+    // ln convention). Exact distinct is counted alongside as the audit
+    // column — at 100 TB you drop it and keep the sketch relation.
+    Q("q413_hll_portable",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("l_partkey"),
+            graft.expressions.PortableHash.md5Hash60(col("l_partkey"))
+              .as("h"))
+          .localCheckpoint()
+        val reg = base
+          .select(col("nation"), col("h").bitwiseAND(lit(255L)).as("bucket"),
+            shiftright(col("h"), 8).as("rest"))
+          .select(col("nation"), col("bucket"),
+            when(col("rest") === 0, lit(53))
+              .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
+          .groupBy("nation", "bucket").agg(max(col("rho")).as("m"))
+        val fold = reg.groupBy("nation").agg(
+          (sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)").cast(dec))
+            + (lit(256).cast(dec) - count(lit(1)).cast(dec))
+              * lit(9007199254740992L).cast(dec)).as("z"),
+          (lit(256) - count(lit(1))).cast("long").as("v"))
+        val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(9007199254740992.0) / col("z").cast("double")
+        val lc = round(log(lit(256.0) / col("v").cast("double")) *
+          1.0e8) / 1.0e8 * 256.0
+        val est = fold.select(col("nation"),
+          (round(when(col("v") > 0 && eRaw <= 640.0, lc).otherwise(eRaw)
+            * 10000.0) / 10000.0).as("est"))
+        val exact = base.groupBy("nation")
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        est.join(broadcast(exact), "nation")
+          .select(col("nation"), col("est"), col("exact_distinct"),
+            (round(abs(col("est") - col("exact_distinct").cast("double"))
+              / col("exact_distinct").cast("double") * 1000000.0)
+              / 1000000.0).as("rel_err"))
+          .orderBy("nation")
+      },
+      Some("""WITH base AS (SELECT n_name AS nation, l_partkey,
+             |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+             |      AS BIGINT) AS h
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey),
+             |reg AS (SELECT nation, h & 255 AS bucket,
+             |    max(CASE WHEN (h >> 8) = 0 THEN 53
+             |        ELSE 53 - length(bin(h >> 8)) END) AS m
+             |  FROM base GROUP BY 1, 2),
+             |fold AS (SELECT nation,
+             |    CAST(sum(1::BIGINT << (53 - m)) AS HUGEINT)
+             |      + (256 - CAST(count(*) AS HUGEINT))
+             |        * CAST(9007199254740992 AS HUGEINT) AS z,
+             |    256 - count(*) AS v
+             |  FROM reg GROUP BY nation),
+             |est AS (SELECT nation,
+             |    round(CASE WHEN v > 0
+             |        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |          * 9007199254740992.0 / CAST(z AS DOUBLE) <= 640.0
+             |      THEN round(ln(256.0 / CAST(v AS DOUBLE)) * 100000000.0)
+             |        / 100000000.0 * 256.0
+             |      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |        * 9007199254740992.0 / CAST(z AS DOUBLE) END
+             |      * 10000.0) / 10000.0 AS est
+             |  FROM fold),
+             |ex AS (SELECT nation, count(DISTINCT l_partkey) AS exact_distinct
+             |  FROM base GROUP BY nation)
+             |SELECT est.nation, est, exact_distinct,
+             |  round(abs(est - CAST(exact_distinct AS DOUBLE))
+             |    / CAST(exact_distinct AS DOUBLE) * 1000000.0) / 1000000.0
+             |    AS rel_err
+             |FROM est JOIN ex ON est.nation = ex.nation
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- AMS second-frequency-moment (F2) sketch over the corpus term
+    // distribution (Alon-Matias-Szegedy 1996): 16 ±1-sign estimators,
+    // sign_e(w) = bit e of the portable 60-bit md5 hash, each X_e an
+    // EXACT integer token-sum — all 16 land in ONE map-side-combined
+    // global aggregation over the token scan (driver state: 16 longs),
+    // so the sketch path never shuffles the corpus. Estimates X_e² are
+    // squared in decimal(38,0) (token counts at 100 TB put X² past a
+    // long); the mean and the order-statistic median (avg of ranks
+    // 8/9 — no interpolation drift) are the only floating steps, each
+    // a single division. True F2 = Σ cnt_w² runs alongside from the
+    // vocab-sized term aggregate as the audit columns.
+    Q("q414_ams_f2",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tok = t(s, d, "documents")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("w"))
+          .select(graft.expressions.PortableHash.md5Hash60(col("w")).as("h"))
+        val xs = tok.agg(
+          (0 until 16).map(e => sum(
+            when(col("h").bitwiseAND(lit(1L << e)) =!= 0, 1L).otherwise(-1L))
+            .as(s"x$e")).head,
+          (0 until 16).map(e => sum(
+            when(col("h").bitwiseAND(lit(1L << e)) =!= 0, 1L).otherwise(-1L))
+            .as(s"x$e")).tail: _*)
+        val f2 = t(s, d, "documents")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast(dec) * col("c").cast(dec)).as("f2"))
+        val sq = sort_array(array((0 until 16).map(e =>
+          (col(s"x$e").cast(dec) * col(s"x$e").cast(dec))): _*))
+        val mean = aggregate(col("sq"), lit(0).cast(dec), (a, x) => a + x)
+          .cast("double") / 16.0
+        val med = (element_at(col("sq"), 8).cast("double")
+          + element_at(col("sq"), 9).cast("double")) / 2.0
+        xs.join(broadcast(f2))
+          .select(col("f2").cast("double").as("f2_exact"), sq.as("sq"))
+          .select(col("f2_exact"), mean.as("ams_mean"), med.as("ams_median"))
+          .select(col("f2_exact"),
+            (round(col("ams_mean") * 10000.0) / 10000.0).as("ams_mean"),
+            (round(col("ams_median") * 10000.0) / 10000.0).as("ams_median"),
+            (round(abs(col("ams_mean") - col("f2_exact")) / col("f2_exact")
+              * 1000000.0) / 1000000.0).as("err_mean"),
+            (round(abs(col("ams_median") - col("f2_exact")) / col("f2_exact")
+              * 1000000.0) / 1000000.0).as("err_median"))
+      },
+      Some {
+        val signs = (0 until 16).map(e =>
+          s"sum(CASE WHEN (h & (1::BIGINT << $e)) <> 0 THEN 1 ELSE -1 END) AS x$e")
+          .mkString(", ")
+        val sqList = (0 until 16).map(e =>
+          s"CAST(x$e AS HUGEINT) * CAST(x$e AS HUGEINT)").mkString(", ")
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |hh AS (SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+           |  FROM tok),
+           |xs AS (SELECT $signs FROM hh),
+           |f2 AS (SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+           |    AS DOUBLE) AS f2_exact
+           |  FROM (SELECT count(*) AS c FROM tok GROUP BY w)),
+           |sq AS (SELECT list_sort([$sqList]) AS l FROM xs),
+           |m AS (SELECT f2_exact,
+           |    CAST(list_sum(l) AS DOUBLE) / 16.0 AS ams_mean,
+           |    (CAST(l[8] AS DOUBLE) + CAST(l[9] AS DOUBLE)) / 2.0
+           |      AS ams_median
+           |  FROM sq CROSS JOIN f2)
+           |SELECT f2_exact,
+           |  round(ams_mean * 10000.0) / 10000.0 AS ams_mean,
+           |  round(ams_median * 10000.0) / 10000.0 AS ams_median,
+           |  round(abs(ams_mean - f2_exact) / f2_exact * 1000000.0)
+           |    / 1000000.0 AS err_mean,
+           |  round(abs(ams_median - f2_exact) / f2_exact * 1000000.0)
+           |    / 1000000.0 AS err_median
+           |FROM m""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
