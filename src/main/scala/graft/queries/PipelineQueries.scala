@@ -14759,7 +14759,131 @@ object PipelineQueries {
            |  round(abs(ams_median - f2_exact) / f2_exact * 1000000.0)
            |    / 1000000.0 AS err_median
            |FROM m""".stripMargin
-      }))
+      }),
+
+    // ---- Item-item collaborative filtering (co-purchase cosine): per
+    // part, the top-3 most-similar parts by basket-cooccurrence cosine
+    // co(a,b)/√(n_a·n_b) with a min-support floor of 2 shared baskets.
+    // Baskets are ORDERS — TPC-H order size is a CONSTANT (1–7 lines)
+    // independent of scale factor, so the basket-keyed pair self-join
+    // emits ≤ 21 pairs per order and total pair mass grows LINEARLY
+    // with the corpus (the q274 bound; customer-level baskets would
+    // grow quadratically and are the documented wrong choice). Counts
+    // stay exact integers; cosine is one rounded division; the per-item
+    // cut is a WindowGroupLimit-eligible rank ≤ 3.
+    Q("q415_item_cf",
+      (s, d) => {
+        val bp = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val cnt = bp.groupBy("p").agg(count(lit(1)).as("n"))
+        val co = bp.select(col("ok"), col("p").as("a"))
+          .join(bp.select(col("ok"), col("p").as("b")), "ok")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("co"))
+          .where(col("co") >= 2)
+        val scored = co
+          .join(cnt.select(col("p").as("a"), col("n").as("na")), "a")
+          .join(cnt.select(col("p").as("b"), col("n").as("nb")), "b")
+          .select(col("a"), col("b"),
+            (round(col("co").cast("double")
+              / sqrt(col("na").cast("double") * col("nb").cast("double"))
+              * 1000000.0) / 1000000.0).as("cos"))
+        val sym = scored.select(col("a").as("item"), col("b").as("other"),
+            col("cos"))
+          .unionAll(scored.select(col("b").as("item"), col("a").as("other"),
+            col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("item").orderBy(col("cos").desc, col("other"))
+        sym.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("item"), col("rnk"), col("other"), col("cos"))
+          .orderBy("item", "rnk")
+      },
+      Some("""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem),
+             |cnt AS (SELECT p, count(*) AS n FROM bp GROUP BY p),
+             |co AS (SELECT a.p AS a, b.p AS b, count(*) AS co
+             |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sc AS (SELECT a, b,
+             |    round(CAST(co AS DOUBLE)
+             |      / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+             |      * 1000000.0) / 1000000.0 AS cos
+             |  FROM co JOIN cnt ca ON ca.p = a JOIN cnt cb ON cb.p = b),
+             |sym AS (SELECT a AS item, b AS other, cos FROM sc
+             |  UNION ALL SELECT b, a, cos FROM sc),
+             |rk AS (SELECT item, other, cos, row_number()
+             |    OVER (PARTITION BY item ORDER BY cos DESC, other) AS rnk
+             |  FROM sym)
+             |SELECT item, CAST(rnk AS INT) AS rnk, other, cos FROM rk
+             |WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin)),
+
+    // ---- Holt linear-trend exponential smoothing over the dense daily
+    // event-count series, with a 7-day-ahead forecast: the trend-aware
+    // upgrade of q259's EWMA and the model q331's seasonal-naive
+    // baseline is judged against. α = β = 1/2 (dyadic), and BOTH state
+    // variables quantize to 1e-6 at every step (the q240 convention),
+    // so the inherently-sequential recurrence is bit-identical
+    // cross-engine. The corpus work is one day-keyed count; the
+    // recurrence folds over the DAY-DOMAIN series (calendar-bounded
+    // model state, ~90 values) in a single aggregate() pass — at
+    // 100 TB the fold length is still the number of days.
+    Q("q416_holt_forecast",
+      (s, d) => {
+        val dense = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+        val row = dense
+          .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+            .as("sd"))
+          .select(transform(col("sd"), x => x.getField("c").cast("double"))
+            .as("ys"))
+        def q6(c: org.apache.spark.sql.Column) =
+          round(c * 1000000.0) / 1000000.0
+        val fin = row.select(aggregate(
+          org.apache.spark.sql.functions.slice(
+            col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+          named_struct(lit("l"), element_at(col("ys"), 1),
+            lit("b"), lit(0.0)),
+          (acc, y) => {
+            val nl = q6((y + acc.getField("l") + acc.getField("b")) / 2.0)
+            named_struct(lit("l"), nl,
+              lit("b"), q6((nl - acc.getField("l") + acc.getField("b"))
+                / 2.0))
+          }).as("st"))
+        fin.select(explode(sequence(lit(1), lit(7))).as("h"),
+            col("st.l").as("level"), col("st.b").as("trend"))
+          .select(col("h"),
+            q6(col("level") + col("h") * col("trend")).as("forecast"),
+            col("level"), col("trend"))
+          .orderBy("h")
+      },
+      Some("""WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000
+             |    AS day, count(*) AS c FROM events GROUP BY 1),
+             |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+             |dn AS (SELECT row_number() OVER (ORDER BY gs.day) AS idx,
+             |    coalesce(c.c, 0) AS c
+             |  FROM (SELECT unnest(generate_series(mn, mx)) AS day
+             |        FROM bd) gs
+             |  LEFT JOIN c USING (day)),
+             |rec AS (
+             |  SELECT 1 AS t, CAST(c AS DOUBLE) AS l,
+             |    CAST(0.0 AS DOUBLE) AS b
+             |  FROM dn WHERE idx = 1
+             |  UNION ALL
+             |  SELECT r.t + 1,
+             |    round((CAST(d.c AS DOUBLE) + r.l + r.b) / 2.0
+             |      * 1000000.0) / 1000000.0,
+             |    round(((round((CAST(d.c AS DOUBLE) + r.l + r.b) / 2.0
+             |        * 1000000.0) / 1000000.0 - r.l) + r.b) / 2.0
+             |      * 1000000.0) / 1000000.0
+             |  FROM rec r JOIN dn d ON d.idx = r.t + 1),
+             |fin AS (SELECT l, b FROM rec ORDER BY t DESC LIMIT 1)
+             |SELECT h, round((l + h * b) * 1000000.0) / 1000000.0
+             |    AS forecast, l AS level, b AS trend
+             |FROM fin CROSS JOIN
+             |  (SELECT unnest(generate_series(1, 7)) AS h)
+             |ORDER BY h""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
