@@ -14883,7 +14883,127 @@ object PipelineQueries {
              |    AS forecast, l AS level, b AS trend
              |FROM fin CROSS JOIN
              |  (SELECT unnest(generate_series(1, 7)) AS h)
-             |ORDER BY h""".stripMargin)))
+             |ORDER BY h""".stripMargin)),
+
+    // ---- Multinomial Naive Bayes language classifier (word-level,
+    // Laplace-smoothed), the GENERATIVE complement to the trained
+    // discriminators (q153 char-trigram LID, q158 logreg): fit on the
+    // 80% md5-hash split, confusion matrix on the held-out 20%. The
+    // q153 decomposition keeps everything sparse — score(doc, L) =
+    // Σ_matched k·ln(cnt_Lw+1) − m_doc·ln(tot_L+V) + ln(prior_L), so
+    // only (lang, word) model rows that OCCUR join the test term table
+    // (vocab join, no hint) and OOV mass rides the per-doc token count.
+    // Every ln quantizes to 1e-8 decimal units at the TERM level, so
+    // the argmax is an EXACT integer compare (no floating tie hazard);
+    // the (doc × lang) grid explodes a literal language array (bounded
+    // driver collect, the q153 pattern — never a BNLJ). Model state is
+    // vocab-sized; the corpus is tokenized once.
+    Q("q417_naive_bayes_langid",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        def qln8(c: org.apache.spark.sql.Column) =
+          round(log(c) * 100000000.0).cast(dec)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            (pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("nb#"), col("doc_id").cast("string"))),
+              lit(5L)) === 0L).as("is_test"))
+          .localCheckpoint()
+        val tok = docs.select(col("doc_id"), col("lang"), col("is_test"),
+            explode(graft.operators.TextAnalysis.tokens(col("text")))
+              .as("w"))
+          .where(col("w") =!= "")
+        val cw = tok.where(!col("is_test"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val tl = cw.groupBy("lang").agg(sum(col("cnt")).cast("long")
+          .as("tl"))
+        val vv = cw.select("w").distinct()
+          .agg(count(lit(1)).cast("long").as("v"))
+        val pri = docs.where(!col("is_test")).groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("nl"))
+        val nt = docs.where(!col("is_test"))
+          .agg(count(lit(1)).cast("long").as("nt"))
+        val lconst = pri.join(tl, "lang").join(broadcast(vv))
+          .join(broadcast(nt))
+          .select(col("lang"),
+            qln8(col("nl").cast("double") / col("nt").cast("double"))
+              .as("cl"),
+            qln8((col("tl") + col("v")).cast("double")).as("pen"))
+        val langs = pri.select("lang").orderBy("lang").collect()
+          .map(_.getString(0))
+        val tf = tok.where(col("is_test")).groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("k")).localCheckpoint()
+        val m = tf.groupBy("doc_id").agg(sum(col("k")).cast("long")
+          .as("m"))
+        val a = tf.join(cw.select(col("lang"), col("w"),
+            qln8(col("cnt") + 1).as("lp")), "w")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("k").cast(dec) * col("lp")).as("a"))
+        val grid = m.select(col("doc_id"), col("m"),
+          explode(array(langs.map(lit(_)): _*)).as("lang"))
+        val sc = grid
+          .join(a, Seq("doc_id", "lang"), "left")
+          .join(broadcast(lconst), "lang")
+          .select(col("doc_id"), col("lang"),
+            (coalesce(col("a"), lit(0).cast(dec))
+              - col("m").cast(dec) * col("pen") + col("cl")).as("score"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lang"))
+        val pred = sc.withColumn("rn", row_number().over(w2))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("pred_lang"))
+        pred.join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+            "doc_id")
+          .groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""WITH dc AS (SELECT doc_id, text, lang,
+             |    CAST(('0x' || substr(md5('nb#' || CAST(doc_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 5 = 0 AS is_test
+             |  FROM documents),
+             |tk AS (SELECT * FROM (SELECT doc_id, lang, is_test,
+             |    unnest(string_split(text, ' ')) AS w FROM dc)
+             |  WHERE w <> ''),
+             |cw AS MATERIALIZED (SELECT lang, w, count(*) AS cnt FROM tk
+             |  WHERE NOT is_test GROUP BY 1, 2),
+             |tl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tl FROM cw
+             |  GROUP BY lang),
+             |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cw),
+             |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM dc
+             |  WHERE NOT is_test GROUP BY lang),
+             |ntr AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM dc
+             |  WHERE NOT is_test),
+             |tf AS MATERIALIZED (SELECT doc_id, w, count(*) AS k FROM tk
+             |  WHERE is_test GROUP BY 1, 2),
+             |m AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS m FROM tf
+             |  GROUP BY doc_id),
+             |a AS (SELECT tf.doc_id, cw.lang,
+             |    sum(CAST(tf.k AS HUGEINT)
+             |      * CAST(round(ln(cw.cnt + 1) * 100000000.0) AS HUGEINT))
+             |      AS a
+             |  FROM tf JOIN cw ON tf.w = cw.w GROUP BY 1, 2),
+             |lc AS (SELECT pri.lang,
+             |    CAST(round(ln(CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+             |      * 100000000.0) AS HUGEINT) AS cl,
+             |    CAST(round(ln(CAST(tl + v AS DOUBLE)) * 100000000.0)
+             |      AS HUGEINT) AS pen
+             |  FROM pri JOIN tl USING (lang) CROSS JOIN vv CROSS JOIN ntr),
+             |sc AS (SELECT m.doc_id, lc.lang,
+             |    coalesce(a.a, 0) - CAST(m.m AS HUGEINT) * pen + cl
+             |      AS score
+             |  FROM m CROSS JOIN lc
+             |  LEFT JOIN a ON a.doc_id = m.doc_id AND a.lang = lc.lang),
+             |pred AS (SELECT doc_id, lang AS pred_lang FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, lang) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT dc.lang AS true_lang, pred_lang,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM pred JOIN dc USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
