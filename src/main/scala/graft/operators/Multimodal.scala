@@ -232,6 +232,81 @@ object Multimodal {
       }.toDF("doc_id", "ahash")
   }
 
+  /** Orthonormal DCT-II basis, quantized: entry (u, x) =
+    * round(α(u)·cos((2x+1)uπ/2n)·10⁶) with α(0)=√(1/n), α(k)=√(2/n) —
+    * the normalization FOLDED INTO the table so downstream coefficient
+    * arithmetic is pure integer. The same integer table is embedded
+    * verbatim in the q418 oracle SQL (literal VALUES), so Spark and
+    * DuckDB fold the exact same numbers and the hash is bit-replayable
+    * cross-engine. Computed once driver-side; java.lang.Math only. */
+  def dctTableQ6(n: Int): Array[Array[Long]] =
+    Array.tabulate(n, n) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      math.round(a * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)) * 1e6)
+    }
+
+  /** DCT perceptual hash (pHash) over REAL decoded pixels — the
+    * frequency-domain companion to [[imageAHash]]'s spatial mean hash:
+    * bits encode LOW-FREQUENCY structure, so localized high-frequency
+    * edits that push a block mean across aHash's threshold barely move
+    * any kept coefficient. 2-D DCT-II
+    * of the 16×16 grayscale plane through the quantized [[dctTableQ6]]
+    * basis, keep the top-left keep×keep low-frequency block, threshold
+    * every coefficient against the MEDIAN of the 63 non-DC coefficients
+    * (order statistic 32 — exact integer compare, no division anywhere).
+    * Coefficient magnitude is bounded by maxPixel·(Σ|c_u|)² ≈ 8.4·10¹⁵,
+    * inside Long.
+    *
+    * SCALE: decode + DCT + threshold run per row in `mapPartitions` —
+    * one pass, no shuffle, 64-char signatures out; near-dup pairing
+    * rides [[graft.operators.Dedup.hammingPairs]] like q148. */
+  def imagePHash(spark: SparkSession, assets: DataFrame,
+      keep: Int = 8): DataFrame = {
+    import spark.implicits._
+    val tb = dctTableQ6(16)
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val raster = img.getRaster
+          val p = Array.tabulate(16, 16)((x, y) =>
+            raster.getSample(x, y, 0).toLong)
+          val k = new Array[Long](keep * keep)
+          var u = 0
+          while (u < keep) {
+            var v = 0
+            while (v < keep) {
+              var s = 0L
+              var x = 0
+              while (x < 16) {
+                var y = 0
+                while (y < 16) {
+                  s += p(x)(y) * tb(u)(x) * tb(v)(y)
+                  y += 1
+                }
+                x += 1
+              }
+              k(u * keep + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val rest = java.util.Arrays.copyOfRange(k, 1, keep * keep)
+          java.util.Arrays.sort(rest)
+          val med = rest((keep * keep - 2) / 2)
+          val bits = new Array[Char](keep * keep)
+          var b = 0
+          while (b < keep * keep) {
+            bits(b) = if (k(b) > med) '1' else '0'
+            b += 1
+          }
+          (id, new String(bits))
+        }
+      }.toDF("doc_id", "phash")
+  }
+
   /** Deterministic REAL audio assets with MOTIFS: 1625-sample (65 frames
     * of 25) 16-bit mono 8 kHz WAVs whose sample i is the SQL-reproducible
     * integer `((i·31 + 7 + g·13) mod 201 − 100)·50` with g = doc_id % 7,

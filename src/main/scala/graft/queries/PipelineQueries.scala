@@ -15003,7 +15003,52 @@ object PipelineQueries {
              |SELECT dc.lang AS true_lang, pred_lang,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM pred JOIN dc USING (doc_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- DCT perceptual hash (pHash) over REAL decoded pixels: the
+    // frequency-domain image fingerprint (q147 aHash's sibling — bits
+    // encode low-frequency structure, so localized high-frequency edits
+    // that can flip an aHash block bit barely move any kept
+    // coefficient). The orthonormal DCT-II
+    // basis is QUANTIZED to 1e-6 integer units with the normalization
+    // folded in (Multimodal.dctTableQ6), and the SAME integer table is
+    // embedded verbatim in this oracle as literal VALUES — so both
+    // engines fold identical integers: coefficients are exact Longs
+    // (≤ ~8.4e15), the threshold is the exact order-statistic median of
+    // the 63 non-DC coefficients, every bit an integer compare. Decode +
+    // DCT run in one mapPartitions pass, no shuffle; signatures feed
+    // Dedup.hammingPairs downstream (q148 machinery).
+    Q("q418_image_phash",
+      (s, d) => graft.operators.Multimodal.imagePHash(
+          s, graft.operators.Multimodal.pngAssets(
+            s, t(s, d, "documents").where(col("doc_id") % 5 === 0)))
+        .orderBy("doc_id"),
+      Some {
+        val tb = graft.operators.Multimodal.dctTableQ6(16)
+        val vals = (for { u <- 0 until 8; x <- 0 until 16 }
+          yield s"($u, $x, ${tb(u)(x)})").mkString(", ")
+        s"""WITH t(u, x, c) AS (VALUES $vals),
+           |px AS (SELECT doc_id, x, y,
+           |    ((x + 1) * (doc_id % 7 + 3) * 7
+           |      + (y + 1) * (doc_id % 7 + 5) * 11) % 256
+           |      + CASE WHEN doc_id % 4 = 0 AND x = 0 AND y = 0
+           |        THEN 8 ELSE 0 END AS v
+           |  FROM documents, range(16) rx(x), range(16) ry(y)
+           |  WHERE doc_id % 5 = 0),
+           |co AS (SELECT px.doc_id, tu.u AS u, tv.u AS v,
+           |    sum(CAST(px.v AS HUGEINT) * tu.c * tv.c) AS k
+           |  FROM px JOIN t tu ON tu.x = px.x JOIN t tv ON tv.x = px.y
+           |  GROUP BY 1, 2, 3),
+           |med AS (SELECT doc_id, k AS mk FROM (
+           |    SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY k, u, v) AS rn
+           |    FROM co WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+           |bits AS (SELECT co.doc_id, co.u, co.v,
+           |    CASE WHEN co.k > med.mk THEN '1' ELSE '0' END AS bit
+           |  FROM co JOIN med USING (doc_id))
+           |SELECT doc_id, string_agg(bit, '' ORDER BY u, v) AS phash
+           |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -1054,6 +1054,31 @@ class PipelineOpsSpec extends GraftSpec {
     assert(cross.nonEmpty && cross.forall(_ >= 16), s"motifs too close: ${cross.min}")
   }
 
+  test("image pHash: DCT hash deterministic, edit nearly invisible, motifs far apart, DC bit set") {
+    val h = Multimodal.imagePHash(spark, Multimodal.pngAssets(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.nonEmpty)
+    assert(h.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def sig(id: Long) = (id % 7, id % 4 == 0)
+    val groups = h.groupBy { case (id, _) => sig(id) }
+      .map { case (k, m) => k -> m.values.toSet }
+    assert(groups.values.forall(_.size == 1), "same-signature assets hashed differently")
+    // DC is the largest coefficient on a nonnegative plane — always above
+    // the non-DC median
+    assert(h.values.forall(_.head == '1'), "DC bit should be 1")
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // the +8 single-pixel edit spreads 8/256 of one pixel across all 64
+    // low-frequency coefficients — at most a couple of boundary bits move
+    for (g <- 0L until 7L;
+         b <- groups.get((g, false)).map(_.head);
+         p <- groups.get((g, true)).map(_.head))
+      assert(ham(b, p) <= 2, s"motif $g: edit flipped ${ham(b, p)} bits")
+    val bases = (0L until 7L).flatMap(g => groups.get((g, false)).map(_.head))
+    val cross = for (i <- bases.indices; j <- i + 1 until bases.size)
+      yield ham(bases(i), bases(j))
+    assert(cross.nonEmpty && cross.forall(_ >= 10), s"motifs too close: ${cross.min}")
+  }
+
   test("image near-dup pairs: Manku-keyed hammingPairs == brute force over aHash sigs") {
     import graft.operators.{Dedup, Multimodal}
     val h = Multimodal.imageAHash(spark,
