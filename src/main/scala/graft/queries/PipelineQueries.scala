@@ -15048,7 +15048,165 @@ object PipelineQueries {
            |  FROM co JOIN med USING (doc_id))
            |SELECT doc_id, string_agg(bit, '' ORDER BY u, v) AS phash
            |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- Sharp regression discontinuity: local linear fit on each
+    // side of a $150k order-value cutoff (bandwidth ±$100k), outcome =
+    // urgent-priority share; effect = right-intercept − left-intercept
+    // AT the cutoff (running variable centered, so the intercept IS the
+    // boundary value). The causal-estimator family's boundary design,
+    // next to DiD (q394), CUPED (q273), matching (q279) and IPS (q310).
+    // Both side fits come from ONE global aggregation of conditional
+    // exact sums (cents-quantized running variable, 0/1 outcome,
+    // decimal(38,0) cross terms — no per-side pass, no shuffle beyond
+    // the single-row agg); the OLS identities divide once in double.
+    Q("q419_regression_discontinuity",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cC = 15000000L; val hC = 10000000L
+        val rows = t(s, d, "orders")
+          .select((round(col("o_totalprice") * 100.0).cast("long") - cC)
+            .as("x"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("y"))
+          .where(abs(col("x")) <= hC)
+          .select(col("x"), col("y"), (col("x") < 0).as("lft"))
+        def cs(side: Boolean, c: org.apache.spark.sql.Column) =
+          sum(when(col("lft") === side, c).otherwise(lit(0L).cast(dec)))
+        def sums(side: Boolean, sfx: String) = Seq(
+          cs(side, lit(1L).cast(dec)).as(s"n$sfx"),
+          cs(side, col("x").cast(dec)).as(s"sx$sfx"),
+          cs(side, col("x").cast(dec) * col("x").cast(dec)).as(s"sxx$sfx"),
+          cs(side, col("y").cast(dec)).as(s"sy$sfx"),
+          cs(side, col("x").cast(dec) * col("y").cast(dec)).as(s"sxy$sfx"))
+        val agg0 = sums(true, "l") ++ sums(false, "r")
+        val m = rows.agg(agg0.head, agg0.tail: _*)
+        def dd(c: String) = col(c).cast("double")
+        def a(sfx: String) =
+          (dd(s"sxx$sfx") * dd(s"sy$sfx") - dd(s"sx$sfx") * dd(s"sxy$sfx")) /
+            (dd(s"n$sfx") * dd(s"sxx$sfx") - dd(s"sx$sfx") * dd(s"sx$sfx"))
+        def q6(c: org.apache.spark.sql.Column) =
+          round(c * 1000000.0) / 1000000.0
+        m.select(col("nl").cast("long").as("n_left"),
+          col("nr").cast("long").as("n_right"),
+          q6(a("l")).as("a_left"), q6(a("r")).as("a_right"),
+          q6(a("r") - a("l")).as("effect"))
+      },
+      Some("""WITH r0 AS (SELECT
+             |    CAST(round(o_totalprice * 100.0) AS BIGINT) - 15000000
+             |      AS x,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM orders),
+             |rw AS (SELECT x, y, x < 0 AS lft FROM r0
+             |  WHERE abs(x) <= 10000000),
+             |m AS (SELECT
+             |    sum(CASE WHEN lft THEN CAST(1 AS HUGEINT) ELSE 0 END) AS nl,
+             |    sum(CASE WHEN lft THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxl,
+             |    sum(CASE WHEN lft THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxxl,
+             |    sum(CASE WHEN lft THEN CAST(y AS HUGEINT) ELSE 0 END) AS syl,
+             |    sum(CASE WHEN lft THEN CAST(x AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0 END) AS sxyl,
+             |    sum(CASE WHEN NOT lft THEN CAST(1 AS HUGEINT) ELSE 0 END) AS nr,
+             |    sum(CASE WHEN NOT lft THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxr,
+             |    sum(CASE WHEN NOT lft THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) ELSE 0 END) AS sxxr,
+             |    sum(CASE WHEN NOT lft THEN CAST(y AS HUGEINT) ELSE 0 END) AS syr,
+             |    sum(CASE WHEN NOT lft THEN CAST(x AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0 END) AS sxyr
+             |  FROM rw)
+             |SELECT CAST(nl AS BIGINT) AS n_left,
+             |  CAST(nr AS BIGINT) AS n_right,
+             |  round((CAST(sxxl AS DOUBLE) * CAST(syl AS DOUBLE)
+             |      - CAST(sxl AS DOUBLE) * CAST(sxyl AS DOUBLE))
+             |    / (CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+             |      - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS a_left,
+             |  round((CAST(sxxr AS DOUBLE) * CAST(syr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxyr AS DOUBLE))
+             |    / (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE))
+             |    * 1000000.0) / 1000000.0 AS a_right,
+             |  round(((CAST(sxxr AS DOUBLE) * CAST(syr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxyr AS DOUBLE))
+             |    / (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE))
+             |    - (CAST(sxxl AS DOUBLE) * CAST(syl AS DOUBLE)
+             |      - CAST(sxl AS DOUBLE) * CAST(sxyl AS DOUBLE))
+             |    / (CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+             |      - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)))
+             |    * 1000000.0) / 1000000.0 AS effect
+             |FROM m""".stripMargin)),
+
+    // ---- Markov next-event predictor, evaluated honestly: transition
+    // counts fit on the 80% md5-hash USER split (q189's lag
+    // convention), top-1 prediction per from-type ((n desc, to asc)
+    // argmax — WindowGroupLimit cut on the |types|²-sized model), then
+    // per-from accuracy on the held-out users' consecutive pairs. The
+    // model is types²-bounded and broadcasts back; the corpus work is
+    // one user-partitioned lag window shared by both splits.
+    Q("q420_markov_predictor",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"),
+            (pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("mk#"), col("user_id").cast("string"))),
+              lit(5L)) === 0L).as("is_test"))
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = ev
+          .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+          .where(col("from_type").isNotNull)
+          .select(col("is_test"), col("from_type"),
+            col("event_type").as("to_type"))
+          .localCheckpoint()
+        val model = pairs.where(!col("is_test"))
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))
+        val pred = model.withColumn("rn", row_number().over(wR))
+          .where(col("rn") === 1)
+          .select(col("from_type"), col("to_type").as("pred_type"))
+        pairs.where(col("is_test"))
+          .join(broadcast(pred), "from_type")
+          .groupBy("from_type")
+          .agg(max(col("pred_type")).as("pred_type"),
+            count(lit(1)).cast("long").as("n_pairs"),
+            sum(when(col("to_type") === col("pred_type"), 1L)
+              .otherwise(0L)).cast("long").as("n_correct"))
+          .select(col("from_type"), col("pred_type"), col("n_pairs"),
+            col("n_correct"),
+            (round(col("n_correct").cast("double")
+              / col("n_pairs").cast("double") * 1000000.0) / 1000000.0)
+              .as("accuracy"))
+          .orderBy("from_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id,
+             |    CAST(('0x' || substr(md5('mk#'
+             |      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+             |      = 0 AS is_test
+             |  FROM events),
+             |p AS (SELECT is_test, lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS from_type,
+             |    event_type AS to_type
+             |  FROM ev),
+             |pr AS (SELECT * FROM p WHERE from_type IS NOT NULL),
+             |n AS (SELECT from_type, to_type, count(*) AS n FROM pr
+             |  WHERE NOT is_test GROUP BY 1, 2),
+             |pred AS (SELECT from_type, to_type AS pred_type FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY from_type
+             |      ORDER BY n DESC, to_type) AS rn FROM n)
+             |  WHERE rn = 1)
+             |SELECT pr.from_type, max(pred_type) AS pred_type,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN to_type = pred_type THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN to_type = pred_type THEN 1
+             |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS accuracy
+             |FROM pr JOIN pred USING (from_type)
+             |WHERE pr.is_test
+             |GROUP BY pr.from_type ORDER BY pr.from_type""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
