@@ -93,6 +93,85 @@ object Multimodal {
         }.localCheckpoint()
       })
 
+  /** Deterministic REAL video assets with MOTIFS — the video twin of
+    * [[pngAssets]]' planted near-dup groups: 2 + (id % 2) uniform-gray
+    * 8×8 JPEG frames, frame i at level (g·29 + i·41) mod 256 with
+    * g = doc_id % 7, plus a +1 perturbation of frame 0 when
+    * doc_id % 4 == 0 (motif frame-0 levels sit 29 apart, so a ±2 luma
+    * tolerance never crosses motifs). Same (motif, parity, perturbed)
+    * assets are BYTE-identical MP4s; the perturbed variant differs by
+    * one quantized DC step the decoder reproduces within ~1 luma.
+    * Memoized like [[mjpegAssets]]. */
+  private val vidMotifCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Dataset[MmAsset]]
+
+  def vidMotifAssets(spark: SparkSession, docs: DataFrame): Dataset[MmAsset] =
+    vidMotifCache.computeIfAbsent(
+      (spark, docs.queryExecution.analyzed.semanticHash()), _ => {
+        import spark.implicits._
+        docs.select(col("doc_id")).as[Long].map { id =>
+          val g = (id % 7).toInt
+          val n = 2 + (id % 2).toInt
+          val frames = (0 until n).map { i =>
+            val base = (g * 29 + i * 41) % 256
+            grayJpeg(8, 8,
+              if (id % 4 == 0 && i == 0) base + 1 else base)
+          }
+          MmAsset(id, "video/mp4", Mp4.mux(frames, 8, 8, frameDurMs = 100),
+            8, 8, n * 100L)
+        }.localCheckpoint()
+      })
+
+  /** Per-frame REAL decoded mean-luma signature of every video sample:
+    * one mapPartitions pass over the asset table — demux (real ISO-BMFF
+    * sample tables), pixel-decode every MJPEG frame, round its mean
+    * luma to the nearest integer. Scan-speed, shuffle-free; downstream
+    * dedup operates on the integer sequences, never pixels. ROWS-ONLY
+    * class (q114's): JPEG DC reconstruction is JVM-codec-defined, so no
+    * SQL oracle can replay the luma values — verification is the
+    * brute-force-equality + planted-motif spec, with the pairing
+    * machinery's oracled twins at q148 (hamming pairs) and q97 (the
+    * demux/decode path itself). */
+  def videoLumaSig(spark: SparkSession, assets: Dataset[MmAsset]): DataFrame = {
+    import spark.implicits._
+    assets.filter(col("mime") === "video/mp4")
+      .mapPartitions(_.map { a =>
+        val t = Mp4.demux(a.payload).get
+        val lumas = (0 until t.frameCount).map { i =>
+          JdkMediaCodec.frameLuma(a.payload, t, i)
+            .map { case (s, _, n) => math.round(s / n) }.getOrElse(-1L)
+        }
+        (a.doc_id, t.frameCount, lumas)
+      })
+      .toDF("doc_id", "n_frames", "lumas")
+  }
+
+  /** Blocked video near-dup pairs over [[videoLumaSig]] signatures:
+    * candidates come from a TWO-PROBE bucket key (n_frames is implicit
+    * via the framewise compare; bucket = frame-0 luma / 8 and its
+    * successor, so any pair within tolerance shares ≥ 1 bucket), the
+    * verify is the exact framewise max-|Δ| fold — never all-pairs;
+    * candidate mass is bucket-bounded exactly like the SRP/Manku
+    * pairings. */
+  def videoNearDupPairs(sig: DataFrame, tol: Int = 2): DataFrame = {
+    val bkt = floor(element_at(col("lumas"), 1).cast("double") / 8.0)
+      .cast("long")
+    val keyed = sig.select(col("doc_id"), col("n_frames"), col("lumas"),
+      explode(array(bkt, bkt + 1)).as("bkt"))
+    val l = keyed.select(col("bkt"), col("doc_id").as("id_a"),
+      col("n_frames").as("na"), col("lumas").as("la"))
+    val r = keyed.select(col("bkt"), col("doc_id").as("id_b"),
+      col("n_frames").as("nb"), col("lumas").as("lb"))
+    l.join(r, Seq("bkt"))
+      .where(col("id_a") < col("id_b") && col("na") === col("nb"))
+      .select(col("id_a"), col("id_b"), col("na").as("n_frames"),
+        aggregate(zip_with(col("la"), col("lb"),
+          (x, y) => abs(x - y)), lit(0L),
+          (m, v) => greatest(m, v)).as("max_dluma"))
+      .where(col("max_dluma") <= tol)
+      .distinct()
+  }
+
   /** Deterministic REAL audio assets derived from doc_id: 16-bit mono
     * 8 kHz PCM WAVs whose sample i is the integer pseudo-noise
     * `((i·31 + 7) mod 201 − 100)·50` — SQL-reproducible, so frame

@@ -15206,7 +15206,27 @@ object PipelineQueries {
              |    * 1000000.0) / 1000000.0 AS accuracy
              |FROM pr JOIN pred USING (from_type)
              |WHERE pr.is_test
-             |GROUP BY pr.from_type ORDER BY pr.from_type""".stripMargin)))
+             |GROUP BY pr.from_type ORDER BY pr.from_type""".stripMargin)),
+
+    // ---- Video near-duplicate pairs over REAL decode, end-to-end:
+    // motif MJPEG assets → ISO-BMFF demux → per-frame pixel decode →
+    // integer luma signatures → two-probe bucket-blocked pairing with
+    // an exact framewise max-|Δ| verify (never all-pairs). ROWS-ONLY by
+    // design — the fourth member of the q24/q33/q114 class: JPEG DC
+    // reconstruction is JVM-codec-defined, so the luma values have no
+    // SQL replay; verification is the PipelineOpsSpec brute-force
+    // equality + planted-motif assertions, with the machinery's
+    // fully-oracled twins at q148 (hamming pairing) and q97 (the
+    // demux/decode path).
+    Q("q421_video_neardup",
+      (s, d) => {
+        import graft.operators.Multimodal
+        Multimodal.videoNearDupPairs(
+          Multimodal.videoLumaSig(s, Multimodal.vidMotifAssets(
+            s, t(s, d, "documents").where(col("doc_id") % 5 === 0))))
+          .orderBy("id_a", "id_b")
+      },
+      None))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -1079,6 +1079,41 @@ class PipelineOpsSpec extends GraftSpec {
     assert(cross.nonEmpty && cross.forall(_ >= 10), s"motifs too close: ${cross.min}")
   }
 
+  test("video near-dup: blocked pairs == brute force, planted motifs pair, cross-motif absent") {
+    import graft.operators.Multimodal
+    val sub = docs.where(col("doc_id") % 5 === 0)
+    val sig = Multimodal.videoLumaSig(spark, Multimodal.vidMotifAssets(spark, sub))
+    val sigs = sig.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList))
+    assert(sigs.nonEmpty)
+    assert(sigs.forall { case (_, n, ls) => ls.length == n && ls.forall(_ >= 0) })
+    val got = Multimodal.videoNearDupPairs(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // exact framewise brute force over the collected signatures
+    val want = (for {
+      (ia, na, la) <- sigs; (ib, nb, lb) <- sigs
+      if ia < ib && na == nb
+      dm = la.zip(lb).map { case (x, y) => math.abs(x - y) }.max
+      if dm <= 2
+    } yield (ia, ib, dm)).toSet
+    assert(got == want, s"blocked pairing != brute force: ${got.diff(want)} / ${want.diff(got)}")
+    // planted structure: a perturbed (id%4==0) asset pairs with an
+    // unperturbed same-(motif, parity) twin when one exists in range
+    val byClass = sigs.groupBy { case (id, _, _) => (id % 7, id % 2) }
+    val mixed = byClass.values.filter(g =>
+      g.exists(_._1 % 4 == 0) && g.exists(_._1 % 4 != 0))
+    assert(mixed.nonEmpty, "fixture lost its perturbed/base mix")
+    for (g <- mixed; (pa, _, _) <- g.filter(_._1 % 4 == 0).take(1);
+         (pb, _, _) <- g.filter(_._1 % 4 != 0).take(1)) {
+      val key = (math.min(pa, pb), math.max(pa, pb))
+      assert(want.exists(p => (p._1, p._2) == key),
+        s"perturbed $pa should pair with base $pb")
+    }
+    // motif frame-0 levels are >= 29 apart — no cross-motif pair survives
+    for ((ia, ib, _) <- got)
+      assert(ia % 7 == ib % 7, s"cross-motif pair ($ia, $ib)")
+  }
+
   test("image near-dup pairs: Manku-keyed hammingPairs == brute force over aHash sigs") {
     import graft.operators.{Dedup, Multimodal}
     val h = Multimodal.imageAHash(spark,
