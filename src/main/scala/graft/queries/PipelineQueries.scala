@@ -15226,7 +15226,77 @@ object PipelineQueries {
             s, t(s, d, "documents").where(col("doc_id") % 5 === 0))))
           .orderBy("id_a", "id_b")
       },
-      None))
+      None),
+
+    // ---- Generation-artifact filter battery: the model-output noise
+    // patterns the Gopher/CCNet batteries (q134/q131) don't target —
+    // (1) degenerate repetition loops ("the the the …") as the longest
+    // run of consecutive identical tokens, computed scan-speed by ONE
+    // aggregate() fold carrying (prev, cur, best) — no window, no
+    // shuffle; (2) mojibake/control-character density (U+FFFD +
+    // C0-minus-whitespace) by regex length-difference; (3) exact-token
+    // blocklist hits via a literal-array filter HOF. The keep verdict
+    // conjoins all three. Oracle replays the run detection as the
+    // classic lag/island SQL — a DIFFERENT algorithm agreeing with the
+    // fold — and the other two columns formula-for-formula.
+    Q("q422_artifact_filters",
+      (s, d) => {
+        val bad = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]"
+        val block = Seq("free", "click", "subscribe", "winner")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+        val run = aggregate(col("w"),
+          named_struct(lit("prev"), lit(""), lit("cur"), lit(0L),
+            lit("best"), lit(0L)),
+          (acc, x) => {
+            val cur = when(x === acc.getField("prev"),
+              acc.getField("cur") + 1).otherwise(lit(1L))
+            named_struct(lit("prev"), x, lit("cur"), cur,
+              lit("best"), greatest(acc.getField("best"), cur))
+          },
+          acc => acc.getField("best"))
+        docs.select(col("doc_id"), run.as("max_run"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), bad, "")))
+              .cast("long").as("n_bad_chars"),
+            size(filter(col("w"), x => x.isin(block: _*))).cast("long")
+              .as("blocklist_hits"))
+          .select(col("doc_id"), col("max_run"), col("n_bad_chars"),
+            col("blocklist_hits"),
+            (col("max_run") <= 4 && col("n_bad_chars") === 0 &&
+              col("blocklist_hits") <= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text,
+             |    string_split(text, ' ') AS w FROM documents),
+             |tk AS (SELECT doc_id,
+             |    unnest([{'i': i, 't': w[i]}
+             |      for i in range(1, len(w) + 1)], recursive := true)
+             |  FROM w),
+             |g AS (SELECT doc_id, i, t,
+             |    CASE WHEN lag(t) OVER (PARTITION BY doc_id ORDER BY i)
+             |      = t THEN 0 ELSE 1 END AS brk
+             |  FROM tk),
+             |gi AS (SELECT doc_id, i, t,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+             |  FROM g),
+             |runs AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_run
+             |  FROM (SELECT doc_id, grp, count(*) AS cnt FROM gi
+             |        GROUP BY 1, 2) GROUP BY doc_id),
+             |dl AS (SELECT doc_id,
+             |    CAST(length(text) - length(regexp_replace(text,
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]', '', 'g'))
+             |      AS BIGINT) AS n_bad_chars,
+             |    CAST(len(list_filter(string_split(text, ' '), x ->
+             |      x IN ('free', 'click', 'subscribe', 'winner')))
+             |      AS BIGINT) AS blocklist_hits
+             |  FROM documents)
+             |SELECT runs.doc_id, max_run, n_bad_chars, blocklist_hits,
+             |  max_run <= 4 AND n_bad_chars = 0 AND blocklist_hits <= 2
+             |    AS keep
+             |FROM runs JOIN dl ON runs.doc_id = dl.doc_id
+             |ORDER BY 1""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
