@@ -777,6 +777,68 @@ object EventOps {
       .orderBy("state")
   }
 
+  /** Expected steps to absorption — "how many more events until this
+    * user purchases": treat `absorb` as the absorbing state of the
+    * [[transitionMatrix]] chain and iterate the truncated-expectation
+    * recurrence x'[i] = round₉(1 + Σ_{j∉absorb} P[i][j]·x[j]) from
+    * x = 0 for `rounds` rounds ([[stationaryDistribution]]'s
+    * quantize-per-round discipline — every round's vector is an exact
+    * integer tuple, bit-identical cross-engine; the result is the
+    * expected number of steps counting only absorption paths of length
+    * ≤ rounds, converging geometrically from below). Also reports the
+    * one-step absorption probability per transient state.
+    *
+    * SCALE: the same MODEL-size contract as the stationary iteration —
+    * |types|² counts collect to the driver, output is |types|−1 rows. */
+  def absorbingSteps(events: DataFrame, absorb: String = "purchase",
+      rounds: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = transitionMatrix(events)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val trans = states.filterNot(_ == absorb)
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val cnt = Array.ofDim[Long](k, k)
+    cells.foreach { case (f, t, n) => cnt(idx(f))(idx(t)) = n }
+    val rowTot = cnt.map(_.sum)
+    var x = trans.map(_ => 0L).toArray
+    for (_ <- 1 to rounds) {
+      val next = new Array[Long](trans.length)
+      var ii = 0
+      while (ii < trans.length) {
+        val i = idx(trans(ii))
+        var acc = 0.0
+        if (rowTot(i) > 0) {
+          var jj = 0
+          while (jj < trans.length) {
+            val j = idx(trans(jj))
+            acc += (x(jj) / 1e9) *
+              (cnt(i)(j).toDouble / rowTot(i).toDouble)
+            jj += 1
+          }
+        }
+        next(ii) = math.round((1.0 + acc) * 1e9)
+        ii += 1
+      }
+      x = next
+    }
+    val ai = idx.getOrElse(absorb,
+      throw new IllegalArgumentException(s"no transitions into $absorb"))
+    trans.zipWithIndex.map { case (s, ii) =>
+      val i = idx(s)
+      val pd = if (rowTot(i) > 0) cnt(i)(ai).toDouble / rowTot(i).toDouble
+        else 0.0
+      (s, x(ii), math.round(pd * 1e6) / 1e6.toDouble)
+    }.toSeq.toDF("from_type", "steps_q", "p_direct")
+      .select(col("from_type"), col("steps_q"),
+        (round(col("steps_q").cast("double") / 1000.0) / 1000000.0)
+          .as("exp_steps"), col("p_direct"))
+      .orderBy("from_type")
+  }
+
   /** Theil–Sen robust trend of the dense daily count series: the
     * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
     * intercept as the median of c_i − slope·day_i — the outlier-proof

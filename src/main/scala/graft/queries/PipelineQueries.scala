@@ -15296,7 +15296,57 @@ object PipelineQueries {
              |  max_run <= 4 AND n_bad_chars = 0 AND blocklist_hits <= 2
              |    AS keep
              |FROM runs JOIN dl ON runs.doc_id = dl.doc_id
-             |ORDER BY 1""".stripMargin)))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Expected steps to purchase (absorbing Markov chain): the
+    // truncated-expectation recurrence x' = round₉(1 + P_transient·x)
+    // iterated 30 rounds under the q240 quantize-per-round discipline —
+    // every round an exact integer vector, bit-identical cross-engine;
+    // the answer is "how many more events until this user type
+    // converts, counting paths of length ≤ 30" (geometric convergence
+    // from below). Model contract is q240's: |types|² counts collect to
+    // the driver, output |types|−1 rows; the oracle unrolls all 30
+    // rounds as materialized CTEs.
+    Q("q423_absorbing_steps",
+      (s, d) => graft.operators.EventOps
+        .absorbingSteps(Tables.events(s, d)),
+      Some {
+        val roundCtes = (1 to 30).map { r =>
+          s"""x$r AS MATERIALIZED (SELECT t.s,
+             |    CAST(round((1.0 + coalesce(a.acc, 0.0)) * 1000000000.0)
+             |      AS BIGINT) AS q
+             |  FROM tr t LEFT JOIN (
+             |    SELECT m.from_type AS s,
+             |        sum((xp.q / 1000000000.0)
+             |          * (CAST(m.n AS DOUBLE) / CAST(t2.tot AS DOUBLE)))
+             |          AS acc
+             |    FROM x${r - 1} xp JOIN n m ON m.to_type = xp.s
+             |    JOIN tt t2 ON t2.from_type = m.from_type
+             |    GROUP BY m.from_type) a ON a.s = t.s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS from_type,
+           |    event_type AS to_type FROM events),
+           |n AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n
+           |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |tt AS (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1),
+           |st AS (SELECT DISTINCT from_type AS s FROM n
+           |  UNION SELECT DISTINCT to_type FROM n),
+           |tr AS (SELECT s FROM st WHERE s <> 'purchase'),
+           |x0 AS (SELECT s, CAST(0 AS BIGINT) AS q FROM tr),
+           |$roundCtes
+           |SELECT t.s AS from_type, x30.q AS steps_q,
+           |  round(CAST(x30.q AS DOUBLE) / 1000.0) / 1000000.0
+           |    AS exp_steps,
+           |  round(coalesce(CAST(pn.n AS DOUBLE)
+           |      / CAST(t2.tot AS DOUBLE), 0.0) * 1000000.0)
+           |    / 1000000.0 AS p_direct
+           |FROM tr t JOIN x30 ON x30.s = t.s
+           |LEFT JOIN n pn ON pn.from_type = t.s
+           |  AND pn.to_type = 'purchase'
+           |LEFT JOIN tt t2 ON t2.from_type = t.s
+           |ORDER BY 1""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
