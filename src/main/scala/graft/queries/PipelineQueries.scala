@@ -15346,7 +15346,104 @@ object PipelineQueries {
            |  AND pn.to_type = 'purchase'
            |LEFT JOIN tt t2 ON t2.from_type = t.s
            |ORDER BY 1""".stripMargin
-      }))
+      }),
+
+    // ---- External cluster validity — purity and NMI of the q129
+    // k-means partition against the embeddings' ground-truth labels:
+    // the supervised complement to the internal indices (silhouette
+    // q248, Davies-Bouldin q339, Calinski-Harabasz q340). Everything
+    // flows from the k×|labels| contingency (model-sized,
+    // localCheckpoint'd): purity = Σ_c max_l / N, NMI =
+    // I(C;L)/√(H(C)·H(L)) under the q314 ln conventions (≤ 16 term
+    // sums; display-rounded 1e-6). The oracle replays the full Lloyd
+    // chain, then the same contingency algebra.
+    Q("q424_cluster_purity_nmi",
+      (s, d) => {
+        val asg = graft.operators.Clustering
+          .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3)
+          .select(col("vec_id"), col("cluster"))
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val cells = asg.join(lab, "vec_id").groupBy("cluster", "label")
+          .agg(count(lit(1)).as("o")).localCheckpoint()
+        val rm = cells.groupBy("cluster")
+          .agg(sum("o").as("ri"), max("o").as("mx"))
+        val cmt = cells.groupBy("label").agg(sum("o").as("cj"))
+        val tot = cells.agg(sum("o").as("n"))
+        val nD = col("n").cast("double")
+        val term = (col("o").cast("double") / nD) *
+          log((col("o").cast("double") * nD) /
+            (col("ri").cast("double") * col("cj").cast("double")))
+        val mi = cells.join(broadcast(rm), Seq("cluster"))
+          .join(broadcast(cmt), Seq("label")).join(broadcast(tot))
+          .agg(sum(term).as("mi"))
+        val hx = rm.join(broadcast(tot))
+          .agg(sum(-(col("ri").cast("double") / nD) *
+            log(col("ri").cast("double") / nD)).as("hc"))
+        val hy = cmt.join(broadcast(tot))
+          .agg(sum(-(col("cj").cast("double") / nD) *
+            log(col("cj").cast("double") / nD)).as("hl"))
+        val pur = rm.agg(sum("mx").as("smx")).join(broadcast(tot))
+          .select((col("smx").cast("double") / nD).as("purity"))
+        mi.join(hx).join(hy).join(pur)
+          .select((round(col("purity") * 1000000.0) / 1000000.0)
+              .as("purity"),
+            (round(col("mi") * 1000000.0) / 1000000.0).as("mi_nats"),
+            (round(col("mi") / sqrt(col("hc") * col("hl")) * 1000000.0)
+              / 1000000.0).as("nmi"))
+      },
+      Some(s"""WITH ${kmeansCtes(4, 3, 64)},
+              |cl AS (SELECT s.vid, s.cid AS cluster, e2.label
+              |  FROM sfin s JOIN embeddings e2 ON e2.vec_id = s.vid),
+              |cells AS (SELECT cluster, label, count(*) AS o FROM cl
+              |  GROUP BY 1, 2),
+              |rm AS (SELECT cluster, sum(o) AS ri, max(o) AS mx
+              |  FROM cells GROUP BY cluster),
+              |cmt AS (SELECT label, sum(o) AS cj FROM cells
+              |  GROUP BY label),
+              |tt AS (SELECT sum(o) AS n FROM cells),
+              |mi AS (SELECT sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+              |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))) AS mi
+              |  FROM cells JOIN rm USING (cluster) JOIN cmt USING (label)
+              |  CROSS JOIN tt),
+              |hx AS (SELECT sum(-(CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * ln(CAST(ri AS DOUBLE) / CAST(n AS DOUBLE))) AS hc
+              |  FROM rm CROSS JOIN tt),
+              |hy AS (SELECT sum(-(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * ln(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))) AS hl
+              |  FROM cmt CROSS JOIN tt),
+              |pu AS (SELECT CAST(sum(mx) AS DOUBLE) / CAST(n AS DOUBLE)
+              |    AS purity FROM rm CROSS JOIN tt GROUP BY n)
+              |SELECT round(purity * 1000000.0) / 1000000.0 AS purity,
+              |  round(mi * 1000000.0) / 1000000.0 AS mi_nats,
+              |  round(mi / sqrt(hc * hl) * 1000000.0) / 1000000.0 AS nmi
+              |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN pu""".stripMargin)),
+
+    // ---- Active-learning uncertainty sampling: the 20 docs nearest
+    // the q158 classifier's decision boundary (smallest |score − ½| on
+    // the 1e-6-rounded score — a deterministic total order with the
+    // doc_id tiebreak), the batch a labeling loop would query next.
+    // The scoring scan is q159's literal-model codegen projection; the
+    // cut is TakeOrderedAndProject (never a corpus-wide rank window).
+    Q("q425_uncertainty_sampling",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.QualityClassifier.score(docs, logregModel(docs))
+          .select(col("doc_id"), col("score"),
+            abs(col("score") - 0.5).as("uncertainty"))
+          .orderBy(col("uncertainty"), col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH ${logregCtes(3)}
+              |SELECT doc_id, score, abs(score - 0.5) AS uncertainty
+              |FROM (
+              |  SELECT doc_id,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0)
+              |      + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
+              |      * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin)
+              |ORDER BY uncertainty, doc_id LIMIT 20""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
