@@ -14028,10 +14028,13 @@ object PipelineQueries {
               .as("v"))
         val cnt = lat.groupBy("g", "v").agg(count(lit(1)).as("c"))
           .localCheckpoint()
+        // inequality-only pair join over the value-count relation:
+        // broadcast the build side so the plan is the documented
+        // model-size BNLJ, not a CartesianProduct (r13 audit fix)
         val jt2 = cnt.select(col("g").as("ga"), col("v").as("va"),
             col("c").as("ca"))
-          .join(cnt.select(col("g").as("gb"), col("v").as("vb"),
-            col("c").as("cb")), col("ga") < col("gb"))
+          .join(broadcast(cnt.select(col("g").as("gb"), col("v").as("vb"),
+            col("c").as("cb"))), col("ga") < col("gb"))
           .select(when(col("va") < col("vb"),
               lit(2L).cast(dec) * col("ca").cast(dec) * col("cb").cast(dec))
             .when(col("va") === col("vb"),
@@ -14490,10 +14493,12 @@ object PipelineQueries {
               / db(col("n"))).as("ssw"))
           .select(col("nn"), col("k"),
             (col("ssw") / (db(col("nn")) - db(col("k")))).as("mse"))
+        // broadcast the segment-sized build side: documented BNLJ, not
+        // a CartesianProduct (r13 audit fix)
         val pairs = g.select(col("seg").as("sa"), col("n").as("na"),
             col("sy").as("ya"))
-          .join(g.select(col("seg").as("sb"), col("n").as("nb"),
-            col("sy").as("yb")), col("sa") < col("sb"))
+          .join(broadcast(g.select(col("seg").as("sb"), col("n").as("nb"),
+            col("sy").as("yb"))), col("sa") < col("sb"))
           .join(broadcast(mse))
         val diff = db(col("ya")) / db(col("na")) -
           db(col("yb")) / db(col("nb"))
