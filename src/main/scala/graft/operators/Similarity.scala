@@ -644,4 +644,75 @@ object Similarity {
         .otherwise(0L)).cast("double") / count(lit(1)).cast("double")
         * 1000000.0) / 1000000.0).as("frac_within_2x"))
   }
+
+  /** Facility-location greedy subset selection (submodular coverage —
+    * the coreset recipe next to MMR diversification [[mmrRerank]] and
+    * Gonzalez seeding): pick k rows maximizing
+    * F(S) = Σ_v max_{c∈S} s(v, c), greedily by marginal gain. The
+    * similarity is the register's rounded-cosine contract SHIFTED to
+    * nonnegative integer micro-units (round(cos·10⁶) + 10⁶), so every
+    * gain is an EXACT integer and the (gain desc, id asc) argmax has no
+    * floating tie hazard — the q260 integer-micro-unit discipline.
+    * Runs over the bounded audit prefix (the q321/q385 contract): the
+    * pair similarities compute distributed through the codegen'd cosine
+    * kernel, collect at prefix² model size, and the greedy loop is
+    * driver-side on exact longs. At corpus scale the same loop runs
+    * per-round distributed (one gain aggregation per pick, the q142
+    * Gonzalez shape) — the prefix form is the oracle-able instance. */
+  def facilityLocationSelect(emb: DataFrame, k: Int = 8,
+      prefix: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.where(col("vec_id") < prefix)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
+    val sims = e.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("ib"),
+        col("v").as("vb"))))
+      .select(col("ia"), col("ib"),
+        (round(cosine(col("va"), col("vb")) * 1000000.0).cast("long")
+          + 1000000L).as("sq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = sims.map(_._1).distinct.sorted
+    val vIdx = ids.zipWithIndex.toMap
+    val cand = sims.map(_._2).distinct.sorted
+    val s = Array.ofDim[Long](ids.length, cand.length)
+    sims.foreach { case (ia, ib, sq) => s(vIdx(ia))(vIdx(ib)) = sq }
+    val cover = new Array[Long](ids.length)
+    val selected = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    for (_ <- 1 to k) {
+      var bestJ = -1L; var bestGain = -1L
+      cand.foreach { j =>
+        if (!selected.contains(j)) {
+          val jj = vIdx(j)
+          var g = 0L
+          var vv = 0
+          while (vv < ids.length) {
+            val d = s(vv)(jj) - cover(vv)
+            if (d > 0) g += d
+            vv += 1
+          }
+          if (g > bestGain || (g == bestGain && j < bestJ)) {
+            bestGain = g; bestJ = j
+          }
+        }
+      }
+      val jj = vIdx(bestJ)
+      var vv = 0
+      while (vv < ids.length) {
+        if (s(vv)(jj) > cover(vv)) cover(vv) = s(vv)(jj)
+        vv += 1
+      }
+      selected += bestJ -> bestGain
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((j, g), r) => (r + 1, j, g) }
+      .toDF("rank", "vec_id", "gain_q")
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("gain_q"),
+        (round(col("gain_q").cast("double") / 100.0) / 10000.0)
+          .as("gain"))
+      .orderBy("rank")
+  }
 }

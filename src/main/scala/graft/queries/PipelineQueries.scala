@@ -15448,7 +15448,53 @@ object PipelineQueries {
               |      + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
               |      * 1000000.0)/1000000.0 AS score
               |  FROM fx CROSS JOIN wfin)
-              |ORDER BY uncertainty, doc_id LIMIT 20""".stripMargin)))
+              |ORDER BY uncertainty, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- Facility-location greedy subset selection (submodular
+    // coverage coreset) over the audit prefix: 8 greedy picks
+    // maximizing the marginal coverage gain Σ_v max(0, s(v,j) −
+    // cover(v)) with s the rounded-cosine contract shifted to
+    // nonnegative integer micro-units — every gain an EXACT long, the
+    // q260 discipline, so the (gain desc, id) argmax is drift-free.
+    // The oracle unrolls all 8 greedy rounds as materialized CTEs
+    // (gain relation → 1-row pick → coverage update).
+    Q("q426_facility_location",
+      (s, d) => graft.operators.Similarity
+        .facilityLocationSelect(t(s, d, "embeddings"), k = 8,
+          prefix = 100),
+      Some {
+        val rounds = (1 to 8).map { r =>
+          val excl = if (r == 1) ""
+          else "WHERE s.ib NOT IN (" +
+            (1 until r).map(i => s"SELECT j FROM pk$i")
+              .mkString(" UNION ALL ") + ")"
+          s"""gr$r AS MATERIALIZED (SELECT s.ib AS j,
+             |    sum(greatest(s.sq - c.cov, 0)) AS gain
+             |  FROM s JOIN c${r - 1} c ON c.v = s.ia $excl
+             |  GROUP BY s.ib),
+             |pk$r AS MATERIALIZED (SELECT j, gain FROM gr$r
+             |  ORDER BY gain DESC, j LIMIT 1),
+             |c$r AS MATERIALIZED (SELECT c.v,
+             |    greatest(c.cov, s.sq) AS cov
+             |  FROM c${r - 1} c JOIN s ON s.ia = c.v
+             |  JOIN pk$r ON s.ib = pk$r.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id < 100),
+           |s AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0)
+           |      AS BIGINT) + 1000000 AS sq
+           |  FROM e a CROSS JOIN e b),
+           |c0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cov FROM e),
+           |$rounds
+           |SELECT rank, j AS vec_id, gain AS gain_q,
+           |  round(CAST(gain AS DOUBLE) / 100.0) / 10000.0 AS gain
+           |FROM (${(1 to 8).map(r =>
+              s"SELECT $r AS rank, j, gain FROM pk$r")
+              .mkString(" UNION ALL ")})
+           |ORDER BY rank""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
