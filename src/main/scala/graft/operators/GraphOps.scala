@@ -675,4 +675,46 @@ object GraphOps {
         round(num / sqrt(vx * vy) * 1000000.0) / 1000000.0)
         .as("assortativity"))
   }
+
+  /** Strongly connected components of a DIRECTED graph — the directed
+    * structure the undirected CC/k-core/eccentricity family can't see:
+    * reachability closure by `rounds` DOUBLING joins (round r covers
+    * paths ≤ 2^r, so log₂(diameter) rounds close the graph — each round
+    * one self-join of the pair relation, checkpointed), then
+    * scc(v) = min{u : u ⇝ v ∧ v ⇝ u} via one semi-join of the closure
+    * against its own transpose. Mutual-reachability labels are exact
+    * set algebra — no iteration-order or float concerns.
+    *
+    * SCALE: the closure relation is O(n·reach) — right-sized for the
+    * thresholded dimension graphs this register runs it on (the same
+    * contract as the all-pairs BFS level stream behind eccentricity /
+    * harmonic centrality); web-scale SCC would swap in FW-BW
+    * partitioning on top of the same primitives. */
+  def scc(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val e = edges.select(col("src").as("s"), col("dst").as("d"))
+      .where(col("s") =!= col("d")).distinct()
+    val nodes = e.select(col("s").as("n"))
+      .union(e.select(col("d"))).distinct()
+    var reach = nodes.select(col("n").as("s"), col("n").as("d"))
+      .union(e).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val grown = reach
+        .join(reach.select(col("s").as("d"), col("d").as("d2")), "d")
+        .select(col("s"), col("d2").as("d"))
+        .union(reach).distinct().localCheckpoint()
+      IterUtils.unpersistCheckpoint(reach)
+      reach = grown
+    }
+    val mutual = reach.join(
+      reach.select(col("d").as("s"), col("s").as("d")),
+      Seq("s", "d"), "left_semi")
+    val lab = mutual.groupBy("s").agg(min("d").as("scc"))
+      .select(col("s").as("node"), col("scc"))
+    val sz = lab.groupBy("scc").agg(count(lit(1)).cast("long")
+      .as("scc_size"))
+    // the final closure checkpoint stays resident — the lazily-returned
+    // result reads it (the scoreRound lifetime note applies)
+    lab.join(broadcast(sz), "scc")
+      .select(col("node"), col("scc"), col("scc_size"))
+  }
 }

@@ -15494,7 +15494,154 @@ object PipelineQueries {
               s"SELECT $r AS rank, j, gain FROM pk$r")
               .mkString(" UNION ALL ")})
            |ORDER BY rank""".stripMargin
-      }))
+      }),
+
+    // ---- Rolling 7-day distinct users via MERGEABLE HyperLogLog
+    // registers — the property that makes sketches worth shipping:
+    // q413's construction per (day, bucket), then each day's window
+    // merge is a bucket-partitioned range-window MAX over the DENSE
+    // day×256 register grid (model-sized — no corpus rescan per
+    // window), the exact fold and LC branch as q413. The exact audit
+    // column is the q234 explode-to-target-days shape. Completes the
+    // merge set: Bloom OR-merge (q145), count-min cell-sum (q144),
+    // KMV union (q146), HLL register-max (here).
+    Q("q427_hll_rolling",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"),
+            graft.expressions.PortableHash.md5Hash60(col("user_id"))
+              .as("h"))
+          .localCheckpoint()
+        val reg = ev
+          .select(col("day"), col("h").bitwiseAND(lit(255L)).as("bucket"),
+            shiftright(col("h"), 8).as("rest"))
+          .select(col("day"), col("bucket"),
+            when(col("rest") === 0, lit(53))
+              .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
+          .groupBy("day", "bucket").agg(max(col("rho")).as("m"))
+        val days = ev.agg(min("day").as("mn"), max("day").as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+          .localCheckpoint()
+        val grid = days
+          .select(col("day"), explode(sequence(lit(0L), lit(255L)))
+            .as("bucket"))
+          .join(reg, Seq("day", "bucket"), "left")
+          .select(col("day"), col("bucket"),
+            coalesce(col("m"), lit(0)).as("m"))
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+        val merged = grid.withColumn("mm", max(col("m")).over(wnd))
+        val fold = merged.groupBy("day").agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mm)").cast(dec))
+            .as("z"),
+          sum(when(col("mm") === 0, 1L).otherwise(0L)).cast("long")
+            .as("v"))
+        val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(9007199254740992.0) / col("z").cast("double")
+        val lc = round(log(lit(256.0) / col("v").cast("double")) *
+          1.0e8) / 1.0e8 * 256.0
+        val est = fold.select(col("day"),
+          (round(when(col("v") > 0 && eRaw <= 640.0, lc).otherwise(eRaw)
+            * 10000.0) / 10000.0).as("est"))
+        val exact = ev.select(col("day"), col("user_id")).distinct()
+          .join(broadcast(days.select(col("day").as("tday"))),
+            col("day").between(col("tday") - 6, col("tday")))
+          .groupBy("tday")
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("tday").as("day"), col("exact_distinct"))
+        est.join(exact, "day")
+          .select(col("day"), col("est"), col("exact_distinct"),
+            (round(abs(col("est") - col("exact_distinct").cast("double"))
+              / col("exact_distinct").cast("double") * 1000000.0)
+              / 1000000.0).as("rel_err"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    user_id,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+             |      AS BIGINT) AS h
+             |  FROM events),
+             |reg AS (SELECT day, h & 255 AS bucket,
+             |    max(CASE WHEN (h >> 8) = 0 THEN 53
+             |        ELSE 53 - length(bin(h >> 8)) END) AS m
+             |  FROM ev GROUP BY 1, 2),
+             |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |days AS (SELECT unnest(generate_series(mn, mx)) AS day
+             |  FROM bd),
+             |grid AS (SELECT d.day, b.bucket, coalesce(reg.m, 0) AS m
+             |  FROM days d CROSS JOIN (SELECT unnest(generate_series(0,
+             |    255)) AS bucket) b
+             |  LEFT JOIN reg ON reg.day = d.day
+             |    AND reg.bucket = b.bucket),
+             |merged AS (SELECT day, bucket, max(m) OVER (
+             |    PARTITION BY bucket ORDER BY day
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+             |  FROM grid),
+             |fold AS (SELECT day,
+             |    CAST(sum(1::BIGINT << (53 - mm)) AS HUGEINT) AS z,
+             |    CAST(sum(CASE WHEN mm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS v
+             |  FROM merged GROUP BY day),
+             |est AS (SELECT day,
+             |    round(CASE WHEN v > 0
+             |        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |          * 9007199254740992.0 / CAST(z AS DOUBLE) <= 640.0
+             |      THEN round(ln(256.0 / CAST(v AS DOUBLE))
+             |          * 100000000.0) / 100000000.0 * 256.0
+             |      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |        * 9007199254740992.0 / CAST(z AS DOUBLE) END
+             |      * 10000.0) / 10000.0 AS est
+             |  FROM fold),
+             |ex AS (SELECT d.day,
+             |    count(DISTINCT e.user_id) AS exact_distinct
+             |  FROM days d JOIN (SELECT DISTINCT day, user_id FROM ev) e
+             |    ON e.day BETWEEN d.day - 6 AND d.day
+             |  GROUP BY d.day)
+             |SELECT est.day, est, exact_distinct,
+             |  round(abs(est - CAST(exact_distinct AS DOUBLE))
+             |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS rel_err
+             |FROM est JOIN ex ON est.day = ex.day
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Strongly connected components of the DIRECTED thresholded
+    // trade graph — the directed structure the undirected CC / k-core /
+    // eccentricity family can't express ("which nation groups trade
+    // mutually, not just heavily"): reachability closure by 5 DOUBLING
+    // self-joins (paths ≤ 2³² ≫ diameter), scc(v) = min mutual-reach
+    // label via one semi-join of the closure against its transpose —
+    // exact set algebra, no floats anywhere. The oracle computes the
+    // same closure as ONE recursive CTE (unbounded — equal because the
+    // doubling rounds exceed the diameter).
+    Q("q428_scc",
+      (s, d) => graft.operators.GraphOps
+        .scc(tradeEdges(s, d), rounds = 5).orderBy("node"),
+      Some("""WITH RECURSIVE
+             |raw AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+             |    count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  GROUP BY 1, 2),
+             |aw AS (SELECT avg(w) AS aw FROM raw),
+             |ed AS (SELECT DISTINCT src AS s, dst AS d FROM raw, aw
+             |  WHERE w > aw AND src <> dst),
+             |nodes AS (SELECT s AS n FROM ed UNION SELECT d FROM ed),
+             |reach AS (SELECT n AS s, n AS d FROM nodes
+             |  UNION SELECT r.s, e.d FROM reach r JOIN ed e
+             |    ON e.s = r.d),
+             |mut AS (SELECT a.s, a.d FROM reach a JOIN reach b
+             |  ON b.s = a.d AND b.d = a.s),
+             |lab AS (SELECT s AS node, min(d) AS scc FROM mut
+             |  GROUP BY s),
+             |sz AS (SELECT scc, count(*) AS scc_size FROM lab
+             |  GROUP BY scc)
+             |SELECT node, lab.scc, CAST(sz.scc_size AS BIGINT)
+             |    AS scc_size
+             |FROM lab JOIN sz USING (scc) ORDER BY node""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
