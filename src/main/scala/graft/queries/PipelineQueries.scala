@@ -14687,7 +14687,8 @@ object PipelineQueries {
              |    / CAST(exact_distinct AS DOUBLE) * 1000000.0) / 1000000.0
              |    AS rel_err
              |FROM est JOIN ex ON est.nation = ex.nation
-             |ORDER BY 1""".stripMargin)),
+             |ORDER BY 1""".stripMargin),
+      bench = true),
 
     // ---- AMS second-frequency-moment (F2) sketch over the corpus term
     // distribution (Alon-Matias-Szegedy 1996): 16 ±1-sign estimators,
@@ -14822,7 +14823,8 @@ object PipelineQueries {
              |    OVER (PARTITION BY item ORDER BY cos DESC, other) AS rnk
              |  FROM sym)
              |SELECT item, CAST(rnk AS INT) AS rnk, other, cos FROM rk
-             |WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin)),
+             |WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin),
+      bench = true),
 
     // ---- Holt linear-trend exponential smoothing over the dense daily
     // event-count series, with a 7-day-ahead forecast: the trend-aware
@@ -15008,7 +15010,8 @@ object PipelineQueries {
              |SELECT dc.lang AS true_lang, pred_lang,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM pred JOIN dc USING (doc_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // ---- DCT perceptual hash (pHash) over REAL decoded pixels: the
     // frequency-domain image fingerprint (q147 aHash's sibling — bits
@@ -15301,7 +15304,8 @@ object PipelineQueries {
              |  max_run <= 4 AND n_bad_chars = 0 AND blocklist_hits <= 2
              |    AS keep
              |FROM runs JOIN dl ON runs.doc_id = dl.doc_id
-             |ORDER BY 1""".stripMargin)),
+             |ORDER BY 1""".stripMargin),
+      bench = true),
 
     // ---- Expected steps to purchase (absorbing Markov chain): the
     // truncated-expectation recurrence x' = round₉(1 + P_transient·x)
@@ -15603,7 +15607,8 @@ object PipelineQueries {
              |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS rel_err
              |FROM est JOIN ex ON est.day = ex.day
-             |ORDER BY 1""".stripMargin)),
+             |ORDER BY 1""".stripMargin),
+      bench = true),
 
     // ---- Strongly connected components of the DIRECTED thresholded
     // trade graph — the directed structure the undirected CC / k-core /
@@ -15641,7 +15646,52 @@ object PipelineQueries {
              |  GROUP BY scc)
              |SELECT node, lab.scc, CAST(sz.scc_size AS BIGINT)
              |    AS scc_size
-             |FROM lab JOIN sz USING (scc) ORDER BY node""".stripMargin)))
+             |FROM lab JOIN sz USING (scc) ORDER BY node""".stripMargin)),
+
+    // ---- Entropy-regularized optimal transport (Sinkhorn) between the
+    // en / non-en document-length distributions: the geometry-aware
+    // drift metric between KS (q201, sup-norm), PSI (q297, binwise) and
+    // exact W₁ (q332) — smoothed transport cost in 20 scaling rounds.
+    // The Gibbs kernel is the only transcendental, quantized cell-wise
+    // (q378 exp convention); u/v quantize 1e-9 per round (q240
+    // discipline). Corpus work is ONE binned count; iteration is
+    // driver-side on the bin-sized model; oracle unrolls all 20 rounds.
+    Q("q429_sinkhorn_ot",
+      (s, d) => graft.operators.Profiling.sinkhornDistance(
+        t(s, d, "documents"), "n_chars", col("lang") === "en"),
+      Some {
+        val roundCtes = (1 to 20).map { r =>
+          s"""u$r AS MATERIALIZED (SELECT kk.i AS i,
+             |    round(max(a) / sum(k * v.v) * 1000000000.0)
+             |      / 1000000000.0 AS u
+             |  FROM kk JOIN v${r - 1} v ON v.j = kk.j GROUP BY kk.i),
+             |v$r AS MATERIALIZED (SELECT kk.j AS j,
+             |    round(max(b) / sum(k * u.u) * 1000000000.0)
+             |      / 1000000000.0 AS v
+             |  FROM kk JOIN u$r u ON u.i = kk.i GROUP BY kk.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH h AS (SELECT n_chars // 25 AS bin, lang = 'en' AS g,
+           |    count(*) AS c FROM documents GROUP BY 1, 2),
+           |ta AS (SELECT CAST(sum(c) AS DOUBLE) AS na FROM h WHERE g),
+           |tb AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM h
+           |  WHERE NOT g),
+           |av AS (SELECT bin, CAST(c AS DOUBLE) / na AS a FROM h
+           |  CROSS JOIN ta WHERE g),
+           |bv AS (SELECT bin, CAST(c AS DOUBLE) / nb AS b FROM h
+           |  CROSS JOIN tb WHERE NOT g),
+           |kk AS MATERIALIZED (SELECT av.bin AS i, bv.bin AS j, a, b,
+           |    round(exp(-abs(av.bin - bv.bin) / 5.0) * 1000000.0)
+           |      / 1000000.0 AS k
+           |  FROM av CROSS JOIN bv),
+           |v0 AS (SELECT bin AS j, CAST(1.0 AS DOUBLE) AS v FROM bv),
+           |$roundCtes
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM av) AS n_bins_a,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bv) AS n_bins_b,
+           |  round(sum(u.u * k * v.v * abs(kk.i - kk.j)) * 10000.0)
+           |    / 10000.0 AS sinkhorn_cost
+           |FROM kk JOIN u20 u ON u.i = kk.i
+           |JOIN v20 v ON v.j = kk.j""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
