@@ -1827,4 +1827,99 @@ object TrainingPrep {
         (round(chi2 * 10000.0) / 10000.0).as("chi2"))
       .orderBy(col("chi2").desc, col("token")).limit(topK)
   }
+
+  /** Count-based word embeddings (Levy & Goldberg 2014): PPMI matrix of
+    * the ±2 skip-gram window over the top-`vocabSize` terms, then the
+    * top-2 spectral coordinates by quantized power iteration with
+    * deflation — SGNS-class embeddings with NO stochastic training.
+    * Determinism stack: PPMI cells quantize to 1e-6 after the single
+    * ln (q378 convention); each iteration round renormalizes and
+    * quantizes the vector to 1e-9 (q240 discipline — vocab-sized sums
+    * drift ~1e-15, five orders under the quantum); the second component
+    * deflates against the FINAL first component each round, so the
+    * whole computation is a fixed replayable arithmetic chain whether
+    * or not the spectrum has converged.
+    *
+    * SCALE: corpus work is one scan-speed offset explode (pair mass
+    * exactly ≤ 4·corpus tokens, no self-join); the V×V matrix collects
+    * at model size and the iteration is driver-side; output is V
+    * rows. */
+  def ppmiSpectralEmbeddings(docs: DataFrame, vocabSize: Int = 30,
+      rounds: Int = 8, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tk = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val vocabRows = tk.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val idx = vocabRows.zipWithIndex.toMap
+    val vlit = array(vocabRows.map(lit(_)): _*)
+    // ±2 window via literal offsets over the token array — scan-speed
+    // (pair mass exactly ≤ 4·tokens), the q278 pp construction; never
+    // a per-doc position self-join
+    val pairs = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("t"), posexplode(col("t")).as(Seq("pos", "w")))
+      .select(col("w"), col("t"), col("pos"),
+        explode(array(lit(-2), lit(-1), lit(1), lit(2))).as("off"))
+      .where(col("pos") + col("off") >= 0 &&
+        col("pos") + col("off") < size(col("t")))
+      .select(col("w"),
+        element_at(col("t"), col("pos") + col("off") + 1).as("c"))
+      .where(array_contains(vlit, col("w")) &&
+        array_contains(vlit, col("c")))
+      .groupBy("w", "c").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val v = vocabRows.length
+    val cnt = Array.ofDim[Long](v, v)
+    pairs.foreach { case (a, b, n) => cnt(idx(a))(idx(b)) = n }
+    val nTot = pairs.map(_._3).sum
+    val rowSum = cnt.map(_.sum)
+    def q6(x: Double) = math.round(x * 1e6) / 1e6
+    def q9(x: Double) = math.round(x * 1e9) / 1e9
+    val m = Array.tabulate(v, v) { (i, j) =>
+      if (cnt(i)(j) > 0 && rowSum(i) > 0 && rowSum(j) > 0) {
+        val pmi = q6(math.log(cnt(i)(j).toDouble * nTot /
+          (rowSum(i).toDouble * rowSum(j).toDouble)))
+        if (pmi > 0) pmi else 0.0
+      } else 0.0
+    }
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(v) { i =>
+        var s = 0.0; var j = 0
+        while (j < v) { s += m(i)(j) * x(j); j += 1 }
+        s
+      }
+    def normq(y: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v) { s += y(i) * y(i); i += 1 }
+      val nrm = math.sqrt(s)
+      y.map(e => q9(e / nrm))
+    }
+    var x1 = Array.fill(v)(q9(1.0 / math.sqrt(v.toDouble)))
+    for (_ <- 1 to rounds) x1 = normq(matvec(x1))
+    var x2 = Array.tabulate(v)(i =>
+      q9((if (i % 2 == 0) 1.0 else -1.0) / math.sqrt(v.toDouble)))
+    for (_ <- 1 to rounds) {
+      val y = matvec(x2)
+      var p = 0.0
+      var i = 0
+      while (i < v) { p += x1(i) * y(i); i += 1 }
+      x2 = normq(Array.tabulate(v)(i => y(i) - p * x1(i)))
+    }
+    def rayleigh(x: Array[Double]): Double = {
+      val y = matvec(x)
+      var num = 0.0; var den = 0.0; var i = 0
+      while (i < v) { num += x(i) * y(i); den += x(i) * x(i); i += 1 }
+      num / den
+    }
+    val (l1, l2) = (rayleigh(x1), rayleigh(x2))
+    vocabRows.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, q6(x1(i)), q6(x2(i)),
+        math.round(l1 * 1e6) / 1e6.toDouble,
+        math.round(l2 * 1e6) / 1e6.toDouble)
+    }.toSeq.toDF("idx", "term", "e1", "e2", "lambda1", "lambda2")
+      .orderBy("idx")
+  }
 }

@@ -15691,6 +15691,100 @@ object PipelineQueries {
            |    / 10000.0 AS sinkhorn_cost
            |FROM kk JOIN u20 u ON u.i = kk.i
            |JOIN v20 v ON v.j = kk.j""".stripMargin
+      }),
+
+    // ---- Count-based word embeddings (Levy & Goldberg 2014): PPMI of
+    // the ±2 skip-gram window over the top-30 terms, top-2 spectral
+    // coordinates by quantized power iteration with deflation — the
+    // SGNS-equivalent embedding with NO stochastic training. The
+    // window is the q278 scan-speed offset construction (pair mass
+    // ≤ 4·tokens, no self-join); PPMI cells quantize 1e-6 after the
+    // single ln; iteration vectors quantize 1e-9 per round (q240), so
+    // the full chain replays exactly whether or not the spectrum
+    // converged. Oracle unrolls vocab, pairs, the PPMI matrix, all 8
+    // rounds of BOTH components (deflation against the final first
+    // component) and the Rayleigh quotients.
+    Q("q430_ppmi_embeddings",
+      (s, d) => graft.operators.TrainingPrep
+        .ppmiSpectralEmbeddings(t(s, d, "documents")),
+      Some {
+        def matvec(src: String, out: String) =
+          s"""$out AS (SELECT v0.i, coalesce(s.y, 0.0) AS y
+             |  FROM $src v0 LEFT JOIN (
+             |    SELECT mm.i, sum(mm.pm * x.x) AS y FROM mm
+             |    JOIN $src x ON x.i = mm.j GROUP BY mm.i) s
+             |    ON s.i = v0.i)""".stripMargin
+        val r1 = (1 to 8).map { r =>
+          s"""${matvec(s"x1_${r - 1}", s"y1_$r")},
+             |n1_$r AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1_$r),
+             |x1_$r AS MATERIALIZED (SELECT i,
+             |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
+             |  FROM y1_$r CROSS JOIN n1_$r)""".stripMargin
+        }.mkString(",\n")
+        val r2 = (1 to 8).map { r =>
+          s"""${matvec(s"x2_${r - 1}", s"y2_$r")},
+             |p2_$r AS (SELECT sum(v1.x * y.y) AS p FROM y2_$r y
+             |  JOIN x1_8 v1 ON v1.i = y.i),
+             |d2_$r AS (SELECT y.i, y.y - p * v1.x AS y FROM y2_$r y
+             |  JOIN x1_8 v1 ON v1.i = y.i CROSS JOIN p2_$r),
+             |n2_$r AS (SELECT sqrt(sum(y * y)) AS nrm FROM d2_$r),
+             |x2_$r AS MATERIALIZED (SELECT i,
+             |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
+             |  FROM d2_$r CROSS JOIN n2_$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+           |  FROM documents),
+           |px AS MATERIALIZED (SELECT doc_id, t, e.p AS pos, e.w AS w
+           |  FROM (SELECT doc_id, t, unnest([{'p': i - 1, 'w': t[i]}
+           |    for i in range(1, len(t) + 1)]) AS e FROM tk)),
+           |vc AS MATERIALIZED (SELECT w,
+           |    row_number() OVER (ORDER BY cnt DESC, w) - 1 AS idx
+           |  FROM (SELECT w, count(*) AS cnt FROM px GROUP BY w
+           |        ORDER BY cnt DESC, w LIMIT 30)),
+           |pp AS (SELECT px.w, px.t[px.pos + o.off + 1] AS c
+           |  FROM px CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
+           |  WHERE px.pos + o.off >= 0 AND px.pos + o.off < len(px.t)),
+           |pr AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j,
+           |    count(*) AS n
+           |  FROM pp JOIN vc a ON a.w = pp.w JOIN vc b ON b.w = pp.c
+           |  GROUP BY 1, 2),
+           |nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM pr),
+           |rs AS (SELECT i, CAST(sum(n) AS DOUBLE) AS r FROM pr
+           |  GROUP BY i),
+           |mm AS MATERIALIZED (SELECT pr.i, pr.j,
+           |    CASE WHEN round(ln(CAST(n AS DOUBLE) * nt
+           |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0 > 0
+           |      THEN round(ln(CAST(n AS DOUBLE) * nt
+           |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0
+           |      ELSE 0.0 END AS pm
+           |  FROM pr JOIN rs ri ON ri.i = pr.i
+           |  JOIN rs rj ON rj.i = pr.j CROSS JOIN nt),
+           |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vc),
+           |x1_0 AS (SELECT idx AS i,
+           |    round(1.0 / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
+           |  FROM vc CROSS JOIN vv),
+           |x2_0 AS (SELECT idx AS i,
+           |    round((CASE WHEN idx % 2 = 0 THEN 1.0 ELSE -1.0 END)
+           |      / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
+           |  FROM vc CROSS JOIN vv),
+           |$r1,
+           |$r2,
+           |${matvec("x1_8", "my1")},
+           |l1 AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
+           |    * 1000000.0) / 1000000.0 AS l
+           |  FROM x1_8 v JOIN my1 y ON y.i = v.i),
+           |${matvec("x2_8", "my2")},
+           |l2 AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
+           |    * 1000000.0) / 1000000.0 AS l
+           |  FROM x2_8 v JOIN my2 y ON y.i = v.i)
+           |SELECT vc.idx, vc.w AS term,
+           |  round(x1.x * 1000000.0) / 1000000.0 AS e1,
+           |  round(x2.x * 1000000.0) / 1000000.0 AS e2,
+           |  l1.l AS lambda1, l2.l AS lambda2
+           |FROM vc JOIN x1_8 x1 ON x1.i = vc.idx
+           |JOIN x2_8 x2 ON x2.i = vc.idx
+           |CROSS JOIN l1 CROSS JOIN l2
+           |ORDER BY vc.idx""".stripMargin
       }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
