@@ -15785,7 +15785,136 @@ object PipelineQueries {
            |JOIN x2_8 x2 ON x2.i = vc.idx
            |CROSS JOIN l1 CROSS JOIN l2
            |ORDER BY vc.idx""".stripMargin
-      }))
+      }),
+
+    // ---- Funnel drop-off A/B significance: the q117 stage chain per
+    // md5-hash arm, then a two-proportion pooled z-test (the q188
+    // composition — one fixed IEEE chain, one sqrt, null z on
+    // degenerate pooled rates) PER TRANSITION (view→click,
+    // click→purchase) — "did the variant change where users fall out",
+    // the reading a funnel dashboard actually needs. One funnel pass
+    // feeds both arms; the single-row conditional-sum aggregate
+    // explodes to the two transition rows.
+    Q("q431_funnel_ab",
+      (s, d) => {
+        val fs = graft.operators.EventOps.funnelStages(Tables.events(s, d),
+          Seq("view", "click", "purchase"),
+          windowNs = 2L * 86400 * 1000000000L)
+        val armed = fs.select(col("stage"),
+          (pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("fz#"), col("user_id").cast("string"))),
+            lit(2L)) === 0L).as("aa"))
+        def cnt(arm: Boolean, k: Int) =
+          sum(when(col("aa") === arm && col("stage") >= k, 1L)
+            .otherwise(0L))
+        val agg = armed.agg(cnt(true, 1).as("a1"), cnt(true, 2).as("a2"),
+          cnt(true, 3).as("a3"), cnt(false, 1).as("b1"),
+          cnt(false, 2).as("b2"), cnt(false, 3).as("b3"))
+        val rows = agg.select(explode(array(
+          struct(lit("view_to_click").as("transition"),
+            col("a1").as("na_prev"), col("a2").as("na_next"),
+            col("b1").as("nb_prev"), col("b2").as("nb_next")),
+          struct(lit("click_to_purchase").as("transition"),
+            col("a2").as("na_prev"), col("a3").as("na_next"),
+            col("b2").as("nb_prev"), col("b3").as("nb_next"))))
+          .as("t")).select(col("t.*"))
+        def dd(c: String) = col(c).cast("double")
+        val pa = dd("na_next") / dd("na_prev")
+        val pb = dd("nb_next") / dd("nb_prev")
+        val pp = (dd("na_next") + dd("nb_next")) /
+          (dd("na_prev") + dd("nb_prev"))
+        val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / dd("na_prev") + lit(1.0) / dd("nb_prev")))
+        rows.select(col("transition"), col("na_prev"), col("na_next"),
+            col("nb_prev"), col("nb_next"),
+            (round(pa * 1000000.0) / 1000000.0).as("rate_a"),
+            (round(pb * 1000000.0) / 1000000.0).as("rate_b"),
+            when(pp > 0 && pp < 1,
+              round(z * 10000.0) / 10000.0).as("z"),
+            when(pp > 0 && pp < 1, abs(z) > 1.96).as("significant"))
+          .orderBy("transition")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type
+             |  FROM events),
+             |v AS (SELECT user_id, min(tns) AS t0 FROM e
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tns) AS t1 FROM e JOIN v
+             |    USING (user_id)
+             |  WHERE event_type = 'click' AND tns >= t0
+             |    AND tns <= t0 + 172800000000000 GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN c
+             |    USING (user_id)
+             |  WHERE event_type = 'purchase' AND tns >= t1
+             |    AND tns <= t1 + 172800000000000 GROUP BY e.user_id),
+             |st AS (SELECT v.user_id,
+             |    1 + CASE WHEN c.t1 IS NULL THEN 0 ELSE 1 END
+             |      + CASE WHEN p.t2 IS NULL THEN 0 ELSE 1 END AS stage,
+             |    CAST(('0x' || substr(md5('fz#'
+             |      || CAST(v.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 2 = 0 AS aa
+             |  FROM v LEFT JOIN c USING (user_id)
+             |  LEFT JOIN p USING (user_id)),
+             |ag AS (SELECT
+             |    sum(CASE WHEN aa AND stage >= 1 THEN 1 ELSE 0 END) AS a1,
+             |    sum(CASE WHEN aa AND stage >= 2 THEN 1 ELSE 0 END) AS a2,
+             |    sum(CASE WHEN aa AND stage >= 3 THEN 1 ELSE 0 END) AS a3,
+             |    sum(CASE WHEN NOT aa AND stage >= 1 THEN 1 ELSE 0 END)
+             |      AS b1,
+             |    sum(CASE WHEN NOT aa AND stage >= 2 THEN 1 ELSE 0 END)
+             |      AS b2,
+             |    sum(CASE WHEN NOT aa AND stage >= 3 THEN 1 ELSE 0 END)
+             |      AS b3
+             |  FROM st),
+             |tr AS (SELECT 'view_to_click' AS transition,
+             |    a1 AS na_prev, a2 AS na_next, b1 AS nb_prev,
+             |    b2 AS nb_next FROM ag
+             |  UNION ALL
+             |  SELECT 'click_to_purchase', a2, a3, b2, b3 FROM ag)
+             |SELECT transition, CAST(na_prev AS BIGINT) AS na_prev,
+             |  CAST(na_next AS BIGINT) AS na_next,
+             |  CAST(nb_prev AS BIGINT) AS nb_prev,
+             |  CAST(nb_next AS BIGINT) AS nb_next,
+             |  round(CAST(na_next AS DOUBLE) / CAST(na_prev AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS rate_a,
+             |  round(CAST(nb_next AS DOUBLE) / CAST(nb_prev AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS rate_b,
+             |  CASE WHEN (CAST(na_next AS DOUBLE) + CAST(nb_next
+             |      AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |      + CAST(nb_prev AS DOUBLE)) > 0
+             |    AND (CAST(na_next AS DOUBLE) + CAST(nb_next AS DOUBLE))
+             |      / (CAST(na_prev AS DOUBLE) + CAST(nb_prev AS DOUBLE))
+             |      < 1
+             |    THEN round((CAST(na_next AS DOUBLE) / CAST(na_prev
+             |        AS DOUBLE) - CAST(nb_next AS DOUBLE)
+             |        / CAST(nb_prev AS DOUBLE))
+             |      / sqrt((CAST(na_next AS DOUBLE) + CAST(nb_next
+             |          AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |          + CAST(nb_prev AS DOUBLE))
+             |        * (1.0 - (CAST(na_next AS DOUBLE) + CAST(nb_next
+             |            AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |            + CAST(nb_prev AS DOUBLE)))
+             |        * (1.0 / CAST(na_prev AS DOUBLE)
+             |          + 1.0 / CAST(nb_prev AS DOUBLE)))
+             |      * 10000.0) / 10000.0 END AS z,
+             |  CASE WHEN (CAST(na_next AS DOUBLE) + CAST(nb_next
+             |      AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |      + CAST(nb_prev AS DOUBLE)) > 0
+             |    AND (CAST(na_next AS DOUBLE) + CAST(nb_next AS DOUBLE))
+             |      / (CAST(na_prev AS DOUBLE) + CAST(nb_prev AS DOUBLE))
+             |      < 1
+             |    THEN abs((CAST(na_next AS DOUBLE) / CAST(na_prev
+             |        AS DOUBLE) - CAST(nb_next AS DOUBLE)
+             |        / CAST(nb_prev AS DOUBLE))
+             |      / sqrt((CAST(na_next AS DOUBLE) + CAST(nb_next
+             |          AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |          + CAST(nb_prev AS DOUBLE))
+             |        * (1.0 - (CAST(na_next AS DOUBLE) + CAST(nb_next
+             |            AS DOUBLE)) / (CAST(na_prev AS DOUBLE)
+             |            + CAST(nb_prev AS DOUBLE)))
+             |        * (1.0 / CAST(na_prev AS DOUBLE)
+             |          + 1.0 / CAST(nb_prev AS DOUBLE)))) > 1.96
+             |  END AS significant
+             |FROM tr ORDER BY transition""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
