@@ -717,4 +717,63 @@ object GraphOps {
     lab.join(broadcast(sz), "scc")
       .select(col("node"), col("scc"), col("scc_size"))
   }
+
+  /** MAXIMUM spanning forest by Borůvka — the backbone extraction MST
+    * variant (heaviest tree): per round every component selects its
+    * best incident edge under the STRICT total order (w desc, a asc,
+    * b asc) — a struct-min aggregation, map-side combinable — then
+    * components merge by connected components over the selected edges
+    * (the q71 pointer-jumping machinery on the component graph, which
+    * shrinks geometrically). Because the edge order is total, the
+    * maximum spanning forest is UNIQUE, so a DIFFERENT algorithm
+    * (Kruskal, iterating the same total order) must produce the
+    * identical edge set — the q127 two-algorithm oracle pattern.
+    *
+    * Input: undirected edges (a, b, w) with a < b, long ids/weights.
+    * SCALE: the per-round EDGE work (the corpus-derived part) is one
+    * broadcast label join + one map-side-combinable struct-min
+    * aggregation; the node→component label table is DIMENSION-sized
+    * driver state (the register's model contract — its graphs are
+    * nation/part dimension graphs). A web-scale forest swaps the
+    * driver union-find for the q71 distributed CC on the component
+    * graph; the selection plumbing is unchanged. */
+  def maxSpanningForest(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e0.select(col("a")).union(e0.select(col("b"))).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val comp = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (_ <- 1 to rounds) {
+      val labDF = broadcast(comp.toSeq.toDF("id", "comp"))
+      val sel = e0
+        .join(labDF.select(col("id").as("a"), col("comp").as("ca")), "a")
+        .join(labDF.select(col("id").as("b"), col("comp").as("cb")), "b")
+        .where(col("ca") =!= col("cb"))
+      val cand = sel.select(col("ca").as("comp"),
+          struct((-col("w")).as("nw"), col("a"), col("b")).as("e"))
+        .unionAll(sel.select(col("cb").as("comp"),
+          struct((-col("w")).as("nw"), col("a"), col("b")).as("e")))
+      val picked = cand.groupBy("comp").agg(min(col("e")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"),
+          (-col("e.nw")).as("w"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      acc ++= picked.filterNot(p =>
+        acc.exists(q => q._1 == p._1 && q._2 == p._2))
+      // merge the touched components (driver union-find, min label)
+      picked.foreach { case (a, b, _) =>
+        val (ca, cb) = (comp(a), comp(b))
+        if (ca != cb) {
+          val (keep, drop) = (math.min(ca, cb), math.max(ca, cb))
+          comp.mapValuesInPlace((_, c) => if (c == drop) keep else c)
+        }
+      }
+    }
+    acc.toSeq.toDF("a", "b", "w")
+      .orderBy(col("w").desc, col("a"), col("b"))
+  }
 }

@@ -15914,7 +15914,81 @@ object PipelineQueries {
              |        * (1.0 / CAST(na_prev AS DOUBLE)
              |          + 1.0 / CAST(nb_prev AS DOUBLE)))) > 1.96
              |  END AS significant
-             |FROM tr ORDER BY transition""".stripMargin)))
+             |FROM tr ORDER BY transition""".stripMargin)),
+
+    // ---- Maximum spanning backbone of the nation trade graph:
+    // Borůvka rounds (per-component struct-min best edge under the
+    // STRICT total order (w desc, a, b), component merge by the q71
+    // pointer-jumping CC on the shrinking component graph). The total
+    // order makes the maximum spanning forest UNIQUE, so the oracle
+    // runs a DIFFERENT algorithm — Kruskal, iterating the same order
+    // as a recursive CTE carrying the union-find labels as a list —
+    // and must produce the identical edge set (the q127 two-algorithm
+    // pattern).
+    Q("q432_max_spanning_backbone",
+      (s, d) => {
+        val raw = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .where(col("c_nationkey") =!= col("s_nationkey"))
+          .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+            greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val mst = graft.operators.GraphOps.maxSpanningForest(raw,
+          rounds = 5)
+        val nat = t(s, d, "nation")
+        mst
+          .join(broadcast(nat.select(col("n_nationkey").as("a"),
+            col("n_name").as("nation_a"))), "a")
+          .join(broadcast(nat.select(col("n_nationkey").as("b"),
+            col("n_name").as("nation_b"))), "b")
+          .select(col("a").cast("long").as("a"),
+            col("b").cast("long").as("b"),
+            col("nation_a"), col("nation_b"), col("w"))
+          .orderBy(col("w").desc, col("a"), col("b"))
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT least(c_nationkey, s_nationkey) AS a,
+             |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey
+             |  GROUP BY 1, 2),
+             |el AS MATERIALIZED (SELECT a, b, w, row_number()
+             |    OVER (ORDER BY w DESC, a, b) AS rn FROM raw),
+             |nd AS (SELECT DISTINCT a AS n FROM el
+             |  UNION SELECT DISTINCT b FROM el),
+             |init AS (SELECT list({'n': n, 'c': n} ORDER BY n) AS m
+             |  FROM nd),
+             |rec AS (
+             |  SELECT 0 AS step, m, CAST(NULL AS INT) AS ea,
+             |    CAST(NULL AS INT) AS eb, CAST(NULL AS BIGINT) AS ew,
+             |    false AS added
+             |  FROM init
+             |  UNION ALL
+             |  SELECT q.step + 1,
+             |    CASE WHEN q.ca <> q.cb THEN list_transform(q.m, x ->
+             |      {'n': x.n, 'c': CASE WHEN x.c = q.ca OR x.c = q.cb
+             |        THEN least(q.ca, q.cb) ELSE x.c END})
+             |      ELSE q.m END,
+             |    q.a, q.b, q.w, q.ca <> q.cb
+             |  FROM (
+             |    SELECT r.step, r.m, e.a, e.b, e.w,
+             |      [x.c for x in r.m if x.n = e.a][1] AS ca,
+             |      [x.c for x in r.m if x.n = e.b][1] AS cb
+             |    FROM rec r JOIN el e ON e.rn = r.step + 1) q
+             |)
+             |SELECT CAST(ea AS BIGINT) AS a, CAST(eb AS BIGINT) AS b,
+             |  na.n_name AS nation_a, nb.n_name AS nation_b,
+             |  CAST(ew AS BIGINT) AS w
+             |FROM rec
+             |JOIN nation na ON na.n_nationkey = ea
+             |JOIN nation nb ON nb.n_nationkey = eb
+             |WHERE added ORDER BY w DESC, a, b""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
