@@ -15988,7 +15988,159 @@ object PipelineQueries {
              |FROM rec
              |JOIN nation na ON na.n_nationkey = ea
              |JOIN nation nb ON nb.n_nationkey = eb
-             |WHERE added ORDER BY w DESC, a, b""".stripMargin)))
+             |WHERE added ORDER BY w DESC, a, b""".stripMargin)),
+
+    // ---- IVF index balance audit: per-list sizes of the k-means
+    // coarse quantizer plus the imbalance diagnostics an ANN index
+    // build must watch (cv of list sizes, max/mean factor) — the q364
+    // shard-skew reading applied to the q49/q129 IVF lists. Exact
+    // integer sufficient stats (Σs, Σs²), one sqrt; oracle replays the
+    // Lloyd chain + the same algebra.
+    Q("q433_ivf_balance",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val sizes = graft.operators.Clustering
+          .kMeansAssign(t(s, d, "embeddings"), k = 4, iters = 3)
+          .groupBy("cluster").agg(count(lit(1)).as("size"))
+          .localCheckpoint()
+        val tot = sizes.agg(sum(col("size")).cast(dec).as("n"),
+          count(lit(1)).cast(dec).as("k"),
+          sum(col("size").cast(dec) * col("size").cast(dec)).as("s2"),
+          max(col("size")).cast(dec).as("mx"))
+        def db(c: String) = col(c).cast("double")
+        val mean = db("n") / db("k")
+        val varr = db("s2") / db("k") - mean * mean
+        sizes.join(broadcast(tot))
+          .select(col("cluster"), col("size"),
+            (round(col("size").cast("double") / db("n") * 1000000.0)
+              / 1000000.0).as("frac"),
+            (round(sqrt(varr) / mean * 1000000.0) / 1000000.0).as("cv"),
+            (round(db("mx") / mean * 10000.0) / 10000.0).as("imbalance"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH ${kmeansCtes(4, 3, 64)},
+              |sz AS (SELECT cid AS cluster, count(*) AS size FROM sfin
+              |  GROUP BY cid),
+              |tt AS (SELECT CAST(sum(size) AS DOUBLE) AS n,
+              |    CAST(count(*) AS DOUBLE) AS k,
+              |    CAST(sum(CAST(size AS HUGEINT) * CAST(size AS HUGEINT))
+              |      AS DOUBLE) AS s2,
+              |    CAST(max(size) AS DOUBLE) AS mx
+              |  FROM sz)
+              |SELECT cluster, CAST(size AS BIGINT) AS size,
+              |  round(CAST(size AS DOUBLE) / n * 1000000.0) / 1000000.0
+              |    AS frac,
+              |  round(sqrt(s2 / k - (n / k) * (n / k)) / (n / k)
+              |    * 1000000.0) / 1000000.0 AS cv,
+              |  round(mx / (n / k) * 10000.0) / 10000.0 AS imbalance
+              |FROM sz CROSS JOIN tt ORDER BY cluster""".stripMargin)),
+
+    // ---- Recommender offline eval: leave-one-out hit-rate@3 of the
+    // q415 item-item CF on HELD-OUT baskets (20% md5 order split),
+    // against the popularity-top-3 baseline every recommender must
+    // beat. Probes are ordered within-basket pairs (basket-bounded);
+    // the trained top-3 table is model-sized and broadcasts into the
+    // probe scan; all counts exact integers.
+    Q("q434_cf_hitrate",
+      (s, d) => {
+        val bp0 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+          .select(col("ok"), col("p"),
+            (pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("cf#"), col("ok").cast("string"))),
+              lit(5L)) === 0L).as("is_test"))
+          .localCheckpoint()
+        val train = bp0.where(!col("is_test"))
+        val cnt = train.groupBy("p").agg(count(lit(1)).as("n"))
+        val co = train.select(col("ok"), col("p").as("a"))
+          .join(train.select(col("ok"), col("p").as("b")), "ok")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("co"))
+          .where(col("co") >= 2)
+        val scored = co
+          .join(cnt.select(col("p").as("a"), col("n").as("na")), "a")
+          .join(cnt.select(col("p").as("b"), col("n").as("nb")), "b")
+          .select(col("a"), col("b"),
+            (round(col("co").cast("double")
+              / sqrt(col("na").cast("double") * col("nb").cast("double"))
+              * 1000000.0) / 1000000.0).as("cos"))
+        val sym = scored.select(col("a").as("item"), col("b").as("other"),
+            col("cos"))
+          .unionAll(scored.select(col("b").as("item"),
+            col("a").as("other"), col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("item").orderBy(col("cos").desc, col("other"))
+        val top3 = sym.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3).select(col("item"), col("other"))
+          .localCheckpoint()
+        val pop = train.groupBy("p").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("p")).limit(3)
+          .collect().map(_.getLong(0))
+        val test = bp0.where(col("is_test"))
+        val probes = test.select(col("ok"), col("p").as("i"))
+          .join(test.select(col("ok"), col("p").as("j")), "ok")
+          .where(col("i") =!= col("j"))
+        val marked = probes
+          .join(broadcast(top3.select(col("item").as("i"),
+            col("other").as("j"), lit(1L).as("hit"))),
+            Seq("i", "j"), "left")
+          .select(coalesce(col("hit"), lit(0L)).as("hit"),
+            when(col("j").isin(pop.map(Long.box): _*), 1L).otherwise(0L)
+              .as("hit_pop"))
+        marked.agg(count(lit(1)).cast("long").as("n_probes"),
+            sum(col("hit")).cast("long").as("n_hits"),
+            sum(col("hit_pop")).cast("long").as("n_hits_pop"))
+          .select(col("n_probes"), col("n_hits"),
+            (round(col("n_hits").cast("double")
+              / col("n_probes").cast("double") * 1000000.0) / 1000000.0)
+              .as("hit_rate"),
+            col("n_hits_pop"),
+            (round(col("n_hits_pop").cast("double")
+              / col("n_probes").cast("double") * 1000000.0) / 1000000.0)
+              .as("hit_rate_pop"))
+      },
+      Some("""WITH bp AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS p FROM lineitem),
+             |sp AS (SELECT ok, p,
+             |    CAST(('0x' || substr(md5('cf#' || CAST(ok AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 5 = 0 AS is_test
+             |  FROM bp),
+             |tr AS (SELECT ok, p FROM sp WHERE NOT is_test),
+             |cnt AS (SELECT p, count(*) AS n FROM tr GROUP BY p),
+             |co AS (SELECT a.p AS a, b.p AS b, count(*) AS co
+             |  FROM tr a JOIN tr b ON a.ok = b.ok AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sc AS (SELECT a, b,
+             |    round(CAST(co AS DOUBLE)
+             |      / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+             |      * 1000000.0) / 1000000.0 AS cos
+             |  FROM co JOIN cnt ca ON ca.p = a JOIN cnt cb ON cb.p = b),
+             |sym AS (SELECT a AS item, b AS other, cos FROM sc
+             |  UNION ALL SELECT b, a, cos FROM sc),
+             |t3 AS (SELECT item, other FROM (
+             |    SELECT item, other, row_number() OVER (
+             |      PARTITION BY item ORDER BY cos DESC, other) AS rnk
+             |    FROM sym) WHERE rnk <= 3),
+             |pop AS (SELECT p FROM cnt ORDER BY n DESC, p LIMIT 3),
+             |ts AS (SELECT ok, p FROM sp WHERE is_test),
+             |pr AS (SELECT a.p AS i, b.p AS j FROM ts a JOIN ts b
+             |  ON a.ok = b.ok AND a.p <> b.p),
+             |mk AS (SELECT
+             |    CASE WHEN t3.item IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             |    CASE WHEN pr.j IN (SELECT p FROM pop) THEN 1 ELSE 0 END
+             |      AS hit_pop
+             |  FROM pr LEFT JOIN t3 ON t3.item = pr.i
+             |    AND t3.other = pr.j)
+             |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             |  CAST(sum(hit) AS BIGINT) AS n_hits,
+             |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS hit_rate,
+             |  CAST(sum(hit_pop) AS BIGINT) AS n_hits_pop,
+             |  round(CAST(sum(hit_pop) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+             |    AS hit_rate_pop
+             |FROM mk""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
