@@ -16140,7 +16140,126 @@ object PipelineQueries {
              |  round(CAST(sum(hit_pop) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
              |    AS hit_rate_pop
-             |FROM mk""".stripMargin)))
+             |FROM mk""".stripMargin)),
+
+    // ---- Leave-one-source-out data valuation: each source's
+    // contribution to LM quality as the held-out cross-entropy DELTA
+    // when that source is removed — with the LOO models derived
+    // ALGEBRAICALLY from two count relations (global minus per-source),
+    // never refit per source: the whole sweep costs one corpus
+    // tokenize + one sparse join, so it scales to any number of
+    // sources. Laplace smoothing over the FIXED train vocab
+    // (documented simplification); per-term ln quantizes to 1e-8
+    // decimal units (q378), so the per-source sums are exact integers.
+    // Positive delta = the source was helping (removing it hurts).
+    Q("q435_loo_source_value",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        def qln8(c: org.apache.spark.sql.Column) =
+          round(log(c) * 100000000.0).cast(dec)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"),
+            (pmod(graft.expressions.PortableHash.md5Hash60(
+              concat(lit("loo#"), col("doc_id").cast("string"))),
+              lit(5L)) === 0L).as("is_test"))
+        val tok = docs.select(col("source"), col("is_test"),
+            explode(graft.operators.TextAnalysis.tokens(col("text")))
+              .as("w"))
+          .where(col("w") =!= "").localCheckpoint()
+        val cw = tok.where(!col("is_test")).groupBy("w")
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val cs = tok.where(!col("is_test")).groupBy("source", "w")
+          .agg(count(lit(1)).as("csw"))
+        val tot = cw.agg(sum(col("c")).cast("long").as("tt"),
+          count(lit(1)).cast("long").as("v"))
+        val ts = cs.groupBy("source").agg(sum(col("csw")).cast("long")
+          .as("ts"))
+        val sources = ts.select("source").orderBy("source").collect()
+          .map(_.getString(0))
+        val tf = tok.where(col("is_test")).groupBy("w")
+          .agg(count(lit(1)).as("k")).localCheckpoint()
+        val m = tf.agg(sum(col("k")).cast("long").as("m"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        // full-model entropy: one vocab-sized pass
+        val hFull = tf.join(cw, Seq("w"), "left").join(broadcast(tot))
+          .agg(sum(col("k").cast(dec) *
+            qln8((dd(coalesce(col("c"), lit(0L))) + 1.0) /
+              (dd(col("tt")) + dd(col("v"))))).as("sl"))
+        // LOO grid: holdout vocab × sources, sparse per-source counts
+        val grid = tf.select(col("w"), col("k"),
+            explode(array(sources.map(lit(_)): _*)).as("source"))
+          .join(cw, Seq("w"), "left")
+          .join(cs, Seq("source", "w"), "left")
+          .join(broadcast(ts), "source")
+          .join(broadcast(tot))
+        val hLoo = grid.groupBy("source").agg(
+          sum(col("k").cast(dec) *
+            qln8((dd(coalesce(col("c"), lit(0L))) -
+              dd(coalesce(col("csw"), lit(0L))) + 1.0) /
+              (dd(col("tt")) - dd(col("ts")) + dd(col("v")))))
+            .as("sls"))
+        hLoo.join(broadcast(hFull)).join(broadcast(m))
+          .join(broadcast(ts), "source")
+          .select(col("source"), col("ts").as("source_tokens"),
+            (round(-dd(col("sl")) / 100000000.0 / dd(col("m"))
+              * 10000.0) / 10000.0).as("h_full"),
+            (round(-dd(col("sls")) / 100000000.0 / dd(col("m"))
+              * 10000.0) / 10000.0).as("h_loo"),
+            (round((-dd(col("sls")) / 100000000.0 / dd(col("m")) -
+              -dd(col("sl")) / 100000000.0 / dd(col("m")))
+              * 1000000.0) / 1000000.0).as("delta"))
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT doc_id, text, source,
+             |    CAST(('0x' || substr(md5('loo#'
+             |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+             |      = 0 AS is_test
+             |  FROM documents),
+             |tk AS (SELECT * FROM (SELECT source, is_test,
+             |    unnest(string_split(text, ' ')) AS w FROM dc)
+             |  WHERE w <> ''),
+             |cw AS MATERIALIZED (SELECT w, count(*) AS c FROM tk
+             |  WHERE NOT is_test GROUP BY w),
+             |cs AS MATERIALIZED (SELECT source, w, count(*) AS csw
+             |  FROM tk WHERE NOT is_test GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+             |    CAST(count(*) AS BIGINT) AS v FROM cw),
+             |tsx AS (SELECT source, CAST(sum(csw) AS BIGINT) AS ts
+             |  FROM cs GROUP BY source),
+             |tf AS MATERIALIZED (SELECT w, count(*) AS k FROM tk
+             |  WHERE is_test GROUP BY w),
+             |mm AS (SELECT CAST(sum(k) AS BIGINT) AS m FROM tf),
+             |hf AS (SELECT sum(CAST(tf.k AS HUGEINT)
+             |    * CAST(round(ln((CAST(coalesce(cw.c, 0) AS DOUBLE)
+             |        + 1.0) / (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE)))
+             |      * 100000000.0) AS HUGEINT)) AS sl
+             |  FROM tf LEFT JOIN cw USING (w) CROSS JOIN tot),
+             |gr AS (SELECT s.source, tf.w, tf.k, cw.c, cs.csw,
+             |    s.ts, tot.tt, tot.v
+             |  FROM tf CROSS JOIN tsx s
+             |  LEFT JOIN cw ON cw.w = tf.w
+             |  LEFT JOIN cs ON cs.source = s.source AND cs.w = tf.w
+             |  CROSS JOIN tot),
+             |hl AS (SELECT source, sum(CAST(k AS HUGEINT)
+             |    * CAST(round(ln((CAST(coalesce(c, 0) AS DOUBLE)
+             |        - CAST(coalesce(csw, 0) AS DOUBLE) + 1.0)
+             |      / (CAST(tt AS DOUBLE) - CAST(ts AS DOUBLE)
+             |        + CAST(v AS DOUBLE))) * 100000000.0) AS HUGEINT))
+             |      AS sls
+             |  FROM gr GROUP BY source)
+             |SELECT hl.source, tsx.ts AS source_tokens,
+             |  round(-CAST(sl AS DOUBLE) / 100000000.0
+             |    / CAST(m AS DOUBLE) * 10000.0) / 10000.0 AS h_full,
+             |  round(-CAST(sls AS DOUBLE) / 100000000.0
+             |    / CAST(m AS DOUBLE) * 10000.0) / 10000.0 AS h_loo,
+             |  round((-CAST(sls AS DOUBLE) / 100000000.0
+             |      / CAST(m AS DOUBLE)
+             |    - -CAST(sl AS DOUBLE) / 100000000.0
+             |      / CAST(m AS DOUBLE)) * 1000000.0) / 1000000.0
+             |    AS delta
+             |FROM hl JOIN tsx ON tsx.source = hl.source
+             |CROSS JOIN hf CROSS JOIN mm
+             |ORDER BY 1""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
