@@ -15707,85 +15707,15 @@ object PipelineQueries {
     Q("q430_ppmi_embeddings",
       (s, d) => graft.operators.TrainingPrep
         .ppmiSpectralEmbeddings(t(s, d, "documents")),
-      Some {
-        def matvec(src: String, out: String) =
-          s"""$out AS (SELECT v0.i, coalesce(s.y, 0.0) AS y
-             |  FROM $src v0 LEFT JOIN (
-             |    SELECT mm.i, sum(mm.pm * x.x) AS y FROM mm
-             |    JOIN $src x ON x.i = mm.j GROUP BY mm.i) s
-             |    ON s.i = v0.i)""".stripMargin
-        val r1 = (1 to 8).map { r =>
-          s"""${matvec(s"x1_${r - 1}", s"y1_$r")},
-             |n1_$r AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1_$r),
-             |x1_$r AS MATERIALIZED (SELECT i,
-             |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
-             |  FROM y1_$r CROSS JOIN n1_$r)""".stripMargin
-        }.mkString(",\n")
-        val r2 = (1 to 8).map { r =>
-          s"""${matvec(s"x2_${r - 1}", s"y2_$r")},
-             |p2_$r AS (SELECT sum(v1.x * y.y) AS p FROM y2_$r y
-             |  JOIN x1_8 v1 ON v1.i = y.i),
-             |d2_$r AS (SELECT y.i, y.y - p * v1.x AS y FROM y2_$r y
-             |  JOIN x1_8 v1 ON v1.i = y.i CROSS JOIN p2_$r),
-             |n2_$r AS (SELECT sqrt(sum(y * y)) AS nrm FROM d2_$r),
-             |x2_$r AS MATERIALIZED (SELECT i,
-             |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
-             |  FROM d2_$r CROSS JOIN n2_$r)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-           |  FROM documents),
-           |px AS MATERIALIZED (SELECT doc_id, t, e.p AS pos, e.w AS w
-           |  FROM (SELECT doc_id, t, unnest([{'p': i - 1, 'w': t[i]}
-           |    for i in range(1, len(t) + 1)]) AS e FROM tk)),
-           |vc AS MATERIALIZED (SELECT w,
-           |    row_number() OVER (ORDER BY cnt DESC, w) - 1 AS idx
-           |  FROM (SELECT w, count(*) AS cnt FROM px GROUP BY w
-           |        ORDER BY cnt DESC, w LIMIT 30)),
-           |pp AS (SELECT px.w, px.t[px.pos + o.off + 1] AS c
-           |  FROM px CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
-           |  WHERE px.pos + o.off >= 0 AND px.pos + o.off < len(px.t)),
-           |pr AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j,
-           |    count(*) AS n
-           |  FROM pp JOIN vc a ON a.w = pp.w JOIN vc b ON b.w = pp.c
-           |  GROUP BY 1, 2),
-           |nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM pr),
-           |rs AS (SELECT i, CAST(sum(n) AS DOUBLE) AS r FROM pr
-           |  GROUP BY i),
-           |mm AS MATERIALIZED (SELECT pr.i, pr.j,
-           |    CASE WHEN round(ln(CAST(n AS DOUBLE) * nt
-           |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0 > 0
-           |      THEN round(ln(CAST(n AS DOUBLE) * nt
-           |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0
-           |      ELSE 0.0 END AS pm
-           |  FROM pr JOIN rs ri ON ri.i = pr.i
-           |  JOIN rs rj ON rj.i = pr.j CROSS JOIN nt),
-           |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vc),
-           |x1_0 AS (SELECT idx AS i,
-           |    round(1.0 / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
-           |  FROM vc CROSS JOIN vv),
-           |x2_0 AS (SELECT idx AS i,
-           |    round((CASE WHEN idx % 2 = 0 THEN 1.0 ELSE -1.0 END)
-           |      / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
-           |  FROM vc CROSS JOIN vv),
-           |$r1,
-           |$r2,
-           |${matvec("x1_8", "my1")},
-           |l1 AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
-           |    * 1000000.0) / 1000000.0 AS l
-           |  FROM x1_8 v JOIN my1 y ON y.i = v.i),
-           |${matvec("x2_8", "my2")},
-           |l2 AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
-           |    * 1000000.0) / 1000000.0 AS l
-           |  FROM x2_8 v JOIN my2 y ON y.i = v.i)
-           |SELECT vc.idx, vc.w AS term,
-           |  round(x1.x * 1000000.0) / 1000000.0 AS e1,
-           |  round(x2.x * 1000000.0) / 1000000.0 AS e2,
-           |  l1.l AS lambda1, l2.l AS lambda2
-           |FROM vc JOIN x1_8 x1 ON x1.i = vc.idx
-           |JOIN x2_8 x2 ON x2.i = vc.idx
-           |CROSS JOIN l1 CROSS JOIN l2
-           |ORDER BY vc.idx""".stripMargin
-      }),
+      Some(s"""WITH ${ppmiChainCtes("", "TRUE")}
+              |SELECT vc.idx, vc.w AS term,
+              |  round(x1_8.x * 1000000.0) / 1000000.0 AS e1,
+              |  round(x2_8.x * 1000000.0) / 1000000.0 AS e2,
+              |  l1.l AS lambda1, l2.l AS lambda2
+              |FROM vc JOIN x1_8 ON x1_8.i = vc.idx
+              |JOIN x2_8 ON x2_8.i = vc.idx
+              |CROSS JOIN l1 CROSS JOIN l2
+              |ORDER BY vc.idx""".stripMargin)),
 
     // ---- Funnel drop-off A/B significance: the q117 stage chain per
     // md5-hash arm, then a two-proportion pooled z-test (the q188
@@ -16259,7 +16189,95 @@ object PipelineQueries {
              |    AS delta
              |FROM hl JOIN tsx ON tsx.source = hl.source
              |CROSS JOIN hf CROSS JOIN mm
-             |ORDER BY 1""".stripMargin)))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Embedding-space alignment (orthogonal Procrustes, 2-D
+    // closed form): fit the q430 PPMI spectral embeddings on the two
+    // doc-parity halves of the corpus, then the rotation aligning the
+    // shared-vocabulary coordinates — TRIG-FREE: cos θ = (m00+m11)/r,
+    // sin θ = (m10−m01)/r with r = √(a²+b²) from the exact 2×2
+    // cross-covariance of the 1e-6-rounded coordinates, so the whole
+    // alignment is +,×,/,√ only. The drift reading every embedding
+    // refresh needs ("did the space rotate, and how far apart are the
+    // halves after aligning"). Oracle instantiates the suffixed PPMI
+    // chain TWICE and replays the closed form.
+    Q("q436_procrustes_alignment",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = t(s, d, "documents")
+        def emb(pred: org.apache.spark.sql.Column) =
+          graft.operators.TrainingPrep
+            .ppmiSpectralEmbeddings(docs.where(pred))
+            .select("term", "e1", "e2").collect()
+            .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+            .toSeq
+        val ea = emb(col("doc_id") % 2 === 0)
+        val bm = emb(col("doc_id") % 2 === 1)
+          .map(t3 => t3._1 -> (t3._2, t3._3)).toMap
+        val shared = ea.filter(t3 => bm.contains(t3._1)).sortBy(_._1)
+        var (m00, m01, m10, m11) = (0.0, 0.0, 0.0, 0.0)
+        shared.foreach { case (w, a1, a2) =>
+          val (b1, b2) = bm(w)
+          m00 += a1 * b1; m01 += a1 * b2
+          m10 += a2 * b1; m11 += a2 * b2
+        }
+        // objective Σ bᵀ(Ra) = c·(m00+m11) + s·(m01−m10) under the
+        // column convention Ra = (c·a1 − s·a2, s·a1 + c·a2)
+        val aa = m00 + m11
+        val bb = m01 - m10
+        val r = math.sqrt(aa * aa + bb * bb)
+        val c = aa / r
+        val sn = bb / r
+        var pre = 0.0; var post = 0.0
+        shared.foreach { case (w, a1, a2) =>
+          val (b1, b2) = bm(w)
+          pre += (a1 - b1) * (a1 - b1) + (a2 - b2) * (a2 - b2)
+          val ra1 = a1 * c - a2 * sn
+          val ra2 = a1 * sn + a2 * c
+          post += (ra1 - b1) * (ra1 - b1) + (ra2 - b2) * (ra2 - b2)
+        }
+        val n = shared.size
+        def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+        Seq((n.toLong, r6(c), r6(sn), r6(pre / n), r6(post / n)))
+          .toDF("n_shared", "cos_t", "sin_t", "err_before", "err_after")
+      },
+      Some(s"""WITH ${ppmiChainCtes("pa", "doc_id % 2 = 0")},
+              |${ppmiChainCtes("pb", "doc_id % 2 = 1")},
+              |ea AS (SELECT vcpa.w AS term,
+              |    round(x.x * 1000000.0) / 1000000.0 AS a1,
+              |    round(y.x * 1000000.0) / 1000000.0 AS a2
+              |  FROM vcpa JOIN x1_8pa x ON x.i = vcpa.idx
+              |  JOIN x2_8pa y ON y.i = vcpa.idx),
+              |eb AS (SELECT vcpb.w AS term,
+              |    round(x.x * 1000000.0) / 1000000.0 AS b1,
+              |    round(y.x * 1000000.0) / 1000000.0 AS b2
+              |  FROM vcpb JOIN x1_8pb x ON x.i = vcpb.idx
+              |  JOIN x2_8pb y ON y.i = vcpb.idx),
+              |sh AS (SELECT ea.term, a1, a2, b1, b2 FROM ea
+              |  JOIN eb USING (term)),
+              |cm AS (SELECT sum(a1 * b1) AS m00, sum(a1 * b2) AS m01,
+              |    sum(a2 * b1) AS m10, sum(a2 * b2) AS m11,
+              |    CAST(count(*) AS BIGINT) AS n FROM sh),
+              |rt AS (SELECT n,
+              |    (m00 + m11) / sqrt((m00 + m11) * (m00 + m11)
+              |      + (m01 - m10) * (m01 - m10)) AS c,
+              |    (m01 - m10) / sqrt((m00 + m11) * (m00 + m11)
+              |      + (m01 - m10) * (m01 - m10)) AS s
+              |  FROM cm),
+              |er AS (SELECT
+              |    sum((a1 - b1) * (a1 - b1) + (a2 - b2) * (a2 - b2))
+              |      AS pre,
+              |    sum((a1 * c - a2 * s - b1) * (a1 * c - a2 * s - b1)
+              |      + (a1 * s + a2 * c - b2) * (a1 * s + a2 * c - b2))
+              |      AS post
+              |  FROM sh CROSS JOIN rt)
+              |SELECT rt.n AS n_shared,
+              |  round(c * 1000000.0) / 1000000.0 AS cos_t,
+              |  round(s * 1000000.0) / 1000000.0 AS sin_t,
+              |  round(pre / n * 1000000.0) / 1000000.0 AS err_before,
+              |  round(post / n * 1000000.0) / 1000000.0 AS err_after
+              |FROM rt CROSS JOIN er""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
@@ -16403,6 +16421,86 @@ object PipelineQueries {
        |nn$sfx AS (SELECT count(*) AS n FROM tr$sfx),
        |$rounds,
        |wfin$sfx AS (SELECT w1, w2, w3, w4, w5 FROM w${iters}_$sfx)""".stripMargin
+  }
+
+  /** The q430 PPMI-spectral-embedding chain as suffixable CTE text
+    * (every CTE name gets `sfx` appended; `pred` filters documents), so
+    * several independent chains coexist in one WITH clause — the q163
+    * suffix pattern. Emits ...vc$sfx (term→idx), x1_8$sfx / x2_8$sfx
+    * (final components), l1$sfx / l2$sfx (Rayleigh quotients). Replays
+    * [[graft.operators.TrainingPrep.ppmiSpectralEmbeddings]] exactly. */
+  private def ppmiChainCtes(sfx: String, pred: String): String = {
+    def matvec(src: String, out: String) =
+      s"""$out AS (SELECT v0.i, coalesce(s.y, 0.0) AS y
+         |  FROM $src v0 LEFT JOIN (
+         |    SELECT mm$sfx.i, sum(mm$sfx.pm * x.x) AS y FROM mm$sfx
+         |    JOIN $src x ON x.i = mm$sfx.j GROUP BY mm$sfx.i) s
+         |    ON s.i = v0.i)""".stripMargin
+    val r1 = (1 to 8).map { r =>
+      s"""${matvec(s"x1_${r - 1}$sfx", s"y1_$r$sfx")},
+         |n1_$r$sfx AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1_$r$sfx),
+         |x1_$r$sfx AS MATERIALIZED (SELECT i,
+         |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
+         |  FROM y1_$r$sfx CROSS JOIN n1_$r$sfx)""".stripMargin
+    }.mkString(",\n")
+    val r2 = (1 to 8).map { r =>
+      s"""${matvec(s"x2_${r - 1}$sfx", s"y2_$r$sfx")},
+         |p2_$r$sfx AS (SELECT sum(v1.x * y.y) AS p FROM y2_$r$sfx y
+         |  JOIN x1_8$sfx v1 ON v1.i = y.i),
+         |d2_$r$sfx AS (SELECT y.i, y.y - p * v1.x AS y FROM y2_$r$sfx y
+         |  JOIN x1_8$sfx v1 ON v1.i = y.i CROSS JOIN p2_$r$sfx),
+         |n2_$r$sfx AS (SELECT sqrt(sum(y * y)) AS nrm FROM d2_$r$sfx),
+         |x2_$r$sfx AS MATERIALIZED (SELECT i,
+         |    round(y / nrm * 1000000000.0) / 1000000000.0 AS x
+         |  FROM d2_$r$sfx CROSS JOIN n2_$r$sfx)""".stripMargin
+    }.mkString(",\n")
+    s"""tk$sfx AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE $pred),
+       |px$sfx AS MATERIALIZED (SELECT doc_id, t, e.p AS pos, e.w AS w
+       |  FROM (SELECT doc_id, t, unnest([{'p': i - 1, 'w': t[i]}
+       |    for i in range(1, len(t) + 1)]) AS e FROM tk$sfx)),
+       |vc$sfx AS MATERIALIZED (SELECT w,
+       |    row_number() OVER (ORDER BY cnt DESC, w) - 1 AS idx
+       |  FROM (SELECT w, count(*) AS cnt FROM px$sfx GROUP BY w
+       |        ORDER BY cnt DESC, w LIMIT 30)),
+       |pp$sfx AS (SELECT px$sfx.w, px$sfx.t[px$sfx.pos + o.off + 1] AS c
+       |  FROM px$sfx CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
+       |  WHERE px$sfx.pos + o.off >= 0
+       |    AND px$sfx.pos + o.off < len(px$sfx.t)),
+       |pr$sfx AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j,
+       |    count(*) AS n
+       |  FROM pp$sfx JOIN vc$sfx a ON a.w = pp$sfx.w
+       |  JOIN vc$sfx b ON b.w = pp$sfx.c
+       |  GROUP BY 1, 2),
+       |nt$sfx AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM pr$sfx),
+       |rs$sfx AS (SELECT i, CAST(sum(n) AS DOUBLE) AS r FROM pr$sfx
+       |  GROUP BY i),
+       |mm$sfx AS MATERIALIZED (SELECT pr$sfx.i, pr$sfx.j,
+       |    CASE WHEN round(ln(CAST(n AS DOUBLE) * nt
+       |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0 > 0
+       |      THEN round(ln(CAST(n AS DOUBLE) * nt
+       |        / (ri.r * rj.r)) * 1000000.0) / 1000000.0
+       |      ELSE 0.0 END AS pm
+       |  FROM pr$sfx JOIN rs$sfx ri ON ri.i = pr$sfx.i
+       |  JOIN rs$sfx rj ON rj.i = pr$sfx.j CROSS JOIN nt$sfx),
+       |vv$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vc$sfx),
+       |x1_0$sfx AS (SELECT idx AS i,
+       |    round(1.0 / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
+       |  FROM vc$sfx CROSS JOIN vv$sfx),
+       |x2_0$sfx AS (SELECT idx AS i,
+       |    round((CASE WHEN idx % 2 = 0 THEN 1.0 ELSE -1.0 END)
+       |      / sqrt(v) * 1000000000.0) / 1000000000.0 AS x
+       |  FROM vc$sfx CROSS JOIN vv$sfx),
+       |$r1,
+       |$r2,
+       |${matvec(s"x1_8$sfx", s"my1$sfx")},
+       |l1$sfx AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
+       |    * 1000000.0) / 1000000.0 AS l
+       |  FROM x1_8$sfx v JOIN my1$sfx y ON y.i = v.i),
+       |${matvec(s"x2_8$sfx", s"my2$sfx")},
+       |l2$sfx AS (SELECT round(sum(v.x * y.y) / sum(v.x * v.x)
+       |    * 1000000.0) / 1000000.0 AS l
+       |  FROM x2_8$sfx v JOIN my2$sfx y ON y.i = v.i)""".stripMargin
   }
 
   private def logregCtes(iters: Int, lr: String = "0.25"): String =
