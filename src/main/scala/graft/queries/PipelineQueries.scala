@@ -16277,7 +16277,62 @@ object PipelineQueries {
               |  round(s * 1000000.0) / 1000000.0 AS sin_t,
               |  round(pre / n * 1000000.0) / 1000000.0 AS err_before,
               |  round(post / n * 1000000.0) / 1000000.0 AS err_after
-              |FROM rt CROSS JOIN er""".stripMargin)))
+              |FROM rt CROSS JOIN er""".stripMargin)),
+
+    // ---- STREAMING cardinality: per-day distinct users estimated by
+    // the q413 portable HLL as a Structured Streaming aggregation —
+    // the state the stream carries is (day, bucket)→max(rho), 256 rows
+    // per day REGARDLESS of user volume (an exact streaming distinct
+    // holds every id); COMPLETE-mode AvailableNow drive (q303
+    // contract), exact integer fold batch-side over the sunk
+    // registers; exact per-day distinct joined as the audit column.
+    Q("q437_hll_streaming",
+      (s, d) => {
+        val est = graft.streaming.EventsStream.streamingDailyDistinct(s, d)
+        val exact = Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, "day")
+          .select(col("day"), col("est"), col("exact_distinct"),
+            (round(abs(col("est") - col("exact_distinct").cast("double"))
+              / col("exact_distinct").cast("double") * 1000000.0)
+              / 1000000.0).as("rel_err"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    user_id,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+             |      AS BIGINT) AS h
+             |  FROM events),
+             |reg AS (SELECT day, h & 255 AS bucket,
+             |    max(CASE WHEN (h >> 8) = 0 THEN 53
+             |        ELSE 53 - length(bin(h >> 8)) END) AS m
+             |  FROM ev GROUP BY 1, 2),
+             |fold AS (SELECT day,
+             |    CAST(sum(1::BIGINT << (53 - m)) AS HUGEINT)
+             |      + (256 - CAST(count(*) AS HUGEINT))
+             |        * CAST(9007199254740992 AS HUGEINT) AS z,
+             |    256 - count(*) AS v
+             |  FROM reg GROUP BY day),
+             |est AS (SELECT day,
+             |    round(CASE WHEN v > 0
+             |        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |          * 9007199254740992.0 / CAST(z AS DOUBLE) <= 640.0
+             |      THEN round(ln(256.0 / CAST(v AS DOUBLE))
+             |          * 100000000.0) / 100000000.0 * 256.0
+             |      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |        * 9007199254740992.0 / CAST(z AS DOUBLE) END
+             |      * 10000.0) / 10000.0 AS est
+             |  FROM fold),
+             |ex AS (SELECT day, count(DISTINCT user_id)
+             |    AS exact_distinct FROM ev GROUP BY day)
+             |SELECT est.day, est, exact_distinct,
+             |  round(abs(est - CAST(exact_distinct AS DOUBLE))
+             |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS rel_err
+             |FROM est JOIN ex ON est.day = ex.day
+             |ORDER BY 1""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier

@@ -479,6 +479,46 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming per-day distinct-user estimation via the q413 portable
+    * HyperLogLog — streaming CARDINALITY with BOUNDED state: the
+    * streaming aggregation keeps only (day-window, bucket) → max(rho)
+    * registers (256 rows per day, regardless of user volume), where an
+    * exact streaming distinct would hold every user id in state. The
+    * register relation runs to completion in COMPLETE mode (q303's
+    * static-input contract), and the exact harmonic fold + linear-
+    * counting branch (q413's algebra — integer 2^(53−M) sums) applies
+    * BATCH-side to the sunk registers. */
+  def streamingDailyDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = graft.expressions.PortableHash.md5Hash60(col("user_id"))
+    val reg = readEvents(spark, dir)
+      .select(col("ts"), h.as("h"))
+      .select(col("ts"), col("h").bitwiseAND(lit(255L)).as("bucket"),
+        when(shiftright(col("h"), 8) === 0, lit(53))
+          .otherwise(lit(53) - length(bin(shiftright(col("h"), 8))))
+          .as("rho"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
+      .agg(max("rho").as("m"))
+    val name = "hlldaily_" + Integer.toHexString(dir.hashCode)
+    val sunk = runToMemoryAvailableNow(spark, reg, name,
+      OutputMode.Complete())
+    val fold = sunk
+      .select(expr("unix_micros(w.start) div 86400000000").as("day"),
+        col("m"))
+      .groupBy("day").agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)").cast(dec))
+          + (lit(256).cast(dec) - count(lit(1)).cast(dec))
+            * lit(9007199254740992L).cast(dec)).as("z"),
+        (lit(256) - count(lit(1))).cast("long").as("v"))
+    val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / col("z").cast("double")
+    val lc = round(log(lit(256.0) / col("v").cast("double")) * 1.0e8) /
+      1.0e8 * 256.0
+    fold.select(col("day"),
+      (round(when(col("v") > 0 && eRaw <= 640.0, lc).otherwise(eRaw)
+        * 10000.0) / 10000.0).as("est"))
+  }
+
   /** Sliding-window counts (1 h window / 15 min slide) driven to
     * completion in COMPLETE mode — the streaming twin of the q282 batch
     * window. No watermark: on static input the final state table holds
