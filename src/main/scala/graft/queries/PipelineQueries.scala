@@ -16332,7 +16332,137 @@ object PipelineQueries {
              |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS rel_err
              |FROM est JOIN ex ON est.day = ex.day
-             |ORDER BY 1""".stripMargin)))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Group-fairness audit of the q158 quality classifier across
+    // SOURCES: per-source keep rate vs the corpus rate (demographic-
+    // parity gap) and per-source TPR/FPR against the distillation
+    // label (the equalized-odds reading) — the curation-bias check a
+    // production filter needs ("does the gate silently drop one
+    // source's good docs"). One scoring scan + one model-sized
+    // grouped aggregate; exact integer cells, null rates on empty
+    // denominators (q183 convention).
+    Q("q438_fairness_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sc = graft.operators.QualityClassifier
+          .score(docs, logregModel(docs))
+          .select(col("doc_id"), col("keep"))
+        val lab = docs.select(col("doc_id"), col("source"),
+          (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.9)
+            .as("y"))
+        val j = sc.join(lab, "doc_id").localCheckpoint()
+        val per = j.groupBy("source").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long")
+            .as("n_keep"),
+          sum(when(col("keep") && col("y"), 1L).otherwise(0L))
+            .cast("long").as("tp"),
+          sum(when(col("keep") && !col("y"), 1L).otherwise(0L))
+            .cast("long").as("fp"),
+          sum(when(col("y"), 1L).otherwise(0L)).cast("long").as("pos"))
+        val ov = j.agg((sum(when(col("keep"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("keep_all"))
+        def dd(c: String) = col(c).cast("double")
+        per.join(broadcast(ov))
+          .select(col("source"), col("n"),
+            (round(dd("n_keep") / dd("n") * 1000000.0) / 1000000.0)
+              .as("keep_rate"),
+            (round((dd("n_keep") / dd("n") - col("keep_all"))
+              * 1000000.0) / 1000000.0).as("parity_gap"),
+            when(col("pos") > 0,
+              round(dd("tp") / dd("pos") * 1000000.0) / 1000000.0)
+              .as("tpr"),
+            when(col("n") - col("pos") > 0,
+              round(dd("fp") / (dd("n") - dd("pos")) * 1000000.0)
+                / 1000000.0).as("fpr"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |scp AS (SELECT doc_id,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0)
+              |      + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
+              |      * 1000000.0)/1000000.0 >= 0.5 AS keep
+              |  FROM fx CROSS JOIN wfin),
+              |j AS (SELECT d.source, scp.keep, fx.y = 1 AS y
+              |  FROM scp JOIN fx USING (doc_id)
+              |  JOIN documents d USING (doc_id)),
+              |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_keep,
+              |    CAST(sum(CASE WHEN keep AND y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN keep AND NOT y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS pos
+              |  FROM j GROUP BY source),
+              |ov AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_all
+              |  FROM j)
+              |SELECT source, n,
+              |  round(CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE)
+              |    * 1000000.0) / 1000000.0 AS keep_rate,
+              |  round((CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE)
+              |    - keep_all) * 1000000.0) / 1000000.0 AS parity_gap,
+              |  CASE WHEN pos > 0 THEN round(CAST(tp AS DOUBLE)
+              |    / CAST(pos AS DOUBLE) * 1000000.0) / 1000000.0 END
+              |    AS tpr,
+              |  CASE WHEN n - pos > 0 THEN round(CAST(fp AS DOUBLE)
+              |    / (CAST(n AS DOUBLE) - CAST(pos AS DOUBLE))
+              |    * 1000000.0) / 1000000.0 END AS fpr
+              |FROM per CROSS JOIN ov ORDER BY source""".stripMargin)),
+
+    // ---- Differentially-private count release (Laplace mechanism,
+    // ε = 0.1): per-nation customer counts plus inverse-CDF Laplace
+    // noise drawn from the portable md5 uniform — the q266
+    // deterministic-draw convention (a reproducible stand-in for the
+    // sampler; the MECHANISM arithmetic is the operator under test).
+    // The single ln is 1e-8-quantized; released value and calibration
+    // error are the audit columns every DP release publishes
+    // internally.
+    Q("q439_dp_counts",
+      (s, d) => {
+        val b = 10.0
+        val per = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).cast("long").as("n_true"))
+        val u = graft.expressions.PortableHash.md5Hash60(
+          concat(lit("dp#"), col("nation"))).cast("double") /
+          1152921504606846976.0
+        def qln8(c: org.apache.spark.sql.Column) =
+          round(log(c) * 100000000.0) / 100000000.0
+        val noise = when(u < 0.5, lit(b) * qln8(lit(2.0) * u))
+          .otherwise(lit(-b) * qln8(lit(2.0) * (lit(1.0) - u)))
+        per.select(col("nation"), col("n_true"),
+            (round(noise * 10000.0) / 10000.0).as("noise"))
+          .select(col("nation"), col("n_true"), col("noise"),
+            (round((col("n_true") + col("noise")) * 10000.0) / 10000.0)
+              .as("n_released"))
+          .orderBy("nation")
+      },
+      Some("""WITH per AS (SELECT n_name AS nation,
+             |    CAST(count(*) AS BIGINT) AS n_true
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1),
+             |nz AS (SELECT nation, n_true,
+             |    CAST(CAST('0x' || substr(md5('dp#' || nation), 1, 15)
+             |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+             |  FROM per),
+             |dr AS (SELECT nation, n_true,
+             |    round((CASE WHEN u < 0.5
+             |      THEN 10.0 * (round(ln(2.0 * u) * 100000000.0)
+             |        / 100000000.0)
+             |      ELSE -10.0 * (round(ln(2.0 * (1.0 - u))
+             |        * 100000000.0) / 100000000.0) END) * 10000.0)
+             |      / 10000.0 AS noise
+             |  FROM nz)
+             |SELECT nation, n_true, noise,
+             |  round((n_true + noise) * 10000.0) / 10000.0 AS n_released
+             |FROM dr ORDER BY nation""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
