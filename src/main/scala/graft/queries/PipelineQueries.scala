@@ -16462,7 +16462,100 @@ object PipelineQueries {
              |  FROM nz)
              |SELECT nation, n_true, noise,
              |  round((n_true + noise) * 10000.0) / 10000.0 AS n_released
-             |FROM dr ORDER BY nation""".stripMargin)))
+             |FROM dr ORDER BY nation""".stripMargin)),
+
+    // ---- Multimodal dedup capstone: image near-dup clusters by
+    // CONSENSUS of the two perceptual hashes — a pair must sit within
+    // hamming ≤ 2 under BOTH the spatial aHash (q147) and the
+    // frequency-domain pHash (q418), the standard precision move
+    // (either hash alone admits its own false-positive family); the
+    // agreeing pairs close under the q71 pointer-jumping components
+    // and each cluster keeps its min id. Both hash paths are real
+    // decode; candidates stay Manku-bounded (q148) — never all-pairs.
+    // The oracle rebuilds BOTH hashes from the pixel formula (aHash
+    // blocks; pHash via the shared literal DCT basis), intersects the
+    // pair sets, and closes them with a recursive CTE.
+    Q("q440_image_dedup_consensus",
+      (s, d) => {
+        import graft.operators.{Dedup, Multimodal}
+        val sub = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+        val assets = Multimodal.pngAssets(s, sub)
+        def sigOf(df: org.apache.spark.sql.DataFrame, c: String) =
+          df.select(col("doc_id"),
+            (0 until 64).map(b =>
+              when(substring(col(c), b + 1, 1) === "1", lit(1L << b))
+                .otherwise(lit(0L)))
+              .reduce(_.bitwiseOR(_)).as("sig"))
+        val pa = Dedup.hammingPairs(
+          sigOf(Multimodal.imageAHash(s, assets), "ahash"),
+          maxDist = 2, sigCol = "sig").select("id_a", "id_b")
+        val pb = Dedup.hammingPairs(
+          sigOf(Multimodal.imagePHash(s, assets), "phash"),
+          maxDist = 2, sigCol = "sig").select("id_a", "id_b")
+        val consensus = pa.intersect(pb)
+        val cc = Dedup.duplicateClusters(consensus)
+        cc.groupBy("cluster").agg(count(lit(1)).cast("long")
+            .as("n_members"))
+          .select(col("cluster").as("keeper"), col("n_members"))
+          .orderBy("keeper")
+      },
+      Some {
+        val tb = graft.operators.Multimodal.dctTableQ6(16)
+        val vals = (for { u <- 0 until 8; x <- 0 until 16 }
+          yield s"($u, $x, ${tb(u)(x)})").mkString(", ")
+        s"""WITH RECURSIVE t(u, x, c) AS (VALUES $vals),
+           |px AS MATERIALIZED (SELECT doc_id, x, y,
+           |    ((x + 1) * (doc_id % 7 + 3) * 7
+           |      + (y + 1) * (doc_id % 7 + 5) * 11) % 256
+           |      + CASE WHEN doc_id % 4 = 0 AND x = 0 AND y = 0
+           |        THEN 8 ELSE 0 END AS v
+           |  FROM documents, range(16) rx(x), range(16) ry(y)
+           |  WHERE doc_id % 5 = 0),
+           |bl AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS b,
+           |    sum(v) AS bs FROM px GROUP BY 1, 2),
+           |tot AS (SELECT doc_id, sum(v) AS ts FROM px GROUP BY 1),
+           |abits AS (SELECT doc_id, b,
+           |    CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
+           |  FROM bl JOIN tot USING (doc_id)),
+           |ah AS MATERIALIZED (SELECT doc_id,
+           |    string_agg(bit, '' ORDER BY b) AS h
+           |  FROM abits GROUP BY doc_id),
+           |co AS (SELECT px.doc_id, tu.u AS u, tv.u AS v,
+           |    sum(CAST(px.v AS HUGEINT) * tu.c * tv.c) AS k
+           |  FROM px JOIN t tu ON tu.x = px.x JOIN t tv ON tv.x = px.y
+           |  GROUP BY 1, 2, 3),
+           |med AS (SELECT doc_id, k AS mk FROM (
+           |    SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY k, u, v) AS rn
+           |    FROM co WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+           |pbits AS (SELECT co.doc_id, co.u, co.v,
+           |    CASE WHEN co.k > med.mk THEN '1' ELSE '0' END AS bit
+           |  FROM co JOIN med USING (doc_id)),
+           |ph AS MATERIALIZED (SELECT doc_id,
+           |    string_agg(bit, '' ORDER BY u, v) AS h
+           |  FROM pbits GROUP BY doc_id),
+           |pa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+           |  WHERE len([i for i in range(1, 65)
+           |    IF a.h[i] <> b.h[i]]) <= 2),
+           |pb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           |  WHERE len([i for i in range(1, 65)
+           |    IF a.h[i] <> b.h[i]]) <= 2),
+           |cons AS (SELECT pa.id_a, pa.id_b FROM pa JOIN pb
+           |  ON pa.id_a = pb.id_a AND pa.id_b = pb.id_b),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM cons
+           |  UNION SELECT id_b, id_a FROM cons),
+           |reach AS (SELECT u AS src, u AS dst FROM edges
+           |  UNION
+           |  SELECT r.src, e2.v FROM reach r JOIN edges e2
+           |    ON r.dst = e2.u),
+           |lab AS (SELECT src AS id, min(dst) AS cluster FROM reach
+           |  GROUP BY src)
+           |SELECT cluster AS keeper, CAST(count(*) AS BIGINT)
+           |    AS n_members
+           |FROM lab GROUP BY cluster ORDER BY keeper""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
