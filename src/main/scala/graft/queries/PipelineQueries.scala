@@ -16555,7 +16555,119 @@ object PipelineQueries {
            |SELECT cluster AS keeper, CAST(count(*) AS BIGINT)
            |    AS n_members
            |FROM lab GROUP BY cluster ORDER BY keeper""".stripMargin
-      }))
+      }),
+
+    // ---- Event-time lateness audit — the numbers that SIZE a
+    // watermark before anyone picks one: per user, arrival order is
+    // the event_id sequence; lateness of an event = how far the
+    // running event-time high-water mark is ahead of it. Reports the
+    // out-of-order fraction and the max / nearest-rank-P99 lateness in
+    // seconds (exact integer ns throughout; the P99 is rank SELECTION,
+    // q180's contract — a corpus value, not an interpolation). One
+    // user-partitioned running-max window + one global aggregate + one
+    // rank cut.
+    Q("q441_lateness_audit",
+      (s, d) => {
+        val byArrival = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("hwm", max(col("ts")).over(byArrival))
+          .select(greatest(coalesce(col("hwm") - col("ts"), lit(0L)),
+            lit(0L)).as("late_ns"))
+          .localCheckpoint()
+        val p99 = ev.where(col("late_ns") > 0)
+        val stats = ev.agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("late_ns") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_late"),
+          max(col("late_ns")).as("max_ns"))
+        val rankW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("late_ns"))
+        val lateRanked = p99
+          .withColumn("rn", row_number().over(rankW))
+          .join(broadcast(p99.agg(count(lit(1)).cast("long").as("nl"))))
+          .where(col("rn") === ceil(col("nl").cast("double") * 0.99)
+            .cast("long"))
+          .select(col("late_ns").as("p99_ns"))
+        // LEFT join on a constant key: an in-order corpus has an EMPTY
+        // lateness subset and the audit row must still emit (with null
+        // P99) — "no watermark needed" is the valuable answer
+        stats.withColumn("k", lit(1))
+          .join(broadcast(lateRanked.withColumn("k", lit(1))),
+            Seq("k"), "left").drop("k")
+          .select(col("n_events"), col("n_late"),
+            (round(col("n_late").cast("double")
+              / col("n_events").cast("double") * 1000000.0) / 1000000.0)
+              .as("late_rate"),
+            (col("max_ns") / lit(1000000000L)).cast("long")
+              .as("max_lateness_s"),
+            (col("p99_ns") / lit(1000000000L)).cast("long")
+              .as("p99_lateness_s"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tns
+             |  FROM events),
+             |hw AS (SELECT user_id, event_id, tns,
+             |    max(tns) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS hwm
+             |  FROM ev),
+             |lt AS (SELECT greatest(coalesce(hwm - tns, 0), 0)
+             |    AS late_ns FROM hw),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CASE WHEN late_ns > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_late,
+             |    max(late_ns) AS max_ns
+             |  FROM lt),
+             |lr AS (SELECT late_ns, row_number() OVER (ORDER BY late_ns)
+             |    AS rn FROM lt WHERE late_ns > 0),
+             |nl AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM lr),
+             |p9 AS (SELECT late_ns AS p99_ns FROM lr CROSS JOIN nl
+             |  WHERE rn = CAST(ceil(CAST(nl AS DOUBLE) * 0.99)
+             |    AS BIGINT))
+             |SELECT n_events, n_late,
+             |  round(CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE)
+             |    * 1000000.0) / 1000000.0 AS late_rate,
+             |  CAST(max_ns // 1000000000 AS BIGINT) AS max_lateness_s,
+             |  CAST(p99_ns // 1000000000 AS BIGINT) AS p99_lateness_s
+             |FROM st LEFT JOIN p9 ON true""".stripMargin)),
+
+    // ---- k-anonymity audit over the (nation, market-segment)
+    // quasi-identifier: group sizes, the k the table actually attains
+    // (min group size), and how many groups / customers sit below
+    // k = 5 — the re-identification exposure reading that pairs with
+    // the q439 DP release. Exact integer cells at quasi-identifier-
+    // combination size.
+    Q("q442_k_anonymity",
+      (s, d) => {
+        val g = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .localCheckpoint()
+        val sum0 = g.agg(count(lit(1)).cast("long").as("n_groups"),
+          min(col("n")).as("k_attained"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).cast("long")
+            .as("groups_below_5"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).cast("long")
+            .as("customers_below_5"))
+        sum0.select(col("n_groups"), col("k_attained"),
+          col("groups_below_5"), col("customers_below_5"))
+      },
+      Some("""WITH g AS (SELECT n_name AS nation, c_mktsegment
+             |    AS segment, CAST(count(*) AS BIGINT) AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |  min(n) AS k_attained,
+             |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS groups_below_5,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS customers_below_5
+             |FROM g""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
