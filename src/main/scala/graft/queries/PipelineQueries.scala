@@ -16667,7 +16667,119 @@ object PipelineQueries {
              |    AS groups_below_5,
              |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              |    AS customers_below_5
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // ---- V-optimal histogram (Jagadish et al. 1998): the 4-bucket
+    // partition of the dense daily count series minimizing total
+    // within-bucket SSE, by exact dynamic programming over prefix sums
+    // — the histogram construction a query optimizer's statistics
+    // module actually runs (equi-width/equi-depth are the cheap
+    // approximations of THIS). SSE terms compose from exact integer
+    // prefix sums with one division each; the DP argmin ties break on
+    // the smallest split point. Corpus work is one day-keyed count;
+    // the DP runs driver-side on the calendar-bounded series; the
+    // oracle unrolls the DP as one CTE layer per bucket count and
+    // backtracks through the argmin columns.
+    Q("q443_voptimal_histogram",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val series = graft.operators.EventOps
+          .dailyCountsDense(Tables.events(s, d))
+          .orderBy("day").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val n = series.length
+        val sPre = new Array[Long](n + 1)
+        val qPre = new Array[Long](n + 1)
+        for (i <- 1 to n) {
+          sPre(i) = sPre(i - 1) + series(i - 1)._2
+          qPre(i) = qPre(i - 1) + series(i - 1)._2 * series(i - 1)._2
+        }
+        def sse(a: Int, b: Int): Double = {
+          val sd = (sPre(b) - sPre(a - 1)).toDouble
+          (qPre(b) - qPre(a - 1)).toDouble - sd * sd / (b - a + 1)
+        }
+        val kB = 4
+        // e(k)(i) = min SSE of days 1..i in k buckets; bk = argmin j
+        val e = Array.ofDim[Double](kB + 1, n + 1)
+        val bk = Array.ofDim[Int](kB + 1, n + 1)
+        for (i <- 1 to n) e(1)(i) = sse(1, i)
+        for (k <- 2 to kB; i <- k to n) {
+          var best = Double.MaxValue; var bj = -1
+          for (j <- k - 1 to i - 1) {
+            val v = e(k - 1)(j) + sse(j + 1, i)
+            if (v < best) { best = v; bj = j }
+          }
+          e(k)(i) = best; bk(k)(i) = bj
+        }
+        val j3 = bk(4)(n); val j2 = bk(3)(j3); val j1 = bk(2)(j2)
+        val cuts = Seq((1, j1), (j1 + 1, j2), (j2 + 1, j3), (j3 + 1, n))
+        def q4(x: Double) = math.round(x * 1e4) / 1e4.toDouble
+        cuts.zipWithIndex.map { case ((a, b), i) =>
+          (i + 1, series(a - 1)._1, series(b - 1)._1, (b - a + 1).toLong,
+            q4(sse(a, b)))
+        }.toDF("bucket", "start_day", "end_day", "n_days", "sse")
+          .select(col("bucket").cast("int").as("bucket"),
+            col("start_day"), col("end_day"), col("n_days"), col("sse"))
+          .orderBy("bucket")
+      },
+      Some {
+        def layer(k: Int) =
+          s"""e$k AS MATERIALIZED (SELECT i, v, b FROM (
+             |    SELECT cur.i, prev.v + ss.v AS v, prev.i AS b,
+             |      row_number() OVER (PARTITION BY cur.i
+             |        ORDER BY prev.v + ss.v, prev.i) AS rn
+             |    FROM ix cur
+             |    JOIN e${k - 1} prev ON prev.i BETWEEN ${k - 1}
+             |      AND cur.i - 1
+             |    JOIN ss ON ss.a = prev.i + 1 AND ss.b = cur.i
+             |    WHERE cur.i >= $k) WHERE rn = 1)""".stripMargin
+        s"""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           |    count(*) AS c FROM events GROUP BY 1),
+           |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM c),
+           |dn AS (SELECT row_number() OVER (ORDER BY gs.day) AS i,
+           |    gs.day, coalesce(c.c, 0) AS c
+           |  FROM (SELECT unnest(generate_series(mn, mx)) AS day
+           |        FROM bd) gs
+           |  LEFT JOIN c USING (day)),
+           |ix AS (SELECT i FROM dn),
+           |pf AS (SELECT i, day,
+           |    sum(c) OVER (ORDER BY i) AS s,
+           |    sum(c * c) OVER (ORDER BY i) AS q
+           |  FROM dn),
+           |p0 AS (SELECT 0 AS i, CAST(0 AS HUGEINT) AS s,
+           |    CAST(0 AS HUGEINT) AS q
+           |  UNION ALL SELECT i, CAST(s AS HUGEINT), CAST(q AS HUGEINT)
+           |  FROM pf),
+           |ss AS MATERIALIZED (SELECT lo.i + 1 AS a, hi.i AS b,
+           |    CAST(hi.q - lo.q AS DOUBLE)
+           |      - CAST(hi.s - lo.s AS DOUBLE)
+           |        * CAST(hi.s - lo.s AS DOUBLE)
+           |        / CAST(hi.i - lo.i AS DOUBLE) AS v
+           |  FROM p0 lo JOIN p0 hi ON hi.i > lo.i),
+           |e1 AS (SELECT b AS i, v, 0 AS b FROM (
+           |    SELECT ss.b, ss.v FROM ss WHERE ss.a = 1)),
+           |${layer(2)},
+           |${layer(3)},
+           |${layer(4)},
+           |n0 AS (SELECT max(i) AS n FROM ix),
+           |p4 AS (SELECT e4.b AS j3 FROM e4 JOIN n0 ON e4.i = n0.n),
+           |p3 AS (SELECT e3.b AS j2 FROM e3 JOIN p4 ON e3.i = p4.j3),
+           |p2 AS (SELECT e2.b AS j1 FROM e2 JOIN p3 ON e2.i = p3.j2),
+           |cuts AS (
+           |  SELECT 1 AS bucket, 1 AS a, j1 AS b FROM p2
+           |  UNION ALL SELECT 2, j1 + 1, j2 FROM p2 CROSS JOIN p3
+           |  UNION ALL SELECT 3, j2 + 1, j3 FROM p3 CROSS JOIN p4
+           |  UNION ALL SELECT 4, j3 + 1, n FROM p4 CROSS JOIN n0)
+           |SELECT CAST(cuts.bucket AS INT) AS bucket,
+           |  da.day AS start_day, db.day AS end_day,
+           |  CAST(cuts.b - cuts.a + 1 AS BIGINT) AS n_days,
+           |  round(ss.v * 10000.0) / 10000.0 AS sse
+           |FROM cuts JOIN ss ON ss.a = cuts.a AND ss.b = cuts.b
+           |JOIN dn da ON da.i = cuts.a
+           |JOIN dn db ON db.i = cuts.b
+           |ORDER BY bucket""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
