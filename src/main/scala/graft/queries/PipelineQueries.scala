@@ -16779,7 +16779,56 @@ object PipelineQueries {
            |JOIN dn da ON da.i = cuts.a
            |JOIN dn db ON db.i = cuts.b
            |ORDER BY bucket""".stripMargin
-      }))
+      }),
+
+    // ---- Sorted-neighborhood entity resolution (Hernández-Stolfo
+    // 1995): sort the name dictionary, pair each name with its next 4
+    // sort neighbors, verify levenshtein ≤ 3 — the blocking strategy
+    // ORTHOGONAL to q118's first-token blocks (prefix typos break
+    // token blocking but not sort adjacency, and vice versa; the
+    // found_by_token_block column shows exactly which pairs each
+    // strategy contributes). Candidate mass is strictly W·n. The sort
+    // window runs on the q177/q180 spillable-sort contract; the
+    // production 100 TB form range-partitions the sort key with a
+    // W-row boundary overlap (same results, noted here).
+    Q("q444_sorted_neighborhood_er",
+      (s, d) => {
+        val names = t(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("id"))
+          .select(col("id"), col("p_name").as("name"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("name")
+        val nbrCols = (1 to 4).map(k =>
+          struct(lead(col("id"), k).over(w).as("id"),
+            lead(col("name"), k).over(w).as("name")).as(s"n$k"))
+        val withNext = names.select(
+          Seq(col("id"), col("name")) ++ nbrCols: _*)
+        val cand = withNext.select(col("id"), col("name"),
+            explode(array((1 to 4).map(k => col(s"n$k")): _*)).as("nb"))
+          .where(col("nb.id").isNotNull)
+        cand.where(levenshtein(col("name"), col("nb.name")) <= 3)
+          .select(least(col("id"), col("nb.id")).as("id_a"),
+            greatest(col("id"), col("nb.id")).as("id_b"),
+            levenshtein(col("name"), col("nb.name")).cast("long")
+              .as("dist"),
+            (element_at(split(col("name"), " "), 1) ===
+              element_at(split(col("nb.name"), " "), 1))
+              .as("found_by_token_block"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name
+             |  FROM part GROUP BY p_name),
+             |sn AS (SELECT id, name, row_number() OVER (ORDER BY name)
+             |    AS rn FROM names),
+             |cand AS (SELECT a.id AS ia, a.name AS na, b.id AS ib,
+             |    b.name AS nb
+             |  FROM sn a JOIN sn b ON b.rn BETWEEN a.rn + 1
+             |    AND a.rn + 4)
+             |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+             |  CAST(levenshtein(na, nb) AS BIGINT) AS dist,
+             |  string_split(na, ' ')[1] = string_split(nb, ' ')[1]
+             |    AS found_by_token_block
+             |FROM cand WHERE levenshtein(na, nb) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
