@@ -104,12 +104,21 @@ object Pca {
         sum(col("cnt")).as("n"))
   }
 
-  /** Covariance table (i, j, cov) for i <= j from [[moments]], composed
-    * exactly as the oracle writes it:
+  /** Merge moment tables from independent corpus slices: the lane sums
+    * are exact decimal integers, so addition is associative and
+    * merge(moments(A), moments(B)) == moments(A ∪ B) BIT-FOR-BIT — the
+    * property that makes the PCA front-end incrementally maintainable
+    * (absorb a new ingest batch without rescanning history; the q72 /
+    * q145 mergeable-state contract applied to the model pipeline). */
+  def mergeMoments(ms: DataFrame*): DataFrame =
+    ms.reduce(_ unionAll _).groupBy("i", "j")
+      .agg(sum(col("spp")).as("spp"), sum(col("sx")).as("sx"),
+        sum(col("n")).as("n"))
+
+  /** Covariance table (i, j, cov) for i <= j from a [[moments]] table,
+    * composed exactly as the oracle writes it:
     * cov = (spp/10⁸)/n − ((sx_i/10⁴)/n)·((sx_j/10⁴)/n). */
-  def covariance(vecs: DataFrame, d: Int,
-      vecCol: String = "embedding"): DataFrame = {
-    val m = moments(vecs, d, vecCol)
+  def covarianceFromMoments(m: DataFrame): DataFrame = {
     val diag = m.where(col("i") === col("j"))
       .select(col("i").as("k"), col("sx").cast("double").as("sxd"))
     val qd = Quantum.toDouble
@@ -122,6 +131,10 @@ object Pca {
           - ((col("sxi") / qd) / col("n")) * ((col("sxj") / qd) / col("n")))
           .as("cov"))
   }
+
+  def covariance(vecs: DataFrame, d: Int,
+      vecCol: String = "embedding"): DataFrame =
+    covarianceFromMoments(moments(vecs, d, vecCol))
 
   /** Pearson correlation matrix from the SAME one-pass exact moment
     * sums as [[covariance]]: corr(i,j) = cov(i,j)/√(var_i·var_j), the

@@ -16828,7 +16828,35 @@ object PipelineQueries {
              |  string_split(na, ' ')[1] = string_split(nb, ' ')[1]
              |    AS found_by_token_block
              |FROM cand WHERE levenshtein(na, nb) <= 3
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Incremental PCA maintenance: the covariance REBUILT from
+    // MERGED moment tables of two disjoint corpus slices (history +
+    // new ingest batch) — the moment lanes are exact decimal integer
+    // sums, so merge(moments(A), moments(B)) == moments(A∪B)
+    // bit-for-bit and the merged-path covariance must hash-match the
+    // full recompute. The oracle IS q160's full-corpus covariance
+    // chain, which is exactly the point: absorbing a batch without
+    // rescanning history changes nothing. (The q72/q145
+    // mergeable-state contract applied to the model pipeline.)
+    Q("q445_pca_incremental",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val merged = graft.operators.Pca.mergeMoments(
+          graft.operators.Pca.moments(
+            emb.where(col("vec_id") % 4 =!= 0), 64),
+          graft.operators.Pca.moments(
+            emb.where(col("vec_id") % 4 === 0), 64))
+        graft.operators.Pca.covarianceFromMoments(merged)
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"),
+            (round(col("cov") * 100000000.0) / 100000000.0).as("cov"))
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH ${pcaCtes(64, 0, 0)}
+              |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              |  round(c*100000000.0)/100000000.0 AS cov
+              |FROM cov ORDER BY i, j""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
