@@ -83,6 +83,37 @@ object QualityClassifier {
     * w = 0 over `labeled` (needs `labelCol` ∈ {0,1} and `textCol`).
     * Returns the weight vector. `lr` must be a binary fraction for exact
     * cross-engine arithmetic. Deterministic under any partitioning. */
+  /** Like [[train]], but returns the weight vector AFTER EVERY GD
+    * round (w₁ … w_iters) — the training-trajectory view dataset
+    * cartography needs (per-doc confidence across checkpoints). Same
+    * arithmetic as train; the last element equals train's result. */
+  def trainRounds(labeled: DataFrame, labelCol: String = "y",
+      iters: Int = 3, lr: Double = 0.25,
+      textCol: String = "text"): Seq[Array[Double]] = {
+    val k = FeatureNames.size
+    val fx = labeled.select(col(labelCol).cast("long").as("y"),
+      featuresQ(col(textCol)).as("xq")).localCheckpoint()
+    val n = fx.count()
+    require(n > 0, "logreg training set is empty")
+    var w = Array.fill(k)(0.0)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (_ <- 1 to iters) {
+      val sq = round(lit(1.0) / (lit(1.0) + exp(-zCol(w, col("xq")))) *
+        Quantum.toDouble).cast("long")
+      val gCols = (0 until k).map(j =>
+        sum((sq - col("y") * Quantum).cast("decimal(38,0)") *
+          element_at(col("xq"), j + 1).cast("decimal(38,0)")).as(s"g$j"))
+      val g = fx.agg(gCols.head, gCols.tail: _*).collect().head
+      w = Array.tabulate(k) { j =>
+        val gd = g.getDecimal(j).doubleValue()
+        w(j) - lr * ((gd / (Quantum.toDouble * Quantum.toDouble)) / n)
+      }
+      hist += w.clone()
+    }
+    fx.unpersist()
+    hist.toSeq
+  }
+
   def train(labeled: DataFrame, labelCol: String = "y", iters: Int = 3,
       lr: Double = 0.25, textCol: String = "text"): Array[Double] = {
     val k = FeatureNames.size
@@ -109,6 +140,20 @@ object QualityClassifier {
     }
     fx.unpersist()
     w
+  }
+
+  /** Per-doc score under EVERY checkpoint model in ONE scan-speed
+    * projection (columns s1..sN, each the q159 rounded sigmoid with
+    * that round's weights baked in as literals) — the input to dataset
+    * cartography. */
+  def scoreTrajectory(docs: DataFrame, ws: Seq[Array[Double]],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val xq = featureColsQ(col(textCol))
+    val cols = ws.zipWithIndex.map { case (w, r) =>
+      (round(lit(1.0) / (lit(1.0) + exp(-zFromCols(w, xq)))
+        * 1000000.0) / 1000000.0).as(s"s${r + 1}")
+    }
+    docs.select(col(idCol) +: cols: _*)
   }
 
   /** Per-doc quality score σ(w·x) rounded to 1e-6 (the q29 convention)

@@ -16856,7 +16856,79 @@ object PipelineQueries {
       Some(s"""WITH ${pcaCtes(64, 0, 0)}
               |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
               |  round(c*100000000.0)/100000000.0 AS cov
-              |FROM cov ORDER BY i, j""".stripMargin)))
+              |FROM cov ORDER BY i, j""".stripMargin)),
+
+    // ---- Dataset cartography (Swayamdipta et al. 2020): per-doc mean
+    // CONFIDENCE and VARIABILITY across the classifier's training
+    // checkpoints — easy-to-learn (high mean, low std), hard-to-learn
+    // (low mean, low std) and ambiguous (high std) bands, the map that
+    // decides which training examples to keep, relabel or inspect. The
+    // three GD checkpoints come from trainRounds (same arithmetic as
+    // q158, every round's weights captured); all three scores land in
+    // ONE scan-speed projection with the models as literals; bands cut
+    // on the ROUNDED statistics for a deterministic boundary (the
+    // paper's ABSOLUTE thresholds — a 3-round distilled model
+    // concentrates near ½, q178's young-model band note, so this
+    // corpus maps to 'middle' and the conf columns carry the map;
+    // longer training spreads the bands). Oracle:
+    // the logregCtes rounds expose every checkpoint (w1_/w2_/w3_) —
+    // the same three sigmoids, statistics and cuts replayed.
+    Q("q446_dataset_cartography",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ws = graft.operators.QualityClassifier.trainRounds(
+          docs.where(col("doc_id") % 3 === 0).withColumn("y",
+            (graft.operators.TextAnalysis.qualityScore(col("text"))
+              >= 0.9).cast("long")),
+          iters = 3, lr = 0.25)
+        val sc = graft.operators.QualityClassifier
+          .scoreTrajectory(docs, ws)
+        val mraw = (col("s1") + col("s2") + col("s3")) / 3.0
+        val vraw = ((col("s1") - mraw) * (col("s1") - mraw) +
+          (col("s2") - mraw) * (col("s2") - mraw) +
+          (col("s3") - mraw) * (col("s3") - mraw)) / 3.0
+        sc.select(col("doc_id"), col("s1"), col("s2"), col("s3"),
+            (round(mraw * 1000000.0) / 1000000.0).as("conf_mean"),
+            (round(sqrt(vraw) * 1000000.0) / 1000000.0).as("conf_std"))
+          .select(col("doc_id"), col("s1"), col("s2"), col("s3"),
+            col("conf_mean"), col("conf_std"),
+            when(col("conf_std") >= 0.1, "ambiguous")
+              .when(col("conf_mean") >= 0.7, "easy")
+              .when(col("conf_mean") <= 0.3, "hard")
+              .otherwise("middle").as("band"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def sig(r: Int) =
+          s"""round(1.0/(1.0 + exp(-(r$r.w1*(x1/1000000.0)
+             |      + r$r.w2*(x2/1000000.0) + r$r.w3*(x3/1000000.0)
+             |      + r$r.w4*(x4/1000000.0) + r$r.w5*(x5/1000000.0))))
+             |      * 1000000.0)/1000000.0""".stripMargin
+        s"""WITH ${logregCtes(3)},
+           |sc AS (SELECT doc_id,
+           |    ${sig(1)} AS s1,
+           |    ${sig(2)} AS s2,
+           |    ${sig(3)} AS s3
+           |  FROM fx CROSS JOIN w1_ r1 CROSS JOIN w2_ r2
+           |  CROSS JOIN w3_ r3),
+           |st AS (SELECT doc_id, s1, s2, s3,
+           |    round((s1 + s2 + s3) / 3.0 * 1000000.0) / 1000000.0
+           |      AS conf_mean,
+           |    round(sqrt(((s1 - (s1 + s2 + s3) / 3.0)
+           |        * (s1 - (s1 + s2 + s3) / 3.0)
+           |      + (s2 - (s1 + s2 + s3) / 3.0)
+           |        * (s2 - (s1 + s2 + s3) / 3.0)
+           |      + (s3 - (s1 + s2 + s3) / 3.0)
+           |        * (s3 - (s1 + s2 + s3) / 3.0)) / 3.0)
+           |      * 1000000.0) / 1000000.0 AS conf_std
+           |  FROM sc)
+           |SELECT doc_id, s1, s2, s3, conf_mean, conf_std,
+           |  CASE WHEN conf_std >= 0.1 THEN 'ambiguous'
+           |    WHEN conf_mean >= 0.7 THEN 'easy'
+           |    WHEN conf_mean <= 0.3 THEN 'hard'
+           |    ELSE 'middle' END AS band
+           |FROM st ORDER BY doc_id""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
