@@ -142,6 +142,15 @@ object QualityClassifier {
     w
   }
 
+  /** Per-doc raw logit z = w·x rounded 1e-6 — the pre-sigmoid surface
+    * temperature scaling rescales. Scan-speed literal-model
+    * projection like [[score]]. */
+  def logits(docs: DataFrame, w: Array[Double], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      (round(zFromCols(w, featureColsQ(col(textCol))) * 1000000.0)
+        / 1000000.0).as("z"))
+
   /** Per-doc score under EVERY checkpoint model in ONE scan-speed
     * projection (columns s1..sN, each the q159 rounded sigmoid with
     * that round's weights baked in as literals) — the input to dataset

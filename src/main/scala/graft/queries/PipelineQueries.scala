@@ -16928,7 +16928,82 @@ object PipelineQueries {
            |    WHEN conf_mean <= 0.3 THEN 'hard'
            |    ELSE 'middle' END AS band
            |FROM st ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- Temperature scaling (Guo et al. 2017): the one-parameter
+    // post-hoc calibration tune — rescale the trained classifier's
+    // logits by T ∈ {0.5, 1, 2} and pick the T minimizing held-out
+    // NLL. Complements the calibration MEASUREMENTS (reliability q178,
+    // ECE q370, isotonic q272) with the standard FIX. Logits round
+    // 1e-6 (one literal-model scan), the sigmoid quantizes 1e-6 and
+    // clamps before the 1e-8-quantized ln, so the per-T sums are exact
+    // integers; argmin ties on the smaller T.
+    Q("q447_temperature_scaling",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = t(s, d, "documents")
+        val zs = graft.operators.QualityClassifier
+          .logits(docs.where(col("doc_id") % 3 =!= 0),
+            logregModel(docs))
+        val y = docs.select(col("doc_id"),
+          (graft.operators.TextAnalysis.qualityScore(col("text"))
+            >= 0.9).cast("long").as("y"))
+        val g = zs.join(y, "doc_id")
+          .select(col("z"), col("y"),
+            explode(array(lit(0.5), lit(1.0), lit(2.0))).as("tt"))
+        val sigq = {
+          val s0 = round(lit(1.0) / (lit(1.0)
+            + exp(-(col("z") / col("tt")))) * 1000000.0) / 1000000.0
+          greatest(least(s0, lit(0.999999)), lit(0.000001))
+        }
+        def qln8(c: org.apache.spark.sql.Column) =
+          round(log(c) * 100000000.0).cast(dec)
+        val nll = g.select(col("tt"),
+            (col("y").cast(dec) * qln8(sigq) +
+              (lit(1L) - col("y")).cast(dec) *
+                qln8(lit(1.0) - sigq)).as("term"))
+          .groupBy("tt").agg((-sum(col("term"))).as("s"),
+            count(lit(1)).cast("long").as("n"))
+          .select(col("tt").as("temperature"),
+            (round(col("s").cast("double") / 100000000.0
+              / col("n").cast("double") * 1000000.0) / 1000000.0)
+              .as("nll"))
+          .localCheckpoint()
+        val best = nll.orderBy(col("nll"), col("temperature")).limit(1)
+          .select(col("temperature").as("bt"))
+        nll.join(broadcast(best))
+          .select(col("temperature"), col("nll"),
+            (col("temperature") === col("bt")).as("chosen"))
+          .orderBy("temperature")
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |zz AS (SELECT doc_id,
+              |    round((w1*(x1/1000000.0) + w2*(x2/1000000.0)
+              |      + w3*(x3/1000000.0) + w4*(x4/1000000.0)
+              |      + w5*(x5/1000000.0)) * 1000000.0) / 1000000.0 AS z,
+              |    y
+              |  FROM fx CROSS JOIN wfin WHERE doc_id % 3 <> 0),
+              |g AS (SELECT z, y, unnest([0.5, 1.0, 2.0]) AS tt FROM zz),
+              |sg AS (SELECT tt, y,
+              |    greatest(least(round(1.0/(1.0 + exp(-(z / tt)))
+              |      * 1000000.0) / 1000000.0, 0.999999), 0.000001) AS sq
+              |  FROM g),
+              |nl AS (SELECT tt,
+              |    -sum(CAST(y AS HUGEINT)
+              |        * CAST(round(ln(sq) * 100000000.0) AS HUGEINT)
+              |      + CAST(1 - y AS HUGEINT)
+              |        * CAST(round(ln(1.0 - sq) * 100000000.0)
+              |          AS HUGEINT)) AS s,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM sg GROUP BY tt),
+              |res AS (SELECT tt AS temperature,
+              |    round(CAST(s AS DOUBLE) / 100000000.0
+              |      / CAST(n AS DOUBLE) * 1000000.0) / 1000000.0 AS nll
+              |  FROM nl),
+              |bt AS (SELECT temperature AS bt FROM res
+              |  ORDER BY nll, temperature LIMIT 1)
+              |SELECT temperature, nll, temperature = bt AS chosen
+              |FROM res CROSS JOIN bt ORDER BY temperature""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
