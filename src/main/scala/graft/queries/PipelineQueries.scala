@@ -17003,7 +17003,151 @@ object PipelineQueries {
               |bt AS (SELECT temperature AS bt FROM res
               |  ORDER BY nll, temperature LIMIT 1)
               |SELECT temperature, nll, temperature = bt AS chosen
-              |FROM res CROSS JOIN bt ORDER BY temperature""".stripMargin)))
+              |FROM res CROSS JOIN bt ORDER BY temperature""".stripMargin)),
+
+    // ---- Rank-biased overlap (Webber et al. 2010, p = 0.9, truncated
+    // at depth 20) between the engine's two retrieval models — BM25
+    // (q98) and query-likelihood Dirichlet (q216) on the same query:
+    // the top-weighted list-agreement metric that, unlike Kendall/
+    // Spearman (q308/q309), weights rank 1 disagreements most and
+    // handles non-conjoint lists. The p-power weights are ONE literal
+    // table computed driver-side and embedded verbatim in the oracle
+    // (the q418 DCT-table pattern), so both engines fold identical
+    // doubles. Lists are model-sized (top-20 collects); the retrieval
+    // chains are the proven q98/q216 plans.
+    Q("q449_rbo_rankings",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = t(s, d, "documents")
+        val qt = Seq("spark", "window", "vector")
+        val la = graft.operators.TrainingPrep.bm25(docs, qt, topK = 20)
+          .select("doc_id").collect().map(_.getLong(0))
+        val lb = graft.operators.TrainingPrep
+          .qlDirichlet(docs, qt, topK = 20)
+          .select("doc_id").collect().map(_.getLong(0))
+        val rb = lb.zipWithIndex.toMap
+        val p = 0.9
+        val pw = Array.iterate(1.0, 20)(_ * p)
+        var rbo = 0.0
+        for (dep <- 1 to 20) {
+          val ov = la.take(dep).count(x => rb.getOrElse(x, 99) < dep)
+          rbo += (1 - p) * pw(dep - 1) * ov.toDouble / dep
+        }
+        val inter = la.count(rb.contains)
+        def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+        Seq((20L, inter.toLong,
+            r6(inter.toDouble / (40 - inter).toDouble), r6(rbo)))
+          .toDF("depth", "overlap_at_k", "jaccard_at_k", "rbo")
+      },
+      Some {
+        val p = 0.9
+        val pw = Array.iterate(1.0, 20)(_ * p)
+        val vals = (1 to 20).map(dep => s"($dep, ${pw(dep - 1)})")
+          .mkString(", ")
+        s"""WITH px(d, w) AS (VALUES $vals),
+           |da AS (SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents),
+           |sa AS (SELECT avg(len(w)) AS avgdl,
+           |    CAST(count(*) AS DOUBLE) AS n FROM da),
+           |tfa AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+           |    any_value(dl) AS dl
+           |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term
+           |        FROM da)
+           |  WHERE term IN ('spark', 'window', 'vector')
+           |  GROUP BY doc_id, term),
+           |dfa AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa
+           |  GROUP BY term),
+           |la0 AS (SELECT doc_id,
+           |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+           |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+           |      AS score
+           |  FROM tfa JOIN dfa USING (term), sa
+           |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+           |la AS (SELECT doc_id, row_number()
+           |    OVER (ORDER BY score DESC, doc_id) AS r FROM la0),
+           |dlb AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM da),
+           |totb AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS total FROM da),
+           |tmb AS (SELECT doc_id, term FROM
+           |    (SELECT doc_id, unnest(w) AS term FROM da)
+           |  WHERE term IN ('spark', 'window', 'vector')),
+           |cfb AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM tmb
+           |  GROUP BY term),
+           |tfb AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM tmb GROUP BY 1, 2),
+           |p1b AS (SELECT doc_id,
+           |    sum(ln(1.0 + tf / (2000.0 * (cf / total)))) AS s
+           |  FROM tfb JOIN cfb USING (term), totb GROUP BY doc_id),
+           |lb0 AS (SELECT dlb.doc_id,
+           |    round(coalesce(s, 0.0)
+           |      + 3.0 * ln(2000.0 / (dl + 2000.0)), 4) AS score
+           |  FROM dlb LEFT JOIN p1b USING (doc_id)
+           |  ORDER BY score DESC, dlb.doc_id LIMIT 20),
+           |lb AS (SELECT doc_id, row_number()
+           |    OVER (ORDER BY score DESC, doc_id) AS r FROM lb0),
+           |mm0 AS (SELECT la.r AS ra, lb.r AS rb FROM la JOIN lb
+           |  USING (doc_id)),
+           |ov AS (SELECT px.d, px.w, count(mm0.ra) AS o FROM px
+           |  LEFT JOIN mm0 ON mm0.ra <= px.d AND mm0.rb <= px.d
+           |  GROUP BY px.d, px.w),
+           |res AS (SELECT round(sum((1.0 - 0.9) * w
+           |    * CAST(o AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000.0)
+           |    / 1000000.0 AS rbo FROM ov),
+           |io AS (SELECT CAST(count(*) AS BIGINT) AS inter FROM mm0)
+           |SELECT CAST(20 AS BIGINT) AS depth, inter AS overlap_at_k,
+           |  round(CAST(inter AS DOUBLE)
+           |    / CAST(40 - inter AS DOUBLE) * 1000000.0) / 1000000.0
+           |    AS jaccard_at_k,
+           |  res.rbo
+           |FROM io CROSS JOIN res""".stripMargin
+      }),
+
+    // ---- Class-balanced reweighting (Cui et al. 2019): per-language
+    // sampling weights from the EFFECTIVE number of samples
+    // E_c = (1−β^{n_c})/(1−β), β = 0.999 — the re-balancing between
+    // naive inverse-frequency (over-corrects) and none at all, the
+    // training-mix input next to temperature mixing (q111). β^n
+    // composes as exp(n·ln β) with the ln 1e-8-quantized and the
+    // power re-quantized 1e-8, identical both engines; weights
+    // normalize to sum to the class count. Model-sized end to end
+    // after one class-count aggregation.
+    Q("q448_class_balanced_weights",
+      (s, d) => {
+        val cnts = t(s, d, "documents").groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .localCheckpoint()
+        val lnB = round(log(lit(0.999)) * 100000000.0) / 100000000.0
+        val bpow = round(exp(col("n_docs").cast("double") * lnB)
+          * 100000000.0) / 100000000.0
+        val raw = (lit(1.0) - lit(0.999)) / (lit(1.0) - bpow)
+        val withRaw = cnts.select(col("lang"), col("n_docs"),
+          bpow.as("beta_pow"), raw.as("raw"))
+        val tot = withRaw.agg(sum(col("raw")).as("sraw"),
+          count(lit(1)).cast("long").as("k"))
+        withRaw.join(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            (round(col("beta_pow") * 1000000.0) / 1000000.0)
+              .as("beta_pow"),
+            (round(col("raw") * col("k").cast("double") / col("sraw")
+              * 1000000.0) / 1000000.0).as("weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT)
+             |    AS n_docs FROM documents GROUP BY lang),
+             |w0 AS (SELECT lang, n_docs,
+             |    round(exp(CAST(n_docs AS DOUBLE)
+             |      * (round(ln(0.999) * 100000000.0) / 100000000.0))
+             |      * 100000000.0) / 100000000.0 AS beta_pow
+             |  FROM c),
+             |w1 AS (SELECT lang, n_docs, beta_pow,
+             |    (1.0 - 0.999) / (1.0 - beta_pow) AS raw FROM w0),
+             |tt AS (SELECT sum(raw) AS sraw,
+             |    CAST(count(*) AS BIGINT) AS k FROM w1)
+             |SELECT lang, n_docs,
+             |  round(beta_pow * 1000000.0) / 1000000.0 AS beta_pow,
+             |  round(raw * CAST(k AS DOUBLE) / sraw * 1000000.0)
+             |    / 1000000.0 AS weight
+             |FROM w1 CROSS JOIN tt ORDER BY lang""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
