@@ -17147,7 +17147,156 @@ object PipelineQueries {
              |  round(beta_pow * 1000000.0) / 1000000.0 AS beta_pow,
              |  round(raw * CAST(k AS DOUBLE) / sraw * 1000000.0)
              |    / 1000000.0 AS weight
-             |FROM w1 CROSS JOIN tt ORDER BY lang""".stripMargin)))
+             |FROM w1 CROSS JOIN tt ORDER BY lang""".stripMargin)),
+
+    // ---- Curation pipeline v7 (this wave's gates composed): artifact
+    // battery (q422 keep) → quality classifier (q158 keep) → exact
+    // dedup keeper (q20) → class-balanced target mix (q448 weights FIT
+    // ON THE SURVIVORS, the v3 refit discipline) with the expected
+    // post-sampling count per language. Per-language stage counts from
+    // ONE conditional-sum aggregation; every stage in its proven form;
+    // oracle composes the island-SQL artifact chain, the logreg
+    // rounds, min-id dedup and the weight formula end-to-end.
+    Q("q450_pipeline_v7",
+      (s, d) => {
+        val bad = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]"
+        val block = Seq("free", "click", "subscribe", "winner")
+        val docs = t(s, d, "documents")
+        val run = aggregate(col("w"),
+          named_struct(lit("prev"), lit(""), lit("cur"), lit(0L),
+            lit("best"), lit(0L)),
+          (acc, x) => {
+            val cur = when(x === acc.getField("prev"),
+              acc.getField("cur") + 1).otherwise(lit(1L))
+            named_struct(lit("prev"), x, lit("cur"), cur,
+              lit("best"), greatest(acc.getField("best"), cur))
+          },
+          acc => acc.getField("best"))
+        val art = docs
+          .select(col("doc_id"), col("lang"), col("text"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            (run <= 4 &&
+              (length(col("text")) - length(regexp_replace(col("text"),
+                bad, ""))) === 0 &&
+              size(filter(col("w"), x => x.isin(block: _*))) <= 2)
+              .as("a_keep"))
+        // ABOVE-MEAN keep (the q300 rule): the young model's scores sit
+        // just under ½, so the absolute 0.5 gate would empty the corpus
+        val sc0 = graft.operators.QualityClassifier
+          .score(docs, logregModel(docs))
+          .select(col("doc_id"), col("score"))
+        val mrow = sc0.agg((round(avg(col("score")) * 1000000.0)
+          / 1000000.0).as("ms"))
+        val sc = sc0.join(broadcast(mrow))
+          .select(col("doc_id"), (col("score") > col("ms")).as("q_keep"))
+        val staged = art.join(sc, "doc_id")
+          .withColumn("aq", col("a_keep") && col("q_keep"))
+          .localCheckpoint()
+        val keepers = staged.where(col("aq"))
+          .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("d_keep"))
+        val fin = staged.join(keepers, Seq("doc_id"), "left")
+          .select(col("lang"), col("a_keep"), col("aq"),
+            coalesce(col("d_keep"), lit(false)).as("dk"))
+        val per = fin.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_raw"),
+          sum(when(col("a_keep"), 1L).otherwise(0L)).cast("long")
+            .as("n_artifact"),
+          sum(when(col("aq"), 1L).otherwise(0L)).cast("long")
+            .as("n_quality"),
+          sum(when(col("dk"), 1L).otherwise(0L)).cast("long")
+            .as("n_dedup"))
+          .localCheckpoint()
+        val lnB = round(log(lit(0.999)) * 100000000.0) / 100000000.0
+        val bpow = round(exp(col("n_dedup").cast("double") * lnB)
+          * 100000000.0) / 100000000.0
+        // an empty class would make β^0 = 1 → 0-division: weightless
+        val raw = when(col("n_dedup") > 0,
+          (lit(1.0) - lit(0.999)) / (lit(1.0) - bpow)).otherwise(lit(0.0))
+        val withRaw = per.withColumn("raw", raw)
+        val tot = withRaw.agg(sum(col("raw")).as("sraw"),
+          count(lit(1)).cast("long").as("k"))
+        withRaw.join(broadcast(tot))
+          .select(col("lang"), col("n_raw"), col("n_artifact"),
+            col("n_quality"), col("n_dedup"),
+            when(col("sraw") > 0,
+              round(col("raw") * col("k").cast("double") / col("sraw")
+                * 1000000.0) / 1000000.0).as("cb_weight"),
+            when(col("sraw") > 0,
+              round(col("raw") * col("k").cast("double") / col("sraw")
+                * col("n_dedup").cast("double")).cast("long"))
+              .as("target_n"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${logregCtes(3)},
+              |wtok AS (SELECT doc_id, string_split(text, ' ') AS w
+              |  FROM documents),
+              |tk2 AS (SELECT doc_id,
+              |    unnest([{'i': i, 't': w[i]}
+              |      for i in range(1, len(w) + 1)], recursive := true)
+              |  FROM wtok),
+              |g2 AS (SELECT doc_id, i, t,
+              |    CASE WHEN lag(t) OVER (PARTITION BY doc_id ORDER BY i)
+              |      = t THEN 0 ELSE 1 END AS brk
+              |  FROM tk2),
+              |gi2 AS (SELECT doc_id, i, t,
+              |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              |  FROM g2),
+              |runs AS (SELECT doc_id, max(cnt) AS max_run
+              |  FROM (SELECT doc_id, grp, count(*) AS cnt FROM gi2
+              |        GROUP BY 1, 2) GROUP BY doc_id),
+              |akeep AS (SELECT d.doc_id, d.lang, d.text,
+              |    runs.max_run <= 4
+              |      AND length(d.text) - length(regexp_replace(d.text,
+              |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x{FFFD}]', '',
+              |        'g')) = 0
+              |      AND len(list_filter(string_split(d.text, ' '), x ->
+              |        x IN ('free', 'click', 'subscribe', 'winner')))
+              |        <= 2 AS a_keep
+              |  FROM documents d JOIN runs ON runs.doc_id = d.doc_id),
+              |sc0 AS (SELECT doc_id,
+              |    round(1.0/(1.0 + exp(-(w1*(x1/1000000.0)
+              |      + w2*(x2/1000000.0) + w3*(x3/1000000.0)
+              |      + w4*(x4/1000000.0) + w5*(x5/1000000.0))))
+              |      * 1000000.0)/1000000.0 AS score
+              |  FROM fx CROSS JOIN wfin),
+              |ms AS (SELECT round(avg(score) * 1000000.0) / 1000000.0
+              |    AS ms FROM sc0),
+              |qk AS (SELECT doc_id, score > ms AS q_keep
+              |  FROM sc0 CROSS JOIN ms),
+              |st AS (SELECT a.doc_id, a.lang, a.text, a.a_keep,
+              |    a.a_keep AND qk.q_keep AS aq
+              |  FROM akeep a JOIN qk ON qk.doc_id = a.doc_id),
+              |kp AS (SELECT min(doc_id) AS doc_id FROM st WHERE aq
+              |  GROUP BY text),
+              |fin AS (SELECT st.lang, st.a_keep, st.aq,
+              |    kp.doc_id IS NOT NULL AS dk
+              |  FROM st LEFT JOIN kp ON kp.doc_id = st.doc_id),
+              |per AS (SELECT lang,
+              |    CAST(count(*) AS BIGINT) AS n_raw,
+              |    CAST(sum(CASE WHEN a_keep THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_artifact,
+              |    CAST(sum(CASE WHEN aq THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_quality,
+              |    CAST(sum(CASE WHEN dk THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_dedup
+              |  FROM fin GROUP BY lang),
+              |w0 AS (SELECT per.*,
+              |    CASE WHEN n_dedup > 0 THEN (1.0 - 0.999) / (1.0
+              |      - round(exp(CAST(n_dedup AS DOUBLE)
+              |        * (round(ln(0.999) * 100000000.0) / 100000000.0))
+              |        * 100000000.0) / 100000000.0) ELSE 0.0 END AS raw
+              |  FROM per),
+              |tt AS (SELECT sum(raw) AS sraw,
+              |    CAST(count(*) AS BIGINT) AS k FROM w0)
+              |SELECT lang, n_raw, n_artifact, n_quality, n_dedup,
+              |  CASE WHEN sraw > 0 THEN round(raw * CAST(k AS DOUBLE)
+              |    / sraw * 1000000.0) / 1000000.0 END AS cb_weight,
+              |  CASE WHEN sraw > 0 THEN CAST(round(raw
+              |    * CAST(k AS DOUBLE) / sraw
+              |    * CAST(n_dedup AS DOUBLE)) AS BIGINT) END AS target_n
+              |FROM w0 CROSS JOIN tt ORDER BY lang""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
