@@ -17296,7 +17296,8 @@ object PipelineQueries {
               |  CASE WHEN sraw > 0 THEN CAST(round(raw
               |    * CAST(k AS DOUBLE) / sraw
               |    * CAST(n_dedup AS DOUBLE)) AS BIGINT) END AS target_n
-              |FROM w0 CROSS JOIN tt ORDER BY lang""".stripMargin)))
+              |FROM w0 CROSS JOIN tt ORDER BY lang""".stripMargin),
+      bench = true))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
