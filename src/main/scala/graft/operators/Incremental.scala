@@ -96,4 +96,17 @@ object Incremental {
       version: Long): Array[Long] =
     spark.read.parquet(s"$root/v$version").orderBy("idx")
       .collect().map(_.getLong(1))
+
+  /** The (idx, word) sidecar layout is register-agnostic — the same
+    * versioned parquet carries ANY fixed-width integer register table.
+    * Named aliases for the HLL maintenance flow (q451): registers
+    * merge by element-wise MAX (associative like the bloom OR), so the
+    * loaded sidecar absorbs each batch without rescanning history. */
+  def saveRegisters(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long, regs: Array[Long]): Unit =
+    saveBloomWords(spark, root, version, regs)
+
+  def loadRegisters(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long): Array[Long] =
+    loadBloomWords(spark, root, version)
 }

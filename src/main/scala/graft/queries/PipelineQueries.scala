@@ -17297,7 +17297,95 @@ object PipelineQueries {
               |    * CAST(k AS DOUBLE) / sraw
               |    * CAST(n_dedup AS DOUBLE)) AS BIGINT) END AS target_n
               |FROM w0 CROSS JOIN tt ORDER BY lang""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Disk-maintained HLL register sidecar (q182's durable-sketch
+    // flow applied to cardinality): each run LOADS the versioned
+    // (bucket, M) parquet sidecar, MAX-merges the batch's registers
+    // (associative, exactly like the bloom OR), persists the next
+    // version — batch-proportional forever, durable across JVMs. The
+    // oracle computes the whole-corpus q413 HLL directly and must
+    // match, because register max-merge == rebuild by construction.
+    // Exact distinct joined as the audit column.
+    Q("q451_hll_sidecar",
+      (s, d) => {
+        import graft.operators.Incremental
+        val spark = s
+        import spark.implicits._
+        val root = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-hllside"),
+          java.lang.Integer.toHexString(d.stripSuffix("/").hashCode))
+          .toString
+        val ev = Tables.events(s, d).select(col("user_id"))
+        def regsOf(batch: org.apache.spark.sql.DataFrame): Array[Long] = {
+          val h = graft.expressions.PortableHash.md5Hash60(col("user_id"))
+          val rows = batch
+            .select(h.as("h"))
+            .select(col("h").bitwiseAND(lit(255L)).as("bucket"),
+              shiftright(col("h"), 8).as("rest"))
+            .select(col("bucket"),
+              when(col("rest") === 0, lit(53L))
+                .otherwise(lit(53L) - length(bin(col("rest")))
+                  .cast("long")).as("rho"))
+            .groupBy("bucket").agg(max("rho").as("m"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          Array.tabulate(256)(b => rows.getOrElse(b.toLong, 0L))
+        }
+        // v1: first batch (even users); v2: loaded v1 max-merged with
+        // the odd-user batch — history never rescanned
+        Incremental.saveRegisters(s, root, 1,
+          regsOf(ev.where(col("user_id") % 2 === 0)))
+        val v1 = Incremental.loadRegisters(s, root, 1)
+        val b2 = regsOf(ev.where(col("user_id") % 2 =!= 0))
+        Incremental.saveRegisters(s, root, 2,
+          Array.tabulate(256)(i => math.max(v1(i), b2(i))))
+        val m = Incremental.loadRegisters(s, root, 2)
+        val z = m.map(mi => 1L << (53 - mi)).sum
+        val v = m.count(_ == 0L)
+        val eRaw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+          9007199254740992.0 / z.toDouble
+        val lc = math.round(math.log(256.0 / v.toDouble) * 1e8) / 1e8 *
+          256.0
+        val est = math.round((if (v > 0 && eRaw <= 640.0) lc else eRaw)
+          * 1e4) / 1e4.toDouble
+        val exact = ev.agg(countDistinct(col("user_id")).as("x"))
+          .collect().head.getLong(0)
+        Seq((est, exact,
+            math.round(math.abs(est - exact.toDouble) / exact.toDouble
+              * 1e6) / 1e6.toDouble))
+          .toDF("est", "exact_distinct", "rel_err")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+             |      AS BIGINT) AS h
+             |  FROM events),
+             |reg AS (SELECT h & 255 AS bucket,
+             |    max(CASE WHEN (h >> 8) = 0 THEN 53
+             |        ELSE 53 - length(bin(h >> 8)) END) AS m
+             |  FROM ev GROUP BY 1),
+             |fold AS (SELECT
+             |    CAST(sum(1::BIGINT << (53 - m)) AS HUGEINT)
+             |      + (256 - CAST(count(*) AS HUGEINT))
+             |        * CAST(9007199254740992 AS HUGEINT) AS z,
+             |    256 - count(*) AS v
+             |  FROM reg),
+             |est AS (SELECT
+             |    round(CASE WHEN v > 0
+             |        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |          * 9007199254740992.0 / CAST(z AS DOUBLE) <= 640.0
+             |      THEN round(ln(256.0 / CAST(v AS DOUBLE))
+             |          * 100000000.0) / 100000000.0 * 256.0
+             |      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+             |        * 9007199254740992.0 / CAST(z AS DOUBLE) END
+             |      * 10000.0) / 10000.0 AS est
+             |  FROM fold),
+             |ex AS (SELECT count(DISTINCT user_id) AS exact_distinct
+             |  FROM events)
+             |SELECT est, exact_distinct,
+             |  round(abs(est - CAST(exact_distinct AS DOUBLE))
+             |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
+             |    / 1000000.0 AS rel_err
+             |FROM est CROSS JOIN ex""".stripMargin)))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
