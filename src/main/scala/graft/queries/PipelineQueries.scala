@@ -17385,7 +17385,151 @@ object PipelineQueries {
              |  round(abs(est - CAST(exact_distinct AS DOUBLE))
              |    / CAST(exact_distinct AS DOUBLE) * 1000000.0)
              |    / 1000000.0 AS rel_err
-             |FROM est CROSS JOIN ex""".stripMargin)))
+             |FROM est CROSS JOIN ex""".stripMargin)),
+
+    // ---- ANN tuning curve: recall@10 vs nprobe for the IVF index —
+    // the operating-point table an index deployment publishes (probe 1
+    // cell cheaply at some recall, or 4 at near-exact). Cells from the
+    // q129 Lloyd fit (k = 8, 2 rounds); probe ranking uses the
+    // POSTERIOR cell means of the final assignment (exact integer
+    // sums / counts — self-contained, both engines derive it from the
+    // same relation) with query→cell distances folded in the
+    // kmeansCtes sequential order; candidate and brute top-10s use the
+    // register's rounded-cosine contract with the vid tiebreak.
+    // 3 query vectors × nprobe ∈ {1,2,4}; model-sized collects only.
+    Q("q452_ann_tuning",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val emb = t(s, d, "embeddings")
+        val asg = graft.operators.Clustering
+          .kMeansAssign(emb, k = 8, iters = 2)
+          .select(col("vec_id"), col("cluster")).localCheckpoint()
+        val qcol = expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 10000.0) AS LONG))")
+        val quant = emb.select(col("vec_id"), qcol.as("q"))
+        // posterior cell means: exact integer per-dim sums / count
+        val cents = quant.join(asg, "vec_id")
+          .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+          .select(col("cluster").cast("long").as("cluster"),
+            col("dim").cast("long").as("dim"), col("v"))
+          .groupBy("cluster", "dim")
+          .agg(sum(col("v")).cast("decimal(38,0)").as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("cluster"), col("dim"),
+            (col("sv").cast("double") / col("n").cast("double"))
+              .as("c"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+          }
+        val qvs = quant.where(col("vec_id") < 3)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+          .sortBy(_._1)
+        val dv = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .localCheckpoint()
+        // cosine ranking uses the RAW double query vector (the oracle's
+        // embedding::DOUBLE[]); the quantized form serves only the cell
+        // distances (the e-CTE contract)
+        val qraw = dv.where(col("vec_id") < 3)
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[Double](1).toArray).toMap
+        def top10(df: org.apache.spark.sql.DataFrame,
+            qd: Array[Double]): Set[Long] = {
+          val qlit = array(qd.map(lit(_)): _*)
+          df.select(col("vec_id"),
+              (round(graft.operators.Similarity.cosine(qlit, col("v"))
+                * 1000000.0) / 1000000.0).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+        }
+        val out = for {
+          (qvid, qv) <- qvs.toSeq
+          brute = top10(dv, qraw(qvid))
+          // cells ranked by the kmeansCtes sequential distance fold
+          ranked = cents.toSeq.map { case (c, cv) =>
+            var s0 = 0.0
+            var i = 0
+            while (i < cv.length) {
+              val dd = qv(i).toDouble - cv(i); s0 += dd * dd; i += 1
+            }
+            (c, s0)
+          }.sortBy { case (c, dist) => (dist, c) }.map(_._1)
+          np <- Seq(1, 2, 4)
+        } yield {
+          val cells = ranked.take(np).toSet
+          val cand = dv.join(asg, "vec_id")
+            .where(col("cluster").isin(cells.toSeq.map(Long.box): _*))
+          val nCand = cand.count()
+          val got = top10(cand, qraw(qvid))
+          (qvid, np, nCand,
+            math.round(got.intersect(brute).size.toDouble / 10.0 * 1e4)
+              / 1e4.toDouble)
+        }
+        out.toDF("query_vid", "nprobe", "n_candidates", "recall_at_10")
+          .select(col("query_vid"), col("nprobe").cast("int")
+            .as("nprobe"), col("n_candidates"), col("recall_at_10"))
+          .orderBy("query_vid", "nprobe")
+      },
+      Some {
+        val probes = (for { q <- 0 to 2; np <- Seq(1, 2, 4) }
+          yield s"SELECT $q AS qv, $np AS np").mkString(" UNION ALL ")
+        s"""WITH ${kmeansCtes(8, 2, 64)},
+           |ufin AS (SELECT cid,
+           |    list_reduce(list(q ORDER BY vid),
+           |      (a, b) -> [a[i+1] + b[i+1] for i in range(0, 64)])
+           |      AS sl,
+           |    count(*) AS c
+           |  FROM sfin JOIN e USING (vid) GROUP BY cid),
+           |cf AS (SELECT cid,
+           |    [CAST(x AS DOUBLE) / CAST(c AS DOUBLE) for x in sl]
+           |      AS cl FROM ufin),
+           |pq AS ($probes),
+           |qd AS (SELECT pq.qv, pq.np, cf.cid,
+           |    list_reduce(list_transform(
+           |      [CAST(e.q[i+1] AS DOUBLE) - cf.cl[i+1]
+           |        for i in range(0, 64)], v -> v * v),
+           |      (x, y) -> x + y) AS dist
+           |  FROM pq JOIN e ON e.vid = pq.qv CROSS JOIN cf),
+           |rk AS (SELECT qv, np, cid, row_number() OVER (
+           |    PARTITION BY qv, np ORDER BY dist, cid) AS rn FROM qd),
+           |cells AS (SELECT qv, np, cid FROM rk WHERE rn <= np),
+           |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |qe AS (SELECT pq.qv, pq.np, ev.v AS qvec FROM pq
+           |  JOIN ev ON ev.vec_id = pq.qv),
+           |cand AS (SELECT qe.qv, qe.np, ev.vec_id,
+           |    round(list_cosine_similarity(qe.qvec, ev.v)
+           |      * 1000000.0) / 1000000.0 AS cos
+           |  FROM qe JOIN cells cl ON cl.qv = qe.qv AND cl.np = qe.np
+           |  JOIN sfin s2 ON s2.cid = cl.cid
+           |  JOIN ev ON ev.vec_id = s2.vid),
+           |ct AS (SELECT qv, np, vec_id, row_number() OVER (
+           |    PARTITION BY qv, np ORDER BY cos DESC, vec_id) AS rn
+           |  FROM (SELECT DISTINCT qv, np, vec_id, cos FROM cand)),
+           |nc AS (SELECT qv, np,
+           |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_candidates
+           |  FROM cand GROUP BY 1, 2),
+           |br AS (SELECT pq2.qv, ev.vec_id, row_number() OVER (
+           |    PARTITION BY pq2.qv ORDER BY
+           |      round(list_cosine_similarity(q2.v, ev.v) * 1000000.0)
+           |        / 1000000.0 DESC, ev.vec_id) AS rn
+           |  FROM (SELECT DISTINCT qv FROM pq) pq2
+           |  JOIN ev q2 ON q2.vec_id = pq2.qv CROSS JOIN ev),
+           |hits AS (SELECT ct.qv, ct.np,
+           |    CAST(count(*) AS BIGINT) AS h
+           |  FROM ct JOIN br ON br.qv = ct.qv
+           |    AND br.vec_id = ct.vec_id AND br.rn <= 10
+           |  WHERE ct.rn <= 10 GROUP BY 1, 2)
+           |SELECT CAST(nc.qv AS BIGINT) AS query_vid,
+           |  CAST(nc.np AS INT) AS nprobe, nc.n_candidates,
+           |  round(CAST(coalesce(hits.h, 0) AS DOUBLE) / 10.0
+           |    * 10000.0) / 10000.0 AS recall_at_10
+           |FROM nc LEFT JOIN hits ON hits.qv = nc.qv
+           |  AND hits.np = nc.np
+           |ORDER BY query_vid, nprobe""".stripMargin
+      }))
 
   /** Thresholded nation-trade graph shared by q255/q256 (the q196/q197
     * edge recipe): trade-count edges between customer and supplier
