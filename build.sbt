@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32m G1 regions: the dedup paths aggregate per-doc long arrays that
+  // are humongous under the default 4m regions (allocation > region/2),
+  // and humongous churn made repeat q22 bench samples swing 2-12 s;
+  // larger regions turn them into ordinary allocations.
+  "-XX:G1HeapRegionSize=32m",
 )

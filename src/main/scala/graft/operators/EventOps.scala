@@ -827,11 +827,17 @@ object EventOps {
     }
     val ai = idx.getOrElse(absorb,
       throw new IllegalArgumentException(s"no transitions into $absorb"))
+    // A transient state with NO outgoing transitions never absorbs —
+    // its true expected steps is +∞, so the unconditional '+1' of the
+    // recurrence must not surface as exp_steps = 1.0; report NULL
+    // (p_direct stays 0.0: zero observed direct conversions).
     trans.zipWithIndex.map { case (s, ii) =>
       val i = idx(s)
-      val pd = if (rowTot(i) > 0) cnt(i)(ai).toDouble / rowTot(i).toDouble
+      val noOut = rowTot(i) == 0
+      val pd = if (!noOut) cnt(i)(ai).toDouble / rowTot(i).toDouble
         else 0.0
-      (s, x(ii), math.round(pd * 1e6) / 1e6.toDouble)
+      (s, if (noOut) None else Some(x(ii)),
+        math.round(pd * 1e6) / 1e6.toDouble)
     }.toSeq.toDF("from_type", "steps_q", "p_direct")
       .select(col("from_type"), col("steps_q"),
         (round(col("steps_q").cast("double") / 1000.0) / 1000000.0)

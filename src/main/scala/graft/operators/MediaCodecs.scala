@@ -192,6 +192,46 @@ object JdkMediaCodec extends MediaCodec {
       }
     }
 
+  /** (sumGray, pixelCount) of one demuxed frame read from the RAW
+    * decoded raster — EXACT integers for grayscale JPEG (no colorspace
+    * pass: getRGB would map the linear-gray raster through the
+    * linear→sRGB curve and destroy exactness). Multi-band frames fall
+    * back to the Rec.601 integer luma over getRGB, ×1000 to stay
+    * integral. Scale: gray frames return sum×1000 too, so callers
+    * divide by 1000·count uniformly. */
+  def frameGraySum(payload: Array[Byte], t: Mp4.VideoTrack,
+      i: Int): Option[(Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Mp4.sampleBytes(payload, t, i)))
+      if (img == null) None
+      else {
+        val r = img.getRaster
+        var s = 0L
+        var y = 0
+        if (r.getNumBands == 1) {
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += r.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some((s * 1000L, img.getWidth.toLong * img.getHeight))
+        } else {
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((s, img.getWidth.toLong * img.getHeight))
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** (sumLuma, sumLumaSq, pixelCount) of one demuxed frame, when its
     * sample bytes decode as an image (MJPEG). */
   def frameLuma(payload: Array[Byte], t: Mp4.VideoTrack,
@@ -241,4 +281,87 @@ object JdkMediaCodec extends MediaCodec {
         Some(out.toByteArray)
       }
     } catch { case _: java.io.IOException => None }
+}
+
+/** Minimal pure-Scala baseline-JPEG encoder for FLAT gray images whose
+  * decode is EXACT by construction — the piece that upgrades the video
+  * near-dup register row from rows-only to fully oracle-checkable.
+  *
+  * Why exact: a uniform 8x8 block has a single nonzero (DC) coefficient
+  * S00 = 8·(level−128). With the DC quantum pinned to 8, the quantized
+  * value is exactly level−128 (no rounding loss), and every conformant
+  * decoder reconstructs the flat block as dequant/8 + 128 = level — the
+  * DC-only IDCT path is exact integer arithmetic in libjpeg-family
+  * decoders, so the JVM codec returns the encoded level bit-for-bit.
+  * (An ImageIO-ENCODED gray JPEG, by contrast, rides the writer's
+  * default quant tables and is only near-exact — the old rows-only
+  * limitation.) Grayscale JPEG has no chroma, so getRGB replicates the
+  * level into all three channels and the Rec.601 integer luma is the
+  * level itself.
+  *
+  * Tables: standard Annex K DC luminance Huffman table; a minimal legal
+  * one-entry AC table (just EOB, code '0'). All public-format knowledge
+  * (ITU T.81). */
+object FlatJpeg {
+  /** Encode a w×h uniform `level` (0..255) grayscale baseline JPEG. */
+  def encode(w: Int, h: Int, level: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && level >= 0 && level <= 255,
+      s"flat jpeg: w=$w h=$h level=$level")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    // SOI
+    b(0xFF, 0xD8)
+    // DQT: table 0, all quanta 8 (DC exactness needs only Q00 = 8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00)
+    (0 until 64).foreach(_ => b(8))
+    // SOF0: 8-bit, h×w, 1 component (id 1, 1x1 sampling, quant table 0)
+    b(0xFF, 0xC0, 0x00, 0x0B, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      0x01, 0x01, 0x11, 0x00)
+    // DHT DC0: Annex K luminance (BITS 0,1,5,1,1,1,1,1,1,0..; vals 0..11)
+    b(0xFF, 0xC4, 0x00, 0x1F, 0x00,
+      0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(b(_))
+    // DHT AC0: one code — EOB as '0' (length 1); legal minimal table
+    b(0xFF, 0xC4, 0x00, 0x14, 0x10,
+      1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00)
+    // SOS: 1 component, DC/AC table 0, full spectral range
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00)
+    // entropy-coded data: first block DC diff = level−128, rest diff 0;
+    // every block ends with the 1-bit EOB
+    var acc = 0L; var nbits = 0
+    val stuffed = new java.io.ByteArrayOutputStream()
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        stuffed.write(byte)
+        if (byte == 0xff) stuffed.write(0x00)
+        nbits -= 8
+      }
+    }
+    // Annex K DC codes by category: 0→00, 1..5→010..110, 6→1110, 7→11110, 8→111110
+    def dcCode(cat: Int): (Int, Int) =
+      if (cat == 0) (0x0, 2)
+      else if (cat <= 5) (cat + 1, 3)
+      else (((1 << (cat - 2)) - 2), cat - 2) // 6→1110(4), 7→11110(5), 8→111110(6)
+    def putDc(diff: Int): Unit = {
+      var cat = 0; var m = math.abs(diff)
+      while (m > 0) { cat += 1; m >>= 1 }
+      val (c, l) = dcCode(cat)
+      put(c, l)
+      if (cat > 0) put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+    var k = 0
+    while (k < blocks) {
+      putDc(if (k == 0) level - 128 else 0)
+      put(0x0, 1) // EOB
+      k += 1
+    }
+    if (nbits > 0) put(0xff, 8 - nbits) // pad with 1s
+    out.write(stuffed.toByteArray)
+    // EOI
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
 }

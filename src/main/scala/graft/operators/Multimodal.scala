@@ -114,7 +114,11 @@ object Multimodal {
           val n = 2 + (id % 2).toInt
           val frames = (0 until n).map { i =>
             val base = (g * 29 + i * 41) % 256
-            grayJpeg(8, 8,
+            // FlatJpeg, not the ImageIO writer: flat blocks under the
+            // DC-8 quant table decode EXACTLY to the encoded level, so
+            // the downstream luma signature is the closed-form function
+            // of doc_id the SQL oracle replays (was rows-only).
+            FlatJpeg.encode(8, 8,
               if (id % 4 == 0 && i == 0) base + 1 else base)
           }
           MmAsset(id, "video/mp4", Mp4.mux(frames, 8, 8, frameDurMs = 100),
@@ -125,21 +129,21 @@ object Multimodal {
   /** Per-frame REAL decoded mean-luma signature of every video sample:
     * one mapPartitions pass over the asset table — demux (real ISO-BMFF
     * sample tables), pixel-decode every MJPEG frame, round its mean
-    * luma to the nearest integer. Scan-speed, shuffle-free; downstream
-    * dedup operates on the integer sequences, never pixels. ROWS-ONLY
-    * class (q114's): JPEG DC reconstruction is JVM-codec-defined, so no
-    * SQL oracle can replay the luma values — verification is the
-    * brute-force-equality + planted-motif spec, with the pairing
-    * machinery's oracled twins at q148 (hamming pairs) and q97 (the
-    * demux/decode path itself). */
+    * gray level to the nearest integer. Scan-speed, shuffle-free;
+    * downstream dedup operates on the integer sequences, never pixels.
+    * Reads the RAW raster (not getRGB — the linear→sRGB colorspace pass
+    * would bend the values), so for [[FlatJpeg]] fixtures the signature
+    * equals the encoded level EXACTLY and the register row carries a
+    * full SQL oracle (upgraded from the r13 rows-only class). */
   def videoLumaSig(spark: SparkSession, assets: Dataset[MmAsset]): DataFrame = {
     import spark.implicits._
     assets.filter(col("mime") === "video/mp4")
       .mapPartitions(_.map { a =>
         val t = Mp4.demux(a.payload).get
         val lumas = (0 until t.frameCount).map { i =>
-          JdkMediaCodec.frameLuma(a.payload, t, i)
-            .map { case (s, _, n) => math.round(s / n) }.getOrElse(-1L)
+          JdkMediaCodec.frameGraySum(a.payload, t, i)
+            .map { case (s, n) => math.round(s / (1000.0 * n)) }
+            .getOrElse(-1L)
         }
         (a.doc_id, t.frameCount, lumas)
       })

@@ -457,13 +457,20 @@ object Profiling {
       rounds: Int = 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.select((col(valueCol) / binWidth).cast("long").as("bin"),
+    // NULL split values carry no side and are dropped BEFORE the
+    // collect (getBoolean on a null cell would NPE); an empty side has
+    // no transport plan, so fail loudly instead of dividing 0/0 into a
+    // NaN cost.
+    val hist = df.where(splitCol.isNotNull)
+      .select((col(valueCol) / binWidth).cast("long").as("bin"),
         splitCol.as("g"))
       .groupBy("bin", "g").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
     val aBins = hist.filter(_._2).map(t => (t._1, t._3)).sortBy(_._1)
     val bBins = hist.filterNot(_._2).map(t => (t._1, t._3)).sortBy(_._1)
     val (na, nb) = (aBins.map(_._2).sum, bBins.map(_._2).sum)
+    require(na > 0 && nb > 0,
+      s"sinkhornDistance needs both split sides nonempty (a=$na b=$nb)")
     val a = aBins.map(t => t._2.toDouble / na)
     val b = bBins.map(t => t._2.toDouble / nb)
     def q6(x: Double) = math.round(x * 1e6) / 1e6

@@ -663,16 +663,30 @@ object Similarity {
       prefix: Int = 100): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Version-stable similarity contract (the q129/q160 quantized
+    // discipline): quantize each vector to exact longs (round(x*1e4)),
+    // take INTEGER dot products — order-free and exact — then exactly
+    // one IEEE op each for the norm product, sqrt, divide, and 1e6
+    // scale. Every engine computing this sequence gets bit-identical
+    // doubles, unlike a library cosine whose internal summation
+    // order/FMA use may drift across builds and flip the round() at a
+    // .5-ulp boundary.
     val e = emb.where(col("vec_id") < prefix)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+          "* 10000.0) AS BIGINT))").as("q"))
+      .withColumn("nn", expr("aggregate(zip_with(q, q, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"))
       .localCheckpoint()
-    val sims = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val sims = e.select(col("vec_id").as("ia"), col("q").as("qa"),
+        col("nn").as("na"))
       .crossJoin(broadcast(e.select(col("vec_id").as("ib"),
-        col("v").as("vb"))))
+        col("q").as("qb"), col("nn").as("nb"))))
       .select(col("ia"), col("ib"),
-        (round(cosine(col("va"), col("vb")) * 1000000.0).cast("long")
-          + 1000000L).as("sq"))
+        (round(expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (a, v) -> a + v)").cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double"))
+          * 1000000.0).cast("long") + 1000000L).as("sq"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val ids = sims.map(_._1).distinct.sorted
     val vIdx = ids.zipWithIndex.toMap

@@ -328,14 +328,22 @@ object Stats {
       .where(col("wc") > 0)
       .select(col("b"), (col("ws").cast("double") /
         col("wc").cast("double") / 100.0).as("m"))
+    // CI ranks derive from the SURVIVING replicate count, not the
+    // nominal nBoot: zero-mass replicates are filtered above, and a
+    // rank computed from nBoot would then name a row that does not
+    // exist (hi silently NULL, bracket miscalibrated). With both an
+    // ascending rank rk and a descending rank rd, every row knows the
+    // survivor count as rk + rd − 1, so the ceil(n/20) bracket is one
+    // self-contained predicate — no second pass.
     val byMean = org.apache.spark.sql.expressions.Window
       .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
-    val loIdx = math.ceil(0.05 * nBoot).toInt
-    val hiIdx = nBoot - loIdx + 1
+    val byMeanDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").desc, col("b").desc)
     val ranked = reps.withColumn("rk", row_number().over(byMean))
+      .withColumn("rd", row_number().over(byMeanDesc))
     val ci = ranked.agg(count(lit(1)).cast("long").as("n_boot"),
-      max(when(col("rk") === loIdx, col("m"))).as("lo"),
-      max(when(col("rk") === hiIdx, col("m"))).as("hi"))
+      max(when(expr("rk = (rk + rd + 18) div 20"), col("m"))).as("lo"),
+      max(when(expr("rd = (rk + rd + 18) div 20"), col("m"))).as("hi"))
     ci.join(point)
       .select(col("n_boot"),
         (round(col("pm") * 10000.0) / 10000.0).as("point_mean"),
@@ -391,14 +399,18 @@ object Stats {
         ((col("ws1").cast("double") / col("wc1").cast("double") -
           col("ws0").cast("double") / col("wc0").cast("double")) / 100.0)
           .as("m"))
-    val loIdx = math.ceil(0.05 * nBoot).toInt
-    val hiIdx = nBoot - loIdx + 1
+    // survivor-derived CI ranks — same rk/rd device as
+    // [[poissonBootstrapMean]] (dropped replicates shrink the bracket
+    // instead of NULLing its upper edge)
     val byMean = org.apache.spark.sql.expressions.Window
       .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
+    val byMeanDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").desc, col("b").desc)
     val ranked = reps.withColumn("rk", row_number().over(byMean))
+      .withColumn("rd", row_number().over(byMeanDesc))
     val ci = ranked.agg(count(lit(1)).cast("long").as("n_boot"),
-      max(when(col("rk") === loIdx, col("m"))).as("lo"),
-      max(when(col("rk") === hiIdx, col("m"))).as("hi"))
+      max(when(expr("rk = (rk + rd + 18) div 20"), col("m"))).as("lo"),
+      max(when(expr("rd = (rk + rd + 18) div 20"), col("m"))).as("hi"))
     ci.join(point)
       .select(col("n_boot"),
         (round(col("pd") * 10000.0) / 10000.0).as("point_diff"),

@@ -319,6 +319,54 @@ object TrainingPrep {
     }.toDF("doc_id", "n_tok", "cum_tok")
   }
 
+  /** Compaction bin-packing plan: next-fit by byte budget — each doc
+    * (in doc_id order) lands in bin = exclusive-prefix-bytes div
+    * `binBytes`, the streaming chunker applied to FILE layout planning.
+    * Returns the per-bin report (bin, n_files, bytes, first_doc,
+    * last_doc), all exact integer arithmetic.
+    *
+    * SCALE: the naive form is a global `ORDER BY doc_id` window cumsum —
+    * the one-partition trap. This is [[selectUnderBudget]]'s two-phase
+    * distributed prefix sum keyed by doc_id: range-partition, one tiny
+    * per-partition byte-sum pass (one row per PARTITION to the driver),
+    * broadcast exclusive offsets, then every row computes its exact
+    * global prefix and bin locally with zero further wide exchanges
+    * before the bin-count-sized aggregate. */
+  def packBins(docs: DataFrame, binBytes: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(binBytes > 0, s"binBytes=$binBytes must be positive")
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .localCheckpoint() // both passes must see identical sampled ranges
+    val partSums = ranged.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._2)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, b) =>
+        val bin = cum / binBytes // exclusive prefix decides the bin
+        cum += b
+        (bin, id, b)
+      }
+    }.toDF("bin", "doc_id", "n_chars")
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("n_chars")).cast("long").as("bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
   /** Source-balanced corpus selection (the RefinedWeb/Dolma "no single
     * domain dominates" cut): within EACH source keep the priority-ordered
     * prefix (`n_chars` desc, doc_id) whose cumulative token count fits

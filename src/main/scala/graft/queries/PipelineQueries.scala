@@ -2890,24 +2890,27 @@ object PipelineQueries {
     // oracle replays them as 8 independent suffixed k-means chains over
     // sliced vectors (slice-then-quantize == quantize-then-slice) —
     // codes hash-matching proves codebooks AND assignments bit-exact.
+    // Output shape is scalar (vec_id, subspace, code) rows — NOT an
+    // array column — because the harness compare sorts rows through
+    // pandas, which cannot order list-valued cells (the r13 lesson).
     Q("q163_pq_codes",
       (s, d) => graft.operators.Pq.pqCodes(t(s, d, "embeddings"))
-        .orderBy("vec_id"),
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy("vec_id", "subspace"),
       Some {
         val chains = (0 until 8).map { sp =>
           kmeansCtes(16, 2, 8, src = s"(SELECT vec_id, " +
             s"embedding[${sp * 8 + 1}:${(sp + 1) * 8}] AS embedding " +
             s"FROM embeddings) AS sub$sp", sfx = s"p$sp")
         }.mkString(",\n")
-        val codeJoins = (0 until 8).map(sp =>
-          s"JOIN sfinp$sp c$sp ON c$sp.vid = ep0.vid").mkString("\n  ")
-        val codeArr = (0 until 8).map(sp => s"CAST(c$sp.cid AS INT)")
-          .mkString("[", ", ", "]")
+        val codeRows = (0 until 8).map(sp =>
+          s"SELECT vid AS vec_id, CAST($sp AS INT) AS subspace, " +
+            s"CAST(cid AS INT) AS code FROM sfinp$sp")
+          .mkString("\nUNION ALL\n")
         s"""WITH $chains
-           |SELECT ep0.vid AS vec_id, $codeArr AS codes
-           |FROM ep0
-           |  $codeJoins
-           |ORDER BY vec_id""".stripMargin
+           |$codeRows
+           |ORDER BY vec_id, subspace""".stripMargin
       }),
 
     // ---- product quantization, stage 2 — IVFADC search (the complete
@@ -5880,10 +5883,12 @@ object PipelineQueries {
            |    sum(w) AS wc FROM wts GROUP BY b),
            |m AS (SELECT b, CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE) / 100.0 AS m
            |  FROM g WHERE wc > 0),
-           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk,
+           |    row_number() OVER (ORDER BY m DESC, b DESC) AS rd FROM m),
            |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
-           |    max(CASE WHEN rk = 5 THEN m END) AS lo,
-           |    max(CASE WHEN rk = 96 THEN m END) AS hi FROM rk)
+           |    max(CASE WHEN rk = (rk + rd + 18) // 20 THEN m END) AS lo,
+           |    max(CASE WHEN rd = (rk + rd + 18) // 20 THEN m END) AS hi
+           |  FROM rk)
            |SELECT n_boot, round(pm * 10000.0) / 10000.0 AS point_mean,
            |  round(lo * 10000.0) / 10000.0 AS lo90,
            |  round(hi * 10000.0) / 10000.0 AS hi90
@@ -7810,10 +7815,12 @@ object PipelineQueries {
            |m AS (SELECT b, (CAST(ws1 AS DOUBLE) / CAST(wc1 AS DOUBLE)
            |    - CAST(ws0 AS DOUBLE) / CAST(wc0 AS DOUBLE)) / 100.0 AS m
            |  FROM g WHERE wc1 > 0 AND wc0 > 0),
-           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+           |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk,
+           |    row_number() OVER (ORDER BY m DESC, b DESC) AS rd FROM m),
            |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
-           |    max(CASE WHEN rk = 5 THEN m END) AS lo,
-           |    max(CASE WHEN rk = 96 THEN m END) AS hi FROM rk)
+           |    max(CASE WHEN rk = (rk + rd + 18) // 20 THEN m END) AS lo,
+           |    max(CASE WHEN rd = (rk + rd + 18) // 20 THEN m END) AS hi
+           |  FROM rk)
            |SELECT n_boot, round(pd * 10000.0) / 10000.0 AS point_diff,
            |  round(lo * 10000.0) / 10000.0 AS lo90,
            |  round(hi * 10000.0) / 10000.0 AS hi90
@@ -11337,32 +11344,27 @@ object PipelineQueries {
     // ---- Compaction bin-packing plan: next-fit by byte budget — each
     // doc lands in bin = exclusive-prefix-bytes div 20000, the
     // streaming chunker (q60's token recipe applied to FILE layout
-    // planning). The assignment is one ordered prefix-sum window; the
+    // planning). The engine side is TrainingPrep.packBins — the q89
+    // two-phase distributed prefix sum (range partition + broadcast
+    // exclusive offsets), NEVER a one-partition global window; the
     // per-bin report is bin-count-sized. Everything is exact integer
-    // arithmetic.
+    // arithmetic, and every oracle output column is pinned to BIGINT
+    // (DuckDB's sum/'//' otherwise widen to HUGEINT, whose
+    // pandas conversion is stack-version-dependent).
     Q("q365_bin_packing",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-          .withColumn("pre", coalesce(sum(col("n_chars")).over(w), lit(0L)))
-          .withColumn("bin", expr("pre div 20000"))
-          .groupBy("bin").agg(count(lit(1)).cast("long").as("n_files"),
-            sum(col("n_chars")).cast("long").as("bytes"),
-            min(col("doc_id")).as("first_doc"),
-            max(col("doc_id")).as("last_doc"))
-          .orderBy("bin")
-      },
+      (s, d) => graft.operators.TrainingPrep
+        .packBins(t(s, d, "documents"), binBytes = 20000L),
       Some("""WITH pre AS (SELECT doc_id, n_chars,
-             |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+             |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS pre
+             |      AS BIGINT) AS pre
              |  FROM documents),
-             |b AS (SELECT doc_id, n_chars, pre // 20000 AS bin FROM pre)
+             |b AS (SELECT doc_id, n_chars,
+             |    CAST(pre // 20000 AS BIGINT) AS bin FROM pre)
              |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
              |  CAST(sum(n_chars) AS BIGINT) AS bytes,
-             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(max(doc_id) AS BIGINT) AS last_doc
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // ---- Matthews correlation coefficient (plus precision/recall/F1)
@@ -12045,9 +12047,20 @@ object PipelineQueries {
     // sweeps the FEATURE, the other knob a dedup config exposes. Both
     // pair sets come from the same banded-prefix machinery; agreement
     // is a pair-key join of two tiny pair lists.
+    //
+    // SCALE: the registered form runs BOTH arms over the q66
+    // deterministic 10% md5 doc-sample (same universe for both, so the
+    // agreement statistic is a valid paired estimator). The unsampled
+    // 2-gram arm was the register's one measured sf1 spill cliff
+    // (2-grams are so common the posting-list join is near-quadratic:
+    // 409 GB spill / 916 s cold at sf1) — a sensitivity ANALYSIS never
+    // needs the full corpus, so the sample IS the right production
+    // shape, not a workaround.
     Q("q376_shingle_sensitivity",
       (s, d) => {
         val docs = t(s, d, "documents")
+          .where(pmod(graft.expressions.PortableHash.md5Hash60(
+            concat(lit("shs:"), col("doc_id"))), lit(100L)) < 10)
         val p3 = Dedup.shingleJaccardPairs(docs, 0.5, n = 3)
           .select(col("id_a"), col("id_b"))
         val p2 = Dedup.shingleJaccardPairs(docs, 0.5, n = 2)
@@ -12059,13 +12072,17 @@ object PipelineQueries {
         val c2 = p2.agg(count(lit(1)).cast("long").as("n_2gram"))
         c3.join(broadcast(c2)).join(broadcast(both))
           .select(col("n_3gram"), col("n_2gram"), col("n_both"),
-            (round(col("n_both").cast("double")
-              / (col("n_3gram") + col("n_2gram") - col("n_both"))
-                .cast("double") * 1000000.0) / 1000000.0)
-              .as("agreement"))
+            when(col("n_3gram") + col("n_2gram") - col("n_both") > 0,
+              round(col("n_both").cast("double")
+                / (col("n_3gram") + col("n_2gram") - col("n_both"))
+                  .cast("double") * 1000000.0) / 1000000.0)
+              .as("agreement")) // NULL when the sample has no pairs
       },
       Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE CAST(('0x' || substr(md5('shs:'
+             |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 100 < 10),
              |sh3 AS (SELECT doc_id, unnest(list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |     for i in range(1, len(w) - 1)])) AS s
@@ -12092,9 +12109,11 @@ object PipelineQueries {
              |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_3gram FROM p3),
              |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_2gram FROM p2)
              |SELECT n_3gram, n_2gram, n_both,
-             |  round(CAST(n_both AS DOUBLE)
-             |    / CAST(n_3gram + n_2gram - n_both AS DOUBLE) * 1000000.0)
-             |    / 1000000.0 AS agreement
+             |  CASE WHEN n_3gram + n_2gram - n_both > 0 THEN
+             |    round(CAST(n_both AS DOUBLE)
+             |      / CAST(n_3gram + n_2gram - n_both AS DOUBLE)
+             |      * 1000000.0) / 1000000.0
+             |  END AS agreement
              |FROM n3 CROSS JOIN n2 CROSS JOIN bt""".stripMargin)),
 
     // ---- Customer value-quartile migration: each customer's revenue
@@ -15219,13 +15238,15 @@ object PipelineQueries {
     // ---- Video near-duplicate pairs over REAL decode, end-to-end:
     // motif MJPEG assets → ISO-BMFF demux → per-frame pixel decode →
     // integer luma signatures → two-probe bucket-blocked pairing with
-    // an exact framewise max-|Δ| verify (never all-pairs). ROWS-ONLY by
-    // design — the fourth member of the q24/q33/q114 class: JPEG DC
-    // reconstruction is JVM-codec-defined, so the luma values have no
-    // SQL replay; verification is the PipelineOpsSpec brute-force
-    // equality + planted-motif assertions, with the machinery's
-    // fully-oracled twins at q148 (hamming pairing) and q97 (the
-    // demux/decode path).
+    // an exact framewise max-|Δ| verify (never all-pairs). FULLY
+    // ORACLED since r14: the fixtures are FlatJpeg frames (flat blocks
+    // under a DC-8 quant table decode exactly to the encoded level in
+    // any conformant decoder) and the signature reads the raw raster,
+    // so every luma is the closed-form function of doc_id below — the
+    // oracle recomputes signatures AND the exact pair set, which the
+    // two-probe blocking provably equals at tol=2 (|Δbucket| ≤ 1).
+    // Blocked==brute-force is additionally spec-checked
+    // (PipelineOpsSpec).
     Q("q421_video_neardup",
       (s, d) => {
         import graft.operators.Multimodal
@@ -15234,7 +15255,21 @@ object PipelineQueries {
             s, t(s, d, "documents").where(col("doc_id") % 5 === 0))))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""WITH v AS (SELECT doc_id, 2 + doc_id % 2 AS n
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |f AS (SELECT doc_id, n, i,
+             |    ((doc_id % 7) * 29 + i * 41) % 256
+             |      + CASE WHEN doc_id % 4 = 0 AND i = 0 THEN 1 ELSE 0 END
+             |      AS luma
+             |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM v))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(a.n AS INT) AS n_frames,
+             |  CAST(max(abs(a.luma - b.luma)) AS BIGINT) AS max_dluma
+             |FROM f a JOIN f b ON a.i = b.i AND a.n = b.n
+             |  AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2, 3
+             |HAVING max(abs(a.luma - b.luma)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- Generation-artifact filter battery: the model-output noise
     // patterns the Gopher/CCNet batteries (q134/q131) don't target —
@@ -15344,9 +15379,11 @@ object PipelineQueries {
            |tr AS (SELECT s FROM st WHERE s <> 'purchase'),
            |x0 AS (SELECT s, CAST(0 AS BIGINT) AS q FROM tr),
            |$roundCtes
-           |SELECT t.s AS from_type, x30.q AS steps_q,
-           |  round(CAST(x30.q AS DOUBLE) / 1000.0) / 1000000.0
-           |    AS exp_steps,
+           |SELECT t.s AS from_type,
+           |  CASE WHEN t2.tot IS NOT NULL THEN x30.q END AS steps_q,
+           |  CASE WHEN t2.tot IS NOT NULL THEN
+           |    round(CAST(x30.q AS DOUBLE) / 1000.0) / 1000000.0
+           |  END AS exp_steps,
            |  round(coalesce(CAST(pn.n AS DOUBLE)
            |      / CAST(t2.tot AS DOUBLE), 0.0) * 1000000.0)
            |    / 1000000.0 AS p_direct
@@ -15467,13 +15504,20 @@ object PipelineQueries {
         .facilityLocationSelect(t(s, d, "embeddings"), k = 8,
           prefix = 100),
       Some {
+        // Similarity replayed in the version-stable quantized-integer
+        // contract (NOT list_cosine_similarity, whose internal fold can
+        // drift a ulp across DuckDB builds and flip the 1e6 round):
+        // integer dots are exact, then one IEEE op each for product /
+        // sqrt / divide / scale. gain pinned to BIGINT — an unpinned
+        // sum(BIGINT) is HUGEINT, whose pandas conversion is
+        // stack-version-dependent.
         val rounds = (1 to 8).map { r =>
           val excl = if (r == 1) ""
           else "WHERE s.ib NOT IN (" +
             (1 until r).map(i => s"SELECT j FROM pk$i")
               .mkString(" UNION ALL ") + ")"
           s"""gr$r AS MATERIALIZED (SELECT s.ib AS j,
-             |    sum(greatest(s.sq - c.cov, 0)) AS gain
+             |    CAST(sum(greatest(s.sq - c.cov, 0)) AS BIGINT) AS gain
              |  FROM s JOIN c${r - 1} c ON c.v = s.ia $excl
              |  GROUP BY s.ib),
              |pk$r AS MATERIALIZED (SELECT j, gain FROM gr$r
@@ -15483,12 +15527,20 @@ object PipelineQueries {
              |  FROM c${r - 1} c JOIN s ON s.ia = c.v
              |  JOIN pk$r ON s.ib = pk$r.j)""".stripMargin
         }.mkString(",\n")
-        s"""WITH e AS MATERIALIZED (SELECT vec_id,
-           |    embedding::DOUBLE[] AS v FROM embeddings
-           |  WHERE vec_id < 100),
+        s"""WITH e0 AS MATERIALIZED (SELECT vec_id,
+           |    [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+           |      for x in embedding] AS q
+           |  FROM embeddings WHERE vec_id < 100),
+           |e AS MATERIALIZED (SELECT vec_id, q,
+           |    list_reduce([q[i+1]*q[i+1] for i in range(0,64)],
+           |      (a,b) -> a+b) AS nn
+           |  FROM e0),
            |s AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
-           |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0)
-           |      AS BIGINT) + 1000000 AS sq
+           |    CAST(round(CAST(list_reduce(
+           |        [a.q[i+1]*b.q[i+1] for i in range(0,64)],
+           |        (x,y) -> x+y) AS DOUBLE)
+           |      / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))
+           |      * 1000000.0) AS BIGINT) + 1000000 AS sq
            |  FROM e a CROSS JOIN e b),
            |c0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cov FROM e),
            |$rounds

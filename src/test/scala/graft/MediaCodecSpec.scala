@@ -290,4 +290,41 @@ class MediaCodecSpec extends GraftSpec {
     // (800 - 200) / 80 + 1 = 8 frames, each rms exactly 16384 (square wave)
     assert(got.length == 8 && got.forall(_._4 == 16384.0), s"got ${got.toSeq}")
   }
+
+  test("FlatJpeg: every level 0..255 decodes EXACTLY (raw raster), " +
+      "multi-block and partial-block dims included") {
+    def allGray(img: java.awt.image.BufferedImage, v: Int): Boolean =
+      (0 until img.getHeight).forall(y => (0 until img.getWidth)
+        .forall(x => img.getRaster.getSample(x, y, 0) == v))
+    for (level <- 0 to 255) {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(
+        graft.operators.FlatJpeg.encode(8, 8, level)))
+      assert(img != null && allGray(img, level), s"level $level inexact")
+    }
+    for ((w, h) <- Seq((16, 16), (10, 6), (24, 8))) {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(
+        graft.operators.FlatJpeg.encode(w, h, 137)))
+      assert(img != null && img.getWidth == w && img.getHeight == h &&
+        allGray(img, 137), s"dims ($w,$h) inexact")
+    }
+  }
+
+  test("video luma signature equals the closed-form doc_id formula " +
+      "(the q421 oracle's premise) on FlatJpeg motif assets") {
+    import graft.operators.Multimodal
+    val docs = spark.range(0, 40)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"))
+    val sig = Multimodal.videoLumaSig(spark,
+      Multimodal.vidMotifAssets(spark, docs))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](2)))
+    assert(sig.length == 40)
+    sig.foreach { case (id, lumas) =>
+      val n = 2 + (id % 2).toInt
+      val want = (0 until n).map { i =>
+        val base = ((id % 7) * 29 + i * 41) % 256
+        if (id % 4 == 0 && i == 0) base + 1 else base
+      }
+      assert(lumas == want, s"doc $id: $lumas != $want")
+    }
+  }
 }

@@ -65,6 +65,21 @@ class QualityClassifierSpec extends GraftSpec {
     scored.unpersist()
   }
 
+  test("adversarial ~10^7-char unbroken word: gradient product must not " +
+      "overflow Long under ANSI (decimal38 before the multiply)") {
+    // meanLen feature xq_5 ≈ 1e7·1e6 = 1e13; times the residual bound
+    // 1e6 the product is ~1e19 > Long.MaxValue (9.2e18) — a LongType
+    // multiply would abort under ANSI. The decimal(38,0)-first contract
+    // must survive and yield finite weights.
+    val monster = "x" * 10000001
+    val docs = Seq((1L, monster, 1L), (2L, "the cat sat", 0L))
+      .toDF("doc_id", "text", "y")
+    val w = QualityClassifier.train(docs, iters = 2, lr = 0.25)
+    assert(w.length == 5 && w.forall(v => !v.isNaN && !v.isInfinite))
+    // the monster's meanLen gradient actually moved that weight
+    assert(w(4) != 0.0)
+  }
+
   test("weightsTable rounds 6 dp symmetrically on both signs") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val t = QualityClassifier.weightsTable(docs,
