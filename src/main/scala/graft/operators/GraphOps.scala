@@ -232,6 +232,44 @@ object GraphOps {
           .otherwise(0.0).as("coeff"))
   }
 
+  /** k-core of an undirected graph: the maximal subgraph in which every
+    * node keeps degree >= k (Seidman 1983), computed by the classic
+    * peel — drop every node whose degree fell below k, recompute
+    * degrees over the surviving edges, repeat. Runs a FIXED `rounds`
+    * so the oracle unrolls the identical rounds: the peel is monotone
+    * and idempotent at the fixpoint, so any rounds >= the true peel
+    * depth yields exactly the k-core (convergence is spec-asserted,
+    * not assumed). Returns (node, core_degree) for the surviving
+    * subgraph. Self-loops dropped, edges deduped and symmetrized by
+    * (least, greatest) normalization before the loop.
+    *
+    * SCALE: each round is one degree aggregation (map-side combined)
+    * and two node-keyed left-semi joins; the survivor edge set only
+    * shrinks. Edges are eagerly checkpointed per round with the
+    * superseded round released ([[pageRank]] lifetime discipline); no
+    * windows, no driver state beyond the loop counter. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore k=$k rounds=$rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var cur = und.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = cur.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("n")
+      val nxt = cur
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      cur.unpersist()
+      cur = nxt
+    }
+    cur.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
   /** Synchronous weighted label propagation (Raghavan et al. 2007) over
     * an edge list (src, dst, w): every node starts labeled with itself;
     * each round every node adopts the label carrying the largest total

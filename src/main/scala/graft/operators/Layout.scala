@@ -61,6 +61,73 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
 
+  /** Hilbert-curve key: maps a (x, y) cell in the 2^bits × 2^bits grid
+    * to its position along the Hilbert space-filling curve (Hilbert
+    * 1891; the xy→d walk is the classic bit-level algorithm). Hilbert
+    * beats Morton for layout clustering because the curve NEVER jumps:
+    * consecutive keys are always 4-adjacent cells, so every contiguous
+    * key range covers a compact blob — Morton's Z-shape takes a long
+    * diagonal jump at every quadrant seam, stretching some file
+    * envelopes across half the plane (the q455 register row measures
+    * exactly this difference on the same data and file count).
+    *
+    * Pure integer/CASE column algebra, unrolled per bit level from the
+    * most significant down, carrying the (x, y) rotation state as
+    * column expressions — codegen'd end to end, no UDF. [[hilbertSql]]
+    * emits the IDENTICAL algebra for the oracle, so the key oracles
+    * bit-for-bit (the [[zValue]]/[[zValueSql]] twin-emitter pattern). */
+  def hilbertKey(xCol: Column, yCol: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 16, s"hilbert bits=$bits out of range")
+    val n = 1L << bits
+    var x = xCol.cast("long")
+    var y = yCol.cast("long")
+    var d = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(x, i).bitwiseAND(lit(1L))
+      val ry = shiftright(y, i).bitwiseAND(lit(1L))
+      d = d + lit(s * s) * ((lit(3L) * rx).bitwiseXOR(ry))
+      // rotate the frame for the next level: ry==0 → reflect (if rx==1)
+      // then swap x/y; ry==1 → identity
+      val xr = when(ry === 0L, when(rx === 1L, lit(n - 1) - y)
+        .otherwise(y)).otherwise(x)
+      val yr = when(ry === 0L, when(rx === 1L, lit(n - 1) - x)
+        .otherwise(x)).otherwise(y)
+      x = xr
+      y = yr
+    }
+    d
+  }
+
+  /** The matching DuckDB/ANSI SQL for [[hilbertKey]]: emits one chained
+    * CTE level per bit carrying (x, y, d) — the same reflect-then-swap
+    * algebra, so engine and oracle agree bit-for-bit. `src` must expose
+    * the caller's row columns plus `$xa`/`$ya`; the returned fragment
+    * ends with a CTE named `hf$sfx` exposing everything plus `hkey`. */
+  def hilbertSql(src: String, xa: String, ya: String, bits: Int = 8,
+      sfx: String = ""): String = {
+    val n = 1L << bits
+    val lv0 = s"h0$sfx AS (SELECT *, CAST($xa AS BIGINT) AS hx, " +
+      s"CAST($ya AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $src)"
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val prev = s"h$k$sfx"
+      s"""h${k + 1}$sfx AS (SELECT * EXCLUDE (hx, hy, hd),
+         |    CASE WHEN ((hy >> $i) & 1) = 0 THEN
+         |      CASE WHEN ((hx >> $i) & 1) = 1 THEN ${n - 1} - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |    CASE WHEN ((hy >> $i) & 1) = 0 THEN
+         |      CASE WHEN ((hx >> $i) & 1) = 1 THEN ${n - 1} - hx ELSE hx END
+         |    ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * ((hx >> $i) & 1), (hy >> $i) & 1)
+         |      AS hd
+         |  FROM $prev)""".stripMargin
+    }
+    val fin = s"hf$sfx AS (SELECT * EXCLUDE (hx, hy, hd), hd AS hkey " +
+      s"FROM h$bits$sfx)"
+    (lv0 +: levels :+ fin).mkString(",\n")
+  }
+
   /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
     * assignment: each key goes to the shard whose portable 60-bit hash
     * of "key#shard" is largest. Unlike `pmod(hash, n)`, growing the

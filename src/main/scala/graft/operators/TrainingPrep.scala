@@ -51,6 +51,61 @@ object TrainingPrep {
       .select(col(idCol), col("start").cast("long").as("start"),
         array_join(slice(col("w"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
 
+  /** Content-defined chunking (CDC — the Rabin/LBFS boundary idea at
+    * word granularity): a chunk ends after every word whose portable
+    * 60-bit md5 hash is ≡ 0 (mod `divisor`), so chunk boundaries are a
+    * pure function of LOCAL content. That is the property fixed-window
+    * chunking ([[chunk]]) lacks: inserting one word early in a document
+    * shifts EVERY fixed window after it, but shifts only the single CDC
+    * chunk containing the edit — all later boundaries re-align, which
+    * is what makes chunk-level dedup robust to prepended headers and
+    * small edits. Expected chunk length = `divisor` words. Returns
+    * (doc_id, chunk_idx, n_words, chunk_hash) with chunk_hash the md5
+    * of the chunk text (the cross-doc dedup key).
+    *
+    * SCALE: one generate (posexplode) + ONE window partitioned by
+    * doc_id (per-document, never global — documents are bounded) + one
+    * (doc, chunk) aggregation with map-side combine. Scan-shaped. */
+  def cdcChunks(docs: DataFrame, divisor: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(divisor >= 2, s"cdc divisor=$divisor")
+    val toks = docs.select(col(idCol).as("did"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val bd = toks.withColumn("bd",
+      when(pmod(graft.expressions.PortableHash.md5Hash60(col("w")),
+        lit(divisor.toLong)) === 0L, 1L).otherwise(0L))
+    // exclusive prefix count of boundary words = this word's chunk index
+    val wIdx = Window.partitionBy("did").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bd.withColumn("chunk_idx", coalesce(sum(col("bd")).over(wIdx), lit(0L)))
+      .groupBy(col("did").as("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        md5(expr("array_join(transform(sort_array(" +
+          "collect_list(struct(pos, w))), s -> s.w), ' ')")).as("chunk_hash"))
+  }
+
+  /** Cross-document chunk-level dedup savings over [[cdcChunks]]: how
+    * much of the corpus (in words) is redundant at CDC-chunk
+    * granularity — the storage-dedup view of duplication, the
+    * complement of the document-level (q20/q22) and span-level (q109)
+    * reports. One summary row: total/unique chunk and word counts plus
+    * the savings ratio 1 − unique/total. */
+  def cdcDedupSavings(docs: DataFrame, divisor: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = cdcChunks(docs, divisor, idCol, textCol)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("inst"), max(col("n_words")).as("nw"))
+    g.agg(sum(col("inst")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_unique_chunks"),
+        sum(col("inst") * col("nw")).cast("long").as("total_words"),
+        sum(col("nw")).cast("long").as("unique_words"))
+      .select(col("n_chunks"), col("n_unique_chunks"), col("total_words"),
+        col("unique_words"),
+        (round((lit(1.0) - col("unique_words").cast("double")
+          / col("total_words").cast("double")) * 1000000.0) / 1000000.0)
+          .as("savings_ratio"))
+  }
+
   /** Boilerplate segment removal (CCNet/RefinedWeb-style line dedup,
     * adapted to unpunctuated corpora): split each document into
     * non-overlapping `segTokens`-token segments, drop segments whose

@@ -905,6 +905,27 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("packBins == global-window twin, invariant to partitions, no Window in its plan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val twin = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("pre", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("bin", expr("pre div 20000"))
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("n_chars")).cast("long").as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSet
+    assert(twin.nonEmpty)
+    Seq(1, 3, 32).foreach { p =>
+      val got = graft.operators.TrainingPrep
+        .packBins(docs, 20000L, partitions = p)
+      assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+        "packBins must never plan a window")
+      assert(got.collect().map(_.toSeq).toSet == twin, s"partitions=$p")
+    }
+  }
+
   test("per-source budget == keyed-window twin, invariant to partitions, hot source spans ranges") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     // make one source dominant: relabel 80% of the corpus onto src0

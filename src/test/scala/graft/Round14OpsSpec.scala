@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{GraphOps, Layout, TrainingPrep}
+import org.apache.spark.sql.functions._
+
+/** Round-14 operators: Hilbert layout keys, k-core peeling, and
+  * content-defined chunking. */
+class Round14OpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Reference Hilbert xy→d (the classic bit-level walk), driver-side. */
+  private def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertKey matches the reference walk on the full 32x32 grid and is bijective") {
+    val bits = 5
+    val got = spark.range(1024)
+      .select((col("id") % 32).as("x"), expr("id div 32").as("y"))
+      .withColumn("k", Layout.hilbertKey(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, k) =>
+      assert(k == xy2d(bits, x, y), s"($x,$y): $k != ${xy2d(bits, x, y)}")
+    }
+    assert(got.map(_._3).sorted.toSeq == (0L until 1024L),
+      "hilbert keys must be a bijection onto [0, n^2)")
+  }
+
+  test("hilbert locality: consecutive keys are always 4-adjacent cells; morton is not") {
+    val bits = 5
+    val cells = spark.range(1024)
+      .select((col("id") % 32).as("x"), expr("id div 32").as("y"))
+    val byKey = cells
+      .withColumn("k", Layout.hilbertKey(col("x"), col("y"), bits))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    byKey.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"hilbert jumped: ($x1,$y1)->($x2,$y2)")
+    }
+    val mByKey = cells
+      .withColumn("k", Layout.zValue(col("x"), col("y"), bits))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val mJumps = mByKey.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1 }
+    assert(mJumps > 0, "morton should jump at quadrant seams")
+  }
+
+  test("kCore: hand graph peels the tail, keeps the clique, converges") {
+    // K4 clique {1,2,3,4} + a pendant path 4-5-6: the 3-core is exactly
+    // the clique (peeling 6 drops 5's degree to 1, then 5 drops)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // k larger than any degree -> empty core
+    assert(GraphOps.kCore(edges, k = 5, rounds = 5).count() == 0L)
+  }
+
+  test("kCore on the register's trade graph: 8 rounds == 10 rounds (fixpoint reached)") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf001/orders.parquet")
+    val edges = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    val r8 = GraphOps.kCore(edges, k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r10 = GraphOps.kCore(edges, k = 3, rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r8 == r10, "the register's 8 peel rounds must be a fixpoint")
+    assert(r8.nonEmpty)
+    // every surviving node really has core degree >= k
+    assert(r8.forall(_._2 >= 3L))
+  }
+
+  test("cdcChunks: boundaries are content-defined — an inserted prefix " +
+      "shifts only the first chunk, fixed windows shift everything") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four"
+    val docs = Seq((1L, base), (2L, "INSERTED " + base))
+      .toDF("doc_id", "text")
+    val ch = TrainingPrep.cdcChunks(docs, divisor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val h1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val h2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(h1.nonEmpty && h2.nonEmpty)
+    // all but the edited first chunk re-align: the tail chunk sequences
+    // must share a long common suffix (the CDC property)
+    val common = h1.reverse.zip(h2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.length >= h1.length - 2,
+      s"CDC must re-align after the edit: ${h1.toSeq} vs ${h2.toSeq}")
+    assert(h1.toSeq != h2.toSeq, "the edited chunk itself must differ")
+  }
+
+  test("cdcChunks covers every word exactly once, in order") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val nWords = docs.select(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    val ch = TrainingPrep.cdcChunks(docs, divisor = 8)
+    assert(ch.agg(sum("n_words")).head().getLong(0) == nWords,
+      "chunk word counts must partition the corpus")
+    // per-doc chunk indexes are contiguous from 0
+    val idx = ch.groupBy("doc_id")
+      .agg(min("chunk_idx").as("mn"), max("chunk_idx").as("mx"),
+        count(lit(1)).as("c"))
+      .where(col("mn") =!= 0L || col("mx") =!= col("c") - 1)
+    assert(idx.count() == 0L, "chunk_idx must be dense per doc")
+  }
+
+  test("cdcDedupSavings: duplicated docs are fully redundant at chunk level") {
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val r = TrainingPrep.cdcDedupSavings(docs, divisor = 4).head()
+    assert(r.getLong(0) == 2 * r.getLong(1), "every chunk appears twice")
+    assert(r.getLong(2) == 2 * r.getLong(3))
+    assert(r.getDouble(4) == 0.5, s"savings must be exactly half: $r")
+  }
+}
