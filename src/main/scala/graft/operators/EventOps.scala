@@ -845,6 +845,104 @@ object EventOps {
       .orderBy("from_type")
   }
 
+  /** Markov removal-effect channel attribution (the standard
+    * Markov-chain attribution model, Anderl et al. 2014): per-user
+    * journeys truncated at the FIRST conversion map onto a chain with
+    * START, one state per channel, and absorbing CONV / NULL; the
+    * baseline conversion rate is the absorption probability into CONV
+    * from START; a channel's removal effect is the relative drop in
+    * that probability when every path through the channel is blocked
+    * (its absorption value pinned to 0 — entering it contributes
+    * nothing); attribution shares normalize the removal masses. The
+    * absorption recurrence p[i] = P(i→CONV) + Σ_j P(i→j)·p[j] iterates
+    * `rounds` rounds under the q240 quantize-per-round discipline
+    * (p rounded to 1e-9 every round), so each scenario's vector is an
+    * exact integer tuple bit-identical cross-engine and the oracle
+    * unrolls the identical rounds per scenario. Shares are ratios of
+    * EXACT quantized masses ((qb−qc)/Σ(qb−qc)) — no float accumulation
+    * in the contract.
+    *
+    * SCALE: journey building is windows PARTITIONED BY user (bounded
+    * per user) plus one (from, to) count aggregation; the chain is
+    * |types|²-bounded and collects to the driver (q240's model
+    * contract); the per-scenario iterations run driver-side on the
+    * tiny matrix. Output: one row per channel. */
+  def conversionAttribution(events: DataFrame, absorb: String = "purchase",
+      rounds: Int = 15, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      seqCol: String = "event_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(seqCol))
+    val seq0 = events.select(col(userCol).as("u"),
+      when(col(typeCol) === absorb, lit("CONV")).otherwise(col(typeCol))
+        .as("st"),
+      row_number().over(byUser).as("rn"))
+    val fp = seq0.where(col("st") === "CONV")
+      .groupBy("u").agg(min("rn").as("prn"))
+    val kept = seq0.join(fp, Seq("u"), "left")
+      .where(col("prn").isNull || col("rn") <= col("prn"))
+      .localCheckpoint() // feeds the lag pass AND the tail pass
+    val byU = Window.partitionBy("u").orderBy("rn")
+    val steps = kept
+      .withColumn("f", coalesce(lag(col("st"), 1).over(byU), lit("START")))
+      .select(col("f"), col("st").as("t"))
+    val byUdesc = Window.partitionBy("u").orderBy(col("rn").desc)
+    val tails = kept.withColumn("rr", row_number().over(byUdesc))
+      .where(col("rr") === 1 && col("st") =!= "CONV")
+      .select(col("st").as("f"), lit("NULL").as("t"))
+    val cells = steps.unionAll(tails)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = cells.flatMap(c => Seq(c._1, c._2)).distinct
+      .filterNot(s => s == "START" || s == "CONV" || s == "NULL").sorted
+    val trans = "START" +: channels
+    val cnt = cells.map { case (f, t, n) => (f, t) -> n }.toMap
+    val rowTot = trans.map(s =>
+      s -> cells.filter(_._1 == s).map(_._3).sum).toMap
+    def pConvStart(blocked: Option[String]): Long = {
+      var p = trans.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        p = trans.map { s =>
+          if (blocked.contains(s)) s -> 0L
+          else {
+            val tot = rowTot(s)
+            if (tot == 0) s -> 0L
+            else {
+              // CONV term first, then ascending state order — round₉
+              // absorbs sub-quantum fold-order drift (q240 convention)
+              var acc = cnt.getOrElse((s, "CONV"), 0L).toDouble / tot
+              trans.foreach { j =>
+                if (!blocked.contains(j))
+                  acc += (p(j) / 1e9) *
+                    (cnt.getOrElse((s, j), 0L).toDouble / tot)
+              }
+              s -> math.round(acc * 1e9)
+            }
+          }
+        }.toMap
+      }
+      p("START")
+    }
+    val qb = pConvStart(None)
+    require(qb > 0, s"no conversions into $absorb reach START")
+    val perChannel = channels.map(c => (c, qb, pConvStart(Some(c))))
+    val sumDiff = perChannel.map { case (_, b, c) => b - c }.sum
+    perChannel.toSeq.toDF("channel", "qb", "qc")
+      .select(col("channel"),
+        (round(col("qb").cast("double") / 1000.0) / 1000000.0)
+          .as("p_conv_base"),
+        (round(col("qc").cast("double") / 1000.0) / 1000000.0)
+          .as("p_conv_without"),
+        (round((col("qb") - col("qc")).cast("double")
+          / col("qb").cast("double") * 1000000.0) / 1000000.0)
+          .as("removal_effect"),
+        (round((col("qb") - col("qc")).cast("double")
+          / lit(sumDiff.toDouble) * 1000000.0) / 1000000.0)
+          .as("attribution"))
+      .orderBy("channel")
+  }
+
   /** Theil–Sen robust trend of the dense daily count series: the
     * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
     * intercept as the median of c_i − slope·day_i — the outlier-proof

@@ -123,6 +123,38 @@ class Round14OpsSpec extends GraftSpec {
     assert(idx.count() == 0L, "chunk_idx must be dense per doc")
   }
 
+  test("conversionAttribution: hand journeys give the closed-form removal effects") {
+    import graft.operators.EventOps
+    // u1: click -> purchase (converts through click); u2: view (dies).
+    // Chain: START->click .5, START->view .5; click->CONV 1; view->NULL.
+    // Baseline B = .5; removing click kills all conversion (re = 1.0),
+    // removing view changes nothing (re = 0) -> attribution 1.0 / 0.0.
+    val events = Seq(
+      (1L, 1L, 1L, "click"), (2L, 2L, 1L, "purchase"),
+      (3L, 1L, 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.conversionAttribution(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("click", "view"))
+    assert(got("click") == ((0.5, 1.0, 1.0)), s"click: ${got("click")}")
+    assert(got("view") == ((0.5, 0.0, 0.0)), s"view: ${got("view")}")
+  }
+
+  test("conversionAttribution: journeys truncate at the FIRST purchase") {
+    import graft.operators.EventOps
+    // everything after u1's first purchase must be invisible: the
+    // trailing 'error' may not create an error channel row
+    val events = Seq(
+      (1L, 1L, 1L, "click"), (2L, 2L, 1L, "purchase"),
+      (3L, 3L, 1L, "error"), (4L, 4L, 1L, "purchase"),
+      (5L, 1L, 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val rows = EventOps.conversionAttribution(events).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("click"),
+      "post-conversion events must not register as channels")
+  }
+
   test("cdcDedupSavings: duplicated docs are fully redundant at chunk level") {
     val docs = Seq((1L, "a b c d e f g h i j k l m n o p"),
       (2L, "a b c d e f g h i j k l m n o p"))
