@@ -70,6 +70,46 @@ object Incremental {
         Seq(col("change")) ++ valueCols.map(c => col(s"n.$c").as(c)): _*)
   }
 
+  /** SCD Type-2 apply (Kimball slowly-changing dimension): fold a new
+    * staged snapshot into a VERSIONED dimension. Each key's history is
+    * a chain of rows with (valid_from, valid_to, is_current): an
+    * unseen key opens a row; a key whose attributes changed closes the
+    * current row at `batchId` and opens the new version; a key absent
+    * from the snapshot closes its current row (a delete); unchanged
+    * keys pass through untouched. Built on [[snapshotDiff]] (current
+    * slice vs staged), so change classification is null-safe and
+    * key-only-safe. Re-running the same batch is idempotent: the diff
+    * is empty the second time.
+    *
+    * SCALE: one full-outer key join (the diff) + two key-keyed semi /
+    * anti joins + unions — no windows, no driver state; history rows
+    * stream through untouched, so cost is proportional to the CURRENT
+    * slice + the batch, not the accumulated history depth. */
+  def scd2Apply(dim: DataFrame, staged: DataFrame, keys: Seq[String],
+      batchId: Long, fromCol: String = "valid_from",
+      toCol: String = "valid_to", curCol: String = "is_current"): DataFrame = {
+    val attrs = dim.columns.filterNot(c => keys.contains(c) ||
+      c == fromCol || c == toCol || c == curCol).toSeq
+    val current = dim.where(col(curCol))
+    val history = dim.where(!col(curCol))
+    val diff = snapshotDiff(
+      current.select((keys ++ attrs).map(col): _*),
+      staged.select((keys ++ attrs).map(col): _*), keys)
+      .localCheckpoint() // feeds the close gate AND the open rows
+    val changedKeys = diff.where(col("change").isin("update", "delete"))
+      .select(keys.map(col): _*)
+    val closed = current.join(changedKeys, keys, "left_semi")
+      .withColumn(toCol, lit(batchId))
+      .withColumn(curCol, lit(false))
+    val untouched = current.join(changedKeys, keys, "left_anti")
+    val opened = diff.where(col("change").isin("insert", "update"))
+      .select((keys ++ attrs).map(col): _*)
+      .withColumn(fromCol, lit(batchId))
+      .withColumn(toCol, lit(null).cast("long"))
+      .withColumn(curCol, lit(true))
+    history.unionByName(closed).unionByName(untouched).unionByName(opened)
+  }
+
   /** Persisted Bloom-filter sidecar: the accepted-table's membership
     * filter written as a versioned (idx, word) parquet table so the NEXT
     * ingest run LOADS the filter instead of rebuilding it from the full

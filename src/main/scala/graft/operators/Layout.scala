@@ -99,6 +99,43 @@ object Layout {
     d
   }
 
+  /** [[hilbertKey]] materialized one rotation LEVEL per projection.
+    * The single-Column form nests each level's (x, y) inside the next
+    * level's CASE branches, so the UNEXPANDED tree grows ~3^bits —
+    * at bits=8 codegen overflows and falls back to interpreted
+    * evaluation (measured 100 s for a 1.5M-row scan). Chaining
+    * `withColumn` per level pins each (x, y, d) as a real attribute;
+    * Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    * aliases in their own projections, so the plan stays linear in
+    * `bits` and whole-stage codegen'd. Always use this form on a
+    * corpus-shaped scan; the Column form is fine for model-sized
+    * relations and specs. */
+  def withHilbertKey(df: DataFrame, xCol: Column, yCol: Column,
+      out: String, bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"hilbert bits=$bits out of range")
+    val n = 1L << bits
+    var cur = df.withColumn("__hx", xCol.cast("long"))
+      .withColumn("__hy", yCol.cast("long"))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      cur = cur
+        .withColumn(out,
+          col(out) + lit(s * s) * ((lit(3L) * rx).bitwiseXOR(ry)))
+        .withColumn("__hx2", when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__hy2", when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__hx2")).withColumn("__hy", col("__hy2"))
+        .drop("__hx2", "__hy2")
+    }
+    cur.drop("__hx", "__hy")
+  }
+
   /** The matching DuckDB/ANSI SQL for [[hilbertKey]]: emits one chained
     * CTE level per bit carrying (x, y, d) — the same reflect-then-swap
     * algebra, so engine and oracle agree bit-for-bit. `src` must expose

@@ -60,6 +60,16 @@ class Round14OpsSpec extends GraftSpec {
     assert(mJumps > 0, "morton should jump at quadrant seams")
   }
 
+  test("withHilbertKey (projection-per-level) == hilbertKey (single Column)") {
+    val cells = spark.range(1024)
+      .select((col("id") % 32).as("x"), expr("id div 32").as("y"))
+    val a = Layout.withHilbertKey(cells, col("x"), col("y"), "k", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = cells.withColumn("k", Layout.hilbertKey(col("x"), col("y"), 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "the two forms must agree cell-for-cell")
+  }
+
   test("kCore: hand graph peels the tail, keeps the clique, converges") {
     // K4 clique {1,2,3,4} + a pendant path 4-5-6: the 3-core is exactly
     // the clique (peeling 6 drops 5's degree to 1, then 5 drops)
@@ -153,6 +163,35 @@ class Round14OpsSpec extends GraftSpec {
     val rows = EventOps.conversionAttribution(events).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("click"),
       "post-conversion events must not register as channels")
+  }
+
+  test("scd2Apply: versions chain correctly and re-applying a batch is idempotent") {
+    import graft.operators.Incremental
+    val dim = Seq((1L, "A", 1L, Option.empty[Long], true),
+      (2L, "B", 1L, Option.empty[Long], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val staged = Seq((1L, "A"), (2L, "B2"), (3L, "C")).toDF("k", "seg")
+    val v2 = Incremental.scd2Apply(dim, staged, Seq("k"), batchId = 2L)
+      .localCheckpoint()
+    val rows = v2.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1L, "A", 1L, -1L, true),   // unchanged: untouched
+      (2L, "B", 1L, 2L, false),   // changed: closed at batch 2
+      (2L, "B2", 2L, -1L, true),  // ... and re-opened
+      (3L, "C", 2L, -1L, true)),  // new key opened
+      s"got $rows")
+    // idempotence: the same snapshot at batch 3 changes nothing
+    val v3 = Incremental.scd2Apply(v2, staged, Seq("k"), batchId = 3L)
+    assert(v3.collect().map(_.toSeq).toSet ==
+      v2.collect().map(_.toSeq).toSet, "re-apply must be a no-op")
+    // a delete closes without reopening
+    val v4 = Incremental.scd2Apply(v2, staged.where(col("k") =!= 3L),
+      Seq("k"), batchId = 4L)
+    val k3 = v4.where(col("k") === 3L).collect()
+      .map(r => (r.getLong(2), r.isNullAt(3), r.getBoolean(4))).toSet
+    assert(k3 == Set((2L, false, false)), s"delete must close k=3: $k3")
   }
 
   test("cdcDedupSavings: duplicated docs are fully redundant at chunk level") {
