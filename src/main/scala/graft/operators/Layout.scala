@@ -165,6 +165,24 @@ object Layout {
     (lv0 +: levels :+ fin).mkString(",\n")
   }
 
+  /** Writes `df` as `nFiles` parquet files range-partitioned and sorted
+    * by the Hilbert key of (colA, colB) — [[zOrderedWrite]] with the
+    * jump-free curve, so every file's (colA, colB) min/max envelope is
+    * one compact blob even when file boundaries straddle quadrant
+    * seams (the q455-measured advantage). Uses [[withHilbertKey]] (one
+    * projection per rotation level — the Column form's nested CASEs
+    * fall out of codegen at corpus scale).
+    *
+    * SCALE: identical shape to [[zOrderedWrite]] — one sampled range
+    * exchange + local sort, no single-partition anything. */
+  def hilbertOrderedWrite(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int, bits: Int = 16): Unit =
+    withHilbertKey(df, col(colA), col(colB), "__hkey", bits)
+      .repartitionByRange(nFiles, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+      .write.mode("overwrite").parquet(path)
+
   /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
     * assignment: each key goes to the shard whose portable 60-bit hash
     * of "key#shard" is largest. Unlike `pmod(hash, n)`, growing the

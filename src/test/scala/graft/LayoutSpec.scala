@@ -43,4 +43,23 @@ class LayoutSpec extends GraftSpec {
     assert(zHits < lHits, s"z-order pruned nothing: $zHits vs $lHits")
     assert(zHits <= 12, s"z-order envelopes too loose: $zHits/16 files hit")
   }
+
+  test("hilbert write: 2nd-dimension box prunes at least as well as z-order") {
+    val n = 64
+    val grid = (for (a <- 0 until n; b <- 0 until n) yield (a, b)).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("graft-layout-h").toString
+    val hdir = s"$root/h"
+    val zdir = s"$root/z"
+    Layout.hilbertOrderedWrite(grid, "a", "b", hdir, nFiles = 16, bits = 6)
+    Layout.zOrderedWrite(grid, "a", "b", zdir, nFiles = 16, bits = 6)
+    assert(spark.read.parquet(hdir).count() == n.toLong * n,
+      "hilbert layout must never lose rows")
+    def hitsB(env: Seq[(Int, Int, Int, Int)]) =
+      env.count { case (_, _, bMin, bMax) => bMax >= 8 && bMin <= 23 }
+    val hHits = hitsB(envelopes(hdir))
+    val zHits = hitsB(envelopes(zdir))
+    assert(hHits <= zHits,
+      s"hilbert envelopes should prune at least as well: $hHits vs $zHits")
+    assert(hHits <= 12, s"hilbert envelopes too loose: $hHits/16 files hit")
+  }
 }
