@@ -14,6 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     sum(int) is HUGEINT, Spark length() is INT, ...)
   *   - timestamps never appear raw in outputs (strftime/date_format strings
   *     or epoch BIGINTs instead) to dodge tz-awareness representation drift
+  *   - a rounded double that can be zero gets `+ 0.0` on BOTH sides:
+  *     DuckDB's round() of a tiny negative yields IEEE -0.0 where Spark's
+  *     BigDecimal round yields +0.0 — numerically equal, distinct to a
+  *     dtype-sensitive value hash (the q435 sf0.1 lesson)
+  *   - oracle aggregate outputs are never left HUGEINT (sum/`//` widen):
+  *     HUGEINT's pandas dtype is duckdb-version-dependent (the q365/q426
+  *     r13 lesson); CAST(... AS BIGINT) every integer output column
+  *   - output columns are never array/map-typed: the harness row-sorts
+  *     through pandas, which cannot order list cells (the q163 r13
+  *     lesson) — explode to scalar rows or array_join instead
   */
 case class Q(name: String,
     fn: (SparkSession, String) => DataFrame,
