@@ -943,6 +943,58 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Additive Holt–Winters triple exponential smoothing over the dense
+    * daily count series (α = β = γ = 1/2, weekly season) — the named
+    * classical forecaster completing the q259 EWMA / q223 weekday-
+    * profile / q396 rolling-origin family with level + trend + seasonal
+    * state. Fully deterministic cross-engine: observations quantize to
+    * integers (count·2^20) and every state update is integer adds plus
+    * ONE division by 2 truncating toward zero (α = 1/2 makes each
+    * smoothing a midpoint; Scala Long `/` == DuckDB `//`, which
+    * TRUNCATES on negatives — measured, not floor). Cold start after
+    * the first week: truncated week-1 mean level, zero trend, week-1
+    * residual seasonals. Emits one
+    * row per day from day 8 with the one-step-ahead fit and error.
+    *
+    * SCALE: the day series is CALENDAR-bounded (the q237/q259 model
+    * contract) — it collects to the driver and the recurrence is a
+    * driver-side loop over days; corpus work is ONE daily count
+    * aggregation. */
+  def holtWinters(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L, period: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = denseDailyCounts(events, dayNs).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(days.length > period,
+      s"holtWinters needs more than $period days, got ${days.length}")
+    val Q = 1048576L // 2^20
+    val obs = days.map(_._2 * Q)
+    var l = obs.take(period).sum / period
+    var b = 0L
+    val s = scala.collection.mutable.Queue(obs.take(period).map(_ - l): _*)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- period until days.length) {
+      val c1 = s.head // the season slot from `period` days back
+      val fit = l + b + c1
+      val o = obs(t)
+      val lN = (o - c1 + l + b) / 2
+      val bN = (lN - l + b) / 2
+      val sN = (o - lN + c1) / 2
+      out += ((days(t)._1, days(t)._2, fit, lN, bN, sN, math.abs(o - fit)))
+      l = lN; b = bN
+      s.dequeue(); s.enqueue(sN)
+    }
+    def disp(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") / 1048576.0 * 1000000.0) / 1000000.0
+    out.toSeq.toDF("day", "n", "fq", "lq", "bq", "sq", "eq")
+      .select(col("day"), col("n"), disp(col("fq")).as("fitted"),
+        disp(col("lq")).as("level"), disp(col("bq")).as("trend"),
+        disp(col("sq")).as("seasonal"), disp(col("eq")).as("abs_err"))
+      .orderBy("day")
+  }
+
   /** Theil–Sen robust trend of the dense daily count series: the
     * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
     * intercept as the median of c_i − slope·day_i — the outlier-proof

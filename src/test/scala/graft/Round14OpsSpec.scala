@@ -165,6 +165,43 @@ class Round14OpsSpec extends GraftSpec {
       "post-conversion events must not register as channels")
   }
 
+  test("holtWinters: a constant series fits exactly (zero error, flat state)") {
+    import graft.operators.EventOps
+    // 3 events per day for 21 days -> level = 3, trend = seasonal = 0,
+    // one-step-ahead error exactly 0 from day 8 on (integer midpoint
+    // updates are exact on the constant path)
+    val dayNs = 86400L * 1000000000L
+    val events = (for (d <- 0 until 21; k <- 0 until 3)
+      yield (d * 3L + k, d * dayNs + k * 1000L, 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.holtWinters(events).collect()
+    assert(got.length == 14, s"rows from day 8 through 21: ${got.length}")
+    got.foreach { r =>
+      assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 3.0, s"fit/level: $r")
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0, s"trend/seasonal: $r")
+      assert(r.getDouble(6) == 0.0, s"constant series must have zero error: $r")
+    }
+  }
+
+  test("holtWinters: weekly season + linear trend are learned (errors shrink)") {
+    import graft.operators.EventOps
+    val dayNs = 86400L * 1000000000L
+    // weekday pattern PLUS a weekly step (the cold start has zero
+    // trend, so the early one-step errors are real and must shrink as
+    // the trend state converges; a season-only fixture is already
+    // solved exactly by the week-1 residual init)
+    val events = (for (d <- 0 until 56; k <- 0 until (d % 7 + 1 + d / 7))
+      yield (d * 100L + k, d * dayNs + k * 1000L, 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.holtWinters(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).sortBy(_._1)
+    val firstWeek = got.take(7).map(_._2).sum
+    val lastWeek = got.takeRight(7).map(_._2).sum
+    assert(firstWeek > 0.0, "cold-start errors must be nonzero here")
+    assert(lastWeek < firstWeek / 2.0,
+      s"trend must be learned: first=$firstWeek last=$lastWeek")
+  }
+
   test("scd2Apply: versions chain correctly and re-applying a batch is idempotent") {
     import graft.operators.Incremental
     val dim = Seq((1L, "A", 1L, Option.empty[Long], true),
