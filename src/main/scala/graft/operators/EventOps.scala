@@ -995,6 +995,52 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Classical additive seasonal decomposition of the dense daily
+    * count series: trend = centered 7-day moving average, seasonal =
+    * per-weekday mean of the detrended values re-centered to sum ~0,
+    * remainder = detrended − seasonal — the textbook decompose()
+    * complementing [[holtWinters]] (which FORECASTS; this EXPLAINS).
+    * Exact cross-engine: counts quantize ×2^20 and every mean is an
+    * integer `div` truncating toward zero (Spark `div` == DuckDB `//`,
+    * both truncate on negatives). Emits interior days only (the
+    * centered window needs ±3 neighbors).
+    *
+    * SCALE: the moving average is an offset-explode self-join on the
+    * day key (the dailyAcf shape — shuffle-keyed, NEVER a one-partition
+    * global window); weekday means are a 7-row model aggregation. */
+  def seasonalDecompose(events: DataFrame,
+      dayNs: Long = 86400L * 1000000000L): DataFrame = {
+    val dense = denseDailyCounts(events, dayNs).localCheckpoint()
+    val Q = 1048576L
+    val tr = dense
+      .select(col("day"), explode(sequence(lit(-3L), lit(3L))).as("off"))
+      .select((col("day") + col("off")).as("bday"),
+        col("day").as("cday"))
+      .join(dense.select(col("day").as("bday"), col("c").as("cb")), "bday")
+      .groupBy(col("cday").as("day"))
+      .agg(count(lit(1)).as("w"), sum(col("cb")).as("s"))
+      .where(col("w") === 7)
+      .select(col("day"), expr(s"(s * $Q) div 7").as("trend_q"))
+    val det = dense.join(tr, "day")
+      .select(col("day"), col("c"),
+        (col("c") * Q - col("trend_q")).as("det_q"), col("trend_q"),
+        pmod(col("day"), lit(7L)).as("wd"))
+      .localCheckpoint() // feeds the weekday means AND the output rows
+    val wmean = det.groupBy("wd")
+      .agg(expr("sum(det_q) div count(1)").as("m_q"))
+    val center = wmean.agg(expr("sum(m_q) div 7").as("g_q"))
+    val sidx = wmean.crossJoin(broadcast(center))
+      .select(col("wd"), (col("m_q") - col("g_q")).as("s_q"))
+    def disp(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") / 1048576.0 * 1000000.0) / 1000000.0
+    det.join(broadcast(sidx), "wd")
+      .select(col("day"), col("c").as("n"),
+        disp(col("trend_q")).as("trend"),
+        disp(col("s_q")).as("seasonal"),
+        disp(col("det_q") - col("s_q")).as("remainder"))
+      .orderBy("day")
+  }
+
   /** Theil–Sen robust trend of the dense daily count series: the
     * MEDIAN of all pairwise slopes (c_j − c_i)/(j − i), with the
     * intercept as the median of c_i − slope·day_i — the outlier-proof

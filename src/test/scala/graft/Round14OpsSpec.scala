@@ -202,6 +202,29 @@ class Round14OpsSpec extends GraftSpec {
       s"trend must be learned: first=$firstWeek last=$lastWeek")
   }
 
+  test("seasonalDecompose: components add back to the series; a pure weekly " +
+      "pattern lands in seasonal with ~zero remainder") {
+    import graft.operators.EventOps
+    val dayNs = 86400L * 1000000000L
+    val events = (for (d <- 0 until 28; k <- 0 until (d % 7 + 2))
+      yield (d * 100L + k, d * dayNs + k * 1000L, 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val rows = EventOps.seasonalDecompose(events).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 22, s"interior days: ${rows.length}")
+    rows.foreach { case (n, t, s0, rem) =>
+      // identity holds exactly in quantized space; displayed columns are
+      // each rounded once, so the sum re-lands within 3 display quanta
+      assert(math.abs(t + s0 + rem - n) <= 3e-6, s"identity: $n vs ${t + s0 + rem}")
+    }
+    // the ±3-centered MA of a 7-periodic series is the constant mean, so
+    // the weekly pattern sits in seasonal and remainders stay tiny
+    assert(rows.map(_._4).map(math.abs).max < 1.0,
+      s"remainder should be small: ${rows.map(_._4).toSeq}")
+    val seasonalSpread = rows.map(_._3).max - rows.map(_._3).min
+    assert(seasonalSpread > 4.0, s"weekly amplitude must appear: $seasonalSpread")
+  }
+
   test("scd2Apply: versions chain correctly and re-applying a batch is idempotent") {
     import graft.operators.Incremental
     val dim = Seq((1L, "A", 1L, Option.empty[Long], true),
