@@ -810,8 +810,14 @@ object EventOps {
       var ii = 0
       while (ii < trans.length) {
         val i = idx(trans(ii))
-        var acc = 0.0
-        if (rowTot(i) > 0) {
+        if (rowTot(i) == 0) {
+          // dead end: never absorbs, so it contributes NOTHING to its
+          // predecessors (a path entering it is not an absorption
+          // path) — pinning 0 here keeps the recurrence consistent
+          // with the NULL its own output row reports below
+          next(ii) = 0L
+        } else {
+          var acc = 0.0
           var jj = 0
           while (jj < trans.length) {
             val j = idx(trans(jj))
@@ -819,8 +825,8 @@ object EventOps {
               (cnt(i)(j).toDouble / rowTot(i).toDouble)
             jj += 1
           }
+          next(ii) = math.round((1.0 + acc) * 1e9)
         }
-        next(ii) = math.round((1.0 + acc) * 1e9)
         ii += 1
       }
       x = next
@@ -928,6 +934,11 @@ object EventOps {
     require(qb > 0, s"no conversions into $absorb reach START")
     val perChannel = channels.map(c => (c, qb, pConvStart(Some(c))))
     val sumDiff = perChannel.map { case (_, b, c) => b - c }.sum
+    // every conversion direct (START→CONV) → no channel carries any
+    // removal mass; 0/0 shares would be NaN, so fail loudly instead
+    require(sumDiff > 0,
+      "no channel influences conversion (all paths are direct) — " +
+        "attribution shares are undefined")
     perChannel.toSeq.toDF("channel", "qb", "qc")
       .select(col("channel"),
         (round(col("qb").cast("double") / 1000.0) / 1000000.0)

@@ -457,11 +457,11 @@ object Profiling {
       rounds: Int = 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // NULL split values carry no side and are dropped BEFORE the
-    // collect (getBoolean on a null cell would NPE); an empty side has
-    // no transport plan, so fail loudly instead of dividing 0/0 into a
-    // NaN cost.
-    val hist = df.where(splitCol.isNotNull)
+    // NULL split OR value cells carry no mass and are dropped BEFORE
+    // the collect (getBoolean/getLong on a null cell would NPE); an
+    // empty side has no transport plan, so fail loudly instead of
+    // dividing 0/0 into a NaN cost.
+    val hist = df.where(splitCol.isNotNull && col(valueCol).isNotNull)
       .select((col(valueCol) / binWidth).cast("long").as("bin"),
         splitCol.as("g"))
       .groupBy("bin", "g").agg(count(lit(1)).as("c"))

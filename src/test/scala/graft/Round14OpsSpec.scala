@@ -133,6 +133,37 @@ class Round14OpsSpec extends GraftSpec {
     assert(idx.count() == 0L, "chunk_idx must be dense per doc")
   }
 
+  test("absorbingSteps: a dead-end state is NULL and contributes nothing upstream") {
+    import graft.operators.EventOps
+    // u1: view -> purchase; u2: view -> signup (journey dies at signup,
+    // which has NO outgoing transitions). view's truncated expectation
+    // must count only the absorbing branch: 1 + 0.5·0 = 1.0 — NOT 1.5
+    // (which would treat the dead end as absorbing one step later).
+    val events = Seq(
+      (1L, 1L, 1L, "view"), (2L, 2L, 1L, "purchase"),
+      (3L, 1L, 2L, "view"), (4L, 2L, 2L, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.absorbingSteps(events).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(2)))).toMap
+    assert(got("signup").isEmpty, s"dead end must be NULL: $got")
+    assert(got("view").contains(1.0),
+      s"dead-end branch must contribute zero upstream: $got")
+  }
+
+  test("conversionAttribution rejects the all-direct case (undefined shares)") {
+    import graft.operators.EventOps
+    // only journeys: direct purchase, and a channel that never converts
+    // -> removing any channel changes nothing; shares would be 0/0
+    val events = Seq(
+      (1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.conversionAttribution(events).collect()
+    }
+    assert(e.getMessage.contains("direct"), e.getMessage)
+  }
+
   test("conversionAttribution: hand journeys give the closed-form removal effects") {
     import graft.operators.EventOps
     // u1: click -> purchase (converts through click); u2: view (dies).
