@@ -55,10 +55,19 @@ object Layout {
     * exchange + local sort; no global single-partition anything. */
   def zOrderedWrite(df: DataFrame, colA: String, colB: String,
       path: String, nFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__zkey", zValue(col(colA), col(colB), bits))
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
+    keyedRangeWrite(
+      df.withColumn("__lkey", zValue(col(colA), col(colB), bits)),
+      path, nFiles)
+
+  /** Shared tail of the curve-ordered writers: range-partition + local
+    * sort on the precomputed `__lkey`, drop it, write. ONE definition so
+    * a layout-path change (writer conf, sort discipline) cannot drift
+    * between the Morton and Hilbert twins. */
+  private def keyedRangeWrite(keyed: DataFrame, path: String,
+      nFiles: Int): Unit =
+    keyed.repartitionByRange(nFiles, col("__lkey"))
+      .sortWithinPartitions("__lkey")
+      .drop("__lkey")
       .write.mode("overwrite").parquet(path)
 
   /** Hilbert-curve key: maps a (x, y) cell in the 2^bits × 2^bits grid
@@ -79,8 +88,13 @@ object Layout {
   def hilbertKey(xCol: Column, yCol: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 16, s"hilbert bits=$bits out of range")
     val n = 1L << bits
-    var x = xCol.cast("long")
-    var y = yCol.cast("long")
+    // wrap into [0, 2^bits) exactly like zValue's documented behavior —
+    // WITHOUT the mask an out-of-range input survives into the
+    // reflection step (n-1-x goes negative) and corrupts the key, which
+    // destroys curve locality silently (content stays correct, the
+    // layout benefit evaporates)
+    var x = xCol.cast("long").bitwiseAND(lit(n - 1))
+    var y = yCol.cast("long").bitwiseAND(lit(n - 1))
     var d = lit(0L)
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
@@ -114,8 +128,9 @@ object Layout {
       out: String, bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, s"hilbert bits=$bits out of range")
     val n = 1L << bits
-    var cur = df.withColumn("__hx", xCol.cast("long"))
-      .withColumn("__hy", yCol.cast("long"))
+    var cur = df // wrap into [0, 2^bits) — see hilbertKey
+      .withColumn("__hx", xCol.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("__hy", yCol.cast("long").bitwiseAND(lit(n - 1)))
       .withColumn(out, lit(0L))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
@@ -144,8 +159,8 @@ object Layout {
   def hilbertSql(src: String, xa: String, ya: String, bits: Int = 8,
       sfx: String = ""): String = {
     val n = 1L << bits
-    val lv0 = s"h0$sfx AS (SELECT *, CAST($xa AS BIGINT) AS hx, " +
-      s"CAST($ya AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $src)"
+    val lv0 = s"h0$sfx AS (SELECT *, CAST($xa AS BIGINT) & ${n - 1} AS hx, " +
+      s"CAST($ya AS BIGINT) & ${n - 1} AS hy, CAST(0 AS BIGINT) AS hd FROM $src)"
     val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
       val s = 1L << i
       val prev = s"h$k$sfx"
@@ -177,11 +192,9 @@ object Layout {
     * exchange + local sort, no single-partition anything. */
   def hilbertOrderedWrite(df: DataFrame, colA: String, colB: String,
       path: String, nFiles: Int, bits: Int = 16): Unit =
-    withHilbertKey(df, col(colA), col(colB), "__hkey", bits)
-      .repartitionByRange(nFiles, col("__hkey"))
-      .sortWithinPartitions("__hkey")
-      .drop("__hkey")
-      .write.mode("overwrite").parquet(path)
+    keyedRangeWrite(
+      withHilbertKey(df, col(colA), col(colB), "__lkey", bits),
+      path, nFiles)
 
   /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
     * assignment: each key goes to the shard whose portable 60-bit hash

@@ -472,14 +472,11 @@ object Advanced {
     // location, overwritten per run — disk-flat across executions.
     Q("q95_zorder_roundtrip",
       (s, d) => {
-        val dir = d.stripSuffix("/")
-        val loc = new java.io.File(
-          new java.io.File(sys.props("java.io.tmpdir"), "graft-zorder"),
-          java.lang.Integer.toHexString(dir.hashCode) + "/part_z")
+        val loc = Tables.roundtripLoc(d, "zorder")
         graft.operators.Layout.zOrderedWrite(
           t(s, d, "part").select("p_partkey", "p_size"),
-          "p_partkey", "p_size", loc.toString, nFiles = 8)
-        s.read.parquet(loc.toString).orderBy("p_partkey")
+          "p_partkey", "p_size", loc, nFiles = 8)
+        s.read.parquet(loc).orderBy("p_partkey")
       },
       Some("SELECT p_partkey, p_size FROM part ORDER BY p_partkey"),
       bench = true),

@@ -35,6 +35,18 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"${dir.stripSuffix("/")}/$name.parquet")
 
+  /** Fixed per-(dataset, name) temp location for write-roundtrip rows
+    * (q95/q460): overwritten per run, so disk stays flat across
+    * executions; hashing the dataset dir keeps sf0.01/sf0.1 runs from
+    * clobbering each other. ONE definition so the roundtrip twins can't
+    * drift. */
+  def roundtripLoc(dir: String, name: String): String = {
+    val d = dir.stripSuffix("/")
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name"),
+      java.lang.Integer.toHexString(d.hashCode) + s"/$name").toString
+  }
+
   /** The events table: `ts` is normalized to LongType epoch-NANOSECONDS
     * regardless of how the parquet encodes it. Integer nanos keep ordering,
     * bucketing, and gap arithmetic exact (no µs truncation) — queries must
