@@ -139,6 +139,22 @@ object Clustering {
     chosen
   }
 
+  /** The final centroid matrix of the shared Lloyd fit, for callers
+    * that need the MODEL rather than an assignment relation — e.g. the
+    * streaming SemDeDup admission sink, whose reference partitioner is
+    * fit offline once and then applied to every micro-batch (the IVF
+    * "train on a historical corpus, serve forever" shape). Same
+    * determinism contract as [[kMeansAssign]]; the fit's quantized
+    * corpus view is released before returning (the caller keeps only
+    * the k×d doubles). */
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Double = 10000.0): Array[Array[Double]] = {
+    val (q, cents) = fitQuantized(emb, k, iters, idCol, vecCol, scale)
+    IterUtils.unpersistCheckpoint(q)
+    cents
+  }
+
   /** Assign every vector to one of `k` Lloyd clusters after `iters`
     * update rounds. Returns (idCol, cluster, dist) where `dist` is the
     * squared quantized-space distance to the final centroid, rounded to

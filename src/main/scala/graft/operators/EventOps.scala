@@ -711,12 +711,14 @@ object EventOps {
       .select(expr(s"(ts - _prev) div $secNs").as("v"))
     val tot = dt.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
     val byV = dt.groupBy("v").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0) // gap-domain-sized
     val lambda = col("n").cast("double") / col("s").cast("double")
     val diff = abs(col("cum").cast("double") / col("n").cast("double") -
       (lit(1.0) - exp(-lambda * col("v").cast("double"))))
-    byV.withColumn("cum", sum(col("c")).over(w))
+    // gap-seconds is a VALUE domain, not a calendar one — at 100 TB the
+    // distinct-gap table can reach 10^8 rows, so the ECDF cumulative
+    // runs as the shared two-phase prefix sum, never a global window
+    graft.operators.DistributedRank.prefixSum(byV, Nil, Seq(col("v")),
+        Seq("c" -> "cum"), inclusive = true)
       .join(broadcast(tot))
       .withColumn("d9", round(diff * 1000000000.0) / 1000000000.0)
       .orderBy(col("d9").desc, col("v"))

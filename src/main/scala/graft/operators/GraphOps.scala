@@ -632,6 +632,70 @@ object GraphOps {
     coreDeg
   }
 
+  /** Run-to-convergence k-core peel with an explicit CONVERGENCE
+    * CONTRACT — the iterative-convergence report the fixed-round graph
+    * family (q456's 8-round peel, PageRank, label propagation) implies
+    * but never surfaces: per round, the survivor count and a
+    * `converged` flag, with genuine EARLY EXIT once the fixpoint is
+    * reached.
+    *
+    * The fixpoint test is driver-checked on ONE number per round: the
+    * peel only ever shrinks the survivor set, so equal consecutive
+    * COUNTS imply equal SETS — a monotone-count fixpoint needs no
+    * set-level comparison join. After the first converged round the
+    * remaining rows up to `maxRounds` are emitted verbatim (the
+    * fixpoint is idempotent by definition), so the output shape is
+    * independent of WHERE convergence lands and stays oracle-checkable
+    * by a fixed unroll, while the engine stops paying for rounds the
+    * moment they stop changing anything.
+    *
+    * Output: (round 1..maxRounds, survivors, converged) where
+    * `converged` at round r means survivors(r) == survivors(r-1)
+    * (round 0 = the full node set).
+    *
+    * SCALE: identical per-round profile to [[kCorePeel]] (two
+    * node-keyed semi-joins + one map-side-combined degree count);
+    * driver state is one Long per round. The early exit is the point:
+    * real graphs converge in a handful of rounds, and a pinned
+    * `rounds` either wastes passes past the fixpoint or silently
+    * under-peels — this reports which happened. */
+  def kCoreTrajectory(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var prev = alive.count()
+    val traj = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val next = sym
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("node").localCheckpoint()
+      IterUtils.unpersistCheckpoint(alive)
+      alive = next
+      val c = alive.count()
+      converged = c == prev
+      traj += ((r.toLong, c, converged))
+      prev = c
+      r += 1
+    }
+    // post-fixpoint rounds are the fixpoint verbatim — emitted, not run
+    while (r <= maxRounds) { traj += ((r.toLong, prev, true)); r += 1 }
+    IterUtils.unpersistCheckpoint(alive)
+    IterUtils.unpersistCheckpoint(sym)
+    traj.toSeq.toDF("round", "survivors", "converged")
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
     * NON-adjacent node pair with at least one common neighbor, the score
     * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) plus the raw common-neighbor count —

@@ -195,20 +195,22 @@ object Profiling {
     * product — engine-exact.
     *
     * SCALE: value-keyed weight aggregation first (map-side combined,
-    * domain-sized), then the cumulative window per group over distinct
-    * values only. */
+    * domain-sized), then the shared [[DistributedRank]] keyed two-phase
+    * prefix sum over the distinct values — no per-group ordered window,
+    * so an unbounded value domain never lands on a single task. */
   def weightedQuantiles(df: DataFrame, gCol: String, xCol: String,
       wCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1.0))
     val byV = df.select(col(gCol), col(xCol).cast("long").as("x"),
         col(wCol).cast("long").as("w"))
       .groupBy(gCol, "x").agg(sum(col("w")).as("w"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(gCol).orderBy("x")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy(gCol)
-    val cum = byV.withColumn("cumw", sum(col("w")).over(win))
-      .withColumn("tw", sum(col("w")).over(tot))
+    // keyed two-phase prefix (group keys driver-bounded; the per-group
+    // distinct-VALUE domain is not): a group whose value domain reaches
+    // 10^8 spans range partitions instead of collapsing onto the one
+    // task a group-partitioned ordered window would give it. The grand
+    // totals ride the same pass — no second window, no extra shuffle.
+    val cum = DistributedRank.prefixSum(byV, Seq(gCol), Seq(col("x")),
+      Seq("w" -> "cumw"), inclusive = true, totals = Seq("w" -> "tw"))
     val bands = ps.map(p => min(when(
       col("cumw").cast("double") >= lit(p) * col("tw").cast("double"),
       col("x"))).as("wp" + math.round(p * 100)))
@@ -391,12 +393,12 @@ object Profiling {
     val byV = g.groupBy("v")
       .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
     val tot = g.agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n2"))
-    // domain-sized cumulative ECDF window (see scaladoc)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    byV
-      .withColumn("cum1", sum(col("c1")).over(w))
-      .withColumn("cum2", sum(col("c2")).over(w))
+    // both ECDFs in ONE shared two-phase prefix pass over the distinct
+    // values — a value-typed domain (monetary cents, generic longs) is
+    // NOT calendar-bounded, so the former global cumulative window would
+    // put 10^8 distinct values on one task at corpus scale
+    DistributedRank.prefixSum(byV, Nil, Seq(col("v")),
+        Seq("c1" -> "cum1", "c2" -> "cum2"), inclusive = true)
       .join(broadcast(tot))
       .withColumn("num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
       .orderBy(col("num").desc, col("v"))

@@ -230,7 +230,13 @@ object Similarity {
           .select("tbl", "bkey")
         keyed0.join(hot, Seq("tbl", "bkey"), "left_anti")
     }
-    val cand = keyed.as("x").join(keyed.as("y"),
+    // both self-join sides read the signature relation: checkpoint it so
+    // the tables×planes SRP dot products run ONCE per vector, not once
+    // per side. The materialized (did, tbl, bkey) rows are ~24 bytes ×
+    // tables per vector — smaller than the embedding column itself, so
+    // the seam is cheaper than the recompute at any corpus size.
+    val keyedCk = keyed.localCheckpoint()
+    val cand = keyedCk.as("x").join(keyedCk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))
       .select(col("x.did").as("id_a"), col("y.did").as("id_b"))
@@ -336,8 +342,16 @@ object Similarity {
       maxCluster: Option[Long] = None): DataFrame = {
     val assign = Clustering.kMeansAssign(emb, k, iters, idCol, vecCol)
       .select(col(idCol).as("did"), col("cluster"))
+    // the assignment relation is read by BOTH sides of the cluster-keyed
+    // self-join (and the hot-cluster count when capped): checkpoint it
+    // once instead of re-running the NearestCentroid kernel + the
+    // emb⋈assign join per consumer. Cost: ONE materialization of
+    // (id, vector, cluster) — smaller than two extra kernel passes over
+    // the corpus, and in pipeline compositions (q133/q143) `emb` is
+    // itself an expensive survivor subtree this seam stops re-executing.
     val vecs = emb.select(col(idCol).as("did"), col(vecCol).as("v"))
       .join(assign, Seq("did"))
+      .localCheckpoint()
     val scoped = maxCluster match {
       case None => vecs
       case Some(cap) =>
@@ -389,6 +403,7 @@ object Similarity {
       .select(col(idCol).as("did"), col("cluster"), col("cluster2"))
     val av = emb.select(col(idCol).as("did"), col(vecCol).cast("array<double>").as("v"))
       .join(asg, Seq("did"))
+      .localCheckpoint() // read 4× (both sides of pos AND neg joins)
     def ranked(pairs: DataFrame, kind: String, keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vid").orderBy(col("cos").desc, col("other_id"))

@@ -26,38 +26,20 @@ object Stats {
     * only in the final one-row z chain, a fixed IEEE composition.
     *
     * SCALE: one corpus aggregation to the distinct-value table, then the
-    * [[TrainingPrep.selectUnderBudget]] two-phase prefix sum over it:
+    * shared [[DistributedRank.prefixSum]] two-phase prefix sum over it:
     * range-partition by value (parallel, sampled boundaries), one
     * partition-count-sized collect of per-partition tie totals, and a
     * broadcast-offset map-side pass gives every distinct value its exact
     * global cumB with no one-partition window anywhere. Output: 1 row. */
   def mannWhitneyU(df: DataFrame, valueCol: Column,
       isGroup1: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val nParts = spark.sessionState.conf.numShufflePartitions
     val byValue = df
       .select(valueCol.cast("double").as("v"),
         when(isGroup1, 1L).otherwise(0L).as("g1"))
       .groupBy("v")
       .agg(sum("g1").as("n1v"), count(lit(1)).as("tv"))
-      .repartitionByRange(nParts, col("v"))
-      .sortWithinPartitions("v")
-      .as[(Double, Long, Long)]
-      .localCheckpoint() // the two passes must see identical partitions
-    val partSums = byValue.mapPartitions { it =>
-      var s = 0L; it.foreach(s += _._3)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-    }.collect().toMap // one row per partition — bounded by nParts
-    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    val withCum = byValue.mapPartitions { it =>
-      var cumB = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (v, n1v, tv) =>
-        val r = (v, n1v, tv, cumB); cumB += tv; r
-      }
-    }.toDF("v", "n1v", "tv", "cumb")
+    val withCum = DistributedRank.prefixSum(byValue, Nil, Seq(col("v")),
+      Seq("tv" -> "cumb"), inclusive = false)
     val agg = withCum.agg(
       sum(col("n1v")).cast(dec).as("n1"),
       (sum(col("tv")) - sum(col("n1v"))).cast(dec).as("n2"),
@@ -455,18 +437,30 @@ object Stats {
     * (2·rank + ties − 1), Pearson composed from exact decimal rank
     * sums — [[kendallTauB]]'s magnitude-aware sibling.
     *
-    * SCALE: the rank windows run on the group-sized metric table
-    * (model-sized, documented); everything else is one fold. */
+    * SCALE: ranks never exist per row here either — each metric's
+    * doubled rank is a closed form of the DISTINCT-value tie counts and
+    * their exclusive prefix (rank_min = cumB + 1, so 2·rank + t − 1 =
+    * 2·cumB + t + 1), computed with the shared [[DistributedRank]]
+    * two-phase prefix sum and joined back by value. No global-order
+    * window anywhere: a value-typed metric domain (monetary cents,
+    * generic longs — 10^8 distinct at corpus scale) stays parallel
+    * instead of collapsing onto one task. */
   def spearmanRho(groups: DataFrame, gCol: String, m1: Column,
       m2: Column): DataFrame = {
     val g = groups.select(col(gCol).as("g"), m1.as("x"), m2.as("y"))
-    def dranks(c: String) = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-      val byV = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
-      (rank().over(w) * 2 + count(lit(1)).over(byV) - 1).cast("long")
+    def drankMap(c: String) = {
+      val byV = g.groupBy(col(c).as("v")).agg(count(lit(1)).as("tv"))
+      DistributedRank.prefixSum(byV, Nil, Seq(col("v")), Seq("tv" -> "cb"),
+          inclusive = false)
+        .select(col("v"), (lit(2L) * col("cb") + col("tv") + lit(1L)).as("dr"))
     }
-    val ranked = g.select(col("g"), dranks("x").as("rx"),
-      dranks("y").as("ry"))
+    val rxd = drankMap("x").toDF("xv", "rx")
+    val ryd = drankMap("y").toDF("yv", "ry")
+    // null-safe equality: a null/NaN metric value still carries its rank,
+    // exactly as the window form ranked it (asc_nulls_first order)
+    val ranked = g.join(rxd, col("x") <=> col("xv"))
+      .join(ryd, col("y") <=> col("yv"))
+      .select(col("g"), col("rx"), col("ry"))
     val m = ranked.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("rx")).cast(dec).as("sx"), sum(col("ry")).cast(dec).as("sy"),
       sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),

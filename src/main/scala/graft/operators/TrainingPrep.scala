@@ -346,29 +346,23 @@ object TrainingPrep {
       partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = docs
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
-        size(split(col("text"), " ")).cast("long"))
-      .repartitionByRange(nParts, col("n_chars").desc, col("doc_id"))
-      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
-      .as[(Long, Long, Long)]
-      .localCheckpoint()
-    val partSums = ranged.mapPartitions { it =>
-      var s = 0L; it.foreach(s += _._3)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-    }.collect().toMap
-    // exclusive prefix: offsets(p) = total tokens in partitions before p
-    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
-      val start = bc.value(org.apache.spark.TaskContext.getPartitionId())
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val p = DistributedRank.prepare(base, Nil,
+      Seq(col("n_chars").desc, col("doc_id")), Seq("tok"), partitions)
+    val bc = p.bc
+    p.ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // partitions whose offset already exceeds the budget short-circuit
+      // without reading rows; within one, the monotone cum allows
+      // takeWhile early exit
+      val start = bc.value.offsets.get((pid, Nil)).fold(0L)(_(0))
       if (start >= budgetTokens) Iterator.empty
       else {
         var cum = start
-        it.map { case (id, _, tok) => cum += tok; (id, tok, cum) }
+        it.map { r => val tok = r.getLong(2); cum += tok
+          (r.getLong(0), tok, cum) }
           .takeWhile(_._3 <= budgetTokens)
       }
     }.toDF("doc_id", "n_tok", "cum_tok")
@@ -389,32 +383,16 @@ object TrainingPrep {
     * before the bin-count-sized aggregate. */
   def packBins(docs: DataFrame, binBytes: Long,
       partitions: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     require(binBytes > 0, s"binBytes=$binBytes must be positive")
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = docs
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-      .repartitionByRange(nParts, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)]
-      .localCheckpoint() // both passes must see identical sampled ranges
-    val partSums = ranged.mapPartitions { it =>
-      var s = 0L; it.foreach(s += _._2)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-    }.collect().toMap
-    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
-      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (id, b) =>
-        val bin = cum / binBytes // exclusive prefix decides the bin
-        cum += b
-        (bin, id, b)
-      }
-    }.toDF("bin", "doc_id", "n_chars")
+    DistributedRank.prefixSum(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars")),
+        Nil, Seq(col("doc_id")), Seq("n_chars" -> "pre"),
+        inclusive = false, partitions = partitions)
+      // the exclusive prefix decides the bin (both operands nonnegative,
+      // so SQL `div` == the prior Scala long `/`)
+      .select(expr(s"pre div $binBytes").as("bin"),
+        col("doc_id"), col("n_chars"))
       .groupBy("bin").agg(count(lit(1)).cast("long").as("n_files"),
         sum(col("n_chars")).cast("long").as("bytes"),
         min(col("doc_id")).as("first_doc"),
@@ -445,43 +423,30 @@ object TrainingPrep {
       sourceCol: String = "source", partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = docs
-      .select(col(sourceCol).cast("string"), col("doc_id").cast("long"),
-        col("n_chars").cast("long"), size(split(col("text"), " ")).cast("long"))
-      .repartitionByRange(nParts, col(sourceCol), col("n_chars").desc, col("doc_id"))
-      .sortWithinPartitions(col(sourceCol), col("n_chars").desc, col("doc_id"))
-      .as[(String, Long, Long, Long)]
-      .localCheckpoint() // both passes must see identical sampled ranges
-    val partSums: Array[(Int, Seq[(String, Long)])] = ranged.mapPartitions { it =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (s, _, _, tok) => m.update(s, m.getOrElse(s, 0L) + tok) }
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), m.toSeq))
-    }.collect()
-    // exclusive offsets: tokens of (source) in partitions BEFORE p. Fold in
-    // partition order; within a partition the source order is the sorted
-    // row order (LinkedHashMap preserves it), so the fold is deterministic.
-    val running = scala.collection.mutable.Map.empty[String, Long]
-    val offsets: Map[(Int, String), Long] = partSums.sortBy(_._1).flatMap {
-      case (p, sums) => sums.map { case (s, tot) =>
-        val off = running.getOrElse(s, 0L)
-        running.update(s, off + tot)
-        ((p, s), off)
-      }
-    }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
+    val base = docs.select(col(sourceCol).cast("string").as("__src"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val p = DistributedRank.prepare(base, Seq("__src"),
+      Seq(col("n_chars").desc, col("doc_id")), Seq("tok"), partitions)
+    val bc = p.bc
+    p.ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       // a 'seen any row yet' flag, NOT a null sentinel: a null source
       // value must still trigger its offset load on the first row
       var started = false
       var cur: String = null
       var cum = 0L
-      it.flatMap { case (s, id, _, tok) =>
-        if (!started || s != cur) { started = true; cur = s; cum = bc.value.getOrElse((pid, s), 0L) }
+      it.flatMap { r =>
+        val s = r.getString(0)
+        if (!started || s != cur) {
+          started = true; cur = s
+          cum = bc.value.offsets.get((pid, List(s))).fold(0L)(_(0))
+        }
+        val tok = r.getLong(3)
         cum += tok
-        if (cum <= budgetTokens) Iterator((s, id, tok, cum)) else Iterator.empty
+        if (cum <= budgetTokens) Iterator((s, r.getLong(1), tok, cum))
+        else Iterator.empty
       }
     }.toDF("source", "doc_id", "n_tok", "cum_tok")
   }
@@ -503,30 +468,20 @@ object TrainingPrep {
       textCol: String = "text", partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val counts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ranged = counts.select(col("term"), col("cnt").cast("long"))
-      .repartitionByRange(nParts, col("cnt").desc, col("term"))
-      .sortWithinPartitions(col("cnt").desc, col("term"))
-      .as[(String, Long)]
-      .localCheckpoint()
-    val partSums = ranged.mapPartitions { it =>
-      var s = 0L; it.foreach(s += _._2)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-    }.collect().toMap
-    val total = (0 until nParts).map(partSums.getOrElse(_, 0L)).sum
-    val target = (total * coveragePermille + 999) / 1000
-    val offsets = (0 until nParts).map(partSums.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
-      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
+    val p = DistributedRank.prepare(counts, Nil,
+      Seq(col("cnt").desc, col("term")), Seq("cnt"), partitions)
+    val target = (p.total(0) * coveragePermille + 999) / 1000
+    val bc = p.bc
+    p.ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bc.value.offsets.get((pid, Nil)).fold(0L)(_(0))
       if (cum >= target) Iterator.empty
-      else it.map { case (t, c) =>
-        val before = cum; cum += c; (t, c, cum, before)
+      else it.map { r =>
+        val c = r.getLong(1)
+        val before = cum; cum += c; (r.getString(0), c, cum, before)
       }.takeWhile(_._4 < target).map(x => (x._1, x._2, x._3))
     }.toDF("term", "cnt", "cum_cnt")
   }
@@ -1202,33 +1157,16 @@ object TrainingPrep {
       idCol: String = "doc_id", textCol: String = "text",
       partitions: Int = 0): DataFrame = {
     require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val scored = unigramSurprisal(docs, idCol, textCol)
-      .select(col(idCol).cast("long"), col("n_tok"), col("bits_per_tok"))
-      .repartitionByRange(nParts, col("bits_per_tok"), col(idCol))
-      .sortWithinPartitions(col("bits_per_tok"), col(idCol))
-      .as[(Long, Long, Double)]
-      .localCheckpoint()
-    val partCounts = scored.mapPartitions { it =>
-      var c = 0L; it.foreach(_ => c += 1)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
-    }.collect().toMap
-    val offsets = (0 until nParts).map(partCounts.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).toArray
-    val n = offsets.last
-    val bc = spark.sparkContext.broadcast(offsets)
-    val nb = nBuckets.toLong
-    scored.mapPartitions { it =>
-      var rank = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (id, ntok, bits) =>
-        val b = rank * nb / n
-        rank += 1
-        (id, ntok, bits, b)
-      }
-    }.toDF(idCol, "n_tok", "bits_per_tok", "bucket")
+      .select(col(idCol).cast("long").as(idCol), col("n_tok"),
+        col("bits_per_tok"), lit(1L).as("one"))
+    DistributedRank.prefixSum(scored, Nil,
+        Seq(col("bits_per_tok"), col(idCol)), Seq("one" -> "rk"),
+        inclusive = false, totals = Seq("one" -> "nn"),
+        partitions = partitions)
+      // 0-based rank → bucket = rank·nb div n (nonnegative: div == `/`)
+      .select(col(idCol), col("n_tok"), col("bits_per_tok"),
+        expr(s"(rk * ${nBuckets.toLong}) div nn").as("bucket"))
   }
 
   /** DSIR importance log-weights (Data Selection via Importance

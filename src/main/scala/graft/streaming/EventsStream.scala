@@ -586,4 +586,72 @@ object EventsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming SEMANTIC-dedup admission control — [[streamingNearDupIngest]]
+    * in embedding space, mirroring the q132 batch contract: each
+    * micro-batch of vectors is assigned to a k-means cluster of a
+    * REFERENCE partitioner (`centroids`, fit offline once —
+    * [[graft.operators.Clustering.fitCentroids]] — the IVF "train on a
+    * historical corpus, serve forever" shape), then compared with the
+    * exact rounded cosine ONLY against same-cluster vectors: everything
+    * ACCEPTED so far plus its own batch (conservative smaller-id rule).
+    * Survivors append (id, cluster, v, batch_id) to the accepted table;
+    * storing the assignment makes the history side of every future
+    * batch a read, not a recompute.
+    *
+    * A duplicate pair split across two reference clusters is missed by
+    * construction — the SemDeDup paper's accepted boundary loss, same
+    * as the batch operator. Per-batch candidate work is
+    * batch×(admitted-in-cluster) + batch×batch within clusters — never
+    * admitted×admitted. Idempotence: at-least-once foreachBatch replays
+    * are no-ops via the id anti-join against the accepted table (the
+    * q136 discipline). */
+  def streamingSemDedupIngest(spark: SparkSession, vecs: DataFrame,
+      threshold: Double, centroids: Array[Array[Double]],
+      target: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val q = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val path = new org.apache.hadoop.fs.Path(target)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val history =
+            if (fs.exists(path)) Some(spark.read.parquet(target)) else None
+          val fresh0 = history.fold(batch.toDF())(h =>
+            batch.join(h.select(col("did").as(idCol)), Seq(idCol), "left_anti"))
+          // the reference assignment: same quantization + argmin kernel
+          // as Clustering.kMeansAssign, centroids as codegen literals
+          val qcol = transform(col(vecCol),
+            x => round(x.cast("double") * 10000.0).cast("long"))
+          val fresh = fresh0.select(col(idCol).cast("long").as("did"),
+              col(vecCol).cast("array<double>").as("v"),
+              graft.expressions.VectorFunctions.nearest_centroid(qcol, centroids)
+                .getField("cid").as("cluster"))
+            .localCheckpoint() // read by both reject joins + the append
+          val rcos = (round(graft.operators.Similarity.cosine(
+            col("a.v"), col("b.v")) * 1000000.0) / 1000000.0)
+          val rejBatch = fresh.as("a").join(fresh.as("b"),
+              col("a.cluster") === col("b.cluster") &&
+                col("b.did") < col("a.did"))
+            .where(rcos >= threshold).select(col("a.did")).distinct()
+          val rejected = history match {
+            case None => rejBatch
+            case Some(h) =>
+              val hv = h.select(col("did"), col("v"), col("cluster"))
+              fresh.as("a").join(hv.as("b"),
+                  col("a.cluster") === col("b.cluster"))
+                .where(rcos >= threshold).select(col("a.did"))
+                .union(rejBatch).distinct()
+          }
+          fresh.join(rejected, Seq("did"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(target)
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

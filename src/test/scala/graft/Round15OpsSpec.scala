@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Clustering, GraphOps, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-15 operators: the k-core convergence trajectory's fixpoint
+  * contract and the streaming SemDeDup admission sink's replay
+  * idempotence. */
+class Round15OpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("kCoreTrajectory: hand-computable path graph, early exit fills the fixpoint tail") {
+    // path a-b-c, k=2: only b has degree 2, but after peeling a and c,
+    // b's surviving degree is 0 — the 2-core is empty, reached at round 2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.kCoreTrajectory(edges, k = 2, maxRounds = 5)
+      .orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, false), // {b} survives the first degree cut
+      (2L, 0L, false), // b loses both neighbors -> empty
+      (3L, 0L, true),  // fixpoint detected (0 == 0)
+      (4L, 0L, true), (5L, 0L, true))) // tail emitted, not run
+  }
+
+  test("kCoreTrajectory: final survivors agree with kCorePeel's core on the trade graph") {
+    val edges = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    val traj = GraphOps.kCoreTrajectory(edges, k = 3, maxRounds = 8)
+      .orderBy("round").collect()
+    val coreNodes = GraphOps.kCorePeel(edges, k = 3, rounds = 8).count()
+    assert(traj.last.getLong(1) == coreNodes,
+      "round-8 survivors must equal the fixed-8-round core size")
+    // survivor counts never increase, and converged is sticky once true
+    val counts = traj.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, s"non-monotone: $counts")
+    val flags = traj.map(_.getBoolean(2)).toSeq
+    assert(!flags.zip(flags.tail).exists { case (a, b) => a && !b },
+      s"converged flag must be sticky: $flags")
+    // the flag is the count test, literally
+    traj.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1).getBoolean(2) == (w(1).getLong(1) == w(0).getLong(1)))
+    }
+  }
+
+  test("streamingSemDedupIngest: fresh-checkpoint replay of landed files is a no-op") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Clustering.fitCentroids(emb, k = Similarity.scaledK(emb),
+      iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-sem")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val target = root.resolve("accepted").toString
+    def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = root.resolve(s"stage_$tag")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$tag.parquet"))
+      ()
+    }
+    def stream = spark.readStream.schema(emb.schema).parquet(landing.toString)
+    land(emb.where(col("vec_id") % 2 === 0), "b1")
+    graft.streaming.EventsStream.streamingSemDedupIngest(spark, stream, 0.8,
+      cents, target, root.resolve("ckpt1").toString)
+    land(emb.where(col("vec_id") % 2 === 1), "b2")
+    graft.streaming.EventsStream.streamingSemDedupIngest(spark, stream, 0.8,
+      cents, target, root.resolve("ckpt1").toString)
+    val after2 = spark.read.parquet(target)
+      .select("did", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after2.nonEmpty)
+    // a FRESH checkpoint replays every landed file as one batch; the
+    // id anti-join must make that replay append nothing
+    graft.streaming.EventsStream.streamingSemDedupIngest(spark, stream, 0.8,
+      cents, target, root.resolve("ckpt2").toString)
+    val after3 = spark.read.parquet(target)
+      .select("did", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after3 == after2, "replay must not re-admit or re-batch rows")
+  }
+
+  test("streamingSemDedupIngest admits exactly the cluster-scoped batch twin") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val k = Similarity.scaledK(emb)
+    val cents = Clustering.fitCentroids(emb, k = k, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-twin")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val target = root.resolve("accepted").toString
+    val tmp = root.resolve("stage")
+    emb.coalesce(1).write.parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, landing.resolve("all.parquet"))
+    graft.streaming.EventsStream.streamingSemDedupIngest(spark,
+      spark.readStream.schema(emb.schema).parquet(landing.toString), 0.8,
+      cents, target, root.resolve("ckpt").toString)
+    val got = spark.read.parquet(target).select("did").collect()
+      .map(_.getLong(0)).toSet
+    // one-batch ingest == the conservative smaller-id twin under the
+    // SAME reference assignment (the q136 oracle's admission rule; the
+    // q464 register row pins the cross-engine contract — this spec pins
+    // the engine-internal equivalence)
+    val vecs = emb.select(col("vec_id").as("did"),
+      col("embedding").cast("array<double>").as("v"))
+    val assign = Clustering.kMeansAssign(emb, k = k, iters = 2)
+      .select(col("vec_id").as("did"), col("cluster"))
+    val av = vecs.join(assign, Seq("did"))
+    val rcos = round(Similarity.cosine(col("a.v"), col("b.v")) * 1000000.0) / 1000000.0
+    val twin = emb.select(col("vec_id")).except(
+      av.as("a").join(av.as("b"),
+          col("a.cluster") === col("b.cluster") && col("b.did") < col("a.did"))
+        .where(rcos >= 0.8).select(col("a.did").as("vec_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == twin, "single-batch ingest must equal the smaller-id twin")
+  }
+}
