@@ -110,6 +110,102 @@ object Incremental {
     history.unionByName(closed).unionByName(untouched).unionByName(opened)
   }
 
+  /** Incremental connected-components label maintenance — the missing
+    * piece between the batch cluster builder ([[Dedup.duplicateClusters]])
+    * and the incremental ADMISSION operators ([[Dedup.incrementalDedup]],
+    * [[Dedup.incrementalNearDup]]): a durable (id, cluster) sidecar that
+    * absorbs each new batch of near-dup pairs WITHOUT re-running
+    * connected components over the accumulated pair history. Labels stay
+    * canonical (cluster = smallest member id of the component), so the
+    * sidecar is at every moment exactly what a batch CC over the union
+    * of all batches would produce — the register row's oracle.
+    *
+    * Per batch:
+    *   1. map the batch edges' endpoints through the existing labels
+    *      (unseen node → itself);
+    *   2. build the QUOTIENT graph over those labels (one edge per pair
+    *      of distinct touched components) and run pointer-jumping CC on
+    *      it — the quotient is bounded by the batch's touched-component
+    *      count, never by history;
+    *   3. the resulting old→new label remap (changes only) is
+    *      model-sized and broadcast: new nodes insert with their
+    *      remapped label, and history rows of merged components relabel
+    *      via one broadcast join;
+    *   4. the delta lands through the partition-pruned keyed upsert
+    *      ([[graft.sources.TableWriters.upsertParquet]], rename-aside
+    *      durability) into an id-bucketed table, so the WRITE touches
+    *      only buckets holding changed rows.
+    *
+    * Canonical-min invariant: a history label is the min id of its old
+    * component and a fresh node's label is itself, so the quotient CC's
+    * min over merged labels IS the global min member id — no rescan of
+    * members is ever needed to keep labels canonical.
+    *
+    * SCALE: quotient CC + remap are batch/touched-component-sized; the
+    * relabel pass is one column-pruned scan of the label table against a
+    * broadcast remap (the one history-proportional cost — the scan, not
+    * the CC), and the write is touched-partition-only. Replays converge:
+    * a re-run batch maps both endpoints of every edge to one label, the
+    * quotient is empty, and no rows change. */
+  def incrementalComponents(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, newPairs: DataFrame, buckets: Int = 16,
+      maxRounds: Int = 25): Unit = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
+    val history: Option[DataFrame] =
+      if (exists) Some(spark.read.parquet(statePath)) else None
+    val edges = newPairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint() // feeds the node set and both quotient joins
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    // node -> current label; `fresh` marks ids the sidecar has never seen
+    val mapped = (history match {
+      case None => nodes.select(col("id"), col("id").as("lbl"),
+        lit(true).as("fresh"))
+      case Some(h) => nodes
+        .join(h.select(col("id"), col("cluster")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("lbl"),
+          col("cluster").isNull.as("fresh"))
+    }).localCheckpoint() // read by both quotient sides + the insert pass
+    val quotient = edges
+      .join(mapped.select(col("id").as("u"), col("lbl").as("la")), Seq("u"))
+      .join(mapped.select(col("id").as("v"), col("lbl").as("lb")), Seq("v"))
+      .select(least(col("la"), col("lb")).as("id_a"),
+        greatest(col("la"), col("lb")).as("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint() // emptiness probe + the CC input
+    // old->new label changes only — bounded by the batch's touched
+    // components, hence broadcastable by construction
+    val remap =
+      if (quotient.isEmpty)
+        spark.range(0).select(col("id").as("old_lbl"), col("id").as("new_lbl"))
+      else Dedup.duplicateClusters(quotient, maxRounds)
+        .select(col("doc_id").as("old_lbl"), col("cluster").as("new_lbl"))
+        .where(col("old_lbl") =!= col("new_lbl"))
+    val inserts = mapped.where(col("fresh"))
+      .join(broadcast(remap), col("lbl") === col("old_lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("cluster"))
+    val relabeled = history.fold(inserts.limit(0)) { h =>
+      h.join(broadcast(remap), h("cluster") === col("old_lbl"))
+        .select(h("id"), col("new_lbl").as("cluster"))
+    }
+    val updates = inserts.unionByName(relabeled)
+      .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .localCheckpoint() // emptiness probe must not re-run the CC chain
+    if (!exists)
+      updates.write.partitionBy("bucket").parquet(statePath)
+    else if (!updates.isEmpty)
+      graft.sources.TableWriters.upsertParquet(spark, statePath, updates,
+        Seq("id"), Seq("bucket"))
+    IterUtils.unpersistCheckpoint(edges)
+    IterUtils.unpersistCheckpoint(mapped)
+    IterUtils.unpersistCheckpoint(quotient)
+    IterUtils.unpersistCheckpoint(updates)
+  }
+
   /** Persisted Bloom-filter sidecar: the accepted-table's membership
     * filter written as a versioned (idx, word) parquet table so the NEXT
     * ingest run LOADS the filter instead of rebuilding it from the full

@@ -85,6 +85,57 @@ class Round15OpsSpec extends GraftSpec {
     assert(after3 == after2, "replay must not re-admit or re-batch rows")
   }
 
+  test("incrementalComponents: cross-batch merge relabels history, final == batch twin, replay is a no-op") {
+    import graft.operators.{Dedup, Incremental}
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-cc")
+      .resolve("state").toString
+    def batch(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      pairs.toSeq.toDF("id_a", "id_b")
+    def state(): Seq[(Long, Long)] = spark.read.parquet(root)
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // wave 1: two separate components {1,2} and {5,6}
+    Incremental.incrementalComponents(spark, root, batch((1L, 2L), (5L, 6L)))
+    assert(state() == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    // wave 2: the bridge 2-5 merges them — node 6 (NOT in the batch)
+    // must be relabeled through the broadcast remap
+    Incremental.incrementalComponents(spark, root, batch((2L, 5L)))
+    assert(state() == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L)))
+    // wave 3: a fresh component {7,8} plus 6-9 growing the merged one
+    Incremental.incrementalComponents(spark, root, batch((7L, 8L), (6L, 9L)))
+    val after3 = state()
+    assert(after3 == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 1L)))
+    // the sidecar equals the from-scratch batch CC over the union
+    val twin = Dedup.duplicateClusters(
+        batch((1L, 2L), (5L, 6L), (2L, 5L), (7L, 8L), (6L, 9L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after3 == twin)
+    // at-least-once replay of wave 3: quotient is empty, nothing changes
+    Incremental.incrementalComponents(spark, root, batch((7L, 8L), (6L, 9L)))
+    assert(state() == after3)
+  }
+
+  test("incrementalComponents over corpus waves equals duplicateClusters on the full pair set") {
+    import graft.operators.{Dedup, Incremental}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.shingleJaccardPairs(docs, 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val hi = greatest(col("id_a"), col("id_b"))
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-ccw")
+      .resolve("state").toString
+    Seq(hi <= lit(n / 3), hi > lit(n / 3) && hi <= lit(2 * n / 3),
+        hi > lit(2 * n / 3))
+      .foreach(w => Incremental.incrementalComponents(spark, root,
+        pairs.where(w)))
+    val inc = spark.read.parquet(root).select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchTwin = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == batchTwin)
+  }
+
   test("streamingSemDedupIngest admits exactly the cluster-scoped batch twin") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val k = Similarity.scaledK(emb)
