@@ -167,6 +167,40 @@ object Sketches {
     words
   }
 
+  /** [[bloomBuild]]'s word layout computed per PARQUET FILE in one
+    * distributed column-pruned pass (`input_file_name` groups): output
+    * (file, w, bits) is sparse — absent words are zero. Feeds the
+    * manifest's `.bloom` sidecar
+    * ([[graft.sources.ManifestCommit.publishBloom]]): point-lookup file
+    * skipping where min/max zone maps cannot cut (high-cardinality
+    * values interleaved across files).
+    *
+    * SCALE: the groupBy is map-side combined on (file, word) — a task
+    * reading one file emits at most m/64 rows, and the collect is
+    * bounded by files-in-txn × m/64, never by data. */
+  def bloomWordsByFile(df: DataFrame, key: Column, numBits: Int,
+      numHashes: Int = 5): DataFrame = {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+    df.select(input_file_name().as("file"),
+        explode(array(bloomPositions(key, numBits, numHashes): _*)).as("p"))
+      .groupBy(col("file"), shiftrightunsigned(col("p"), 6).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        (col("p") % 64).cast("int"))).as("bits"))
+  }
+
+  /** The k probe positions of ONE literal key, evaluated through the
+    * same Catalyst expressions the build uses (one local row, no job) —
+    * sidecar READERS must go through this so build and probe can never
+    * disagree, least of all on xxhash64's type sensitivity: pass a
+    * literal of the built column's exact type (Long for a BIGINT
+    * column, etc.). */
+  def bloomProbePositions(spark: org.apache.spark.sql.SparkSession,
+      value: Any, numBits: Int, numHashes: Int = 5): Seq[Long] =
+    spark.range(1)
+      .select(array(bloomPositions(lit(value), numBits, numHashes): _*).as("p"))
+      .head.getSeq[Long](0)
+
   /** Union of two filters built with the SAME (m, k) parameters: the
     * bitwise OR. Exact, not approximate: each key contributes a fixed bit
     * pattern, so build(A ∪ B) == merge(build(A), build(B)) word for word

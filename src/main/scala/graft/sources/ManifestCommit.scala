@@ -60,6 +60,7 @@ object ManifestCommit {
   private val ManifestDir = "_manifests"
   private val ManifestSuffix = ".manifest"
   private val StatsSuffix = ".stats"
+  private val BloomSuffix = ".bloom"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,7 +137,8 @@ object ManifestCommit {
     * writer committed first — the caller re-runs against the new snapshot. */
   def overwriteViaManifest(spark: SparkSession, path: String,
       partitionCols: Seq[String], replaceAll: Boolean = false,
-      statCols: Seq[String] = Nil)(
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17)(
       writeTo: String => Unit): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -172,6 +174,7 @@ object ManifestCommit {
         null, "concurrent commit won; re-run against the new snapshot")
     }
     publishStats(spark, path, next, txn, statCols)
+    publishBloom(spark, path, next, txn, bloomCols, bloomBits)
     next
   }
 
@@ -383,6 +386,22 @@ object ManifestCommit {
     val stats = statsAt(spark, path, snap.version)
       .filter(s => s.column == column && snap.entries.values.exists(_ == s.txn))
       .map(s => (s.txn, s.relFile) -> (s.min, s.max)).toMap
+    prunedScan(spark, path, snap) { (txn, rel) =>
+      stats.get((txn, rel)) match {
+        case Some((mn, mx)) =>
+          cmpTagged(mx, tlo) >= 0 && cmpTagged(mn, thi) <= 0
+        case None => true
+      }
+    }
+  }
+
+  /** Shared file-level pruned scan: enumerates the snapshot's live data
+    * files, keeps those `keep(txn, relFile)` accepts, and returns
+    * (dataframe, scannedFiles, totalFiles). The caller's predicate MUST
+    * answer `true` for files its sidecars know nothing about — pruning
+    * is an optimization, never a filter. */
+  private def prunedScan(spark: SparkSession, path: String, snap: Snapshot)(
+      keep: (String, String) => Boolean): (DataFrame, Int, Int) = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     var total = 0
@@ -408,14 +427,7 @@ object ManifestCommit {
         inLiveParts.contains(part)
       }
       total += all.size
-      val kept = all.filter { f =>
-        val rel = relOf(f)
-        stats.get((txn, rel)) match {
-          case Some((mn, mx)) =>
-            cmpTagged(mx, tlo) >= 0 && cmpTagged(mn, thi) <= 0
-          case None => true
-        }
-      }
+      val kept = all.filter(f => keep(txn, relOf(f)))
       scanned += kept.size
       (base, kept)
     }.filter(_._2.nonEmpty)
@@ -427,6 +439,123 @@ object ManifestCommit {
           .parquet(kept.map(_.toString): _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     (df, scanned, total)
+  }
+
+  // ---- Bloom-sidecar point-lookup skipping ----------------------------
+
+  private def bloomPath(root: Path, v: Long) =
+    new Path(new Path(root, ManifestDir), f"$v%020d$BloomSuffix")
+
+  /** File-level BLOOM sidecar for equality lookups — the skip class
+    * min/max zone maps cannot serve: when a high-cardinality column's
+    * values are interleaved across files (hash-clustered writes, append
+    * order), every file's [min,max] spans the whole domain and range
+    * pruning keeps everything, yet each FILE still holds only its own
+    * value subset — exactly what a per-file Bloom filter captures.
+    * One distributed column-pruned pass over the commit's txn computes
+    * every file's packed words ([[graft.operators.Sketches.bloomWordsByFile]],
+    * map-side combined, collect bounded by files × m/64); the sidecar is
+    * one text file per manifest version, same tmp+rename discipline as
+    * the `.stats` sidecar. Derived metadata: a lost sidecar costs
+    * pruning, never correctness.
+    *
+    * SIZE `numBits` to the per-file key count (m ≈ 10–20 bits per key,
+    * [[graft.operators.Sketches.bloomBuild]]'s rule): a saturated filter
+    * answers "might contain" for everything and prunes nothing — still
+    * correct, just useless. The default (2^17 bits = 16 KiB of words per
+    * file) holds ~10k keys/file at <1% FPR. */
+  def publishBloom(spark: SparkSession, path: String, snap: Snapshot,
+      txn: String, bloomCols: Seq[String], numBits: Int = 1 << 17,
+      numHashes: Int = 5): Unit = {
+    if (bloomCols.isEmpty) return
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val txnDir = new Path(new Path(root, DataDir), txn)
+    val qdir = fs.makeQualified(txnDir).toString
+    val data = spark.read.parquet(txnDir.toString)
+    val lines = bloomCols.flatMap { column =>
+      graft.operators.Sketches
+        .bloomWordsByFile(data.select(col(column)), col(column),
+          numBits, numHashes)
+        .collect()
+        .groupBy(r => new Path(r.getString(0)).toString
+          .stripPrefix(qdir).stripPrefix("/"))
+        .toSeq.sortBy(_._1)
+        .map { case (rel, rows) =>
+          val words = rows.sortBy(_.getLong(1))
+            .map(r => s"${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}")
+            .mkString(",")
+          s"$txn\t$rel\t$column\t$numBits\t$numHashes\t$words"
+        }
+    }
+    val tmp = new Path(new Path(root, ManifestDir),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = bloomPath(root, snap.version)
+    if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** All Bloom sidecar lines visible at `version`:
+    * (txn, relFile, column) -> (numBits, numHashes, sparse words). */
+  private def bloomsAt(spark: SparkSession, path: String, version: Long)
+      : Map[(String, String, String), (Int, Int, Map[Long, Long])] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) Map.empty
+    else fs.listStatus(mdir).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(BloomSuffix) && !n.startsWith("."))
+      .filter(_.stripSuffix(BloomSuffix).toLong <= version)
+      .flatMap { n =>
+        val in = fs.open(new Path(mdir, n))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').filter(_.nonEmpty).map { line =>
+          val f = line.split('\t')
+          val words = f(5).split(',').filter(_.nonEmpty).map { iw =>
+            val Array(i, w) = iw.split(':')
+            i.toLong -> java.lang.Long.parseUnsignedLong(w, 16)
+          }.toMap
+          (f(0), f(1), f(2)) -> ((f(3).toInt, f(4).toInt, words))
+        }
+      }.toMap
+  }
+
+  /** Reads the current table with FILE-LEVEL skipping on
+    * `column IN (values)`: a file is opened only when its Bloom filter
+    * says at least one probe value MIGHT be present (or it has no
+    * filter — safe fallback). Probe positions are evaluated through the
+    * build's own Catalyst expressions
+    * ([[graft.operators.Sketches.bloomProbePositions]]), so pass values
+    * of the column's exact type. The caller still applies its own row
+    * predicate: skipping changes which FILES are scanned, never
+    * row-level semantics. Returns (dataframe, scannedFiles,
+    * totalFiles). */
+  def readManifestedBloomPruned(spark: SparkSession, path: String,
+      column: String, values: Seq[Any]): (DataFrame, Int, Int) = {
+    require(values.nonEmpty, "pass at least one probe value")
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val blooms = bloomsAt(spark, path, snap.version)
+      .filter { case ((txn, _, c), _) =>
+        c == column && snap.entries.values.exists(_ == txn)
+      }
+    // probe positions per (m, k) family actually present — one tiny
+    // local evaluation per family per value, never per file
+    val posCache = scala.collection.mutable.Map.empty[(Int, Int), Seq[Seq[Long]]]
+    prunedScan(spark, path, snap) { (txn, rel) =>
+      blooms.get((txn, rel, column)) match {
+        case None => true
+        case Some((bits, hashes, words)) =>
+          val probes = posCache.getOrElseUpdate((bits, hashes),
+            values.map(v => graft.operators.Sketches
+              .bloomProbePositions(spark, v, bits, hashes)))
+          probes.exists(_.forall(p =>
+            (words.getOrElse(p >> 6, 0L) & (1L << (p & 63).toInt)) != 0L))
+      }
+    }
   }
 
   /** Keyed upsert with [[TableWriters.upsertParquet]] semantics

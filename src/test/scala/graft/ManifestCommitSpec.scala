@@ -172,6 +172,57 @@ class ManifestCommitSpec extends GraftSpec {
       "stat-less files always read (prune is never a filter)")
   }
 
+  test("bloom skipping: per-file filters prune point lookups zone maps can't") {
+    val out = Files.createTempDirectory("mfcB").toString + "/t"
+    // HASH-clustered write: k % 8 decides the file, so every file's
+    // [min,max] spans ~the whole domain — range pruning would keep all
+    // files; the per-file bloom is the only thing that can cut
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 2).cast("int").as("p"), (col("id") * 2).as("v"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("k"), bloomCols = Seq("k")) { txn =>
+      base.repartition(4, pmod(col("k"), lit(4L)))
+        .write.partitionBy("p").parquet(txn)
+    }
+    val bloomFile = new java.io.File(s"$out/_manifests")
+      .listFiles().map(_.getName).filter(_.endsWith(".bloom"))
+    assert(bloomFile.length == 1, "commit with bloomCols publishes one sidecar")
+    // zone maps genuinely can't prune this layout
+    val (_, rangeScanned, rangeTotal) =
+      ManifestCommit.readManifestedPruned(spark, out, "k", 17L, 17L)
+    assert(rangeScanned == rangeTotal,
+      s"fixture must defeat min/max pruning: $rangeScanned/$rangeTotal")
+    // the bloom prunes the lookup to the files that can hold the ids
+    val ids = Seq(17L, 42L) // 17 % 8 = 1, 42 % 8 = 2 -> two files
+    val (df, scanned, total) =
+      ManifestCommit.readManifestedBloomPruned(spark, out, "k", ids)
+    // repartition(4, expr) HASHES the pmod value, so distinct values can
+    // collide into fewer buckets — the file count is >= 4 (>=2 non-empty
+    // buckets x 2 partition dirs), not a fixed 8
+    assert(total >= 4, s"fixture must split into several files, got $total")
+    assert(scanned < total, s"bloom must cut the scan: $scanned/$total")
+    val got = df.where(col("k").isin(ids: _*)).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(got == ids.map(k => (k, k * 2)).toSet,
+      "bloom-pruned read + predicate == exact answer")
+    // an ABSENT value prunes everything a filter covers (w.h.p. all)
+    val (dfA, scannedA, _) =
+      ManifestCommit.readManifestedBloomPruned(spark, out, "k", Seq(999999L))
+    assert(scannedA < total, "absent probe must not open every file")
+    assert(dfA.where(col("k") === 999999L).isEmpty)
+    // a bloom-less upsert of ONE partition: its new files always read
+    // (prune is never a filter), the untouched partition's old files
+    // still prune through their retained sidecar
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((5000L, 0, 10000L)).toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    val (p2, scanned2, total2) =
+      ManifestCommit.readManifestedBloomPruned(spark, out, "k", Seq(5000L))
+    assert(p2.where(col("k") === 5000L).count() == 1,
+      "bloom-less files always read (prune is never a filter)")
+    assert(scanned2 < total2,
+      "the untouched partition's blooms still prune around the new txn")
+  }
+
   test("string-column skipping prunes; control-char bounds stay unprunable, never corrupt") {
     val out = Files.createTempDirectory("mfc10").toString + "/t"
     // two clean name-range files + one file whose min contains a TAB —
