@@ -696,6 +696,73 @@ object GraphOps {
     traj.toSeq.toDF("round", "survivors", "converged")
   }
 
+  /** [[labelPropagation]] under the CONVERGENCE CONTRACT
+    * ([[kCoreTrajectory]]'s shape for the vote-based family): per round
+    * (round, changed, converged) where `changed` counts nodes whose
+    * label moved this round, with genuine EARLY EXIT at the fixpoint.
+    * Unlike the peel (whose monotone survivor count lets one Long prove
+    * set equality), LP labels can move without any count moving — so the
+    * fixpoint test IS the per-node comparison: `changed == 0` means this
+    * round's labels equal the previous round's, and synchronous LP with
+    * a deterministic tie-break is then idempotent, so post-fixpoint
+    * rounds are emitted verbatim (changed 0, converged true), keeping
+    * the output oracle-checkable by a fixed unroll. Synchronous LP can
+    * also OSCILLATE (bipartite 2-cycles) — then no round converges and
+    * the trajectory honestly reports changed > 0 through `maxRounds`,
+    * which is exactly the signal a pinned-round caller never gets.
+    *
+    * SCALE: per round, [[labelPropagation]]'s profile plus one
+    * node-keyed join for the changed count; driver state is one Long
+    * per round. */
+  def labelPropagationTrajectory(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val noSelf = e.where(col("src") =!= col("dst"))
+    val sym = noSelf
+      .union(noSelf.select(col("dst"), col("src"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("ws").desc, col("label"))
+    val traj = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val winner = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("v"), col("label"))
+        .agg(sum("w").as("ws"))
+        .withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1)
+        .select(col("v"), col("label").as("nl"))
+      val next = labels
+        .join(winner, labels("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      IterUtils.unpersistCheckpoint(labels)
+      labels = next
+      converged = changed == 0L
+      traj += ((r.toLong, changed, converged))
+      r += 1
+    }
+    // post-fixpoint rounds are the fixpoint verbatim — emitted, not run
+    while (r <= maxRounds) { traj += ((r.toLong, 0L, true)); r += 1 }
+    IterUtils.unpersistCheckpoint(labels)
+    IterUtils.unpersistCheckpoint(sym)
+    IterUtils.unpersistCheckpoint(nodes)
+    traj.toSeq.toDF("round", "changed", "converged")
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
     * NON-adjacent node pair with at least one common neighbor, the score
     * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) plus the raw common-neighbor count —

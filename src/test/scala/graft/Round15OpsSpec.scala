@@ -85,6 +85,32 @@ class Round15OpsSpec extends GraftSpec {
     assert(after3 == after2, "replay must not re-admit or re-batch rows")
   }
 
+  test("labelPropagationTrajectory: hand-computed triangle converges, tail emitted verbatim") {
+    // triangle 1-2-3 (unit weights): r1 all three adopt a neighbor label
+    // (ties to smaller) -> changed 3; r2 only node 1 moves back to label
+    // 1 -> changed 1; r3 nothing moves -> fixpoint; r4/r5 are the tail
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps
+      .labelPropagationTrajectory(edges, maxRounds = 5)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 3L, false), (2L, 1L, false), (3L, 0L, true),
+      (4L, 0L, true), (5L, 0L, true)))
+  }
+
+  test("labelPropagationTrajectory: a bipartite 2-cycle honestly never converges") {
+    // single edge 1-2: synchronous LP swaps the two labels every round —
+    // the oscillation a pinned-round caller can never see
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps
+      .labelPropagationTrajectory(edges, maxRounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 2L, false), (2L, 2L, false), (3L, 2L, false),
+      (4L, 2L, false)))
+  }
+
   test("incrementalComponents: cross-batch merge relabels history, final == batch twin, replay is a no-op") {
     import graft.operators.{Dedup, Incremental}
     val root = java.nio.file.Files.createTempDirectory("graft-r15-cc")
