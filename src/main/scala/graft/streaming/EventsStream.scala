@@ -606,6 +606,31 @@ object EventsStream {
     * admitted×admitted. Idempotence: at-least-once foreachBatch replays
     * are no-ops via the id anti-join against the accepted table (the
     * q136 discipline). */
+  /** Streaming maintenance of the duplicate-cluster sidecar: each
+    * micro-batch of near-dup PAIRS (id_a, id_b) — e.g. the admission
+    * stream's verified hits — is folded into the durable (id, cluster)
+    * table via [[graft.operators.Incremental.incrementalComponents]]
+    * (quotient-graph CC + broadcast remap + partition-pruned upsert), so
+    * the live cluster labels are always exactly what a batch CC over
+    * every pair ever seen would produce, without one ever running.
+    * Idempotence is the operator's own replay contract: a re-delivered
+    * batch maps both endpoints of every edge to one label, the quotient
+    * is empty, and nothing changes — at-least-once foreachBatch replays
+    * and fresh-checkpoint replays are no-ops (spec-asserted). */
+  def streamingComponentsIngest(spark: SparkSession, pairs: DataFrame,
+      statePath: String, checkpointDir: String): Unit = {
+    val q = pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Incremental.incrementalComponents(
+            spark, statePath, batch.toDF())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamingSemDedupIngest(spark: SparkSession, vecs: DataFrame,
       threshold: Double, centroids: Array[Array[Double]],
       target: String, checkpointDir: String,

@@ -162,6 +162,46 @@ class Round15OpsSpec extends GraftSpec {
     assert(inc == batchTwin)
   }
 
+  test("streamingComponentsIngest: fresh-checkpoint replay of landed pair files is a no-op") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-scc")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val state = root.resolve("state").toString
+    def land(pairs: Seq[(Long, Long)], tag: String): Unit = {
+      val tmp = root.resolve(s"stage_$tag")
+      pairs.toDF("id_a", "id_b").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$tag.parquet"))
+      ()
+    }
+    val schema = Seq((1L, 2L)).toDF("id_a", "id_b").schema
+    def stream = spark.readStream.schema(schema).parquet(landing.toString)
+    land(Seq((1L, 2L), (5L, 6L)), "w1")
+    graft.streaming.EventsStream.streamingComponentsIngest(spark, stream,
+      state, root.resolve("ckpt1").toString)
+    land(Seq((2L, 5L)), "w2")
+    graft.streaming.EventsStream.streamingComponentsIngest(spark, stream,
+      state, root.resolve("ckpt1").toString)
+    def labels(): Seq[(Long, Long)] = spark.read.parquet(state)
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val after2 = labels()
+    assert(after2 == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L)),
+      "cross-batch merge must relabel the sidecar through the stream")
+    val twin = Dedup.duplicateClusters(
+        Seq((1L, 2L), (5L, 6L), (2L, 5L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after2 == twin)
+    // a FRESH checkpoint replays every landed file as one batch; the
+    // operator's quotient-empty contract must make it a no-op
+    graft.streaming.EventsStream.streamingComponentsIngest(spark, stream,
+      state, root.resolve("ckpt2").toString)
+    assert(labels() == after2, "replay must not change any label")
+  }
+
   test("streamingSemDedupIngest admits exactly the cluster-scoped batch twin") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val k = Similarity.scaledK(emb)
