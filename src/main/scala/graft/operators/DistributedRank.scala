@@ -86,6 +86,11 @@ object DistributedRank {
     // sorted first-encounter order, so the driver fold below is the true
     // global order. One collected row per (partition, key) — bounded by
     // the partition count times the key domain, never by data.
+    // NULL value cells contribute 0, the same per-row behavior as a
+    // window `sum` (which skips nulls): the row still receives the
+    // running prefix of everything before it. (A key whose values are
+    // ALL null totals 0 here where SQL SUM would say NULL — callers
+    // with that edge case coalesce upstream.)
     val partSums: Array[(Int, Seq[(List[Any], Array[Long])])] =
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = mutable.LinkedHashMap.empty[List[Any], Array[Long]]
@@ -93,7 +98,10 @@ object DistributedRank {
           val key = keyIdx.map(r.get(_): Any).toList
           val acc = m.getOrElseUpdate(key, Array.fill(nv)(0L))
           var i = 0
-          while (i < nv) { acc(i) += r.getLong(valIdx(i)); i += 1 }
+          while (i < nv) {
+            if (!r.isNullAt(valIdx(i))) acc(i) += r.getLong(valIdx(i))
+            i += 1
+          }
         }
         Iterator((pid, m.toSeq))
       }.collect()
@@ -151,7 +159,8 @@ object DistributedRank {
           running = bc.value.offsets.getOrElse((pid, key), Array.fill(nv)(0L))
             .clone()
         }
-        val vals = valIdx.map(r.getLong)
+        // same null-as-0 contract as pass 1 (window sums skip nulls)
+        val vals = valIdx.map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
         val cumsOut = cumVal.map { i =>
           if (inc) running(i) + vals(i) else running(i)
         }

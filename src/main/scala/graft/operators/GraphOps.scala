@@ -289,7 +289,10 @@ object GraphOps {
     * group before the shuffle. Labels are eagerly checkpointed and the
     * superseded round released, the [[pageRank]] lifetime discipline.
     * Nothing driver-sized; state per round is one label per node. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  /** Symmetrized weighted edges + node set for the LP family —
+    * checkpointed, shared by [[labelPropagation]] and
+    * [[labelPropagationTrajectory]]. */
+  private def lpGraph(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val noSelf = e.where(col("src") =!= col("dst"))
     val sym = noSelf
@@ -299,22 +302,34 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    (sym, nodes)
+  }
+
+  /** One synchronous vote round (weighted majority, ties to the smaller
+    * label, restore join for vote-less nodes) — the ONE round body
+    * shared by [[labelPropagation]] and [[labelPropagationTrajectory]],
+    * so the tie-break can never drift between them. */
+  private def lpRound(sym: DataFrame, labels: DataFrame): DataFrame = {
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy(col("ws").desc, col("label"))
+    val winner = sym
+      .join(labels, sym("dst") === labels("node"))
+      .groupBy(sym("src").as("v"), col("label"))
+      .agg(sum("w").as("ws"))
+      .withColumn("rn", row_number().over(byNode))
+      .where(col("rn") === 1)
+      .select(col("v"), col("label").as("nl"))
+    labels
+      .join(winner, labels("node") === col("v"), "left")
+      .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+  }
+
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val (sym, nodes) = lpGraph(edges)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val winner = sym
-        .join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("v"), col("label"))
-        .agg(sum("w").as("ws"))
-        .withColumn("rn", row_number().over(byNode))
-        .where(col("rn") === 1)
-        .select(col("v"), col("label").as("nl"))
-      val next = labels
-        .join(winner, labels("node") === col("v"), "left")
-        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+      val next = lpRound(sym, labels).localCheckpoint()
       IterUtils.unpersistCheckpoint(labels)
       labels = next
     }
@@ -602,30 +617,39 @@ object GraphOps {
     * superseded round released ([[pageRank]] discipline). No per-node
     * sequential peel order exists anywhere — the synchronous variant is
     * what makes the algorithm a join-aggregate program. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Canonical symmetric edge relation of the k-core family:
+    * undirected-dedup'd, self-loops dropped, checkpointed (both the peel
+    * loop and the trajectory read it every round). */
+  private def kCoreSym(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val sym = und.select(col("a").as("u"), col("b").as("v"))
+    und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+  }
+
+  /** Survivor-filtered degree counts — the ONE peel-round body shared by
+    * [[kCorePeel]] and [[kCoreTrajectory]], so the two can never drift. */
+  private def survivorDegrees(sym: DataFrame, alive: DataFrame): DataFrame =
+    sym.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = kCoreSym(edges)
     var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
-      val deg = sym
-        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      val next = deg.where(col("d") >= k).select("node").localCheckpoint()
+      val next = survivorDegrees(sym, alive)
+        .where(col("d") >= k).select("node").localCheckpoint()
       IterUtils.unpersistCheckpoint(alive)
       alive = next
     }
     // eager-checkpoint the node-sized result BEFORE releasing the edge
     // relation it reads — a lazy return here would dangle on sym's blocks
-    val coreDeg = sym
-      .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-      .groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("core_degree"))
+    val coreDeg = survivorDegrees(sym, alive)
+      .select(col("node"), col("d").cast("long").as("core_degree"))
       .localCheckpoint()
     IterUtils.unpersistCheckpoint(sym)
     IterUtils.unpersistCheckpoint(alive)
@@ -663,23 +687,14 @@ object GraphOps {
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val sym = und.select(col("a").as("u"), col("b").as("v"))
-      .union(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+    val sym = kCoreSym(edges)
     var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
     var prev = alive.count()
     val traj = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
     var r = 1
     var converged = false
     while (r <= maxRounds && !converged) {
-      val next = sym
-        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val next = survivorDegrees(sym, alive)
         .where(col("d") >= k).select("node").localCheckpoint()
       IterUtils.unpersistCheckpoint(alive)
       alive = next
@@ -718,34 +733,14 @@ object GraphOps {
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val noSelf = e.where(col("src") =!= col("dst"))
-    val sym = noSelf
-      .union(noSelf.select(col("dst"), col("src"), col("w")))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val (sym, nodes) = lpGraph(edges)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    val byNode = org.apache.spark.sql.expressions.Window
-      .partitionBy("v").orderBy(col("ws").desc, col("label"))
     val traj = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
     var r = 1
     var converged = false
     while (r <= maxRounds && !converged) {
-      val winner = sym
-        .join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("v"), col("label"))
-        .agg(sum("w").as("ws"))
-        .withColumn("rn", row_number().over(byNode))
-        .where(col("rn") === 1)
-        .select(col("v"), col("label").as("nl"))
-      val next = labels
-        .join(winner, labels("node") === col("v"), "left")
-        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+      val next = lpRound(sym, labels).localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()

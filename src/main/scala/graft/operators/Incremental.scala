@@ -195,9 +195,13 @@ object Incremental {
     val updates = inserts.unionByName(relabeled)
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .localCheckpoint() // emptiness probe must not re-run the CC chain
-    if (!exists)
+    // an all-self-pair / empty first batch must NOT create the state dir:
+    // a partitioned write of zero rows emits only _SUCCESS, and the next
+    // batch's exists-read would then fail on schema inference — leave the
+    // sidecar uninitialized until there is a row to hold
+    if (!exists && !updates.isEmpty)
       updates.write.partitionBy("bucket").parquet(statePath)
-    else if (!updates.isEmpty)
+    else if (exists && !updates.isEmpty)
       graft.sources.TableWriters.upsertParquet(spark, statePath, updates,
         Seq("id"), Seq("bucket"))
     IterUtils.unpersistCheckpoint(edges)

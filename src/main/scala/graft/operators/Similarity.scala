@@ -219,23 +219,27 @@ object Similarity {
       tables: Int = 28, planes: Int = 6,
       maxBucket: Option[Long] = None): DataFrame = {
     val keyArr = srpKeys(col(vecCol), tables, planes)
+    // checkpoint the signature relation BEFORE the guard branch: the
+    // tables×planes SRP dot products are read by both self-join sides
+    // AND (when capped) the hot-bucket count + anti-join probe, so the
+    // seam here makes the kernel run ONCE per vector in every branch.
+    // The materialized (did, tbl, bkey) rows are ~24 bytes × tables per
+    // vector — smaller than the embedding column they replace, so the
+    // seam is cheaper than any recompute at any corpus size.
     val keyed0 = emb.select(col(idCol).as("did"), posexplode(keyArr))
       .toDF("did", "tbl", "bkey")
-    val keyed = maxBucket match {
+      .localCheckpoint()
+    val keyedCk = maxBucket match {
       case None => keyed0
       case Some(cap) =>
         val hot = keyed0.groupBy("tbl", "bkey")
           .agg(count(lit(1)).as("members"))
           .where(col("members") > cap)
           .select("tbl", "bkey")
-        keyed0.join(hot, Seq("tbl", "bkey"), "left_anti")
+        // the anti-join output feeds both self-join sides: one more
+        // (smaller) materialization beats running the probe join twice
+        keyed0.join(hot, Seq("tbl", "bkey"), "left_anti").localCheckpoint()
     }
-    // both self-join sides read the signature relation: checkpoint it so
-    // the tables×planes SRP dot products run ONCE per vector, not once
-    // per side. The materialized (did, tbl, bkey) rows are ~24 bytes ×
-    // tables per vector — smaller than the embedding column itself, so
-    // the seam is cheaper than the recompute at any corpus size.
-    val keyedCk = keyed.localCheckpoint()
     val cand = keyedCk.as("x").join(keyedCk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))

@@ -587,25 +587,6 @@ object EventsStream {
     q.awaitTermination()
   }
 
-  /** Streaming SEMANTIC-dedup admission control — [[streamingNearDupIngest]]
-    * in embedding space, mirroring the q132 batch contract: each
-    * micro-batch of vectors is assigned to a k-means cluster of a
-    * REFERENCE partitioner (`centroids`, fit offline once —
-    * [[graft.operators.Clustering.fitCentroids]] — the IVF "train on a
-    * historical corpus, serve forever" shape), then compared with the
-    * exact rounded cosine ONLY against same-cluster vectors: everything
-    * ACCEPTED so far plus its own batch (conservative smaller-id rule).
-    * Survivors append (id, cluster, v, batch_id) to the accepted table;
-    * storing the assignment makes the history side of every future
-    * batch a read, not a recompute.
-    *
-    * A duplicate pair split across two reference clusters is missed by
-    * construction — the SemDeDup paper's accepted boundary loss, same
-    * as the batch operator. Per-batch candidate work is
-    * batch×(admitted-in-cluster) + batch×batch within clusters — never
-    * admitted×admitted. Idempotence: at-least-once foreachBatch replays
-    * are no-ops via the id anti-join against the accepted table (the
-    * q136 discipline). */
   /** Streaming maintenance of the duplicate-cluster sidecar: each
     * micro-batch of near-dup PAIRS (id_a, id_b) — e.g. the admission
     * stream's verified hits — is folded into the durable (id, cluster)
@@ -631,6 +612,25 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Streaming SEMANTIC-dedup admission control — [[streamingNearDupIngest]]
+    * in embedding space, mirroring the q132 batch contract: each
+    * micro-batch of vectors is assigned to a k-means cluster of a
+    * REFERENCE partitioner (`centroids`, fit offline once —
+    * [[graft.operators.Clustering.fitCentroids]] — the IVF "train on a
+    * historical corpus, serve forever" shape), then compared with the
+    * exact rounded cosine ONLY against same-cluster vectors: everything
+    * ACCEPTED so far plus its own batch (conservative smaller-id rule).
+    * Survivors append (id, cluster, v, batch_id) to the accepted table;
+    * storing the assignment makes the history side of every future
+    * batch a read, not a recompute.
+    *
+    * A duplicate pair split across two reference clusters is missed by
+    * construction — the SemDeDup paper's accepted boundary loss, same
+    * as the batch operator. Per-batch candidate work is
+    * batch×(admitted-in-cluster) + batch×batch within clusters — never
+    * admitted×admitted. Idempotence: at-least-once foreachBatch replays
+    * are no-ops via the id anti-join against the accepted table (the
+    * q136 discipline). */
   def streamingSemDedupIngest(spark: SparkSession, vecs: DataFrame,
       threshold: Double, centroids: Array[Array[Double]],
       target: String, checkpointDir: String,

@@ -142,6 +142,36 @@ class Round15OpsSpec extends GraftSpec {
     assert(state() == after3)
   }
 
+  test("incrementalComponents: an all-self-pair first batch does not poison the sidecar") {
+    import graft.operators.Incremental
+    val root = java.nio.file.Files.createTempDirectory("graft-r15-ccs")
+      .resolve("state").toString
+    // self-pairs filter to zero edges: the state dir must NOT be created
+    // (a zero-row partitioned write leaves only _SUCCESS, and the next
+    // batch's exists-read would die on schema inference)
+    Incremental.incrementalComponents(spark, root,
+      Seq((3L, 3L)).toDF("id_a", "id_b"))
+    assert(!new java.io.File(root).exists(),
+      "empty first batch must leave the sidecar uninitialized")
+    Incremental.incrementalComponents(spark, root,
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val state = spark.read.parquet(root).select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(state == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("DistributedRank.prefixSum treats null values as 0, like a window sum's null skipping") {
+    import graft.operators.DistributedRank
+    val df = Seq((1L, Option(2L)), (2L, Option.empty[Long]), (3L, Option(5L)))
+      .toDF("v", "w")
+    val got = DistributedRank.prefixSum(df, Nil, Seq(col("v")),
+        Seq("w" -> "cum"), inclusive = true, totals = Seq("w" -> "tot"))
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // the null row still receives the running prefix (2), contributes 0
+    assert(got == Seq((1L, 2L, 7L), (2L, 2L, 7L), (3L, 7L, 7L)))
+  }
+
   test("incrementalComponents over corpus waves equals duplicateClusters on the full pair set") {
     import graft.operators.{Dedup, Incremental}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
