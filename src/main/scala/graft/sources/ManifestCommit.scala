@@ -567,7 +567,8 @@ object ManifestCommit {
     * [[readManifested]]). */
   def upsertManifested(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String],
-      statCols: Seq[String] = Nil): Snapshot = {
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Snapshot = {
     val target = readManifested(spark, path)
     val touchedParts = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touchedParts), partitionCols, "left_semi")
@@ -584,7 +585,8 @@ object ManifestCommit {
         allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__is_update", "__rn")
-    overwriteViaManifest(spark, path, partitionCols, statCols = statCols) { txnDir =>
+    overwriteViaManifest(spark, path, partitionCols, statCols = statCols,
+      bloomCols = bloomCols, bloomBits = bloomBits) { txnDir =>
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)
         .parquet(txnDir)

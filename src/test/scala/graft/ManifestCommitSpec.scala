@@ -221,6 +221,16 @@ class ManifestCommitSpec extends GraftSpec {
       "bloom-less files always read (prune is never a filter)")
     assert(scanned2 < total2,
       "the untouched partition's blooms still prune around the new txn")
+    // an upsert committed WITH bloomCols makes its new files prunable
+    // again: probe an odd key (lives in p=1's old bloomed files) — the
+    // freshly rewritten p=0 txn must now be bloom-excluded, not fallback-read
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((6000L, 0, 12000L)).toDF("k", "p", "v"), Seq("k"), Seq("p"),
+      bloomCols = Seq("k"))
+    val (p3, scanned3, total3) =
+      ManifestCommit.readManifestedBloomPruned(spark, out, "k", Seq(17L))
+    assert(scanned3 < total3, "post-bloomed-upsert probe must prune")
+    assert(p3.where(col("k") === 17L).count() == 1)
   }
 
   test("string-column skipping prunes; control-char bounds stay unprunable, never corrupt") {
