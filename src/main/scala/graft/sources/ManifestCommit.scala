@@ -365,6 +365,66 @@ object ManifestCommit {
     if (complete) total else readManifested(spark, path).count()
   }
 
+  /** MIN/MAX of `column` for the current table answered from METADATA
+    * ALONE — the Iceberg-style aggregate pushdown [[countManifested]]
+    * does for COUNT(*), extended to the other footer-served extrema:
+    * when every live file carries a stats line for `column`, the
+    * global minimum/maximum are the fold of the per-file ranges (parquet
+    * footer stats are exact bounds), no file opened, no job run.
+    * Returns None when ANY live file lacks a line — including the
+    * all-NULL-column case, where the footer has no non-null value and
+    * [[publishStats]] writes nothing: coverage fails CONSERVATIVELY and
+    * the caller runs the real aggregation instead of risking a wrong
+    * extremum. Values decode from the sidecar type tags
+    * (Long/Double/String). */
+  def minMaxManifested(spark: SparkSession, path: String,
+      column: String): Option[(Any, Any)] = {
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val stats = statsAt(spark, path, snap.version)
+      .filter(_.column == column)
+      .map(s => (s.txn, s.relFile) -> (s.min, s.max)).toMap
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var lo: String = null
+    var hi: String = null
+    val complete = snap.entries.groupBy(_._2).forall { case (txn, es) =>
+      val base = new Path(new Path(root, DataDir), txn)
+      val qbase = fs.makeQualified(base).toString
+      def files(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) files(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      val live = es.keySet
+      files(base).filter { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        val part = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i => rel.substring(0, i)
+        }
+        live.contains(part)
+      }.forall { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        stats.get((txn, rel)) match {
+          case Some((mn, mx)) =>
+            if (lo == null || cmpTagged(mn, lo) < 0) lo = mn
+            if (hi == null || cmpTagged(mx, hi) > 0) hi = mx
+            true
+          case None => false
+        }
+      }
+    }
+    if (complete && lo != null) Some((untag(lo), untag(hi))) else None
+  }
+
+  private def untag(s: String): Any = s.charAt(0) match {
+    case 'L' => s.substring(2).toLong
+    case 'D' => s.substring(2).toDouble
+    case _ => s.substring(2)
+  }
+
   /** Reads the current table with FILE-LEVEL DATA SKIPPING on
     * `column in [lo, hi]` (both bounds inclusive, tagged like the
     * sidecar: pass Long/Double/String). Files whose footer range misses

@@ -283,6 +283,31 @@ class ManifestCommitSpec extends GraftSpec {
     assert(jobsFinal > jobsUpsert, "uncovered files must trigger the real count")
   }
 
+  test("min/max pushdown: covered sidecars answer extrema without running a job") {
+    val out = Files.createTempDirectory("mfcM").toString + "/t"
+    val base = spark.range(5, 505).select(col("id").as("k"),
+      (col("id") % 3).cast("int").as("p"), (col("id") * 2).as("v"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("k")) { txn =>
+      base.write.option("maxRecordsPerFile", 100).partitionBy("p").parquet(txn)
+    }
+    def maxJobId(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val before = maxJobId()
+    assert(ManifestCommit.minMaxManifested(spark, out, "k")
+      .contains((5L, 504L)))
+    assert(maxJobId() == before,
+      "fully-covered sidecars must answer min/max from metadata alone")
+    // a column with no stats lines -> None (caller scans), never a guess
+    assert(ManifestCommit.minMaxManifested(spark, out, "v").isEmpty)
+    // a stats-less upsert breaks coverage -> None, even though the old
+    // generation's lines survive
+    ManifestCommit.upsertManifested(spark, out,
+      Seq((9000L, 1, 1L)).toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    assert(ManifestCommit.minMaxManifested(spark, out, "k").isEmpty,
+      "uncovered files must force the fallback, not a stale extremum")
+  }
+
   test("no directory is ever renamed or deleted on the commit path") {
     val out = Files.createTempDirectory("mfc5").toString + "/t"
     writeBase(out)
