@@ -77,6 +77,18 @@ object DistributedRank {
     val valIdx = valueCols.map(cols.indexOf(_)).toArray
     require(valIdx.forall(_ >= 0) && keyIdx.forall(_ >= 0),
       s"missing columns among ${cols.mkString(",")}")
+    // key values become boxed map keys below; floating-point boxing makes
+    // NaN != NaN, so ONE NaN-keyed group would explode into one map entry
+    // per row (unbounded driver collect) with wrong offsets — reject the
+    // type instead of the value (callers key by ids/names/bins anyway)
+    keyIdx.foreach { i =>
+      val dt = ranged.schema(i).dataType
+      require(dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType,
+        s"partition key ${cols(i)} is $dt: floating-point keys are " +
+          "rejected (NaN boxing breaks map-key equality) — bin or " +
+          "stringify the key first")
+    }
     valIdx.foreach { i =>
       require(ranged.schema(i).dataType == LongType,
         s"value column ${cols(i)} must be LongType (pre-cast it)")

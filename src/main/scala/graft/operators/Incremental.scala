@@ -132,9 +132,16 @@ object Incremental {
     *      remapped label, and history rows of merged components relabel
     *      via one broadcast join;
     *   4. the delta lands through the partition-pruned keyed upsert
-    *      ([[graft.sources.TableWriters.upsertParquet]], rename-aside
-    *      durability) into an id-bucketed table, so the WRITE touches
-    *      only buckets holding changed rows.
+    *      committed via the MANIFEST ([[graft.sources.ManifestCommit
+    *      .upsertManifested]]) into an id-bucketed table, so the WRITE
+    *      touches only buckets holding changed rows AND publication is a
+    *      single atomic manifest rename: a maintenance batch that crashes
+    *      anywhere — mid-relabel, mid-write, between buckets — leaves the
+    *      previous snapshot fully visible and the half-written txn dir
+    *      unreferenced (directory-swap durability would expose a
+    *      half-relabeled history on object stores without atomic rename).
+    *      The FIRST batch publishes the same way, so the sidecar either
+    *      exists fully formed (manifest present) or not at all.
     *
     * Canonical-min invariant: a history label is the min id of its old
     * component and a fresh node's label is itself, so the quotient CC's
@@ -150,11 +157,12 @@ object Incremental {
   def incrementalComponents(spark: org.apache.spark.sql.SparkSession,
       statePath: String, newPairs: DataFrame, buckets: Int = 16,
       maxRounds: Int = 25): Unit = {
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(p)
-    val history: Option[DataFrame] =
-      if (exists) Some(spark.read.parquet(statePath)) else None
+    // existence == a published manifest version; a crashed first batch's
+    // partial txn dir (no manifest) reads as "uninitialized", never as
+    // truncated history
+    val history: Option[DataFrame] = graft.sources.ManifestCommit
+      .currentSnapshot(spark, statePath)
+      .map(_ => readComponents(spark, statePath))
     val edges = newPairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -195,20 +203,32 @@ object Incremental {
     val updates = inserts.unionByName(relabeled)
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .localCheckpoint() // emptiness probe must not re-run the CC chain
-    // an all-self-pair / empty first batch must NOT create the state dir:
-    // a partitioned write of zero rows emits only _SUCCESS, and the next
-    // batch's exists-read would then fail on schema inference — leave the
-    // sidecar uninitialized until there is a row to hold
-    if (!exists && !updates.isEmpty)
-      updates.write.partitionBy("bucket").parquet(statePath)
-    else if (exists && !updates.isEmpty)
-      graft.sources.TableWriters.upsertParquet(spark, statePath, updates,
-        Seq("id"), Seq("bucket"))
+    // an all-self-pair / empty first batch must NOT initialize the state:
+    // an entry-less manifest would make every later read's txn-union empty
+    // — leave the sidecar uninitialized until there is a row to hold
+    if (!updates.isEmpty) {
+      if (history.isEmpty)
+        graft.sources.ManifestCommit.overwriteViaManifest(spark, statePath,
+          Seq("bucket"), replaceAll = true) { txn =>
+          updates.write.partitionBy("bucket").parquet(txn)
+        }
+      else
+        graft.sources.ManifestCommit.upsertManifested(spark, statePath,
+          updates, Seq("id"), Seq("bucket"))
+    }
     IterUtils.unpersistCheckpoint(edges)
     IterUtils.unpersistCheckpoint(mapped)
     IterUtils.unpersistCheckpoint(quotient)
     IterUtils.unpersistCheckpoint(updates)
   }
+
+  /** Reads the incremental-components sidecar at its current manifest
+    * version — the read twin of [[incrementalComponents]]'s commit
+    * protocol (a plain directory read would also pick up unreferenced
+    * crashed-txn files). */
+  def readComponents(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    graft.sources.ManifestCommit.readManifested(spark, statePath)
 
   /** Persisted Bloom-filter sidecar: the accepted-table's membership
     * filter written as a versioned (idx, word) parquet table so the NEXT

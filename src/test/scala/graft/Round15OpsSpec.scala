@@ -117,7 +117,7 @@ class Round15OpsSpec extends GraftSpec {
       .resolve("state").toString
     def batch(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
       pairs.toSeq.toDF("id_a", "id_b")
-    def state(): Seq[(Long, Long)] = spark.read.parquet(root)
+    def state(): Seq[(Long, Long)] = Incremental.readComponents(spark, root)
       .select("id", "cluster").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     // wave 1: two separate components {1,2} and {5,6}
@@ -155,7 +155,8 @@ class Round15OpsSpec extends GraftSpec {
       "empty first batch must leave the sidecar uninitialized")
     Incremental.incrementalComponents(spark, root,
       Seq((1L, 2L)).toDF("id_a", "id_b"))
-    val state = spark.read.parquet(root).select("id", "cluster").collect()
+    val state = Incremental.readComponents(spark, root)
+      .select("id", "cluster").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(state == Seq((1L, 1L), (2L, 1L)))
   }
@@ -185,7 +186,8 @@ class Round15OpsSpec extends GraftSpec {
         hi > lit(2 * n / 3))
       .foreach(w => Incremental.incrementalComponents(spark, root,
         pairs.where(w)))
-    val inc = spark.read.parquet(root).select("id", "cluster").collect()
+    val inc = Incremental.readComponents(spark, root)
+      .select("id", "cluster").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val batchTwin = Dedup.duplicateClusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -215,9 +217,10 @@ class Round15OpsSpec extends GraftSpec {
     land(Seq((2L, 5L)), "w2")
     graft.streaming.EventsStream.streamingComponentsIngest(spark, stream,
       state, root.resolve("ckpt1").toString)
-    def labels(): Seq[(Long, Long)] = spark.read.parquet(state)
-      .select("id", "cluster").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def labels(): Seq[(Long, Long)] =
+      graft.operators.Incremental.readComponents(spark, state)
+        .select("id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val after2 = labels()
     assert(after2 == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L)),
       "cross-batch merge must relabel the sidecar through the stream")
