@@ -62,8 +62,21 @@ object DistributedRank {
     def total(i: Int = 0): Long = bc.value.totals.values.map(_(i)).sum
   }
 
+  /** The exactness argument (regrouping cannot change a bit) holds for
+    * ANY associative integer fold, not just addition — `prepare`/the
+    * second pass thread the monoid so running MAX (cummax — skyline
+    * frontiers, record sweeps) rides the identical two-phase machinery.
+    * Additions skip nulls as 0; max skips them as the identity
+    * [[Long.MinValue]], which doubles as the "nothing before" sentinel
+    * an exclusive first row reports (callers compare with `>`, which a
+    * real value always wins against the sentinel). */
+  private val SumFold: (Long, Long) => Long = _ + _
+  private val MaxFold: (Long, Long) => Long = math.max
+
   def prepare(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
-      valueCols: Seq[String], partitions: Int = 0): Prepared = {
+      valueCols: Seq[String], partitions: Int = 0,
+      fold: (Long, Long) => Long = SumFold,
+      identity: Long = 0L): Prepared = {
     val spark = df.sparkSession
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -94,36 +107,38 @@ object DistributedRank {
         s"value column ${cols(i)} must be LongType (pre-cast it)")
     }
     val nv = valIdx.length
-    // pass 1: per-(partition, key-run) sums. LinkedHashMap preserves the
+    val f = fold
+    val id = identity
+    // pass 1: per-(partition, key-run) folds. LinkedHashMap preserves the
     // sorted first-encounter order, so the driver fold below is the true
     // global order. One collected row per (partition, key) — bounded by
     // the partition count times the key domain, never by data.
-    // NULL value cells contribute 0, the same per-row behavior as a
-    // window `sum` (which skips nulls): the row still receives the
-    // running prefix of everything before it. (A key whose values are
-    // ALL null totals 0 here where SQL SUM would say NULL — callers
-    // with that edge case coalesce upstream.)
+    // NULL value cells contribute the fold identity, the same per-row
+    // behavior as a window aggregate (which skips nulls): the row still
+    // receives the running prefix of everything before it. (A key whose
+    // values are ALL null totals `identity` here where SQL would say
+    // NULL — callers with that edge case coalesce upstream.)
     val partSums: Array[(Int, Seq[(List[Any], Array[Long])])] =
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = mutable.LinkedHashMap.empty[List[Any], Array[Long]]
         it.foreach { r =>
           val key = keyIdx.map(r.get(_): Any).toList
-          val acc = m.getOrElseUpdate(key, Array.fill(nv)(0L))
+          val acc = m.getOrElseUpdate(key, Array.fill(nv)(id))
           var i = 0
           while (i < nv) {
-            if (!r.isNullAt(valIdx(i))) acc(i) += r.getLong(valIdx(i))
+            if (!r.isNullAt(valIdx(i))) acc(i) = f(acc(i), r.getLong(valIdx(i)))
             i += 1
           }
         }
         Iterator((pid, m.toSeq))
       }.collect()
-    // exclusive offsets: value sums in partitions (and earlier key-runs)
+    // exclusive offsets: value folds over partitions (and earlier key-runs)
     // strictly before (pid, key)
     val running = mutable.Map.empty[List[Any], Array[Long]]
     val offsets = partSums.sortBy(_._1).flatMap { case (pid, sums) =>
       sums.map { case (key, tot) =>
-        val off = running.getOrElse(key, Array.fill(nv)(0L))
-        running.update(key, Array.tabulate(nv)(i => off(i) + tot(i)))
+        val off = running.getOrElse(key, Array.fill(nv)(id))
+        running.update(key, Array.tabulate(nv)(i => f(off(i), tot(i))))
         ((pid, key), off)
       }
     }.toMap
@@ -143,9 +158,28 @@ object DistributedRank {
   def prefixSum(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
       cums: Seq[(String, String)], inclusive: Boolean,
       totals: Seq[(String, String)] = Nil,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    prefixFold(df, partCols, orderCols, cums, inclusive, totals, partitions,
+      SumFold, 0L)
+
+  /** Running MAX twin of [[prefixSum]] — `max(value) OVER (... ROWS
+    * UNBOUNDED PRECEDING [AND 1 PRECEDING])` for LongType values with
+    * no Window node. An exclusive prefix with nothing before it reports
+    * the [[Long.MinValue]] sentinel (the window form says NULL there):
+    * callers keep/compare with `>`, which any real value wins. */
+  def prefixMax(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+      cums: Seq[(String, String)], inclusive: Boolean,
+      partitions: Int = 0): DataFrame =
+    prefixFold(df, partCols, orderCols, cums, inclusive, Nil, partitions,
+      MaxFold, Long.MinValue)
+
+  private def prefixFold(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], cums: Seq[(String, String)], inclusive: Boolean,
+      totals: Seq[(String, String)], partitions: Int,
+      fold: (Long, Long) => Long, identity: Long): DataFrame = {
     val valueCols = (cums.map(_._1) ++ totals.map(_._1)).distinct
-    val p = prepare(df, partCols, orderCols, valueCols, partitions)
+    val p = prepare(df, partCols, orderCols, valueCols, partitions,
+      fold, identity)
     val spark = df.sparkSession
     val cols = p.ranged.columns
     val cumVal = cums.map(c => valueCols.indexOf(c._1)).toArray
@@ -158,6 +192,8 @@ object DistributedRank {
     val bc = p.bc
     val nv = valIdx.length
     val inc = inclusive
+    val f = fold
+    val id = identity
     val out = p.ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       // running[i] = exclusive prefix of value i for the CURRENT key run
@@ -168,16 +204,16 @@ object DistributedRank {
         val key = keyIdx.map(r.get(_): Any).toList
         if (!started || key != curKey) {
           started = true; curKey = key
-          running = bc.value.offsets.getOrElse((pid, key), Array.fill(nv)(0L))
+          running = bc.value.offsets.getOrElse((pid, key), Array.fill(nv)(id))
             .clone()
         }
-        // same null-as-0 contract as pass 1 (window sums skip nulls)
-        val vals = valIdx.map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+        // same null-as-identity contract as pass 1 (window aggs skip nulls)
+        val vals = valIdx.map(i => if (r.isNullAt(i)) id else r.getLong(i))
         val cumsOut = cumVal.map { i =>
-          if (inc) running(i) + vals(i) else running(i)
+          if (inc) f(running(i), vals(i)) else running(i)
         }
         var i = 0
-        while (i < nv) { running(i) += vals(i); i += 1 }
+        while (i < nv) { running(i) = f(running(i), vals(i)); i += 1 }
         val totsOut = totVal.map(i => bc.value.totals(key)(i))
         Row.fromSeq(r.toSeq ++ cumsOut ++ totsOut)
       }

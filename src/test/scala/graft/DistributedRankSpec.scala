@@ -93,4 +93,44 @@ class DistributedRankSpec extends GraftSpec {
     val p = DistributedRank.prepare(df, Nil, Seq(col("v")), Seq("c"))
     assert(p.total(0) == 0L)
   }
+
+  test("prefixMax == running-max window twin; exclusive first row reports the MinValue sentinel") {
+    // non-monotone values so the running max actually moves and stalls;
+    // negatives included so 0 is not an accidental identity
+    val df = (1 to 150)
+      .map(i => (i.toLong, ((i * 53) % 97 - 48).toLong)).toDF("k", "v")
+    val w = Window.orderBy("k")
+    val twinIncl = df.withColumn("m", max(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotIncl = DistributedRank.prefixMax(df, Nil, Seq(col("k")),
+        Seq("v" -> "m"), inclusive = true, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotIncl == twinIncl)
+    val twinExcl = df.withColumn("m", max(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    val gotExcl = DistributedRank.prefixMax(df, Nil, Seq(col("k")),
+        Seq("v" -> "m"), inclusive = false, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotExcl == twinExcl,
+      "exclusive prefixMax must equal the 1-PRECEDING window with NULL -> MinValue")
+  }
+
+  test("keyed prefixMax: per-key running max with a hot key spanning partitions") {
+    val df = (1 to 120).map { i =>
+      val key = if (i % 4 == 0) "cold" else "hot" // 3:1 skew
+      (key, i.toLong, ((i * 31) % 59).toLong)
+    }.toDF("g", "k", "v")
+    val w = Window.partitionBy("g").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val twin = df.withColumn("m", max(col("v")).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val got = DistributedRank.prefixMax(df, Seq("g"), Seq(col("k")),
+        Seq("v" -> "m"), inclusive = true, partitions = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == twin)
+  }
 }

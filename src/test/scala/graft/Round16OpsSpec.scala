@@ -38,4 +38,70 @@ class Round16OpsSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(state() == twin)
   }
+
+  test("SortedNeighborhood.pairs == the global-window lead twin, across partition boundaries") {
+    import graft.operators.SortedNeighborhood
+    // unique names, many more rows than partitions so every boundary is
+    // exercised; 5 partitions of ~12 rows with w=4 forces overlap pulls
+    // that SPAN a short partition when ranges land unevenly
+    val names = (0 until 60)
+      .map(i => (i.toLong, f"name-${(i * 37) % 60}%03d"))
+      .toDF("id", "name")
+    val got = SortedNeighborhood.pairs(names, Seq("name"), w = 4,
+        partitions = 5)
+      .select("id", "name", "nb_id", "nb_name", "nb_off")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getInt(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy("name")
+    val twin = (1 to 4).flatMap { k =>
+      names.select(col("id"), col("name"),
+          lead(col("id"), k).over(w).as("nb_id"),
+          lead(col("name"), k).over(w).as("nb_name"), lit(k).as("nb_off"))
+        .where(col("nb_id").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getInt(4)))
+    }.toSet
+    assert(got == twin)
+    // exact candidate mass: every row pairs with min(4, successors) rows
+    assert(got.size == twin.size && twin.size == (0 until 60)
+      .map(i => math.min(4, 59 - i)).sum)
+  }
+
+  test("round-16 routed queries: no unpartitioned Window node anywhere in their plans") {
+    // the q365/q348 discipline, asserted: every query this round routed
+    // through DistributedRank / SortedNeighborhood must plan WITHOUT a
+    // global-window node (the one-task cliff the rewrite removes).
+    // q368 is excluded by design: its surviving window runs on a
+    // LIMIT-101 relation (documented-bounded).
+    val routed = Seq("q348_quantile_norm", "q332_wasserstein_1d",
+      "q444_sorted_neighborhood_er", "q337_sprt", "q347_skyline",
+      "q355_vocab_curve", "q358_l_moments", "q371_negative_sampling",
+      "q377_quartile_migration", "q382_winsorized_corr",
+      "q386_split_conformal", "q387_wilcoxon_signed",
+      "q408_bowker_symmetry", "q441_lateness_audit")
+    val unpart = "Window \\[[^\\]]*\\], \\[\\]".r
+    routed.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.toString
+      assert(!unpart.findAllIn(plan).hasNext && !plan.contains("windowspecdefinition()"),
+        s"$name still plans an unpartitioned Window node")
+    }
+  }
+
+  test("SortedNeighborhood.pairs: w larger than any partition still walks the continuation forward") {
+    import graft.operators.SortedNeighborhood
+    // 8 rows over 6 partitions: most partitions hold 1-2 rows, so a w=5
+    // tail must gather neighbors from SEVERAL following partitions
+    val names = (0 until 8).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val got = SortedNeighborhood.pairs(names, Seq("name"), w = 5,
+        partitions = 6)
+      .select("id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = (for {
+      i <- 0 until 8; j <- (i + 1) to math.min(7, i + 5)
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == twin)
+  }
 }
