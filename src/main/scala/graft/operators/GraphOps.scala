@@ -758,6 +758,74 @@ object GraphOps {
     traj.toSeq.toDF("round", "changed", "converged")
   }
 
+  /** [[pageRank]] under the CONVERGENCE CONTRACT ([[kCoreTrajectory]] /
+    * [[labelPropagationTrajectory]]'s shape for the numeric-mass
+    * family): per round (round, residual, converged) where `residual`
+    * is the MAX-norm ‖rank_r − rank_{r−1}‖_∞ and `converged` tests it
+    * against `tol`, with genuine EARLY EXIT at the first converged
+    * round.
+    *
+    * Two deliberate deviations from the peel/LP trajectories, both
+    * forced by PR being a CONTRACTION rather than an idempotent
+    * fixpoint:
+    *  - the residual is the max norm, NOT an L1 sum — a per-node
+    *    |diff| is one fixed IEEE chain both engines reproduce, and MAX
+    *    is order-independent, where an L1 SUM over nodes would depend
+    *    on accumulation order and could flip the converged flag
+    *    cross-engine;
+    *  - there is no verbatim post-fixpoint tail: PR residuals keep
+    *    shrinking after crossing `tol` (the iterate never stops
+    *    moving), so fabricated tail rows could not match an oracle's
+    *    unroll — the trajectory ENDS at the first converged round (or
+    *    `maxRounds` if never converged), and the row count itself is
+    *    part of the contract.
+    *
+    * SCALE: per round, [[pageRank]]'s one-shuffle profile plus one
+    * node-keyed join for the residual; driver state is one Double per
+    * round; eager checkpoint + deterministic release per round. */
+  def pageRankTrajectory(edges: DataFrame, maxRounds: Int,
+      damping: Double = 0.85, tol: Double = 1e-6): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val norm = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint()
+    val nodeSet = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodeSet.count()
+    var ranks = nodeSet.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    val traj = scala.collection.mutable.ListBuffer.empty[(Long, Double, Boolean)]
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val contrib = norm.join(ranks, norm("src") === ranks("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("p") * col("rank")).as("c"))
+      val next = nodeSet.join(contrib, nodeSet("node") === col("cnode"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      val resid = next
+        .join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      IterUtils.unpersistCheckpoint(ranks)
+      ranks = next
+      converged = resid < tol
+      traj += ((r.toLong, resid, converged))
+      r += 1
+    }
+    IterUtils.unpersistCheckpoint(ranks)
+    IterUtils.unpersistCheckpoint(norm)
+    IterUtils.unpersistCheckpoint(nodeSet)
+    traj.toSeq.toDF("round", "residual", "converged")
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
     * NON-adjacent node pair with at least one common neighbor, the score
     * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) plus the raw common-neighbor count —

