@@ -58,16 +58,38 @@ object Advanced {
              |  (round((quantile_cont(l_extendedprice, 0.9)) * 10000.0) / 10000.0) AS p90_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ---- approximate distinct (HLL++). Sketch estimates are
-    // engine-specific -> no oracle; AdvancedOpsSpec bounds the error vs
-    // exact counts.
+    // ---- approximate distinct (HLL++). Sketch VALUES are
+    // engine-specific, so the row is contracted on the estimator's
+    // ERROR-BOUND INVARIANT, which IS oracle-expressible: the exact
+    // per-group distinct counts (portable) ride along with booleans
+    // asserting |estimate − exact| / exact ≤ 0.15 — 1.7× the worst
+    // relative error measured across both gate scales (8.6%, vs the
+    // sketch's nominal 5% rsd), so the bound is tight enough to catch a
+    // broken register path yet safe against tail wobble. The oracle
+    // emits the exact counts and TRUE: an estimator drifting past the
+    // bound hash-fails. (q64's KMV carries the exact-valued portable
+    // sketch twin.)
     Q("q33_approx_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts").cast("double") <= 0.15)
+            .as("parts_within_eps"),
+          (abs(col("ao") - col("exact_orders")).cast("double")
+            / col("exact_orders").cast("double") <= 0.15)
+            .as("orders_within_eps"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS parts_within_eps, TRUE AS orders_within_eps
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- KMV distinct-count sketch (typed Aggregator, bounded k-long
     // buffer, partial-agg mergeable). Unlike HLL, the k smallest distinct
