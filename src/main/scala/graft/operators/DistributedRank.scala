@@ -60,6 +60,17 @@ object DistributedRank {
       keyIdx: Array[Int], valIdx: Array[Int]) {
     /** Grand total of value `i` across all keys. */
     def total(i: Int = 0): Long = bc.value.totals.values.map(_(i)).sum
+
+    /** Frees `ranged`'s checkpoint blocks and the offsets broadcast.
+      * Call ONLY after every pass over `ranged` has finished its action
+      * — afterwards the relation cannot be recomputed. Callers whose
+      * final pass is itself lazy (the prefixSum/prefixMax results, the
+      * TrainingPrep budget scans) must NOT call this: their blocks are
+      * reclaimed by the ContextCleaner when the result is dropped. */
+    def release(): Unit = {
+      IterUtils.unpersistCheckpoint(ranged)
+      bc.unpersist(false)
+    }
   }
 
   /** The exactness argument (regrouping cannot change a bit) holds for

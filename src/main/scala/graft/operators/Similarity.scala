@@ -238,7 +238,14 @@ object Similarity {
           .select("tbl", "bkey")
         // the anti-join output feeds both self-join sides: one more
         // (smaller) materialization beats running the probe join twice
-        keyed0.join(hot, Seq("tbl", "bkey"), "left_anti").localCheckpoint()
+        val ck = keyed0.join(hot, Seq("tbl", "bkey"), "left_anti")
+          .localCheckpoint()
+        // keyed0's only consumers (the hot count + this anti-join) are
+        // done the moment ck materializes (localCheckpoint is eager):
+        // release the superseded blocks deterministically instead of
+        // leaving them to ContextCleaner timing
+        IterUtils.unpersistCheckpoint(keyed0)
+        ck
     }
     val cand = keyedCk.as("x").join(keyedCk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&

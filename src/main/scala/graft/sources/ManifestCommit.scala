@@ -676,6 +676,138 @@ object ManifestCommit {
     }
   }
 
+  /** [[compactManifested]] with DERIVED sidecars: the stats and Bloom
+    * sidecars of the compacted generation are FOLDED from the previous
+    * version's sidecar lines instead of rebuilt — no footer re-read, and
+    * (the expensive half) no full-table data scan for the Bloom words.
+    * Sound because compaction is content-preserving per partition: a new
+    * file's rows are exactly the union of the old partition's files, so
+    *
+    *  - min/max fold exactly (min of mins / max of maxes),
+    *  - `_rows` is the exact sum,
+    *  - same-(m,k) Bloom filters OR-merge BIT-EXACTLY
+    *    (bloom(A ∪ B) == bloom(A) | bloom(B)) — the derived filter is
+    *    identical to one rebuilt from the data.
+    *
+    * Each partition is coalesced to ONE output file (compaction's whole
+    * point is collapsing small files; a partition too big for one file
+    * should be partitioned finer), which keeps the per-file sidecar
+    * attribution exact. Partitions whose OLD sidecar coverage is
+    * incomplete (some live file lacks a line, or Bloom (m,k) families
+    * disagree) get NO derived line — the reader's safe fallback, never a
+    * wrong bound. At a 100k-file table this turns compaction's derived-
+    * metadata cost from one full data scan + 100k footer reads into a
+    * metadata fold over sidecar lines already in memory. */
+  def compactManifestedDerived(spark: SparkSession, path: String,
+      partitionCols: Seq[String]): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val before = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    // old sidecar lines, filtered to LIVE files (their txn still owns
+    // their partition in the current manifest)
+    def partOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    def live(txn: String, rel: String): Boolean =
+      before.entries.get(partOf(rel)).contains(txn)
+    val oldStats = statsAt(spark, path, before.version)
+      .filter(s => live(s.txn, s.relFile))
+    val oldBlooms = bloomsAt(spark, path, before.version)
+      .filter { case ((txn, rel, _), _) => live(txn, rel) }
+    // per-partition OLD file inventory (fs listing only — no reads):
+    // completeness gate for the folds
+    val oldFilesByPart: Map[String, Seq[String]] = before.entries.toSeq
+      .flatMap { case (rel, txn) =>
+        val dir = if (rel.isEmpty) new Path(new Path(root, DataDir), txn)
+          else new Path(new Path(new Path(root, DataDir), txn), rel)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq
+          .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+          .map(st => rel -> (if (rel.isEmpty) st.getPath.getName
+            else s"$rel/${st.getPath.getName}"))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // ONE file per partition: shuffle on the partition columns, then the
+    // single write task per key emits one file
+    val current = readManifested(spark, path)
+      .repartition(partitionCols.map(col): _*)
+    val next = overwriteViaManifest(spark, path, partitionCols,
+        replaceAll = true) { txn =>
+      current.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(txn)
+    }
+    // the new generation: exactly one txn, one file per partition
+    val newTxn = next.entries.values.headOption.getOrElse(return next)
+    val newTxnDir = new Path(new Path(root, DataDir), newTxn)
+    val qdir = fs.makeQualified(newTxnDir).toString
+    def filesUnder(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) filesUnder(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val newFilesByPart: Map[String, Seq[String]] = filesUnder(newTxnDir)
+      .map(f => fs.makeQualified(f).toString.stripPrefix(qdir).stripPrefix("/"))
+      .groupBy(partOf)
+    val statLines = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    val bloomLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    newFilesByPart.toSeq.sortBy(_._1).foreach { case (part, newFiles) =>
+      val olds = oldFilesByPart.getOrElse(part, Nil)
+      // attribution stays exact only for the 1:1 partition -> file case;
+      // a multi-file partition (beyond-expectation size) is left uncovered
+      if (newFiles.size == 1 && olds.nonEmpty) {
+        val nf = newFiles.head
+        val partStats = oldStats.filter(s => partOf(s.relFile) == part)
+        val byCol = partStats.groupBy(_.column)
+        byCol.get(RowsCol).foreach { rl =>
+          if (rl.map(_.relFile).toSet == olds.toSet)
+            statLines += FileStat(newTxn, nf, RowsCol, "", "",
+              rl.map(_.rows).sum)
+        }
+        byCol.filter(_._1 != RowsCol).foreach { case (c, ls) =>
+          if (ls.map(_.relFile).toSet == olds.toSet)
+            statLines += FileStat(newTxn, nf, c,
+              ls.map(_.min).min(Ordering.fromLessThan[String](
+                (a, b) => cmpTagged(a, b) < 0)),
+              ls.map(_.max).max(Ordering.fromLessThan[String](
+                (a, b) => cmpTagged(a, b) < 0)), 0L)
+        }
+        val partBlooms = oldBlooms.toSeq
+          .filter { case ((_, rel, _), _) => partOf(rel) == part }
+        partBlooms.groupBy(_._1._3).foreach { case (c, bs) =>
+          val fams = bs.map { case (_, (m, k, _)) => (m, k) }.distinct
+          if (bs.map(_._1._2).toSet == olds.toSet && fams.size == 1) {
+            val (m, k) = fams.head
+            val merged = bs.flatMap(_._2._3.toSeq)
+              .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _))
+              .toSeq.sortBy(_._1)
+              .map { case (i, w) => s"$i:${java.lang.Long.toHexString(w)}" }
+              .mkString(",")
+            bloomLines += s"$newTxn\t$nf\t$c\t$m\t$k\t$merged"
+          }
+        }
+      }
+    }
+    // same tmp + rename-without-overwrite publish as the built sidecars
+    def publishLines(target: Path, lines: Seq[String]): Unit = {
+      if (lines.isEmpty) return
+      val tmp = new Path(new Path(root, ManifestDir),
+        s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+    }
+    publishLines(statsPath(root, next.version),
+      statLines.sortBy(s => (s.relFile, s.column))
+        .map(s => s"${s.txn}\t${s.relFile}\t${s.column}\t${s.min}\t${s.max}\t${s.rows}")
+        .toSeq)
+    publishLines(bloomPath(root, next.version), bloomLines.toSeq)
+    next
+  }
+
   /** Retires history: prunes all but the newest `keepManifests` manifest
     * versions, then deletes txn directories no RETAINED manifest
     * references, provided they are older than `minAgeMs` (an in-flight

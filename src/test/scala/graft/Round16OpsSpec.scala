@@ -90,6 +90,46 @@ class Round16OpsSpec extends GraftSpec {
     }
   }
 
+  test("compactManifestedDerived: folded sidecars keep count/minmax/bloom service without rescan") {
+    import graft.sources.ManifestCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-r16-cmp")
+      .resolve("tbl").toString
+    val base = spark.range(0, 400)
+      .select(col("id"), (col("id") % 5).cast("int").as("bucket"),
+        (col("id") * 7 % 1000).as("v"))
+    ManifestCommit.overwriteViaManifest(spark, root, Seq("bucket"),
+      replaceAll = true, statCols = Seq("id"), bloomCols = Seq("id")) { txn =>
+      // several small files per partition: the pre-compaction state
+      base.repartition(4).write.option("maxRecordsPerFile", 30)
+        .partitionBy("bucket").parquet(txn)
+    }
+    // a second generation via upsert (same rows -> content unchanged)
+    ManifestCommit.upsertManifested(spark, root,
+      base.where(col("bucket") === 3), Seq("id"), Seq("bucket"),
+      statCols = Seq("id"), bloomCols = Seq("id"))
+    val preCount = ManifestCommit.countManifested(spark, root)
+    assert(preCount == 400L)
+    val snap = ManifestCommit.compactManifestedDerived(spark, root,
+      Seq("bucket"))
+    assert(snap.entries.values.toSet.size == 1, "one generation after compaction")
+    // content unchanged
+    val got = ManifestCommit.readManifested(spark, root)
+      .select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until 400L).map(i => (i, i * 7 % 1000)))
+    // derived _rows lines serve the metadata-only count exactly
+    assert(ManifestCommit.countManifested(spark, root) == 400L)
+    // derived min/max fold is the exact global extrema, still no scan
+    val mm = ManifestCommit.minMaxManifested(spark, root, "id")
+    assert(mm.contains((0L, 399L)), s"derived minmax: $mm")
+    // derived (OR-merged) blooms still cut the file list for point probes
+    val (df, scanned, total) = ManifestCommit
+      .readManifestedBloomPruned(spark, root, "id", Seq(7L, 123L))
+    assert(total == 5 && scanned < total,
+      s"derived blooms must prune, read $scanned of $total")
+    assert(df.where(col("id").isin(7L, 123L)).count() == 2L)
+  }
+
   test("pageRankTrajectory: symmetric 2-cycle converges at round 1 with residual 0; no tail rows") {
     // a<->b with equal weights: the uniform prior IS the fixpoint, so
     // round 1 moves nothing and the trajectory is exactly one row
