@@ -168,6 +168,7 @@ object EventOps {
     * degenerate experiment (pooled rate exactly 0 or 1 — the variance
     * term vanishes) yields z = null, never a division error. */
   def abZScore(rates: DataFrame): DataFrame = {
+    // domain-bounded window: one row per experiment VARIANT (2-3 rows)
     val w = Window.orderBy("variant")
     val two = rates
       .withColumn("rn", row_number().over(w))
@@ -1078,6 +1079,7 @@ object EventOps {
         (col("dj") - col("di")).cast("double")).as("s"),
         col("di"), col("dj"))
     val n = slopes.agg(count(lit(1)).as("n"))
+    // domain-bounded window: day-PAIR table — calendar-squared, never corpus-sized
     val w = Window.orderBy(col("s"), col("di"), col("dj"))
     val slope = slopes.join(broadcast(n))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -1088,6 +1090,7 @@ object EventOps {
         (col("c").cast("double") - col("slope") * col("day").cast("double"))
           .as("r"), col("slope"))
     val nd = resid.agg(count(lit(1)).as("nd"))
+    // domain-bounded window: residuals per calendar day — calendar-sized
     val wi = Window.orderBy(col("r"), col("day"))
     resid.join(broadcast(nd))
       .withColumn("rn", row_number().over(wi).cast("long"))
@@ -1156,6 +1159,7 @@ object EventOps {
     val cell = dur.groupBy("dur")
       .agg(sum(col("ev")).as("e"), sum(lit(1L) - col("ev")).as("c"))
     val tot = cell.agg(sum(col("e") + col("c")).as("n"))
+    // domain-bounded windows: `dur` is DAY-grain — calendar-sized, never corpus-sized
     val prior = org.apache.spark.sql.expressions.Window.orderBy("dur")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val upto = org.apache.spark.sql.expressions.Window.orderBy("dur")
@@ -1207,6 +1211,7 @@ object EventOps {
     val cell = dur.groupBy("dur")
       .agg(sum(col("ev")).as("e"), sum(lit(1L) - col("ev")).as("c"))
     val tot = cell.agg(sum(col("e") + col("c")).as("n"))
+    // domain-bounded windows: `dur` is DAY-grain — calendar-sized, never corpus-sized
     val prior = org.apache.spark.sql.expressions.Window.orderBy("dur")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val upto = org.apache.spark.sql.expressions.Window.orderBy("dur")

@@ -123,6 +123,7 @@ object Profiling {
     * the grouping pass itself is map-side combinable. */
   def rocAuc(scored: DataFrame, labelCol: String = "y",
       scoreCol: String = "score"): DataFrame = {
+    // evaluation-set statistic by design (see scaladoc): the score order is a held-out-sample domain, not a corpus one
     val byScore = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -248,6 +249,7 @@ object Profiling {
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum(col("yy")).as("positives"))
     val totPos = banded.agg(sum(col("positives")).as("tp"))
+    // domain-bounded window: 10 deciles
     val cw = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     banded.withColumn("cum_pos", sum(col("positives")).over(cw))

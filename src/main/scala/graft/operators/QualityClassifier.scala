@@ -218,6 +218,7 @@ object QualityClassifier {
     val sigma = lit(1.0) /
       (lit(1.0) + exp(-zFromCols(w, featureColsQ(col(textCol)))))
     val sc = round(sigma * 1000000.0) / 1000000.0
+    // evaluation-set statistic by design (see scaladoc): held-out labeled sample, not a corpus domain
     val byScore = org.apache.spark.sql.expressions.Window
       .orderBy(col("sq"), col(idCol))
     labeled.select(col(idCol), col(labelCol).cast("long").as("y"),

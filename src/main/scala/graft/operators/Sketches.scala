@@ -253,6 +253,7 @@ object Sketches {
       .select(least(floor((col("v") - col("mn")) / bw), lit((bins - 1).toLong))
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // domain-bounded window: `bins` rows
     val wv = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // bins-sized cumulative window (see scaladoc)

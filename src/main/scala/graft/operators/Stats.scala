@@ -172,6 +172,7 @@ object Stats {
     val scored = g.join(broadcast(tot))
       .select(col("g"), col("ng").cast("long").as("n_g"), z.as("z"))
       .withColumn("p", p)
+    // domain-bounded window: one row per GROUP (the tested families), never corpus-sized
     val byP = org.apache.spark.sql.expressions.Window
       .orderBy(col("p"), col("g")) // group-sized window
     val m0 = scored.count()
@@ -317,6 +318,7 @@ object Stats {
     // ascending rank rk and a descending rank rd, every row knows the
     // survivor count as rk + rd − 1, so the ceil(n/20) bracket is one
     // self-contained predicate — no second pass.
+    // domain-bounded window: nBoot bootstrap replicates
     val byMean = org.apache.spark.sql.expressions.Window
       .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
     val byMeanDesc = org.apache.spark.sql.expressions.Window
@@ -384,6 +386,7 @@ object Stats {
     // survivor-derived CI ranks — same rk/rd device as
     // [[poissonBootstrapMean]] (dropped replicates shrink the bracket
     // instead of NULLing its upper edge)
+    // domain-bounded window: nBoot bootstrap replicates
     val byMean = org.apache.spark.sql.expressions.Window
       .orderBy(col("m"), col("b")) // B rows: bounded by nBoot
     val byMeanDesc = org.apache.spark.sql.expressions.Window

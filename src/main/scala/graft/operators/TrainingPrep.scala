@@ -1418,6 +1418,7 @@ object TrainingPrep {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
+    // domain-bounded window: LIMIT-k relation (TakeOrderedAndProject upstream)
     val w = Window.orderBy(col("cnt").desc, col("term"))
     top.withColumn("r", row_number().over(w))
       .select(log(col("r").cast("double")).as("x"),
@@ -1487,6 +1488,7 @@ object TrainingPrep {
     val ranked = bm25(docs, queryTerms, topK = atK, idCol = idCol,
         textCol = textCol)
       .withColumn("rank", row_number().over(
+        // domain-bounded window: bm25's list-sized top-k output
         Window.orderBy(col("score").desc, col(idCol))).cast("long"))
       .select(col(idCol).as("id"), col("rank"))
     val logTwo = math.log(2.0)
@@ -1498,6 +1500,7 @@ object TrainingPrep {
       .agg(sum(gain(col("rel"), col("rank"))).as("dcg"))
     val ideal = rel.orderBy(col("rel").desc, col("id")).limit(atK)
       .withColumn("rank", row_number().over(
+        // domain-bounded window: LIMIT-atK relation
         Window.orderBy(col("rel").desc, col("id"))).cast("long"))
       .agg(sum(gain(col("rel"), col("rank"))).as("idcg"))
     val mrr = ranked.join(rel, Seq("id"))
