@@ -821,22 +821,47 @@ object ManifestCommit {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val mdir = new Path(root, ManifestDir)
-    val retained: Seq[Long] =
-      if (!fs.exists(mdir)) Seq.empty
+    val (retained: Seq[Long], retired: Seq[Long]) =
+      if (!fs.exists(mdir)) (Seq.empty, Seq.empty)
       else {
         val versions = fs.listStatus(mdir).map(_.getPath.getName)
           .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
           .map(_.stripSuffix(ManifestSuffix).toLong).sorted.toSeq
-        versions.dropRight(keepManifests).foreach { v =>
-          fs.delete(manifestPath(root, v), false)
-          fs.delete(statsPath(root, v), false) // sidecar retires with its manifest
-        }
-        versions.takeRight(keepManifests)
+        (versions.takeRight(keepManifests), versions.dropRight(keepManifests))
       }
     val live: Set[String] = retained
       .flatMap(v => snapshotAt(spark, path, Some(v)).map(_.entries.values.toSet)
         .getOrElse(Set.empty))
       .toSet
+    retired.foreach(v => fs.delete(manifestPath(root, v), false))
+    // a non-retained version's SIDECAR may still cover files of a txn a
+    // RETAINED manifest references (sidecars accumulate incrementally —
+    // each covers only its own commit's txn): deleting it would lose
+    // file skipping for live files. Retire a sidecar only once every txn
+    // it covers is dead; until then it stays readable via the
+    // <= version filter of statsAt/bloomsAt. The sweep runs over ALL
+    // sidecar files below the retention horizon — a sidecar kept in an
+    // earlier vacuum (manifest long gone) still retires here the moment
+    // its txns die. (Previously stats were dropped unconditionally,
+    // losing live-file skipping, and the bloom file leaked forever.)
+    if (fs.exists(mdir)) {
+      val retainedSet = retained.toSet
+      fs.listStatus(mdir).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") &&
+          (n.endsWith(StatsSuffix) || n.endsWith(BloomSuffix)))
+        .foreach { n =>
+          val v = n.stripSuffix(StatsSuffix).stripSuffix(BloomSuffix).toLong
+          if (!retainedSet.contains(v)) {
+            val p = new Path(mdir, n)
+            val in = fs.open(p)
+            val txns = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty)
+              .map(l => l.substring(0, l.indexOf('\t'))).toSet
+              finally in.close()
+            if (txns.forall(!live.contains(_))) fs.delete(p, false)
+          }
+        }
+    }
     val cutoff = System.currentTimeMillis() - minAgeMs
     val ddir = new Path(root, DataDir)
     if (!fs.exists(ddir)) 0

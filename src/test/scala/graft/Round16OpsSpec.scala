@@ -130,6 +130,44 @@ class Round16OpsSpec extends GraftSpec {
     assert(df.where(col("id").isin(7L, 123L)).count() == 2L)
   }
 
+  test("vacuum retires BOTH derived sidecars with their manifest (the bloom file previously leaked)") {
+    import graft.sources.ManifestCommit
+    val out = java.nio.file.Files.createTempDirectory("graft-r16-vac")
+      .toString + "/t"
+    val base = spark.range(0, 100)
+      .select(col("id"), (col("id") % 2).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, statCols = Seq("id"), bloomCols = Seq("id")) { txn =>
+      base.write.partitionBy("p").parquet(txn)
+    }
+    ManifestCommit.upsertManifested(spark, out,
+      base.where(col("p") === 1), Seq("id"), Seq("p"),
+      statCols = Seq("id"), bloomCols = Seq("id"))
+    def sidecars(suffix: String) = new java.io.File(s"$out/_manifests")
+      .listFiles().count(_.getName.endsWith(suffix))
+    assert(sidecars(".stats") == 2 && sidecars(".bloom") == 2)
+    // phase 1: v1's txn is still LIVE in v2 (partition p=0 untouched by
+    // the upsert) — its sidecars must SURVIVE the manifest retirement,
+    // or live files silently lose skipping
+    ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1)
+    assert(sidecars(".manifest") == 1, "one retained manifest")
+    assert(sidecars(".stats") == 2 && sidecars(".bloom") == 2,
+      "sidecars covering live txns must survive their version's retirement")
+    val (df, scanned, total) = ManifestCommit
+      .readManifestedBloomPruned(spark, out, "id", Seq(3L))
+    assert(scanned < total, s"bloom must cut the file list: $scanned/$total")
+    assert(df.where(col("id") === 3L).count() == 1L)
+    // phase 2: compaction replaces every txn — the old sidecars' txns
+    // are then dead and BOTH files retire (the bloom previously leaked)
+    ManifestCommit.compactManifestedDerived(spark, out, Seq("p"))
+    ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1)
+    assert(sidecars(".stats") == 1 && sidecars(".bloom") == 1,
+      "dead-txn sidecars must retire; the compacted version's derived ones remain")
+    val (df2, s2, t2) = ManifestCommit
+      .readManifestedBloomPruned(spark, out, "id", Seq(3L))
+    assert(s2 < t2 && df2.where(col("id") === 3L).count() == 1L)
+  }
+
   test("pageRankTrajectory: symmetric 2-cycle converges at round 1 with residual 0; no tail rows") {
     // a<->b with equal weights: the uniform prior IS the fixpoint, so
     // round 1 moves nothing and the trajectory is exactly one row
