@@ -768,11 +768,15 @@ object GraphOps {
     * Two deliberate deviations from the peel/LP trajectories, both
     * forced by PR being a CONTRACTION rather than an idempotent
     * fixpoint:
-    *  - the residual is the max norm, NOT an L1 sum — a per-node
-    *    |diff| is one fixed IEEE chain both engines reproduce, and MAX
-    *    is order-independent, where an L1 SUM over nodes would depend
-    *    on accumulation order and could flip the converged flag
-    *    cross-engine;
+    *  - the residual is the max norm, NOT an L1 sum — MAX over the
+    *    per-node |diffs| is accumulation-order-independent GIVEN the
+    *    per-node ranks, where an L1 SUM would add one more
+    *    order-dependent fold on top. The per-node ranks themselves DO
+    *    carry sum-aggregation ulps (~1e-15 relative, both engines), so
+    *    the cross-engine contract is quantization + margin, not bit
+    *    equality: callers pin `tol` with measured separation from the
+    *    residual sequence (the q470 register row uses ≥ 1.3×) and
+    *    display-round the residual;
     *  - there is no verbatim post-fixpoint tail: PR residuals keep
     *    shrinking after crossing `tol` (the iterate never stops
     *    moving), so fabricated tail rows could not match an oracle's
@@ -797,6 +801,9 @@ object GraphOps {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodeSet.count()
+    // fail loudly, not with Infinity ranks + an NPE on the first
+    // residual extraction
+    require(n > 0, "pageRankTrajectory: edge relation is empty")
     var ranks = nodeSet.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
     val traj = scala.collection.mutable.ListBuffer.empty[(Long, Double, Boolean)]

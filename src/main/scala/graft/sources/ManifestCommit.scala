@@ -689,17 +689,26 @@ object ManifestCommit {
     *    (bloom(A ∪ B) == bloom(A) | bloom(B)) — the derived filter is
     *    identical to one rebuilt from the data.
     *
-    * Each partition is coalesced to ONE output file (compaction's whole
-    * point is collapsing small files; a partition too big for one file
-    * should be partitioned finer), which keeps the per-file sidecar
-    * attribution exact. Partitions whose OLD sidecar coverage is
-    * incomplete (some live file lacks a line, or Bloom (m,k) families
-    * disagree) get NO derived line — the reader's safe fallback, never a
-    * wrong bound. At a 100k-file table this turns compaction's derived-
-    * metadata cost from one full data scan + 100k footer reads into a
-    * metadata fold over sidecar lines already in memory. */
+    * Each partition normally coalesces to ONE output file, which keeps
+    * the per-file sidecar attribution exact; `maxRowsPerFile` guards the
+    * hot-partition cliff (a 10^9-row partition must not become one
+    * ~100 GB file on one writer task). A partition the cap SPLITS gets
+    * the partition-level fold attached to EVERY one of its files —
+    * VALID because each file's content is a subset of the partition
+    * union (min/max bounds wider than per-file truth, Bloom answering
+    * "maybe" more often: less pruning inside that partition, never a
+    * wrong answer) — plus an EXACT per-file `_rows` line from a
+    * footer row-COUNT read bounded to just the split files, so the
+    * metadata-only COUNT(*) survives. Partitions whose OLD sidecar
+    * coverage is incomplete (some live file lacks a line, or Bloom
+    * (m,k) families disagree) get NO derived line — the reader's safe
+    * fallback, never a wrong bound. At a 100k-file table this turns
+    * compaction's derived-metadata cost from one full data scan +
+    * 100k footer reads into a metadata fold over sidecar lines already
+    * in memory (+ footers of the few capped files). */
   def compactManifestedDerived(spark: SparkSession, path: String,
-      partitionCols: Seq[String]): Snapshot = {
+      partitionCols: Seq[String],
+      maxRowsPerFile: Long = 50000000L): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val before = currentSnapshot(spark, path).getOrElse(
@@ -728,13 +737,15 @@ object ManifestCommit {
           .map(st => rel -> (if (rel.isEmpty) st.getPath.getName
             else s"$rel/${st.getPath.getName}"))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // ONE file per partition: shuffle on the partition columns, then the
-    // single write task per key emits one file
+    // ONE file per partition below the cap: shuffle on the partition
+    // columns, then the single write task per key emits one file; a
+    // partition past maxRowsPerFile splits (the hot-partition guard)
     val current = readManifested(spark, path)
       .repartition(partitionCols.map(col): _*)
     val next = overwriteViaManifest(spark, path, partitionCols,
         replaceAll = true) { txn =>
       current.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy(partitionCols: _*)
         .parquet(txn)
     }
@@ -751,28 +762,51 @@ object ManifestCommit {
     val newFilesByPart: Map[String, Seq[String]] = filesUnder(newTxnDir)
       .map(f => fs.makeQualified(f).toString.stripPrefix(qdir).stripPrefix("/"))
       .groupBy(partOf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // exact per-file row count from the parquet FOOTER alone — only ever
+    // called for the files of a partition the row cap split
+    def footerRowCount(rel: String): Long = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(newTxnDir, rel), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally reader.close()
+    }
     val statLines = scala.collection.mutable.ArrayBuffer.empty[FileStat]
     val bloomLines = scala.collection.mutable.ArrayBuffer.empty[String]
     newFilesByPart.toSeq.sortBy(_._1).foreach { case (part, newFiles) =>
       val olds = oldFilesByPart.getOrElse(part, Nil)
-      // attribution stays exact only for the 1:1 partition -> file case;
-      // a multi-file partition (beyond-expectation size) is left uncovered
-      if (newFiles.size == 1 && olds.nonEmpty) {
-        val nf = newFiles.head
+      if (olds.nonEmpty) {
+        val single = newFiles.size == 1
         val partStats = oldStats.filter(s => partOf(s.relFile) == part)
         val byCol = partStats.groupBy(_.column)
+        // _rows must be EXACT per file: the partition sum serves the 1:1
+        // case; a cap-split partition reads its few new footers instead
         byCol.get(RowsCol).foreach { rl =>
-          if (rl.map(_.relFile).toSet == olds.toSet)
-            statLines += FileStat(newTxn, nf, RowsCol, "", "",
-              rl.map(_.rows).sum)
+          if (rl.map(_.relFile).toSet == olds.toSet) {
+            if (single)
+              statLines += FileStat(newTxn, newFiles.head, RowsCol, "", "",
+                rl.map(_.rows).sum)
+            else newFiles.foreach { nf =>
+              statLines += FileStat(newTxn, nf, RowsCol, "", "",
+                footerRowCount(nf))
+            }
+          }
         }
+        // min/max and Bloom folds are VALID for every file of the
+        // partition (file content ⊆ partition union): exact bounds for
+        // the 1:1 case, conservative-but-correct for a split one
         byCol.filter(_._1 != RowsCol).foreach { case (c, ls) =>
-          if (ls.map(_.relFile).toSet == olds.toSet)
-            statLines += FileStat(newTxn, nf, c,
-              ls.map(_.min).min(Ordering.fromLessThan[String](
-                (a, b) => cmpTagged(a, b) < 0)),
-              ls.map(_.max).max(Ordering.fromLessThan[String](
-                (a, b) => cmpTagged(a, b) < 0)), 0L)
+          if (ls.map(_.relFile).toSet == olds.toSet) {
+            val lo = ls.map(_.min).min(Ordering.fromLessThan[String](
+              (a, b) => cmpTagged(a, b) < 0))
+            val hi = ls.map(_.max).max(Ordering.fromLessThan[String](
+              (a, b) => cmpTagged(a, b) < 0))
+            newFiles.foreach(nf =>
+              statLines += FileStat(newTxn, nf, c, lo, hi, 0L))
+          }
         }
         val partBlooms = oldBlooms.toSeq
           .filter { case ((_, rel, _), _) => partOf(rel) == part }
@@ -785,7 +819,8 @@ object ManifestCommit {
               .toSeq.sortBy(_._1)
               .map { case (i, w) => s"$i:${java.lang.Long.toHexString(w)}" }
               .mkString(",")
-            bloomLines += s"$newTxn\t$nf\t$c\t$m\t$k\t$merged"
+            newFiles.foreach(nf =>
+              bloomLines += s"$newTxn\t$nf\t$c\t$m\t$k\t$merged")
           }
         }
       }
@@ -854,11 +889,19 @@ object ManifestCommit {
           if (!retainedSet.contains(v)) {
             val p = new Path(mdir, n)
             val in = fs.open(p)
+            // a malformed line (no tab — truncated write, corruption)
+            // maps to None and KEEPS the file: never delete metadata the
+            // sweep cannot fully account for
             val txns = try scala.io.Source.fromInputStream(in, "UTF-8")
               .getLines().filter(_.nonEmpty)
-              .map(l => l.substring(0, l.indexOf('\t'))).toSet
+              .map { l =>
+                val i = l.indexOf('\t')
+                if (i < 0) None else Some(l.substring(0, i))
+              }.toSet
               finally in.close()
-            if (txns.forall(!live.contains(_))) fs.delete(p, false)
+            val deletable = !txns.contains(None) &&
+              txns.flatten.forall(!live.contains(_))
+            if (deletable) fs.delete(p, false)
           }
         }
     }

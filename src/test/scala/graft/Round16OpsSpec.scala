@@ -130,6 +130,40 @@ class Round16OpsSpec extends GraftSpec {
     assert(df.where(col("id").isin(7L, 123L)).count() == 2L)
   }
 
+  test("compactManifestedDerived: a cap-split hot partition keeps exact counts and valid conservative bounds") {
+    import graft.sources.ManifestCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-r16-cmp2")
+      .resolve("tbl").toString
+    val base = spark.range(0, 400)
+      .select(col("id"), (col("id") % 5).cast("int").as("bucket"),
+        (col("id") * 7 % 1000).as("v"))
+    ManifestCommit.overwriteViaManifest(spark, root, Seq("bucket"),
+      replaceAll = true, statCols = Seq("id"), bloomCols = Seq("id")) { txn =>
+      base.repartition(4).write.option("maxRecordsPerFile", 30)
+        .partitionBy("bucket").parquet(txn)
+    }
+    // 80 rows per bucket, cap 25 -> every partition splits into >= 4 files
+    val snap = ManifestCommit.compactManifestedDerived(spark, root,
+      Seq("bucket"), maxRowsPerFile = 25L)
+    assert(snap.entries.values.toSet.size == 1)
+    // exact _rows per split file (footer-count path) serves the
+    // metadata-only count
+    assert(ManifestCommit.countManifested(spark, root) == 400L)
+    // partition-fold min/max is conservative but the global fold exact
+    assert(ManifestCommit.minMaxManifested(spark, root, "id")
+      .contains((0L, 399L)))
+    // blooms still cut files: probing id=0 (bucket 0) must skip the
+    // other buckets' files even though bucket-0's own split files all
+    // carry the same partition-level filter
+    val (df, scanned, total) = ManifestCommit
+      .readManifestedBloomPruned(spark, root, "id", Seq(0L))
+    assert(total >= 20 && scanned < total,
+      s"cross-partition pruning must survive the split: $scanned/$total")
+    assert(df.where(col("id") === 0L).count() == 1L)
+    // content unchanged
+    assert(ManifestCommit.readManifested(spark, root).count() == 400L)
+  }
+
   test("vacuum retires BOTH derived sidecars with their manifest (the bloom file previously leaked)") {
     import graft.sources.ManifestCommit
     val out = java.nio.file.Files.createTempDirectory("graft-r16-vac")
