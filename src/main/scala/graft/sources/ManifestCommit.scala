@@ -53,6 +53,15 @@ import org.apache.spark.sql.functions._
   * z-order), turns a 100 TB scan into the few files that matter. Sidecars
   * are derived metadata: missing stats mean "read the file", never wrong
   * answers.
+  *
+  * ROW-GROUP granularity is deliberately NOT replicated in the sidecar:
+  * once a file survives file-level pruning, Spark's parquet reader
+  * already applies the pushed predicate against the footer's per-row-
+  * group statistics and skips non-matching row groups natively
+  * (`PushedFilters` in the scan plan) — a sidecar copy of the same
+  * footer stats would add manifest weight without cutting anything the
+  * native reader doesn't. The sidecar's job is exactly the decision the
+  * reader CANNOT make: which files to open at all.
   */
 object ManifestCommit {
 
@@ -664,11 +673,13 @@ object ManifestCommit {
     * them. */
   def compactManifested(spark: SparkSession, path: String,
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
-      statCols: Seq[String] = Nil): Snapshot = {
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Snapshot = {
     val current = readManifested(spark, path)
       .repartition(partitionCols.map(col): _*)
     overwriteViaManifest(spark, path, partitionCols, replaceAll = true,
-        statCols = statCols) { txn =>
+        statCols = statCols, bloomCols = bloomCols,
+        bloomBits = bloomBits) { txn =>
       current.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
