@@ -143,6 +143,16 @@ object Incremental {
     *      The FIRST batch publishes the same way, so the sidecar either
     *      exists fully formed (manifest present) or not at all.
     *
+    * Every batch adds one manifest GENERATION and [[graft.sources
+    * .ManifestCommit.readManifested]] plans one scan per live
+    * generation, so an unbounded maintenance stream would degrade
+    * planning linearly in batch count: once the live generation count
+    * exceeds `maxGenerations`, the state table is compacted back to one
+    * generation ([[graft.sources.ManifestCommit.compactManifestedDerived]]
+    * — a bucket-partitioned rewrite, amortized O(state/maxGenerations)
+    * per batch). Readers are never disturbed: compaction is itself one
+    * atomic manifest publish.
+    *
     * Canonical-min invariant: a history label is the min id of its old
     * component and a fresh node's label is itself, so the quotient CC's
     * min over merged labels IS the global min member id — no rescan of
@@ -156,7 +166,7 @@ object Incremental {
     * quotient is empty, and no rows change. */
   def incrementalComponents(spark: org.apache.spark.sql.SparkSession,
       statePath: String, newPairs: DataFrame, buckets: Int = 16,
-      maxRounds: Int = 25): Unit = {
+      maxRounds: Int = 25, maxGenerations: Int = 16): Unit = {
     // existence == a published manifest version; a crashed first batch's
     // partial txn dir (no manifest) reads as "uninitialized", never as
     // truncated history
@@ -212,9 +222,13 @@ object Incremental {
           Seq("bucket"), replaceAll = true) { txn =>
           updates.write.partitionBy("bucket").parquet(txn)
         }
-      else
-        graft.sources.ManifestCommit.upsertManifested(spark, statePath,
-          updates, Seq("id"), Seq("bucket"))
+      else {
+        val snap = graft.sources.ManifestCommit.upsertManifested(spark,
+          statePath, updates, Seq("id"), Seq("bucket"))
+        if (snap.entries.values.toSet.size > maxGenerations)
+          graft.sources.ManifestCommit.compactManifestedDerived(spark,
+            statePath, Seq("bucket"))
+      }
     }
     IterUtils.unpersistCheckpoint(edges)
     IterUtils.unpersistCheckpoint(mapped)

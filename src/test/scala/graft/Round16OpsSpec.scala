@@ -130,6 +130,29 @@ class Round16OpsSpec extends GraftSpec {
     assert(df.where(col("id").isin(7L, 123L)).count() == 2L)
   }
 
+  test("incrementalComponents: generation-count auto-compaction bounds read fan-out, labels unchanged") {
+    import graft.operators.{Dedup, Incremental}
+    import graft.sources.ManifestCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-r16-gen")
+      .resolve("state").toString
+    // a 21-node path arriving one edge per batch: every batch merges, so
+    // without the cap the state would hold 20 generations
+    val edges = (1 to 20).map(i => (i.toLong, i + 1L))
+    edges.foreach { case (a, b) =>
+      Incremental.incrementalComponents(spark, root,
+        Seq((a, b)).toDF("id_a", "id_b"), maxGenerations = 5)
+    }
+    val gens = ManifestCommit.currentSnapshot(spark, root)
+      .get.entries.values.toSet.size
+    assert(gens <= 6, s"generation count must stay bounded, got $gens")
+    val state = Incremental.readComponents(spark, root)
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val twin = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(state == twin, "compaction must never change a label")
+  }
+
   test("compactManifestedDerived: a cap-split hot partition keeps exact counts and valid conservative bounds") {
     import graft.sources.ManifestCommit
     val root = java.nio.file.Files.createTempDirectory("graft-r16-cmp2")
