@@ -142,16 +142,34 @@ object ManifestCommit {
     * overwrite); otherwise old entries survive except where the new txn
     * wrote the same partition (the upsert/compaction shape).
     *
+    * `baseVersion` pins the snapshot the caller's WRITE was computed
+    * from (Iceberg's validate-base-snapshot rule): a read-modify-write
+    * (upsert, compaction) that read version v must publish v+1 — if the
+    * table moved past v while the rewrite ran, publishing "freshest+1"
+    * would silently drop the interleaved commit (replaceAll) or revert
+    * its touched partitions (upsert). With the pin, staleness is caught
+    * either by the check below or — if the competitor lands between the
+    * check and the claim — by the atomic create-if-absent of v+1
+    * itself. Blind appends that depend on no read state may omit it.
+    *
     * Throws [[java.nio.file.FileAlreadyExistsException]] when another
     * writer committed first — the caller re-runs against the new snapshot. */
   def overwriteViaManifest(spark: SparkSession, path: String,
       partitionCols: Seq[String], replaceAll: Boolean = false,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17)(
+      bloomBits: Int = 1 << 17, baseVersion: Option[Long] = None)(
       writeTo: String => Unit): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val before = currentSnapshot(spark, path)
+    baseVersion.foreach { v =>
+      val cur = before.map(_.version).getOrElse(0L)
+      if (cur != v)
+        throw new java.nio.file.FileAlreadyExistsException(
+          manifestPath(root, cur).toString, null,
+          s"concurrent commit: table moved from version $v to $cur while " +
+            "this write ran; re-run against the new snapshot")
+    }
     val txn = s"txn-${java.util.UUID.randomUUID()}"
     val txnDir = new Path(new Path(root, DataDir), txn)
     writeTo(txnDir.toString)
@@ -638,7 +656,11 @@ object ManifestCommit {
       keyCols: Seq[String], partitionCols: Seq[String],
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 17): Snapshot = {
-    val target = readManifested(spark, path)
+    // pin the version the merge reads: a commit interleaving with the
+    // rewrite must fail the publish, not lose its touched partitions
+    val base = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val target = readManifested(spark, path, Some(base.version))
     val touchedParts = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(touchedParts), partitionCols, "left_semi")
     val dataCols = target.columns.toSeq
@@ -655,7 +677,8 @@ object ManifestCommit {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__is_update", "__rn")
     overwriteViaManifest(spark, path, partitionCols, statCols = statCols,
-      bloomCols = bloomCols, bloomBits = bloomBits) { txnDir =>
+      bloomCols = bloomCols, bloomBits = bloomBits,
+      baseVersion = Some(base.version)) { txnDir =>
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)
         .parquet(txnDir)
@@ -675,11 +698,15 @@ object ManifestCommit {
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 17): Snapshot = {
-    val current = readManifested(spark, path)
+    // pin the compacted version: replaceAll over a stale read would
+    // silently drop any commit that interleaved with the rewrite
+    val base = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val current = readManifested(spark, path, Some(base.version))
       .repartition(partitionCols.map(col): _*)
     overwriteViaManifest(spark, path, partitionCols, replaceAll = true,
         statCols = statCols, bloomCols = bloomCols,
-        bloomBits = bloomBits) { txn =>
+        bloomBits = bloomBits, baseVersion = Some(base.version)) { txn =>
       current.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
@@ -751,10 +778,13 @@ object ManifestCommit {
     // ONE file per partition below the cap: shuffle on the partition
     // columns, then the single write task per key emits one file; a
     // partition past maxRowsPerFile splits (the hot-partition guard)
-    val current = readManifested(spark, path)
+    // read at the PINNED version and publish against it: the derived
+    // sidecars are folds of `before`'s lines, so an interleaved commit
+    // must fail the publish, not ship stale data under fresh metadata
+    val current = readManifested(spark, path, Some(before.version))
       .repartition(partitionCols.map(col): _*)
     val next = overwriteViaManifest(spark, path, partitionCols,
-        replaceAll = true) { txn =>
+        replaceAll = true, baseVersion = Some(before.version)) { txn =>
       current.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy(partitionCols: _*)

@@ -130,6 +130,31 @@ class Round16OpsSpec extends GraftSpec {
     assert(df.where(col("id").isin(7L, 123L)).count() == 2L)
   }
 
+  test("overwriteViaManifest: a pinned base version rejects an interleaved commit (no lost update)") {
+    import graft.sources.ManifestCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-r16-occ")
+      .resolve("tbl").toString
+    val base = spark.range(0, 50)
+      .select(col("id"), (col("id") % 2).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, root, Seq("p"),
+      replaceAll = true) { txn => base.write.partitionBy("p").parquet(txn) }
+    val pinned = ManifestCommit.currentSnapshot(spark, root).get.version
+    // a competitor lands between our read (pinned) and our publish
+    ManifestCommit.upsertManifested(spark, root,
+      base.where(col("p") === 1), Seq("id"), Seq("p"))
+    val competitor = ManifestCommit.readManifested(spark, root).count()
+    // a replaceAll rewrite computed from the PINNED version must now fail
+    // loudly instead of silently dropping the competitor's commit
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ManifestCommit.overwriteViaManifest(spark, root, Seq("p"),
+        replaceAll = true, baseVersion = Some(pinned)) { txn =>
+        base.limit(1).write.partitionBy("p").parquet(txn)
+      }
+    }
+    assert(ManifestCommit.readManifested(spark, root).count() == competitor,
+      "the failed stale publish must leave the competitor's state intact")
+  }
+
   test("incrementalComponents: generation-count auto-compaction bounds read fan-out, labels unchanged") {
     import graft.operators.{Dedup, Incremental}
     import graft.sources.ManifestCommit
