@@ -145,13 +145,18 @@ object Incremental {
     *
     * Every batch adds one manifest GENERATION and [[graft.sources
     * .ManifestCommit.readManifested]] plans one scan per live
-    * generation, so an unbounded maintenance stream would degrade
-    * planning linearly in batch count: once the live generation count
-    * exceeds `maxGenerations`, the state table is compacted back to one
-    * generation ([[graft.sources.ManifestCommit.compactManifestedDerived]]
-    * — a bucket-partitioned rewrite, amortized O(state/maxGenerations)
-    * per batch). Readers are never disturbed: compaction is itself one
-    * atomic manifest publish.
+    * generation. The manifest maps each BUCKET to one txn, so the live
+    * generation count is structurally capped at `buckets` — planning
+    * fan-out plateaus there rather than growing forever — but a stream
+    * of batches still pins the plateau (`buckets` scans on every read)
+    * and keeps that many txn generations live. Once the live count
+    * exceeds min(`maxGenerations`, `buckets`/2) — the cap makes a
+    * threshold at or above `buckets` unreachable, so it is clamped to
+    * stay meaningful for ANY bucket count — the state compacts back to
+    * one generation ([[graft.sources.ManifestCommit
+    * .compactManifestedDerived]], a bucket-partitioned rewrite
+    * amortized over the batches between triggers). Readers are never
+    * disturbed: compaction is itself one atomic manifest publish.
     *
     * Canonical-min invariant: a history label is the min id of its old
     * component and a fresh node's label is itself, so the quotient CC's
@@ -225,7 +230,10 @@ object Incremental {
       else {
         val snap = graft.sources.ManifestCommit.upsertManifested(spark,
           statePath, updates, Seq("id"), Seq("bucket"))
-        if (snap.entries.values.toSet.size > maxGenerations)
+        // clamp below the structural cap (generations <= buckets), or a
+        // threshold >= buckets would silently never fire
+        val trigger = math.max(1, math.min(maxGenerations, buckets / 2))
+        if (snap.entries.values.toSet.size > trigger)
           graft.sources.ManifestCommit.compactManifestedDerived(spark,
             statePath, Seq("bucket"))
       }

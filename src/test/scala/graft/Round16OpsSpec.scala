@@ -176,6 +176,22 @@ class Round16OpsSpec extends GraftSpec {
     val twin = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(state == twin, "compaction must never change a label")
+    // DEFAULT parameters must also fire: generations cap at `buckets`
+    // structurally, so the trigger clamps to buckets/2 = 8 — the
+    // review-caught defect was a threshold at the cap, unreachable
+    val root2 = java.nio.file.Files.createTempDirectory("graft-r16-gen2")
+      .resolve("state").toString
+    edges.foreach { case (a, b) =>
+      Incremental.incrementalComponents(spark, root2,
+        Seq((a, b)).toDF("id_a", "id_b"))
+    }
+    val gens2 = ManifestCommit.currentSnapshot(spark, root2)
+      .get.entries.values.toSet.size
+    assert(gens2 <= 9, s"default-path trigger must fire, got $gens2 generations")
+    val state2 = Incremental.readComponents(spark, root2)
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(state2 == twin)
   }
 
   test("compactManifestedDerived: a cap-split hot partition keeps exact counts and valid conservative bounds") {
