@@ -2,7 +2,6 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.TaskContext
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -60,17 +59,11 @@ object DistributedRank {
       keyIdx: Array[Int], valIdx: Array[Int]) {
     /** Grand total of value `i` across all keys. */
     def total(i: Int = 0): Long = bc.value.totals.values.map(_(i)).sum
-
-    /** Frees `ranged`'s checkpoint blocks and the offsets broadcast.
-      * Call ONLY after every pass over `ranged` has finished its action
-      * — afterwards the relation cannot be recomputed. Callers whose
-      * final pass is itself lazy (the prefixSum/prefixMax results, the
-      * TrainingPrep budget scans) must NOT call this: their blocks are
-      * reclaimed by the ContextCleaner when the result is dropped. */
-    def release(): Unit = {
-      IterUtils.unpersistCheckpoint(ranged)
-      bc.unpersist(false)
-    }
+    // No eager release hook: every caller's final pass is lazy (the
+    // prefixSum/prefixMax results, the TrainingPrep budget scans), so the
+    // checkpoint blocks and broadcast are reclaimed by the ContextCleaner
+    // when the result is dropped — an explicit free would be unsafe to
+    // call before the last action and dead code otherwise.
   }
 
   /** The exactness argument (regrouping cannot change a bit) holds for
@@ -192,7 +185,6 @@ object DistributedRank {
     val p = prepare(df, partCols, orderCols, valueCols, partitions,
       fold, identity)
     val spark = df.sparkSession
-    val cols = p.ranged.columns
     val cumVal = cums.map(c => valueCols.indexOf(c._1)).toArray
     val totVal = totals.map(c => valueCols.indexOf(c._1)).toArray
     val outSchema = StructType(p.ranged.schema.fields ++
@@ -205,8 +197,12 @@ object DistributedRank {
     val inc = inclusive
     val f = fold
     val id = identity
-    val out = p.ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // the pass indexes the broadcast offsets by RANGED's partition number,
+    // so it must receive the RDD's OWN split index — TaskContext
+    // .getPartitionId() is the final-RDD-of-the-task id and is offset when
+    // the result runs as a non-first union child or under a coalesce
+    // (the q472/SortedNeighborhood failure class; Round17OpsSpec pins it)
+    val outRdd = p.ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       // running[i] = exclusive prefix of value i for the CURRENT key run
       var curKey: List[Any] = null
       var started = false
@@ -228,7 +224,7 @@ object DistributedRank {
         val totsOut = totVal.map(i => bc.value.totals(key)(i))
         Row.fromSeq(r.toSeq ++ cumsOut ++ totsOut)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    out.toDF(outSchema.fieldNames: _*)
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 }

@@ -233,9 +233,20 @@ object Incremental {
         // clamp below the structural cap (generations <= buckets), or a
         // threshold >= buckets would silently never fire
         val trigger = math.max(1, math.min(maxGenerations, buckets / 2))
-        if (snap.entries.values.toSet.size > trigger)
+        if (snap.entries.values.toSet.size > trigger) {
           graft.sources.ManifestCommit.compactManifestedDerived(spark,
             statePath, Seq("bucket"))
+          // retention rides the same trigger: every batch adds a manifest
+          // version + txn dir, and snapshotAt lists the whole _manifests
+          // dir per read — without a vacuum the listing cost of a
+          // long-running stream grows O(batches). Manifest pruning is
+          // immediate (keeps the newest 10 versions time-travel-readable);
+          // txn-dir deletion stays behind vacuum's 24h min-age, so a
+          // concurrent reader of a just-retired version never loses files
+          // mid-scan.
+          graft.sources.ManifestCommit.vacuum(spark, statePath)
+          ()
+        }
       }
     }
     IterUtils.unpersistCheckpoint(edges)

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -63,8 +62,14 @@ object SortedNeighborhood {
         StructField(s"nb_${f.name}", f.dataType, nullable = true)) :+
       StructField("nb_off", IntegerType, nullable = false))
     val ww = w
-    val out = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // the pairing pass indexes the broadcast heads by RANGED's partition
+    // number, so it must receive the RDD's OWN split index — NOT
+    // TaskContext.getPartitionId(), which is the final-RDD-of-the-task id
+    // and is offset whenever a downstream union/coalesce renumbers task
+    // partitions (q472 runs two passes under a union: the second child's
+    // tasks saw pids shifted past maxPid and dropped every
+    // cross-boundary pair)
+    val pairRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       // continuation: first-w rows of the FOLLOWING partitions, in order —
       // never more than w rows are ever consumed from it
       val continuation = ((pid + 1) until maxPid).iterator
@@ -92,7 +97,7 @@ object SortedNeighborhood {
         def hasNext: Boolean = { advance(); pending.hasNext }
         def next(): Row = { advance(); pending.next() }
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    out.toDF(outSchema.fieldNames: _*)
+    }
+    spark.createDataFrame(pairRdd, outSchema)
   }
 }

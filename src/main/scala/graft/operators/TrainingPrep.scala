@@ -352,8 +352,10 @@ object TrainingPrep {
     val p = DistributedRank.prepare(base, Nil,
       Seq(col("n_chars").desc, col("doc_id")), Seq("tok"), partitions)
     val bc = p.bc
-    p.ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // offsets are keyed by RANGED's partition number: take the RDD's own
+    // split index (stable under downstream union/coalesce), never
+    // TaskContext.getPartitionId() — the q472 composition failure class
+    spark.createDataset(p.ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       // partitions whose offset already exceeds the budget short-circuit
       // without reading rows; within one, the monotone cum allows
       // takeWhile early exit
@@ -365,7 +367,7 @@ object TrainingPrep {
           (r.getLong(0), tok, cum) }
           .takeWhile(_._3 <= budgetTokens)
       }
-    }.toDF("doc_id", "n_tok", "cum_tok")
+    }).toDF("doc_id", "n_tok", "cum_tok")
   }
 
   /** Compaction bin-packing plan: next-fit by byte budget — each doc
@@ -430,8 +432,9 @@ object TrainingPrep {
     val p = DistributedRank.prepare(base, Seq("__src"),
       Seq(col("n_chars").desc, col("doc_id")), Seq("tok"), partitions)
     val bc = p.bc
-    p.ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // RDD-delivered split index, not TaskContext.getPartitionId() — see
+    // selectUnderBudget (the q472 composition failure class)
+    spark.createDataset(p.ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       // a 'seen any row yet' flag, NOT a null sentinel: a null source
       // value must still trigger its offset load on the first row
       var started = false
@@ -448,7 +451,7 @@ object TrainingPrep {
         if (cum <= budgetTokens) Iterator((s, r.getLong(1), tok, cum))
         else Iterator.empty
       }
-    }.toDF("source", "doc_id", "n_tok", "cum_tok")
+    }).toDF("source", "doc_id", "n_tok", "cum_tok")
   }
 
   /** Coverage-targeted vocabulary: the SMALLEST set of top-frequency
@@ -475,15 +478,16 @@ object TrainingPrep {
       Seq(col("cnt").desc, col("term")), Seq("cnt"), partitions)
     val target = (p.total(0) * coveragePermille + 999) / 1000
     val bc = p.bc
-    p.ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // RDD-delivered split index, not TaskContext.getPartitionId() — see
+    // selectUnderBudget (the q472 composition failure class)
+    spark.createDataset(p.ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = bc.value.offsets.get((pid, Nil)).fold(0L)(_(0))
       if (cum >= target) Iterator.empty
       else it.map { r =>
         val c = r.getLong(1)
         val before = cum; cum += c; (r.getString(0), c, cum, before)
       }.takeWhile(_._4 < target).map(x => (x._1, x._2, x._3))
-    }.toDF("term", "cnt", "cum_cnt")
+    }).toDF("term", "cnt", "cum_cnt")
   }
 
   /** Inverted index over the corpus: term -> sorted posting list of the
@@ -1269,19 +1273,24 @@ object TrainingPrep {
       .sortWithinPartitions(col("logw").desc, col("doc_id"))
       .as[(Long, Double)]
       .localCheckpoint() // boundaries are SAMPLED: both passes must agree
-    val partCounts = scored.mapPartitions { it =>
+    // both passes key their broadcast state by SCORED's partition number:
+    // use the RDD's own split index (stable under downstream
+    // union/coalesce), never TaskContext.getPartitionId() — the q472
+    // composition failure class
+    val scoredRdd = scored.rdd
+    val partCounts = scoredRdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L; it.foreach(_ => c += 1)
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+      Iterator((pid, c))
     }.collect().toMap
     val offsets = (0 until nParts).map(partCounts.getOrElse(_, 0L))
       .scanLeft(0L)(_ + _).toArray
     val bc = spark.sparkContext.broadcast(offsets)
-    scored.mapPartitions { it =>
-      var rank = bc.value(org.apache.spark.TaskContext.getPartitionId())
+    spark.createDataset(scoredRdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid)
       if (rank >= n) Iterator.empty
       else it.map { case (id, w) => rank += 1; (id, w, rank) }
         .takeWhile(_._3 <= n)
-    }.toDF("doc_id", "logw", "rank")
+    }).toDF("doc_id", "logw", "rank")
   }
 
   /** Trained character-n-gram language identification — the model-based

@@ -920,14 +920,21 @@ object ManifestCommit {
     // earlier vacuum (manifest long gone) still retires here the moment
     // its txns die. (Previously stats were dropped unconditionally,
     // losing live-file skipping, and the bloom file leaked forever.)
+    // The sweep considers only versions STRICTLY BELOW the newest
+    // retained manifest: a sidecar published by a commit that lands
+    // between our manifest listing and this sweep has v > horizon (its
+    // manifest wasn't listed, its txn isn't in `live`) and must not be
+    // deleted just after publication — above the horizon nothing is
+    // retired, matching the retention contract.
     if (fs.exists(mdir)) {
       val retainedSet = retained.toSet
+      val horizon = retained.lastOption.getOrElse(Long.MinValue)
       fs.listStatus(mdir).map(_.getPath.getName)
         .filter(n => !n.startsWith(".") &&
           (n.endsWith(StatsSuffix) || n.endsWith(BloomSuffix)))
         .foreach { n =>
           val v = n.stripSuffix(StatsSuffix).stripSuffix(BloomSuffix).toLong
-          if (!retainedSet.contains(v)) {
+          if (v < horizon && !retainedSet.contains(v)) {
             val p = new Path(mdir, n)
             val in = fs.open(p)
             // a malformed line (no tab — truncated write, corruption)
