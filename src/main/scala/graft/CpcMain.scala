@@ -32,7 +32,7 @@ object CpcMain {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("cpc-etl")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

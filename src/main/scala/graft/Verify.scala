@@ -12,7 +12,11 @@ object Verify {
       if (args.length > 2) { val pats = args(2).split(",").toSeq
         (n: String) => pats.exists(n.contains) }
       else (_: String) => true
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the DRIVER config (local[32], BASELINE.md): a gate
+    // run without the env var must exercise the same plan execution the
+    // driver grades — the r16 q472 miss was a gate run at the old
+    // local[4] default
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
