@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.operators.TrainingPrep
+import graft.sources.TarShards
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shard export/ingest: round-trip fidelity,
+  * slot-order members, byte-determinism (re-exports content-address
+  * equal), header checksum enforcement, and empty-shard handling. */
+class TarShardsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def docsFixture = Seq(
+    (1L, "hello world", "en", "web", 11L),
+    (2L, "sæt pâté 日本語\nsecond line", "da", "web", 24L),
+    (3L, "third doc with several words here", "en", "books", 33L),
+    (4L, "", "en", "web", 0L), // empty payload: zero-length member
+    (5L, "quoted \"json\" meta \\ backslash", "fr", "web", 30L),
+    (6L, "the last document", "en", "books", 17L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def sha(p: java.nio.file.Path): String =
+    MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+      .map("%02x".format(_)).mkString
+
+  test("tar round-trip: every sample lands at its deterministic slot with exact bytes") {
+    val dir = Files.createTempDirectory("tarshards-rt").toString
+    val n = TarShards.exportTarShards(docsFixture, dir, 3, "tar1")
+    assert(n == 6L)
+    val mem = TarShards.members(spark, dir).collect()
+    // two members per sample, json before txt, same basename
+    assert(mem.length == 12)
+    val slots = TrainingPrep.shardExport(docsFixture.select("doc_id"), 3, "tar1")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val texts = docsFixture.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    mem.groupBy(_.file).foreach { case (file, ms) =>
+      val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(file).get.group(1).toLong
+      ms.sortBy(_.memberIdx).grouped(2).zipWithIndex.foreach {
+        case (Array(j, t), i) =>
+          val id = j.member.stripSuffix(".json").toLong
+          assert(t.member == f"$id%09d.txt" && j.member == f"$id%09d.json")
+          assert(slots(id) == (shard, i + 1L),
+            s"doc $id must sit at its deterministic (shard, pos) slot")
+          assert(new String(t.content, StandardCharsets.UTF_8) == texts(id))
+          val meta = ujsonField(new String(j.content, StandardCharsets.UTF_8), "doc_id")
+          assert(meta == id.toString)
+        case other => fail(s"unpaired members: ${other._1.map(_.member).toSeq}")
+      }
+    }
+  }
+
+  /** Tiny field extractor so the spec has no JSON dependency. */
+  private def ujsonField(json: String, field: String): String = {
+    val m = ("\"" + field + "\"\\s*:\\s*([^,}]+)").r.findFirstMatchIn(json)
+    m.get.group(1).trim.stripPrefix("\"").stripSuffix("\"")
+  }
+
+  test("re-export is byte-identical (content-addressable shards)") {
+    val d1 = Files.createTempDirectory("tarshards-a").toString
+    val d2 = Files.createTempDirectory("tarshards-b").toString
+    TarShards.exportTarShards(docsFixture, d1, 3, "tar1")
+    TarShards.exportTarShards(docsFixture, d2, 3, "tar1")
+    val f1 = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName)
+    val f2 = new java.io.File(d2).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName)
+    assert(f1.map(_.getName).toSeq == f2.map(_.getName).toSeq && f1.nonEmpty)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(sha(a.toPath) == sha(b.toPath), s"${a.getName} must be deterministic")
+    }
+  }
+
+  test("a corrupt header fails loudly (checksum verified)") {
+    val dir = Files.createTempDirectory("tarshards-c").toString
+    TarShards.exportTarShards(docsFixture, dir, 1, "tar1")
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head.toPath
+    val bytes = Files.readAllBytes(f)
+    bytes(4) = (bytes(4) ^ 0x7).toByte // flip bits inside the first name field
+    Files.write(f, bytes)
+    // drop the local-FS CRC sidecar so the TAR-level header checksum (not
+    // Hadoop's transport checksum) is what catches the corruption
+    Files.deleteIfExists(Paths.get(f.getParent.toString, s".${f.getFileName}.crc"))
+    val err = intercept[org.apache.spark.SparkException] {
+      TarShards.members(spark, dir).collect()
+    }
+    assert(err.getMessage.contains("checksum") ||
+      Option(err.getCause).exists(_.getMessage.contains("checksum")))
+  }
+
+  test("more shards than documents: empty shards write no file, samples intact") {
+    val dir = Files.createTempDirectory("tarshards-e").toString
+    val two = docsFixture.where(col("doc_id") <= 2)
+    val n = TarShards.exportTarShards(two, dir, 8, "tar1")
+    assert(n == 2L)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(files.length <= 2 && files.nonEmpty)
+    val mem = TarShards.members(spark, dir).collect()
+    assert(mem.count(_.member.endsWith(".txt")) == 2)
+  }
+}
