@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed truncated suffix array by prefix doubling (Manber &
+  * Myers 1990), word-granular — the exact-substring index behind
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et
+  * al. 2022, arXiv:2107.06499): after ⌈log₂ D⌉ rounds every corpus
+  * position carries the dense rank of its depth-D word prefix, so
+  * positions sharing a rank share an exact D-word window — duplicate
+  * detection with NO hashing (collision-free, unlike MinHash/rolling
+  * hashes) and NO D-word string materialization.
+  *
+  * Why prefix doubling at cluster scale: the naive alternative shuffles
+  * every D-word window (D × corpus tokens of STRING payload, the q109
+  * rolling-hash shape but exact) — this instead shuffles ⌈log₂ D⌉
+  * rounds of fixed-width (rank, rank) LONG pairs, each round one
+  * hash-join on (doc, off+k) plus one range-partitioned dense rank.
+  * Rank width is independent of D: doubling the window depth adds ONE
+  * round, not another corpus copy.
+  *
+  * The dense rank rides the [[DistributedRank]] two-phase discipline
+  * (range partition + sort, bounded per-partition boundary collect,
+  * broadcast offsets, map-side assignment) and — the round-17
+  * composition contract — reads its partition index from the RDD's OWN
+  * `mapPartitionsWithIndex` split, never `TaskContext.getPartitionId()`,
+  * so results are invariant under downstream union/coalesce.
+  *
+  * Suffix semantics: suffixes are PER DOCUMENT (no cross-document
+  * run-on, the corpus-concatenation separators of the paper made
+  * implicit); a suffix shorter than the comparison horizon extends with
+  * a sentinel that sorts before every real word, so equal ranks mean
+  * "equal depth-D prefixes, including equal early termination".
+  */
+object SuffixArray {
+
+  /** (doc, off, word) token positions, 0-based offsets. The same
+    * whitespace tokenization every oracle twin uses
+    * (`string_split(text, ' ')`). */
+  def tokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("off", "word")))
+      .select(col("doc"), col("off").cast("long").as("off"), col("word"))
+
+  /** Dense rank of the depth-`depth` word prefix of every suffix:
+    * returns (doc, off, rank) where rank ∈ [1, #distinct prefixes] and
+    * equal ranks ⟺ identical depth-bounded prefixes. Early-exits the
+    * doubling once every rank is unique (the full suffix order is then
+    * resolved — deeper rounds cannot split further). */
+  def rankPrefixes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", depth: Int = 8,
+      partitions: Int = 0): DataFrame = {
+    require(depth >= 1 && (depth & (depth - 1)) == 0,
+      s"depth=$depth must be a power of two (prefix doubling)")
+    val spark = docs.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val nPos = toks.count()
+    // round 0: rank = dense rank of the word itself. The vocabulary is
+    // corpus-bounded but not driver-bounded: rank it distributed
+    // (sortBy + zipWithIndex over DISTINCT words — one exchange of the
+    // vocab, never of the corpus).
+    val vocab = toks.select("word").distinct().rdd
+      .map(_.getString(0)).sortBy(identity, ascending = true,
+        numPartitions = nParts)
+      .zipWithIndex().map { case (w, i) => Row(w, i + 1L) }
+    val vocabDf = spark.createDataFrame(vocab, StructType(Seq(
+      StructField("word", org.apache.spark.sql.types.StringType, false),
+      StructField("r", LongType, false))))
+    var ranked = toks.join(vocabDf, "word")
+      .select(col("doc"), col("off"), col("r").as("rank"))
+      .localCheckpoint()
+    var k = 1L
+    while (k < depth && !allDistinct(ranked, nPos)) {
+      // pair each position's rank with the rank k positions ahead in the
+      // SAME document; -1 = past the end, sorting before every real rank
+      val ahead = ranked.select(col("doc").as("b_doc"),
+        (col("off") - k).as("b_off"), col("rank").as("r2"))
+      val paired = ranked.join(ahead,
+          col("doc") === col("b_doc") && col("off") === col("b_off"), "left")
+        .select(col("doc"), col("off"), col("rank").as("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      ranked = denseRankPairs(paired, nParts).localCheckpoint()
+      k *= 2
+    }
+    ranked
+  }
+
+  private def allDistinct(ranked: DataFrame, nPos: Long): Boolean =
+    ranked.agg(max("rank")).head.getLong(0) == nPos
+
+  /** Distributed dense rank over the total order (r1, r2): range
+    * partition + in-partition sort, ONE bounded collect of per-partition
+    * (first key, last key, group count), a driver stitch for runs that
+    * span partition boundaries, and a map-side assignment pass keyed by
+    * the RDD's own split index. Input: (doc, off, r1, r2); output:
+    * (doc, off, rank). */
+  private[graft] def denseRankPairs(df: DataFrame,
+      nParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(nParts, col("r1"), col("r2"))
+      .sortWithinPartitions(col("r1"), col("r2"))
+      .localCheckpoint() // both passes must see identical sampled ranges
+    val cols = ranged.columns
+    val (iDoc, iOff, iR1, iR2) = (cols.indexOf("doc"), cols.indexOf("off"),
+      cols.indexOf("r1"), cols.indexOf("r2"))
+    // pass 1: bounded — one (first, last, #groups) triple per partition
+    val stats = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: (Long, Long) = null
+      var last: (Long, Long) = null
+      var groups = 0L
+      it.foreach { r =>
+        val key = (r.getLong(iR1), r.getLong(iR2))
+        if (first == null) first = key
+        if (key != last) groups += 1
+        last = key
+      }
+      if (first == null) Iterator.empty
+      else Iterator((pid, first, last, groups))
+    }.collect().sortBy(_._1)
+    // driver stitch: a group spanning a partition boundary is counted in
+    // both — the later partition's base drops by one so its first local
+    // group resolves to the SAME global rank
+    var cum = 0L
+    var prevLast: (Long, Long) = null
+    val bases = scala.collection.mutable.Map.empty[Int, Long]
+    stats.foreach { case (pid, first, last, groups) =>
+      val continues = first == prevLast
+      bases(pid) = if (continues) cum - 1 else cum
+      cum += groups - (if (continues) 1 else 0)
+      prevLast = last
+    }
+    val bc = spark.sparkContext.broadcast(bases.toMap)
+    val outSchema = StructType(Seq(
+      StructField("doc", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    // pass 2: the split index the RDD's own compute receives — invariant
+    // under downstream union/coalesce (the q472 lesson)
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value.getOrElse(pid, 0L)
+      var local = 0L
+      var last: (Long, Long) = null
+      it.map { r =>
+        val key = (r.getLong(iR1), r.getLong(iR2))
+        if (key != last) local += 1
+        last = key
+        Row(r.getLong(iDoc), r.getLong(iOff), base + local)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Every exact duplicated `depth`-word window in the corpus:
+    * (gram, cnt) for rank groups of complete windows with cnt ≥ 2. The
+    * gram TEXT is reconstructed only for each group's representative
+    * (min (doc, off)) — a result-sized join back to the token table,
+    * never a corpus-wide string materialization. */
+  def duplicateWindows(docs: DataFrame, depth: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame = {
+    val ranks = rankPrefixes(docs, idCol, textCol, depth, partitions)
+    val toks = tokens(docs, idCol, textCol)
+    val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
+    val complete = ranks.join(lens, "doc")
+      .where(col("off") + depth <= col("len"))
+    val groups = complete.groupBy("rank")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc"), col("off"))).as("rep"))
+      .where(col("cnt") >= 2)
+      .select(col("rank"), col("cnt"),
+        col("rep.doc").as("doc"), col("rep.off").as("off"))
+    // fresh aliases: toks' attributes also live inside groups' lineage
+    // (through lens), so an unaliased self-join would be ambiguous
+    val tok2 = toks.select(col("doc").as("t_doc"),
+      col("off").as("t_off"), col("word"))
+    groups.join(tok2,
+        col("t_doc") === col("doc") &&
+          col("t_off") >= col("off") &&
+          col("t_off") < col("off") + depth)
+      .groupBy(col("rank"), col("cnt"))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("t_off").as("o"), col("word").as("w")))),
+        e => e("w")), " ").as("gram"))
+      .select(col("gram"), col("cnt"))
+  }
+}
