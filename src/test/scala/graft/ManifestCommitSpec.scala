@@ -345,4 +345,79 @@ class ManifestCommitSpec extends GraftSpec {
     }
     assert(ex.getMessage.contains("additive-only"))
   }
+
+  test("HLL sidecar: metadata-only DISTINCT equals the direct sketch and the exact count") {
+    val out = Files.createTempDirectory("mfc-hll1").toString + "/t"
+    // interleaved duplicates across partitions: per-file sketches must
+    // union, not sum
+    val base = spark.range(0, 600)
+      .select((col("id") % 200).as("k"), (col("id") % 4).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, hllCols = Seq("k")) { txn =>
+      base.write.option("maxRecordsPerFile", 60).partitionBy("p").parquet(txn)
+    }
+    val est = ManifestCommit.distinctManifested(spark, out, "k")
+    assert(est.isDefined, "every live file must carry a sketch line")
+    // coupon (sparse) territory: merge is lossless, so the union equals
+    // even the SINGLE-PASS sketch here (in dense HLL mode only the
+    // union-path equality below holds — HIP is not mergeable)
+    val direct = ManifestCommit.readManifested(spark, out)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))))
+      .head.getLong(0)
+    assert(est.get == direct)
+    assert(est.get == 200L, "200 distinct keys sit below the sparse" +
+      " threshold at lgK=12: the estimate is exact")
+    // determinism contract: the sorted fold makes the answer a pure
+    // function of table state (the HIP estimator is merge-order-
+    // dependent — even Spark's own hll_union_agg drifts run-to-run in
+    // dense territory, so order-canonicalization is the guarantee)
+    assert(ManifestCommit.distinctManifested(spark, out, "k") == est)
+  }
+
+  test("HLL sidecar accumulates across upsert generations; uncovered commit falls back to None") {
+    val out = Files.createTempDirectory("mfc-hll2").toString + "/t"
+    val base = spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 2).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, hllCols = Seq("k")) { txn =>
+      base.write.partitionBy("p").parquet(txn)
+    }
+    // upsert MERGES 50 new keys (100..149) into partition p=0: the old
+    // even keys stay, so distinct = 100 (base) + 50 (new) — and the
+    // rewritten generation's fresh sketches must cover the carried rows
+    ManifestCommit.upsertManifested(spark, out,
+      spark.range(100, 150).select(col("id").as("k"), lit(0).as("p")),
+      Seq("k"), Seq("p"), hllCols = Seq("k"))
+    assert(ManifestCommit.distinctManifested(spark, out, "k").contains(150L))
+    // a commit WITHOUT hllCols leaves its files uncovered: conservative None
+    ManifestCommit.upsertManifested(spark, out,
+      spark.range(500, 520).select(col("id").as("k"), lit(0).as("p")),
+      Seq("k"), Seq("p"))
+    assert(ManifestCommit.distinctManifested(spark, out, "k").isEmpty,
+      "an uncovered live file must fail coverage, not guess")
+  }
+
+  test("derived compaction folds HLL sidecars: distinct served without rescan, vacuum retires them") {
+    val out = Files.createTempDirectory("mfc-hll3").toString + "/t"
+    val base = spark.range(0, 400)
+      .select((col("id") % 150).as("k"), (col("id") % 4).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, hllCols = Seq("k")) { txn =>
+      base.write.option("maxRecordsPerFile", 40).partitionBy("p").parquet(txn)
+    }
+    ManifestCommit.upsertManifested(spark, out,
+      base.where(col("p") === 3), Seq("k"), Seq("p"), hllCols = Seq("k"))
+    val before = ManifestCommit.distinctManifested(spark, out, "k")
+    assert(before.contains(150L))
+    ManifestCommit.compactManifestedDerived(spark, out, Seq("p"))
+    assert(ManifestCommit.distinctManifested(spark, out, "k") == before,
+      "folded sidecars must keep serving the distinct estimate")
+    // vacuum to the newest version: the old .hll sidecars retire with
+    // their txns (same lifecycle as .stats/.bloom)
+    ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1)
+    val mdir = new java.io.File(s"$out/_manifests")
+    val hlls = mdir.listFiles().map(_.getName).filter(_.endsWith(".hll"))
+    assert(hlls.length == 1, s"exactly the folded sidecar survives: ${hlls.toSeq}")
+    assert(ManifestCommit.distinctManifested(spark, out, "k") == before)
+  }
 }
