@@ -188,4 +188,36 @@ object SuffixArray {
         e => e("w")), " ").as("gram"))
       .select(col("gram"), col("cnt"))
   }
+
+  /** ExactSubstr deduplication (Lee et al. 2022 §4.1) on the suffix-
+    * array index: every occurrence but the FIRST (smallest (doc, off))
+    * of any exact `depth`-word window duplicated anywhere in the corpus
+    * is excised, overlapping cuts merged per document — identical
+    * output, by construction, to the rolling-hash
+    * [[TrainingPrep.removeDuplicateSpans]] recipe at the same window
+    * (equal ranks ⟺ equal windows, no hash in the loop), but the
+    * candidate discovery shuffles fixed-width rank pairs instead of a
+    * corpus of window strings. Returns (doc_id, clean_text, removed)
+    * for every document. */
+  def exactSubstrDedup(docs: DataFrame, depth: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame = {
+    val ranks = rankPrefixes(docs, idCol, textCol, depth, partitions)
+    val toks = tokens(docs, idCol, textCol)
+    val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
+    val complete = ranks.join(lens, "doc")
+      .where(col("off") + depth <= col("len"))
+    val dups = complete.groupBy("rank")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc"), col("off"))).as("keep"))
+      .where(col("cnt") >= 2)
+    val spans = complete.join(dups, "rank")
+      .where(!(col("doc") === col("keep.doc") &&
+        col("off") === col("keep.off")))
+      .select(col("doc").as("doc_id"), col("off").cast("int").as("s"),
+        (col("off") + depth - 1).cast("int").as("e"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("w"))
+    TrainingPrep.exciseSpans(base, spans)
+  }
 }

@@ -86,6 +86,19 @@ class SuffixArraySpec extends GraftSpec {
     assert(rows(b.coalesce(1)) == alone)
   }
 
+  test("exactSubstrDedup == the rolling-hash removeDuplicateSpans recipe on real data") {
+    // two independent discovery engines (SA rank groups vs hashed gram
+    // strings) must excise the exact same spans, token for token
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val sa = rows(SuffixArray.exactSubstrDedup(docs, depth = 8, partitions = 8))
+    val rh = rows(graft.operators.TrainingPrep
+      .removeDuplicateSpans(docs, windowTokens = 8))
+    assert(sa == rh)
+    assert(sa.exists(_._3 > 0), "fixture must actually excise something")
+  }
+
   test("early exit: an all-unique corpus resolves at the word round (depth irrelevant)") {
     val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val got = SuffixArray.rankPrefixes(docs, depth = 8, partitions = 4)
