@@ -93,6 +93,43 @@ class TarShardsSpec extends GraftSpec {
       Option(err.getCause).exists(_.getMessage.contains("checksum")))
   }
 
+  test("binary members: per-sample multimodal payloads land adjacent, null cells skip") {
+    val dir = Files.createTempDirectory("tarshards-m").toString
+    // deterministic fake media bytes; doc 3's image is null -> no member
+    val docs = docsFixture.withColumn("img",
+        when(col("doc_id") =!= 3L,
+          concat(lit(Array[Byte](0x50, 0x4e, 0x47, 0)),
+            unhex(lpad(hex(col("doc_id")), 16, "0")))))
+      .withColumn("wav", unhex(lpad(hex(col("doc_id")), 16, "0")))
+    val n = TarShards.exportTarShards(docs, dir, 2, "tar1",
+      binMembers = Seq("png" -> "img", "wav" -> "wav"))
+    assert(n == 6L)
+    val mem = TarShards.members(spark, dir).collect()
+    // 6 samples x (json + txt + wav) + 5 png (doc 3 skipped)
+    assert(mem.length == 6 * 3 + 5)
+    mem.groupBy(_.file).foreach { case (_, ms) =>
+      // members of one sample are adjacent and in declared order
+      val keys = ms.sortBy(_.memberIdx).map(m => m.member.split('.')(0))
+      assert(keys.sliding(2).forall { case Array(a, b) => a <= b || a == b
+        case _ => true } || keys.distinct.length <= keys.length)
+      ms.groupBy(_.member.split('.')(0)).foreach { case (k, sm) =>
+        val id = k.toLong
+        val order = sm.sortBy(_.memberIdx).map(_.member.split('.')(1)).toSeq
+        val want = if (id == 3L) Seq("json", "txt", "wav")
+          else Seq("json", "txt", "png", "wav")
+        assert(order == want, s"doc $id member order: $order")
+        // ordinals of one sample are consecutive: adjacency in the tar
+        val idxs = sm.map(_.memberIdx).sorted
+        assert(idxs.last - idxs.head == idxs.length - 1)
+      }
+    }
+    // byte-exact payload round trip (8-byte big-endian cast of the id)
+    val wav5 = mem.find(_.member == "000000005.wav").get.content
+    assert(wav5.toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 5))
+    val png5 = mem.find(_.member == "000000005.png").get.content
+    assert(png5.take(4).toSeq == Seq[Byte](0x50, 0x4e, 0x47, 0))
+  }
+
   test("more shards than documents: empty shards write no file, samples intact") {
     val dir = Files.createTempDirectory("tarshards-e").toString
     val two = docsFixture.where(col("doc_id") <= 2)
