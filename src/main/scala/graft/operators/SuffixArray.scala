@@ -78,16 +78,79 @@ object SuffixArray {
     while (k < depth && !allDistinct(ranked, nPos)) {
       // pair each position's rank with the rank k positions ahead in the
       // SAME document; -1 = past the end, sorting before every real rank
-      val ahead = ranked.select(col("doc").as("b_doc"),
-        (col("off") - k).as("b_off"), col("rank").as("r2"))
-      val paired = ranked.join(ahead,
-          col("doc") === col("b_doc") && col("off") === col("b_off"), "left")
-        .select(col("doc"), col("off"), col("rank").as("r1"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      ranked = denseRankPairs(paired, nParts).localCheckpoint()
+      ranked = denseRankPairs(shiftRanks(ranked, k.toInt, nParts), nParts)
+        .localCheckpoint()
       k *= 2
     }
     ranked
+  }
+
+  /** (doc, off, r1, r2) where r2 is the rank at (doc, off + k), or -1
+    * past the document end — WITHOUT the self-join the textbook round
+    * would run (whose both sides shuffle the whole position table).
+    * Offsets are DENSE per document, so the row k positions ahead in
+    * global (doc, off) order carries offset off+k whenever it shares
+    * the doc: one range exchange, a bounded boundary collect (first k
+    * rows per partition, ≤ partitions × depth/2 rows on the driver),
+    * and a map-side slide — the [[SortedNeighborhood]] continuation
+    * pattern, partition index taken from the RDD's own split (the
+    * round-17 composition contract). Cuts each doubling round from
+    * three corpus exchanges to two. */
+  private[graft] def shiftRanks(ranked: DataFrame, k: Int,
+      nParts: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    val ranged = ranked.repartitionByRange(nParts, col("doc"), col("off"))
+      .sortWithinPartitions(col("doc"), col("off"))
+      .localCheckpoint() // head pass + slide must see identical ranges
+    val cols = ranged.columns
+    val (iDoc, iOff, iRank) =
+      (cols.indexOf("doc"), cols.indexOf("off"), cols.indexOf("rank"))
+    val heads: Map[Int, Array[(Long, Long)]] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val h = it.take(k).map(r => (r.getLong(iDoc), r.getLong(iRank))).toArray
+        if (h.isEmpty) Iterator.empty else Iterator((pid, h))
+      }.collect().toMap
+    val maxPid = ranged.rdd.getNumPartitions
+    val bc = spark.sparkContext.broadcast(heads)
+    val outSchema = StructType(Seq(
+      StructField("doc", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("r1", LongType, nullable = false),
+      StructField("r2", LongType, nullable = false)))
+    val kk = k
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // first kk rows of the FOLLOWING partitions, in order — never more
+      // than kk are consumed (short partitions walk further forward)
+      val continuation = ((pid + 1) until maxPid).iterator
+        .flatMap(p => bc.value.getOrElse(p, Array.empty[(Long, Long)]).iterator)
+        .take(kk)
+      // local rows emit; continuation rows only ever serve as lookahead
+      val tagged = it.map(r =>
+        (r.getLong(iDoc), r.getLong(iOff), r.getLong(iRank), true)) ++
+        continuation.map(t => (t._1, 0L, t._2, false))
+      val buf = scala.collection.mutable.Queue.empty[(Long, Long, Long, Boolean)]
+      new Iterator[Row] {
+        private var pending: Row = null
+        private def advance(): Unit = {
+          while (pending == null && (tagged.hasNext || buf.exists(_._4))) {
+            while (tagged.hasNext && buf.size < kk + 1) buf.enqueue(tagged.next())
+            if (buf.nonEmpty && (buf.size == kk + 1 || !tagged.hasNext)) {
+              val (doc, off, r1, isLocal) = buf.dequeue()
+              if (isLocal) {
+                // dense offsets: the row kk ahead is (doc, off+kk) iff it
+                // exists and shares the doc — rows between are same-doc
+                val r2 = if (buf.size >= kk && buf(kk - 1)._1 == doc)
+                  buf(kk - 1)._3 else -1L
+                pending = Row(doc, off, r1, r2)
+              }
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): Row = { advance(); val r = pending; pending = null; r }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   private def allDistinct(ranked: DataFrame, nPos: Long): Boolean =
