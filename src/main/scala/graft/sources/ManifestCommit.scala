@@ -71,6 +71,7 @@ object ManifestCommit {
   private val StatsSuffix = ".stats"
   private val BloomSuffix = ".bloom"
   private val HllSuffix = ".hll"
+  private val KmvSuffix = ".kmv"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,7 +160,8 @@ object ManifestCommit {
       partitionCols: Seq[String], replaceAll: Boolean = false,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 17, baseVersion: Option[Long] = None,
-      hllCols: Seq[String] = Nil, hllLgK: Int = 12)(
+      hllCols: Seq[String] = Nil, hllLgK: Int = 12,
+      kmvCols: Seq[String] = Nil, kmvK: Int = 256)(
       writeTo: String => Unit): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -205,6 +207,7 @@ object ManifestCommit {
     publishStats(spark, path, next, txn, statCols)
     publishBloom(spark, path, next, txn, bloomCols, bloomBits)
     publishHll(spark, path, next, txn, hllCols, hllLgK)
+    publishKmv(spark, path, next, txn, kmvCols, kmvK)
     next
   }
 
@@ -792,6 +795,184 @@ object ManifestCommit {
     }
   }
 
+  // ---- KMV bottom-k sidecars (deterministic distinct + join overlap) ----
+
+  private def kmvPath(root: Path, v: Long) =
+    new Path(new Path(root, ManifestDir), f"$v%020d$KmvSuffix")
+
+  /** File-level KMV (k-minimum-values, Bar-Yossef 2002) sidecar over the
+    * engine-portable 60-bit md5 hash — the DETERMINISTIC sketch tier:
+    * bottom-k of a union is exactly the bottom-k of the per-set
+    * bottom-k's, so unlike [[publishHll]]'s HIP subtlety the merged
+    * estimate is a pure function of the data with no order
+    * canonicalization needed, and the portable hash means an external
+    * engine (the DuckDB oracle) reproduces every intermediate to the
+    * last bit. Serves two metadata-only answers:
+    * [[distinctKmvManifested]] and — the one the HLL tier cannot do —
+    * [[overlapKmvManifested]], the Beyer 2007 set-algebra estimate of
+    * JOIN KEY OVERLAP between two tables from their sidecars alone (the
+    * broadcast-vs-shuffle planning input at fleet scale). One
+    * column-pruned pass per commit txn; per-file payload k longs. */
+  def publishKmv(spark: SparkSession, path: String, snap: Snapshot,
+      txn: String, kmvCols: Seq[String], k: Int = 256): Unit = {
+    if (kmvCols.isEmpty) return
+    require(k > 1, s"k must exceed 1: $k")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val txnDir = new Path(new Path(root, DataDir), txn)
+    val qdir = fs.makeQualified(txnDir).toString
+    val data = spark.read.parquet(txnDir.toString)
+    val lines = kmvCols.flatMap { column =>
+      // bottom-k DISTINCT hashes per file: rank-limit pushdown keeps the
+      // per-task state k rows per file (partial WindowGroupLimit)
+      val w = Window.partitionBy("file").orderBy("h")
+      data.select(input_file_name().as("file"),
+          graft.expressions.PortableHash.md5Hash60(
+            col(column).cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .groupBy("file")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+        .collect()
+        .map { r =>
+          val rel = new Path(r.getString(0)).toString
+            .stripPrefix(qdir).stripPrefix("/")
+          val hs = r.getSeq[Long](1)
+            .map(java.lang.Long.toHexString).mkString(",")
+          (rel, s"$txn\t$rel\t$column\t$k\t$hs")
+        }.sortBy(_._1).map(_._2)
+    }
+    val tmp = new Path(new Path(root, ManifestDir),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = kmvPath(root, snap.version)
+    if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** All KMV sidecar lines visible at `version`:
+    * (txn, relFile, column) -> (k, sorted bottom-k hashes). */
+  private def kmvsAt(spark: SparkSession, path: String, version: Long)
+      : Map[(String, String, String), (Int, Array[Long])] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) Map.empty
+    else fs.listStatus(mdir).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(KmvSuffix) && !n.startsWith("."))
+      .filter(_.stripSuffix(KmvSuffix).toLong <= version)
+      .flatMap { n =>
+        val in = fs.open(new Path(mdir, n))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').filter(_.nonEmpty).map { line =>
+          val f = line.split('\t')
+          val hs = if (f.length < 5 || f(4).isEmpty) Array.empty[Long]
+            else f(4).split(',').map(java.lang.Long.parseUnsignedLong(_, 16))
+          (f(0), f(1), f(2)) -> ((f(3).toInt, hs))
+        }
+      }.toMap
+  }
+
+  /** The merged bottom-k sketch of `column` over the current table's
+    * live files, from sidecars alone: (k, sorted bottom-k distinct
+    * hashes). None when any live file lacks a line (the conservative
+    * [[minMaxManifested]] coverage contract) or k disagrees across
+    * lines. */
+  def kmvSketchManifested(spark: SparkSession, path: String,
+      column: String): Option[(Int, Array[Long])] = {
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest at $path"))
+    val kmvs = kmvsAt(spark, path, snap.version)
+      .filter(_._1._3 == column)
+      .map { case ((txn, rel, _), v) => (txn, rel) -> v }
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
+    val complete = snap.entries.groupBy(_._2).forall { case (txn, es) =>
+      val base = new Path(new Path(root, DataDir), txn)
+      val qbase = fs.makeQualified(base).toString
+      def files(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) files(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      val live = es.keySet
+      files(base).filter { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        val part = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i => rel.substring(0, i)
+        }
+        live.contains(part)
+      }.forall { f =>
+        val rel = fs.makeQualified(f).toString.stripPrefix(qbase).stripPrefix("/")
+        kmvs.get((txn, rel)) match {
+          case Some(v) => parts += v; true
+          case None => false
+        }
+      }
+    }
+    if (!complete || parts.isEmpty) None
+    else if (parts.map(_._1).distinct.size != 1) None
+    else {
+      val k = parts.head._1
+      // bottom-k of the union == bottom-k of the concatenated bottom-k's:
+      // exact, order-independent, idempotent
+      Some((k, parts.flatMap(_._2).distinct.sorted.take(k).toArray))
+    }
+  }
+
+  private val HashDomain = 1152921504606846976.0 // 2^60
+
+  private def kmvEstimate(k: Int, hs: Array[Long]): Double =
+    if (hs.length < k) hs.length.toDouble
+    else (k - 1).toDouble * HashDomain / hs.last
+
+  /** Deterministic APPROX COUNT DISTINCT from the `.kmv` sidecars —
+    * identical to the single-pass KMV estimate over the full column (the
+    * merge is exact), reproducible by any engine with md5. None on
+    * incomplete coverage. */
+  def distinctKmvManifested(spark: SparkSession, path: String,
+      column: String): Option[Double] =
+    kmvSketchManifested(spark, path, column)
+      .map { case (k, hs) => kmvEstimate(k, hs) }
+
+  /** JOIN-KEY OVERLAP between two manifest tables from METADATA ALONE
+    * (Beyer et al. 2007 §3): distinct-count estimates for the union and
+    * intersection of the two key columns, computed purely from the
+    * tables' `.kmv` sidecars — the planning input ("is this join's
+    * small side broadcastable? how selective is the key overlap?") that
+    * normally costs two table scans. Membership of a union k-min in
+    * either side is EXACT against that side's own sketch (any union
+    * k-min below the union's τ is necessarily below the side's own τ).
+    * Returns (est_union, est_intersect, rho, kk) — the
+    * [[graft.operators.Sketches.kmvSetAlgebra]] surface — or None when
+    * either table lacks coverage or the k's disagree. */
+  def overlapKmvManifested(spark: SparkSession, pathA: String,
+      columnA: String, pathB: String, columnB: String)
+      : Option[(Double, Double, Long, Long)] = {
+    for {
+      (ka, hsA) <- kmvSketchManifested(spark, pathA, columnA)
+      (kb, hsB) <- kmvSketchManifested(spark, pathB, columnB)
+      if ka == kb
+    } yield {
+      val k = ka
+      val union = (hsA ++ hsB).distinct.sorted.take(k)
+      val kk = union.length.toLong
+      val inA = hsA.toSet
+      val inB = hsB.toSet
+      val rho = union.count(h => inA(h) && inB(h)).toLong
+      val estU = if (kk < k) kk.toDouble
+        else (k - 1).toDouble * HashDomain / union.last
+      val estI = if (kk == 0L) 0.0 else rho.toDouble / kk * estU
+      (estU, estI, rho, kk)
+    }
+  }
+
   /** Keyed upsert with [[TableWriters.upsertParquet]] semantics
     * (last-writer-wins, touched-partitions-only cost) committed through
     * the manifest instead of directory swaps. Accepts schema-EVOLVED
@@ -803,7 +984,8 @@ object ManifestCommit {
       keyCols: Seq[String], partitionCols: Seq[String],
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 17, hllCols: Seq[String] = Nil,
-      hllLgK: Int = 12): Snapshot = {
+      hllLgK: Int = 12, kmvCols: Seq[String] = Nil,
+      kmvK: Int = 256): Snapshot = {
     // pin the version the merge reads: a commit interleaving with the
     // rewrite must fail the publish, not lose its touched partitions
     val base = currentSnapshot(spark, path).getOrElse(
@@ -827,7 +1009,7 @@ object ManifestCommit {
     overwriteViaManifest(spark, path, partitionCols, statCols = statCols,
       bloomCols = bloomCols, bloomBits = bloomBits,
       baseVersion = Some(base.version), hllCols = hllCols,
-      hllLgK = hllLgK) { txnDir =>
+      hllLgK = hllLgK, kmvCols = kmvCols, kmvK = kmvK) { txnDir =>
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)
         .parquet(txnDir)
@@ -847,7 +1029,8 @@ object ManifestCommit {
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 17, hllCols: Seq[String] = Nil,
-      hllLgK: Int = 12): Snapshot = {
+      hllLgK: Int = 12, kmvCols: Seq[String] = Nil,
+      kmvK: Int = 256): Snapshot = {
     // pin the compacted version: replaceAll over a stale read would
     // silently drop any commit that interleaved with the rewrite
     val base = currentSnapshot(spark, path).getOrElse(
@@ -857,7 +1040,8 @@ object ManifestCommit {
     overwriteViaManifest(spark, path, partitionCols, replaceAll = true,
         statCols = statCols, bloomCols = bloomCols,
         bloomBits = bloomBits, baseVersion = Some(base.version),
-        hllCols = hllCols, hllLgK = hllLgK) { txn =>
+        hllCols = hllCols, hllLgK = hllLgK, kmvCols = kmvCols,
+        kmvK = kmvK) { txn =>
       current.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
@@ -916,6 +1100,8 @@ object ManifestCommit {
       .filter { case ((txn, rel, _), _) => live(txn, rel) }
     val oldHlls = hllsAt(spark, path, before.version)
       .filter { case ((txn, rel, _), _) => live(txn, rel) }
+    val oldKmvs = kmvsAt(spark, path, before.version)
+      .filter { case ((txn, rel, _), _) => live(txn, rel) }
     // per-partition OLD file inventory (fs listing only — no reads):
     // completeness gate for the folds
     val oldFilesByPart: Map[String, Seq[String]] = before.entries.toSeq
@@ -971,6 +1157,7 @@ object ManifestCommit {
     val statLines = scala.collection.mutable.ArrayBuffer.empty[FileStat]
     val bloomLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val hllLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val kmvLines = scala.collection.mutable.ArrayBuffer.empty[String]
     newFilesByPart.toSeq.sortBy(_._1).foreach { case (part, newFiles) =>
       val olds = oldFilesByPart.getOrElse(part, Nil)
       if (olds.nonEmpty) {
@@ -1037,6 +1224,21 @@ object ManifestCommit {
               hllLines += s"$newTxn\t$nf\t$c\t${lgs.head}\t$b64")
           }
         }
+        // KMV folds like HLL: bottom-k union is idempotent, so the
+        // PARTITION-union sketch on every new file keeps the table-level
+        // merge exact whether the partition stayed whole or cap-split
+        val partKmvs = oldKmvs.toSeq
+          .filter { case ((_, rel, _), _) => partOf(rel) == part }
+        partKmvs.groupBy(_._1._3).foreach { case (c, ks) =>
+          val kparams = ks.map(_._2._1).distinct
+          if (ks.map(_._1._2).toSet == olds.toSet && kparams.size == 1) {
+            val k = kparams.head
+            val merged = ks.flatMap(_._2._2).distinct.sorted.take(k)
+              .map(java.lang.Long.toHexString).mkString(",")
+            newFiles.foreach(nf =>
+              kmvLines += s"$newTxn\t$nf\t$c\t$k\t$merged")
+          }
+        }
       }
     }
     // same tmp + rename-without-overwrite publish as the built sidecars
@@ -1055,6 +1257,7 @@ object ManifestCommit {
         .toSeq)
     publishLines(bloomPath(root, next.version), bloomLines.toSeq)
     publishLines(hllPath(root, next.version), hllLines.toSeq)
+    publishLines(kmvPath(root, next.version), kmvLines.toSeq)
     next
   }
 
@@ -1106,10 +1309,10 @@ object ManifestCommit {
       fs.listStatus(mdir).map(_.getPath.getName)
         .filter(n => !n.startsWith(".") &&
           (n.endsWith(StatsSuffix) || n.endsWith(BloomSuffix) ||
-            n.endsWith(HllSuffix)))
+            n.endsWith(HllSuffix) || n.endsWith(KmvSuffix)))
         .foreach { n =>
           val v = n.stripSuffix(StatsSuffix).stripSuffix(BloomSuffix)
-            .stripSuffix(HllSuffix).toLong
+            .stripSuffix(HllSuffix).stripSuffix(KmvSuffix).toLong
           if (v < horizon && !retainedSet.contains(v)) {
             val p = new Path(mdir, n)
             val in = fs.open(p)

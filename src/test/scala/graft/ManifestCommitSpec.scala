@@ -397,6 +397,71 @@ class ManifestCommitSpec extends GraftSpec {
       "an uncovered live file must fail coverage, not guess")
   }
 
+  test("KMV sidecar: merged sketch == single-pass bottom-k; overlap == the data-path set algebra") {
+    import graft.expressions.PortableHash
+    val outA = Files.createTempDirectory("mfc-kmv-a").toString + "/t"
+    val outB = Files.createTempDirectory("mfc-kmv-b").toString + "/t"
+    // overlapping key sets: A = 0..399, B = 200..599, interleaved files
+    def write(out: String, lo: Int, hi: Int) =
+      ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+        replaceAll = true, kmvCols = Seq("k"), kmvK = 64) { txn =>
+        spark.range(lo, hi)
+          .select(col("id").as("k"), (col("id") % 3).cast("int").as("p"))
+          .write.option("maxRecordsPerFile", 40).partitionBy("p").parquet(txn)
+      }
+    write(outA, 0, 400)
+    write(outB, 200, 600)
+    // merged sidecar sketch must equal the single-pass bottom-k over the
+    // full column — bottom-k union is exact, no order canonicalization
+    val (k, hs) = ManifestCommit.kmvSketchManifested(spark, outA, "k").get
+    val direct = spark.range(0, 400)
+      .select(PortableHash.md5Hash60(col("id").cast("string")).as("h"))
+      .distinct().orderBy("h").limit(64)
+      .collect().map(_.getLong(0))
+    assert(k == 64 && hs.toSeq == direct.toSeq)
+    // metadata overlap == the data-path kmvSetAlgebra on the same keys
+    val (eu, ei, rho, kk) = ManifestCommit.overlapKmvManifested(
+      spark, outA, "k", outB, "k").get
+    val alg = graft.operators.Sketches.kmvSetAlgebra(
+      spark.range(0, 400).select(col("id").as("k")),
+      spark.range(200, 600).select(col("id").as("k")), "k", 64)
+      .head
+    assert(math.abs(alg.getDouble(0) - (math.rint(eu * 10000) / 10000)) < 1e-9 ||
+      math.abs(alg.getDouble(0) - eu) < 1e-4)
+    assert(math.abs(alg.getDouble(1) - ei) < 1e-4)
+    assert(alg.getLong(2) == rho && alg.getLong(3) == kk)
+    // below-k case is EXACT: 30 distinct keys, k = 64
+    val outC = Files.createTempDirectory("mfc-kmv-c").toString + "/t"
+    ManifestCommit.overwriteViaManifest(spark, outC, Nil,
+      replaceAll = true, kmvCols = Seq("k"), kmvK = 64) { txn =>
+      spark.range(0, 30).select(col("id").as("k")).write.parquet(txn)
+    }
+    assert(ManifestCommit.distinctKmvManifested(spark, outC, "k").contains(30.0))
+  }
+
+  test("derived compaction folds KMV sidecars; vacuum retires .kmv with its manifest") {
+    val out = Files.createTempDirectory("mfc-kmv-d").toString + "/t"
+    val base = spark.range(0, 300)
+      .select((col("id") % 120).as("k"), (col("id") % 4).cast("int").as("p"))
+    ManifestCommit.overwriteViaManifest(spark, out, Seq("p"),
+      replaceAll = true, kmvCols = Seq("k"), kmvK = 64) { txn =>
+      base.write.option("maxRecordsPerFile", 30).partitionBy("p").parquet(txn)
+    }
+    ManifestCommit.upsertManifested(spark, out,
+      base.where(col("p") === 2), Seq("k"), Seq("p"), kmvCols = Seq("k"),
+      kmvK = 64)
+    val before = ManifestCommit.distinctKmvManifested(spark, out, "k")
+    assert(before.isDefined)
+    ManifestCommit.compactManifestedDerived(spark, out, Seq("p"))
+    assert(ManifestCommit.distinctKmvManifested(spark, out, "k") == before,
+      "folded kmv sidecars must keep serving the estimate")
+    ManifestCommit.vacuum(spark, out, minAgeMs = -10000, keepManifests = 1)
+    val kmvs = new java.io.File(s"$out/_manifests").listFiles()
+      .map(_.getName).filter(_.endsWith(".kmv"))
+    assert(kmvs.length == 1, s"exactly the folded sidecar survives: ${kmvs.toSeq}")
+    assert(ManifestCommit.distinctKmvManifested(spark, out, "k") == before)
+  }
+
   test("derived compaction folds HLL sidecars: distinct served without rescan, vacuum retires them") {
     val out = Files.createTempDirectory("mfc-hll3").toString + "/t"
     val base = spark.range(0, 400)
