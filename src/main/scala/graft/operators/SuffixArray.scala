@@ -60,6 +60,8 @@ object SuffixArray {
       else spark.sessionState.conf.numShufflePartitions
     val toks = tokens(docs, idCol, textCol).localCheckpoint()
     val nPos = toks.count()
+    if (nPos == 0L) // empty corpus: the max(rank) early-exit probe has no row
+      return toks.select(col("doc"), col("off"), lit(0L).as("rank")).limit(0)
     // round 0: rank = dense rank of the word itself. The vocabulary is
     // corpus-bounded but not driver-bounded: rank it distributed
     // (sortBy + zipWithIndex over DISTINCT words — one exchange of the

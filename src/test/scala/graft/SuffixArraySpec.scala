@@ -99,6 +99,12 @@ class SuffixArraySpec extends GraftSpec {
     assert(sa.exists(_._3 > 0), "fixture must actually excise something")
   }
 
+  test("empty corpus: rank table is empty, dedup returns no rows, no NPE") {
+    val empty = fixture.toDF("doc_id", "text").limit(0)
+    assert(SuffixArray.rankPrefixes(empty, depth = 8, partitions = 4).count() == 0L)
+    assert(SuffixArray.exactSubstrDedup(empty, depth = 8).count() == 0L)
+  }
+
   test("early exit: an all-unique corpus resolves at the word round (depth irrelevant)") {
     val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val got = SuffixArray.rankPrefixes(docs, depth = 8, partitions = 4)

@@ -130,6 +130,14 @@ class TarShardsSpec extends GraftSpec {
     assert(png5.take(4).toSeq == Seq[Byte](0x50, 0x4e, 0x47, 0))
   }
 
+  test("empty corpus exports zero shards and returns 0 (no matchless-glob throw)") {
+    val dir = Files.createTempDirectory("tarshards-z").toString
+    val n = TarShards.exportTarShards(docsFixture.limit(0), dir, 4, "tar1")
+    assert(n == 0L)
+    assert(new java.io.File(dir).listFiles() == null ||
+      new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".tar")))
+  }
+
   test("more shards than documents: empty shards write no file, samples intact") {
     val dir = Files.createTempDirectory("tarshards-e").toString
     val two = docsFixture.where(col("doc_id") <= 2)
