@@ -679,4 +679,65 @@ object EventsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming WebDataset ingestion — the multimodal LANDING-ZONE
+    * pattern: training shards arrive as tar files; each scheduled
+    * `Trigger.AvailableNow` run picks up only the shards landed since
+    * the last run ([[graft.sources.TarShards.membersStream]]'s
+    * file-source checkpoint), reassembles samples from the json/txt
+    * member pairs executor-side, and appends them — tagged with the
+    * micro-batch id — to the ingested table. Exactly-once per shard:
+    * a re-processed shard would duplicate its samples AND shift
+    * batch ids, which the q478 oracle hash turns into a loud failure.
+    *
+    * Each `waves(i)` is exported as tar shards ([[graft.sources.TarShards
+    * .exportTarShards]]) and landed under a wave-unique prefix (the file
+    * tracker keys by path); one AvailableNow run per wave against ONE
+    * shared checkpoint, so run i is exactly micro-batch i. */
+  def tarShardIngestDemo(spark: SparkSession, waves: Seq[DataFrame],
+      nShards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-tar-ingest")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    waves.zipWithIndex.foreach { case (docs, i) =>
+      val stage = root.resolve(s"stage_$i").toString
+      graft.sources.TarShards.exportTarShards(docs, stage, nShards, salt)
+      // an empty wave exports no shards and never creates the stage dir
+      Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            landing.resolve(s"wave$i-${f.getName}"))
+        }
+      val q = graft.sources.TarShards.membersStream(spark, landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: Dataset[graft.sources.TarMember], batchId: Long) =>
+            val mem = batch.toDF()
+            val txt = mem.where(col("member").endsWith(".txt"))
+              .select(expr("CAST(substring(member, 1, 9) AS BIGINT)")
+                .as("doc_id"),
+                decode(col("content"), "UTF-8").as("text"))
+            val meta = mem.where(col("member").endsWith(".json"))
+              .select(from_json(decode(col("content"), "UTF-8"),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"))
+                .as("m"))
+              .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+                col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+            txt.join(meta, Seq("doc_id"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
 }

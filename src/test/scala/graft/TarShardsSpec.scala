@@ -138,6 +138,23 @@ class TarShardsSpec extends GraftSpec {
       new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".tar")))
   }
 
+  test("streaming ingest: each shard exactly once; an empty wave adds nothing") {
+    // three waves against ONE checkpoint: evens, odds, then nothing new.
+    // exactly-once = no duplicate doc_ids; the empty third run must not
+    // re-process the landed shards.
+    val docs = docsFixture
+    val got = graft.streaming.EventsStream.tarShardIngestDemo(spark,
+      Seq(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        docs.limit(0)),
+      nShards = 2, salt = "tar1")
+    val rows = got.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id"))).toSeq
+    assert(rows.size == 6, s"every doc exactly once, got ${rows.size}")
+    assert(rows.toMap.forall { case (id, b) => b == id % 2 },
+      "wave membership must land as the batch id")
+  }
+
   test("more shards than documents: empty shards write no file, samples intact") {
     val dir = Files.createTempDirectory("tarshards-e").toString
     val two = docsFixture.where(col("doc_id") <= 2)
