@@ -77,11 +77,16 @@ object SuffixArray {
       .select(col("doc"), col("off"), col("r").as("rank"))
       .localCheckpoint()
     var k = 1L
-    while (k < depth && !allDistinct(ranked, nPos)) {
+    // one probe on the word round; every later round gets its group
+    // count for free from the dense-rank driver stitch — no extra action
+    var distinct = allDistinct(ranked, nPos)
+    while (k < depth && !distinct) {
       // pair each position's rank with the rank k positions ahead in the
       // SAME document; -1 = past the end, sorting before every real rank
-      ranked = denseRankPairs(shiftRanks(ranked, k.toInt, nParts), nParts)
-        .localCheckpoint()
+      val (df, groups) =
+        denseRankPairsCounted(shiftRanks(ranked, k.toInt, nParts), nParts)
+      ranked = df.localCheckpoint()
+      distinct = groups == nPos
       k *= 2
     }
     ranked
@@ -164,8 +169,14 @@ object SuffixArray {
     * span partition boundaries, and a map-side assignment pass keyed by
     * the RDD's own split index. Input: (doc, off, r1, r2); output:
     * (doc, off, rank). */
-  private[graft] def denseRankPairs(df: DataFrame,
-      nParts: Int): DataFrame = {
+  private[graft] def denseRankPairs(df: DataFrame, nParts: Int): DataFrame =
+    denseRankPairsCounted(df, nParts)._1
+
+  /** [[denseRankPairs]] plus the TOTAL group count the driver stitch
+    * derives anyway — the early-exit signal (all ranks distinct) with
+    * zero additional jobs. */
+  private[graft] def denseRankPairsCounted(df: DataFrame,
+      nParts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(nParts, col("r1"), col("r2"))
       .sortWithinPartitions(col("r1"), col("r2"))
@@ -217,7 +228,7 @@ object SuffixArray {
         Row(r.getLong(iDoc), r.getLong(iOff), base + local)
       }
     }
-    spark.createDataFrame(out, outSchema)
+    (spark.createDataFrame(out, outSchema), cum)
   }
 
   /** Every exact duplicated `depth`-word window in the corpus:
