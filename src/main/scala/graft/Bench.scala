@@ -76,6 +76,24 @@ object Bench {
     val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outFile,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // bench_out.json is overwritten by every run and the driver's
+    // BENCH_r{N}.json keeps only a stdout tail — ALSO persist the full
+    // payload to a per-round file so per-query samples survive for
+    // regression tooling. Round = SPARK_GRAFT_ROUND, else inferred as
+    // (max round with a driver artifact) + 1 — the driver writes
+    // CORRECTNESS_r{N}/BENCH_r{N} AFTER the round's benches run.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+      val re = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
+      val here = new java.io.File(".").listFiles()
+      Option(here).map(_.flatMap(f =>
+          re.findFirstMatchIn(f.getName).map(_.group(1).toInt)))
+        .filter(_.nonEmpty).map(rs => (rs.max + 1).toString)
+    }
+    round.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_samples_r$r.json").toAbsolutePath,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sampling":"round-robin","samples_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()

@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *   graft.sources.Acquisition.)
   */
 object CpcMain {
+  /** Gate contract (BASELINE.md): every main defaults to local[32],
+    * overridable via SPARK_MASTER / SPARK_GRAFT_CPUS. */
+  def defaultMaster: String =
+    sys.env.getOrElse("SPARK_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CpcMain <dataDir> <outDir> [--version V] [--force]")
     val dataDir = args(0); val outDir = args(1)
@@ -29,7 +35,7 @@ object CpcMain {
         vs.max
       }
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .master(defaultMaster)
       .appName("cpc-etl")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

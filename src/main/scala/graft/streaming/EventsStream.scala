@@ -719,8 +719,8 @@ object EventsStream {
           (batch: Dataset[graft.sources.TarMember], batchId: Long) =>
             val mem = batch.toDF()
             val txt = mem.where(col("member").endsWith(".txt"))
-              .select(expr("CAST(substring(member, 1, 9) AS BIGINT)")
-                .as("doc_id"),
+              .select(regexp_extract(col("member"), "^(\\d+)\\.", 1)
+                .cast("long").as("doc_id"),
                 decode(col("content"), "UTF-8").as("text"))
             val meta = mem.where(col("member").endsWith(".json"))
               .select(from_json(decode(col("content"), "UTF-8"),

@@ -6,6 +6,9 @@ import java.nio.file.Files
   * `sbt "Test/runMain graft.CpcMainDrive"`. */
 object CpcMainDrive {
   def main(args: Array[String]): Unit = {
+    if (!sys.env.contains("SPARK_MASTER") && !sys.env.contains("SPARK_GRAFT_CPUS"))
+      assert(CpcMain.defaultMaster == "local[32]",
+        s"gate contract: CpcMain must default to local[32], got ${CpcMain.defaultMaster}")
     val dir = CpcFixtures.dataDir()
     val out = Files.createTempDirectory("cpc-cli-out")
     CpcMain.main(Array(dir.toString, out.toString))
