@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Relational.all ++ PipelineQueries.all ++ CpcInline.all ++ Advanced.all ++ SqlSurface.all
+    Relational.all ++ PipelineQueries.all ++ CpcInline.all ++ Advanced.all ++
+      SqlSurface.all ++ WebIngest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 6-table star join with broadcast dims (q05). */

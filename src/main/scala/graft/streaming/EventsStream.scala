@@ -740,4 +740,54 @@ object EventsStream {
     }
     spark.read.parquet(out)
   }
+
+  /** Streaming WARC ingestion — [[tarShardIngestDemo]]'s landing-zone
+    * pattern on the web-crawl format: each wave is exported as WARC
+    * shards ([[graft.sources.WarcSource.exportWarc]]), landed under a
+    * wave-unique prefix, and one `Trigger.AvailableNow` run per wave
+    * against ONE shared checkpoint ingests exactly the newly-landed
+    * shards (run i = micro-batch i). Response records are unwrapped to
+    * (doc_id from the target URI, HTTP body) rows executor-side and
+    * appended with the micro-batch id. */
+  def warcIngestDemo(spark: SparkSession, waves: Seq[DataFrame],
+      nShards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-warc-ingest")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    waves.zipWithIndex.foreach { case (docs, i) =>
+      val stage = root.resolve(s"stage_$i").toString
+      graft.sources.WarcSource.exportWarc(docs, stage, nShards, salt)
+      Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            landing.resolve(s"wave$i-${f.getName}"))
+        }
+      val q = graft.sources.WarcSource.recordsStream(spark, landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: Dataset[graft.sources.WarcRecord], batchId: Long) =>
+            import batch.sparkSession.implicits._
+            batch.filter(_.warcType == "response")
+              .map { r =>
+                val (_, body) = graft.sources.WarcSource.httpParts(r.payload)
+                (r.targetUri.split("/doc/")(1).toLong,
+                  new String(body, java.nio.charset.StandardCharsets.UTF_8))
+              }
+              .toDF("doc_id", "body")
+              .withColumn("n_bytes", length(col("body")).cast("long"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-page tests for [[graft.operators.HtmlExtract]] and framing /
+  * determinism tests for [[graft.sources.WarcSource]] — the web-crawl
+  * ingestion tier (round 18). The q480-q483 rows prove the corpus-scale
+  * oracle match; these pin the RULES on hand-planted HTML and the WARC
+  * container's byte-level contracts. */
+class WebIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def extractOne(html: String): (String, Long, Long) = {
+    val df = graft.operators.HtmlExtract.extract(
+      Seq((1L, html)).toDF("id", "html"), "html")
+    val r = df.select("text", "n_blocks", "n_boiler").head()
+    (r.getString(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("script/style/noscript/comment subtrees and <head> are stripped wholesale") {
+    val (text, _, _) = extractOne(
+      "<html><head><title>T</title><style>p{}</style></head><body>" +
+        "<script>var leak = 'script text must never surface';</script>" +
+        "<!-- comment text must never surface -->" +
+        "<noscript>noscript text must never surface</noscript>" +
+        "<p>this is the one real paragraph with more than ten words in it</p>" +
+        "</body></html>")
+    assert(text == "this is the one real paragraph with more than ten words in it")
+  }
+
+  test("word gate: short blocks drop, long blocks keep, counts are exact") {
+    val (text, nBlocks, nBoiler) = extractOne(
+      "<div>too short</div>" +
+        "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa</p>" +
+        "<div>Copyright 2026 Example Corp</div>")
+    assert(text == "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert(nBlocks == 1L && nBoiler == 2L)
+  }
+
+  test("link density: a 24-word all-link block drops despite passing the word gate") {
+    val related = (1 to 12)
+      .map(i => s"""<a href="/r$i">related item</a>""").mkString(" ")
+    val (text, _, nBoiler) = extractOne(
+      s"""<div class="related">$related</div>""" +
+        "<p>one two three four five six seven eight nine ten eleven</p>")
+    assert(text == "one two three four five six seven eight nine ten eleven")
+    assert(nBoiler == 1L)
+  }
+
+  test("mixed block keeps: link words count toward text but density stays under 1/3") {
+    val (text, nBlocks, _) = extractOne(
+      "<p>read the full analysis of the quarterly numbers at " +
+        """<a href="/report">annual report</a> before the meeting</p>""")
+    assert(text == "read the full analysis of the quarterly numbers at " +
+      "annual report before the meeting")
+    assert(nBlocks == 1L)
+  }
+
+  test("entities decode AFTER tag stripping; &amp; decodes last") {
+    val (text, _, _) = extractOne(
+      "<p>tips &amp; tricks for &lt;html&gt; parsing &amp;lt;escaped&amp;gt; " +
+        "entities in this ten word paragraph body</p>")
+    assert(text == "tips & tricks for <html> parsing &lt;escaped&gt; " +
+      "entities in this ten word paragraph body")
+  }
+
+  test("empty and all-boilerplate pages extract to empty text") {
+    assert(extractOne("")._1 == "")
+    val (text, nBlocks, _) = extractOne(
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><div>tiny</div>")
+    assert(text == "" && nBlocks == 0L)
+  }
+
+  test("warc export is deterministic: two exports are byte-identical, gz and plain") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    for (gz <- Seq(false, true)) {
+      val d1 = java.nio.file.Files.createTempDirectory("warc-det1").toString
+      val d2 = java.nio.file.Files.createTempDirectory("warc-det2").toString
+      graft.sources.WarcSource.exportWarc(docs, d1, 2, "s", gzip = gz)
+      graft.sources.WarcSource.exportWarc(docs, d2, 2, "s", gzip = gz)
+      val ext = if (gz) ".warc.gz" else ".warc"
+      for (f <- new java.io.File(d1).list().sorted
+           if f.startsWith("shard-")) { // skip hadoop .crc sidecars
+        assert(f.endsWith(ext))
+        val b1 = java.nio.file.Files.readAllBytes(new java.io.File(d1, f).toPath)
+        val b2 = java.nio.file.Files.readAllBytes(new java.io.File(d2, f).toPath)
+        assert(java.util.Arrays.equals(b1, b2), s"$f differs between exports")
+      }
+    }
+  }
+
+  test("warc roundtrip: records carry pinned headers and exact body bytes") {
+    val docs = Seq((7L, "the quick brown fox"), (8L, "jumps over"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("warc-rt").toString
+    val n = graft.sources.WarcSource.exportWarc(docs, dir, 1, "rt", gzip = true)
+    assert(n == 2L)
+    val recs = graft.sources.WarcSource.records(spark, dir).collect()
+      .sortBy(_.recordIdx)
+    assert(recs.length == 3)
+    assert(recs(0).warcType == "warcinfo")
+    val resp = recs.filter(_.warcType == "response")
+    assert(resp.forall(_.date == "1970-01-01T00:00:00Z"))
+    assert(resp.forall(_.recordId.startsWith("<urn:uuid:")))
+    val bodies = resp.map { r =>
+      val (status, body) = graft.sources.WarcSource.httpParts(r.payload)
+      assert(status == "HTTP/1.1 200 OK")
+      r.targetUri.split("/doc/")(1).toLong ->
+        new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    }.toMap
+    assert(bodies == Map(7L -> "the quick brown fox", 8L -> "jumps over"))
+  }
+
+  test("warc reader is strict: corrupt framing throws with file+offset") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-bad")
+    val good = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nBODY\r\n\r\n"
+    // truncate the record boundary
+    java.nio.file.Files.write(dir.resolve("shard-00000.warc"),
+      good.dropRight(2).getBytes("US-ASCII"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.WarcSource.records(spark, dir.toString).collect()
+    }
+    assert(ex.getMessage.contains("overruns") ||
+      ex.getMessage.contains("boundary"))
+    // missing Content-Length
+    java.nio.file.Files.write(dir.resolve("shard-00000.warc"),
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\nBODY\r\n\r\n".getBytes("US-ASCII"))
+    val ex2 = intercept[org.apache.spark.SparkException] {
+      graft.sources.WarcSource.records(spark, dir.toString).collect()
+    }
+    assert(ex2.getMessage.contains("Content-Length"))
+  }
+
+  test("export rejects null body cells up front") {
+    val docs = Seq((1L, "ok"), (2L, null)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("warc-null").toString
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.WarcSource.exportWarc(docs, dir, 1, "s")
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
+  test("extraction plan is one shuffle-free projection over the scan") {
+    val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    val plan = graft.operators.HtmlExtract.extract(pages, "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
+  }
+}
