@@ -164,6 +164,61 @@ object WebIngest {
       },
       Some("""SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
              |  text AS body, CAST(doc_id % 2 AS BIGINT) AS batch_id
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- paragraph-granularity dedup (the CCNet/NewsPlease habit:
+    // paragraph level BEFORE document level): every doc gets a shared
+    // header + footer, docs with doc_id % 5 == 0 a shared promo, and
+    // the text as 17-word paragraphs; cross-doc repeated paragraphs
+    // must survive only at their global first (doc_id, idx) occurrence
+    // and docs reassemble in original order. The oracle REPLAYS the
+    // whole computation (paragraph build, global winner, excision,
+    // reassembly) rather than assuming which paragraphs collide — so
+    // natural chunk collisions are covered too, and a wrong winner
+    // rule, lost paragraph, or misordered reassembly hash-fails.
+    Q("q484_paragraph_dedup",
+      (s, d) => {
+        val header = "Subscribe to our newsletter for updates today"
+        val promo = "Limited time offer visit our store now"
+        val footer = "All rights reserved contact us for details"
+        val words = split(col("text"), " ")
+        val nChunks = ceil(size(words).cast("double") / 17).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * 17 + 1, lit(17)), " "))
+        val ps = concat(
+          array(lit(header)), chunks,
+          when(col("doc_id") % 5 === 0, array(lit(promo)))
+            .otherwise(typedLit(Seq.empty[String])),
+          array(lit(footer)))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), array_join(ps, "\n").as("text"))
+        graft.operators.Dedup.paragraphDedup(docs)
+          .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+            col("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |par AS (SELECT doc_id,
+             |    ['Subscribe to our newsletter for updates today'] ||
+             |    [array_to_string(w[(i*17+1):(i*17+17)], ' ')
+             |      for i in range(0, CAST(ceil(len(w)/17.0) AS INT))] ||
+             |    (CASE WHEN doc_id % 5 = 0
+             |      THEN ['Limited time offer visit our store now']
+             |      ELSE [] END) ||
+             |    ['All rights reserved contact us for details'] AS ps
+             |  FROM d),
+             |x AS (SELECT doc_id, unnest([{'idx': i, 'para': ps[i+1]}
+             |        for i in range(0, len(ps))], recursive := true) FROM par),
+             |win AS (SELECT para, min(doc_id*1000 + idx) AS wkey FROM x GROUP BY para),
+             |k AS (SELECT x.doc_id, x.idx, x.para,
+             |        (x.doc_id*1000 + x.idx = wkey) AS keep
+             |      FROM x JOIN win USING (para))
+             |SELECT doc_id,
+             |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+             |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+             |  coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE keep),
+             |    chr(10)), '') AS clean_text
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true)
   )
 }

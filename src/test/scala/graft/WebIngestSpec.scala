@@ -143,6 +143,32 @@ class WebIngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("null"))
   }
 
+  test("paragraph dedup: cross-doc repeats survive only at the global first occurrence") {
+    // doc 1: A B C;  doc 2: B D;  doc 3: C B E;  doc 4: only repeats
+    val A = "alpha paragraph content one"; val B = "shared banner text"
+    val C = "common footer line"; val D = "delta unique body"
+    val E = "epsilon unique body"
+    val docs = Seq(
+      (1L, s"$A\n$B\n$C"), (2L, s"$B\n$D"), (3L, s"$C\n$B\n$E"),
+      (4L, s"$B\n$C"), (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.paragraphDedup(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, s"$A\n$B\n$C", 3L, 0L))) // first occurrences keep
+    assert(out(1) == ((2L, D, 1L, 1L)))             // B excised
+    assert(out(2) == ((3L, E, 1L, 2L)))             // C and B excised
+    assert(out(3) == ((4L, "", 0L, 2L)))            // everything excised
+    assert(out(4) == ((5L, "", 0L, 0L)))            // empty doc still has a row
+  }
+
+  test("paragraph dedup keeps within-doc order and drops separator artifacts") {
+    val docs = Seq((1L, "z last\n\nfirst words\nz last again")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.paragraphDedup(docs).head()
+    // empty paragraph (double separator) is dropped silently, order kept
+    assert(out.getString(1) == "z last\nfirst words\nz last again")
+    assert(out.getLong(2) == 3L && out.getLong(3) == 0L)
+  }
+
   test("extraction plan is one shuffle-free projection over the scan") {
     val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     val plan = graft.operators.HtmlExtract.extract(pages, "html")
