@@ -199,7 +199,26 @@ object ManifestCommit {
       .map { case (rel, t) => s"$t\t$rel" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, next.version)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    // the claim must be atomic ACROSS PROCESSES. Hadoop's local rename is
+    // exists-then-renameTo — two JVMs can interleave between the check and
+    // the POSIX rename (which overwrites), losing the first commit. On
+    // file:// the claim is therefore link(2): hardlinking the tmp to the
+    // version name fails with EEXIST at the syscall level — no window.
+    // HDFS rename-without-overwrite is atomic at the NameNode; object
+    // stores use conditional PUT (If-None-Match) as documented above.
+    val claimed =
+      if ("file" == fs.getUri.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    if (!claimed) {
       fs.delete(tmp, false)
       throw new java.nio.file.FileAlreadyExistsException(target.toString,
         null, "concurrent commit won; re-run against the new snapshot")
