@@ -60,6 +60,24 @@ object Bench {
       run(names(i))
       times(i) :+= (System.nanoTime() - t0) / 1e9
     }
+    // single-thread CPU calibration: a fixed xorshift fold whose wall time
+    // tracks effective core speed (frequency scaling, hypervisor steal,
+    // noisy neighbors). Published in the JSON so round-over-round drift
+    // can be attributed to the BOX vs the ENGINE without a re-bench — the
+    // r17→r18 drift investigation needed exactly this and had to infer it
+    // from unchanged-code re-runs instead.
+    val calib = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) println("") // keep the fold observable
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass(); math.min(pass(), pass()) // JIT warm, min of 2
+    }
     val results = names.zip(times).map { case (n, ts) => n -> ts.toSeq }
     val qs = results.map { case (k, ts) => "\"" + k + f"""\":${ts.min}%.3f""" }
       .mkString("{", ",", "}")
@@ -68,7 +86,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","calib_sec":$calib%.3f,"sf":"$sfDir"}"""
     // The harness that records bench output keeps only a short stdout
     // TAIL, which truncates the full per-sample payload mid-line. So:
     // full payload goes to a FILE, and the LAST stdout line is a compact

@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * implicit); a suffix shorter than the comparison horizon extends with
   * a sentinel that sorts before every real word, so equal ranks mean
   * "equal depth-D prefixes, including equal early termination".
+  *
+  * DEPTH COST MODEL (measured at sf1, DESIGN.md round 18): depth is
+  * power-of-two by the doubling contract; Lee et al.'s ≥50-token
+  * production setting maps to depth=64. Cost grows in ROUNDS =
+  * log₂(depth), not in depth itself: shuffle volume 256→439 MB
+  * (×1.71) and ~9-10 extra jobs per extra round from depth 8→64 on the
+  * sf1 corpus, zero spill at every depth (rows never widen). Deeper
+  * windows simultaneously shrink downstream duplicate-span mass, so
+  * end-to-end [[exactSubstrDedup]] cost moves sub-linearly in rounds.
   */
 object SuffixArray {
 
