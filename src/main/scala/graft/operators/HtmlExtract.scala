@@ -136,6 +136,67 @@ object HtmlExtract {
   }
 
   // ---------------------------------------------------------------------
+  // Link graph extraction — the other thing a crawl pipeline reads off a
+  // page: the outbound edges (frontier discovery, link-graph analytics).
+  // ---------------------------------------------------------------------
+
+  /** `array<struct<url, anchor>>` of the page's anchors, hrefs
+    * absolutized against `baseUrl` (RFC 3986 simplified: absolute
+    * http(s) kept; `//host/...` gets the base scheme; `/path` gets the
+    * base origin; other relative paths resolve against the base
+    * directory; fragment-only and non-http(s)-scheme hrefs — mailto:,
+    * javascript: — are dropped). Pure column chain, per-row only. */
+  def links(html: Column, baseUrl: Column): Column = {
+    val anchors = regexp_extract_all(stripNoise(html),
+      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"),
+      lit(0))
+    val origin = regexp_extract(baseUrl, "^(https?://[^/?#]+)", 1)
+    val scheme = regexp_extract(baseUrl, "^(https?):", 1)
+    val baseDir = regexp_replace(
+      regexp_replace(baseUrl, "[?#].*$", ""), "[^/]*$", "")
+    val resolved = transform(anchors, a => {
+      val href = regexp_extract(a,
+        "(?is)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      val url = when(href.rlike("^https?://"), href)
+        .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(origin, href))
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || href.startsWith("#") ||
+          (href === ""), lit(null).cast("string"))
+        .otherwise(concat(baseDir, href))
+      struct(url.as("url"), cleanText(a).as("anchor"))
+    })
+    filter(resolved, l => l.getField("url").isNotNull)
+  }
+
+  /** Canonical URL for frontier/crawl dedup (the standard normalizer
+    * rule set): drop the fragment, lowercase scheme+host, strip default
+    * ports (:80 http, :443 https), strip trailing slashes off the path,
+    * drop tracking parameters (utm_*, fbclid, gclid, msclkid), sort the
+    * surviving query parameters. Path case is preserved (paths are
+    * case-sensitive; hosts are not). Non-absolute-http(s) inputs pass
+    * through with only trim + fragment-drop (nothing to normalize
+    * against). Dot-segment resolution is the absolutizer's job
+    * ([[links]]), not the canonicalizer's. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    val headLc = lower(head)
+    val headNorm = regexp_replace(
+      regexp_replace(headLc, "^(http://[^/?#:]+):80$", "$1"),
+      "^(https://[^/?#:]+):443$", "$1")
+    val rest = noFrag.substr(length(head) + 1, lit(1 << 24))
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    val query = when(noFrag.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)=") || (p === ""))))
+    val q = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(head === "", noFrag)
+      .otherwise(concat(headNorm, path, q))
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic synthetic page builder — the oracle-able test harness
   // for the extractor (the testdata corpus is parquet text, not crawl
   // HTML, so q-rows CONSTRUCT a page from each document and assert the
@@ -187,5 +248,25 @@ object HtmlExtract {
       paras,
       lit("<div id=\"footer\">Copyright 2026 Example Corp</div>" +
         "</body></html>"))
+  }
+
+  /** [[syntheticPage]] plus a deterministic OUTBOUND-LINK block: three
+    * anchors to docs `(id*7+k) % nDocs` (k = 1..3), one per
+    * absolutization rule — site-absolute `/doc/T`, protocol-relative
+    * `//example.org/doc/T`, fully absolute `https://example.org/doc/T`.
+    * The block is 6 words all inside anchors, so it drops under the
+    * density rule and leaves [[syntheticPage]]'s extraction expectation
+    * untouched — it exists for [[links]] (q485's crawl-graph row). */
+  def syntheticPageLinked(textCol: Column, idCol: Column,
+      nDocs: Long): Column = {
+    def t(k: Int) = pmod(idCol * 7 + k, lit(nDocs)).cast("string")
+    val outbound = concat(
+      lit("<div class=\"outbound\"><a href=\"/doc/"), t(1),
+      lit("\">reference link</a> <a href=\"//example.org/doc/"), t(2),
+      lit("\">further reading</a> <a href=\"https://example.org/doc/"), t(3),
+      lit("\">related article</a></div>"))
+    concat(
+      regexp_replace(syntheticPage(textCol), "</body></html>$", ""),
+      outbound, lit("</body></html>"))
   }
 }

@@ -219,6 +219,140 @@ object WebIngest {
              |  coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE keep),
              |    chr(10)), '') AS clean_text
              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- outbound link-graph extraction: each synthetic page carries
+    // three anchors to docs (id*7+k) % N, one per absolutization rule
+    // (site-absolute, protocol-relative, fully absolute); the nav /
+    // related / footer links don't match the /doc/ shape and must not
+    // leak into the edge list. The oracle states the analytic edge set
+    // with anchor texts, so absolutization, href parsing, and noise
+    // separation are all in the hash.
+    Q("q485_link_graph",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = docs.select(col("doc_id"),
+          graft.operators.HtmlExtract
+            .syntheticPageLinked(col("text"), col("doc_id"), n).as("html"),
+          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"))
+        pages.select(col("doc_id").as("src"),
+            explode(graft.operators.HtmlExtract
+              .links(col("html"), col("url"))).as("l"))
+          .select(col("src"), col("l.url").as("url"),
+            col("l.anchor").as("anchor"))
+          .where(col("url").rlike("^https://example\\.org/doc/\\d+$"))
+          .select(col("src"),
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"),
+            col("anchor"))
+          .orderBy("src", "dst", "anchor")
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*7 + k) % c AS dst,
+             |        CASE k WHEN 1 THEN 'reference link'
+             |               WHEN 2 THEN 'further reading'
+             |               ELSE 'related article' END AS anchor
+             |      FROM documents, n, (VALUES (1),(2),(3)) v(k))
+             |SELECT src, CAST(dst AS BIGINT) AS dst, anchor
+             |FROM e ORDER BY src, dst, anchor""".stripMargin)),
+
+    // ---- URL canonicalization (frontier/crawl dedup): a messy URL per
+    // doc (uppercase scheme+host, default :443 port, trailing slash,
+    // tracking params out of order, fragment) must normalize to the
+    // analytic canonical form, and docs sharing doc_id % 250 must
+    // collapse to the same canonical (the dedup the canonicalizer
+    // exists for). Path case must be PRESERVED (paths are
+    // case-sensitive) while the host lowercases — both in the hash.
+    Q("q486_url_canonicalize",
+      (s, d) => {
+        val messy = concat(lit("HTTPS://ExAmple.COM:443/Docs/Item/"),
+          (col("doc_id") % 250).cast("string"),
+          lit("/?utm_source=feed&b=2&fbclid=xyz&a=1#sec-"), col("doc_id"))
+        val canon = t(s, d, "documents")
+          .select(col("doc_id"), messy.as("url"))
+          .withColumn("canon",
+            graft.operators.HtmlExtract.canonicalizeUrl(col("url")))
+        canon.withColumn("n_dups",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("canon")).cast("long"))
+          .select(col("doc_id"), col("canon"), col("n_dups"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://example.com/Docs/Item/' || CAST(doc_id % 250 AS VARCHAR)
+             |    || '?a=1&b=2' AS canon,
+             |  CAST(count(*) OVER (PARTITION BY doc_id % 250) AS BIGINT) AS n_dups
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- pipeline v8: the COMPLETE crawl->training-data story in one
+    // declarative chain — synthetic pages -> WARC landing (gz) ->
+    // strict ingest -> HTML main-content extraction -> paragraph-level
+    // dedup (the shared fixed paragraph survives only in the globally
+    // first doc; chunks dedup by replay) -> min-paragraph gate ->
+    // global token-budget selection (ranged prefix sum) ->
+    // deterministic shard slots. One oracle hash covers every stage's
+    // semantics, composed from the q480/q484/q479 proven fragments.
+    Q("q487_pipeline_v8",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warcv8"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val pages = t(s, d, "documents").select(col("doc_id"),
+          graft.operators.HtmlExtract.syntheticPage(col("text")).as("html"))
+        graft.sources.WarcSource.exportWarc(pages, loc.toString,
+          nShards = 8, salt = "v8w", bodyCol = "html", gzip = true)
+        val landed = graft.sources.WarcSource
+          .responseBodies(s, loc.toString)
+          .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("body").as("html"))
+        val extracted = graft.operators.HtmlExtract.extract(landed, "html")
+        val deduped = graft.operators.Dedup
+          .paragraphDedup(extracted.select(col("doc_id"), col("text")))
+        val gated = deduped.where(col("n_kept") >= 2)
+          .select(col("doc_id"), col("clean_text").as("text"),
+            length(col("clean_text")).as("n_chars"))
+        val sel = graft.operators.TrainingPrep
+          .selectUnderBudget(gated, budgetTokens = 30000L)
+        val slots = graft.operators.TrainingPrep
+          .shardExport(sel.select("doc_id"), 8, "v8")
+        sel.join(slots, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH $ExtractOracleCte,
+             |pp AS (SELECT doc_id,
+             |    ['Editorial note: tips & tricks for <html> parsing in ten words']
+             |      || kept AS ps FROM k),
+             |x AS (SELECT doc_id, unnest([{'idx': i, 'para': ps[i+1]}
+             |        for i in range(0, len(ps))], recursive := true) FROM pp),
+             |win AS (SELECT para, min(doc_id*1000 + idx) AS wkey FROM x GROUP BY para),
+             |kk AS (SELECT x.doc_id, x.idx, x.para,
+             |        (x.doc_id*1000 + x.idx = wkey) AS keep
+             |      FROM x JOIN win USING (para)),
+             |cl AS (SELECT doc_id,
+             |        coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE keep),
+             |          chr(10)), '') AS text,
+             |        count(*) FILTER (WHERE keep) AS n_kept
+             |      FROM kk GROUP BY doc_id),
+             |g AS (SELECT doc_id, text, len(text) AS n_chars FROM cl WHERE n_kept >= 2),
+             |sel AS (SELECT doc_id, n_tok, cum_tok FROM (
+             |    SELECT doc_id,
+             |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |      CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |        ORDER BY n_chars DESC, doc_id
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |    FROM g)
+             |  WHERE cum_tok <= 30000),
+             |sl AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5('v8:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+             |  FROM sel)
+             |SELECT sel.doc_id AS doc_id, n_tok, cum_tok, key % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY key % 8
+             |    ORDER BY key, sel.doc_id) AS BIGINT) AS pos
+             |FROM sel JOIN sl ON sel.doc_id = sl.doc_id
+             |ORDER BY sel.doc_id""".stripMargin),
       bench = true)
   )
 }

@@ -169,6 +169,42 @@ class WebIngestSpec extends AnyFunSuite {
     assert(out.getLong(2) == 3L && out.getLong(3) == 0L)
   }
 
+  test("link extraction absolutizes per RFC rules and drops non-http anchors") {
+    val html = """<div><a href="https://other.net/x">abs</a>
+      |<a href="//example.org/pp">proto rel</a>
+      |<a href="/root1">site abs</a>
+      |<a href="sub/page.html">dir rel</a>
+      |<a href="#frag">frag only</a>
+      |<a href="mailto:a@b.c">mail</a>
+      |<a href="javascript:void(0)">js</a></div>""".stripMargin
+    val out = Seq((1L, html, "https://example.org/dir/base.html"))
+      .toDF("id", "html", "url")
+      .select(explode(graft.operators.HtmlExtract
+        .links(col("html"), col("url"))).as("l"))
+      .select("l.url", "l.anchor").as[(String, String)].collect().toMap
+    assert(out == Map(
+      "https://other.net/x" -> "abs",
+      "https://example.org/pp" -> "proto rel",
+      "https://example.org/root1" -> "site abs",
+      "https://example.org/dir/sub/page.html" -> "dir rel"))
+  }
+
+  test("url canonicalization: ports, case, params, fragments, slashes") {
+    val cases = Seq(
+      "HTTP://WWW.Site.COM:80/A/B/?z=1&utm_campaign=x&a=2#top" ->
+        "http://www.site.com/A/B?a=2&z=1",
+      "https://site.com:443/" -> "https://site.com",
+      "https://site.com/path/?fbclid=abc" -> "https://site.com/path",
+      "https://site.com/p?gclid=1&msclkid=2&utm_x=3" -> "https://site.com/p",
+      " https://site.com/x " -> "https://site.com/x",
+      "ftp://site.com/x#f" -> "ftp://site.com/x", // non-http passthrough
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.HtmlExtract.canonicalizeUrl(col("url")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("extraction plan is one shuffle-free projection over the scan") {
     val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     val plan = graft.operators.HtmlExtract.extract(pages, "html")
