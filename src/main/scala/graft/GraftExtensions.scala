@@ -85,5 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(graft.functions.CpcFunctions.getClass.getName, name),
         b))
     }
+    // web-crawl surface — SQL: html_main_text(html), canonical_url(url);
+    // same column compositions as graft.operators.HtmlExtract
+    graft.functions.WebFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.functions.WebFunctions.getClass.getName, name),
+        b))
+    }
   }
 }

@@ -353,6 +353,29 @@ object WebIngest {
              |    ORDER BY key, sel.doc_id) AS BIGINT) AS pos
              |FROM sel JOIN sl ON sel.doc_id = sl.doc_id
              |ORDER BY sel.doc_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- SQL-surface parity for the crawl tier: html_main_text /
+    // canonical_url registered as SQL functions (the cpc_section
+    // discipline — the SAME Column compositions adapted at resolution
+    // time, so the planned trees match the column route exactly). The
+    // query is pure SQL text over a temp view; the oracle is the q480
+    // analytic + the canonical form.
+    Q("q488_sql_crawl",
+      (s, d) => {
+        graft.functions.WebFunctions.register(s)
+        t(s, d, "documents").select(col("doc_id"),
+            graft.operators.HtmlExtract.syntheticPage(col("text")).as("html"),
+            concat(lit("HTTPS://ExAmple.ORG:443/doc/"), col("doc_id"),
+              lit("/?utm_k=v#f")).as("url"))
+          .createOrReplaceTempView("crawl_pages")
+        s.sql("""SELECT doc_id, html_main_text(html) AS text,
+                |  canonical_url(url) AS canon
+                |FROM crawl_pages ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""WITH $ExtractOracleCte
+             |SELECT doc_id, text,
+             |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS canon
+             |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

@@ -40,6 +40,14 @@ object ExtensionsDrive {
     assert(c.getString(0) == "A" && c.getString(1) == "A01" &&
       c.getString(2) == "A01B" && c.getString(3) == "A01B1/00" &&
       !c.getBoolean(4) && c.getString(5) == "A01")
+    val w = spark.sql(
+      """SELECT html_main_text('<nav><a href="/">Home</a></nav>' ||
+        |    '<p>ten real words of content sit in this one paragraph</p>') AS t,
+        |  canonical_url('HTTP://X.COM:80/A/?utm_s=1&b=2#f') AS u""".stripMargin)
+      .collect()(0)
+    println(s"== web surface via SQL: $w")
+    assert(w.getString(0) == "ten real words of content sit in this one paragraph")
+    assert(w.getString(1) == "http://x.com/A?b=2")
     println("== extensions drive: OK")
     spark.stop()
   }
