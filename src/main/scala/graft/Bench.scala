@@ -66,17 +66,60 @@ object Bench {
     // can be attributed to the BOX vs the ENGINE without a re-bench — the
     // r17→r18 drift investigation needed exactly this and had to infer it
     // from unchanged-code re-runs instead.
+    def xorshiftFold(seed: Long): Long = {
+      var x = seed; var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      x
+    }
+    val sink = new java.util.concurrent.atomic.LongAdder // observability
     val calib = {
       def pass(): Double = {
         val t0 = System.nanoTime()
-        var x = 0x9e3779b97f4a7c15L; var i = 0
-        while (i < 200000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-        }
-        if (x == 42L) println("") // keep the fold observable
+        sink.add(xorshiftFold(0x9e3779b97f4a7c15L))
         (System.nanoTime() - t0) / 1e9
       }
       pass(); math.min(pass(), pass()) // JIT warm, min of 2
+    }
+    // parallel twin: the same fold on one thread per configured core.
+    // On a healthy box mt ≈ st (independent cores); under hypervisor
+    // steal/throttle mt >> st — the r18 finding was a bench drift that
+    // single-thread calibration did NOT capture (st stable at ~0.42 s
+    // while the parallel suite ran 1.33× the pin), so both dimensions
+    // are published.
+    val calibMt = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (1 to cpus.toInt).map { i =>
+          new Thread(() => sink.add(xorshiftFold(0x9e3779b97f4a7c15L + i)))
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(pass(), pass())
+    }
+    // memory-bandwidth calibration (GB/s, all cores): xorshift is
+    // register-only and blind to co-tenant memory pressure, but Spark's
+    // scans/hash tables are bandwidth-bound — this is the instrument for
+    // "CPU calib healthy yet the suite is uniformly slow".
+    val calibMemGbps = {
+      val MB = 64
+      val arrays = (1 to cpus.toInt).map(_ => Array.fill(MB * 131072)(1L))
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val ts = arrays.map { a =>
+          new Thread(() => {
+            var s = 0L; var r = 0
+            while (r < 4) { var i = 0; while (i < a.length) { s += a(i); i += 1 }; r += 1 }
+            sink.add(s)
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        val secs = (System.nanoTime() - t0) / 1e9
+        cpus.toInt * MB.toDouble * 4 / 1024 / secs // GB swept / s
+      }
+      pass(); math.max(pass(), pass())
     }
     val results = names.zip(times).map { case (n, ts) => n -> ts.toSeq }
     val qs = results.map { case (k, ts) => "\"" + k + f"""\":${ts.min}%.3f""" }
@@ -86,7 +129,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","calib_sec":$calib%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sampling":"round-robin","calib_sec":$calib%.3f,"calib_mt_sec":$calibMt%.3f,"calib_mem_gbps":$calibMemGbps%.1f,"sf":"$sfDir"}"""
     // The harness that records bench output keeps only a short stdout
     // TAIL, which truncates the full per-sample payload mid-line. So:
     // full payload goes to a FILE, and the LAST stdout line is a compact
