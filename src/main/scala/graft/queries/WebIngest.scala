@@ -376,6 +376,63 @@ object WebIngest {
       Some(s"""WITH $ExtractOracleCte
              |SELECT doc_id, text,
              |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS canon
-             |FROM e ORDER BY doc_id""".stripMargin))
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ---- robots.txt politeness gate (RFC 9309): four hosts publish
+    // robots bodies (host-dependent rule sets), rules parse ONCE per
+    // host and broadcast-join to the per-doc URL stream, where the
+    // decision evaluates at scan speed. Paths cycle through the five
+    // planted cases: prefix disallow, longer-allow override
+    // (specificity), '$'-anchored wildcard match, '$' anchor REJECTING
+    // a longer suffix, and a host-dependent rule — group selection
+    // (specific token over the Disallow-everything '*' group),
+    // wildcard matching, anchoring, and specificity are all in the
+    // hash.
+    Q("q489_robots_gate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val robotsText = concat(
+          lit("# synthetic robots\nUser-agent: graftbot\n" +
+            "Disallow: /private/\nAllow: /private/open*\n" +
+            "Disallow: /tmp/*.bin$\n"),
+          when(col("host") % 2 === 0,
+            lit("Allow: /docs/\nDisallow: /docs/raw\n")).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /\n" +
+            "Sitemap: https://example.org/sitemap.xml\n"))
+        val hosts = docs.select((col("doc_id") % 4).as("host")).distinct()
+          .withColumn("rules",
+            graft.operators.Robots.parseRobots(robotsText))
+          .select("host", "rules")
+        val withPath = docs.select(col("doc_id"),
+          (col("doc_id") % 4).as("host"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/private/x"), col("doc_id")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/private/open/x"), col("doc_id")))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/tmp/f"), col("doc_id"), lit(".bin")))
+            .when(col("doc_id") % 5 === 3,
+              concat(lit("/tmp/f"), col("doc_id"), lit(".bind")))
+            .otherwise(concat(lit("/docs/raw/"), col("doc_id")))
+            .as("path"))
+        withPath.join(broadcast(hosts), Seq("host"))
+          .select(col("doc_id"), col("path"),
+            graft.operators.Robots.robotsAllows(col("rules"),
+              lit("graftbot/1.0 (+https://example.org/bot)"), col("path"))
+              .cast("long").as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 5
+             |    WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN '/private/open/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN '/tmp/f' || CAST(doc_id AS VARCHAR) || '.bin'
+             |    WHEN 3 THEN '/tmp/f' || CAST(doc_id AS VARCHAR) || '.bind'
+             |    ELSE '/docs/raw/' || CAST(doc_id AS VARCHAR) END AS path,
+             |  CAST(CASE doc_id % 5
+             |    WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN 1
+             |    ELSE CASE WHEN (doc_id % 4) % 2 = 1 THEN 1 ELSE 0 END
+             |  END AS BIGINT) AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -205,6 +205,53 @@ class WebIngestSpec extends AnyFunSuite {
     assert(got == cases.map(_._2))
   }
 
+  private def robotsCheck(robots: String, agent: String,
+      path: String): Boolean =
+    Seq((robots, agent, path)).toDF("r", "a", "p")
+      .select(graft.operators.Robots.robotsAllows(
+        graft.operators.Robots.parseRobots(col("r")), col("a"), col("p")))
+      .as[Boolean].head()
+
+  test("robots: group selection prefers the longest matching product token") {
+    val r = "User-agent: bot\nDisallow: /a\nUser-agent: graftbot\n" +
+      "Disallow: /b\nUser-agent: *\nDisallow: /"
+    // 'graftbot' (8) beats 'bot' (3) beats '*' for this UA
+    assert(robotsCheck(r, "GraftBot/2.0", "/a"))      // graftbot group: /a fine
+    assert(!robotsCheck(r, "GraftBot/2.0", "/b"))     // graftbot group: /b blocked
+    assert(!robotsCheck(r, "somebot", "/a"))          // 'bot' group: /a blocked
+    assert(!robotsCheck(r, "spider", "/anything"))    // '*' group: all blocked
+    assert(robotsCheck("", "any", "/x"))              // empty robots: allowed
+  }
+
+  test("robots: longest rule wins; allow wins length ties; empty disallow allows") {
+    val r = "User-agent: *\nDisallow: /shop\nAllow: /shop/sale\n"
+    assert(!robotsCheck(r, "bot", "/shop/item"))
+    assert(robotsCheck(r, "bot", "/shop/sale/item"))
+    val tie = "User-agent: *\nDisallow: /dir/\nAllow: /dir*\n" // both len 5... lengths 5 vs 5
+    assert(robotsCheck(tie, "bot", "/dir/x"))
+    assert(robotsCheck("User-agent: *\nDisallow:\n", "bot", "/x"))
+  }
+
+  test("robots: wildcard and end-anchor matching") {
+    val r = "User-agent: *\nDisallow: /*/private$\nDisallow: /dl/*.exe$\n" +
+      "Disallow: /mid*dle\n"
+    assert(!robotsCheck(r, "b", "/en/private"))        // * spans, $ at end
+    assert(robotsCheck(r, "b", "/en/private/page"))    // $ rejects longer path
+    assert(!robotsCheck(r, "b", "/dl/a.exe"))
+    assert(robotsCheck(r, "b", "/dl/a.exe.txt"))
+    assert(!robotsCheck(r, "b", "/midXXXdle/rest"))    // unanchored wildcard
+    assert(robotsCheck(r, "b", "/midXXX"))
+  }
+
+  test("robots: sitemaps are extracted group-independently") {
+    val r = "User-agent: *\nDisallow: /\nSitemap: https://a/s1.xml\n" +
+      "# c\nSITEMAP: https://a/s2.xml\n"
+    val got = Seq(r).toDF("r")
+      .select(graft.operators.Robots.sitemaps(col("r")))
+      .as[Seq[String]].head()
+    assert(got == Seq("https://a/s1.xml", "https://a/s2.xml"))
+  }
+
   test("extraction plan is one shuffle-free projection over the scan") {
     val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     val plan = graft.operators.HtmlExtract.extract(pages, "html")
