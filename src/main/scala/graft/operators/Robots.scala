@@ -64,6 +64,25 @@ object Robots {
     acc.getField("out")
   }
 
+  /** [[parseRobots]] evaluated once, returned as a LITERAL rules column
+    * — for a host-constant robots body consumed by a per-URL scan. An
+    * aggregate-HOF over `lit(txt)` is not constant-folded by Catalyst,
+    * so inlining the parse into the scan re-parses the file per row;
+    * this evaluates it a single time driver-side (one local job over
+    * one row) and embeds the result. Same parse implementation — one
+    * semantic, two call shapes. */
+  def rulesLiteral(spark: org.apache.spark.sql.SparkSession,
+      txt: String): Column = {
+    val rows = spark.range(1)
+      .select(parseRobots(lit(txt)).as("r"))
+      .selectExpr("inline(r)")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+    typedLit(rows)
+      .cast("array<struct<agent:string,pat:string,allow:boolean>>")
+  }
+
   /** `Sitemap:` URLs of a robots.txt body (group-independent per RFC). */
   def sitemaps(txt: Column): Column =
     filter(

@@ -433,6 +433,74 @@ object WebIngest {
              |    WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN 1
              |    ELSE CASE WHEN (doc_id % 4) % 2 = 1 THEN 1 ELSE 0 END
              |  END AS BIGINT) AS allowed
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- crawl frontier BFS: two expansion rounds from a seed set
+    // through the WHOLE politeness stack — pages' outbound anchors
+    // (q485's link structure) -> absolutize -> canonicalize ->
+    // robots-gate the TARGET URL (an anchored wildcard blocks ids
+    // ending in 0) -> dedup against the visited set. Output is every
+    // visited doc with its discovery depth; the oracle unrolls the two
+    // rounds analytically, so link extraction, the robots anchor rule,
+    // and the visited-set anti-joins are all in the hash.
+    Q("q490_crawl_frontier",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        // parse the (single, host-constant) robots body ONCE and embed
+        // the rules as a literal: an aggregate-HOF over a lit() is not
+        // constant-folded, so inlining parseRobots here would re-parse
+        // the file per edge row (measured: ~2x the whole query)
+        val rules = graft.operators.Robots.rulesLiteral(s,
+          "User-agent: *\nDisallow: /doc/*0$\n")
+        val edges = docs.select(col("doc_id").as("src"),
+            explode(graft.operators.HtmlExtract.links(
+              graft.operators.HtmlExtract
+                .syntheticPageLinked(col("text"), col("doc_id"), n),
+              concat(lit("https://example.org/doc/"), col("doc_id"))))
+              .as("l"))
+          .select(col("src"),
+            graft.operators.HtmlExtract.canonicalizeUrl(col("l.url"))
+              .as("url"))
+          .where(col("url").rlike("^https://example\\.org/doc/\\d+$"))
+          .where(graft.operators.Robots.robotsAllows(rules, lit("graftbot"),
+            regexp_extract(col("url"), "^https://example\\.org(/doc/\\d+)$", 1)))
+          .select(col("src"),
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"))
+          // the edge list feeds BOTH expansion rounds (and each round's
+          // anti-join): materialize the page-build + regex pass once
+          // instead of re-running it per join (the q98 localCheckpoint
+          // discipline — in a real crawl the edge list lands on disk)
+          .localCheckpoint()
+        val seeds = docs.where(col("doc_id") < 10)
+          .select(col("doc_id"))
+        def expand(frontier: org.apache.spark.sql.DataFrame) =
+          edges.join(frontier.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .select(col("dst").as("doc_id")).distinct()
+        val d1 = expand(seeds).join(seeds, Seq("doc_id"), "left_anti")
+        val visited1 = seeds.union(d1)
+        val d2 = expand(d1).join(visited1, Seq("doc_id"), "left_anti")
+        seeds.withColumn("depth", lit(0L))
+          .union(d1.withColumn("depth", lit(1L)))
+          .union(d2.withColumn("depth", lit(2L)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*7 + k) % c AS dst
+             |      FROM documents, n, (VALUES (1),(2),(3)) v(k)),
+             |ee AS (SELECT src, dst FROM e WHERE dst % 10 <> 0),
+             |s0 AS (SELECT doc_id FROM documents WHERE doc_id < 10),
+             |d1 AS (SELECT DISTINCT dst AS doc_id FROM ee
+             |       JOIN s0 ON ee.src = s0.doc_id
+             |       WHERE dst NOT IN (SELECT doc_id FROM s0)),
+             |d2 AS (SELECT DISTINCT dst AS doc_id FROM ee
+             |       JOIN d1 ON ee.src = d1.doc_id
+             |       WHERE dst NOT IN (SELECT doc_id FROM s0)
+             |         AND dst NOT IN (SELECT doc_id FROM d1))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM s0
+             |UNION ALL SELECT doc_id, 1 FROM d1
+             |UNION ALL SELECT doc_id, 2 FROM d2
+             |ORDER BY doc_id""".stripMargin))
   )
 }
