@@ -168,6 +168,25 @@ object HtmlExtract {
     filter(resolved, l => l.getField("url").isNotNull)
   }
 
+  /** `struct<title, description, lang, og_title>` page metadata — the
+    * crawl-enrichment fields consumed before/alongside extraction
+    * (title for display, description for retrieval snippets, the html
+    * lang attribute as the language-ID prior, og:title as the
+    * publisher's canonical title). Tag-attribute order is handled for
+    * the common name-then-content form; absent fields are ''. Pure
+    * column chain, per-row. */
+  def pageMeta(html: Column): Column = {
+    val title = cleanText(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+    def metaContent(name: String) = cleanText(regexp_extract(html,
+      "(?is)<meta\\s[^>]*(?:name|property)\\s*=\\s*[\"']" + name +
+        "[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+    val lang = trim(regexp_extract(html,
+      "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+    struct(title.as("title"), metaContent("description").as("description"),
+      lang.as("lang"), metaContent("og:title").as("og_title"))
+  }
+
   /** Canonical URL for frontier/crawl dedup (the standard normalizer
     * rule set): drop the fragment, lowercase scheme+host, strip default
     * ports (:80 http, :443 https), strip trailing slashes off the path,

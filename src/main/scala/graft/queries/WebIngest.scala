@@ -501,6 +501,67 @@ object WebIngest {
              |SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM s0
              |UNION ALL SELECT doc_id, 1 FROM d1
              |UNION ALL SELECT doc_id, 2 FROM d2
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- sitemap round trip: each host's URL inventory (loc carries a
+    // query string with '&' — entity escaping must round-trip) is built
+    // into a <urlset> body, parsed back with the sitemaps.org reader,
+    // and reassembled. The oracle states the analytic inventory, so
+    // the XML builder, the entry parser, entity escaping, and field
+    // extraction are all in the hash.
+    Q("q491_sitemap_roundtrip",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val urls = docs.select((col("doc_id") % 4).as("host"),
+          struct(
+            concat(lit("https://h"), col("doc_id") % 4,
+              lit(".example.org/doc/"), col("doc_id"),
+              lit("?a=1&b=2")).as("loc"),
+            concat(lit("2026-01-"),
+              lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+              .as("lastmod")).as("u"))
+        val xmls = urls.groupBy("host").agg(
+          graft.operators.Sitemaps.buildUrlset(
+            sort_array(collect_list(col("u")))).as("xml"))
+        xmls.select(explode(graft.operators.Sitemaps.entries(col("xml")))
+            .as("e"))
+          .select(
+            regexp_extract(col("e.loc"), "/doc/(\\d+)\\?", 1)
+              .cast("long").as("doc_id"),
+            col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org/doc/'
+             |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+             |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- page metadata extraction: title (whitespace-normalized),
+    // meta description, the html lang attribute (the language-ID
+    // prior), and og:title from a constructed head — the crawl
+    // enrichment fields read alongside main-content extraction.
+    Q("q492_page_metadata",
+      (s, d) => {
+        val head5 = array_join(slice(split(col("text"), " "), 1, 5), " ")
+        val page = concat(
+          lit("<!DOCTYPE html><html lang=\""), col("lang"), lit("\"><head>"),
+          lit("<title> Doc "), col("doc_id"), lit(" </title>"),
+          lit("<meta name=\"description\" content=\""), head5, lit("\">"),
+          lit("<meta property=\"og:title\" content=\"OG Doc "),
+          col("doc_id"), lit("\">"),
+          lit("</head><body><p>x</p></body></html>"))
+        t(s, d, "documents").select(col("doc_id"), page.as("html"))
+          .select(col("doc_id"),
+            graft.operators.HtmlExtract.pageMeta(col("html")).as("m"))
+          .select(col("doc_id"), col("m.title").as("title"),
+            col("m.description").as("description"),
+            col("m.lang").as("lang"), col("m.og_title").as("og_title"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |  array_to_string(string_split(text, ' ')[1:5], ' ') AS description,
+             |  lang, 'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
