@@ -243,6 +243,17 @@ class WebIngestSpec extends AnyFunSuite {
     assert(robotsCheck(r, "b", "/midXXX"))
   }
 
+  test("sitemap index: child locs extract with entity decoding") {
+    val xml = """<?xml version="1.0"?><sitemapindex>
+      |<sitemap><loc>https://a/s1.xml</loc><lastmod>2026-01-01</lastmod></sitemap>
+      |<sitemap><loc>https://a/s2.xml?x=1&amp;y=2</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val got = Seq(xml).toDF("x")
+      .select(graft.operators.Sitemaps.indexLocs(col("x")))
+      .as[Seq[String]].head()
+    assert(got == Seq("https://a/s1.xml", "https://a/s2.xml?x=1&y=2"))
+  }
+
   test("robots: sitemaps are extracted group-independently") {
     val r = "User-agent: *\nDisallow: /\nSitemap: https://a/s1.xml\n" +
       "# c\nSITEMAP: https://a/s2.xml\n"
