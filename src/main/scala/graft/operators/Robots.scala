@@ -27,13 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
+  /** Whitespace-regex trim: Spark's `trim` strips only ASCII space, so
+    * CRLF bodies would leave `\r` on every token and tabs after ':'
+    * would poison values — the politeness gate would silently allow
+    * everything. Trim the full `\s` class instead. */
+  private def wtrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** `array<struct<agent, pat, allow>>` parsed from a robots.txt body.
     * One entry per (agent, rule) pair — a rule under N user-agent lines
-    * fans out to N entries, so downstream selection is a flat filter. */
+    * fans out to N entries, so downstream selection is a flat filter.
+    * Lines split on `\r?\n` (CRLF-transmitted robots.txt is the common
+    * real-world case) and tokens trimmed with [[wtrim]]. */
   def parseRobots(txt: Column): Column = {
     val lines = filter(
-      transform(split(txt, "\n"),
-        l => trim(regexp_replace(l, "#.*$", ""))),
+      transform(split(txt, "\r?\n"),
+        l => wtrim(regexp_replace(l, "#.*$", ""))),
       l => l =!= "")
     val ruleT = "array<struct<agent:string,pat:string,allow:boolean>>"
     val accT = s"struct<agents:array<string>,ua:boolean,out:$ruleT>"
@@ -43,8 +52,8 @@ object Robots {
       typedLit(Seq.empty[(String, String, Boolean)])
         .cast(ruleT).as("out"))
     val acc = aggregate(lines, init.cast(accT), (st, l) => {
-      val field = lower(trim(substring_index(l, ":", 1)))
-      val value = trim(expr_substr_after_colon(l))
+      val field = lower(wtrim(substring_index(l, ":", 1)))
+      val value = wtrim(expr_substr_after_colon(l))
       val isUa = field === "user-agent"
       val isAllow = field === "allow"
       val isDis = field === "disallow"
@@ -86,10 +95,10 @@ object Robots {
   /** `Sitemap:` URLs of a robots.txt body (group-independent per RFC). */
   def sitemaps(txt: Column): Column =
     filter(
-      transform(split(txt, "\n"), l => {
-        val c = trim(regexp_replace(l, "#.*$", ""))
-        when(lower(trim(substring_index(c, ":", 1))) === "sitemap",
-          trim(expr_substr_after_colon(c))).otherwise(lit(null))
+      transform(split(txt, "\r?\n"), l => {
+        val c = wtrim(regexp_replace(l, "#.*$", ""))
+        when(lower(wtrim(substring_index(c, ":", 1))) === "sitemap",
+          wtrim(expr_substr_after_colon(c))).otherwise(lit(null))
       }),
       v => v.isNotNull)
 

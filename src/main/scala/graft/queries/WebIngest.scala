@@ -35,7 +35,7 @@ object WebIngest {
       |        [x for x in chunks if len(string_split(x, ' ')) >= 10] AS kept FROM c),
       |e AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS nk, CAST(len(chunks) AS BIGINT) AS nc,
       |        array_to_string(list_prepend(
-      |          'Editorial note: tips & tricks for <html> parsing in ten words', kept),
+      |          'Editorial note ' || chr(8212) || ' don''t skip tips & tricks for <html> parsing in ten words', kept),
       |          chr(10)) AS text
       |      FROM k)""".stripMargin
 
@@ -323,7 +323,7 @@ object WebIngest {
       },
       Some(s"""WITH $ExtractOracleCte,
              |pp AS (SELECT doc_id,
-             |    ['Editorial note: tips & tricks for <html> parsing in ten words']
+             |    ['Editorial note ' || chr(8212) || ' don''t skip tips & tricks for <html> parsing in ten words']
              |      || kept AS ps FROM k),
              |x AS (SELECT doc_id, unnest([{'idx': i, 'para': ps[i+1]}
              |        for i in range(0, len(ps))], recursive := true) FROM pp),

@@ -216,6 +216,16 @@ object ManifestCommit {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // mounts without hardlink support (SMB, some FUSE/NFS) throw
+          // UnsupportedOperationException or a generic FileSystemException;
+          // fall back to exists+rename — weaker (a cross-process window
+          // between the check and the POSIX rename remains), but losing
+          // hardlinks means losing the syscall-level claim anyway, and an
+          // aborted commit on every such mount is strictly worse.
+          case _: UnsupportedOperationException =>
+            !fs.exists(target) && fs.rename(tmp, target)
+          case _: java.nio.file.FileSystemException => // EEXIST matched above
+            !fs.exists(target) && fs.rename(tmp, target)
         }
       } else !fs.exists(target) && fs.rename(tmp, target)
     if (!claimed) {

@@ -1,13 +1,14 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream, IOException}
-import java.nio.charset.StandardCharsets
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream, EOFException, IOException, InputStream, PushbackInputStream}
+import java.nio.charset.{Charset, StandardCharsets}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.Partitioner
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** One WARC record with its parsed named headers (the ISO 28500 set the
   * engine consumes) plus the raw payload block. `recordIdx` is the
@@ -31,25 +32,36 @@ case class WarcRecord(file: String, recordIdx: Int, warcType: String,
   * Records are WARC-Type: response carrying a full HTTP/1.1 response
   * (status line + headers + body) as `application/http; msgtype=response`
   * — the CommonCrawl shape — preceded by one warcinfo record per shard.
-  * With `gzip = true`, each record is its OWN gzip member and members
+  * With the `gzip` codec, each record is its OWN gzip member and members
   * are concatenated: the CommonCrawl .warc.gz layout, which lets readers
-  * split at member boundaries; `GZIPInputStream` reads the concatenation
-  * transparently.
+  * split at member boundaries; the `zstd` codec writes one zstd FRAME
+  * per record the same way (the emerging .warc.zst companion layout).
   *
   * Read side: Spark `binaryFile` scan (WARC, like tar/zip, has no native
   * Spark codec) + a strict record walker — version line, header block,
   * Content-Length framing, CRLF CRLF record boundary — that throws with
   * file+offset on any framing violation rather than resyncing silently.
+  * The walker is a STREAMING parser over an InputStream: compressed
+  * shards decompress through GZIPInputStream / ZstdInputStream member by
+  * member, so decompressed memory is O(one record) — never a whole-shard
+  * buffer (a ~1 GB .warc.gz shard decompresses 3-4×; buffering that per
+  * task on top of binaryFile's compressed bytes was the round-18 scale
+  * watch-item).
   *
   * SCALE: parallelism = shard count on both sides (a 100-TB crawl at the
-  * customary ~1 GB/shard is ~10^5 tasks); each read task buffers one
-  * shard (the binaryFile envelope, same as the zip/tar paths). No state,
-  * no shuffle beyond the writer's single ranged exchange.
+  * customary ~1 GB/shard is ~10^5 tasks); each read task holds one
+  * shard's COMPRESSED bytes (the binaryFile envelope, same as the
+  * zip/tar paths) plus one decompressed record. No state, no shuffle
+  * beyond the writer's single ranged exchange.
   */
 object WarcSource {
 
   private val CRLF = "\r\n"
   private val Epoch = "1970-01-01T00:00:00Z"
+
+  /** Longest header block the strict walker accepts before declaring the
+    * frame corrupt (real WARC headers are a few hundred bytes). */
+  private val MaxHeaderBytes = 64 * 1024
 
   private final class ShardPartitioner(n: Int) extends Partitioner {
     def numPartitions: Int = n
@@ -91,6 +103,16 @@ object WarcSource {
     bos.toByteArray
   }
 
+  /** One zstd frame per record (the .warc.zst twin of [[gzMember]]);
+    * fixed level, no checksum — deterministic for fixed input. */
+  private def zstMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zs.write(bytes)
+    zs.close()
+    bos.toByteArray
+  }
+
   private def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
     val head = (s"HTTP/1.1 200 OK${CRLF}Content-Type: $contentType$CRLF" +
       s"Content-Length: ${body.length}$CRLF$CRLF")
@@ -101,12 +123,30 @@ object WarcSource {
     out.toByteArray
   }
 
+  private def extFor(codec: String): String = codec match {
+    case "" | "none" => ".warc"
+    case "gzip" => ".warc.gz"
+    case "zstd" => ".warc.zst"
+    case c => throw new IllegalArgumentException(
+      s"unknown WARC codec '$c' (none|gzip|zstd)")
+  }
+
   /** Exports `docs` as `nShards` WARC files at
-    * `path/shard-NNNNN.warc[.gz]`: per shard one warcinfo record, then
-    * one response record per document in deterministic slot order, with
-    * WARC-Target-URI `https://example.org/doc/<id>` and the `bodyCol`
-    * string as the HTTP body (content type `text/html` by default).
-    * Returns the response-record count read back from what landed.
+    * `path/shard-NNNNN.warc[.gz|.zst]`: per shard one warcinfo record,
+    * then one response record per document in deterministic slot order,
+    * with WARC-Target-URI `https://example.org/doc/<id>` and the
+    * `bodyCol` cell as the HTTP body — a string column is UTF-8-encoded,
+    * a binary column ships byte-exact (the path for non-UTF-8 charset
+    * fixtures and real fetched bodies). The HTTP Content-Type is
+    * `bodyContentType`, or per-row from `contentTypeCol` when set.
+    * Any `shard-*.warc*` files already under `path` are deleted first —
+    * exporting fewer shards (or a different codec) over a previous
+    * export must not leave stale members for the glob reader to pick up.
+    *
+    * Returns the response-record count read back from what landed; with
+    * `verify = false` the doubled read I/O is skipped (the 100-TB
+    * production setting — re-scanning everything just written is a
+    * test-scale gate) and -1 is returned.
     *
     * Task retries are safe (one shard per task, create-overwrite); for
     * an atomic multi-shard publish stage + rename at the caller (the
@@ -114,23 +154,41 @@ object WarcSource {
   def exportWarc(docs: DataFrame, path: String, nShards: Int, salt: String,
       idCol: String = "doc_id", bodyCol: String = "text",
       bodyContentType: String = "text/html; charset=utf-8",
-      gzip: Boolean = false): Long = {
+      gzip: Boolean = false, codec: String = "",
+      contentTypeCol: String = "", verify: Boolean = true): Long = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val codecName =
+      if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
     val spark = docs.sparkSession
     val nNull = docs.where(col(bodyCol).isNull).limit(1).count()
     require(nNull == 0L,
       s"exportWarc: column '$bodyCol' contains null cells; clean them first")
     val slots = graft.operators.TrainingPrep
       .shardExport(docs.select(idCol), nShards, salt, idCol)
+    val bodyBytes =
+      if (docs.schema(bodyCol).dataType == BinaryType) col(bodyCol)
+      else encode(col(bodyCol), "UTF-8")
+    val ctypeCol =
+      if (contentTypeCol.nonEmpty) col(contentTypeCol).cast("string")
+      else lit(bodyContentType)
     val payload = docs.join(slots, Seq(idCol)).select(
       col("shard"), col("pos"),
-      col(idCol).cast("long").as("id"), col(bodyCol).as("body"))
+      col(idCol).cast("long").as("id"), bodyBytes.as("body"),
+      ctypeCol.as("ctype"))
     val sc = new TarShards.SerializableConf(spark.sessionState.newHadoopConf())
     val dir = path
-    val ext = if (gzip) ".warc.gz" else ".warc"
-    val ct = bodyContentType
+    val ext = extFor(codecName)
+    val root = new Path(dir)
+    val fs0 = root.getFileSystem(sc.conf)
+    // stale-member sweep: a prior export with more shards or another
+    // codec would otherwise survive the overwrite and corrupt read-back
+    if (fs0.exists(root))
+      Option(fs0.globStatus(new Path(root, "shard-*.warc*")))
+        .getOrElse(Array.empty)
+        .foreach(s => fs0.delete(s.getPath, false))
     payload.rdd
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getAs[Array[Byte]](3), r.getString(4))))
       .repartitionAndSortWithinPartitions(new ShardPartitioner(nShards))
       .foreachPartition { it =>
         if (it.hasNext) {
@@ -140,8 +198,11 @@ object WarcSource {
           val fs = p.getFileSystem(sc.conf)
           val out = new DataOutputStream(fs.create(p, true))
           try {
-            def emit(rec: Array[Byte]): Unit =
-              out.write(if (gzip) gzMember(rec) else rec)
+            def emit(rec: Array[Byte]): Unit = out.write(codecName match {
+              case "gzip" => gzMember(rec)
+              case "zstd" => zstMember(rec)
+              case _ => rec
+            })
             val infoBody = (s"software: graft-warc/1.0${CRLF}format: " +
               s"WARC File Format 1.0$CRLF").getBytes(StandardCharsets.US_ASCII)
             emit(record(Seq(
@@ -150,9 +211,8 @@ object WarcSource {
               "WARC-Date" -> Epoch,
               "WARC-Filename" -> f"shard-$shard%05d$ext",
               "Content-Type" -> "application/warc-fields"), infoBody))
-            (Iterator(first) ++ it).foreach { case (_, (id, body)) =>
-              val http = httpResponse(
-                body.getBytes(StandardCharsets.UTF_8), ct)
+            (Iterator(first) ++ it).foreach { case (_, (id, body, ct)) =>
+              val http = httpResponse(body, ct)
               emit(record(Seq(
                 "WARC-Type" -> "response",
                 "WARC-Record-ID" -> urnUuid(s"$salt:response:$id"),
@@ -164,20 +224,19 @@ object WarcSource {
           } finally out.close()
         }
       }
-    val root = new Path(dir)
-    val fs = root.getFileSystem(sc.conf)
-    if (!fs.exists(root) ||
-        Option(fs.globStatus(new Path(root, s"shard-*$ext"))).forall(_.isEmpty)) 0L
+    if (!verify) -1L
+    else if (!fs0.exists(root) ||
+        Option(fs0.globStatus(new Path(root, s"shard-*$ext"))).forall(_.isEmpty)) 0L
     else records(spark, dir).filter(_.warcType == "response").count()
   }
 
-  /** All records of all `shard-*.warc[.gz]` files under `path`, in
+  /** All records of all `shard-*.warc[.gz|.zst]` files under `path`, in
     * record order with ordinals, every record strictly framed. */
   def records(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$path/shard-*.warc*")
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => parse(file, inflate(file, bytes)) }
+      .flatMap { case (file, bytes) => parse(file, open(file, bytes)) }
   }
 
   /** Streaming twin of [[records]]: a `binaryFile` file-source stream
@@ -194,49 +253,98 @@ object WarcSource {
       .option("pathGlobFilter", "*.warc*")
       .load(landingDir)
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => parse(file, inflate(file, bytes)) }
+      .flatMap { case (file, bytes) => parse(file, open(file, bytes)) }
   }
 
   /** Splits an `application/http` payload at the first CRLF CRLF into
     * (status line, body bytes); strict on the HTTP/ prefix. */
   def httpParts(payload: Array[Byte]): (String, Array[Byte]) = {
+    val (status, _, body) = httpPartsWithHeaders(payload)
+    (status, body)
+  }
+
+  /** [[httpParts]] plus the parsed header map (lowercased names, values
+    * trimmed) — what charset resolution reads. */
+  def httpPartsWithHeaders(
+      payload: Array[Byte]): (String, Map[String, String], Array[Byte]) = {
     val sep = indexOfCrlfCrlf(payload, 0)
     require(sep >= 0, "http payload has no header/body separator")
     val head = new String(payload, 0, sep, StandardCharsets.US_ASCII)
     require(head.startsWith("HTTP/"),
       s"payload is not an HTTP response: ${head.take(20)}")
-    (head.split("\r\n", 2)(0),
+    val lines = head.split("\r\n")
+    val hdrs = lines.drop(1).flatMap { l =>
+      val c = l.indexOf(':')
+      if (c < 0) None
+      else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+    }.toMap
+    (lines(0), hdrs,
       java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
   }
 
-  /** Response records as (recordIdx, targetUri, UTF-8 body) rows — the
-    * convenience frame a crawl pipeline starts from. */
+  private val HeaderCharsetRe =
+    """(?i)charset\s*=\s*"?([A-Za-z0-9_.:+-]+)"?""".r
+  private val MetaCharsetRe =
+    """(?is)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9_.:+-]+)""".r
+
+  /** Charset resolution for an HTTP response body, the WHATWG/HTTP
+    * precedence order a real crawl needs (real CommonCrawl is ~5-10%
+    * non-UTF-8; decoding those as UTF-8 mojibakes every downstream text
+    * operator):
+    *   1. the `charset=` parameter of the Content-Type HTTP header;
+    *   2. a `<meta charset=...>` / `<meta http-equiv="Content-Type"
+    *      content="...charset=...">` sniffed in the first `sniffLimit`
+    *      body bytes (read as ISO-8859-1 — charset names are ASCII, and
+    *      every ASCII-compatible encoding exposes the tag bytes);
+    *   3. UTF-8.
+    * Unknown/unsupported names fall through to the next step. Returns
+    * (canonical charset name used, decoded text). */
+  def resolveCharset(contentType: Option[String], body: Array[Byte],
+      sniffLimit: Int = 1024): (String, String) = {
+    def lookup(name: String): Option[Charset] =
+      try Some(Charset.forName(name)) catch { case _: Exception => None }
+    val fromHeader = contentType
+      .flatMap(ct => HeaderCharsetRe.findFirstMatchIn(ct).map(_.group(1)))
+      .flatMap(lookup)
+    val cs = fromHeader.orElse {
+      val headBytes = java.util.Arrays.copyOfRange(
+        body, 0, math.min(sniffLimit, body.length))
+      val head = new String(headBytes, StandardCharsets.ISO_8859_1)
+      MetaCharsetRe.findFirstMatchIn(head).map(_.group(1)).flatMap(lookup)
+    }.getOrElse(StandardCharsets.UTF_8)
+    (cs.name(), new String(body, cs))
+  }
+
+  /** Response records as (recordIdx, targetUri, decoded body) rows — the
+    * convenience frame a crawl pipeline starts from. The body decodes
+    * charset-aware ([[resolveCharset]]: Content-Type header param →
+    * `<meta charset>` sniff → UTF-8), with the resolved charset and a
+    * was_transcoded flag (anything that did not decode as plain UTF-8)
+    * carried alongside so a corpus can audit its encoding mix. */
   def responseBodies(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     records(spark, path).filter(_.warcType == "response")
       .map { r =>
-        val (status, body) = httpParts(r.payload)
-        (r.file, r.recordIdx, r.targetUri, status,
-          new String(body, StandardCharsets.UTF_8))
+        val (status, hdrs, body) = httpPartsWithHeaders(r.payload)
+        val (cs, text) = resolveCharset(hdrs.get("content-type"), body)
+        (r.file, r.recordIdx, r.targetUri, status, text, cs,
+          cs != StandardCharsets.UTF_8.name())
       }
-      .toDF("file", "record_idx", "uri", "status", "body")
+      .toDF("file", "record_idx", "uri", "status", "body",
+        "charset", "was_transcoded")
   }
 
-  private def inflate(file: String, bytes: Array[Byte]): Array[Byte] =
-    if (!file.endsWith(".gz")) bytes
-    else {
-      // GZIPInputStream consumes concatenated members (the per-record
-      // CommonCrawl layout) as one stream
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-      val out = new ByteArrayOutputStream(bytes.length * 3)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n); n = in.read(buf)
-      }
-      in.close()
-      out.toByteArray
-    }
+  /** Decompression stream for one shard: gzip and zstd both read their
+    * concatenated per-record members transparently, member by member —
+    * decompressed bytes never buffer beyond the codec's window. */
+  private def open(file: String, bytes: Array[Byte]): InputStream = {
+    val raw = new ByteArrayInputStream(bytes)
+    if (file.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
+    else if (file.endsWith(".zst"))
+      new BufferedInputStream(
+        new com.github.luben.zstd.ZstdInputStream(raw), 64 * 1024)
+    else raw
+  }
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -248,18 +356,58 @@ object WarcSource {
     -1
   }
 
-  /** Strict ISO 28500 walker: version line, header block, Content-Length
-    * framing, CRLF CRLF boundary. Throws with file+offset on violations. */
-  private def parse(file: String, bytes: Array[Byte]): Iterator[WarcRecord] =
+  /** Strict ISO 28500 walker over a STREAM: version line, header block,
+    * Content-Length framing, CRLF CRLF boundary. Throws with
+    * file+offset (offsets in the decompressed stream) on violations.
+    * Memory is O(one record): the header block grows a small buffer to
+    * the CRLF CRLF, the payload allocates exactly Content-Length bytes,
+    * nothing upstream is retained. */
+  private[graft] def parse(file: String,
+      in0: InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var off = 0
+      private val in = new PushbackInputStream(in0, 1)
+      private var off = 0L
       private var idx = 0
-      def hasNext: Boolean = off < bytes.length
+
+      def hasNext: Boolean = {
+        val b = in.read()
+        if (b < 0) { in.close(); false }
+        else { in.unread(b); true }
+      }
+
+      private def readFully(buf: Array[Byte]): Unit = {
+        var got = 0
+        while (got < buf.length) {
+          val n = in.read(buf, got, buf.length - got)
+          if (n < 0) throw new EOFException(
+            s"$file: record at offset $off overruns the file " +
+              s"(wanted ${buf.length} bytes, got $got)")
+          got += n
+        }
+      }
+
+      /** Bytes up to AND consuming the next CRLF CRLF (exclusive). */
+      private def readHeaderBlock(): Array[Byte] = {
+        val buf = new ByteArrayOutputStream(256)
+        var tail = 0 // how much of \r\n\r\n is matched so far
+        while (tail < 4) {
+          val b = in.read()
+          if (b < 0) throw new EOFException(
+            s"$file: unterminated WARC header block at offset $off")
+          if (buf.size() > MaxHeaderBytes) throw new IOException(
+            s"$file: WARC header block at offset $off exceeds " +
+              s"$MaxHeaderBytes bytes — corrupt framing")
+          buf.write(b)
+          val expect = if (tail % 2 == 0) '\r' else '\n'
+          tail = if (b == expect) tail + 1 else if (b == '\r') 1 else 0
+        }
+        val all = buf.toByteArray
+        java.util.Arrays.copyOfRange(all, 0, all.length - 4)
+      }
+
       def next(): WarcRecord = {
-        val headEnd = indexOfCrlfCrlf(bytes, off)
-        if (headEnd < 0) throw new IOException(
-          s"$file: unterminated WARC header block at offset $off")
-        val head = new String(bytes, off, headEnd - off, StandardCharsets.US_ASCII)
+        val headBytes = readHeaderBlock()
+        val head = new String(headBytes, StandardCharsets.US_ASCII)
         val lines = head.split("\r\n")
         if (!lines(0).startsWith("WARC/")) throw new IOException(
           s"$file: expected WARC version line at offset $off, got '${lines(0).take(20)}'")
@@ -271,22 +419,26 @@ object WarcSource {
         }.toMap
         val len = hdrs.getOrElse("content-length", throw new IOException(
           s"$file: record at offset $off has no Content-Length")).toLong
-        val dataOff = headEnd + 4
-        if (dataOff + len + 4 > bytes.length) throw new IOException(
-          s"$file: record at offset $off overruns the file " +
-            s"(payload $len bytes at $dataOff, file ${bytes.length})")
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, dataOff, (dataOff + len).toInt)
-        val boundary = (dataOff + len).toInt
-        if (indexOfCrlfCrlf(bytes, boundary) != boundary) throw new IOException(
-          s"$file: record at offset $off missing CRLF CRLF boundary at $boundary")
+        if (len > Int.MaxValue - 8) throw new IOException(
+          s"$file: record at offset $off claims $len payload bytes")
+        val payload = new Array[Byte](len.toInt)
+        readFully(payload)
+        val bnd = new Array[Byte](4)
+        try readFully(bnd) catch {
+          case _: EOFException => throw new IOException(
+            s"$file: record at offset $off overruns the file " +
+              s"(missing CRLF CRLF boundary after $len payload bytes)")
+        }
+        if (!(bnd(0) == '\r' && bnd(1) == '\n' && bnd(2) == '\r' && bnd(3) == '\n'))
+          throw new IOException(
+            s"$file: record at offset $off missing CRLF CRLF boundary")
         val rec = WarcRecord(file, idx,
           hdrs.getOrElse("warc-type", ""),
           hdrs.getOrElse("warc-record-id", ""),
           hdrs.getOrElse("warc-target-uri", ""),
           hdrs.getOrElse("warc-date", ""),
           hdrs.getOrElse("content-type", ""), len, payload)
-        off = boundary + 4
+        off += headBytes.length + 4 + len + 4
         idx += 1
         rec
       }

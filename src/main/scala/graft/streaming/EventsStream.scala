@@ -746,9 +746,15 @@ object EventsStream {
     * shards ([[graft.sources.WarcSource.exportWarc]]), landed under a
     * wave-unique prefix, and one `Trigger.AvailableNow` run per wave
     * against ONE shared checkpoint ingests exactly the newly-landed
-    * shards (run i = micro-batch i). Response records are unwrapped to
-    * (doc_id from the target URI, HTTP body) rows executor-side and
-    * appended with the micro-batch id. */
+    * shards. Response records are unwrapped to (doc_id from the target
+    * URI, HTTP body) rows executor-side and appended with the WAVE id
+    * parsed from the landed file's `waveN-` prefix — NOT the micro-batch
+    * id: AvailableNow may split a run into several micro-batches
+    * (maxFilesPerTrigger and friends), and the boundary the caller pins
+    * is which LANDING WAVE a shard arrived in, which the filename
+    * carries unambiguously. The temp landing/checkpoint root is deleted
+    * before returning (the result is localCheckpoint-materialized
+    * first). */
   def warcIngestDemo(spark: SparkSession, waves: Seq[DataFrame],
       nShards: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -770,17 +776,21 @@ object EventsStream {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
-          (batch: Dataset[graft.sources.WarcRecord], batchId: Long) =>
+          (batch: Dataset[graft.sources.WarcRecord], _: Long) =>
             import batch.sparkSession.implicits._
             batch.filter(_.warcType == "response")
               .map { r =>
                 val (_, body) = graft.sources.WarcSource.httpParts(r.payload)
+                val wave = "wave(\\d+)-[^/]*$".r
+                  .findFirstMatchIn(r.file).map(_.group(1).toLong)
+                  .getOrElse(throw new java.io.IOException(
+                    s"landed WARC file has no wave prefix: ${r.file}"))
                 (r.targetUri.split("/doc/")(1).toLong,
-                  new String(body, java.nio.charset.StandardCharsets.UTF_8))
+                  new String(body, java.nio.charset.StandardCharsets.UTF_8),
+                  wave)
               }
-              .toDF("doc_id", "body")
+              .toDF("doc_id", "body", "batch_id")
               .withColumn("n_bytes", length(col("body")).cast("long"))
-              .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(out)
             ()
         }
@@ -788,6 +798,12 @@ object EventsStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    val result = spark.read.parquet(out).localCheckpoint()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(root.toFile)
+    result
   }
 }

@@ -66,6 +66,22 @@ class WebIngestSpec extends AnyFunSuite {
       "entities in this ten word paragraph body")
   }
 
+  test("numeric character references decode: decimal, hex, supplementary, invalid") {
+    val (text, _, _) = extractOne(
+      "<p>em&#8212;dash and don&#x27;t and emoji &#128512; plus the " +
+        "invalid &#xD800; and &#0; stay literal here verbatim</p>")
+    assert(text == "em—dash and don't and emoji 😀 plus the " +
+      "invalid &#xD800; and &#0; stay literal here verbatim")
+  }
+
+  test("numeric refs keep single-pass semantics: &#38;lt; lands as &lt;") {
+    val (text, _, _) = extractOne(
+      "<p>the escaped marker &#38;lt; survives as literal entity " +
+        "text in this twelve word paragraph</p>")
+    assert(text == "the escaped marker &lt; survives as literal entity " +
+      "text in this twelve word paragraph")
+  }
+
   test("empty and all-boilerplate pages extract to empty text") {
     assert(extractOne("")._1 == "")
     val (text, nBlocks, _) = extractOne(
@@ -261,6 +277,128 @@ class WebIngestSpec extends AnyFunSuite {
       .select(graft.operators.Robots.sitemaps(col("r")))
       .as[Seq[String]].head()
     assert(got == Seq("https://a/s1.xml", "https://a/s2.xml"))
+  }
+
+  test("robots: CRLF line endings and tab-padded values parse identically to LF") {
+    // a CRLF-transmitted robots.txt (the common real-world case) must not
+    // leave \r on tokens — that would fail every match and allow everything
+    val lf = "User-agent: graftbot\nDisallow: /private/\nUser-agent: *\nDisallow: /\n"
+    val crlf = lf.replace("\n", "\r\n").replace("Disallow: ", "Disallow:\t ")
+    assert(!robotsCheck(crlf, "graftbot", "/private/x"))
+    assert(robotsCheck(crlf, "graftbot", "/public/x"))
+    assert(!robotsCheck(crlf, "otherbot", "/anything"))
+    val sm = Seq("User-agent: *\r\nSitemap:\thttps://a/s.xml\r\n").toDF("r")
+      .select(graft.operators.Robots.sitemaps(col("r")))
+      .as[Seq[String]].head()
+    assert(sm == Seq("https://a/s.xml"))
+  }
+
+  test("warc zstd codec: per-frame members roundtrip and are deterministic") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("warc-zst1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("warc-zst2").toString
+    assert(graft.sources.WarcSource.exportWarc(docs, d1, 2, "s", codec = "zstd") == 3L)
+    graft.sources.WarcSource.exportWarc(docs, d2, 2, "s", codec = "zstd")
+    for (f <- new java.io.File(d1).list().sorted if f.startsWith("shard-")) {
+      assert(f.endsWith(".warc.zst"))
+      val b1 = java.nio.file.Files.readAllBytes(new java.io.File(d1, f).toPath)
+      val b2 = java.nio.file.Files.readAllBytes(new java.io.File(d2, f).toPath)
+      assert(java.util.Arrays.equals(b1, b2), s"$f differs between exports")
+    }
+    val bodies = graft.sources.WarcSource.responseBodies(spark, d1)
+      .select("body").as[String].collect().toSet
+    assert(bodies == Set("alpha beta", "gamma delta", "epsilon"))
+  }
+
+  test("export sweeps stale shards: fewer shards over a prior export leave no leftovers") {
+    val docs = (1L to 20L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("warc-stale").toString
+    graft.sources.WarcSource.exportWarc(docs, dir, 8, "s1", gzip = true)
+    // re-export with fewer shards AND another codec: both the extra shard
+    // ordinals and the other extension must be gone
+    val n = graft.sources.WarcSource.exportWarc(docs, dir, 2, "s2")
+    assert(n == 20L)
+    val files = new java.io.File(dir).list().filter(_.startsWith("shard-")).sorted
+    assert(files.toSeq == Seq("shard-00000.warc", "shard-00001.warc"))
+    assert(graft.sources.WarcSource.records(spark, dir)
+      .filter(_.warcType == "response").count() == 20L)
+  }
+
+  test("export verify=false skips the read-back scan and returns -1") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("warc-nov").toString
+    assert(graft.sources.WarcSource.exportWarc(docs, dir, 1, "s",
+      verify = false) == -1L)
+    assert(graft.sources.WarcSource.records(spark, dir)
+      .filter(_.warcType == "response").count() == 1L)
+  }
+
+  test("warc reader streams: the first record parses without consuming the whole shard") {
+    // build a many-record gz shard with incompressible payloads, then
+    // prove the walker is lazy: after pulling ONE record, only a small
+    // prefix of the compressed stream has been consumed — the round-18
+    // whole-shard inflate would have read it all before the first record
+    val rnd = new java.util.Random(7)
+    val recs = (0 until 32).map { i =>
+      val body = new Array[Byte](256 * 1024)
+      rnd.nextBytes(body)
+      val b64 = java.util.Base64.getEncoder.encodeToString(body)
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${b64.length}\r\n\r\n" + b64 + "\r\n\r\n")
+        .getBytes("US-ASCII")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r); gz.close()
+    }
+    val all = bos.toByteArray
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(all)
+      def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = graft.sources.WarcSource.parse("t.warc.gz",
+      new java.util.zip.GZIPInputStream(counting, 64 * 1024))
+    val first = it.next()
+    assert(first.contentLength > 256 * 1024)
+    // one ~350 KB member + gzip readahead ≪ the ~11 MB whole file
+    assert(consumed < all.length / 4,
+      s"walker consumed $consumed of ${all.length} compressed bytes for one record")
+    assert(it.size == 31) // the rest still parse cleanly
+  }
+
+  test("charset resolution: header param beats meta sniff beats UTF-8 fallback") {
+    import graft.sources.WarcSource.resolveCharset
+    val latin = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // 1. header charset wins, even over a contradicting meta tag
+    val metaUtf8 = ("<meta charset=\"utf-8\">café")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(resolveCharset(Some("text/html; charset=ISO-8859-1"), metaUtf8) ==
+      (("ISO-8859-1", "<meta charset=\"utf-8\">café")))
+    // 2. no header param -> meta charset sniff (both tag shapes)
+    // 0x80/0x97 are the windows-1252-only euro and em dash code units
+    val metaWb = "<meta charset=windows-1252><p>a".getBytes("US-ASCII") ++
+      Array(0x80.toByte, 0x97.toByte) ++ "b</p>".getBytes("US-ASCII")
+    assert(resolveCharset(Some("text/html"), metaWb) ==
+      (("windows-1252", "<meta charset=windows-1252><p>a€—b</p>")))
+    val httpEquiv = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=iso-8859-1\">café")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(resolveCharset(None, httpEquiv)._1 == "ISO-8859-1")
+    // 3. nothing declared -> UTF-8
+    assert(resolveCharset(Some("text/plain"),
+      "héllo".getBytes("UTF-8")) == (("UTF-8", "héllo")))
+    // 4. unknown names fall through (header unknown -> meta; both -> UTF-8)
+    val unkMeta = ("<meta charset=\"no-such-cs\">x").getBytes("UTF-8")
+    assert(resolveCharset(Some("text/html; charset=bogus-9"), unkMeta)._1 == "UTF-8")
+    // 5. meta sniff only reads the first 1024 bytes
+    val lateMeta = (" " * 1100 + "<meta charset=\"ISO-8859-1\">").getBytes("UTF-8")
+    assert(resolveCharset(None, lateMeta)._1 == "UTF-8")
   }
 
   test("extraction plan is one shuffle-free projection over the scan") {
