@@ -39,6 +39,18 @@ object Sitemaps {
         lit(1)),
       l => trim(replace(l, lit("&amp;"), lit("&"))))
 
+  /** Deterministic `<sitemapindex>` builder for an array of child
+    * sitemap locations — the write twin of [[indexLocs]] (`&` escaped,
+    * callers pass locs pre-sorted). */
+  def buildSitemapindex(locs: Column): Column = concat(
+    lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+    array_join(transform(locs, l => concat(
+      lit("<sitemap><loc>"),
+      replace(l, lit("&"), lit("&amp;")),
+      lit("</loc></sitemap>"))), ""),
+    lit("</sitemapindex>"))
+
   /** Deterministic `<urlset>` builder for (loc, lastmod) struct arrays
     * — the oracle-able write side of the round trip (entries sorted by
     * the caller; `&` escaped). */

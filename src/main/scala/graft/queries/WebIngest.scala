@@ -562,6 +562,235 @@ object WebIngest {
       Some("""SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
              |  array_to_string(string_split(text, ' ')[1:5], ' ') AS description,
              |  lang, 'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- charset-aware WARC decode (round 19 #1): bodies are BYTE-BUILT
+    // in three encodings — ISO-8859-1 declared in the Content-Type
+    // header, windows-1252 declared only by an in-body <meta charset>
+    // (the header param is absent, so the sniff path decides; 0x80/0x97
+    // are the windows-1252-ONLY euro and em dash, mojibake under any
+    // other decode), and undeclared UTF-8 (the fallback). The oracle
+    // states the expected decoded text analytically (chr() codepoints),
+    // so header precedence, the meta sniff, the fallback, and the
+    // was_transcoded flag are all in the hash.
+    Q("q493_warc_charset",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warccs"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        val idStr = col("doc_id").cast("string")
+        val body0 = encode(
+          concat(lit("café numéro "), idStr, lit(" à côté")), "ISO-8859-1")
+        val body1 = concat(
+          encode(lit("<meta charset=windows-1252><p>Price "), "US-ASCII"),
+          lit(Array(0x80.toByte)),
+          encode(lit(" and dash "), "US-ASCII"),
+          lit(Array(0x97.toByte)),
+          encode(concat(lit(" doc "), idStr, lit("</p>")), "US-ASCII"))
+        val body2 = encode(
+          concat(lit("héllo wörld doc "), idStr), "UTF-8")
+        val m = col("doc_id") % 3
+        val input = docs.select(col("doc_id"),
+          when(m === 0, body0).when(m === 1, body1).otherwise(body2)
+            .as("body"),
+          when(m === 0, lit("text/html; charset=ISO-8859-1"))
+            .when(m === 1, lit("text/html")).otherwise(lit("text/plain"))
+            .as("ctype"))
+        graft.sources.WarcSource.exportWarc(input, loc.toString,
+          nShards = 4, salt = "cs19", bodyCol = "body",
+          contentTypeCol = "ctype", gzip = true)
+        graft.sources.WarcSource.responseBodies(s, loc.toString)
+          .select(
+            regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("charset"),
+            col("was_transcoded").cast("long").as("transcoded"),
+            col("body"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'ISO-8859-1' WHEN 1 THEN 'windows-1252'
+             |    ELSE 'UTF-8' END AS charset,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS BIGINT) AS transcoded,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'café numéro ' || CAST(doc_id AS VARCHAR) || ' à côté'
+             |    WHEN 1 THEN '<meta charset=windows-1252><p>Price ' || chr(8364)
+             |      || ' and dash ' || chr(8212) || ' doc '
+             |      || CAST(doc_id AS VARCHAR) || '</p>'
+             |    ELSE 'héllo wörld doc ' || CAST(doc_id AS VARCHAR) END AS body
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- sitemap discovery composition (round 19 #4): the SECOND
+    // frontier channel, end to end — robots.txt `Sitemap:` lines (CRLF
+    // bodies, exercising the whitespace fix) -> sitemapindex build +
+    // parse ([[Sitemaps.indexLocs]]' first CORRECTNESS row) -> child
+    // urlset build + parse -> canonicalize -> union with the q485 link
+    // channel, anti-joined against the seed set: one BFS round fed by
+    // BOTH discovery channels. The inventory is the doc_id % 3 == 0
+    // subset split across 4 hosts × 2 index parts, so a lost index
+    // child, a wrong host/part join, or a canonicalization slip all
+    // change the discovered set. The oracle unrolls both channels
+    // analytically (the q490 convention).
+    Q("q494_sitemap_discovery",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val seeds = docs.where(col("doc_id") < 10)
+        val linkDiscovered = seeds.select(
+            explode(graft.operators.HtmlExtract.links(
+              graft.operators.HtmlExtract
+                .syntheticPageLinked(col("text"), col("doc_id"), n),
+              concat(lit("https://example.org/doc/"), col("doc_id"))))
+              .as("l"))
+          .select(graft.operators.HtmlExtract
+            .canonicalizeUrl(col("l.url")).as("url"))
+          .where(col("url").rlike("^https://example\\.org/doc/\\d+$"))
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"))
+          .distinct()
+        val hosts = seeds.select((col("doc_id") % 4).as("host")).distinct()
+        val robotsTxt = concat(
+          lit("User-agent: *\r\nDisallow:\r\nSitemap: https://h"),
+          col("host"), lit(".example.org/sitemap_index.xml\r\n"))
+        val idx = hosts.select(col("host"),
+            explode(graft.operators.Robots.sitemaps(robotsTxt)).as("sm_url"))
+          .where(col("sm_url").endsWith("/sitemap_index.xml"))
+          .select(col("host"),
+            graft.operators.Sitemaps.buildSitemapindex(
+              transform(sequence(lit(0), lit(1)), p =>
+                concat(lit("https://h"), col("host"),
+                  lit(".example.org/sm/"), p, lit(".xml")))).as("ixml"))
+        val children = idx.select(col("host"),
+            explode(graft.operators.Sitemaps.indexLocs(col("ixml")))
+              .as("child"))
+          .select(col("host"),
+            regexp_extract(col("child"), "/sm/(\\d)\\.xml$", 1)
+              .cast("long").as("part"))
+        val inv = docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") % 4).as("host"),
+            expr("(doc_id div 4) % 2").as("part"),
+            struct(
+              concat(lit("https://example.org/doc/"), col("doc_id"),
+                lit("/?utm_x=1#frag")).as("loc"),
+              lit("2026-02-01").as("lastmod")).as("u"))
+        val urlsets = inv.groupBy("host", "part")
+          .agg(graft.operators.Sitemaps.buildUrlset(
+            sort_array(collect_list(col("u")))).as("xml"))
+        val smDiscovered = children.join(urlsets, Seq("host", "part"))
+          .select(explode(graft.operators.Sitemaps.entries(col("xml")))
+            .as("e"))
+          .select(graft.operators.HtmlExtract
+            .canonicalizeUrl(col("e.loc")).as("url"))
+          .where(col("url").rlike("^https://example\\.org/doc/\\d+$"))
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"))
+          .distinct()
+        linkDiscovered.withColumn("via_links", lit(1L))
+          .join(smDiscovered.withColumn("via_sitemap", lit(1L)),
+            Seq("doc_id"), "full_outer")
+          .join(seeds.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            coalesce(col("via_links"), lit(0L)).as("via_links"),
+            coalesce(col("via_sitemap"), lit(0L)).as("via_sitemap"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM documents),
+             |l AS (SELECT DISTINCT (d.doc_id*7 + k) % c AS doc_id
+             |      FROM documents d, n, (VALUES (1),(2),(3)) v(k)
+             |      WHERE d.doc_id < 10),
+             |sm AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+             |SELECT coalesce(l.doc_id, sm.doc_id) AS doc_id,
+             |  CAST(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS via_links,
+             |  CAST(CASE WHEN sm.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS via_sitemap
+             |FROM l FULL OUTER JOIN sm ON l.doc_id = sm.doc_id
+             |WHERE coalesce(l.doc_id, sm.doc_id) NOT IN
+             |  (SELECT doc_id FROM documents WHERE doc_id < 10)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- incremental streaming frontier (round 19 #6): q490's BFS run
+    // the way a real crawl runs it — waves land as files, one
+    // AvailableNow run per round expands the wave in foreachBatch
+    // against a VISITED table kept in ManifestCommit snapshots (the
+    // q136 admission discipline), and the loop runs to CONVERGENCE
+    // (depth = first-discovery round), not a fixed round count. The
+    // oracle is the iterated twin: a recursive-CTE BFS taking min(depth)
+    // per node, so a lost wave, a double-admitted node, or a wrong
+    // anti-join all change depths or rows. Replay convergence (re-run
+    // over the same root changes nothing) is spec-driven
+    // (WebIngestSpec).
+    Q("q495_incremental_frontier",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "frontier19"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            pmod(col("doc_id") * 7 + k, lit(n))): _*)).as("dst"))
+        val seeds = docs.where(col("doc_id") < 10).select("doc_id")
+        graft.streaming.CrawlFrontier
+          .run(s, edges, seeds, loc.toString)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*7 + k) % c AS dst
+             |      FROM documents, n, (VALUES (1),(2),(3)) v(k)),
+             |bfs(doc_id, depth) AS (
+             |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 10
+             |  UNION
+             |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.doc_id
+             |  WHERE b.depth < 40)
+             |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- .warc.zst roundtrip (round 19 #7): q481's contract on the
+    // zstd member layout — one zstd FRAME per record, the emerging
+    // CommonCrawl companion format — through the same strict streaming
+    // walker (member-by-member decompression, O(record) memory). Same
+    // oracle shape as q481: slots, order, status, and body bytes all
+    // pinned.
+    Q("q496_warc_zstd",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warczst"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        graft.sources.WarcSource.exportWarc(docs, loc.toString,
+          nShards = 8, salt = "zst1",
+          bodyContentType = "text/plain; charset=utf-8", codec = "zstd",
+          verify = false)
+        graft.sources.WarcSource.responseBodies(s, loc.toString)
+          .select(
+            regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            regexp_extract(col("file"), "shard-(\\d+)\\.warc", 1)
+              .cast("long").as("shard"),
+            col("record_idx").cast("long").as("pos"),
+            col("status"),
+            length(col("body")).cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5('zst1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+             |  FROM documents)
+             |SELECT d.doc_id, key % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY key % 8
+             |    ORDER BY key, doc_id) AS BIGINT) AS pos,
+             |  'HTTP/1.1 200 OK' AS status,
+             |  CAST(len(d.text) AS BIGINT) AS n_bytes
+             |FROM documents d JOIN k USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental crawl frontier — the streaming form of q490's batch BFS:
+  * real crawls don't run a fixed number of expansion rounds, they run
+  * the frontier as a LOOP against durable state. Frontier waves land as
+  * files in a landing directory; one `Trigger.AvailableNow` run per
+  * round ingests exactly the newly-landed wave (the q136/q483
+  * checkpointed landing-zone pattern), and `foreachBatch` does the
+  * admission: dedup the wave, anti-join the VISITED table (a
+  * [[graft.sources.ManifestCommit]] parquet table — the same on-disk
+  * snapshot state the admission/near-dup tiers use), commit the
+  * newly-visited rows as a manifest txn, expand them through the edge
+  * list, and land the next wave. The loop converges when an expansion
+  * discovers nothing new.
+  *
+  * Determinism + replay: wave files are named by their depth, so a
+  * re-run over the same root lands nothing new (the file exists), the
+  * file-source checkpoint has already consumed every wave, and the
+  * visited table is untouched — replay CONVERGES instead of
+  * duplicating (the replay-convergence spec drives exactly this).
+  *
+  * SCALE: per-round work is two distributed joins (wave×visited
+  * anti-join, wave×edges expansion) plus one manifest commit — no
+  * driver-side state beyond the round counter; the visited set lives
+  * on disk and is read as a plain parquet union. Round count = graph
+  * depth from the seeds (log-ish for web-shaped graphs), the same
+  * bound every BFS pays. The edge list is localCheckpoint-materialized
+  * once, not recomputed per round (in a real crawl it is a table on
+  * disk).
+  */
+object CrawlFrontier {
+
+  private def visitedOrEmpty(spark: SparkSession, table: String): DataFrame =
+    if (graft.sources.ManifestCommit.currentSnapshot(spark, table).isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("depth"))
+    else graft.sources.ManifestCommit.readManifested(spark, table)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("depth").cast("long").as("depth"))
+
+  /** Lands `df` as ONE parquet file `<landing>/<name>.parquet` (the
+    * q136 single-file landing discipline: the file-source tracker keys
+    * by path, so each wave must be exactly one new file). No-op if the
+    * wave file already exists (replay). */
+  private def land(df: DataFrame, landing: java.nio.file.Path,
+      name: String): Unit = {
+    val target = landing.resolve(s"$name.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-wave-$name")
+      val stage = tmp.resolve("stage").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, target)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(tmp.toFile)
+    }
+  }
+
+  /** Runs the incremental frontier to convergence. `edges` is
+    * (src, dst); `seeds` is (doc_id). Returns the visited table:
+    * (doc_id, depth of first discovery) — BFS shortest-round depths,
+    * read back from the ManifestCommit state under `root/visited`. */
+  def run(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      root: String, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rootP = java.nio.file.Paths.get(root)
+    val landing = rootP.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val ckpt = rootP.resolve("ckpt").toString
+    val table = rootP.resolve("visited").toString
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    land(seeds.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("depth", lit(0L)), landing, "wave-00000")
+    val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, depth BIGINT")
+    var rounds = 0
+    var prev = -1L
+    var cur = 0L
+    while (rounds < maxRounds && cur != prev) {
+      prev = cur
+      val q = spark.readStream.schema(waveSchema)
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          // a backlog replay can deliver several waves in one batch:
+          // keep each doc's smallest depth (BFS first-discovery)
+          val wave = batch.groupBy("doc_id")
+            .agg(min("depth").as("depth"))
+          val fresh = wave
+            .join(visitedOrEmpty(ss, table), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (fresh.head(1).nonEmpty) {
+            // PARTITION the commit by depth: ManifestCommit's upsert
+            // keys entries by partition path, so an unpartitioned txn
+            // would REPLACE the previous round's entry (root key "")
+            // instead of accumulating — each round must land as a new
+            // depth=D partition for the visited set to grow
+            graft.sources.ManifestCommit
+              .overwriteViaManifest(ss, table, Seq("depth"))(
+                dir => fresh.write.partitionBy("depth").parquet(dir))
+            val d = fresh.agg(max("depth")).head().getLong(0)
+            val next = e
+              .join(fresh.select(col("doc_id").as("src")), Seq("src"))
+              .select(col("dst").as("doc_id")).distinct()
+              .join(visitedOrEmpty(ss, table), Seq("doc_id"), "left_anti")
+              .withColumn("depth", lit(d + 1L))
+              .localCheckpoint()
+            if (next.head(1).nonEmpty)
+              land(next, landing, f"wave-${d + 1L}%05d")
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      cur = graft.sources.ManifestCommit.currentSnapshot(spark, table)
+        .map(_ => graft.sources.ManifestCommit
+          .countManifested(spark, table)).getOrElse(0L)
+      rounds += 1
+    }
+    visitedOrEmpty(spark, table)
+  }
+}

@@ -401,6 +401,31 @@ class WebIngestSpec extends AnyFunSuite {
     assert(resolveCharset(None, lateMeta)._1 == "UTF-8")
   }
 
+  test("incremental frontier: BFS depths, convergence, and replay is a no-op") {
+    // 12-node graph: 0->1->2->3 chain, 2->4, a cycle 3->0, and 5..11
+    // unreachable; two seeds {0, 5}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 0L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("doc_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-cf").toString
+    val got = graft.streaming.CrawlFrontier.run(spark, edges, seeds, root)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+    val waves = new java.io.File(s"$root/landing").list()
+      .count(_.endsWith(".parquet"))
+    assert(waves == 4) // depths 0..3; the cycle back to 0 lands nothing
+    // replay convergence: a re-run over the same root (same checkpoint,
+    // same visited table, same wave files) changes NOTHING — no new
+    // waves, no duplicate admissions, identical depths
+    val again = graft.streaming.CrawlFrontier.run(spark, edges, seeds, root)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    assert(new java.io.File(s"$root/landing").list()
+      .count(_.endsWith(".parquet")) == 4)
+    assert(graft.sources.ManifestCommit
+      .readManifested(spark, s"$root/visited").count() == 6L)
+  }
+
   test("extraction plan is one shuffle-free projection over the scan") {
     val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     val plan = graft.operators.HtmlExtract.extract(pages, "html")
