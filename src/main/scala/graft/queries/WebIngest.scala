@@ -85,11 +85,12 @@ object WebIngest {
         }
         if (loc.exists()) rmTree(loc)
         val docs = t(s, d, "documents")
+        val total = docs.count()
         val n = graft.sources.WarcSource.exportWarc(docs, loc.toString,
           nShards = 8, salt = "warc1",
           bodyContentType = "text/plain; charset=utf-8", gzip = true)
-        require(n == docs.count(),
-          s"warc read-back found $n responses, corpus has ${docs.count()}")
+        require(n == total,
+          s"warc read-back found $n responses, corpus has $total")
         graft.sources.WarcSource.responseBodies(s, loc.toString)
           .select(
             regexp_extract(col("uri"), "/doc/(\\d+)$", 1)

@@ -49,10 +49,12 @@ case class WarcRecord(file: String, recordIdx: Int, warcType: String,
   * watch-item).
   *
   * SCALE: parallelism = shard count on both sides (a 100-TB crawl at the
-  * customary ~1 GB/shard is ~10^5 tasks); each read task holds one
-  * shard's COMPRESSED bytes (the binaryFile envelope, same as the
-  * zip/tar paths) plus one decompressed record. No state, no shuffle
-  * beyond the writer's single ranged exchange.
+  * customary ~1 GB/shard is ~10^5 tasks). Batch read tasks stream the
+  * shard through a PortableDataStream — memory is O(one record) TOTAL,
+  * no whole-file buffer at either layer; the streaming twin still pays
+  * the binaryFile whole-content envelope (the file-source has no
+  * streamed-content form) plus one decompressed record. No state, no
+  * shuffle beyond the writer's single ranged exchange.
   */
 object WarcSource {
 
@@ -231,12 +233,24 @@ object WarcSource {
   }
 
   /** All records of all `shard-*.warc[.gz|.zst]` files under `path`, in
-    * record order with ordinals, every record strictly framed. */
+    * record order with ordinals, every record strictly framed.
+    *
+    * Batch reads go through `sc.binaryFiles`' PortableDataStream — the
+    * task OPENS the shard and the walker consumes it record by record,
+    * so task memory is O(one record) TOTAL: not even the compressed
+    * shard bytes are buffered (the streaming twin below still pays the
+    * binaryFile whole-content envelope — the file-source has no
+    * streamed-content form). At the customary ~1 GB .warc.gz shard
+    * that is the difference between ~5 GB/task (whole-file + inflate)
+    * and a few hundred KB. */
   def records(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$path/shard-*.warc*")
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => parse(file, open(file, bytes)) }
+    val rdd = spark.sparkContext
+      .binaryFiles(s"$path/shard-*.warc*")
+      .flatMap { case (file, pds) =>
+        parse(file, wrap(file, new BufferedInputStream(pds.open(), 64 * 1024)))
+      }
+    spark.createDataset(rdd)
   }
 
   /** Streaming twin of [[records]]: a `binaryFile` file-source stream
@@ -334,17 +348,21 @@ object WarcSource {
         "charset", "was_transcoded")
   }
 
-  /** Decompression stream for one shard: gzip and zstd both read their
-    * concatenated per-record members transparently, member by member —
-    * decompressed bytes never buffer beyond the codec's window. */
-  private def open(file: String, bytes: Array[Byte]): InputStream = {
-    val raw = new ByteArrayInputStream(bytes)
+  /** Decompression wrapper for one shard stream: gzip and zstd both
+    * read their concatenated per-record members transparently, member
+    * by member — decompressed bytes never buffer beyond the codec's
+    * window. */
+  private def wrap(file: String, raw: InputStream): InputStream =
     if (file.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
     else if (file.endsWith(".zst"))
       new BufferedInputStream(
         new com.github.luben.zstd.ZstdInputStream(raw), 64 * 1024)
     else raw
-  }
+
+  /** [[wrap]] over in-memory content (the streaming file-source path,
+    * which delivers whole-file bytes). */
+  private def open(file: String, bytes: Array[Byte]): InputStream =
+    wrap(file, new ByteArrayInputStream(bytes))
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
