@@ -187,29 +187,62 @@ object HtmlExtract {
   // page: the outbound edges (frontier discovery, link-graph analytics).
   // ---------------------------------------------------------------------
 
+  /** RFC 3986 §5.2.4 dot-segment removal on the PATH part of an
+    * absolute http(s) URL: `/./` collapses, `seg/../` cancels, and
+    * leading `/../` (an over-escaping `..`) clamps to the root — the
+    * real-world "../../style.css" case. A fixed number of
+    * `regexp_replace` passes reaches the fixed point for any nesting
+    * depth ≤ 16 (real paths are far shallower; deeper leftovers pass
+    * through unresolved rather than wrong). */
+  private def removeDotSegments(u: Column): Column = {
+    val head = regexp_extract(u, "^(https?://[^/?#]+)", 1)
+    val tail = u.substr(length(head) + 1, lit(1 << 24))
+    val path = regexp_replace(tail, "[?#].*$", "")
+    val rest = tail.substr(length(path) + 1, lit(1 << 24))
+    val noDot = regexp_replace(
+      regexp_replace(path, "/\\.(?=/|$)", ""), "^\\./", "")
+    val collapsed = (1 to 16).foldLeft(noDot)((p, _) =>
+      regexp_replace(p, "/(?!\\.\\./)[^/]+/\\.\\.(?=/|$)", ""))
+    val clamped = regexp_replace(collapsed, "^(/\\.\\.)+(?=/|$)", "")
+    // fast path: ordinary dots (.html, .css) are not dot SEGMENTS —
+    // only a "." or ".." bounded by slashes/ends engages the rewrite
+    val hasDotSeg = path.rlike("(^|/)\\.\\.?(/|$)")
+    when(head === "" || !hasDotSeg, u)
+      .otherwise(concat(head,
+        when(clamped === "" && (path =!= ""), lit("/")).otherwise(clamped),
+        rest))
+  }
+
   /** `array<struct<url, anchor>>` of the page's anchors, hrefs
-    * absolutized against `baseUrl` (RFC 3986 simplified: absolute
-    * http(s) kept; `//host/...` gets the base scheme; `/path` gets the
-    * base origin; other relative paths resolve against the base
-    * directory; fragment-only and non-http(s)-scheme hrefs — mailto:,
+    * absolutized against the page's `<base href>` when present, else
+    * `baseUrl` (RFC 3986 simplified: absolute http(s) kept; `//host/...`
+    * gets the base scheme; `/path` gets the base origin; other relative
+    * paths resolve against the base directory, with §5.2.4 dot-segment
+    * removal; fragment-only and non-http(s)-scheme hrefs — mailto:,
     * javascript: — are dropped). Pure column chain, per-row only. */
   def links(html: Column, baseUrl: Column): Column = {
     val anchors = regexp_extract_all(stripNoise(html),
       lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"),
       lit(0))
-    val origin = regexp_extract(baseUrl, "^(https?://[^/?#]+)", 1)
-    val scheme = regexp_extract(baseUrl, "^(https?):", 1)
+    // <base href> lives in <head>, which stripNoise removes — read it
+    // off the RAW html; only an absolute http(s) base overrides (the
+    // WHATWG fallback for anything else is the document URL)
+    val baseTag = regexp_extract(html,
+      "(?is)<base\\b[^>]*\\bhref\\s*=\\s*[\"'](https?://[^\"']*)[\"']", 1)
+    val base = when(baseTag =!= "", baseTag).otherwise(baseUrl)
+    val origin = regexp_extract(base, "^(https?://[^/?#]+)", 1)
+    val scheme = regexp_extract(base, "^(https?):", 1)
     val baseDir = regexp_replace(
-      regexp_replace(baseUrl, "[?#].*$", ""), "[^/]*$", "")
+      regexp_replace(base, "[?#].*$", ""), "[^/]*$", "")
     val resolved = transform(anchors, a => {
       val href = regexp_extract(a,
         "(?is)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
       val url = when(href.rlike("^https?://"), href)
         .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-        .when(href.startsWith("/"), concat(origin, href))
+        .when(href.startsWith("/"), removeDotSegments(concat(origin, href)))
         .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || href.startsWith("#") ||
           (href === ""), lit(null).cast("string"))
-        .otherwise(concat(baseDir, href))
+        .otherwise(removeDotSegments(concat(baseDir, href)))
       struct(url.as("url"), cleanText(a).as("anchor"))
     })
     filter(resolved, l => l.getField("url").isNotNull)

@@ -792,6 +792,72 @@ object WebIngest {
              |  'HTTP/1.1 200 OK' AS status,
              |  CAST(len(d.text) AS BIGINT) AS n_bytes
              |FROM documents d JOIN k USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- pipeline v9: the COMPLETE crawl LOOP — q487 covered landing →
+    // training data; this covers landing → the next fetch wave. Pages
+    // land as .warc.gz, the strict reader ingests them, links extract
+    // off the landed HTML (not the pristine corpus), absolutize +
+    // canonicalize, the robots anchor rule gates targets, and
+    // [[CrawlFrontier]] runs the frontier to CONVERGENCE against its
+    // ManifestCommit visited table. One oracle hash = WARC framing +
+    // extraction + absolutization + canonicalization + RFC 9309
+    // matching + incremental BFS admission, composed. Depths differ
+    // from q495's ungated graph wherever a blocked hop was the short
+    // path, so the gate's effect on the BFS tree is itself in the hash.
+    Q("q497_pipeline_v9",
+      (s, d) => {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        val locW = new java.io.File(Tables.roundtripLoc(d, "v9warc"))
+        val locF = new java.io.File(Tables.roundtripLoc(d, "v9frontier"))
+        if (locW.exists()) rmTree(locW)
+        if (locF.exists()) rmTree(locF)
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = docs.select(col("doc_id"),
+          graft.operators.HtmlExtract
+            .syntheticPageLinked(col("text"), col("doc_id"), n).as("html"))
+        graft.sources.WarcSource.exportWarc(pages, locW.toString,
+          nShards = 8, salt = "v9w", bodyCol = "html", gzip = true,
+          verify = false)
+        val rules = graft.operators.Robots.rulesLiteral(s,
+          "User-agent: *\r\nDisallow: /doc/*0$\r\n")
+        val edges = graft.sources.WarcSource
+          .responseBodies(s, locW.toString)
+          .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("src"), col("body").as("html"),
+            col("uri").as("url"))
+          .select(col("src"),
+            explode(graft.operators.HtmlExtract
+              .links(col("html"), col("url"))).as("l"))
+          .select(col("src"),
+            graft.operators.HtmlExtract.canonicalizeUrl(col("l.url"))
+              .as("u"))
+          .where(col("u").rlike("^https://example\\.org/doc/\\d+$"))
+          .where(graft.operators.Robots.robotsAllows(rules, lit("graftbot"),
+            regexp_extract(col("u"),
+              "^https://example\\.org(/doc/\\d+)$", 1)))
+          .select(col("src"),
+            regexp_extract(col("u"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"))
+        val seeds = docs.where(col("doc_id") < 10).select("doc_id")
+        graft.streaming.CrawlFrontier
+          .run(s, edges, seeds, locF.toString)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*7 + k) % c AS dst
+             |      FROM documents, n, (VALUES (1),(2),(3)) v(k)),
+             |ee AS (SELECT src, dst FROM e WHERE dst % 10 <> 0),
+             |bfs(doc_id, depth) AS (
+             |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 10
+             |  UNION
+             |  SELECT ee.dst, b.depth + 1 FROM bfs b JOIN ee ON ee.src = b.doc_id
+             |  WHERE b.depth < 40)
+             |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

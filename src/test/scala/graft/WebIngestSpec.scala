@@ -205,6 +205,32 @@ class WebIngestSpec extends AnyFunSuite {
       "https://example.org/dir/sub/page.html" -> "dir rel"))
   }
 
+  test("links: <base href> overrides the page URL; dot segments resolve per RFC 3986") {
+    val html = """<head><base href="https://cdn.example.net/assets/v2/page.html"></head>
+      |<div><a href="style/../theme.css">theme</a>
+      |<a href="./deep/../../up.html">up</a>
+      |<a href="/a/b/./c/../d">mixed</a>
+      |<a href="../../../over.html">over</a></div>""".stripMargin
+    val out = Seq((1L, html, "https://example.org/dir/base.html"))
+      .toDF("id", "html", "url")
+      .select(explode(graft.operators.HtmlExtract
+        .links(col("html"), col("url"))).as("l"))
+      .select("l.url").as[String].collect().toSeq
+    assert(out == Seq(
+      "https://cdn.example.net/assets/v2/theme.css",
+      "https://cdn.example.net/assets/up.html",
+      "https://cdn.example.net/a/b/d",
+      // three ".." against a two-deep base clamp to the root
+      "https://cdn.example.net/over.html"))
+    // no base tag: the document URL resolves, with dot segments
+    val plain = Seq((1L, """<p><a href="../x.html">x</a></p>""",
+      "https://example.org/d1/d2/page.html")).toDF("id", "html", "url")
+      .select(explode(graft.operators.HtmlExtract
+        .links(col("html"), col("url"))).as("l"))
+      .select("l.url").as[String].head()
+    assert(plain == "https://example.org/d1/x.html")
+  }
+
   test("url canonicalization: ports, case, params, fragments, slashes") {
     val cases = Seq(
       "HTTP://WWW.Site.COM:80/A/B/?z=1&utm_campaign=x&a=2#top" ->
