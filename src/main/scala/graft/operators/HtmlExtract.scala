@@ -62,61 +62,23 @@ object HtmlExtract {
       regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
   }
 
-  /** `&#NNN;` / `&#xHH;` numeric character references — ubiquitous in
-    * real pages (`&#8212;`, `&#x27;`, ...); without them extracted bytes
-    * and downstream shingles/hashes silently corrupt. */
-  private val NumRefPat = "&#(?:[0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
-
-  /** Codepoint → its character, pure columns: UTF-16BE hex (a surrogate
-    * pair above the BMP) through unhex + decode. */
-  private def codepointChar(cp: Column): Column = {
-    val bmp = lpad(hex(cp), 4, "0")
-    val v = cp - 0x10000L
-    val hi = lpad(hex(shiftright(v, 10) + 0xD800L), 4, "0")
-    val lo = lpad(hex(v.bitwiseAND(lit(0x3FFL)) + 0xDC00L), 4, "0")
-    decode(unhex(when(cp > 0xFFFF, concat(hi, lo)).otherwise(bmp)),
-      "UTF-16BE")
-  }
-
-  /** One captured numeric reference → its character; invalid codepoints
-    * (0, the surrogate range, > U+10FFFF) pass through as literal text. */
-  private def decodeNumRef(e: Column): Column = {
-    val isHex = e.rlike("^&#[xX]")
-    val digits = regexp_replace(e, "(?i)^&#x?|;$", "")
-    val cp = when(isHex, conv(digits, 16, 10).cast("long"))
-      .otherwise(digits.cast("long"))
-    val valid = cp.isNotNull && cp > 0 && cp <= 0x10FFFFL &&
-      !(cp >= 0xD800L && cp <= 0xDFFFL)
-    when(valid, codepointChar(cp)).otherwise(e)
-  }
-
-  /** All numeric references of `c` decoded in place: split keeps the
-    * literal segments, the captured refs decode one by one, and
-    * segments + decoded refs reassemble in order. Pure column chain. */
-  private def decodeNumericRefs(c: Column): Column = {
-    val segs = split(c, NumRefPat, -1)
-    val ents = regexp_extract_all(c, lit(s"($NumRefPat)"), lit(1))
-    val n = size(ents)
-    when(n === 0, c).otherwise(concat(
-      array_join(transform(sequence(lit(1), n), i =>
-        concat(element_at(segs, i), decodeNumRef(element_at(ents, i)))), ""),
-      element_at(segs, -1)))
-  }
-
   /** Decode the entity set that survives tag stripping: the named set,
-    * then numeric references, then `&amp;` LAST — single-pass HTML
-    * semantics, so `&amp;lt;` round-trips to `&lt;` (not `<`) and
-    * `&#38;lt;` lands as `&lt;` without re-decoding. The numeric pass
-    * only engages when the block contains "&#" (most blocks don't —
-    * the hot path stays two scans shorter). */
+    * then `&#NNN;`/`&#xHH;` numeric references (ubiquitous in real
+    * pages; without them extracted bytes and downstream shingles/hashes
+    * silently corrupt), then `&amp;` LAST — single-pass HTML semantics,
+    * so `&amp;lt;` round-trips to `&lt;` (not `<`) and `&#38;lt;` lands
+    * as `&lt;` without re-decoding. The numeric pass is the codegen'd
+    * [[graft.expressions.DecodeHtmlNumRefs]] kernel — ONE static call
+    * per block instead of a split/extract_all/transform chain (which
+    * measurably pushed the whole extraction projection out of tight
+    * codegen), with a no-"&#" fast path inside. */
   private def decodeEntities(c: Column): Column = {
     val pre = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ")
     val named = pre.foldLeft(c) { case (acc, (e, r)) =>
       replace(acc, lit(e), lit(r))
     }
-    val num = when(named.contains("&#"), decodeNumericRefs(named))
-      .otherwise(named)
+    val num = graft.expressions.DecodeHtmlNumRefs.decode_html_num_refs(named)
     replace(num, lit("&amp;"), lit("&"))
   }
 
