@@ -92,6 +92,67 @@ object Robots {
       .cast("array<struct<agent:string,pat:string,allow:boolean>>")
   }
 
+  /** `array<struct<agent, delay>>` of per-group `Crawl-delay:` values
+    * (not in RFC 9309 but honored by every major crawler). Every
+    * `User-agent:` token also lands a null-delay MARKER entry, so group
+    * SELECTION sees groups that declare no delay — a crawler whose own
+    * group is silent must get "no delay", not the `*` group's value.
+    * Non-numeric delay values are dropped. */
+  def crawlDelays(txt: Column): Column = {
+    val lines = filter(
+      transform(split(txt, "\r?\n"),
+        l => wtrim(regexp_replace(l, "#.*$", ""))),
+      l => l =!= "")
+    val ruleT = "array<struct<agent:string,delay:double>>"
+    val accT = s"struct<agents:array<string>,ua:boolean,out:$ruleT>"
+    val empty = typedLit(Seq.empty[(String, Double)]).cast(ruleT)
+    val init = struct(
+      typedLit(Seq.empty[String]).as("agents"),
+      lit(false).as("ua"), empty.as("out"))
+    val acc = aggregate(lines, init.cast(accT), (st, l) => {
+      val field = lower(wtrim(substring_index(l, ":", 1)))
+      val value = wtrim(expr_substr_after_colon(l))
+      val isUa = field === "user-agent"
+      val agents2 = when(isUa && st.getField("ua"),
+          concat(st.getField("agents"), array(lower(value))))
+        .when(isUa, array(lower(value)))
+        .otherwise(st.getField("agents"))
+      val d = value.cast("double")
+      val newRules = when(isUa,
+          array(struct(lower(value).as("agent"),
+            lit(null).cast("double").as("delay"))))
+        .when(field === "crawl-delay" && d.isNotNull,
+          transform(st.getField("agents"), a =>
+            struct(a.as("agent"), d.as("delay"))))
+        .otherwise(empty)
+      struct(agents2.as("agents"), isUa.as("ua"),
+        concat(st.getField("out"), newRules).as("out"))
+    })
+    acc.getField("out")
+  }
+
+  /** The Crawl-delay for a crawler UA: the group with the longest
+    * matching product token wins (`*` fallback, [[robotsAllows]]'
+    * selection rule); within the group the LAST declared value wins
+    * (the [[graft.sources.CpcDimSources]] keepLast convention). Null
+    * when the selected group (or the whole file) declares none. */
+  def crawlDelayFor(delays: Column, agent: Column): Column = {
+    val ua = lower(agent)
+    val bestAgentLen = aggregate(delays, lit(-1), (m, r) => {
+      val t = r.getField("agent")
+      when(t =!= "*" && ua.contains(t) && length(t).cast("int") > m,
+        length(t).cast("int")).otherwise(m)
+    })
+    val chosen = filter(delays, r => {
+      val t = r.getField("agent")
+      when(bestAgentLen >= 0,
+        t =!= "*" && ua.contains(t) && length(t).cast("int") === bestAgentLen)
+        .otherwise(t === "*")
+    })
+    aggregate(chosen, lit(null).cast("double"),
+      (acc, r) => coalesce(r.getField("delay"), acc))
+  }
+
   /** `Sitemap:` URLs of a robots.txt body (group-independent per RFC). */
   def sitemaps(txt: Column): Column =
     filter(

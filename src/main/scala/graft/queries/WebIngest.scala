@@ -858,6 +858,98 @@ object WebIngest {
              |  SELECT ee.dst, b.depth + 1 FROM bfs b JOIN ee ON ee.src = b.doc_id
              |  WHERE b.depth < 40)
              |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
-             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- HTTP redirect resolution (the third discovery input): docs
+    // with id % 8 == 0 land as 301s whose RELATIVE Location points at
+    // id+4, which itself is a 302 (ABSOLUTE Location) to the terminal
+    // id+6 — a real two-hop chain exercising both Location
+    // absolutization forms; wrap-guards keep targets in-corpus and the
+    // chain analytic. The oracle states status, final target, and hop
+    // count per doc, so per-row status/Location export, header parsing,
+    // absolutization, and the iterative follow-join are all in the
+    // hash.
+    Q("q498_redirect_follow",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warcredir"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val isA = col("doc_id") % 8 === 0 && col("doc_id") + 6 < n
+        val isB = col("doc_id") % 8 === 4 && col("doc_id") + 2 < n
+        val input = docs.select(col("doc_id"), col("text"),
+          when(isA, lit("301 Moved Permanently"))
+            .when(isB, lit("302 Found")).otherwise(lit("200 OK"))
+            .as("stat"),
+          when(isA, concat(lit("/doc/"), (col("doc_id") + 4).cast("string")))
+            .when(isB, concat(lit("https://example.org/doc/"),
+              (col("doc_id") + 2).cast("string")))
+            .otherwise(lit("")).as("loc"))
+        graft.sources.WarcSource.exportWarc(input, loc.toString,
+          nShards = 8, salt = "rd19",
+          bodyContentType = "text/plain; charset=utf-8", gzip = true,
+          statusCol = "stat", locationCol = "loc", verify = false)
+        val responses = graft.sources.WarcSource
+          .responseBodies(s, loc.toString)
+          .select(col("uri").as("url"), col("status_code"), col("location"))
+        graft.operators.Redirects.follow(responses)
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            regexp_extract(col("final_url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("final_id"),
+            col("n_hops"),
+            col("resolved").cast("long").as("resolved"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 8 = 0 AND doc_id + 6 < c THEN doc_id + 6
+             |            WHEN doc_id % 8 = 4 AND doc_id + 2 < c THEN doc_id + 2
+             |            ELSE doc_id END AS BIGINT) AS final_id,
+             |  CAST(CASE WHEN doc_id % 8 = 0 AND doc_id + 6 < c THEN 2
+             |            WHEN doc_id % 8 = 4 AND doc_id + 2 < c THEN 1
+             |            ELSE 0 END AS BIGINT) AS n_hops,
+             |  CAST(1 AS BIGINT) AS resolved
+             |FROM documents, n ORDER BY doc_id""".stripMargin)),
+
+    // ---- Crawl-delay politeness schedule: four hosts declare
+    // host-dependent delays for the crawler's UA group (with a slower
+    // '*' fallback group that must NOT be selected), and each host's
+    // fetch queue is laid out on the delay grid — slot k × delay
+    // seconds, FIFO by doc_id. Group selection (longest token), the
+    // delay parse, and the per-host window are all in the hash.
+    Q("q499_politeness_schedule",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val hosts = docs.select((col("doc_id") % 4).as("host")).distinct()
+          .withColumn("delays", graft.operators.Robots.crawlDelays(concat(
+            lit("User-agent: graftbot\r\nCrawl-delay: "),
+            (col("host") + 1).cast("string"),
+            lit("\r\nUser-agent: *\r\nCrawl-delay: 30\r\n"))))
+          .select(col("host"),
+            graft.operators.Robots.crawlDelayFor(col("delays"),
+              lit("graftbot/1.0 (+https://example.org/bot)"))
+              .as("delay_sec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("host").orderBy("doc_id")
+        docs.select(col("doc_id"), (col("doc_id") % 4).as("host"))
+          .join(broadcast(hosts), Seq("host"))
+          .withColumn("slot_sec",
+            ((row_number().over(w) - 1).cast("double") * col("delay_sec")))
+          .select(col("doc_id"), col("host"),
+            col("delay_sec").cast("long").as("delay_sec"),
+            col("slot_sec").cast("long").as("slot_sec"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, doc_id % 4 AS host,
+             |  CAST(doc_id % 4 + 1 AS BIGINT) AS delay_sec,
+             |  CAST((row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1)
+             |    * (doc_id % 4 + 1) AS BIGINT) AS slot_sec
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -115,9 +115,11 @@ object WarcSource {
     bos.toByteArray
   }
 
-  private def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
-    val head = (s"HTTP/1.1 200 OK${CRLF}Content-Type: $contentType$CRLF" +
-      s"Content-Length: ${body.length}$CRLF$CRLF")
+  private def httpResponse(body: Array[Byte], contentType: String,
+      status: String = "200 OK", location: String = ""): Array[Byte] = {
+    val loc = if (location.isEmpty) "" else s"Location: $location$CRLF"
+    val head = (s"HTTP/1.1 $status${CRLF}Content-Type: $contentType$CRLF" +
+      loc + s"Content-Length: ${body.length}$CRLF$CRLF")
       .getBytes(StandardCharsets.US_ASCII)
     val out = new ByteArrayOutputStream(head.length + body.length)
     out.write(head)
@@ -157,7 +159,8 @@ object WarcSource {
       idCol: String = "doc_id", bodyCol: String = "text",
       bodyContentType: String = "text/html; charset=utf-8",
       gzip: Boolean = false, codec: String = "",
-      contentTypeCol: String = "", verify: Boolean = true): Long = {
+      contentTypeCol: String = "", verify: Boolean = true,
+      statusCol: String = "", locationCol: String = ""): Long = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
     val codecName =
       if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
@@ -173,10 +176,20 @@ object WarcSource {
     val ctypeCol =
       if (contentTypeCol.nonEmpty) col(contentTypeCol).cast("string")
       else lit(bodyContentType)
+    // per-row HTTP status ("301 Moved Permanently") and Location header
+    // — the shapes a real fetcher lands for redirects; defaults keep
+    // every existing export byte-identical
+    val statCol =
+      if (statusCol.nonEmpty) col(statusCol).cast("string")
+      else lit("200 OK")
+    val locCol =
+      if (locationCol.nonEmpty)
+        coalesce(col(locationCol).cast("string"), lit(""))
+      else lit("")
     val payload = docs.join(slots, Seq(idCol)).select(
       col("shard"), col("pos"),
       col(idCol).cast("long").as("id"), bodyBytes.as("body"),
-      ctypeCol.as("ctype"))
+      ctypeCol.as("ctype"), statCol.as("stat"), locCol.as("loc"))
     val sc = new TarShards.SerializableConf(spark.sessionState.newHadoopConf())
     val dir = path
     val ext = extFor(codecName)
@@ -190,7 +203,8 @@ object WarcSource {
         .foreach(s => fs0.delete(s.getPath, false))
     payload.rdd
       .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getAs[Array[Byte]](3), r.getString(4))))
+        (r.getLong(2), r.getAs[Array[Byte]](3), r.getString(4),
+          r.getString(5), r.getString(6))))
       .repartitionAndSortWithinPartitions(new ShardPartitioner(nShards))
       .foreachPartition { it =>
         if (it.hasNext) {
@@ -213,8 +227,8 @@ object WarcSource {
               "WARC-Date" -> Epoch,
               "WARC-Filename" -> f"shard-$shard%05d$ext",
               "Content-Type" -> "application/warc-fields"), infoBody))
-            (Iterator(first) ++ it).foreach { case (_, (id, body, ct)) =>
-              val http = httpResponse(body, ct)
+            (Iterator(first) ++ it).foreach { case (_, (id, body, ct, st, lo)) =>
+              val http = httpResponse(body, ct, st, lo)
               emit(record(Seq(
                 "WARC-Type" -> "response",
                 "WARC-Record-ID" -> urnUuid(s"$salt:response:$id"),
@@ -346,11 +360,17 @@ object WarcSource {
       .map { r =>
         val (status, hdrs, body) = httpPartsWithHeaders(r.payload)
         val (cs, text) = resolveCharset(hdrs.get("content-type"), body)
-        (r.file, r.recordIdx, r.targetUri, status, text, cs,
+        val code = status.split(" ", 3) match {
+          case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
+            parts(1).toInt
+          case _ => -1
+        }
+        (r.file, r.recordIdx, r.targetUri, status, code,
+          hdrs.getOrElse("location", ""), text, cs,
           cs != StandardCharsets.UTF_8.name())
       }
-      .toDF("file", "record_idx", "uri", "status", "body",
-        "charset", "was_transcoded")
+      .toDF("file", "record_idx", "uri", "status", "status_code",
+        "location", "body", "charset", "was_transcoded")
   }
 
   /** Decompression wrapper for one shard stream: gzip and zstd both

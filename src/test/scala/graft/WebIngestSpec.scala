@@ -285,6 +285,46 @@ class WebIngestSpec extends AnyFunSuite {
     assert(robotsCheck(r, "b", "/midXXX"))
   }
 
+  test("redirects: relative/absolute Location hops, caps, and cycles") {
+    val rows = Seq(
+      // a -> b (relative, dir-resolved) -> c (absolute) -> terminal
+      ("https://h/x/a", 301, "b"),
+      ("https://h/x/b", 302, "https://h/c"),
+      ("https://h/c", 200, ""),
+      // site-absolute Location
+      ("https://h/d", 307, "/c"),
+      // 2-cycle: never resolves
+      ("https://h/p", 301, "/q"),
+      ("https://h/q", 301, "/p"),
+      // 3xx without Location: terminal (resolved) where it stands
+      ("https://h/nl", 304, "")).toDF("url", "status_code", "location")
+    val got = graft.operators.Redirects.follow(rows, maxHops = 8)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("https://h/x/a") == (("https://h/c", 2L, true)))
+    assert(got("https://h/x/b") == (("https://h/c", 1L, true)))
+    assert(got("https://h/c") == (("https://h/c", 0L, true)))
+    assert(got("https://h/d") == (("https://h/c", 1L, true)))
+    assert(got("https://h/nl") == (("https://h/nl", 0L, true)))
+    val (pf, ph, pr) = got("https://h/p")
+    assert(!pr && ph == 8L && (pf == "https://h/p" || pf == "https://h/q"))
+  }
+
+  test("crawl-delay: group selection, last-wins, '*' fallback, absent -> null") {
+    val r = "User-agent: graftbot\r\nCrawl-delay: 2\r\nCrawl-delay: 3\r\n" +
+      "User-agent: *\r\nCrawl-delay: 10\r\nUser-agent: slowbot\r\nDisallow: /\r\n"
+    def delayFor(ua: String): Option[Double] =
+      Seq(r).toDF("r").select(graft.operators.Robots.crawlDelayFor(
+        graft.operators.Robots.crawlDelays(col("r")), lit(ua)))
+        .as[Option[Double]].head()
+    assert(delayFor("GraftBot/1.0") == Some(3.0)) // last declared wins
+    assert(delayFor("otherbot") == Some(10.0))    // '*' fallback
+    assert(delayFor("slowbot") == None)           // its group declares none
+    assert(Seq("").toDF("r").select(graft.operators.Robots.crawlDelayFor(
+      graft.operators.Robots.crawlDelays(col("r")), lit("x")))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("sitemap index: child locs extract with entity decoding") {
     val xml = """<?xml version="1.0"?><sitemapindex>
       |<sitemap><loc>https://a/s1.xml</loc><lastmod>2026-01-01</lastmod></sitemap>
