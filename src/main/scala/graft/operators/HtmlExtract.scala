@@ -210,13 +210,16 @@ object HtmlExtract {
     filter(resolved, l => l.getField("url").isNotNull)
   }
 
-  /** `struct<title, description, lang, og_title>` page metadata — the
-    * crawl-enrichment fields consumed before/alongside extraction
-    * (title for display, description for retrieval snippets, the html
-    * lang attribute as the language-ID prior, og:title as the
-    * publisher's canonical title). Tag-attribute order is handled for
-    * the common name-then-content form; absent fields are ''. Pure
-    * column chain, per-row. */
+  /** `struct<title, description, lang, og_title, canonical>` page
+    * metadata — the crawl-enrichment fields consumed before/alongside
+    * extraction (title for display, description for retrieval
+    * snippets, the html lang attribute as the language-ID prior,
+    * og:title as the publisher's canonical title, `<link
+    * rel="canonical">` as the publisher's dedup URL — the strongest
+    * same-page signal a crawler gets). Tag-attribute order is handled
+    * for the common name-then-content form (and both orders for the
+    * canonical link); absent fields are ''. Pure column chain,
+    * per-row. */
   def pageMeta(html: Column): Column = {
     val title = cleanText(
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
@@ -225,8 +228,17 @@ object HtmlExtract {
         "[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1))
     val lang = trim(regexp_extract(html,
       "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+    val canonFwd = regexp_extract(html,
+      "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"']" +
+        "[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val canonRev = regexp_extract(html,
+      "(?is)<link\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']" +
+        "[^>]*rel\\s*=\\s*[\"']canonical[\"']", 1)
+    val canonical = trim(when(canonFwd =!= "", canonFwd)
+      .otherwise(canonRev))
     struct(title.as("title"), metaContent("description").as("description"),
-      lang.as("lang"), metaContent("og:title").as("og_title"))
+      lang.as("lang"), metaContent("og:title").as("og_title"),
+      canonical.as("canonical"))
   }
 
   /** Canonical URL for frontier/crawl dedup (the standard normalizer

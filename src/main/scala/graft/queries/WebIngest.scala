@@ -540,15 +540,25 @@ object WebIngest {
 
     // ---- page metadata extraction: title (whitespace-normalized),
     // meta description, the html lang attribute (the language-ID
-    // prior), and og:title from a constructed head — the crawl
-    // enrichment fields read alongside main-content extraction.
+    // prior), og:title, and the rel=canonical link (both attribute
+    // orders — odd doc_ids carry href-before-rel) from a constructed
+    // head — the crawl enrichment fields read alongside main-content
+    // extraction.
     Q("q492_page_metadata",
       (s, d) => {
         val head5 = array_join(slice(split(col("text"), " "), 1, 5), " ")
+        val canonHref = concat(lit("https://example.org/canon/"),
+          (col("doc_id") % 100).cast("string"))
+        val canonTag = when(col("doc_id") % 2 === 0,
+            concat(lit("<link rel=\"canonical\" href=\""), canonHref,
+              lit("\">")))
+          .otherwise(concat(lit("<link href=\""), canonHref,
+            lit("\" rel=\"canonical\">")))
         val page = concat(
           lit("<!DOCTYPE html><html lang=\""), col("lang"), lit("\"><head>"),
           lit("<title> Doc "), col("doc_id"), lit(" </title>"),
           lit("<meta name=\"description\" content=\""), head5, lit("\">"),
+          canonTag,
           lit("<meta property=\"og:title\" content=\"OG Doc "),
           col("doc_id"), lit("\">"),
           lit("</head><body><p>x</p></body></html>"))
@@ -557,12 +567,14 @@ object WebIngest {
             graft.operators.HtmlExtract.pageMeta(col("html")).as("m"))
           .select(col("doc_id"), col("m.title").as("title"),
             col("m.description").as("description"),
-            col("m.lang").as("lang"), col("m.og_title").as("og_title"))
+            col("m.lang").as("lang"), col("m.og_title").as("og_title"),
+            col("m.canonical").as("canonical"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
              |  array_to_string(string_split(text, ' ')[1:5], ' ') AS description,
-             |  lang, 'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title
+             |  lang, 'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+             |  'https://example.org/canon/' || CAST(doc_id % 100 AS VARCHAR) AS canonical
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- charset-aware WARC decode (round 19 #1): bodies are BYTE-BUILT
@@ -950,6 +962,62 @@ object WebIngest {
              |  CAST(doc_id % 4 + 1 AS BIGINT) AS delay_sec,
              |  CAST((row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1)
              |    * (doc_id % 4 + 1) AS BIGINT) AS slot_sec
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- recrawl delta: the step that closes the crawl LIFECYCLE —
+    // a freshly-fetched sitemap wave (parsed from built <urlset>
+    // bodies, the q491 loop) diffed against the fetched-state table:
+    // URLs absent from the state are NEW, URLs whose sitemap lastmod
+    // moved past the recorded fetch date are MODIFIED, the rest are
+    // skipped. State: docs with doc_id % 5 == 0 were never fetched;
+    // fetch dates lag the new lastmod for doc_id % 3 == 0. The oracle
+    // states the delta analytically, so sitemap parsing, the date
+    // comparison, and the anti/semi membership split are all in the
+    // hash.
+    Q("q500_recrawl_delta",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // new sitemap wave: per-host urlsets with the CURRENT lastmod
+        val newLastmod = concat(lit("2026-02-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+        val urls = docs.select((col("doc_id") % 4).as("host"),
+          struct(
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("loc"),
+            newLastmod.as("lastmod")).as("u"))
+        val xmls = urls.groupBy("host").agg(
+          graft.operators.Sitemaps.buildUrlset(
+            sort_array(collect_list(col("u")))).as("xml"))
+        val wave = xmls
+          .select(explode(graft.operators.Sitemaps.entries(col("xml")))
+            .as("e"))
+          .select(col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+        // fetched state: doc_id % 5 == 0 never fetched; fetch date is
+        // Feb lastmod for doc_id % 3 != 0 (fresh), Jan for % 3 == 0
+        // (stale -> modified)
+        val state = docs.where(col("doc_id") % 5 =!= 0)
+          .select(
+            concat(lit("https://example.org/doc/"), col("doc_id"))
+              .as("loc"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("2026-01-"),
+                lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+              .otherwise(concat(lit("2026-02-"),
+                lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+              .as("fetched"))
+        val newUrls = wave.join(state, Seq("loc"), "left_anti")
+          .select(col("loc"), lit("new").as("reason"))
+        val modified = wave.join(state, Seq("loc"))
+          .where(col("lastmod") > col("fetched"))
+          .select(col("loc"), lit("modified").as("reason"))
+        newUrls.union(modified)
+          .select(regexp_extract(col("loc"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("reason"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'new' ELSE 'modified' END AS reason
+             |FROM documents
+             |WHERE doc_id % 5 = 0 OR doc_id % 3 = 0
+             |ORDER BY doc_id""".stripMargin))
   )
 }
