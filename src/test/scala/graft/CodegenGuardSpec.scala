@@ -40,7 +40,9 @@ class CodegenGuardSpec extends GraftSpec {
     "q139_bloom_gated_dedup",  // bloom words array-literal probe
     "q140_hard_negatives",     // NearestCentroid2 reference-object kernel
     "q171_jaro_winkler_match", // JaroWinkler codegen Expression
-    "q220_char_entropy")       // CharEntropy codegen Expression
+    "q220_char_entropy",       // CharEntropy codegen Expression
+    "q480_html_extract",       // DecodeHtmlNumRefs kernel (round 19)
+    "q492_page_metadata")      // pageMeta regex surface incl. canonical
 
   test("register hot paths execute with codegen fallback disabled") {
     val conf = spark.conf
