@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, JaroWinkler, RollingHash, ShingleHashes, SortedIntersectCount, TextStats}
+import graft.expressions.{CosineSimilarity, DecodeHtmlNumRefs, DotProduct, JaroWinkler, RollingHash, ShingleHashes, SortedIntersectCount, TextStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (xs: Seq[Expression]) => RollingHash(Cast(xs(0), StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("decode_html_num_refs"),
+      new ExpressionInfo(classOf[DecodeHtmlNumRefs].getName,
+        "decode_html_num_refs"),
+      (xs: Seq[Expression]) => DecodeHtmlNumRefs(Cast(xs(0), StringType))))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),

@@ -48,6 +48,11 @@ object ExtensionsDrive {
     println(s"== web surface via SQL: $w")
     assert(w.getString(0) == "ten real words of content sit in this one paragraph")
     assert(w.getString(1) == "http://x.com/A?b=2")
+    val e = spark.sql(
+      """SELECT decode_html_num_refs('em&#8212;dash don&#x27;t &#xD800; &#0;') AS d"""
+    ).collect()(0)
+    println(s"== entity kernel via SQL: $e")
+    assert(e.getString(0) == "em—dash don't &#xD800; &#0;")
     println("== extensions drive: OK")
     spark.stop()
   }
