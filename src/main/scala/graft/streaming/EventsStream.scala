@@ -693,7 +693,12 @@ object EventsStream {
     * Each `waves(i)` is exported as tar shards ([[graft.sources.TarShards
     * .exportTarShards]]) and landed under a wave-unique prefix (the file
     * tracker keys by path); one AvailableNow run per wave against ONE
-    * shared checkpoint, so run i is exactly micro-batch i. */
+    * shared checkpoint. batch_id = the wave index parsed from the landed
+    * file's `waveN-` prefix, NOT the micro-batch id — AvailableNow may
+    * split a run into several micro-batches, and the boundary the
+    * oracle pins is which landing wave a shard arrived in (the same
+    * fix as [[warcIngestDemo]]). The temp root is deleted before
+    * returning. */
   def tarShardIngestDemo(spark: SparkSession, waves: Seq[DataFrame],
       nShards: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -716,12 +721,16 @@ object EventsStream {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
-          (batch: Dataset[graft.sources.TarMember], batchId: Long) =>
+          (batch: Dataset[graft.sources.TarMember], _: Long) =>
             val mem = batch.toDF()
+              .withColumn("batch_id",
+                regexp_extract(col("file"), "wave(\\d+)-[^/]*$", 1)
+                  .cast("long"))
             val txt = mem.where(col("member").endsWith(".txt"))
               .select(regexp_extract(col("member"), "^(\\d+)\\.", 1)
                 .cast("long").as("doc_id"),
-                decode(col("content"), "UTF-8").as("text"))
+                decode(col("content"), "UTF-8").as("text"),
+                col("batch_id"))
             val meta = mem.where(col("member").endsWith(".json"))
               .select(from_json(decode(col("content"), "UTF-8"),
                 org.apache.spark.sql.types.StructType.fromDDL(
@@ -730,7 +739,6 @@ object EventsStream {
               .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
                 col("m.source").as("source"), col("m.n_chars").as("n_chars"))
             txt.join(meta, Seq("doc_id"))
-              .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(out)
             ()
         }
@@ -738,7 +746,13 @@ object EventsStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    val result = spark.read.parquet(out).localCheckpoint()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(root.toFile)
+    result
   }
 
   /** Streaming WARC ingestion — [[tarShardIngestDemo]]'s landing-zone
