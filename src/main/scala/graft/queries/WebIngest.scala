@@ -4,11 +4,16 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Tables.t
 
-/** Round-18 web-crawl ingestion tier: HTML main-content extraction
+/** Web-crawl ingestion tier: HTML main-content extraction
   * ([[graft.operators.HtmlExtract]]) and the WARC landing source
   * ([[graft.sources.WarcSource]]) — the two stages upstream of
-  * everything else in a crawl→training-data pipeline (VERDICT r17
-  * "What's missing" #1/#2).
+  * everything else in a crawl→training-data pipeline (round 18,
+  * VERDICT r17 "What's missing" #1/#2) — plus the round-19
+  * real-world-proofing tier: charset-aware decode (q493), the sitemap
+  * discovery channel (q494), the incremental frontier (q495), zstd
+  * members (q496), the crawl LOOP composition (q497), redirect
+  * resolution (q498), Crawl-delay politeness (q499), and the recrawl
+  * delta (q500).
   *
   * The testdata corpus is parquet text, not crawl HTML, so the q-rows
   * CONSTRUCT a deterministic page per document
