@@ -62,24 +62,24 @@ object HtmlExtract {
       regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
   }
 
-  /** Decode the entity set that survives tag stripping: the named set,
-    * then `&#NNN;`/`&#xHH;` numeric references (ubiquitous in real
-    * pages; without them extracted bytes and downstream shingles/hashes
-    * silently corrupt), then `&amp;` LAST — single-pass HTML semantics,
-    * so `&amp;lt;` round-trips to `&lt;` (not `<`) and `&#38;lt;` lands
-    * as `&lt;` without re-decoding. The numeric pass is the codegen'd
-    * [[graft.expressions.DecodeHtmlNumRefs]] kernel — ONE static call
-    * per block instead of a split/extract_all/transform chain (which
-    * measurably pushed the whole extraction projection out of tight
-    * codegen), with a no-"&#" fast path inside. */
+  /** Decode the entity set that survives tag stripping: the named set
+    * (whose outputs contain no '&', so decoding them first cannot feed
+    * the next stage), then ONE left-to-right scan over `&#NNN;`/
+    * `&#xHH;` numeric references AND `&amp;` — the codegen'd
+    * [[graft.expressions.DecodeHtmlNumRefs]] kernel, a single static
+    * call per block instead of a split/extract_all/transform chain
+    * (which measurably pushed the whole extraction projection out of
+    * tight codegen), with a no-"&#"/-"&amp;" fast path inside. Every
+    * entity decodes exactly once: `&amp;lt;` → `&lt;`, `&#38;lt;` →
+    * `&lt;`, and `&#38;amp;` → `&amp;` — true single-pass HTML
+    * semantics with no re-decoding of decoder output. */
   private def decodeEntities(c: Column): Column = {
     val pre = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ")
     val named = pre.foldLeft(c) { case (acc, (e, r)) =>
       replace(acc, lit(e), lit(r))
     }
-    val num = graft.expressions.DecodeHtmlNumRefs.decode_html_num_refs(named)
-    replace(num, lit("&amp;"), lit("&"))
+    graft.expressions.DecodeHtmlNumRefs.decode_html_num_refs(named)
   }
 
   /** Tag-strip + entity-decode + whitespace-normalize one block. */

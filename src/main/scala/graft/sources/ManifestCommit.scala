@@ -224,8 +224,15 @@ object ManifestCommit {
           // aborted commit on every such mount is strictly worse.
           case _: UnsupportedOperationException =>
             !fs.exists(target) && fs.rename(tmp, target)
-          case _: java.nio.file.FileSystemException => // EEXIST matched above
-            !fs.exists(target) && fs.rename(tmp, target)
+          case fse: java.nio.file.FileSystemException => // EEXIST matched above
+            // this broad class also covers REAL I/O failures (permissions,
+            // quota, disk full) — if the fallback rename loses while no
+            // competing manifest exists, nobody won a race: rethrow the
+            // original error instead of reporting a phantom concurrent
+            // commit
+            val won = !fs.exists(target) && fs.rename(tmp, target)
+            if (!won && !fs.exists(target)) throw fse
+            won
         }
       } else !fs.exists(target) && fs.rename(tmp, target)
     if (!claimed) {

@@ -422,15 +422,23 @@ object WarcSource {
       private var lim = 0
       private var off = 0L
       private var idx = 0
+      // latched at source EOF so hasNext is idempotent: Iterator.flatMap
+      // re-evaluates an exhausted child's hasNext, and a second fill()
+      // against the already-closed codec stream would throw instead of
+      // returning false
+      private var done = false
 
       /** Ensures at least one buffered byte; false at source EOF. */
-      private def fill(): Boolean = pos < lim || {
+      private def fill(): Boolean = !done && (pos < lim || {
         lim = in0.read(buf)
         pos = 0
         lim > 0
-      }
+      })
 
-      def hasNext: Boolean = fill() || { in0.close(); false }
+      def hasNext: Boolean = fill() || {
+        if (!done) { done = true; in0.close() }
+        false
+      }
 
       private def readFully(dst: Array[Byte]): Unit = {
         var got = 0

@@ -722,10 +722,17 @@ object EventsStream {
         .option("checkpointLocation", ckpt)
         .foreachBatch {
           (batch: Dataset[graft.sources.TarMember], _: Long) =>
+            // a shard without the waveN- prefix has no wave identity:
+            // fail loudly (the warcIngestDemo discipline) instead of
+            // silently landing null batch_ids
+            val waveStr =
+              regexp_extract(col("file"), "wave(\\d+)-[^/]*$", 1)
             val mem = batch.toDF()
               .withColumn("batch_id",
-                regexp_extract(col("file"), "wave(\\d+)-[^/]*$", 1)
-                  .cast("long"))
+                when(waveStr === "", raise_error(concat(
+                  lit("landed tar shard has no wave prefix: "),
+                  col("file"))))
+                  .otherwise(waveStr).cast("long"))
             val txt = mem.where(col("member").endsWith(".txt"))
               .select(regexp_extract(col("member"), "^(\\d+)\\.", 1)
                 .cast("long").as("doc_id"),

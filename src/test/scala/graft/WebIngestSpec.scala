@@ -82,6 +82,21 @@ class WebIngestSpec extends AnyFunSuite {
       "text in this twelve word paragraph")
   }
 
+  test("every entity decodes exactly once: &#38;amp; lands as &amp;, never &") {
+    // the r19 shape ran a global &amp;-replace AFTER the numeric pass, so
+    // &#38;amp; double-decoded to '&'; the folded single-scan kernel
+    // resumes after each decoded token (ADVICE r19 #2)
+    val (text, _, _) = extractOne(
+      "<p>the doubly escaped marker &#38;amp; must surface as literal " +
+        "ampersand entity in this paragraph</p>")
+    assert(text == "the doubly escaped marker &amp; must surface as literal " +
+      "ampersand entity in this paragraph")
+    import graft.expressions.DecodeHtmlNumRefs.decode_html_num_refs
+    val r = Seq("a &amp;lt; b &#38;amp; c &amp; d").toDF("s")
+      .select(decode_html_num_refs(col("s"))).head().getString(0)
+    assert(r == "a &lt; b &amp; c & d")
+  }
+
   test("empty and all-boilerplate pages extract to empty text") {
     assert(extractOne("")._1 == "")
     val (text, nBlocks, _) = extractOne(
@@ -436,6 +451,23 @@ class WebIngestSpec extends AnyFunSuite {
     assert(consumed < all.length / 4,
       s"walker consumed $consumed of ${all.length} compressed bytes for one record")
     assert(it.size == 31) // the rest still parse cleanly
+  }
+
+  test("walker hasNext is idempotent after exhaustion (closed-stream safe)") {
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    val it = graft.sources.WarcSource.parse("t.warc.gz",
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(it.hasNext)
+    it.next()
+    // Iterator.flatMap re-evaluates an exhausted child's hasNext; the
+    // first false closes the stream, repeats must stay false instead of
+    // re-reading the closed codec stream (ADVICE r19 #1)
+    assert(!it.hasNext && !it.hasNext && !it.hasNext)
   }
 
   test("charset resolution: header param beats meta sniff beats UTF-8 fallback") {
