@@ -1023,6 +1023,87 @@ object WebIngest {
              |  CASE WHEN doc_id % 5 = 0 THEN 'new' ELSE 'modified' END AS reason
              |FROM documents
              |WHERE doc_id % 5 = 0 OR doc_id % 3 = 0
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- HTTP wire encodings (round 20 #1): real CommonCrawl WARC
+    // payloads preserve the raw HTTP bytes, so compressed or chunk-
+    // framed bodies must de-frame (Transfer-Encoding: chunked FIRST)
+    // and decompress (Content-Encoding: gzip/deflate) BEFORE charset
+    // resolution — the same silent-poison class the charset step closed
+    // in r19. Five planted wire shapes per doc_id % 5: identity, gzip,
+    // deflate (zlib), chunked carrying a UTF-16LE+BOM body (the BOM
+    // sniff decides — a UTF-16 page defeats the ASCII meta sniff), and
+    // gzip-then-chunked (the RFC 9112 layering, multi-chunk via the
+    // doc's own text). The oracle states decoded text + all three audit
+    // columns analytically, so de-framing order, both codecs, BOM
+    // precedence, and the audit surface are all in the hash.
+    Q("q501_http_encodings",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warcenc"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        val idStr = col("doc_id").cast("string")
+        val m = col("doc_id") % 5
+        val bom = lit(Array(0xFF.toByte, 0xFE.toByte))
+        val body = when(m === 0,
+            encode(concat(lit("plain body doc "), idStr), "UTF-8"))
+          .when(m === 1,
+            encode(concat(lit("naïve café doc "), idStr), "UTF-8"))
+          .when(m === 2,
+            encode(concat(lit("deflate body doc "), idStr), "UTF-8"))
+          .when(m === 3, concat(bom, encode(
+            concat(lit("chunked utf16 café doc "), idStr, lit(" "),
+              col("text")), "UTF-16LE")))
+          .otherwise(encode(
+            concat(lit("gzip and chunked — doc "), idStr, lit(" "),
+              col("text")), "UTF-8"))
+        val enc = when(m === 1, lit("gzip"))
+          .when(m === 2, lit("deflate"))
+          .when(m === 3, lit("chunked"))
+          .when(m === 4, lit("gzip,chunked"))
+          .otherwise(lit(""))
+        val ctype = when(m === 3, lit("text/plain"))
+          .otherwise(lit("text/plain; charset=utf-8"))
+        val input = docs.select(col("doc_id"), body.as("body"),
+          enc.as("enc"), ctype.as("ctype"))
+        graft.sources.WarcSource.exportWarc(input, loc.toString,
+          nShards = 8, salt = "enc20", bodyCol = "body",
+          contentTypeCol = "ctype", encodingCol = "enc", gzip = true,
+          verify = false)
+        graft.sources.WarcSource.responseBodies(s, loc.toString)
+          .select(
+            regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("content_encoding"),
+            col("was_chunked").cast("long").as("was_chunked"),
+            col("charset"),
+            col("was_transcoded").cast("long").as("transcoded"),
+            col("body"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'gzip'
+             |    WHEN 2 THEN 'deflate' WHEN 4 THEN 'gzip'
+             |    ELSE '' END AS content_encoding,
+             |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS was_chunked,
+             |  CASE WHEN doc_id % 5 = 3 THEN 'UTF-16LE' ELSE 'UTF-8' END
+             |    AS charset,
+             |  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS transcoded,
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'plain body doc ' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN 'naïve café doc ' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN 'deflate body doc ' || CAST(doc_id AS VARCHAR)
+             |    WHEN 3 THEN 'chunked utf16 café doc '
+             |      || CAST(doc_id AS VARCHAR) || ' ' || text
+             |    ELSE 'gzip and chunked ' || chr(8212) || ' doc '
+             |      || CAST(doc_id AS VARCHAR) || ' ' || text
+             |  END AS body
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

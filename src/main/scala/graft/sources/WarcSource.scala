@@ -116,15 +116,73 @@ object WarcSource {
   }
 
   private def httpResponse(body: Array[Byte], contentType: String,
-      status: String = "200 OK", location: String = ""): Array[Byte] = {
+      status: String = "200 OK", location: String = "",
+      extraHeaders: Seq[String] = Nil,
+      contentLength: Boolean = true): Array[Byte] = {
     val loc = if (location.isEmpty) "" else s"Location: $location$CRLF"
+    val extras = extraHeaders.map(_ + CRLF).mkString
+    val cl = if (contentLength) s"Content-Length: ${body.length}$CRLF" else ""
     val head = (s"HTTP/1.1 $status${CRLF}Content-Type: $contentType$CRLF" +
-      loc + s"Content-Length: ${body.length}$CRLF$CRLF")
-      .getBytes(StandardCharsets.US_ASCII)
+      loc + extras + cl + CRLF).getBytes(StandardCharsets.US_ASCII)
     val out = new ByteArrayOutputStream(head.length + body.length)
     out.write(head)
     out.write(body)
     out.toByteArray
+  }
+
+  /** zlib (RFC 9110 `deflate` = zlib-wrapped) compression twin of
+    * [[gzMember]]; JDK Deflater defaults are deterministic. */
+  private def deflateBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(bytes)
+    d.close()
+    bos.toByteArray
+  }
+
+  /** HTTP/1.1 chunked transfer framing with fixed 256-byte chunks —
+    * deterministic, so re-exports stay byte-identical. */
+  private val ChunkSize = 256
+  private def chunkFrame(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length + bytes.length / 32 + 16)
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(ChunkSize, bytes.length - i)
+      bos.write(s"${n.toHexString}$CRLF".getBytes(StandardCharsets.US_ASCII))
+      bos.write(bytes, i, n)
+      bos.write(CRLF.getBytes(StandardCharsets.US_ASCII))
+      i += n
+    }
+    bos.write(s"0$CRLF$CRLF".getBytes(StandardCharsets.US_ASCII))
+    bos.toByteArray
+  }
+
+  /** Applies a per-row HTTP encoding spec to a body: tokens from
+    * {gzip, deflate, chunked} joined by ','. Content coding (gzip XOR
+    * deflate) compresses first, chunked framing wraps LAST — the wire
+    * order RFC 9112 defines (Transfer-Encoding is applied to the
+    * already-content-coded representation). Returns (wire bytes, HTTP
+    * headers to emit, suppress-Content-Length) — a chunked message
+    * carries no Content-Length (RFC 9112 §6.1). */
+  private def applyHttpEncoding(body: Array[Byte],
+      enc: String): (Array[Byte], Seq[String], Boolean) = {
+    val tokens = enc.toLowerCase.split(",").map(_.trim).filter(_.nonEmpty)
+    val bad = tokens.filterNot(Set("gzip", "deflate", "chunked"))
+    require(bad.isEmpty,
+      s"unknown HTTP encoding token(s) ${bad.mkString(",")} in '$enc'")
+    val ce = tokens.filter(t => t == "gzip" || t == "deflate")
+    require(ce.length <= 1, s"at most one content coding per row, got '$enc'")
+    val chunked = tokens.contains("chunked")
+    val coded = ce.headOption match {
+      case Some("gzip") => gzMember(body)
+      case Some("deflate") => deflateBytes(body)
+      case _ => body
+    }
+    val wire = if (chunked) chunkFrame(coded) else coded
+    val headers =
+      ce.headOption.map(c => s"Content-Encoding: $c").toSeq ++
+        (if (chunked) Seq("Transfer-Encoding: chunked") else Nil)
+    (wire, headers, chunked)
   }
 
   private def extFor(codec: String): String = codec match {
@@ -160,7 +218,8 @@ object WarcSource {
       bodyContentType: String = "text/html; charset=utf-8",
       gzip: Boolean = false, codec: String = "",
       contentTypeCol: String = "", verify: Boolean = true,
-      statusCol: String = "", locationCol: String = ""): Long = {
+      statusCol: String = "", locationCol: String = "",
+      encodingCol: String = ""): Long = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
     val codecName =
       if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
@@ -186,10 +245,18 @@ object WarcSource {
       if (locationCol.nonEmpty)
         coalesce(col(locationCol).cast("string"), lit(""))
       else lit("")
+    // per-row HTTP body encoding spec: "", "gzip", "deflate", "chunked",
+    // or "gzip,chunked" — real fetchers land raw wire bytes, compressed
+    // and/or chunk-framed, and the reader must undo both
+    val encCol =
+      if (encodingCol.nonEmpty)
+        coalesce(col(encodingCol).cast("string"), lit(""))
+      else lit("")
     val payload = docs.join(slots, Seq(idCol)).select(
       col("shard"), col("pos"),
       col(idCol).cast("long").as("id"), bodyBytes.as("body"),
-      ctypeCol.as("ctype"), statCol.as("stat"), locCol.as("loc"))
+      ctypeCol.as("ctype"), statCol.as("stat"), locCol.as("loc"),
+      encCol.as("enc"))
     val sc = new TarShards.SerializableConf(spark.sessionState.newHadoopConf())
     val dir = path
     val ext = extFor(codecName)
@@ -204,7 +271,7 @@ object WarcSource {
     payload.rdd
       .map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getAs[Array[Byte]](3), r.getString(4),
-          r.getString(5), r.getString(6))))
+          r.getString(5), r.getString(6), r.getString(7))))
       .repartitionAndSortWithinPartitions(new ShardPartitioner(nShards))
       .foreachPartition { it =>
         if (it.hasNext) {
@@ -227,8 +294,11 @@ object WarcSource {
               "WARC-Date" -> Epoch,
               "WARC-Filename" -> f"shard-$shard%05d$ext",
               "Content-Type" -> "application/warc-fields"), infoBody))
-            (Iterator(first) ++ it).foreach { case (_, (id, body, ct, st, lo)) =>
-              val http = httpResponse(body, ct, st, lo)
+            (Iterator(first) ++ it).foreach {
+              case (_, (id, body, ct, st, lo, en)) =>
+              val (wire, extraHdrs, chunked) = applyHttpEncoding(body, en)
+              val http = httpResponse(wire, ct, st, lo,
+                extraHeaders = extraHdrs, contentLength = !chunked)
               emit(record(Seq(
                 "WARC-Type" -> "response",
                 "WARC-Record-ID" -> urnUuid(s"$salt:response:$id"),
@@ -315,6 +385,92 @@ object WarcSource {
       java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
   }
 
+  /** Un-frames an HTTP/1.1 chunked body: hex-size line (chunk
+    * extensions after ';' ignored), chunk bytes, CRLF, repeated to the
+    * 0-size terminator; trailer fields after the terminator are
+    * ignored. Strict on framing — a corrupt length or missing CRLF
+    * throws rather than resyncing silently (the WARC walker
+    * discipline). */
+  private[graft] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    def readLine(): String = {
+      val start = i
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) throw new IOException(
+        s"chunked body: unterminated line at offset $start")
+      val s = new String(b, start, i - start, StandardCharsets.US_ASCII)
+      i += 2
+      s
+    }
+    var size = -1
+    while (size != 0) {
+      val line = readLine()
+      val hex = line.split(";", 2)(0).trim
+      size =
+        try Integer.parseInt(hex, 16)
+        catch { case _: NumberFormatException => throw new IOException(
+          s"chunked body: bad chunk size line '${line.take(20)}'") }
+      if (size > 0) {
+        if (i + size + 2 > b.length) throw new IOException(
+          s"chunked body: chunk of $size bytes overruns the message")
+        out.write(b, i, size)
+        i += size
+        if (!(b(i) == '\r' && b(i + 1) == '\n')) throw new IOException(
+          "chunked body: missing CRLF after chunk data")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream(8 * 1024)
+    val buf = new Array[Byte](8 * 1024)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Undoes the wire encodings of an HTTP body, in RFC order:
+    * Transfer-Encoding `chunked` de-frames FIRST (it wraps whatever
+    * representation was sent), then Content-Encoding `gzip`/`x-gzip`/
+    * `deflate` (zlib; a raw-deflate server slip is retried bare)
+    * decompresses. Real CommonCrawl WARC payloads preserve the raw
+    * HTTP bytes, so a reader that skips this hands compressed or
+    * chunk-framed garbage to charset resolution — the same
+    * silent-poison class the charset step closed in r19.
+    *
+    * Returns (decoded bytes, content-coding audit value, was_chunked).
+    * An unrecognized Content-Encoding (e.g. `br` with no classpath
+    * codec) passes bytes through untouched — the audit column carries
+    * the name so a corpus can quantify what it could not decode. */
+  private[graft] def decodeHttpBody(hdrs: Map[String, String],
+      raw: Array[Byte]): (Array[Byte], String, Boolean) = {
+    val te = hdrs.getOrElse("transfer-encoding", "").toLowerCase
+    val chunked = te.split(",").exists(_.trim == "chunked")
+    val deframed = if (chunked) dechunk(raw) else raw
+    val ce = hdrs.getOrElse("content-encoding", "").trim.toLowerCase
+    val decoded = ce match {
+      case "" | "identity" => deframed
+      case "gzip" | "x-gzip" =>
+        readAll(new GZIPInputStream(new ByteArrayInputStream(deframed)))
+      case "deflate" =>
+        // RFC 9110 deflate is zlib-wrapped, but raw-deflate servers are
+        // a known real-world slip: retry headerless on a zlib error
+        try readAll(new java.util.zip.InflaterInputStream(
+          new ByteArrayInputStream(deframed)))
+        catch { case _: java.util.zip.ZipException | _: EOFException =>
+          readAll(new java.util.zip.InflaterInputStream(
+            new ByteArrayInputStream(deframed),
+            new java.util.zip.Inflater(true)))
+        }
+      case _ => deframed
+    }
+    (decoded, ce, chunked)
+  }
+
   private val HeaderCharsetRe =
     """(?i)charset\s*=\s*"?([A-Za-z0-9_.:+-]+)"?""".r
   private val MetaCharsetRe =
@@ -324,16 +480,33 @@ object WarcSource {
     * precedence order a real crawl needs (real CommonCrawl is ~5-10%
     * non-UTF-8; decoding those as UTF-8 mojibakes every downstream text
     * operator):
-    *   1. the `charset=` parameter of the Content-Type HTTP header;
-    *   2. a `<meta charset=...>` / `<meta http-equiv="Content-Type"
+    *   1. a byte-order mark — UTF-8 (EF BB BF), UTF-16LE (FF FE),
+    *      UTF-16BE (FE FF) — which the WHATWG decode algorithm ranks
+    *      above even the HTTP header (a UTF-16 page defeats the
+    *      ASCII-compatible meta sniff: its tag bytes are NUL-interleaved,
+    *      so without the BOM it would mojibake through the fallback);
+    *      the BOM bytes are stripped from the decoded text;
+    *   2. the `charset=` parameter of the Content-Type HTTP header;
+    *   3. a `<meta charset=...>` / `<meta http-equiv="Content-Type"
     *      content="...charset=...">` sniffed in the first `sniffLimit`
     *      body bytes (read as ISO-8859-1 — charset names are ASCII, and
     *      every ASCII-compatible encoding exposes the tag bytes);
-    *   3. UTF-8.
+    *   4. UTF-8.
     * Unknown/unsupported names fall through to the next step. Returns
     * (canonical charset name used, decoded text). */
   def resolveCharset(contentType: Option[String], body: Array[Byte],
       sniffLimit: Int = 1024): (String, String) = {
+    def at(i: Int, v: Int): Boolean =
+      body.length > i && body(i) == v.toByte
+    if (at(0, 0xEF) && at(1, 0xBB) && at(2, 0xBF))
+      return ("UTF-8",
+        new String(body, 3, body.length - 3, StandardCharsets.UTF_8))
+    if (at(0, 0xFF) && at(1, 0xFE))
+      return ("UTF-16LE",
+        new String(body, 2, body.length - 2, StandardCharsets.UTF_16LE))
+    if (at(0, 0xFE) && at(1, 0xFF))
+      return ("UTF-16BE",
+        new String(body, 2, body.length - 2, StandardCharsets.UTF_16BE))
     def lookup(name: String): Option[Charset] =
       try Some(Charset.forName(name)) catch { case _: Exception => None }
     val fromHeader = contentType
@@ -349,16 +522,21 @@ object WarcSource {
   }
 
   /** Response records as (recordIdx, targetUri, decoded body) rows — the
-    * convenience frame a crawl pipeline starts from. The body decodes
-    * charset-aware ([[resolveCharset]]: Content-Type header param →
-    * `<meta charset>` sniff → UTF-8), with the resolved charset and a
-    * was_transcoded flag (anything that did not decode as plain UTF-8)
-    * carried alongside so a corpus can audit its encoding mix. */
+    * convenience frame a crawl pipeline starts from. The raw HTTP bytes
+    * first undo their wire encodings ([[decodeHttpBody]]: chunked
+    * de-framing, then gzip/deflate decompression — CommonCrawl payloads
+    * preserve what the server sent), then decode charset-aware
+    * ([[resolveCharset]]: BOM → Content-Type header param →
+    * `<meta charset>` sniff → UTF-8). The resolved charset, a
+    * was_transcoded flag (anything that did not decode as plain UTF-8),
+    * the content-coding name, and a was_chunked flag are carried
+    * alongside so a corpus can audit its encoding mix. */
   def responseBodies(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     records(spark, path).filter(_.warcType == "response")
       .map { r =>
-        val (status, hdrs, body) = httpPartsWithHeaders(r.payload)
+        val (status, hdrs, rawBody) = httpPartsWithHeaders(r.payload)
+        val (body, contentEnc, chunked) = decodeHttpBody(hdrs, rawBody)
         val (cs, text) = resolveCharset(hdrs.get("content-type"), body)
         val code = status.split(" ", 3) match {
           case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
@@ -367,10 +545,11 @@ object WarcSource {
         }
         (r.file, r.recordIdx, r.targetUri, status, code,
           hdrs.getOrElse("location", ""), text, cs,
-          cs != StandardCharsets.UTF_8.name())
+          cs != StandardCharsets.UTF_8.name(), contentEnc, chunked)
       }
       .toDF("file", "record_idx", "uri", "status", "status_code",
-        "location", "body", "charset", "was_transcoded")
+        "location", "body", "charset", "was_transcoded",
+        "content_encoding", "was_chunked")
   }
 
   /** Decompression wrapper for one shard stream: gzip and zstd both

@@ -499,6 +499,77 @@ class WebIngestSpec extends AnyFunSuite {
     assert(resolveCharset(None, lateMeta)._1 == "UTF-8")
   }
 
+  test("http body decode: chunked de-frames before content-coding, before charset") {
+    import graft.sources.WarcSource.{decodeHttpBody, dechunk, resolveCharset}
+    val text = "wire body with naïve café content репей"
+    val plain = text.getBytes("UTF-8")
+    // gzip the representation, then chunk-frame the wire (RFC 9112
+    // layering); decode must undo them in reverse order
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close(); bos.toByteArray
+    }
+    val chunked = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < gz.length) {
+        val n = math.min(7, gz.length - i) // tiny chunks, many frames
+        bos.write(s"${n.toHexString};ext=1\r\n".getBytes("US-ASCII"))
+        bos.write(gz, i, n)
+        bos.write("\r\n".getBytes("US-ASCII"))
+        i += n
+      }
+      bos.write("0\r\nTrailer: x\r\n\r\n".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    val (decoded, ce, wasChunked) = decodeHttpBody(
+      Map("transfer-encoding" -> "chunked", "content-encoding" -> "gzip"),
+      chunked)
+    assert(wasChunked && ce == "gzip")
+    assert(new String(decoded, "UTF-8") == text)
+    // deflate: zlib-wrapped decodes; the raw-deflate server slip retries bare
+    val zlib = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    assert(new String(decodeHttpBody(
+      Map("content-encoding" -> "deflate"), zlib)._1, "UTF-8") == text)
+    val rawDeflate = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(-1, true))
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    assert(new String(decodeHttpBody(
+      Map("content-encoding" -> "deflate"), rawDeflate)._1, "UTF-8") == text)
+    // unknown coding passes bytes through with the name in the audit slot
+    val (kept, keptCe, _) = decodeHttpBody(Map("content-encoding" -> "br"), plain)
+    assert(keptCe == "br" && java.util.Arrays.equals(kept, plain))
+    // corrupt chunk framing fails loudly, never resyncs
+    intercept[java.io.IOException](dechunk("zz\r\nabc".getBytes("US-ASCII")))
+    intercept[java.io.IOException](
+      dechunk("5\r\nab".getBytes("US-ASCII"))) // overruns
+    // and the decoded bytes then hit charset resolution (full precedence)
+    assert(resolveCharset(Some("text/plain"), decoded)._1 == "UTF-8")
+  }
+
+  test("BOM outranks the header charset and strips from the decoded text") {
+    import graft.sources.WarcSource.resolveCharset
+    val utf16le = Array(0xFF.toByte, 0xFE.toByte) ++
+      "wide text café".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    // WHATWG: the BOM wins even over a contradicting Content-Type param
+    assert(resolveCharset(Some("text/html; charset=ISO-8859-1"), utf16le) ==
+      (("UTF-16LE", "wide text café")))
+    val utf16be = Array(0xFE.toByte, 0xFF.toByte) ++
+      "big endian".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(resolveCharset(None, utf16be) == (("UTF-16BE", "big endian")))
+    val utf8bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "plain utf8".getBytes("UTF-8")
+    assert(resolveCharset(None, utf8bom) == (("UTF-8", "plain utf8")))
+  }
+
   test("incremental frontier: BFS depths, convergence, and replay is a no-op") {
     // 12-node graph: 0->1->2->3 chain, 2->4, a cycle 3->0, and 5..11
     // unreachable; two seeds {0, 5}
