@@ -175,13 +175,17 @@ object HtmlExtract {
         rest))
   }
 
-  /** `array<struct<url, anchor>>` of the page's anchors, hrefs
-    * absolutized against the page's `<base href>` when present, else
-    * `baseUrl` (RFC 3986 simplified: absolute http(s) kept; `//host/...`
-    * gets the base scheme; `/path` gets the base origin; other relative
-    * paths resolve against the base directory, with §5.2.4 dot-segment
-    * removal; fragment-only and non-http(s)-scheme hrefs — mailto:,
-    * javascript: — are dropped). Pure column chain, per-row only. */
+  /** `array<struct<url, anchor, nofollow>>` of the page's anchors,
+    * hrefs absolutized against the page's `<base href>` when present,
+    * else `baseUrl` (RFC 3986 simplified: absolute http(s) kept;
+    * `//host/...` gets the base scheme; `/path` gets the base origin;
+    * other relative paths resolve against the base directory, with
+    * §5.2.4 dot-segment removal; fragment-only and non-http(s)-scheme
+    * hrefs — mailto:, javascript: — are dropped). `nofollow` is true
+    * when the anchor's opening tag carries a `rel` attribute whose
+    * token list contains `nofollow` (either attribute order) — the
+    * publisher's per-link crawl opt-out a frontier must honor before
+    * admission. Pure column chain, per-row only. */
   def links(html: Column, baseUrl: Column): Column = {
     val anchors = regexp_extract_all(stripNoise(html),
       lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"),
@@ -197,28 +201,37 @@ object HtmlExtract {
     val baseDir = regexp_replace(
       regexp_replace(base, "[?#].*$", ""), "[^/]*$", "")
     val resolved = transform(anchors, a => {
-      val href = regexp_extract(a,
+      // attributes live in the OPENING tag only — matching rel= against
+      // the whole anchor would false-positive on "rel=" in anchor text
+      val openTag = regexp_extract(a, "(?is)^<a\\b[^>]*>", 0)
+      val href = regexp_extract(openTag,
         "(?is)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      val nofollow = openTag.rlike(
+        "(?is)\\brel\\s*=\\s*[\"'][^\"']*\\bnofollow\\b[^\"']*[\"']")
       val url = when(href.rlike("^https?://"), href)
         .when(href.startsWith("//"), concat(scheme, lit(":"), href))
         .when(href.startsWith("/"), removeDotSegments(concat(origin, href)))
         .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || href.startsWith("#") ||
           (href === ""), lit(null).cast("string"))
         .otherwise(removeDotSegments(concat(baseDir, href)))
-      struct(url.as("url"), cleanText(a).as("anchor"))
+      struct(url.as("url"), cleanText(a).as("anchor"),
+        nofollow.as("nofollow"))
     })
     filter(resolved, l => l.getField("url").isNotNull)
   }
 
-  /** `struct<title, description, lang, og_title, canonical>` page
-    * metadata — the crawl-enrichment fields consumed before/alongside
-    * extraction (title for display, description for retrieval
-    * snippets, the html lang attribute as the language-ID prior,
-    * og:title as the publisher's canonical title, `<link
+  /** `struct<title, description, lang, og_title, canonical,
+    * meta_robots>` page metadata — the crawl-enrichment fields consumed
+    * before/alongside extraction (title for display, description for
+    * retrieval snippets, the html lang attribute as the language-ID
+    * prior, og:title as the publisher's canonical title, `<link
     * rel="canonical">` as the publisher's dedup URL — the strongest
-    * same-page signal a crawler gets). Tag-attribute order is handled
-    * for the common name-then-content form (and both orders for the
-    * canonical link); absent fields are ''. Pure column chain,
+    * same-page signal a crawler gets — and `<meta name="robots">` as
+    * the page-level opt-out: `noindex` excludes the page from the
+    * corpus, `nofollow` suppresses ALL its outlinks before frontier
+    * admission). Tag-attribute order is handled for the common
+    * name-then-content form (and both orders for the canonical link
+    * and robots meta); absent fields are ''. Pure column chain,
     * per-row. */
   def pageMeta(html: Column): Column = {
     val title = cleanText(
@@ -236,10 +249,21 @@ object HtmlExtract {
         "[^>]*rel\\s*=\\s*[\"']canonical[\"']", 1)
     val canonical = trim(when(canonFwd =!= "", canonFwd)
       .otherwise(canonRev))
+    val robotsFwd = metaContent("robots")
+    val robotsRev = cleanText(regexp_extract(html,
+      "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']" +
+        "[^>]*name\\s*=\\s*[\"']robots[\"']", 1))
+    val metaRobots = when(robotsFwd =!= "", robotsFwd).otherwise(robotsRev)
     struct(title.as("title"), metaContent("description").as("description"),
       lang.as("lang"), metaContent("og:title").as("og_title"),
-      canonical.as("canonical"))
+      canonical.as("canonical"), metaRobots.as("meta_robots"))
   }
+
+  /** True when a `meta_robots` token list (comma/space separated, case-
+    * insensitive) contains `directive` — `robots_meta_has(m, 'noindex')`
+    * / `'nofollow'` are the two gates a crawl pipeline composes. */
+  def robotsMetaHas(metaRobots: Column, directive: String): Column =
+    lower(metaRobots).rlike(s"(^|[,\\s])${directive}([,\\s]|$$)")
 
   /** Canonical URL for frontier/crawl dedup (the standard normalizer
     * rule set): drop the fragment, lowercase scheme+host, strip default
@@ -303,7 +327,8 @@ object HtmlExtract {
     * entity decoding), and a 4-word footer (fails ONLY the word gate).
     * Expected extraction: [[FixedParaText]] + the chunks of >= minWords
     * words, '\n'-joined. */
-  def syntheticPage(textCol: Column): Column = {
+  def syntheticPage(textCol: Column,
+      extraHead: Column = lit("")): Column = {
     val words = split(trim(regexp_replace(textCol, "\\s+", " ")), " ")
     val nChunks = ceil(size(words).cast("double") / ParaWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
@@ -314,7 +339,8 @@ object HtmlExtract {
     val related = (1 to 12)
       .map(i => s"""<a href="/r$i">related item</a>""").mkString(" ")
     concat(
-      lit("<html><head><title>Synthetic page</title>" +
+      lit("<html><head>"), extraHead,
+      lit("<title>Synthetic page</title>" +
         "<script src=\"app.js\"></script><style>.m{color:red}</style>" +
         "</head><body>"),
       lit("<script>var tracker = 1;</script><!-- analytics comment -->"),
@@ -344,6 +370,44 @@ object HtmlExtract {
       lit("\">related article</a></div>"))
     concat(
       regexp_replace(syntheticPage(textCol), "</body></html>$", ""),
+      outbound, lit("</body></html>"))
+  }
+
+  /** [[syntheticPageLinked]] with publisher opt-outs planted — the
+    * fixture for the nofollow/noindex admission tier:
+    *   - the k=2 (protocol-relative) anchor carries `rel` nofollow when
+    *     `id % 3 == 0`, with the attribute BEFORE href on odd ids and
+    *     after on even ids (both orders in the corpus hash);
+    *   - `<meta name="robots">` in the head: `id % 7 == 0` →
+    *     "noindex, nofollow" (page drops AND its outlinks drop),
+    *     `id % 7 == 1` → "noindex" (reversed attribute order; page
+    *     drops from the corpus but still expands), else absent.
+    * Extraction expectations are untouched (the meta is head-side; the
+    * anchors stay inside the density-dropped outbound block). */
+  def syntheticPageOptOut(textCol: Column, idCol: Column,
+      nDocs: Long): Column = {
+    def t(k: Int) = pmod(idCol * 7 + k, lit(nDocs)).cast("string")
+    val nf = idCol % 3 === 0
+    val a2 = when(nf && idCol % 2 === 0,
+        concat(lit("<a href=\"//example.org/doc/"), t(2),
+          lit("\" rel=\"nofollow noopener\">further reading</a>")))
+      .when(nf,
+        concat(lit("<a rel=\"me nofollow\" href=\"//example.org/doc/"),
+          t(2), lit("\">further reading</a>")))
+      .otherwise(concat(lit("<a href=\"//example.org/doc/"), t(2),
+        lit("\">further reading</a>")))
+    val outbound = concat(
+      lit("<div class=\"outbound\"><a href=\"/doc/"), t(1),
+      lit("\">reference link</a> "), a2,
+      lit(" <a href=\"https://example.org/doc/"), t(3),
+      lit("\">related article</a></div>"))
+    val metaTag = when(idCol % 7 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(idCol % 7 === 1,
+        lit("<meta content=\"noindex\" name=\"robots\">"))
+      .otherwise(lit(""))
+    concat(
+      regexp_replace(syntheticPage(textCol, metaTag), "</body></html>$", ""),
       outbound, lit("</body></html>"))
   }
 }

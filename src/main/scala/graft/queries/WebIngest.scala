@@ -1104,6 +1104,136 @@ object WebIngest {
              |    ELSE 'gzip and chunked ' || chr(8212) || ' doc '
              |      || CAST(doc_id AS VARCHAR) || ' ' || text
              |  END AS body
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- link/page crawl opt-outs (round 20 #2): rel=nofollow per
+    // anchor (both attribute orders; a rel="noopener" decoy must NOT
+    // flag) and <meta name="robots"> per page (both attribute orders).
+    // Four fixed anchors per page and a doc_id % 3 meta cycle; the
+    // oracle states every flag analytically, so attribute-order
+    // handling, token matching (nofollow inside a rel token list), the
+    // decoy, and the noindex directive parse are all in the hash.
+    Q("q502_link_optouts",
+      (s, d) => {
+        val metaTag = when(col("doc_id") % 3 === 1,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(col("doc_id") % 3 === 2,
+            lit("<meta content=\"noindex, nofollow\" name=\"robots\">"))
+          .otherwise(lit(""))
+        val page = concat(
+          lit("<html><head>"), metaTag, lit("<title>x</title></head><body>"),
+          lit("<a href=\"/a1\" rel=\"nofollow\">one link</a> "),
+          lit("<a rel=\"me nofollow\" href=\"/a2\">two link</a> "),
+          lit("<a href=\"/a3\" rel=\"noopener\">three link</a> "),
+          lit("<a href=\"/a4\">four link</a>"),
+          lit("</body></html>"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), page.as("html"),
+            concat(lit("https://example.org/p/"), col("doc_id")).as("url"))
+        docs.select(col("doc_id"),
+            graft.operators.HtmlExtract.pageMeta(col("html"))
+              .getField("meta_robots").as("meta_robots"),
+            explode(graft.operators.HtmlExtract
+              .links(col("html"), col("url"))).as("l"))
+          .select(col("doc_id"), col("l.url").as("url"),
+            col("l.nofollow").cast("long").as("nofollow"),
+            col("meta_robots"),
+            graft.operators.HtmlExtract
+              .robotsMetaHas(col("meta_robots"), "noindex")
+              .cast("long").as("noindex"))
+          .orderBy("doc_id", "url")
+      },
+      Some("""SELECT doc_id, 'https://example.org/' || a.tail AS url,
+             |  CAST(a.nf AS BIGINT) AS nofollow,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'noindex'
+             |    WHEN 2 THEN 'noindex, nofollow' ELSE '' END AS meta_robots,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             |    AS noindex
+             |FROM documents,
+             |  (VALUES ('a1', 1), ('a2', 1), ('a3', 0), ('a4', 0))
+             |    a(tail, nf)
+             |ORDER BY doc_id, url""".stripMargin)),
+
+    // ---- pipeline v10: the crawl loop with the FULL opt-out stack —
+    // q497's composition (landing → links → canonicalize → RFC 9309
+    // gate → incremental frontier) plus the publisher gates: an
+    // anchor-level rel=nofollow drops that edge, a page-level
+    // meta-robots nofollow drops ALL the page's outedges, and noindex
+    // excludes the page from the indexed corpus while still expanding
+    // through it (the standard crawler semantics). Depths differ from
+    // q497 wherever an opted-out hop was the short path, and the
+    // indexed flag is read off the LANDED pages' extracted meta — so
+    // both directives' effects on the BFS tree are in the hash.
+    Q("q503_pipeline_v10",
+      (s, d) => {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        val locW = new java.io.File(Tables.roundtripLoc(d, "v10warc"))
+        val locF = new java.io.File(Tables.roundtripLoc(d, "v10frontier"))
+        if (locW.exists()) rmTree(locW)
+        if (locF.exists()) rmTree(locF)
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = docs.select(col("doc_id"),
+          graft.operators.HtmlExtract
+            .syntheticPageOptOut(col("text"), col("doc_id"), n).as("html"))
+        graft.sources.WarcSource.exportWarc(pages, locW.toString,
+          nShards = 8, salt = "v10w", bodyCol = "html", gzip = true,
+          verify = false)
+        val rules = graft.operators.Robots.rulesLiteral(s,
+          "User-agent: *\r\nDisallow: /doc/*0$\r\n")
+        val landed = graft.sources.WarcSource
+          .responseBodies(s, locW.toString)
+          .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("src"), col("body").as("html"),
+            col("uri").as("url"),
+            graft.operators.HtmlExtract.pageMeta(col("body"))
+              .getField("meta_robots").as("meta_robots"))
+          .localCheckpoint()
+        val edges = landed
+          .where(!graft.operators.HtmlExtract
+            .robotsMetaHas(col("meta_robots"), "nofollow"))
+          .select(col("src"),
+            explode(graft.operators.HtmlExtract
+              .links(col("html"), col("url"))).as("l"))
+          .where(!col("l.nofollow"))
+          .select(col("src"),
+            graft.operators.HtmlExtract.canonicalizeUrl(col("l.url"))
+              .as("u"))
+          .where(col("u").rlike("^https://example\\.org/doc/\\d+$"))
+          .where(graft.operators.Robots.robotsAllows(rules, lit("graftbot"),
+            regexp_extract(col("u"),
+              "^https://example\\.org(/doc/\\d+)$", 1)))
+          .select(col("src"),
+            regexp_extract(col("u"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"))
+        val seeds = docs.where(col("doc_id") < 10).select("doc_id")
+        val visited = graft.streaming.CrawlFrontier
+          .run(s, edges, seeds, locF.toString)
+        visited
+          .join(landed.select(col("src").as("doc_id"),
+            (!graft.operators.HtmlExtract
+              .robotsMetaHas(col("meta_robots"), "noindex"))
+              .cast("long").as("indexed")), Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*7 + k) % c AS dst, k
+             |      FROM documents, n, (VALUES (1),(2),(3)) v(k)),
+             |ee AS (SELECT src, dst FROM e
+             |       WHERE dst % 10 <> 0
+             |         AND src % 7 <> 0
+             |         AND NOT (k = 2 AND src % 3 = 0)),
+             |bfs(doc_id, depth) AS (
+             |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 10
+             |  UNION
+             |  SELECT ee.dst, b.depth + 1 FROM bfs b JOIN ee ON ee.src = b.doc_id
+             |  WHERE b.depth < 40)
+             |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth,
+             |  CAST(CASE WHEN doc_id % 7 IN (0, 1) THEN 0 ELSE 1 END
+             |    AS BIGINT) AS indexed
+             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -499,6 +499,43 @@ class WebIngestSpec extends AnyFunSuite {
     assert(resolveCharset(None, lateMeta)._1 == "UTF-8")
   }
 
+  test("rel=nofollow flags per anchor (both orders), noopener decoy stays false") {
+    val html = """<a href="/a" rel="nofollow">x</a>""" +
+      """<a rel="me nofollow" href="/b">y</a>""" +
+      """<a href="/c" rel="noopener">z</a>""" +
+      """<a href="/d">plain rel=nofollow text must not flag</a>"""
+    val rows = Seq((1L, html)).toDF("id", "html")
+      .select(explode(graft.operators.HtmlExtract
+        .links(col("html"), lit("https://h.example/"))).as("l"))
+      .select(col("l.url"), col("l.nofollow")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq(
+      ("https://h.example/a", true), ("https://h.example/b", true),
+      ("https://h.example/c", false), ("https://h.example/d", false)))
+  }
+
+  test("meta robots: both attribute orders, token matching, absent -> ''") {
+    import graft.operators.HtmlExtract.{pageMeta, robotsMetaHas}
+    def metaOf(html: String): String =
+      Seq((1L, html)).toDF("id", "html")
+        .select(pageMeta(col("html")).getField("meta_robots")).head().getString(0)
+    assert(metaOf("""<head><meta name="robots" content="noindex, nofollow">""" +
+      "</head>") == "noindex, nofollow")
+    assert(metaOf("""<head><meta content="noindex" name="robots"></head>""")
+      == "noindex")
+    assert(metaOf("<head><title>t</title></head>") == "")
+    val checks = Seq((1L, "x")).toDF("id", "x").select(
+      robotsMetaHas(lit("noindex, nofollow"), "noindex"),
+      robotsMetaHas(lit("noindex, nofollow"), "nofollow"),
+      robotsMetaHas(lit("noindex"), "nofollow"),
+      // token semantics: 'nofollowx' is NOT the nofollow directive
+      robotsMetaHas(lit("nofollowx"), "nofollow"),
+      robotsMetaHas(lit("NOFOLLOW"), "nofollow")).head()
+    assert((checks.getBoolean(0), checks.getBoolean(1), checks.getBoolean(2),
+      checks.getBoolean(3), checks.getBoolean(4)) ==
+      ((true, true, false, false, true)))
+  }
+
   test("http body decode: chunked de-frames before content-coding, before charset") {
     import graft.sources.WarcSource.{decodeHttpBody, dechunk, resolveCharset}
     val text = "wire body with naïve café content репей"
