@@ -747,4 +747,45 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** Canonical-collapse: fold a crawl corpus on the publisher's own
+    * dedup signal — the `rel=canonical` URL [[HtmlExtract.pageMeta]]
+    * extracts — BEFORE any content-similarity pass runs. Mirror pages,
+    * print views, tracking-parameter variants and mobile twins all
+    * declare the same canonical target, so collapsing on it removes the
+    * bulk of a crawl's exact duplication for the price of ONE groupBy,
+    * shrinking the corpus MinHash/SimHash must shingle and band.
+    *
+    * Grouping key: the canonicalized declared canonical when non-empty,
+    * else the doc's own canonicalized URL (no declaration → self-group).
+    * Winner per group: the doc whose own URL IS the canonical target
+    * (the publisher's designated copy) when it landed in the corpus,
+    * else the smallest doc id — `min(struct(not_self, id))`, a
+    * combinable aggregate.
+    *
+    * Returns one row per group: `idCol` (the winner), `canon_url`,
+    * `n_docs` (group size, = 1 + folded copies).
+    *
+    * SCALE: ONE hash-partitioned groupBy on the canonical URL (partial
+    * min/count aggregate — a site declaring one canonical for millions
+    * of pages skews a key the map-side combine absorbs); compose with
+    * a left-semi join on the winner ids to materialize the collapsed
+    * corpus. Never doc×doc; the downstream near-dup pass sees only
+    * group winners. */
+  def canonicalCollapse(docs: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url", canonicalCol: String = "canonical"): DataFrame = {
+    val canon = graft.operators.HtmlExtract.canonicalizeUrl _
+    val keyed = docs.select(
+      col(idCol).as("_id"),
+      canon(col(urlCol)).as("_self"),
+      canon(when(col(canonicalCol).isNotNull && col(canonicalCol) =!= "",
+        col(canonicalCol)).otherwise(col(urlCol))).as("canon_url"))
+    val groups = keyed.groupBy("canon_url")
+      .agg(
+        min(struct((col("_self") =!= col("canon_url")).cast("int")
+          .as("not_self"), col("_id").as("id"))).as("w"),
+        count(lit(1)).as("n_docs"))
+      .select(col("canon_url"), col("w.id").as(idCol), col("n_docs"))
+    groups
+  }
 }

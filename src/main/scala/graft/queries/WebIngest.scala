@@ -1234,6 +1234,60 @@ object WebIngest {
              |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth,
              |  CAST(CASE WHEN doc_id % 7 IN (0, 1) THEN 0 ELSE 1 END
              |    AS BIGINT) AS indexed
-             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonical-collapse dedup (round 20 #3): the publisher's own
+    // dedup signal consumed at last — rel=canonical targets extracted
+    // off constructed pages (q492's proven path), then ONE groupBy
+    // folds the corpus before any content-similarity pass. Three
+    // planted shapes: even docs declare doc/(id%100) (the designated
+    // copy LANDED in the corpus — winner must be the target itself,
+    // not min id), ids ≡ 1 mod 10 declare an off-corpus target (winner
+    // falls back to min id), the rest declare nothing (self-groups).
+    // Messy self-URLs (case, utm, fragment) must canonicalize before
+    // keying. The oracle replays key/winner/count analytically.
+    Q("q504_canonical_collapse",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val idStr = col("doc_id").cast("string")
+        val canonTarget =
+          when(col("doc_id") % 2 === 0,
+            concat(lit("https://example.org/doc/"),
+              (col("doc_id") % 100).cast("string")))
+          .when(col("doc_id") % 10 === 1,
+            concat(lit("https://example.org/off/"),
+              (col("doc_id") % 20).cast("string")))
+          .otherwise(lit(""))
+        val canonTag = when(canonTarget =!= "",
+            concat(lit("<link rel=\"canonical\" href=\""), canonTarget,
+              lit("\">")))
+          .otherwise(lit(""))
+        val page = concat(lit("<html><head>"), canonTag,
+          lit("<title>t</title></head><body><p>x</p></body></html>"))
+        val withMeta = docs.select(col("doc_id"),
+          concat(lit("HTTPS://Example.ORG/doc/"), idStr,
+            lit("?utm_q=1#frag")).as("url"),
+          graft.operators.HtmlExtract.pageMeta(page)
+            .getField("canonical").as("canonical"))
+        graft.operators.Dedup.canonicalCollapse(withMeta)
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS self,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN 'https://example.org/doc/' || CAST(doc_id % 100 AS VARCHAR)
+             |      WHEN doc_id % 10 = 1
+             |      THEN 'https://example.org/off/' || CAST(doc_id % 20 AS VARCHAR)
+             |      ELSE 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+             |    END AS canon
+             |  FROM documents),
+             |g AS (SELECT canon AS canon_url,
+             |    min(CASE WHEN self = canon THEN 0 ELSE 1 END * 1000000000
+             |      + doc_id) AS wk,
+             |    CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM k GROUP BY canon)
+             |SELECT canon_url, CAST(wk % 1000000000 AS BIGINT) AS doc_id,
+             |  n_docs
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

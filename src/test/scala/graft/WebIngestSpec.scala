@@ -536,6 +536,40 @@ class WebIngestSpec extends AnyFunSuite {
       ((true, true, false, false, true)))
   }
 
+  test("canonical collapse: designated copy wins, offsite falls back to min id, MinHash workload shrinks") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // docs 0-3: four URL-variants of ONE page, all declaring doc/0 as
+    // canonical (doc/0 itself landed); 4-5: an off-corpus canonical
+    // cluster (no member IS the target); 6-7: undeclared self-groups
+    val docs = Seq(
+      (0L, "https://example.org/doc/0", "https://example.org/doc/0", base),
+      (1L, "https://example.org/doc/0?utm_source=feed", "https://example.org/doc/0", base),
+      (2L, "https://example.org/doc/0/print", "https://example.org/doc/0", base),
+      (3L, "https://m.example.org/doc/0", "https://example.org/doc/0", base),
+      (4L, "https://example.org/a", "https://example.org/main",
+        "shared mirror body on two hosts describing one canonical resource"),
+      (5L, "https://example.org/b", "https://example.org/main",
+        "shared mirror body on two hosts describing one canonical resource"),
+      (6L, "https://example.org/c", "", "unrelated text about completely different topics entirely"),
+      (7L, "https://example.org/d", "", "another standalone page with its own unique words here"))
+      .toDF("doc_id", "url", "canonical", "text")
+    val collapsed = Dedup.canonicalCollapse(docs)
+    val byKey = collapsed.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byKey("https://example.org/doc/0") == ((0L, 4L))) // designated copy, not min-of-cluster by accident
+    assert(byKey("https://example.org/main") == ((4L, 2L)))  // offsite target: min id wins
+    assert(byKey("https://example.org/c") == ((6L, 1L)))
+    assert(byKey.size == 4)
+    // the point of running it BEFORE MinHash: the near-dup pass sees
+    // only winners — the 4-variant cluster contributes zero pairs
+    val winners = docs.join(collapsed.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairsBefore = Dedup.minHashLshPairs(docs, 0.7).count()
+    val pairsAfter = Dedup.minHashLshPairs(winners, 0.7).count()
+    assert(pairsBefore >= 6L) // the identical 4-cluster alone yields C(4,2)
+    assert(pairsAfter == 0L)  // winners {0,4,6,7} share no near-dup text
+  }
+
   test("http body decode: chunked de-frames before content-coding, before charset") {
     import graft.sources.WarcSource.{decodeHttpBody, dechunk, resolveCharset}
     val text = "wire body with naïve café content репей"
