@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * list, and land the next wave. The loop converges when an expansion
   * discovers nothing new.
   *
-  * Determinism + replay: wave files are named by their depth, so a
-  * re-run over the same root lands nothing new (the file exists), the
+  * Determinism + replay: each wave lands as part files under a
+  * depth-derived unique prefix (`wave-DDDDD-part-*`), so a re-run over
+  * the same root lands nothing new (the prefix exists), the
   * file-source checkpoint has already consumed every wave, and the
   * visited table is untouched — replay CONVERGES instead of
   * duplicating (the replay-convergence spec drives exactly this).
@@ -29,7 +30,11 @@ import org.apache.spark.sql.functions._
   * depth from the seeds (log-ish for web-shaped graphs), the same
   * bound every BFS pays. The edge list is localCheckpoint-materialized
   * once, not recomputed per round (in a real crawl it is a table on
-  * disk).
+  * disk). Wave landing is distributed: each wave writes as N part
+  * files at the frame's own parallelism through Hadoop FileSystem on
+  * the root's filesystem (executors write the shared store directly —
+  * no driver-local staging, no single-task `coalesce(1)` bottleneck on
+  * a million-URL production wave).
   */
 object CrawlFrontier {
 
@@ -40,26 +45,41 @@ object CrawlFrontier {
       .select(col("doc_id").cast("long").as("doc_id"),
         col("depth").cast("long").as("depth"))
 
-  /** Lands `df` as ONE parquet file `<landing>/<name>.parquet` (the
-    * q136 single-file landing discipline: the file-source tracker keys
-    * by path, so each wave must be exactly one new file). No-op if the
-    * wave file already exists (replay). */
-  private def land(df: DataFrame, landing: java.nio.file.Path,
-      name: String): Unit = {
-    val target = landing.resolve(s"$name.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-wave-$name")
-      val stage = tmp.resolve("stage").toString
-      df.coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath, target)
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-        f.delete(); ()
-      }
-      rmTree(tmp.toFile)
+  /** Lands `df` as a MULTI-FILE parquet wave: every part file renames
+    * to `<landing>/<name>-part-*.parquet` (the EventsStream `waveN-`
+    * unique-prefix discipline — the file-source tracker keys by path,
+    * so each landed file must be new; how MANY files a wave spans is
+    * free). Writer parallelism = the frame's partitioning: a
+    * million-URL production wave lands as N part files instead of
+    * bottlenecking on one write task (the r19 `coalesce(1)` watch-item).
+    *
+    * All I/O goes through Hadoop FileSystem against the landing dir's
+    * own filesystem — the stage dir is a dot-prefixed sibling (invisible
+    * to Spark's file listing even mid-write) under the SAME root, never
+    * driver-local java.io temp space, so executors on a cluster write
+    * to the shared store directly. No-op if the wave prefix already
+    * exists (replay); a crash between the first and last part rename
+    * re-lands nothing on replay — the same partial-wave window the old
+    * single-file copy had, closed by re-running the round (admission is
+    * idempotent against the visited table). */
+  private def land(df: DataFrame, landing: org.apache.hadoop.fs.Path,
+      name: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = landing.getFileSystem(conf)
+    val existing = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(landing, s"$name-part-*.parquet")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    if (existing.isEmpty) {
+      val stage =
+        new org.apache.hadoop.fs.Path(landing.getParent, s".stage-$name")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      df.write.parquet(stage.toString)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            landing, s"$name-${st.getPath.getName}"))
+        }
+      fs.delete(stage, true)
     }
   }
 
@@ -70,15 +90,17 @@ object CrawlFrontier {
   def run(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       root: String, maxRounds: Int = 64): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val rootP = java.nio.file.Paths.get(root)
-    val landing = rootP.resolve("landing")
-    java.nio.file.Files.createDirectories(landing)
-    val ckpt = rootP.resolve("ckpt").toString
-    val table = rootP.resolve("visited").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val landing = new org.apache.hadoop.fs.Path(rootP, "landing")
+    fs.mkdirs(landing)
+    val ckpt = new org.apache.hadoop.fs.Path(rootP, "ckpt").toString
+    val table = new org.apache.hadoop.fs.Path(rootP, "visited").toString
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     land(seeds.select(col("doc_id").cast("long").as("doc_id"))
-      .withColumn("depth", lit(0L)), landing, "wave-00000")
+      .withColumn("depth", lit(0L)), landing, "wave-00000", conf)
     val waveSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, depth BIGINT")
     var rounds = 0
@@ -116,7 +138,7 @@ object CrawlFrontier {
               .withColumn("depth", lit(d + 1L))
               .localCheckpoint()
             if (next.head(1).nonEmpty)
-              land(next, landing, f"wave-${d + 1L}%05d")
+              land(next, landing, f"wave-${d + 1L}%05d", conf)
           }
           ()
         }

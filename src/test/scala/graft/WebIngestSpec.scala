@@ -646,22 +646,28 @@ class WebIngestSpec extends AnyFunSuite {
     // unreachable; two seeds {0, 5}
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 0L))
       .toDF("src", "dst")
-    val seeds = Seq(0L, 5L).toDF("doc_id")
+    // multi-partition seeds: the seed wave must land as SEVERAL part
+    // files under one wave prefix and still ingest as one wave
+    val seeds = Seq(0L, 5L).toDF("doc_id").repartition(2)
     val root = java.nio.file.Files.createTempDirectory("graft-cf").toString
     val got = graft.streaming.CrawlFrontier.run(spark, edges, seeds, root)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
-    val waves = new java.io.File(s"$root/landing").list()
-      .count(_.endsWith(".parquet"))
-    assert(waves == 4) // depths 0..3; the cycle back to 0 lands nothing
+    def landed(): Seq[String] = new java.io.File(s"$root/landing").list()
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = landed()
+    val waves = files.map(_.replaceAll("-part-.*$", "")).distinct.sorted
+    assert(waves == Seq("wave-00000", "wave-00001", "wave-00002",
+      "wave-00003")) // depths 0..3; the cycle back to 0 lands nothing
+    assert(files.count(_.startsWith("wave-00000-")) >= 2,
+      s"seed wave should span multiple part files, got $files")
     // replay convergence: a re-run over the same root (same checkpoint,
     // same visited table, same wave files) changes NOTHING — no new
     // waves, no duplicate admissions, identical depths
     val again = graft.streaming.CrawlFrontier.run(spark, edges, seeds, root)
       .as[(Long, Long)].collect().toMap
     assert(again == got)
-    assert(new java.io.File(s"$root/landing").list()
-      .count(_.endsWith(".parquet")) == 4)
+    assert(landed() == files)
     assert(graft.sources.ManifestCommit
       .readManifested(spark, s"$root/visited").count() == 6L)
   }
