@@ -1288,6 +1288,95 @@ object WebIngest {
              |  FROM k GROUP BY canon)
              |SELECT canon_url, CAST(wk % 1000000000 AS BIGINT) AS doc_id,
              |  n_docs
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- redirect discovery channel (round 20 #5): resolved redirects
+    // feed the frontier next to page links (and q494's sitemaps) —
+    // fetching a 301 yields no parseable page, but its resolved target
+    // IS a discovered URL. Docs with id % 8 == 0 land as 301s (their
+    // link edges VANISH — a fetcher does not parse 3xx bodies, gated on
+    // status_code == 200) and contribute (url → final_url) alias edges
+    // from the pending-only [[Redirects.follow]] loop instead; several
+    // targets are reachable ONLY through a redirect edge. Two BFS
+    // rounds over the union edge set; the oracle unrolls both channels
+    // and both rounds analytically, so the status gate, the resolution
+    // loop, and the channel union are all in the hash.
+    Q("q505_redirect_channel",
+      (s, d) => {
+        val loc = new java.io.File(Tables.roundtripLoc(d, "warcrdch"))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(); ()
+        }
+        if (loc.exists()) rmTree(loc)
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val isRedir = col("doc_id") % 8 === 0 && col("doc_id") + 5 < n
+        val pages = docs.select(col("doc_id"),
+          graft.operators.HtmlExtract
+            .syntheticPageLinked(col("text"), col("doc_id"), n).as("html"),
+          when(isRedir, lit("301 Moved Permanently"))
+            .otherwise(lit("200 OK")).as("stat"),
+          when(isRedir, concat(lit("/doc/"),
+              (col("doc_id") + 5).cast("string")))
+            .otherwise(lit("")).as("locn"))
+        graft.sources.WarcSource.exportWarc(pages, loc.toString,
+          nShards = 8, salt = "rdch", bodyCol = "html", gzip = true,
+          statusCol = "stat", locationCol = "locn", verify = false)
+        val responses = graft.sources.WarcSource
+          .responseBodies(s, loc.toString)
+          .localCheckpoint()
+        val linkEdges = responses.where(col("status_code") === 200)
+          .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("src"),
+            explode(graft.operators.HtmlExtract
+              .links(col("body"), col("uri"))).as("l"))
+          .select(col("src"),
+            graft.operators.HtmlExtract.canonicalizeUrl(col("l.url"))
+              .as("u"))
+          .where(col("u").rlike("^https://example\\.org/doc/\\d+$"))
+          .select(col("src"),
+            regexp_extract(col("u"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"))
+        val redirEdges = graft.operators.Redirects.follow(
+            responses.select(col("uri").as("url"), col("status_code"),
+              col("location")))
+          .where(col("n_hops") > 0 && col("resolved"))
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("src"),
+            regexp_extract(col("final_url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("dst"))
+        val edges = linkEdges.union(redirEdges).localCheckpoint()
+        val seeds = docs.where(col("doc_id") < 10).select("doc_id")
+        def expand(frontier: org.apache.spark.sql.DataFrame) =
+          edges.join(frontier.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .select(col("dst").as("doc_id")).distinct()
+        val d1 = expand(seeds).join(seeds, Seq("doc_id"), "left_anti")
+        val visited1 = seeds.union(d1)
+        val d2 = expand(d1).join(visited1, Seq("doc_id"), "left_anti")
+        seeds.withColumn("depth", lit(0L))
+          .union(d1.withColumn("depth", lit(1L)))
+          .union(d2.withColumn("depth", lit(2L)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM documents),
+             |rd AS (SELECT doc_id AS src, doc_id + 5 AS dst
+             |       FROM documents, n WHERE doc_id % 8 = 0 AND doc_id + 5 < c),
+             |lk AS (SELECT d.doc_id AS src, (d.doc_id*7 + k) % c AS dst
+             |       FROM documents d, n, (VALUES (1),(2),(3)) v(k)
+             |       WHERE NOT (d.doc_id % 8 = 0 AND d.doc_id + 5 < c)),
+             |e AS (SELECT src, dst FROM rd UNION ALL SELECT src, dst FROM lk),
+             |s0 AS (SELECT doc_id FROM documents WHERE doc_id < 10),
+             |d1 AS (SELECT DISTINCT dst AS doc_id FROM e
+             |       JOIN s0 ON e.src = s0.doc_id
+             |       WHERE dst NOT IN (SELECT doc_id FROM s0)),
+             |d2 AS (SELECT DISTINCT dst AS doc_id FROM e
+             |       JOIN d1 ON e.src = d1.doc_id
+             |       WHERE dst NOT IN (SELECT doc_id FROM s0)
+             |         AND dst NOT IN (SELECT doc_id FROM d1))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM s0
+             |UNION ALL SELECT doc_id, 1 FROM d1
+             |UNION ALL SELECT doc_id, 2 FROM d2
+             |ORDER BY doc_id""".stripMargin))
   )
 }
