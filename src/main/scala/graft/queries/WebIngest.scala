@@ -1377,6 +1377,72 @@ object WebIngest {
              |SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM s0
              |UNION ALL SELECT doc_id, 1 FROM d1
              |UNION ALL SELECT doc_id, 2 FROM d2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- conditional-revalidation recrawl (round 20 #6): q500 said
+    // WHAT changed; this says HOW to fetch it. The fetched-state table
+    // grows the validators the last fetch returned (etag for
+    // doc_id % 2 == 0, an http Last-Modified for doc_id % 11 == 0) and
+    // [[Recrawl.delta]] plans: absent → new (plain GET), stale with a
+    // validator → revalidate (conditional GET, etag preferred per RFC
+    // 9110 §13.1.3 — in the hash where both validators exist), stale
+    // bare → refetch, fresh → no row. The wave still parses out of
+    // built urlsets (the q500 loop), and the emitted conditional
+    // header line is pinned verbatim.
+    Q("q506_conditional_revalidation",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val newLastmod = concat(lit("2026-02-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+        val urls = docs.select((col("doc_id") % 4).as("host"),
+          struct(
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("loc"),
+            newLastmod.as("lastmod")).as("u"))
+        val xmls = urls.groupBy("host").agg(
+          graft.operators.Sitemaps.buildUrlset(
+            sort_array(collect_list(col("u")))).as("xml"))
+        val wave = xmls
+          .select(explode(graft.operators.Sitemaps.entries(col("xml")))
+            .as("e"))
+          .select(col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+        val state = docs.where(col("doc_id") % 5 =!= 0)
+          .select(
+            concat(lit("https://example.org/doc/"), col("doc_id"))
+              .as("loc"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("2026-01-"),
+                lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+              .otherwise(concat(lit("2026-02-"),
+                lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+              .as("fetched"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("\"v"), col("doc_id").cast("string"), lit("\"")))
+              .otherwise(lit("")).as("etag"),
+            when(col("doc_id") % 11 === 0,
+              lit("Mon, 05 Jan 2026 00:00:00 GMT"))
+              .otherwise(lit("")).as("last_modified"))
+        graft.operators.Recrawl.delta(wave, state)
+          .select(regexp_extract(col("loc"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            col("reason"), col("validator"), col("cond_header"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'new'
+             |    WHEN doc_id % 2 = 0 OR doc_id % 11 = 0 THEN 'revalidate'
+             |    ELSE 'refetch' END AS reason,
+             |  CASE WHEN doc_id % 5 = 0 THEN ''
+             |    WHEN doc_id % 2 = 0 THEN 'etag'
+             |    WHEN doc_id % 11 = 0 THEN 'last-modified'
+             |    ELSE '' END AS validator,
+             |  CASE WHEN doc_id % 5 = 0 THEN ''
+             |    WHEN doc_id % 2 = 0
+             |      THEN 'If-None-Match: "v' || CAST(doc_id AS VARCHAR) || '"'
+             |    WHEN doc_id % 11 = 0
+             |      THEN 'If-Modified-Since: Mon, 05 Jan 2026 00:00:00 GMT'
+             |    ELSE '' END AS cond_header
+             |FROM documents
+             |WHERE doc_id % 5 = 0 OR doc_id % 3 = 0
              |ORDER BY doc_id""".stripMargin))
   )
 }
