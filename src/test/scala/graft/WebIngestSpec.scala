@@ -672,6 +672,14 @@ class WebIngestSpec extends AnyFunSuite {
       .readManifested(spark, s"$root/visited").count() == 6L)
   }
 
+  test("canonical collapse plans as ONE exchange (combinable min/count agg)") {
+    val docs = Seq((1L, "https://a/x", "")).toDF("doc_id", "url", "canonical")
+    val plan = graft.operators.Dedup.canonicalCollapse(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"collapse must shuffle exactly once:\n$plan")
+  }
+
   test("extraction plan is one shuffle-free projection over the scan") {
     val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     val plan = graft.operators.HtmlExtract.extract(pages, "html")
