@@ -25,7 +25,16 @@ object WebFunctions {
         f(ColumnBridge.column(Cast(xs.head, StringType))))
     Seq(
       "html_main_text" -> col1(c => graft.operators.HtmlExtract.mainText(c)),
-      "canonical_url" -> col1(graft.operators.HtmlExtract.canonicalizeUrl))
+      "canonical_url" -> col1(graft.operators.HtmlExtract.canonicalizeUrl),
+      // directive is a per-call literal in SQL text; foldable by eval
+      // since robotsMetaHas builds the pattern from the string value
+      "robots_meta_has" -> (xs => ColumnBridge.expressionEager(
+        graft.operators.HtmlExtract.robotsMetaHas(
+          ColumnBridge.column(Cast(xs.head, StringType)),
+          xs(1).eval(null) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => String.valueOf(other)
+          }))))
   }
 
   /** Runtime registration for sessions the library doesn't build. */

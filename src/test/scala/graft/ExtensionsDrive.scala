@@ -53,6 +53,12 @@ object ExtensionsDrive {
     ).collect()(0)
     println(s"== entity kernel via SQL: $e")
     assert(e.getString(0) == "em—dash don't &#xD800; &#0;")
+    val rm = spark.sql(
+      """SELECT robots_meta_has('noindex, nofollow', 'nofollow') AS a,
+        |  robots_meta_has('nofollowx', 'nofollow') AS b""".stripMargin)
+      .collect()(0)
+    println(s"== robots meta via SQL: $rm")
+    assert(rm.getBoolean(0) && !rm.getBoolean(1))
     println("== extensions drive: OK")
     spark.stop()
   }
