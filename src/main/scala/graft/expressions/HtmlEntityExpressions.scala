@@ -57,12 +57,21 @@ case class DecodeHtmlNumRefs(child: Expression) extends UnaryExpression {
 object DecodeHtmlNumRefs {
   private val AmpHash = UTF8String.fromString("&#")
   private val AmpAmp = UTF8String.fromString("&amp;")
+  private val Amp = UTF8String.fromString("&")
   private val Ref = java.util.regex.Pattern
     .compile("&#(?:[0-9]{1,8}|[xX][0-9a-fA-F]{1,6});|&amp;")
 
   /** Called from generated code. */
   def decode(s: UTF8String): UTF8String = {
-    if (!s.contains(AmpHash) && !s.contains(AmpAmp)) return s
+    if (!s.contains(AmpHash)) {
+      // no numeric refs: `&amp;` alone needs no regex — UTF8String's
+      // non-overlapping left-to-right replace (which never rescans its
+      // own output) IS the single-pass semantics, byte-level, no
+      // toString. This is the COMMON block (escaped text carries
+      // `&amp;` everywhere, numeric refs are sparse) — the r20 fold
+      // must not charge it a regex pass.
+      return if (s.contains(AmpAmp)) s.replace(AmpAmp, Amp) else s
+    }
     val js = s.toString
     val m = Ref.matcher(js)
     if (!m.find()) return s
