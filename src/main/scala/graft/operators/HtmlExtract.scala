@@ -200,22 +200,23 @@ object HtmlExtract {
     val scheme = regexp_extract(base, "^(https?):", 1)
     val baseDir = regexp_replace(
       regexp_replace(base, "[?#].*$", ""), "[^/]*$", "")
-    val resolved = transform(anchors, a => {
-      // attributes live in the OPENING tag only — matching rel= against
-      // the whole anchor would false-positive on "rel=" in anchor text
-      val openTag = regexp_extract(a, "(?is)^<a\\b[^>]*>", 0)
-      val href = regexp_extract(openTag,
-        "(?is)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-      val nofollow = openTag.rlike(
-        "(?is)\\brel\\s*=\\s*[\"'][^\"']*\\bnofollow\\b[^\"']*[\"']")
+    // per-anchor parse (opening-tag attributes — rel= in anchor TEXT
+    // cannot false-positive — href, entity-decoded anchor text) is ONE
+    // compiled call: graft.expressions.ParseAnchor, the DecodeHtmlNumRefs
+    // promotion pattern applied to the other per-anchor hot path. The
+    // resolution when-chain below runs on short hrefs only.
+    val parsed = transform(anchors,
+      a => graft.expressions.ParseAnchor.parse_anchor(a))
+    val resolved = transform(parsed, p => {
+      val href = p.getField("href")
       val url = when(href.rlike("^https?://"), href)
         .when(href.startsWith("//"), concat(scheme, lit(":"), href))
         .when(href.startsWith("/"), removeDotSegments(concat(origin, href)))
         .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") || href.startsWith("#") ||
           (href === ""), lit(null).cast("string"))
         .otherwise(removeDotSegments(concat(baseDir, href)))
-      struct(url.as("url"), cleanText(a).as("anchor"),
-        nofollow.as("nofollow"))
+      struct(url.as("url"), p.getField("anchor").as("anchor"),
+        p.getField("nofollow").as("nofollow"))
     })
     filter(resolved, l => l.getField("url").isNotNull)
   }

@@ -570,6 +570,32 @@ class WebIngestSpec extends AnyFunSuite {
     assert(pairsAfter == 0L)  // winners {0,4,6,7} share no near-dup text
   }
 
+  test("warc export with wire encodings stays byte-deterministic") {
+    // the content-addressing claim must survive encodingCol: JDK gzip
+    // headers are zeroed, Deflater defaults are deterministic, chunk
+    // framing is fixed-size — two exports must be byte-identical
+    val docs = Seq(
+      (1L, "plain body", ""), (2L, "gzip body here", "gzip"),
+      (3L, "deflate body here", "deflate"),
+      (4L, "chunked body " + ("x" * 600), "chunked"),
+      (5L, "both layers " + ("y" * 600), "gzip,chunked"))
+      .toDF("doc_id", "text", "enc")
+    val dirs = (1 to 2).map(_ =>
+      java.nio.file.Files.createTempDirectory("warc-encdet").toString)
+    dirs.foreach(d => graft.sources.WarcSource.exportWarc(
+      docs, d, 2, "s", encodingCol = "enc", gzip = true, verify = false))
+    for (f <- new java.io.File(dirs.head).list().sorted
+         if f.startsWith("shard-")) {
+      val b = dirs.map(d => java.nio.file.Files.readAllBytes(
+        new java.io.File(d, f).toPath))
+      assert(java.util.Arrays.equals(b.head, b(1)), s"$f differs")
+    }
+    // and the roundtrip recovers every body through the decode stack
+    val back = graft.sources.WarcSource.responseBodies(spark, dirs.head)
+      .select("body").as[String].collect().toSet
+    assert(back == docs.select("text").as[String].collect().toSet)
+  }
+
   test("http body decode: chunked de-frames before content-coding, before charset") {
     import graft.sources.WarcSource.{decodeHttpBody, dechunk, resolveCharset}
     val text = "wire body with naïve café content репей"
