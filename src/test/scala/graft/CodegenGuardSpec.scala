@@ -42,7 +42,9 @@ class CodegenGuardSpec extends GraftSpec {
     "q171_jaro_winkler_match", // JaroWinkler codegen Expression
     "q220_char_entropy",       // CharEntropy codegen Expression
     "q480_html_extract",       // DecodeHtmlNumRefs kernel (round 19)
-    "q492_page_metadata")      // pageMeta regex surface incl. canonical
+    "q492_page_metadata",      // pageMeta regex surface incl. canonical
+    "q485_link_graph",         // ParseAnchor kernel (round 20)
+    "q502_link_optouts")       // ParseAnchor + robotsMetaHas surface
 
   test("register hot paths execute with codegen fallback disabled") {
     val conf = spark.conf
