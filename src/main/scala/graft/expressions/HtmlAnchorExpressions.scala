@@ -60,27 +60,12 @@ object ParseAnchor {
     java.util.regex.Pattern.compile("(?is)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']")
   private val Nofollow = java.util.regex.Pattern.compile(
     "(?is)\\brel\\s*=\\s*[\"'][^\"']*\\bnofollow\\b[^\"']*[\"']")
-  private val Tag = java.util.regex.Pattern.compile("<[^>]*>")
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** `cleanText` of the Column chain, verbatim order: tag strip →
-    * named set → numeric-ref/&amp; kernel → whitespace normalize →
-    * space trim (Spark's `trim` removes spaces only). */
-  private def cleanText(raw: String): String = {
-    var t = Tag.matcher(raw).replaceAll(" ")
-    t = t.replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&nbsp;", " ")
-    t = DecodeHtmlNumRefs.decode(UTF8String.fromString(t)).toString
-    t = Ws.matcher(t).replaceAll(" ")
-    var i = 0
-    var j = t.length
-    while (i < j && t.charAt(i) == ' ') i += 1
-    while (j > i && t.charAt(j - 1) == ' ') j -= 1
-    t.substring(i, j)
-  }
-
-  /** Called from generated code. */
+  /** Called from generated code. The anchor text goes through the
+    * SHARED `cleanText` kernel ([[ExtractBlocks.cleanText]] — tag
+    * strip → named set → numeric-ref/&amp; scan → whitespace
+    * normalize → space trim), one implementation for both per-anchor
+    * and per-block paths. */
   def parse(a: UTF8String): InternalRow = {
     val js = a.toString
     val om = Open.matcher(js)
@@ -90,7 +75,7 @@ object ParseAnchor {
     val nofollow = Nofollow.matcher(openTag).find()
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(href),
-      UTF8String.fromString(cleanText(js)),
+      UTF8String.fromString(ExtractBlocks.cleanText(js)),
       nofollow))
   }
 

@@ -97,8 +97,24 @@ object HtmlExtract {
       lit(0), (acc, a) => acc + wordCount(cleanText(a)))
 
   /** `array<struct<text, words, link_words>>` — one entry per non-empty
-    * block, in document order. The scored form steps 1-3 produce. */
-  def blockStats(html: Column): Column = {
+    * block, in document order. The scored form steps 1-3 produce.
+    *
+    * The whole pass is the codegen'd [[graft.expressions.ExtractBlocks]]
+    * kernel — ONE static call per page. The column chain it replaced
+    * (interpreted `transform` per block + nested `aggregate` per anchor
+    * for the link tally) was the dominant extraction cost once the WARC
+    * read went O(record); the kernel runs the same compiled regexes in
+    * the same order, so semantics are pinned by construction and the
+    * q480-family oracles gate it. The private helpers below remain the
+    * declarative spec of each step (and `cleanText` still powers the
+    * non-block surfaces). */
+  def blockStats(html: Column): Column =
+    graft.expressions.ExtractBlocks.extract_blocks(html)
+
+  /** The column-chain twin of [[blockStats]] — retained as the
+    * executable spec the kernel is checked against (spec suite compares
+    * outputs on planted pages). */
+  private[graft] def blockStatsDeclarative(html: Column): Column = {
     val stats = transform(split(stripNoise(html), SplitPattern), b => {
       val t = cleanText(b)
       struct(t.as("text"), wordCount(t).as("words"),

@@ -499,6 +499,37 @@ class WebIngestSpec extends AnyFunSuite {
     assert(resolveCharset(None, lateMeta)._1 == "UTF-8")
   }
 
+  test("ExtractBlocks kernel ≡ the declarative column chain, block for block") {
+    // the kernel replaced the interpreted per-block/per-anchor HOFs; the
+    // retained declarative twin IS the spec — both must agree on every
+    // planted shape: noise subtrees, nested inline tags, entities incl.
+    // numeric refs and double-escapes, link-saturated blocks, empty and
+    // whitespace-only blocks, unclosed tags, mixed case
+    val pages = Seq(
+      "<html><head><title>T</title><style>p{}</style></head><body>" +
+        "<script>var x=1;</script><!-- c --><p>one real paragraph with " +
+        "plenty of words inside of it</p></body></html>",
+      "<DIV>upper case block</DIV><P>tips &amp; tricks for &lt;html&gt; " +
+        "&#8212; &#x27; &#38;amp; parsing here</P>",
+      "<div><a href='/a'>link one text</a> <a href='/b'>link two text</a></div>",
+      "<p>   </p><p></p><div>tiny</div>",
+      "<p>unclosed paragraph runs on <span>with inline span</span>",
+      "<ul><li>item one here</li><li>item two here</li></ul>" +
+        "<table><tr><td>cell text</td></tr></table>",
+      "") ++ (0 until 4).map(i =>
+      s"<p>generated paragraph number $i with &nbsp; entity and " +
+        s"<b>bold</b> plus <a href='/x$i'>an anchor of several words</a></p>")
+    val df = pages.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "html")
+    val a = df.select(col("id"),
+      graft.operators.HtmlExtract.blockStats(col("html")).as("bs"))
+      .orderBy("id").collect().map(_.toString)
+    val b = df.select(col("id"),
+      graft.operators.HtmlExtract.blockStatsDeclarative(col("html")).as("bs"))
+      .orderBy("id").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("rel=nofollow flags per anchor (both orders), noopener decoy stays false") {
     val html = """<a href="/a" rel="nofollow">x</a>""" +
       """<a rel="me nofollow" href="/b">y</a>""" +
