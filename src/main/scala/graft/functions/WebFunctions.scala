@@ -26,15 +26,21 @@ object WebFunctions {
     Seq(
       "html_main_text" -> col1(c => graft.operators.HtmlExtract.mainText(c)),
       "canonical_url" -> col1(graft.operators.HtmlExtract.canonicalizeUrl),
-      // directive is a per-call literal in SQL text; foldable by eval
-      // since robotsMetaHas builds the pattern from the string value
-      "robots_meta_has" -> (xs => ColumnBridge.expressionEager(
-        graft.operators.HtmlExtract.robotsMetaHas(
-          ColumnBridge.column(Cast(xs.head, StringType)),
-          xs(1).eval(null) match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-            case other => String.valueOf(other)
-          }))))
+      // the directive must be a literal: robotsMetaHas builds the match
+      // pattern from the string VALUE at plan time. Guard explicitly —
+      // eval() on a column reference would throw an opaque analysis
+      // error, and a NULL literal would silently gate on the token
+      // "null" and admit every page
+      "robots_meta_has" -> (xs => {
+        require(xs(1).foldable,
+          "robots_meta_has: the directive argument must be a literal")
+        val d = xs(1).eval(null)
+        require(d != null,
+          "robots_meta_has: the directive argument must not be NULL")
+        ColumnBridge.expressionEager(
+          graft.operators.HtmlExtract.robotsMetaHas(
+            ColumnBridge.column(Cast(xs.head, StringType)), d.toString))
+      }))
   }
 
   /** Runtime registration for sessions the library doesn't build. */

@@ -278,9 +278,14 @@ object HtmlExtract {
 
   /** True when a `meta_robots` token list (comma/space separated, case-
     * insensitive) contains `directive` — `robots_meta_has(m, 'noindex')`
-    * / `'nofollow'` are the two gates a crawl pipeline composes. */
-  def robotsMetaHas(metaRobots: Column, directive: String): Column =
-    lower(metaRobots).rlike(s"(^|[,\\s])${directive}([,\\s]|$$)")
+    * / `'nofollow'` are the two gates a crawl pipeline composes. The
+    * directive is lowercased (both sides of the match fold case) and
+    * regex-quoted, so `"NOINDEX"` matches and metacharacters cannot
+    * rewrite the pattern. */
+  def robotsMetaHas(metaRobots: Column, directive: String): Column = {
+    val d = java.util.regex.Pattern.quote(directive.toLowerCase)
+    lower(metaRobots).rlike(s"(^|[,\\s])$d([,\\s]|$$)")
+  }
 
   /** Canonical URL for frontier/crawl dedup (the standard normalizer
     * rule set): drop the fragment, lowercase scheme+host, strip default

@@ -47,6 +47,19 @@ object Tables {
       java.lang.Integer.toHexString(d.hashCode) + s"/$name").toString
   }
 
+  /** [[roundtripLoc]] with any prior run's tree deleted — the fresh
+    * scratch dir every write-roundtrip row starts from (one definition;
+    * the per-row rmTree copies it replaced drifted once already). */
+  def freshRoundtripDir(dir: String, name: String): java.io.File = {
+    val loc = new java.io.File(roundtripLoc(dir, name))
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    if (loc.exists()) rmTree(loc)
+    loc
+  }
+
   /** The events table: `ts` is normalized to LongType epoch-NANOSECONDS
     * regardless of how the parquet encodes it. Integer nanos keep ordering,
     * bucketing, and gap arithmetic exact (no µs truncation) — queries must

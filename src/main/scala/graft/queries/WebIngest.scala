@@ -83,12 +83,7 @@ object WebIngest {
     // (the q473 infrastructure pin).
     Q("q481_warc_roundtrip",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warcrt"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warcrt")
         val docs = t(s, d, "documents")
         val total = docs.count()
         val n = graft.sources.WarcSource.exportWarc(docs, loc.toString,
@@ -126,12 +121,7 @@ object WebIngest {
     // a WARC roundtrip AND extraction byte-identically.
     Q("q482_crawl_pipeline",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warccrawl"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warccrawl")
         val pages = t(s, d, "documents").select(col("doc_id"),
           graft.operators.HtmlExtract.syntheticPage(col("text")).as("html"))
         graft.sources.WarcSource.exportWarc(pages, loc.toString,
@@ -301,12 +291,7 @@ object WebIngest {
     // semantics, composed from the q480/q484/q479 proven fragments.
     Q("q487_pipeline_v8",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warcv8"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warcv8")
         val pages = t(s, d, "documents").select(col("doc_id"),
           graft.operators.HtmlExtract.syntheticPage(col("text")).as("html"))
         graft.sources.WarcSource.exportWarc(pages, loc.toString,
@@ -593,12 +578,7 @@ object WebIngest {
     // was_transcoded flag are all in the hash.
     Q("q493_warc_charset",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warccs"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warccs")
         val docs = t(s, d, "documents")
         val idStr = col("doc_id").cast("string")
         val body0 = encode(
@@ -743,12 +723,7 @@ object WebIngest {
     // (WebIngestSpec).
     Q("q495_incremental_frontier",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "frontier19"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "frontier19")
         val docs = t(s, d, "documents")
         val n = docs.count()
         val edges = docs.select(col("doc_id").as("src"),
@@ -778,12 +753,7 @@ object WebIngest {
     // pinned.
     Q("q496_warc_zstd",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warczst"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warczst")
         val docs = t(s, d, "documents")
         graft.sources.WarcSource.exportWarc(docs, loc.toString,
           nShards = 8, salt = "zst1",
@@ -824,14 +794,8 @@ object WebIngest {
     // path, so the gate's effect on the BFS tree is itself in the hash.
     Q("q497_pipeline_v9",
       (s, d) => {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        val locW = new java.io.File(Tables.roundtripLoc(d, "v9warc"))
-        val locF = new java.io.File(Tables.roundtripLoc(d, "v9frontier"))
-        if (locW.exists()) rmTree(locW)
-        if (locF.exists()) rmTree(locF)
+        val locW = Tables.freshRoundtripDir(d, "v9warc")
+        val locF = Tables.freshRoundtripDir(d, "v9frontier")
         val docs = t(s, d, "documents")
         val n = docs.count()
         val pages = docs.select(col("doc_id"),
@@ -888,12 +852,7 @@ object WebIngest {
     // hash.
     Q("q498_redirect_follow",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warcredir"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warcredir")
         val docs = t(s, d, "documents")
         val n = docs.count()
         val isA = col("doc_id") % 8 === 0 && col("doc_id") + 6 < n
@@ -1039,12 +998,7 @@ object WebIngest {
     // precedence, and the audit surface are all in the hash.
     Q("q501_http_encodings",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warcenc"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warcenc")
         val docs = t(s, d, "documents")
         val idStr = col("doc_id").cast("string")
         val m = col("doc_id") % 5
@@ -1080,6 +1034,7 @@ object WebIngest {
               .cast("long").as("doc_id"),
             col("content_encoding"),
             col("was_chunked").cast("long").as("was_chunked"),
+            col("transfer_encoding"),
             col("charset"),
             col("was_transcoded").cast("long").as("transcoded"),
             col("body"))
@@ -1091,6 +1046,8 @@ object WebIngest {
              |    ELSE '' END AS content_encoding,
              |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END
              |    AS BIGINT) AS was_chunked,
+             |  CASE WHEN doc_id % 5 IN (3, 4) THEN 'chunked' ELSE '' END
+             |    AS transfer_encoding,
              |  CASE WHEN doc_id % 5 = 3 THEN 'UTF-16LE' ELSE 'UTF-8' END
              |    AS charset,
              |  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT)
@@ -1166,14 +1123,8 @@ object WebIngest {
     // both directives' effects on the BFS tree are in the hash.
     Q("q503_pipeline_v10",
       (s, d) => {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        val locW = new java.io.File(Tables.roundtripLoc(d, "v10warc"))
-        val locF = new java.io.File(Tables.roundtripLoc(d, "v10frontier"))
-        if (locW.exists()) rmTree(locW)
-        if (locF.exists()) rmTree(locF)
+        val locW = Tables.freshRoundtripDir(d, "v10warc")
+        val locF = Tables.freshRoundtripDir(d, "v10frontier")
         val docs = t(s, d, "documents")
         val n = docs.count()
         val pages = docs.select(col("doc_id"),
@@ -1303,12 +1254,7 @@ object WebIngest {
     // loop, and the channel union are all in the hash.
     Q("q505_redirect_channel",
       (s, d) => {
-        val loc = new java.io.File(Tables.roundtripLoc(d, "warcrdch"))
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(); ()
-        }
-        if (loc.exists()) rmTree(loc)
+        val loc = Tables.freshRoundtripDir(d, "warcrdch")
         val docs = t(s, d, "documents")
         val n = docs.count()
         val isRedir = col("doc_id") % 8 === 0 && col("doc_id") + 5 < n

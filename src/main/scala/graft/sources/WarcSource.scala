@@ -403,19 +403,27 @@ object WarcSource {
       i += 2
       s
     }
-    var size = -1
-    while (size != 0) {
+    var size = -1L
+    while (size != 0L) {
       val line = readLine()
       val hex = line.split(";", 2)(0).trim
+      // long math + explicit sign/magnitude checks: a corrupt size like
+      // '7fffffff' must fail as a framing error, never overflow the
+      // bounds guard into a raw IndexOutOfBounds; parseLong's '-'
+      // acceptance is gated the same way
       size =
-        try Integer.parseInt(hex, 16)
+        try java.lang.Long.parseLong(hex, 16)
         catch { case _: NumberFormatException => throw new IOException(
           s"chunked body: bad chunk size line '${line.take(20)}'") }
-      if (size > 0) {
-        if (i + size + 2 > b.length) throw new IOException(
-          s"chunked body: chunk of $size bytes overruns the message")
-        out.write(b, i, size)
-        i += size
+      if (size < 0L || size > b.length.toLong) throw new IOException(
+        s"chunked body: chunk size $size out of range for a " +
+          s"${b.length}-byte message")
+      if (size > 0L) {
+        val n = size.toInt
+        if (i.toLong + n + 2L > b.length.toLong) throw new IOException(
+          s"chunked body: chunk of $n bytes overruns the message")
+        out.write(b, i, n)
+        i += n
         if (!(b(i) == '\r' && b(i + 1) == '\n')) throw new IOException(
           "chunked body: missing CRLF after chunk data")
         i += 2
@@ -433,41 +441,62 @@ object WarcSource {
     out.toByteArray
   }
 
-  /** Undoes the wire encodings of an HTTP body, in RFC order:
-    * Transfer-Encoding `chunked` de-frames FIRST (it wraps whatever
-    * representation was sent), then Content-Encoding `gzip`/`x-gzip`/
-    * `deflate` (zlib; a raw-deflate server slip is retried bare)
-    * decompresses. Real CommonCrawl WARC payloads preserve the raw
-    * HTTP bytes, so a reader that skips this hands compressed or
-    * chunk-framed garbage to charset resolution — the same
+  private def gunzipBytes(b: Array[Byte]): Array[Byte] =
+    readAll(new GZIPInputStream(new ByteArrayInputStream(b)))
+
+  /** RFC 9110 deflate is zlib-wrapped, but raw-deflate servers are a
+    * known real-world slip: retry headerless on a zlib error. */
+  private def inflateBytes(b: Array[Byte]): Array[Byte] =
+    try readAll(new java.util.zip.InflaterInputStream(
+      new ByteArrayInputStream(b)))
+    catch { case _: java.util.zip.ZipException | _: EOFException =>
+      readAll(new java.util.zip.InflaterInputStream(
+        new ByteArrayInputStream(b),
+        new java.util.zip.Inflater(true)))
+    }
+
+  /** Undoes the wire encodings of an HTTP body. Transfer-Encoding is a
+    * LIST applied last-coding-outermost (RFC 9112: `TE: gzip, chunked`
+    * means chunked wraps the gzipped representation), so decode walks
+    * the tokens in reverse — chunked de-frames, gzip/x-gzip/deflate
+    * decompress; an unrecognized TE coding stops the walk (the layers
+    * beneath it are unreadable) and the raw header value in the
+    * `transfer_encoding` audit column records what was left undone.
+    * Then Content-Encoding `gzip`/`x-gzip`/`deflate` decompresses the
+    * representation itself. Real CommonCrawl WARC payloads preserve
+    * the raw HTTP bytes, so a reader that skips this hands compressed
+    * or chunk-framed garbage to charset resolution — the same
     * silent-poison class the charset step closed in r19.
     *
     * Returns (decoded bytes, content-coding audit value, was_chunked).
     * An unrecognized Content-Encoding (e.g. `br` with no classpath
-    * codec) passes bytes through untouched — the audit column carries
-    * the name so a corpus can quantify what it could not decode. */
+    * codec) passes bytes through untouched — the audit columns carry
+    * the names so a corpus can quantify what it could not decode. */
   private[graft] def decodeHttpBody(hdrs: Map[String, String],
       raw: Array[Byte]): (Array[Byte], String, Boolean) = {
-    val te = hdrs.getOrElse("transfer-encoding", "").toLowerCase
-    val chunked = te.split(",").exists(_.trim == "chunked")
-    val deframed = if (chunked) dechunk(raw) else raw
-    val ce = hdrs.getOrElse("content-encoding", "").trim.toLowerCase
-    val decoded = ce match {
-      case "" | "identity" => deframed
-      case "gzip" | "x-gzip" =>
-        readAll(new GZIPInputStream(new ByteArrayInputStream(deframed)))
-      case "deflate" =>
-        // RFC 9110 deflate is zlib-wrapped, but raw-deflate servers are
-        // a known real-world slip: retry headerless on a zlib error
-        try readAll(new java.util.zip.InflaterInputStream(
-          new ByteArrayInputStream(deframed)))
-        catch { case _: java.util.zip.ZipException | _: EOFException =>
-          readAll(new java.util.zip.InflaterInputStream(
-            new ByteArrayInputStream(deframed),
-            new java.util.zip.Inflater(true)))
-        }
-      case _ => deframed
+    val teTokens = hdrs.getOrElse("transfer-encoding", "").toLowerCase
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    var cur = raw
+    var chunked = false
+    var blocked = false
+    teTokens.reverse.foreach { t =>
+      if (!blocked) t match {
+        case "chunked" => cur = dechunk(cur); chunked = true
+        case "gzip" | "x-gzip" => cur = gunzipBytes(cur)
+        case "deflate" => cur = inflateBytes(cur)
+        case "identity" => ()
+        case _ => blocked = true
+      }
     }
+    val ce = hdrs.getOrElse("content-encoding", "").trim.toLowerCase
+    val decoded =
+      if (blocked) cur
+      else ce match {
+        case "" | "identity" => cur
+        case "gzip" | "x-gzip" => gunzipBytes(cur)
+        case "deflate" => inflateBytes(cur)
+        case _ => cur
+      }
     (decoded, ce, chunked)
   }
 
@@ -529,8 +558,9 @@ object WarcSource {
     * ([[resolveCharset]]: BOM → Content-Type header param →
     * `<meta charset>` sniff → UTF-8). The resolved charset, a
     * was_transcoded flag (anything that did not decode as plain UTF-8),
-    * the content-coding name, and a was_chunked flag are carried
-    * alongside so a corpus can audit its encoding mix. */
+    * the content-coding name, a was_chunked flag, and the raw
+    * Transfer-Encoding header are carried alongside so a corpus can
+    * audit its encoding mix. */
   def responseBodies(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     records(spark, path).filter(_.warcType == "response")
@@ -545,11 +575,12 @@ object WarcSource {
         }
         (r.file, r.recordIdx, r.targetUri, status, code,
           hdrs.getOrElse("location", ""), text, cs,
-          cs != StandardCharsets.UTF_8.name(), contentEnc, chunked)
+          cs != StandardCharsets.UTF_8.name(), contentEnc, chunked,
+          hdrs.getOrElse("transfer-encoding", "").trim.toLowerCase)
       }
       .toDF("file", "record_idx", "uri", "status", "status_code",
         "location", "body", "charset", "was_transcoded",
-        "content_encoding", "was_chunked")
+        "content_encoding", "was_chunked", "transfer_encoding")
   }
 
   /** Decompression wrapper for one shard stream: gzip and zstd both

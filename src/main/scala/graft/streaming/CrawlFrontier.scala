@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * discovers nothing new.
   *
   * Determinism + replay: each wave lands as part files under a
-  * depth-derived unique prefix (`wave-DDDDD-part-*`), so a re-run over
-  * the same root lands nothing new (the prefix exists), the
-  * file-source checkpoint has already consumed every wave, and the
-  * visited table is untouched — replay CONVERGES instead of
-  * duplicating (the replay-convergence spec drives exactly this).
+  * depth-derived unique prefix (`wave-DDDDD-part-*`) and completes by
+  * writing a marker under `<root>/waves-done/`, so a re-run over the
+  * same root lands nothing new (the marker exists), the file-source
+  * checkpoint has already consumed every wave, and the visited table
+  * is untouched — replay CONVERGES instead of duplicating (the
+  * replay-convergence spec drives exactly this). A crash mid-landing
+  * (marker absent) re-lands the whole wave under fresh part names;
+  * duplicate rows wash out in the min-depth/anti-join admission.
   *
   * SCALE: per-round work is two distributed joins (wave×visited
   * anti-join, wave×edges expansion) plus one manifest commit — no
@@ -57,18 +60,25 @@ object CrawlFrontier {
     * own filesystem — the stage dir is a dot-prefixed sibling (invisible
     * to Spark's file listing even mid-write) under the SAME root, never
     * driver-local java.io temp space, so executors on a cluster write
-    * to the shared store directly. No-op if the wave prefix already
-    * exists (replay); a crash between the first and last part rename
-    * re-lands nothing on replay — the same partial-wave window the old
-    * single-file copy had, closed by re-running the round (admission is
-    * idempotent against the visited table). */
+    * to the shared store directly.
+    *
+    * Completion protocol (a landed-prefix check alone would make a
+    * crash between the first and last part rename PERMANENT — the
+    * unmoved parts' subtrees would never be crawled): a wave counts as
+    * landed only once its marker under `<root>/waves-done/` exists.
+    * Replay with the marker → no-op; crash before the marker → the
+    * whole wave re-stages under fresh part names and lands again
+    * (duplicate rows are harmless — admission min-depth-groups the
+    * batch and anti-joins the visited table). Every rename's result is
+    * CHECKED: a false return aborts the round instead of letting the
+    * stage-dir cleanup silently destroy the unmoved part. */
   private def land(df: DataFrame, landing: org.apache.hadoop.fs.Path,
       name: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = landing.getFileSystem(conf)
-    val existing = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(landing, s"$name-part-*.parquet")))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-    if (existing.isEmpty) {
+    val doneDir = new org.apache.hadoop.fs.Path(
+      landing.getParent, "waves-done")
+    val marker = new org.apache.hadoop.fs.Path(doneDir, name)
+    if (!fs.exists(marker)) {
       val stage =
         new org.apache.hadoop.fs.Path(landing.getParent, s".stage-$name")
       if (fs.exists(stage)) fs.delete(stage, true)
@@ -76,10 +86,15 @@ object CrawlFrontier {
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         .foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-            landing, s"$name-${st.getPath.getName}"))
+          val dst = new org.apache.hadoop.fs.Path(
+            landing, s"$name-${st.getPath.getName}")
+          if (!fs.rename(st.getPath, dst)) throw new java.io.IOException(
+            s"CrawlFrontier: rename ${st.getPath} -> $dst failed; " +
+              "aborting the wave landing (stage dir preserved)")
         }
       fs.delete(stage, true)
+      fs.mkdirs(doneDir)
+      fs.create(marker, true).close()
     }
   }
 

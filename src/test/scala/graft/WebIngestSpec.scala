@@ -561,10 +561,15 @@ class WebIngestSpec extends AnyFunSuite {
       robotsMetaHas(lit("noindex"), "nofollow"),
       // token semantics: 'nofollowx' is NOT the nofollow directive
       robotsMetaHas(lit("nofollowx"), "nofollow"),
-      robotsMetaHas(lit("NOFOLLOW"), "nofollow")).head()
+      robotsMetaHas(lit("NOFOLLOW"), "nofollow"),
+      // case folds on BOTH sides, and metacharacters are quoted, not
+      // interpreted (a '.' directive must not match arbitrary chars)
+      robotsMetaHas(lit("noindex"), "NOINDEX"),
+      robotsMetaHas(lit("nofollow"), "n.follow")).head()
     assert((checks.getBoolean(0), checks.getBoolean(1), checks.getBoolean(2),
-      checks.getBoolean(3), checks.getBoolean(4)) ==
-      ((true, true, false, false, true)))
+      checks.getBoolean(3), checks.getBoolean(4), checks.getBoolean(5),
+      checks.getBoolean(6)) ==
+      ((true, true, false, false, true, true, false)))
   }
 
   test("canonical collapse: designated copy wins, offsite falls back to min id, MinHash workload shrinks") {
@@ -675,10 +680,34 @@ class WebIngestSpec extends AnyFunSuite {
     // unknown coding passes bytes through with the name in the audit slot
     val (kept, keptCe, _) = decodeHttpBody(Map("content-encoding" -> "br"), plain)
     assert(keptCe == "br" && java.util.Arrays.equals(kept, plain))
+    // a TE LIST decodes last-coding-outermost: "gzip, chunked" means
+    // de-chunk, then gunzip the transfer coding itself (RFC 9112)
+    val teStack = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < gz.length) {
+        val n = math.min(64, gz.length - i)
+        bos.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+        bos.write(gz, i, n); bos.write("\r\n".getBytes("US-ASCII")); i += n
+      }
+      bos.write("0\r\n\r\n".getBytes("US-ASCII")); bos.toByteArray
+    }
+    val (teDecoded, _, teChunked) = decodeHttpBody(
+      Map("transfer-encoding" -> "gzip, chunked"), teStack)
+    assert(teChunked && new String(teDecoded, "UTF-8") == text)
+    // an unknown TE coding blocks the layers beneath it: the outer
+    // chunked frame still decodes, the inner 'frob' layer stays as-is
+    val (teKept, _, _) = decodeHttpBody(
+      Map("transfer-encoding" -> "frob, chunked"), teStack)
+    assert(java.util.Arrays.equals(teKept, gz))
     // corrupt chunk framing fails loudly, never resyncs
     intercept[java.io.IOException](dechunk("zz\r\nabc".getBytes("US-ASCII")))
     intercept[java.io.IOException](
       dechunk("5\r\nab".getBytes("US-ASCII"))) // overruns
+    intercept[java.io.IOException](
+      dechunk("-5\r\nab\r\n0\r\n\r\n".getBytes("US-ASCII"))) // negative size
+    intercept[java.io.IOException](
+      dechunk("7fffffff\r\nab\r\n".getBytes("US-ASCII"))) // overflow-sized
     // and the decoded bytes then hit charset resolution (full precedence)
     assert(resolveCharset(Some("text/plain"), decoded)._1 == "UTF-8")
   }
