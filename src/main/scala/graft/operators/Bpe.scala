@@ -73,9 +73,15 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var done = false
+    // the previous round's word table: its blocks stay live until the
+    // LAZY checkpoint derived from it has been materialized by the next
+    // round's pair-count job, then they are released deterministically
+    var prevWords: Option[Dataset[WordRow]] = None
     while (r < numMerges && !done) {
       // adjacent pairs weighted by word count; map-side combine keeps the
-      // shuffle at |distinct pairs|, not |pair occurrences|
+      // shuffle at |distinct pairs|, not |pair occurrences|. This action
+      // ALSO materializes the lazy `words` checkpoint from the previous
+      // round — one job per round where eager checkpointing paid two.
       val best = words.toDF("symbols", "count")
         .select(col("count"), col("symbols"),
           posexplode(expr("slice(symbols, 1, size(symbols) - 1)")))
@@ -84,22 +90,28 @@ object Bpe {
         .groupBy("left", "right").agg(sum("count").as("pc"))
         .orderBy(col("pc").desc, col("left"), col("right"))
         .limit(1).collect()
+      // `words` is now materialized — the superseded round's blocks can
+      // be released (hundreds of merges would otherwise hold O(rounds)
+      // vocab-sized block sets hostage to ContextCleaner/GC timing)
+      prevWords.foreach(IterUtils.unpersistCheckpoint(_))
+      prevWords = None
       if (best.isEmpty || best(0).getAs[Long]("pc") < minPairCount) done = true
       else {
         val (l, rr, pc) = (best(0).getAs[String]("left"),
           best(0).getAs[String]("right"), best(0).getAs[Long]("pc"))
         merges += Merge(r, l, rr, pc)
-        // eager checkpoint, then release the superseded round's blocks —
-        // hundreds of merges would otherwise hold O(rounds) vocab-sized
-        // block sets hostage to ContextCleaner/GC timing
+        // lazy checkpoint: the merge apply rides the NEXT round's
+        // pair-count job instead of running a dedicated materialization
+        // job per round; `words` must outlive it until then
         val next = words.map(w => WordRow(mergeOnce(w.symbols, l, rr), w.count))
-          .localCheckpoint()
-        IterUtils.unpersistCheckpoint(words)
+          .localCheckpoint(eager = false)
+        prevWords = Some(words)
         words = next
         r += 1
       }
     }
     // the learned rules are driver-side; the word table is done with
+    prevWords.foreach(IterUtils.unpersistCheckpoint(_))
     IterUtils.unpersistCheckpoint(words)
     merges.result()
   }

@@ -525,9 +525,14 @@ object Dedup {
       // materialized: `stepped` feeds BOTH sides of the jump self-join,
       // so without this its propagation subtree (join + agg) would run
       // twice per round unless AQE happened to insert a ReusedExchange —
-      // a runtime optimization nothing guarantees across confs/upgrades
+      // a runtime optimization nothing guarantees across confs/upgrades.
+      // The round-start label rides along as `old` (one extra long per
+      // row) so the convergence probe below is a filter over this
+      // checkpoint instead of a node-keyed join+exchange every round.
       val stepped = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .select(labels("id").as("id"),
+          least(labels("cluster"), coalesce(col("nl"), labels("cluster"))).as("cluster"),
+          labels("cluster").as("old"))
         .localCheckpoint()
       // pointer jumping: follow the label chain one hop (label of my
       // label). A label value is always a node id of the same component,
@@ -536,7 +541,8 @@ object Dedup {
           stepped.select(col("id").as("jid"), col("cluster").as("jcl")).as("j"),
           col("s.cluster") === col("j.jid"), "left")
         .select(col("s.id").as("id"),
-          least(col("s.cluster"), coalesce(col("jcl"), col("s.cluster"))).as("cluster"))
+          least(col("s.cluster"), coalesce(col("jcl"), col("s.cluster"))).as("cluster"),
+          col("s.old").as("old"))
       val next = jumped.localCheckpoint()
       // `next` is materialized: the round's intermediate checkpoint and —
       // once the convergence probe has read it — the superseded label set
@@ -544,8 +550,10 @@ object Dedup {
       // them (GC-timing-dependent; a deep-diameter run would otherwise
       // hold O(rounds) node-sized block sets)
       IterUtils.unpersistCheckpoint(stepped)
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).isEmpty
+      // `old` IS the round-start label for the same id, so the fixpoint
+      // test needs no join back to `labels` — same comparison, zero
+      // exchanges (was one shuffle join per round)
+      converged = next.where(col("cluster") =!= col("old")).isEmpty
       IterUtils.unpersistCheckpoint(labels)
       labels = next
       round += 1

@@ -255,7 +255,18 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     var cur = und.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit at the fixpoint: a peel round only ever REMOVES edges
+    // (nxt ⊆ cur — two semi-joins of cur against the degree gate), so
+    // equal consecutive edge COUNTS imply equal edge SETS, and the peel
+    // is idempotent from there — every skipped round would have emitted
+    // `cur` verbatim. The count reads the round's fresh checkpoint (no
+    // extra shuffle) and saves the full degree+two-semi-join round body
+    // for every post-fixpoint round, which on real graphs is most of a
+    // conservatively-sized `rounds` budget.
+    var prev = cur.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = cur.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select("n")
@@ -265,6 +276,10 @@ object GraphOps {
         .localCheckpoint()
       cur.unpersist()
       cur = nxt
+      val c = cur.count()
+      converged = c == prev
+      prev = c
+      r += 1
     }
     cur.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("core_degree"))
@@ -308,20 +323,25 @@ object GraphOps {
   /** One synchronous vote round (weighted majority, ties to the smaller
     * label, restore join for vote-less nodes) — the ONE round body
     * shared by [[labelPropagation]] and [[labelPropagationTrajectory]],
-    * so the tie-break can never drift between them. */
+    * so the tie-break can never drift between them. The round-start
+    * label rides along as `old` (one extra long per row) so the
+    * trajectory's changed-count is a filter over the round's checkpoint
+    * instead of a node-keyed join+exchange per round. */
   private def lpRound(sym: DataFrame, labels: DataFrame): DataFrame = {
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy(col("ws").desc, col("label"))
     val winner = sym
       .join(labels, sym("dst") === labels("node"))
-      .groupBy(sym("src").as("v"), col("label"))
+      .groupBy(sym("src").as("v"), labels("label"))
       .agg(sum("w").as("ws"))
       .withColumn("rn", row_number().over(byNode))
       .where(col("rn") === 1)
       .select(col("v"), col("label").as("nl"))
     labels
       .join(winner, labels("node") === col("v"), "left")
-      .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+      .select(labels("node").as("node"),
+        coalesce(col("nl"), labels("label")).as("label"),
+        labels("label").as("old"))
   }
 
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
@@ -335,7 +355,7 @@ object GraphOps {
     }
     IterUtils.unpersistCheckpoint(sym)
     IterUtils.unpersistCheckpoint(nodes)
-    labels
+    labels.select(col("node"), col("label"))
   }
 
   /** Personalized PageRank (the PPR variant of [[pageRank]]): teleport
@@ -640,11 +660,24 @@ object GraphOps {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val sym = kCoreSym(edges)
     var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit at the fixpoint: the peel only ever shrinks the survivor
+    // set (next ⊆ alive — the u-side semi-join keeps only alive nodes),
+    // so equal consecutive COUNTS imply equal SETS and every later round
+    // is the fixpoint verbatim ([[kCoreTrajectory]]'s contract). The
+    // count reads the round's checkpoint — no extra shuffle — and saves
+    // the full two-semi-join round body for every post-fixpoint round.
+    var prev = alive.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val next = survivorDegrees(sym, alive)
         .where(col("d") >= k).select("node").localCheckpoint()
       IterUtils.unpersistCheckpoint(alive)
       alive = next
+      val c = alive.count()
+      converged = c == prev
+      prev = c
+      r += 1
     }
     // eager-checkpoint the node-sized result BEFORE releasing the edge
     // relation it reads — a lazy return here would dangle on sym's blocks
@@ -741,9 +774,10 @@ object GraphOps {
     var converged = false
     while (r <= maxRounds && !converged) {
       val next = lpRound(sym, labels).localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).count()
+      // `old` IS the round-start label for the same node (carried by
+      // lpRound), so the changed-count is a filter over the checkpoint —
+      // zero exchanges (was one shuffle join per round)
+      val changed = next.where(col("label") =!= col("old")).count()
       IterUtils.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0L
@@ -813,13 +847,17 @@ object GraphOps {
       val contrib = norm.join(ranks, norm("src") === ranks("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("p") * col("rank")).as("c"))
-      val next = nodeSet.join(contrib, nodeSet("node") === col("cnode"), "left")
-        .select(col("node"),
+      // the restore join runs against `ranks` (same node set as nodeSet,
+      // by construction) so the round-start rank rides along as `prev`
+      // and the residual is an agg over the checkpoint — zero exchanges
+      // (was one shuffle join per round)
+      val next = ranks.join(contrib, ranks("node") === col("cnode"), "left")
+        .select(ranks("node").as("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"),
+          ranks("rank").as("prev"))
         .localCheckpoint()
       val resid = next
-        .join(ranks.withColumnRenamed("rank", "prev"), "node")
         .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
       IterUtils.unpersistCheckpoint(ranks)
       ranks = next
