@@ -61,13 +61,27 @@ object SuffixArray {
     * resolved — deeper rounds cannot split further). */
   def rankPrefixes(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", depth: Int = 8,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    rankPrefixesFromToks(
+      tokens(docs, idCol, textCol).localCheckpoint(),
+      depth, resolveParts(docs, partitions))
+
+  private def resolveParts(docs: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else docs.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** [[rankPrefixes]] over an ALREADY-CHECKPOINTED token table — the
+    * seam that lets [[duplicateWindows]] / [[exactSubstrDedup]] reuse
+    * ONE materialized (doc, off, word) relation for the doubling rounds,
+    * the completeness filter, and the text-reconstruction join, instead
+    * of re-running the corpus split+posexplode per consumer (the token
+    * table was already held in checkpoint storage for the rounds, so
+    * sharing it adds no storage — it only deletes whole corpus passes). */
+  private[graft] def rankPrefixesFromToks(toks: DataFrame, depth: Int,
+      nParts: Int): DataFrame = {
     require(depth >= 1 && (depth & (depth - 1)) == 0,
       s"depth=$depth must be a power of two (prefix doubling)")
-    val spark = docs.sparkSession
-    val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val spark = toks.sparkSession
     val nPos = toks.count()
     if (nPos == 0L) // empty corpus: the max(rank) early-exit probe has no row
       return toks.select(col("doc"), col("off"), lit(0L).as("rank")).limit(0)
@@ -248,8 +262,9 @@ object SuffixArray {
   def duplicateWindows(docs: DataFrame, depth: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       partitions: Int = 0): DataFrame = {
-    val ranks = rankPrefixes(docs, idCol, textCol, depth, partitions)
-    val toks = tokens(docs, idCol, textCol)
+    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val ranks = rankPrefixesFromToks(toks, depth,
+      resolveParts(docs, partitions))
     val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
     val complete = ranks.join(lens, "doc")
       .where(col("off") + depth <= col("len"))
@@ -287,8 +302,9 @@ object SuffixArray {
   def exactSubstrDedup(docs: DataFrame, depth: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       partitions: Int = 0): DataFrame = {
-    val ranks = rankPrefixes(docs, idCol, textCol, depth, partitions)
-    val toks = tokens(docs, idCol, textCol)
+    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val ranks = rankPrefixesFromToks(toks, depth,
+      resolveParts(docs, partitions))
     val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
     val complete = ranks.join(lens, "doc")
       .where(col("off") + depth <= col("len"))
