@@ -543,17 +543,22 @@ object Dedup {
         .select(col("s.id").as("id"),
           least(col("s.cluster"), coalesce(col("jcl"), col("s.cluster"))).as("cluster"),
           col("s.old").as("old"))
-      val next = jumped.localCheckpoint()
-      // `next` is materialized: the round's intermediate checkpoint and —
-      // once the convergence probe has read it — the superseded label set
-      // can be released NOW instead of whenever the ContextCleaner gets to
-      // them (GC-timing-dependent; a deep-diameter run would otherwise
-      // hold O(rounds) node-sized block sets)
-      IterUtils.unpersistCheckpoint(stepped)
+      // LAZY checkpoint: the convergence probe below is a filter + count
+      // — a full scan that doubles as the materializing action, so each
+      // round pays ONE job here where the eager form paid two
+      // (materialize + probe). isEmpty would short-circuit and leave
+      // partitions unmaterialized; count() scans them all, which is
+      // exactly what the eager checkpoint job did anyway.
+      val next = jumped.localCheckpoint(eager = false)
       // `old` IS the round-start label for the same id, so the fixpoint
       // test needs no join back to `labels` — same comparison, zero
       // exchanges (was one shuffle join per round)
-      converged = next.where(col("cluster") =!= col("old")).isEmpty
+      converged = next.where(col("cluster") =!= col("old")).count() == 0L
+      // the probe materialized `next`; the round's intermediates can be
+      // released NOW instead of whenever the ContextCleaner gets to them
+      // (GC-timing-dependent; a deep-diameter run would otherwise hold
+      // O(rounds) node-sized block sets)
+      IterUtils.unpersistCheckpoint(stepped)
       IterUtils.unpersistCheckpoint(labels)
       labels = next
       round += 1

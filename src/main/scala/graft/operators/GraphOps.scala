@@ -270,13 +270,20 @@ object GraphOps {
       val keep = cur.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select("n")
+      // LAZY checkpoint + counted probe: the fixpoint count must scan
+      // every partition anyway, so it doubles as the materializing
+      // action — one job per round where the eager form paid two
+      // (materialize + count). Lineage is truncated at that job's end
+      // (doCheckpoint), so the flat-storage discipline is unchanged;
+      // the superseded round is released only AFTER the count job has
+      // consumed it.
       val nxt = cur
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
-      cur.unpersist()
+        .localCheckpoint(eager = false)
+      val c = nxt.count()
+      IterUtils.unpersistCheckpoint(cur)
       cur = nxt
-      val c = cur.count()
       converged = c == prev
       prev = c
       r += 1
@@ -670,11 +677,14 @@ object GraphOps {
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      // lazy checkpoint: the fixpoint count below is a full scan and
+      // doubles as the materializing action (one job per round, was two);
+      // the superseded round is released only after that job consumed it
       val next = survivorDegrees(sym, alive)
-        .where(col("d") >= k).select("node").localCheckpoint()
+        .where(col("d") >= k).select("node").localCheckpoint(eager = false)
+      val c = next.count()
       IterUtils.unpersistCheckpoint(alive)
       alive = next
-      val c = alive.count()
       converged = c == prev
       prev = c
       r += 1
@@ -727,11 +737,12 @@ object GraphOps {
     var r = 1
     var converged = false
     while (r <= maxRounds && !converged) {
+      // lazy checkpoint + counted probe — see [[kCorePeel]]
       val next = survivorDegrees(sym, alive)
-        .where(col("d") >= k).select("node").localCheckpoint()
+        .where(col("d") >= k).select("node").localCheckpoint(eager = false)
+      val c = next.count()
       IterUtils.unpersistCheckpoint(alive)
       alive = next
-      val c = alive.count()
       converged = c == prev
       traj += ((r.toLong, c, converged))
       prev = c
@@ -773,7 +784,10 @@ object GraphOps {
     var r = 1
     var converged = false
     while (r <= maxRounds && !converged) {
-      val next = lpRound(sym, labels).localCheckpoint()
+      // lazy checkpoint: the changed-count below scans every partition
+      // (filter + count never short-circuits), so it doubles as the
+      // materializing action — one job per round, was two
+      val next = lpRound(sym, labels).localCheckpoint(eager = false)
       // `old` IS the round-start label for the same node (carried by
       // lpRound), so the changed-count is a filter over the checkpoint —
       // zero exchanges (was one shuffle join per round)
@@ -856,7 +870,9 @@ object GraphOps {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"),
           ranks("rank").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // lazy checkpoint: the residual agg is a full scan and doubles as
+      // the materializing action — one job per round, was two
       val resid = next
         .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
       IterUtils.unpersistCheckpoint(ranks)

@@ -242,13 +242,17 @@ object Incremental {
       h.join(broadcast(remap), h("cluster") === col("old_lbl"))
         .select(h("id"), col("new_lbl").as("cluster"))
     }
+    // lazy checkpoint: the emptiness probe is a full count (never
+    // short-circuits) and doubles as the materializing action — the
+    // probe must not re-run the join chain, and the write below reads
+    // the materialized blocks
     val updates = inserts.unionByName(relabeled)
       .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
-      .localCheckpoint() // emptiness probe must not re-run the CC chain
+      .localCheckpoint(eager = false)
     // an all-self-pair / empty first batch must NOT initialize the state:
     // an entry-less manifest would make every later read's txn-union empty
     // — leave the sidecar uninitialized until there is a row to hold
-    if (!updates.isEmpty) {
+    if (updates.count() != 0L) {
       if (history.isEmpty)
         graft.sources.ManifestCommit.overwriteViaManifest(spark, statePath,
           Seq("bucket"), replaceAll = true) { txn =>
