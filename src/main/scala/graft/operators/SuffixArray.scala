@@ -63,7 +63,7 @@ object SuffixArray {
       textCol: String = "text", depth: Int = 8,
       partitions: Int = 0): DataFrame =
     rankPrefixesFromToks(
-      tokens(docs, idCol, textCol).localCheckpoint(),
+      tokens(docs, idCol, textCol).localCheckpoint(eager = false),
       depth, resolveParts(docs, partitions))
 
   private def resolveParts(docs: DataFrame, partitions: Int): Int =
@@ -82,6 +82,8 @@ object SuffixArray {
     require(depth >= 1 && (depth & (depth - 1)) == 0,
       s"depth=$depth must be a power of two (prefix doubling)")
     val spark = toks.sparkSession
+    // the token count is a full scan, so it doubles as the checkpoint's
+    // materializing action (callers pass a LAZY checkpoint)
     val nPos = toks.count()
     if (nPos == 0L) // empty corpus: the max(rank) early-exit probe has no row
       return toks.select(col("doc"), col("off"), lit(0L).as("rank")).limit(0)
@@ -96,19 +98,28 @@ object SuffixArray {
     val vocabDf = spark.createDataFrame(vocab, StructType(Seq(
       StructField("word", org.apache.spark.sql.types.StringType, false),
       StructField("r", LongType, false))))
+    // lazy checkpoint: the allDistinct probe (a max agg, full scan)
+    // doubles as the materializing action — one job, was two
     var ranked = toks.join(vocabDf, "word")
       .select(col("doc"), col("off"), col("r").as("rank"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var k = 1L
     // one probe on the word round; every later round gets its group
     // count for free from the dense-rank driver stitch — no extra action
     var distinct = allDistinct(ranked, nPos)
     while (k < depth && !distinct) {
       // pair each position's rank with the rank k positions ahead in the
-      // SAME document; -1 = past the end, sorting before every real rank
+      // SAME document; -1 = past the end, sorting before every real rank.
+      // `df` needs NO checkpoint of its own: it is a pure map-side rank
+      // assignment over the (r1, r2)-ranged relation that
+      // denseRankPairsCounted already materialized in checkpoint storage,
+      // so every downstream pass (the next round's range sampling +
+      // shuffle, or the caller's joins) replays only that cheap map over
+      // cached blocks — checkpointing it again cost one extra job per
+      // round and doubled the stored bytes.
       val (df, groups) =
         denseRankPairsCounted(shiftRanks(ranked, k.toInt, nParts), nParts)
-      ranked = df.localCheckpoint()
+      ranked = df
       distinct = groups == nPos
       k *= 2
     }
@@ -129,9 +140,14 @@ object SuffixArray {
   private[graft] def shiftRanks(ranked: DataFrame, k: Int,
       nParts: Int): DataFrame = {
     val spark = ranked.sparkSession
+    // lazy checkpoint: the heads collect below reads every partition
+    // (block-store caching materializes whole partitions even under a
+    // take), so it doubles as the materializing action; the slide pass
+    // then reads the same frozen blocks — head pass + slide still see
+    // identical ranges, one job cheaper
     val ranged = ranked.repartitionByRange(nParts, col("doc"), col("off"))
       .sortWithinPartitions(col("doc"), col("off"))
-      .localCheckpoint() // head pass + slide must see identical ranges
+      .localCheckpoint(eager = false)
     val cols = ranged.columns
     val (iDoc, iOff, iRank) =
       (cols.indexOf("doc"), cols.indexOf("off"), cols.indexOf("rank"))
@@ -201,9 +217,12 @@ object SuffixArray {
   private[graft] def denseRankPairsCounted(df: DataFrame,
       nParts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
+    // lazy checkpoint, materialized by the stats pass (a full scan of
+    // every partition) — both passes still see identical sampled ranges
+    // from the frozen blocks, one job cheaper
     val ranged = df.repartitionByRange(nParts, col("r1"), col("r2"))
       .sortWithinPartitions(col("r1"), col("r2"))
-      .localCheckpoint() // both passes must see identical sampled ranges
+      .localCheckpoint(eager = false)
     val cols = ranged.columns
     val (iDoc, iOff, iR1, iR2) = (cols.indexOf("doc"), cols.indexOf("off"),
       cols.indexOf("r1"), cols.indexOf("r2"))
@@ -262,7 +281,7 @@ object SuffixArray {
   def duplicateWindows(docs: DataFrame, depth: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       partitions: Int = 0): DataFrame = {
-    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val toks = tokens(docs, idCol, textCol).localCheckpoint(eager = false)
     val ranks = rankPrefixesFromToks(toks, depth,
       resolveParts(docs, partitions))
     val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
@@ -302,7 +321,7 @@ object SuffixArray {
   def exactSubstrDedup(docs: DataFrame, depth: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       partitions: Int = 0): DataFrame = {
-    val toks = tokens(docs, idCol, textCol).localCheckpoint()
+    val toks = tokens(docs, idCol, textCol).localCheckpoint(eager = false)
     val ranks = rankPrefixesFromToks(toks, depth,
       resolveParts(docs, partitions))
     val lens = toks.groupBy("doc").agg(count(lit(1)).as("len"))
