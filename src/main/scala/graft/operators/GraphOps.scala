@@ -434,12 +434,16 @@ object GraphOps {
     var levels = Vector.empty[DataFrame]
     var toRelease = Vector(frontier)
     for (r <- 1 to depth) {
+      // f is lazy: the eager nv checkpoint right below consumes every
+      // row of f, so its job materializes f's marked blocks too (one
+      // job per level here, was two); f's other consumers — the next
+      // level's join and the levels output — then read those blocks
       val f = frontier.join(sym, col("node") === col("u"))
         .select(col("s"), col("v").as("cand"))
         .join(visited.select(col("s"), col("node").as("cand")),
           Seq("s", "cand"), "left_anti")
         .select(col("s"), col("cand").as("node")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nv = visited.union(f).localCheckpoint()
       if (visited ne frontier) IterUtils.unpersistCheckpoint(visited)
       visited = nv
@@ -519,13 +523,16 @@ object GraphOps {
       lit(1L).cast(dec).as("sigma")).localCheckpoint())
     var visited = frontiers(0).select(col("s"), col("node")).localCheckpoint()
     for (_ <- 1 to depth) {
+      // f lazy, materialized by the eager nv union below (reads every
+      // f row) — one job per level here, was two; the backward pass
+      // reads the then-frozen blocks
       val f = frontiers.last.join(sym, col("node") === col("u"))
         .select(col("s"), col("v").as("cand"), col("sigma"))
         .join(visited.select(col("s"), col("node").as("cand")),
           Seq("s", "cand"), "left_anti")
         .groupBy(col("s"), col("cand").as("node"))
         .agg(sum("sigma").as("sigma"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nv = visited.union(f.select(col("s"), col("node"))).localCheckpoint()
       IterUtils.unpersistCheckpoint(visited)
       visited = nv

@@ -91,8 +91,10 @@ object QualityClassifier {
       iters: Int = 3, lr: Double = 0.25,
       textCol: String = "text"): Seq[Array[Double]] = {
     val k = FeatureNames.size
+    // lazy checkpoint, materialized by the count (a full scan) — the
+    // per-iteration gradient aggs then read the frozen feature blocks
     val fx = labeled.select(col(labelCol).cast("long").as("y"),
-      featuresQ(col(textCol)).as("xq")).localCheckpoint()
+      featuresQ(col(textCol)).as("xq")).localCheckpoint(eager = false)
     val n = fx.count()
     require(n > 0, "logreg training set is empty")
     var w = Array.fill(k)(0.0)
@@ -117,8 +119,9 @@ object QualityClassifier {
   def train(labeled: DataFrame, labelCol: String = "y", iters: Int = 3,
       lr: Double = 0.25, textCol: String = "text"): Array[Double] = {
     val k = FeatureNames.size
+    // lazy checkpoint, materialized by the count — see [[trainRounds]]
     val fx = labeled.select(col(labelCol).cast("long").as("y"),
-      featuresQ(col(textCol)).as("xq")).localCheckpoint()
+      featuresQ(col(textCol)).as("xq")).localCheckpoint(eager = false)
     val n = fx.count()
     require(n > 0, "logreg training set is empty")
     var w = Array.fill(k)(0.0)
